@@ -1,0 +1,35 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Mirrors the reference's scan surface (SURVEY.md §2.1 S1-S3,S6):
+  * table scans with pushed predicates happen at the caller via
+  * `.filter`/`.select` on the returned DataFrame — Catalyst pushes
+  * them into the parquet scan (PushedFilters / ReadSchema).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+    // default; read nanos as long and rebuild a TimestampType at
+    // microsecond precision (truncation — same as DuckDB epoch_us).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** S6/S7 analog: register every table as a temp view so SQL-text
+    * entry points (`spark.sql`) resolve the same names the DuckDB
+    * oracle uses. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
