@@ -24,7 +24,15 @@ object SparkEntry {
     "q01_pricing_summary" -> (Queries.pricingSummary _),
     "q02_sessionize" -> (Queries.sessionAggr _),
     "q03_session_stats" -> (Queries.sessionStats _),
-    "q04_session_filter" -> (Queries.sessionFilter _)
+    "q04_session_filter" -> (Queries.sessionFilter _),
+    "q05_top_categories" -> (Queries.topCategories _),
+    "q06_top_sessions_per_category" -> (Queries.topSessionsPerCategory _),
+    "q07_page_funnel" -> (Queries.pageFunnel _),
+    "q08_area_top3_products" -> (Queries.areaTop3Products _),
+    "q09_order_priority_semi" -> (Queries.orderPrioritySemi _),
+    "q10_customer_anti" -> (Queries.customerAnti _),
+    "q11_period_delta" -> (Queries.periodDelta _),
+    "q12_stratified_sample" -> (Queries.stratifiedSample _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -65,24 +73,87 @@ object Queries {
       .select(
         col("session_id"), col("user_id"), col("c_mktsegment"),
         col("step_length"), col("visit_length_s"), col("event_types"))
+
+  /** W3 + A4: top-10 categories by (click, purchase, view) counts. */
+  def topCategories(spark: SparkSession, dir: String): DataFrame =
+    TopK.topCategories(Tables(spark, dir, "events"))
+
+  /** A9 + J6 + W4: top sessions per top category. */
+  def topSessionsPerCategory(spark: SparkSession, dir: String): DataFrame =
+    TopK.topSessionsPerCategory(
+      Sessionize.assignSessions(Tables(spark, dir, "events")))
+
+  val funnelFlow: Seq[String] = Seq("view", "click", "purchase")
+
+  /** W5: page single-jump conversion funnel. */
+  def pageFunnel(spark: SparkSession, dir: String): DataFrame =
+    PageFunnel(spark,
+      Sessionize.assignSessions(Tables(spark, dir, "events")), funnelFlow)
+
+  /** W1 + A6/A7 + J7/J8 + F5: area top-3 hot products. */
+  def areaTop3Products(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts(
+      Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "nation"),
+      Tables(spark, dir, "region"), Tables(spark, dir, "part"))
+
+  /** J6: orders with a 1996 shipment, counted per priority. */
+  def orderPrioritySemi(spark: SparkSession, dir: String): DataFrame = {
+    val shipped96 = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("o_orderkey"))
+    Joins.semi(Tables(spark, dir, "orders"), shipped96, Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** J9 (batch shape): customers with no URGENT order, per segment. */
+  def customerAnti(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    Joins.anti(Tables(spark, dir, "customer"), urgent, Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("customer_count"))
+  }
+
+  /** U1: first-half vs second-half January purchase delta per user. */
+  def periodDelta(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+    val mid = lit("2024-01-16").cast("timestamp")
+    PeriodDelta(purchases, "user_id", "value",
+      col("ts") < mid, col("ts") >= mid)
+  }
+
+  /** R1: deterministic time-proportional stratified extraction.
+    * Target 1000 = the reference README's figure (§六.3); the code's
+    * 100 yields all-zero hour quotas on a 30-day x 24-hour grid. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    StratifiedExtract(sessionAggr(spark, dir), target = 1000L)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
   * definitions with the Spark side via SessionStats.bucketSqlExprs. */
 object Oracles {
 
-  /** Gap sessionization as a reusable CTE body (DuckDB dialect). */
+  /** Gap sessionization as a reusable CTE body (DuckDB dialect).
+    * `sz` = row-level events with session_id; `sess` = session grain. */
   val sessionCte: String =
     """WITH e AS (
-      |  SELECT user_id, event_id, event_type, value, ts, epoch_us(ts) AS ts_us,
+      |  SELECT user_id, event_id, event_type, value, props, ts, epoch_us(ts) AS ts_us,
       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       |  FROM events
-      |), sz AS (
+      |), sz0 AS (
       |  SELECT *, SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
       |         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
       |  FROM e
+      |), sz AS (
+      |  SELECT *, CAST(user_id AS VARCHAR) || '_' || CAST(session_seq AS VARCHAR) AS session_id
+      |  FROM sz0
       |), sess AS (
-      |  SELECT CAST(user_id AS VARCHAR) || '_' || CAST(session_seq AS VARCHAR) AS session_id,
+      |  SELECT session_id,
       |         user_id,
       |         COUNT(*) AS step_length,
       |         (MAX(ts_us) - MIN(ts_us)) // 1000000 AS visit_length_s,
@@ -127,6 +198,148 @@ object Oracles {
          |FROM sess s JOIN customer c ON s.user_id = c.c_custkey
          |WHERE c.c_acctbal >= 0.0
          |  AND c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
-         |  AND list_has_any(string_split(s.event_types, ','), ['purchase', 'signup'])""".stripMargin
+         |  AND list_has_any(string_split(s.event_types, ','), ['purchase', 'signup'])""".stripMargin,
+
+    "q05_top_categories" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS category_id,
+        |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+        |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY click_count DESC, purchase_count DESC, view_count DESC, category_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "q06_top_sessions_per_category" ->
+      s"""$sessionCte, cat AS (
+         |  SELECT *, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS category_id
+         |  FROM sz WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |), top AS (
+         |  SELECT category_id FROM cat GROUP BY 1
+         |  ORDER BY CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) DESC,
+         |           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) DESC,
+         |           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) DESC,
+         |           category_id ASC
+         |  LIMIT 10
+         |), ps AS (
+         |  SELECT category_id, session_id, COUNT(*) AS click_count
+         |  FROM cat WHERE event_type = 'click' GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY category_id
+         |                               ORDER BY click_count DESC, session_id ASC) AS rank
+         |  FROM ps WHERE category_id IN (SELECT category_id FROM top)
+         |)
+         |SELECT category_id, session_id, click_count, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q07_page_funnel" -> {
+      val flow = Queries.funnelFlow
+      val splits = flow.sliding(2).map(p => s"${p(0)}_${p(1)}").toVector
+      val values = splits.zipWithIndex
+        .map { case (s, i) => s"('$s', CAST($i AS BIGINT))" }.mkString(", ")
+      val inList = splits.map(s => s"'$s'").mkString(", ")
+      s"""$sessionCte, pr AS (
+         |  SELECT session_id, event_type,
+         |         lag(event_type) OVER (PARTITION BY session_id ORDER BY ts, event_id) AS prev_type
+         |  FROM sz
+         |), pairs AS (
+         |  SELECT prev_type || '_' || event_type AS split, COUNT(*) AS c
+         |  FROM pr WHERE prev_type || '_' || event_type IN ($inList)
+         |  GROUP BY 1
+         |), steps AS (
+         |  SELECT * FROM (VALUES $values) t(split, step_idx)
+         |), j AS (
+         |  SELECT s.step_idx, s.split, CAST(COALESCE(p.c, 0) AS BIGINT) AS split_count
+         |  FROM steps s LEFT JOIN pairs p ON s.split = p.split
+         |), f AS (
+         |  SELECT j.*, COALESCE(lag(split_count) OVER (ORDER BY step_idx),
+         |                       (SELECT COUNT(*) FROM sz WHERE event_type = '${flow.head}')) AS prev_count
+         |  FROM j
+         |)
+         |SELECT step_idx, split, split_count, prev_count,
+         |       CASE WHEN prev_count = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * split_count / prev_count) AS BIGINT) END AS convert_rate_bp
+         |FROM f""".stripMargin
+    },
+
+    "q08_area_top3_products" ->
+      """WITH geo AS (
+        |  SELECT o.o_orderkey, n.n_nationkey, n.n_name, r.r_name AS area
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |), clicks AS (
+        |  SELECT g.area, g.n_nationkey, g.n_name, l.l_partkey AS product_id
+        |  FROM lineitem l JOIN geo g ON l.l_orderkey = g.o_orderkey
+        |), counted AS (
+        |  SELECT area, product_id, COUNT(*) AS click_count,
+        |         string_agg(DISTINCT CAST(n_nationkey AS VARCHAR) || ':' || n_name, ','
+        |                    ORDER BY CAST(n_nationkey AS VARCHAR) || ':' || n_name) AS city_infos
+        |  FROM clicks GROUP BY 1, 2
+        |), wp AS (
+        |  SELECT counted.*, p.p_name AS product_name,
+        |         CASE WHEN p.p_size % 2 = 0 THEN 'Self' ELSE 'Third Party' END AS product_status
+        |  FROM counted JOIN part p ON counted.product_id = p.p_partkey
+        |), ranked AS (
+        |  SELECT wp.*,
+        |         CASE WHEN area IN ('ASIA', 'AMERICA') THEN 'A Level'
+        |              WHEN area = 'EUROPE' THEN 'B Level'
+        |              WHEN area = 'MIDDLE EAST' THEN 'C Level'
+        |              ELSE 'D Level' END AS area_level,
+        |         row_number() OVER (PARTITION BY area ORDER BY click_count DESC, product_id ASC) AS rank
+        |  FROM wp
+        |)
+        |SELECT area, area_level, product_id, click_count, city_infos,
+        |       product_name, product_status, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q09_order_priority_semi" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |                AND l.l_shipdate < TIMESTAMP '1997-01-01')
+        |GROUP BY 1""".stripMargin,
+
+    "q10_customer_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS customer_count
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
+    "q11_period_delta" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v, CAST(1 AS BIGINT) AS sign
+        |  FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+        |  UNION ALL
+        |  SELECT user_id, CAST(value AS DECIMAL(18,2)), CAST(-1 AS BIGINT)
+        |  FROM events WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+        |)
+        |SELECT user_id, SUM(sign * v) AS value_delta, CAST(SUM(sign) AS BIGINT) AS count_delta
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "q12_stratified_sample" ->
+      s"""$sessionCte, k AS (
+         |  SELECT session_id, start_time, event_types,
+         |         substr(start_time, 1, 10) AS dt,
+         |         substr(start_time, 1, 10) || '_' || substr(start_time, 12, 2) AS date_hour
+         |  FROM sess
+         |), nd AS (SELECT COUNT(DISTINCT dt) AS n_days FROM k
+         |), r AS (
+         |  SELECT k.*,
+         |         COUNT(*) OVER (PARTITION BY date_hour) AS hour_count,
+         |         COUNT(*) OVER (PARTITION BY dt) AS day_count,
+         |         row_number() OVER (PARTITION BY date_hour
+         |                            ORDER BY md5(session_id), session_id) AS pick
+         |  FROM k
+         |)
+         |SELECT date_hour, session_id, start_time, event_types
+         |FROM r, nd
+         |WHERE pick <= (hour_count * (1000 // n_days)) // day_count""".stripMargin
   )
 }

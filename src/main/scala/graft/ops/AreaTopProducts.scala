@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Area top-3 hot products (reference module 3).
+  *
+  * Reference: AreaTop3ProductSpark.java — click scan ⋈ city_info (J7)
+  * → salted double group-by with a group_concat_distinct UDAF (A6/A7)
+  * → salted join with product_info + get_json_object status (J4/F2/F4)
+  * → ROW_NUMBER per area + CASE WHEN level (W1/F5).
+  *
+  * Spark-first over the TPC-H-ish star: fact = lineitem, geography =
+  * orders→customer→nation→region, product dim = part.
+  *  - All dimension joins are broadcast (nation/region are tiny,
+  *    customer/part are dimension-sized) — at 100 TB only the fact
+  *    table is big, so the whole plan has exactly ONE shuffle: the
+  *    (area, product) aggregate. No salting/expansion: hash aggregate
+  *    does map-side partials and AQE handles join skew (SURVEY §4).
+  *  - A7 group_concat_distinct → concat_ws over array_sort(collect_set)
+  *    (exact dedup + deterministic order; the reference's
+  *    substring-contains dedup is a documented bug we don't copy).
+  *  - W1 rank with product_id tie-break.
+  */
+object AreaTopProducts {
+
+  def apply(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame, part: DataFrame,
+      topN: Int = 3): DataFrame = {
+
+    val geo = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name").as("area"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey"), col("n_nationkey"), col("n_name"), col("area"))
+
+    // J7 analog: fact ⋈ geography. orders:lineitem is 1:N on orderkey —
+    // geo is dimension-shaped relative to lineitem only at small SF; at
+    // scale this is the one sort-merge join, on the natural key.
+    val clicks = lineitem.select(col("l_orderkey"), col("l_partkey").as("product_id"))
+      .join(geo, col("l_orderkey") === col("o_orderkey"))
+
+    // A6/A7: per (area, product) count + distinct nation concat.
+    val counted = clicks
+      .groupBy(col("area"), col("product_id"))
+      .agg(
+        count(lit(1)).as("click_count"),
+        concat_ws(",",
+          array_sort(collect_set(
+            concat(col("n_nationkey").cast("string"), lit(":"), col("n_name"))))
+        ).as("city_infos"))
+
+    // J8 + F2/F4 analog: product dim join + derived status.
+    val withProduct = counted
+      .join(broadcast(part.select(
+        col("p_partkey"), col("p_name").as("product_name"), col("p_size"))),
+        col("product_id") === col("p_partkey"))
+      .withColumn("product_status",
+        when(col("p_size") % 2 === 0, lit("Self")).otherwise(lit("Third Party")))
+
+    // F5: CASE WHEN area level; W1: rank per area.
+    val w = Window.partitionBy(col("area"))
+      .orderBy(col("click_count").desc, col("product_id").asc)
+    withProduct
+      .withColumn("area_level",
+        when(col("area").isin("ASIA", "AMERICA"), "A Level")
+          .when(col("area").isin("EUROPE"), "B Level")
+          .when(col("area").isin("MIDDLE EAST"), "C Level")
+          .otherwise("D Level"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("area"), col("area_level"), col("product_id"), col("click_count"),
+        col("city_infos"), col("product_name"), col("product_status"), col("rank"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W5: page single-jump conversion funnel.
+  *
+  * Reference: PageOneStepConvertRateSpark.java:141-218 — per session,
+  * sort actions by time, form adjacent `a_b` slices, keep slices on
+  * the target flow, rate(split_i) = count(split_i) / count(prev step)
+  * with the first rate against the flow-head PV. The reference NPEs on
+  * a zero-PV slice (:275); we emit rate 0 (SURVEY.md §7.3).
+  *
+  * Spark-first: one lag window per session (same user_id partitioning
+  * the sessionizer already created), conditional counts, then the
+  * chained division over the K-row splits frame via a second window —
+  * no driver-side loop, no broadcast of counts.
+  *
+  * Rates are integer basis points (floor(10000*a/b)) for cross-engine
+  * exactness.
+  */
+object PageFunnel {
+
+  /** @param sessionized Sessionize.assignSessions output
+    * @param flow ordered step sequence, e.g. signup,view,click,purchase */
+  def apply(spark: SparkSession, sessionized: DataFrame, flow: Seq[String]): DataFrame = {
+    require(flow.size >= 2, "funnel needs at least 2 steps")
+    val splits = flow.sliding(2).map(p => s"${p(0)}_${p(1)}").toVector
+
+    val bySession = Window.partitionBy(col("session_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = sessionized
+      .withColumn("prev_type", lag(col("event_type"), 1).over(bySession))
+      .withColumn("split", concat_ws("_", col("prev_type"), col("event_type")))
+      .filter(col("split").isin(splits: _*))
+      .groupBy(col("split")).agg(count(lit(1)).as("split_count"))
+
+    val startPv = sessionized
+      .filter(col("event_type") === flow.head)
+      .agg(count(lit(1)).as("start_pv"))
+
+    import spark.implicits._
+    val ordered = splits.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toDF("split", "step_idx")
+
+    val byIdx = Window.orderBy(col("step_idx"))
+    ordered
+      .join(pairs, Seq("split"), "left") // J5: universe ⟕ counts
+      .na.fill(0L, Seq("split_count"))
+      .crossJoin(startPv) // 1-row frame: the flow-head PV
+      .withColumn("prev_count",
+        coalesce(lag(col("split_count"), 1).over(byIdx), col("start_pv")))
+      .withColumn("convert_rate_bp",
+        when(col("prev_count") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("split_count") / col("prev_count")).cast("long")))
+      .select(col("step_idx"), col("split"), col("split_count"),
+        col("prev_count"), col("convert_rate_bp"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, t: String, typ: String, k: Int) =
+    (id, Timestamp.valueOf(t), user, typ, 1.0, s"""{"k": $k}""")
+
+  test("topCategories orders by click, purchase, view with id tie-break") {
+    val df = Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 7),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 7),
+      ev(2, 1, "2024-01-01 00:02:00", "click", 3),
+      ev(3, 1, "2024-01-01 00:03:00", "purchase", 3),
+      ev(4, 1, "2024-01-01 00:04:00", "click", 5),
+      ev(5, 1, "2024-01-01 00:05:00", "purchase", 5)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = TopK.topCategories(df, 3).select("category_id").as[Long].collect()
+    // 7 has 2 clicks; 3 and 5 tie on clicks=1,purchase=1,view=0 → id asc
+    assert(got.toSeq == Seq(7L, 3L, 5L))
+  }
+
+  test("topSessionsPerCategory ranks within category deterministically") {
+    val df = Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 1),
+      ev(2, 2, "2024-01-01 00:00:00", "click", 1),
+      ev(3, 3, "2024-01-01 00:00:00", "click", 2)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = Sessionize.assignSessions(df)
+    val got = TopK.topSessionsPerCategory(s, 10, 1)
+      .select("category_id", "session_id", "click_count")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "1_1", 2L), (2L, "3_1", 1L)))
+  }
+
+  test("pageFunnel chains conversion rates with zero-PV guard") {
+    val df = Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "view", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 1),
+      ev(2, 1, "2024-01-01 00:02:00", "purchase", 1),
+      ev(3, 2, "2024-01-01 00:00:00", "view", 1),
+      ev(4, 2, "2024-01-01 00:01:00", "view", 1)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = Sessionize.assignSessions(df)
+    val got = PageFunnel(spark, s, Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .select("split", "split_count", "prev_count", "convert_rate_bp")
+      .as[(String, Long, Long, Long)].collect()
+    // 3 view events; 1 view_click; 1 click_purchase
+    assert(got(0) == ("view_click", 1L, 3L, 3333L))
+    assert(got(1) == ("click_purchase", 1L, 1L, 10000L))
+    // zero-PV guard: a flow that never starts
+    val none = PageFunnel(spark, s, Seq("signup", "error"))
+      .select("convert_rate_bp").as[Long].collect()
+    assert(none.toSeq == Seq(0L))
+  }
+
+  test("areaTop3Products emits <=3 per area with rank tie-break") {
+    import graft.tables.Tables
+    val got = Queries.areaTop3Products(spark, sf)
+    val perArea = got.groupBy("area").count().select("count").as[Long].collect()
+    assert(perArea.forall(_ <= 3))
+    val ranks = got.select("rank").distinct().as[Int].collect().sorted
+    assert(ranks.forall(_ <= 3))
+    // city_infos is sorted distinct
+    val ci = got.select("city_infos").as[String].head()
+    val toks = ci.split(",").toSeq
+    assert(toks == toks.sorted && toks.distinct == toks)
+  }
+
+  test("stratified sample respects per-stratum quota and determinism") {
+    val sess = Queries.sessionAggr(spark, sf)
+    val a = StratifiedExtract(sess, 1000L).collect().map(_.toString).sorted
+    val b = StratifiedExtract(sess, 1000L).collect().map(_.toString).sorted
+    assert(a.nonEmpty && (a sameElements b))
+    // quota never exceeds stratum size: pick<=quota<=hour_count by construction;
+    // sampled strata are a subset of all strata
+    val strata = StratifiedExtract(sess, 1000L).groupBy("date_hour").count()
+    val sizes = sess.withColumn("date_hour",
+        concat(substring(col("start_time"), 1, 10), lit("_"), substring(col("start_time"), 12, 2)))
+      .groupBy("date_hour").count().withColumnRenamed("count", "total")
+    val joined = strata.join(sizes, "date_hour")
+      .filter(col("count") > col("total")).count()
+    assert(joined == 0L)
+  }
+
+  test("PeriodDelta +1/-1 union computes signed sums") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00"), 10.0),
+      (1L, Timestamp.valueOf("2024-01-20 00:00:00"), 4.0),
+      (2L, Timestamp.valueOf("2024-01-21 00:00:00"), 3.0)
+    ).toDF("user_id", "ts", "value")
+    val mid = lit("2024-01-16").cast("timestamp")
+    val got = PeriodDelta(df, "user_id", "value", col("ts") < mid, col("ts") >= mid)
+      .orderBy("user_id")
+      .select(col("user_id"), col("value_delta").cast("double"), col("count_delta"))
+      .as[(Long, Double, Long)].collect()
+    assert(got(0) == ((1L, 6.0, 0L)))
+    assert(got(1) == ((2L, -3.0, -1L)))
+  }
+}
