@@ -32,7 +32,11 @@ object SparkEntry {
     "q09_order_priority_semi" -> (Queries.orderPrioritySemi _),
     "q10_customer_anti" -> (Queries.customerAnti _),
     "q11_period_delta" -> (Queries.periodDelta _),
-    "q12_stratified_sample" -> (Queries.stratifiedSample _)
+    "q12_stratified_sample" -> (Queries.stratifiedSample _),
+    "q13_ad_blacklist" -> (Queries.adBlacklist _),
+    "q14_ad_stats" -> (Queries.adStats _),
+    "q15_province_top3_ads" -> (Queries.provinceTop3Ads _),
+    "q16_click_trend" -> (Queries.clickTrend _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -132,6 +136,27 @@ object Queries {
     * 100 yields all-zero hour quotas on a 30-day x 24-hour grid. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     StratifiedExtract(sessionAggr(spark, dir), target = 1000L)
+
+  private def adClicks(spark: SparkSession, dir: String): DataFrame =
+    AdAnalytics.eventsAsAdClicks(
+      Tables(spark, dir, "events"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "region"))
+
+  /** T4: dynamic blacklist — users with >=2 clicks on one ad in a day. */
+  def adBlacklist(spark: SparkSession, dir: String): DataFrame =
+    AdAnalytics.blacklist(adClicks(spark, dir), threshold = 2L)
+
+  /** T5: click totals per (day, province, city, ad). */
+  def adStats(spark: SparkSession, dir: String): DataFrame =
+    AdAnalytics.adStats(adClicks(spark, dir))
+
+  /** T6/W2: per (day, province) top-3 ads — reference intent (<=3). */
+  def provinceTop3Ads(spark: SparkSession, dir: String): DataFrame =
+    AdAnalytics.provinceTopAds(adClicks(spark, dir))
+
+  /** T7: per-minute counts over the trailing hour of the data. */
+  def clickTrend(spark: SparkSession, dir: String): DataFrame =
+    AdAnalytics.clickTrend(adClicks(spark, dir))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -162,6 +187,18 @@ object Oracles {
       |         SUM(CAST(value AS DECIMAL(18,2))) AS total_value
       |  FROM sz GROUP BY 1, 2
       |)""".stripMargin
+
+  /** Events-as-ad-clicks (the q13-q16 input shape): click events with
+    * ad_id from props, province/city from the geo dimension chain. */
+  val adClickCte: String =
+    """SELECT e.ts, r.r_name AS province, n.n_name AS city, e.user_id,
+      |       CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS ad_id
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE e.event_type = 'click'
+      |  AND json_extract_string(e.props, '$.k') IS NOT NULL""".stripMargin
 
   private val sessionStatsSql: String = {
     val buckets = graft.ops.SessionStats.bucketSqlExprs.mkString(",\n       ")
@@ -340,6 +377,41 @@ object Oracles {
          |)
          |SELECT date_hour, session_id, start_time, event_types
          |FROM r, nd
-         |WHERE pick <= (hour_count * (1000 // n_days)) // day_count""".stripMargin
+         |WHERE pick <= (hour_count * (1000 // n_days)) // day_count""".stripMargin,
+
+    "q13_ad_blacklist" ->
+      s"""WITH ac AS ($adClickCte)
+         |, counts AS (
+         |  SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id, ad_id, COUNT(*) AS click_count
+         |  FROM ac GROUP BY 1, 2, 3
+         |)
+         |SELECT DISTINCT user_id FROM counts WHERE click_count >= 2""".stripMargin,
+
+    "q14_ad_stats" ->
+      s"""WITH ac AS ($adClickCte)
+         |SELECT strftime(ts, '%Y-%m-%d') AS dt, province, city, ad_id,
+         |       COUNT(*) AS click_count
+         |FROM ac GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q15_province_top3_ads" ->
+      s"""WITH ac AS ($adClickCte)
+         |, per AS (
+         |  SELECT strftime(ts, '%Y-%m-%d') AS dt, province, ad_id, COUNT(*) AS click_count
+         |  FROM ac GROUP BY 1, 2, 3
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY dt, province
+         |                               ORDER BY click_count DESC, ad_id ASC) AS rank
+         |  FROM per
+         |)
+         |SELECT dt, province, ad_id, click_count, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q16_click_trend" ->
+      s"""WITH ac AS ($adClickCte)
+         |, m AS (SELECT max(ts) AS mx FROM ac)
+         |SELECT strftime(ts, '%Y%m%d%H%M') AS minute_key, ad_id, COUNT(*) AS click_count
+         |FROM ac, m
+         |WHERE ts >= mx - INTERVAL 60 MINUTE
+         |GROUP BY 1, 2""".stripMargin
   )
 }
