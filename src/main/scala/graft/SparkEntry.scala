@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -36,7 +36,18 @@ object SparkEntry {
     "q13_ad_blacklist" -> (Queries.adBlacklist _),
     "q14_ad_stats" -> (Queries.adStats _),
     "q15_province_top3_ads" -> (Queries.provinceTop3Ads _),
-    "q16_click_trend" -> (Queries.clickTrend _)
+    "q16_click_trend" -> (Queries.clickTrend _),
+    "q17_token_stats" -> (Queries.tokenStats _),
+    "q18_text_quality" -> (Queries.textQuality _),
+    "q19_lang_id" -> (Queries.langId _),
+    "q20_doc_fingerprint" -> (Queries.docFingerprint _),
+    "q21_exact_dedup" -> (Queries.exactDedup _),
+    "q22_minhash_dedup_pairs" -> (Queries.minhashDedupPairs _),
+    "q23_ngram_dedup_kept" -> (Queries.ngramDedupKept _),
+    "q24_simhash" -> (Queries.simhash _),
+    "q25_knn_bruteforce" -> (Queries.knnBruteforce _),
+    "q26_ann_lsh" -> (Queries.annLsh _),
+    "q27_embedding_neardup" -> (Queries.embeddingNearDup _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -157,6 +168,48 @@ object Queries {
   /** T7: per-minute counts over the trailing hour of the data. */
   def clickTrend(spark: SparkSession, dir: String): DataFrame =
     AdAnalytics.clickTrend(adClicks(spark, dir))
+
+  // ---- training-data pipeline: text analysis ----
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(Tables(spark, dir, "documents"))
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textQuality(Tables(spark, dir, "documents"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables(spark, dir, "documents"))
+
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables(spark, dir, "documents"))
+
+  // ---- training-data pipeline: deduplication ----
+
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables(spark, dir, "documents"))
+
+  def minhashDedupPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(Tables(spark, dir, "documents"))
+
+  def ngramDedupKept(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramDedupKept(Tables(spark, dir, "documents"))
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables(spark, dir, "documents"))
+
+  // ---- training-data pipeline: similarity search ----
+
+  /** Query set for the ANN/kNN demos: every 50th vector. */
+  val knnQueryPred: Column = col("vec_id") % 50 === 0
+
+  def knnBruteforce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnBruteForce(Tables(spark, dir, "embeddings"), knnQueryPred)
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annLsh(Tables(spark, dir, "embeddings"), knnQueryPred)
+
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables(spark, dir, "embeddings"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -199,6 +252,38 @@ object Oracles {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |WHERE e.event_type = 'click'
       |  AND json_extract_string(e.props, '$.k') IS NOT NULL""".stripMargin
+
+  /** Distinct 3-word shingles per document (twin of Dedup.withShingles). */
+  val shingleCte: String =
+    """sh AS (
+      |  SELECT doc_id, lang, source,
+      |         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |           list_distinct(list_transform(
+      |             range(1, len(string_split(text, ' ')) - 1),
+      |             i -> string_split(text, ' ')[i] || ' ' ||
+      |                  string_split(text, ' ')[i + 1] || ' ' ||
+      |                  string_split(text, ' ')[i + 2]))
+      |         ELSE [] END AS shingles
+      |  FROM documents)""".stripMargin
+
+  /** Integer-quantized embeddings + exact squared norm (twin of
+    * Similarity.quantized). */
+  val embQuantCte: String =
+    """qv AS (
+      |  SELECT vec_id, embedding,
+      |         list_transform(embedding,
+      |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, embedding, q,
+      |         CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2
+      |  FROM qv)""".stripMargin
+
+  /** Sign-pattern LSH bucket (twin of Similarity.withSignBucket). */
+  val signBucketExpr: String =
+    s"""CAST(list_sum(list_transform(range(1, ${graft.ops.Similarity.SignBits + 1}),
+       |  i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i - 1) AS BIGINT)
+       |            ELSE 0 END)) AS BIGINT)""".stripMargin
 
   private val sessionStatsSql: String = {
     val buckets = graft.ops.SessionStats.bucketSqlExprs.mkString(",\n       ")
@@ -412,6 +497,218 @@ object Oracles {
          |SELECT strftime(ts, '%Y%m%d%H%M') AS minute_key, ad_id, COUNT(*) AS click_count
          |FROM ac, m
          |WHERE ts >= mx - INTERVAL 60 MINUTE
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q17_token_stats" ->
+      """WITH t AS (SELECT *, string_split(text, ' ') AS tokens FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(len(tokens) AS BIGINT) AS token_count,
+        |         CAST(len(list_distinct(tokens)) AS BIGINT) AS distinct_tokens,
+        |         CAST(length(text) AS BIGINT) AS total_chars,
+        |         CAST(list_sum(list_transform(tokens, x -> length(x))) AS BIGINT) AS token_chars
+        |  FROM t)
+        |SELECT *, CAST(FLOOR(10000.0 * token_chars / token_count) AS BIGINT) AS avg_token_len_bp
+        |FROM s""".stripMargin,
+
+    "q18_text_quality" -> {
+      val sw = graft.ops.TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT *, string_split(text, ' ') AS tokens FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         CAST(len(tokens) AS BIGINT) AS token_count,
+         |         CAST(len(list_filter(tokens, x -> x IN ($sw))) AS BIGINT) AS stopword_count,
+         |         CAST(len(list_filter(tokens, x -> length(x) <= 2)) AS BIGINT) AS short_count,
+         |         CAST(len(list_distinct(tokens)) AS BIGINT) AS distinct_tokens
+         |  FROM t),
+         |b AS (
+         |  SELECT *,
+         |         CAST(FLOOR(10000.0 * stopword_count / token_count) AS BIGINT) AS stopword_bp,
+         |         CAST(FLOOR(10000.0 * short_count / token_count) AS BIGINT) AS short_bp,
+         |         CAST(FLOOR(10000.0 * distinct_tokens / token_count) AS BIGINT) AS ttr_bp
+         |  FROM s)
+         |SELECT *, CAST((token_count >= 20 AND short_bp <= 4000) AS INT) AS quality_ok
+         |FROM b""".stripMargin
+    },
+
+    "q19_lang_id" -> {
+      val dicts = graft.ops.TextAnalysis.LangDicts
+      val scoreCols = dicts.map { case (l, d) =>
+        val in = d.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(tokens, x -> x IN ($in))) AS BIGINT) AS score_$l"
+      }.mkString(",\n         ")
+      val gm = dicts.map(x => s"score_${x._1}").mkString("greatest(", ", ", ")")
+      val caseChain = dicts.map(_._1).sorted
+        .map(l => s"WHEN score_$l >= $gm THEN '$l'").mkString("CASE ", " ", " END")
+      s"""WITH t AS (SELECT *, string_split(text, ' ') AS tokens FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |         $scoreCols
+         |  FROM t),
+         |p AS (SELECT *, $caseChain AS predicted_lang FROM s)
+         |SELECT *, CAST((predicted_lang = lang) AS INT) AS label_match FROM p""".stripMargin
+    },
+
+    "q20_doc_fingerprint" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id,
+         |       CAST(len(shingles) AS BIGINT) AS shingle_count,
+         |       substr(list_min(list_transform(shingles, s -> md5(s))), 1, 16) AS fp_min,
+         |       substr(list_max(list_transform(shingles, s -> md5(s))), 1, 16) AS fp_max
+         |FROM sh""".stripMargin,
+
+    "q21_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id,
+        |       COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q22_minhash_dedup_pairs" -> {
+      import graft.ops.Dedup.{NumBands, NumHashes}
+      val rows = NumHashes / NumBands
+      val sigCols = (0 until NumHashes).map(k =>
+        f"list_min(list_transform(shingles, s -> md5('$k:' || s))) AS mh$k%02d")
+        .mkString(",\n         ")
+      val bandSelects = (0 until NumBands).map { b =>
+        val cat = (0 until rows).map(r => f"mh${b * rows + r}%02d").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |         $sigCols
+         |  FROM sh),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+         |         CAST(len(sa.shingles) + len(sb.shingles)
+         |              - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS uni
+         |  FROM cand
+         |  JOIN sh sa ON cand.doc_a = sa.doc_id
+         |  JOIN sh sb ON cand.doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, inter, uni,
+         |       CASE WHEN uni = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT) END AS jaccard_bp
+         |FROM v
+         |WHERE CASE WHEN uni = 0 THEN 0
+         |           ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT) END >= 8000""".stripMargin
+    },
+
+    "q23_ngram_dedup_kept" ->
+      s"""WITH $shingleCte,
+         |fp AS (
+         |  SELECT doc_id,
+         |         substr(list_min(list_transform(shingles, s -> md5(s))), 1, 16) AS fp_min
+         |  FROM sh),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fp a JOIN fp b ON a.fp_min = b.fp_min AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+         |         CAST(len(sa.shingles) + len(sb.shingles)
+         |              - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS uni
+         |  FROM cand
+         |  JOIN sh sa ON cand.doc_a = sa.doc_id
+         |  JOIN sh sb ON cand.doc_b = sb.doc_id),
+         |losers AS (
+         |  SELECT DISTINCT doc_b FROM v
+         |  WHERE uni > 0 AND CAST(FLOOR(10000.0 * inter / uni) AS BIGINT) >= 5000)
+         |SELECT doc_id, lang, source FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_b = d.doc_id)""".stripMargin,
+
+    "q24_simhash" -> {
+      import graft.ops.Dedup.SimhashBits
+      val votes = (0 until SimhashBits).map { j =>
+        val nib = j / 4 + 1
+        val p = 1 << (j % 4)
+        s"SUM(2 * (CAST(FLOOR(nibs[$nib] / $p) AS BIGINT) % 2) - 1) AS v$j"
+      }.mkString(",\n         ")
+      val packed = (0 until SimhashBits)
+        .map(j => s"CASE WHEN v$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, 9),
+         |           i -> CAST(instr('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)) AS nibs
+         |  FROM tok),
+         |votes AS (
+         |  SELECT doc_id,
+         |         $votes
+         |  FROM n GROUP BY 1)
+         |SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM votes""".stripMargin
+    },
+
+    "q25_knn_bruteforce" ->
+      s"""WITH $embQuantCte,
+         |queries AS (SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT n.vec_id AS neighbor_id, queries.query_id,
+         |         CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+         |              i -> n.q[i] * queries.q_q[i])) AS BIGINT) AS dot,
+         |         n.n2, queries.q_n2
+         |  FROM n, queries WHERE n.vec_id != queries.query_id),
+         |c AS (
+         |  SELECT query_id, neighbor_id,
+         |         CASE WHEN n2 = 0 OR q_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * dot / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM scored),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |  FROM c)
+         |SELECT query_id, neighbor_id, cos_bp, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q26_ann_lsh" ->
+      s"""WITH $embQuantCte,
+         |bkt AS (SELECT *, $signBucketExpr AS bucket FROM n),
+         |queries AS (SELECT vec_id AS query_id, bucket, q AS q_q, n2 AS q_n2
+         |            FROM bkt WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT bkt.vec_id AS neighbor_id, queries.query_id,
+         |         CAST(list_sum(list_transform(range(1, len(bkt.q) + 1),
+         |              i -> bkt.q[i] * queries.q_q[i])) AS BIGINT) AS dot,
+         |         bkt.n2, queries.q_n2
+         |  FROM bkt JOIN queries ON bkt.bucket = queries.bucket
+         |  WHERE bkt.vec_id != queries.query_id),
+         |c AS (
+         |  SELECT query_id, neighbor_id,
+         |         CASE WHEN n2 = 0 OR q_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * dot / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM scored),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |  FROM c)
+         |SELECT query_id, neighbor_id, cos_bp, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q27_embedding_neardup" ->
+      s"""WITH $embQuantCte,
+         |bkt AS (SELECT *, $signBucketExpr AS bucket FROM n),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+         |              i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+         |         a.n2 AS n2a, b.n2 AS n2b
+         |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |c AS (
+         |  SELECT vec_a, vec_b,
+         |         CASE WHEN n2a = 0 OR n2b = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM pairs)
+         |SELECT * FROM c WHERE cos_bp >= 2000""".stripMargin
   )
 }

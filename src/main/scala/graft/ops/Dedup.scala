@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (documents
+  * table). Four families, as a 100 TB corpus needs all of them:
+  *
+  *  - exact:   md5(text) hash-groupBy — one shuffle on the hash.
+  *  - MinHash+LSH: shingle → 16 md5-min signatures → 4 bands × 4 rows →
+  *    band-bucket self-join → exact-Jaccard verify of candidates only.
+  *    The self-join shuffles on (band, band_hash), so the pair blowup is
+  *    bounded by bucket size, never n² — that is the scale path.
+  *  - n-gram Jaccard with fingerprint blocking: candidates share the
+  *    min-shingle fingerprint (single cheap key), verified exactly.
+  *  - SimHash: 32-bit token-vote signature; hamming-ball pairing.
+  *
+  * Portability: MinHash uses MIN over md5 hex *strings* (total order
+  * identical everywhere); SimHash parses md5 nibbles via
+  * `instr('0123456789abcdef', c)-1`. Both hash-exact vs the DuckDB
+  * oracle — no engine-specific hash functions anywhere.
+  */
+object Dedup {
+
+  val ShingleSize = 3
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows per band
+  val SimhashBits = 32
+
+  /** Distinct k-word shingles per document (empty when too short). */
+  def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tokens", expr(TextAnalysis.TokensExpr))
+      .withColumn("shingles", expr(
+        s"""CASE WHEN size(tokens) >= $ShingleSize THEN
+           |  array_distinct(transform(sequence(1, size(tokens) - ${ShingleSize - 1}),
+           |    i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1),
+           |                   element_at(tokens, i + 2))))
+           |ELSE array() END""".stripMargin))
+
+  /** Exact dedup: canonical (min) doc id + multiplicity per text hash. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** MinHash signature columns mh00..mh15: per seed k, the minimum of
+    * md5("k:" ++ shingle) over the document's shingle set. */
+  def minhashSignature(docs: DataFrame): DataFrame =
+    (0 until NumHashes).foldLeft(withShingles(docs)) { (df, k) =>
+      df.withColumn(f"mh$k%02d",
+        expr(s"array_min(transform(shingles, s -> md5(concat('$k:', s))))"))
+    }
+
+  /** LSH band keys: one row per (doc, band) with the band's md5 over its
+    * 4 consecutive signature components. */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      val cols = (0 until NumHashes / NumBands)
+        .map(r => f"mh${b * NumHashes / NumBands + r}%02d")
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", cols.map(col): _*)).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val bands = lshBands(minhashSignature(docs))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard (basis points) for given candidate pairs. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard_bp",
+        when(col("uni") === 0L, lit(0L))
+          .otherwise(floor(lit(10000.0) * col("inter") / col("uni")).cast("long")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard_bp"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates → verified pairs at
+    * `thresholdBp` Jaccard. */
+  def minhashDedupPairs(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame =
+    verifyJaccard(lshCandidatePairs(docs), docs)
+      .filter(col("jaccard_bp") >= thresholdBp)
+
+  /** n-gram-Jaccard dedup with fingerprint blocking: pairs sharing the
+    * min-shingle fingerprint, verified; returns the KEPT document set
+    * (greedy keep-smallest-id — the pipeline's dedup filter output). */
+  def ngramDedupKept(docs: DataFrame, thresholdBp: Long = 5000L): DataFrame = {
+    val fp = TextAnalysis.fingerprint(docs).select(col("doc_id"), col("fp_min"))
+    val cands = fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp_min") === col("b.fp_min") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val losers = verifyJaccard(cands, docs)
+      .filter(col("jaccard_bp") >= thresholdBp)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** 32-bit SimHash over distinct tokens: per bit j, tokens vote ±1 by
+    * the j-th bit of their md5's leading 8 nibbles; sign(vote) packs the
+    * signature. One explode + one groupBy shuffle on doc_id. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .withColumn("tokens", expr(TextAnalysis.TokensExpr))
+      .select(col("doc_id"), explode(array_distinct(col("tokens"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      // nibble values of the first 8 hex chars
+      .withColumn("nibs", expr(
+        "transform(sequence(1, 8), i -> CAST(instr('0123456789abcdef', substring(h, i, 1)) - 1 AS BIGINT))"))
+    val votes = (0 until SimhashBits).map { j =>
+      val nib = j / 4 + 1
+      val bit = j % 4
+      sum(expr(s"2 * (CAST(FLOOR(element_at(nibs, $nib) / ${1 << bit}) AS BIGINT) % 2) - 1"))
+        .as(s"v$j")
+    }
+    val packed = (0 until SimhashBits)
+      .map(j => when(col(s"v$j") >= 0L, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (self-join blocked by
+    * the signature's upper half so the pair space stays bounded). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs).withColumn("blk",
+      expr(s"CAST(FLOOR(simhash / ${1L << (SimhashBits / 2)}) AS BIGINT)"))
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(expr("a.simhash ^ b.simhash")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("hamming"))
+  }
+}

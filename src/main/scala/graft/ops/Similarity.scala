@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`, the
+  * `embeddings` table: `vec_id, embedding, label`).
+  *
+  *  - brute-force cosine top-k: broadcast the (small) query set, one
+  *    codegen map stage over the corpus, per-query window top-k. The
+  *    corpus is never shuffled except by query_id for the final rank —
+  *    at 100 TB this is scan-bound, the right baseline.
+  *  - sign-LSH ANN: 16-bit random-hyperplane-style bucket from the
+  *    leading dimensions' signs; candidates join co-bucketed only, so
+  *    the shuffle is on the bucket key and the pair space is bounded.
+  *  - embedding near-dup: co-bucketed pairs above a cosine threshold.
+  *
+  * Cross-engine determinism: components are quantized to integers
+  * (`FLOOR(x * 1e6)` as BIGINT) so dot products and norms are EXACT
+  * integer sums — no float-reduction-order variance; the final cosine
+  * is scalar IEEE ops (sqrt/div/floor), bit-identical in any engine.
+  */
+object Similarity {
+
+  val QuantScale = "1000000.0"
+
+  /** Bucket width balances recall vs candidate-pair count; 6 bits keeps
+    * every test-scale bucket populated. At corpus scale you'd raise it
+    * (buckets ~ n / desired-candidates) — it's a single constant. */
+  val SignBits = 6
+
+  /** Integer-quantized embedding + exact integer squared norm. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("q", expr(
+        s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT))"))
+      .withColumn("n2", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+  /** cosine in basis points from integer dot + squared norms. */
+  def cosBp(dot: Column, n2a: Column, n2b: Column): Column =
+    when(n2a === 0L || n2b === 0L, lit(0L))
+      .otherwise(floor(lit(10000.0) * dot /
+        (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))).cast("long"))
+
+  /** Brute-force cosine top-k: `queryPred` selects the query vectors
+    * (small — broadcast), ranked against the whole corpus. */
+  def knnBruteForce(emb: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val q = quantized(emb)
+    val queries = q.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"), col("n2").as("q_n2"))
+    val scored = q.select(col("vec_id").as("neighbor_id"), col("q"), col("n2"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_bp", cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_bp"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Sign-pattern LSH bucket over the leading `SignBits` dimensions. */
+  def withSignBucket(emb: DataFrame): DataFrame =
+    emb.withColumn("bucket", expr(
+      s"""aggregate(sequence(1, $SignBits),
+         |  0L, (acc, i) -> acc + IF(element_at(embedding, i) >= 0,
+         |                           CAST(pow(2, i - 1) AS BIGINT), 0L))""".stripMargin))
+
+  /** Bucketed ANN: top-k among co-bucketed candidates only — the scale
+    * path (shuffle on bucket key; pair space bounded by bucket size). */
+  def annLsh(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
+    val q = withSignBucket(quantized(emb))
+      .select(col("vec_id"), col("bucket"), col("q"), col("n2"))
+    val queries = q.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("bucket"),
+        col("q").as("q_q"), col("n2").as("q_n2"))
+    val scored = q.join(queries, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_bp", cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_bp").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_bp"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: co-bucketed, cosine ≥ threshold. */
+  def nearDupPairs(emb: DataFrame, thresholdBp: Long = 2000L): DataFrame = {
+    val q = withSignBucket(quantized(emb))
+      .select(col("vec_id"), col("bucket"), col("q"), col("n2"))
+    q.as("a")
+      .join(q.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_bp",
+        cosBp(dotExpr("a.q", "b.q"), col("a.n2"), col("b.n2")))
+      .filter(col("cos_bp") >= thresholdBp)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("cos_bp"))
+  }
+}

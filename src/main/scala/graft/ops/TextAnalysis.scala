@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (`doc_id, text, lang, source, n_chars`).
+  *
+  * All metrics are integers or basis points (`FLOOR(10000*a/b)`) so the
+  * DuckDB oracle hashes bit-identically (SURVEY §7.3 determinism rules).
+  * Everything is per-row scalar work over codegen'd built-ins — no UDFs,
+  * no shuffle except where a groupBy is the point. At 100 TB this is a
+  * single map stage that pipelines with the parquet scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer shared by every text op (and by the oracle). */
+  val TokensExpr = "split(text, ' ')"
+
+  /** Stopword list for quality scoring / language ID (fixed, public). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Tiny per-language indicator dictionaries (n-gram-heuristic stand-in;
+    * deterministic and oracle-able — the point is the operator shape). */
+  val LangDicts: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("de0", "shi4", "le0", "he2", "zai4"))
+
+  private def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("tokens", expr(TokensExpr))
+
+  /** Per-document token statistics: counts, distinct counts, and average
+    * token length in basis points. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+      col("doc_id"), col("lang"), col("source"),
+      size(col("tokens")).cast("long").as("token_count"),
+      size(array_distinct(col("tokens"))).cast("long").as("distinct_tokens"),
+      length(col("text")).cast("long").as("total_chars"),
+      expr("CAST(aggregate(tokens, 0L, (acc, x) -> acc + length(x)) AS BIGINT)")
+        .as("token_chars"))
+      .withColumn("avg_token_len_bp",
+        floor(lit(10000.0) * col("token_chars") / col("token_count")).cast("long"))
+
+  /** Per-document quality scoring: stopword ratio, short-token ratio,
+    * type/token ratio, and a boolean keep-flag — the filter a data-prep
+    * pipeline applies before training. */
+  def textQuality(docs: DataFrame, minTokens: Long = 20L,
+      maxShortBp: Long = 4000L): DataFrame = {
+    val sw = Stopwords.map(w => s"'$w'").mkString(", ")
+    withTokens(docs).select(
+      col("doc_id"),
+      size(col("tokens")).cast("long").as("token_count"),
+      expr(s"CAST(size(filter(tokens, x -> x IN ($sw))) AS BIGINT)")
+        .as("stopword_count"),
+      expr("CAST(size(filter(tokens, x -> length(x) <= 2)) AS BIGINT)")
+        .as("short_count"),
+      size(array_distinct(col("tokens"))).cast("long").as("distinct_tokens"))
+      .withColumn("stopword_bp",
+        floor(lit(10000.0) * col("stopword_count") / col("token_count")).cast("long"))
+      .withColumn("short_bp",
+        floor(lit(10000.0) * col("short_count") / col("token_count")).cast("long"))
+      .withColumn("ttr_bp",
+        floor(lit(10000.0) * col("distinct_tokens") / col("token_count")).cast("long"))
+      .withColumn("quality_ok",
+        (col("token_count") >= minTokens && col("short_bp") <= maxShortBp)
+          .cast("int"))
+  }
+
+  /** Dictionary-hit language identification: per-language token-hit
+    * scores, argmax with alphabetical tie-break, match vs the label. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = LangDicts.foldLeft(withTokens(docs)) { case (df, (l, dict)) =>
+      val in = dict.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"score_$l",
+        expr(s"CAST(size(filter(tokens, x -> x IN ($in))) AS BIGINT)"))
+    }
+    // argmax by (score desc, lang asc): fold over languages in order.
+    val predicted = LangDicts.map(_._1).sortBy(identity).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, l) =>
+        when(col(s"score_$l") >= coalesce(
+          greatest(LangDicts.map(x => col(s"score_${x._1}")): _*), lit(0L)), lit(l))
+          .otherwise(acc)
+      }
+    scored.select(
+      col("doc_id") +: col("lang") +:
+        LangDicts.map { case (l, _) => col(s"score_$l") } :+
+        predicted.as("predicted_lang"): _*)
+      .withColumn("label_match", (col("predicted_lang") === col("lang")).cast("int"))
+  }
+
+  /** Document fingerprinting: min/max md5 over 3-word shingles — the
+    * winnowing-style content fingerprint used as a cheap blocking key
+    * for near-dup candidate generation (see Dedup). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    Dedup.withShingles(docs).select(
+      col("doc_id"),
+      size(col("shingles")).cast("long").as("shingle_count"),
+      expr("substring(array_min(transform(shingles, s -> md5(s))), 1, 16)")
+        .as("fp_min"),
+      expr("substring(array_max(transform(shingles, s -> md5(s))), 1, 16)")
+        .as("fp_max"))
+}

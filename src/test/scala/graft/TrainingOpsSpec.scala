@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Edge cases the DuckDB oracle can't exercise: short/degenerate docs,
+  * planted duplicates, and invariants of the dedup/similarity family. */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("shingles: short docs yield empty sets, no crash") {
+    val df = Dedup.withShingles(docs(1L -> "a b", 2L -> "one", 3L -> "a b c d"))
+    val got = df.select(col("doc_id"), size(col("shingles")))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 2))
+  }
+
+  test("exactDedup groups identical texts under the min doc_id") {
+    val out = Dedup.exactDedup(docs(5L -> "x y z", 9L -> "x y z", 7L -> "other"))
+      .select(col("canonical_doc_id"), col("dup_count")).as[(Long, Long)]
+      .collect().toSet
+    assert(out == Set((5L, 2L), (7L, 1L)))
+  }
+
+  test("minhash LSH finds an exact duplicate pair (jaccard 10000)") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val out = Dedup.minhashDedupPairs(
+      docs(1L -> t, 2L -> t, 3L -> "completely different words here entirely now"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 10000L)))
+  }
+
+  test("simhash is identical for identical texts, differs across texts") {
+    val out = Dedup.simhash(docs(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "epsilon zeta eta theta iota kappa"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("simhashPairs reports hamming 0 for duplicates") {
+    val out = Dedup.simhashPairs(docs(
+      1L -> "alpha beta gamma delta epsilon", 2L -> "alpha beta gamma delta epsilon"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 0L)))
+  }
+
+  test("knnBruteForce: identical vector ranks first with cos_bp 10000") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f), 0),
+      (1L, Array(1.0f, 0.0f, 0.5f), 0),   // identical to query
+      (2L, Array(-1.0f, 0.2f, 0.0f), 0),  // opposite-ish
+      (3L, Array(0.9f, 0.1f, 0.4f), 0)    // close
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnBruteForce(emb, col("vec_id") === 0, k = 3)
+      .orderBy(col("rank"))
+      .select(col("neighbor_id"), col("cos_bp")).as[(Long, Long)].collect()
+    assert(got.head == ((1L, 10000L)))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L))
+    // ranks are strictly ordered by cos_bp desc
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+  }
+
+  test("sign-bucket LSH co-buckets sign-identical vectors") {
+    val emb = Seq(
+      (0L, Array.fill(8)(0.3f), 0),
+      (1L, Array.fill(8)(0.9f), 0),          // same signs → same bucket
+      (2L, Array.fill(8)(-0.4f), 0)          // different bucket
+    ).toDF("vec_id", "embedding", "label")
+    val b = Similarity.withSignBucket(emb)
+      .select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L) && b(0L) != b(2L))
+  }
+
+  test("textQuality flags degenerate short-token docs") {
+    val out = TextAnalysis.textQuality(
+      docs(1L -> Seq.fill(30)("meaningful words expand the corpus").mkString(" "),
+           2L -> Seq.fill(30)("a b c d").mkString(" ")))
+      .select(col("doc_id"), col("quality_ok")).as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 2L -> 0))
+  }
+
+  test("langId picks dictionary-matching language with asc tie-break") {
+    val out = TextAnalysis.langId(docs(
+      1L -> "the cat of the house is big and the dog is small",
+      2L -> "el perro y la casa es de la familia y es grande"))
+      .select(col("doc_id"), col("predicted_lang")).as[(Long, String)]
+      .collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+  }
+}
