@@ -94,6 +94,18 @@ object AdAnalytics {
     per.withColumn("rank", row_number().over(w)).filter(col("rank") <= topN)
   }
 
+  /** T6 + W2 over pre-aggregated (dt, province, city, ad) stats —
+    * the streaming job derives province top-N from the running
+    * ad_stat state exactly as the reference re-aggregates its
+    * updateStateByKey output (AdClickRealTimeStatSpark.java:735-845). */
+  def provinceTopFromStats(stats: DataFrame, topN: Int = 3): DataFrame = {
+    val per = stats.groupBy(col("dt"), col("province"), col("ad_id"))
+      .agg(sum(col("click_count")).as("click_count"))
+    val w = Window.partitionBy(col("dt"), col("province"))
+      .orderBy(col("click_count").desc, col("ad_id").asc)
+    per.withColumn("rank", row_number().over(w)).filter(col("rank") <= topN)
+  }
+
   /** T7: per-minute click counts per ad over the trailing
     * `windowMinutes` ending at the data's max ts. */
   def clickTrend(adClicks: DataFrame, windowMinutes: Int = 60): DataFrame = {

@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.AdAnalytics
+import graft.sink.StoreProvider
+
+/** Structured Streaming rewrite of the reference's ad-click job
+  * (AdClickRealTimeStatSpark.java; SURVEY.md §2.9 T1-T9, §3.3).
+  *
+  * Input: a streaming DataFrame with one string column `value` — the
+  * Kafka wire shape (S5: `readStream.format("kafka")` + `CAST(value
+  * AS STRING)`); tests drive it with MemoryStream. Each line is the
+  * reference's log format `timestamp_ms province city user_id ad_id`.
+  *
+  * Two queries replace the reference's four DStream chains:
+  *
+  *  1. `statsQuery` — foreachBatch pipeline covering J9 (blacklist
+  *     anti-join, re-read per batch for freshness), T4 (dynamic
+  *     blacklist via store-side increment + threshold read-back; the
+  *     running totals live in the store so they survive restarts,
+  *     exactly the reference's MySQL-state design), T5 (ad_stat
+  *     running totals, increment == overwrite-with-state-total), and
+  *     T6/W2 (province top-3 recomputed from full state, delete+insert).
+  *  2. `trendQuery` — T7 as an idiomatic event-time aggregation:
+  *     watermark + 1-minute tumbling window per ad in update mode;
+  *     only changed minutes are re-upserted each batch (the
+  *     reference's reduceByKeyAndWindow re-published the whole hour).
+  *
+  * Scale notes: the per-batch store scans read *aggregate-grain*
+  * state (days × provinces × cities × ads), not event-grain data; on
+  * a real cluster they'd be a JDBC-source read pushed to executors.
+  * All event-grain work (parse, anti-join, counts) is distributed,
+  * with the blacklist broadcast.
+  */
+object AdClickStream {
+
+  /** Checkpointing (T2/T8) is the caller's `checkpointLocation`;
+    * 5-second micro-batches (T1) via this default trigger. */
+  val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
+
+  val Tables: Seq[String] = Seq(
+    "ad_user_click_count", "ad_blacklist", "ad_stat",
+    "ad_province_top3", "ad_click_trend")
+
+  /** T9: executor-side batched writes — one store connection per
+    * partition, like the reference's pooled foreachPartition DAOs. */
+  private def writePerPartition(df: DataFrame, provider: StoreProvider)(
+      write: (graft.sink.KeyedStore, Row) => Unit): Unit =
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val store = provider.open()
+      try rows.foreach(r => write(store, r))
+      finally store.close()
+    }
+
+  /** The J9+T4+T5+T6 micro-batch body (exposed for tests). */
+  def statsBatch(provider: StoreProvider, threshold: Long)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val store = provider.open()
+    try {
+      // J9: anti-join against the *current* blacklist (per-batch
+      // freshness, matching the reference's per-batch MySQL re-read).
+      val blackIds = store.scan("ad_blacklist").map(_._1.head.toLong)
+      val black = spark.createDataFrame(
+        spark.sparkContext.parallelize(blackIds.map(Row(_)), 1),
+        StructType(Seq(StructField("user_id", LongType))))
+      val clicks = batch.join(broadcast(black), Seq("user_id"), "left_anti")
+      clicks.persist()
+      try {
+        // T4: increment per-(day,user,ad) totals in the store ...
+        writePerPartition(AdAnalytics.clickCounts(clicks), provider) { (s, r) =>
+          s.increment("ad_user_click_count",
+            Seq(r.getString(0), r.getLong(1).toString, r.getLong(2).toString),
+            r.getLong(3))
+        }
+        // ... then read back offenders; insertKey dedups (A8).
+        store.scan("ad_user_click_count").foreach { case (key, total) =>
+          if (total >= threshold) store.insertKey("ad_blacklist", Seq(key(1)))
+        }
+        // T5: ad_stat running totals per (day, province, city, ad).
+        writePerPartition(AdAnalytics.adStats(clicks), provider) { (s, r) =>
+          s.increment("ad_stat",
+            Seq(r.getString(0), r.getString(1), r.getString(2), r.getLong(3).toString),
+            r.getLong(4))
+        }
+      } finally clicks.unpersist()
+      // T6: top-3 per (day, province) from the FULL running state —
+      // ranking needs unchanged provinces too, hence state not batch.
+      val statRows = store.scan("ad_stat").map { case (k, v) =>
+        Row(k(0), k(1), k(2), k(3).toLong, v)
+      }
+      val stats = spark.createDataFrame(
+        spark.sparkContext.parallelize(statRows.toSeq, 1),
+        StructType(Seq(
+          StructField("dt", StringType), StructField("province", StringType),
+          StructField("city", StringType), StructField("ad_id", LongType),
+          StructField("click_count", LongType))))
+      AdAnalytics.provinceTopFromStats(stats).collect()
+        .groupBy(r => (r.getString(0), r.getString(1)))
+        .foreach { case ((dt, prov), rows) =>
+          store.replaceGroup("ad_province_top3", Seq(dt, prov),
+            rows.toSeq.map(r =>
+              (Seq(dt, prov, r.getLong(2).toString), r.getLong(3))))
+        }
+    } finally store.close()
+  }
+
+  /** Query 1: blacklist + stats + province top-3 (J9/T4/T5/T6). */
+  def statsQuery(lines: DataFrame, provider: StoreProvider,
+      checkpointDir: String, threshold: Long = 100L,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    AdAnalytics.parseAdLog(lines)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(statsBatch(provider, threshold) _)
+      .start()
+
+  /** T7 transform: per-minute event-time buckets per ad. Late data
+    * beyond the watermark is dropped; the published table is keyed
+    * (minute, ad) so the "trailing hour" is the reader's predicate. */
+  def minuteTrend(clicks: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    clicks
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"), col("ad_id"))
+      .agg(count(lit(1)).as("click_count"))
+      .select(
+        date_format(col("window.start"), "yyyyMMddHHmm").as("minute_key"),
+        col("ad_id"), col("click_count"))
+
+  /** Query 2: click trend (T7), update mode — only changed minute
+    * buckets are re-upserted each batch. */
+  def trendQuery(lines: DataFrame, provider: StoreProvider,
+      checkpointDir: String, watermark: String = "2 minutes",
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    minuteTrend(AdAnalytics.parseAdLog(lines), watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writePerPartition(batch, provider) { (s, r) =>
+          s.put("ad_click_trend",
+            Seq(r.getString(0), r.getLong(1).toString), r.getLong(2))
+        }
+      }
+      .start()
+
+  /** Whole job (reference main, §3.3): both queries on one source. */
+  def run(spark: SparkSession, lines: DataFrame, provider: StoreProvider,
+      checkpointRoot: String, threshold: Long = 100L,
+      trigger: Trigger = DefaultTrigger): Seq[StreamingQuery] = Seq(
+    statsQuery(lines, provider, s"$checkpointRoot/stats", threshold, trigger),
+    trendQuery(lines, provider, s"$checkpointRoot/trend", trigger = trigger))
+}

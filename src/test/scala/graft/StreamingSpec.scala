@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.ops.AdAnalytics
+import graft.sink.{InMemoryProvider, InMemoryStore, JdbcStore}
+import graft.streaming.AdClickStream
+
+/** Structured Streaming tests for the ad-click job (SURVEY §2.9) —
+  * MemoryStream-driven micro-batches, results asserted in the keyed
+  * store, matching the reference's published MySQL tables.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def line(tsMs: Long, prov: String, city: String, user: Long, ad: Long) =
+    s"$tsMs $prov $city $user $ad"
+
+  // 2026-01-01 00:00:00 UTC
+  private val T0 = 1767225600000L
+
+  test("statsQuery: blacklist, ad_stat totals, province top-3 across batches") {
+    val s = spark
+    import s.implicits._
+    val store = "stats-test"
+    InMemoryStore.clear(store)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[String]
+
+    // Batch 1: user 7 clicks ad 1 three times (threshold 3 → blacklisted
+    // AFTER this batch); users 1/2 click normally.
+    mem.addData(
+      line(T0, "East", "Metro", 7, 1), line(T0 + 1000, "East", "Metro", 7, 1),
+      line(T0 + 2000, "East", "Metro", 7, 1),
+      line(T0 + 3000, "East", "Metro", 1, 1),
+      line(T0 + 4000, "West", "Hills", 2, 2))
+    val q = AdClickStream.statsQuery(
+      mem.toDF(), InMemoryProvider(store), ckpt, threshold = 3L)
+    try {
+      q.processAllAvailable()
+      val st1 = new InMemoryStore(store)
+      assert(st1.scan("ad_blacklist").map(_._1.head).toSet == Set("7"))
+      // Batch 1 predates the blacklist entry, so user 7's clicks count.
+      assert(st1.scan("ad_stat").toMap ==
+        Map(List("2026-01-01", "East", "Metro", "1") -> 4L,
+            List("2026-01-01", "West", "Hills", "2") -> 1L))
+
+      // Batch 2: user 7 now filtered by the anti-join; user 1 clicks more.
+      mem.addData(
+        line(T0 + 10000, "East", "Metro", 7, 1), // dropped (blacklisted)
+        line(T0 + 11000, "East", "Metro", 1, 2),
+        line(T0 + 12000, "East", "Metro", 1, 2))
+      q.processAllAvailable()
+      val st2 = new InMemoryStore(store)
+      assert(st2.scan("ad_stat").toMap ==
+        Map(List("2026-01-01", "East", "Metro", "1") -> 4L, // unchanged
+            List("2026-01-01", "East", "Metro", "2") -> 2L,
+            List("2026-01-01", "West", "Hills", "2") -> 1L))
+      // Province top-3 ranks from full running state, count desc, ad asc.
+      val top = st2.scan("ad_province_top3")
+        .map { case (k, v) => (k(0), k(1), k(2), v) }.sorted
+      assert(top == Seq(
+        ("2026-01-01", "East", "1", 4L), ("2026-01-01", "East", "2", 2L),
+        ("2026-01-01", "West", "2", 1L)))
+      // Running per-(day,user,ad) totals kept across batches.
+      assert(st2.scan("ad_user_click_count").toMap
+        .apply(List("2026-01-01", "7", "1")) == 3L)
+    } finally q.stop()
+  }
+
+  test("trendQuery: per-minute event-time buckets, update mode upsert") {
+    val s = spark
+    import s.implicits._
+    val store = "trend-test"
+    InMemoryStore.clear(store)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[String]
+
+    mem.addData(
+      line(T0, "E", "M", 1, 9), line(T0 + 30000, "E", "M", 2, 9), // minute 0
+      line(T0 + 65000, "E", "M", 3, 9)) // minute 1
+    val q = AdClickStream.trendQuery(mem.toDF(), InMemoryProvider(store), ckpt)
+    try {
+      q.processAllAvailable()
+      // Same minute again in a later batch → bucket re-upserted to new total.
+      mem.addData(line(T0 + 40000, "E", "M", 4, 9))
+      q.processAllAvailable()
+      val st = new InMemoryStore(store)
+      assert(st.scan("ad_click_trend").toMap ==
+        Map(List("202601010000", "9") -> 3L, List("202601010001", "9") -> 1L))
+    } finally q.stop()
+  }
+
+  test("batch/stream parity: AdAnalytics on the same rows matches the store") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      line(T0, "East", "Metro", 1, 1), line(T0 + 1000, "East", "Metro", 1, 1),
+      line(T0 + 2000, "West", "Hills", 2, 2))
+    val batch = AdAnalytics.parseAdLog(rows.toDF("value"))
+    val stats = AdAnalytics.adStats(batch).collect()
+      .map(r => (List(r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3).toString), r.getLong(4))).toMap
+
+    val store = "parity-test"
+    InMemoryStore.clear(store)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(rows: _*)
+    val q = AdClickStream.statsQuery(
+      mem.toDF(), InMemoryProvider(store), ckpt, threshold = 100L)
+    try {
+      q.processAllAvailable()
+      assert(new InMemoryStore(store).scan("ad_stat").toMap == stats)
+    } finally q.stop()
+  }
+
+  test("JdbcStore: upsert semantics on embedded Derby (S9 sink surface)") {
+    val dir = Files.createTempDirectory("graft-derby").toString
+    val conn = DriverManager.getConnection(s"jdbc:derby:$dir/db;create=true")
+    conn.createStatement().executeUpdate(
+      """CREATE TABLE ad_stat (k1 VARCHAR(32), k2 VARCHAR(64), v BIGINT,
+        | PRIMARY KEY (k1, k2))""".stripMargin)
+    conn.createStatement().executeUpdate(
+      """CREATE TABLE ad_province_top3 (k1 VARCHAR(32), k2 VARCHAR(64),
+        | k3 VARCHAR(32), v BIGINT, PRIMARY KEY (k1, k2, k3))""".stripMargin)
+    val st = new JdbcStore(conn)
+    st.increment("ad_stat", Seq("d", "p"), 2L) // insert path
+    st.increment("ad_stat", Seq("d", "p"), 3L) // update path
+    st.put("ad_stat", Seq("d", "q"), 9L)
+    st.put("ad_stat", Seq("d", "q"), 4L) // overwrite
+    assert(st.scan("ad_stat").toMap ==
+      Map(List("d", "p") -> 5L, List("d", "q") -> 4L))
+    st.replaceGroup("ad_province_top3", Seq("d", "p"),
+      Seq((Seq("d", "p", "1"), 7L)))
+    st.replaceGroup("ad_province_top3", Seq("d", "p"),
+      Seq((Seq("d", "p", "2"), 8L))) // old group row deleted
+    assert(st.scan("ad_province_top3").toMap == Map(List("d", "p", "2") -> 8L))
+    st.close()
+  }
+}
