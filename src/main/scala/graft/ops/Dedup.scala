@@ -68,8 +68,10 @@ object Dedup {
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
-  def lshCandidatePairs(docs: DataFrame): DataFrame = {
-    val bands = lshBands(minhashSignature(docs))
+  def lshCandidatePairs(docs: DataFrame): DataFrame =
+    lshCandidatePairsFromBands(lshBands(minhashSignature(docs)))
+
+  private def lshCandidatePairsFromBands(bands: DataFrame): DataFrame =
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -77,39 +79,64 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
 
-  /** Exact Jaccard (basis points) for given candidate pairs. */
-  def verifyJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
-    pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+  /** Exact-Jaccard columns (basis points) from paired shingle arrays
+    * `sh_a`/`sh_b`. */
+  private def jaccardCols(paired: DataFrame): DataFrame =
+    paired
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("uni",
         size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard_bp",
         when(col("uni") === 0L, lit(0L))
           .otherwise(floor(lit(10000.0) * col("inter") / col("uni")).cast("long")))
+
+  /** Exact Jaccard (basis points) for given candidate pairs. `sh` is
+    * the precomputed `(doc_id, shingles)` projection — pass a cached
+    * one when the plan would otherwise recompute the shingle subtree
+    * per join side. */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
+    jaccardCols(pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard_bp"))
-  }
 
   /** Full MinHash+LSH near-dup pipeline: candidates → verified pairs at
-    * `thresholdBp` Jaccard. */
-  def minhashDedupPairs(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame =
-    verifyJaccard(lshCandidatePairs(docs), docs)
+    * `thresholdBp` Jaccard.
+    *
+    * The shingle subtree (tokenize + shingle + 16 md5-min transforms)
+    * is the dominant cost, and the band self-join + verify joins would
+    * evaluate it four times; persist it once instead. At corpus scale
+    * this is the standard signature-materialization step (disk-backed
+    * so 100 TB inputs spill rather than OOM). */
+  def minhashDedupPairs(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
+    val sig = minhashSignature(docs)
+      .select(col("doc_id") +: col("shingles") +:
+        (0 until NumHashes).map(k => col(f"mh$k%02d")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sig.select(col("doc_id"), col("shingles"))
+    verifyJaccard(lshCandidatePairsFromBands(lshBands(sig)), sh)
       .filter(col("jaccard_bp") >= thresholdBp)
+  }
 
   /** n-gram-Jaccard dedup with fingerprint blocking: pairs sharing the
     * min-shingle fingerprint, verified; returns the KEPT document set
-    * (greedy keep-smallest-id — the pipeline's dedup filter output). */
+    * (greedy keep-smallest-id — the pipeline's dedup filter output).
+    *
+    * One base DataFrame carries both the blocking key and the shingle
+    * array, so the fp self-join yields `sh_a`/`sh_b` directly — no
+    * separate verify joins, no recomputation of the shingle subtree. */
   def ngramDedupKept(docs: DataFrame, thresholdBp: Long = 5000L): DataFrame = {
-    val fp = TextAnalysis.fingerprint(docs).select(col("doc_id"), col("fp_min"))
-    val cands = fp.as("a")
-      .join(fp.as("b"),
-        col("a.fp_min") === col("b.fp_min") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val losers = verifyJaccard(cands, docs)
+    val base = withShingles(docs).select(
+        col("doc_id"), col("shingles"),
+        expr("substring(array_min(transform(shingles, s -> md5(s))), 1, 16)")
+          .as("fp_min"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val losers = jaccardCols(base.as("a")
+        .join(base.as("b"),
+          col("a.fp_min") === col("b.fp_min") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b")))
       .filter(col("jaccard_bp") >= thresholdBp)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
