@@ -47,7 +47,10 @@ object SparkEntry {
     "q24_simhash" -> (Queries.simhash _),
     "q25_knn_bruteforce" -> (Queries.knnBruteforce _),
     "q26_ann_lsh" -> (Queries.annLsh _),
-    "q27_embedding_neardup" -> (Queries.embeddingNearDup _)
+    "q27_embedding_neardup" -> (Queries.embeddingNearDup _),
+    "q28_media_metadata" -> (Queries.mediaMetadata _),
+    "q29_frame_sample" -> (Queries.frameSample _),
+    "q30_media_features" -> (Queries.mediaFeatures _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -210,6 +213,17 @@ object Queries {
 
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables(spark, dir, "embeddings"))
+
+  // ---- training-data pipeline: multimodal columns ----
+
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMetadata(Multimodal.packMedia(Tables(spark, dir, "documents")))
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.packMedia(Tables(spark, dir, "documents")))
+
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaFeatures(Multimodal.packMedia(Tables(spark, dir, "documents")))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -709,6 +723,45 @@ object Oracles {
          |              ELSE CAST(FLOOR(10000.0 * dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))) AS BIGINT)
          |         END AS cos_bp
          |  FROM pairs)
-         |SELECT * FROM c WHERE cos_bp >= 2000""".stripMargin
+         |SELECT * FROM c WHERE cos_bp >= 2000""".stripMargin,
+
+    // Media oracles: documents text is pure ASCII (verified at gen
+    // time), so DuckDB char positions == Spark binary byte positions
+    // and md5(VARCHAR) == md5 of the UTF-8 payload.
+    "q28_media_metadata" ->
+      """SELECT doc_id,
+        |       (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
+        |       md5(text) AS checksum,
+        |       CAST(16 AS BIGINT) AS width,
+        |       CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+
+    "q29_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id,
+        |       CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(octet_length(encode(substr(text, CAST(f * 64 + 1 AS INT), 64))) AS BIGINT) AS frame_bytes,
+        |       md5(substr(text, CAST(f * 64 + 1 AS INT), 64)) AS frame_checksum
+        |FROM v, unnest(range(0, CAST(ceil(len / 64.0) AS BIGINT), 4)) AS t(f)""".stripMargin,
+
+    "q30_media_features" -> {
+      val bins = (0 until 16).map(b =>
+        f"CAST(len(list_filter(codes, c -> c // 16 = $b)) AS BIGINT) AS hist$b%02d")
+        .mkString(",\n        |       ")
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> ord(substr(text, CAST(i AS INT), 1))) AS codes
+        |  FROM documents)
+        |SELECT doc_id, media_type,
+        |       CAST(len(codes) AS BIGINT) AS byte_count,
+        |       CAST(list_sum(codes) AS BIGINT) AS byte_sum,
+        |       $bins
+        |FROM m""".stripMargin
+    }
   )
 }
