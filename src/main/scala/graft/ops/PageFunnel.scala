@@ -56,4 +56,15 @@ object PageFunnel {
       .select(col("step_idx"), col("split"), col("split_count"),
         col("prev_count"), col("convert_rate_bp"))
   }
+
+  /** Reference output-edge shape: ONE row, `split=rate|split=rate|...`
+    * in flow order (domain/PageSplitConvertRate.java:5-6) — the K-row
+    * funnel frame packed with the F8 codec. */
+  def packed(spark: SparkSession, sessionized: DataFrame, flow: Seq[String]): DataFrame =
+    apply(spark, sessionized, flow)
+      .select(struct(col("step_idx"),
+        concat_ws("=", col("split"), col("convert_rate_bp")).as("kv")).as("s"))
+      .agg(concat_ws("|",
+        transform(array_sort(collect_list(col("s"))), x => x.getField("kv")))
+        .as("convert_rate"))
 }

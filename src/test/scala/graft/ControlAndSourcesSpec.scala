@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.control.TaskParams
+import graft.functions.KvString
+import graft.ops.PageFunnel
+import graft.sources.Jdbc
+import graft.tables.Tables
+
+/** Control plane (S8), JDBC source/sink (S4/S9), and the k=v| output
+  * codec (F8). */
+class ControlAndSourcesSpec extends SparkSpec {
+
+  private lazy val derbyUrl = {
+    val dir = Files.createTempDirectory("graft-derby-src").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  test("S4: spark.read.jdbc dimension source round-trips city_info") {
+    val conn = DriverManager.getConnection(derbyUrl)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE city_info (city_id BIGINT, city_name VARCHAR(64), area VARCHAR(64))")
+    val ins = conn.prepareStatement("INSERT INTO city_info VALUES (?, ?, ?)")
+    Seq((0L, "Beijing", "North"), (1L, "Shanghai", "East"), (2L, "Guangzhou", "South"))
+      .foreach { case (id, n, a) =>
+        ins.setLong(1, id); ins.setString(2, n); ins.setString(3, a)
+        ins.executeUpdate()
+      }
+    conn.close()
+
+    val cityInfo = Jdbc.read(spark, derbyUrl, "city_info")
+    assert(cityInfo.count() == 3)
+    // J7: tiny dimension broadcast-joined against a fact side.
+    val clicks = spark.range(10).select(
+      col("id").as("click_id"), (col("id") % 3).as("city_id"))
+    val joined = clicks.join(broadcast(cityInfo), "city_id")
+    assert(joined.count() == 10)
+    assert(joined.filter(col("area") === "East").count() == 3)
+  }
+
+  test("S9: df.write.jdbc batch append + read-back") {
+    val out = Tables(spark, sf, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("doc_count"))
+    Jdbc.append(out, derbyUrl, "lang_counts")
+    val back = Jdbc.read(spark, derbyUrl, "lang_counts")
+    assert(back.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("S8: task_param JSON decode (1-element-array quirk) + JDBC control read") {
+    val json =
+      """{"minAcctbal":["100.5"],"segments":["BUILDING,MACHINERY"],
+        | "eventTypes":["click,purchase"],"nations":["3,7"]}""".stripMargin
+    val p = TaskParams.fromJson(spark, json)
+    assert(p.double("minAcctbal").contains(100.5))
+    assert(p.list("segments").contains(Seq("BUILDING", "MACHINERY")))
+    val f = p.toSessionFilter
+    assert(f.minAcctbal.contains(100.5) && f.maxAcctbal.isEmpty)
+    assert(f.nations.contains(Seq(3, 7)))
+
+    val conn = DriverManager.getConnection(derbyUrl)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE task (task_id BIGINT, task_param VARCHAR(512))")
+    val ins = conn.prepareStatement("INSERT INTO task VALUES (?, ?)")
+    ins.setLong(1, 42L); ins.setString(2, json); ins.executeUpdate()
+    conn.close()
+    assert(TaskParams.fromJdbc(spark, derbyUrl, 42L)
+      .list("eventTypes").contains(Seq("click", "purchase")))
+  }
+
+  test("F8: k=v| codec encodes/decodes and funnel packs to reference shape") {
+    val df = spark.range(1).select(
+      KvString.encode(Seq(
+        "session_count" -> lit(100), "1s_3s" -> lit(20), "4s_6s" -> lit(9)))
+        .as("packed"))
+    val packed = df.head().getString(0)
+    assert(packed == "session_count=100|1s_3s=20|4s_6s=9")
+    assert(df.select(KvString.field(col("packed"), "1s_3s")).head().getString(0) == "20")
+
+    val funnel = PageFunnel.packed(spark,
+      graft.ops.Sessionize.assignSessions(Tables(spark, sf, "events")),
+      Seq("view", "click", "purchase"))
+    val s = funnel.head().getString(0)
+    // shape: view_click=<bp>|click_purchase=<bp>, rates in flow order
+    assert(s.matches("view_click=\\d+\\|click_purchase=\\d+"), s)
+  }
+}
