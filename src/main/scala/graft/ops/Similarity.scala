@@ -37,9 +37,13 @@ object Similarity {
         s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT))"))
       .withColumn("n2", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd Catalyst expression (graft.expressions.DotProductLong):
+    * one fused loop, no intermediate zip array, stays in
+    * WholeStageCodegen. Equivalent to
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc+v)`. */
   def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    graft.expressions.DotProductLong.dot(col(a), col(b))
 
   /** cosine in basis points from integer dot + squared norms. */
   def cosBp(dot: Column, n2a: Column, n2b: Column): Column =

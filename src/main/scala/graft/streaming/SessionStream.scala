@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming gap sessionization — the Structured Streaming twin of
+  * the batch `graft.ops.Sessionize` (A1), built on
+  * `flatMapGroupsWithState` with event-time timeout.
+  *
+  * The reference carries pre-assigned session ids in its data and
+  * sessionizes only in batch; a real engine must also close sessions
+  * on a live stream. Semantics match the batch operator: a session
+  * ends when a user is silent for `gapSeconds`; `session_id` is
+  * `user_seq` with seq increasing per user in event-time order.
+  *
+  * Scale shape: state is per-user and O(1) (one open session — no
+  * event buffering); the shuffle is the groupByKey on user_id that any
+  * stateful per-user computation needs. Watermark bounds state: a
+  * user's open session closes (emits) via timeout once the watermark
+  * passes last_ts + gap, so state never grows with stragglers.
+  */
+object SessionStream {
+
+  /** One input event (the events-table wire shape). */
+  final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+
+  /** Per-user open-session state: O(1), no event buffering. */
+  final case class OpenSession(seq: Long, startUs: Long, lastUs: Long, steps: Long)
+
+  /** One closed session (the A1 aggregate grain). */
+  final case class ClosedSession(user_id: Long, session_id: String,
+      start_us: Long, end_us: Long, step_length: Long, visit_length_s: Long)
+
+  private def close(userId: Long, s: OpenSession): ClosedSession =
+    ClosedSession(userId, s"${userId}_${s.seq}", s.startUs, s.lastUs, s.steps,
+      (s.lastUs - s.startUs) / 1000000L)
+
+  /** The state-transition function (exposed for direct unit testing). */
+  def updateUser(gapSeconds: Long)(
+      userId: Long, events: Iterator[Ev], state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    val gapUs = gapSeconds * 1000000L
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(close(userId, _)).iterator
+      state.remove()
+      return out
+    }
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var open = state.getOption
+    val closed = Seq.newBuilder[ClosedSession]
+    sorted.foreach { e =>
+      val us = e.ts.getTime * 1000L
+      open match {
+        case Some(s) if us - s.lastUs <= gapUs =>
+          open = Some(s.copy(lastUs = math.max(s.lastUs, us), steps = s.steps + 1))
+        case Some(s) =>
+          closed += close(userId, s)
+          open = Some(OpenSession(s.seq + 1, us, us, 1L))
+        case None =>
+          open = Some(OpenSession(1L, us, us, 1L))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      // close via timeout when the watermark passes last event + gap
+      state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L)
+    }
+    closed.result().iterator
+  }
+
+  /** Wire the sessionizer onto a streaming events frame (must carry
+    * user_id, event_id, ts, event_type). Output: closed sessions,
+    * append mode. */
+  def closedSessions(events: DataFrame, gapSeconds: Long = 1800L,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateUser(gapSeconds))
+  }
+}

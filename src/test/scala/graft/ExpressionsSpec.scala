@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.DotProductLong
+import graft.tables.Tables
+
+/** Custom Catalyst expression coverage. */
+class ExpressionsSpec extends SparkSpec {
+
+  test("DotProductLong matches the aggregate/zip_with formulation on real embeddings") {
+    val q = graft.ops.Similarity.quantized(Tables(spark, sf, "embeddings"))
+      .select(col("vec_id"), col("q"))
+    val paired = q.as("a").join(q.as("b"),
+        col("a.vec_id") % 10 === col("b.vec_id") % 10 &&
+          col("a.vec_id") < col("b.vec_id"))
+      .limit(500)
+      .select(
+        DotProductLong.dot(col("a.q"), col("b.q")).as("native"),
+        expr("aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("builtin"))
+    assert(paired.filter(col("native") =!= col("builtin")).count() == 0)
+    assert(paired.count() > 0)
+  }
+
+  test("DotProductLong null + empty semantics") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1L, 2L, 3L), array(4L, 5L, 6L)),
+        |  (array(), array()),
+        |  (CAST(NULL AS ARRAY<BIGINT>), array(1L))
+        |AS t(a, b)""".stripMargin)
+    val out = df.select(DotProductLong.dot(col("a"), col("b"))).collect()
+    assert(out(0).getLong(0) == 4L + 10L + 18L)
+    assert(out(1).getLong(0) == 0L)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("DotProductLong participates in WholeStageCodegen") {
+    val q = graft.ops.Similarity.quantized(Tables(spark, sf, "embeddings"))
+    val plan = q.select(DotProductLong.dot(col("q"), col("q")).as("n2"))
+      .queryExecution.executedPlan.toString
+    // `*(n)` prefix marks operators fused into a WholeStageCodegen stage
+    val dotLine = plan.linesIterator.find(_.contains("graft_dot")).get
+    assert(dotLine.trim.startsWith("*"), s"graft_dot not codegen'd:\n$plan")
+  }
+}

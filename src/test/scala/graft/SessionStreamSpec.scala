@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.SessionStream
+import graft.streaming.SessionStream.Ev
+
+/** Streaming sessionization (flatMapGroupsWithState + event-time
+  * timeout) — gap semantics, cross-batch continuation, and parity with
+  * the batch sessionizer. */
+class SessionStreamSpec extends SparkSpec {
+
+  // 2026-01-01 00:00:00 UTC, in ms
+  private val T0 = 1767225600000L
+  private def ts(offsetS: Long) = new Timestamp(T0 + offsetS * 1000)
+
+  private def runStream(batches: Seq[Seq[Ev]], gapSeconds: Long = 1800L) = {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val ckpt = Files.createTempDirectory("graft-ss").toString
+    val q = SessionStream.closedSessions(mem.toDF(), gapSeconds)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(s"sess_out_${System.nanoTime()}")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table(q.name).as[SessionStream.ClosedSession].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("gap closes a session; next event opens seq+1; cross-batch continuation") {
+    val out = runStream(Seq(
+      // batch 1: user 1 session 1 (two events), still open
+      Seq(Ev(1, 1, ts(0), "view"), Ev(1, 2, ts(60), "click")),
+      // batch 2: continuation within gap, then a 1-hour gap → session 2
+      Seq(Ev(1, 3, ts(120), "view"), Ev(1, 4, ts(5000), "purchase")),
+      // batch 3: watermark pusher from another user far in the future
+      Seq(Ev(99, 9, ts(100000), "view"))))
+    val u1 = out.filter(_.user_id == 1).sortBy(_.session_id)
+    // session 1_1 closed by the gap inside batch 2
+    assert(u1.map(_.session_id).contains("1_1"))
+    val s1 = u1.find(_.session_id == "1_1").get
+    assert(s1.step_length == 3 && s1.visit_length_s == 120)
+    // session 1_2 closed by event-time TIMEOUT once watermark passed
+    val s2 = u1.find(_.session_id == "1_2")
+    assert(s2.isDefined, s"timeout session missing: $out")
+    assert(s2.get.step_length == 1)
+  }
+
+  test("parity with batch Sessionize on replayed history") {
+    val s = spark
+    import s.implicits._
+    // deterministic multi-user history, all sessions closed by a far-future event
+    val evs = for {
+      u <- 1L to 5L; k <- 0L until 6L
+    } yield Ev(u, u * 100 + k, ts(k * 600 + u * 13 + (if (k >= 3) 7200 else 0)), "view")
+    val pusher = Ev(999L, 0L, ts(1000000), "view")
+    val streamed = runStream(Seq(evs, Seq(pusher)))
+      .filter(_.user_id != 999L)
+      .map(c => (c.user_id, c.session_id, c.step_length, c.visit_length_s))
+      .sortBy(x => (x._1, x._2))
+
+    val batchDf = evs.toDF()
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val batch = graft.ops.Sessionize.assignSessions(batchDf)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("step_length"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / 1000000L)
+          .cast("long").as("visit_length_s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+      .toSeq
+    assert(streamed == batch)
+  }
+}
