@@ -33,21 +33,29 @@ object StratifiedExtract {
         concat(substring(col("start_time"), 1, 10), lit("_"),
           substring(col("start_time"), 12, 2)))
 
-    val nDays = keyed.agg(countDistinct(col("date")).as("n_days"))
-
-    val wHour = Window.partitionBy(col("date_hour"))
-    val wDay = Window.partitionBy(col("date"))
-    val ranked = keyed
-      .crossJoin(nDays) // 1 row — broadcast by Catalyst
-      .withColumn("hour_count", count(lit(1)).over(wHour))
-      .withColumn("day_count", count(lit(1)).over(wDay))
+    // Quota table: strata counts are aggregate-grain (days × 24 rows)
+    // — partial aggregation shuffles only (key, count) pairs, and the
+    // quota frame broadcast-joins back. The session frame itself is
+    // shuffled exactly ONCE (the per-stratum rank window); the old
+    // formulation's two count-windows re-shuffled it twice more.
+    val strata = keyed.groupBy(col("date"), col("date_hour"))
+      .agg(count(lit(1)).as("hour_count"))
+    val days = strata.groupBy(col("date")).agg(sum(col("hour_count")).as("day_count"))
+    val nDays = days.agg(count(lit(1)).as("n_days"))
+    val quotas = strata
+      .join(days, "date")
+      .crossJoin(nDays) // 1 row
       .withColumn("per_day", expr(s"$target div n_days"))
       .withColumn("hour_quota", expr("(hour_count * per_day) div day_count"))
+      .select(col("date_hour"), col("hour_quota"))
+
+    val wHour = Window.partitionBy(col("date_hour"))
+    keyed
+      .join(broadcast(quotas), "date_hour")
       .withColumn("draw", md5(col("session_id").cast("binary")))
       .withColumn("pick",
         row_number().over(wHour.orderBy(col("draw"), col("session_id"))))
-
-    ranked.filter(col("pick") <= col("hour_quota"))
+      .filter(col("pick") <= col("hour_quota"))
       .select(col("date_hour"), col("session_id"), col("start_time"),
         col("event_types"))
   }
