@@ -579,8 +579,10 @@ object Oracles {
     "q22_minhash_dedup_pairs" -> {
       import graft.ops.Dedup.{NumBands, NumHashes}
       val rows = NumHashes / NumBands
+      // twin of graft.expressions.MinHashSig: one 28-bit md5-derived
+      // base hash per shingle, k-mixed mod the same prime
       val sigCols = (0 until NumHashes).map(k =>
-        f"list_min(list_transform(shingles, s -> md5('$k:' || s))) AS mh$k%02d")
+        f"list_min(list_transform(shingles, s -> (${2 * k + 1} * CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) + $k) %% 1073741789)) AS mh$k%02d")
         .mkString(",\n         ")
       val bandSelects = (0 until NumBands).map { b =>
         val cat = (0 until rows).map(r => f"mh${b * rows + r}%02d").mkString(" || '|' || ")

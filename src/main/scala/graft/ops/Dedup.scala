@@ -45,13 +45,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("dup_count"))
 
-  /** MinHash signature columns mh00..mh15: per seed k, the minimum of
-    * md5("k:" ++ shingle) over the document's shingle set. */
-  def minhashSignature(docs: DataFrame): DataFrame =
-    (0 until NumHashes).foldLeft(withShingles(docs)) { (df, k) =>
-      df.withColumn(f"mh$k%02d",
-        expr(s"array_min(transform(shingles, s -> md5(concat('$k:', s))))"))
-    }
+  /** MinHash signature columns mh00..mh15: per hash k, the minimum of
+    * a k-mixed 28-bit md5 over the document's shingle set — computed
+    * in ONE fused pass by the graft_minhash_sig expression (one md5
+    * per shingle instead of NumHashes; see
+    * graft.expressions.MinHashSig for the exact hash family and its
+    * DuckDB oracle twin). */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    val sig = withShingles(docs)
+      .withColumn("sig",
+        graft.expressions.MinHashSig.sig(col("shingles"), NumHashes))
+    (0 until NumHashes).foldLeft(sig) { (df, k) =>
+      df.withColumn(f"mh$k%02d", element_at(col("sig"), k + 1))
+    }.drop("sig")
+  }
 
   /** LSH band keys: one row per (doc, band) with the band's md5 over its
     * 4 consecutive signature components. */
@@ -59,8 +66,12 @@ object Dedup {
     val bands = (0 until NumBands).map { b =>
       val cols = (0 until NumHashes / NumBands)
         .map(r => f"mh${b * NumHashes / NumBands + r}%02d")
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", cols.map(col): _*)).as("band_hash"))
+      // null-PROPAGATING concat (matches the oracle's `||`), with the
+      // same "|" separators: a no-shingle doc gets a null band hash
+      // and so never pairs.
+      val cat = cols.map(c => col(c).cast("string"))
+        .reduce((a, x) => concat(a, lit("|"), x))
+      struct(lit(b).as("band"), md5(cat).as("band_hash"))
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
