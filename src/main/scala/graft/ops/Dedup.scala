@@ -155,28 +155,17 @@ object Dedup {
   }
 
   /** 32-bit SimHash over distinct tokens: per bit j, tokens vote ±1 by
-    * the j-th bit of their md5's leading 8 nibbles; sign(vote) packs the
-    * signature. One explode + one groupBy shuffle on doc_id. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
+    * the j-th bit of their md5's leading 8 nibbles; sign(vote) packs
+    * the signature. Computed per-row by the graft_simhash expression —
+    * a narrow map with NO explode and NO shuffle (the SQL/oracle
+    * formulation explodes tokens and shuffles on doc_id for 32
+    * conditional sums; see graft.expressions.SimHash). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tokens", expr(TextAnalysis.TokensExpr))
-      .select(col("doc_id"), explode(array_distinct(col("tokens"))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-      // nibble values of the first 8 hex chars
-      .withColumn("nibs", expr(
-        "transform(sequence(1, 8), i -> CAST(instr('0123456789abcdef', substring(h, i, 1)) - 1 AS BIGINT))"))
-    val votes = (0 until SimhashBits).map { j =>
-      val nib = j / 4 + 1
-      val bit = j % 4
-      sum(expr(s"2 * (CAST(FLOOR(element_at(nibs, $nib) / ${1 << bit}) AS BIGINT) % 2) - 1"))
-        .as(s"v$j")
-    }
-    val packed = (0 until SimhashBits)
-      .map(j => when(col(s"v$j") >= 0L, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
-  }
+      .select(col("doc_id"),
+        graft.expressions.SimHash.sig(array_distinct(col("tokens")), SimhashBits)
+          .as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming` (self-join blocked by
     * the signature's upper half so the pair space stays bounded). */

@@ -36,6 +36,13 @@ class ExpressionsSpec extends SparkSpec {
     assert(out(2).isNullAt(0))
   }
 
+  test("SimHash expression plan is narrow (no explode, no shuffle)") {
+    val plan = graft.ops.Dedup.simhash(Tables(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash should not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"simhash should not explode:\n$plan")
+  }
+
   test("DotProductLong participates in WholeStageCodegen") {
     val q = graft.ops.Similarity.quantized(Tables(spark, sf, "embeddings"))
     val plan = q.select(DotProductLong.dot(col("q"), col("q")).as("n2"))
