@@ -1,0 +1,154 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.{Dedup, SessionStats, Sessionize, StratifiedExtract, TopK}
+
+/** Property tests (SURVEY §5.2): operator invariants over generated
+  * inputs. Each case runs Spark jobs, so successes-per-property is
+  * kept small.
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.types._
+
+  private val T0 = 1767225600000L // 2026-01-01 UTC
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("props", StringType), StructField("value", DoubleType)))
+
+  /** Small random event histories: a few users, jittered timestamps
+    * with occasional >30min gaps. */
+  private val genEvents: Gen[Seq[Row]] = for {
+    n <- Gen.choose(5, 60)
+    rows <- Gen.sequence[Seq[Row], Row]((1 to n).map { i =>
+      for {
+        user <- Gen.choose(1L, 4L)
+        gap <- Gen.frequency(9 -> Gen.choose(0L, 600L), 1 -> Gen.choose(2000L, 9000L))
+        typ <- Gen.oneOf("view", "click", "purchase", "signup")
+        cat <- Gen.choose(1L, 5L)
+      } yield Row(i.toLong, new Timestamp(T0 + (i * 31L + gap) * 1000L), user,
+        typ, s"""{"k":"$cat"}""", 1.0)
+    })
+  } yield rows
+
+  private def df(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), eventSchema)
+
+  property("sessionize: gaps bound sessions; steps sum to events") =
+    forAll(genEvents) { rows =>
+      val sess = Sessionize.sessionAggregates(Sessionize.assignSessions(df(rows)))
+        .select(col("session_id"), col("step_length"), col("visit_length_s"))
+        .collect()
+      val stepsOk = sess.forall(_.getAs[Long]("step_length") >= 1L)
+      val visitOk = sess.forall(_.getAs[Long]("visit_length_s") >= 0L)
+      val total = sess.map(_.getAs[Long]("step_length")).sum
+      stepsOk && visitOk && total == rows.size
+    }
+
+  property("session stats: bucket counts partition the session set") =
+    forAll(genEvents) { rows =>
+      val sessions = Sessionize.sessionAggregates(Sessionize.assignSessions(df(rows)))
+      val stats = SessionStats(sessions).head()
+      val total = stats.getAs[Long]("session_count")
+      // visit buckets start at 1s (reference semantics): zero-length
+      // visits are outside the histogram
+      val nonZeroVisits = sessions.filter(col("visit_length_s") >= 1L).count()
+      val visitBuckets = SessionStats.bucketNames.filter(_.startsWith("visit"))
+      val stepBuckets = SessionStats.bucketNames.filter(_.startsWith("step"))
+      val vSum = visitBuckets.map(stats.getAs[Long]).sum
+      val sSum = stepBuckets.map(stats.getAs[Long]).sum
+      vSum == nonZeroVisits && sSum == total
+    }
+
+  property("topCategories is a maximal set under the sort key") =
+    forAll(genEvents) { rows =>
+      val all = TopK.topCategories(df(rows), n = Int.MaxValue).collect()
+        .map(r => (r.getAs[Long]("click_count"), r.getAs[Long]("purchase_count"),
+          r.getAs[Long]("view_count"), -r.getAs[Long]("category_id")))
+      val top3 = TopK.topCategories(df(rows), n = 3).collect()
+        .map(r => (r.getAs[Long]("click_count"), r.getAs[Long]("purchase_count"),
+          r.getAs[Long]("view_count"), -r.getAs[Long]("category_id")))
+      // the returned set must equal the k greatest under the total order
+      top3.toSeq == all.sortBy(identity)(Ordering[(Long, Long, Long, Long)].reverse)
+        .take(top3.length).toSeq
+    }
+
+  property("stratified extract: per-stratum draw respects the quota") =
+    forAll(genEvents, Gen.choose(1L, 50L)) { (rows, target) =>
+      val sessions = Sessionize.sessionAggregates(Sessionize.assignSessions(df(rows)))
+      val picked = StratifiedExtract(sessions, target)
+        .groupBy(col("date_hour")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val strata = sessions
+        .withColumn("date_hour",
+          concat(substring(col("start_time"), 1, 10), lit("_"),
+            substring(col("start_time"), 12, 2)))
+        .groupBy(col("date_hour")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      picked.forall { case (k, n) => n <= strata(k) } &&
+        picked.values.sum <= target.max(strata.size.toLong)
+    }
+
+  /** ≥ ShingleSize tokens so the shingle set (and thus the MinHash
+    * signature) is non-empty. */
+  private val genTokens: Gen[Seq[String]] = for {
+    n <- Gen.choose(Dedup.ShingleSize, 12)
+    toks <- Gen.listOfN(n, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"))
+  } yield toks
+
+  property("minhash signature: deterministic, equal texts collide, in [0, P)") =
+    forAll(genTokens) { tokens =>
+      val s = spark
+      import s.implicits._
+      val text = tokens.mkString(" ")
+      val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val sig = Dedup.minhashSignature(docs)
+        .select(col("doc_id"), col("mh00"), col("mh07"), col("mh15"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val (a, b, c) = sig(1L)
+      sig(1L) == sig(2L) &&
+        Seq(a, b, c).forall(v => v >= 0L &&
+          v < graft.expressions.MinHashSig.Prime)
+    }
+
+  property("simhash: permutation-invariant; equal texts collide") =
+    forAll(genTokens) { tokens =>
+      val s = spark
+      import s.implicits._
+      val docs = Seq(
+        (1L, tokens.mkString(" ")),
+        (2L, scala.util.Random.shuffle(tokens).mkString(" ")))
+        .toDF("doc_id", "text")
+      val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sig(1L) == sig(2L)
+    }
+
+  property("funnel rates are non-negative and floor-exact") =
+    forAll(genEvents) { rows =>
+      val out = graft.ops.PageFunnel(spark,
+        Sessionize.assignSessions(df(rows)), Seq("view", "click", "purchase"))
+        .collect()
+      out.forall { r =>
+        val rate = r.getAs[Long]("convert_rate_bp")
+        val split = r.getAs[Long]("split_count")
+        val prev = r.getAs[Long]("prev_count")
+        rate >= 0 && (prev == 0 && rate == 0 ||
+          rate == math.floor(10000.0 * split / prev).toLong)
+      }
+    }
+}
