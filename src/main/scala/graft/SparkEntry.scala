@@ -50,7 +50,9 @@ object SparkEntry {
     "q27_embedding_neardup" -> (Queries.embeddingNearDup _),
     "q28_media_metadata" -> (Queries.mediaMetadata _),
     "q29_frame_sample" -> (Queries.frameSample _),
-    "q30_media_features" -> (Queries.mediaFeatures _)
+    "q30_media_features" -> (Queries.mediaFeatures _),
+    "q31_simhash_pairs" -> (Queries.simhashPairs _),
+    "q32_ivf_ann" -> (Queries.ivfAnn _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -200,6 +202,9 @@ object Queries {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables(spark, dir, "documents"))
 
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables(spark, dir, "documents"))
+
   // ---- training-data pipeline: similarity search ----
 
   /** Query set for the ANN/kNN demos: every 50th vector. */
@@ -213,6 +218,9 @@ object Queries {
 
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables(spark, dir, "embeddings"))
+
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAnn(Tables(spark, dir, "embeddings"), knnQueryPred)
 
   // ---- training-data pipeline: multimodal columns ----
 
@@ -282,6 +290,34 @@ object Oracles {
 
   /** Integer-quantized embeddings + exact squared norm (twin of
     * Similarity.quantized). */
+  /** SimHash signature chain (twin of graft.expressions.SimHash):
+    * `sig` = (doc_id, simhash). */
+  val simhashSigCte: String = {
+    import graft.ops.Dedup.SimhashBits
+    val votes = (0 until SimhashBits).map { j =>
+      val nib = j / 4 + 1
+      val p = 1 << (j % 4)
+      s"SUM(2 * (CAST(FLOOR(nibs[$nib] / $p) AS BIGINT) % 2) - 1) AS v$j"
+    }.mkString(",\n       ")
+    val packed = (0 until SimhashBits)
+      .map(j => s"CASE WHEN v$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |nib AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, 9),
+       |           i -> CAST(instr('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)) AS nibs
+       |  FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |       $votes
+       |  FROM nib GROUP BY 1),
+       |sig AS (
+       |  SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
+
   val embQuantCte: String =
     """qv AS (
       |  SELECT vec_id, embedding,
@@ -638,29 +674,19 @@ object Oracles {
          |SELECT doc_id, lang, source FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_b = d.doc_id)""".stripMargin,
 
-    "q24_simhash" -> {
-      import graft.ops.Dedup.SimhashBits
-      val votes = (0 until SimhashBits).map { j =>
-        val nib = j / 4 + 1
-        val p = 1 << (j % 4)
-        s"SUM(2 * (CAST(FLOOR(nibs[$nib] / $p) AS BIGINT) % 2) - 1) AS v$j"
-      }.mkString(",\n         ")
-      val packed = (0 until SimhashBits)
-        .map(j => s"CASE WHEN v$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-         |  FROM documents),
-         |n AS (
-         |  SELECT doc_id,
-         |         list_transform(range(1, 9),
-         |           i -> CAST(instr('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)) AS nibs
-         |  FROM tok),
-         |votes AS (
-         |  SELECT doc_id,
-         |         $votes
-         |  FROM n GROUP BY 1)
-         |SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM votes""".stripMargin
+    "q24_simhash" -> s"WITH $simhashSigCte SELECT doc_id, simhash FROM sig",
+
+    "q31_simhash_pairs" -> {
+      val half = 1L << (graft.ops.Dedup.SimhashBits / 2)
+      s"""WITH $simhashSigCte,
+         |blk AS (
+         |  SELECT doc_id, simhash,
+         |         CAST(FLOOR(simhash / $half.0) AS BIGINT) AS blk
+         |  FROM sig)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     },
 
     "q25_knn_bruteforce" ->
@@ -726,6 +752,59 @@ object Oracles {
          |         END AS cos_bp
          |  FROM pairs)
          |SELECT * FROM c WHERE cos_bp >= 2000""".stripMargin,
+
+    "q32_ivf_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, q,
+        |         CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2
+        |  FROM e),
+        |centdim AS (
+        |  SELECT label, i AS pos,
+        |         CAST(FLOOR(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        |  FROM n, unnest(range(1, len(q) + 1)) t(i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(c ORDER BY pos) AS centroid FROM centdim GROUP BY label),
+        |c2 AS (
+        |  SELECT label, centroid,
+        |         CAST(list_sum(list_transform(centroid, v -> v * v)) AS BIGINT) AS c_n2
+        |  FROM cent),
+        |queries AS (
+        |  SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n WHERE vec_id % 50 = 0),
+        |probe AS (
+        |  SELECT query_id, q_q, q_n2, c2.label,
+        |         CASE WHEN q_n2 = 0 OR c_n2 = 0 THEN 0
+        |              ELSE CAST(FLOOR(10000.0 *
+        |                     CAST(list_sum(list_transform(range(1, len(q_q) + 1),
+        |                          i -> q_q[i] * centroid[i])) AS BIGINT)
+        |                     / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE)))) AS BIGINT)
+        |         END AS c_cos
+        |  FROM queries, c2),
+        |assigned AS (
+        |  SELECT query_id, q_q, q_n2, label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY c_cos DESC, label ASC) AS pr
+        |    FROM probe) WHERE pr = 1),
+        |scored AS (
+        |  SELECT a.query_id, a.label, n.vec_id AS neighbor_id,
+        |         CASE WHEN n.n2 = 0 OR a.q_n2 = 0 THEN 0
+        |              ELSE CAST(FLOOR(10000.0 *
+        |                     CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+        |                          i -> n.q[i] * a.q_q[i])) AS BIGINT)
+        |                     / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(a.q_n2 AS DOUBLE)))) AS BIGINT)
+        |         END AS cos_bp
+        |  FROM assigned a JOIN n ON n.label = a.label AND n.vec_id <> a.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, label, neighbor_id, cos_bp, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
 
     // Media oracles: documents text is pure ASCII (verified at gen
     // time), so DuckDB char positions == Spark binary byte positions

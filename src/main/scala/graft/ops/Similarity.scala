@@ -93,6 +93,55 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** IVF coarse quantizer: one integer centroid per label (the
+    * inverted-list key). Deterministic & oracle-exact: per-dimension
+    * `floor(sum / count)` over the quantized vectors. The posexplode +
+    * (label, pos) aggregate shuffles only (key, partial-sum) pairs —
+    * centroid building is a metadata-sized job even on a huge corpus. */
+  def ivfCentroids(emb: DataFrame): DataFrame =
+    quantized(emb)
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+      .withColumn("c_n2", expr("aggregate(centroid, 0L, (acc, v) -> acc + v * v)"))
+
+  /** IVF-style ANN: probe the single nearest inverted list (centroid
+    * by cosine, label-asc tie-break), then exact top-k inside it. The
+    * scale path when buckets are learned rather than hashed: the
+    * corpus shuffles once on the list key; queries and centroids are
+    * broadcast. nProbe=1 keeps the oracle exact; recall/latency is
+    * tuned by the list count at corpus scale. */
+  def ivfAnn(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
+    val q = quantized(emb).select(col("vec_id"), col("label"), col("q"), col("n2"))
+    val cents = ivfCentroids(emb)
+    val queries = q.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"), col("n2").as("q_n2"))
+    val probe = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosBp(
+        graft.expressions.DotProductLong.dot(col("q_q"), col("centroid")),
+        col("q_n2"), col("c_n2")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("label").asc)
+    val assigned = probe
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") === 1)
+      .select(col("query_id"), col("q_q"), col("q_n2"), col("label"))
+    val scored = q.join(assigned, "label")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_bp", cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_bp").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("cos_bp"), col("rank").cast("int").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: co-bucketed, cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, thresholdBp: Long = 2000L): DataFrame = {
     val q = withSignBucket(quantized(emb))

@@ -67,6 +67,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
   }
 
+  test("ivfAnn probes the nearest label list and ranks exactly within it") {
+    val emb = Seq(
+      // list 0 clusters near +x; list 1 near -x
+      (0L, Array(1.0f, 0.1f), 0), (1L, Array(0.9f, 0.2f), 0),
+      (2L, Array(0.8f, 0.0f), 0),
+      (10L, Array(-1.0f, 0.1f), 1), (11L, Array(-0.9f, 0.0f), 1),
+      // query: +x direction, stored in list 1 — probing must still pick list 0
+      (50L, Array(0.95f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfAnn(emb, col("vec_id") === 50, k = 2)
+      .orderBy(col("rank"))
+      .select(col("label"), col("neighbor_id")).as[(Int, Long)].collect()
+    assert(got.map(_._1).forall(_ == 0), s"probed wrong list: ${got.toSeq}")
+    assert(got.map(_._2).toSet.subsetOf(Set(0L, 1L, 2L)))
+    assert(got.length == 2)
+  }
+
   test("sign-bucket LSH co-buckets sign-identical vectors") {
     val emb = Seq(
       (0L, Array.fill(8)(0.3f), 0),
