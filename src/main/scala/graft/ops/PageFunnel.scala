@@ -28,16 +28,29 @@ object PageFunnel {
     require(flow.size >= 2, "funnel needs at least 2 steps")
     val splits = flow.sliding(2).map(p => s"${p(0)}_${p(1)}").toVector
 
+    // ONE pass over the event frame: each row contributes to its
+    // adjacent-pair split and/or (as a flow-head event) the start-PV
+    // sentinel; both counts fall out of a single exploded aggregation,
+    // so the windowed frame is never evaluated twice.
+    val StartKey = "__start__"
     val bySession = Window.partitionBy(col("session_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = sessionized
+    val counts = sessionized
       .withColumn("prev_type", lag(col("event_type"), 1).over(bySession))
       .withColumn("split", concat_ws("_", col("prev_type"), col("event_type")))
-      .filter(col("split").isin(splits: _*))
-      .groupBy(col("split")).agg(count(lit(1)).as("split_count"))
+      .select(explode(array(
+        when(col("split").isin(splits: _*), col("split")),
+        when(col("event_type") === flow.head, lit(StartKey)))).as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
 
-    val startPv = sessionized
-      .filter(col("event_type") === flow.head)
-      .agg(count(lit(1)).as("start_pv"))
+    // attach the start PV to every split row via a global window over
+    // the K+1-row aggregate (tiny single-partition frame)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pairs = counts
+      .withColumn("start_pv",
+        sum(when(col("key") === StartKey, col("cnt")).otherwise(0L)).over(wAll))
+      .filter(col("key") =!= StartKey)
+      .select(col("key").as("split"), col("cnt").as("split_count"), col("start_pv"))
 
     import spark.implicits._
     val ordered = splits.zipWithIndex.map { case (s, i) => (s, i.toLong) }
@@ -47,7 +60,8 @@ object PageFunnel {
     ordered
       .join(pairs, Seq("split"), "left") // J5: universe ⟕ counts
       .na.fill(0L, Seq("split_count"))
-      .crossJoin(startPv) // 1-row frame: the flow-head PV
+      .withColumn("start_pv", max(col("start_pv")).over(wAll)) // fill nulls from present rows
+      .na.fill(0L, Seq("start_pv"))
       .withColumn("prev_count",
         coalesce(lag(col("split_count"), 1).over(byIdx), col("start_pv")))
       .withColumn("convert_rate_bp",

@@ -27,11 +27,16 @@ object StratifiedExtract {
     *                 event_types)
     * @param target   total sessions to draw (reference: 100/task) */
   def apply(sessions: DataFrame, target: Long = 100L): DataFrame = {
+    // The session-grain frame feeds both the quota aggregate and the
+    // final rank — persist it so its (sessionize + aggregate) lineage
+    // runs once, not once per branch. Session grain is orders of
+    // magnitude smaller than the event input; disk-backed for safety.
     val keyed = sessions
       .withColumn("date", substring(col("start_time"), 1, 10))
       .withColumn("date_hour",
         concat(substring(col("start_time"), 1, 10), lit("_"),
           substring(col("start_time"), 12, 2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Quota table: strata counts are aggregate-grain (days × 24 rows)
     // — partial aggregation shuffles only (key, count) pairs, and the
