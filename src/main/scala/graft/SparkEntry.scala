@@ -52,7 +52,8 @@ object SparkEntry {
     "q29_frame_sample" -> (Queries.frameSample _),
     "q30_media_features" -> (Queries.mediaFeatures _),
     "q31_simhash_pairs" -> (Queries.simhashPairs _),
-    "q32_ivf_ann" -> (Queries.ivfAnn _)
+    "q32_ivf_ann" -> (Queries.ivfAnn _),
+    "q33_bpe_tokens" -> (Queries.bpeTokens _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -187,6 +188,9 @@ object Queries {
 
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(Tables(spark, dir, "documents"))
+
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenStats(Tables(spark, dir, "documents"))
 
   // ---- training-data pipeline: deduplication ----
 
@@ -752,6 +756,17 @@ object Oracles {
          |         END AS cos_bp
          |  FROM pairs)
          |SELECT * FROM c WHERE cos_bp >= 2000""".stripMargin,
+
+    "q33_bpe_tokens" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |         regexp_extract_all(text, '${graft.ops.TextAnalysis.BpePattern}') AS btoks
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |       CAST(len(btoks) AS BIGINT) AS bpe_token_count,
+         |       CAST(len(list_distinct(btoks)) AS BIGINT) AS bpe_distinct_count,
+         |       CAST(list_sum(list_transform(btoks, x -> length(x))) AS BIGINT) AS bpe_token_chars
+         |FROM b""".stripMargin,
 
     "q32_ivf_ann" ->
       """WITH e AS (

@@ -46,6 +46,26 @@ object TextAnalysis {
       .withColumn("avg_token_len_bp",
         floor(lit(10000.0) * col("token_chars") / col("token_count")).cast("long"))
 
+  /** GPT-2-style pre-tokenizer stand-in: letter runs, digit runs, and
+    * single punctuation marks each become one token (the whitespace
+    * tokenizer above undercounts code/punctuation-heavy text). The
+    * character-class pattern behaves identically in Java regex (Spark)
+    * and DuckDB's RE2. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Token counting with the BPE-ish pre-tokenizer — the
+    * cost-estimation pass of a training-data pipeline (≈ tokens before
+    * byte-pair merges). Pure codegen'd expressions, no shuffle. */
+  def bpeTokenStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("btoks", regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("btoks")).cast("long").as("bpe_token_count"),
+        size(array_distinct(col("btoks"))).cast("long").as("bpe_distinct_count"),
+        expr("CAST(aggregate(btoks, 0L, (acc, x) -> acc + length(x)) AS BIGINT)")
+          .as("bpe_token_chars"))
+
   /** Per-document quality scoring: stopword ratio, short-token ratio,
     * type/token ratio, and a boolean keep-flag — the filter a data-prep
     * pipeline applies before training. */

@@ -69,6 +69,22 @@ object SessionStream {
     closed.result().iterator
   }
 
+  /** Built-in alternative: Spark's native `session_window` gap
+    * aggregation. Same gap semantics, less control (no per-user seq
+    * numbering — the window start stands in as the session key), but
+    * zero custom state code and full SS state-store integration; the
+    * right default when the session id's exact shape doesn't matter. */
+  def closedSessionWindows(events: DataFrame, gapSeconds: Long = 1800L,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("step_length"))
+      .select(col("user_id"),
+        col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"),
+        col("step_length"))
+
   /** Wire the sessionizer onto a streaming events frame (must carry
     * user_id, event_id, ts, event_type). Output: closed sessions,
     * append mode. */

@@ -56,6 +56,54 @@ class SessionStreamSpec extends SparkSpec {
     assert(s2.get.step_length == 1)
   }
 
+  test("built-in session_window agrees with the custom sessionizer on step counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val ckpt = Files.createTempDirectory("graft-sw").toString
+    val q = graft.streaming.SessionStream.closedSessionWindows(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"sw_out_${System.nanoTime()}")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(
+        Ev(1, 1, ts(0), "view"), Ev(1, 2, ts(60), "click"),   // session A: 2 steps
+        Ev(1, 3, ts(5000), "view"),                           // session B: 1 step
+        Ev(2, 4, ts(0), "view"))                              // user 2: 1 step
+      q.processAllAvailable()
+      mem.addData(Ev(99, 9, ts(100000), "view")) // watermark pusher
+      q.processAllAvailable()
+      val got = s.table(q.name)
+        .select(col("user_id"), col("step_length")).as[(Long, Long)]
+        .collect().toSeq.sorted
+      assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: dropDuplicates within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val ckpt = Files.createTempDirectory("graft-dd").toString
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id") // A8 on a stream; state bounded by watermark
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"dd_out_${System.nanoTime()}")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(
+        Ev(1, 1, ts(0), "view"), Ev(1, 1, ts(0), "view"), // dup in batch
+        Ev(1, 2, ts(10), "click"))
+      q.processAllAvailable()
+      mem.addData(Ev(1, 1, ts(0), "view")) // dup across batches
+      q.processAllAvailable()
+      assert(s.table(q.name).count() == 2)
+    } finally q.stop()
+  }
+
   test("parity with batch Sessionize on replayed history") {
     val s = spark
     import s.implicits._

@@ -44,6 +44,16 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(1L) != out(3L))
   }
 
+  test("bpeTokenStats splits letter runs, digit runs, and punctuation") {
+    val out = graft.ops.TextAnalysis.bpeTokenStats(
+      Seq((1L, "abc12 de-f, x7", "en")).toDF("doc_id", "text", "lang"))
+      .head()
+    // tokens: abc,12,de,-,f,",",x,7 → 8 total, all distinct, 12 chars
+    assert(out.getAs[Long]("bpe_token_count") == 8L)
+    assert(out.getAs[Long]("bpe_distinct_count") == 8L)
+    assert(out.getAs[Long]("bpe_token_chars") == 12L)
+  }
+
   test("simhashPairs reports hamming 0 for duplicates") {
     val out = Dedup.simhashPairs(docs(
       1L -> "alpha beta gamma delta epsilon", 2L -> "alpha beta gamma delta epsilon"))
