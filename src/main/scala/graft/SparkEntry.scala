@@ -53,7 +53,8 @@ object SparkEntry {
     "q30_media_features" -> (Queries.mediaFeatures _),
     "q31_simhash_pairs" -> (Queries.simhashPairs _),
     "q32_ivf_ann" -> (Queries.ivfAnn _),
-    "q33_bpe_tokens" -> (Queries.bpeTokens _)
+    "q33_bpe_tokens" -> (Queries.bpeTokens _),
+    "q34_winnow_fingerprints" -> (Queries.winnowFingerprints _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -191,6 +192,9 @@ object Queries {
 
   def bpeTokens(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTokenStats(Tables(spark, dir, "documents"))
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(Tables(spark, dir, "documents"))
 
   // ---- training-data pipeline: deduplication ----
 
@@ -767,6 +771,21 @@ object Oracles {
          |       CAST(len(list_distinct(btoks)) AS BIGINT) AS bpe_distinct_count,
          |       CAST(list_sum(list_transform(btoks, x -> length(x))) AS BIGINT) AS bpe_token_chars
          |FROM b""".stripMargin,
+
+    "q34_winnow_fingerprints" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) - 5 + 2),
+        |           i -> list_reduce(
+        |                  list_transform(range(i, i + 5),
+        |                    p -> CAST(ord(substr(text, CAST(p AS INT), 1)) AS BIGINT)),
+        |                  (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])) AS mins
+        |  FROM h)
+        |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM w""".stripMargin,
 
     "q32_ivf_ann" ->
       """WITH e AS (

@@ -66,6 +66,14 @@ object TextAnalysis {
         expr("CAST(aggregate(btoks, 0L, (acc, x) -> acc + length(x)) AS BIGINT)")
           .as("bpe_token_chars"))
 
+  /** Winnowing (MOSS) fingerprints: one row per (doc, fingerprint) —
+    * the rolling-hash document-fingerprinting operator. k/w defaults
+    * give the standard any-match-of-length-≥-(w+k−1) guarantee at a
+    * density of 2/(w+1). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.expressions.Winnow.fingerprints(col("text"), k, w)).as("fp"))
+
   /** Per-document quality scoring: stopword ratio, short-token ratio,
     * type/token ratio, and a boolean keep-flag — the filter a data-prep
     * pipeline applies before training. */

@@ -43,6 +43,36 @@ class ExpressionsSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"simhash should not explode:\n$plan")
   }
 
+  test("Winnow matches the independently-computed oracle fingerprints") {
+    val s = spark
+    import s.implicits._
+    // DuckDB reference for 'abcdefgabcdefg' (k=5, w=4), computed externally
+    val got = graft.ops.TextAnalysis.winnowFingerprints(
+      Seq((1L, "abcdefgabcdefg")).toDF("doc_id", "text"))
+      .select(col("fp")).as[Long].collect().toSeq
+    assert(got == Seq(92599395L, 93553700L, 94508005L, 95462303L))
+  }
+
+  test("Winnow guarantee: shared substring of length >= w+k-1 shares a fingerprint") {
+    val s = spark
+    import s.implicits._
+    val common = "thequickbrownfoxjumps" // length 21 >= 4+5-1
+    val docs = Seq(
+      (1L, s"xxxx${common}yyyyzzzz11"), (2L, s"abcde${common}fghij22"))
+      .toDF("doc_id", "text")
+    val fps = graft.ops.TextAnalysis.winnowFingerprints(docs)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
+
+  test("Winnow: short text (< w+k-1 grams) yields no fingerprints") {
+    val s = spark
+    import s.implicits._
+    val got = graft.ops.TextAnalysis.winnowFingerprints(
+      Seq((1L, "abcdefg")).toDF("doc_id", "text")).count()
+    assert(got == 0L)
+  }
+
   test("DotProductLong participates in WholeStageCodegen") {
     val q = graft.ops.Similarity.quantized(Tables(spark, sf, "embeddings"))
     val plan = q.select(DotProductLong.dot(col("q"), col("q")).as("n2"))
