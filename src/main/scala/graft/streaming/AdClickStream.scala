@@ -56,12 +56,22 @@ object AdClickStream {
       finally store.close()
     }
 
+  /** Marker key recording the last applied batch per query — the
+    * exactly-once guard: foreachBatch may re-deliver a batch after a
+    * failure, and the store's increments are not idempotent, so a
+    * replayed batchId must be skipped (the SS sink contract:
+    * idempotence by (queryId, batchId)). */
+  private val AppliedMarker = "__applied_batch__"
+
   /** The J9+T4+T5+T6 micro-batch body (exposed for tests). */
   def statsBatch(provider: StoreProvider, threshold: Long)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val store = provider.open()
     try {
+      val lastApplied = store.scan(AppliedMarker)
+        .collectFirst { case (List("stats"), v) => v }.getOrElse(-1L)
+      if (batchId <= lastApplied) return // replayed batch — already applied
       // J9: anti-join against the *current* blacklist (per-batch
       // freshness, matching the reference's per-batch MySQL re-read).
       val blackIds = store.scan("ad_blacklist").map(_._1.head.toLong)
@@ -106,6 +116,7 @@ object AdClickStream {
             rows.toSeq.map(r =>
               (Seq(dt, prov, r.getLong(2).toString), r.getLong(3))))
         }
+      store.put(AppliedMarker, Seq("stats"), batchId)
     } finally store.close()
   }
 

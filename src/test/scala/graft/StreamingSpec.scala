@@ -120,6 +120,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statsBatch is idempotent per batchId (foreachBatch replay safety)") {
+    val s = spark
+    import s.implicits._
+    val store = "replay-test"
+    InMemoryStore.clear(store)
+    val batch = Seq(
+      line(T0, "East", "Metro", 1, 1), line(T0 + 1000, "East", "Metro", 1, 1))
+      .toDF("value")
+    val parsed = AdAnalytics.parseAdLog(batch)
+    val body = AdClickStream.statsBatch(InMemoryProvider(store), 100L) _
+    body(parsed, 0L)
+    body(parsed, 0L) // replay of the SAME batch must be a no-op
+    val st = new InMemoryStore(store)
+    assert(st.scan("ad_stat").toMap ==
+      Map(List("2026-01-01", "East", "Metro", "1") -> 2L))
+    body(parsed, 1L) // a NEW batch still applies
+    assert(new InMemoryStore(store).scan("ad_stat").toMap
+      .apply(List("2026-01-01", "East", "Metro", "1")) == 4L)
+  }
+
   test("JdbcStore: upsert semantics on embedded Derby (S9 sink surface)") {
     val dir = Files.createTempDirectory("graft-derby").toString
     val conn = DriverManager.getConnection(s"jdbc:derby:$dir/db;create=true")
