@@ -11,6 +11,10 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // per-JVM temp warehouse: managed-table locations (bucketing tests)
+    // never collide with a previous run's leftovers
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
   def sf0001 = "/root/testdata/sf0.001"
 }
