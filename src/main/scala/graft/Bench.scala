@@ -16,18 +16,25 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink materializes EVERY output column (count() would let
       // Catalyst prune the aggregates themselves out of the plan).
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // pass 1 = cold (includes per-query codegen); pass 2 = steady state
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, once(name, fn), once(name, fn))
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val steady = results.map { case (k, _, w) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val steadyTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_total":$steadyTotal,"steady_queries":$steady,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
