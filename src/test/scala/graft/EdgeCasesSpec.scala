@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops._
+
+/** Degenerate-input robustness: empty frames, single rows, and
+  * all-identical values through every major operator. At 100 TB some
+  * partition, some day, some stratum is always empty — operators must
+  * return empty/identity results, not throw. */
+class EdgeCasesSpec extends SparkSpec {
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("props", StringType), StructField("value", DoubleType)))
+
+  private def emptyEvents = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
+
+  private def oneEvent = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+      1L, new Timestamp(1767225600000L), 7L, "click", """{"k":"3"}""", 1.0))),
+    eventSchema)
+
+  test("sessionize chain on empty and single-event input") {
+    assert(Sessionize(emptyEvents).count() == 0)
+    val one = Sessionize(oneEvent).collect()
+    assert(one.length == 1)
+    assert(one.head.getAs[Long]("step_length") == 1L)
+    assert(one.head.getAs[Long]("visit_length_s") == 0L)
+  }
+
+  test("session stats on zero sessions: count 0, ratios defined") {
+    val stats = SessionStats(Sessionize(emptyEvents)).collect()
+    assert(stats.length == 1)
+    assert(stats.head.getAs[Long]("session_count") == 0L)
+    // 0/0 ratios must not be NaN-typed longs or throw — null is correct
+    assert(stats.head.isNullAt(stats.head.fieldIndex("visit_1s_3s_bp")))
+  }
+
+  test("funnel on input with no matching splits") {
+    val out = PageFunnel(spark, Sessionize.assignSessions(oneEvent),
+      Seq("view", "click", "purchase")).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("convert_rate_bp") == 0L))
+  }
+
+  test("topK on empty and on fewer categories than N") {
+    assert(TopK.topCategories(emptyEvents).count() == 0)
+    assert(TopK.topCategories(oneEvent, n = 10).count() == 1)
+    assert(TopK.topSessionsPerCategory(
+      Sessionize.assignSessions(oneEvent)).count() == 1)
+  }
+
+  test("stratified extract on empty sessions") {
+    assert(StratifiedExtract(Sessionize(emptyEvents)).count() == 0)
+  }
+
+  test("dedup ops on empty and single-word docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "word", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Dedup.exactDedup(empty).count() == 0)
+    assert(Dedup.exactDedup(docs).count() == 1)
+    // single word → no shingles → null signature → no pairs, doc kept
+    assert(Dedup.minhashDedupPairs(docs).count() == 0)
+    assert(Dedup.ngramDedupKept(docs).count() == 1)
+    assert(Dedup.simhash(docs).count() == 1)
+    assert(Dedup.simhashPairs(docs).count() == 0)
+  }
+
+  test("similarity ops with no queries and zero vectors") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq((1L, Array(0.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // zero-norm vector: cos_bp defined as 0, never divides by zero
+    val knn = Similarity.knnBruteForce(emb, col("vec_id") === 1, k = 5).collect()
+    assert(knn.forall(_.getAs[Long]("cos_bp") == 0L))
+    // empty query set → empty result, no crash
+    assert(Similarity.knnBruteForce(emb, col("vec_id") === 99).count() == 0)
+    assert(Similarity.ivfAnn(emb, col("vec_id") === 99).count() == 0)
+  }
+
+  test("multimodal ops on empty-text payloads") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "")).toDF("doc_id", "text")
+    val media = Multimodal.packMedia(docs)
+    assert(Multimodal.mediaMetadata(media).head().getAs[Long]("byte_length") == 0L)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.head.byte_count == 0L && feats.head.hist.sum == 0L)
+    assert(Multimodal.frameSample(media).count() == 0)
+  }
+
+  test("ad analytics on empty stream batch shape") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[String].toDF("value")
+    val parsed = graft.ops.AdAnalytics.parseAdLog(empty)
+    assert(graft.ops.AdAnalytics.adStats(parsed).count() == 0)
+    assert(graft.ops.AdAnalytics.blacklist(parsed).count() == 0)
+    assert(graft.ops.AdAnalytics.provinceTopAds(parsed).count() == 0)
+  }
+}
