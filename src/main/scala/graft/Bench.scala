@@ -17,6 +17,11 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // drop caches a previous run pinned (ops own persist() but can't
+      // unpersist after returning a lazy frame) so each pass measures
+      // the query, not a cache hit, and storage memory doesn't fill
+      // with dead entries over 30+ queries
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop sink materializes EVERY output column (count() would let
       // Catalyst prune the aggregates themselves out of the plan).

@@ -63,7 +63,7 @@ object Multimodal {
       frameBytes: Int = FrameBytes): DataFrame = {
     val nFrames = ceil(col("meta.byte_length") / lit(frameBytes.toDouble)).cast("int")
     media
-      .filter(col("media_type") === "video")
+      .filter(col("media_type") === "video" && col("meta.byte_length") > 0)
       .select(col("doc_id"), col("content"),
         posexplode(transform(
           sequence(lit(0), nFrames - 1, lit(everyK)),

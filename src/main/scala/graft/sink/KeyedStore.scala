@@ -24,6 +24,14 @@ trait KeyedStore extends AutoCloseable {
       rows: Seq[(Seq[String], Long)]): Unit
   def scan(table: String): Seq[(List[String], Long)]
   def close(): Unit
+
+  /** Transaction brackets for exactly-once batch application: every
+    * write between txBegin and txCommit lands atomically WITH the
+    * batch marker, so a crash mid-batch rolls back rather than
+    * leaving half-applied non-idempotent increments. No-op by default
+    * (the in-memory test store is not transactional — documented). */
+  def txBegin(): Unit = ()
+  def txCommit(): Unit = ()
 }
 
 /** Executor-side connection factory (the reference's pooled
@@ -135,7 +143,13 @@ final class JdbcStore(conn: Connection) extends KeyedStore {
     } finally st.close()
   }
 
-  def close(): Unit = conn.close()
+  override def txBegin(): Unit = conn.setAutoCommit(false)
+  override def txCommit(): Unit = { conn.commit(); conn.setAutoCommit(true) }
+
+  def close(): Unit = {
+    if (!conn.getAutoCommit) conn.rollback() // crash path: drop the open tx
+    conn.close()
+  }
 }
 
 final case class JdbcProvider(url: String, props: Map[String, String] = Map.empty)

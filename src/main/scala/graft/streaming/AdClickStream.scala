@@ -42,9 +42,12 @@ object AdClickStream {
     * 5-second micro-batches (T1) via this default trigger. */
   val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
 
+  /** Result tables plus the one-key batch marker (`k1` = query name,
+    * `v` = last applied batchId) — provision ALL of these when backing
+    * the sink with a real database. */
   val Tables: Seq[String] = Seq(
     "ad_user_click_count", "ad_blacklist", "ad_stat",
-    "ad_province_top3", "ad_click_trend")
+    "ad_province_top3", "ad_click_trend", "__applied_batch__")
 
   /** T9: executor-side batched writes — one store connection per
     * partition, like the reference's pooled foreachPartition DAOs. */
@@ -59,11 +62,22 @@ object AdClickStream {
   /** Marker key recording the last applied batch per query — the
     * exactly-once guard: foreachBatch may re-deliver a batch after a
     * failure, and the store's increments are not idempotent, so a
-    * replayed batchId must be skipped (the SS sink contract:
-    * idempotence by (queryId, batchId)). */
+    * replayed batchId must be skipped AND a partially-applied batch
+    * must never be visible. All non-idempotent writes (T4/T5
+    * increments, blacklist inserts, top-3 replace) are therefore
+    * applied atomically with the marker in ONE store transaction. */
   private val AppliedMarker = "__applied_batch__"
 
-  /** The J9+T4+T5+T6 micro-batch body (exposed for tests). */
+  /** The J9+T4+T5+T6 micro-batch body (exposed for tests).
+    *
+    * Work split: the EVENT-grain work (parse, blacklist anti-join,
+    * counting) runs distributed; the resulting AGGREGATE-grain frames
+    * (days × users-over-threshold × ads, days × provinces × cities ×
+    * ads) are collected and applied on one driver connection inside a
+    * transaction with the batch marker — that is what makes replay
+    * exactly-once even though increments are not idempotent. (The
+    * trend query's overwrite-puts ARE idempotent, so that sink keeps
+    * the distributed per-partition path, T9.) */
   def statsBatch(provider: StoreProvider, threshold: Long)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -80,36 +94,40 @@ object AdClickStream {
         StructType(Seq(StructField("user_id", LongType))))
       val clicks = batch.join(broadcast(black), Seq("user_id"), "left_anti")
       clicks.persist()
-      try {
-        // T4: increment per-(day,user,ad) totals in the store ...
-        writePerPartition(AdAnalytics.clickCounts(clicks), provider) { (s, r) =>
-          s.increment("ad_user_click_count",
-            Seq(r.getString(0), r.getLong(1).toString, r.getLong(2).toString),
-            r.getLong(3))
-        }
-        // ... then read back offenders; insertKey dedups (A8).
-        store.scan("ad_user_click_count").foreach { case (key, total) =>
-          if (total >= threshold) store.insertKey("ad_blacklist", Seq(key(1)))
-        }
-        // T5: ad_stat running totals per (day, province, city, ad).
-        writePerPartition(AdAnalytics.adStats(clicks), provider) { (s, r) =>
-          s.increment("ad_stat",
-            Seq(r.getString(0), r.getString(1), r.getString(2), r.getLong(3).toString),
-            r.getLong(4))
-        }
-      } finally clicks.unpersist()
+      val (userCounts, stats) =
+        try (AdAnalytics.clickCounts(clicks).collect(),
+          AdAnalytics.adStats(clicks).collect())
+        finally clicks.unpersist()
+
+      store.txBegin()
+      // T4: per-(day,user,ad) totals ...
+      userCounts.foreach { r =>
+        store.increment("ad_user_click_count",
+          Seq(r.getString(0), r.getLong(1).toString, r.getLong(2).toString),
+          r.getLong(3))
+      }
+      // ... then read back offenders; insertKey dedups (A8).
+      store.scan("ad_user_click_count").foreach { case (key, total) =>
+        if (total >= threshold) store.insertKey("ad_blacklist", Seq(key(1)))
+      }
+      // T5: ad_stat running totals per (day, province, city, ad).
+      stats.foreach { r =>
+        store.increment("ad_stat",
+          Seq(r.getString(0), r.getString(1), r.getString(2), r.getLong(3).toString),
+          r.getLong(4))
+      }
       // T6: top-3 per (day, province) from the FULL running state —
       // ranking needs unchanged provinces too, hence state not batch.
       val statRows = store.scan("ad_stat").map { case (k, v) =>
         Row(k(0), k(1), k(2), k(3).toLong, v)
       }
-      val stats = spark.createDataFrame(
+      val statsDf = spark.createDataFrame(
         spark.sparkContext.parallelize(statRows.toSeq, 1),
         StructType(Seq(
           StructField("dt", StringType), StructField("province", StringType),
           StructField("city", StringType), StructField("ad_id", LongType),
           StructField("click_count", LongType))))
-      AdAnalytics.provinceTopFromStats(stats).collect()
+      AdAnalytics.provinceTopFromStats(statsDf).collect()
         .groupBy(r => (r.getString(0), r.getString(1)))
         .foreach { case ((dt, prov), rows) =>
           store.replaceGroup("ad_province_top3", Seq(dt, prov),
@@ -117,6 +135,7 @@ object AdClickStream {
               (Seq(dt, prov, r.getLong(2).toString), r.getLong(3))))
         }
       store.put(AppliedMarker, Seq("stats"), batchId)
+      store.txCommit()
     } finally store.close()
   }
 

@@ -26,8 +26,15 @@ object SessionStream {
   final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       event_type: String)
 
-  /** Per-user open-session state: O(1), no event buffering. */
-  final case class OpenSession(seq: Long, startUs: Long, lastUs: Long, steps: Long)
+  /** Per-user open-session state: O(1), no event buffering. After a
+    * timeout closes a session the state becomes a TOMBSTONE
+    * (startUs == -1) that only remembers `seq`, so the user's next
+    * session numbers seq+1 instead of restarting at 1 (which would
+    * mint duplicate session_ids). Tombstones are one tiny record per
+    * user — the same O(users) footprint the reference keeps in MySQL. */
+  final case class OpenSession(seq: Long, startUs: Long, lastUs: Long, steps: Long) {
+    def isTombstone: Boolean = startUs < 0
+  }
 
   /** One closed session (the A1 aggregate grain). */
   final case class ClosedSession(user_id: Long, session_id: String,
@@ -42,8 +49,10 @@ object SessionStream {
       userId: Long, events: Iterator[Ev], state: GroupState[OpenSession]): Iterator[ClosedSession] = {
     val gapUs = gapSeconds * 1000000L
     if (state.hasTimedOut) {
-      val out = state.getOption.map(close(userId, _)).iterator
-      state.remove()
+      val out = state.getOption.filterNot(_.isTombstone)
+        .map(close(userId, _)).iterator
+      // keep the seq as a tombstone (no timeout set → it just persists)
+      state.getOption.foreach(s => state.update(OpenSession(s.seq, -1L, -1L, 0L)))
       return out
     }
     val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
@@ -52,6 +61,8 @@ object SessionStream {
     sorted.foreach { e =>
       val us = e.ts.getTime * 1000L
       open match {
+        case Some(s) if s.isTombstone =>
+          open = Some(OpenSession(s.seq + 1, us, us, 1L))
         case Some(s) if us - s.lastUs <= gapUs =>
           open = Some(s.copy(lastUs = math.max(s.lastUs, us), steps = s.steps + 1))
         case Some(s) =>
@@ -64,7 +75,8 @@ object SessionStream {
     open.foreach { s =>
       state.update(s)
       // close via timeout when the watermark passes last event + gap
-      state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L)
+      if (!s.isTombstone)
+        state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L)
     }
     closed.result().iterator
   }

@@ -56,6 +56,16 @@ class SessionStreamSpec extends SparkSpec {
     assert(s2.get.step_length == 1)
   }
 
+  test("after a timeout, the user's next session continues the seq (no duplicate ids)") {
+    val out = runStream(Seq(
+      Seq(Ev(1, 1, ts(0), "view")),          // session 1_1 opens
+      Seq(Ev(99, 8, ts(50000), "view")),     // watermark → 1_1 closes by TIMEOUT
+      Seq(Ev(1, 2, ts(60000), "view")),      // user 1 returns → must be 1_2
+      Seq(Ev(99, 9, ts(500000), "view"))))   // watermark → 1_2 closes
+    val ids = out.filter(_.user_id == 1).map(_.session_id).sorted
+    assert(ids == Seq("1_1", "1_2"), s"got $ids from $out")
+  }
+
   test("built-in session_window agrees with the custom sessionizer on step counts") {
     val s = spark
     import s.implicits._

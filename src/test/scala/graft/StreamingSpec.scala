@@ -162,5 +162,22 @@ class StreamingSpec extends SparkSpec {
       Seq((Seq("d", "p", "2"), 8L))) // old group row deleted
     assert(st.scan("ad_province_top3").toMap == Map(List("d", "p", "2") -> 8L))
     st.close()
+
+    // transaction: writes without commit roll back on close (the
+    // crash-mid-batch path of the exactly-once guard)
+    val conn2 = DriverManager.getConnection(s"jdbc:derby:$dir/db")
+    val st2 = new JdbcStore(conn2)
+    st2.txBegin()
+    st2.increment("ad_stat", Seq("d", "p"), 100L)
+    st2.close() // no txCommit → rollback
+    val st3 = new JdbcStore(DriverManager.getConnection(s"jdbc:derby:$dir/db"))
+    assert(st3.scan("ad_stat").toMap.apply(List("d", "p")) == 5L)
+    st3.txBegin()
+    st3.increment("ad_stat", Seq("d", "p"), 100L)
+    st3.txCommit()
+    st3.close()
+    val st4 = new JdbcStore(DriverManager.getConnection(s"jdbc:derby:$dir/db"))
+    assert(st4.scan("ad_stat").toMap.apply(List("d", "p")) == 105L)
+    st4.close()
   }
 }
