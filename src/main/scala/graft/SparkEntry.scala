@@ -54,7 +54,12 @@ object SparkEntry {
     "q31_simhash_pairs" -> (Queries.simhashPairs _),
     "q32_ivf_ann" -> (Queries.ivfAnn _),
     "q33_bpe_tokens" -> (Queries.bpeTokens _),
-    "q34_winnow_fingerprints" -> (Queries.winnowFingerprints _)
+    "q34_winnow_fingerprints" -> (Queries.winnowFingerprints _),
+    "q35_median_quantity" -> (Queries.medianQuantity _),
+    "q36_rollup_totals" -> (Queries.rollupTotals _),
+    // no oracleSql (approx sketch differs per engine) → driver records
+    // the weaker rows-only check; ApproxSpec pins the 1.5% rsd bound.
+    "q37_approx_distinct" -> (Queries.approxDistinct _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -195,6 +200,18 @@ object Queries {
 
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowFingerprints(Tables(spark, dir, "documents"))
+
+  // ---- aggregation extensions (median / rollup / approx-distinct) ----
+
+  def medianQuantity(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.medianCents(Tables(spark, dir, "lineitem"), "l_returnflag", "l_quantity")
+
+  def rollupTotals(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.rollupTotals(Tables(spark, dir, "lineitem"),
+      "l_returnflag", "l_linestatus", "l_extendedprice")
+
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.approxDistinct(Tables(spark, dir, "orders"), "o_orderpriority", "o_custkey")
 
   // ---- training-data pipeline: deduplication ----
 
@@ -771,6 +788,27 @@ object Oracles {
          |       CAST(len(list_distinct(btoks)) AS BIGINT) AS bpe_distinct_count,
          |       CAST(list_sum(list_transform(btoks, x -> length(x))) AS BIGINT) AS bpe_token_chars
          |FROM b""".stripMargin,
+
+    "q35_median_quantity" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       CAST(FLOOR(AVG(l_quantity) * 100) AS BIGINT) AS median_cents,
+        |       CAST(MIN(n) AS BIGINT) AS n_rows
+        |FROM r
+        |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY 1""".stripMargin,
+
+    "q36_rollup_totals" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q34_winnow_fingerprints" ->
       """WITH h AS (
