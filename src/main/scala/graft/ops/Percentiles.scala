@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,24 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
-  /** Exact per-group median of `valueCol` in integer cents: the mean
-    * of the two middle values (even n) or the middle value (odd n).
-    * row_number over a non-unique value order is rank-nondeterministic
-    * among ties, but the VALUE occupying each rank is deterministic —
-    * which is all the median needs. */
+  /** Exact per-group median of `valueCol` in integer cents, via a
+    * VALUE HISTOGRAM: aggregate to (group, value, count) first —
+    * partial aggregation map-side, no skew — then find the middle
+    * ranks on the tiny histogram frame with a cumulative window.
+    *
+    * The naive formulation (row_number over each group) funnels every
+    * row of a group through one reducer — a few groups × 100 TB is a
+    * single-machine sort. The histogram plan's window runs over
+    * |distinct values| rows per group, so it scales whenever the value
+    * domain is bounded (measures, prices, quantities); for genuinely
+    * continuous columns use approx percentile sketches instead. */
   def medianCents(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
-    val ranked = df
-      .select(col(groupCol), col(valueCol))
-      .withColumn("rn", row_number().over(w.orderBy(col(valueCol).asc)))
-      .withColumn("n", count(lit(1)).over(w))
-    // middle ranks: (n+1) div 2 and (n+2) div 2 — equal when n is odd
-    ranked
-      .filter(col("rn") === expr("(n + 1) div 2") ||
-        col("rn") === expr("(n + 2) div 2"))
-      .groupBy(col(groupCol))
-      .agg(floor(avg(col(valueCol).cast("double")) * 100).cast("long")
-        .as("median_cents"),
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+    val wg = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wg.orderBy(col(valueCol).asc)))
+      .withColumn("n", sum(col("cnt")).over(wg))
+    // the two middle ranks (equal when n is odd); the value holding
+    // rank m is the least value whose cumulative count reaches m
+    def valueAtRank(rank: Column): Column =
+      min(when(col("cum") >= rank, col(valueCol))).cast("double")
+    cum.groupBy(col(groupCol))
+      .agg(
+        floor((valueAtRank(expr("(n + 1) div 2")) +
+          valueAtRank(expr("(n + 2) div 2"))) / 2 * 100).cast("long")
+          .as("median_cents"),
         min(col("n")).as("n_rows"))
   }
 
