@@ -140,6 +140,28 @@ class StreamingSpec extends SparkSpec {
       .apply(List("2026-01-01", "East", "Metro", "1")) == 4L)
   }
 
+  test("run(): both queries share one source; all five tables populate") {
+    val s = spark
+    import s.implicits._
+    val store = "run-test"
+    InMemoryStore.clear(store)
+    val ckpt = Files.createTempDirectory("graft-run").toString
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(
+      line(T0, "East", "Metro", 1, 1), line(T0 + 1000, "East", "Metro", 1, 1),
+      line(T0 + 65000, "West", "Hills", 2, 2))
+    val qs = AdClickStream.run(s, mem.toDF(), InMemoryProvider(store), ckpt)
+    try {
+      qs.foreach(_.processAllAvailable())
+      val st = new InMemoryStore(store)
+      assert(st.scan("ad_stat").nonEmpty)
+      assert(st.scan("ad_user_click_count").nonEmpty)
+      assert(st.scan("ad_province_top3").nonEmpty)
+      assert(st.scan("ad_click_trend").nonEmpty)
+    } finally qs.foreach(_.stop())
+  }
+
   test("JdbcStore: upsert semantics on embedded Derby (S9 sink surface)") {
     val dir = Files.createTempDirectory("graft-derby").toString
     val conn = DriverManager.getConnection(s"jdbc:derby:$dir/db;create=true")
