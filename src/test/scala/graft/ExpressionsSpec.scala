@@ -73,6 +73,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(got == 0L)
   }
 
+  test("DotProductFusion rule rewrites aggregate(zip_with(...)) to graft_dot") {
+    val before = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        before :+ graft.plans.DotProductFusion
+      val q = graft.ops.Similarity.quantized(Tables(spark, sf, "embeddings"))
+        .select(col("vec_id"), col("q"))
+      val hof = q.select(col("vec_id"),
+        expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("n2"))
+      val plan = hof.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_dot"), s"rule did not fire:\n$plan")
+      // rewritten plan computes the same numbers as the native form
+      val native = q.select(col("vec_id"),
+        graft.expressions.DotProductLong.dot(col("q"), col("q")).as("n2"))
+      assert(hof.orderBy("vec_id").collect().toSeq ==
+        native.orderBy("vec_id").collect().toSeq)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("DotProductLong participates in WholeStageCodegen") {
     val q = graft.ops.Similarity.quantized(Tables(spark, sf, "embeddings"))
     val plan = q.select(DotProductLong.dot(col("q"), col("q")).as("n2"))
