@@ -19,6 +19,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) Seq(args(0)) else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
+      spark.catalog.clearCache() // ops persist() internally; don't accumulate
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"===== $name =====")
       df.explain("formatted")

@@ -313,8 +313,6 @@ object Oracles {
       |         ELSE [] END AS shingles
       |  FROM documents)""".stripMargin
 
-  /** Integer-quantized embeddings + exact squared norm (twin of
-    * Similarity.quantized). */
   /** SimHash signature chain (twin of graft.expressions.SimHash):
     * `sig` = (doc_id, simhash). */
   val simhashSigCte: String = {
@@ -343,6 +341,8 @@ object Oracles {
        |  SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM votes)""".stripMargin
   }
 
+  /** Integer-quantized embeddings + exact squared norm (twin of
+    * Similarity.quantized). */
   val embQuantCte: String =
     """qv AS (
       |  SELECT vec_id, embedding,

@@ -8,16 +8,20 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native codegen'd integer dot product: Σ a[i]·b[i] over two
-  * `array<bigint>` columns (equal length by construction — quantized
-  * embeddings).
+  * `array<bigint>` columns.
   *
   * The built-in formulation `aggregate(zip_with(a, b, (x,y) -> x*y),
   * 0L, (acc,v) -> acc+v)` allocates an intermediate array and
   * evaluates two lambda chains per row pair; in the kNN inner loop
   * (corpus × queries) that is THE hot path at scale. This expression
   * generates a single fused loop — no allocation, no virtual calls —
-  * and stays inside WholeStageCodegen. Equivalent semantics, so the
-  * DuckDB oracles are unchanged.
+  * and stays inside WholeStageCodegen.
+  *
+  * Null semantics match the built-in formulation EXACTLY (so the
+  * DotProductFusion rewrite is sound on arbitrary user queries, not
+  * just fixed-dimension embeddings): unequal lengths → null (zip_with
+  * pads with null, nulling the sum), and any null element in either
+  * array → null.
   */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,13 +40,20 @@ case class DotProductLong(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // zip_with pads → null sum
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -52,12 +63,17 @@ case class DotProductLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

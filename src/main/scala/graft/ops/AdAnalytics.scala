@@ -83,16 +83,11 @@ object AdAnalytics {
         col("province"), col("city"), col("ad_id"))
       .agg(count(lit(1)).as("click_count"))
 
-  /** T6 + W2: per (day, province) top-N ads (intent: rank<=N). */
-  def provinceTopAds(adClicks: DataFrame, topN: Int = 3): DataFrame = {
-    val per = adClicks.groupBy(
-        date_format(col("ts"), "yyyy-MM-dd").as("dt"),
-        col("province"), col("ad_id"))
-      .agg(count(lit(1)).as("click_count"))
-    val w = Window.partitionBy(col("dt"), col("province"))
-      .orderBy(col("click_count").desc, col("ad_id").asc)
-    per.withColumn("rank", row_number().over(w)).filter(col("rank") <= topN)
-  }
+  /** T6 + W2: per (day, province) top-N ads (intent: rank<=N).
+    * Delegates to the stats-grain ranker: counting clicks per (dt,
+    * province, ad) equals summing the city-level totals. */
+  def provinceTopAds(adClicks: DataFrame, topN: Int = 3): DataFrame =
+    provinceTopFromStats(adStats(adClicks), topN)
 
   /** T6 + W2 over pre-aggregated (dt, province, city, ad) stats —
     * the streaming job derives province top-N from the running

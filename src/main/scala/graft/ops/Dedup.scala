@@ -162,6 +162,8 @@ object Dedup {
     * conditional sums; see graft.expressions.SimHash). */
   def simhash(docs: DataFrame): DataFrame =
     docs
+      .filter(col("text").isNotNull) // null-text docs drop, as the
+      // explode-based formulation (and the unnest-based oracle) did
       .withColumn("tokens", expr(TextAnalysis.TokensExpr))
       .select(col("doc_id"),
         graft.expressions.SimHash.sig(array_distinct(col("tokens")), SimhashBits)

@@ -43,25 +43,25 @@ object PageFunnel {
       .filter(col("key").isNotNull)
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
 
-    // attach the start PV to every split row via a global window over
-    // the K+1-row aggregate (tiny single-partition frame)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val pairs = counts
-      .withColumn("start_pv",
-        sum(when(col("key") === StartKey, col("cnt")).otherwise(0L)).over(wAll))
-      .filter(col("key") =!= StartKey)
-      .select(col("key").as("split"), col("cnt").as("split_count"), col("start_pv"))
-
+    // Universe = the split sequence PLUS a sentinel row for the flow
+    // head, so the start PV survives the left join even when NO
+    // adjacent pair matched any split (counts would then hold only the
+    // __start__ row — or nothing at all, in which case the fill gives
+    // PV 0). Single evaluation of the big frame; everything below is
+    // K+2 rows.
     import spark.implicits._
-    val ordered = splits.zipWithIndex.map { case (s, i) => (s, i.toLong) }
-      .toDF("split", "step_idx")
+    val ordered = (splits.zipWithIndex.map { case (s, i) => (s, i.toLong) } :+
+      (StartKey, -1L)).toDF("split", "step_idx")
 
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val byIdx = Window.orderBy(col("step_idx"))
     ordered
-      .join(pairs, Seq("split"), "left") // J5: universe ⟕ counts
-      .na.fill(0L, Seq("split_count"))
-      .withColumn("start_pv", max(col("start_pv")).over(wAll)) // fill nulls from present rows
-      .na.fill(0L, Seq("start_pv"))
+      .join(counts.withColumnRenamed("key", "split"), Seq("split"), "left") // J5
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("start_pv",
+        max(when(col("split") === StartKey, col("cnt"))).over(wAll))
+      .filter(col("split") =!= StartKey)
+      .withColumn("split_count", col("cnt"))
       .withColumn("prev_count",
         coalesce(lag(col("split_count"), 1).over(byIdx), col("start_pv")))
       .withColumn("convert_rate_bp",

@@ -99,7 +99,10 @@ object Similarity {
     * (label, pos) aggregate shuffles only (key, partial-sum) pairs —
     * centroid building is a metadata-sized job even on a huge corpus. */
   def ivfCentroids(emb: DataFrame): DataFrame =
-    quantized(emb)
+    ivfCentroidsFromQuantized(quantized(emb))
+
+  private def ivfCentroidsFromQuantized(q: DataFrame): DataFrame =
+    q
       .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -117,8 +120,9 @@ object Similarity {
     * broadcast. nProbe=1 keeps the oracle exact; recall/latency is
     * tuned by the list count at corpus scale. */
   def ivfAnn(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
-    val q = quantized(emb).select(col("vec_id"), col("label"), col("q"), col("n2"))
-    val cents = ivfCentroids(emb)
+    val quant = quantized(emb)
+    val q = quant.select(col("vec_id"), col("label"), col("q"), col("n2"))
+    val cents = ivfCentroidsFromQuantized(quant) // one quantization subtree, not two
     val queries = q.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("q_q"), col("n2").as("q_n2"))
     val probe = queries

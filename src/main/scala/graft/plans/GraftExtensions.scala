@@ -18,14 +18,10 @@ import graft.expressions.DotProductLong
   * (and generated SQL) can keep writing the idiomatic higher-order
   * form; plans silently get the single-loop, zero-allocation version.
   *
-  * Semantics note: zip_with pads unequal-length arrays with null,
-  * which nulls the whole sum, while graft_dot truncates to the shorter
-  * length — so the rewrite fires only when both sides are the SAME
-  * attribute or equal-length by construction cannot be proven cheaply;
-  * we accept the standard engine contract that quantized embedding
-  * columns are fixed-dimension (documented in Similarity) and rewrite
-  * unconditionally, matching what Similarity.dotExpr already does
-  * explicitly.
+  * The rewrite is unconditionally sound: DotProductLong implements
+  * the built-in chain's null semantics exactly (unequal lengths →
+  * null, any null element → null), so arbitrary user SQL keeps its
+  * answers.
   */
 object DotProductFusion extends Rule[LogicalPlan] {
 

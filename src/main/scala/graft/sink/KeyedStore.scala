@@ -102,10 +102,17 @@ final class JdbcStore(conn: Connection) extends KeyedStore {
     finally st.close()
   }
 
+  /** Duplicate-key detection by SQLState class 23 (integrity
+    * violation) rather than exception subclass: MySQL/Derby throw
+    * SQLIntegrityConstraintViolationException but PostgreSQL's driver
+    * signals 23505 via plain PSQLException. */
+  private def isDupKey(e: java.sql.SQLException): Boolean =
+    Option(e.getSQLState).exists(_.startsWith("23"))
+
   def increment(table: String, key: Seq[String], delta: Long): Unit = {
     val n = update(table, key, s"UPDATE $table SET v = v + ? WHERE ${where(key.size)}", delta)
     if (n == 0) try insert(table, key, delta) catch {
-      case _: java.sql.SQLIntegrityConstraintViolationException =>
+      case e: java.sql.SQLException if isDupKey(e) =>
         update(table, key, s"UPDATE $table SET v = v + ? WHERE ${where(key.size)}", delta)
     }
   }
@@ -113,14 +120,14 @@ final class JdbcStore(conn: Connection) extends KeyedStore {
   def put(table: String, key: Seq[String], value: Long): Unit = {
     val n = update(table, key, s"UPDATE $table SET v = ? WHERE ${where(key.size)}", value)
     if (n == 0) try insert(table, key, value) catch {
-      case _: java.sql.SQLIntegrityConstraintViolationException =>
+      case e: java.sql.SQLException if isDupKey(e) =>
         update(table, key, s"UPDATE $table SET v = ? WHERE ${where(key.size)}", value)
     }
   }
 
   def insertKey(table: String, key: Seq[String]): Unit =
     try insert(table, key, 0L) catch {
-      case _: java.sql.SQLIntegrityConstraintViolationException => () // already present
+      case e: java.sql.SQLException if isDupKey(e) => () // already present
     }
 
   def replaceGroup(table: String, groupPrefix: Seq[String],
