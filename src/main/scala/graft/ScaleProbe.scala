@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: empirical scaling check. Replays the sf0.1 tables at an
+  * N× multiplier (union of shifted copies — key spaces kept disjoint
+  * so join/group cardinalities scale with the data) and times the
+  * heavyweight operators. A healthy operator scales ~linearly; a
+  * pair-blowup or single-reducer funnel shows up as superlinear time.
+  *
+  *   sbt "runMain graft.ScaleProbe [multiplier]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 10
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def amplify(df: DataFrame, idCols: Seq[String], shift: Long): DataFrame =
+      (0 until mult).map { i =>
+        idCols.foldLeft(df) { (d, c) => d.withColumn(c, col(c) + lit(i * shift)) }
+      }.reduce(_ union _)
+
+    def t(name: String)(df: => DataFrame): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[scale] $name (x$mult): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    val events = amplify(graft.tables.Tables(spark, dir, "events"),
+      Seq("event_id", "user_id"), 10000000L)
+    val docs = amplify(graft.tables.Tables(spark, dir, "documents"),
+      Seq("doc_id"), 10000000L)
+    val emb = amplify(graft.tables.Tables(spark, dir, "embeddings"),
+      Seq("vec_id"), 10000000L)
+
+    t("sessionize+aggregate")(graft.ops.Sessionize(events))
+    t("top sessions/category")(graft.ops.TopK.topSessionsPerCategory(
+      graft.ops.Sessionize.assignSessions(events)))
+    t("minhash dedup pairs")(graft.ops.Dedup.minhashDedupPairs(docs))
+    t("ngram dedup kept")(graft.ops.Dedup.ngramDedupKept(docs))
+    t("simhash signatures")(graft.ops.Dedup.simhash(docs))
+    t("winnow fingerprints")(graft.ops.TextAnalysis.winnowFingerprints(docs))
+    t("knn bruteforce")(graft.ops.Similarity.knnBruteForce(emb, col("vec_id") % 500 === 0))
+    t("ivf ann")(graft.ops.Similarity.ivfAnn(emb, col("vec_id") % 500 === 0))
+    spark.stop()
+  }
+}

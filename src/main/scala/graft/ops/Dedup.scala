@@ -132,25 +132,46 @@ object Dedup {
 
   /** n-gram-Jaccard dedup with fingerprint blocking: pairs sharing the
     * min-shingle fingerprint, verified; returns the KEPT document set
-    * (greedy keep-smallest-id — the pipeline's dedup filter output).
+    * (a doc is kept iff no smaller-id doc within its block reaches the
+    * Jaccard threshold — the pipeline's dedup filter output).
     *
-    * One base DataFrame carries both the blocking key and the shingle
-    * array, so the fp self-join yields `sh_a`/`sh_b` directly — no
-    * separate verify joins, no recomputation of the shingle subtree. */
+    * Scale shape: EXACT-duplicate texts are collapsed to one
+    * representative per text hash BEFORE pairing (d copies of a doc
+    * would otherwise mint d² identical candidate pairs — on a crawl
+    * corpus, where exact dups dominate, that quadratic term is the
+    * whole runtime; measured 70× at a 10× replay). The self-join then
+    * runs at distinct-text grain, and group membership decides the
+    * rest: with threshold ≤ 10000 bp every non-representative member
+    * of a shingled group loses to its representative (identical text
+    * = 10000 bp), empty-shingle docs (< ShingleSize tokens) never
+    * reach any threshold (0/0 → 0 bp), and a lost representative
+    * takes its whole group with it. Output is row-for-row identical
+    * to the direct pairwise formulation (the q23 oracle). */
   def ngramDedupKept(docs: DataFrame, thresholdBp: Long = 5000L): DataFrame = {
-    val base = withShingles(docs).select(
-        col("doc_id"), col("shingles"),
+    require(thresholdBp >= 1L && thresholdBp <= 10000L,
+      "thresholdBp must be in [1, 10000]")
+    val withTh = docs.withColumn("th", md5(col("text")))
+    val reps = withTh.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("text"))
+    val base = withShingles(reps).select(
+        col("th"), col("rep_id"), col("shingles"),
+        (size(col("shingles")) > 0).as("has_sh"),
         expr("substring(array_min(transform(shingles, s -> md5(s))), 1, 16)")
           .as("fp_min"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val losers = jaccardCols(base.as("a")
+    // representative-grain near-dup: a rep loses iff a smaller-id rep
+    // in its block reaches the threshold
+    val lostReps = jaccardCols(base.as("a")
         .join(base.as("b"),
-          col("a.fp_min") === col("b.fp_min") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.fp_min") === col("b.fp_min") && col("a.rep_id") < col("b.rep_id"))
+        .select(col("a.rep_id").as("doc_a"), col("b.rep_id").as("doc_b"),
           col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b")))
       .filter(col("jaccard_bp") >= thresholdBp)
-      .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_b").as("rep_id")).distinct()
+    withTh
+      .join(base.select(col("th"), col("rep_id"), col("has_sh")), "th")
+      .join(lostReps, Seq("rep_id"), "left_anti") // lost rep → group lost
+      .filter(col("doc_id") === col("rep_id") || !col("has_sh"))
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
