@@ -158,7 +158,7 @@ object Queries {
     * Target 1000 = the reference README's figure (§六.3); the code's
     * 100 yields all-zero hour quotas on a 30-day x 24-hour grid. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    StratifiedExtract(sessionAggr(spark, dir), target = 1000L)
+    StratifiedExtract(sessionAggr(spark, dir), target = StratifiedTarget)
 
   private def adClicks(spark: SparkSession, dir: String): DataFrame =
     AdAnalytics.eventsAsAdClicks(
@@ -167,7 +167,7 @@ object Queries {
 
   /** T4: dynamic blacklist — users with >=2 clicks on one ad in a day. */
   def adBlacklist(spark: SparkSession, dir: String): DataFrame =
-    AdAnalytics.blacklist(adClicks(spark, dir), threshold = 2L)
+    AdAnalytics.blacklist(adClicks(spark, dir), threshold = BlacklistThreshold)
 
   /** T5: click totals per (day, province, city, ad). */
   def adStats(spark: SparkSession, dir: String): DataFrame =
@@ -232,8 +232,14 @@ object Queries {
 
   // ---- training-data pipeline: similarity search ----
 
-  /** Query set for the ANN/kNN demos: every 50th vector. */
-  val knnQueryPred: Column = col("vec_id") % 50 === 0
+  // Shared query parameters — interpolated into the oracle SQL so the
+  // two sides cannot drift.
+  val KnnQueryMod = 50L
+  val BlacklistThreshold = 2L
+  val StratifiedTarget = 1000L
+
+  /** Query set for the ANN/kNN demos: every KnnQueryMod-th vector. */
+  val knnQueryPred: Column = col("vec_id") % KnnQueryMod === 0
 
   def knnBruteforce(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnBruteForce(Tables(spark, dir, "embeddings"), knnQueryPred)
@@ -268,11 +274,11 @@ object Oracles {
   val sessionCte: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, value, props, ts, epoch_us(ts) AS ts_us,
-      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
       |  FROM events
       |), sz0 AS (
       |  SELECT *, SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-      |         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+      |         OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS session_seq
       |  FROM e
       |), sz AS (
       |  SELECT *, CAST(user_id AS VARCHAR) || '_' || CAST(session_seq AS VARCHAR) AS session_id
@@ -438,7 +444,7 @@ object Oracles {
       val inList = splits.map(s => s"'$s'").mkString(", ")
       s"""$sessionCte, pr AS (
          |  SELECT session_id, event_type,
-         |         lag(event_type) OVER (PARTITION BY session_id ORDER BY ts, event_id) AS prev_type
+         |         lag(event_type) OVER (PARTITION BY session_id ORDER BY epoch_us(ts), event_id) AS prev_type
          |  FROM sz
          |), pairs AS (
          |  SELECT prev_type || '_' || event_type AS split, COUNT(*) AS c
@@ -537,7 +543,7 @@ object Oracles {
          |)
          |SELECT date_hour, session_id, start_time, event_types
          |FROM r, nd
-         |WHERE pick <= (hour_count * (1000 // n_days)) // day_count""".stripMargin,
+         |WHERE pick <= (hour_count * (${Queries.StratifiedTarget} // n_days)) // day_count""".stripMargin,
 
     "q13_ad_blacklist" ->
       s"""WITH ac AS ($adClickCte)
@@ -545,7 +551,7 @@ object Oracles {
          |  SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id, ad_id, COUNT(*) AS click_count
          |  FROM ac GROUP BY 1, 2, 3
          |)
-         |SELECT DISTINCT user_id FROM counts WHERE click_count >= 2""".stripMargin,
+         |SELECT DISTINCT user_id FROM counts WHERE click_count >= ${Queries.BlacklistThreshold}""".stripMargin,
 
     "q14_ad_stats" ->
       s"""WITH ac AS ($adClickCte)
@@ -716,7 +722,7 @@ object Oracles {
 
     "q25_knn_bruteforce" ->
       s"""WITH $embQuantCte,
-         |queries AS (SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n WHERE vec_id % 50 = 0),
+         |queries AS (SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n WHERE vec_id % ${Queries.KnnQueryMod} = 0),
          |scored AS (
          |  SELECT n.vec_id AS neighbor_id, queries.query_id,
          |         CAST(list_sum(list_transform(range(1, len(n.q) + 1),
@@ -740,7 +746,7 @@ object Oracles {
       s"""WITH $embQuantCte,
          |bkt AS (SELECT *, $signBucketExpr AS bucket FROM n),
          |queries AS (SELECT vec_id AS query_id, bucket, q AS q_q, n2 AS q_n2
-         |            FROM bkt WHERE vec_id % 50 = 0),
+         |            FROM bkt WHERE vec_id % ${Queries.KnnQueryMod} = 0),
          |scored AS (
          |  SELECT bkt.vec_id AS neighbor_id, queries.query_id,
          |         CAST(list_sum(list_transform(range(1, len(bkt.q) + 1),
@@ -826,7 +832,7 @@ object Oracles {
         |SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM w""".stripMargin,
 
     "q32_ivf_ann" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, label,
         |         list_transform(embedding,
         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
@@ -847,7 +853,7 @@ object Oracles {
         |         CAST(list_sum(list_transform(centroid, v -> v * v)) AS BIGINT) AS c_n2
         |  FROM cent),
         |queries AS (
-        |  SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n WHERE vec_id % 50 = 0),
+        |  SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n WHERE vec_id % ${Queries.KnnQueryMod} = 0),
         |probe AS (
         |  SELECT query_id, q_q, q_n2, c2.label,
         |         CASE WHEN q_n2 = 0 OR c_n2 = 0 THEN 0

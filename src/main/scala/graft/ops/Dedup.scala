@@ -150,7 +150,12 @@ object Dedup {
   def ngramDedupKept(docs: DataFrame, thresholdBp: Long = 5000L): DataFrame = {
     require(thresholdBp >= 1L && thresholdBp <= 10000L,
       "thresholdBp must be in [1, 10000]")
-    val withTh = docs.withColumn("th", md5(col("text")))
+    // null-safe group key: md5(NULL) is NULL and would silently drop
+    // null-text docs at the equi-join; the sentinel (not a hex string,
+    // so collision-free) groups them instead, where empty shingles
+    // make every member a keeper — matching the pairwise formulation.
+    val withTh = docs.withColumn("th",
+      coalesce(md5(col("text")), lit("<null-text>")))
     val reps = withTh.groupBy(col("th"))
       .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("text"))
     val base = withShingles(reps).select(

@@ -32,7 +32,11 @@ object Multimodal {
     * an opaque binary column, media_type assigned deterministically,
     * metadata as a typed struct (not k=v strings — SURVEY §1.4). */
   def packMedia(docs: DataFrame): DataFrame =
-    docs.select(
+    docs
+      .filter(col("text").isNotNull) // a media row without payload is
+      // invalid at ingest; dropping here keeps every downstream op and
+      // oracle null-free by construction
+      .select(
       col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
@@ -110,7 +114,8 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would go here (native handles etc.)
         it.map { case (id, mt, content) =>
-          val samples = FakeCodec.decode(content)
+          val samples = FakeCodec.decode(
+            if (content == null) Array.empty[Byte] else content)
           val hist = new Array[Long](HistBins)
           var sum = 0L
           samples.foreach { s => sum += s; hist(s * HistBins / 256) += 1 }

@@ -36,7 +36,10 @@ object PageFunnel {
     val bySession = Window.partitionBy(col("session_id")).orderBy(col("ts"), col("event_id"))
     val counts = sessionized
       .withColumn("prev_type", lag(col("event_type"), 1).over(bySession))
-      .withColumn("split", concat_ws("_", col("prev_type"), col("event_type")))
+      // null-PROPAGATING concat (matches the oracle's `||`): a
+      // session-initial row (null prev) must form NO split, not a
+      // bare event_type that could collide with a flow pair name
+      .withColumn("split", concat(col("prev_type"), lit("_"), col("event_type")))
       .select(explode(array(
         when(col("split").isin(splits: _*), col("split")),
         when(col("event_type") === flow.head, lit(StartKey)))).as("key"))
