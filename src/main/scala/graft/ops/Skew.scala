@@ -21,11 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  val DefaultSalts = 16
+
+  /** Phase-1 salt assignment, exposed so tests exercise the product's
+    * own salting rather than a copy of the formula. */
+  def saltOf(value: Column, salts: Int = DefaultSalts): Column =
+    pmod(hash(value), lit(salts))
+
   def saltedDistinctConcat(df: DataFrame, keys: Seq[String], value: Column,
-      outName: String, salts: Int = 16): DataFrame = {
+      outName: String, salts: Int = DefaultSalts): DataFrame = {
     val keyCols = keys.map(col)
     val phase1 = df
-      .withColumn("__salt", pmod(hash(value), lit(salts)))
+      .withColumn("__salt", saltOf(value, salts))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(collect_set(value).as("__part"))
     phase1

@@ -127,12 +127,15 @@ object GraftProperties extends Properties("graft") {
     }
 
   property("simhash: permutation-invariant; equal texts collide") =
-    forAll(genTokens) { tokens =>
+    forAll(genTokens, Gen.choose(1, 11)) { (tokens, rot) =>
       val s = spark
       import s.implicits._
+      // Gen-driven rotation: reproducible from the ScalaCheck seed and
+      // a genuine reorder whenever the tokens aren't all identical
+      val k = rot % tokens.size
+      val permuted = tokens.drop(k) ++ tokens.take(k)
       val docs = Seq(
-        (1L, tokens.mkString(" ")),
-        (2L, scala.util.Random.shuffle(tokens).mkString(" ")))
+        (1L, tokens.mkString(" ")), (2L, permuted.mkString(" ")))
         .toDF("doc_id", "text")
       val sig = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       sig(1L) == sig(2L)

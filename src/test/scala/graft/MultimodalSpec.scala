@@ -21,7 +21,8 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]]("content").sameElements(text.getBytes("UTF-8")))
     val meta = r.getStruct(r.fieldIndex("meta"))
     assert(meta.getAs[Long]("byte_length") == text.getBytes("UTF-8").length.toLong)
-    assert(meta.getAs[Long]("height") == math.ceil(text.length / 16.0).toLong)
+    assert(meta.getAs[Long]("height") ==
+      math.ceil(text.getBytes("UTF-8").length / 16.0).toLong)
   }
 
   test("frameSample: every 4th 64-byte frame, checksums match payload slices") {

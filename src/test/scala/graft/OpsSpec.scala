@@ -1,23 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, countDistinct}
-
-/** Aggregation extensions: approx-distinct accuracy bound. */
-class ApproxSpec extends SparkSpec {
-  test("approx_count_distinct within 5% of exact at rsd 1.5%") {
-    val ord = graft.tables.Tables(spark, sf, "orders")
-    val exact = ord.groupBy(col("o_orderpriority"))
-      .agg(countDistinct(col("o_custkey")).as("d"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = graft.ops.Percentiles.approxDistinct(ord, "o_orderpriority", "o_custkey")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
-    }
-  }
-}
-
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import graft.ops._
@@ -79,7 +61,6 @@ class OpsSpec extends SparkSpec {
   }
 
   test("areaTop3Products emits <=3 per area with rank tie-break") {
-    import graft.tables.Tables
     val got = Queries.areaTop3Products(spark, sf)
     val perArea = got.groupBy("area").count().select("count").as[Long].collect()
     assert(perArea.forall(_ <= 3))

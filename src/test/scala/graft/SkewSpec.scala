@@ -25,7 +25,7 @@ class SkewSpec extends SparkSpec {
     val ord = Tables(spark, sf, "orders")
       .select(col("o_orderpriority").as("k"), col("o_custkey").cast("string").as("v"))
     val saltCounts = ord
-      .withColumn("__salt", pmod(hash(col("v")), lit(16)))
+      .withColumn("__salt", Skew.saltOf(col("v")))
       .groupBy(col("k")).agg(countDistinct(col("__salt")).as("n"))
       .collect().map(_.getLong(1))
     assert(saltCounts.forall(_ > 1), "hot groups should spread over multiple salts")

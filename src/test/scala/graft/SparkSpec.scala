@@ -16,7 +16,8 @@ object TestSpark {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
-  def sf0001 = "/root/testdata/sf0.001"
+  def sf0001: String =
+    sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
 }
 
 abstract class SparkSpec extends AnyFunSuite {

@@ -151,7 +151,8 @@ class StreamingSpec extends SparkSpec {
     mem.addData(
       line(T0, "East", "Metro", 1, 1), line(T0 + 1000, "East", "Metro", 1, 1),
       line(T0 + 65000, "West", "Hills", 2, 2))
-    val qs = AdClickStream.run(s, mem.toDF(), InMemoryProvider(store), ckpt)
+    val qs = AdClickStream.run(s, mem.toDF(), InMemoryProvider(store), ckpt,
+      threshold = 2L) // user 1's two clicks cross it → blacklist populates
     try {
       qs.foreach(_.processAllAvailable())
       val st = new InMemoryStore(store)
@@ -159,6 +160,7 @@ class StreamingSpec extends SparkSpec {
       assert(st.scan("ad_user_click_count").nonEmpty)
       assert(st.scan("ad_province_top3").nonEmpty)
       assert(st.scan("ad_click_trend").nonEmpty)
+      assert(st.scan("ad_blacklist").map(_._1.head).toSet == Set("1"))
     } finally qs.foreach(_.stop())
   }
 
