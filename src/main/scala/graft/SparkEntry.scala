@@ -75,10 +75,15 @@ object Queries {
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        // Final sums pinned to DECIMAL(38,x) — the exact type DuckDB
+        // gives a decimal SUM — so the driver's hash sees identical
+        // types AND identical value renderings on both sides.
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).as("sum_disc_price"),
+          .cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** A1: gap-sessionized events → session-grain aggregates. */
@@ -290,7 +295,7 @@ object Oracles {
       |         (MAX(ts_us) - MIN(ts_us)) // 1000000 AS visit_length_s,
       |         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_time,
       |         string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
-      |         SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
       |  FROM sz GROUP BY 1, 2
       |)""".stripMargin
 
@@ -383,9 +388,9 @@ object Oracles {
   val sql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |       SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -523,7 +528,8 @@ object Oracles {
         |  SELECT user_id, CAST(value AS DECIMAL(18,2)), CAST(-1 AS BIGINT)
         |  FROM events WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
         |)
-        |SELECT user_id, SUM(sign * v) AS value_delta, CAST(SUM(sign) AS BIGINT) AS count_delta
+        |SELECT user_id, CAST(SUM(sign * v) AS DECIMAL(38,2)) AS value_delta,
+        |       CAST(SUM(sign) AS BIGINT) AS count_delta
         |FROM u GROUP BY 1""".stripMargin,
 
     "q12_stratified_sample" ->
@@ -812,7 +818,7 @@ object Oracles {
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
@@ -894,12 +900,13 @@ object Oracles {
         |       md5(text) AS checksum,
         |       CAST(16 AS BIGINT) AS width,
         |       CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS height
-        |FROM documents""".stripMargin,
+        |FROM documents
+        |WHERE text IS NOT NULL""".stripMargin,
 
     "q29_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS len
-        |  FROM documents WHERE doc_id % 3 = 2)
+        |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL)
         |SELECT doc_id,
         |       CAST(f AS BIGINT) AS frame_idx,
         |       CAST(octet_length(encode(substr(text, CAST(f * 64 + 1 AS INT), 64))) AS BIGINT) AS frame_bytes,
@@ -915,7 +922,7 @@ object Oracles {
         |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
         |         list_transform(range(1, length(text) + 1),
         |                        i -> ord(substr(text, CAST(i AS INT), 1))) AS codes
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id, media_type,
         |       CAST(len(codes) AS BIGINT) AS byte_count,
         |       CAST(list_sum(codes) AS BIGINT) AS byte_sum,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, MathUtils}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native codegen'd integer dot product: Σ a[i]·b[i] over two
@@ -21,9 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * DotProductFusion rewrite is sound on arbitrary user queries, not
   * just fixed-dimension embeddings): unequal lengths → null (zip_with
   * pads with null, nulling the sum), and any null element in either
-  * array → null.
+  * array → null. Overflow semantics match too: under ANSI mode
+  * (`spark.sql.ansi.enabled`, Spark 4's default) the built-in
+  * Multiply/Add throw ARITHMETIC_OVERFLOW, so `failOnError` (captured
+  * from the session conf at construction) makes this expression throw
+  * the same error via MathUtils.*Exact; with ANSI off both wrap.
   */
-case class DotProductLong(left: Expression, right: Expression)
+case class DotProductLong(left: Expression, right: Expression,
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
@@ -51,7 +56,11 @@ case class DotProductLong(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getLong(i) * y.getLong(i)
+      if (failOnError) {
+        s = MathUtils.addExact(s, MathUtils.multiplyExact(x.getLong(i), y.getLong(i)))
+      } else {
+        s += x.getLong(i) * y.getLong(i)
+      }
       i += 1
     }
     s
@@ -62,6 +71,12 @@ case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val mu = MathUtils.getClass.getName.stripSuffix("$")
+      val acc =
+        if (failOnError)
+          s"$s = $mu.addExact($s, $mu.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else
+          s"$s += $a.getLong($i) * $b.getLong($i);"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -70,7 +85,7 @@ case class DotProductLong(left: Expression, right: Expression)
          |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $s += $a.getLong($i) * $b.getLong($i);
+         |    $acc
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $s;
          |}

@@ -47,7 +47,8 @@ object PeriodDelta {
     a.unionByName(b)
       .groupBy(col(key))
       .agg(
-        sum(col("sign") * col(valueCol).cast("decimal(18,2)")).as("value_delta"),
+        sum(col("sign") * col(valueCol).cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("value_delta"),
         sum(col("sign")).as("count_delta"))
   }
 }

@@ -53,7 +53,8 @@ object Percentiles {
   def rollupTotals(df: DataFrame, a: String, b: String, valueCol: String): DataFrame =
     df.rollup(col(a), col(b))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col(valueCol).cast("decimal(18,2)")).as("total"))
+        sum(col(valueCol).cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("total"))
       .select(
         coalesce(col(a), lit("ALL")).as(a),
         coalesce(col(b), lit("ALL")).as(b),

@@ -61,7 +61,10 @@ object Sessionize {
         expr("(max(ts_us) - min(ts_us)) div 1000000").as("visit_length_s"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_time"),
         concat_ws(",", array_sort(collect_set(col("event_type")))).as("event_types"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        // pinned to DECIMAL(38,2): DuckDB's decimal-SUM result type, so
+        // oracle hash compares see one type+rendering on both sides
+        sum(col("value").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("total_value"))
 
   /** Convenience: events -> session aggregates. */
   def apply(events: DataFrame, gapSeconds: Long = 1800L): DataFrame =

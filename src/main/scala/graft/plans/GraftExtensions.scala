@@ -20,8 +20,10 @@ import graft.expressions.DotProductLong
   *
   * The rewrite is unconditionally sound: DotProductLong implements
   * the built-in chain's null semantics exactly (unequal lengths →
-  * null, any null element → null), so arbitrary user SQL keeps its
-  * answers.
+  * null, any null element → null) AND its overflow semantics (ANSI
+  * mode → ARITHMETIC_OVERFLOW via checked math, non-ANSI → wrap;
+  * `failOnError` is captured from the active SQLConf when the rule
+  * fires), so arbitrary user SQL keeps its answers and its errors.
   */
 object DotProductFusion extends Rule[LogicalPlan] {
 

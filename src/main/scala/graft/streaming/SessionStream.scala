@@ -63,8 +63,19 @@ object SessionStream {
       open match {
         case Some(s) if s.isTombstone =>
           open = Some(OpenSession(s.seq + 1, us, us, 1L))
+        case Some(s) if us < s.startUs - gapUs =>
+          // cross-batch straggler predating the open session by more
+          // than the gap: in event-time order it forms its own earlier
+          // session. The open session is not yet emitted, so renumber
+          // it after the straggler — ids stay event-time-ordered.
+          closed += close(userId, OpenSession(s.seq, us, us, 1L))
+          open = Some(s.copy(seq = s.seq + 1))
         case Some(s) if us - s.lastUs <= gapUs =>
-          open = Some(s.copy(lastUs = math.max(s.lastUs, us), steps = s.steps + 1))
+          // merge against the whole [startUs, lastUs] span: a late
+          // event inside (or gap-close to) the session extends BOTH
+          // ends, so visit_length_s counts it like the batch twin does
+          open = Some(s.copy(startUs = math.min(s.startUs, us),
+            lastUs = math.max(s.lastUs, us), steps = s.steps + 1))
         case Some(s) =>
           closed += close(userId, s)
           open = Some(OpenSession(s.seq + 1, us, us, 1L))

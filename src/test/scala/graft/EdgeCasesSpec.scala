@@ -108,4 +108,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.ops.AdAnalytics.blacklist(parsed).count() == 0)
     assert(graft.ops.AdAnalytics.provinceTopAds(parsed).count() == 0)
   }
+
+  // The q28-q30/q34 oracles equate DuckDB character positions/codes
+  // with Spark byte offsets (Winnow hashes UTF-8 bytes, the media
+  // oracles use substr/ord). That equivalence holds iff documents.text
+  // is pure ASCII — asserted here against the actual testdata instead
+  // of only in comments. Non-ASCII corpora need byte-based oracles
+  // (encode() + code-point arithmetic) before reusing those queries.
+  test("testdata documents.text is pure ASCII (byte==char oracle precondition)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nonAscii = docs.filter(col("text").isNotNull &&
+      (octet_length(col("text")) =!= length(col("text")) ||
+        col("text").rlike("[^\\x00-\\x7F]")))
+    assert(nonAscii.count() == 0,
+      "documents.text contains non-ASCII; q28-q30/q34 oracles assume byte==char")
+  }
 }

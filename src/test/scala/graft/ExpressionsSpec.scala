@@ -36,6 +36,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(out(2).isNullAt(0))
   }
 
+  test("DotProductLong overflow semantics track ANSI mode like the built-in chain") {
+    val big = spark.sql(
+      s"SELECT array(${Long.MaxValue}L) AS a, array(2L) AS b")
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      // ANSI on (Spark 4 default): both formulations must THROW, not wrap
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      intercept[Exception] {
+        big.select(expr(
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          .collect()
+      }
+      intercept[Exception] {
+        big.select(DotProductLong.dot(col("a"), col("b"))).collect()
+      }
+      // ANSI off: both silently wrap to the same value
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val wrapped = big.select(
+        DotProductLong.dot(col("a"), col("b")).as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("builtin")).head()
+      assert(wrapped.getLong(0) == wrapped.getLong(1))
+      assert(wrapped.getLong(0) == Long.MaxValue * 2L) // wrapped, not thrown
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
+
   test("SimHash expression plan is narrow (no explode, no shuffle)") {
     val plan = graft.ops.Dedup.simhash(Tables(spark, sf, "documents"))
       .queryExecution.executedPlan.toString

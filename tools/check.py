@@ -24,6 +24,18 @@ def norm(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def type_drift(con, sql, files):
+    """Decimal/type drift the driver's hash is sensitive to but the
+    stringified compare is not: report oracle-vs-spark arrow types that
+    disagree (e.g. a bare DuckDB SUM(decimal) vs Spark decimal sum)."""
+    import pyarrow.parquet as pq
+    want = {f.name: str(f.type) for f in con.sql(sql).arrow().schema}
+    sch = pq.read_schema(files[0])
+    got = {n: str(sch.field(n).type) for n in sch.names}
+    return [f"{c}: oracle={want[c]} spark={got[c]}"
+            for c in sorted(set(want) & set(got)) if want[c] != got[c]]
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -58,7 +70,11 @@ def main(sf_dir, out_dir):
             print("  got: ", g[diff].head(2).to_dict("records"))
             failed.append(name)
         else:
-            print(f"PASS {name} ({len(g)} rows)")
+            drift = type_drift(con, sql, files)
+            if drift:
+                print(f"PASS {name} ({len(g)} rows) TYPE-DRIFT: {'; '.join(drift)}")
+            else:
+                print(f"PASS {name} ({len(g)} rows)")
     print(f"\n{len(oracles) - len(failed)}/{len(oracles)} passed")
     return 1 if failed else 0
 
