@@ -102,10 +102,20 @@ object AdAnalytics {
   }
 
   /** T7: per-minute click counts per ad over the trailing
-    * `windowMinutes` ending at the data's max ts. */
+    * `windowMinutes` ending at the data's max ts.
+    *
+    * The trailing-window anchor (max ts) and the bucketed counts both
+    * need a full pass over the click stream; a naive scalar-subquery
+    * formulation runs the parse+dimension-join lineage TWICE. We
+    * persist the two-column (ts, ad_id) projection instead — at scale
+    * that is the classic "cache the slim projection you pass twice":
+    * 16 bytes/row columnar versus re-reading and re-joining the fact
+    * table, and both passes over it are embarrassingly parallel. */
   def clickTrend(adClicks: DataFrame, windowMinutes: Int = 60): DataFrame = {
-    val mx = adClicks.agg(max(col("ts")).as("mx"))
-    adClicks
+    val slim = adClicks.select(col("ts"), col("ad_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = slim.agg(max(col("ts")).as("mx"))
+    slim
       .crossJoin(mx) // 1 row, broadcast
       .filter(col("ts") >= col("mx") - expr(s"INTERVAL $windowMinutes MINUTES"))
       .groupBy(

@@ -33,27 +33,41 @@ object AreaTopProducts {
     val geo = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
         col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region.select(col("r_regionkey"), col("r_name").as("area"))),
         col("n_regionkey") === col("r_regionkey"))
-      .select(col("o_orderkey"), col("n_nationkey"), col("n_name"), col("area"))
+      .select(col("o_orderkey"), col("n_nationkey"), col("area"))
 
     // J7 analog: fact ⋈ geography. orders:lineitem is 1:N on orderkey —
     // geo is dimension-shaped relative to lineitem only at small SF; at
-    // scale this is the one sort-merge join, on the natural key.
+    // scale this is the one sort-merge join, on the natural key. Only
+    // the integer nation key rides through it — the display string is
+    // re-attached at aggregate grain below.
     val clicks = lineitem.select(col("l_orderkey"), col("l_partkey").as("product_id"))
       .join(geo, col("l_orderkey") === col("o_orderkey"))
 
     // A6/A7: per (area, product) count + distinct nation concat.
+    // collect_set gathers the INT key (small fixed-width sets through
+    // partial agg + shuffle); the `id:name` tokens are built after the
+    // aggregate — fact-cardinality string building was the hot spot —
+    // via a 1-row broadcast map over the nation dim (the reference's
+    // own J2 broadcast-map-lookup pattern). String-sorting the final
+    // 5-element arrays keeps the reference's lexicographic token order.
+    val cityMap = nation.groupBy().agg(
+      map_from_entries(collect_list(struct(
+        col("n_nationkey"),
+        concat(col("n_nationkey").cast("string"), lit(":"), col("n_name"))))).as("city_names"))
     val counted = clicks
       .groupBy(col("area"), col("product_id"))
       .agg(
         count(lit(1)).as("click_count"),
-        concat_ws(",",
-          array_sort(collect_set(
-            concat(col("n_nationkey").cast("string"), lit(":"), col("n_name"))))
-        ).as("city_infos"))
+        collect_set(col("n_nationkey")).as("nk_set"))
+      .crossJoin(broadcast(cityMap)) // 1 row
+      .withColumn("city_infos",
+        concat_ws(",", array_sort(
+          transform(col("nk_set"), k => element_at(col("city_names"), k)))))
+      .drop("nk_set", "city_names")
 
     // J8 + F2/F4 analog: product dim join + derived status.
     val withProduct = counted

@@ -28,10 +28,12 @@ object StratifiedExtract {
     * @param target   total sessions to draw (reference: 100/task) */
   def apply(sessions: DataFrame, target: Long = 100L): DataFrame = {
     // The session-grain frame feeds both the quota aggregate and the
-    // final rank — persist it so its (sessionize + aggregate) lineage
-    // runs once, not once per branch. Session grain is orders of
-    // magnitude smaller than the event input; disk-backed for safety.
+    // final rank — persist it (pruned to the columns both branches
+    // need) so its (sessionize + aggregate) lineage runs once, not
+    // once per branch. Session grain is orders of magnitude smaller
+    // than the event input; disk-backed for safety.
     val keyed = sessions
+      .select(col("session_id"), col("start_time"), col("event_types"))
       .withColumn("date", substring(col("start_time"), 1, 10))
       .withColumn("date_hour",
         concat(substring(col("start_time"), 1, 10), lit("_"),
@@ -41,15 +43,20 @@ object StratifiedExtract {
     // Quota table: strata counts are aggregate-grain (days × 24 rows)
     // — partial aggregation shuffles only (key, count) pairs, and the
     // quota frame broadcast-joins back. The session frame itself is
-    // shuffled exactly ONCE (the per-stratum rank window); the old
-    // formulation's two count-windows re-shuffled it twice more.
-    val strata = keyed.groupBy(col("date"), col("date_hour"))
+    // shuffled exactly ONCE (the per-stratum rank window). Day totals
+    // and the day count are derived from the tiny strata frame inside
+    // ONE single-partition window stage (coalesce(1) plans as
+    // SinglePartition, so neither window adds an exchange) instead of
+    // a days-aggregate + count-aggregate + cross-join chain — three
+    // fewer sequential stages on kilobyte-sized data.
+    val wholeFrame = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = keyed.groupBy(col("date"), col("date_hour"))
       .agg(count(lit(1)).as("hour_count"))
-    val days = strata.groupBy(col("date")).agg(sum(col("hour_count")).as("day_count"))
-    val nDays = days.agg(count(lit(1)).as("n_days"))
-    val quotas = strata
-      .join(days, "date")
-      .crossJoin(nDays) // 1 row
+      .coalesce(1)
+      .withColumn("day_count",
+        sum(col("hour_count")).over(Window.partitionBy(col("date"))))
+      .withColumn("n_days",
+        size(collect_set(col("date")).over(wholeFrame)).cast("long"))
       .withColumn("per_day", expr(s"$target div n_days"))
       .withColumn("hour_quota", expr("(hour_count * per_day) div day_count"))
       .select(col("date_hour"), col("hour_quota"))
