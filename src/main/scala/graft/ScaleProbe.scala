@@ -18,6 +18,13 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "32")
+      // collect_set/collect_list aggregates (bounded per-group sets:
+      // <=25 nation tokens, <=5 event types, fixed-width minhash sigs)
+      // otherwise fall back to sort-based aggregation after only 128
+      // distinct groups per task -- a full sort of the fact table.
+      // 256k in-memory groups x ~100 B of set payload stays well under
+      // executor memory at 32 tasks while keeping the agg hash-based.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 262144)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

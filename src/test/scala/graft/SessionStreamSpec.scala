@@ -114,6 +114,64 @@ class SessionStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late event within gap of the open session extends BOTH ends of its span") {
+    // batch 1 opens [1000, 1060]; batch 2 delivers a late-but-within-
+    // watermark event at 500 (wm after batch 1 = 1060-600 = 460): it
+    // must merge AND pull start_us back so visit_length_s counts it.
+    val out = runStream(Seq(
+      Seq(Ev(1, 1, ts(1000), "view"), Ev(1, 2, ts(1060), "click")),
+      Seq(Ev(1, 3, ts(500), "view")),
+      Seq(Ev(99, 9, ts(100000), "view")))) // timeout pusher
+    val s1 = out.find(_.session_id == "1_1").get
+    assert(s1.step_length == 3, s"got $out")
+    assert(s1.visit_length_s == 560, s"start not extended backward: $out")
+  }
+
+  test("straggler older than gap before the open session forms its own earlier session") {
+    // gap=100s, wm delay 600s. Batch 1 opens a session at t=3000
+    // (wm -> 2400). Batch 2's straggler at t=2500 is within the
+    // watermark but >gap before the open session's start: event-time
+    // order says it is its OWN earlier session; the open session is
+    // renumbered after it.
+    val out = runStream(Seq(
+      Seq(Ev(1, 1, ts(3000), "view")),
+      Seq(Ev(1, 2, ts(2500), "view")),
+      Seq(Ev(99, 9, ts(100000), "view"))), gapSeconds = 100L)
+    val u1 = out.filter(_.user_id == 1).sortBy(_.session_id)
+    assert(u1.map(_.session_id) == Seq("1_1", "1_2"), s"got $out")
+    val first = u1.head
+    assert(first.start_us == ts(2500).getTime * 1000L && first.step_length == 1)
+    val second = u1(1)
+    assert(second.start_us == ts(3000).getTime * 1000L && second.step_length == 1)
+  }
+
+  test("updateUser transition function: straggler + span-extension paths (direct)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def usOf(sec: Long) = (T0 + sec * 1000) * 1000L
+    // open session [1000s, 1060s], seq 3
+    val open = SessionStream.OpenSession(3L, usOf(1000), usOf(1060), 2L)
+
+    // (a) late event gap-close BEFORE start extends the span backward
+    val stA = TestGroupState.create[SessionStream.OpenSession](
+      org.apache.spark.api.java.Optional.of(open), GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val outA = SessionStream.updateUser(1800L)(
+      1L, Iterator(Ev(1, 7, ts(500), "view")), stA).toSeq
+    assert(outA.isEmpty)
+    assert(stA.get == SessionStream.OpenSession(3L, usOf(500), usOf(1060), 3L))
+
+    // (b) straggler more than gap before start: closes as its own
+    // session under the CURRENT seq; open session renumbered seq+1
+    val stB = TestGroupState.create[SessionStream.OpenSession](
+      org.apache.spark.api.java.Optional.of(open), GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val outB = SessionStream.updateUser(100L)(
+      1L, Iterator(Ev(1, 8, ts(200), "view")), stB).toSeq
+    assert(outB.map(_.session_id) == Seq("1_3"), s"got $outB")
+    assert(outB.head.start_us == usOf(200) && outB.head.end_us == usOf(200))
+    assert(stB.get == SessionStream.OpenSession(4L, usOf(1000), usOf(1060), 2L))
+  }
+
   test("parity with batch Sessionize on replayed history") {
     val s = spark
     import s.implicits._

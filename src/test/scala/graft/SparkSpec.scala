@@ -9,6 +9,10 @@ object TestSpark {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // match the Bench/Verify session tuning: keep bounded-set
+    // collect_set aggregates hash-based instead of sort-falling-back
+    // after 128 groups (see Bench.scala for the sizing rationale)
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 262144)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     // per-JVM temp warehouse: managed-table locations (bucketing tests)
