@@ -1,0 +1,117 @@
+package graft
+
+/** Physical-plan audits: the scale properties the operators were
+  * designed around, pinned as assertions so a refactor that silently
+  * adds a shuffle, drops a pushed filter, widens a scan, or loses a
+  * rank pushdown fails CI instead of surfacing as a 100 TB regression.
+  *
+  * Counts use the pre-AQE physical plan (deterministic for the fixed
+  * sf0.001 test tables); shuffle exchanges are counted separately from
+  * broadcast exchanges — broadcasts of dimension/aggregate-grain
+  * frames are the design, fact shuffles are the budget.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Drop the cached-lineage subtrees (lines printed under an
+    * InMemoryRelation) so shuffle counts see only the LIVE plan — the
+    * build side of a persisted frame runs once at materialization, and
+    * the tree printer repeats it under every InMemoryTableScan. */
+  private def stripCached(p: String): String = {
+    def depth(line: String): Int = line.indexWhere(_.isLetter) match {
+      case -1 => Int.MaxValue
+      case i  => i
+    }
+    val out = Seq.newBuilder[String]
+    var skipBelow = -1
+    p.split("\n").foreach { line =>
+      val d = depth(line)
+      if (skipBelow >= 0 && d <= skipBelow) skipBelow = -1
+      if (skipBelow < 0) {
+        out += line
+        if (line.contains("InMemoryRelation")) skipBelow = d
+      }
+    }
+    out.result().mkString("\n")
+  }
+
+  /** Live-plan shuffle exchanges only (hash/range/single-partition) —
+    * not BroadcastExchange, not cached-lineage shuffles. */
+  private def shuffles(p: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(stripCached(p)).length
+
+  test("q01 pricing summary: one shuffle; scan pruned to the 5 referenced columns") {
+    val p = plan("q01_pricing_summary")
+    assert(shuffles(p) == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_orderkey"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q02 sessionize: the session aggregate reuses the window's user_id partitioning (one shuffle total)") {
+    // groupBy(session_id, user_id) — user_id in the grouping key lets
+    // hashpartitioning(user_id) satisfy the aggregate's distribution,
+    // so sessionize = exactly one fact shuffle end-to-end.
+    val p = plan("q02_sessionize")
+    assert(shuffles(p) == 1, p)
+  }
+
+  test("q05 top categories: one shuffle + TakeOrderedAndProject (no global sort of the aggregate)") {
+    val p = plan("q05_top_categories")
+    assert(shuffles(p) == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q06/q08/q25 rank-filter queries plan WindowGroupLimit (partial top-N before the shuffle)") {
+    Seq("q06_top_sessions_per_category", "q08_area_top3_products",
+      "q25_knn_bruteforce").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost the rank pushdown:\n$p")
+    }
+  }
+
+  test("q08 area top-3: dimension chain is all broadcast; at most one non-broadcast join") {
+    val p = plan("q08_area_top3_products")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("q09 semi join: lineitem date range reaches the parquet scan as pushed filters") {
+    val p = plan("q09_order_priority_semi")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("q12 stratified sample: two live shuffles, persisted session frame reused by both branches, single-stage quota window") {
+    val p = plan("q12_stratified_sample")
+    // strata aggregate shuffle + rank-window shuffle; the sessionize
+    // user-window shuffle runs once inside the persisted frame
+    assert(shuffles(p) == 2, stripCached(p))
+    assert("InMemoryRelation".r.findAllIn(p).length >= 2, s"persist not reused:\n$p")
+    assert(p.contains("Coalesce 1"), s"quota arithmetic left the single-partition stage:\n$p")
+  }
+
+  test("q16 click trend: slim (ts, ad_id) cache feeds BOTH the max-anchor and the bucketed counts") {
+    val p = plan("q16_click_trend")
+    assert(shuffles(p) == 2, stripCached(p)) // SinglePartition max + grouped counts
+    assert("InMemoryRelation \\[ts#\\d+, ad_id#\\d+L?\\]".r.findAllIn(p).length >= 2,
+      s"projection cache not shared by both passes:\n$p")
+    // the heavy parse+join lineage must appear only under the cache
+    assert(!stripCached(p).contains("get_json_object"),
+      s"json parse escaped the cache:\n${stripCached(p)}")
+  }
+
+  test("q24 simhash: per-row signature is narrow (zero shuffles, no explode)") {
+    val p = plan("q24_simhash")
+    assert(shuffles(p) == 0, p)
+    assert(!p.contains("Generate"), s"explode crept in:\n$p")
+  }
+
+  test("q28 media metadata: metadata-only query never reads payload-equivalent text twice or shuffles") {
+    val p = plan("q28_media_metadata")
+    assert(shuffles(p) == 0, p)
+  }
+}
