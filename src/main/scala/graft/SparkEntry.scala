@@ -59,7 +59,10 @@ object SparkEntry {
     "q36_rollup_totals" -> (Queries.rollupTotals _),
     // no oracleSql (approx sketch differs per engine) → driver records
     // the weaker rows-only check; ApproxSpec pins the 1.5% rsd bound.
-    "q37_approx_distinct" -> (Queries.approxDistinct _)
+    "q37_approx_distinct" -> (Queries.approxDistinct _),
+    // no oracleSql (sketch internals differ per engine) → rows-only
+    // check; ApproxSpec pins the accuracy bound against q35's exact twin.
+    "q38_approx_median" -> (Queries.approxMedian _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -217,6 +220,10 @@ object Queries {
 
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Percentiles.approxDistinct(Tables(spark, dir, "orders"), "o_orderpriority", "o_custkey")
+
+  def approxMedian(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.approxMedianCents(Tables(spark, dir, "lineitem"),
+      "l_returnflag", "l_quantity")
 
   // ---- training-data pipeline: deduplication ----
 

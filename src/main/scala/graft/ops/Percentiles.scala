@@ -60,6 +60,21 @@ object Percentiles {
         coalesce(col(b), lit("ALL")).as(b),
         col("n_rows"), col("total"))
 
+  /** Approximate per-group median in cents via a mergeable quantile
+    * sketch (`percentile_approx`) — the scale path for genuinely
+    * CONTINUOUS value domains, where the exact histogram plan above
+    * degenerates (|distinct values| → |rows|). Fixed-size sketch per
+    * group, partial-merged map-side; the shuffle carries sketches,
+    * never values. Same output grain/units as medianCents so the two
+    * are drop-in alternatives. */
+  def approxMedianCents(df: DataFrame, groupCol: String, valueCol: String,
+      accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        floor(percentile_approx(col(valueCol), lit(0.5), lit(accuracy)) * 100)
+          .cast("long").as("approx_median_cents"),
+        count(lit(1)).as("n_rows"))
+
   /** HyperLogLog++ approximate distinct — the count-distinct that
     * scales (fixed-size sketch per group, mergeable map-side; exact
     * distinct shuffles every value). rsd 1.5% ≈ 12KB sketches. */

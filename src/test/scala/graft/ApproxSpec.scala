@@ -16,4 +16,19 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
     }
   }
+
+  test("approx median tracks the exact histogram median per group") {
+    val li = graft.tables.Tables(spark, sf, "lineitem")
+    val exact = graft.ops.Percentiles.medianCents(li, "l_returnflag", "l_quantity")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.ops.Percentiles.approxMedianCents(li, "l_returnflag", "l_quantity")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      // sketch quantile definitions differ from the rank-midpoint by at
+      // most one value step on a discrete domain; quantity steps are
+      // whole units (100 cents)
+      assert(math.abs(a - e) <= 100, s"$k: approx $a vs exact $e")
+    }
+  }
 }
