@@ -40,13 +40,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, once(name, fn), once(name, fn))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3-decimal times: full-precision doubles once made this line
+    // ~5 KB and the harness's captured-output tail truncated its FRONT,
+    // breaking the JSON parse (round-1 BENCH has parsed:null). Millis
+    // resolution is below run-to-run noise anyway.
+    def f(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val steady = results.map { case (k, _, w) => s"\"" + k + "\":" + w }
+    val steady = results.map { case (k, _, w) => s"\"" + k + "\":" + f(w) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val steadyTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_total":$steadyTotal,"steady_queries":$steady,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"steady_total":${f(steadyTotal)},"steady_queries":$steady,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
