@@ -48,8 +48,28 @@ object ScaleProbe {
       Seq("doc_id"), 10000000L)
     val emb = amplify(graft.tables.Tables(spark, dir, "embeddings"),
       Seq("vec_id"), 10000000L)
+    // fact-side amplification for the star queries: order keys shift in
+    // lockstep so lineitem⋈orders stays 1:N; customer keys are NOT
+    // shifted (dimensions don't grow), so each customer simply has
+    // mult× the orders — the realistic way a fact table scales.
+    val lineitem = amplify(graft.tables.Tables(spark, dir, "lineitem"),
+      Seq("l_orderkey"), 100000000L)
+    val orders = amplify(graft.tables.Tables(spark, dir, "orders"),
+      Seq("o_orderkey"), 100000000L)
+    def dim(n: String) = graft.tables.Tables(spark, dir, n)
 
     t("sessionize+aggregate")(graft.ops.Sessionize(events))
+    t("area top products")(graft.ops.AreaTopProducts(
+      lineitem, orders, dim("customer"), dim("nation"), dim("region"), dim("part")))
+    // user_id stays unshifted here: ad clicks join user→customer, and
+    // the dimension doesn't grow — each user just clicks mult× more.
+    val eventsSameUsers = amplify(graft.tables.Tables(spark, dir, "events"),
+      Seq("event_id"), 10000000L)
+    t("click trend")(graft.ops.AdAnalytics.clickTrend(
+      graft.ops.AdAnalytics.eventsAsAdClicks(
+        eventsSameUsers, dim("customer"), dim("nation"), dim("region"))))
+    t("stratified extract")(graft.ops.StratifiedExtract(
+      graft.ops.Sessionize(events), target = 1000L))
     t("top sessions/category")(graft.ops.TopK.topSessionsPerCategory(
       graft.ops.Sessionize.assignSessions(events)))
     t("minhash dedup pairs")(graft.ops.Dedup.minhashDedupPairs(docs))

@@ -115,19 +115,71 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline: candidates → verified pairs at
     * `thresholdBp` Jaccard.
     *
-    * The shingle subtree (tokenize + shingle + 16 md5-min transforms)
-    * is the dominant cost, and the band self-join + verify joins would
-    * evaluate it four times; persist it once instead. At corpus scale
-    * this is the standard signature-materialization step (disk-backed
-    * so 100 TB inputs spill rather than OOM). */
+    * Scale shape (same exact-before-near design as ngramDedupKept):
+    * signatures, banding, and Jaccard verification all run at
+    * DISTINCT-TEXT grain — d exact copies of a document share one
+    * representative, so they cost one signature and one verification
+    * instead of d signatures and d² verifications (replay-heavy crawl
+    * corpora are the norm at 100 TB; a 10× replay made the naive
+    * formulation 7× slower in ScaleProbe). The quadratic part that
+    * remains is pair EMISSION, which is the answer itself:
+    *  - intra-group pairs are identical texts → Jaccard 10000 bp,
+    *    inter = uni = |shingles|, qualifying whenever the group
+    *    shingles are non-empty (empty-shingle pairs are 0/0 → 0 bp,
+    *    below any threshold — same as the pairwise formulation);
+    *  - cross-group candidacy and Jaccard depend only on the text, so
+    *    verified representative pairs expand to all member pairs via
+    *    two cheap equi-joins on the text-hash key.
+    * Output is row-for-row identical to the direct pairwise oracle.
+    *
+    * The representative-grain signature frame is persisted once
+    * (disk-backed): the band self-join and the two verify joins would
+    * otherwise re-run the tokenize + shingle + md5-min subtree. */
   def minhashDedupPairs(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
-    val sig = minhashSignature(docs)
-      .select(col("doc_id") +: col("shingles") +:
+    require(thresholdBp >= 1L && thresholdBp <= 10000L,
+      "thresholdBp must be in [1, 10000]")
+    // null-safe group key (md5(NULL) is NULL; sentinel is not hex so it
+    // cannot collide with a real hash)
+    val withTh = docs.withColumn("th",
+      coalesce(md5(col("text")), lit("<null-text>")))
+    val members = withTh.select(col("th"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = withTh.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+    val sig = minhashSignature(reps)
+      .select(col("th") +: col("doc_id") +: col("shingles") +:
         (0 until NumHashes).map(k => col(f"mh$k%02d")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = sig.select(col("doc_id"), col("shingles"))
-    verifyJaccard(lshCandidatePairsFromBands(lshBands(sig)), sh)
+    val repKey = sig.select(col("th"), col("doc_id"),
+      size(col("shingles")).cast("long").as("n_sh"))
+
+    // cross-group: verify once per representative pair, then expand to
+    // member pairs (disjoint groups → each member pair appears once)
+    val repPairs = verifyJaccard(lshCandidatePairsFromBands(lshBands(sig)), sh)
       .filter(col("jaccard_bp") >= thresholdBp)
+    val cross = repPairs
+      .join(repKey.select(col("doc_id").as("doc_a"), col("th").as("th_a")), "doc_a")
+      .join(repKey.select(col("doc_id").as("doc_b"), col("th").as("th_b")), "doc_b")
+      .join(members.select(col("th").as("th_a"), col("doc_id").as("m_a")), "th_a")
+      .join(members.select(col("th").as("th_b"), col("doc_id").as("m_b")), "th_b")
+      .select(
+        least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"),
+        col("inter"), col("uni"), col("jaccard_bp"))
+
+    // intra-group: identical texts — no verification needed
+    val intra = members.as("x")
+      .join(members.as("y"),
+        col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.th").as("th"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .join(repKey.filter(col("n_sh") > 0).select(col("th"), col("n_sh")), "th")
+      .select(col("doc_a"), col("doc_b"),
+        col("n_sh").as("inter"), col("n_sh").as("uni"),
+        lit(10000L).as("jaccard_bp"))
+
+    cross.unionByName(intra)
   }
 
   /** n-gram-Jaccard dedup with fingerprint blocking: pairs sharing the
