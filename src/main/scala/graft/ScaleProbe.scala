@@ -75,6 +75,8 @@ object ScaleProbe {
     t("minhash dedup pairs")(graft.ops.Dedup.minhashDedupPairs(docs))
     t("ngram dedup kept")(graft.ops.Dedup.ngramDedupKept(docs))
     t("simhash signatures")(graft.ops.Dedup.simhash(docs))
+    t("simhash pairs")(graft.ops.Dedup.simhashPairs(docs))
+    t("embedding neardup")(graft.ops.Similarity.nearDupPairs(emb))
     t("winnow fingerprints")(graft.ops.TextAnalysis.winnowFingerprints(docs))
     t("knn bruteforce")(graft.ops.Similarity.knnBruteForce(emb, col("vec_id") % 500 === 0))
     t("ivf ann")(graft.ops.Similarity.ivfAnn(emb, col("vec_id") % 500 === 0))

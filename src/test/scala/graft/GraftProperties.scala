@@ -141,6 +141,37 @@ object GraftProperties extends Properties("graft") {
       sig(1L) == sig(2L)
     }
 
+  /** Corpora with forced duplicate groups, near-dup mutations, a
+    * too-short doc, and a null text — the shapes the collapsed
+    * minhashDedupPairs must agree on with the direct formulation. */
+  private val genCorpus: Gen[Seq[(Long, String)]] = for {
+    nBase <- Gen.choose(2, 4)
+    bases <- Gen.listOfN(nBase, genTokens)
+    mults <- Gen.listOfN(nBase, Gen.choose(1, 4))
+    mutate <- Gen.oneOf(true, false)
+  } yield {
+    val docs = bases.zip(mults).flatMap { case (toks, m) =>
+      val exact = Seq.fill(m)(toks.mkString(" "))
+      val near = if (mutate) Seq((toks.init :+ "omega").mkString(" ")) else Nil
+      exact ++ near
+    } ++ Seq("tiny doc", null)
+    docs.zipWithIndex.map { case (t, i) => (i + 1L, t) }
+  }
+
+  property("minhashDedupPairs (collapsed) == direct pairwise formulation") =
+    forAll(genCorpus) { corpus =>
+      val s = spark
+      import s.implicits._
+      val docs = corpus.toDF("doc_id", "text")
+      def key(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      val collapsed = Dedup.minhashDedupPairs(docs, 8000L).collect().map(key).toSet
+      val sh = Dedup.withShingles(docs).select(col("doc_id"), col("shingles"))
+      val direct = Dedup.verifyJaccard(Dedup.lshCandidatePairs(docs), sh)
+        .filter(col("jaccard_bp") >= 8000L).collect().map(key).toSet
+      collapsed == direct
+    }
+
   property("funnel rates are non-negative and floor-exact") =
     forAll(genEvents) { rows =>
       val out = graft.ops.PageFunnel(spark,
