@@ -83,7 +83,9 @@ object Similarity {
     val queries = q.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("bucket"),
         col("q").as("q_q"), col("n2").as("q_n2"))
-    val scored = q.join(queries, "bucket")
+    // queries are small by contract (a predicate-selected probe set):
+    // broadcast them so the corpus never shuffles on the bucket key
+    val scored = q.join(broadcast(queries), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_bp", cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))
     val w = Window.partitionBy(col("query_id"))
@@ -136,7 +138,10 @@ object Similarity {
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") === 1)
       .select(col("query_id"), col("q_q"), col("q_n2"), col("label"))
-    val scored = q.join(assigned, "label")
+    // one row per query after the probe rank: broadcast, so the corpus
+    // is joined in place (shuffling 100 TB on the list key to meet a
+    // handful of probes would be the wrong side moving)
+    val scored = q.join(broadcast(assigned), "label")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_bp", cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))
     val w = Window.partitionBy(col("query_id"))
