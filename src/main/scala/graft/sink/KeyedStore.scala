@@ -18,11 +18,17 @@ import java.util.concurrent.ConcurrentHashMap
   */
 trait KeyedStore extends AutoCloseable {
   def increment(table: String, key: Seq[String], delta: Long): Unit
+  def get(table: String, key: Seq[String]): Option[Long]
   def put(table: String, key: Seq[String], value: Long): Unit
   def insertKey(table: String, key: Seq[String]): Unit
   def replaceGroup(table: String, groupPrefix: Seq[String],
       rows: Seq[(Seq[String], Long)]): Unit
   def scan(table: String): Seq[(List[String], Long)]
+  /** Keys under a leading-components prefix — the indexed range read a
+    * real store serves from its primary key (overridden with a WHERE
+    * clause in JdbcStore); the default is correct for any store. */
+  def scanPrefix(table: String, prefix: Seq[String]): Seq[(List[String], Long)] =
+    scan(table).filter(_._1.startsWith(prefix))
   def close(): Unit
 
   /** Transaction brackets for exactly-once batch application: every
@@ -55,6 +61,8 @@ final class InMemoryStore(name: String) extends KeyedStore {
   private val m = InMemoryStore.registry(name)
   def increment(table: String, key: Seq[String], delta: Long): Unit =
     m.merge((table, key.toList), delta, (a, b) => a + b)
+  def get(table: String, key: Seq[String]): Option[Long] =
+    Option(m.get((table, key.toList))).map(_.longValue())
   def put(table: String, key: Seq[String], value: Long): Unit =
     m.put((table, key.toList), value)
   def insertKey(table: String, key: Seq[String]): Unit =
@@ -125,6 +133,16 @@ final class JdbcStore(conn: Connection) extends KeyedStore {
     }
   }
 
+  def get(table: String, key: Seq[String]): Option[Long] = {
+    val st = conn.prepareStatement(
+      s"SELECT v FROM $table WHERE ${where(key.size)}")
+    try {
+      setKeys(st, key)
+      val rs = st.executeQuery()
+      if (rs.next()) Some(rs.getLong(1)) else None
+    } finally st.close()
+  }
+
   def insertKey(table: String, key: Seq[String]): Unit =
     try insert(table, key, 0L) catch {
       case e: java.sql.SQLException if isDupKey(e) => () // already present
@@ -142,6 +160,21 @@ final class JdbcStore(conn: Connection) extends KeyedStore {
     val st = conn.createStatement()
     try {
       val rs = st.executeQuery(s"SELECT * FROM $table")
+      val nk = rs.getMetaData.getColumnCount - 1
+      val out = Seq.newBuilder[(List[String], Long)]
+      while (rs.next())
+        out += (((1 to nk).map(rs.getString).toList, rs.getLong(nk + 1)))
+      out.result()
+    } finally st.close()
+  }
+
+  override def scanPrefix(table: String,
+      prefix: Seq[String]): Seq[(List[String], Long)] = {
+    val st = conn.prepareStatement(
+      s"SELECT * FROM $table WHERE ${where(prefix.size)}")
+    try {
+      setKeys(st, prefix)
+      val rs = st.executeQuery()
       val nk = rs.getMetaData.getColumnCount - 1
       val out = Seq.newBuilder[(List[String], Long)]
       while (rs.next())
