@@ -119,6 +119,33 @@ class ExpressionsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = before
   }
 
+  test("custom expressions: interpreted eval agrees with codegen") {
+    // Spark silently falls back to interpreted expression evaluation
+    // (codegen failure, wide schemas, factoryMode) — a divergence
+    // between an expression's eval() and its doGenCode() would corrupt
+    // results only on that path. Pin equality over the real tables.
+    val docs = Tables(spark, sf, "documents")
+    val emb = Tables(spark, sf, "embeddings")
+    def outputs(): Seq[Seq[String]] = Seq(
+      graft.ops.Dedup.minhashSignature(docs)
+        .select(col("doc_id"), col("mh00"), col("mh07"), col("mh15")),
+      graft.ops.Dedup.simhash(docs),
+      graft.ops.TextAnalysis.winnowFingerprints(docs),
+      graft.ops.Similarity.quantized(emb)
+        .select(col("vec_id"), DotProductLong.dot(col("q"), col("q")).as("n2"))
+    ).map(_.collect().map(_.toString).sorted.toSeq)
+    val viaCodegen = outputs()
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(outputs() == viaCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("DotProductLong participates in WholeStageCodegen") {
     val q = graft.ops.Similarity.quantized(Tables(spark, sf, "embeddings"))
     val plan = q.select(DotProductLong.dot(col("q"), col("q")).as("n2"))
