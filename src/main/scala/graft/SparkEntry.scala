@@ -62,7 +62,8 @@ object SparkEntry {
     "q37_approx_distinct" -> (Queries.approxDistinct _),
     // no oracleSql (sketch internals differ per engine) → rows-only
     // check; ApproxSpec pins the accuracy bound against q35's exact twin.
-    "q38_approx_median" -> (Queries.approxMedian _)
+    "q38_approx_median" -> (Queries.approxMedian _),
+    "q39_user_activity" -> (Queries.userActivity _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -224,6 +225,22 @@ object Queries {
   def approxMedian(spark: SparkSession, dir: String): DataFrame =
     Percentiles.approxMedianCents(Tables(spark, dir, "lineitem"),
       "l_returnflag", "l_quantity")
+
+  /** A10/W6: the reference's Spark-2 Dataset demo surface
+    * (UserActiveDegreeAnalyze.scala:56-82,96-133) — per-user activity
+    * ranking: action count + decimal-exact purchase total, top-10 by
+    * count with id tie-break. One shuffle (user aggregate), then
+    * TakeOrderedAndProject. */
+  def userActivity(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("action_count"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)).cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("purchase_total"))
+      .orderBy(col("action_count").desc, col("user_id").asc)
+      .limit(10)
 
   // ---- training-data pipeline: deduplication ----
 
@@ -828,6 +845,16 @@ object Oracles {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q39_user_activity" ->
+      """SELECT user_id, COUNT(*) AS action_count,
+        |       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+        |                          ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |         AS purchase_total
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY action_count DESC, user_id ASC
+        |LIMIT 10""".stripMargin,
 
     "q34_winnow_fingerprints" ->
       """WITH h AS (
