@@ -202,6 +202,17 @@ class StreamingSpec extends SparkSpec {
     st3.close()
     val st4 = new JdbcStore(DriverManager.getConnection(s"jdbc:derby:$dir/db"))
     assert(st4.scan("ad_stat").toMap.apply(List("d", "p")) == 105L)
+
+    // point-get and indexed prefix scan (the batch-proportional reads
+    // statsBatch relies on; the JDBC override must agree with the
+    // trait's scan-and-filter default)
+    assert(st4.get("ad_stat", Seq("d", "p")).contains(105L))
+    assert(st4.get("ad_stat", Seq("d", "absent")).isEmpty)
+    st4.put("ad_stat", Seq("e", "p"), 1L)
+    assert(st4.scanPrefix("ad_stat", Seq("d")).toMap ==
+      st4.scan("ad_stat").filter(_._1.startsWith(Seq("d"))).toMap)
+    assert(st4.scanPrefix("ad_stat", Seq("d")).toMap ==
+      Map(List("d", "p") -> 105L, List("d", "q") -> 4L))
     st4.close()
   }
 }
