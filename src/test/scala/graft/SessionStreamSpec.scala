@@ -172,6 +172,52 @@ class SessionStreamSpec extends SparkSpec {
     assert(stB.get == SessionStream.OpenSession(4L, usOf(1000), usOf(1060), 2L))
   }
 
+  test("T8: restart from checkpoint continues sessions and seq numbering") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val ckpt = Files.createTempDirectory("graft-restart").toString
+    // foreachBatch sink: unlike the memory sink it SUPPORTS restart
+    // from a checkpoint (the reference's T8/HA path)
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[SessionStream.ClosedSession]
+    def start() = SessionStream.closedSessions(mem.toDF())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[SessionStream.ClosedSession], _: Long) =>
+          b.collect().foreach(collected.add)
+      }
+      .start()
+
+    // life 1: open a session for user 1, then stop mid-stream
+    val q1 = start()
+    try {
+      mem.addData(Ev(1, 1, ts(0), "view"), Ev(1, 2, ts(60), "click"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // life 2: same checkpoint — state (open session, seq) must carry
+    // over; a continuation event joins session 1_1, then a gap opens
+    // 1_2, then the watermark closes everything
+    val q2 = start()
+    try {
+      mem.addData(Ev(1, 3, ts(120), "view"))
+      q2.processAllAvailable()
+      mem.addData(Ev(1, 4, ts(5000), "purchase"))
+      q2.processAllAvailable()
+      mem.addData(Ev(99, 9, ts(100000), "view"))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val out = collected.asScala.toSeq
+        .filter(_.user_id == 1L).distinct.sortBy(_.session_id)
+      assert(out.map(_.session_id) == Seq("1_1", "1_2"), s"got $out")
+      val s1 = out.head
+      assert(s1.step_length == 3 && s1.visit_length_s == 120,
+        s"restart lost open-session state: $s1")
+    } finally q2.stop()
+  }
+
   test("parity with batch Sessionize on replayed history") {
     val s = spark
     import s.implicits._
