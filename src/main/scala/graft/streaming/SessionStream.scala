@@ -22,27 +22,44 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object SessionStream {
 
-  /** One input event (the events-table wire shape). */
+  /** One input event (the events-table wire shape). `value` is the
+    * monetary column; None when the source row carries NULL. */
   final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
-      event_type: String)
+      event_type: String, value: Option[Double] = None)
 
-  /** Per-user open-session state: O(1), no event buffering. After a
+  /** Per-event cents with the batch operator's exact rounding:
+    * `cast(value AS DECIMAL(18,2))` rounds HALF_UP per element, then
+    * sums exactly — reproduced here as BigDecimal setScale + long
+    * cents, so streamed totals equal the batch decimal sums. */
+  private def cents(v: Option[Double]): Long = v.fold(0L)(d =>
+    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(100)).toLongExact)
+
+  /** Per-user open-session state: O(1), no event buffering — the
+    * event-type set is bounded by the event-type vocabulary (a
+    * handful), and the value total is one long in cents. After a
     * timeout closes a session the state becomes a TOMBSTONE
     * (startUs == -1) that only remembers `seq`, so the user's next
     * session numbers seq+1 instead of restarting at 1 (which would
     * mint duplicate session_ids). Tombstones are one tiny record per
     * user — the same O(users) footprint the reference keeps in MySQL. */
-  final case class OpenSession(seq: Long, startUs: Long, lastUs: Long, steps: Long) {
+  final case class OpenSession(seq: Long, startUs: Long, lastUs: Long, steps: Long,
+      types: Set[String] = Set.empty, valueCents: Long = 0L) {
     def isTombstone: Boolean = startUs < 0
   }
 
-  /** One closed session (the A1 aggregate grain). */
+  /** One closed session (the FULL A1 aggregate grain — the same
+    * columns the batch `Sessionize.sessionAggregates` emits:
+    * event_types is the sorted distinct concat, total_value_cents the
+    * decimal-exact money sum in cents). */
   final case class ClosedSession(user_id: Long, session_id: String,
-      start_us: Long, end_us: Long, step_length: Long, visit_length_s: Long)
+      start_us: Long, end_us: Long, step_length: Long, visit_length_s: Long,
+      event_types: String = "", total_value_cents: Long = 0L)
 
   private def close(userId: Long, s: OpenSession): ClosedSession =
     ClosedSession(userId, s"${userId}_${s.seq}", s.startUs, s.lastUs, s.steps,
-      (s.lastUs - s.startUs) / 1000000L)
+      (s.lastUs - s.startUs) / 1000000L,
+      s.types.toSeq.sorted.mkString(","), s.valueCents)
 
   /** The state-transition function (exposed for direct unit testing). */
   def updateUser(gapSeconds: Long)(
@@ -62,25 +79,31 @@ object SessionStream {
       val us = e.ts.getTime * 1000L
       open match {
         case Some(s) if s.isTombstone =>
-          open = Some(OpenSession(s.seq + 1, us, us, 1L))
+          open = Some(OpenSession(s.seq + 1, us, us, 1L,
+            Set(e.event_type), cents(e.value)))
         case Some(s) if us < s.startUs - gapUs =>
           // cross-batch straggler predating the open session by more
           // than the gap: in event-time order it forms its own earlier
           // session. The open session is not yet emitted, so renumber
           // it after the straggler — ids stay event-time-ordered.
-          closed += close(userId, OpenSession(s.seq, us, us, 1L))
+          closed += close(userId,
+            OpenSession(s.seq, us, us, 1L, Set(e.event_type), cents(e.value)))
           open = Some(s.copy(seq = s.seq + 1))
         case Some(s) if us - s.lastUs <= gapUs =>
           // merge against the whole [startUs, lastUs] span: a late
           // event inside (or gap-close to) the session extends BOTH
           // ends, so visit_length_s counts it like the batch twin does
           open = Some(s.copy(startUs = math.min(s.startUs, us),
-            lastUs = math.max(s.lastUs, us), steps = s.steps + 1))
+            lastUs = math.max(s.lastUs, us), steps = s.steps + 1,
+            types = s.types + e.event_type,
+            valueCents = s.valueCents + cents(e.value)))
         case Some(s) =>
           closed += close(userId, s)
-          open = Some(OpenSession(s.seq + 1, us, us, 1L))
+          open = Some(OpenSession(s.seq + 1, us, us, 1L,
+            Set(e.event_type), cents(e.value)))
         case None =>
-          open = Some(OpenSession(1L, us, us, 1L))
+          open = Some(OpenSession(1L, us, us, 1L,
+            Set(e.event_type), cents(e.value)))
       }
     }
     open.foreach { s =>
@@ -117,7 +140,9 @@ object SessionStream {
     import spark.implicits._
     events
       .withWatermark("ts", watermark)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        (if (events.columns.contains("value")) col("value").cast("double")
+         else lit(null).cast("double")).as("value"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(

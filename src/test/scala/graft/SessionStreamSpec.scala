@@ -158,7 +158,8 @@ class SessionStreamSpec extends SparkSpec {
     val outA = SessionStream.updateUser(1800L)(
       1L, Iterator(Ev(1, 7, ts(500), "view")), stA).toSeq
     assert(outA.isEmpty)
-    assert(stA.get == SessionStream.OpenSession(3L, usOf(500), usOf(1060), 3L))
+    assert(stA.get == SessionStream.OpenSession(3L, usOf(500), usOf(1060), 3L,
+      Set("view"), 0L))
 
     // (b) straggler more than gap before start: closes as its own
     // session under the CURRENT seq; open session renumbered seq+1
@@ -218,28 +219,37 @@ class SessionStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  test("parity with batch Sessionize on replayed history") {
+  test("parity with batch Sessionize on replayed history (full A1 grain)") {
     val s = spark
     import s.implicits._
-    // deterministic multi-user history, all sessions closed by a far-future event
+    // deterministic multi-user history with event types and values,
+    // all sessions closed by a far-future event
+    val types = Vector("view", "click", "purchase")
     val evs = for {
       u <- 1L to 5L; k <- 0L until 6L
-    } yield Ev(u, u * 100 + k, ts(k * 600 + u * 13 + (if (k >= 3) 7200 else 0)), "view")
+    } yield Ev(u, u * 100 + k, ts(k * 600 + u * 13 + (if (k >= 3) 7200 else 0)),
+      types((u + k).toInt % 3), Some(u * 1.5 + k * 0.245))
     val pusher = Ev(999L, 0L, ts(1000000), "view")
     val streamed = runStream(Seq(evs, Seq(pusher)))
       .filter(_.user_id != 999L)
-      .map(c => (c.user_id, c.session_id, c.step_length, c.visit_length_s))
+      .map(c => (c.user_id, c.session_id, c.step_length, c.visit_length_s,
+        c.event_types, c.total_value_cents))
       .sortBy(x => (x._1, x._2))
 
     val batchDf = evs.toDF()
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
     val batch = graft.ops.Sessionize.assignSessions(batchDf)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("step_length"),
         ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / 1000000L)
-          .cast("long").as("visit_length_s"))
+          .cast("long").as("visit_length_s"),
+        concat_ws(",", array_sort(collect_set(col("event_type")))).as("event_types"),
+        coalesce(sum(col("value").cast("decimal(18,2)")) * 100, lit(0))
+          .cast("long").as("total_value_cents"))
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
       .sortBy(x => (x._1, x._2))
       .toSeq
     assert(streamed == batch)
