@@ -121,15 +121,21 @@ object SessionStream {
     * zero custom state code and full SS state-store integration; the
     * right default when the session id's exact shape doesn't matter. */
   def closedSessionWindows(events: DataFrame, gapSeconds: Long = 1800L,
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes"): DataFrame = {
+    val value =
+      if (events.columns.contains("value")) col("value").cast("decimal(18,2)")
+      else lit(null).cast("decimal(18,2)")
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
-      .agg(count(lit(1)).as("step_length"))
+      .agg(count(lit(1)).as("step_length"),
+        concat_ws(",", array_sort(collect_set(col("event_type")))).as("event_types"),
+        coalesce(sum(value) * 100, lit(0)).cast("long").as("total_value_cents"))
       .select(col("user_id"),
         col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"),
-        col("step_length"))
+        col("step_length"), col("event_types"), col("total_value_cents"))
+  }
 
   /** Wire the sessionizer onto a streaming events frame (must carry
     * user_id, event_id, ts, event_type). Output: closed sessions,

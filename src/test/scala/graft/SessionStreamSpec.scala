@@ -78,16 +78,20 @@ class SessionStreamSpec extends SparkSpec {
       .option("checkpointLocation", ckpt).start()
     try {
       mem.addData(
-        Ev(1, 1, ts(0), "view"), Ev(1, 2, ts(60), "click"),   // session A: 2 steps
+        Ev(1, 1, ts(0), "view", Some(1.005)),                 // session A: 2 steps
+        Ev(1, 2, ts(60), "click", Some(2.0)),
         Ev(1, 3, ts(5000), "view"),                           // session B: 1 step
         Ev(2, 4, ts(0), "view"))                              // user 2: 1 step
       q.processAllAvailable()
       mem.addData(Ev(99, 9, ts(100000), "view")) // watermark pusher
       q.processAllAvailable()
       val got = s.table(q.name)
-        .select(col("user_id"), col("step_length")).as[(Long, Long)]
+        .select(col("user_id"), col("step_length"), col("event_types"),
+          col("total_value_cents")).as[(Long, Long, String, Long)]
         .collect().toSeq.sorted
-      assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+      // session A: 1.005 rounds HALF_UP to 1.01 → 101 + 200 cents
+      assert(got == Seq((1L, 1L, "view", 0L), (1L, 2L, "click,view", 301L),
+        (2L, 1L, "view", 0L)))
     } finally q.stop()
   }
 
