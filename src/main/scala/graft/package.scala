@@ -29,6 +29,9 @@
   *    kNN/LSH/IVF similarity search, language-ID/quality/token/
   *    fingerprint text analysis, binary media columns with a stubbed
   *    codec boundary.
+  *  - [[graft.ops.RefShape]] — the reference's §1.3 MySQL result-table
+  *    shapes, produced from these frames (the switch-over surface for
+  *    a reference user).
   *  - [[graft.streaming.AdClickStream]] /
   *    [[graft.streaming.SessionStream]] — Structured Streaming jobs
   *    (foreachBatch upsert sinks, flatMapGroupsWithState

@@ -59,10 +59,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) == 1, p)
   }
 
-  test("q05 top categories: one shuffle + TakeOrderedAndProject (no global sort of the aggregate)") {
-    val p = plan("q05_top_categories")
-    assert(shuffles(p) == 1, p)
-    assert(p.contains("TakeOrderedAndProject"), p)
+  test("q05/q39 top-N queries: one shuffle + TakeOrderedAndProject (no global sort of the aggregate)") {
+    Seq("q05_top_categories", "q39_user_activity").foreach { q =>
+      val p = plan(q)
+      assert(shuffles(p) == 1, s"$q:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
   }
 
   test("q06/q08/q25 rank-filter queries plan WindowGroupLimit (partial top-N before the shuffle)") {
