@@ -48,12 +48,18 @@ object AreaTopProducts {
       .join(geo, col("l_orderkey") === col("o_orderkey"))
 
     // A6/A7: per (area, product) count + distinct nation concat.
-    // collect_set gathers the INT key (small fixed-width sets through
-    // partial agg + shuffle); the `id:name` tokens are built after the
-    // aggregate — fact-cardinality string building was the hot spot —
-    // via a 1-row broadcast map over the nation dim (the reference's
-    // own J2 broadcast-map-lookup pattern). String-sorting the final
-    // 5-element arrays keeps the reference's lexicographic token order.
+    // The nation key domain is a tiny dimension (TPC-H: 25 ids < 64),
+    // so "distinct nations" is a BITMASK: bit_or(1L << key) runs as a
+    // plain codegen'd HashAggregate — fixed 8-byte state through
+    // partial agg and shuffle, no ObjectHashAggregate, no set objects.
+    // The `id:name` tokens are built after the aggregate — fact-
+    // cardinality string building was the hot spot — via a 1-row
+    // broadcast map over the nation dim (the reference's own J2
+    // broadcast-map-lookup pattern). String-sorting the final
+    // 5-element arrays keeps the reference's lexicographic token
+    // order. (A >63-key dimension would fall back to
+    // collect_set(key), still int-valued; see Skew.saltedDistinctConcat
+    // for unbounded-domain set aggregation.)
     val cityMap = nation.groupBy().agg(
       map_from_entries(collect_list(struct(
         col("n_nationkey"),
@@ -62,12 +68,15 @@ object AreaTopProducts {
       .groupBy(col("area"), col("product_id"))
       .agg(
         count(lit(1)).as("click_count"),
-        collect_set(col("n_nationkey")).as("nk_set"))
+        bit_or(expr("shiftleft(1L, n_nationkey)")).as("nk_mask"))
       .crossJoin(broadcast(cityMap)) // 1 row
-      .withColumn("city_infos",
-        concat_ws(",", array_sort(
-          transform(col("nk_set"), k => element_at(col("city_names"), k)))))
-      .drop("nk_set", "city_names")
+      .withColumn("city_infos", expr(
+        """concat_ws(',', array_sort(
+          |  filter(transform(map_keys(city_names),
+          |           k -> IF((shiftright(nk_mask, k) & 1L) = 1L,
+          |                   element_at(city_names, k), NULL)),
+          |         x -> x IS NOT NULL)))""".stripMargin))
+      .drop("nk_mask", "city_names")
 
     // J8 + F2/F4 analog: product dim join + derived status.
     val withProduct = counted
