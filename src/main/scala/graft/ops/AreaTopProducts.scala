@@ -63,20 +63,27 @@ object AreaTopProducts {
     val cityMap = nation.groupBy().agg(
       map_from_entries(collect_list(struct(
         col("n_nationkey"),
-        concat(col("n_nationkey").cast("string"), lit(":"), col("n_name"))))).as("city_names"))
+        concat(col("n_nationkey").cast("string"), lit(":"), col("n_name"))))).as("city_names"),
+      max(col("n_nationkey")).as("max_nk"))
     val counted = clicks
       .groupBy(col("area"), col("product_id"))
       .agg(
         count(lit(1)).as("click_count"),
         bit_or(expr("shiftleft(1L, n_nationkey)")).as("nk_mask"))
       .crossJoin(broadcast(cityMap)) // 1 row
+      // the max_nk guard lives INSIDE the always-evaluated output
+      // expression (a standalone guard column would be pruned away):
+      // Java shifts wrap mod 64, so an out-of-range key must error,
+      // never silently alias
       .withColumn("city_infos", expr(
-        """concat_ws(',', array_sort(
-          |  filter(transform(map_keys(city_names),
-          |           k -> IF((shiftright(nk_mask, k) & 1L) = 1L,
-          |                   element_at(city_names, k), NULL)),
-          |         x -> x IS NOT NULL)))""".stripMargin))
-      .drop("nk_mask", "city_names")
+        """IF(max_nk >= 64,
+          |   raise_error('nation key domain exceeds the 64-bit mask; use the collect_set fallback'),
+          |   concat_ws(',', array_sort(
+          |     filter(transform(map_keys(city_names),
+          |              k -> IF((shiftright(nk_mask, k) & 1L) = 1L,
+          |                      element_at(city_names, k), NULL)),
+          |            x -> x IS NOT NULL))))""".stripMargin))
+      .drop("nk_mask", "city_names", "max_nk")
 
     // J8 + F2/F4 analog: product dim join + derived status.
     val withProduct = counted

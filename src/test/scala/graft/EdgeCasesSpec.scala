@@ -109,6 +109,22 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.ops.AdAnalytics.provinceTopAds(parsed).count() == 0)
   }
 
+  test("AreaTopProducts refuses a >63-key nation domain instead of silently aliasing") {
+    val s = spark
+    import s.implicits._
+    val li = Seq((1L, 10L)).toDF("l_orderkey", "l_partkey")
+    val ord = Seq((1L, 5L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq((5L, 70)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((70, "FARLAND", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((1, "NOWHERE")).toDF("r_regionkey", "r_name")
+    val part = Seq((10L, "widget", 2)).toDF("p_partkey", "p_name", "p_size")
+    val e = intercept[Exception] {
+      graft.ops.AreaTopProducts(li, ord, cust, nat, reg, part).collect()
+    }
+    assert(e.getMessage.contains("64-bit mask") ||
+      Option(e.getCause).exists(_.getMessage.contains("64-bit mask")), e.getMessage)
+  }
+
   // The q28-q30/q34 oracles equate DuckDB character positions/codes
   // with Spark byte offsets (Winnow hashes UTF-8 bytes, the media
   // oracles use substr/ord). That equivalence holds iff documents.text
