@@ -144,13 +144,13 @@ object Dedup {
       coalesce(md5(col("text")), lit("<null-text>")))
     val members = withTh.select(col("th"), col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // min_by, not first: First(string) has an immutable buffer, which
-    // forces a SortAggregate (a full sort of the corpus by text hash);
-    // min_by is a TypedImperativeAggregate and stays hash-based. Texts
-    // within a group are identical, so the value is the same.
-    val reps = withTh.groupBy(col("th"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("text"), col("doc_id")).as("text"))
+    // text rides in the GROUPING KEY (th = md5(text) determines it),
+    // not in an aggregate: any string-valued aggregate (first, min_by)
+    // has an immutable buffer and forces a SortAggregate — a full sort
+    // of the corpus by text hash. With only min(long) in the buffer
+    // this is a plain codegen'd HashAggregate.
+    val reps = withTh.groupBy(col("th"), col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
     val sig = minhashSignature(reps)
       .select(col("th") +: col("doc_id") +: col("shingles") +:
         (0 until NumHashes).map(k => col(f"mh$k%02d")): _*)
@@ -213,11 +213,10 @@ object Dedup {
     // make every member a keeper — matching the pairwise formulation.
     val withTh = docs.withColumn("th",
       coalesce(md5(col("text")), lit("<null-text>")))
-    // min_by, not first — same SortAggregate avoidance as
+    // text in the grouping key — same SortAggregate avoidance as
     // minhashDedupPairs above
-    val reps = withTh.groupBy(col("th"))
-      .agg(min(col("doc_id")).as("rep_id"),
-        min_by(col("text"), col("doc_id")).as("text"))
+    val reps = withTh.groupBy(col("th"), col("text"))
+      .agg(min(col("doc_id")).as("rep_id"))
     val base = withShingles(reps).select(
         col("th"), col("rep_id"), col("shingles"),
         (size(col("shingles")) > 0).as("has_sh"),
