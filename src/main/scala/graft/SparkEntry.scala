@@ -79,15 +79,16 @@ object Queries {
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        // Final sums pinned to DECIMAL(38,x) — the exact type DuckDB
-        // gives a decimal SUM — so the driver's hash sees identical
-        // types AND identical value renderings on both sides.
-        sum(col("l_quantity").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+        // House money convention (SURVEY.md §7.3): per-row IEEE
+        // multiply + floor to integer cents/bp, summed as BIGINT.
+        // double→decimal rounding is engine/version-sensitive (Spark
+        // rounds the shortest decimal repr, DuckDB the exact binary
+        // value); floor(x*100) on the same parquet doubles is
+        // bit-identical in any engine.
+        sum(floor(col("l_quantity") * lit(100.0))).as("sum_qty_cents"),
+        sum(floor(col("l_extendedprice") * lit(100.0))).as("sum_base_price_cents"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(10000.0))).as("sum_disc_price_bp"),
         count(lit(1)).as("count_order"))
 
   /** A1: gap-sessionized events → session-grain aggregates. */
@@ -236,9 +237,10 @@ object Queries {
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("action_count"),
-        sum(when(col("event_type") === "purchase", col("value"))
-          .otherwise(lit(0.0)).cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("purchase_total"))
+        // house money convention: per-row floor(x*100) cents, BIGINT sum
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * lit(100.0))).otherwise(lit(0L)))
+          .as("purchase_cents"))
       .orderBy(col("action_count").desc, col("user_id").asc)
       .limit(10)
 
@@ -319,7 +321,7 @@ object Oracles {
       |         (MAX(ts_us) - MIN(ts_us)) // 1000000 AS visit_length_s,
       |         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_time,
       |         string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
-      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+      |         CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS total_value_cents
       |  FROM sz GROUP BY 1, 2
       |)""".stripMargin
 
@@ -412,9 +414,9 @@ object Oracles {
   val sql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |       CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS sum_disc_price_bp,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -546,13 +548,13 @@ object Oracles {
 
     "q11_period_delta" ->
       """WITH u AS (
-        |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v, CAST(1 AS BIGINT) AS sign
+        |  SELECT user_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS cents, CAST(1 AS BIGINT) AS sign
         |  FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
         |  UNION ALL
-        |  SELECT user_id, CAST(value AS DECIMAL(18,2)), CAST(-1 AS BIGINT)
+        |  SELECT user_id, CAST(FLOOR(value * 100.0) AS BIGINT), CAST(-1 AS BIGINT)
         |  FROM events WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
         |)
-        |SELECT user_id, CAST(SUM(sign * v) AS DECIMAL(38,2)) AS value_delta,
+        |SELECT user_id, CAST(SUM(sign * cents) AS BIGINT) AS value_delta_cents,
         |       CAST(SUM(sign) AS BIGINT) AS count_delta
         |FROM u GROUP BY 1""".stripMargin,
 
@@ -848,9 +850,9 @@ object Oracles {
 
     "q39_user_activity" ->
       """SELECT user_id, COUNT(*) AS action_count,
-        |       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
-        |                          ELSE 0 END AS DECIMAL(18,2))) AS DECIMAL(38,2))
-        |         AS purchase_total
+        |       CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                     THEN CAST(FLOOR(value * 100.0) AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS purchase_cents
         |FROM events
         |GROUP BY 1
         |ORDER BY action_count DESC, user_id ASC

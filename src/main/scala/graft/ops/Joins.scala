@@ -47,8 +47,10 @@ object PeriodDelta {
     a.unionByName(b)
       .groupBy(col(key))
       .agg(
-        sum(col("sign") * col(valueCol).cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("value_delta"),
+        // house money convention: per-row floor(x*100) cents, BIGINT
+        // sum — bit-identical across engines (no decimal rounding)
+        sum(col("sign") * floor(col(valueCol) * lit(100.0)))
+          .as("value_delta_cents"),
         sum(col("sign")).as("count_delta"))
   }
 }

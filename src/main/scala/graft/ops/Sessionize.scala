@@ -51,7 +51,10 @@ object Sessionize {
     * start_time (string, reference's yyyy-MM-dd HH:mm:ss format),
     * event_types (sorted distinct concat — the reference's
     * substring-dedup concat is a documented bug we don't replicate,
-    * SURVEY.md §7.3), total_value (decimal-exact sum).
+    * SURVEY.md §7.3), total_value_cents (house money convention:
+    * per-event floor(value*100) cents summed as BIGINT — IEEE
+    * multiply+floor is bit-identical across engines, unlike
+    * double→decimal rounding).
     */
   def sessionAggregates(sessionized: DataFrame): DataFrame =
     sessionized
@@ -61,10 +64,7 @@ object Sessionize {
         expr("(max(ts_us) - min(ts_us)) div 1000000").as("visit_length_s"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_time"),
         concat_ws(",", array_sort(collect_set(col("event_type")))).as("event_types"),
-        // pinned to DECIMAL(38,2): DuckDB's decimal-SUM result type, so
-        // oracle hash compares see one type+rendering on both sides
-        sum(col("value").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("total_value"))
+        sum(floor(col("value") * lit(100.0))).as("total_value_cents"))
 
   /** Convenience: events -> session aggregates. */
   def apply(events: DataFrame, gapSeconds: Long = 1800L): DataFrame =

@@ -27,13 +27,16 @@ object SessionStream {
   final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       event_type: String, value: Option[Double] = None)
 
-  /** Per-event cents with the batch operator's exact rounding:
-    * `cast(value AS DECIMAL(18,2))` rounds HALF_UP per element, then
-    * sums exactly — reproduced here as BigDecimal setScale + long
-    * cents, so streamed totals equal the batch decimal sums. */
+  /** Per-event cents with the batch operator's exact convention
+    * (house money rule, Sessionize.sessionAggregates): one IEEE
+    * multiply then floor — `floor(value * 100)` — so streamed totals
+    * are bit-identical to the batch sums in any engine. (BigDecimal
+    * constructions were rejected: `BigDecimal(d)` rounds the exact
+    * binary expansion while Spark's double→decimal cast rounds the
+    * shortest string repr — for a value printed "2.675" they differ
+    * by one cent. floor of the product has no such ambiguity.) */
   private def cents(v: Option[Double]): Long = v.fold(0L)(d =>
-    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-      .*(BigDecimal(100)).toLongExact)
+    math.floor(d * 100.0).toLong)
 
   /** Per-user open-session state: O(1), no event buffering — the
     * event-type set is bounded by the event-type vocabulary (a
@@ -123,14 +126,16 @@ object SessionStream {
   def closedSessionWindows(events: DataFrame, gapSeconds: Long = 1800L,
       watermark: String = "10 minutes"): DataFrame = {
     val value =
-      if (events.columns.contains("value")) col("value").cast("decimal(18,2)")
-      else lit(null).cast("decimal(18,2)")
+      if (events.columns.contains("value")) col("value").cast("double")
+      else lit(null).cast("double")
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
       .agg(count(lit(1)).as("step_length"),
         concat_ws(",", array_sort(collect_set(col("event_type")))).as("event_types"),
-        coalesce(sum(value) * 100, lit(0)).cast("long").as("total_value_cents"))
+        // house money convention: per-event floor(x*100) cents summed
+        // as BIGINT (matches Sessionize + the stateful twin's cents())
+        coalesce(sum(floor(value * lit(100.0))), lit(0L)).as("total_value_cents"))
       .select(col("user_id"),
         col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"),

@@ -97,9 +97,9 @@ class OpsSpec extends SparkSpec {
     val mid = lit("2024-01-16").cast("timestamp")
     val got = PeriodDelta(df, "user_id", "value", col("ts") < mid, col("ts") >= mid)
       .orderBy("user_id")
-      .select(col("user_id"), col("value_delta").cast("double"), col("count_delta"))
-      .as[(Long, Double, Long)].collect()
-    assert(got(0) == ((1L, 6.0, 0L)))
-    assert(got(1) == ((2L, -3.0, -1L)))
+      .select(col("user_id"), col("value_delta_cents"), col("count_delta"))
+      .as[(Long, Long, Long)].collect()
+    assert(got(0) == ((1L, 600L, 0L)))
+    assert(got(1) == ((2L, -300L, -1L)))
   }
 }

@@ -89,8 +89,8 @@ class SessionStreamSpec extends SparkSpec {
         .select(col("user_id"), col("step_length"), col("event_types"),
           col("total_value_cents")).as[(Long, Long, String, Long)]
         .collect().toSeq.sorted
-      // session A: 1.005 rounds HALF_UP to 1.01 → 101 + 200 cents
-      assert(got == Seq((1L, 1L, "view", 0L), (1L, 2L, "click,view", 301L),
+      // session A: floor(1.005*100)=floor(100.4999...)=100, + 200 cents
+      assert(got == Seq((1L, 1L, "view", 0L), (1L, 2L, "click,view", 300L),
         (2L, 1L, "view", 0L)))
     } finally q.stop()
   }
@@ -249,13 +249,31 @@ class SessionStreamSpec extends SparkSpec {
         ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / 1000000L)
           .cast("long").as("visit_length_s"),
         concat_ws(",", array_sort(collect_set(col("event_type")))).as("event_types"),
-        coalesce(sum(col("value").cast("decimal(18,2)")) * 100, lit(0))
-          .cast("long").as("total_value_cents"))
+        coalesce(sum(floor(col("value") * lit(100.0))), lit(0L))
+          .as("total_value_cents"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getString(4), r.getLong(5)))
       .sortBy(x => (x._1, x._2))
       .toSeq
     assert(streamed == batch)
+  }
+
+  test("cents convention: floor(x*100) — stream equals batch on 2.675 (shortest-repr vs binary rounding trap)") {
+    val s = spark
+    import s.implicits._
+    // 2.675 prints as "2.675" but its binary value is 2.67499999...:
+    // decimal(18,2) HALF_UP of the shortest repr gives 2.68 (268 cents)
+    // while the exact binary expansion rounds to 2.67. The house
+    // convention floor(2.675*100)=floor(267.4999...)=267 sidesteps the
+    // ambiguity — assert both engines land there.
+    val evs = Seq(Ev(1, 1, ts(0), "purchase", Some(2.675)))
+    val streamed = runStream(Seq(evs, Seq(Ev(99, 9, ts(100000), "view"))))
+      .filter(_.user_id == 1)
+    assert(streamed.map(_.total_value_cents) == Seq(267L))
+    val batch = graft.ops.Sessionize(evs.toDF()
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value")))
+      .collect()
+    assert(batch.map(_.getAs[Long]("total_value_cents")).toSeq == Seq(267L))
   }
 }

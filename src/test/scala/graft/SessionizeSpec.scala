@@ -33,7 +33,7 @@ class SessionizeSpec extends SparkSpec {
     assert(s11.getAs[Long]("visit_length_s") == 39L * 60)
     assert(s11.getAs[String]("start_time") == "2024-01-01 00:00:00")
     assert(s11.getAs[String]("event_types") == "click,purchase,view")
-    assert(s11.getAs[java.math.BigDecimal]("total_value").doubleValue() == 7.5)
+    assert(s11.getAs[Long]("total_value_cents") == 750L) // 1.00+1.00+5.50 in cents
     assert(agg("1_2").getAs[Long]("visit_length_s") == 0L)
   }
 

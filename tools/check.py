@@ -5,8 +5,10 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Registers each testdata parquet as a DuckDB view, runs every oracle
 from <verifyOutDir>/oracle_sql.json, reads the Spark result parquet
-from <verifyOutDir>/<name>/, and compares: columns sorted by name,
-rows sorted, values stringified. Prints PASS/FAIL per query.
+from <verifyOutDir>/<name>/, and compares AT ARROW LEVEL: columns
+sorted by name, rows sorted, values via arrow .as_py() (Decimal stays
+Decimal — no float64 downcast, so sub-float diffs the driver's hash
+sees are visible here too). Prints PASS/FAIL per query.
 """
 import json
 import sys
@@ -17,19 +19,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df):
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        df[c] = df[c].map(lambda v: f"{v}")
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+def norm_arrow(tbl):
+    """Arrow table -> (sorted col names, sorted tuples of value strings).
+    str() of the .as_py() value keeps decimal digits exact (Decimal),
+    distinguishes 267 from 268 cents, and is total-orderable."""
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    rows = sorted(tuple(str(col[i]) for col in data)
+                  for i in range(tbl.num_rows))
+    return cols, rows
 
 
-def type_drift(con, sql, files):
-    """Decimal/type drift the driver's hash is sensitive to but the
-    stringified compare is not: report oracle-vs-spark arrow types that
-    disagree (e.g. a bare DuckDB SUM(decimal) vs Spark decimal sum)."""
+def type_drift(want_tbl, files):
+    """Report oracle-vs-spark arrow types that disagree (e.g. a bare
+    DuckDB SUM(decimal) widening vs Spark's sum) — the driver checks
+    schema separately from values, so surface it even when values match."""
     import pyarrow.parquet as pq
-    want = {f.name: str(f.type) for f in con.sql(sql).arrow().schema}
+    want = {f.name: str(f.type) for f in want_tbl.schema}
     sch = pq.read_schema(files[0])
     got = {n: str(sch.field(n).type) for n in sch.names}
     return [f"{c}: oracle={want[c]} spark={got[c]}"
@@ -37,44 +43,47 @@ def type_drift(con, sql, files):
 
 
 def main(sf_dir, out_dir):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
     for name, sql in sorted(oracles.items()):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"MISSING {name}: no spark output")
             failed.append(name)
             continue
         try:
-            want = con.sql(sql).df()
+            want_tbl = con.sql(sql).arrow()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             failed.append(name)
             continue
-        got = con.sql(
-            f"SELECT * FROM read_parquet({files!r})").df()
-        w, g = norm(want), norm(got)
-        if list(w.columns) != list(g.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+        got_tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        wc, wr = norm_arrow(want_tbl)
+        gc, gr = norm_arrow(got_tbl)
+        if wc != gc:
+            print(f"FAIL {name}: columns {gc} != {wc}")
             failed.append(name)
-        elif len(w) != len(g):
-            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+        elif len(wr) != len(gr):
+            print(f"FAIL {name}: rows {len(gr)} != {len(wr)}")
             failed.append(name)
-        elif not w.equals(g):
-            diff = (w != g).any(axis=1)
-            print(f"FAIL {name}: {int(diff.sum())} differing rows; first:")
-            print("  want:", w[diff].head(2).to_dict("records"))
-            print("  got: ", g[diff].head(2).to_dict("records"))
+        elif wr != gr:
+            bad = [(w, g) for w, g in zip(wr, gr) if w != g]
+            print(f"FAIL {name}: {len(bad)} differing rows; first:")
+            for w, g in bad[:2]:
+                print("  want:", dict(zip(wc, w)))
+                print("  got: ", dict(zip(gc, g)))
             failed.append(name)
         else:
-            drift = type_drift(con, sql, files)
+            drift = type_drift(want_tbl, files)
             if drift:
-                print(f"PASS {name} ({len(g)} rows) TYPE-DRIFT: {'; '.join(drift)}")
+                print(f"PASS {name} ({len(gr)} rows) TYPE-DRIFT: {'; '.join(drift)}")
             else:
-                print(f"PASS {name} ({len(g)} rows)")
+                print(f"PASS {name} ({len(gr)} rows)")
     print(f"\n{len(oracles) - len(failed)}/{len(oracles)} passed")
     return 1 if failed else 0
 
