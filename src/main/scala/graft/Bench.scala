@@ -1,6 +1,36 @@
 package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.GraftSpark
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Per-query task-metric totals: rows read (file scans + cache
+    * reads) and shuffle read/write bytes. Wall time alone can't tell
+    * a plan regression from machine contention (round-2 lesson: a
+    * 3-8x wall-time band with identical plans); rows and shuffle
+    * bytes are contention-invariant, so a changed plan (lost
+    * pushdown, extra shuffle, broadcast flipped to sort-merge) shows
+    * up mechanically. recordsRead is used instead of bytesRead
+    * because Spark's vectorized parquet reader on local fs reports
+    * only footer-level bytes (measured: a 5-column 600k-row scan and
+    * a 1-column scan both report ~17 KB). */
+  private final class BytesListener extends SparkListener {
+    val rows = new LongAdder; val sRead = new LongAdder; val sWrite = new LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        rows.add(m.inputMetrics.recordsRead)
+        sRead.add(m.shuffleReadMetrics.totalBytesRead)
+        sWrite.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit = { rows.reset(); sRead.reset(); sWrite.reset() }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,6 +47,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val bytes = new BytesListener
+    spark.sparkContext.addSparkListener(bytes)
     // Warmup: exercise the parquet-scan → shuffle-agg → noop-sink path
     // once so the first timed query doesn't pay JVM/codegen/reader init.
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -36,22 +68,33 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       (System.nanoTime() - t0) / 1e9
     }
-    // pass 1 = cold (includes per-query codegen); pass 2 = steady state
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, once(name, fn), once(name, fn))
-    }
-    // 3-decimal times: full-precision doubles once made this line
-    // ~5 KB and the harness's captured-output tail truncated its FRONT,
-    // breaking the JSON parse (round-1 BENCH has parsed:null). Millis
-    // resolution is below run-to-run noise anyway.
     def f(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    val mb = 1024.0 * 1024.0
+    // pass 1 = cold (includes per-query codegen); pass 2 = steady state.
+    // Cold times + byte metrics go to stderr per query (diagnostics);
+    // stdout carries ONE compact JSON line at the end — both prior
+    // rounds' full cold+steady maps overflowed the harness's captured
+    // tail and broke its JSON parse (BENCH_r01/r02 "parsed": null).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = once(name, fn)
+      GraftSpark.drainListeners(spark.sparkContext)
+      bytes.reset() // attribute bytes to the steady pass only
+      val steady = once(name, fn)
+      GraftSpark.drainListeners(spark.sparkContext)
+      System.err.println(
+        s"[bench] $name cold=${f(cold)} steady=${f(steady)}" +
+          s" input_rows=${bytes.rows.sum}" +
+          f" shuffle_r_mb=${bytes.sRead.sum / mb}%.1f" +
+          f" shuffle_w_mb=${bytes.sWrite.sum / mb}%.1f")
+      bytes.reset()
+      (name, cold, steady)
+    }
     val steady = results.map { case (k, _, w) => s"\"" + k + "\":" + f(w) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     val steadyTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"steady_total":${f(steadyTotal)},"steady_queries":$steady,"sf":"$sfDir"}""")
+    val coldTotal = results.map(_._2).sum
+    System.err.println(s"[bench] cold_total=${f(coldTotal)} steady_total=${f(steadyTotal)}")
+    println(s"""{"metric":"steady_total","value":${f(steadyTotal)},"unit":"sec","queries":$steady,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
