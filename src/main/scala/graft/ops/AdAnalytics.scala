@@ -37,15 +37,17 @@ object AdAnalytics {
   }
 
   /** Events-table shape → ad-click shape: ad_id from props JSON,
-    * province/city from the customer→nation→region dimension chain
-    * (all broadcast — only the fact table is big). */
+    * province/city from the customer→nation→region dimension chain.
+    * nation/region are hint-broadcast (fixed 25/5-row domains);
+    * customer is left to AQE — a user dimension at the 100 TB design
+    * point can be tens of GB, where a forced broadcast would OOM. */
   def eventsAsAdClicks(events: DataFrame, customer: DataFrame,
       nation: DataFrame, region: DataFrame): DataFrame =
     events
       .filter(col("event_type") === "click")
       .withColumn("ad_id", get_json_object(col("props"), "$.k").cast("long"))
       .filter(col("ad_id").isNotNull)
-      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
         col("user_id") === col("c_custkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
         col("c_nationkey") === col("n_nationkey"))

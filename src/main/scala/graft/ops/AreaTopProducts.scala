@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first over the TPC-H-ish star: fact = lineitem, geography =
   * orders→customer→nation→region, product dim = part.
-  *  - All dimension joins are broadcast (nation/region are tiny,
-  *    customer/part are dimension-sized) — at 100 TB only the fact
-  *    table is big, so the whole plan has exactly ONE shuffle: the
-  *    (area, product) aggregate. No salting/expansion: hash aggregate
-  *    does map-side partials and AQE handles join skew (SURVEY §4).
+  *  - nation/region joins are hint-broadcast (25/5 rows at ANY
+  *    scale); customer/part carry NO hint — they are tens of GB at
+  *    the 100 TB design point, where a forced broadcast means OOM.
+  *    AQE broadcasts them from runtime stats when they fit (it does
+  *    at test SF — PlanAuditSpec pins it) and shuffles when not, so
+  *    the small-SF plan still has exactly ONE pre-agg shuffle. No
+  *    salting/expansion: hash aggregate does map-side partials and
+  *    AQE handles join skew (SURVEY §4).
   *  - A7 group_concat_distinct → concat_ws over array_sort(collect_set)
   *    (exact dedup + deterministic order; the reference's
   *    substring-contains dedup is a documented bug we don't copy).
@@ -31,7 +34,7 @@ object AreaTopProducts {
       topN: Int = 3): DataFrame = {
 
     val geo = orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
         col("c_nationkey") === col("n_nationkey"))
@@ -87,8 +90,8 @@ object AreaTopProducts {
 
     // J8 + F2/F4 analog: product dim join + derived status.
     val withProduct = counted
-      .join(broadcast(part.select(
-        col("p_partkey"), col("p_name").as("product_name"), col("p_size"))),
+      .join(part.select(
+        col("p_partkey"), col("p_name").as("product_name"), col("p_size")),
         col("product_id") === col("p_partkey"))
       .withColumn("product_status",
         when(col("p_size") % 2 === 0, lit("Self")).otherwise(lit("Third Party")))

@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * it stays codegen'd.
   *
   * The dimension join (J1/J2 in SURVEY §2.3) is the caller's choice;
-  * `joinUserDim` broadcasts the user dimension — at 100 TB the fact
-  * side is huge but a user dimension in the millions still broadcasts
-  * (or AQE picks broadcast from stats); no shuffle of the fact table.
+  * `joinUserDim` leaves the strategy to AQE — a TPC-H-proportioned
+  * customer dimension at the 100 TB design point is tens of GB, so a
+  * hard broadcast hint would force an executor OOM exactly when the
+  * data is big. AQE broadcasts from runtime stats when the dim is
+  * actually small (PlanAuditSpec pins that at test SF) and falls back
+  * to shuffle join when it isn't. Only fixed-cardinality dims
+  * (nation/region: 25/5 rows at ANY scale) deserve a hard hint.
   */
 object SessionFilter {
 
@@ -28,12 +32,12 @@ object SessionFilter {
       eventTypes: Option[Seq[String]] = None)
 
   /** J1/J2: session aggregates ⋈ user dimension on user_id.
-    * `customer` is broadcast — dimension-sized. */
+    * No broadcast hint: AQE decides from the dim's runtime size. */
   def joinUserDim(sessions: DataFrame, customer: DataFrame): DataFrame =
     sessions.join(
-      broadcast(customer.select(
+      customer.select(
         col("c_custkey").as("user_id"), col("c_acctbal"),
-        col("c_mktsegment"), col("c_nationkey"))),
+        col("c_mktsegment"), col("c_nationkey")),
       Seq("user_id"))
 
   /** Build the optional conjunction. Returns lit(true) when no

@@ -81,6 +81,22 @@ class PlanAuditSpec extends SparkSpec {
     assert("SortMergeJoin".r.findAllIn(p).length <= 1, p)
   }
 
+  test("broadcast-hint policy: hints only on fixed-cardinality dims, never customer/part") {
+    // q08 carries exactly 3 hints (nation, region, the 1-row cityMap);
+    // customer and part are UNHINTED — at the 100 TB design point they
+    // are tens of GB, and a forced broadcast would OOM where AQE would
+    // have picked the right join. The optimizer still broadcasts them
+    // at test SF from size stats (the >=4 BroadcastHashJoin assertion
+    // above), which is the point: small when small, safe when not.
+    def hints(name: String): Int = "ResolvedHint".r.findAllIn(
+      SparkEntry.queries(name)(spark, sf).queryExecution.analyzed.toString).length
+    assert(hints("q08_area_top3_products") == 3)
+    // q04's customer join is fully hint-free, yet still planned as a
+    // broadcast join at this SF by pure stats.
+    assert(hints("q04_session_filter") == 0)
+    assert(plan("q04_session_filter").contains("BroadcastHashJoin"))
+  }
+
   test("q09 semi join: lineitem date range reaches the parquet scan as pushed filters") {
     val p = plan("q09_order_priority_semi")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
