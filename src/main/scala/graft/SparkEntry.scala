@@ -63,7 +63,9 @@ object SparkEntry {
     // no oracleSql (sketch internals differ per engine) → rows-only
     // check; ApproxSpec pins the accuracy bound against q35's exact twin.
     "q38_approx_median" -> (Queries.approxMedian _),
-    "q39_user_activity" -> (Queries.userActivity _)
+    "q39_user_activity" -> (Queries.userActivity _),
+    "q40_user_visit_action" -> (Queries.userVisitAction _),
+    "q41_category_action_counts" -> (Queries.categoryActionCounts _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -243,6 +245,16 @@ object Queries {
           .as("purchase_cents"))
       .orderBy(col("action_count").desc, col("user_id").asc)
       .limit(10)
+
+  /** Ingest adapter: events analog → the reference's 13-column
+    * user_visit_action schema (MockData.java:87-100), row grain. */
+  def userVisitAction(spark: SparkSession, dir: String): DataFrame =
+    graft.ingest.UserVisitAction.fromEvents(Tables(spark, dir, "events"))
+
+  /** P4 on the real schema: mixed click+order+pay comma-list explode
+    * → reference top10_category ordering. */
+  def categoryActionCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.ingest.UserVisitAction.topCategories(userVisitAction(spark, dir))
 
   // ---- training-data pipeline: deduplication ----
 
@@ -856,6 +868,48 @@ object Oracles {
         |FROM events
         |GROUP BY 1
         |ORDER BY action_count DESC, user_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "q40_user_visit_action" ->
+      s"""$sessionCte
+         |SELECT strftime(ts, '%Y-%m-%d') AS date,
+         |       user_id, session_id,
+         |       event_id % 100 AS page_id,
+         |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS action_time,
+         |       CASE WHEN event_type = 'view' THEN 'kw_' || CAST(k AS VARCHAR) END AS search_keyword,
+         |       CASE WHEN event_type = 'click' THEN k END AS click_category_id,
+         |       CASE WHEN event_type = 'click' THEN (k * 131) % 1000 END AS click_product_id,
+         |       CASE WHEN event_type = 'purchase'
+         |            THEN concat_ws(',', k, (k * 7 + 11) % 100, (k * 13 + 17) % 100) END AS order_category_ids,
+         |       CASE WHEN event_type = 'purchase'
+         |            THEN concat_ws(',', (k * 131) % 1000, (k * 37 + 41) % 1000) END AS order_product_ids,
+         |       CASE WHEN event_type = 'signup'
+         |            THEN concat_ws(',', k, (k * 3 + 5) % 100) END AS pay_category_ids,
+         |       CASE WHEN event_type = 'signup'
+         |            THEN concat_ws(',', (k * 131) % 1000) END AS pay_product_ids,
+         |       user_id % 10 AS city_id
+         |FROM (SELECT sz.*, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM sz) t""".stripMargin,
+
+    "q41_category_action_counts" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |u AS (
+        |  SELECT k AS category_id, 'click' AS kind FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT CAST(unnest(string_split(
+        |           concat_ws(',', k, (k * 7 + 11) % 100, (k * 13 + 17) % 100), ',')) AS BIGINT),
+        |         'order' FROM e WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT CAST(unnest(string_split(
+        |           concat_ws(',', k, (k * 3 + 5) % 100), ',')) AS BIGINT),
+        |         'pay' FROM e WHERE event_type = 'signup')
+        |SELECT category_id,
+        |       CAST(SUM(CASE WHEN kind = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+        |       CAST(SUM(CASE WHEN kind = 'order' THEN 1 ELSE 0 END) AS BIGINT) AS order_count,
+        |       CAST(SUM(CASE WHEN kind = 'pay' THEN 1 ELSE 0 END) AS BIGINT) AS pay_count
+        |FROM u GROUP BY 1
+        |ORDER BY click_count DESC, order_count DESC, pay_count DESC, category_id ASC
         |LIMIT 10""".stripMargin,
 
     "q34_winnow_fingerprints" ->
