@@ -42,20 +42,36 @@ object RefShape {
       col("event_types").as("search_keywords"), // analog column (see scaladoc)
       col("event_types").as("click_category_ids"))
 
+  /** The session_detail DAO's exact column list (SessionDetail.java:
+    * 9-20): taskid + the 11 action columns its insert writes. */
+  val sessionDetailColumns: Seq[String] = Seq(
+    "taskid", "userid", "sessionid", "pageid", "action_time",
+    "search_keyword", "click_category_id", "click_product_id",
+    "order_category_ids", "order_product_ids",
+    "pay_category_ids", "pay_product_ids")
+
   /** session_detail (SessionDetail.java:9-20): full action rows of the
     * extracted sessions — the J6 semi-join the reference runs after
-    * sampling. */
-  def sessionDetail(sessionized: DataFrame, extracted: DataFrame,
+    * sampling — at the DAO's full arity. Takes a frame in the
+    * reference's user_visit_action schema (see
+    * graft.ingest.UserVisitAction.fromEvents for the events-log
+    * mapping); every DAO column is populated, none faked. */
+  def sessionDetail(actions: DataFrame, extracted: DataFrame,
       taskId: Long): DataFrame =
-    Joins.semi(sessionized, extracted.select(col("session_id")), Seq("session_id"))
+    Joins.semi(actions, extracted.select(col("session_id")), Seq("session_id"))
       .select(
         lit(taskId).as("taskid"),
         col("user_id").as("userid"),
         col("session_id").as("sessionid"),
-        col("event_id").as("pageid"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("action_time"),
-        col("event_type").as("action"),
-        col("value"))
+        col("page_id").as("pageid"),
+        col("action_time"),
+        col("search_keyword"),
+        col("click_category_id"),
+        col("click_product_id"),
+        col("order_category_ids"),
+        col("order_product_ids"),
+        col("pay_category_ids"),
+        col("pay_product_ids"))
 
   /** top10_category (Top10Category.java:5-9). */
   def top10Category(topCats: DataFrame, taskId: Long): DataFrame =

@@ -16,16 +16,43 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
-    // default; read nanos as long and rebuild a TimestampType at
-    // microsecond precision (truncation — same as DuckDB epoch_us).
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    fixupEvents(name, {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+      // default; read nanos as long and rebuild a TimestampType at
+      // microsecond precision (truncation — same as DuckDB epoch_us).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+    })
+
+  /** S1's production branch (SparkUtils.java:36-43 switches mock temp
+    * tables ↔ Hive tables behind one flag): read from the session
+    * catalog / metastore instead of a file path. Partition pruning,
+    * stats, and bucketing metadata come from the catalog; everything
+    * downstream is identical to the file branch. */
+  def catalog(spark: SparkSession, name: String): DataFrame =
+    fixupEvents(name.split('.').last, spark.table(name))
+
+  /** Register the parquet files as EXTERNAL catalog tables (no data
+    * copy — `CREATE TABLE ... USING parquet LOCATION`), so
+    * `spark.table` / SQL-text / catalog-stats paths all work against
+    * the same files the file branch reads. Idempotent. */
+  def createCatalogTables(spark: SparkSession, dir: String,
+      database: String = "default"): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    names.foreach { n =>
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS $database.$n
+                   |USING parquet LOCATION '$dir/$n.parquet'""".stripMargin)
+    }
+  }
+
+  /** The events nanos→micros rebuild, shared by both source branches
+    * (the raw column arrives as LongType under nanosAsLong). */
+  private def fixupEvents(name: String, df: DataFrame): DataFrame =
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
-  }
 
   /** S6/S7 analog: register every table as a temp view so SQL-text
     * entry points (`spark.sql`) resolve the same names the DuckDB

@@ -20,6 +20,26 @@ class ControlAndSourcesSpec extends SparkSpec {
     s"jdbc:derby:$dir/db;create=true"
   }
 
+  test("S1 production branch: catalog (spark.table) source matches the file branch") {
+    Tables.createCatalogTables(spark, sf, "graft_cat")
+    // external tables: no data copy, same files
+    val fromCatalog = Tables.catalog(spark, "graft_cat.lineitem")
+    val fromFiles = Tables(spark, sf, "lineitem")
+    assert(fromCatalog.count() == fromFiles.count())
+    assert(fromCatalog.schema == fromFiles.schema)
+    // the events nanos→micros rebuild applies on BOTH branches
+    val ev = Tables.catalog(spark, "graft_cat.events")
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(ev.count() == Tables(spark, sf, "events").count())
+    // idempotent re-registration
+    Tables.createCatalogTables(spark, sf, "graft_cat")
+    // predicate pushdown reaches the parquet scan through the catalog
+    val plan = fromCatalog.filter(col("l_orderkey") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"), plan)
+  }
+
   test("S4: spark.read.jdbc dimension source round-trips city_info") {
     val conn = DriverManager.getConnection(derbyUrl)
     conn.createStatement().executeUpdate(

@@ -31,12 +31,18 @@ class RefShapeSpec extends SparkSpec {
     val ex = RefShape.sessionRandomExtract(extracted, 7L)
     assert(ex.columns.toSeq == Seq(
       "taskid", "sessionid", "start_time", "search_keywords", "click_category_ids"))
-    val detail = RefShape.sessionDetail(sessionized, extracted, 7L)
-    assert(detail.columns.toSeq == Seq(
-      "taskid", "userid", "sessionid", "pageid", "action_time", "action", "value"))
+    // full DAO arity: action rows come from the user_visit_action
+    // ingest adapter, so every SessionDetail.java column is real
+    val actions = graft.ingest.UserVisitAction.fromEvents(events)
+    val detail = RefShape.sessionDetail(actions, extracted, 7L)
+    assert(detail.columns.toSeq == RefShape.sessionDetailColumns)
+    assert(RefShape.sessionDetailColumns.size == 12) // taskid + 11 action cols
     // detail rows cover exactly the extracted sessions
     val detailSessions = detail.select(col("sessionid")).distinct().count()
     assert(detailSessions == extracted.count())
+    // one-hot action families survive the semi-join untouched
+    assert(detail.filter(col("search_keyword").isNotNull &&
+      col("click_category_id").isNotNull).count() == 0L)
   }
 
   test("top10_category / top10_session: reference column names, task-scoped") {
