@@ -10,9 +10,11 @@ import graft.ops._
   *
   * Every entry returns a DataFrame whose column NAMES and VALUES match
   * its `oracleSql` (DuckDB) twin exactly. Determinism rules applied
-  * throughout (SURVEY.md §7.3): decimal-exact money sums, integer
-  * basis-point ratios (one IEEE divide + floor), string-formatted
-  * timestamps, sorted distinct-concats, id tie-breaks on every rank.
+  * throughout (SURVEY.md §7.3): money as BIGINT cents (one IEEE
+  * multiply + floor per row — double→decimal casts round differently
+  * per engine), integer basis-point ratios (one IEEE divide + floor),
+  * string-formatted timestamps, sorted distinct-concats, id
+  * tie-breaks on every rank.
   */
 object SparkEntry {
 
@@ -231,7 +233,7 @@ object Queries {
 
   /** A10/W6: the reference's Spark-2 Dataset demo surface
     * (UserActiveDegreeAnalyze.scala:56-82,96-133) — per-user activity
-    * ranking: action count + decimal-exact purchase total, top-10 by
+    * ranking: action count + integer-cents purchase total, top-10 by
     * count with id tie-break. One shuffle (user aggregate), then
     * TakeOrderedAndProject. */
   def userActivity(spark: SparkSession, dir: String): DataFrame =
@@ -856,7 +858,7 @@ object Oracles {
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 

@@ -53,12 +53,14 @@ object Percentiles {
   def rollupTotals(df: DataFrame, a: String, b: String, valueCol: String): DataFrame =
     df.rollup(col(a), col(b))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col(valueCol).cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("total"))
+        // house money convention (see Sessionize): floor(x*100) cents
+        // summed as BIGINT — cross-engine bit-exact, and a long
+        // aggregation buffer through Expand instead of decimal128
+        sum(floor(col(valueCol) * lit(100.0))).as("total_cents"))
       .select(
         coalesce(col(a), lit("ALL")).as(a),
         coalesce(col(b), lit("ALL")).as(b),
-        col("n_rows"), col("total"))
+        col("n_rows"), col("total_cents"))
 
   /** Approximate per-group median in cents via a mergeable quantile
     * sketch (`percentile_approx`) — the scale path for genuinely
