@@ -72,6 +72,9 @@ object ScaleProbe {
       graft.ops.Sessionize(events), target = 1000L))
     t("top sessions/category")(graft.ops.TopK.topSessionsPerCategory(
       graft.ops.Sessionize.assignSessions(events)))
+    t("user_visit_action ingest")(graft.ingest.UserVisitAction.fromEvents(events))
+    t("category action explode")(graft.ingest.UserVisitAction.topCategories(
+      graft.ingest.UserVisitAction.fromEvents(events)))
     t("minhash dedup pairs")(graft.ops.Dedup.minhashDedupPairs(docs))
     t("ngram dedup kept")(graft.ops.Dedup.ngramDedupKept(docs))
     t("simhash signatures")(graft.ops.Dedup.simhash(docs))
