@@ -47,6 +47,28 @@ object GraftProperties extends Properties("graft") {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), eventSchema)
 
+  property("money convention: Spark floor(v*100) sum == JVM math.floor cents sum") =
+    forAll(for {
+      n <- Gen.choose(1, 40)
+      // realistic money doubles incl. shortest-repr traps (x.xx5) and
+      // sub-cent noise — the values where decimal rounding diverges
+      // per engine but floor(v*100) must not
+      vs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(0L, 99999L).map(_ / 100.0),       // exact cents
+        Gen.choose(0L, 9999L).map(_ / 1000.0),       // 3-decimal (x.xx5 cases)
+        Gen.choose(0.0, 1000.0)))                    // arbitrary doubles
+    } yield vs) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, new Timestamp(T0 + i * 1000L), 1L, "purchase",
+          """{"k":"1"}""", v)
+      }
+      val sparkCents = Sessionize(df(rows))
+        .agg(org.apache.spark.sql.functions.sum("total_value_cents"))
+        .head().getLong(0)
+      val jvmCents = vs.map(v => math.floor(v * 100.0).toLong).sum
+      sparkCents == jvmCents
+    }
+
   property("sessionize: gaps bound sessions; steps sum to events") =
     forAll(genEvents) { rows =>
       val sess = Sessionize.sessionAggregates(Sessionize.assignSessions(df(rows)))
