@@ -115,13 +115,17 @@ object Similarity {
         x => x.getField("c")).as("centroid"))
       .withColumn("c_n2", expr("aggregate(centroid, 0L, (acc, v) -> acc + v * v)"))
 
-  /** IVF-style ANN: probe the single nearest inverted list (centroid
-    * by cosine, label-asc tie-break), then exact top-k inside it. The
-    * scale path when buckets are learned rather than hashed: the
-    * corpus shuffles once on the list key; queries and centroids are
-    * broadcast. nProbe=1 keeps the oracle exact; recall/latency is
-    * tuned by the list count at corpus scale. */
-  def ivfAnn(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
+  /** IVF-style ANN: probe the `nProbe` nearest inverted lists
+    * (centroids by cosine, label-asc tie-break), then exact top-k
+    * within the probed lists. The scale path when buckets are learned
+    * rather than hashed: the corpus shuffles once on the list key;
+    * queries and centroids are broadcast. nProbe is THE recall/cost
+    * knob of IVF — candidates scored grow linearly with it, and
+    * probing every list degenerates (by construction) to exact brute
+    * force, which TrainingOpsSpec pins. nProbe=1 keeps the q32 oracle
+    * exact; list count tunes the other axis at corpus scale. */
+  def ivfAnn(emb: DataFrame, queryPred: Column, k: Int = 3,
+      nProbe: Int = 1): DataFrame = {
     val quant = quantized(emb)
     val q = quant.select(col("vec_id"), col("label"), col("q"), col("n2"))
     val cents = ivfCentroidsFromQuantized(quant) // one quantization subtree, not two
@@ -136,11 +140,11 @@ object Similarity {
       .orderBy(col("c_cos").desc, col("label").asc)
     val assigned = probe
       .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") === 1)
+      .filter(col("probe_rank") <= nProbe)
       .select(col("query_id"), col("q_q"), col("q_n2"), col("label"))
-    // one row per query after the probe rank: broadcast, so the corpus
-    // is joined in place (shuffling 100 TB on the list key to meet a
-    // handful of probes would be the wrong side moving)
+    // nProbe rows per query after the probe rank: broadcast, so the
+    // corpus is joined in place (shuffling 100 TB on the list key to
+    // meet a handful of probes would be the wrong side moving)
     val scored = q.join(broadcast(assigned), "label")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_bp", cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))

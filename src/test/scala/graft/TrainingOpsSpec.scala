@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops._
+import graft.tables.Tables
 
 /** Edge cases the DuckDB oracle can't exercise: short/degenerate docs,
   * planted duplicates, and invariants of the dedup/similarity family. */
@@ -92,6 +93,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.map(_._1).forall(_ == 0), s"probed wrong list: ${got.toSeq}")
     assert(got.map(_._2).toSet.subsetOf(Set(0L, 1L, 2L)))
     assert(got.length == 2)
+  }
+
+  test("ivfAnn nProbe: recall grows monotonically; probing all lists == brute force") {
+    val emb = Tables(spark, sf, "embeddings")
+    val pred = col("vec_id") % 100 === 0
+    def hits(nProbe: Int): Set[(Long, Long)] =
+      Similarity.ivfAnn(emb, pred, k = 3, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+    val exact = Similarity.knnBruteForce(emb, pred, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val h1 = hits(1); val h3 = hits(3); val hAll = hits(10) // 10 labels in testdata
+    // recall vs brute force is monotone in nProbe...
+    assert((h1 intersect exact).size <= (h3 intersect exact).size)
+    assert((h3 intersect exact).size <= (hAll intersect exact).size)
+    // ...and probing EVERY list scores the whole corpus = exact search
+    assert(hAll == exact, s"nProbe=all diverged from brute force")
   }
 
   test("sign-bucket LSH co-buckets sign-identical vectors") {
