@@ -67,7 +67,8 @@ object SparkEntry {
     "q38_approx_median" -> (Queries.approxMedian _),
     "q39_user_activity" -> (Queries.userActivity _),
     "q40_user_visit_action" -> (Queries.userVisitAction _),
-    "q41_category_action_counts" -> (Queries.categoryActionCounts _)
+    "q41_category_action_counts" -> (Queries.categoryActionCounts _),
+    "q42_neardup_clusters" -> (Queries.nearDupClusters _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -275,6 +276,11 @@ object Queries {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables(spark, dir, "documents"))
 
+  /** Transitive closure of q22's near-dup pairs: per-doc cluster id +
+    * canonical representative (large-star/small-star CC). */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Clustering.nearDupClusters(Tables(spark, dir, "documents"))
+
   // ---- training-data pipeline: similarity search ----
 
   // Shared query parameters — interpolated into the oracle SQL so the
@@ -410,6 +416,49 @@ object Oracles {
     s"""CAST(list_sum(list_transform(range(1, ${graft.ops.Similarity.SignBits + 1}),
        |  i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i - 1) AS BIGINT)
        |            ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** MinHash+LSH near-dup pair CTE chain (twin of
+    * Dedup.minhashDedupPairs; shared by q22 and q42): `p` = verified
+    * pairs (doc_a, doc_b, inter, uni, jaccard_bp) at the 8000 bp
+    * threshold. Sig hashes twin graft.expressions.MinHashSig — one
+    * 28-bit md5-derived base hash per shingle, k-mixed mod the prime. */
+  val minhashPairCtes: String = {
+    import graft.ops.Dedup.{NumBands, NumHashes}
+    val rows = NumHashes / NumBands
+    val sigCols = (0 until NumHashes).map(k =>
+      f"list_min(list_transform(shingles, s -> (${2 * k + 1} * CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) + $k) %% 1073741789)) AS mh$k%02d")
+      .mkString(",\n         ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val cat = (0 until rows).map(r => f"mh${b * rows + r}%02d").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$shingleCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM sh),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |v AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+       |         CAST(len(sa.shingles) + len(sb.shingles)
+       |              - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS uni
+       |  FROM cand
+       |  JOIN sh sa ON cand.doc_a = sa.doc_id
+       |  JOIN sh sb ON cand.doc_b = sb.doc_id),
+       |p AS (
+       |  SELECT doc_a, doc_b, inter, uni,
+       |         CASE WHEN uni = 0 THEN 0
+       |              ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT) END AS jaccard_bp
+       |  FROM v
+       |  WHERE CASE WHEN uni = 0 THEN 0
+       |             ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT) END >= 8000)""".stripMargin
+  }
 
   private val sessionStatsSql: String = {
     val buckets = graft.ops.SessionStats.bucketSqlExprs.mkString(",\n       ")
@@ -689,44 +738,33 @@ object Oracles {
         |       COUNT(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "q22_minhash_dedup_pairs" -> {
-      import graft.ops.Dedup.{NumBands, NumHashes}
-      val rows = NumHashes / NumBands
-      // twin of graft.expressions.MinHashSig: one 28-bit md5-derived
-      // base hash per shingle, k-mixed mod the same prime
-      val sigCols = (0 until NumHashes).map(k =>
-        f"list_min(list_transform(shingles, s -> (${2 * k + 1} * CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) + $k) %% 1073741789)) AS mh$k%02d")
-        .mkString(",\n         ")
-      val bandSelects = (0 until NumBands).map { b =>
-        val cat = (0 until rows).map(r => f"mh${b * rows + r}%02d").mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH $shingleCte,
-         |sig AS (
-         |  SELECT doc_id,
-         |         $sigCols
-         |  FROM sh),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-         |v AS (
-         |  SELECT doc_a, doc_b,
-         |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
-         |         CAST(len(sa.shingles) + len(sb.shingles)
-         |              - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS uni
-         |  FROM cand
-         |  JOIN sh sa ON cand.doc_a = sa.doc_id
-         |  JOIN sh sb ON cand.doc_b = sb.doc_id)
-         |SELECT doc_a, doc_b, inter, uni,
-         |       CASE WHEN uni = 0 THEN 0
-         |            ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT) END AS jaccard_bp
-         |FROM v
-         |WHERE CASE WHEN uni = 0 THEN 0
-         |           ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT) END >= 8000""".stripMargin
-    },
+    "q22_minhash_dedup_pairs" ->
+      s"""WITH $minhashPairCtes
+         |SELECT doc_a, doc_b, inter, uni, jaccard_bp FROM p""".stripMargin,
+
+    // Connected components over q22's pair set (min-label transitive
+    // closure; twin of Clustering.nearDupClusters). `reach` carries
+    // every (node, reachable-label) pair — fine at oracle scale; the
+    // Spark side is the O(log n)-round star-contraction instead.
+    "q42_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM p),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+         |comp AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY 1)
+         |SELECT d.doc_id, c.component,
+         |       COUNT(*) OVER (PARTITION BY c.component) AS cluster_size,
+         |       first_value(d.doc_id) OVER (
+         |         PARTITION BY c.component
+         |         ORDER BY coalesce(length(d.text), -1) DESC, d.doc_id ASC)
+         |         AS canonical_doc_id
+         |FROM documents d JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
 
     "q23_ngram_dedup_kept" ->
       s"""WITH $shingleCte,

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Near-duplicate cluster resolution: connected components over a
+  * pair set, plus canonical-representative selection per cluster.
+  *
+  * Pairwise near-dup output (q22/q31/q27) answers "which documents
+  * overlap"; a training-data pipeline needs the transitive closure —
+  * "which documents are the SAME cluster" — so that exactly one
+  * representative per cluster survives. A is a near-dup of B, B of C:
+  * keeping A and C double-counts the content even though (A, C) was
+  * never emitted as a pair.
+  *
+  * Algorithm: the alternating large-star / small-star method of
+  * Kiveris et al., "Connected Components in MapReduce and Beyond"
+  * (SoCC 2014) — the published shuffle-native formulation (also what
+  * GraphFrames ships). Each round is two self-joins on the CURRENT
+  * edge set; the edge count never grows beyond the input pair count
+  * (each node keeps at most one out-edge per round after small-star),
+  * and convergence is O(log² n) rounds in the worst case, O(1)-ish on
+  * near-dup graphs (LSH clusters are near-cliques, so one large-star
+  * pass already stars most clusters).
+  *
+  * 100 TB shape: every step is a bounded groupBy/join on the PAIR set
+  * (millions of rows when the corpus is billions — pairs are the
+  * near-dup survivors, not the corpus), never on the corpus itself.
+  * The driver loop only compares edge-set counts per round — no edge
+  * data ever reaches the driver. Label assignment back onto the
+  * corpus is one broadcast-or-shuffle hash join.
+  */
+object Clustering {
+
+  /** Component labels for every node of `pairs` (columns `a`/`b` per
+    * `aCol`/`bCol`): one row (node, component) per distinct node,
+    * component = min node id of its connected component.
+    *
+    * Nodes absent from `pairs` are absent here — callers left-join
+    * and coalesce to the node's own id (see [[nearDupClusters]]).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 25): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val nodes = pairs.select(col(aCol).as("n"))
+      .unionByName(pairs.select(col(bCol).as("n"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // canonical undirected edge set: (hi > lo), no self-loops.
+    // Each round references the previous edge set twice, so the plan
+    // lineage doubles per round — checkpoint every round to truncate
+    // it (the standard iterative-DataFrame discipline; without it the
+    // optimizer re-plans an exponentially growing tree). localCheckpoint
+    // keeps blocks on executor storage — on a production cluster with
+    // a configured checkpoint dir, swap for Dataset.checkpoint to make
+    // rounds re-computable after executor loss.
+    var edges = pairs.select(
+        greatest(col(aCol), col(bCol)).as("hi"),
+        least(col(aCol), col(bCol)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(true)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
+    var iter = 0
+
+    while (!converged && iter < maxIter) {
+      // large-star(u): emit (v, m) for v ∈ Γ(u), v > u, where
+      // m = min(Γ(u) ∪ {u}) — strictly-larger neighbors hook onto the
+      // neighborhood minimum. Needs the SYMMETRIC adjacency.
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mLarge = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = sym.join(mLarge, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+
+      // small-star(u): over directed edges hi→lo (all lo < hi), with
+      // m = min(Γ(hi) ∪ {hi}) = min(lo): every other lo re-hooks to m,
+      // and hi itself hooks to m.
+      val mSmall = afterLarge.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val next = afterLarge.join(mSmall, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(mSmall.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(true)
+
+      // fixpoint test: next ⊆ edges and |next| = |edges| ⇒ sets equal
+      // (both are distinct sets). Fixpoints of large∘small are exactly
+      // the min-rooted star forests (Kiveris et al. §3).
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
+      edges = next
+      edgeCount = nextCount
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // star forest: every non-root points at its component min; roots
+    // appear only on the lo side.
+    val labels = nodes
+      .join(edges.select(col("hi").as("n"), col("lo").as("root")), Seq("n"), "left")
+      .select(col("n").as("node"), coalesce(col("root"), col("n")).as("component"))
+    nodes.unpersist()
+    labels
+  }
+
+  /** Per-document near-dup cluster assignment over the MinHash+LSH
+    * pair set: (doc_id, component, cluster_size, canonical_doc_id) for
+    * EVERY document (singletons are their own cluster). The canonical
+    * representative is the longest text in the cluster (the usual
+    * keep-the-most-content policy), doc_id-tie-broken; null text sorts
+    * last. One window shuffle on component after the label join.
+    */
+  def nearDupClusters(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
+    val pairs = Dedup.minhashDedupPairs(docs, thresholdBp)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component"))
+    val labeled = docs.select(col("doc_id"), col("text"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val byComponent = Window.partitionBy(col("component"))
+    val canonicalOrder = byComponent
+      .orderBy(coalesce(length(col("text")), lit(-1)).desc, col("doc_id").asc)
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(byComponent))
+      .withColumn("canonical_doc_id", first(col("doc_id")).over(canonicalOrder))
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        col("canonical_doc_id"))
+  }
+}
