@@ -68,7 +68,9 @@ object SparkEntry {
     "q39_user_activity" -> (Queries.userActivity _),
     "q40_user_visit_action" -> (Queries.userVisitAction _),
     "q41_category_action_counts" -> (Queries.categoryActionCounts _),
-    "q42_neardup_clusters" -> (Queries.nearDupClusters _)
+    "q42_neardup_clusters" -> (Queries.nearDupClusters _),
+    "q43_asof_last_purchase" -> (Queries.asofLastPurchase _),
+    "q44_asof_recent_purchase" -> (Queries.asofRecentPurchase _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -281,6 +283,16 @@ object Queries {
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
     Clustering.nearDupClusters(Tables(spark, dir, "documents"))
 
+  val AsofToleranceSecs = 3600L
+
+  /** As-of join (left): each click ← the user's latest prior purchase. */
+  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame =
+    AsOfJoin.clickLastPurchase(Tables(spark, dir, "events"))
+
+  /** As-of join with tolerance: prior purchase within the last hour. */
+  def asofRecentPurchase(spark: SparkSession, dir: String): DataFrame =
+    AsOfJoin.clickRecentPurchase(Tables(spark, dir, "events"), AsofToleranceSecs)
+
   // ---- training-data pipeline: similarity search ----
 
   // Shared query parameters — interpolated into the oracle SQL so the
@@ -458,6 +470,38 @@ object Oracles {
        |  FROM v
        |  WHERE CASE WHEN uni = 0 THEN 0
        |             ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT) END >= 8000)""".stripMargin
+  }
+
+  /** As-of oracle (twin of AsOfJoin.clickLastPurchase /
+    * clickRecentPurchase): left ASOF without tolerance, inner + gap
+    * filter with one. */
+  private def asofSql(innerToleranceSecs: Option[Long]): String = {
+    val base =
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_event_id, ts
+        |  FROM events WHERE event_type = 'click'),
+        |p0 AS (
+        |  SELECT user_id, ts, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT user_id, ts, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY event_id DESC) AS rn
+        |    FROM p0) WHERE rn = 1)
+        |SELECT c.user_id, c.click_event_id,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+        |       p.event_id AS purchase_event_id,
+        |       CAST(FLOOR(p.value * 100.0) AS BIGINT) AS purchase_cents,
+        |       (epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 AS secs_since_purchase
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+    innerToleranceSecs match {
+      case None => base
+      case Some(tol) =>
+        s"""SELECT * FROM ($base)
+           |WHERE secs_since_purchase IS NOT NULL
+           |  AND secs_since_purchase <= $tol""".stripMargin
+    }
   }
 
   private val sessionStatsSql: String = {
@@ -951,6 +995,15 @@ object Oracles {
         |FROM u GROUP BY 1
         |ORDER BY click_count DESC, order_count DESC, pay_count DESC, category_id ASC
         |LIMIT 10""".stripMargin,
+
+    // ASOF JOIN tie rule: DuckDB picks the max build ts <= probe ts
+    // but has no tie-break WITHIN an equal (user_id, ts) — pre-dedup
+    // to max event_id, which is exactly the Spark side's
+    // (ts, event_id)-ascending last-wins ordering.
+    "q43_asof_last_purchase" -> asofSql(innerToleranceSecs = None),
+
+    "q44_asof_recent_purchase" ->
+      asofSql(innerToleranceSecs = Some(Queries.AsofToleranceSecs)),
 
     "q34_winnow_fingerprints" ->
       """WITH h AS (
