@@ -70,7 +70,9 @@ object SparkEntry {
     "q41_category_action_counts" -> (Queries.categoryActionCounts _),
     "q42_neardup_clusters" -> (Queries.nearDupClusters _),
     "q43_asof_last_purchase" -> (Queries.asofLastPurchase _),
-    "q44_asof_recent_purchase" -> (Queries.asofRecentPurchase _)
+    "q44_asof_recent_purchase" -> (Queries.asofRecentPurchase _),
+    "q45_line_dedup" -> (Queries.lineDedup _),
+    "q46_pii_scrub" -> (Queries.piiScrub _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -217,6 +219,16 @@ object Queries {
 
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.winnowFingerprints(Tables(spark, dir, "documents"))
+
+  /** Token-window size for the q45 line analog: 2 keeps the filter
+    * active on the synthetic corpus (longer windows never repeat). */
+  val LineTokens = 2
+
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    TextClean.dedupLines(Tables(spark, dir, "documents"), LineTokens)
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    TextClean.piiScrub(Tables(spark, dir, "documents"))
 
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
 
@@ -1004,6 +1016,42 @@ object Oracles {
 
     "q44_asof_recent_purchase" ->
       asofSql(innerToleranceSecs = Some(Queries.AsofToleranceSecs)),
+
+    // Twin of TextClean.dedupLines at LineTokens: 1-based DuckDB list
+    // lambdas vs 0-based Spark — the first-occurrence predicate is
+    // list_position = i here, array_position = i + 1 there.
+    "q45_line_dedup" -> {
+      val L = Queries.LineTokens
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |         CAST(ceil(len(tokens) / $L.0) AS BIGINT) AS n_lines,
+         |         list_transform(range(0, CAST(ceil(len(tokens) / $L.0) AS BIGINT)),
+         |           i -> array_to_string(tokens[i * $L + 1 : i * $L + $L], ' ')) AS chunks
+         |  FROM t),
+         |k AS (
+         |  SELECT doc_id, text, n_lines,
+         |         list_filter(chunks, (x, i) -> list_position(chunks, x) = i) AS kept
+         |  FROM c)
+         |SELECT doc_id,
+         |       CASE WHEN text IS NULL THEN NULL ELSE n_lines END AS n_lines,
+         |       CAST(len(kept) AS BIGINT) AS n_kept,
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 * (n_lines - len(kept)) / n_lines) AS BIGINT)
+         |       END AS removed_bp,
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE array_to_string(kept, ' ') END AS cleaned
+         |FROM k""".stripMargin
+    },
+
+    "q46_pii_scrub" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE CAST(len(regexp_extract_all(text, '${graft.ops.TextClean.PiiPattern}')) AS BIGINT)
+         |       END AS pii_hits,
+         |       regexp_replace(text, '${graft.ops.TextClean.PiiPattern}', '<PII>', 'g') AS scrubbed
+         |FROM documents""".stripMargin,
 
     "q34_winnow_fingerprints" ->
       """WITH h AS (

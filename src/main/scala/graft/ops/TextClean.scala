@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data text cleaning: intra-document repetition removal and
+  * PII scrubbing — the per-document rewrite stages that sit between
+  * dedup and tokenization in a corpus pipeline (the Gopher/RefinedWeb
+  * "repetitious content" and redaction rules).
+  *
+  * Both are PURE MAP stages: no shuffle, no state, embarrassingly
+  * parallel over whatever partitioning the scan produced — the ideal
+  * 100 TB shape. Everything is built-in higher-order functions and
+  * regexp built-ins, so the whole stage stays inside whole-stage
+  * codegen.
+  */
+object TextClean {
+
+  /** Remove repeated "lines" within each document, where a line is a
+    * run of `lineTokens` consecutive tokens (the corpus has no
+    * newlines; fixed token windows are the line analog). The FIRST
+    * occurrence of each distinct line survives, order preserved —
+    * exactly the classic repeated-line filter.
+    *
+    * Output: doc_id, n_lines, n_kept, removed_bp (basis points of
+    * lines dropped), cleaned (the re-joined text). Null text rows
+    * pass through with null stats.
+    */
+  def dedupLines(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
+    require(lineTokens >= 1, "lineTokens must be >= 1")
+    val L = lineTokens
+    docs
+      .withColumn("__tokens", expr("split(text, ' ')"))
+      // split never yields an empty array (worst case ['']), so
+      // n_lines >= 1 whenever text is non-null and sequence() below
+      // never sees a start > stop (which would generate DESCENDING).
+      .withColumn("__n_lines",
+        expr(s"CAST(ceil(size(__tokens) / $L.0) AS BIGINT)"))
+      .withColumn("__chunks", expr(
+        s"""CASE WHEN text IS NULL THEN NULL ELSE
+           |  transform(sequence(0, __n_lines - 1),
+           |    i -> concat_ws(' ', slice(__tokens, i * $L + 1, $L)))
+           |END""".stripMargin))
+      .withColumn("__kept",
+        expr("filter(__chunks, (c, i) -> array_position(__chunks, c) = i + 1)"))
+      .select(
+        col("doc_id"),
+        col("__n_lines").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        when(col("text").isNull, lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) *
+            (col("__n_lines") - size(col("__kept"))) / col("__n_lines"))
+            .cast("long"))
+          .as("removed_bp"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", col("__kept"))).as("cleaned"))
+  }
+
+  /** Deny-listed sensitive terms (exact word match). */
+  val PiiTerms: Seq[String] = Seq("customer", "account", "ssn")
+
+  /** Combined PII pattern: emails, long digit runs, deny-list words.
+    * Restricted to a regex subset (character classes, {n,}, \b,
+    * alternation) whose semantics are identical in Java regex (Spark)
+    * and RE2 (DuckDB/production scanners) — portability is the point:
+    * a scrub rule that matches differently per engine is a leak. */
+  val PiiPattern: String =
+    s"([a-z0-9._]+@[a-z0-9.]+|[0-9]{7,}|\\b(${PiiTerms.mkString("|")})\\b)"
+
+  /** Replace every PII match with the `<PII>` placeholder; count the
+    * redactions per document. Null text passes through. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(col("text").isNull, lit(null).cast("long"))
+        .otherwise(size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0)))
+          .cast("long"))
+        .as("pii_hits"),
+      regexp_replace(col("text"), PiiPattern, "<PII>").as("scrubbed"))
+}
