@@ -132,4 +132,23 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q28_media_metadata")
     assert(shuffles(p) == 0, p)
   }
+
+  test("q43 as-of join: exactly one shuffle (the union+window trick), no join operator") {
+    val p = plan("q43_asof_last_purchase")
+    assert(shuffles(p) == 1, p)
+    assert(!p.contains("Join"), s"as-of degraded to a real join:\n$p")
+    // both event_type filters reach the parquet scans
+    assert("PushedFilters: .*EqualTo\\(event_type,click\\)".r.findFirstIn(p).isDefined, p)
+    assert("PushedFilters: .*EqualTo\\(event_type,purchase\\)".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q45/q46 text cleaning: pure map stages — zero shuffles, scan pruned to (doc_id, text)") {
+    Seq("q45_line_dedup", "q46_pii_scrub").foreach { q =>
+      val p = plan(q)
+      assert(shuffles(p) == 0, s"$q:\n$p")
+      val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+      assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+        s"$q scan not pruned: $readSchema")
+    }
+  }
 }
