@@ -83,6 +83,13 @@ object ScaleProbe {
     t("winnow fingerprints")(graft.ops.TextAnalysis.winnowFingerprints(docs))
     t("knn bruteforce")(graft.ops.Similarity.knnBruteForce(emb, col("vec_id") % 500 === 0))
     t("ivf ann")(graft.ops.Similarity.ivfAnn(emb, col("vec_id") % 500 === 0))
+    // amplified docs multiply the PAIR set mult× (each replica block
+    // reproduces the original's near-dup pairs); rounds must stay flat
+    // (log of the largest cluster, not of the corpus).
+    t("neardup clusters")(graft.ops.Clustering.nearDupClusters(docs))
+    t("asof last purchase")(graft.ops.AsOfJoin.clickLastPurchase(events))
+    t("line dedup")(graft.ops.TextClean.dedupLines(docs, lineTokens = 2))
+    t("pii scrub")(graft.ops.TextClean.piiScrub(docs))
     spark.stop()
   }
 }
