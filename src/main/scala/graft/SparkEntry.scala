@@ -72,7 +72,8 @@ object SparkEntry {
     "q43_asof_last_purchase" -> (Queries.asofLastPurchase _),
     "q44_asof_recent_purchase" -> (Queries.asofRecentPurchase _),
     "q45_line_dedup" -> (Queries.lineDedup _),
-    "q46_pii_scrub" -> (Queries.piiScrub _)
+    "q46_pii_scrub" -> (Queries.piiScrub _),
+    "q47_corpus_select" -> (Queries.corpusSelect _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -229,6 +230,14 @@ object Queries {
 
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     TextClean.piiScrub(Tables(spark, dir, "documents"))
+
+  val MaxPiiHits = 2L
+
+  /** End-to-end corpus materialization: quality ∧ dedup-kept ∧ low-PII
+    * → per-(lang, source) doc/token totals. */
+  def corpusSelect(spark: SparkSession, dir: String): DataFrame =
+    CorpusPipeline.corpusSelect(Tables(spark, dir, "documents"),
+      maxPiiHits = MaxPiiHits)
 
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
 
@@ -530,7 +539,28 @@ object Oracles {
        |FROM h""".stripMargin
   }
 
-  val sql: Map[String, String] = Map(
+  val sql: Map[String, String] = baseSql + ("q47_corpus_select" -> {
+    // end-to-end pipeline oracle, composed from the q23 dedup oracle
+    // (nested WITH is legal in a CTE body) + the one-pass gate twin of
+    // CorpusPipeline.corpusSelect
+    val sw = "len(string_split(text, ' '))"
+    s"""WITH k AS (${baseSql("q23_ngram_dedup_kept")}),
+       |g AS (
+       |  SELECT doc_id, CAST($sw AS BIGINT) AS token_count
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND $sw >= 20
+       |    AND CAST(FLOOR(10000.0 * len(list_filter(string_split(text, ' '),
+       |          x -> length(x) <= 2)) / $sw) AS BIGINT) <= 4000
+       |    AND len(regexp_extract_all(text, '${graft.ops.TextClean.PiiPattern}'))
+       |          <= ${Queries.MaxPiiHits})
+       |SELECT k.lang, k.source, COUNT(*) AS n_docs,
+       |       CAST(SUM(g.token_count) AS BIGINT) AS total_tokens
+       |FROM k JOIN g USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+  })
+
+  private lazy val baseSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus materialization query — the reason the
+  * individual operators exist: documents that (a) pass the quality
+  * gate, (b) survive near-dup dedup, and (c) clear the PII-density
+  * gate, rolled up to per-(lang, source) document and token totals —
+  * the "what goes into the training run" report.
+  *
+  * Scale shape: all three per-row gates (token count, short-token
+  * ratio, PII hits) are computed in ONE projection over the text —
+  * one scan, pure codegen, no intermediate frames — and the only
+  * shuffle-bearing stage is the dedup itself. The gate join runs at
+  * kept-doc grain, the final aggregate at (lang, source) grain.
+  */
+object CorpusPipeline {
+
+  def corpusSelect(
+      docs: DataFrame,
+      minTokens: Long = 20L,
+      maxShortBp: Long = 4000L,
+      maxPiiHits: Long = 2L): DataFrame = {
+    // per-row gates, one pass (null text fails the token gate)
+    val gated = docs
+      .withColumn("tokens", expr(TextAnalysis.TokensExpr))
+      .withColumn("token_count", size(col("tokens")).cast("long"))
+      .withColumn("short_bp",
+        floor(lit(10000.0) *
+          expr("CAST(size(filter(tokens, x -> length(x) <= 2)) AS BIGINT)") /
+          col("token_count")).cast("long"))
+      .withColumn("pii_hits",
+        size(regexp_extract_all(col("text"), lit(TextClean.PiiPattern), lit(0)))
+          .cast("long"))
+      .filter(col("token_count") >= minTokens &&
+        col("short_bp") <= maxShortBp && col("pii_hits") <= maxPiiHits)
+      .select(col("doc_id"), col("token_count"))
+    Dedup.ngramDedupKept(docs)
+      .join(gated, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("token_count")).as("total_tokens"))
+  }
+}

@@ -141,4 +141,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(1L) == "en")
     assert(out(2L) == "es")
   }
+
+  test("corpusSelect with gates wide open reduces to the dedup-kept set") {
+    val d = Tables(spark, sf, "documents")
+    val open = CorpusPipeline.corpusSelect(d,
+      minTokens = 0L, maxShortBp = 10000L, maxPiiHits = Long.MaxValue)
+      .agg(sum(col("n_docs"))).as[Long].head()
+    val keptNonNull = Dedup.ngramDedupKept(d).join(
+      d.filter(col("text").isNotNull).select("doc_id"), "doc_id").count()
+    assert(open == keptNonNull)
+  }
+
+  test("corpusSelect gates are monotone: tighter thresholds keep fewer docs") {
+    val d = Tables(spark, sf, "documents")
+    def total(minTok: Long, pii: Long): Long =
+      CorpusPipeline.corpusSelect(d, minTokens = minTok, maxPiiHits = pii)
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).as[Long].head()
+    assert(total(20L, 2L) <= total(20L, 100L))
+    assert(total(50L, 2L) <= total(20L, 2L))
+  }
 }
