@@ -73,7 +73,8 @@ object SparkEntry {
     "q44_asof_recent_purchase" -> (Queries.asofRecentPurchase _),
     "q45_line_dedup" -> (Queries.lineDedup _),
     "q46_pii_scrub" -> (Queries.piiScrub _),
-    "q47_corpus_select" -> (Queries.corpusSelect _)
+    "q47_corpus_select" -> (Queries.corpusSelect _),
+    "q48_vocab_top" -> (Queries.vocabTop _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -232,6 +233,11 @@ object Queries {
     TextClean.piiScrub(Tables(spark, dir, "documents"))
 
   val MaxPiiHits = 2L
+  val VocabTopK = 20
+
+  /** Corpus vocabulary head: top-k tokens by (term_freq, token). */
+  def vocabTop(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTop(Tables(spark, dir, "documents"), VocabTopK)
 
   /** End-to-end corpus materialization: quality ∧ dedup-kept ∧ low-PII
     * → per-(lang, source) doc/token totals. */
@@ -1050,6 +1056,14 @@ object Oracles {
     // Twin of TextClean.dedupLines at LineTokens: 1-based DuckDB list
     // lambdas vs 0-based Spark — the first-occurrence predicate is
     // list_position = i here, array_position = i + 1 there.
+    "q48_vocab_top" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+         |FROM t GROUP BY 1
+         |ORDER BY term_freq DESC, token ASC
+         |LIMIT ${Queries.VocabTopK}""".stripMargin,
+
     "q45_line_dedup" -> {
       val L = Queries.LineTokens
       s"""WITH t AS (

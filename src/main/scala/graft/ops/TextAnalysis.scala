@@ -121,6 +121,24 @@ object TextAnalysis {
       .withColumn("label_match", (col("predicted_lang") === col("lang")).cast("int"))
   }
 
+  /** Corpus vocabulary head: top-k tokens by term frequency with
+    * document frequency — the vocab-estimation pass before tokenizer
+    * training. Scale shape: the explode never materializes the corpus
+    * (it pipelines with the scan); the Zipf head ("the" at ~7% of all
+    * tokens) is absorbed by partial aggregation — and the distinct
+    * doc count plans as a two-phase aggregate whose FIRST shuffle key
+    * is (token, doc_id), so even the hottest token spreads over the
+    * cluster before the per-token rollup. Top-k is
+    * TakeOrderedAndProject, never a global sort. */
+  def vocabTop(docs: DataFrame, k: Int = 20): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), explode(col("tokens")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("term_freq"),
+        count_distinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("term_freq").desc, col("token").asc)
+      .limit(k)
+
   /** Document fingerprinting: min/max md5 over 3-word shingles — the
     * winnowing-style content fingerprint used as a cheap blocking key
     * for near-dup candidate generation (see Dedup). */

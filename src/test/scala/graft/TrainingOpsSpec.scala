@@ -142,6 +142,15 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(2L) == "es")
   }
 
+  test("vocabTop ranks by term_freq with token tie-break; doc_freq is distinct") {
+    val out = TextAnalysis.vocabTop(docs(
+      1L -> "b a a c c",
+      2L -> "a b"), k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // a: tf 3 df 2; b: tf 2 df 2; c: tf 2 df 1 (b before c on the tie)
+    assert(out == Seq(("a", 3L, 2L), ("b", 2L, 2L), ("c", 2L, 1L)))
+  }
+
   test("corpusSelect with gates wide open reduces to the dedup-kept set") {
     val d = Tables(spark, sf, "documents")
     val open = CorpusPipeline.corpusSelect(d,
