@@ -74,7 +74,8 @@ object SparkEntry {
     "q45_line_dedup" -> (Queries.lineDedup _),
     "q46_pii_scrub" -> (Queries.piiScrub _),
     "q47_corpus_select" -> (Queries.corpusSelect _),
-    "q48_vocab_top" -> (Queries.vocabTop _)
+    "q48_vocab_top" -> (Queries.vocabTop _),
+    "q49_repetition_metrics" -> (Queries.repetitionMetrics _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -238,6 +239,10 @@ object Queries {
   /** Corpus vocabulary head: top-k tokens by (term_freq, token). */
   def vocabTop(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabTop(Tables(spark, dir, "documents"), VocabTopK)
+
+  /** Gopher repetition signals at the q45 line grain. */
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame =
+    TextClean.repetitionMetrics(Tables(spark, dir, "documents"), LineTokens)
 
   /** End-to-end corpus materialization: quality ∧ dedup-kept ∧ low-PII
     * → per-(lang, source) doc/token totals. */
@@ -1056,6 +1061,50 @@ object Oracles {
     // Twin of TextClean.dedupLines at LineTokens: 1-based DuckDB list
     // lambdas vs 0-based Spark — the first-occurrence predicate is
     // list_position = i here, array_position = i + 1 there.
+    // Twin of TextClean.repetitionMetrics at LineTokens. DuckDB
+    // list_max/list_min of [] are NULL, matching Spark's
+    // array_max/array_min — single-token docs get null bigram columns
+    // on both sides by the same path.
+    "q49_repetition_metrics" -> {
+      val L = Queries.LineTokens
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, text, tokens,
+         |         CAST(ceil(len(tokens) / $L.0) AS BIGINT) AS n_lines,
+         |         list_transform(range(0, CAST(ceil(len(tokens) / $L.0) AS BIGINT)),
+         |           i -> array_to_string(tokens[i * $L + 1 : i * $L + $L], ' ')) AS lines,
+         |         CASE WHEN len(tokens) >= 2 THEN
+         |           list_transform(range(1, len(tokens)),
+         |             i -> tokens[i] || ' ' || tokens[i + 1])
+         |         ELSE [] END AS bigrams
+         |  FROM t),
+         |m AS (
+         |  SELECT *, list_distinct(lines) AS dlines,
+         |         list_max(list_transform(list_distinct(bigrams),
+         |           b -> len(list_filter(bigrams, x -> x = b)))) AS maxc
+         |  FROM c),
+         |tp AS (
+         |  SELECT *, list_min(list_filter(list_distinct(bigrams),
+         |           b -> len(list_filter(bigrams, x -> x = b)) = maxc)) AS top
+         |  FROM m)
+         |SELECT doc_id, n_lines,
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 * (n_lines - len(dlines)) / n_lines) AS BIGINT)
+         |       END AS dup_line_bp,
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 *
+         |                   (list_sum(list_transform(lines, x -> length(x))) -
+         |                    list_sum(list_transform(dlines, x -> length(x))))
+         |                   / length(text)) AS BIGINT)
+         |       END AS dup_line_char_bp,
+         |       top AS top_bigram,
+         |       CASE WHEN text IS NULL OR maxc IS NULL THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 * maxc * length(top) / length(text)) AS BIGINT)
+         |       END AS top_bigram_bp
+         |FROM tp""".stripMargin
+    },
+
     "q48_vocab_top" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)

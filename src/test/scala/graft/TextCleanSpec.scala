@@ -52,4 +52,34 @@ class TextCleanSpec extends SparkSpec {
       .select("pii_hits", "scrubbed").as[(Long, String)].head()
     assert(out == ((0L, "just plain words")))
   }
+
+  test("repetitionMetrics: duplicate lines and the dominant bigram") {
+    // text "a b a b c d": lines(2) = [a b, a b, c d] -> 1 of 3 dup;
+    // bigrams = [a b, b a, a b, b c, c d] -> top 'a b' x2, len 3, text len 11
+    val out = TextClean.repetitionMetrics(docs(1L -> "a b a b c d"), lineTokens = 2)
+      .select("n_lines", "dup_line_bp", "dup_line_char_bp", "top_bigram", "top_bigram_bp")
+      .as[(Long, Long, Long, String, Long)].head()
+    assert(out._1 == 3L)
+    assert(out._2 == 3333L)                 // floor(10000 * 1/3)
+    assert(out._3 == Math.floorDiv(10000 * 3, 11)) // one dup 'a b' instance = 3 chars
+    assert(out._4 == "a b" && out._5 == Math.floorDiv(10000 * 2 * 3, 11))
+  }
+
+  test("repetitionMetrics: repetition-free text scores zero; ties pick the smallest bigram") {
+    val out = TextClean.repetitionMetrics(docs(1L -> "z y x w"), lineTokens = 2)
+      .select("dup_line_bp", "dup_line_char_bp", "top_bigram")
+      .as[(Long, Long, String)].head()
+    // all bigrams occur once -> tie -> lexicographically smallest
+    assert(out == ((0L, 0L, "x w")))
+  }
+
+  test("repetitionMetrics: single-token and null docs yield null bigram columns") {
+    val outs = TextClean.repetitionMetrics(
+      docs(1L -> "solo", 2L -> null), lineTokens = 2)
+      .select("doc_id", "top_bigram", "top_bigram_bp", "dup_line_bp")
+      .as[(Long, Option[String], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(outs(1L) == ((None, None, Some(0L))))
+    assert(outs(2L) == ((None, None, None)))
+  }
 }
