@@ -75,7 +75,8 @@ object SparkEntry {
     "q46_pii_scrub" -> (Queries.piiScrub _),
     "q47_corpus_select" -> (Queries.corpusSelect _),
     "q48_vocab_top" -> (Queries.vocabTop _),
-    "q49_repetition_metrics" -> (Queries.repetitionMetrics _)
+    "q49_repetition_metrics" -> (Queries.repetitionMetrics _),
+    "q50_incremental_dedup" -> (Queries.incrementalDedup _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -243,6 +244,15 @@ object Queries {
   /** Gopher repetition signals at the q45 line grain. */
   def repetitionMetrics(spark: SparkSession, dir: String): DataFrame =
     TextClean.repetitionMetrics(Tables(spark, dir, "documents"), LineTokens)
+
+  /** Incremental dedup demo split: odd doc_ids are the incoming
+    * batch, even doc_ids the existing corpus. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.incrementalDedupKept(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0))
+  }
 
   /** End-to-end corpus materialization: quality ∧ dedup-kept ∧ low-PII
     * → per-(lang, source) doc/token totals. */
@@ -1061,6 +1071,25 @@ object Oracles {
     // Twin of TextClean.dedupLines at LineTokens: 1-based DuckDB list
     // lambdas vs 0-based Spark — the first-occurrence predicate is
     // list_position = i here, array_position = i + 1 there.
+    // Twin of Dedup.incrementalDedupKept on the odd/even split. The
+    // odd-even near-dup pairs are exactly the cross-parity subset of
+    // the all-pairs CTE `p` (same bands, same threshold), so the
+    // oracle reuses it; exact replays are the md5 match.
+    "q50_incremental_dedup" ->
+      s"""WITH $minhashPairCtes,
+         |matched AS (
+         |  SELECT doc_a AS id FROM p WHERE doc_a % 2 = 1 AND doc_b % 2 = 0
+         |  UNION
+         |  SELECT doc_b FROM p WHERE doc_b % 2 = 1 AND doc_a % 2 = 0),
+         |exact AS (
+         |  SELECT DISTINCT o.doc_id FROM documents o
+         |  JOIN documents e ON e.doc_id % 2 = 0 AND md5(o.text) = md5(e.text)
+         |  WHERE o.doc_id % 2 = 1)
+         |SELECT doc_id, lang, source FROM documents d
+         |WHERE doc_id % 2 = 1
+         |  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.id = d.doc_id)
+         |  AND NOT EXISTS (SELECT 1 FROM exact x WHERE x.doc_id = d.doc_id)""".stripMargin,
+
     // Twin of TextClean.repetitionMetrics at LineTokens. DuckDB
     // list_max/list_min of [] are NULL, matching Spark's
     // array_max/array_min — single-token docs get null bigram columns

@@ -107,9 +107,15 @@ object Dedup {
     * one when the plan would otherwise recompute the shingle subtree
     * per join side. */
   def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
+    verifyJaccardSides(pairs, sh, sh)
+
+  /** verifyJaccard with distinct shingle sources per pair side (for
+    * cross-corpus pairing, where doc_a and doc_b come from different
+    * frames). */
+  def verifyJaccardSides(pairs: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame =
     jaccardCols(pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b"))
+      .join(shA.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shB.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard_bp"))
 
   /** Full MinHash+LSH near-dup pipeline: candidates → verified pairs at
@@ -236,6 +242,55 @@ object Dedup {
       .join(base.select(col("th"), col("rep_id"), col("has_sh")), "th")
       .join(lostReps, Seq("rep_id"), "left_anti") // lost rep → group lost
       .filter(col("doc_id") === col("rep_id") || !col("has_sh"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Incremental corpus dedup: which documents of an incoming batch
+    * are NOVEL against an existing corpus — the dedup an ingestion
+    * pipeline actually runs per crawl drop (the all-pairs q22 sweep is
+    * the bootstrap; this is the steady state). Id spaces must be
+    * disjoint across the two frames.
+    *
+    * Two stages, cheapest first:
+    *  1. exact replays: one left-anti semi-join of the batch's text
+    *     hashes against the corpus hash set (null-text rows never
+    *     match and pass through, as in the pairwise formulation);
+    *  2. near-dups: LSH band join of BATCH bands × CORPUS bands —
+    *     the pair space is bounded by bucket co-membership exactly as
+    *     in the self-join case, but the batch side is small, so at
+    *     production scale the batch's band table broadcasts and the
+    *     corpus never shuffles. Candidates get the exact-Jaccard
+    *     verify; a batch doc with a ≥-threshold corpus partner drops.
+    *
+    * At 100 TB the corpus signature/band frames are a MATERIALIZED
+    * index (computed once at bootstrap, appended per accepted batch);
+    * this operator recomputes them because the test corpus is a
+    * parquet table, not a maintained index — the join shape is what
+    * scales, and that is what this encodes. */
+  def incrementalDedupKept(batch: DataFrame, corpus: DataFrame,
+      thresholdBp: Long = 8000L): DataFrame = {
+    require(thresholdBp >= 1L && thresholdBp <= 10000L,
+      "thresholdBp must be in [1, 10000]")
+    val corpusHashes = corpus.select(md5(col("text")).as("__h"))
+      .filter(col("__h").isNotNull).distinct()
+    val fresh = batch.withColumn("__h", md5(col("text")))
+      .join(corpusHashes, Seq("__h"), "left_anti").drop("__h")
+
+    val sigB = minhashSignature(fresh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigC = minhashSignature(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshBands(sigB).as("a")
+      .join(lshBands(sigC).as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val lost = verifyJaccardSides(cand,
+        sigB.select(col("doc_id"), col("shingles")),
+        sigC.select(col("doc_id"), col("shingles")))
+      .filter(col("jaccard_bp") >= thresholdBp)
+      .select(col("doc_a").as("doc_id")).distinct()
+    fresh.join(lost, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
   }
 

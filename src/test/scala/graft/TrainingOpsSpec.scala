@@ -151,6 +151,20 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out == Seq(("a", 3L, 2L), ("b", 2L, 2L), ("c", 2L, 1L)))
   }
 
+  test("incrementalDedupKept: exact replays and near-dups drop, novel docs pass") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = docs(2L -> base, 4L -> "a short corpus doc here now")
+    val batch = Seq(
+      (1L, base, "en", "s", 0L),                       // exact replay -> drop
+      (3L, base.replace("w30", "zz"), "en", "s", 0L),  // near-dup -> drop
+      (5L, (1 to 35).map(i => s"only$i").mkString(" "), "en", "s", 0L), // novel
+      (7L, null.asInstanceOf[String], "en", "s", 0L)   // null text -> kept
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Dedup.incrementalDedupKept(batch, corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(5L, 7L))
+  }
+
   test("corpusSelect with gates wide open reduces to the dedup-kept set") {
     val d = Tables(spark, sf, "documents")
     val open = CorpusPipeline.corpusSelect(d,
