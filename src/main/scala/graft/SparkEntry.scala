@@ -76,7 +76,8 @@ object SparkEntry {
     "q47_corpus_select" -> (Queries.corpusSelect _),
     "q48_vocab_top" -> (Queries.vocabTop _),
     "q49_repetition_metrics" -> (Queries.repetitionMetrics _),
-    "q50_incremental_dedup" -> (Queries.incrementalDedup _)
+    "q50_incremental_dedup" -> (Queries.incrementalDedup _),
+    "q51_purchases_window" -> (Queries.purchasesWindow _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -244,6 +245,13 @@ object Queries {
   /** Gopher repetition signals at the q45 line grain. */
   def repetitionMetrics(spark: SparkSession, dir: String): DataFrame =
     TextClean.repetitionMetrics(Tables(spark, dir, "documents"), LineTokens)
+
+  val RangeWindowSecs = 3600L
+
+  /** Keyless trailing-window range join: site-wide purchases in the
+    * hour before each click. */
+  def purchasesWindow(spark: SparkSession, dir: String): DataFrame =
+    RangeJoin.purchasesBeforeClicks(Tables(spark, dir, "events"), RangeWindowSecs)
 
   /** Incremental dedup demo split: odd doc_ids are the incoming
     * batch, even doc_ids the existing corpus. */
@@ -1071,6 +1079,22 @@ object Oracles {
     // Twin of TextClean.dedupLines at LineTokens: 1-based DuckDB list
     // lambdas vs 0-based Spark — the first-occurrence predicate is
     // list_position = i here, array_position = i + 1 there.
+    // Twin of RangeJoin.purchasesBeforeClicks (DuckDB plans the range
+    // predicate as an IEJoin — no bucketing needed oracle-side).
+    "q51_purchases_window" ->
+      s"""WITH c AS (
+         |  SELECT event_id AS click_event_id, epoch_us(ts) AS us
+         |  FROM events WHERE event_type = 'click'),
+         |p AS (
+         |  SELECT epoch_us(ts) AS us, CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT c.click_event_id,
+         |       COUNT(p.us) AS n_purchases,
+         |       CAST(COALESCE(SUM(p.cents), 0) AS BIGINT) AS purchase_cents
+         |FROM c LEFT JOIN p
+         |  ON p.us >= c.us - ${Queries.RangeWindowSecs * 1000000L} AND p.us < c.us
+         |GROUP BY 1""".stripMargin,
+
     // Twin of Dedup.incrementalDedupKept on the odd/even split. The
     // odd-even near-dup pairs are exactly the cross-parity subset of
     // the all-pairs CTE `p` (same bands, same threshold), so the
