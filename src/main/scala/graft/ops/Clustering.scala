@@ -47,8 +47,13 @@ object Clustering {
       bCol: String = "doc_b",
       maxIter: Int = 25): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
-    val nodes = pairs.select(col(aCol).as("n"))
-      .unionByName(pairs.select(col(bCol).as("n"))).distinct()
+    // checkpoint the (possibly expensive) pair pipeline ONCE; nodes
+    // and the initial edge set both derive from the materialized copy
+    // instead of re-running the upstream lineage.
+    val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(false)
+    val nodes = p0.select(col("a").as("n"))
+      .unionByName(p0.select(col("b").as("n"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // canonical undirected edge set: (hi > lo), no self-loops.
@@ -59,11 +64,13 @@ object Clustering {
     // keeps blocks on executor storage — on a production cluster with
     // a configured checkpoint dir, swap for Dataset.checkpoint to make
     // rounds re-computable after executor loss.
-    var edges = pairs.select(
-        greatest(col(aCol), col(bCol)).as("hi"),
-        least(col(aCol), col(bCol)).as("lo"))
+    // non-eager: the count() below materializes the checkpoint, so
+    // each round runs ONE job for checkpoint+count instead of two.
+    var edges = p0.select(
+        greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var edgeCount = edges.count()
     var converged = edgeCount == 0L
     var iter = 0
@@ -91,7 +98,7 @@ object Clustering {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionByName(mSmall.select(col("hi"), col("m").as("lo")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       // fixpoint test: next ⊆ edges and |next| = |edges| ⇒ sets equal
       // (both are distinct sets). Fixpoints of large∘small are exactly
