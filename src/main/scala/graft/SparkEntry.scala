@@ -77,7 +77,8 @@ object SparkEntry {
     "q48_vocab_top" -> (Queries.vocabTop _),
     "q49_repetition_metrics" -> (Queries.repetitionMetrics _),
     "q50_incremental_dedup" -> (Queries.incrementalDedup _),
-    "q51_purchases_window" -> (Queries.purchasesWindow _)
+    "q51_purchases_window" -> (Queries.purchasesWindow _),
+    "q52_kmeans" -> (Queries.kmeans _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -247,6 +248,12 @@ object Queries {
     TextClean.repetitionMetrics(Tables(spark, dir, "documents"), LineTokens)
 
   val RangeWindowSecs = 3600L
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  /** Deterministic integer k-means assignment after 2 Lloyd rounds. */
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    KMeans.fit(Tables(spark, dir, "embeddings"), KmeansK, KmeansIters)
 
   /** Keyless trailing-window range join: site-wide purchases in the
     * hour before each click. */
@@ -1079,6 +1086,38 @@ object Oracles {
     // Twin of TextClean.dedupLines at LineTokens: 1-based DuckDB list
     // lambdas vs 0-based Spark — the first-occurrence predicate is
     // list_position = i here, array_position = i + 1 there.
+    // Twin of KMeans.fit: the same integer Lloyd algebra unrolled
+    // symbolically — floor-mean centroids, exact integer squared
+    // distances (n2 + c_n2 - 2·dot), cluster-asc tie-break.
+    "q52_kmeans" -> {
+      def round(i: Int, from: String): String =
+        s"""c${i}dim AS (
+           |  SELECT cluster, i AS pos,
+           |         CAST(FLOOR(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+           |  FROM $from, unnest(range(1, len(q) + 1)) t(i)
+           |  GROUP BY 1, 2),
+           |c$i AS (SELECT cluster, list(c ORDER BY pos) AS centroid FROM c${i}dim GROUP BY 1),
+           |c${i}n AS (
+           |  SELECT cluster, centroid,
+           |         CAST(list_sum(list_transform(centroid, v -> v * v)) AS BIGINT) AS c_n2
+           |  FROM c$i),
+           |s$i AS (
+           |  SELECT n.vec_id, n.q, n.n2, c.cluster,
+           |         n.n2 + c.c_n2 - 2 * CAST(list_sum(list_transform(
+           |           range(1, len(n.q) + 1), i -> n.q[i] * c.centroid[i])) AS BIGINT) AS dist
+           |  FROM n, c${i}n c),
+           |a$i AS (
+           |  SELECT vec_id, q, n2, cluster, dist FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                                 ORDER BY dist, cluster) AS rn
+           |    FROM s$i) WHERE rn = 1)""".stripMargin
+      s"""WITH $embQuantCte,
+         |a0 AS (SELECT vec_id, q, n2, vec_id % ${Queries.KmeansK} AS cluster FROM n),
+         |${round(1, "a0")},
+         |${round(2, "a1")}
+         |SELECT vec_id, cluster, dist FROM a2""".stripMargin
+    },
+
     // Twin of RangeJoin.purchasesBeforeClicks (DuckDB plans the range
     // predicate as an IEJoin — no bucketing needed oracle-side).
     "q51_purchases_window" ->

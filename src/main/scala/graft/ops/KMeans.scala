@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer k-means (Lloyd) over the embedding corpus —
+  * the clustering stage of SemDeDup-style data curation: cluster the
+  * embedding space, then dedup/select within clusters. Unlike IVF's
+  * label-derived lists, the centroids here come from the data.
+  *
+  * Cross-engine determinism (the house rules, applied to ML): vectors
+  * are integer-quantized (Similarity.quantized); distances are EXACT
+  * integers via ||a-b||² = n2a + n2c − 2·a·b with the codegen'd
+  * integer dot product; centroid updates are floor(sum/count) per
+  * component; init is cluster = vec_id mod k; ties break cluster-asc.
+  * Every engine that follows the algebra lands on the same partition
+  * — the DuckDB oracle unrolls the same iterations symbolically.
+  *
+  * 100 TB shape per iteration: centroids are metadata-sized and
+  * BROADCAST to the corpus (assignment = one codegen map over n×k
+  * pairs + a vec_id-partial min — no corpus shuffle); the update
+  * shuffles only (cluster, pos, partial-sum) triples, k×dim rows of
+  * state. Fixed `iters` keeps the whole fit ONE lazy plan; loop
+  * variants should checkpoint per round like [[Clustering]].
+  */
+object KMeans {
+
+  /** Cluster assignment after `iters` Lloyd updates: (vec_id,
+    * cluster, dist) with dist the exact integer squared distance to
+    * the final centroid. */
+  def fit(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val quant = Similarity.quantized(emb).select(col("vec_id"), col("q"), col("n2"))
+    val init = quant.withColumn("cluster", col("vec_id") % k)
+    val finalAssign = (1 to iters).foldLeft(init) { (assigned, _) =>
+      assign(quant, centroids(assigned))
+    }
+    finalAssign.select(col("vec_id"), col("cluster"), col("dist"))
+  }
+
+  /** floor-mean centroids of an assignment; (cluster, centroid, c_n2).
+    * Shuffles only (cluster, pos) partial sums — k×dim rows. */
+  def centroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+      .withColumn("c_n2", expr("aggregate(centroid, 0L, (acc, v) -> acc + v * v)"))
+
+  /** Nearest-centroid assignment (exact integer distance, cluster-asc
+    * tie-break). Centroids broadcast; the min is a vec_id aggregate
+    * with map-side partials, not a window. `q`/`n2` ride in the
+    * GROUPING KEY (vec_id determines them) so the buffer is two longs
+    * and the aggregate stays a codegen HashAggregate — an array-valued
+    * first() would force a SortAggregate over the n×k pair stream. */
+  def assign(quant: DataFrame, cents: DataFrame): DataFrame =
+    quant.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("n2") + col("c_n2") -
+          lit(2L) * graft.expressions.DotProductLong.dot(col("q"), col("centroid")))
+      .groupBy(col("vec_id"), col("q"), col("n2"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("q"), col("n2"),
+        col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+}

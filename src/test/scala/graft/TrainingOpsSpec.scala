@@ -151,6 +151,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out == Seq(("a", 3L, 2L), ("b", 2L, 2L), ("c", 2L, 1L)))
   }
 
+  test("kmeans: every vector assigned once; Lloyd objective is monotone in iters") {
+    val emb = Tables(spark, sf, "embeddings")
+    def totalDist(iters: Int): Long =
+      KMeans.fit(emb, k = 4, iters = iters)
+        .agg(sum(col("dist"))).as[Long].head()
+    val out = KMeans.fit(emb, k = 4, iters = 2)
+    assert(out.count() == emb.count())
+    assert(out.select("vec_id").distinct().count() == emb.count())
+    assert(out.select("cluster").distinct().count() <= 4L)
+    assert(out.filter(col("dist") < 0).isEmpty) // ||a-c||² is non-negative
+    // each Lloyd round can only improve the (integer-floored) objective;
+    // allow equality (converged), require no regression
+    assert(totalDist(2) <= totalDist(1))
+  }
+
   test("incrementalDedupKept: exact replays and near-dups drop, novel docs pass") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val corpus = docs(2L -> base, 4L -> "a short corpus doc here now")
