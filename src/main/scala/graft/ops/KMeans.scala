@@ -29,7 +29,8 @@ object KMeans {
     * cluster, dist) with dist the exact integer squared distance to
     * the final centroid. */
   def fit(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    require(k >= 1 && k <= 256, "k must be in [1, 256] (argmin packs cluster in 8 bits)")
+    require(iters >= 1, "iters must be >= 1")
     val quant = Similarity.quantized(emb).select(col("vec_id"), col("q"), col("n2"))
     val init = quant.withColumn("cluster", col("vec_id") % k)
     val finalAssign = (1 to iters).foldLeft(init) { (assigned, _) =>
@@ -54,17 +55,24 @@ object KMeans {
 
   /** Nearest-centroid assignment (exact integer distance, cluster-asc
     * tie-break). Centroids broadcast; the min is a vec_id aggregate
-    * with map-side partials, not a window. `q`/`n2` ride in the
-    * GROUPING KEY (vec_id determines them) so the buffer is two longs
-    * and the aggregate stays a codegen HashAggregate — an array-valued
-    * first() would force a SortAggregate over the n×k pair stream. */
+    * with map-side partials, not a window. Two codegen details keep
+    * the n×k pair stream in a HashAggregate: `q`/`n2` ride in the
+    * GROUPING KEY (vec_id determines them — an array-valued first()
+    * has an immutable buffer and forces SortAggregate), and the
+    * (dist, cluster) argmin is PACKED into one long (`min(struct)`'s
+    * buffer is immutable too) — dist·256 + cluster preserves the
+    * (dist asc, cluster asc) order since cluster < 256, and
+    * max-quantized distances (~2^48 at |x|≤1-scale embeddings) leave
+    * the ·256 shift far from the long boundary. */
   def assign(quant: DataFrame, cents: DataFrame): DataFrame =
     quant.crossJoin(broadcast(cents))
       .withColumn("dist",
         col("n2") + col("c_n2") -
           lit(2L) * graft.expressions.DotProductLong.dot(col("q"), col("centroid")))
       .groupBy(col("vec_id"), col("q"), col("n2"))
-      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .agg(min(col("dist") * lit(256L) + col("cluster")).as("packed"))
       .select(col("vec_id"), col("q"), col("n2"),
-        col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+        (col("packed") % 256L).as("cluster"),
+        expr("packed div 256").as("dist")) // div: integral — `/` is double
+        // division and rounds past 2^53, silently corrupting distances
 }

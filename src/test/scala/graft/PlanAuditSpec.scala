@@ -151,4 +151,19 @@ class PlanAuditSpec extends SparkSpec {
         s"$q scan not pruned: $readSchema")
     }
   }
+
+  test("q51 range join: bucket equi-join, never a nested-loop cartesian") {
+    val p = plan("q51_purchases_window")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"keyless range join degraded to a pair blowup:\n$p")
+  }
+
+  test("q52 kmeans: centroids broadcast to the corpus; assignment min is a HashAggregate") {
+    val p = plan("q52_kmeans")
+    // both Lloyd rounds join the corpus to broadcast centroids
+    assert("BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p).nonEmpty, p)
+    // the vec-grain min must NOT fall back to SortAggregate (q/n2 ride
+    // in the grouping key; an array-valued first() would break this)
+    assert(!p.contains("SortAggregate"), s"assignment lost the hash aggregate:\n$p")
+  }
 }
