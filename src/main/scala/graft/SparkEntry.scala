@@ -78,7 +78,8 @@ object SparkEntry {
     "q49_repetition_metrics" -> (Queries.repetitionMetrics _),
     "q50_incremental_dedup" -> (Queries.incrementalDedup _),
     "q51_purchases_window" -> (Queries.purchasesWindow _),
-    "q52_kmeans" -> (Queries.kmeans _)
+    "q52_kmeans" -> (Queries.kmeans _),
+    "q53_semdedup_kept" -> (Queries.semDedup _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -250,10 +251,18 @@ object Queries {
   val RangeWindowSecs = 3600L
   val KmeansK = 8
   val KmeansIters = 2
+  // synthetic embeddings are near-orthogonal (max within-cluster cos
+  // ≈ 5100 bp at sf0.01); 3000 keeps the filter meaningfully active
+  val SemDedupBp = 3000L
 
   /** Deterministic integer k-means assignment after 2 Lloyd rounds. */
   def kmeans(spark: SparkSession, dir: String): DataFrame =
     KMeans.fit(Tables(spark, dir, "embeddings"), KmeansK, KmeansIters)
+
+  /** SemDeDup: within-kmeans-cluster greedy cosine dedup. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    KMeans.semDedupKept(Tables(spark, dir, "embeddings"),
+      KmeansK, KmeansIters, SemDedupBp)
 
   /** Keyless trailing-window range join: site-wide purchases in the
     * hour before each click. */
@@ -559,6 +568,37 @@ object Oracles {
            |WHERE secs_since_purchase IS NOT NULL
            |  AND secs_since_purchase <= $tol""".stripMargin
     }
+  }
+
+  /** Unrolled integer-Lloyd CTE chain (twin of KMeans.fit at
+    * KmeansK/KmeansIters): `a2` = final (vec_id, q, n2, cluster,
+    * dist). Shared by q52 and q53. */
+  private lazy val kmeansCtes: String = {
+    def round(i: Int, from: String): String =
+      s"""c${i}dim AS (
+         |  SELECT cluster, i AS pos,
+         |         CAST(FLOOR(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM $from, unnest(range(1, len(q) + 1)) t(i)
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT cluster, list(c ORDER BY pos) AS centroid FROM c${i}dim GROUP BY 1),
+         |c${i}n AS (
+         |  SELECT cluster, centroid,
+         |         CAST(list_sum(list_transform(centroid, v -> v * v)) AS BIGINT) AS c_n2
+         |  FROM c$i),
+         |s$i AS (
+         |  SELECT n.vec_id, n.q, n.n2, c.cluster,
+         |         n.n2 + c.c_n2 - 2 * CAST(list_sum(list_transform(
+         |           range(1, len(n.q) + 1), i -> n.q[i] * c.centroid[i])) AS BIGINT) AS dist
+         |  FROM n, c${i}n c),
+         |a$i AS (
+         |  SELECT vec_id, q, n2, cluster, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY dist, cluster) AS rn
+         |    FROM s$i) WHERE rn = 1)""".stripMargin
+    s"""$embQuantCte,
+       |a0 AS (SELECT vec_id, q, n2, vec_id % ${Queries.KmeansK} AS cluster FROM n),
+       |${round(1, "a0")},
+       |${round(2, "a1")}""".stripMargin
   }
 
   private val sessionStatsSql: String = {
@@ -1089,34 +1129,29 @@ object Oracles {
     // Twin of KMeans.fit: the same integer Lloyd algebra unrolled
     // symbolically — floor-mean centroids, exact integer squared
     // distances (n2 + c_n2 - 2·dot), cluster-asc tie-break.
-    "q52_kmeans" -> {
-      def round(i: Int, from: String): String =
-        s"""c${i}dim AS (
-           |  SELECT cluster, i AS pos,
-           |         CAST(FLOOR(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-           |  FROM $from, unnest(range(1, len(q) + 1)) t(i)
-           |  GROUP BY 1, 2),
-           |c$i AS (SELECT cluster, list(c ORDER BY pos) AS centroid FROM c${i}dim GROUP BY 1),
-           |c${i}n AS (
-           |  SELECT cluster, centroid,
-           |         CAST(list_sum(list_transform(centroid, v -> v * v)) AS BIGINT) AS c_n2
-           |  FROM c$i),
-           |s$i AS (
-           |  SELECT n.vec_id, n.q, n.n2, c.cluster,
-           |         n.n2 + c.c_n2 - 2 * CAST(list_sum(list_transform(
-           |           range(1, len(n.q) + 1), i -> n.q[i] * c.centroid[i])) AS BIGINT) AS dist
-           |  FROM n, c${i}n c),
-           |a$i AS (
-           |  SELECT vec_id, q, n2, cluster, dist FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id
-           |                                 ORDER BY dist, cluster) AS rn
-           |    FROM s$i) WHERE rn = 1)""".stripMargin
-      s"""WITH $embQuantCte,
-         |a0 AS (SELECT vec_id, q, n2, vec_id % ${Queries.KmeansK} AS cluster FROM n),
-         |${round(1, "a0")},
-         |${round(2, "a1")}
-         |SELECT vec_id, cluster, dist FROM a2""".stripMargin
-    },
+    "q52_kmeans" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster, dist FROM a2""".stripMargin,
+
+    // Twin of KMeans.semDedupKept: within-cluster greedy cosine dedup
+    // over the q52 assignment (SemDeDup).
+    "q53_semdedup_kept" ->
+      s"""WITH $kmeansCtes,
+         |prs AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         CASE WHEN x.n2 = 0 OR y.n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 *
+         |                     CAST(list_sum(list_transform(range(1, len(x.q) + 1),
+         |                          i -> x.q[i] * y.q[i])) AS BIGINT)
+         |                     / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))))
+         |                   AS BIGINT)
+         |         END AS cos_bp
+         |  FROM a2 x JOIN a2 y
+         |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+         |losers AS (
+         |  SELECT DISTINCT vec_b FROM prs WHERE cos_bp >= ${Queries.SemDedupBp})
+         |SELECT vec_id, cluster FROM a2
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_b = a2.vec_id)""".stripMargin,
 
     // Twin of RangeJoin.purchasesBeforeClicks (DuckDB plans the range
     // predicate as an IEJoin — no bucketing needed oracle-side).

@@ -28,15 +28,41 @@ object KMeans {
   /** Cluster assignment after `iters` Lloyd updates: (vec_id,
     * cluster, dist) with dist the exact integer squared distance to
     * the final centroid. */
-  def fit(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def fit(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    fitAssignments(emb, k, iters).select(col("vec_id"), col("cluster"), col("dist"))
+
+  /** As [[fit]] but keeping the quantized vector and norm columns
+    * (vec_id, q, n2, cluster, dist) for downstream within-cluster
+    * work ([[semDedupKept]]). */
+  def fitAssignments(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1 && k <= 256, "k must be in [1, 256] (argmin packs cluster in 8 bits)")
     require(iters >= 1, "iters must be >= 1")
     val quant = Similarity.quantized(emb).select(col("vec_id"), col("q"), col("n2"))
     val init = quant.withColumn("cluster", col("vec_id") % k)
-    val finalAssign = (1 to iters).foldLeft(init) { (assigned, _) =>
+    (1 to iters).foldLeft(init) { (assigned, _) =>
       assign(quant, centroids(assigned))
     }
-    finalAssign.select(col("vec_id"), col("cluster"), col("dist"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): embedding-level semantic dedup —
+    * cluster the corpus, then drop every vector with a smaller-id
+    * same-cluster neighbor above the cosine threshold (the greedy
+    * keep-min rule every dedup op here uses). The cluster assignment
+    * IS the blocking key: pair work is within-cluster only, bounded
+    * by cluster size — n²/k on balanced clusters — and the self-join
+    * shuffles on the cluster id. */
+  def semDedupKept(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      thresholdBp: Long = 8000L): DataFrame = {
+    val a = fitAssignments(emb, k, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val losers = a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+      .filter(Similarity.cosBp(
+        graft.expressions.DotProductLong.dot(col("x.q"), col("y.q")),
+        col("x.n2"), col("y.n2")) >= thresholdBp)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    a.join(losers, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
   }
 
   /** floor-mean centroids of an assignment; (cluster, centroid, c_n2).

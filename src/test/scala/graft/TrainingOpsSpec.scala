@@ -166,6 +166,17 @@ class TrainingOpsSpec extends SparkSpec {
     assert(totalDist(2) <= totalDist(1))
   }
 
+  test("semDedupKept drops the larger id of a same-cluster near-identical pair") {
+    val emb = Seq(
+      (1L, Array.fill(8)(0.5f), 0),
+      (2L, Array.fill(8)(0.5f), 0),                       // identical to 1 -> drop
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 0.7f else -0.7f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val kept = KMeans.semDedupKept(emb, k = 2, iters = 1, thresholdBp = 9000L)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
   test("incrementalDedupKept: exact replays and near-dups drop, novel docs pass") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val corpus = docs(2L -> base, 4L -> "a short corpus doc here now")
