@@ -90,6 +90,18 @@ object ScaleProbe {
     t("asof last purchase")(graft.ops.AsOfJoin.clickLastPurchase(events))
     t("line dedup")(graft.ops.TextClean.dedupLines(docs, lineTokens = 2))
     t("pii scrub")(graft.ops.TextClean.piiScrub(docs))
+    t("repetition metrics")(graft.ops.TextClean.repetitionMetrics(docs, 2))
+    t("range join window")(graft.ops.RangeJoin.purchasesBeforeClicks(events))
+    t("vocab top")(graft.ops.TextAnalysis.vocabTop(docs))
+    // amplified batch vs the UNAMPLIFIED corpus — the steady-state
+    // shape (batch grows, corpus index is what it is). Batch ids are
+    // offset first: the operator requires disjoint id spaces.
+    val batchDocs = amplify(graft.tables.Tables(spark, dir, "documents")
+      .withColumn("doc_id", col("doc_id") + lit(500000000L)), Seq("doc_id"), 10000000L)
+    t("incremental dedup")(graft.ops.Dedup.incrementalDedupKept(
+      batchDocs, graft.tables.Tables(spark, dir, "documents")))
+    t("kmeans fit")(graft.ops.KMeans.fit(emb))
+    t("semdedup kept")(graft.ops.KMeans.semDedupKept(emb))
     spark.stop()
   }
 }
