@@ -17,29 +17,39 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** One-pass per-row gates (token count, short-token ratio, PII
+    * hits) over any frame carrying `text`: keeps passing rows with
+    * `token_count` attached, drops the scratch columns. Null text
+    * fails the token gate. Works on batch and streaming frames alike
+    * (pure projection + filter). */
+  def gated(
+      docs: DataFrame,
+      minTokens: Long = 20L,
+      maxShortBp: Long = 4000L,
+      maxPiiHits: Long = 2L): DataFrame =
+    docs
+      .withColumn("__tokens", expr(TextAnalysis.TokensExpr))
+      .withColumn("token_count", size(col("__tokens")).cast("long"))
+      .withColumn("__short_bp",
+        floor(lit(10000.0) *
+          expr("CAST(size(filter(__tokens, x -> length(x) <= 2)) AS BIGINT)") /
+          col("token_count")).cast("long"))
+      .withColumn("__pii_hits",
+        size(regexp_extract_all(col("text"), lit(TextClean.PiiPattern), lit(0)))
+          .cast("long"))
+      .filter(col("token_count") >= minTokens &&
+        col("__short_bp") <= maxShortBp && col("__pii_hits") <= maxPiiHits)
+      .drop("__tokens", "__short_bp", "__pii_hits")
+
   def corpusSelect(
       docs: DataFrame,
       minTokens: Long = 20L,
       maxShortBp: Long = 4000L,
-      maxPiiHits: Long = 2L): DataFrame = {
-    // per-row gates, one pass (null text fails the token gate)
-    val gated = docs
-      .withColumn("tokens", expr(TextAnalysis.TokensExpr))
-      .withColumn("token_count", size(col("tokens")).cast("long"))
-      .withColumn("short_bp",
-        floor(lit(10000.0) *
-          expr("CAST(size(filter(tokens, x -> length(x) <= 2)) AS BIGINT)") /
-          col("token_count")).cast("long"))
-      .withColumn("pii_hits",
-        size(regexp_extract_all(col("text"), lit(TextClean.PiiPattern), lit(0)))
-          .cast("long"))
-      .filter(col("token_count") >= minTokens &&
-        col("short_bp") <= maxShortBp && col("pii_hits") <= maxPiiHits)
-      .select(col("doc_id"), col("token_count"))
+      maxPiiHits: Long = 2L): DataFrame =
     Dedup.ngramDedupKept(docs)
-      .join(gated, "doc_id")
+      .join(gated(docs, minTokens, maxShortBp, maxPiiHits)
+        .select(col("doc_id"), col("token_count")), "doc_id")
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("token_count")).as("total_tokens"))
-  }
 }

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus intake — the q47 selection pipeline applied at
+  * ingestion time: content-hash dedup within the watermark
+  * ([[StreamDedup]]), then the SAME one-pass quality/PII gates the
+  * batch pipeline uses (`CorpusPipeline.gated` — one code path, no
+  * batch/stream drift), then running per-(lang, source) acceptance
+  * totals as an update-mode stateful aggregation.
+  *
+  * State: dedup keys are watermark-bounded (32 B/key); the running
+  * totals keep one row per (lang, source) — a domain-sized state that
+  * never grows with the stream. Output rows are ABSOLUTE totals, so
+  * the sink upsert is idempotent (the T5 lesson: per-partition puts,
+  * no driver funnel).
+  */
+object CorpusStream {
+
+  /** One streamed document: the documents-table wire shape plus the
+    * ingestion timestamp the watermark rides on. */
+  final case class In(doc_id: Long, text: String, lang: String,
+      source: String, ts: java.sql.Timestamp)
+
+  /** Accepted-document running totals per (lang, source); run with
+    * `outputMode("update")`. */
+  def acceptedCounts(docs: DataFrame, delay: String = "10 minutes",
+      minTokens: Long = 20L, maxShortBp: Long = 4000L,
+      maxPiiHits: Long = 2L): DataFrame = {
+    val deduped = StreamDedup.byKey(
+      docs.withColumn("__th", coalesce(md5(col("text")), lit("<null-text>"))),
+      Seq("__th"), "ts", delay).drop("__th")
+    graft.ops.CorpusPipeline.gated(deduped, minTokens, maxShortBp, maxPiiHits)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("token_count")).as("total_tokens"))
+  }
+}
