@@ -99,6 +99,47 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Multimodal.frameSample(media).count() == 0)
   }
 
+  test("round-3 operators on empty and degenerate inputs") {
+    val s = spark
+    import s.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val oneDoc = Seq((1L, "word", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    // clustering: no pairs → every doc its own singleton cluster
+    assert(Clustering.nearDupClusters(emptyDocs).count() == 0)
+    val solo = Clustering.nearDupClusters(oneDoc).head()
+    assert(solo.getAs[Long]("component") == 1L && solo.getAs[Long]("cluster_size") == 1L)
+    // as-of / range join: empty build side → nulls / zeros, not a crash
+    assert(AsOfJoin.clickLastPurchase(emptyEvents).count() == 0)
+    val asof = AsOfJoin.clickLastPurchase(oneEvent).head() // click, no purchases
+    assert(asof.isNullAt(asof.fieldIndex("purchase_event_id")))
+    val rj = RangeJoin.purchasesBeforeClicks(oneEvent).head()
+    assert(rj.getAs[Long]("n_purchases") == 0L)
+    // text cleaning on empty tables
+    assert(TextClean.dedupLines(emptyDocs).count() == 0)
+    assert(TextClean.piiScrub(emptyDocs).count() == 0)
+    assert(TextClean.repetitionMetrics(emptyDocs).count() == 0)
+    assert(TextAnalysis.vocabTop(emptyDocs).count() == 0)
+    // incremental dedup: empty corpus keeps the whole batch
+    assert(Dedup.incrementalDedupKept(oneDoc, emptyDocs).count() == 1)
+    assert(Dedup.incrementalDedupKept(emptyDocs, oneDoc).count() == 0)
+    // corpus select on empty input: zero groups, no division blowups
+    assert(CorpusPipeline.corpusSelect(emptyDocs).count() == 0)
+  }
+
+  test("kmeans tolerates k larger than the corpus and empty clusters") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    // k=8 > n=3: init leaves 5 clusters empty; centroids exist only
+    // for non-empty clusters and every vector still gets assigned
+    val out = KMeans.fit(emb, k = 8, iters = 2).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(1L, 2L, 3L))
+  }
+
   test("ad analytics on empty stream batch shape") {
     val s = spark
     import s.implicits._
