@@ -79,7 +79,8 @@ object SparkEntry {
     "q50_incremental_dedup" -> (Queries.incrementalDedup _),
     "q51_purchases_window" -> (Queries.purchasesWindow _),
     "q52_kmeans" -> (Queries.kmeans _),
-    "q53_semdedup_kept" -> (Queries.semDedup _)
+    "q53_semdedup_kept" -> (Queries.semDedup _),
+    "q54_heavy_hitters" -> (Queries.heavyHitters _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -263,6 +264,10 @@ object Queries {
   def semDedup(spark: SparkSession, dir: String): DataFrame =
     KMeans.semDedupKept(Tables(spark, dir, "embeddings"),
       KmeansK, KmeansIters, SemDedupBp)
+
+  /** Misra-Gries heavy hitters with exact candidate recount. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(Tables(spark, dir, "documents"), VocabTopK)
 
   /** Keyless trailing-window range join: site-wide purchases in the
     * hour before each click. */
@@ -1236,6 +1241,18 @@ object Oracles {
       s"""WITH t AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
          |SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+         |FROM t GROUP BY 1
+         |ORDER BY term_freq DESC, token ASC
+         |LIMIT ${Queries.VocabTopK}""".stripMargin,
+
+    // the exact term-frequency head: heavyHitters' Misra-Gries
+    // candidate pass is a superset of every token above n/(m+1), and
+    // the recount is exact — so the ranking must equal the q48 head
+    // (minus doc_freq). The shared oracle PINS that guarantee.
+    "q54_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |SELECT token, COUNT(*) AS term_freq
          |FROM t GROUP BY 1
          |ORDER BY term_freq DESC, token ASC
          |LIMIT ${Queries.VocabTopK}""".stripMargin,

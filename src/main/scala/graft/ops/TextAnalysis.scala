@@ -139,6 +139,56 @@ object TextAnalysis {
       .orderBy(col("term_freq").desc, col("token").asc)
       .limit(k)
 
+  /** Heavy-hitter vocabulary head: same output as [[vocabTop]]'s
+    * term-frequency ranking, different 100 TB shape. [[vocabTop]]
+    * shuffles one row per DISTINCT token per map partition — fine for
+    * word vocabularies, ruinous when "token" is an n-gram space in
+    * the billions. This variant:
+    *
+    *  1. per-partition Misra-Gries summaries (bounded state `m`,
+    *    classic decrement protocol) via mapPartitions — the one
+    *    operator class where per-partition imperative state is the
+    *    honest answer;
+    *  2. the candidate union (≤ m × partitions rows, broadcast-sized)
+    *    is semi-joined back and ONLY candidate tokens shuffle for the
+    *    exact recount.
+    *
+    * Guarantee: a Misra-Gries summary of size m catches every token
+    * with partition frequency > n_p/(m+1), so the union is a superset
+    * of all tokens with global frequency > n/(m+1); counts reported
+    * are EXACT (the recount). With the k-th head token far above that
+    * bar (any Zipf-ish corpus, m=256), the output equals the exact
+    * [[vocabTop]] ranking — the q54 oracle reuses q48's SQL, which
+    * pins exactly that. doc_freq omitted: distinct-doc counting is
+    * what the exact variant is for. */
+  def heavyHitters(docs: DataFrame, k: Int = 20, m: Int = 256): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select(explode(expr(TokensExpr)).as("token")).as[String]
+    val candidates = toks.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counts.contains(t) || counts.size < m) {
+          counts.update(t, counts.getOrElse(t, 0L) + 1L)
+        } else {
+          // decrement round: drop every counter by 1, evict zeros
+          val dead = Seq.newBuilder[String]
+          counts.keysIterator.foreach { key =>
+            val c = counts(key) - 1L
+            if (c == 0L) dead += key else counts.update(key, c)
+          }
+          dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("token").distinct()
+    toks.toDF("token")
+      .join(candidates, Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("term_freq"))
+      .orderBy(col("term_freq").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Document fingerprinting: min/max md5 over 3-word shingles — the
     * winnowing-style content fingerprint used as a cheap blocking key
     * for near-dup candidate generation (see Dedup). */

@@ -142,6 +142,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(2L) == "es")
   }
 
+  test("heavyHitters equals the exact vocabTop ranking; counts are exact") {
+    val d = Tables(spark, sf, "documents")
+    val exact = TextAnalysis.vocabTop(d, k = 10)
+      .select("token", "term_freq").as[(String, Long)].collect().toSeq
+    val hh = TextAnalysis.heavyHitters(d, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(hh == exact)
+  }
+
+  test("heavyHitters honors the Misra-Gries bound under heavy eviction") {
+    // n=120, m=2: the summary guarantees only tokens with freq >
+    // n/(m+1) = 40. 'hot' (50) must survive with an EXACT recount;
+    // 'warm' (30) is below the bar and the 40 singletons evict it.
+    val d = docs(
+      1L -> (Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+        (1 to 40).map(i => s"cold$i")).mkString(" "))
+    val hh = TextAnalysis.heavyHitters(d, k = 2, m = 2)
+      .as[(String, Long)].collect().toMap
+    assert(hh.get("hot").contains(50L))
+    assert(hh.values.forall(_ > 0L))
+  }
+
   test("vocabTop ranks by term_freq with token tie-break; doc_freq is distinct") {
     val out = TextAnalysis.vocabTop(docs(
       1L -> "b a a c c",
