@@ -25,4 +25,23 @@ object Bucketing {
       .saveAsTable(table) // managed — lives in spark.sql.warehouse.dir
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Date-partitioned, sorted parquet layout — the OUTPUT side of a
+    * 100 TB pipeline. The repartition on the date clusters each day
+    * into one task (WITHOUT it, every upstream task writes its own
+    * file into every date directory — the small-files explosion);
+    * partition pruning then makes every downstream date-range scan
+    * touch only its days; in-file sorting by `sortCol` gives parquet
+    * min/max row-group statistics their selectivity (a point lookup
+    * reads one row group, not the file); `maxRecordsPerFile` re-splits
+    * a hot day instead of minting one unsplittable giant file. */
+  def writeDatePartitioned(df: DataFrame, path: String, dateCol: String,
+      sortCol: String, maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(dateCol))
+      .sortWithinPartitions(dateCol, sortCol)
+      .write
+      .partitionBy(dateCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
 }

@@ -30,6 +30,28 @@ class BucketingAndFileStreamSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("date-partitioned sorted sink: partition pruning + sorted row groups") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = Seq(
+      ("2024-01-01", 3L, "a"), ("2024-01-01", 1L, "b"),
+      ("2024-01-02", 2L, "c"), ("2024-01-01", 2L, "d")
+    ).toDF("dt", "k", "v")
+    Bucketing.writeDatePartitioned(df, out, "dt", "k")
+    // layout: one directory per day
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("dt=2024-01-01", "dt=2024-01-02"))
+    // a date filter prunes to one partition directory (plan-level)
+    val back = spark.read.parquet(out).filter(col("dt") === "2024-01-01")
+    assert(back.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "date predicate did not become a partition filter")
+    assert(back.count() == 3)
+    // rows inside a partition file come back sorted by k
+    val ks = spark.read.parquet(s"$out/dt=2024-01-01").select("k").as[Long].collect()
+    assert(ks.toSeq == ks.sorted.toSeq, s"not sorted: ${ks.mkString(",")}")
+  }
+
   test("file streaming source: events replayed as a stream through adStats") {
     val s = spark
     // stage a copy of the ad-click lines as a file-based stream input
