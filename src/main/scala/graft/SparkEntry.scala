@@ -80,7 +80,11 @@ object SparkEntry {
     "q51_purchases_window" -> (Queries.purchasesWindow _),
     "q52_kmeans" -> (Queries.kmeans _),
     "q53_semdedup_kept" -> (Queries.semDedup _),
-    "q54_heavy_hitters" -> (Queries.heavyHitters _)
+    "q54_heavy_hitters" -> (Queries.heavyHitters _),
+    "q55_decontaminate" -> (Queries.decontaminate _),
+    "q56_pack_sequences" -> (Queries.packSequences _),
+    "q57_context_chunks" -> (Queries.contextChunks _),
+    "q58_epoch_mix" -> (Queries.epochMix _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -288,6 +292,45 @@ object Queries {
   def corpusSelect(spark: SparkSession, dir: String): DataFrame =
     CorpusPipeline.corpusSelect(Tables(spark, dir, "documents"),
       maxPiiHits = MaxPiiHits)
+
+  // ---- training-prep extensions (decontaminate / pack / chunk / mix) ----
+
+  val ContamN = 8
+  val ContamEvalMod = 5
+
+  /** Benchmark decontamination: training docs sharing ≥1 word 8-gram
+    * with the benchmark split (doc_id % 5 == 0 as the eval-set
+    * fixture — a small held-out slice, like a real benchmark). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Contamination.flagged(
+      docs.filter(col("doc_id") % ContamEvalMod =!= 0),
+      docs.filter(col("doc_id") % ContamEvalMod === 0), ContamN)
+  }
+
+  val PackShards = 8
+  val PackSeqLen = 2048L
+
+  /** Contiguous sequence packing into 2048-token training sequences
+    * across 8 shards. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.packSequences(Tables(spark, dir, "documents"),
+      PackShards, PackSeqLen)
+
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Overlapping 64-token context chunks advancing by 48 tokens. */
+  def contextChunks(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.chunk(Tables(spark, dir, "documents"), ChunkTokens, ChunkStride)
+
+  /** Mixture weights for the epoch-replication fixture: upsample,
+    * downsample-to-zero, and the default-1 path all exercised. */
+  val EpochWeights = Map("src0" -> 3, "src1" -> 2, "src2" -> 0)
+
+  def epochMix(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.epochMix(Tables(spark, dir, "documents"), EpochWeights)
+      .select(col("doc_id"), col("source"), col("epoch"))
 
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
 
@@ -1256,6 +1299,68 @@ object Oracles {
          |FROM t GROUP BY 1
          |ORDER BY term_freq DESC, token ASC
          |LIMIT ${Queries.VocabTopK}""".stripMargin,
+
+    // Decontamination joins the raw gram STRINGS here; the Spark side
+    // joins 64-bit gram hashes internally (the key never reaches the
+    // output, so the engines agree on the flagged set).
+    "q55_decontaminate" -> {
+      val n = Queries.ContamN; val m = Queries.ContamEvalMod
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+         |           i -> array_to_string(t[i : i + ${n - 1}], ' '))) AS gram
+         |  FROM toks WHERE len(t) >= $n),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % $m = 0)
+         |SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+         |FROM grams g JOIN bench USING (gram)
+         |WHERE g.doc_id % $m <> 0
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q56_pack_sequences" -> {
+      val s = Queries.PackShards; val l = Queries.PackSeqLen
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % $s AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, shard, token_count,
+         |         CAST(COALESCE(SUM(token_count) OVER (
+         |           PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS start_offset
+         |  FROM t)
+         |SELECT doc_id, shard, token_count, start_offset,
+         |       CAST(FLOOR(start_offset / $l.0) AS BIGINT) AS seq_id
+         |FROM c""".stripMargin
+    },
+
+    "q57_context_chunks" -> {
+      val c = Queries.ChunkTokens; val s = Queries.ChunkStride
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |b AS (
+         |  SELECT doc_id, tok,
+         |         GREATEST(CAST(FLOOR((len(tok) - $c + ${s - 1}) / $s.0)
+         |           AS BIGINT), 0) AS last_idx
+         |  FROM t)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |       array_to_string(tok[CAST(i * $s + 1 AS BIGINT)
+         |         : CAST(i * $s + $c AS BIGINT)], ' ') AS chunk_text
+         |FROM b, unnest(range(0, last_idx + 1)) AS u(i)""".stripMargin
+    },
+
+    "q58_epoch_mix" -> {
+      val cases = Queries.EpochWeights.toSeq.sortBy(_._1).map { case (src, w) =>
+        s"WHEN source = '$src' THEN ${w + 1}"
+      }.mkString(" ")
+      s"""SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+         |FROM documents,
+         |     unnest(range(1, CASE $cases ELSE 2 END)) AS u(e)""".stripMargin
+    },
 
     "q45_line_dedup" -> {
       val L = Queries.LineTokens

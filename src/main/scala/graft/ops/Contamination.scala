@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share any
+  * word n-gram with an evaluation/benchmark set — the standard
+  * pre-training hygiene pass (n-gram overlap, GPT-3 appendix C /
+  * Llama style) that keeps eval answers out of the training corpus.
+  *
+  * Scale shape (the reason this is join-shaped and not pairwise): the
+  * benchmark side is small by nature (eval suites are MBs, the corpus
+  * is TBs), so its distinct gram hashes BROADCAST. The training side
+  * is a pure map stage (tokenize → gram → hash) filtered by the
+  * broadcast semi-join at the scan — only matched grams, a vanishing
+  * fraction, ever reach the one (doc_id, gram-hash) shuffle for the
+  * per-doc distinct count. The corpus is never shuffled whole, never
+  * self-joined.
+  *
+  * Grams are 64-bit-hashed INTERNALLY on both join sides (the key
+  * never meets the oracle, which joins raw strings); a false hit
+  * needs an xxhash64 collision between a train and an eval gram —
+  * P < 1e-9 at 1e5 grams, and at 100 TB a collision flags one extra
+  * doc, it does not corrupt the kept corpus.
+  */
+object Contamination {
+
+  /** One row per (doc_id, word n-gram); whitespace tokens via the
+    * shared tokenizer so the DuckDB twin reproduces grams exactly.
+    * Docs shorter than n tokens contribute nothing (cannot overlap). */
+  def wordGrams(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("__t", expr(TextAnalysis.TokensExpr))
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(__t) - ${n - 1}), " +
+          s"i -> array_join(slice(__t, i, $n), ' '))")).as("gram"))
+
+  /** Training docs with ≥1 gram overlapping the benchmark set, with
+    * the distinct-overlap count (triage signal: 1 hit ≈ idiom, 100
+    * hits ≈ verbatim leak). */
+  def flagged(train: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val benchGrams = wordGrams(benchmark, n)
+      .select(xxhash64(col("gram")).as("gh")).distinct()
+    wordGrams(train, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_hits"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Last-mile training-data preparation: turning a cleaned corpus into
+  * the shapes a trainer consumes — fixed-length packed sequences,
+  * overlapping context chunks, and per-source epoch replication.
+  *
+  * All three are deterministic and integer-only, so each has a DuckDB
+  * oracle twin; none needs state beyond one windowed cumsum.
+  */
+object TrainingPrep {
+
+  /** GPT-style contiguous sequence packing: documents are laid out in
+    * a deterministic order within each shard as one token stream, and
+    * the stream is cut every `seqLen` tokens; a document's `seq_id`
+    * is the training sequence its FIRST token lands in.
+    *
+    * Scale shape: the only stateful step is a running token total,
+    * one window per shard — and shard count is a free parallelism
+    * knob (pick ≥ cluster cores; each shard is an independent output
+    * file of a training run). No shuffle beyond the one
+    * hash-partition on shard; no global ordering is ever imposed on
+    * the corpus. The alternative (first-fit bin packing) needs
+    * sequential state per bin and packs only ~2% tighter at
+    * seqLen ≫ median doc length — the stream cut is what production
+    * pipelines ship. */
+  def packSequences(docs: DataFrame, shards: Int = 8, seqLen: Long = 2048L): DataFrame = {
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(expr(TextAnalysis.TokensExpr)).cast("long").as("token_count"))
+      .withColumn("start_offset",
+        coalesce(sum(col("token_count")).over(byShard), lit(0L)))
+      .withColumn("seq_id",
+        floor(col("start_offset") / lit(seqLen.toDouble)).cast("long"))
+  }
+
+  /** Overlapping context chunks: split each document into windows of
+    * `chunkTokens` tokens advancing by `stride` (< chunkTokens ⇒
+    * consecutive chunks overlap — the RAG/long-context preprocessing
+    * shape). Pure per-row array work (transform over an index
+    * sequence + slice), explodes to one row per chunk with no
+    * shuffle at all; the last chunk clamps at the document end in
+    * both engines. Short docs (≤ chunkTokens) yield exactly one
+    * chunk. */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkTokens > 0, "chunkTokens and stride must be positive")
+    // last chunk index k = max(0, ceil((n_tokens - chunkTokens) / stride))
+    // via integer arithmetic: floor((n - C + S - 1) / S).
+    val lastIdx = s"greatest(CAST(floor((size(__t) - $chunkTokens + $stride - 1) " +
+      s"/ CAST($stride AS DOUBLE)) AS BIGINT), 0L)"
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("__t", expr(TextAnalysis.TokensExpr))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0L, $lastIdx), " +
+          s"i -> array_join(slice(__t, CAST(i * $stride + 1 AS INT), $chunkTokens), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"))
+  }
+
+  /** Per-source epoch replication (data-mixture weighting): each
+    * document appears `weights(source)` times (default 1), tagged
+    * with its epoch ordinal — the explode-side of "upsample the
+    * high-quality slice N×". Pure row expansion (P6's ×N flatMap as a
+    * real pipeline op); downstream shuffles see the multiplied rows,
+    * so weights belong AFTER filtering/dedup, right before the final
+    * write. */
+  def epochMix(docs: DataFrame, weights: Map[String, Int], default: Int = 1): DataFrame = {
+    require((default +: weights.values.toSeq).forall(_ >= 0), "weights must be >= 0")
+    val epochs = weights.foldLeft(lit(default.toLong)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(w.toLong)).otherwise(acc)
+    }
+    // weight 0 ⇒ empty array ⇒ explode drops the doc (sequence(1,0)
+    // would count DOWN and emit two rows — Spark infers step sign).
+    docs
+      .withColumn("epoch", explode(
+        when(epochs >= 1L, sequence(lit(1L), epochs))
+          .otherwise(typedlit(Seq.empty[Long]))))
+  }
+}

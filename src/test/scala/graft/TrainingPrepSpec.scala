@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Contamination, TrainingPrep}
+
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.map { case (id, t) => (id, t, "en", s"src${id % 4}", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ---- Contamination ----
+
+  test("decontamination flags exactly the docs sharing an n-gram") {
+    val bench = docs(100L -> "alpha beta gamma delta epsilon")
+    val train = docs(
+      1L -> "xx alpha beta gamma delta yy",          // shares the 4-gram
+      2L -> "alpha beta zz gamma delta",             // only 2-grams shared
+      3L -> "totally unrelated words here okay")
+    val out = Contamination.flagged(train, bench, n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L))
+  }
+
+  test("decontamination counts DISTINCT overlapping grams per doc") {
+    val bench = docs(100L -> "a b c d e")            // grams: "a b c", "b c d", "c d e"
+    val train = docs(1L -> "a b c d e a b c")        // hits all 3 + repeats "a b c"
+    val out = Contamination.flagged(train, bench, n = 3)
+      .as[(Long, Long)].head()
+    assert(out == ((1L, 3L)))
+  }
+
+  test("docs shorter than n tokens are never flagged and never bench grams") {
+    val bench = docs(100L -> "a b")                  // < n ⇒ contributes nothing
+    val train = docs(1L -> "a b c d")
+    assert(Contamination.flagged(train, bench, n = 3).isEmpty)
+  }
+
+  test("null-text docs contribute nothing on either side") {
+    val bench = docs(100L -> null, 101L -> "p q r s")
+    val train = docs(1L -> null, 2L -> "x p q r s y")
+    val out = Contamination.flagged(train, bench, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 2L))                     // "p q r", "q r s"
+  }
+
+  // ---- packSequences ----
+
+  test("packing assigns seq_id by the FIRST token's stream offset") {
+    // one shard (ids ≡ 1 mod 8 deliberately avoided: use shards=1),
+    // seqLen=10: doc1 has 6 tokens at offset 0, doc2 has 6 at offset 6
+    // (straddles the cut but belongs to seq 0), doc3 starts at 12 ⇒ seq 1.
+    val d = docs(
+      1L -> "t1 t2 t3 t4 t5 t6",
+      2L -> "u1 u2 u3 u4 u5 u6",
+      3L -> "v1 v2 v3")
+    val out = TrainingPrep.packSequences(d, shards = 1, seqLen = 10L)
+      .select("doc_id", "shard", "token_count", "start_offset", "seq_id")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 0L, 6L, 0L, 0L),
+      (2L, 0L, 6L, 6L, 0L),
+      (3L, 0L, 3L, 12L, 1L)))
+  }
+
+  test("packing offsets are per-shard streams, not global") {
+    val d = docs(1L -> "a b c", 2L -> "d e f", 3L -> "g h i", 4L -> "j k l")
+    // shards=2: ids 1,3 → shard 1; ids 2,4 → shard 0
+    val out = TrainingPrep.packSequences(d, shards = 2, seqLen = 100L)
+      .select("doc_id", "shard", "start_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 0L), (2L, 0L, 0L), (3L, 1L, 3L), (4L, 0L, 3L)))
+  }
+
+  // ---- chunk ----
+
+  test("chunking produces overlapping windows that clamp at doc end") {
+    val d = docs(1L -> (1 to 10).map(i => s"w$i").mkString(" "))
+    val out = TrainingPrep.chunk(d, chunkTokens = 4, stride = 3)
+      .as[(Long, Long, String)].collect().sortBy(_._2)
+    // 10 tokens, C=4, S=3 ⇒ last_idx = ceil((10-4)/3) = 2 ⇒ 3 chunks
+    assert(out.toSeq == Seq(
+      (1L, 0L, "w1 w2 w3 w4"),
+      (1L, 1L, "w4 w5 w6 w7"),
+      (1L, 2L, "w7 w8 w9 w10")))
+  }
+
+  test("a doc shorter than one chunk yields exactly one whole-doc chunk") {
+    val out = TrainingPrep.chunk(docs(1L -> "a b"), chunkTokens = 4, stride = 3)
+      .as[(Long, Long, String)].collect()
+    assert(out.toSeq == Seq((1L, 0L, "a b")))
+  }
+
+  test("an exact-multiple doc does not emit a trailing empty chunk") {
+    // 7 tokens, C=4, S=3: last_idx = 1, chunk 1 = tokens 4..7 — and NOT
+    // a third chunk at offset 6 that would hold only token 7.
+    val d = docs(1L -> "a b c d e f g")
+    val out = TrainingPrep.chunk(d, chunkTokens = 4, stride = 3)
+      .as[(Long, Long, String)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((1L, 0L, "a b c d"), (1L, 1L, "d e f g")))
+  }
+
+  // ---- epochMix ----
+
+  test("epoch replication honors per-source weights incl. 0 and default") {
+    val d = docs(0L -> "a", 1L -> "b", 2L -> "c", 3L -> "d") // sources src0..src3
+    val out = TrainingPrep.epochMix(d,
+        Map("src0" -> 3, "src1" -> 1, "src2" -> 0), default = 2)
+      .groupBy("source").agg(count(lit(1)).as("n"), max("epoch").as("maxe"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("src0", 3L, 3L), ("src1", 1L, 1L), ("src3", 2L, 2L)))
+  }
+}
