@@ -102,6 +102,14 @@ object ScaleProbe {
       batchDocs, graft.tables.Tables(spark, dir, "documents")))
     t("kmeans fit")(graft.ops.KMeans.fit(emb))
     t("semdedup kept")(graft.ops.KMeans.semDedupKept(emb))
+    // steady-state decontamination shape: the corpus grows mult×, the
+    // benchmark set stays what it is (eval suites don't scale with
+    // training data) — cost must track the corpus map stage.
+    t("decontaminate")(graft.ops.Contamination.flagged(
+      docs, graft.tables.Tables(spark, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)))
+    t("pack sequences")(graft.ops.TrainingPrep.packSequences(docs, shards = 32))
+    t("context chunks")(graft.ops.TrainingPrep.chunk(docs))
     spark.stop()
   }
 }

@@ -166,4 +166,27 @@ class PlanAuditSpec extends SparkSpec {
     // in the grouping key; an array-valued first() would break this)
     assert(!p.contains("SortAggregate"), s"assignment lost the hash aggregate:\n$p")
   }
+
+  test("q55 decontamination: bench grams broadcast; the corpus gram stream is never sort-merge joined") {
+    val p = plan("q55_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"bench side lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams shuffled for a join:\n$p")
+    // scans on both sides pruned to (doc_id, text)
+    assert("struct<doc_id:bigint,text:string>".r.findAllIn(p).size == 2, p)
+    // budget: bench-side distinct + the matched-gram count-distinct pair
+    assert(shuffles(p) <= 3, s"shuffle budget exceeded:\n$p")
+  }
+
+  test("q56 packing: exactly one shuffle (the per-shard stream window)") {
+    val p = plan("q56_pack_sequences")
+    assert(shuffles(p) == 1, s"per-shard cumsum should be the only exchange:\n$p")
+  }
+
+  test("q57/q58 chunk + epoch mix: pure explode pipelines, zero shuffles") {
+    Seq("q57_context_chunks", "q58_epoch_mix").foreach { q =>
+      val p = plan(q)
+      assert(shuffles(p) == 0, s"$q grew a shuffle:\n$p")
+      assert(p.contains("Generate"), s"$q lost its explode:\n$p")
+    }
+  }
 }
