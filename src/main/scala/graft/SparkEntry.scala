@@ -84,7 +84,9 @@ object SparkEntry {
     "q55_decontaminate" -> (Queries.decontaminate _),
     "q56_pack_sequences" -> (Queries.packSequences _),
     "q57_context_chunks" -> (Queries.contextChunks _),
-    "q58_epoch_mix" -> (Queries.epochMix _)
+    "q58_epoch_mix" -> (Queries.epochMix _),
+    "q59_quantize_int8" -> (Queries.quantizeInt8 _),
+    "q60_distinctive_terms" -> (Queries.distinctiveTerms _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -331,6 +333,19 @@ object Queries {
   def epochMix(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.epochMix(Tables(spark, dir, "documents"), EpochWeights)
       .select(col("doc_id"), col("source"), col("epoch"))
+
+  /** Int8 max-abs quantization of the embeddings table, exploded so
+    * the oracle pins every code. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables(spark, dir, "embeddings"))
+
+  val DistinctiveK = 5
+  val DistinctiveMaxDfBp = 7500L
+
+  /** Per-language distinctive vocabulary (df-gated top-k keywords). */
+  def distinctiveTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctiveTerms(Tables(spark, dir, "documents"),
+      DistinctiveK, DistinctiveMaxDfBp)
 
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
 
@@ -1360,6 +1375,45 @@ object Oracles {
       s"""SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
          |FROM documents,
          |     unnest(range(1, CASE $cases ELSE 2 END)) AS u(e)""".stripMargin
+    },
+
+    // float32→double promotion is exact, and both sides compute
+    // (x*127)/scale with identical associativity, so the codes are
+    // bit-identical (same reasoning as the money convention).
+    "q59_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |           AS DOUBLE) AS scale
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT vec_id,
+        |       CAST(FLOOR(scale * 1000000.0) AS BIGINT) AS scale_ppm,
+        |       CAST(i - 1 AS BIGINT) AS dim_idx,
+        |       CAST(CASE WHEN scale = 0 THEN 0
+        |            ELSE FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |                       * 127.0 / scale) END AS BIGINT) AS code
+        |FROM s, unnest(range(1, len(embedding) + 1)) AS u(i)""".stripMargin,
+
+    "q60_distinctive_terms" -> {
+      val k = Queries.DistinctiveK; val bp = Queries.DistinctiveMaxDfBp
+      s"""WITH live AS (
+         |  SELECT lang, doc_id, text FROM documents WHERE text IS NOT NULL),
+         |stats AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS token, doc_id
+         |  FROM live),
+         |agg AS (
+         |  SELECT lang, token, COUNT(*) AS term_freq,
+         |         COUNT(DISTINCT doc_id) AS doc_freq
+         |  FROM stats GROUP BY 1, 2),
+         |nd AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs FROM live GROUP BY 1),
+         |ranked AS (
+         |  SELECT agg.lang, token, term_freq, doc_freq,
+         |         ROW_NUMBER() OVER (PARTITION BY agg.lang
+         |           ORDER BY term_freq DESC, token ASC) AS rank
+         |  FROM agg JOIN nd ON agg.lang = nd.lang
+         |  WHERE doc_freq * 10000 <= $bp * n_docs)
+         |SELECT lang, token, term_freq, doc_freq, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $k""".stripMargin
     },
 
     "q45_line_dedup" -> {

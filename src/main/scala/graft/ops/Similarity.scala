@@ -168,4 +168,30 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("cos_bp"))
   }
+
+  /** Int8 (max-abs) embedding quantization — the storage/shuffle
+    * compression pass of an ANN index build: each vector carries one
+    * scale and 1-byte codes, 4× smaller on the wire than float32, so
+    * every downstream bucket-join shuffles a quarter of the bytes.
+    *
+    * `code_i = floor(x_i * 127 / scale)`, `scale = max_i |x_i|` — all
+    * doubles promoted EXACTLY from float32, one multiply + one divide
+    * + floor per element in a fixed order, so codes are bit-identical
+    * in any engine (same reasoning as the money convention). Zero
+    * vectors (scale = 0) code to all-zeros instead of dividing by
+    * zero. Emitted exploded to (vec_id, dim_idx, code) so the oracle
+    * pins every element; the packed form is `transform` minus the
+    * explode. Pure map stage, zero shuffle. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .filter(col("embedding").isNotNull)
+      .withColumn("__scale",
+        expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)"))
+      .select(col("vec_id"),
+        floor(col("__scale") * lit(1000000.0)).cast("long").as("scale_ppm"),
+        posexplode(expr(
+          "transform(embedding, x -> IF(__scale = 0D, 0L, " +
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / __scale) AS BIGINT)))")))
+      .select(col("vec_id"), col("scale_ppm"),
+        col("pos").cast("long").as("dim_idx"), col("col").as("code"))
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -138,6 +139,39 @@ object TextAnalysis {
         count_distinct(col("doc_id")).as("doc_freq"))
       .orderBy(col("term_freq").desc, col("token").asc)
       .limit(k)
+
+  /** Distinctive vocabulary per language: the top-k tokens by term
+    * frequency among tokens that are NOT ubiquitous — document
+    * frequency ≤ `maxDfBp` basis points of that language's corpus
+    * (the integer-exact stand-in for an idf cutoff; a float idf
+    * would hinge on cross-engine `ln`). Keyword-extraction shape:
+    * double aggregation (token grain, then language grain), the
+    * per-language doc totals broadcast back (language count is tiny),
+    * grouped top-k with an id tie-break.
+    *
+    * 100 TB shape: both aggregates partial-combine map-side; the
+    * (lang, token) grain is the vocabulary — millions, not the corpus
+    * — and the final window sees only df-gated survivors. */
+  def distinctiveTerms(docs: DataFrame, k: Int = 5, maxDfBp: Long = 2000L): DataFrame = {
+    val live = docs.filter(col("text").isNotNull)
+    val stats = withTokens(live)
+      .select(col("lang"), col("doc_id"), explode(col("tokens")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("term_freq"),
+        count_distinct(col("doc_id")).as("doc_freq"))
+    val langDocs = live.groupBy(col("lang"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("term_freq").desc, col("token").asc)
+    stats
+      .join(broadcast(langDocs), Seq("lang"))
+      // integer df gate: doc_freq/n_docs ≤ maxDfBp/10000, cross-multiplied
+      .filter(col("doc_freq") * lit(10000L) <= lit(maxDfBp) * col("n_docs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("token"), col("term_freq"), col("doc_freq"),
+        col("rank").cast("long").as("rank"))
+  }
 
   /** Heavy-hitter vocabulary head: same output as [[vocabTop]]'s
     * term-frequency ranking, different 100 TB shape. [[vocabTop]]

@@ -231,4 +231,36 @@ class TrainingOpsSpec extends SparkSpec {
     assert(total(20L, 2L) <= total(20L, 100L))
     assert(total(50L, 2L) <= total(20L, 2L))
   }
+
+  test("quantizeInt8: codes are floor(x*127/maxabs); zero vectors code to zeros") {
+    val emb = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f), 0),
+      (1L, Array(0.0f, 0.0f, 0.0f), 0),
+      (2L, null.asInstanceOf[Array[Float]], 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantizeInt8(emb)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    // vec 0: scale=1.0 ⇒ codes floor(63.5)=63, -127, floor(31.75)=31
+    assert(out.filter(_._1 == 0L).map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((1000000L, 0L, 63L), (1000000L, 1L, -127L), (1000000L, 2L, 31L)))
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq(0L, 0L, 0L))
+    assert(!out.exists(_._1 == 2L)) // null embedding contributes nothing
+    // every code is a valid int8 value
+    assert(out.forall(r => r._4 >= -128L && r._4 <= 127L))
+  }
+
+  test("distinctiveTerms df-gates ubiquitous tokens and ranks by tf with tie-break") {
+    // 10 en docs: "common" in all 10 (df 10000 bp — gated out);
+    // "rare" appears 3× in one doc (df 1000 bp — kept, tf 3);
+    // "raro" ties tf with "rara" — token asc breaks the tie.
+    val rows = (1L to 10L).map { i =>
+      val extra = if (i == 1) " rare rare rare raro raro rara rara" else ""
+      (i, s"common filler$i$extra", "en", "src0", 0L)
+    }
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.distinctiveTerms(d, k = 3, maxDfBp = 1000L)
+      .select("token", "term_freq", "rank").as[(String, Long, Long)]
+      .collect().sortBy(_._3)
+    assert(out.toSeq == Seq(("rare", 3L, 1L), ("rara", 2L, 2L), ("raro", 2L, 3L)))
+  }
 }
