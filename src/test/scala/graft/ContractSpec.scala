@@ -27,15 +27,15 @@ class ContractSpec extends AnyFunSuite {
 
   test("bench JSON line fits the harness output-tail capture budget") {
     // The harness keeps only the tail of captured stdout; round 1's
-    // full-precision line (~5 KB) was front-truncated and failed its
-    // JSON parse. Bench prints %.3f times — reconstruct the worst-case
-    // line and keep headroom under a conservative 3.5 KB budget.
+    // full-precision two-map line (~5 KB) was front-truncated and
+    // failed its JSON parse, so Bench now prints ONE steady-state map
+    // (cold times go to stderr). Reconstruct the worst case of the
+    // CURRENT format and keep headroom under a conservative 3.5 KB.
     val names = SparkEntry.queries.keys.toSeq
-    val entry = (n: String) => s""""$n":999.999"""
-    val map = names.map(entry).mkString("{", ",", "}")
+    val map = names.map(n => s""""$n":999.999""").mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$map,""" +
-        s""""steady_total":9999.999,"steady_queries":$map,"sf":"/root/testdata/sf0.1"}"""
+      s"""{"metric":"steady_total","value":9999.999,"unit":"sec",""" +
+        s""""queries":$map,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length <= 3500,
       s"bench line ${line.length}B — trim digits or split maps before adding more queries")
   }

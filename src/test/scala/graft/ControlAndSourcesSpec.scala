@@ -108,4 +108,44 @@ class ControlAndSourcesSpec extends SparkSpec {
     // shape: view_click=<bp>|click_purchase=<bp>, rates in flow order
     assert(s.matches("view_click=\\d+\\|click_purchase=\\d+"), s)
   }
+
+  test("JSONL corpus ingest: explicit schema, minted ids, corrupt-line quarantine") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part0.jsonl"),
+      """{"id": 7, "text": "hello world", "lang": "en", "source": "web"}
+        |{"text": "no id doc", "lang": "de"}
+        |{not json at all
+        |""".stripMargin)
+    val out = graft.sources.DocFiles.readJsonl(spark, dir).cache()
+    val good = out.filter(col("corrupt_record").isNull)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._2)
+    assert(good.length == 2)
+    assert(good(0) == ((7L, "hello world", "en", "web", 11L)))
+    val noId = good(1)
+    assert(noId._2 == "no id doc" && noId._4 == "jsonl" && noId._5 == 9L)
+    // minted id is the content hash — stable across re-reads
+    val again = graft.sources.DocFiles.readJsonl(spark, dir)
+      .filter(col("text") === "no id doc").select("doc_id").as[Long].head()
+    assert(noId._1 == again)
+    // the corrupt line is quarantined, not fatal, and carries its raw text
+    val bad = out.filter(col("corrupt_record").isNotNull)
+      .select("corrupt_record").as[String].collect()
+    assert(bad.toSeq == Seq("{not json at all"))
+    out.unpersist()
+  }
+
+  test("text-tree ingest: one row per file, path-derived source, hash ids") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-txt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"), "doc one body")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.txt"), "doc two\nwith a newline")
+    val out = graft.sources.DocFiles.readTextTree(spark, dir)
+      .select("source", "text", "n_chars")
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("a.txt", "doc one body", 12L),
+      ("b.txt", "doc two\nwith a newline", 22L)))
+  }
 }
