@@ -1,7 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftSql}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Benchmark decontamination: flag training documents that share any
   * word n-gram with an evaluation/benchmark set — the standard
@@ -48,5 +51,50 @@ object Contamination {
       .join(broadcast(benchGrams), Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gh")).as("n_hits"))
+  }
+
+  // ---- streaming-safe Bloom gate ----------------------------------
+  //
+  // A stream can't run the exact join above (doc-grain regroup after
+  // a stream-side explode would need unbounded state, and stream-
+  // static ANTI join isn't supported), so the ingestion-time gate is
+  // the classic runtime-filter shape instead: a Bloom filter over the
+  // benchmark gram hashes, probed PER ROW with zero shuffle and zero
+  // state. One-sided error only — a contaminated doc is NEVER let
+  // through; a false positive drops a clean doc at the configured fpp
+  // (1% default), the right trade for a training-data gate. The probe
+  // is Spark's own codegen'd BloomFilterMightContain — the expression
+  // behind runtime join pruning — not a UDF.
+
+  /** Build the benchmark-side Bloom filter (a broadcast-class object:
+    * ~1.2 MB per 1M grams at 1% fpp; size it with `expectedGrams`). */
+  def benchBloom(benchmark: DataFrame, n: Int = 8,
+      expectedGrams: Long = 1000000L, fpp: Double = 0.01): BloomFilter =
+    wordGrams(benchmark, n).select(xxhash64(col("gram")).as("gh"))
+      .stat.bloomFilter("gh", expectedGrams, fpp)
+
+  /** Drop rows whose text shares (by Bloom membership) any word
+    * n-gram with the benchmark. Pure projection + filter — safe on
+    * batch and streaming frames alike. Null/short texts have no
+    * grams and pass through (the quality gates own that judgment). */
+  def bloomGate(docs: DataFrame, bloom: BloomFilter, n: Int = 8): DataFrame = {
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    def mightContain(v: Column): Column = GraftSql.column(
+      BloomFilterMightContain(Literal(bytes, BinaryType), GraftSql.expression(v)))
+    // guard the sequence: sequence(1, 0) would count DOWN, so docs
+    // with < n tokens get an explicit empty gram list
+    val gramHashes = when(size(col("__t")) >= n, expr(
+      s"transform(sequence(1, size(__t) - ${n - 1}), " +
+        s"i -> xxhash64(array_join(slice(__t, i, $n), ' ')))"))
+      .otherwise(typedlit(Seq.empty[Long]))
+    docs
+      .withColumn("__t", expr(TextAnalysis.TokensExpr))
+      .withColumn("__gh", gramHashes)
+      .filter(!exists(col("__gh"), mightContain))
+      .drop("__t", "__gh")
   }
 }

@@ -24,14 +24,25 @@ object CorpusStream {
       source: String, ts: java.sql.Timestamp)
 
   /** Accepted-document running totals per (lang, source); run with
-    * `outputMode("update")`. */
+    * `outputMode("update")`.
+    *
+    * `benchBloom` adds the ingestion-time decontamination gate: a
+    * Bloom filter over benchmark gram hashes
+    * ([[graft.ops.Contamination.benchBloom]]), probed per row —
+    * contaminated docs never pass; clean docs are dropped only at the
+    * filter's fpp. Stream-safe because it is stateless (the exact
+    * join is the batch q55 path). */
   def acceptedCounts(docs: DataFrame, delay: String = "10 minutes",
       minTokens: Long = 20L, maxShortBp: Long = 4000L,
-      maxPiiHits: Long = 2L): DataFrame = {
+      maxPiiHits: Long = 2L,
+      benchBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      contamN: Int = 8): DataFrame = {
     val deduped = StreamDedup.byKey(
       docs.withColumn("__th", coalesce(md5(col("text")), lit("<null-text>"))),
       Seq("__th"), "ts", delay).drop("__th")
-    graft.ops.CorpusPipeline.gated(deduped, minTokens, maxShortBp, maxPiiHits)
+    val decontaminated = benchBloom.fold(deduped)(b =>
+      graft.ops.Contamination.bloomGate(deduped, b, contamN))
+    graft.ops.CorpusPipeline.gated(decontaminated, minTokens, maxShortBp, maxPiiHits)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("token_count")).as("total_tokens"))
   }

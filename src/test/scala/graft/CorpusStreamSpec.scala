@@ -14,13 +14,15 @@ class CorpusStreamSpec extends SparkSpec {
   private def ts(offsetS: Long) = new Timestamp(T0 + offsetS * 1000)
   private val good = (1 to 30).map(i => s"word$i").mkString(" ")
 
-  private def run(batches: Seq[Seq[In]]): Map[(String, String), (Long, Long)] = {
+  private def run(batches: Seq[Seq[In]],
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
+      : Map[(String, String), (Long, Long)] = {
     val s = spark
     import s.implicits._
     implicit val sq = s.sqlContext
     val mem = MemoryStream[In]
     val ckpt = Files.createTempDirectory("graft-cs").toString
-    val q = CorpusStream.acceptedCounts(mem.toDF())
+    val q = CorpusStream.acceptedCounts(mem.toDF(), benchBloom = bloom)
       .writeStream.outputMode("update").format("memory")
       .queryName(s"corpus_out_${System.nanoTime()}")
       .option("checkpointLocation", ckpt)
@@ -51,5 +53,20 @@ class CorpusStreamSpec extends SparkSpec {
     ))
     assert(out(("en", "web")) == ((2L, 63L)))  // docs 1 (30 tok) + 5 (33 tok)
     assert(out(("de", "web")) == ((1L, 31L)))
+  }
+
+  test("bloom decontamination gate drops benchmark-overlapping docs at ingest") {
+    val s = spark
+    import s.implicits._
+    val benchText = (1 to 8).map(i => s"bench$i").mkString(" ")
+    val bloom = graft.ops.Contamination.benchBloom(
+      Seq((100L, benchText, "en", "eval", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      expectedGrams = 1000L, fpp = 1e-6)
+    val pad = (1 to 25).map(i => s"pad$i").mkString(" ")
+    val out = run(Seq(Seq(
+      In(1, s"$pad $benchText", "en", "web", ts(0)), // contaminated -> dropped
+      In(2, s"$pad clean tail words", "en", "web", ts(1)))), Some(bloom))
+    assert(out(("en", "web")) == ((1L, 28L)))        // only doc 2 (25+3 tokens)
   }
 }

@@ -46,6 +46,33 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out == Map(2L -> 2L))                     // "p q r", "q r s"
   }
 
+  test("bloomGate drops contaminated docs, passes clean/short/null ones") {
+    val bench = docs(100L -> "alpha beta gamma delta epsilon zeta eta theta")
+    val bloom = Contamination.benchBloom(bench, n = 8, expectedGrams = 1000L,
+      fpp = 1e-6) // fpp tiny enough that this test never sees a false positive
+    val train = docs(
+      1L -> ("xx alpha beta gamma delta epsilon zeta eta theta yy"), // overlaps
+      2L -> "clean words that never appeared in any benchmark doc at all",
+      3L -> "short",                                                 // < n tokens
+      4L -> null)
+    val kept = Contamination.bloomGate(train, bloom, n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("bloomGate has NO false negatives vs the exact join on real testdata") {
+    val d = graft.tables.Tables(spark, sf, "documents")
+    val bench = d.filter(col("doc_id") % 5 === 0)
+    val train = d.filter(col("doc_id") % 5 =!= 0)
+    val exactFlagged = Contamination.flagged(train, bench)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomKept = Contamination.bloomGate(train,
+        Contamination.benchBloom(bench))
+      .select("doc_id").as[Long].collect().toSet
+    // one-sided error: anything the exact join flags MUST be gone
+    assert(exactFlagged.intersect(bloomKept).isEmpty)
+  }
+
   // ---- packSequences ----
 
   test("packing assigns seq_id by the FIRST token's stream offset") {
