@@ -110,6 +110,10 @@ object ScaleProbe {
         .filter(col("doc_id") % 5 === 0)))
     t("pack sequences")(graft.ops.TrainingPrep.packSequences(docs, shards = 32))
     t("context chunks")(graft.ops.TrainingPrep.chunk(docs))
+    // PQ at a growing corpus with a FIXED query set: encode cost is the
+    // map stage, ADC cost is candidates × m lookups — both linear.
+    t("pq adc ann")(graft.ops.ProductQuant.adcTopK(
+      emb, col("vec_id") === 0 || col("vec_id") === 10000050L))
     spark.stop()
   }
 }

@@ -86,7 +86,8 @@ object SparkEntry {
     "q57_context_chunks" -> (Queries.contextChunks _),
     "q58_epoch_mix" -> (Queries.epochMix _),
     "q59_quantize_int8" -> (Queries.quantizeInt8 _),
-    "q60_distinctive_terms" -> (Queries.distinctiveTerms _)
+    "q60_distinctive_terms" -> (Queries.distinctiveTerms _),
+    "q61_pq_ann" -> (Queries.pqAnn _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -346,6 +347,14 @@ object Queries {
   def distinctiveTerms(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.distinctiveTerms(Tables(spark, dir, "documents"),
       DistinctiveK, DistinctiveMaxDfBp)
+
+  val PqM = 8
+  val PqK = 16
+
+  /** PQ/ADC top-10 with the oracle-able seed codebook. */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame =
+    ProductQuant.adcTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
+      PqM, PqK)
 
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
 
@@ -1393,6 +1402,43 @@ object Oracles {
         |            ELSE FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
         |                       * 127.0 / scale) END AS BIGINT) AS code
         |FROM s, unnest(range(1, len(embedding) + 1)) AS u(i)""".stripMargin,
+
+    "q61_pq_ann" -> {
+      val m = Queries.PqM; val k = Queries.PqK
+      s"""WITH $embQuantCte,
+         |subs AS (
+         |  SELECT vec_id, CAST(s AS BIGINT) AS sub,
+         |         q[CAST(s * (len(q) // $m) + 1 AS BIGINT)
+         |           : CAST((s + 1) * (len(q) // $m) AS BIGINT)] AS qs
+         |  FROM n, unnest(range(0, $m)) AS u(s)),
+         |sv AS (
+         |  SELECT vec_id, sub, qs,
+         |         CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS n2s
+         |  FROM subs),
+         |book AS (SELECT sub, vec_id AS code, qs AS centroid, n2s AS c_n2
+         |         FROM sv WHERE vec_id < $k),
+         |dists AS (
+         |  SELECT v.vec_id, v.sub, b.code,
+         |         v.n2s + b.c_n2 - 2 * CAST(list_sum(list_transform(
+         |           range(1, len(v.qs) + 1),
+         |           i -> v.qs[i] * b.centroid[i])) AS BIGINT) AS dist
+         |  FROM sv v JOIN book b USING (sub)),
+         |enc AS (
+         |  SELECT vec_id, sub, CAST(MIN(dist * 256 + code) % 256 AS BIGINT) AS code
+         |  FROM dists GROUP BY 1, 2),
+         |pair AS (
+         |  SELECT d.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         CAST(SUM(d.dist) AS BIGINT) AS adc_dist
+         |  FROM enc e JOIN dists d ON e.sub = d.sub AND e.code = d.code
+         |  WHERE d.vec_id % ${Queries.KnnQueryMod} = 0 AND e.vec_id != d.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+         |  FROM pair)
+         |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 10""".stripMargin
+    },
 
     "q60_distinctive_terms" -> {
       val k = Queries.DistinctiveK; val bp = Queries.DistinctiveMaxDfBp

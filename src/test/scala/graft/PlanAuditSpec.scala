@@ -182,6 +182,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) == 1, s"per-shard cumsum should be the only exchange:\n$p")
   }
 
+  test("q61 PQ/ADC: codebook + query LUT broadcast; corpus codes never sort-merge or shuffle-cartesian joined") {
+    val p = plan("q61_pq_ann")
+    assert(p.contains("BroadcastHashJoin"), s"codebook lost its broadcast:\n$p")
+    // the LUT side rides a broadcast nested-loop CROSS (tiny build), never
+    // a shuffled CartesianProduct of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), s"top-k lost its partial rank:\n$p")
+  }
+
   test("q57/q58 chunk + epoch mix: pure explode pipelines, zero shuffles") {
     Seq("q57_context_chunks", "q58_epoch_mix").foreach { q =>
       val p = plan(q)

@@ -249,6 +249,64 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.forall(r => r._4 >= -128L && r._4 <= 127L))
   }
 
+  test("PQ: copies of a seed vector are its query-copy's ADC neighbors at distance 0") {
+    import ProductQuant._
+    // ADC distance is query-exact vs candidate-QUANTIZED, so it hits 0
+    // exactly when the candidate encodes losslessly — i.e. is a seed
+    // (or a copy of one). vec 40 copies seed 3; query 100 is a third copy.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 16L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), 0))
+    val emb = (base :+ (40L, base(3)._2.clone(), 0) :+ (100L, base(3)._2.clone(), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = adcTopK(emb, col("vec_id") === 100, m = 4, k = 16, topK = 3)
+      .orderBy("rank").as[(Long, Long, Long, Int)].collect()
+    // both zero-distance copies lead, id-asc tie-broken
+    assert(out.take(2).map(r => (r._2, r._3)).toSeq == Seq((3L, 0L), (40L, 0L)))
+    assert(out(2)._3 > 0L)
+  }
+
+  test("PQ: Lloyd-refined codebook does not increase total quantization distortion") {
+    import ProductQuant._
+    val emb = Tables(spark, sf, "embeddings")
+    def distortion(book: org.apache.spark.sql.DataFrame): Long =
+      subvectors(emb, 8).join(broadcast(book), Seq("sub"))
+        .withColumn("dist", col("n2s") + col("c_n2") -
+          lit(2L) * graft.expressions.DotProductLong.dot(col("qs"), col("centroid")))
+        .groupBy(col("vec_id"), col("sub")).agg(min(col("dist")).as("d"))
+        .agg(sum(col("d"))).as[Long].head()
+    val seed = distortion(seedCodebook(emb, 8, 16))
+    val trained = distortion(trainedCodebook(emb, 8, 16, iters = 1))
+    assert(trained <= seed, s"refinement worsened distortion: $seed -> $trained")
+  }
+
+  test("PQ: ADC top-10 recalls most of the exact integer-L2 top-10") {
+    import ProductQuant._
+    val emb = Tables(spark, sf, "embeddings")
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.quantized(emb).select(col("vec_id"), col("q"), col("n2"))
+    val qs = exact.filter(pred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d").asc, col("vec_id").asc)
+    val exactTop = exact.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d", col("n2") + col("qn2") -
+        lit(2L) * graft.expressions.DotProductLong.dot(col("q"), col("qq")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    def recall(book: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val pq = adcTopK(emb, pred, m = 8, k = 16, topK = 10, book0 = book)
+        .select(col("query_id"), col("neighbor_id"))
+      pq.intersect(exactTop).count().toDouble / (qs.count() * 10)
+    }
+    val seedR = recall(None)
+    val trainedR = recall(Some(trainedCodebook(emb, 8, 16, iters = 2)))
+    info(f"recall@10 seed=$seedR%.2f trained=$trainedR%.2f")
+    // coarse 16-entry codebooks — pin floors, not perfection
+    assert(seedR >= 0.15, s"seed-codebook recall $seedR")
+    assert(trainedR >= 0.25, s"trained-codebook recall $trainedR")
+  }
+
   test("distinctiveTerms df-gates ubiquitous tokens and ranks by tf with tie-break") {
     // 10 en docs: "common" in all 10 (df 10000 bp — gated out);
     // "rare" appears 3× in one doc (df 1000 bp — kept, tf 3);
