@@ -87,7 +87,8 @@ object SparkEntry {
     "q58_epoch_mix" -> (Queries.epochMix _),
     "q59_quantize_int8" -> (Queries.quantizeInt8 _),
     "q60_distinctive_terms" -> (Queries.distinctiveTerms _),
-    "q61_pq_ann" -> (Queries.pqAnn _)
+    "q61_pq_ann" -> (Queries.pqAnn _),
+    "q62_ivf_pq" -> (Queries.ivfPq _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -354,6 +355,11 @@ object Queries {
   /** PQ/ADC top-10 with the oracle-able seed codebook. */
   def pqAnn(spark: SparkSession, dir: String): DataFrame =
     ProductQuant.adcTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
+      PqM, PqK)
+
+  /** IVF-PQ: list-routed ADC (nProbe=1 keeps the oracle exact). */
+  def ivfPq(spark: SparkSession, dir: String): DataFrame =
+    ProductQuant.ivfPqTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
       PqM, PqK)
 
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
@@ -1437,6 +1443,84 @@ object Oracles {
          |           ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
          |  FROM pair)
          |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 10""".stripMargin
+    },
+
+    // IVF-PQ = q32's routing CTEs + q61's PQ CTEs, label carried
+    // through encoding; nProbe=1 (pr = 1) keeps routing deterministic.
+    "q62_ivf_pq" -> {
+      val m = Queries.PqM; val k = Queries.PqK
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding,
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, label, q,
+         |         CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2
+         |  FROM e),
+         |subs AS (
+         |  SELECT vec_id, label, CAST(s AS BIGINT) AS sub,
+         |         q[CAST(s * (len(q) // $m) + 1 AS BIGINT)
+         |           : CAST((s + 1) * (len(q) // $m) AS BIGINT)] AS qs
+         |  FROM n, unnest(range(0, $m)) AS u(s)),
+         |sv AS (
+         |  SELECT vec_id, label, sub, qs,
+         |         CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS n2s
+         |  FROM subs),
+         |book AS (SELECT sub, vec_id AS code, qs AS centroid, n2s AS c_n2
+         |         FROM sv WHERE vec_id < $k),
+         |dists AS (
+         |  SELECT v.vec_id, v.label, v.sub, b.code,
+         |         v.n2s + b.c_n2 - 2 * CAST(list_sum(list_transform(
+         |           range(1, len(v.qs) + 1),
+         |           i -> v.qs[i] * b.centroid[i])) AS BIGINT) AS dist
+         |  FROM sv v JOIN book b USING (sub)),
+         |enc AS (
+         |  SELECT vec_id, label, sub,
+         |         CAST(MIN(dist * 256 + code) % 256 AS BIGINT) AS code
+         |  FROM dists GROUP BY 1, 2, 3),
+         |centdim AS (
+         |  SELECT label, i AS pos,
+         |         CAST(FLOOR(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM n, unnest(range(1, len(q) + 1)) t(i)
+         |  GROUP BY label, i),
+         |cent AS (
+         |  SELECT label, list(c ORDER BY pos) AS centroid FROM centdim GROUP BY label),
+         |c2 AS (
+         |  SELECT label, centroid,
+         |         CAST(list_sum(list_transform(centroid, v -> v * v)) AS BIGINT) AS c_n2
+         |  FROM cent),
+         |queries AS (
+         |  SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n
+         |  WHERE vec_id % ${Queries.KnnQueryMod} = 0),
+         |probe AS (
+         |  SELECT query_id, c2.label,
+         |         CASE WHEN q_n2 = 0 OR c_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 *
+         |                     CAST(list_sum(list_transform(range(1, len(q_q) + 1),
+         |                          i -> q_q[i] * centroid[i])) AS BIGINT)
+         |                     / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS c_cos
+         |  FROM queries, c2),
+         |assigned AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY c_cos DESC, label ASC) AS pr
+         |    FROM probe) WHERE pr = 1),
+         |pair AS (
+         |  SELECT a.query_id, a.label, en.vec_id AS neighbor_id,
+         |         CAST(SUM(d.dist) AS BIGINT) AS adc_dist
+         |  FROM assigned a
+         |  JOIN enc en ON en.label = a.label AND en.vec_id != a.query_id
+         |  JOIN dists d ON d.vec_id = a.query_id AND d.sub = en.sub
+         |              AND d.code = en.code
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+         |  FROM pair)
+         |SELECT query_id, label, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 10""".stripMargin
     },
 

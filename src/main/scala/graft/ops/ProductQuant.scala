@@ -32,13 +32,15 @@ object ProductQuant {
 
   /** Integer subvectors: one row per (vec_id, sub) with the slice and
     * its squared norm. Requires dim % m == 0 (checked at runtime by
-    * the slice arithmetic producing equal widths). */
-  def subvectors(emb: DataFrame, m: Int): DataFrame =
+    * the slice arithmetic producing equal widths). `carry` threads
+    * extra per-vector columns (e.g. the IVF list key) through without
+    * a corpus-grain re-join later. */
+  def subvectors(emb: DataFrame, m: Int, carry: Seq[String] = Nil): DataFrame =
     Similarity.quantized(emb)
-      .select(col("vec_id"), posexplode(expr(
+      .select(col("vec_id") +: carry.map(col) :+ posexplode(expr(
         s"transform(sequence(0, ${m - 1}), " +
           s"s -> slice(q, s * (size(q) div $m) + 1, size(q) div $m))"))
-        .as(Seq("sub", "qs")))
+        .as(Seq("sub", "qs")): _*)
       .withColumn("n2s", expr("aggregate(qs, 0L, (acc, v) -> acc + v * v)"))
 
   /** Seed codebook: the subvectors of vec_id < k (deterministic
@@ -75,21 +77,23 @@ object ProductQuant {
     * code-asc tie-break, argmin packed into one long (KMeans' trick —
     * dist·256 + code keeps min() a hash aggregate; subvector dists at
     * 1e6 quantization are ≪ 2^55). Keeps qs for [[refineCodebook]]. */
-  private def assignments(subs: DataFrame, book: DataFrame): DataFrame =
+  private def assignments(subs: DataFrame, book: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
     subs
       .join(broadcast(book), Seq("sub"))
       .withColumn("dist", col("n2s") + col("c_n2") -
         lit(2L) * graft.expressions.DotProductLong.dot(col("qs"), col("centroid")))
-      .groupBy(col("vec_id"), col("sub"), col("qs"))
+      .groupBy(col("vec_id") +: col("sub") +: col("qs") +: carry.map(col): _*)
       .agg(min(col("dist") * lit(256L) + col("code")).as("packed"))
-      .select(col("vec_id"), col("sub"), col("qs"),
-        (col("packed") % 256L).as("code"))
+      .select(col("vec_id") +: col("sub") +: col("qs") +: carry.map(col) :+
+        (col("packed") % 256L).as("code"): _*)
 
-  /** Encode the corpus: (vec_id, codes), codes in subspace order —
-    * the m-byte-per-vector compressed index. */
-  def encode(emb: DataFrame, book: DataFrame, m: Int): DataFrame =
-    assignments(subvectors(emb, m), book)
-      .groupBy(col("vec_id"))
+  /** Encode the corpus: (vec_id, [carry...,] codes), codes in
+    * subspace order — the m-byte-per-vector compressed index. */
+  def encode(emb: DataFrame, book: DataFrame, m: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    assignments(subvectors(emb, m, carry), book, carry)
+      .groupBy(col("vec_id") +: carry.map(col): _*)
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
         x => x.getField("code")).as("codes"))
@@ -99,15 +103,18 @@ object ProductQuant {
     * distance is m array lookups summed — never a float op, never the
     * original vectors. Self-matches excluded; (dist asc, id asc)
     * rank. */
-  def adcTopK(emb: DataFrame, queryPred: Column, m: Int = 8, k: Int = 16,
-      topK: Int = 10, book0: Option[DataFrame] = None): DataFrame = {
-    val book = book0.getOrElse(seedCodebook(emb, m, k))
-    val lut = subvectors(emb.filter(queryPred), m)
+  /** Per-query ADC lookup table: (query_id, lut) with
+    * LUT[sub+1][code+1] = exact partial distance from the query's
+    * sub-th subvector to that code's centroid. Queries are few by
+    * assumption — the result is broadcast-grain. */
+  def queryLut(emb: DataFrame, queryPred: Column, book: DataFrame,
+      m: Int): DataFrame =
+    subvectors(emb.filter(queryPred), m)
       .join(broadcast(book), Seq("sub"))
       .withColumn("pdist", col("n2s") + col("c_n2") -
         lit(2L) * graft.expressions.DotProductLong.dot(col("qs"), col("centroid")))
       // row per (query, sub): k partials ordered by code; then the
-      // m-row stack ordered by sub — LUT[sub+1][code+1] = pdist
+      // m-row stack ordered by sub
       .groupBy(col("vec_id"), col("sub"))
       .agg(transform(
         array_sort(collect_list(struct(col("code"), col("pdist")))),
@@ -117,18 +124,66 @@ object ProductQuant {
         array_sort(collect_list(struct(col("sub"), col("row")))),
         x => x.getField("row")).as("lut"))
       .withColumnRenamed("vec_id", "query_id")
+
+  /** ADC distance of a code array against a LUT column. */
+  private val AdcDist = expr(
+    "aggregate(zip_with(codes, lut, (c, r) -> element_at(r, CAST(c AS INT) + 1)), " +
+      "0L, (acc, v) -> acc + v)")
+
+  def adcTopK(emb: DataFrame, queryPred: Column, m: Int = 8, k: Int = 16,
+      topK: Int = 10, book0: Option[DataFrame] = None): DataFrame = {
+    val book = book0.getOrElse(seedCodebook(emb, m, k))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     encode(emb, book, m)
-      .crossJoin(broadcast(lut))
+      .crossJoin(broadcast(queryLut(emb, queryPred, book, m)))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc_dist", expr(
-        "aggregate(zip_with(codes, lut, (c, r) -> element_at(r, CAST(c AS INT) + 1)), " +
-          "0L, (acc, v) -> acc + v)"))
+      .withColumn("adc_dist", AdcDist)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
         col("rank").cast("int").as("rank"))
+  }
+
+  /** IVF-PQ: the standard billion-scale ANN index — IVF's learned
+    * inverted lists bound WHICH candidates are scored (`nProbe`
+    * lists per query, cosine-routed exactly like Similarity.ivfAnn),
+    * PQ's codes bound WHAT scoring costs (m lookups per candidate).
+    * The corpus is touched once: encoded with its list key carried,
+    * then joined in place against the broadcast (query, list, LUT)
+    * probe set — candidates outside probed lists are never read. */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column, m: Int = 8, k: Int = 16,
+      topK: Int = 10, nProbe: Int = 1, book0: Option[DataFrame] = None): DataFrame = {
+    val book = book0.getOrElse(seedCodebook(emb, m, k))
+    val quant = Similarity.quantized(emb)
+    val queries = quant.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"), col("n2").as("q_n2"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("label").asc)
+    val assignedLists = queries
+      .crossJoin(broadcast(Similarity.ivfCentroids(emb)))
+      .withColumn("c_cos", Similarity.cosBp(
+        graft.expressions.DotProductLong.dot(col("q_q"), col("centroid")),
+        col("q_n2"), col("c_n2")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("label"))
+    // both sides are query-grain (tiny); broadcast beats the default
+    // sort-merge a join of two sub-threshold-unknown frames would plan
+    val probes = assignedLists
+      .join(broadcast(queryLut(emb, queryPred, book, m)), "query_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    encode(emb, book, m, carry = Seq("label"))
+      .join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", AdcDist)
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        col("adc_dist"), col("rank").cast("int").as("rank"))
   }
 }

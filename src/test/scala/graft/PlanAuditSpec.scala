@@ -182,7 +182,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) == 1, s"per-shard cumsum should be the only exchange:\n$p")
   }
 
-  test("q61 PQ/ADC: codebook + query LUT broadcast; corpus codes never sort-merge or shuffle-cartesian joined") {
+  test("q61/q62 PQ: codebook + query LUT broadcast; corpus codes never sort-merge or shuffle-cartesian joined") {
     val p = plan("q61_pq_ann")
     assert(p.contains("BroadcastHashJoin"), s"codebook lost its broadcast:\n$p")
     // the LUT side rides a broadcast nested-loop CROSS (tiny build), never
@@ -190,6 +190,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
     assert(p.contains("WindowGroupLimit"), s"top-k lost its partial rank:\n$p")
+    val p2 = plan("q62_ivf_pq")
+    // probe set joins the encoded corpus by list key — broadcast, and
+    // the corpus side never shuffles for it
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("CartesianProduct") && !p2.contains("SortMergeJoin"), p2)
   }
 
   test("q57/q58 chunk + epoch mix: pure explode pipelines, zero shuffles") {

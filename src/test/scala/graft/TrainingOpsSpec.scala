@@ -307,6 +307,17 @@ class TrainingOpsSpec extends SparkSpec {
     assert(trainedR >= 0.25, s"trained-codebook recall $trainedR")
   }
 
+  test("ivfPq: probing every list degenerates to plain ADC top-k") {
+    import ProductQuant._
+    val emb = Tables(spark, sf, "embeddings")
+    val pred = col("vec_id") % 50 === 0
+    val viaIvf = ivfPqTopK(emb, pred, nProbe = 1000)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+    val plain = adcTopK(emb, pred)
+    assert(viaIvf.exceptAll(plain).isEmpty && plain.exceptAll(viaIvf).isEmpty)
+    assert(plain.count() > 0)
+  }
+
   test("distinctiveTerms df-gates ubiquitous tokens and ranks by tf with tie-break") {
     // 10 en docs: "common" in all 10 (df 10000 bp — gated out);
     // "rare" appears 3× in one doc (df 1000 bp — kept, tf 3);
