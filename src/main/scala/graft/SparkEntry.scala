@@ -88,7 +88,8 @@ object SparkEntry {
     "q59_quantize_int8" -> (Queries.quantizeInt8 _),
     "q60_distinctive_terms" -> (Queries.distinctiveTerms _),
     "q61_pq_ann" -> (Queries.pqAnn _),
-    "q62_ivf_pq" -> (Queries.ivfPq _)
+    "q62_ivf_pq" -> (Queries.ivfPq _),
+    "q63_corpus_split" -> (Queries.corpusSplit _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -361,6 +362,15 @@ object Queries {
   def ivfPq(spark: SparkSession, dir: String): DataFrame =
     ProductQuant.ivfPqTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
       PqM, PqK)
+
+  val SplitTrainBp = 9000L
+  val SplitValBp = 500L
+
+  /** Deterministic 90/5/5 corpus split, reported per stratum. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.split(Tables(spark, dir, "documents"), SplitTrainBp, SplitValBp)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
 
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
 
@@ -1522,6 +1532,20 @@ object Oracles {
          |  FROM pair)
          |SELECT query_id, label, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 10""".stripMargin
+    },
+
+    "q63_corpus_split" -> {
+      val t = Queries.SplitTrainBp; val v = Queries.SplitValBp
+      s"""WITH s AS (
+         |  SELECT lang,
+         |         ((doc_id % 1000003) * 48271 + 12345) % 10000 AS split_bp
+         |  FROM documents)
+         |SELECT lang,
+         |       CASE WHEN split_bp < $t THEN 'train'
+         |            WHEN split_bp < ${t + v} THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       COUNT(*) AS n_docs
+         |FROM s GROUP BY 1, 2""".stripMargin
     },
 
     "q60_distinctive_terms" -> {

@@ -84,4 +84,26 @@ object TrainingPrep {
         when(epochs >= 1L, sequence(lit(1L), epochs))
           .otherwise(typedlit(Seq.empty[Long]))))
   }
+
+  /** Deterministic train/val/test split: each doc lands in one split
+    * by a Lehmer-style permutation of its id into basis points —
+    * train < `trainBp` ≤ val < `trainBp + valBp` ≤ test. Engine- and
+    * layout-independent (pure integer arithmetic — `rand(seed)` would
+    * depend on partitioning), stable across reruns so incremental
+    * pipeline stages never see a doc migrate between splits. The
+    * inner mod keeps the multiply far from Long overflow even for
+    * 63-bit hash-derived doc ids (ANSI mode would throw). Zero
+    * shuffle. */
+  def split(docs: DataFrame, trainBp: Long = 9800L, valBp: Long = 100L): DataFrame = {
+    require(trainBp + valBp <= 10000L, "trainBp + valBp must leave room for test")
+    docs
+      .withColumn("split_bp",
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(48271L) + lit(12345L),
+          lit(10000L)))
+      .withColumn("split",
+        when(col("split_bp") < trainBp, "train")
+          .when(col("split_bp") < trainBp + valBp, "val")
+          .otherwise("test"))
+      .drop("split_bp")
+  }
 }

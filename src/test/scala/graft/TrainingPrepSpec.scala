@@ -131,6 +131,18 @@ class TrainingPrepSpec extends SparkSpec {
 
   // ---- epochMix ----
 
+  test("split is deterministic, exhaustive, and proportioned train >> val/test") {
+    val d = graft.tables.Tables(spark, sf, "documents")
+    val s = graft.ops.TrainingPrep.split(d, 9000L, 500L)
+    assert(s.count() == d.count())
+    val byS = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS("train") > byS("val") * 5 && byS("train") > byS("test") * 5)
+    // re-evaluation assigns identically (layout-independent arithmetic)
+    assert(s.select("doc_id", "split").exceptAll(
+      graft.ops.TrainingPrep.split(d, 9000L, 500L).select("doc_id", "split")).isEmpty)
+  }
+
   test("epoch replication honors per-source weights incl. 0 and default") {
     val d = docs(0L -> "a", 1L -> "b", 2L -> "c", 3L -> "d") // sources src0..src3
     val out = TrainingPrep.epochMix(d,
