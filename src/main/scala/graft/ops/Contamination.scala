@@ -69,9 +69,14 @@ object Contamination {
   /** Build the benchmark-side Bloom filter (a broadcast-class object:
     * ~1.2 MB per 1M grams at 1% fpp; size it with `expectedGrams`). */
   def benchBloom(benchmark: DataFrame, n: Int = 8,
-      expectedGrams: Long = 1000000L, fpp: Double = 0.01): BloomFilter =
-    wordGrams(benchmark, n).select(xxhash64(col("gram")).as("gh"))
-      .stat.bloomFilter("gh", expectedGrams, fpp)
+      expectedGrams: Long = 1000000L, fpp: Double = 0.01): BloomFilter = {
+    val grams = wordGrams(benchmark, n).select(xxhash64(col("gram")).as("gh"))
+    // Spark's stat.bloomFilter NPEs on an empty frame (its aggregate
+    // returns null) — a benchmark with no long-enough docs is a valid
+    // input and must yield the match-nothing filter.
+    if (grams.isEmpty) BloomFilter.create(expectedGrams, fpp)
+    else grams.stat.bloomFilter("gh", expectedGrams, fpp)
+  }
 
   /** Drop rows whose text shares (by Bloom membership) any word
     * n-gram with the benchmark. Pure projection + filter — safe on

@@ -127,6 +127,35 @@ class EdgeCasesSpec extends SparkSpec {
     assert(CorpusPipeline.corpusSelect(emptyDocs).count() == 0)
   }
 
+  test("training-prep operators on empty and degenerate inputs") {
+    val s = spark
+    import s.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val oneDoc = Seq((1L, "word", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    // contamination: empty benchmark flags nothing; empty train flags nothing
+    assert(Contamination.flagged(oneDoc, emptyDocs, n = 1).count() == 0)
+    assert(Contamination.flagged(emptyDocs, oneDoc, n = 1).count() == 0)
+    // a bloom built from an EMPTY benchmark passes everything
+    val emptyBloom = Contamination.benchBloom(emptyDocs, expectedGrams = 1L)
+    assert(Contamination.bloomGate(oneDoc, emptyBloom).count() == 1)
+    // packing/chunking/split/mix are total on empty frames
+    assert(TrainingPrep.packSequences(emptyDocs).count() == 0)
+    assert(TrainingPrep.chunk(emptyDocs).count() == 0)
+    assert(TrainingPrep.split(emptyDocs).count() == 0)
+    assert(TrainingPrep.epochMix(emptyDocs, Map("s" -> 3)).count() == 0)
+    // a single one-token doc: one chunk, one packed row at offset 0
+    assert(TrainingPrep.chunk(oneDoc).count() == 1)
+    val packed = TrainingPrep.packSequences(oneDoc, shards = 4).head()
+    assert(packed.getAs[Long]("start_offset") == 0L &&
+      packed.getAs[Long]("seq_id") == 0L)
+    // distinctive terms: empty corpus → no rows (no div-by-zero on n_docs)
+    assert(TextAnalysis.distinctiveTerms(emptyDocs).count() == 0)
+    // PQ on an empty query set: empty result, not a crash
+    val emb = graft.tables.Tables(spark, sf, "embeddings")
+    assert(ProductQuant.adcTopK(emb, lit(false)).count() == 0)
+  }
+
   test("kmeans tolerates k larger than the corpus and empty clusters") {
     val s = spark
     import s.implicits._
