@@ -207,4 +207,75 @@ object GraftProperties extends Properties("graft") {
           rate == math.floor(10000.0 * split / prev).toLong)
       }
     }
+
+  /** Random small documents: token counts 0-30 from a tiny vocab so
+    * n-gram overlaps actually occur. */
+  private val genDocs: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(2, 12)
+    docs <- Gen.sequence[Seq[(Long, String)], (Long, String)]((1 to n).map { i =>
+      for {
+        len <- Gen.choose(0, 30)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield (i.toLong, toks.mkString(" "))
+    })
+  } yield docs
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, t) => (id, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  property("chunking with stride == chunkTokens reconstructs every document") =
+    forAll(genDocs) { rows =>
+      val c = 4
+      val rebuilt = graft.ops.TrainingPrep.chunk(docsDf(rows), c, c)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, chunks) =>
+          id -> chunks.sortBy(_.getLong(1)).map(_.getString(2)).mkString(" ") }
+      rows.forall { case (id, text) => rebuilt(id) == text }
+    }
+
+  property("packing: per-shard offsets are a gapless prefix sum in doc_id order") =
+    forAll(genDocs) { rows =>
+      val out = graft.ops.TrainingPrep.packSequences(docsDf(rows), shards = 3, seqLen = 7L)
+        .collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("token_count"), r.getAs[Long]("start_offset")))
+      out.groupBy(_._1).values.forall { shard =>
+        val ordered = shard.sortBy(_._2)
+        ordered.scanLeft(0L)((acc, d) => acc + d._3).zip(ordered)
+          .forall { case (expect, d) => d._4 == expect }
+      }
+    }
+
+  property("self-decontamination flags exactly the docs with >= n tokens") =
+    forAll(genDocs) { rows =>
+      // flagging train against ITSELF as the benchmark: every doc with
+      // >= n tokens must be flagged (it always shares its own grams)
+      val n = 3
+      val flagged = graft.ops.Contamination
+        .flagged(docsDf(rows), docsDf(rows), n)
+        .collect().map(_.getLong(0)).toSet
+      val expect = rows.filter(_._2.split(" ", -1).length >= n).map(_._1).toSet
+      flagged == expect
+    }
+
+  property("split assigns every doc exactly one of train/val/test, by doc_id only") =
+    forAll(genDocs) { rows =>
+      val out = graft.ops.TrainingPrep.split(docsDf(rows), 8000L, 1000L)
+        .select("doc_id", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      out.length == rows.length && out.forall { case (id, s) =>
+        Set("train", "val", "test")(s) &&
+          s == (((id % 1000003L) * 48271L + 12345L) % 10000L match {
+            case bp if bp < 8000L => "train"
+            case bp if bp < 9000L => "val"
+            case _ => "test"
+          })
+      }
+    }
 }
