@@ -89,7 +89,8 @@ object SparkEntry {
     "q60_distinctive_terms" -> (Queries.distinctiveTerms _),
     "q61_pq_ann" -> (Queries.pqAnn _),
     "q62_ivf_pq" -> (Queries.ivfPq _),
-    "q63_corpus_split" -> (Queries.corpusSplit _)
+    "q63_corpus_split" -> (Queries.corpusSplit _),
+    "q64_training_manifest" -> (Queries.trainingManifest _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -371,6 +372,30 @@ object Queries {
     TrainingPrep.split(Tables(spark, dir, "documents"), SplitTrainBp, SplitValBp)
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** The whole pipeline as ONE declarative plan — what actually ships
+    * to a training run: quality ∧ dedup-kept ∧ decontaminated docs
+    * (benchmark split excluded), split train/val/test, totalled per
+    * (split, lang). Every stage is an operator this engine already
+    * answers alone (q23/q47/q55/q63); Catalyst fuses the composition —
+    * gates inline into the scans, the dedup and contamination joins
+    * share the corpus pass, no materialization between stages. */
+  def trainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val selected = Dedup.ngramDedupKept(docs)
+      .join(CorpusPipeline.gated(docs, maxPiiHits = MaxPiiHits)
+        .select(col("doc_id"), col("token_count")), "doc_id")
+    val flagged = Contamination.flagged(
+      docs.filter(col("doc_id") % ContamEvalMod =!= 0),
+      docs.filter(col("doc_id") % ContamEvalMod === 0), ContamN)
+    val clean = selected
+      .filter(col("doc_id") % ContamEvalMod =!= 0)
+      .join(flagged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    TrainingPrep.split(clean, SplitTrainBp, SplitValBp)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("token_count")).as("total_tokens"))
+  }
 
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
 
@@ -704,6 +729,41 @@ object Oracles {
   }
 
   val sql: Map[String, String] = baseSql + ("q47_corpus_select" -> {
+    corpusSelectSql
+  }) + ("q64_training_manifest" -> {
+    // the q47 composition extended with the q55 contamination CTE and
+    // the q63 split arithmetic — the full-manifest oracle
+    val sw = "len(string_split(text, ' '))"
+    val t = Queries.SplitTrainBp; val v = Queries.SplitValBp
+    s"""WITH k AS (${baseSql("q23_ngram_dedup_kept")}),
+       |g AS (
+       |  SELECT doc_id, CAST($sw AS BIGINT) AS token_count
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND $sw >= 20
+       |    AND CAST(FLOOR(10000.0 * len(list_filter(string_split(text, ' '),
+       |          x -> length(x) <= 2)) / $sw) AS BIGINT) <= 4000
+       |    AND len(regexp_extract_all(text, '${graft.ops.TextClean.PiiPattern}'))
+       |          <= ${Queries.MaxPiiHits}),
+       |hits AS (SELECT doc_id FROM (${baseSql("q55_decontaminate")})),
+       |base AS (
+       |  SELECT k.doc_id, k.lang, g.token_count
+       |  FROM k JOIN g USING (doc_id)
+       |  WHERE k.doc_id % ${Queries.ContamEvalMod} <> 0
+       |    AND k.doc_id NOT IN (SELECT doc_id FROM hits)),
+       |s AS (
+       |  SELECT lang, token_count,
+       |         ((doc_id % 1000003) * 48271 + 12345) % 10000 AS bp
+       |  FROM base)
+       |SELECT CASE WHEN bp < $t THEN 'train'
+       |            WHEN bp < ${t + v} THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(token_count) AS BIGINT) AS total_tokens
+       |FROM s GROUP BY 1, 2""".stripMargin
+  })
+
+  private lazy val corpusSelectSql: String = {
     // end-to-end pipeline oracle, composed from the q23 dedup oracle
     // (nested WITH is legal in a CTE body) + the one-pass gate twin of
     // CorpusPipeline.corpusSelect
@@ -722,7 +782,7 @@ object Oracles {
        |       CAST(SUM(g.token_count) AS BIGINT) AS total_tokens
        |FROM k JOIN g USING (doc_id)
        |GROUP BY 1, 2""".stripMargin
-  })
+  }
 
   private lazy val baseSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
