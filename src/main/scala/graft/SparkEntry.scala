@@ -90,7 +90,11 @@ object SparkEntry {
     "q61_pq_ann" -> (Queries.pqAnn _),
     "q62_ivf_pq" -> (Queries.ivfPq _),
     "q63_corpus_split" -> (Queries.corpusSplit _),
-    "q64_training_manifest" -> (Queries.trainingManifest _)
+    "q64_training_manifest" -> (Queries.trainingManifest _),
+    "q65_substring_dup" -> (Queries.substringDup _),
+    "q66_bm25" -> (Queries.bm25 _),
+    "q67_cube_totals" -> (Queries.cubeTotals _),
+    "q68_curriculum_buckets" -> (Queries.curriculumBuckets _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -397,7 +401,31 @@ object Queries {
         sum(col("token_count")).as("total_tokens"))
   }
 
+  // ---- retrieval / substring dedup / curriculum (round 3) ----
+
+  /** Substring-grain duplicate spans (Lee et al. style k-gram pass). */
+  def substringDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupSpans(Tables(spark, dir, "documents"))
+
+  val Bm25TopK = 5
+
+  /** BM25 lexical top-5 per demo query (rational idf, fixed-point). */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(Tables(spark, dir, "documents"),
+      Retrieval.demoQueries(spark), Bm25TopK)
+
+  val CurriculumBuckets = 4
+
+  /** Corpus-wide curriculum quartiles by type-token ratio. */
+  def curriculumBuckets(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.curriculumBuckets(Tables(spark, dir, "documents"),
+      CurriculumBuckets)
+
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
+
+  def cubeTotals(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.cubeTotals(Tables(spark, dir, "lineitem"),
+      "l_returnflag", "l_linestatus", "l_extendedprice")
 
   def medianQuantity(spark: SparkSession, dir: String): DataFrame =
     Percentiles.medianCents(Tables(spark, dir, "lineitem"), "l_returnflag", "l_quantity")
@@ -1606,6 +1634,111 @@ object Oracles {
          |            ELSE 'test' END AS split,
          |       COUNT(*) AS n_docs
          |FROM s GROUP BY 1, 2""".stripMargin
+    },
+
+    // Like q55: the oracle joins raw gram STRINGS where the Spark
+    // side joins xxhash64 of the gram internally (the key never
+    // reaches the output).
+    "q65_substring_dup" -> {
+      val n = graft.ops.Dedup.SpanGram
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |grams AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+         |         array_to_string(t[i : i + ${n - 1}], ' ') AS g
+         |  FROM toks, unnest(range(1, len(t) - ${n - 2})) AS u(i)
+         |  WHERE len(t) >= $n),
+         |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         |hits AS (
+         |  SELECT DISTINCT doc_id, p + o AS pos
+         |  FROM grams JOIN dup USING (g), unnest(range(0, $n)) AS v(o)),
+         |agg AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM hits GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+         |       CAST(FLOOR(10000.0 * COALESCE(a.dup_tokens, 0) / len(t.t))
+         |         AS BIGINT) AS dup_bp
+         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
+
+    // Every arithmetic step is an IEEE double op on exact-integer
+    // operands in the same textual order as the Spark expression
+    // (rational idf, dyadic k1/b — no cross-engine ln), and each
+    // term's contribution floors to BIGINT before the sum, so the
+    // per-doc score is an order-free integer sum. See ops/Retrieval.
+    "q66_bm25" -> {
+      val vals = graft.ops.Retrieval.DemoQueries
+        .map { case (id, tok) => s"($id, '$tok')" }.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, token
+         |  FROM (VALUES $vals) v(query_id, token)),
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE)
+         |           / CAST(COUNT(*) AS BIGINT) AS avgdl
+         |  FROM dl),
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok JOIN (SELECT DISTINCT token FROM q) qt USING (token)
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |contrib AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |         CAST(FLOOR(1000000.0
+         |           * ((2.0 * (st.n_docs - dfreq.df) + 1.0)
+         |             / (2.0 * dfreq.df + 1.0))
+         |           * ((tf.tf * 2.5)
+         |             / (tf.tf + 1.5
+         |               * (0.25 + 0.75 * (dl.dl / st.avgdl))))) AS BIGINT) AS c
+         |  FROM tf
+         |  JOIN dfreq USING (token)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  JOIN q ON q.token = tf.token, st),
+         |s AS (
+         |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp
+         |  FROM contrib GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, doc_id, score_fp,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, doc_id, score_fp
+         |FROM r WHERE rank <= ${Queries.Bm25TopK}""".stripMargin
+    },
+
+    "q67_cube_totals" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // rank_before = RANK()-1 = count of docs with strictly greater
+    // ttr_bp — the value-grain prefix the Spark side computes over
+    // the ≤10001-row score-domain table (see TrainingPrep
+    // .curriculumBuckets: value-deterministic, unlike ntile).
+    "q68_curriculum_buckets" -> {
+      val b = Queries.CurriculumBuckets
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         CAST(FLOOR(10000.0 * len(list_distinct(tokens)) / len(tokens))
+         |           AS BIGINT) AS ttr_bp
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, ttr_bp,
+         |         RANK() OVER (ORDER BY ttr_bp DESC) - 1 AS rank_before,
+         |         COUNT(*) OVER () AS n
+         |  FROM s)
+         |SELECT doc_id, ttr_bp,
+         |       CAST(FLOOR($b.0 * rank_before / n) AS BIGINT) AS bucket
+         |FROM r""".stripMargin
     },
 
     "q60_distinctive_terms" -> {

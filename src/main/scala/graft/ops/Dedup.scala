@@ -323,4 +323,55 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("hamming"))
   }
+
+  val SpanGram = 8
+
+  /** Substring-grain duplication (the doc-level families above can't
+    * see a copied PARAGRAPH inside an otherwise-unique page): per
+    * document, how many token positions sit inside a token `n`-gram
+    * that occurs ≥2 times corpus-wide — the practical k-gram variant
+    * of the suffix-array duplicate-span pass (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better";
+    * their production follow-ups use exactly this gram-frequency
+    * formulation because a distributed global suffix array is not).
+    *
+    * Scale shape: grams are a pure map stage over the corpus (no
+    * doc-grain state); occurrence counting is ONE shuffle on the
+    * 64-bit gram hash where map-side partial aggregation collapses
+    * each partition's repeats; the duplicated-gram set (a small
+    * fraction — most grams are unique at any n ≥ 8) joins back
+    * against the gram stream, and only MATCHED grams explode ×n into
+    * the per-doc distinct-position count. The corpus is never
+    * self-joined and never shuffled at full gram multiplicity twice.
+    * Like q55, grams are 64-bit-hashed internally (the oracle joins
+    * raw strings; a collision needs two distinct grams on the same
+    * xxhash64 value — P < 1e-9 at 1e5 grams — and at worst marks one
+    * span duplicated, it cannot corrupt the kept corpus). */
+  def substringDupSpans(docs: DataFrame, n: Int = SpanGram,
+      minCount: Long = 2L): DataFrame = {
+    val base = docs
+      .filter(col("text").isNotNull)
+      .withColumn("__t", expr(TextAnalysis.TokensExpr))
+    val grams = base
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(__t) - ${n - 1}), " +
+          s"i -> array_join(slice(__t, i, $n), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        xxhash64(col("col")).as("gh"))
+    // ≥2 occurrences ANYWHERE (two docs, or twice in one doc) — the
+    // span is memorizable either way. No broadcast hint: the dup set
+    // is usually small but is corpus-dependent; AQE decides.
+    val dup = grams.groupBy(col("gh")).count()
+      .filter(col("count") >= minCount).select(col("gh"))
+    val hits = grams.join(dup, "gh")
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${n - 1})")).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("pos")).as("dup_tokens"))
+    base.select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_tokens"))
+      .withColumn("dup_bp",
+        floor(lit(10000.0) * col("dup_tokens") / col("n_tokens")).cast("long"))
+  }
 }

@@ -62,6 +62,20 @@ object Percentiles {
         coalesce(col(b), lit("ALL")).as(b),
         col("n_rows"), col("total_cents"))
 
+  /** CUBE totals — rollup's lattice completion (adds the (∅,b)
+    * cross-slices rollup omits). Same single Expand+HashAggregate
+    * plan shape and the same integer-cents convention as
+    * `rollupTotals`; the Expand factor is 4 grouping sets instead of
+    * 3, still one shuffle, partial-aggregated map-side. */
+  def cubeTotals(df: DataFrame, a: String, b: String, valueCol: String): DataFrame =
+    df.cube(col(a), col(b))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col(valueCol) * lit(100.0))).as("total_cents"))
+      .select(
+        coalesce(col(a), lit("ALL")).as(a),
+        coalesce(col(b), lit("ALL")).as(b),
+        col("n_rows"), col("total_cents"))
+
   /** Approximate per-group median in cents via a mergeable quantile
     * sketch (`percentile_approx`) — the scale path for genuinely
     * CONTINUOUS value domains, where the exact histogram plan above

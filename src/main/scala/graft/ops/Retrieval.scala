@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus: BM25 scoring and top-k — the
+  * inverted-index workload (data curation uses it for targeted
+  * corpus search and query-based filtering; RAG pipelines for the
+  * sparse half of hybrid retrieval next to the dense kNN of
+  * `Similarity`).
+  *
+  * Scale shape (why this is NOT a score-everything pass): the query
+  * set is small by nature, so its distinct terms BROADCAST; the
+  * corpus side is one tokenize map stage filtered AT THE SCAN by
+  * that broadcast join — only postings of query terms (a vanishing
+  * fraction of the token stream) ever reach the (doc, term) partial
+  * aggregation, and document frequencies are computed from that
+  * already-filtered postings frame, never from a full vocabulary
+  * aggregate. Corpus-global constants (N, avgdl) are one tiny
+  * aggregate broadcast into the scoring expression. Final top-k per
+  * query plans as WindowGroupLimit — no global sort.
+  *
+  * Exactness (the reason the scoring formula looks the way it does):
+  * the standard BM25 idf is `ln((N-df+0.5)/(df+0.5))`, but libm
+  * transcendentals are not bit-identical across engines (SURVEY
+  * §7.3: no cross-engine ln). This implementation uses the same
+  * Robertson–Spärck Jones odds RATIO without the log —
+  * `(2(N-df)+1)/(2df+1)`, integer-exact operands — with dyadic
+  * k1=1.5, b=0.75, so every arithmetic step is an IEEE-754 double
+  * op on identical operands in identical order: bit-identical in
+  * any engine. Each term's contribution is floored to fixed-point
+  * (1e-6) BIGINT *before* the per-document sum, so the sum is
+  * integer and associativity-free. Log-damped idf changes only the
+  * relative weighting of rare terms, not the machinery; it stays
+  * available at the output edge where cross-engine equality is not
+  * required.
+  */
+object Retrieval {
+
+  /** The fixed demo query set (literal on both engine and oracle
+    * sides; any (query_id, token) frame works). */
+  val DemoQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join", 1L -> "hash",
+    2L -> "customer", 2L -> "order", 2L -> "query",
+    3L -> "stream", 3L -> "window", 3L -> "batch")
+
+  def demoQueries(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    DemoQueries.toDF("query_id", "token")
+  }
+
+  /** BM25 top-`k` documents per query. `queries` is (query_id,
+    * token); multi-token queries sum their terms' contributions.
+    * Output: (query_id, rank, doc_id, score_fp) with score_fp the
+    * fixed-point (×1e6) BM25 sum and rank 1..k by (score desc,
+    * doc_id asc). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val base = docs
+      .filter(col("text").isNotNull)
+      .withColumn("__t", expr(TextAnalysis.TokensExpr))
+    val dl = base.select(col("doc_id"), size(col("__t")).cast("long").as("dl"))
+    // corpus constants: one row, broadcast into the scoring join.
+    // avgdl is the ONE double division both engines perform on the
+    // same exact integers (correctly rounded ⇒ identical).
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .select(col("n_docs"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
+    val terms = queries.select(col("token")).distinct()
+    // postings of query terms only: the broadcast join filters the
+    // exploded token stream before any shuffle; partial aggregation
+    // collapses per-partition repeats of (doc, term).
+    val tf = base
+      .select(col("doc_id"), explode(col("__t")).as("token"))
+      .join(broadcast(terms), "token")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queries), "token")
+      // idf = (2(N-df)+1)/(2df+1); tf-sat with k1=1.5, b=0.75:
+      // tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl)). Textually the
+      // same expression as the oracle — every op IEEE, same order.
+      .withColumn("c", floor(
+        lit(1000000.0)
+          * ((lit(2.0) * (col("n_docs") - col("df")) + lit(1.0))
+            / (lit(2.0) * col("df") + lit(1.0)))
+          * ((col("tf") * lit(2.5))
+            / (col("tf") + lit(1.5)
+              * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+      ).cast("long"))
+    val scored = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_fp"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_fp").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp"))
+  }
+}

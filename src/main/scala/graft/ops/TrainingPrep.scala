@@ -106,4 +106,43 @@ object TrainingPrep {
           .otherwise("test"))
       .drop("split_bp")
   }
+
+  /** Curriculum quantile buckets: assign each document a difficulty
+    * bucket 0..`buckets`-1 by corpus-wide quality rank (here the
+    * type-token ratio from `TextAnalysis.textQuality`, descending —
+    * bucket 0 = cleanest quartile first, the standard curriculum /
+    * quality-ascending training order).
+    *
+    * Scale shape — deliberately NOT `ntile()`: a global ntile is a
+    * single-partition window (one task sorts the corpus), and its
+    * tie-splitting makes equal-score docs land in different buckets
+    * depending on row order. Instead the score domain is aggregated
+    * to value grain (ttr_bp has ≤10001 distinct values — metadata-
+    * sized at ANY corpus size), a value-grain running count gives
+    * each score its strictly-greater rank prefix, and
+    * `bucket = floor(buckets * rank_before / n)` maps back over the
+    * corpus via a broadcast-class join. One count-shaped shuffle
+    * total; the only window runs over the ≤10001-row value table.
+    * Ties share a bucket by construction (value-deterministic —
+    * reruns and repartitions cannot migrate a doc), which is the
+    * reproducibility property a training curriculum actually wants. */
+  def curriculumBuckets(docs: DataFrame, buckets: Int = 4): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val scored = TextAnalysis.textQuality(docs)
+      .select(col("doc_id"), col("ttr_bp"))
+    val byScore = scored.groupBy(col("ttr_bp"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = byScore
+      .withColumn("rank_before",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("ttr_bp").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("ttr_bp"),
+        floor(lit(buckets.toDouble) * col("rank_before") / col("n"))
+          .cast("long").as("bucket"))
+    scored.join(broadcast(ranked), "ttr_bp")
+      .select(col("doc_id"), col("ttr_bp"), col("bucket"))
+  }
 }

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Percentiles, Retrieval, TrainingPrep}
+
+/** Round-3 additions: BM25 retrieval, substring-span dedup, cube
+  * totals, curriculum buckets. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.map { case (id, t) => (id, t, "en", s"src${id % 4}", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ---- BM25 ----
+
+  /** The operator's exact scoring, reproduced independently:
+    * rational idf (2(N-df)+1)/(2df+1), k1=1.5, b=0.75, per-term
+    * fixed-point floor before the sum. */
+  private def bm25Ref(corpus: Seq[(Long, String)],
+      queries: Seq[(Long, Seq[String])]): Map[(Long, Long), Long] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(' ').toSeq }.toMap
+    val n = toks.size
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    val df = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size)
+    (for {
+      (qid, terms) <- queries
+      (did, ts) <- toks
+      score = terms.map { term =>
+        val tf = ts.count(_ == term).toLong
+        if (tf == 0L) 0L
+        else {
+          val d = df(term).toLong
+          val idf = (2.0 * (n - d) + 1.0) / (2.0 * d + 1.0)
+          val sat = (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * (ts.size / avgdl)))
+          math.floor(1000000.0 * idf * sat).toLong
+        }
+      }.sum
+      if score > 0L
+    } yield (qid, did) -> score).toMap
+  }
+
+  test("bm25 matches the independent per-pair reference scoring") {
+    val corpus = Seq(
+      1L -> "spark join hash spark spark",
+      2L -> "join hash table scan filter",
+      3L -> "window batch stream window stream",
+      4L -> "hash hash hash hash hash hash hash",
+      5L -> "unrelated words only here")
+    val qs = Seq(1L -> Seq("spark", "join"), 2L -> Seq("hash"))
+    val queries = qs.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("query_id", "token")
+    val out = Retrieval.bm25TopK(docs(corpus: _*), queries, k = 10)
+      .select("query_id", "doc_id", "score_fp").as[(Long, Long, Long)]
+      .collect().map { case (q, d, s) => (q, d) -> s }.toMap
+    assert(out == bm25Ref(corpus, qs))
+  }
+
+  test("bm25 ranks dense by (score desc, doc_id) and respects k") {
+    val corpus = (1L to 8L).map(i => i -> ("hash " * i.toInt).trim)
+    val queries = Seq((1L, "hash")).toDF("query_id", "token")
+    val out = Retrieval.bm25TopK(docs(corpus: _*), queries, k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 3)
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L)) // dense ranks
+    // more occurrences of the only query term ⇒ higher score (tf
+    // saturation never inverts on same-length-profile docs here)
+    assert(out.map(_._4).toSeq == out.map(_._4).sortBy(-_).toSeq)
+  }
+
+  test("bm25: a doc containing no query term never surfaces") {
+    val corpus = Seq(1L -> "spark join", 2L -> "other words")
+    val queries = Seq((1L, "spark")).toDF("query_id", "token")
+    val out = Retrieval.bm25TopK(docs(corpus: _*), queries)
+      .select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L))
+  }
+
+  // ---- substring duplicate spans ----
+
+  test("substring spans: shared 3-gram marks exactly its token cover") {
+    val out = Dedup.substringDupSpans(docs(
+      1L -> "a b c d e f",     // "a b c" shared with doc 2 → pos 1-3
+      2L -> "x a b c y z",     // → pos 2-4
+      3L -> "p q r s t u"),    // unique
+      n = 3).as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((6L, 3L, 5000L)))
+    assert(out(2L) == ((6L, 3L, 5000L)))
+    assert(out(3L) == ((6L, 0L, 0L)))
+  }
+
+  test("substring spans: overlapping dup grams merge their cover") {
+    // docs share a 4-token run "a b c d" ⇒ two overlapping 3-grams
+    // ("a b c", "b c d") covering positions 1-4, counted once each
+    val out = Dedup.substringDupSpans(docs(
+      1L -> "a b c d x y",
+      2L -> "z a b c d w"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out == Map(1L -> 4L, 2L -> 4L))
+  }
+
+  test("substring spans: within-doc repetition is duplication too") {
+    val out = Dedup.substringDupSpans(docs(
+      1L -> "a b c x x a b c"), n = 3) // "a b c" twice in ONE doc
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((1L, 8L, 6L, 7500L))) // pos 1-3 and 6-8
+  }
+
+  test("substring spans: docs shorter than n contribute and cover nothing") {
+    val out = Dedup.substringDupSpans(docs(
+      1L -> "a b", 2L -> "a b"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 0L, 0L), (2L, 2L, 0L, 0L)))
+  }
+
+  // ---- cube totals ----
+
+  test("cube adds the cross-slices rollup omits, same totals") {
+    val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0))
+      .toDF("f", "s", "v")
+    val cube = Percentiles.cubeTotals(df, "f", "s", "v")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(cube.size == 8) // 3 leaves + 2 f-slices + 2 s-slices + grand
+    assert(cube(("ALL", "ALL")) == ((3L, 700L)))
+    assert(cube(("A", "ALL")) == ((2L, 300L)))
+    assert(cube(("ALL", "x")) == ((2L, 500L))) // the slice rollup lacks
+    assert(cube(("ALL", "y")) == ((1L, 200L)))
+    val rollup = Percentiles.rollupTotals(df, "f", "s", "v")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(!rollup.contains(("ALL", "x")))
+    assert(cube.keySet.intersect(rollup) == rollup)
+  }
+
+  // ---- curriculum buckets ----
+
+  test("curriculum buckets: quartiles by ttr desc, ties share a bucket") {
+    // 8 docs, two per distinct ttr level ⇒ clean quartiles
+    val d = docs(
+      1L -> "a b c d", 2L -> "e f g h",              // ttr 10000
+      3L -> "a a b c", 4L -> "d d e f",              // ttr 7500
+      5L -> "a a b b", 6L -> "c c d d",              // ttr 5000
+      7L -> "a a a a", 8L -> "c c c c")              // ttr 2500
+    val out = TrainingPrep.curriculumBuckets(d, buckets = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 3L, 8L -> 3L))
+  }
+
+  test("curriculum buckets: a dominant tie class floods one bucket") {
+    val d = docs((1L to 6L).map(i => i -> "a b c d"): _*) // all ttr 10000
+    val out = TrainingPrep.curriculumBuckets(d, buckets = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 6 && out.forall(_._3 == 0L)) // all tie → bucket 0
+  }
+
+  test("curriculum buckets: every doc lands in [0, buckets)") {
+    val d = docs((1L to 17L).map(i =>
+      i -> (("a " * i.toInt) + "b c").trim): _*)
+    val out = TrainingPrep.curriculumBuckets(d, buckets = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 17)
+    assert(out.forall(r => r._3 >= 0L && r._3 < 5L))
+  }
+}
