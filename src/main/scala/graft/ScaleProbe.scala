@@ -114,6 +114,16 @@ object ScaleProbe {
     // map stage, ADC cost is candidates × m lookups — both linear.
     t("pq adc ann")(graft.ops.ProductQuant.adcTopK(
       emb, col("vec_id") === 0 || col("vec_id") === 10000050L))
+    // amplified docs multiply every gram's count mult× (replica blocks
+    // repeat the text), so the duplicated-gram set grows ~linearly and
+    // the join-back explode stays proportional — superlinear time here
+    // means the dup set stopped collapsing map-side.
+    t("substring dup spans")(graft.ops.Dedup.substringDupSpans(docs))
+    // growing corpus, FIXED query set: postings of query terms grow
+    // linearly, everything else is broadcast-sized.
+    t("bm25 topk")(graft.ops.Retrieval.bm25TopK(docs,
+      graft.ops.Retrieval.demoQueries(spark)))
+    t("curriculum buckets")(graft.ops.TrainingPrep.curriculumBuckets(docs))
     spark.stop()
   }
 }

@@ -204,4 +204,37 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("Generate"), s"$q lost its explode:\n$p")
     }
   }
+
+  test("q66 bm25: query terms broadcast-filter the token stream; no vocabulary-wide aggregate; top-k is WindowGroupLimit") {
+    val p = plan("q66_bm25")
+    // the corpus token stream must meet the (tiny) term set via
+    // broadcast hash join — a sort-merge join here means the full
+    // token stream was shuffled before filtering
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), s"top-k lost its rank pushdown:\n$p")
+  }
+
+  test("q65 substring dup: gram stream aggregates hash-based, never sort-based") {
+    // the occurrence count and position-cover count must stay
+    // HashAggregate: a SortAggregate over the gram stream is a full
+    // sort of the corpus at gram multiplicity
+    val p = plan("q65_substring_dup")
+    assert(!stripCached(p).contains("SortAggregate"), p)
+  }
+
+  test("q67 cube: single Expand + hash aggregate, one shuffle") {
+    val p = plan("q67_cube_totals")
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert(shuffles(p) == 1, p)
+  }
+
+  test("q68 curriculum buckets: the only single-partition exchange feeds the value-grain window, not the corpus") {
+    val p = plan("q68_curriculum_buckets")
+    // corpus → value-grain aggregate (hash shuffle) → tiny window
+    // (single partition over ≤10001 rows) → broadcast back. The
+    // corpus-side join must be broadcast, not shuffled.
+    assert("Exchange SinglePartition".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), s"map-back join not broadcast:\n$p")
+  }
 }
