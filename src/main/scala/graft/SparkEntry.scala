@@ -94,7 +94,8 @@ object SparkEntry {
     "q65_substring_dup" -> (Queries.substringDup _),
     "q66_bm25" -> (Queries.bm25 _),
     "q67_cube_totals" -> (Queries.cubeTotals _),
-    "q68_curriculum_buckets" -> (Queries.curriculumBuckets _)
+    "q68_curriculum_buckets" -> (Queries.curriculumBuckets _),
+    "q69_quality_classifier" -> (Queries.qualityClassifier _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -420,6 +421,10 @@ object Queries {
   def curriculumBuckets(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.curriculumBuckets(Tables(spark, dir, "documents"),
       CurriculumBuckets)
+
+  /** Hashed-feature linear quality classifier (zero-shuffle map). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityClassifier(Tables(spark, dir, "documents"))
 
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
 
@@ -1718,6 +1723,25 @@ object Oracles {
         |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // The bucket is md5 hex chars 5-8 parsed as 16 bits — the
+    // engine's portable-hash convention (same instr-nibble parse as
+    // the simhash twin); weights are the disclosed stand-in
+    // (bucket % 1001) - 500, so scores are integer-exact.
+    "q69_quality_classifier" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(md5(x), $i, 1)) - 1)"
+      val bucket =
+        s"(${nib(5)} * 4096 + ${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)})"
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+         |SELECT doc_id, CAST(len(tok) AS BIGINT) AS token_count,
+         |       CAST(list_sum(list_transform(tok,
+         |         x -> ($bucket % 1001) - 500)) AS BIGINT) AS score,
+         |       CAST(CAST(list_sum(list_transform(tok,
+         |         x -> ($bucket % 1001) - 500)) AS BIGINT) >= 0 AS INT) AS keep
+         |FROM t""".stripMargin
+    },
 
     // rank_before = RANK()-1 = count of docs with strictly greater
     // ttr_bp — the value-grain prefix the Spark side computes over

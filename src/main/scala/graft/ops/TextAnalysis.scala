@@ -234,4 +234,62 @@ object TextAnalysis {
         .as("fp_min"),
       expr("substring(array_max(transform(shingles, s -> md5(s))), 1, 16)")
         .as("fp_max"))
+
+  // ---- hashed linear quality classifier (fasttext-style shape) ----
+  //
+  // The model-based quality gate every production corpus runs (CCNet
+  // / fasttext-style): hash each token into a fixed bucket space,
+  // score = Σ weight[bucket], keep if ≥ 0. The hashing-trick
+  // MECHANICS are the real, scale-relevant part; the default WEIGHTS
+  // are a disclosed deterministic stand-in derived from the bucket id
+  // (like Multimodal.FakeCodec, this environment cannot train a
+  // model) — production swaps in a trained weight table via
+  // `classifyWithWeights` without touching the plumbing.
+  //
+  // Buckets come from md5 (hex chars 5-8 = 16 bits), the engine's
+  // portable-hash convention (MinHashSig/SimHash): the oracle
+  // reproduces them nibble-by-nibble, so scores are integer-exact
+  // cross-engine.
+
+  val ClassifierBuckets = 1 << 16
+
+  /** SQL lambda body: token string -> bucket [0, 65536). */
+  private val BucketExpr =
+    "CAST(conv(substring(md5(x), 5, 4), 16, 10) AS BIGINT)"
+
+  /** Stand-in weight: bucket -> [-500, 500]. */
+  private def weightExpr(bucket: String) = s"($bucket % 1001) - 500"
+
+  /** Hashed-feature linear score, inline weights: a ZERO-shuffle map
+    * stage (the whole classifier pipelines with the scan — at 100 TB
+    * this is a pure pass over the corpus, no state, no joins). */
+  def qualityClassifier(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+      col("doc_id"),
+      size(col("tokens")).cast("long").as("token_count"),
+      expr(s"aggregate(tokens, 0L, (acc, x) -> acc + ${weightExpr(BucketExpr)})")
+        .as("score"))
+      .withColumn("keep", (col("score") >= 0L).cast("int"))
+
+  /** The production seam: same scoring against a (bucket, weight)
+    * TABLE — trained weights are model-output, not derivable inline.
+    * The weight table is vocabulary-bounded (≤ ClassifierBuckets
+    * rows ≈ MBs), so it broadcasts; the corpus explodes to token
+    * grain, joins the broadcast weights, and re-aggregates to doc
+    * grain — one shuffle on doc_id. */
+  def classifyWithWeights(docs: DataFrame, weights: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("token_count"),
+        explode(col("tokens")).as("x"))
+      .withColumn("bucket", expr(BucketExpr))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"), col("token_count"))
+      .agg(sum(col("weight")).as("score"))
+      .withColumn("keep", (col("score") >= 0L).cast("int"))
+
+  /** The stand-in weights as a table (for parity tests and as the
+    * template a trained-weight load replaces). */
+  def standInWeights(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(ClassifierBuckets.toLong).toDF("bucket")
+      .withColumn("weight", expr(weightExpr("bucket")))
 }

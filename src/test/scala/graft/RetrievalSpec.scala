@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Percentiles, Retrieval, TrainingPrep}
+import graft.ops.{Dedup, Percentiles, Retrieval, TextAnalysis, TrainingPrep}
 
 /** Round-3 additions: BM25 retrieval, substring-span dedup, cube
   * totals, curriculum buckets. */
@@ -155,6 +155,32 @@ class RetrievalSpec extends SparkSpec {
     val out = TrainingPrep.curriculumBuckets(d, buckets = 4)
       .as[(Long, Long, Long)].collect()
     assert(out.length == 6 && out.forall(_._3 == 0L)) // all tie → bucket 0
+  }
+
+  // ---- hashed quality classifier ----
+
+  test("quality classifier: inline stand-in weights ≡ the weight-table path") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "spark join hash table scan",
+      3L -> "one token",
+      4L -> "repeated repeated repeated repeated")
+    val inline = TextAnalysis.qualityClassifier(d)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val viaTable = TextAnalysis.classifyWithWeights(d,
+      TextAnalysis.standInWeights(spark))
+      .select("doc_id", "token_count", "score", "keep")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(inline == viaTable)
+    assert(inline.forall { case (_, _, s, k) => (s >= 0) == (k == 1) })
+  }
+
+  test("quality classifier: score is token-multiplicity-weighted") {
+    val one = TextAnalysis.qualityClassifier(docs(1L -> "word"))
+      .as[(Long, Long, Long, Int)].head()._3
+    val three = TextAnalysis.qualityClassifier(docs(1L -> "word word word"))
+      .as[(Long, Long, Long, Int)].head()._3
+    assert(three == 3 * one)
   }
 
   test("curriculum buckets: every doc lands in [0, buckets)") {
