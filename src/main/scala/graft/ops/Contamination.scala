@@ -40,14 +40,23 @@ object Contamination {
         s"transform(sequence(1, size(__t) - ${n - 1}), " +
           s"i -> array_join(slice(__t, i, $n), ' '))")).as("gram"))
 
+  /** One row per (doc_id, 64-bit gram hash) — `wordGrams` without the
+    * strings: the fused TokenGramHash expression emits hashes
+    * directly (n-grams shorter than n ⇒ empty array ⇒ no rows), so
+    * the corpus-side map stage allocates no gram strings at all. */
+  def gramHashes(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.expressions.TokenGramHash.grams(
+          expr(TextAnalysis.TokensExpr), n)).as("gh"))
+
   /** Training docs with ≥1 gram overlapping the benchmark set, with
     * the distinct-overlap count (triage signal: 1 hit ≈ idiom, 100
     * hits ≈ verbatim leak). */
   def flagged(train: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
-    val benchGrams = wordGrams(benchmark, n)
-      .select(xxhash64(col("gram")).as("gh")).distinct()
-    wordGrams(train, n)
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val benchGrams = gramHashes(benchmark, n).select(col("gh")).distinct()
+    gramHashes(train, n)
       .join(broadcast(benchGrams), Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gh")).as("n_hits"))
@@ -70,7 +79,7 @@ object Contamination {
     * ~1.2 MB per 1M grams at 1% fpp; size it with `expectedGrams`). */
   def benchBloom(benchmark: DataFrame, n: Int = 8,
       expectedGrams: Long = 1000000L, fpp: Double = 0.01): BloomFilter = {
-    val grams = wordGrams(benchmark, n).select(xxhash64(col("gram")).as("gh"))
+    val grams = gramHashes(benchmark, n)
     // Spark's stat.bloomFilter NPEs on an empty frame (its aggregate
     // returns null) — a benchmark with no long-enough docs is a valid
     // input and must yield the match-nothing filter.
@@ -90,16 +99,15 @@ object Contamination {
     }
     def mightContain(v: Column): Column = GraftSql.column(
       BloomFilterMightContain(Literal(bytes, BinaryType), GraftSql.expression(v)))
-    // guard the sequence: sequence(1, 0) would count DOWN, so docs
-    // with < n tokens get an explicit empty gram list
-    val gramHashes = when(size(col("__t")) >= n, expr(
-      s"transform(sequence(1, size(__t) - ${n - 1}), " +
-        s"i -> xxhash64(array_join(slice(__t, i, $n), ' ')))"))
+    // null text ⇒ no grams ⇒ must PASS (the quality gates own that
+    // judgment), so guard before the expression (whose null in would
+    // null the filter predicate and silently drop the row)
+    val hashes = when(col("text").isNotNull,
+      graft.expressions.TokenGramHash.grams(expr(TextAnalysis.TokensExpr), n))
       .otherwise(typedlit(Seq.empty[Long]))
     docs
-      .withColumn("__t", expr(TextAnalysis.TokensExpr))
-      .withColumn("__gh", gramHashes)
+      .withColumn("__gh", hashes)
       .filter(!exists(col("__gh"), mightContain))
-      .drop("__t", "__gh")
+      .drop("__gh")
   }
 }

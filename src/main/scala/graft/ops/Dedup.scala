@@ -345,8 +345,12 @@ object Dedup {
     * self-joined and never shuffled at full gram multiplicity twice.
     * Like q55, grams are 64-bit-hashed internally (the oracle joins
     * raw strings; a collision needs two distinct grams on the same
-    * xxhash64 value — P < 1e-9 at 1e5 grams — and at worst marks one
-    * span duplicated, it cannot corrupt the kept corpus). */
+    * 64-bit value — P < 1e-9 at 1e5 grams — and at worst marks one
+    * span duplicated, it cannot corrupt the kept corpus). The hashes
+    * come from the fused `TokenGramHash` expression: gram STRINGS are
+    * never materialized (the built-in transform+array_join+xxhash64
+    * chain allocates ~n× the token stream — at 100 TB the gram stage
+    * is the corpus pass, so that churn is the bill). */
   def substringDupSpans(docs: DataFrame, n: Int = SpanGram,
       minCount: Long = 2L): DataFrame = {
     val base = docs
@@ -354,11 +358,10 @@ object Dedup {
       .withColumn("__t", expr(TextAnalysis.TokensExpr))
     val grams = base
       .filter(size(col("__t")) >= n)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(__t) - ${n - 1}), " +
-          s"i -> array_join(slice(__t, i, $n), ' '))")))
+      .select(col("doc_id"),
+        posexplode(graft.expressions.TokenGramHash.grams(col("__t"), n)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-        xxhash64(col("col")).as("gh"))
+        col("col").as("gh"))
     // ≥2 occurrences ANYWHERE (two docs, or twice in one doc) — the
     // span is memorizable either way. No broadcast hint: the dup set
     // is usually small but is corpus-dependent; AQE decides.

@@ -132,7 +132,10 @@ class ExpressionsSpec extends SparkSpec {
       graft.ops.Dedup.simhash(docs),
       graft.ops.TextAnalysis.winnowFingerprints(docs),
       graft.ops.Similarity.quantized(emb)
-        .select(col("vec_id"), DotProductLong.dot(col("q"), col("q")).as("n2"))
+        .select(col("vec_id"), DotProductLong.dot(col("q"), col("q")).as("n2")),
+      docs.select(col("doc_id"),
+        graft.expressions.TokenGramHash.grams(
+          expr(graft.ops.TextAnalysis.TokensExpr), 8).as("gh"))
     ).map(_.collect().map(_.toString).sorted.toSeq)
     val viaCodegen = outputs()
     val ws = spark.conf.get("spark.sql.codegen.wholeStage")
@@ -144,6 +147,36 @@ class ExpressionsSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.wholeStage", ws)
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
+  }
+
+  test("TokenGramHash: boundary semantics and string-free equality") {
+    import spark.implicits._
+    def grams(tokens: Seq[String], n: Int): Seq[Long] =
+      Seq(Tuple1(tokens)).toDF("t")
+        .select(graft.expressions.TokenGramHash.grams(col("t"), n).as("g"))
+        .as[Seq[Long]].head()
+    // gram count and window equality
+    assert(grams(Seq("a", "b", "c", "d"), 2).length == 3)
+    assert(grams(Seq("a", "b"), 3).isEmpty) // shorter than n
+    // same gram text ⇒ same hash wherever it occurs
+    val g1 = grams(Seq("x", "a", "b"), 2)
+    val g2 = grams(Seq("a", "b", "y"), 2)
+    assert(g1(1) == g2.head)
+    // token boundaries are unambiguous (the array_join(' ') analog):
+    // ["ab","c"] must not equal ["a","bc"]
+    assert(grams(Seq("ab", "c"), 2).head != grams(Seq("a", "bc"), 2).head)
+    // and unlike a naive concat, ["a b"] (one token with a space)
+    // differs from the two-token gram too
+    assert(grams(Seq("a", "b"), 2).head != grams(Seq("a b"), 1).head)
+  }
+
+  test("TokenGramHash participates in WholeStageCodegen") {
+    val plan = Tables(spark, sf, "documents")
+      .select(graft.expressions.TokenGramHash.grams(
+        expr(graft.ops.TextAnalysis.TokensExpr), 8).as("g"))
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_token_gram_hash")).get
+    assert(line.trim.startsWith("*"), s"graft_token_gram_hash not codegen'd:\n$plan")
   }
 
   test("DotProductLong participates in WholeStageCodegen") {
