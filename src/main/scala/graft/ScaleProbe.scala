@@ -124,6 +124,10 @@ object ScaleProbe {
     t("bm25 topk")(graft.ops.Retrieval.bm25TopK(docs,
       graft.ops.Retrieval.demoQueries(spark)))
     t("curriculum buckets")(graft.ops.TrainingPrep.curriculumBuckets(docs))
+    // vocab-grain invariance: amplified docs multiply word FREQUENCIES,
+    // not the vocabulary, so per-round pair-count work must stay ~flat
+    // after the one corpus-grain collapse.
+    t("bpe learn 3r")(graft.ops.Bpe.learn(docs))
     spark.stop()
   }
 }

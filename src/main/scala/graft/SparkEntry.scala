@@ -95,7 +95,8 @@ object SparkEntry {
     "q66_bm25" -> (Queries.bm25 _),
     "q67_cube_totals" -> (Queries.cubeTotals _),
     "q68_curriculum_buckets" -> (Queries.curriculumBuckets _),
-    "q69_quality_classifier" -> (Queries.qualityClassifier _)
+    "q69_quality_classifier" -> (Queries.qualityClassifier _),
+    "q70_bpe_merges" -> (Queries.bpeMerges _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -425,6 +426,12 @@ object Queries {
   /** Hashed-feature linear quality classifier (zero-shuffle map). */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityClassifier(Tables(spark, dir, "documents"))
+
+  val BpeRounds = 3
+
+  /** Distributed BPE merge learning, 3 rounds unrolled. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Bpe.learn(Tables(spark, dir, "documents"), BpeRounds)
 
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
 
@@ -1741,6 +1748,65 @@ object Oracles {
          |       CAST(CAST(list_sum(list_transform(tok,
          |         x -> ($bucket % 1001) - 500)) AS BIGINT) >= 0 AS INT) AS keep
          |FROM t""".stripMargin
+    },
+
+    // BPE rounds unrolled symbolically (the q52 kmeans pattern): each
+    // round = pair count + argmax (b_r), then greedy left-to-right
+    // application — candidate starts, consecutive-run islands, keep
+    // odd ranks (parity ≡ the Spark side's fold semantics, e.g.
+    // "aaa" + (a,a) → [aa, a]), drop consumed positions, regroup.
+    "q70_bpe_merges" -> {
+      val R = Queries.BpeRounds
+      def roundCtes(r: Int): String =
+        s"""p$r AS (
+           |  SELECT syms[i] AS merge_left, syms[i+1] AS merge_right,
+           |         CAST(SUM(freq) AS BIGINT) AS pair_count
+           |  FROM w${r - 1}, unnest(range(1, len(syms))) AS u$r(i)
+           |  WHERE len(syms) >= 2
+           |  GROUP BY 1, 2),
+           |b$r AS (
+           |  SELECT CAST($r AS BIGINT) AS round, merge_left, merge_right, pair_count
+           |  FROM p$r ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1)""".stripMargin
+      def applyCtes(r: Int): String =
+        s"""s$r AS (
+           |  SELECT w.word, w.freq, i, w.syms[i] AS sym,
+           |         COALESCE(w.syms[i] = b.merge_left
+           |                  AND w.syms[i+1] = b.merge_right, FALSE) AS cand
+           |  FROM w${r - 1} w CROSS JOIN b$r b,
+           |       unnest(range(1, len(w.syms) + 1)) AS uu$r(i)),
+           |c$r AS (
+           |  SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
+           |  FROM s$r WHERE cand),
+           |k$r AS (
+           |  SELECT word, i FROM (
+           |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY i) AS rn
+           |    FROM c$r) WHERE rn % 2 = 1),
+           |m$r AS (
+           |  SELECT s.word, s.freq, s.i,
+           |         CASE WHEN kk.i IS NOT NULL THEN s.sym || b.merge_right
+           |              ELSE s.sym END AS sym
+           |  FROM s$r s
+           |  CROSS JOIN b$r b
+           |  LEFT JOIN k$r kk ON s.word = kk.word AND s.i = kk.i
+           |  LEFT JOIN k$r kp ON s.word = kp.word AND s.i = kp.i + 1
+           |  WHERE kp.i IS NULL),
+           |w$r AS (
+           |  SELECT word, freq, list(sym ORDER BY i) AS syms
+           |  FROM m$r GROUP BY word, freq)""".stripMargin
+      val ctes = (1 to R).map { r =>
+        if (r < R) roundCtes(r) + ",\n" + applyCtes(r) else roundCtes(r)
+      }.mkString(",\n")
+      val unions = (1 to R)
+        .map(r => s"SELECT round, merge_left, merge_right, pair_count FROM b$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH w0 AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         |         string_split(word, '') AS syms
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents WHERE text IS NOT NULL)
+         |  GROUP BY word),
+         |$ctes
+         |$unions""".stripMargin
     },
 
     // rank_before = RANK()-1 = count of docs with strictly greater

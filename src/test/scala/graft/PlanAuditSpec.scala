@@ -229,6 +229,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) == 1, p)
   }
 
+  test("q70 bpe: argmax plans as TakeOrderedAndProject; rule application joins are all broadcast") {
+    val p = plan("q70_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"), s"argmax lost its top-1 pushdown:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a rule broadcast became a shuffle join:\n$p")
+  }
+
   test("q68 curriculum buckets: the only single-partition exchange feeds the value-grain window, not the corpus") {
     val p = plan("q68_curriculum_buckets")
     // corpus → value-grain aggregate (hash shuffle) → tiny window
