@@ -96,7 +96,8 @@ object SparkEntry {
     "q67_cube_totals" -> (Queries.cubeTotals _),
     "q68_curriculum_buckets" -> (Queries.curriculumBuckets _),
     "q69_quality_classifier" -> (Queries.qualityClassifier _),
-    "q70_bpe_merges" -> (Queries.bpeMerges _)
+    "q70_bpe_merges" -> (Queries.bpeMerges _),
+    "q71_mixture_plan" -> (Queries.mixturePlan _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -432,6 +433,16 @@ object Queries {
   /** Distributed BPE merge learning, 3 rounds unrolled. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     Bpe.learn(Tables(spark, dir, "documents"), BpeRounds)
+
+  // src0 upweighted past its availability so the cap + deficit
+  // columns are exercised on the fixture
+  val MixWeights = Map("src0" -> 10L, "src1" -> 5L)
+  val MixBudget = 30000L
+
+  /** Per-source sampling-rate allocation for a 30k-token budget. */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.mixturePlan(Tables(spark, dir, "documents"),
+      MixWeights, MixBudget)
 
   // ---- aggregation extensions (median / rollup / approx-distinct) ----
 
@@ -1748,6 +1759,39 @@ object Oracles {
          |       CAST(CAST(list_sum(list_transform(tok,
          |         x -> ($bucket % 1001) - 500)) AS BIGINT) >= 0 AS INT) AS keep
          |FROM t""".stripMargin
+    },
+
+    "q71_mixture_plan" -> {
+      val cases = Queries.MixWeights.toSeq.sortBy(_._1).map { case (s, w) =>
+        s"WHEN source = '$s' THEN $w"
+      }.mkString(" ")
+      val b = Queries.MixBudget
+      s"""WITH a AS (
+         |  SELECT source,
+         |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS available_tokens,
+         |         CAST(CASE $cases ELSE 1 END AS BIGINT) AS w
+         |  FROM documents WHERE text IS NOT NULL
+         |  GROUP BY source),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM a),
+         |c AS (
+         |  SELECT source, available_tokens,
+         |         CAST(FLOOR(10000.0 * w / total_w) AS BIGINT) AS target_bp
+         |  FROM a, t),
+         |d AS (
+         |  SELECT *, CAST(FLOOR($b.0 * target_bp / 10000.0) AS BIGINT) AS desired_tokens
+         |  FROM c),
+         |e AS (
+         |  SELECT *, LEAST(10000, CAST(FLOOR(10000.0 * desired_tokens / available_tokens)
+         |    AS BIGINT)) AS keep_bp
+         |  FROM d),
+         |f AS (
+         |  SELECT *, CAST(FLOOR(available_tokens * keep_bp / 10000.0) AS BIGINT)
+         |    AS planned_tokens
+         |  FROM e)
+         |SELECT source, available_tokens, target_bp, desired_tokens, keep_bp,
+         |       planned_tokens,
+         |       GREATEST(0, desired_tokens - planned_tokens) AS deficit
+         |FROM f""".stripMargin
     },
 
     // BPE rounds unrolled symbolically (the q52 kmeans pattern): each

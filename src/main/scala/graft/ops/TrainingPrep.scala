@@ -107,6 +107,55 @@ object TrainingPrep {
       .drop("split_bp")
   }
 
+  /** Data-mixture allocation: turn declared per-source mixture
+    * weights + a token budget into per-source sampling rates — the
+    * PLANNING step upstream of `epochMix` (which applies weights) and
+    * `split`. For each source: its target share of the budget
+    * (weights normalized over the sources actually present), the
+    * sampling rate that hits it (capped at 100% — one pass, no
+    * repetition), the planned token yield, and the unmet `deficit`
+    * a capped source leaves (the signal to upweight elsewhere or
+    * allow epochs > 1).
+    *
+    * Scale shape: the corpus collapses to per-source token totals in
+    * one partial-aggregated shuffle (sources are a bounded domain);
+    * everything after is metadata-grain arithmetic with the weight
+    * total broadcast. Integer/bp math throughout (the house floor
+    * convention) — bit-exact in any engine. */
+  def mixturePlan(docs: DataFrame, weights: Map[String, Long],
+      budgetTokens: Long, defaultWeight: Long = 1L): DataFrame = {
+    val caseExpr =
+      if (weights.isEmpty) defaultWeight.toString
+      else "CASE " + weights.toSeq.sortBy(_._1).map { case (s, w) =>
+        s"WHEN source = '$s' THEN $w"
+      }.mkString(" ") + s" ELSE $defaultWeight END"
+    val avail = docs
+      .filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(size(expr(TextAnalysis.TokensExpr)).cast("long"))
+        .as("available_tokens"))
+      .withColumn("w", expr(caseExpr).cast("long"))
+    val tot = avail.agg(sum(col("w")).as("total_w"))
+    avail.crossJoin(broadcast(tot))
+      .withColumn("target_bp",
+        floor(lit(10000.0) * col("w") / col("total_w")).cast("long"))
+      .withColumn("desired_tokens",
+        floor(lit(budgetTokens.toDouble) * col("target_bp") / lit(10000.0))
+          .cast("long"))
+      .withColumn("keep_bp",
+        least(lit(10000L),
+          floor(lit(10000.0) * col("desired_tokens") / col("available_tokens"))
+            .cast("long")))
+      .withColumn("planned_tokens",
+        floor(col("available_tokens") * col("keep_bp") / lit(10000.0))
+          .cast("long"))
+      .withColumn("deficit",
+        greatest(lit(0L), col("desired_tokens") - col("planned_tokens")))
+      .select(col("source"), col("available_tokens"), col("target_bp"),
+        col("desired_tokens"), col("keep_bp"), col("planned_tokens"),
+        col("deficit"))
+  }
+
   /** Curriculum quantile buckets: assign each document a difficulty
     * bucket 0..`buckets`-1 by corpus-wide quality rank (here the
     * type-token ratio from `TextAnalysis.textQuality`, descending —

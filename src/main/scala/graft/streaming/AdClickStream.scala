@@ -66,8 +66,9 @@ object AdClickStream {
     "ad_province_top3", "ad_click_trend", "__applied_batch__")
 
   /** T9: executor-side batched writes — one store connection per
-    * partition, like the reference's pooled foreachPartition DAOs. */
-  private def writePerPartition(df: DataFrame, provider: StoreProvider)(
+    * partition, like the reference's pooled foreachPartition DAOs.
+    * Shared with the other idempotent-sink streams (TrendStream). */
+  private[streaming] def writePerPartition(df: DataFrame, provider: StoreProvider)(
       write: (graft.sink.KeyedStore, Row) => Unit): Unit =
     df.foreachPartition { (rows: Iterator[Row]) =>
       val store = provider.open()

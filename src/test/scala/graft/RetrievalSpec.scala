@@ -157,6 +157,38 @@ class RetrievalSpec extends SparkSpec {
     assert(out.length == 6 && out.forall(_._3 == 0L)) // all tie → bucket 0
   }
 
+  // ---- mixture allocation ----
+
+  test("mixture plan: caps at availability, leaves a deficit, rates in [0, 10000]") {
+    val d = docs(
+      1L -> "a b c d e f g h i j",   // src1: 10 tokens
+      2L -> "a b c d e f g h i j",   // src2: 10 tokens
+      3L -> "a b",                   // src3: 2 tokens
+      4L -> "a b c d e f g h")       // src0: 8 tokens
+    // weights: src1 heavy (demands more than its 10 tokens), others 1
+    val out = TrainingPrep.mixturePlan(d, Map("src1" -> 30L), budgetTokens = 20L)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, avail1, _, desired1, keep1, planned1, deficit1) = out("src1")
+    assert(avail1 == 10L && keep1 == 10000L && planned1 == 10L)
+    assert(deficit1 == desired1 - 10L && deficit1 > 0L)
+    out.values.foreach { case (_, avail, _, _, keep, planned, _) =>
+      assert(keep >= 0L && keep <= 10000L)
+      assert(planned <= avail)
+    }
+  }
+
+  test("mixture plan: uniform weights and ample budget sample everything") {
+    val d = docs(1L -> "a b c", 2L -> "d e f", 3L -> "g h i", 4L -> "j k l")
+    val out = TrainingPrep.mixturePlan(d, Map.empty, budgetTokens = 1000L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 4)
+    out.foreach { case (_, avail, targetBp, _, keep, planned, _) =>
+      assert(targetBp == 2500L)
+      assert(keep == 10000L && planned == avail)
+    }
+  }
+
   // ---- hashed quality classifier ----
 
   test("quality classifier: inline stand-in weights ≡ the weight-table path") {
