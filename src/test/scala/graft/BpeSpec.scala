@@ -28,7 +28,7 @@ class BpeSpec extends SparkSpec {
       .groupBy(identity).map { case (w, ws) => w.map(_.toString).toList -> ws.size.toLong }
     (1 to rounds).flatMap { r =>
       val counts = vocab.toSeq.flatMap { case (syms, f) =>
-        syms.zip(syms.tail).map(p => p -> f)
+        syms.zip(syms.drop(1)).map(p => p -> f)
       }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
       if (counts.isEmpty) None
       else {

@@ -278,4 +278,108 @@ object GraftProperties extends Properties("graft") {
           })
       }
     }
+
+  property("substringDupSpans == brute-force gram-frequency cover") =
+    forAll(genDocs) { rows =>
+      val n = 3
+      val toks = rows.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val grams = toks.flatMap { case (id, ts) =>
+        if (ts.length >= n)
+          ts.sliding(n).zipWithIndex.map { case (g, i) => (id, i, g.mkString(" ")) }.toSeq
+        else Nil
+      }
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val expect = toks.map { case (id, ts) =>
+        val cover = grams.filter(g => g._1 == id && counts(g._3) >= 2)
+          .flatMap(g => g._2 until g._2 + n).toSet
+        id -> ((ts.length.toLong, cover.size.toLong))
+      }.toMap
+      val got = graft.ops.Dedup.substringDupSpans(docsDf(rows), n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      got == expect
+    }
+
+  property("bm25TopK scores == independent per-pair reference") =
+    forAll(genDocs) { rows =>
+      val qs = Seq(1L -> Seq("a", "b"), 2L -> Seq("c"))
+      val toks = rows.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val nDocs = toks.size
+      val avgdl = toks.values.map(_.size.toLong).sum.toDouble / nDocs
+      val dfm = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+      val expect = (for {
+        (qid, terms) <- qs
+        (did, ts) <- toks
+        if terms.exists(ts.contains)
+      } yield (qid, did) -> terms.map { term =>
+        val tf = ts.count(_ == term).toLong
+        if (tf == 0L) 0L
+        else {
+          val d = dfm(term).toLong
+          math.floor(1000000.0
+            * ((2.0 * (nDocs - d) + 1.0) / (2.0 * d + 1.0))
+            * ((tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * (ts.size / avgdl))))).toLong
+        }
+      }.sum).toMap
+      val s = spark
+      import s.implicits._
+      val queries = qs.flatMap { case (id, ts) => ts.map(id -> _) }
+        .toDF("query_id", "token")
+      val got = graft.ops.Retrieval.bm25TopK(docsDf(rows), queries, k = 1000)
+        .select("query_id", "doc_id", "score_fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      got == expect
+    }
+
+  property("bpeLearn == in-memory reference (greedy fold semantics)") =
+    forAll(genDocs) { rows =>
+      def refMerge(syms: List[String], l: String, r: String): List[String] =
+        syms.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      var vocab: Map[List[String], Long] = rows.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map { case (w, ws) => w.map(_.toString).toList -> ws.size.toLong }
+      val expect = (1 to 3).flatMap { r =>
+        val counts = vocab.toSeq.flatMap { case (syms, f) =>
+          syms.zip(syms.drop(1)).map(p => p -> f)
+        }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+        if (counts.isEmpty) None
+        else {
+          val ((l, rr), c) = counts.minBy { case ((x, y), cnt) => (-cnt, x, y) }
+          vocab = vocab.groupBy { case (syms, _) => refMerge(syms, l, rr) }
+            .map { case (m, xs) => m -> xs.values.sum }
+          Some((r.toLong, l, rr, c))
+        }
+      }
+      val got = graft.ops.Bpe.learn(docsDf(rows), rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      got == expect
+    }
+
+  property("curriculum buckets: value-deterministic and monotone in score") =
+    forAll(genDocs) { rows =>
+      Prop.collect(rows.size) {
+        val out = graft.ops.TrainingPrep.curriculumBuckets(docsDf(rows), buckets = 4)
+          .collect().map(r => (r.getLong(1), r.getLong(2))) // (ttr_bp, bucket)
+        val byTtr = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        byTtr.values.forall(_.size == 1) && // ties share a bucket
+          out.forall { case (_, b) => b >= 0L && b < 4L } &&
+          byTtr.toSeq.sortBy(-_._1).map(_._2.head)
+            .sliding(2).forall(p => p.length < 2 || p(0) <= p(1)) // desc ttr ⇒ nondecreasing bucket
+      }
+    }
+
+  property("mixture plan: rates bounded, yields capped by availability and demand") =
+    forAll(genDocs, Gen.choose(1L, 200L)) { (rows, budget) =>
+      val out = graft.ops.TrainingPrep
+        .mixturePlan(docsDf(rows), Map("s" -> 3L), budget)
+        .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))) // (avail, desired, keep, planned, deficit)
+      out.forall { case (avail, desired, keep, planned, deficit) =>
+        keep >= 0L && keep <= 10000L &&
+          planned <= avail && planned <= desired &&
+          deficit == math.max(0L, desired - planned)
+      }
+    }
 }
