@@ -62,7 +62,7 @@ object Dedup {
 
   /** LSH band keys: one row per (doc, band) with the band's md5 over its
     * 4 consecutive signature components. */
-  def lshBands(sig: DataFrame): DataFrame = {
+  def lshBands(sig: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       val cols = (0 until NumHashes / NumBands)
         .map(r => f"mh${b * NumHashes / NumBands + r}%02d")
@@ -73,9 +73,10 @@ object Dedup {
         .reduce((a, x) => concat(a, lit("|"), x))
       struct(lit(b).as("band"), md5(cat).as("band_hash"))
     }
-    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.band_hash").as("band_hash"))
+    val kept = keep.map(col)
+    sig.select(col("doc_id") +: kept :+ explode(array(bands: _*)).as("bk"): _*)
+      .select(col("doc_id") +: kept :+ col("bk.band").as("band") :+
+        col("bk.band_hash").as("band_hash"): _*)
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
