@@ -135,8 +135,12 @@ object TrainingPrep {
       .agg(sum(size(expr(TextAnalysis.TokensExpr)).cast("long"))
         .as("available_tokens"))
       .withColumn("w", expr(caseExpr).cast("long"))
-    val tot = avail.agg(sum(col("w")).as("total_w"))
-    avail.crossJoin(broadcast(tot))
+    // weight total via a window over the already-aggregated frame —
+    // a single-partition exchange of ≤|sources| rows, NOT a second
+    // aggregate whose plan would rescan the corpus
+    avail
+      .withColumn("total_w", sum(col("w")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("target_bp",
         floor(lit(10000.0) * col("w") / col("total_w")).cast("long"))
       .withColumn("desired_tokens",

@@ -229,6 +229,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) == 1, p)
   }
 
+  test("q69 quality classifier: zero shuffles — the whole scorer is one map stage") {
+    val p = plan("q69_quality_classifier")
+    assert(shuffles(p) == 0, s"classifier grew a shuffle:\n$p")
+  }
+
+  test("q71 mixture plan: ONE corpus pass — source aggregate + tiny window, no rescan") {
+    val p = plan("q71_mixture_plan")
+    // corpus aggregate (1 hash exchange) + the ≤|sources|-row window
+    // (single-partition exchange). A third shuffle means the weight
+    // total went back to a second corpus aggregate.
+    assert(shuffles(p) <= 2, p)
+    assert("FileScan parquet".r.findAllIn(p).length <= 1,
+      s"corpus scanned more than once:\n$p")
+  }
+
   test("q70 bpe: argmax plans as TakeOrderedAndProject; rule application joins are all broadcast") {
     val p = plan("q70_bpe_merges")
     assert(p.contains("TakeOrderedAndProject"), s"argmax lost its top-1 pushdown:\n$p")
