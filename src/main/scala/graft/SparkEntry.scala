@@ -97,7 +97,8 @@ object SparkEntry {
     "q68_curriculum_buckets" -> (Queries.curriculumBuckets _),
     "q69_quality_classifier" -> (Queries.qualityClassifier _),
     "q70_bpe_merges" -> (Queries.bpeMerges _),
-    "q71_mixture_plan" -> (Queries.mixturePlan _)
+    "q71_mixture_plan" -> (Queries.mixturePlan _),
+    "q72_hard_negatives" -> (Queries.hardNegatives _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -536,6 +537,10 @@ object Queries {
 
   def knnBruteforce(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnBruteForce(Tables(spark, dir, "embeddings"), knnQueryPred)
+
+  /** Contrastive hard negatives: most-similar different-label top-3. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables(spark, dir, "embeddings"), knnQueryPred)
 
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLsh(Tables(spark, dir, "embeddings"), knnQueryPred)
@@ -1186,6 +1191,36 @@ object Oracles {
          |  FROM c)
          |SELECT query_id, neighbor_id, cos_bp, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // q25 with the label-inequality filter: negatives = most-similar
+    // DIFFERENT-label vectors (label joined from the base table; the
+    // shared quant CTE stays untouched).
+    "q72_hard_negatives" ->
+      s"""WITH $embQuantCte,
+         |lab AS (
+         |  SELECT n.vec_id, e.label, n.q, n.n2
+         |  FROM n JOIN embeddings e ON e.vec_id = n.vec_id),
+         |queries AS (
+         |  SELECT vec_id AS query_id, label AS q_label, q AS q_q, n2 AS q_n2
+         |  FROM lab WHERE vec_id % ${Queries.KnnQueryMod} = 0),
+         |scored AS (
+         |  SELECT lab.vec_id AS neighbor_id, lab.label, queries.query_id,
+         |         CAST(list_sum(list_transform(range(1, len(lab.q) + 1),
+         |              i -> lab.q[i] * queries.q_q[i])) AS BIGINT) AS dot,
+         |         lab.n2, queries.q_n2
+         |  FROM lab, queries WHERE lab.label != queries.q_label),
+         |c AS (
+         |  SELECT query_id, neighbor_id, label,
+         |         CASE WHEN n2 = 0 OR q_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * dot / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM scored),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |  FROM c)
+         |SELECT query_id, neighbor_id, label, cos_bp, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q26_ann_lsh" ->
       s"""WITH $embQuantCte,

@@ -68,6 +68,32 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Contrastive hard-negative mining: for each query (anchor)
+    * vector, the top-k most-cosine-similar vectors with a DIFFERENT
+    * label — the negatives that actually move a contrastive loss
+    * (Robinson et al. 2021); random negatives are trivially easy at
+    * scale. Same broadcast-query shape as `knnBruteForce` with the
+    * label-inequality pushed into the join filter, so the corpus
+    * pass prunes same-label rows before any scoring; swap the
+    * crossJoin for the IVF/LSH-bucketed probe at billion-vector
+    * scale exactly as q26/q32 do for kNN. */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
+    val q = quantized(emb)
+    val queries = q.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("q").as("q_q"), col("n2").as("q_n2"))
+    val scored = q
+      .select(col("vec_id").as("neighbor_id"), col("label"), col("q"), col("n2"))
+      .crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cos_bp", cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        col("cos_bp"), col("rank").cast("int").as("rank"))
+  }
+
   /** Sign-pattern LSH bucket over the leading `SignBits` dimensions. */
   def withSignBucket(emb: DataFrame): DataFrame =
     emb.withColumn("bucket", expr(

@@ -157,6 +157,26 @@ class RetrievalSpec extends SparkSpec {
     assert(out.length == 6 && out.forall(_._3 == 0L)) // all tie → bucket 0
   }
 
+  // ---- contrastive hard negatives ----
+
+  test("hard negatives: never the anchor's label, densely ranked by similarity") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),   // anchor (query pred: vec_id % 50 == 0)
+      (1L, Seq(0.9f, 0.1f), 1),   // same label — must be excluded
+      (2L, Seq(0.8f, 0.2f), 2),   // different label, most similar
+      (3L, Seq(0.0f, 1.0f), 2),   // different label, orthogonal
+      (4L, Seq(-1.0f, 0.0f), 3))  // different label, opposite
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Similarity.hardNegatives(emb, col("vec_id") === 0L, k = 3)
+      .orderBy("rank").as[(Long, Long, Int, Long, Int)].collect()
+    assert(out.map(_._2).toSeq == Seq(2L, 3L, 4L)) // by similarity desc
+    assert(out.forall(_._3 != 1)) // anchor label excluded
+    assert(out.map(_._5).toSeq == Seq(1, 2, 3))
+    assert(out.head._4 > out(1)._4 && out(1)._4 > out(2)._4)
+  }
+
   // ---- mixture allocation ----
 
   test("mixture plan: caps at availability, leaves a deficit, rates in [0, 10000]") {
