@@ -98,7 +98,8 @@ object SparkEntry {
     "q69_quality_classifier" -> (Queries.qualityClassifier _),
     "q70_bpe_merges" -> (Queries.bpeMerges _),
     "q71_mixture_plan" -> (Queries.mixturePlan _),
-    "q72_hard_negatives" -> (Queries.hardNegatives _)
+    "q72_hard_negatives" -> (Queries.hardNegatives _),
+    "q73_profile" -> (Queries.profileDocs _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -541,6 +542,12 @@ object Queries {
   /** Contrastive hard negatives: most-similar different-label top-3. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
     Similarity.hardNegatives(Tables(spark, dir, "embeddings"), knnQueryPred)
+
+  val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** One-pass per-column data-quality report over documents. */
+  def profileDocs(spark: SparkSession, dir: String): DataFrame =
+    Profile.profile(Tables(spark, dir, "documents"), ProfileCols)
 
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLsh(Tables(spark, dir, "embeddings"), knnQueryPred)
@@ -1794,6 +1801,18 @@ object Oracles {
          |       CAST(CAST(list_sum(list_transform(tok,
          |         x -> ($bucket % 1001) - 500)) AS BIGINT) >= 0 AS INT) AS keep
          |FROM t""".stripMargin
+    },
+
+    "q73_profile" -> {
+      val rows = Queries.ProfileCols.map { c =>
+        s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(MIN($c) AS VARCHAR) AS min_value,
+           |       CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin
+      }
+      rows.mkString("\nUNION ALL\n")
     },
 
     "q71_mixture_plan" -> {

@@ -157,6 +157,34 @@ class RetrievalSpec extends SparkSpec {
     assert(out.length == 6 && out.forall(_._3 == 0L)) // all tie → bucket 0
   }
 
+  // ---- dataset profiling ----
+
+  test("profile: null/distinct/min-max accounting per column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "x"), (2L, null), (2L, "y"),
+      (null, "x")).toDF("id", "v")
+    val out = graft.ops.Profile.profile(df, Seq("id", "v"))
+      .as[(String, Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("id") == (("id", 4L, 1L, 2L, "1", "2")))
+    assert(out("v") == (("v", 4L, 1L, 2L, "x", "y")))
+  }
+
+  test("profileApprox matches exact counts on a small-cardinality table") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 300L).map(i => (i % 7, s"s${i % 13}")).toDF("a", "b")
+    val exact = graft.ops.Profile.profile(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val approx = graft.ops.Profile.profileApprox(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // HLL is exact at these cardinalities (sparse mode)
+    assert(approx == exact)
+  }
+
   // ---- contrastive hard negatives ----
 
   test("hard negatives: never the anchor's label, densely ranked by similarity") {
