@@ -99,7 +99,8 @@ object SparkEntry {
     "q70_bpe_merges" -> (Queries.bpeMerges _),
     "q71_mixture_plan" -> (Queries.mixturePlan _),
     "q72_hard_negatives" -> (Queries.hardNegatives _),
-    "q73_profile" -> (Queries.profileDocs _)
+    "q73_profile" -> (Queries.profileDocs _),
+    "q74_bpe_segment" -> (Queries.bpeSegment _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -543,6 +544,20 @@ object Queries {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
     Similarity.hardNegatives(Tables(spark, dir, "embeddings"), knnQueryPred)
 
+  /** BPE inference (the q70 merges applied): vocabulary re-segmented
+    * by the learned rules. The merge list is collected driver-side —
+    * it is `BpeRounds` rows by construction (a model artifact, like
+    * kmeans centroids), not data-sized. */
+  def bpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val merges = Bpe.learn(docs, BpeRounds)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.segment(Bpe.vocab(docs), merges)
+      .select(col("word"), col("freq"),
+        array_join(col("syms"), "|").as("pieces"))
+  }
+
   val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   /** One-pass per-column data-quality report over documents. */
@@ -789,6 +804,60 @@ object Oracles {
        |SELECT session_count, ${graft.ops.SessionStats.bucketNames.mkString(", ")},
        |       $bp
        |FROM h""".stripMargin
+  }
+
+  /** BPE oracle CTE chain (shared by q70/q74): `w0` vocab, then per
+    * round the pair-count+argmax (`b_r`) and — for r < rounds, or
+    * for every round when `applyLast` — the greedy merge application
+    * (`w_r`) via candidate-run island parity. */
+  private def bpeChain(rounds: Int, applyLast: Boolean): String = {
+    def roundCtes(r: Int): String =
+      s"""p$r AS (
+         |  SELECT syms[i] AS merge_left, syms[i+1] AS merge_right,
+         |         CAST(SUM(freq) AS BIGINT) AS pair_count
+         |  FROM w${r - 1}, unnest(range(1, len(syms))) AS u$r(i)
+         |  WHERE len(syms) >= 2
+         |  GROUP BY 1, 2),
+         |b$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round, merge_left, merge_right, pair_count
+         |  FROM p$r ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1)""".stripMargin
+    def applyCtes(r: Int): String =
+      s"""s$r AS (
+         |  SELECT w.word, w.freq, i, w.syms[i] AS sym,
+         |         COALESCE(w.syms[i] = b.merge_left
+         |                  AND w.syms[i+1] = b.merge_right, FALSE) AS cand
+         |  FROM w${r - 1} w CROSS JOIN b$r b,
+         |       unnest(range(1, len(w.syms) + 1)) AS uu$r(i)),
+         |c$r AS (
+         |  SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
+         |  FROM s$r WHERE cand),
+         |k$r AS (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY i) AS rn
+         |    FROM c$r) WHERE rn % 2 = 1),
+         |m$r AS (
+         |  SELECT s.word, s.freq, s.i,
+         |         CASE WHEN kk.i IS NOT NULL THEN s.sym || b.merge_right
+         |              ELSE s.sym END AS sym
+         |  FROM s$r s
+         |  CROSS JOIN b$r b
+         |  LEFT JOIN k$r kk ON s.word = kk.word AND s.i = kk.i
+         |  LEFT JOIN k$r kp ON s.word = kp.word AND s.i = kp.i + 1
+         |  WHERE kp.i IS NULL),
+         |w$r AS (
+         |  SELECT word, freq, list(sym ORDER BY i) AS syms
+         |  FROM m$r GROUP BY word, freq)""".stripMargin
+    val ctes = (1 to rounds).map { r =>
+      if (r < rounds || applyLast) roundCtes(r) + ",\n" + applyCtes(r)
+      else roundCtes(r)
+    }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |         string_split(word, '') AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY word),
+       |$ctes""".stripMargin
   }
 
   val sql: Map[String, String] = baseSql + ("q47_corpus_select" -> {
@@ -1855,56 +1924,20 @@ object Oracles {
     // "aaa" + (a,a) → [aa, a]), drop consumed positions, regroup.
     "q70_bpe_merges" -> {
       val R = Queries.BpeRounds
-      def roundCtes(r: Int): String =
-        s"""p$r AS (
-           |  SELECT syms[i] AS merge_left, syms[i+1] AS merge_right,
-           |         CAST(SUM(freq) AS BIGINT) AS pair_count
-           |  FROM w${r - 1}, unnest(range(1, len(syms))) AS u$r(i)
-           |  WHERE len(syms) >= 2
-           |  GROUP BY 1, 2),
-           |b$r AS (
-           |  SELECT CAST($r AS BIGINT) AS round, merge_left, merge_right, pair_count
-           |  FROM p$r ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1)""".stripMargin
-      def applyCtes(r: Int): String =
-        s"""s$r AS (
-           |  SELECT w.word, w.freq, i, w.syms[i] AS sym,
-           |         COALESCE(w.syms[i] = b.merge_left
-           |                  AND w.syms[i+1] = b.merge_right, FALSE) AS cand
-           |  FROM w${r - 1} w CROSS JOIN b$r b,
-           |       unnest(range(1, len(w.syms) + 1)) AS uu$r(i)),
-           |c$r AS (
-           |  SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
-           |  FROM s$r WHERE cand),
-           |k$r AS (
-           |  SELECT word, i FROM (
-           |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY i) AS rn
-           |    FROM c$r) WHERE rn % 2 = 1),
-           |m$r AS (
-           |  SELECT s.word, s.freq, s.i,
-           |         CASE WHEN kk.i IS NOT NULL THEN s.sym || b.merge_right
-           |              ELSE s.sym END AS sym
-           |  FROM s$r s
-           |  CROSS JOIN b$r b
-           |  LEFT JOIN k$r kk ON s.word = kk.word AND s.i = kk.i
-           |  LEFT JOIN k$r kp ON s.word = kp.word AND s.i = kp.i + 1
-           |  WHERE kp.i IS NULL),
-           |w$r AS (
-           |  SELECT word, freq, list(sym ORDER BY i) AS syms
-           |  FROM m$r GROUP BY word, freq)""".stripMargin
-      val ctes = (1 to R).map { r =>
-        if (r < R) roundCtes(r) + ",\n" + applyCtes(r) else roundCtes(r)
-      }.mkString(",\n")
       val unions = (1 to R)
         .map(r => s"SELECT round, merge_left, merge_right, pair_count FROM b$r")
         .mkString("\nUNION ALL ")
-      s"""WITH w0 AS (
-         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
-         |         string_split(word, '') AS syms
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-         |        FROM documents WHERE text IS NOT NULL)
-         |  GROUP BY word),
-         |$ctes
+      s"""WITH ${bpeChain(R, applyLast = false)}
          |$unions""".stripMargin
+    },
+
+    // q70's chain extended with the final apply: the re-segmented
+    // vocabulary (the inference half, Bpe.segment).
+    "q74_bpe_segment" -> {
+      val R = Queries.BpeRounds
+      s"""WITH ${bpeChain(R, applyLast = true)}
+         |SELECT word, freq, array_to_string(syms, '|') AS pieces
+         |FROM w$R""".stripMargin
     },
 
     // rank_before = RANK()-1 = count of docs with strictly greater
