@@ -370,6 +370,37 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("trend stream: ANY batch split == the batch aggregation") =
+    forAll(genDocs, Gen.choose(1, 3)) { (rows, nBatches) =>
+      import graft.streaming.TrendStream
+      import graft.sink.{InMemoryProvider, InMemoryStore}
+      val s = spark
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val store = s"trend-prop-${System.nanoTime()}"
+      InMemoryStore.clear(store)
+      val docs = rows.map { case (id, t) =>
+        TrendStream.Doc(id, t, new Timestamp(T0 + (id * 17 % 150) * 1000L)) }
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TrendStream.Doc]
+      val q = TrendStream.trendingQuery(mem.toDF(), InMemoryProvider(store),
+        java.nio.file.Files.createTempDirectory("graft-tp").toString, k = 2)
+      val got = try {
+        docs.grouped(math.max(1, docs.size / nBatches)).foreach { b =>
+          mem.addData(b: _*); q.processAllAvailable()
+        }
+        new InMemoryStore(store).scan("token_window_count").toMap
+      } finally q.stop()
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmm")
+        .withZone(java.time.ZoneOffset.UTC)
+      val expect = docs
+        .flatMap(d => d.text.split(" ", -1).map(tok =>
+          (fmt.format(java.time.Instant.ofEpochMilli(
+            d.ts.getTime / 60000L * 60000L)), tok)))
+        .groupBy(identity).map { case ((w, tok), xs) =>
+          List(w, tok) -> xs.size.toLong }
+      got == expect
+    }
+
   property("mixture plan: rates bounded, yields capped by availability and demand") =
     forAll(genDocs, Gen.choose(1L, 200L)) { (rows, budget) =>
       val out = graft.ops.TrainingPrep
