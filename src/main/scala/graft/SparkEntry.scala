@@ -100,7 +100,8 @@ object SparkEntry {
     "q71_mixture_plan" -> (Queries.mixturePlan _),
     "q72_hard_negatives" -> (Queries.hardNegatives _),
     "q73_profile" -> (Queries.profileDocs _),
-    "q74_bpe_segment" -> (Queries.bpeSegment _)
+    "q74_bpe_segment" -> (Queries.bpeSegment _),
+    "q75_retention" -> (Queries.retention _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -557,6 +558,12 @@ object Queries {
       .select(col("word"), col("freq"),
         array_join(col("syms"), "|").as("pieces"))
   }
+
+  val RetentionMaxOffset = 14
+
+  /** Cohort retention triangle over the events stream. */
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    Retention.cohortRetention(Tables(spark, dir, "events"), RetentionMaxOffset)
 
   val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
@@ -1870,6 +1877,19 @@ object Oracles {
          |       CAST(CAST(list_sum(list_transform(tok,
          |         x -> ($bucket % 1001) - 500)) AS BIGINT) >= 0 AS INT) AS keep
          |FROM t""".stripMargin
+    },
+
+    "q75_retention" -> {
+      val m = Queries.RetentionMaxOffset
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |c AS (SELECT user_id, MIN(d) AS cohort_d FROM ud GROUP BY 1)
+         |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_date,
+         |       CAST(d - cohort_d AS BIGINT) AS offset_days,
+         |       CAST(COUNT(*) AS BIGINT) AS n_users
+         |FROM ud JOIN c USING (user_id)
+         |WHERE d - cohort_d <= $m
+         |GROUP BY 1, 2""".stripMargin
     },
 
     "q73_profile" -> {

@@ -157,6 +157,29 @@ class RetrievalSpec extends SparkSpec {
     assert(out.length == 6 && out.forall(_._3 == 0L)) // all tie → bucket 0
   }
 
+  // ---- cohort retention ----
+
+  test("retention: cohort = first day; offsets counted once per user-day") {
+    val s = spark
+    import s.implicits._
+    val T0 = 1767225600000L // 2026-01-01 UTC
+    def t(day: Int, h: Int = 1) =
+      new java.sql.Timestamp(T0 + day * 86400000L + h * 3600000L)
+    val events = Seq(
+      (1L, t(0)), (1L, t(0, 5)), (1L, t(2)),   // user 1: cohort d0, back d2
+      (2L, t(0)), (2L, t(1)),                  // user 2: cohort d0, back d1
+      (3L, t(2)), (3L, t(20))                  // user 3: cohort d2; d20 > horizon
+    ).toDF("user_id", "ts")
+    val out = graft.ops.Retention.cohortRetention(events, maxOffsetDays = 14)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      ("2026-01-01", 0L) -> 2L,  // users 1+2 (dup same-day events collapse)
+      ("2026-01-01", 1L) -> 1L,  // user 2
+      ("2026-01-01", 2L) -> 1L,  // user 1
+      ("2026-01-03", 0L) -> 1L)) // user 3; its d20 return is past the horizon
+  }
+
   // ---- dataset profiling ----
 
   test("profile: null/distinct/min-max accounting per column") {
