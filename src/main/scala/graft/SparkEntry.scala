@@ -101,7 +101,9 @@ object SparkEntry {
     "q72_hard_negatives" -> (Queries.hardNegatives _),
     "q73_profile" -> (Queries.profileDocs _),
     "q74_bpe_segment" -> (Queries.bpeSegment _),
-    "q75_retention" -> (Queries.retention _)
+    "q75_retention" -> (Queries.retention _),
+    "q76_active_users" -> (Queries.activeUsers _),
+    "q77_p95_quantity" -> (Queries.p95Quantity _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -560,10 +562,21 @@ object Queries {
   }
 
   val RetentionMaxOffset = 14
+  val ActiveWindowDays = 7
+  val P95Bp = 9500L
 
   /** Cohort retention triangle over the events stream. */
   def retention(spark: SparkSession, dir: String): DataFrame =
     Retention.cohortRetention(Tables(spark, dir, "events"), RetentionMaxOffset)
+
+  /** DAU / trailing-7-day WAU / stickiness per day. */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame =
+    Retention.activeUsers(Tables(spark, dir, "events"), ActiveWindowDays)
+
+  /** Exact p95 of lineitem quantity per returnflag (histogram plan). */
+  def p95Quantity(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.quantileCents(Tables(spark, dir, "lineitem"),
+      "l_returnflag", "l_quantity", P95Bp)
 
   val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
@@ -1890,6 +1903,41 @@ object Oracles {
          |FROM ud JOIN c USING (user_id)
          |WHERE d - cohort_d <= $m
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q76_active_users" -> {
+      val w = Queries.ActiveWindowDays
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |days AS (SELECT DISTINCT d AS report_d FROM ud),
+         |wau AS (
+         |  SELECT days.report_d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+         |  FROM days JOIN ud
+         |    ON ud.d <= days.report_d AND ud.d > days.report_d - $w
+         |  GROUP BY 1),
+         |dau AS (
+         |  SELECT d AS report_d, CAST(COUNT(*) AS BIGINT) AS dau
+         |  FROM ud GROUP BY 1)
+         |SELECT strftime(dau.report_d, '%Y-%m-%d') AS report_date, dau, wau,
+         |       CAST(FLOOR(10000.0 * dau / wau) AS BIGINT) AS stickiness_bp
+         |FROM dau JOIN wau USING (report_d)""".stripMargin
+    },
+
+    "q77_p95_quantity" -> {
+      val p = Queries.P95Bp
+      s"""WITH h AS (
+         |  SELECT l_returnflag, l_quantity AS v, COUNT(*) AS cnt
+         |  FROM lineitem GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *,
+         |         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM h)
+         |SELECT l_returnflag,
+         |       CAST(FLOOR(MIN(CASE WHEN cum >= ((n * $p + 9999) // 10000)
+         |         THEN v END) * 100) AS BIGINT) AS quantile_cents,
+         |       CAST(MIN(n) AS BIGINT) AS n_rows
+         |FROM c GROUP BY 1""".stripMargin
     },
 
     "q73_profile" -> {

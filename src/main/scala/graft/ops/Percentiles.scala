@@ -47,6 +47,29 @@ object Percentiles {
         min(col("n")).as("n_rows"))
   }
 
+  /** Exact per-group quantile at `pBp` basis points (lower/"inverted
+    * CDF" definition: the least value whose cumulative count reaches
+    * ceil(p·n)) — the same value-histogram plan as `medianCents`, so
+    * the window runs over distinct values, never rows. p95 is the
+    * latency/size-budget workhorse (e.g. sequence-length budgeting
+    * for packing). */
+  def quantileCents(df: DataFrame, groupCol: String, valueCol: String,
+      pBp: Long = 9500L): DataFrame = {
+    require(pBp >= 1L && pBp <= 10000L, "pBp must be in [1, 10000]")
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+    val wg = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wg.orderBy(col(valueCol).asc)))
+      .withColumn("n", sum(col("cnt")).over(wg))
+    cum.groupBy(col(groupCol))
+      .agg(
+        floor(min(when(col("cum") >= expr(s"(n * $pBp + 9999) div 10000"),
+          col(valueCol))).cast("double") * 100).cast("long")
+          .as("quantile_cents"),
+        min(col("n")).as("n_rows"))
+  }
+
   /** Multi-level totals via ROLLUP — per (a,b), per a, and grand
     * total in ONE pass (partial aggregation covers all levels;
     * grouping_id disambiguates). */

@@ -22,6 +22,36 @@ import org.apache.spark.sql.functions._
   */
 object Retention {
 
+  /** Daily + trailing-window active users (DAU/WAU) with stickiness.
+    *
+    * Scale shape: the corpus collapses to (user, day) once (map-side
+    * dedup); each active day then EXPLODES to the `windowDays` report
+    * days it contributes to — a ×window map stage, the standard trick
+    * that turns a sliding distinct-window into one plain distinct
+    * aggregation (no per-day re-scan, no self-join range probe). The
+    * report-day set is data-bounded via a semi-join on observed days.
+    * For 100 TB × 90-day windows swap the final countDistinct for
+    * HLL partials (q37 machinery) — the explode factor is the window
+    * length, so keep windows short or sketch. */
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val days = ud.select(col("d").as("report_d")).distinct()
+    val contrib = ud
+      .select(col("user_id"), explode(expr(
+        s"sequence(d, date_add(d, ${windowDays - 1}))")).as("report_d"))
+      .join(days, Seq("report_d"), "left_semi")
+    val wau = contrib.groupBy(col("report_d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = ud.groupBy(col("d").as("report_d"))
+      .agg(count(lit(1)).as("dau"))
+    dau.join(wau, "report_d")
+      .select(date_format(col("report_d"), "yyyy-MM-dd").as("report_date"),
+        col("dau"), col("wau"),
+        floor(lit(10000.0) * col("dau") / col("wau")).cast("long")
+          .as("stickiness_bp"))
+  }
+
   def cohortRetention(events: DataFrame, maxOffsetDays: Int = 14): DataFrame =
     events
       .select(col("user_id"), to_date(col("ts")).as("d"))

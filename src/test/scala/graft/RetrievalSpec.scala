@@ -180,6 +180,40 @@ class RetrievalSpec extends SparkSpec {
       ("2026-01-03", 0L) -> 1L)) // user 3; its d20 return is past the horizon
   }
 
+  test("active users: trailing window counts a user once; stickiness floors") {
+    val s = spark
+    import s.implicits._
+    val T0 = 1767225600000L
+    def t(day: Int) = new java.sql.Timestamp(T0 + day * 86400000L + 3600000L)
+    val events = Seq(
+      (1L, t(0)), (1L, t(1)), (2L, t(0)), (3L, t(1)), (1L, t(9)))
+      .toDF("user_id", "ts")
+    val out = graft.ops.Retention.activeUsers(events, windowDays = 7)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // d0: dau {1,2}; wau {1,2}. d1: dau {1,3}; wau(d0-d1) {1,2,3}.
+    // d9: dau {1}; wau(d3-d9) {1}. No report rows for absent days.
+    assert(out == Map(
+      "2026-01-01" -> ((2L, 2L, 10000L)),
+      "2026-01-02" -> ((2L, 3L, 6666L)),
+      "2026-01-10" -> ((1L, 1L, 10000L))))
+  }
+
+  test("quantileCents: p100 is the max; p-quantile matches a sorted-seq reference") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 3.5), ("g", 10.0))
+      .toDF("grp", "v")
+    def q(p: Long) = graft.ops.Percentiles.quantileCents(df, "grp", "v", p)
+      .as[(String, Long, Long)].head()._2
+    // sorted: 1, 2, 2, 3.5, 10 (n=5); rank = ceil(p*n)
+    assert(q(10000L) == 1000L) // rank 5 → 10.0
+    assert(q(9500L) == 1000L)  // ceil(4.75)=5 → 10.0
+    assert(q(8000L) == 350L)   // rank 4 → 3.5
+    assert(q(5000L) == 200L)   // ceil(2.5)=3 → 2.0
+    assert(q(1L) == 100L)      // rank 1 → 1.0
+  }
+
   // ---- dataset profiling ----
 
   test("profile: null/distinct/min-max accounting per column") {
