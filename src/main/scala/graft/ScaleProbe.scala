@@ -128,6 +128,14 @@ object ScaleProbe {
     // not the vocabulary, so per-round pair-count work must stay ~flat
     // after the one corpus-grain collapse.
     t("bpe learn 3r")(graft.ops.Bpe.learn(docs))
+    // user dimension amplified with the facts here: retention work is
+    // (user, day)-grain, so cost tracks users × active days.
+    t("cohort retention")(graft.ops.Retention.cohortRetention(events))
+    t("active users 7d")(graft.ops.Retention.activeUsers(events))
+    t("profile exact")(graft.ops.Profile.profile(docs,
+      Seq("doc_id", "text", "lang", "source")))
+    t("hard negatives")(graft.ops.Similarity.hardNegatives(
+      emb, col("vec_id") % 500 === 0))
     spark.stop()
   }
 }
