@@ -2014,7 +2014,8 @@ object Oracles {
     // .curriculumBuckets: value-deterministic, unlike ntile).
     "q68_curriculum_buckets" -> {
       val b = Queries.CurriculumBuckets
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+         |           FROM documents WHERE text IS NOT NULL),
          |s AS (
          |  SELECT doc_id,
          |         CAST(FLOOR(10000.0 * len(list_distinct(tokens)) / len(tokens))

@@ -53,7 +53,8 @@ case class TokenGramHash(child: Expression, n: Int)
     val th = new Array[Long](cnt)
     var i = 0
     while (i < cnt) {
-      th(i) = TokenGramHash.hashToken(arr.getUTF8String(i))
+      th(i) = TokenGramHash.hashToken(
+        if (arr.isNullAt(i)) null else arr.getUTF8String(i))
       i += 1
     }
     val out = new Array[Long](m)
@@ -90,7 +91,8 @@ case class TokenGramHash(child: Expression, n: Int)
          |} else {
          |  long[] $th = new long[$cnt];
          |  for (int $i = 0; $i < $cnt; $i++) {
-         |    $th[$i] = $cls.hashToken($a.getUTF8String($i));
+         |    $th[$i] = $cls.hashToken(
+         |      $a.isNullAt($i) ? null : $a.getUTF8String($i));
          |  }
          |  long[] $out = new long[$m];
          |  for (int $i = 0; $i < $m; $i++) {
@@ -117,14 +119,18 @@ object TokenGramHash {
 
   /** FNV-1a 64 over the token's UTF-8 bytes, then one separator byte
     * (' ') — equivalent to hashing the token with its following
-    * space, which keeps token boundaries unambiguous in the combine. */
+    * space, which keeps token boundaries unambiguous in the combine.
+    * A null ELEMENT (the type contract allows containsNull arrays)
+    * hashes like the empty token rather than NPEing mid-task. */
   def hashToken(s: UTF8String): Long = {
-    val b = s.getBytes
     var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < b.length) {
-      h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L
-      i += 1
+    if (s != null) {
+      val b = s.getBytes
+      var i = 0
+      while (i < b.length) {
+        h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L
+        i += 1
+      }
     }
     (h ^ 0x20L) * 0x100000001b3L
   }

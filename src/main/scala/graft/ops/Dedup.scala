@@ -94,7 +94,10 @@ object Dedup {
 
   /** Exact-Jaccard columns (basis points) from paired shingle arrays
     * `sh_a`/`sh_b`. */
-  private def jaccardCols(paired: DataFrame): DataFrame =
+  /** Shared exact-Jaccard columns over `sh_a`/`sh_b` shingle sets —
+    * the ONE place the bp convention and zero-union rule live (the
+    * streaming path reuses it; see NearDupStream). */
+  private[graft] def jaccardCols(paired: DataFrame): DataFrame =
     paired
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("uni",

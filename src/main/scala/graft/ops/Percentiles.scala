@@ -28,13 +28,21 @@ object Percentiles {
     * |distinct values| rows per group, so it scales whenever the value
     * domain is bounded (measures, prices, quantities); for genuinely
     * continuous columns use approx percentile sketches instead. */
-  def medianCents(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  /** The shared scaffold: (group, value, cnt) histogram with
+    * cumulative and total counts — both quantile entry points build
+    * on this one frame. */
+  private def cumHistogram(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
     val hist = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("cnt"))
     val wg = Window.partitionBy(col(groupCol))
-    val cum = hist
+    hist
       .withColumn("cum", sum(col("cnt")).over(wg.orderBy(col(valueCol).asc)))
       .withColumn("n", sum(col("cnt")).over(wg))
+  }
+
+  def medianCents(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cum = cumHistogram(df, groupCol, valueCol)
     // the two middle ranks (equal when n is odd); the value holding
     // rank m is the least value whose cumulative count reaches m
     def valueAtRank(rank: Column): Column =
@@ -56,13 +64,7 @@ object Percentiles {
   def quantileCents(df: DataFrame, groupCol: String, valueCol: String,
       pBp: Long = 9500L): DataFrame = {
     require(pBp >= 1L && pBp <= 10000L, "pBp must be in [1, 10000]")
-    val hist = df.groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("cnt"))
-    val wg = Window.partitionBy(col(groupCol))
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(wg.orderBy(col(valueCol).asc)))
-      .withColumn("n", sum(col("cnt")).over(wg))
-    cum.groupBy(col(groupCol))
+    cumHistogram(df, groupCol, valueCol).groupBy(col(groupCol))
       .agg(
         floor(min(when(col("cum") >= expr(s"(n * $pBp + 9999) div 10000"),
           col(valueCol))).cast("double") * 100).cast("long")

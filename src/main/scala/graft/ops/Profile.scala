@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** The per-column aliases and the stack() expression splice names
+    * into SQL text — restrict to identifier-safe names up front
+    * rather than failing with a ParseException mid-plan. */
+  private def checkNames(columns: Seq[String]): Unit = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val bad = columns.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    require(bad.isEmpty, s"profile needs identifier-safe column names; got: $bad")
+  }
+
   private def unpivot(row: DataFrame, columns: Seq[String]): DataFrame = {
     val stack = columns
       .map(c => s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`")
@@ -35,7 +44,7 @@ object Profile {
   }
 
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
-    require(columns.nonEmpty, "profile needs at least one column")
+    checkNames(columns)
     val aggs = columns.flatMap { c => Seq(
       count(col(c)).as(s"${c}__nn"),
       countDistinct(col(c)).as(s"${c}__nd"),
@@ -50,7 +59,7 @@ object Profile {
     * one fixed-size buffer per column. */
   def profileApprox(df: DataFrame, columns: Seq[String],
       rsd: Double = 0.02): DataFrame = {
-    require(columns.nonEmpty, "profile needs at least one column")
+    checkNames(columns)
     val aggs = columns.flatMap { c => Seq(
       count(col(c)).as(s"${c}__nn"),
       approx_count_distinct(col(c), rsd).as(s"${c}__nd"),

@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE fact shuffle. The per-user active-day SET is
   * built in a single user-grain aggregate (map-side partial
-  * aggregation dedups (user, day) before the shuffle; the set is
-  * horizon-bounded — ≤ maxOffset+analysis-window days, bytes not
-  * megabytes), the cohort day is its array_min, and the explode back
-  * to (user, day) grain is a map stage. After the explode every
+  * aggregation dedups (user, day) before the shuffle; the set holds
+  * the user's distinct days WITHIN THE INPUT'S DATE RANGE — bound it
+  * by filtering the events frame to the analysis window, the way a
+  * retention job is actually run; an unbounded multi-year scan grows
+  * per-user state with history). The cohort day is its array_min,
+  * the horizon filter applies INSIDE the aggregate output (only
+  * within-horizon days explode), and after the explode every
   * (user, offset) row is unique by construction, so the final
   * (cohort, offset) count needs no distinct aggregation — the second
   * shuffle is cohort×offset-grain, metadata-sized. The naive
@@ -57,10 +60,13 @@ object Retention {
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .groupBy(col("user_id"))
       .agg(collect_set(col("d")).as("ds"))
+      // horizon filter BEFORE the explode: out-of-horizon days never
+      // become rows
       .select(col("user_id"), array_min(col("ds")).as("cohort_d"),
-        explode(col("ds")).as("d"))
+        explode(expr(
+          s"filter(ds, x -> datediff(x, array_min(ds)) <= $maxOffsetDays)"))
+          .as("d"))
       .withColumn("offset_days", datediff(col("d"), col("cohort_d")).cast("long"))
-      .filter(col("offset_days") <= maxOffsetDays)
       .groupBy(col("cohort_d"), col("offset_days"))
       .agg(count(lit(1)).as("n_users"))
       .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_date"),

@@ -55,7 +55,10 @@ object Retrieval {
     * Output: (query_id, rank, doc_id, score_fp) with score_fp the
     * fixed-point (×1e6) BM25 sum and rank 1..k by (score desc,
     * doc_id asc). */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+  def bm25TopK(docs: DataFrame, queriesRaw: DataFrame, k: Int = 5): DataFrame = {
+    // a repeated (query_id, token) row would double-count that term's
+    // contribution in the score sum — dedup the contract up front
+    val queries = queriesRaw.distinct()
     val base = docs
       .filter(col("text").isNotNull)
       .withColumn("__t", expr(TextAnalysis.TokensExpr))

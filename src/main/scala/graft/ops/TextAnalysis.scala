@@ -276,16 +276,26 @@ object TextAnalysis {
     * The weight table is vocabulary-bounded (≤ ClassifierBuckets
     * rows ≈ MBs), so it broadcasts; the corpus explodes to token
     * grain, joins the broadcast weights, and re-aggregates to doc
-    * grain — one shuffle on doc_id. */
-  def classifyWithWeights(docs: DataFrame, weights: DataFrame): DataFrame =
-    withTokens(docs)
+    * grain — one shuffle on doc_id. Trained tables are SPARSE, so
+    * the weight join is LEFT (absent bucket ⇒ weight 0) and the
+    * doc-grain join is LEFT from the full doc set — every document
+    * gets a row and a verdict. (A null-text doc scores 0/keep here;
+    * the inline path propagates null for it — both emit the row.) */
+  def classifyWithWeights(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val base = withTokens(docs)
       .select(col("doc_id"), size(col("tokens")).cast("long").as("token_count"),
-        explode(col("tokens")).as("x"))
+        col("tokens"))
+    val scores = base
+      .select(col("doc_id"), explode(col("tokens")).as("x"))
       .withColumn("bucket", expr(BucketExpr))
-      .join(broadcast(weights), "bucket")
-      .groupBy(col("doc_id"), col("token_count"))
-      .agg(sum(col("weight")).as("score"))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("weight"), lit(0L))).as("score"))
+    base.drop("tokens")
+      .join(scores, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("score"))
       .withColumn("keep", (col("score") >= 0L).cast("int"))
+  }
 
   /** The stand-in weights as a table (for parity tests and as the
     * template a trained-weight load replaces). */

@@ -124,17 +124,18 @@ object TrainingPrep {
     * convention) — bit-exact in any engine. */
   def mixturePlan(docs: DataFrame, weights: Map[String, Long],
       budgetTokens: Long, defaultWeight: Long = 1L): DataFrame = {
-    val caseExpr =
-      if (weights.isEmpty) defaultWeight.toString
-      else "CASE " + weights.toSeq.sortBy(_._1).map { case (s, w) =>
-        s"WHEN source = '$s' THEN $w"
-      }.mkString(" ") + s" ELSE $defaultWeight END"
+    // typed when-chain, not SQL-text splicing: source names are
+    // data-domain strings and may contain quotes
+    val weightCol = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>
+        when(col("source") === lit(s), lit(w)).otherwise(acc)
+      }
     val avail = docs
       .filter(col("text").isNotNull)
       .groupBy(col("source"))
       .agg(sum(size(expr(TextAnalysis.TokensExpr)).cast("long"))
         .as("available_tokens"))
-      .withColumn("w", expr(caseExpr).cast("long"))
+      .withColumn("w", weightCol.cast("long"))
     // weight total via a window over the already-aggregated frame —
     // a single-partition exchange of ≤|sources| rows, NOT a second
     // aggregate whose plan would rescan the corpus
@@ -181,7 +182,10 @@ object TrainingPrep {
     * reproducibility property a training curriculum actually wants. */
   def curriculumBuckets(docs: DataFrame, buckets: Int = 4): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val scored = TextAnalysis.textQuality(docs)
+    // null-text docs have no ttr and would silently vanish in the
+    // ttr_bp equi-join below — exclude them explicitly (the oracle
+    // filters identically)
+    val scored = TextAnalysis.textQuality(docs.filter(col("text").isNotNull))
       .select(col("doc_id"), col("ttr_bp"))
     val byScore = scored.groupBy(col("ttr_bp"))
       .agg(count(lit(1)).as("cnt"))

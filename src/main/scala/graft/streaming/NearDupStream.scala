@@ -49,16 +49,12 @@ object NearDupStream {
       Dedup.minhashSignature(stream.filter(col("text").isNotNull)
         .withWatermark("ts", delay)),
       keep = Seq("shingles", "ts"))
-    banded
-      .join(index, Seq("band", "band_hash"))
-      .withColumn("inter",
-        size(array_intersect(col("shingles"), col("corpus_shingles"))).cast("long"))
-      .withColumn("uni",
-        size(col("shingles")).cast("long") + size(col("corpus_shingles"))
-          - col("inter"))
-      .withColumn("jaccard_bp",
-        when(col("uni") === 0L, lit(0L))
-          .otherwise(floor(lit(10000.0) * col("inter") / col("uni")).cast("long")))
+    // verify via the batch path's own jaccardCols — one formula, no
+    // batch/stream drift
+    Dedup.jaccardCols(banded
+        .join(index, Seq("band", "band_hash"))
+        .withColumnRenamed("shingles", "sh_a")
+        .withColumnRenamed("corpus_shingles", "sh_b"))
       .filter(col("jaccard_bp") >= thresholdBp)
       .select(col("doc_id"), col("corpus_doc_id"), col("jaccard_bp"), col("ts"))
       // a pair can arrive via up to NumBands colliding bands — dedup

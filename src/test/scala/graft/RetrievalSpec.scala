@@ -312,6 +312,18 @@ class RetrievalSpec extends SparkSpec {
     assert(inline.forall { case (_, _, s, k) => (s >= 0) == (k == 1) })
   }
 
+  test("quality classifier: a SPARSE weight table keeps every doc (absent bucket = 0)") {
+    val s = spark
+    import s.implicits._
+    val d = docs(1L -> "alpha beta", 2L -> "gamma delta")
+    // empty weight table: every bucket absent ⇒ every doc scores 0, keep=1
+    val empty = Seq.empty[(Long, Long)].toDF("bucket", "weight")
+    val out = TextAnalysis.classifyWithWeights(d, empty)
+      .select("doc_id", "token_count", "score", "keep")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 0L, 1), (2L, 2L, 0L, 1)))
+  }
+
   test("quality classifier: score is token-multiplicity-weighted") {
     val one = TextAnalysis.qualityClassifier(docs(1L -> "word"))
       .as[(Long, Long, Long, Int)].head()._3
