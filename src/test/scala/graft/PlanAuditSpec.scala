@@ -250,6 +250,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"a rule broadcast became a shuffle join:\n$p")
   }
 
+  test("q75 retention: ONE fact shuffle (user-grain set aggregate), no distinct agg after the explode") {
+    val p = plan("q75_retention")
+    // user aggregate (hash exchange on user_id) + the metadata-grain
+    // (cohort, offset) aggregate — two exchanges total, no more
+    assert(shuffles(p) <= 2, p)
+    assert(!stripCached(p).contains("SortAggregate"), p)
+  }
+
+  test("q76 active users: explode turns the sliding window into plain aggregation — no range join") {
+    val p = plan("q76_active_users")
+    assert(p.contains("Generate"), s"lost the contribution-day explode:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"sliding window regressed to a range self-join:\n$p")
+  }
+
+  test("q77 quantile: the rank window runs over the value histogram, not rows") {
+    val p = plan("q77_p95_quantity")
+    // histogram aggregate first (hash exchange on (group, value)),
+    // then the window; a row-grain window would show no pre-aggregate
+    // under the window's sort
+    assert(shuffles(p) <= 2, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q68 curriculum buckets: the only single-partition exchange feeds the value-grain window, not the corpus") {
     val p = plan("q68_curriculum_buckets")
     // corpus → value-grain aggregate (hash shuffle) → tiny window
