@@ -103,7 +103,8 @@ object SparkEntry {
     "q74_bpe_segment" -> (Queries.bpeSegment _),
     "q75_retention" -> (Queries.retention _),
     "q76_active_users" -> (Queries.activeUsers _),
-    "q77_p95_quantity" -> (Queries.p95Quantity _)
+    "q77_p95_quantity" -> (Queries.p95Quantity _),
+    "q78_substring_scrub" -> (Queries.substringScrub _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -415,6 +416,10 @@ object Queries {
   /** Substring-grain duplicate spans (Lee et al. style k-gram pass). */
   def substringDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringDupSpans(Tables(spark, dir, "documents"))
+
+  /** The remove half: duplicated spans dropped from the text. */
+  def substringScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringScrub(Tables(spark, dir, "documents"))
 
   val Bm25TopK = 5
 
@@ -1788,6 +1793,35 @@ object Oracles {
          |            ELSE 'test' END AS split,
          |       COUNT(*) AS n_docs
          |FROM s GROUP BY 1, 2""".stripMargin
+    },
+
+    // q65's gram/dup/hits chain + per-doc drop list applied by a
+    // 1-based indexed lambda (Spark's filter index is 0-based; the
+    // engine compares i+1).
+    "q78_substring_scrub" -> {
+      val n = graft.ops.Dedup.SpanGram
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |grams AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+         |         array_to_string(t[i : i + ${n - 1}], ' ') AS g
+         |  FROM toks, unnest(range(1, len(t) - ${n - 2})) AS u(i)
+         |  WHERE len(t) >= $n),
+         |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         |hits AS (
+         |  SELECT DISTINCT doc_id, p + o AS pos
+         |  FROM grams JOIN dup USING (g), unnest(range(0, $n)) AS v(o)),
+         |drops AS (SELECT doc_id, list(pos) AS drops FROM hits GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |       CAST(len(t.t) - COALESCE(len(d.drops), 0) AS BIGINT) AS kept_tokens,
+         |       CASE WHEN d.drops IS NULL THEN t.text
+         |            -- array_to_string([]) is NULL in DuckDB but
+         |            -- array_join([]) is '' in Spark — coalesce
+         |            ELSE COALESCE(array_to_string(list_filter(t.t, (x, i) ->
+         |              NOT list_contains(d.drops, CAST(i AS BIGINT))), ' '), '')
+         |       END AS clean_text
+         |FROM toks t LEFT JOIN drops d USING (doc_id)""".stripMargin
     },
 
     // Like q55: the oracle joins raw gram STRINGS where the Spark

@@ -355,24 +355,32 @@ object Dedup {
     * never materialized (the built-in transform+array_join+xxhash64
     * chain allocates ~n× the token stream — at 100 TB the gram stage
     * is the corpus pass, so that churn is the bill). */
-  def substringDupSpans(docs: DataFrame, n: Int = SpanGram,
-      minCount: Long = 2L): DataFrame = {
-    val base = docs
-      .filter(col("text").isNotNull)
-      .withColumn("__t", expr(TextAnalysis.TokensExpr))
+  /** (doc_id, 1-based token position) rows covered by ≥`minCount`
+    * occurrences of a gram ANYWHERE (two docs, or twice in one doc —
+    * the span is memorizable either way); positions repeat when
+    * overlapping dup grams cover them. No broadcast hint on the dup
+    * set: usually small but corpus-dependent; AQE decides. */
+  private def dupPositions(base: DataFrame, n: Int, minCount: Long): DataFrame = {
     val grams = base
       .filter(size(col("__t")) >= n)
       .select(col("doc_id"),
         posexplode(graft.expressions.TokenGramHash.grams(col("__t"), n)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("gh"))
-    // ≥2 occurrences ANYWHERE (two docs, or twice in one doc) — the
-    // span is memorizable either way. No broadcast hint: the dup set
-    // is usually small but is corpus-dependent; AQE decides.
     val dup = grams.groupBy(col("gh")).count()
       .filter(col("count") >= minCount).select(col("gh"))
-    val hits = grams.join(dup, "gh")
+    grams.join(dup, "gh")
       .select(col("doc_id"), explode(expr(s"sequence(p, p + ${n - 1})")).as("pos"))
+  }
+
+  private def withTokensBase(docs: DataFrame): DataFrame = docs
+    .filter(col("text").isNotNull)
+    .withColumn("__t", expr(TextAnalysis.TokensExpr))
+
+  def substringDupSpans(docs: DataFrame, n: Int = SpanGram,
+      minCount: Long = 2L): DataFrame = {
+    val base = withTokensBase(docs)
+    val hits = dupPositions(base, n, minCount)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("pos")).as("dup_tokens"))
     base.select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"))
@@ -380,5 +388,29 @@ object Dedup {
       .na.fill(0L, Seq("dup_tokens"))
       .withColumn("dup_bp",
         floor(lit(10000.0) * col("dup_tokens") / col("n_tokens")).cast("long"))
+  }
+
+  /** The actionable half of substring dedup (Lee et al. remove the
+    * spans, not the documents): every token position covered by a
+    * duplicated `n`-gram is DROPPED and the remaining tokens
+    * rejoined. Same gram pipeline as `substringDupSpans`; the
+    * per-doc drop set is doc-length-bounded, collected at doc grain
+    * and applied by one indexed-lambda filter (a map stage). */
+  def substringScrub(docs: DataFrame, n: Int = SpanGram,
+      minCount: Long = 2L): DataFrame = {
+    val base = withTokensBase(docs)
+    val drops = dupPositions(base, n, minCount)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("drops"))
+    base.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        when(col("drops").isNull, size(col("__t")))
+          .otherwise(size(col("__t")) - size(col("drops")))
+          .cast("long").as("kept_tokens"),
+        when(col("drops").isNull, col("text")).otherwise(expr(
+          "array_join(filter(__t, (x, i) -> " +
+            "NOT array_contains(drops, CAST(i + 1 AS BIGINT))), ' ')"))
+          .as("clean_text"))
   }
 }

@@ -115,6 +115,25 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 0L, 0L), (2L, 2L, 0L, 0L)))
   }
 
+  test("substring scrub: drops exactly the covered tokens, keeps the rest in order") {
+    val out = Dedup.substringScrub(docs(
+      1L -> "a b c d e f",     // "a b c" shared → pos 1-3 dropped
+      2L -> "x a b c y z",     // → pos 2-4 dropped
+      3L -> "p q r s t u"),    // untouched
+      n = 3).as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L) == ((3L, "d e f")))
+    assert(out(2L) == ((3L, "x y z")))
+    assert(out(3L) == ((6L, "p q r s t u")))
+  }
+
+  test("substring scrub: a fully-duplicated doc scrubs to the empty string") {
+    val out = Dedup.substringScrub(docs(
+      1L -> "a b c", 2L -> "a b c"), n = 3)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.forall(r => r._3 == 0L && r._4 == ""))
+  }
+
   // ---- cube totals ----
 
   test("cube adds the cross-slices rollup omits, same totals") {
