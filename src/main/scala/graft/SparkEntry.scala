@@ -104,7 +104,8 @@ object SparkEntry {
     "q75_retention" -> (Queries.retention _),
     "q76_active_users" -> (Queries.activeUsers _),
     "q77_p95_quantity" -> (Queries.p95Quantity _),
-    "q78_substring_scrub" -> (Queries.substringScrub _)
+    "q78_substring_scrub" -> (Queries.substringScrub _),
+    "q79_eval_sample" -> (Queries.evalSample _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -565,6 +566,12 @@ object Queries {
       .select(col("word"), col("freq"),
         array_join(col("syms"), "|").as("pieces"))
   }
+
+  val EvalSampleK = 3
+
+  /** Deterministic per-language human-eval holdout (md5 draw). */
+  def evalSample(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.evalSample(Tables(spark, dir, "documents"), EvalSampleK)
 
   val RetentionMaxOffset = 14
   val ActiveWindowDays = 7
@@ -1937,6 +1944,19 @@ object Oracles {
          |FROM ud JOIN c USING (user_id)
          |WHERE d - cohort_d <= $m
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q79_eval_sample" -> {
+      val k = Queries.EvalSampleK
+      s"""WITH d AS (
+         |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS draw
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |           ORDER BY draw, doc_id) AS BIGINT) AS rk
+         |  FROM d)
+         |SELECT lang, rk, doc_id FROM r WHERE rk <= $k""".stripMargin
     },
 
     "q76_active_users" -> {

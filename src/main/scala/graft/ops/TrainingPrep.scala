@@ -161,6 +161,24 @@ object TrainingPrep {
         col("deficit"))
   }
 
+  /** Deterministic exact-k per-group holdout (human-eval sampling):
+    * the k docs per `groupCol` with the smallest md5(doc_id) — the
+    * engine's layout-independent pseudo-random draw (q12's R1
+    * convention; `rand(seed)` depends on partition layout, md5 does
+    * not), so the SAME eval docs come back on any cluster and any
+    * rerun. Plans as WindowGroupLimit (rank pushdown): per-group
+    * state during the shuffle is k rows, not the group. */
+  def evalSample(docs: DataFrame, k: Int = 2, groupCol: String = "lang"): DataFrame = {
+    require(k > 0, "k must be positive")
+    docs
+      .withColumn("draw", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("draw"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("rk"), col("doc_id"))
+  }
+
   /** Curriculum quantile buckets: assign each document a difficulty
     * bucket 0..`buckets`-1 by corpus-wide quality rank (here the
     * type-token ratio from `TextAnalysis.textQuality`, descending —

@@ -281,6 +281,17 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head._4 > out(1)._4 && out(1)._4 > out(2)._4)
   }
 
+  test("eval sample: exact k per group, identical under repartitioning") {
+    val d = docs((1L to 20L).map(i => i -> s"text $i"): _*)
+    val a = TrainingPrep.evalSample(d, k = 3, groupCol = "source")
+      .as[(String, Long, Long)].collect().toSet
+    val b = TrainingPrep.evalSample(d.repartition(7), k = 3, groupCol = "source")
+      .as[(String, Long, Long)].collect().toSet
+    assert(a == b) // layout-independent draw
+    assert(a.groupBy(_._1).forall { case (_, rows) =>
+      rows.size <= 3 && rows.map(_._2).toSeq.sorted == (1L to rows.size).toSeq })
+  }
+
   // ---- mixture allocation ----
 
   test("mixture plan: caps at availability, leaves a deficit, rates in [0, 10000]") {
