@@ -1865,7 +1865,7 @@ object Oracles {
       val vals = graft.ops.Retrieval.DemoQueries
         .map { case (id, tok) => s"($id, '$tok')" }.mkString(", ")
       s"""WITH q AS (
-         |  SELECT CAST(query_id AS BIGINT) AS query_id, token
+         |  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, token
          |  FROM (VALUES $vals) v(query_id, token)),
          |toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t

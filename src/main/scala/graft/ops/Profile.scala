@@ -22,13 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** The per-column aliases and the stack() expression splice names
-    * into SQL text — restrict to identifier-safe names up front
-    * rather than failing with a ParseException mid-plan. */
+  /** The stack() expression splices names into SQL text as 'name'
+    * literals and `name__nn` backtick identifiers — only quote and
+    * backtick characters actually break it, so reject exactly those
+    * (dots, dashes, spaces stay legal, as before the guard). */
   private def checkNames(columns: Seq[String]): Unit = {
     require(columns.nonEmpty, "profile needs at least one column")
-    val bad = columns.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
-    require(bad.isEmpty, s"profile needs identifier-safe column names; got: $bad")
+    val bad = columns.filter(c => c.contains("'") || c.contains("`"))
+    require(bad.isEmpty, s"profile column names cannot contain ' or `: $bad")
   }
 
   private def unpivot(row: DataFrame, columns: Seq[String]): DataFrame = {

@@ -61,10 +61,13 @@ object Retention {
       .groupBy(col("user_id"))
       .agg(collect_set(col("d")).as("ds"))
       // horizon filter BEFORE the explode: out-of-horizon days never
-      // become rows
-      .select(col("user_id"), array_min(col("ds")).as("cohort_d"),
+      // become rows. cohort_d is hoisted so the lambda doesn't
+      // re-scan the set per element (array_min inside the filter
+      // would be O(d²) for long histories).
+      .withColumn("cohort_d", array_min(col("ds")))
+      .select(col("user_id"), col("cohort_d"),
         explode(expr(
-          s"filter(ds, x -> datediff(x, array_min(ds)) <= $maxOffsetDays)"))
+          s"filter(ds, x -> datediff(x, cohort_d) <= $maxOffsetDays)"))
           .as("d"))
       .withColumn("offset_days", datediff(col("d"), col("cohort_d")).cast("long"))
       .groupBy(col("cohort_d"), col("offset_days"))

@@ -278,24 +278,21 @@ object TextAnalysis {
     * grain, joins the broadcast weights, and re-aggregates to doc
     * grain — one shuffle on doc_id. Trained tables are SPARSE, so
     * the weight join is LEFT (absent bucket ⇒ weight 0) and the
-    * doc-grain join is LEFT from the full doc set — every document
-    * gets a row and a verdict. (A null-text doc scores 0/keep here;
-    * the inline path propagates null for it — both emit the row.) */
-  def classifyWithWeights(docs: DataFrame, weights: DataFrame): DataFrame = {
-    val base = withTokens(docs)
+    * explode is OUTER (a null-text doc yields one null-token row, so
+    * every document gets a verdict — scoring 0 here where the inline
+    * path propagates null; both emit the row). token_count rides the
+    * grouping key, so the whole scorer is still ONE doc-grain
+    * shuffle and one corpus pass. */
+  def classifyWithWeights(docs: DataFrame, weights: DataFrame): DataFrame =
+    withTokens(docs)
       .select(col("doc_id"), size(col("tokens")).cast("long").as("token_count"),
-        col("tokens"))
-    val scores = base
-      .select(col("doc_id"), explode(col("tokens")).as("x"))
-      .withColumn("bucket", expr(BucketExpr))
+        explode_outer(col("tokens")).as("x"))
+      .withColumn("bucket", expr(BucketExpr)) // null token ⇒ null bucket
       .join(broadcast(weights), Seq("bucket"), "left")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("token_count"))
       .agg(sum(coalesce(col("weight"), lit(0L))).as("score"))
-    base.drop("tokens")
-      .join(scores, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("score"))
       .withColumn("keep", (col("score") >= 0L).cast("int"))
-  }
+      .select(col("doc_id"), col("token_count"), col("score"), col("keep"))
 
   /** The stand-in weights as a table (for parity tests and as the
     * template a trained-weight load replaces). */

@@ -267,11 +267,21 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q77 quantile: the rank window runs over the value histogram, not rows") {
     val p = plan("q77_p95_quantity")
-    // histogram aggregate first (hash exchange on (group, value)),
-    // then the window; a row-grain window would show no pre-aggregate
-    // under the window's sort
     assert(shuffles(p) <= 2, p)
-    assert(p.contains("HashAggregate"), p)
+    // the tree prints top-down, so the histogram aggregate (grouping
+    // keys include the VALUE column) must appear BELOW the Window —
+    // a row-grain window rewrite has no such aggregate beneath it
+    val lines = p.split("\n").toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, p)
+    assert(lines.drop(winIdx).exists(l =>
+      l.contains("HashAggregate") && l.contains("l_quantity")),
+      s"no (group, value)-keyed aggregate beneath the window:\n$p")
+  }
+
+  test("q79 eval sample: rank pushes down to WindowGroupLimit") {
+    val p = plan("q79_eval_sample")
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown lost:\n$p")
   }
 
   test("q68 curriculum buckets: the only single-partition exchange feeds the value-grain window, not the corpus") {

@@ -288,8 +288,10 @@ class RetrievalSpec extends SparkSpec {
     val b = TrainingPrep.evalSample(d.repartition(7), k = 3, groupCol = "source")
       .as[(String, Long, Long)].collect().toSet
     assert(a == b) // layout-independent draw
+    // every source has 5 candidates ≥ k=3 ⇒ EXACTLY k rows, dense ranks
+    assert(a.groupBy(_._1).size == 4)
     assert(a.groupBy(_._1).forall { case (_, rows) =>
-      rows.size <= 3 && rows.map(_._2).toSeq.sorted == (1L to rows.size).toSeq })
+      rows.size == 3 && rows.map(_._2).toSeq.sorted == Seq(1L, 2L, 3L) })
   }
 
   // ---- mixture allocation ----
