@@ -260,6 +260,12 @@ object TextAnalysis {
   /** Stand-in weight: bucket -> [-500, 500]. */
   private def weightExpr(bucket: String) = s"($bucket % 1001) - 500"
 
+  /** The inline score as a COLUMN over `text` — shared by the batch
+    * classifier and the streaming intake gate (one scorer, no
+    * batch/stream drift). Null text scores null. */
+  def classifierScore: org.apache.spark.sql.Column =
+    expr(s"aggregate($TokensExpr, 0L, (acc, x) -> acc + ${weightExpr(BucketExpr)})")
+
   /** Hashed-feature linear score, inline weights: a ZERO-shuffle map
     * stage (the whole classifier pipelines with the scan — at 100 TB
     * this is a pure pass over the corpus, no state, no joins). */
@@ -267,8 +273,7 @@ object TextAnalysis {
     withTokens(docs).select(
       col("doc_id"),
       size(col("tokens")).cast("long").as("token_count"),
-      expr(s"aggregate(tokens, 0L, (acc, x) -> acc + ${weightExpr(BucketExpr)})")
-        .as("score"))
+      classifierScore.as("score"))
       .withColumn("keep", (col("score") >= 0L).cast("int"))
 
   /** The production seam: same scoring against a (bucket, weight)

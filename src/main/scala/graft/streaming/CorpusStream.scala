@@ -36,13 +36,23 @@ object CorpusStream {
       minTokens: Long = 20L, maxShortBp: Long = 4000L,
       maxPiiHits: Long = 2L,
       benchBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
-      contamN: Int = 8): DataFrame = {
+      contamN: Int = 8,
+      modelGate: Boolean = false): DataFrame = {
     val deduped = StreamDedup.byKey(
       docs.withColumn("__th", coalesce(md5(col("text")), lit("<null-text>"))),
       Seq("__th"), "ts", delay).drop("__th")
     val decontaminated = benchBloom.fold(deduped)(b =>
       graft.ops.Contamination.bloomGate(deduped, b, contamN))
-    graft.ops.CorpusPipeline.gated(decontaminated, minTokens, maxShortBp, maxPiiHits)
+    // model-based gate (q69's hashed linear scorer): a zero-shuffle,
+    // stateless per-row FILTER — stream-safe by construction, and
+    // the same score column as the batch classifier so there is no
+    // drift. Null text scores null → dropped, which matches the
+    // downstream minTokens gate's verdict for such docs.
+    val scored =
+      if (!modelGate) decontaminated
+      else decontaminated.filter(
+        graft.ops.TextAnalysis.classifierScore >= 0L)
+    graft.ops.CorpusPipeline.gated(scored, minTokens, maxShortBp, maxPiiHits)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("token_count")).as("total_tokens"))
   }

@@ -15,14 +15,16 @@ class CorpusStreamSpec extends SparkSpec {
   private val good = (1 to 30).map(i => s"word$i").mkString(" ")
 
   private def run(batches: Seq[Seq[In]],
-      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      modelGate: Boolean = false)
       : Map[(String, String), (Long, Long)] = {
     val s = spark
     import s.implicits._
     implicit val sq = s.sqlContext
     val mem = MemoryStream[In]
     val ckpt = Files.createTempDirectory("graft-cs").toString
-    val q = CorpusStream.acceptedCounts(mem.toDF(), benchBloom = bloom)
+    val q = CorpusStream.acceptedCounts(mem.toDF(), benchBloom = bloom,
+      modelGate = modelGate)
       .writeStream.outputMode("update").format("memory")
       .queryName(s"corpus_out_${System.nanoTime()}")
       .option("checkpointLocation", ckpt)
@@ -68,5 +70,23 @@ class CorpusStreamSpec extends SparkSpec {
       In(1, s"$pad $benchText", "en", "web", ts(0)), // contaminated -> dropped
       In(2, s"$pad clean tail words", "en", "web", ts(1)))), Some(bloom))
     assert(out(("en", "web")) == ((1L, 28L)))        // only doc 2 (25+3 tokens)
+  }
+
+  test("model gate on the stream agrees with the batch classifier per text") {
+    val s = spark
+    import s.implicits._
+    // 12 distinct long-enough texts; which pass is the classifier's
+    // call — assert stream acceptance == batch keep verdicts exactly
+    val texts = (1 to 12).map(i =>
+      (1 to 30).map(j => s"tok${i}x$j").mkString(" "))
+    val batchKeep = graft.ops.TextAnalysis.qualityClassifier(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "web", 0L) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .filter($"keep" === 1).count()
+    val out = run(Seq(texts.zipWithIndex.map { case (t, i) =>
+      In(i.toLong, t, "en", "web", ts(i.toLong)) }), modelGate = true)
+    assert(out.get(("en", "web")).map(_._1).getOrElse(0L) == batchKeep)
+    // and the gate is genuinely active on this fixture (not all-pass)
+    assert(batchKeep < 12L)
   }
 }
