@@ -853,12 +853,18 @@ object Oracles {
          |b$r AS (
          |  SELECT CAST($r AS BIGINT) AS round, merge_left, merge_right, pair_count
          |  FROM p$r ORDER BY pair_count DESC, merge_left, merge_right LIMIT 1)""".stripMargin
+    // LEFT JOIN ON TRUE, not CROSS JOIN: on a degenerate corpus a
+    // round's pair set can be EMPTY, and a cross join with empty b$r
+    // would annihilate the vocabulary (0 rows out) where the Spark
+    // side (learn collects fewer merges, segment folds over them)
+    // keeps it — with the left join an empty b$r makes every cand
+    // FALSE and w$r = w$(r-1), a no-op round, matching the engine.
     def applyCtes(r: Int): String =
       s"""s$r AS (
          |  SELECT w.word, w.freq, i, w.syms[i] AS sym,
          |         COALESCE(w.syms[i] = b.merge_left
          |                  AND w.syms[i+1] = b.merge_right, FALSE) AS cand
-         |  FROM w${r - 1} w CROSS JOIN b$r b,
+         |  FROM w${r - 1} w LEFT JOIN b$r b ON TRUE,
          |       unnest(range(1, len(w.syms) + 1)) AS uu$r(i)),
          |c$r AS (
          |  SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS isl
@@ -872,7 +878,7 @@ object Oracles {
          |         CASE WHEN kk.i IS NOT NULL THEN s.sym || b.merge_right
          |              ELSE s.sym END AS sym
          |  FROM s$r s
-         |  CROSS JOIN b$r b
+         |  LEFT JOIN b$r b ON TRUE
          |  LEFT JOIN k$r kk ON s.word = kk.word AND s.i = kk.i
          |  LEFT JOIN k$r kp ON s.word = kp.word AND s.i = kp.i + 1
          |  WHERE kp.i IS NULL),
@@ -917,7 +923,8 @@ object Oracles {
        |    AND k.doc_id NOT IN (SELECT doc_id FROM hits)),
        |s AS (
        |  SELECT lang, token_count,
-       |         ((doc_id % 1000003) * 48271 + 12345) % 10000 AS bp
+       |         (((doc_id % 1000003 + 1000003) % 1000003)
+       |           * 48271 + 12345) % 10000 AS bp
        |  FROM base)
        |SELECT CASE WHEN bp < $t THEN 'train'
        |            WHEN bp < ${t + v} THEN 'val'
@@ -1790,9 +1797,16 @@ object Oracles {
 
     "q63_corpus_split" -> {
       val t = Queries.SplitTrainBp; val v = Queries.SplitValBp
+      // INNER mod must be pmod-wrapped to match Spark for negative
+      // doc_id (hash-minted ids are ~half negative): DuckDB % keeps
+      // the dividend's sign and 1000003*48271 % 10000 = 4813 ≠ 0, so
+      // the sign leaks through the multiply — wrapping only the outer
+      // mod would NOT be equivalent. After the wrap the operand is
+      // non-negative and the outer % matches pmod exactly.
       s"""WITH s AS (
          |  SELECT lang,
-         |         ((doc_id % 1000003) * 48271 + 12345) % 10000 AS split_bp
+         |         (((doc_id % 1000003 + 1000003) % 1000003)
+         |           * 48271 + 12345) % 10000 AS split_bp
          |  FROM documents)
          |SELECT lang,
          |       CASE WHEN split_bp < $t THEN 'train'
@@ -1924,7 +1938,8 @@ object Oracles {
       val bucket =
         s"(${nib(5)} * 4096 + ${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)})"
       s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+         |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+         |  WHERE text IS NOT NULL)
          |SELECT doc_id, CAST(len(tok) AS BIGINT) AS token_count,
          |       CAST(list_sum(list_transform(tok,
          |         x -> ($bucket % 1001) - 500)) AS BIGINT) AS score,

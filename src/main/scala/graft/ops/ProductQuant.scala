@@ -31,15 +31,20 @@ import org.apache.spark.sql.functions._
 object ProductQuant {
 
   /** Integer subvectors: one row per (vec_id, sub) with the slice and
-    * its squared norm. Requires dim % m == 0 (checked at runtime by
-    * the slice arithmetic producing equal widths). `carry` threads
+    * its squared norm. Requires dim % m == 0, ENFORCED per row: a
+    * ragged dim would otherwise silently drop the trailing dim % m
+    * components from every vector and quietly skew all distances, so
+    * the slice width raises instead of truncating. `carry` threads
     * extra per-vector columns (e.g. the IVF list key) through without
     * a corpus-grain re-join later. */
   def subvectors(emb: DataFrame, m: Int, carry: Seq[String] = Nil): DataFrame =
     Similarity.quantized(emb)
       .select(col("vec_id") +: carry.map(col) :+ posexplode(expr(
         s"transform(sequence(0, ${m - 1}), " +
-          s"s -> slice(q, s * (size(q) div $m) + 1, size(q) div $m))"))
+          s"s -> slice(q, s * (size(q) div $m) + 1, " +
+          s"CASE WHEN size(q) % $m = 0 THEN size(q) div $m " +
+          s"ELSE CAST(raise_error(CONCAT('PQ: vector dim ', size(q), " +
+          s"' not divisible by m=$m')) AS INT) END))"))
         .as(Seq("sub", "qs")): _*)
       .withColumn("n2s", expr("aggregate(qs, 0L, (acc, v) -> acc + v * v)"))
 

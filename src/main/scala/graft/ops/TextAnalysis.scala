@@ -268,9 +268,11 @@ object TextAnalysis {
 
   /** Hashed-feature linear score, inline weights: a ZERO-shuffle map
     * stage (the whole classifier pipelines with the scan — at 100 TB
-    * this is a pure pass over the corpus, no state, no joins). */
+    * this is a pure pass over the corpus, no state, no joins). Null
+    * text is dropped like every sibling op (and unlike DuckDB, Spark's
+    * non-ANSI size(split(NULL)) would yield -1, a cross-engine trap). */
   def qualityClassifier(docs: DataFrame): DataFrame =
-    withTokens(docs).select(
+    withTokens(docs.filter(col("text").isNotNull)).select(
       col("doc_id"),
       size(col("tokens")).cast("long").as("token_count"),
       classifierScore.as("score"))

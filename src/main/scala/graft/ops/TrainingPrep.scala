@@ -92,8 +92,12 @@ object TrainingPrep {
     * depend on partitioning), stable across reruns so incremental
     * pipeline stages never see a doc migrate between splits. The
     * inner mod keeps the multiply far from Long overflow even for
-    * 63-bit hash-derived doc ids (ANSI mode would throw). Zero
-    * shuffle. */
+    * 63-bit hash-derived doc ids (ANSI mode would throw). pmod (not
+    * %) at BOTH levels, so NEGATIVE doc_ids — ~half of all
+    * hash-minted ids (DocFiles) — land in [0, 10000) too; any
+    * cross-engine twin must pmod-wrap the INNER mod as well (the
+    * dividend sign leaks through the multiply: 1000003*48271 % 10000
+    * = 4813 ≠ 0). Zero shuffle. */
   def split(docs: DataFrame, trainBp: Long = 9800L, valBp: Long = 100L): DataFrame = {
     require(trainBp + valBp <= 10000L, "trainBp + valBp must leave room for test")
     docs

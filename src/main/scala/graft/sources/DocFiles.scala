@@ -43,7 +43,12 @@ object DocFiles {
         // content-hash id when the dump has none: deterministic,
         // collision-safe at corpus scale (64-bit over distinct texts),
         // and stable across re-reads — re-ingestion dedups exactly.
-        coalesce(col("id"), xxhash64(col("text"))).as("doc_id"),
+        // Only for NON-NULL text: xxhash64(NULL) is the constant seed
+        // (42), so id-less corrupt lines would all collide on 42 and
+        // could shadow a legitimate doc — they keep a null doc_id and
+        // quarantine on corrupt_record instead.
+        coalesce(col("id"),
+          when(col("text").isNotNull, xxhash64(col("text")))).as("doc_id"),
         col("text"),
         col("lang"),
         coalesce(col("source"), lit(defaultSource)).as("source"),

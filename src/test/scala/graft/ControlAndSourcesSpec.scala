@@ -133,6 +133,10 @@ class ControlAndSourcesSpec extends SparkSpec {
     val bad = out.filter(col("corrupt_record").isNotNull)
       .select("corrupt_record").as[String].collect()
     assert(bad.toSeq == Seq("{not json at all"))
+    // corrupt rows do NOT mint an id (xxhash64(NULL) is the constant
+    // 42 — a minted one would collide with a legitimate doc_id 42)
+    assert(out.filter(col("corrupt_record").isNotNull)
+      .filter(col("doc_id").isNotNull).count() == 0)
     out.unpersist()
   }
 

@@ -279,6 +279,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(trained <= seed, s"refinement worsened distortion: $seed -> $trained")
   }
 
+  test("PQ: a vector dim not divisible by m RAISES instead of silently truncating") {
+    val s = spark
+    import s.implicits._
+    // dim 10, m 3: the old slice arithmetic would drop the last
+    // component of every vector and quietly skew all distances
+    val ragged = Seq((1L, (1 to 10).map(_.toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      ProductQuant.subvectors(ragged, m = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("not divisible")), ex.toString)
+  }
+
   test("PQ: ADC top-10 recalls most of the exact integer-L2 top-10") {
     import ProductQuant._
     val emb = Tables(spark, sf, "embeddings")

@@ -143,6 +143,27 @@ class TrainingPrepSpec extends SparkSpec {
       graft.ops.TrainingPrep.split(d, 9000L, 500L).select("doc_id", "split")).isEmpty)
   }
 
+  test("split lands NEGATIVE doc_ids in [0,10000) like the oracle's double-pmod") {
+    val s = spark
+    import s.implicits._
+    // hash-minted ids (DocFiles xxhash64) are ~half negative — the
+    // oracle twin is (((id % 1000003 + 1000003) % 1000003) * 48271
+    // + 12345) % 10000, verified here against the Spark assignment.
+    val ids = Seq(-1L, -42L, Long.MinValue + 1, -987654321098765L, 7L)
+    val d = ids.map(i => (i, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TrainingPrep.split(d, 9000L, 500L)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    def oracleBp(id: Long): Long =
+      ((id % 1000003L + 1000003L) % 1000003L * 48271L + 12345L) % 10000L
+    ids.foreach { i =>
+      val bp = oracleBp(i)
+      assert(bp >= 0L && bp < 10000L)
+      val want = if (bp < 9000L) "train" else if (bp < 9500L) "val" else "test"
+      assert(got(i) == want, s"doc_id=$i bp=$bp")
+    }
+  }
+
   test("epoch replication honors per-source weights incl. 0 and default") {
     val d = docs(0L -> "a", 1L -> "b", 2L -> "c", 3L -> "d") // sources src0..src3
     val out = TrainingPrep.epochMix(d,
