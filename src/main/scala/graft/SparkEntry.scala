@@ -2155,15 +2155,26 @@ object Oracles {
          |       regexp_replace(text, '${graft.ops.TextClean.PiiPattern}', '<PII>', 'g') AS scrubbed
          |FROM documents""".stripMargin,
 
+    // Winnow hashes UTF-8 BYTES (Winnow.scala nullSafeEval), so the
+    // oracle reconstructs the byte stream by nibble-parsing
+    // hex(encode(text)) — ord(substr(...)) would hash code POINTS and
+    // diverge on any non-ASCII document.
     "q34_winnow_fingerprints" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |         list_transform(range(1, length(text) - 5 + 2),
-        |           i -> list_reduce(
-        |                  list_transform(range(i, i + 5),
-        |                    p -> CAST(ord(substr(text, CAST(p AS INT), 1)) AS BIGINT)),
-        |                  (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+      """WITH raw AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
         |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, nb + 1),
+        |           i -> CAST((instr('0123456789ABCDEF', substr(hx, CAST(2*i - 1 AS INT), 1)) - 1) * 16
+        |                   + (instr('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1) AS BIGINT)) AS bs
+        |  FROM raw),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(bs) - 5 + 2),
+        |           i -> list_reduce(bs[i:i+4],
+        |                  (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        |  FROM b),
         |w AS (
         |  SELECT doc_id,
         |         list_transform(range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])) AS mins
@@ -2223,9 +2234,13 @@ object Oracles {
         |SELECT query_id, label, neighbor_id, cos_bp, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
 
-    // Media oracles: documents text is pure ASCII (verified at gen
-    // time), so DuckDB char positions == Spark binary byte positions
-    // and md5(VARCHAR) == md5 of the UTF-8 payload.
+    // Media oracles are BYTE-based and multilingual-safe: byte
+    // lengths/positions go through encode()/hex() (2 hex chars per
+    // byte), never through character positions. DuckDB md5(VARCHAR)
+    // hashes the string's UTF-8 encoding, which IS Spark's
+    // md5(cast(text AS binary)) for the whole payload; partial-byte
+    // slices (frames) use the md5-over-hex portable convention — see
+    // Multimodal.frameSample.
     "q28_media_metadata" ->
       """SELECT doc_id,
         |       (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
@@ -2236,26 +2251,41 @@ object Oracles {
         |FROM documents
         |WHERE text IS NOT NULL""".stripMargin,
 
+    // frames are sliced in HEX space (2 chars per byte): substr on the
+    // hex transcript is exact byte arithmetic regardless of where
+    // UTF-8 code points fall, and md5-over-hex is the engine's frame
+    // checksum convention (a 64-byte slice may split a code point, so
+    // the raw slice isn't necessarily a valid string in any engine).
     "q29_frame_sample" ->
       """WITH v AS (
-        |  SELECT doc_id, text, octet_length(encode(text)) AS len
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS len
         |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL)
         |SELECT doc_id,
         |       CAST(f AS BIGINT) AS frame_idx,
-        |       CAST(octet_length(encode(substr(text, CAST(f * 64 + 1 AS INT), 64))) AS BIGINT) AS frame_bytes,
-        |       md5(substr(text, CAST(f * 64 + 1 AS INT), 64)) AS frame_checksum
+        |       CAST(length(substr(h, CAST(f * 128 + 1 AS INT), 128)) // 2 AS BIGINT) AS frame_bytes,
+        |       md5(substr(h, CAST(f * 128 + 1 AS INT), 128)) AS frame_checksum
         |FROM v, unnest(range(0, CAST(ceil(len / 64.0) AS BIGINT), 4)) AS t(f)""".stripMargin,
 
+    // the decoded "sample stream" is the payload's UTF-8 BYTES —
+    // reconstructed here by nibble-parsing the hex transcript (ord()
+    // would give code POINTS and diverge on any non-ASCII text).
     "q30_media_features" -> {
+      val nib = (p: String) =>
+        s"(instr('0123456789ABCDEF', substr(h, CAST($p AS INT), 1)) - 1)"
       val bins = (0 until 16).map(b =>
         f"CAST(len(list_filter(codes, c -> c // 16 = $b)) AS BIGINT) AS hist$b%02d")
         .mkString(",\n        |       ")
-      s"""WITH m AS (
+      s"""WITH raw AS (
         |  SELECT doc_id,
         |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-        |         list_transform(range(1, length(text) + 1),
-        |                        i -> ord(substr(text, CAST(i AS INT), 1))) AS codes
-        |  FROM documents WHERE text IS NOT NULL)
+        |         hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, media_type,
+        |         list_transform(range(1, nb + 1),
+        |           i -> ${nib("2*i - 1")} * 16 + ${nib("2*i")}) AS codes
+        |  FROM raw)
         |SELECT doc_id, media_type,
         |       CAST(len(codes) AS BIGINT) AS byte_count,
         |       CAST(list_sum(codes) AS BIGINT) AS byte_sum,

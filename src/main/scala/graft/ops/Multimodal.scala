@@ -62,7 +62,18 @@ object Multimodal {
 
   /** Video frame sampling: split the payload into fixed-size frames and
     * keep every `everyK`-th one. Pure expressions — `substring` and
-    * `md5` work natively on binary, so this is codegen'd end-to-end. */
+    * `hex`/`md5` work natively on binary, so this is codegen'd
+    * end-to-end.
+    *
+    * Frame checksum convention: md5 over the UPPERCASE HEX transcript
+    * of the frame bytes, not over the raw bytes. A fixed-size byte
+    * slice can split a multi-byte UTF-8 code point, and SQL engines'
+    * md5 typically accepts only valid strings (DuckDB has no
+    * md5(BLOB)) — hex is injective in the bytes and pure ASCII, so
+    * the checksum stays byte-faithful AND reproducible in any engine
+    * (same portable-hash convention as MinHashSig/SimHash). The
+    * whole-payload checksum in [[packMedia]] stays md5 of the raw
+    * bytes: a full payload is never a partial code point. */
   def frameSample(media: DataFrame, everyK: Int = 4,
       frameBytes: Int = FrameBytes): DataFrame = {
     val nFrames = ceil(col("meta.byte_length") / lit(frameBytes.toDouble)).cast("int")
@@ -77,7 +88,7 @@ object Multimodal {
         col("doc_id"),
         (col("pos") * everyK).cast("long").as("frame_idx"),
         octet_length(col("frame")).cast("long").as("frame_bytes"),
-        md5(col("frame")).as("frame_checksum"))
+        md5(hex(col("frame"))).as("frame_checksum"))
   }
 
   /** One decoded record: per-byte "pixel" statistics + a 16-bin

@@ -195,18 +195,106 @@ class EdgeCasesSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("64-bit mask")), e.getMessage)
   }
 
-  // The q28-q30/q34 oracles equate DuckDB character positions/codes
-  // with Spark byte offsets (Winnow hashes UTF-8 bytes, the media
-  // oracles use substr/ord). That equivalence holds iff documents.text
-  // is pure ASCII — asserted here against the actual testdata instead
-  // of only in comments. Non-ASCII corpora need byte-based oracles
-  // (encode() + code-point arithmetic) before reusing those queries.
-  test("testdata documents.text is pure ASCII (byte==char oracle precondition)") {
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val nonAscii = docs.filter(col("text").isNotNull &&
-      (octet_length(col("text")) =!= length(col("text")) ||
-        col("text").rlike("[^\\x00-\\x7F]")))
-    assert(nonAscii.count() == 0,
-      "documents.text contains non-ASCII; q28-q30/q34 oracles assume byte==char")
+  // ---- multilingual byte-correctness (the former byte==char gap) ----
+  //
+  // The q28-q30/q34 oracles are now BYTE-based (hex(encode(text))
+  // nibble parsing in DuckDB), so they no longer require ASCII input.
+  // These tests prove the Spark side itself is byte-correct on CJK /
+  // Cyrillic / accented text by checking media + winnow ops against an
+  // INDEPENDENT plain-JVM recompute over getBytes(UTF-8). Every
+  // fixture text has octet_length > char length — the byte==char
+  // shortcut can't silently pass. (Fixture stays in the basic
+  // multilingual plane: Spark's split(s, '') works on UTF-16 units so
+  // non-BMP code points would split into surrogate halves — a
+  // documented engine-wide tokenization caveat, not a media/winnow
+  // one.)
+
+  private val cjkTexts: Map[Long, String] = Map(
+    5L -> "自营商品 第三方商品 データ 分析 エンジン 性能 測定",     // video (5 % 3 == 2)
+    6L -> "Привет мир это тест кодировки текста",                   // image
+    7L -> "Größe straße über café naïve déjà vu Ω ω",               // audio
+    8L -> "한국어 텍스트 품질 점수 측정 테스트 구간 경계 확인",     // video
+    11L -> ("日本語テキスト 処理 " * 24).trim)                      // video, multi-frame
+  private def cjkDocs = {
+    val s = spark
+    import s.implicits._
+    cjkTexts.toSeq.sortBy(_._1)
+      .map { case (id, t) => (id, t, "xx", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"$x%02x").mkString
+  private def hexUpper(b: Array[Byte]): String =
+    b.map(x => f"$x%02X").mkString
+
+  test("fixture really is multi-byte: every text has more bytes than chars") {
+    cjkTexts.values.foreach(t => assert(t.getBytes("UTF-8").length > t.length, t))
+  }
+
+  test("media metadata (q28 twin) is byte-true on CJK text") {
+    val meta = Multimodal.mediaMetadata(Multimodal.packMedia(cjkDocs))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    cjkTexts.foreach { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      val r = meta(id)
+      assert(r.getAs[Long]("byte_length") == b.length.toLong, s"doc $id")
+      assert(r.getAs[String]("checksum") == md5hex(b), s"doc $id")
+      assert(r.getAs[Long]("height") == math.ceil(b.length / 16.0).toLong)
+    }
+  }
+
+  test("frame sampling (q29 twin) slices BYTES (not chars) on CJK text") {
+    val frames = Multimodal.frameSample(Multimodal.packMedia(cjkDocs))
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val videoIds = cjkTexts.keySet.filter(_ % 3 == 2)
+    assert(frames.keySet == videoIds)
+    videoIds.foreach { id =>
+      val b = cjkTexts(id).getBytes("UTF-8")
+      val expectIdx = 0 until math.ceil(b.length / 64.0).toInt by 4
+      val got = frames(id).sortBy(_.getAs[Long]("frame_idx"))
+      assert(got.map(_.getAs[Long]("frame_idx")).toSeq == expectIdx.map(_.toLong))
+      got.foreach { f =>
+        val i = f.getAs[Long]("frame_idx").toInt
+        val slice = b.slice(i * 64, math.min((i + 1) * 64, b.length))
+        assert(f.getAs[Long]("frame_bytes") == slice.length.toLong)
+        // frame checksum convention: md5 over the uppercase hex of the
+        // byte slice (the slice may split a UTF-8 code point)
+        assert(f.getAs[String]("frame_checksum") ==
+          md5hex(hexUpper(slice).getBytes("US-ASCII")), s"doc $id frame $i")
+      }
+    }
+  }
+
+  test("media features (q30 twin) decode UTF-8 BYTES on CJK text") {
+    val feats = Multimodal.decodeFeatures(Multimodal.packMedia(cjkDocs))
+      .collect().map(f => f.doc_id -> f).toMap
+    cjkTexts.foreach { case (id, t) =>
+      val codes = t.getBytes("UTF-8").map(_ & 0xff)
+      val f = feats(id)
+      assert(f.byte_count == codes.length.toLong, s"doc $id")
+      assert(f.byte_sum == codes.map(_.toLong).sum, s"doc $id")
+      val hist = new Array[Long](Multimodal.HistBins)
+      codes.foreach(c => hist(c * Multimodal.HistBins / 256) += 1)
+      assert(f.hist.toSeq == hist.toSeq, s"doc $id")
+    }
+  }
+
+  test("winnow fingerprints (q34 twin) hash UTF-8 BYTES on CJK text") {
+    // independent recompute: direct per-gram polynomial (not the
+    // rolling update the expression uses)
+    def expected(t: String, k: Int, w: Int): Seq[Long] = {
+      val bs = t.getBytes("UTF-8").map(_ & 0xffL)
+      val grams = bs.sliding(k).map(g =>
+        g.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)).toArray
+      if (grams.length < w) Seq.empty
+      else grams.sliding(w).map(_.min).toSeq.distinct.sorted
+    }
+    val out = TextAnalysis.winnowFingerprints(cjkDocs)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fp")).toSeq.sorted }
+    cjkTexts.foreach { case (id, t) =>
+      assert(out.getOrElse(id, Seq.empty) == expected(t, 5, 4), s"doc $id")
+    }
   }
 }
