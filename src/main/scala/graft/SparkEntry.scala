@@ -59,11 +59,12 @@ object SparkEntry {
     "q34_winnow_fingerprints" -> (Queries.winnowFingerprints _),
     "q35_median_quantity" -> (Queries.medianQuantity _),
     "q36_rollup_totals" -> (Queries.rollupTotals _),
-    // no oracleSql (approx sketch differs per engine) → driver records
-    // the weaker rows-only check; ApproxSpec pins the 1.5% rsd bound.
+    // sketch estimates are engine-specific, so these emit the EXACT
+    // twin + a sketch-within-bound verdict (Percentiles
+    // .approxDistinctChecked/approxMedianChecked) — fully
+    // hash-checkable: a drifting sketch flips sketch_ok and the row
+    // mismatches. ApproxSpec still pins the raw sketch ops directly.
     "q37_approx_distinct" -> (Queries.approxDistinct _),
-    // no oracleSql (sketch internals differ per engine) → rows-only
-    // check; ApproxSpec pins the accuracy bound against q35's exact twin.
     "q38_approx_median" -> (Queries.approxMedian _),
     "q39_user_activity" -> (Queries.userActivity _),
     "q40_user_visit_action" -> (Queries.userVisitAction _),
@@ -470,10 +471,11 @@ object Queries {
       "l_returnflag", "l_linestatus", "l_extendedprice")
 
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Percentiles.approxDistinct(Tables(spark, dir, "orders"), "o_orderpriority", "o_custkey")
+    Percentiles.approxDistinctChecked(Tables(spark, dir, "orders"),
+      "o_orderpriority", "o_custkey")
 
   def approxMedian(spark: SparkSession, dir: String): DataFrame =
-    Percentiles.approxMedianCents(Tables(spark, dir, "lineitem"),
+    Percentiles.approxMedianChecked(Tables(spark, dir, "lineitem"),
       "l_returnflag", "l_quantity")
 
   /** A10/W6: the reference's Spark-2 Dataset demo surface
@@ -1399,6 +1401,30 @@ object Oracles {
         |SELECT l_returnflag,
         |       CAST(FLOOR(AVG(l_quantity) * 100) AS BIGINT) AS median_cents,
         |       CAST(MIN(n) AS BIGINT) AS n_rows
+        |FROM r
+        |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY 1""".stripMargin,
+
+    // q37/q38: the sketch estimate itself is engine-specific, so the
+    // Spark side emits (exact twin, sketch-within-bound verdict) and
+    // the oracle's verdict column is literal 1 — a sketch out of bound
+    // flips sketch_ok to 0 on the Spark side and fails the hash match.
+    "q37_approx_distinct" ->
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+        |       CAST(1 AS INT) AS sketch_ok
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q38_approx_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       CAST(FLOOR(AVG(l_quantity) * 100) AS BIGINT) AS median_cents,
+        |       CAST(MIN(n) AS BIGINT) AS n_rows,
+        |       CAST(1 AS INT) AS sketch_ok
         |FROM r
         |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
         |GROUP BY 1""".stripMargin,

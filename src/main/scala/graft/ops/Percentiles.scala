@@ -123,4 +123,41 @@ object Percentiles {
       rsd: Double = 0.015): DataFrame =
     df.groupBy(col(groupCol))
       .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+
+  // ---- driver-checkable sketch verification frames ----
+  //
+  // Sketch estimates are engine-specific (HLL/KLL internals differ per
+  // implementation), so the raw ops above can never hash-match a
+  // cross-engine oracle. These twins make the sketches first-class in
+  // the correctness gate anyway: compute the EXACT answer alongside
+  // the sketch and emit (exact, sketch_ok) where sketch_ok is the
+  // sketch's bounded-error verdict. The output is deterministic — an
+  // oracle emits the exact value and literal TRUE — and the sketch
+  // still participates: if it ever drifts out of bound, sketch_ok
+  // flips to 0 and the row hash-mismatches. The exact side is
+  // gate-shaped (count-distinct shuffles values; fine at verification
+  // scale) — production code uses the sketch ops above alone.
+
+  /** q37 twin: exact distinct + HLL-within-`maxErrBp` verdict. */
+  def approxDistinctChecked(df: DataFrame, groupCol: String, valueCol: String,
+      rsd: Double = 0.015, maxErrBp: Long = 500L): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        countDistinct(col(valueCol)).as("exact_distinct"),
+        approx_count_distinct(col(valueCol), rsd).as("sketch"))
+      .select(col(groupCol), col("exact_distinct"),
+        (abs(col("sketch") - col("exact_distinct")) * lit(10000L) <=
+          col("exact_distinct") * lit(maxErrBp)).cast("int").as("sketch_ok"))
+
+  /** q38 twin: exact histogram median + KLL-within-`maxErrCents`
+    * verdict (sketch quantile definitions differ from the rank
+    * midpoint by at most one value step on a discrete domain). */
+  def approxMedianChecked(df: DataFrame, groupCol: String, valueCol: String,
+      accuracy: Int = 10000, maxErrCents: Long = 100L): DataFrame =
+    medianCents(df, groupCol, valueCol)
+      .join(approxMedianCents(df, groupCol, valueCol, accuracy)
+        .withColumnRenamed("n_rows", "n_rows_a"), Seq(groupCol))
+      .select(col(groupCol), col("median_cents"), col("n_rows"),
+        (abs(col("approx_median_cents") - col("median_cents")) <=
+          lit(maxErrCents)).cast("int").as("sketch_ok"))
 }
