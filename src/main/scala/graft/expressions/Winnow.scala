@@ -3,15 +3,15 @@ package graft.expressions
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
   * SIGMOD'03 — the MOSS algorithm): polynomial rolling hash over
-  * character k-grams, minimum per window of `w` consecutive hashes,
-  * distinct minima returned sorted.
+  * byte k-grams of the UTF-8 text, minimum per window of `w`
+  * consecutive hashes, distinct minima returned sorted.
   *
   * hash(c₁..c_k) = Σ cᵢ·31^(k-i) mod 1000000007, computed with an O(n)
   * rolling update — one fused pass per row, no intermediate k-gram
@@ -19,12 +19,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * layers). Guarantee: any shared substring of length ≥ w+k−1 between
   * two documents yields at least one shared fingerprint.
   *
-  * Oracle twin (DuckDB): nested list_transform/list_reduce with the
-  * same base/modulus, `list_min` over `hs[j:j+w-1]` slices,
+  * Codegen: the kernel lives in [[Winnow.compute]] and BOTH paths call
+  * it — interpreted eval directly, generated code as a static call —
+  * so the expression stays inside WholeStageCodegen (the fingerprint
+  * pass is a full corpus scan at 100 TB; a CodegenFallback here would
+  * break the codegen span of every plan it appears in) with zero risk
+  * of eval/codegen drift.
+  *
+  * Oracle twin (DuckDB): nibble-parse hex(encode(text)) to the byte
+  * stream, nested list_transform/list_reduce with the same
+  * base/modulus, `list_min` over `hs[j:j+w-1]` slices,
   * `list_sort(list_distinct(...))` — see the q34 oracle SQL.
   */
 case class Winnow(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
 
@@ -37,23 +45,44 @@ case class Winnow(child: Expression, k: Int, w: Int)
       s"$prettyName requires string, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(input: Any): Any =
+    Winnow.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = Winnow.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.compute($a, $k, $w);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
+object Winnow {
+  val Base = 31L
+  val Prime = 1000000007L
+
+  /** The O(n) winnowing kernel over the string's UTF-8 bytes. Static
+    * so generated code can call it — keep the signature stable, it is
+    * referenced from codegen as a fully-qualified static call. */
+  def compute(input: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val bytes = input.getBytes
     val n = bytes.length
     val nGrams = n - k + 1
-    if (nGrams < w) return new GenericArrayData(Array.empty[Long])
-    val P = Winnow.Prime
-    // B^(k-1) mod P for the rolling removal of the outgoing character
+    if (nGrams < w) return new GenericArrayData(Array.emptyLongArray)
+    val P = Prime
+    // B^(k-1) mod P for the rolling removal of the outgoing byte
     var powK = 1L
-    for (_ <- 1 until k) powK = powK * Winnow.Base % P
+    var b = 1
+    while (b < k) { powK = powK * Base % P; b += 1 }
     val hashes = new Array[Long](nGrams)
     var h = 0L
     var i = 0
-    while (i < k) { h = (h * Winnow.Base + (bytes(i) & 0xffL)) % P; i += 1 }
+    while (i < k) { h = (h * Base + (bytes(i) & 0xffL)) % P; i += 1 }
     hashes(0) = h
     while (i < n) {
       val out = (bytes(i - k) & 0xffL) * powK % P
-      h = ((h + P - out) % P * Winnow.Base + (bytes(i) & 0xffL)) % P
+      h = ((h + P - out) % P * Base + (bytes(i) & 0xffL)) % P
       hashes(i - k + 1) = h
       i += 1
     }
@@ -72,14 +101,6 @@ case class Winnow(child: Expression, k: Int, w: Int)
     while (it.hasNext) { arr(p) = it.next(); p += 1 }
     new GenericArrayData(arr)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Winnow =
-    copy(child = newChild)
-}
-
-object Winnow {
-  val Base = 31L
-  val Prime = 1000000007L
 
   def fingerprints(text: Column, k: Int, w: Int): Column =
     GraftSql.column(Winnow(GraftSql.expression(text), k, w))

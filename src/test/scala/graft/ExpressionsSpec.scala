@@ -187,4 +187,14 @@ class ExpressionsSpec extends SparkSpec {
     val dotLine = plan.linesIterator.find(_.contains("graft_dot")).get
     assert(dotLine.trim.startsWith("*"), s"graft_dot not codegen'd:\n$plan")
   }
+
+  test("Winnow participates in WholeStageCodegen (no CodegenFallback)") {
+    // the fingerprint pass is a full corpus scan — a fallback here
+    // would also break the codegen span of every enclosing plan
+    val plan = graft.ops.TextAnalysis.winnowFingerprints(Tables(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_winnow")).get
+    assert(line.trim.startsWith("*"), s"graft_winnow not codegen'd:\n$plan")
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
 }
