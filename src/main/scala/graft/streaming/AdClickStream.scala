@@ -25,9 +25,10 @@ import graft.sink.{KeyedStore, StoreProvider}
   *     blacklist via store-side increment + threshold read-back; the
   *     running totals live in the store so they survive restarts,
   *     exactly the reference's MySQL-state design). T4's increments
-  *     are NOT idempotent, so they apply on one driver connection in
-  *     a single transaction with a batch marker — the driver-side
-  *     key set is days x offender-candidates x ads of ONE batch.
+  *     are NOT idempotent, so each PARTITION applies its increments
+  *     in one store transaction together with a (query, partition)
+  *     idempotence-ledger row — replays skip exactly the partitions
+  *     that already committed. No driver-side data path.
   *  2. `adStatQuery` — T5 (ad_stat totals) + T6/W2 (province top-3)
   *     as an update-mode stateful aggregation: Spark's checkpointed
   *     state holds the running (day, province, city, ad) totals, so
@@ -41,11 +42,12 @@ import graft.sink.{KeyedStore, StoreProvider}
   *     only changed minutes are re-upserted each batch (the
   *     reference's reduceByKeyAndWindow re-published the whole hour).
   *
-  * Scale notes: NO aggregate-grain driver collect remains on the T5
-  * path — at the reference's 0.5-1 G events/day a 5 s batch's
-  * (day, province, city, ad) key set can be millions of rows, which
-  * now flow executor→store over per-partition pooled connections
-  * (T9) instead of through one driver connection. Store reads are
+  * Scale notes: NO driver-side collect remains on ANY path — at the
+  * reference's 0.5-1 G events/day a 5 s batch's aggregate key sets
+  * can be millions of rows, and they all flow executor→store over
+  * per-partition pooled connections (T9) instead of through one
+  * driver connection (idempotent puts directly; non-idempotent
+  * increments under the per-partition ledger). Store reads are
   * proportional to the BATCH's key set, not accumulated state:
   * threshold checks are point-gets on just-incremented keys, top-3
   * re-ranking prefix-scans only touched groups. The one full-table
@@ -58,9 +60,10 @@ object AdClickStream {
     * 5-second micro-batches (T1) via this default trigger. */
   val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
 
-  /** Result tables plus the one-key batch marker (`k1` = query name,
-    * `v` = last applied batchId) — provision ALL of these when backing
-    * the sink with a real database. */
+  /** Result tables plus the idempotence ledger (`k1` = query name,
+    * `k2` = "batch" or "p&lt;partitionId&gt;", `v` = last applied
+    * batchId) — provision ALL of these when backing the sink with a
+    * real database. */
   val Tables: Seq[String] = Seq(
     "ad_user_click_count", "ad_blacklist", "ad_stat",
     "ad_province_top3", "ad_click_trend", "__applied_batch__")
@@ -76,13 +79,17 @@ object AdClickStream {
       finally store.close()
     }
 
-  /** Marker key recording the last applied batch per query — the
-    * exactly-once guard: foreachBatch may re-deliver a batch after a
-    * failure, and the store's increments are not idempotent, so a
-    * replayed batchId must be skipped AND a partially-applied batch
-    * must never be visible. All non-idempotent writes (T4/T5
-    * increments, blacklist inserts, top-3 replace) are therefore
-    * applied atomically with the marker in ONE store transaction. */
+  /** Idempotence ledger for non-idempotent (increment) writes. Keys
+    * are (query, scope) where scope is `"batch"` for the batch-grain
+    * fast-skip marker or `"p<partitionId>"` for the per-partition
+    * ledger: foreachBatch may re-deliver a batch after a failure, and
+    * each PARTITION applies its increments atomically with its ledger
+    * row in one store transaction — so a replayed batch re-applies
+    * exactly the partitions that did not commit, and nothing twice.
+    * Partition contents are deterministic under replay: the source
+    * re-delivers the same offsets and Spark pins
+    * spark.sql.shuffle.partitions in the streaming checkpoint, so the
+    * count frame hashes to the same partitions. */
   private val AppliedMarker = "__applied_batch__"
 
   /** One-partition RDD whose compute() reads the store's blacklist AT
@@ -113,51 +120,65 @@ object AdClickStream {
     spark.createDataFrame(new BlacklistRDD(spark.sparkContext, provider),
       StructType(Seq(StructField("user_id", LongType))))
 
-  /** The J9+T4 micro-batch body (exposed for tests).
+  /** The J9+T4 micro-batch body (exposed for tests) — fully
+    * distributed: NO driver-side collect anywhere on the path.
     *
-    * Work split: the EVENT-grain work (parse, blacklist anti-join,
-    * counting) runs distributed; the resulting (day, user, ad) count
-    * frame — bounded by one batch's active users × ads — is collected
-    * and applied on one driver connection inside a transaction with
-    * the batch marker, because increments are NOT idempotent and a
-    * replayed or half-applied batch must not double-count. (T5/T6
-    * moved to `adStatQuery`, whose absolute-total puts ARE idempotent
-    * and ship per-partition; the trend query likewise.) */
+    * The event-grain work (parse, blacklist anti-join, counting) runs
+    * distributed as before; the (day, user, ad) count frame now ALSO
+    * applies executor-side, per partition. Increments are NOT
+    * idempotent, so each partition commits its increments atomically
+    * WITH its (query, partition) ledger row: on replay — whole batch
+    * or a single failed task — a partition whose ledger row already
+    * carries this batchId skips, so nothing double-counts and a
+    * half-applied partition (crash before commit) rolls back. The
+    * count frame has ONE row per key (it is the batch aggregate), so
+    * the threshold read-back right after a key's increment sees the
+    * key's full post-batch total — same verdicts as the old two-pass
+    * driver transaction. A batch-grain marker written after all
+    * partitions commit makes clean replays skip without recompute.
+    * (T5/T6 live in `adStatQuery`, whose absolute-total puts are
+    * idempotent without any ledger; the trend query likewise.) */
   def statsBatch(provider: StoreProvider, threshold: Long)(
       batch: DataFrame, batchId: Long): Unit = {
     val store = provider.open()
-    try {
-      val lastApplied = store.scan(AppliedMarker)
-        .collectFirst { case (List("stats"), v) => v }.getOrElse(-1L)
-      if (batchId <= lastApplied) return // replayed batch — already applied
-      // J9: anti-join against the *current* blacklist (per-batch
-      // freshness, matching the reference's per-batch MySQL re-read).
-      val black = blacklistFrame(batch.sparkSession, provider)
-      val clicks = batch.join(broadcast(black), Seq("user_id"), "left_anti")
-      val userCounts = AdAnalytics.clickCounts(clicks).collect()
+    val lastApplied = try store.get(AppliedMarker, Seq("stats", "batch")).getOrElse(-1L)
+    finally store.close()
+    if (batchId <= lastApplied) return // cleanly applied batch — skip
 
-      store.txBegin()
-      // T4: per-(day,user,ad) totals ...
-      userCounts.foreach { r =>
-        store.increment("ad_user_click_count",
-          Seq(r.getString(0), r.getLong(1).toString, r.getLong(2).toString),
-          r.getLong(3))
+    // J9: anti-join against the *current* blacklist (per-batch
+    // freshness, matching the reference's per-batch MySQL re-read).
+    val black = blacklistFrame(batch.sparkSession, provider)
+    val clicks = batch.join(broadcast(black), Seq("user_id"), "left_anti")
+    AdAnalytics.clickCounts(clicks).foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) { // empty partitions need no ledger row
+        val pid = TaskContext.getPartitionId()
+        val s = provider.open()
+        try {
+          val applied = s.get(AppliedMarker, Seq("stats", s"p$pid")).getOrElse(-1L)
+          if (applied < batchId) {
+            s.txBegin()
+            rows.foreach { r =>
+              // T4: per-(day,user,ad) totals, then the threshold
+              // read-back on just-incremented keys only — only a key
+              // incremented this batch can newly cross the threshold,
+              // and earlier offenders are already blacklisted. Point
+              // lookups are the reference's own T4 shape (:502-504);
+              // insertKey dedups (A8).
+              val key = Seq(r.getString(0), r.getLong(1).toString, r.getLong(2).toString)
+              s.increment("ad_user_click_count", key, r.getLong(3))
+              if (s.get("ad_user_click_count", key).exists(_ >= threshold))
+                s.insertKey("ad_blacklist", Seq(key(1)))
+            }
+            s.put(AppliedMarker, Seq("stats", s"p$pid"), batchId)
+            s.txCommit()
+          }
+        } finally s.close()
       }
-      // ... then read back offenders among THIS batch's keys only —
-      // only a key that was just incremented can newly cross the
-      // threshold, and earlier offenders are already blacklisted. A
-      // full-state scan here would grow with history (days × users ×
-      // ads) while the batch's key set stays batch-sized; per-key
-      // lookups are also the reference's own T4 shape (:502-504).
-      // insertKey dedups (A8).
-      userCounts.foreach { r =>
-        val key = Seq(r.getString(0), r.getLong(1).toString, r.getLong(2).toString)
-        if (store.get("ad_user_click_count", key).exists(_ >= threshold))
-          store.insertKey("ad_blacklist", Seq(key(1)))
-      }
-      store.put(AppliedMarker, Seq("stats"), batchId)
-      store.txCommit()
-    } finally store.close()
+    }
+    // all partitions committed — record the batch-grain fast path
+    val s2 = provider.open()
+    try s2.put(AppliedMarker, Seq("stats", "batch"), batchId)
+    finally s2.close()
   }
 
   /** Query 1: dynamic blacklist (J9/T4). */

@@ -154,6 +154,28 @@ class StreamingSpec extends SparkSpec {
       .apply(List("2026-01-01", "1", "1")) == 4L)
   }
 
+  test("statsBatch has no driver collect; partial replay can't double-count") {
+    val s = spark
+    import s.implicits._
+    val store = "partial-replay-test"
+    InMemoryStore.clear(store)
+    val parsed = AdAnalytics.parseAdLog(Seq(
+      line(T0, "East", "Metro", 1, 1), line(T0 + 1000, "East", "Metro", 1, 1),
+      line(T0 + 2000, "West", "Hills", 2, 2)).toDF("value"))
+    val body = AdClickStream.statsBatch(InMemoryProvider(store), 100L) _
+    body(parsed, 0L)
+    val applied = new InMemoryStore(store).scan("ad_user_click_count").toMap
+    assert(applied == Map(
+      List("2026-01-01", "1", "1") -> 2L, List("2026-01-01", "2", "2") -> 1L))
+    // simulate a crash AFTER every partition committed but BEFORE the
+    // batch-grain marker landed: erase the fast-path marker and replay.
+    // The per-partition ledger rows (committed atomically with each
+    // partition's increments) must make the replay a no-op.
+    new InMemoryStore(store).put("__applied_batch__", Seq("stats", "batch"), -1L)
+    body(parsed, 0L)
+    assert(new InMemoryStore(store).scan("ad_user_click_count").toMap == applied)
+  }
+
   test("adStatBatch replay: absolute-total puts make a re-delivered batch a no-op") {
     val s = spark
     import s.implicits._
