@@ -69,7 +69,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def f(v: Double): String = f"$v%.3f"
-    val mb = 1024.0 * 1024.0
     // pass 1 = cold (includes per-query codegen); pass 2 = steady state.
     // Cold times + byte metrics go to stderr per query (diagnostics);
     // stdout carries ONE compact JSON line at the end — both prior
@@ -81,20 +80,31 @@ object Bench {
       bytes.reset() // attribute bytes to the steady pass only
       val steady = once(name, fn)
       GraftSpark.drainListeners(spark.sparkContext)
+      val (rows, sr, sw) = (bytes.rows.sum, bytes.sRead.sum, bytes.sWrite.sum)
       System.err.println(
         s"[bench] $name cold=${f(cold)} steady=${f(steady)}" +
-          s" input_rows=${bytes.rows.sum}" +
-          f" shuffle_r_mb=${bytes.sRead.sum / mb}%.1f" +
-          f" shuffle_w_mb=${bytes.sWrite.sum / mb}%.1f")
+          s" input_rows=$rows shuffle_r_b=$sr shuffle_w_b=$sw")
       bytes.reset()
-      (name, cold, steady)
+      (name, cold, steady, rows, sr, sw)
     }
-    val steady = results.map { case (k, _, w) => s"\"" + k + "\":" + f(w) }
+    val steady = results.map { case (k, _, w, _, _, _) => s"\"" + k + "\":" + f(w) }
       .mkString("{", ",", "}")
+    // contention-invariant per-query metrics IN the JSON line so the
+    // driver gate can diff plans across rounds mechanically (wall time
+    // can't tell a regression from machine contention — round-2
+    // lesson). Budget: the harness tail-parses ONE stdout line and
+    // rounds 1-2 overflowed it with two full-name maps, so this map
+    // uses the short query id and K-scaled integers:
+    //   io[qNN] = [input_rows/1000, shuffle_read_KB, shuffle_write_KB]
+    // (ceil; exact byte values stay on stderr above).
+    val kceil = (v: Long) => (v + 999) / 1000
+    val io = results.map { case (k, _, _, rows, sr, sw) =>
+      s"\"" + k.takeWhile(_ != '_') + s"\":[${kceil(rows)},${kceil(sr)},${kceil(sw)}]"
+    }.mkString("{", ",", "}")
     val steadyTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     System.err.println(s"[bench] cold_total=${f(coldTotal)} steady_total=${f(steadyTotal)}")
-    println(s"""{"metric":"steady_total","value":${f(steadyTotal)},"unit":"sec","queries":$steady,"sf":"$sfDir"}""")
+    println(s"""{"metric":"steady_total","value":${f(steadyTotal)},"unit":"sec","queries":$steady,"io":$io,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
