@@ -130,7 +130,20 @@ object ScaleProbe {
     t("bpe learn 3r")(graft.ops.Bpe.learn(docs))
     // user dimension amplified with the facts here: retention work is
     // (user, day)-grain, so cost tracks users × active days.
-    t("cohort retention")(graft.ops.Retention.cohortRetention(events))
+    t("cohort retention")(graft.ops.Retention.cohortRetention(events,
+      ("2024-01-01", "2024-12-31")))
+    // HISTORY growth: same users, mult× longer history (each copy
+    // shifts time by 35 days). The required window keeps per-user
+    // state flat — this probe must NOT scale with mult beyond the
+    // scan, unlike the amplified-users probe above.
+    val eventsLongHistory = (0 until mult).map { i =>
+      graft.tables.Tables(spark, dir, "events")
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 35} DAYS"))
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+    }.reduce(_ union _)
+    t("cohort retention (windowed, long history)")(
+      graft.ops.Retention.cohortRetention(eventsLongHistory,
+        ("2024-01-01", "2024-01-31")))
     t("active users 7d")(graft.ops.Retention.activeUsers(events))
     t("profile exact")(graft.ops.Profile.profile(docs,
       Seq("doc_id", "text", "lang", "source")))

@@ -576,12 +576,17 @@ object Queries {
     TrainingPrep.evalSample(Tables(spark, dir, "documents"), EvalSampleK)
 
   val RetentionMaxOffset = 14
+  /** Analysis window covering the whole fixture (events span Jan
+    * 2024) — the REQUIRED bound cohortRetention's scale contract
+    * demands; both engines apply the identical predicate. */
+  val RetentionWindow: (String, String) = ("2024-01-01", "2024-01-31")
   val ActiveWindowDays = 7
   val P95Bp = 9500L
 
   /** Cohort retention triangle over the events stream. */
   def retention(spark: SparkSession, dir: String): DataFrame =
-    Retention.cohortRetention(Tables(spark, dir, "events"), RetentionMaxOffset)
+    Retention.cohortRetention(Tables(spark, dir, "events"),
+      RetentionWindow, RetentionMaxOffset)
 
   /** DAU / trailing-7-day WAU / stickiness per day. */
   def activeUsers(spark: SparkSession, dir: String): DataFrame =
@@ -1976,8 +1981,10 @@ object Oracles {
 
     "q75_retention" -> {
       val m = Queries.RetentionMaxOffset
+      val (wFrom, wTo) = Queries.RetentionWindow
       s"""WITH ud AS (
-         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+         |  WHERE CAST(ts AS DATE) BETWEEN DATE '$wFrom' AND DATE '$wTo'),
          |c AS (SELECT user_id, MIN(d) AS cohort_d FROM ud GROUP BY 1)
          |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_date,
          |       CAST(d - cohort_d AS BIGINT) AS offset_days,

@@ -55,9 +55,23 @@ object Retention {
           .as("stickiness_bp"))
   }
 
-  def cohortRetention(events: DataFrame, maxOffsetDays: Int = 14): DataFrame =
+  /** Cohort retention over a REQUIRED analysis window
+    * (`window = (fromDate, toDate)`, inclusive ISO dates). The window
+    * predicate applies BEFORE the per-user aggregate, so per-user
+    * state is bounded by the window length no matter how many years
+    * of history the input frame carries — without it, collect_set
+    * grows with history (calendar-bounded, but a multi-year scan is
+    * exactly how a retention job gets run by accident). Making the
+    * bound a required parameter keeps the scale contract in the
+    * signature instead of in a comment. Cohorts are windowed too:
+    * a user first seen before `fromDate` cohorts at their first
+    * in-window day, the standard windowed-retention semantics. */
+  def cohortRetention(events: DataFrame, window: (String, String),
+      maxOffsetDays: Int = 14): DataFrame =
     events
       .select(col("user_id"), to_date(col("ts")).as("d"))
+      .filter(col("d").between(lit(window._1).cast("date"),
+        lit(window._2).cast("date")))
       .groupBy(col("user_id"))
       .agg(collect_set(col("d")).as("ds"))
       // horizon filter BEFORE the explode: out-of-horizon days never

@@ -189,7 +189,8 @@ class RetrievalSpec extends SparkSpec {
       (2L, t(0)), (2L, t(1)),                  // user 2: cohort d0, back d1
       (3L, t(2)), (3L, t(20))                  // user 3: cohort d2; d20 > horizon
     ).toDF("user_id", "ts")
-    val out = graft.ops.Retention.cohortRetention(events, maxOffsetDays = 14)
+    val out = graft.ops.Retention.cohortRetention(events,
+        ("2026-01-01", "2026-12-31"), maxOffsetDays = 14)
       .as[(String, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(out == Map(
@@ -197,6 +198,23 @@ class RetrievalSpec extends SparkSpec {
       ("2026-01-01", 1L) -> 1L,  // user 2
       ("2026-01-01", 2L) -> 1L,  // user 1
       ("2026-01-03", 0L) -> 1L)) // user 3; its d20 return is past the horizon
+  }
+
+  test("retention: the required window bounds per-user state and re-cohorts") {
+    val s = spark
+    import s.implicits._
+    val T0 = 1767225600000L // 2026-01-01 UTC
+    def t(day: Int) = new java.sql.Timestamp(T0 + day * 86400000L + 3600000L)
+    // user 1 has a long history; only the window [d10, d30] counts,
+    // and their cohort inside the window is d10 (not d0)
+    val events = Seq(
+      (1L, t(0)), (1L, t(5)), (1L, t(10)), (1L, t(12)), (1L, t(40)))
+      .toDF("user_id", "ts")
+    val out = graft.ops.Retention.cohortRetention(events,
+        ("2026-01-11", "2026-01-31"), maxOffsetDays = 14)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(("2026-01-11", 0L) -> 1L, ("2026-01-11", 2L) -> 1L))
   }
 
   test("active users: trailing window counts a user once; stickiness floors") {
