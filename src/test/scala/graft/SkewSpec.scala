@@ -30,4 +30,57 @@ class SkewSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(saltCounts.forall(_ > 1), "hot groups should spread over multiple salts")
   }
+
+  // SURVEY §2's J3 (skew isolation join), J4 (salted expansion join)
+  // and P6 (×N expansion flatMap) are "design" rows: the reference's
+  // hand-rolled skew machinery is deliberately replaced by AQE's
+  // OptimizeSkewedJoin. That claim is load-bearing, so pin it: on a
+  // fixture with one hot key, the final adaptive plan must actually
+  // mark the join skew-optimized — if a Spark upgrade or config drift
+  // ever turned this off, the design rows would silently lose their
+  // coverage.
+  test("AQE OptimizeSkewedJoin fires on a skewed shuffle join (J3/J4/P6 pin)") {
+    val s = spark
+    import s.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // production defaults (5x median, 256 MB) scaled to fixture size
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      // force a shuffled join — a broadcast join has no skew to split
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 120
+      val hot = spark.range(100000).select(lit(0L).as("k"),
+        concat(lit(pad), col("id").cast("string")).as("payload"))
+      val cold = spark.range(8000).select((col("id") % 40 + 1).as("k"),
+        lit(pad).as("payload"))
+      val left = hot.union(cold)
+      val right = spark.range(41).select(col("id").as("k"),
+        (col("id") * 7).as("dim"))
+      val joined = left.join(right, "k")
+      // materialize THIS frame's own query execution (count() would
+      // plan a different query and leave this adaptive plan unrun)
+      assert(joined.collect().length == 108000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
