@@ -375,10 +375,15 @@ object Queries {
     ProductQuant.adcTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
       PqM, PqK)
 
-  /** IVF-PQ: list-routed ADC (nProbe=1 keeps the oracle exact). */
-  def ivfPq(spark: SparkSession, dir: String): DataFrame =
-    ProductQuant.ivfPqTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
-      PqM, PqK)
+  /** IVF-PQ on the TRAINED codebook: one symbolically-unrolled
+    * integer-Lloyd refinement of the seed book (q61 keeps the seed
+    * variant, so both codebook paths stay oracle-covered); nProbe=1
+    * keeps routing deterministic. */
+  def ivfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    ProductQuant.ivfPqTopK(emb, knnQueryPred, PqM, PqK,
+      book0 = Some(ProductQuant.trainedCodebook(emb, PqM, PqK, iters = 1)))
+  }
 
   val SplitTrainBp = 9000L
   val SplitValBp = 500L
@@ -1750,6 +1755,12 @@ object Oracles {
 
     // IVF-PQ = q32's routing CTEs + q61's PQ CTEs, label carried
     // through encoding; nProbe=1 (pr = 1) keeps routing deterministic.
+    // Unlike q61 (seed book), this runs the TRAINED codebook path:
+    // one integer-Lloyd refinement of the seed book, symbolically
+    // unrolled (the q52 kmeans pattern) — ref/book2/dists2/enc2
+    // reproduce ProductQuant.refineCodebook's floor-mean update and
+    // re-encode exactly (floor of an exact-int double division and
+    // min-packed argmin are both bit-stable cross-engine).
     "q62_ivf_pq" -> {
       val m = Queries.PqM; val k = Queries.PqK
       s"""WITH e AS (
@@ -1782,6 +1793,27 @@ object Oracles {
          |  SELECT vec_id, label, sub,
          |         CAST(MIN(dist * 256 + code) % 256 AS BIGINT) AS code
          |  FROM dists GROUP BY 1, 2, 3),
+         |ref AS (
+         |  SELECT en.sub, en.code, i AS pos,
+         |         CAST(FLOOR(CAST(SUM(v.qs[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM enc en JOIN sv v ON v.vec_id = en.vec_id AND v.sub = en.sub,
+         |       unnest(range(1, len(v.qs) + 1)) rr(i)
+         |  GROUP BY 1, 2, 3),
+         |book2 AS (
+         |  SELECT sub, code, centroid,
+         |         CAST(list_sum(list_transform(centroid, v -> v * v)) AS BIGINT) AS c_n2
+         |  FROM (SELECT sub, code, list(c ORDER BY pos) AS centroid
+         |        FROM ref GROUP BY sub, code)),
+         |dists2 AS (
+         |  SELECT v.vec_id, v.label, v.sub, b.code,
+         |         v.n2s + b.c_n2 - 2 * CAST(list_sum(list_transform(
+         |           range(1, len(v.qs) + 1),
+         |           i -> v.qs[i] * b.centroid[i])) AS BIGINT) AS dist
+         |  FROM sv v JOIN book2 b USING (sub)),
+         |enc2 AS (
+         |  SELECT vec_id, label, sub,
+         |         CAST(MIN(dist * 256 + code) % 256 AS BIGINT) AS code
+         |  FROM dists2 GROUP BY 1, 2, 3),
          |centdim AS (
          |  SELECT label, i AS pos,
          |         CAST(FLOOR(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
@@ -1814,8 +1846,8 @@ object Oracles {
          |  SELECT a.query_id, a.label, en.vec_id AS neighbor_id,
          |         CAST(SUM(d.dist) AS BIGINT) AS adc_dist
          |  FROM assigned a
-         |  JOIN enc en ON en.label = a.label AND en.vec_id != a.query_id
-         |  JOIN dists d ON d.vec_id = a.query_id AND d.sub = en.sub
+         |  JOIN enc2 en ON en.label = a.label AND en.vec_id != a.query_id
+         |  JOIN dists2 d ON d.vec_id = a.query_id AND d.sub = en.sub
          |              AND d.code = en.code
          |  GROUP BY 1, 2, 3),
          |ranked AS (
