@@ -87,7 +87,11 @@ object Bench {
       bytes.reset()
       (name, cold, steady, rows, sr, sw)
     }
-    val steady = results.map { case (k, _, w, _, _, _) => s"\"" + k + "\":" + f(w) }
+    // short query ids (qNN — ContractSpec pins uniqueness) in BOTH
+    // maps: the full names cost ~1.3 KB of the tail-capture budget
+    // and the driver's documented format uses short ids anyway.
+    val qid = (k: String) => k.takeWhile(_ != '_')
+    val steady = results.map { case (k, _, w, _, _, _) => s"\"" + qid(k) + "\":" + f(w) }
       .mkString("{", ",", "}")
     // contention-invariant per-query metrics IN the JSON line so the
     // driver gate can diff plans across rounds mechanically (wall time
@@ -99,7 +103,7 @@ object Bench {
     // (ceil; exact byte values stay on stderr above).
     val kceil = (v: Long) => (v + 999) / 1000
     val io = results.map { case (k, _, _, rows, sr, sw) =>
-      s"\"" + k.takeWhile(_ != '_') + s"\":[${kceil(rows)},${kceil(sr)},${kceil(sw)}]"
+      s"\"" + qid(k) + s"\":[${kceil(rows)},${kceil(sr)},${kceil(sw)}]"
     }.mkString("{", ",", "}")
     val steadyTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum

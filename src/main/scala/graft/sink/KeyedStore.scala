@@ -52,13 +52,30 @@ trait StoreProvider extends Serializable {
 object InMemoryStore {
   private val registries =
     new ConcurrentHashMap[String, ConcurrentHashMap[(String, List[String]), java.lang.Long]]()
+  private val txLocks =
+    new ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
   private[sink] def registry(name: String) =
     registries.computeIfAbsent(name, _ => new ConcurrentHashMap())
+  private[sink] def txLock(name: String) =
+    txLocks.computeIfAbsent(name, _ => new java.util.concurrent.locks.ReentrantLock())
   def clear(name: String): Unit = registries.remove(name)
 }
 
 final class InMemoryStore(name: String) extends KeyedStore {
   private val m = InMemoryStore.registry(name)
+  private var inTx = false
+
+  /** Transactions here give MUTUAL EXCLUSION only (one registry-wide
+    * lock, so the lock-then-check idempotence protocol serializes in
+    * tests exactly like a row lock would on a real database) — NOT
+    * rollback; a crash mid-tx leaves its writes applied. Use the
+    * JdbcStore for rollback semantics. */
+  override def txBegin(): Unit = {
+    InMemoryStore.txLock(name).lock(); inTx = true
+  }
+  override def txCommit(): Unit = {
+    inTx = false; InMemoryStore.txLock(name).unlock()
+  }
   def increment(table: String, key: Seq[String], delta: Long): Unit =
     m.merge((table, key.toList), delta, (a, b) => a + b)
   def get(table: String, key: Seq[String]): Option[Long] =
@@ -78,7 +95,8 @@ final class InMemoryStore(name: String) extends KeyedStore {
     m.forEach { (k, v) => if (k._1 == table) out += ((k._2, v.longValue())) }
     out.result()
   }
-  def close(): Unit = ()
+  def close(): Unit =
+    if (inTx) { inTx = false; InMemoryStore.txLock(name).unlock() } // crash path
 }
 
 final case class InMemoryProvider(name: String) extends StoreProvider {

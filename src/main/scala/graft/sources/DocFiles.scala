@@ -53,7 +53,13 @@ object DocFiles {
         col("lang"),
         coalesce(col("source"), lit(defaultSource)).as("source"),
         length(col("text")).cast("long").as("n_chars"),
-        col("_corrupt").as("corrupt_record"))
+        // a syntactically VALID line with no text is still not a
+        // document — flag it so the standard corrupt_record-not-null
+        // quarantine catches both failure shapes (malformed JSON keeps
+        // its raw line; a text-less record gets a sentinel)
+        coalesce(col("_corrupt"),
+          when(col("text").isNull, lit("__missing_text__")))
+          .as("corrupt_record"))
 
   /** Read a one-document-per-file text tree (`wholetext`): each file
     * becomes one row, the relative path is the source. Language is

@@ -61,12 +61,12 @@ object AdClickStream {
   val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
 
   /** Result tables plus the idempotence ledger (`k1` = query name,
-    * `k2` = "batch" or "p&lt;partitionId&gt;", `v` = last applied
-    * batchId) — provision ALL of these when backing the sink with a
-    * real database. */
+    * `k2` = "batch" or "p&lt;partitionId&gt;", `v` = applied batchId
+    * + 1 — see AppliedMarker) — provision ALL of these when backing
+    * the sink with a real database. */
   val Tables: Seq[String] = Seq(
     "ad_user_click_count", "ad_blacklist", "ad_stat",
-    "ad_province_top3", "ad_click_trend", "__applied_batch__")
+    "ad_province_top3", "ad_click_trend", "graft_applied_batch")
 
   /** T9: executor-side batched writes — one store connection per
     * partition, like the reference's pooled foreachPartition DAOs.
@@ -82,15 +82,37 @@ object AdClickStream {
   /** Idempotence ledger for non-idempotent (increment) writes. Keys
     * are (query, scope) where scope is `"batch"` for the batch-grain
     * fast-skip marker or `"p<partitionId>"` for the per-partition
-    * ledger: foreachBatch may re-deliver a batch after a failure, and
-    * each PARTITION applies its increments atomically with its ledger
-    * row in one store transaction — so a replayed batch re-applies
-    * exactly the partitions that did not commit, and nothing twice.
-    * Partition contents are deterministic under replay: the source
-    * re-delivers the same offsets and Spark pins
-    * spark.sql.shuffle.partitions in the streaming checkpoint, so the
-    * count frame hashes to the same partitions. */
-  private val AppliedMarker = "__applied_batch__"
+    * ledger; values are `appliedBatchId + 1` (ledger rows are created
+    * at 0 by the create-or-lock increment, so 0 must mean "nothing
+    * applied" — batch ids start at 0). foreachBatch may re-deliver a
+    * batch after a failure, and each PARTITION applies its increments
+    * atomically with its ledger row in one store transaction — so a
+    * replayed batch re-applies exactly the partitions that did not
+    * commit, and nothing twice.
+    *
+    * Partition identity is replay-stable BY CONSTRUCTION, not by
+    * config: the count frame is explicitly
+    * `repartition(LedgerParts, keys)` — a REPARTITION_BY_NUM shuffle
+    * that AQE never coalesces, with a fixed partition count and
+    * Spark's deterministic hash partitioning — so a key maps to the
+    * same partition id in every attempt of every replay. (Relying on
+    * the aggregation's own output partitions would break: AQE
+    * coalesces those by runtime size, which can shift after a partial
+    * apply.)
+    *
+    * Concurrent attempts of the SAME partition (speculative
+    * execution, zombie task overlapping its retry) are serialized by
+    * a lock-then-check INSIDE the transaction: the ledger row is
+    * created-or-locked (increment of 0 → a row-level write lock on
+    * any real database), then read — the second attempt blocks on the
+    * row lock until the first commits and then sees its batchId and
+    * skips. */
+  private val AppliedMarker = "graft_applied_batch"
+
+  /** Fixed partition count of the T4 apply stage (see AppliedMarker):
+    * part of the ledger's on-disk contract — changing it invalidates
+    * in-flight per-partition ledger rows, so drain the stream first. */
+  val LedgerParts = 32
 
   /** One-partition RDD whose compute() reads the store's blacklist AT
     * TASK RUNTIME. Wrapped in a DataFrame and used as the static side
@@ -141,43 +163,57 @@ object AdClickStream {
   def statsBatch(provider: StoreProvider, threshold: Long)(
       batch: DataFrame, batchId: Long): Unit = {
     val store = provider.open()
-    val lastApplied = try store.get(AppliedMarker, Seq("stats", "batch")).getOrElse(-1L)
+    val lastApplied = try store.get(AppliedMarker, Seq("stats", "batch")).getOrElse(0L)
     finally store.close()
-    if (batchId <= lastApplied) return // cleanly applied batch — skip
+    if (batchId < lastApplied) return // cleanly applied batch — skip
 
     // J9: anti-join against the *current* blacklist (per-batch
     // freshness, matching the reference's per-batch MySQL re-read).
+    // Replay nuance: a user blacklisted by a partition that committed
+    // before the crash is anti-joined away on replay, so their
+    // residual counts in never-committed partitions are not applied —
+    // benign, because a blacklisted user's counts only existed to
+    // trigger the blacklisting (the reference has the same one-batch
+    // exclusion lag).
     val black = blacklistFrame(batch.sparkSession, provider)
     val clicks = batch.join(broadcast(black), Seq("user_id"), "left_anti")
-    AdAnalytics.clickCounts(clicks).foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.hasNext) { // empty partitions need no ledger row
-        val pid = TaskContext.getPartitionId()
-        val s = provider.open()
-        try {
-          val applied = s.get(AppliedMarker, Seq("stats", s"p$pid")).getOrElse(-1L)
-          if (applied < batchId) {
+    AdAnalytics.clickCounts(clicks)
+      // fixed-count keyed repartition = replay-stable partition ids
+      // (see AppliedMarker scaladoc)
+      .repartition(LedgerParts, col("dt"), col("user_id"), col("ad_id"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.hasNext) { // empty partitions need no ledger row
+          val pid = TaskContext.getPartitionId()
+          val lkey = Seq("stats", s"p$pid")
+          val s = provider.open()
+          try {
             s.txBegin()
-            rows.foreach { r =>
-              // T4: per-(day,user,ad) totals, then the threshold
-              // read-back on just-incremented keys only — only a key
-              // incremented this batch can newly cross the threshold,
-              // and earlier offenders are already blacklisted. Point
-              // lookups are the reference's own T4 shape (:502-504);
-              // insertKey dedups (A8).
-              val key = Seq(r.getString(0), r.getLong(1).toString, r.getLong(2).toString)
-              s.increment("ad_user_click_count", key, r.getLong(3))
-              if (s.get("ad_user_click_count", key).exists(_ >= threshold))
-                s.insertKey("ad_blacklist", Seq(key(1)))
+            // create-or-lock the ledger row, THEN check it — inside
+            // the transaction, so a concurrent attempt of the same
+            // partition blocks on the row lock instead of racing
+            s.increment(AppliedMarker, lkey, 0L)
+            if (s.get(AppliedMarker, lkey).getOrElse(0L) <= batchId) {
+              rows.foreach { r =>
+                // T4: per-(day,user,ad) totals, then the threshold
+                // read-back on just-incremented keys only — only a key
+                // incremented this batch can newly cross the threshold,
+                // and earlier offenders are already blacklisted. Point
+                // lookups are the reference's own T4 shape (:502-504);
+                // insertKey dedups (A8).
+                val key = Seq(r.getString(0), r.getLong(1).toString, r.getLong(2).toString)
+                s.increment("ad_user_click_count", key, r.getLong(3))
+                if (s.get("ad_user_click_count", key).exists(_ >= threshold))
+                  s.insertKey("ad_blacklist", Seq(key(1)))
+              }
+              s.put(AppliedMarker, lkey, batchId + 1)
             }
-            s.put(AppliedMarker, Seq("stats", s"p$pid"), batchId)
             s.txCommit()
-          }
-        } finally s.close()
+          } finally s.close()
+        }
       }
-    }
     // all partitions committed — record the batch-grain fast path
     val s2 = provider.open()
-    try s2.put(AppliedMarker, Seq("stats", "batch"), batchId)
+    try s2.put(AppliedMarker, Seq("stats", "batch"), batchId + 1)
     finally s2.close()
   }
 

@@ -6,37 +6,43 @@ import org.scalatest.funsuite.AnyFunSuite
   * (no Spark session needed). */
 class ContractSpec extends AnyFunSuite {
 
-  /** Queries deliberately checked rows-only (approx sketches whose
-    * internals differ per engine); everything else MUST have an
-    * oracle, and every oracle must point at a real query — a typo'd
-    * key would silently weaken the driver's correctness gate. */
-  private val rowsOnly = Set("q37_approx_distinct", "q38_approx_median")
-
-  test("every query has a DuckDB oracle unless deliberately rows-only") {
+  test("every query has a DuckDB oracle (no rows-only checks remain)") {
+    // Since round 4 even the approx sketches (q37/q38) are
+    // hash-checked via exact-twin + bounded-verdict outputs; every
+    // query MUST have an oracle, and every oracle must point at a
+    // real query — a typo'd key would silently weaken the driver's
+    // correctness gate.
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q -- o) == rowsOnly, s"queries missing oracles: ${q -- o -- rowsOnly}")
+    assert((q -- o).isEmpty, s"queries missing oracles: ${q -- o}")
     assert((o -- q).isEmpty, s"orphan oracles (typo'd key?): ${o -- q}")
   }
 
-  test("query names are stable snake_case qNN_ identifiers") {
+  test("query names are stable snake_case qNN_ identifiers; short ids unique") {
     SparkEntry.queries.keys.foreach { k =>
       assert(k.matches("q\\d{2}_[a-z0-9_]+"), s"bad query name: $k")
     }
+    // Bench keys its JSON maps by the qNN prefix — a collision would
+    // silently drop a query from the result line
+    val short = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
+    assert(short.distinct.size == short.size, "short query ids collide")
   }
 
   test("bench JSON line fits the harness output-tail capture budget") {
     // The harness keeps only the tail of captured stdout; round 1's
     // full-precision two-map line (~5 KB) was front-truncated and
-    // failed its JSON parse, so Bench now prints ONE steady-state map
-    // (cold times go to stderr). Reconstruct the worst case of the
-    // CURRENT format and keep headroom under a conservative 3.5 KB.
-    val names = SparkEntry.queries.keys.toSeq
-    val map = names.map(n => s""""$n":999.999""").mkString("{", ",", "}")
+    // failed its JSON parse. The current format prints ONE line with
+    // short-id keys: a steady-seconds map and a K-scaled io triple
+    // map. Reconstruct the worst case (999.999 s per query, 100 M
+    // input rows, 1 GB shuffle each way per query) and keep headroom
+    // under 4 KB — comfortably inside the ~5 KB known-bad point.
+    val ids = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val qmap = ids.map(n => s""""$n":999.999""").mkString("{", ",", "}")
+    val iomap = ids.map(n => s""""$n":[99999,999999,999999]""").mkString("{", ",", "}")
     val line =
       s"""{"metric":"steady_total","value":9999.999,"unit":"sec",""" +
-        s""""queries":$map,"sf":"/root/testdata/sf0.1"}"""
-    assert(line.length <= 3500,
+        s""""queries":$qmap,"io":$iomap,"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length <= 4000,
       s"bench line ${line.length}B — trim digits or split maps before adding more queries")
   }
 }

@@ -116,6 +116,7 @@ class ControlAndSourcesSpec extends SparkSpec {
       """{"id": 7, "text": "hello world", "lang": "en", "source": "web"}
         |{"text": "no id doc", "lang": "de"}
         |{not json at all
+        |{"lang": "fr", "source": "dump"}
         |""".stripMargin)
     val out = graft.sources.DocFiles.readJsonl(spark, dir).cache()
     val good = out.filter(col("corrupt_record").isNull)
@@ -129,14 +130,21 @@ class ControlAndSourcesSpec extends SparkSpec {
     val again = graft.sources.DocFiles.readJsonl(spark, dir)
       .filter(col("text") === "no id doc").select("doc_id").as[Long].head()
     assert(noId._1 == again)
-    // the corrupt line is quarantined, not fatal, and carries its raw text
+    // BOTH failure shapes quarantine on corrupt_record: malformed
+    // JSON keeps its raw line; a valid line with no text (not a
+    // document) gets the sentinel — nothing slips through with a
+    // null doc_id and no flag
     val bad = out.filter(col("corrupt_record").isNotNull)
-      .select("corrupt_record").as[String].collect()
-    assert(bad.toSeq == Seq("{not json at all"))
+      .select("corrupt_record").as[String].collect().sorted
+    assert(bad.toSeq == Seq("__missing_text__", "{not json at all"))
     // corrupt rows do NOT mint an id (xxhash64(NULL) is the constant
     // 42 — a minted one would collide with a legitimate doc_id 42)
     assert(out.filter(col("corrupt_record").isNotNull)
       .filter(col("doc_id").isNotNull).count() == 0)
+    // and the quarantine is exhaustive: every row either has an id or
+    // is flagged
+    assert(out.filter(col("doc_id").isNull &&
+      col("corrupt_record").isNull).count() == 0)
     out.unpersist()
   }
 

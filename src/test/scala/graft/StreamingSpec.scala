@@ -6,8 +6,40 @@ import java.sql.DriverManager
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.ops.AdAnalytics
-import graft.sink.{InMemoryProvider, InMemoryStore, JdbcStore}
+import graft.sink.{InMemoryProvider, InMemoryStore, JdbcStore, KeyedStore, StoreProvider}
 import graft.streaming.AdClickStream
+
+/** Fault injector for the exactly-once tests: delegates to a real
+  * Derby-backed JdbcStore but, while armed, throws ONCE right after a
+  * click-count increment — i.e. after real work, before the ledger
+  * row and the commit: exactly the window the per-partition
+  * transaction must cover. Top-level (a nested class would capture
+  * the unserializable suite); armed is a JVM global (local mode). */
+object CrashOnceProvider {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+final case class CrashOnceProvider(url: String) extends StoreProvider {
+  def open(): KeyedStore = new KeyedStore {
+    private val inner = new JdbcStore(DriverManager.getConnection(url))
+    def increment(table: String, key: Seq[String], delta: Long): Unit = {
+      inner.increment(table, key, delta)
+      if (table == "ad_user_click_count" &&
+          CrashOnceProvider.armed.compareAndSet(true, false))
+        throw new RuntimeException("injected crash: after increment, before commit")
+    }
+    def get(t: String, k: Seq[String]): Option[Long] = inner.get(t, k)
+    def put(t: String, k: Seq[String], v: Long): Unit = inner.put(t, k, v)
+    def insertKey(t: String, k: Seq[String]): Unit = inner.insertKey(t, k)
+    def replaceGroup(t: String, g: Seq[String],
+        rows: Seq[(Seq[String], Long)]): Unit = inner.replaceGroup(t, g, rows)
+    def scan(t: String): Seq[(List[String], Long)] = inner.scan(t)
+    override def scanPrefix(t: String, p: Seq[String]): Seq[(List[String], Long)] =
+      inner.scanPrefix(t, p)
+    override def txBegin(): Unit = inner.txBegin()
+    override def txCommit(): Unit = inner.txCommit()
+    def close(): Unit = inner.close()
+  }
+}
 
 /** Structured Streaming tests for the ad-click job (SURVEY §2.9) —
   * MemoryStream-driven micro-batches, results asserted in the keyed
@@ -171,7 +203,7 @@ class StreamingSpec extends SparkSpec {
     // batch-grain marker landed: erase the fast-path marker and replay.
     // The per-partition ledger rows (committed atomically with each
     // partition's increments) must make the replay a no-op.
-    new InMemoryStore(store).put("__applied_batch__", Seq("stats", "batch"), -1L)
+    new InMemoryStore(store).put("graft_applied_batch", Seq("stats", "batch"), -1L)
     body(parsed, 0L)
     assert(new InMemoryStore(store).scan("ad_user_click_count").toMap == applied)
   }
@@ -231,6 +263,42 @@ class StreamingSpec extends SparkSpec {
       assert(st.scan("ad_click_trend").nonEmpty)
       assert(st.scan("ad_blacklist").map(_._1.head).toSet == Set("1"))
     } finally qs.foreach(_.stop())
+  }
+
+  test("statsBatch on Derby: crash mid-partition rolls back; replay is exactly-once") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-derby-t4").toString
+    val boot = DriverManager.getConnection(s"jdbc:derby:$dir/db;create=true")
+    Seq(
+      """CREATE TABLE ad_user_click_count (k1 VARCHAR(32), k2 VARCHAR(32),
+        | k3 VARCHAR(32), v BIGINT, PRIMARY KEY (k1, k2, k3))""".stripMargin,
+      "CREATE TABLE ad_blacklist (k1 VARCHAR(32), v BIGINT, PRIMARY KEY (k1))",
+      """CREATE TABLE graft_applied_batch (k1 VARCHAR(32), k2 VARCHAR(32),
+        | v BIGINT, PRIMARY KEY (k1, k2))""".stripMargin
+    ).foreach(boot.createStatement().executeUpdate)
+    boot.close()
+
+    // two clicks per user so a double-applied partition would show 4
+    // and a dropped one 0 — both distinguishable from the correct 2
+    val rows = (1 to 8).flatMap(u =>
+      Seq(line(T0, "East", "Metro", u, 1), line(T0 + 1000L * u, "East", "Metro", u, 1)))
+    val parsed = AdAnalytics.parseAdLog(rows.toDF("value"))
+    val body = AdClickStream.statsBatch(
+      CrashOnceProvider(s"jdbc:derby:$dir/db"), 100L) _
+
+    // first attempt: one task performs a REAL increment, then dies
+    // before writing its ledger row or committing — the transaction
+    // must roll the increment back
+    CrashOnceProvider.armed.set(true)
+    intercept[Exception] { body(parsed, 0L) }
+    // replay: committed partitions skip via their ledger rows, the
+    // crashed (rolled-back) one re-applies — exactly-once overall
+    body(parsed, 0L)
+    val st = new JdbcStore(DriverManager.getConnection(s"jdbc:derby:$dir/db"))
+    try assert(st.scan("ad_user_click_count").toMap ==
+      (1 to 8).map(u => List("2026-01-01", u.toString, "1") -> 2L).toMap)
+    finally st.close()
   }
 
   test("JdbcStore: upsert semantics on embedded Derby (S9 sink surface)") {
