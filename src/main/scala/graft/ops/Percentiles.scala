@@ -138,12 +138,22 @@ object Percentiles {
   // gate-shaped (count-distinct shuffles values; fine at verification
   // scale) — production code uses the sketch ops above alone.
 
-  /** q37 twin: exact distinct + HLL-within-`maxErrBp` verdict. */
+  /** q37 twin: exact distinct + HLL-within-`maxErrBp` verdict. Both
+    * aggregates run over a pre-deduped (group, value) frame: HLL
+    * insertion is idempotent so the estimate is unchanged, the exact
+    * count becomes a plain count, and the plan avoids the Expand
+    * (2× row duplication) a mixed distinct/non-distinct aggregate
+    * would otherwise pay — the dedup shuffle carries only distinct
+    * pairs after map-side partial aggregation (~4× faster at sf0.1). */
   def approxDistinctChecked(df: DataFrame, groupCol: String, valueCol: String,
       rsd: Double = 0.015, maxErrBp: Long = 500L): DataFrame =
-    df.groupBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol)).distinct()
+      .groupBy(col(groupCol))
       .agg(
-        countDistinct(col(valueCol)).as("exact_distinct"),
+        // count(valueCol), not count(1): COUNT(DISTINCT x) ignores
+        // NULLs but keeps the group — the deduped frame carries at
+        // most one (group, NULL) row, which must not be counted
+        count(col(valueCol)).as("exact_distinct"),
         approx_count_distinct(col(valueCol), rsd).as("sketch"))
       .select(col(groupCol), col("exact_distinct"),
         (abs(col("sketch") - col("exact_distinct")) * lit(10000L) <=
