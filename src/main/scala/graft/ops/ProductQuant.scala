@@ -72,11 +72,16 @@ object ProductQuant {
         x => x.getField("c")).as("centroid"))
       .withColumn("c_n2", expr("aggregate(centroid, 0L, (acc, v) -> acc + v * v)"))
 
-  /** Seed + `iters` Lloyd refinements. */
+  /** Seed + `iters` Lloyd refinements. Persisted: every refinement is
+    * a full-corpus assignment pass, and consumers (encode + query
+    * LUT) each re-trigger the lineage otherwise — the book itself is
+    * m×k rows, so caching is free. (The seed book is NOT persisted by
+    * its consumers: its lineage is a filtered metadata-grain scan
+    * that fuses cheaper than a cache round-trip.) */
   def trainedCodebook(emb: DataFrame, m: Int, k: Int, iters: Int = 1): DataFrame =
     (1 to iters).foldLeft(seedCodebook(emb, m, k)) { (b, _) =>
       refineCodebook(emb, b, m)
-    }
+    }.persist()
 
   /** Nearest-code assignment per (vec, sub): exact integer distance,
     * code-asc tie-break, argmin packed into one long (KMeans' trick —
