@@ -106,7 +106,9 @@ object SparkEntry {
     "q76_active_users" -> (Queries.activeUsers _),
     "q77_p95_quantity" -> (Queries.p95Quantity _),
     "q78_substring_scrub" -> (Queries.substringScrub _),
-    "q79_eval_sample" -> (Queries.evalSample _)
+    "q79_eval_sample" -> (Queries.evalSample _),
+    "q80_source_cap" -> (Queries.sourceCap _),
+    "q81_source_cap_rate" -> (Queries.sourceCapRate _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -579,6 +581,17 @@ object Queries {
   /** Deterministic per-language human-eval holdout (md5 draw). */
   def evalSample(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.evalSample(Tables(spark, dir, "documents"), EvalSampleK)
+
+  val SourceCapK = 10
+  val SourceCapRateN = 20L
+
+  /** Per-source doc cap, exact variant (domain balancing). */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.sourceCapExact(Tables(spark, dir, "documents"), SourceCapK)
+
+  /** Per-source doc cap, zero-skew hash-rate variant. */
+  def sourceCapRate(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.sourceCapRate(Tables(spark, dir, "documents"), SourceCapRateN)
 
   val RetentionMaxOffset = 14
   /** Analysis window covering the whole fixture (events span Jan
@@ -2037,6 +2050,44 @@ object Oracles {
          |           ORDER BY draw, doc_id) AS BIGINT) AS rk
          |  FROM d)
          |SELECT lang, rk, doc_id FROM r WHERE rk <= $k""".stripMargin
+    },
+
+    "q80_source_cap" -> {
+      val k = Queries.SourceCapK
+      s"""WITH d AS (
+         |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS draw
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY draw, doc_id) AS BIGINT) AS rk
+         |  FROM d)
+         |SELECT source, rk, doc_id FROM r WHERE rk <= $k""".stripMargin
+    },
+
+    // first 32 bits of the md5 draw via the house instr-nibble parse
+    // (Spark's conv(hex,16,10) has no DuckDB twin); threshold =
+    // floor(2^32 * cap / n_src), one exact-int double divide (§7.3).
+    "q81_source_cap_rate" -> {
+      val n = Queries.SourceCapRateN
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH c AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+         |  FROM documents GROUP BY 1),
+         |d AS (
+         |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, source, CAST($draw32 AS BIGINT) AS draw32
+         |  FROM d)
+         |SELECT p.doc_id, p.source, c.n_src,
+         |       CAST(p.draw32 <
+         |         CAST(FLOOR(4294967296.0 * $n / c.n_src) AS BIGINT) AS INT) AS keep
+         |FROM p JOIN c ON p.source = c.source""".stripMargin
     },
 
     "q76_active_users" -> {

@@ -183,6 +183,50 @@ object TrainingPrep {
       .select(col(groupCol), col("rk"), col("doc_id"))
   }
 
+  /** Deterministic per-source document cap — the domain-balancing
+    * primitive (a C4/RefinedWeb-style pipeline step: no single
+    * source/domain may contribute more than `cap` docs to a
+    * mixture). EXACT variant: the `cap` docs with the smallest
+    * md5(doc_id) draw per source — the house layout-independent
+    * pseudo-random draw, so the same survivors come back on any
+    * cluster/rerun. Plans as WindowGroupLimit (rank pushdown): each
+    * map task forwards at most `cap` rows per source into the
+    * shuffle, so this is right when `cap` is SMALL; for
+    * corpus-fraction caps at 100 TB use [[sourceCapRate]]. */
+  def sourceCapExact(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    docs
+      .withColumn("draw", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("draw"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("source"), col("rk"), col("doc_id"))
+  }
+
+  /** Rate variant of the source cap, shaped for 100 TB: keep the
+    * deterministic hash-slice of each source sized `cap`/count. One
+    * count-grain aggregate (map-side partial, sources are a bounded
+    * domain), a broadcast join back, and a pure map filter — NO
+    * window, NO per-group ordering, zero skew sensitivity. The kept
+    * COUNT is binomial around `cap` (±√cap); WHICH docs survive is
+    * exact and rerun-stable: a doc is kept iff the first 32 bits of
+    * its md5 draw fall under the per-source threshold
+    * floor(2³² · cap / n_src) — one exact-int double divide + floor,
+    * bit-stable cross-engine (house float rules, SURVEY §7.3). */
+  def sourceCapRate(docs: DataFrame, cap: Long): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    docs
+      .join(broadcast(counts), "source")
+      .withColumn("draw32", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("keep",
+        (col("draw32") <
+          floor(lit(4294967296.0) * cap / col("n_src")).cast("long")).cast("int"))
+      .select(col("doc_id"), col("source"), col("n_src"), col("keep"))
+  }
+
   /** Curriculum quantile buckets: assign each document a difficulty
     * bucket 0..`buckets`-1 by corpus-wide quality rank (here the
     * type-token ratio from `TextAnalysis.textQuality`, descending —

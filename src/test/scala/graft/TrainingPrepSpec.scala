@@ -164,6 +164,46 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("source cap (exact): at most cap docs per source, deterministic, rank-pushed") {
+    val d = graft.tables.Tables(spark, sf, "documents")
+    val out = TrainingPrep.sourceCapExact(d, cap = 7)
+    val perSrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perSrc.nonEmpty && perSrc.values.forall(_ <= 7L))
+    // every source with >= 7 docs is capped at exactly 7
+    val totals = d.groupBy("source").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (s, n) =>
+      assert(perSrc.getOrElse(s, 0L) == math.min(n, 7L), s)
+    }
+    // rerun-stable survivors (layout-independent md5 draw)
+    assert(out.select("doc_id").exceptAll(
+      TrainingPrep.sourceCapExact(d, 7).select("doc_id")).isEmpty)
+    // WindowGroupLimit: map tasks forward at most cap rows per group
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("source cap (rate): kept count tracks cap, survivors are rerun-stable") {
+    val d = graft.tables.Tables(spark, sf, "documents")
+    val cap = 20L
+    val out = TrainingPrep.sourceCapRate(d, cap).cache()
+    val kept = out.filter(col("keep") === 1)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // binomial around cap: allow ±4·sqrt(cap) (±18) per source
+    kept.foreach { case (s, n) =>
+      assert(math.abs(n - cap) <= 18, s"$s kept $n vs cap $cap")
+    }
+    // a source smaller than the cap keeps everything (threshold >= 2^32)
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, "a", "solo"), (2L, "b", "solo"))
+      .toDF("doc_id", "text", "source")
+    assert(TrainingPrep.sourceCapRate(tiny, cap = 5L)
+      .filter(col("keep") === 1).count() == 2L)
+    // rerun-stable: identical keep verdicts
+    assert(out.exceptAll(TrainingPrep.sourceCapRate(d, cap)).isEmpty)
+    out.unpersist()
+  }
+
   test("epoch replication honors per-source weights incl. 0 and default") {
     val d = docs(0L -> "a", 1L -> "b", 2L -> "c", 3L -> "d") // sources src0..src3
     val out = TrainingPrep.epochMix(d,
