@@ -108,7 +108,8 @@ object SparkEntry {
     "q78_substring_scrub" -> (Queries.substringScrub _),
     "q79_eval_sample" -> (Queries.evalSample _),
     "q80_source_cap" -> (Queries.sourceCap _),
-    "q81_source_cap_rate" -> (Queries.sourceCapRate _)
+    "q81_source_cap_rate" -> (Queries.sourceCapRate _),
+    "q82_canonical_by_source" -> (Queries.canonicalBySource _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -584,6 +585,13 @@ object Queries {
 
   val SourceCapK = 10
   val SourceCapRateN = 20L
+  /** Provenance ranks for q82 (higher wins; absent sources rank 1). */
+  val SourcePriority: Map[String, Long] = Map("src1" -> 3L, "src4" -> 2L)
+
+  /** Provenance-aware exact dedup (curated beats crawl). */
+  def canonicalBySource(spark: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalBySource(Tables(spark, dir, "documents"),
+      SourcePriority, defaultPriority = 1L)
 
   /** Per-source doc cap, exact variant (domain balancing). */
   def sourceCap(spark: SparkSession, dir: String): DataFrame =
@@ -2063,6 +2071,28 @@ object Oracles {
          |           ORDER BY draw, doc_id) AS BIGINT) AS rk
          |  FROM d)
          |SELECT source, rk, doc_id FROM r WHERE rk <= $k""".stripMargin
+    },
+
+    // the Spark side's packed-struct argmax ≡ row_number() = 1 over
+    // (priority desc, doc_id asc) — the window formulation is the
+    // oracle twin of the partial-aggregable min(struct) plan.
+    "q82_canonical_by_source" -> {
+      val cases = Queries.SourcePriority.toSeq.sortBy(_._1)
+        .map { case (s, p) => s"WHEN source = '$s' THEN $p" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT doc_id, md5(text) AS text_hash,
+         |         CAST(CASE $cases ELSE 1 END AS BIGINT) AS prio
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (
+         |  SELECT text_hash, doc_id, prio,
+         |         ROW_NUMBER() OVER (PARTITION BY text_hash
+         |           ORDER BY prio DESC, doc_id ASC) AS rn,
+         |         COUNT(*) OVER (PARTITION BY text_hash) AS dup_count
+         |  FROM d)
+         |SELECT text_hash, doc_id AS canonical_doc_id,
+         |       prio AS canonical_priority,
+         |       CAST(dup_count AS BIGINT) AS dup_count
+         |FROM r WHERE rn = 1""".stripMargin
     },
 
     // first 32 bits of the md5 draw via the house instr-nibble parse

@@ -45,6 +45,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Provenance-aware exact dedup: when the same text arrives from
+    * several sources, keep the copy from the HIGHEST-priority source
+    * (curated > licensed > crawl — the standard mixture rule), doc-id
+    * tie-break. Same one-shuffle shape as [[exactDedup]]: the winner
+    * is a min over a packed (−priority, doc_id) struct, so the argmax
+    * stays a partial-aggregable hash aggregate — no window over dup
+    * groups, no second pass. `priority` is a typed when-chain (source
+    * names are data-domain strings — never spliced into SQL text);
+    * absent sources get `defaultPriority`. */
+  def canonicalBySource(docs: DataFrame, priority: Map[String, Long],
+      defaultPriority: Long = 0L): DataFrame = {
+    val prio = priority.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPriority)) { case (acc, (s, p)) =>
+        when(col("source") === lit(s), lit(p)).otherwise(acc)
+      }
+    docs
+      .filter(col("text").isNotNull)
+      .select(md5(col("text")).as("text_hash"), col("doc_id"),
+        prio.cast("long").as("prio"))
+      .groupBy(col("text_hash"))
+      .agg(
+        count(lit(1)).as("dup_count"),
+        min(struct((-col("prio")).as("np"), col("doc_id").as("id"))).as("w"))
+      .select(col("text_hash"), col("w.id").as("canonical_doc_id"),
+        (-col("w.np")).as("canonical_priority"), col("dup_count"))
+  }
+
   /** MinHash signature columns mh00..mh15: per hash k, the minimum of
     * a k-mixed 28-bit md5 over the document's shingle set — computed
     * in ONE fused pass by the graft_minhash_sig expression (one md5

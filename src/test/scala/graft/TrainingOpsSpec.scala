@@ -27,6 +27,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out == Set((5L, 2L), (7L, 1L)))
   }
 
+  test("canonicalBySource: highest-priority source wins, not lowest doc_id") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "same text", "crawl"),    // lowest id but lowest priority
+      (8L, "same text", "curated"),  // priority 3 → canonical despite id 8
+      (5L, "same text", "licensed"), // priority 2
+      (3L, "unique", "crawl"),
+      (4L, null.asInstanceOf[String], "crawl")) // null text dropped
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.canonicalBySource(d,
+        Map("curated" -> 3L, "licensed" -> 2L), defaultPriority = 1L)
+      .select("canonical_doc_id", "canonical_priority", "dup_count")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((8L, 3L, 3L), (3L, 1L, 1L)))
+    // equal priority falls back to min doc_id (exactDedup semantics)
+    val tie = Dedup.canonicalBySource(
+        d.filter(col("source") === "crawl"), Map.empty)
+      .select("canonical_doc_id").as[Long].collect().toSet
+    assert(tie == Set(1L, 3L))
+  }
+
   test("minhash LSH finds an exact duplicate pair (jaccard 10000)") {
     val t = "the quick brown fox jumps over the lazy dog again and again"
     val out = Dedup.minhashDedupPairs(
