@@ -264,19 +264,103 @@ object GraftProperties extends Properties("graft") {
       flagged == expect
     }
 
+  /** genDocs with SIGNED ids — hash-minted doc ids are ~half negative,
+    * and id-arithmetic ops (split) must be verified there too. */
+  private val genSignedDocs: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(2, 12)
+    ids <- Gen.listOfN(n,
+      Gen.choose(Long.MinValue + 1, Long.MaxValue)).map(_.distinct)
+    docs <- Gen.sequence[Seq[(Long, String)], (Long, String)](ids.map { id =>
+      for {
+        len <- Gen.choose(0, 8)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield (id, toks.mkString(" "))
+    })
+  } yield docs
+
   property("split assigns every doc exactly one of train/val/test, by doc_id only") =
-    forAll(genDocs) { rows =>
+    forAll(genSignedDocs) { rows =>
+      // floorMod at BOTH levels — the engine's double-pmod; a plain %
+      // twin diverges on negative ids (the inner-mod sign leaks
+      // through the multiply, see TrainingPrep.split)
       val out = graft.ops.TrainingPrep.split(docsDf(rows), 8000L, 1000L)
         .select("doc_id", "split").collect()
         .map(r => (r.getLong(0), r.getString(1)))
       out.length == rows.length && out.forall { case (id, s) =>
         Set("train", "val", "test")(s) &&
-          s == (((id % 1000003L) * 48271L + 12345L) % 10000L match {
+          s == (Math.floorMod(
+            Math.floorMod(id, 1000003L) * 48271L + 12345L, 10000L) match {
             case bp if bp < 8000L => "train"
             case bp if bp < 9000L => "val"
             case _ => "test"
           })
       }
+    }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  property("sourceCapExact keeps exactly the cap smallest md5 draws per source") =
+    forAll(genDocs, Gen.choose(1, 5)) { (rows, cap) =>
+      // sources assigned deterministically so groups have 1+ members
+      val srcOf = (id: Long) => s"src${id % 3}"
+      val d = {
+        val s = spark
+        import s.implicits._
+        rows.map { case (id, t) => (id, t, "en", srcOf(id)) }
+          .toDF("doc_id", "text", "lang", "source")
+      }
+      val expect = rows.map(_._1).groupBy(srcOf)
+        .flatMap { case (_, ids) =>
+          ids.sortBy(id => (md5Hex(id.toString), id)).take(cap)
+        }.toSet
+      val got = graft.ops.TrainingPrep.sourceCapExact(d, cap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      got == expect
+    }
+
+  property("sourceCapRate keep verdict == independent md5-prefix threshold") =
+    forAll(genDocs, Gen.choose(1L, 6L)) { (rows, cap) =>
+      val srcOf = (id: Long) => s"src${id % 2}"
+      val d = {
+        val s = spark
+        import s.implicits._
+        rows.map { case (id, t) => (id, t, "en", srcOf(id)) }
+          .toDF("doc_id", "text", "lang", "source")
+      }
+      val counts = rows.map(_._1).groupBy(srcOf).view.mapValues(_.size.toLong).toMap
+      val expect = rows.map { case (id, _) =>
+        val draw32 = java.lang.Long.parseLong(md5Hex(id.toString).take(8), 16)
+        val thr = math.floor(4294967296.0 * cap / counts(srcOf(id))).toLong
+        id -> (if (draw32 < thr) 1 else 0)
+      }.toMap
+      val got = graft.ops.TrainingPrep.sourceCapRate(d, cap)
+        .select("doc_id", "keep").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      got == expect
+    }
+
+  property("canonicalBySource winner == max (priority, -doc_id) per text group") =
+    forAll(genDocs) { rows =>
+      val srcOf = (id: Long) => s"src${id % 3}"
+      val prio = Map("src0" -> 5L, "src2" -> 2L) // src1 → default 1
+      val d = {
+        val s = spark
+        import s.implicits._
+        rows.map { case (id, t) => (id, t, "en", srcOf(id)) }
+          .toDF("doc_id", "text", "lang", "source")
+      }
+      val expect = rows.groupBy(_._2).map { case (_, group) =>
+        val winner = group.minBy { case (id, _) =>
+          (-prio.getOrElse(srcOf(id), 1L), id)
+        }._1
+        winner -> group.size.toLong
+      }
+      val got = graft.ops.Dedup.canonicalBySource(d, prio, 1L)
+        .select("canonical_doc_id", "dup_count").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect
     }
 
   property("substringDupSpans == brute-force gram-frequency cover") =
