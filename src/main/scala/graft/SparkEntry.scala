@@ -109,7 +109,8 @@ object SparkEntry {
     "q79_eval_sample" -> (Queries.evalSample _),
     "q80_source_cap" -> (Queries.sourceCap _),
     "q81_source_cap_rate" -> (Queries.sourceCapRate _),
-    "q82_canonical_by_source" -> (Queries.canonicalBySource _)
+    "q82_canonical_by_source" -> (Queries.canonicalBySource _),
+    "q83_strip_markup" -> (Queries.stripMarkup _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -592,6 +593,10 @@ object Queries {
   def canonicalBySource(spark: SparkSession, dir: String): DataFrame =
     Dedup.canonicalBySource(Tables(spark, dir, "documents"),
       SourcePriority, defaultPriority = 1L)
+
+  /** Markup/boilerplate strip (ingest-side web-dump cleanup). */
+  def stripMarkup(spark: SparkSession, dir: String): DataFrame =
+    TextClean.stripMarkup(Tables(spark, dir, "documents"))
 
   /** Per-source doc cap, exact variant (domain balancing). */
   def sourceCap(spark: SparkSession, dir: String): DataFrame =
@@ -2291,6 +2296,24 @@ object Oracles {
          |       CASE WHEN text IS NULL THEN NULL
          |            ELSE array_to_string(kept, ' ') END AS cleaned
          |FROM k""".stripMargin
+    },
+
+    // identical chain order as TextClean.stripMarkup: tags → space,
+    // entities decoded with &amp; LAST, whitespace collapsed, trim.
+    // replace() is exact (non-regex) in both engines; the tag/space
+    // patterns stay in the portable regex subset.
+    "q83_strip_markup" -> {
+      val tag = graft.ops.TextClean.TagPattern
+      val decoded = graft.ops.TextClean.Entities.foldLeft(
+        s"regexp_replace(text, '$tag', ' ', 'g')") { case (acc, (e, r)) =>
+        s"replace($acc, '$e', '${r.replace("'", "''")}')"
+      }
+      s"""SELECT doc_id,
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE CAST(len(regexp_extract_all(text, '$tag')) AS BIGINT)
+         |       END AS tag_count,
+         |       trim(regexp_replace($decoded, '[ \\t\\n]+', ' ', 'g')) AS clean_text
+         |FROM documents""".stripMargin
     },
 
     "q46_pii_scrub" ->

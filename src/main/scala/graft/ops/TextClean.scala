@@ -153,4 +153,39 @@ object TextClean {
           .cast("long"))
         .as("pii_hits"),
       regexp_replace(col("text"), PiiPattern, "<PII>").as("scrubbed"))
+
+  /** Markup tag pattern — the portable regex subset again: `[^>]*`
+    * means identical things to Java regex and RE2. */
+  val TagPattern: String = "<[^>]*>"
+
+  /** Entity decode table. `&amp;` is decoded LAST: `&amp;lt;` is the
+    * ESCAPED text "&lt;", and decoding `&` first would turn it into a
+    * real `<` (the classic double-decode bug). */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML/markup boilerplate strip — the ingest-side cleanup between
+    * a raw web dump and every text op in this file: tags removed
+    * (replaced by a space so `a<br>b` doesn't fuse words), the common
+    * entities decoded, whitespace runs collapsed, ends trimmed.
+    *
+    * Pure map stage (zero shuffle, codegen'd regex/replace
+    * built-ins), like its siblings. Exact `replace` (not regex) for
+    * entities — identical semantics in any engine; the chain order is
+    * part of the contract (see [[Entities]]). Null text passes
+    * through with null stats. */
+  def stripMarkup(docs: DataFrame): DataFrame = {
+    val noTags = regexp_replace(col("text"), TagPattern, " ")
+    val decoded = Entities.foldLeft(noTags) { case (c, (e, r)) =>
+      call_function("replace", c, lit(e), lit(r))
+    }
+    docs.select(
+      col("doc_id"),
+      when(col("text").isNull, lit(null).cast("long"))
+        .otherwise(size(regexp_extract_all(col("text"), lit(TagPattern), lit(0)))
+          .cast("long"))
+        .as("tag_count"),
+      trim(regexp_replace(decoded, "[ \\t\\n]+", " ")).as("clean_text"))
+  }
 }

@@ -82,4 +82,29 @@ class TextCleanSpec extends SparkSpec {
     assert(outs(1L) == ((None, None, Some(0L))))
     assert(outs(2L) == ((None, None, None)))
   }
+
+  test("stripMarkup: tags out, entities decoded, whitespace collapsed") {
+    val out = TextClean.stripMarkup(docs(
+      1L -> "<p>hello <b>world</b></p>\n\n<div class=\"x\">bye</div>",
+      2L -> "a&lt;b &amp; c&gt;d &quot;q&quot; &#39;s&#39; x&nbsp;y",
+      // the double-decode trap: &amp;lt; is the ESCAPED text "&lt;"
+      // and must NOT become a real '<'
+      3L -> "literal &amp;lt; stays escaped",
+      4L -> "no markup at all",
+      5L -> null))
+      .select("doc_id", "tag_count", "clean_text")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(6L), Some("hello world bye"))))
+    assert(out(2L) == ((Some(0L), Some("a<b & c>d \"q\" 's' x y"))))
+    assert(out(3L) == ((Some(0L), Some("literal &lt; stays escaped"))))
+    assert(out(4L) == ((Some(0L), Some("no markup at all"))))
+    assert(out(5L) == ((None, None)))
+  }
+
+  test("stripMarkup plan is a pure map (no shuffle)") {
+    val plan = TextClean.stripMarkup(docs(1L -> "<i>x</i>"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
