@@ -2308,11 +2308,12 @@ object Oracles {
         s"regexp_replace(text, '$tag', ' ', 'g')") { case (acc, (e, r)) =>
         s"replace($acc, '$e', '${r.replace("'", "''")}')"
       }
+      val ws = graft.ops.TextClean.WsPattern
       s"""SELECT doc_id,
          |       CASE WHEN text IS NULL THEN NULL
          |            ELSE CAST(len(regexp_extract_all(text, '$tag')) AS BIGINT)
          |       END AS tag_count,
-         |       trim(regexp_replace($decoded, '[ \\t\\n]+', ' ', 'g')) AS clean_text
+         |       trim(regexp_replace($decoded, '$ws', ' ', 'g')) AS clean_text
          |FROM documents""".stripMargin
     },
 

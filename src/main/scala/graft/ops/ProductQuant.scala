@@ -77,7 +77,11 @@ object ProductQuant {
     * LUT) each re-trigger the lineage otherwise — the book itself is
     * m×k rows, so caching is free. (The seed book is NOT persisted by
     * its consumers: its lineage is a filtered metadata-grain scan
-    * that fuses cheaper than a cache round-trip.) */
+    * that fuses cheaper than a cache round-trip.) Ownership note: the
+    * returned frame is lazy, so this op cannot unpersist after its
+    * consumers run — the house pattern (StratifiedExtract is the
+    * same); entries are m×k rows and long-lived sessions reclaim them
+    * with `spark.catalog.clearCache()` (Bench does, per query). */
   def trainedCodebook(emb: DataFrame, m: Int, k: Int, iters: Int = 1): DataFrame =
     (1 to iters).foldLeft(seedCodebook(emb, m, k)) { (b, _) =>
       refineCodebook(emb, b, m)
@@ -113,31 +117,36 @@ object ProductQuant {
     * distance is m array lookups summed — never a float op, never the
     * original vectors. Self-matches excluded; (dist asc, id asc)
     * rank. */
-  /** Per-query ADC lookup table: (query_id, lut) with
-    * LUT[sub+1][code+1] = exact partial distance from the query's
-    * sub-th subvector to that code's centroid. Queries are few by
-    * assumption — the result is broadcast-grain. */
+  /** Per-query ADC lookup table: (query_id, lut) where lut[sub+1] is
+    * a MAP code → exact partial distance from the query's sub-th
+    * subvector to that code's centroid. Keyed by code VALUE, not
+    * position: a TRAINED book can be sparse (a seed code that wins no
+    * vectors is dropped by refineCodebook), and a positional array
+    * lookup would then misalign every code above the gap and read
+    * past the end for the top one. Subspaces ARE always dense
+    * (subvectors emits all m), so the outer stack stays positional.
+    * Queries are few by assumption — the result is broadcast-grain. */
   def queryLut(emb: DataFrame, queryPred: Column, book: DataFrame,
       m: Int): DataFrame =
     subvectors(emb.filter(queryPred), m)
       .join(broadcast(book), Seq("sub"))
       .withColumn("pdist", col("n2s") + col("c_n2") -
         lit(2L) * graft.expressions.DotProductLong.dot(col("qs"), col("centroid")))
-      // row per (query, sub): k partials ordered by code; then the
-      // m-row stack ordered by sub
       .groupBy(col("vec_id"), col("sub"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("code"), col("pdist")))),
-        x => x.getField("pdist")).as("row"))
+      // keep (code, pdist) ENTRIES through the sorts (structs holding
+      // maps are not orderable) and build the map at the very end
+      .agg(array_sort(collect_list(struct(col("code"), col("pdist"))))
+        .as("entries"))
       .groupBy(col("vec_id"))
       .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("row")))),
-        x => x.getField("row")).as("lut"))
+        array_sort(collect_list(struct(col("sub"), col("entries")))),
+        x => map_from_entries(x.getField("entries"))).as("lut"))
       .withColumnRenamed("vec_id", "query_id")
 
-  /** ADC distance of a code array against a LUT column. */
+  /** ADC distance of a code array against a LUT column (map lookup by
+    * code value — see [[queryLut]]). */
   private val AdcDist = expr(
-    "aggregate(zip_with(codes, lut, (c, r) -> element_at(r, CAST(c AS INT) + 1)), " +
+    "aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c)), " +
       "0L, (acc, v) -> acc + v)")
 
   def adcTopK(emb: DataFrame, queryPred: Column, m: Int = 8, k: Int = 16,

@@ -165,6 +165,14 @@ object TextClean {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
     "&nbsp;" -> " ", "&amp;" -> "&")
 
+  /** Whitespace-run pattern for the collapse step — INCLUDING \r:
+    * web dumps are the one input where CRLF is the norm, and a class
+    * without it would leave phantom \r tokens in every cleaned doc
+    * (both engines share the regex, so the oracle gate alone could
+    * never catch the omission). Shared with the q83 oracle so the
+    * two sides cannot drift. */
+  val WsPattern: String = "[ \\t\\n\\r]+"
+
   /** HTML/markup boilerplate strip — the ingest-side cleanup between
     * a raw web dump and every text op in this file: tags removed
     * (replaced by a space so `a<br>b` doesn't fuse words), the common
@@ -186,6 +194,6 @@ object TextClean {
         .otherwise(size(regexp_extract_all(col("text"), lit(TagPattern), lit(0)))
           .cast("long"))
         .as("tag_count"),
-      trim(regexp_replace(decoded, "[ \\t\\n]+", " ")).as("clean_text"))
+      trim(regexp_replace(decoded, WsPattern, " ")).as("clean_text"))
   }
 }

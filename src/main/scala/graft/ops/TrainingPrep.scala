@@ -193,16 +193,11 @@ object TrainingPrep {
     * map task forwards at most `cap` rows per source into the
     * shuffle, so this is right when `cap` is SMALL; for
     * corpus-fraction caps at 100 TB use [[sourceCapRate]]. */
-  def sourceCapExact(docs: DataFrame, cap: Int): DataFrame = {
-    require(cap > 0, "cap must be positive")
-    docs
-      .withColumn("draw", md5(col("doc_id").cast("string")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("draw"), col("doc_id"))).cast("long"))
-      .filter(col("rk") <= cap)
-      .select(col("source"), col("rk"), col("doc_id"))
-  }
+  def sourceCapExact(docs: DataFrame, cap: Int): DataFrame =
+    // exactly the eval-holdout draw-and-rank grouped by source — ONE
+    // implementation of the house md5 draw idiom (a second copy would
+    // silently diverge on any future tie-break/draw change)
+    evalSample(docs, cap, groupCol = "source")
 
   /** Rate variant of the source cap, shaped for 100 TB: keep the
     * deterministic hash-slice of each source sized `cap`/count. One

@@ -201,7 +201,18 @@ final class JdbcStore(conn: Connection) extends KeyedStore {
     } finally st.close()
   }
 
-  override def txBegin(): Unit = conn.setAutoCommit(false)
+  /** READ COMMITTED is part of the transaction contract: the
+    * lock-then-check idempotence protocol (AdClickStream) relies on a
+    * plain SELECT after a row lock seeing the LATEST committed value.
+    * Under MySQL's default REPEATABLE READ that read is a stale
+    * snapshot established at transaction start — a zombie attempt
+    * would block on the lock, then read the old ledger value and
+    * re-apply. Pin the isolation level instead of inheriting the
+    * store's default. */
+  override def txBegin(): Unit = {
+    conn.setTransactionIsolation(Connection.TRANSACTION_READ_COMMITTED)
+    conn.setAutoCommit(false)
+  }
   override def txCommit(): Unit = { conn.commit(); conn.setAutoCommit(true) }
 
   def close(): Unit = {

@@ -63,7 +63,12 @@ object AdClickStream {
   /** Result tables plus the idempotence ledger (`k1` = query name,
     * `k2` = "batch" or "p&lt;partitionId&gt;", `v` = applied batchId
     * + 1 — see AppliedMarker) — provision ALL of these when backing
-    * the sink with a real database. */
+    * the sink with a real database. Upgrade note: the ledger table
+    * and its key/value encoding changed in round 4 (was
+    * `__applied_batch__` with a single-key batch marker — a name a
+    * standards-strict database cannot even create); when upgrading a
+    * live deployment, DRAIN the stream (let the last batch commit)
+    * before switching, or the first post-upgrade batch re-applies. */
   val Tables: Seq[String] = Seq(
     "ad_user_click_count", "ad_blacklist", "ad_stat",
     "ad_province_top3", "ad_click_trend", "graft_applied_batch")

@@ -85,7 +85,7 @@ class TextCleanSpec extends SparkSpec {
 
   test("stripMarkup: tags out, entities decoded, whitespace collapsed") {
     val out = TextClean.stripMarkup(docs(
-      1L -> "<p>hello <b>world</b></p>\n\n<div class=\"x\">bye</div>",
+      1L -> "<p>hello <b>world</b></p>\r\n\r\n<div class=\"x\">bye</div>",
       2L -> "a&lt;b &amp; c&gt;d &quot;q&quot; &#39;s&#39; x&nbsp;y",
       // the double-decode trap: &amp;lt; is the ESCAPED text "&lt;"
       // and must NOT become a real '<'

@@ -301,6 +301,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(trained <= seed, s"refinement worsened distortion: $seed -> $trained")
   }
 
+  test("PQ: trained-book ADC survives a SPARSE codebook (dead seed code)") {
+    val s = spark
+    import s.implicits._
+    // vec 0 and vec 1 identical → seed code 1 ties code 0 on every
+    // assignment, the code-asc tie-break starves it, and
+    // refineCodebook drops it — the LUT must key partial distances by
+    // code VALUE (a positional lookup would misalign every surviving
+    // code above the gap and null out the top one)
+    val base = (1 to 8).map(_.toFloat)
+    val emb = Seq(
+      0L -> base, 1L -> base,
+      2L -> base.map(_ + 1f), 3L -> base.map(_ * 2f),
+      4L -> base.map(_ + 3f), 5L -> base.map(9f - _))
+      .map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
+    val book = ProductQuant.trainedCodebook(emb, m = 2, k = 4, iters = 1)
+    assert(book.count() < 2 * 4, "fixture failed to produce a sparse book")
+    val out = ProductQuant.adcTopK(emb, col("vec_id") === 0L, m = 2, k = 4,
+      topK = 5, book0 = Some(book)).collect()
+    assert(out.length == 5)
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("adc_dist"))),
+      "null adc_dist — LUT lookup misaligned with sparse codes")
+    // the identical twin shares vec 0's codes exactly → nearest
+    assert(out.minBy(_.getAs[Long]("adc_dist")).getAs[Long]("neighbor_id") == 1L)
+  }
+
   test("PQ: a vector dim not divisible by m RAISES instead of silently truncating") {
     val s = spark
     import s.implicits._
