@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
-"""Build a multilingual (CJK/Cyrillic/accented) fixture from a driver
-testdata dir: copies every table as-is and appends non-ASCII documents
-rows, so the full Verify + check.py gate can prove the oracles are
-byte-correct (no byte==char shortcut) on a corpus where bytes != chars.
+"""Build an ADVERSARIAL documents fixture from a driver testdata dir:
+copies every table as-is, appends non-ASCII (CJK/Cyrillic/accented)
+rows, and nulls out a few text/lang values — so the full Verify +
+check.py gate proves the oracles are byte-correct (no byte==char
+shortcut) AND null-convergent (Spark's non-ANSI size(split(NULL))=-1
+family of traps) on data the generated corpus never exercises.
 
 Usage: python3 tools/make_cjk_fixture.py SRC_SF_DIR OUT_DIR
 """
@@ -54,6 +56,13 @@ def main(src: str, out: str) -> None:
             "n_chars": len(text),
         })
     aug = pd.concat([docs, pd.DataFrame(rows)], ignore_index=True)
+    # null injection: corrupt corpora have null texts/langs and the
+    # generated fixture has none — latent cross-engine null-handling
+    # divergence (DuckDB NULL vs Spark non-ANSI -1/'' results) only
+    # shows up here
+    aug.loc[aug.index % 97 == 5, "text"] = None
+    aug.loc[aug.index % 89 == 7, "lang"] = None
+    aug.loc[aug.text.isna(), "n_chars"] = 0
     schema = pq.read_table(f"{src}/documents.parquet").schema
     pq.write_table(
         pa.Table.from_pandas(aug, schema=pa.schema(
@@ -61,9 +70,11 @@ def main(src: str, out: str) -> None:
             preserve_index=False),
         f"{out}/documents.parquet")
     n_multi = sum(1 for r in rows
-                  if len(r["text"].encode()) > len(r["text"]))
+                  if r["text"] and len(r["text"].encode()) > len(r["text"]))
     print(f"wrote {out}/documents.parquet: {len(aug)} rows "
-          f"({len(rows)} appended, {n_multi} with bytes>chars)")
+          f"({len(rows)} appended, {n_multi} with bytes>chars, "
+          f"{int(aug.text.isna().sum())} null texts, "
+          f"{int(aug.lang.isna().sum())} null langs)")
 
 
 if __name__ == "__main__":
