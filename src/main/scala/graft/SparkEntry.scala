@@ -110,7 +110,8 @@ object SparkEntry {
     "q80_source_cap" -> (Queries.sourceCap _),
     "q81_source_cap_rate" -> (Queries.sourceCapRate _),
     "q82_canonical_by_source" -> (Queries.canonicalBySource _),
-    "q83_strip_markup" -> (Queries.stripMarkup _)
+    "q83_strip_markup" -> (Queries.stripMarkup _),
+    "q84_snapshot_diff" -> (Queries.snapshotDiff _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -597,6 +598,20 @@ object Queries {
   /** Markup/boilerplate strip (ingest-side web-dump cleanup). */
   def stripMarkup(spark: SparkSession, dir: String): DataFrame =
     TextClean.stripMarkup(Tables(spark, dir, "documents"))
+
+  /** Snapshot versioning diff. The two snapshots are derived
+    * deterministically from the one fixture table: old drops
+    * doc_id % 5 == 0, new drops % 7 == 0 and rewrites % 11 == 0 —
+    * covering added/removed/changed/unchanged in every source. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val oldSnap = d.filter(col("doc_id") % 5 =!= 0)
+    val newSnap = d.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(coalesce(col("text"), lit("")), lit(" v2")))
+        .otherwise(col("text")))
+    CorpusPipeline.snapshotDiff(oldSnap, newSnap)
+  }
 
   /** Per-source doc cap, exact variant (domain balancing). */
   def sourceCap(spark: SparkSession, dir: String): DataFrame =
@@ -2316,6 +2331,34 @@ object Oracles {
          |       trim(regexp_replace($decoded, '$ws', ' ', 'g')) AS clean_text
          |FROM documents""".stripMargin
     },
+
+    // IS NOT DISTINCT FROM ≡ Spark's <=> (a doc with NULL text in
+    // both snapshots is unchanged); removed docs report their OLD
+    // source, added/changed the NEW.
+    "q84_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS h, source
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |nw AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0
+        |                  THEN COALESCE(text, '') || ' v2'
+        |                  ELSE text END) AS h,
+        |         source
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |j AS (
+        |  SELECT COALESCE(n.source, o.source) AS source,
+        |         CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        |       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q46_pii_scrub" ->
       s"""SELECT doc_id,

@@ -52,4 +52,39 @@ object CorpusPipeline {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("token_count")).as("total_tokens"))
+
+  /** Corpus snapshot diff — the versioning report between two corpus
+    * materializations: per source, how many documents were added,
+    * removed, changed (same id, different content — NULL-safe md5
+    * compare), or unchanged. What a data-ops team reviews before
+    * promoting a new snapshot to training.
+    *
+    * Scale shape: ONE full-outer co-partitioned join on doc_id (at
+    * 100 TB, write snapshots bucketed by doc_id and this join is
+    * shuffle-free), content compared as md5 so wide text never
+    * travels past the projection, then a metadata-grain rollup to
+    * source. A removed doc reports under its OLD source; added and
+    * changed under the NEW. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("__oh"),
+      col("source").as("__osrc"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("__nh"),
+      col("source").as("__nsrc"), lit(1).as("__innew"))
+    o.withColumn("__inold", lit(1))
+      .join(n, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("__nsrc"), col("__osrc")).as("source"),
+        when(col("__inold").isNull, "added")
+          .when(col("__innew").isNull, "removed")
+          // null-safe: a doc whose text is NULL in both snapshots is
+          // unchanged, not changed
+          .when(col("__oh") <=> col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
 }

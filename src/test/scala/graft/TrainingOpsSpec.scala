@@ -235,6 +235,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(kept == Seq(5L, 7L))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    val s = spark
+    import s.implicits._
+    def snap(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "text", "source")
+    val old = snap(
+      (1L, "keep me", "web"), (2L, "edit me", "web"),
+      (3L, "drop me", "book"), (5L, null, "web"))
+    val nw = snap(
+      (1L, "keep me", "web"),          // unchanged
+      (2L, "edit me v2", "web"),       // changed
+      (4L, "brand new", "book"),       // added
+      (5L, null, "web"))               // null in BOTH → unchanged
+    val out = graft.ops.CorpusPipeline.snapshotDiff(old, nw)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      "web" -> ((0L, 0L, 1L, 2L)),
+      "book" -> ((1L, 1L, 0L, 0L))))
+  }
+
   test("corpusSelect with gates wide open reduces to the dedup-kept set") {
     val d = Tables(spark, sf, "documents")
     val open = CorpusPipeline.corpusSelect(d,
