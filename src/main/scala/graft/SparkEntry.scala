@@ -111,7 +111,10 @@ object SparkEntry {
     "q81_source_cap_rate" -> (Queries.sourceCapRate _),
     "q82_canonical_by_source" -> (Queries.canonicalBySource _),
     "q83_strip_markup" -> (Queries.stripMarkup _),
-    "q84_snapshot_diff" -> (Queries.snapshotDiff _)
+    "q84_snapshot_diff" -> (Queries.snapshotDiff _),
+    "q85_oov_rate" -> (Queries.oovRate _),
+    "q86_cooccur_top" -> (Queries.cooccurTop _),
+    "q87_label_outliers" -> (Queries.labelOutliers _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -620,6 +623,27 @@ object Queries {
   /** Per-source doc cap, zero-skew hash-rate variant. */
   def sourceCapRate(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.sourceCapRate(Tables(spark, dir, "documents"), SourceCapRateN)
+
+  // OovVocabSize deliberately cuts the fixture vocabulary (31 distinct
+  // tokens at sf0.01) roughly in half so the rate is exercised, not
+  // degenerate; CooccurMinCount keeps ~30+ pairs above the support bar.
+  val OovVocabSize = 16
+  val CooccurMinCount = 5L
+  val CooccurTopK = 30
+  val OutlierTopK = 5
+
+  /** Tokenizer-vocab coverage: per-doc OOV rate vs the top-16 head. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(Tables(spark, dir, "documents"), OovVocabSize)
+
+  /** Collocation mining: top bigram pairs by fixed-point PMI rank. */
+  def cooccurTop(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cooccurrence(Tables(spark, dir, "documents"),
+      CooccurMinCount, CooccurTopK)
+
+  /** Per-label embedding outliers vs the label's floor-mean centroid. */
+  def labelOutliers(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelOutliers(Tables(spark, dir, "embeddings"), OutlierTopK)
 
   val RetentionMaxOffset = 14
   /** Analysis window covering the whole fixture (events span Jan
@@ -2359,6 +2383,84 @@ object Oracles {
         |       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM j GROUP BY 1""".stripMargin,
+
+    // Twin of TextAnalysis.oovRate: same (term_freq desc, token asc)
+    // vocab boundary, same single-IEEE-divide bp rate.
+    "q85_oov_rate" ->
+      s"""WITH live AS (SELECT * FROM documents WHERE text IS NOT NULL),
+         |tok AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+         |  FROM live),
+         |tf AS (SELECT token, COUNT(*) AS term_freq FROM tok GROUP BY 1),
+         |vocab AS (
+         |  SELECT token FROM tf
+         |  ORDER BY term_freq DESC, token ASC LIMIT ${Queries.OovVocabSize})
+         |SELECT t.doc_id, t.lang,
+         |       CAST(COUNT(*) AS BIGINT) AS token_count,
+         |       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS oov_count,
+         |       CAST(FLOOR(10000.0 * SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |            / COUNT(*)) AS BIGINT) AS oov_bp
+         |FROM tok t LEFT JOIN vocab v USING (token)
+         |GROUP BY 1, 2""".stripMargin,
+
+    // Twin of TextAnalysis.cooccurrence. Bigrams via positional
+    // self-join (parallel unnests zip in DuckDB) ≡ Spark's zip_with
+    // of the token array against its own tail; the score expression
+    // is the same IEEE double tree text as the Spark side.
+    "q86_cooccur_top" ->
+      s"""WITH live AS (SELECT * FROM documents WHERE text IS NOT NULL),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+         |  FROM live),
+         |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.token AS tok_a, b.token AS tok_b,
+         |         CAST(COUNT(*) AS BIGINT) AS pair_count
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS total FROM pairs),
+         |scored AS (
+         |  SELECT p.tok_a, p.tok_b, p.pair_count, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+         |         CAST(FLOOR((10000.0 * CAST(p.pair_count AS DOUBLE) * CAST(t.total AS DOUBLE))
+         |              / (CAST(ua.cnt AS DOUBLE) * CAST(ub.cnt AS DOUBLE))) AS BIGINT)
+         |           AS score_bp
+         |  FROM pairs p, tot t, uni ua, uni ub
+         |  WHERE ua.token = p.tok_a AND ub.token = p.tok_b
+         |    AND p.pair_count >= ${Queries.CooccurMinCount})
+         |SELECT tok_a, tok_b, pair_count, cnt_a, cnt_b, score_bp
+         |FROM scored
+         |ORDER BY score_bp DESC, tok_a ASC, tok_b ASC
+         |LIMIT ${Queries.CooccurTopK}""".stripMargin,
+
+    // Twin of Similarity.labelOutliers: global fixed-point quantize,
+    // floor(sum/count) centroid components, exact integer squared
+    // distance, (dist desc, vec_id asc) rank per label.
+    "q87_label_outliers" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding,
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |pos AS (
+         |  SELECT label, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS i FROM e),
+         |cs AS (
+         |  SELECT label, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n
+         |  FROM pos GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label, i, CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) AS c FROM cs),
+         |d AS (
+         |  SELECT e.vec_id, e.label,
+         |         CAST(SUM((e.q[c.i] - c.c) * (e.q[c.i] - c.c)) AS BIGINT) AS dist
+         |  FROM e, cent c WHERE c.label = e.label GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY label
+         |            ORDER BY dist DESC, vec_id ASC) AS rk
+         |  FROM d)
+         |SELECT label, vec_id, dist, CAST(rk AS INT) AS rank
+         |FROM r WHERE rk <= ${Queries.OutlierTopK}""".stripMargin,
 
     "q46_pii_scrub" ->
       s"""SELECT doc_id,

@@ -220,4 +220,43 @@ object Similarity {
             "CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / __scale) AS BIGINT)))")))
       .select(col("vec_id"), col("scale_ppm"),
         col("pos").cast("long").as("dim_idx"), col("col").as("code"))
+
+  /** Per-label embedding outliers: the k vectors farthest (exact
+    * integer squared distance) from their label's floor-mean centroid
+    * — the "what in this class doesn't belong" curation report
+    * (mislabeled rows, modality drift, junk). Fixed-point quantize
+    * ([[quantized]]'s global scale — NOT the per-vector int8 scale,
+    * which isn't comparable across vectors), centroid components
+    * floor(sum/count) like KMeans, distances exact BIGINTs, ties
+    * break vec_id-asc. Null embeddings/labels are excluded.
+    *
+    * 100 TB shape: the centroid aggregate shuffles only (label, pos)
+    * partial sums — labels × dim rows of state, map-side combined.
+    * Centroids are metadata-sized and BROADCAST back; the distance is
+    * one codegen'd map over the corpus; the per-label top-k plans as
+    * WindowGroupLimit (rank pushed before the final sort), never a
+    * global sort. Magnitude bound: |q_i| ≤ 1e6·max|x|, so a
+    * component diff squared is ≤ ~4e14·max|x|² and the dim-sum stays
+    * far from BIGINT overflow for any realistic embedding. */
+  def labelOutliers(emb: DataFrame, k: Int): DataFrame = {
+    val e = quantized(emb.filter(col("embedding").isNotNull && col("label").isNotNull))
+      .select(col("vec_id"), col("label"), col("q"))
+    val cent = e
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id").asc)
+    e.join(broadcast(cent), Seq("label"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(q, cent, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("vec_id"), col("dist"), col("rank"))
+  }
 }

@@ -173,6 +173,87 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    * rate against the corpus's own top-`vocabSize` token head (the
+    * "how much of my corpus does this vocab actually cover" report
+    * run before committing to a tokenizer vocab). Vocab boundary is
+    * deterministic: (term_freq desc, token asc), ties never
+    * ambiguous. Null-text docs are excluded (they have no tokens).
+    *
+    * 100 TB shape: the vocab head is [[vocabTop]]'s shape (one
+    * token-grain aggregate with map-side combine, TakeOrdered head)
+    * and is vocabSize-sized — BROADCAST to the membership probe. The
+    * only corpus-grain shuffle is the per-doc re-aggregate, keyed on
+    * doc_id (input cardinality, no skew: one key per doc). A real
+    * 100k-entry tokenizer vocab is still only ~MBs broadcast. */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val live = docs.filter(col("text").isNotNull)
+    val vocab = vocabTop(live, vocabSize).select(col("token"))
+    withTokens(live)
+      .select(col("doc_id"), col("lang"), explode(col("tokens")).as("token"))
+      .join(broadcast(vocab.withColumn("__in", lit(1))), Seq("token"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("token_count"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_count"))
+      .withColumn("oov_bp",
+        floor(lit(10000.0) * col("oov_count") / col("token_count")).cast("long"))
+  }
+
+  /** Adjacent-token co-occurrence association: the top-k bigram pairs
+    * by a fixed-point PMI-rank score — collocation mining over the
+    * corpus (phrase detection / tokenizer-merge candidates). The
+    * score is floor(10000 · P(a,b) / (P(a)·P(b))) expanded to counts:
+    * floor((10000·c(a,b)·N) / (c(a)·c(b))) with N = total bigram
+    * instances — monotone in PMI without a cross-engine `ln`. All
+    * four factors are exact integers; the one double expression is
+    * textually mirrored in the oracle (same IEEE tree both engines).
+    * `minCount` prunes noise pairs (a 1-in-N coincidence of two rare
+    * tokens scores arbitrarily high without a support floor).
+    *
+    * 100 TB shape: bigram extraction is a PURE MAP — zip_with over
+    * the token array against its own tail, no positional shuffle.
+    * Then two token-grain aggregates (pair and unigram, both map-side
+    * combined). Both are PERSISTED at vocabulary grain — without
+    * that, Catalyst plans a fresh corpus scan for each of the two
+    * unigram joins and for N, a 4× read of the corpus; with it the
+    * corpus is read exactly twice (once per aggregate) and N is a
+    * rollup of the cached pair counts. Count joins are AQE-sized;
+    * the head is TakeOrdered. Nothing doc-grain ever shuffles. */
+  def cooccurrence(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val toks = withTokens(docs.filter(col("text").isNotNull))
+    val pairs = toks
+      .select(explode(expr(
+        """zip_with(slice(tokens, 1, size(tokens) - 1),
+          |         slice(tokens, 2, size(tokens) - 1),
+          |         (a, b) -> struct(a AS tok_a, b AS tok_b))""".stripMargin)).as("p"))
+      .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // N = Σ pair_count over the UNFILTERED pair set ≡ Σ max(len-1, 0)
+    // — a rollup of the cache, not another corpus pass.
+    val total = pairs.agg(sum(col("pair_count")).as("total"))
+    val uni = toks
+      .select(explode(col("tokens")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs
+      .filter(col("pair_count") >= minCount)
+      .join(uni.select(col("token").as("tok_a"), col("cnt").as("cnt_a")), Seq("tok_a"))
+      .join(uni.select(col("token").as("tok_b"), col("cnt").as("cnt_b")), Seq("tok_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("score_bp", expr(
+        """CAST(FLOOR((10000.0 * CAST(pair_count AS DOUBLE) * CAST(total AS DOUBLE))
+          |     / (CAST(cnt_a AS DOUBLE) * CAST(cnt_b AS DOUBLE))) AS BIGINT)""".stripMargin))
+      .orderBy(col("score_bp").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(k)
+      .select(col("tok_a"), col("tok_b"), col("pair_count"),
+        col("cnt_a"), col("cnt_b"), col("score_bp"))
+  }
+
   /** Heavy-hitter vocabulary head: same output as [[vocabTop]]'s
     * term-frequency ranking, different 100 TB shape. [[vocabTop]]
     * shuffles one row per DISTINCT token per map partition — fine for

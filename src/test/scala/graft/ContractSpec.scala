@@ -32,15 +32,15 @@ class ContractSpec extends AnyFunSuite {
     // The harness keeps only the tail of captured stdout; round 1's
     // full-precision two-map line (~5 KB) was front-truncated and
     // failed its JSON parse. The current format prints ONE line with
-    // short-id keys: a steady-seconds map and a K-scaled io triple
-    // map. Reconstruct the worst case — 999.999 s per query, 1 B
-    // input rows (kceil → 7 digits), 1 GB shuffle each way (kceil →
-    // 7 digits; bench-observed maximum is ~9 MB, so this is >100×
-    // headroom) — and keep it under 4 KB, comfortably inside the
-    // ~5 KB known-bad point.
+    // short-id keys: a 2-decimal steady-seconds map and a K-scaled
+    // io [rows, shuffle_write] pair map (read stays on stderr).
+    // Reconstruct the worst case — 999.99 s per query, 1 B input
+    // rows (kceil → 7 digits), 1 GB shuffle write (kceil → 7 digits;
+    // bench-observed maximum is ~9 MB, so >100× headroom) — and keep
+    // it under 4 KB, comfortably inside the ~5 KB known-bad point.
     val ids = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
-    val qmap = ids.map(n => s""""$n":999.999""").mkString("{", ",", "}")
-    val iomap = ids.map(n => s""""$n":[1000000,1048576,1048576]""").mkString("{", ",", "}")
+    val qmap = ids.map(n => s""""$n":999.99""").mkString("{", ",", "}")
+    val iomap = ids.map(n => s""""$n":[1000000,1048576]""").mkString("{", ",", "}")
     val line =
       s"""{"metric":"steady_total","value":9999.999,"unit":"sec",""" +
         s""""queries":$qmap,"io":$iomap,"sf":"/root/testdata/sf0.1"}"""

@@ -292,4 +292,38 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(stripCached(p)).length <= 1, p)
     assert(p.contains("BroadcastHashJoin"), s"map-back join not broadcast:\n$p")
   }
+
+  test("q85 oov rate: vocab head is TakeOrdered + broadcast; two shuffles total") {
+    // shuffle 1 builds the token-grain vocab head, shuffle 2 is the
+    // doc-grain re-aggregate — the membership probe itself must be a
+    // broadcast left join, never a shuffle join on the token stream.
+    val p = plan("q85_oov_rate")
+    assert(shuffles(p) <= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), s"vocab head is a global sort:\n$p")
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).nonEmpty,
+      s"vocab probe not broadcast:\n$p")
+  }
+
+  test("q86 cooccurrence: pair/unigram aggregates cached — live plan re-reads no corpus") {
+    // Without the persists Catalyst re-scans the corpus for each
+    // unigram join and for N (4 corpus reads); cached, the live plan
+    // is joins + rollup over InMemoryRelations only.
+    val p = plan("q86_cooccur_top")
+    assert(p.contains("InMemoryRelation"), s"vocab-grain caches lost:\n$p")
+    assert(stripCached(p).split("\n").count(_.contains("Scan parquet")) == 0,
+      s"live corpus rescan crept in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"head is a global sort:\n$p")
+  }
+
+  test("q87 label outliers: centroids broadcast back; per-label top-k is rank-pushed") {
+    val p = plan("q87_label_outliers")
+    // centroid build: (label,pos) partial-sum shuffle + label-grain
+    // collect; corpus side shuffles once for the window — but only
+    // AFTER the partial WindowGroupLimit cuts each map partition to
+    // top-k per label (two WGL nodes: partial below, final above).
+    assert(shuffles(p) <= 3, p)
+    assert(p.contains("BroadcastHashJoin"), s"centroid map-back not broadcast:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).length == 2,
+      s"rank pushdown lost (need partial+final WindowGroupLimit):\n$p")
+  }
 }

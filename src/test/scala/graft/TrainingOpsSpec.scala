@@ -415,4 +415,57 @@ class TrainingOpsSpec extends SparkSpec {
       .collect().sortBy(_._3)
     assert(out.toSeq == Seq(("rare", 3L, 1L), ("rara", 2L, 2L), ("raro", 2L, 3L)))
   }
+
+  test("oovRate scores docs against the frequency-ranked vocab head; null text excluded") {
+    // tf: a=2, b=2, c=1; (tf desc, token asc) head at V=1 is {a}
+    val d = Seq(
+      (1L, "a a b", "en", "src0", 5L),
+      (2L, "b c", "en", "src0", 3L),
+      (3L, null, "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.oovRate(d, vocabSize = 1)
+      .select("doc_id", "token_count", "oov_count", "oov_bp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L, 1L, 3333L), (2L, 2L, 2L, 10000L)))
+  }
+
+  test("cooccurrence scores bigram pairs by fixed-point PMI rank; support floor prunes") {
+    // bigrams: (x,y)=3 [doc1 twice, doc2 once], (y,x)=1, (y,z)=1 → N=5
+    // uni: x=3, y=3, z=1; only (x,y) survives minCount=2:
+    // floor(10000·3·5 / (3·3)) = 16666
+    val d = docs(1L -> "x y x y", 2L -> "x y z")
+    val out = TextAnalysis.cooccurrence(d, minCount = 2L, k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("x", "y", 3L, 3L, 3L, 16666L)))
+    // single-token docs produce no pairs (the zip_with slice edge)
+    assert(TextAnalysis.cooccurrence(docs(1L -> "solo"), 1L, 10).isEmpty)
+  }
+
+  test("labelOutliers ranks by exact distance to the floor-mean centroid; nulls excluded") {
+    // label 0 centroid is (0,0); vecs 1 and 3 tie at 1e12, vec_id breaks
+    val emb = Seq(
+      (1L, Some(Array(1.0f, 0f)), Some(0)),
+      (2L, Some(Array(0f, 0f)), Some(0)),
+      (3L, Some(Array(-1.0f, 0f)), Some(0)),
+      (4L, None: Option[Array[Float]], Some(0)),
+      (5L, Some(Array(1f, 1f)), None: Option[Int])
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(emb, k = 2)
+      .select("label", "vec_id", "dist", "rank")
+      .as[(Int, Long, Long, Int)].collect().toSeq.sortBy(_._4)
+    assert(out == Seq((0, 1L, 1000000000000L, 1), (0, 3L, 1000000000000L, 2)))
+  }
+
+  test("labelOutliers centroid components floor toward -inf on negative sums") {
+    // sum = -500000 over n=2 → c = floor(-250000.0) = -250000;
+    // both vectors sit 750000 from it → equal dists, id tie-break
+    val emb = Seq(
+      (6L, Some(Array(0.5f)), Some(1)),
+      (7L, Some(Array(-1.0f)), Some(1))
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(emb, k = 2)
+      .select("vec_id", "dist", "rank").as[(Long, Long, Int)]
+      .collect().toSeq.sortBy(_._3)
+    assert(out == Seq((6L, 562500000000L, 1), (7L, 562500000000L, 2)))
+  }
 }
