@@ -2436,14 +2436,18 @@ object Oracles {
 
     // Twin of Similarity.labelOutliers: global fixed-point quantize,
     // floor(sum/count) centroid components, exact integer squared
-    // distance, (dist desc, vec_id asc) rank per label.
+    // distance, (dist desc, vec_id asc) rank per label. The
+    // null-element gate mirrors the Spark forall filter (Spark's
+    // aggregate would NULL the dist, DuckDB's SUM would skip the dim
+    // — exclude such vectors on both sides instead).
     "q87_label_outliers" ->
       s"""WITH e AS (
          |  SELECT vec_id, label,
          |         list_transform(embedding,
          |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
          |  FROM embeddings
-         |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
          |pos AS (
          |  SELECT label, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS i FROM e),
          |cs AS (

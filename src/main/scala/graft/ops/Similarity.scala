@@ -237,21 +237,24 @@ object Similarity {
     * WindowGroupLimit (rank pushed before the final sort), never a
     * global sort. Magnitude bound: |q_i| ≤ 1e6·max|x|, so a
     * component diff squared is ≤ ~4e14·max|x|² and the dim-sum stays
-    * far from BIGINT overflow for any realistic embedding. */
+    * far from BIGINT overflow for any realistic embedding.
+    *
+    * Null-ELEMENT vectors are excluded along with whole-null ones:
+    * Spark's `aggregate` would propagate a null dim to a NULL dist
+    * while the oracle's SUM would skip it — the same row, two
+    * engines, two answers. The forall gate (mirrored oracle-side)
+    * pins one behavior. */
   def labelOutliers(emb: DataFrame, k: Int): DataFrame = {
-    val e = quantized(emb.filter(col("embedding").isNotNull && col("label").isNotNull))
+    val e = quantized(emb.filter(
+      col("embedding").isNotNull && col("label").isNotNull &&
+        expr("forall(embedding, x -> x IS NOT NULL)")))
       .select(col("vec_id"), col("label"), col("q"))
-    val cent = e
-      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("cent"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id").asc)
+    // the IVF coarse quantizer IS this centroid (same floor(sum/count)
+    // convention the q87 oracle mirrors — one copy, not two)
+    val cent = ivfCentroidsFromQuantized(e)
+      .select(col("label"), col("centroid").as("cent"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
     e.join(broadcast(cent), Seq("label"))
       .withColumn("dist", expr(
         "aggregate(zip_with(q, cent, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"))

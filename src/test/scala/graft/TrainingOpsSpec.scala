@@ -454,6 +454,15 @@ class TrainingOpsSpec extends SparkSpec {
       .select("label", "vec_id", "dist", "rank")
       .as[(Int, Long, Long, Int)].collect().toSeq.sortBy(_._4)
     assert(out == Seq((0, 1L, 1000000000000L, 1), (0, 3L, 1000000000000L, 2)))
+    // null-ELEMENT vectors are excluded too (Spark would NULL the
+    // dist, the oracle's SUM would skip the dim — neither answer)
+    val withNullElem = emb.unionByName(spark.sql(
+      """SELECT 8L AS vec_id,
+        |       array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding,
+        |       0 AS label""".stripMargin))
+    val all = Similarity.labelOutliers(withNullElem, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L))
   }
 
   test("labelOutliers centroid components floor toward -inf on negative sums") {
