@@ -114,7 +114,9 @@ object SparkEntry {
     "q84_snapshot_diff" -> (Queries.snapshotDiff _),
     "q85_oov_rate" -> (Queries.oovRate _),
     "q86_cooccur_top" -> (Queries.cooccurTop _),
-    "q87_label_outliers" -> (Queries.labelOutliers _)
+    "q87_label_outliers" -> (Queries.labelOutliers _),
+    "q88_volume_anomaly" -> (Queries.volumeAnomaly _),
+    "q89_source_concentration" -> (Queries.sourceConcentration _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -644,6 +646,19 @@ object Queries {
   /** Per-label embedding outliers vs the label's floor-mean centroid. */
   def labelOutliers(spark: SparkSession, dir: String): DataFrame =
     Similarity.labelOutliers(Tables(spark, dir, "embeddings"), OutlierTopK)
+
+  val AnomalyWindowDays = 7
+  val AnomalyK2 = 4L // z² threshold: flag when z² > 4 (|z| > 2σ)
+  val AnomalyMinObs = 4L
+
+  /** Daily event-volume anomaly flags vs the trailing-week baseline. */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame =
+    Retention.volumeAnomaly(Tables(spark, dir, "events"),
+      AnomalyWindowDays, AnomalyK2, AnomalyMinObs)
+
+  /** One-row corpus balance report: token Gini + top-source share. */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.sourceConcentration(Tables(spark, dir, "documents"))
 
   val RetentionMaxOffset = 14
   /** Analysis window covering the whole fixture (events span Jan
@@ -2465,6 +2480,58 @@ object Oracles {
          |  FROM d)
          |SELECT label, vec_id, dist, CAST(rk AS INT) AS rank
          |FROM r WHERE rk <= ${Queries.OutlierTopK}""".stripMargin,
+
+    // Twin of Retention.volumeAnomaly: same ROWS trailing frame, same
+    // cross-multiplied z² test — the double expression tree is the
+    // SAME TEXT as the Spark side (IEEE multiply is deterministic, so
+    // past-2^53 operands round identically on both engines).
+    "q88_volume_anomaly" -> {
+      val wd = Queries.AnomalyWindowDays
+      val k2 = Queries.AnomalyK2
+      val mo = Queries.AnomalyMinObs
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS d,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, d, cnt,
+         |         CAST(COUNT(cnt) OVER win AS BIGINT) AS trail_n,
+         |         CAST(COALESCE(SUM(cnt) OVER win, 0) AS BIGINT) AS trail_sum,
+         |         CAST(COALESCE(SUM(cnt * cnt) OVER win, 0) AS BIGINT) AS trail_sumsq
+         |  FROM daily
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY d ASC
+         |                 ROWS BETWEEN $wd PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, cnt, trail_n, trail_sum,
+         |       CAST(CASE WHEN trail_n >= $mo AND
+         |         (CAST(trail_n AS DOUBLE) * CAST(cnt AS DOUBLE) - CAST(trail_sum AS DOUBLE))
+         |         * (CAST(trail_n AS DOUBLE) * CAST(cnt AS DOUBLE) - CAST(trail_sum AS DOUBLE))
+         |         > $k2.0 * (CAST(trail_n AS DOUBLE) * CAST(trail_sumsq AS DOUBLE)
+         |                    - CAST(trail_sum AS DOUBLE) * CAST(trail_sum AS DOUBLE))
+         |         THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM w""".stripMargin
+    },
+
+    // Twin of TrainingPrep.sourceConcentration: same asc rank order,
+    // same sorted-rank Gini identity, mirrored divide trees. DuckDB
+    // sums in HUGEINT and Spark in BIGINT — identical values while
+    // inside the documented n·total_tokens overflow bound.
+    "q89_source_concentration" ->
+      """WITH s AS (
+        |  SELECT source,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT source, tokens,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY tokens ASC, source ASC)
+        |           AS BIGINT) AS i
+        |  FROM s)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |       CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+        |       CAST(FLOOR((10000.0 * CAST(2 * SUM(i * tokens) - (COUNT(*) + 1) * SUM(tokens) AS DOUBLE))
+        |            / CAST(COUNT(*) * SUM(tokens) AS DOUBLE)) AS BIGINT) AS gini_bp,
+        |       CAST(FLOOR((10000.0 * CAST(MAX(tokens) AS DOUBLE))
+        |            / CAST(SUM(tokens) AS DOUBLE)) AS BIGINT) AS top_share_bp
+        |FROM r""".stripMargin,
 
     "q46_pii_scrub" ->
       s"""SELECT doc_id,

@@ -88,4 +88,46 @@ object Retention {
       .agg(count(lit(1)).as("n_users"))
       .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_date"),
         col("offset_days"), col("n_users"))
+
+  /** Daily event-volume anomaly flags: for each (event_type, day),
+    * test the day's count against the mean/variance of the trailing
+    * `windowDays` OBSERVED days (ROWS frame — on gappy series the
+    * window is "last W observations", deterministic on both engines).
+    * The z²>k² test is cross-multiplied so every operand is an exact
+    * integer sum: (n·x − S)² > k²·(n·Q − S²) with S=Σcnt, Q=Σcnt² —
+    * no mean, no sqrt, no libm. At 1e9-events/day scale those
+    * products exceed 2^53, so the comparison runs in DOUBLE with the
+    * expression tree mirrored textually in the oracle: IEEE multiply
+    * is deterministic, so both engines round identically and flags
+    * can't diverge. Days with fewer than `minObs` trailing
+    * observations report 0 (no baseline, no claim).
+    *
+    * Scale shape: ONE fact shuffle (the (event_type, day) count,
+    * map-side combined); the window runs at day×type grain —
+    * metadata-sized forever — partitioned by event_type, so no
+    * single-partition exchange. The pipeline-monitoring op: volume
+    * cliffs and ingest storms surface as flags, not dashboards. */
+  def volumeAnomaly(events: DataFrame, windowDays: Int = 7,
+      k2: Long = 4L, minObs: Long = 4L): DataFrame = {
+    require(windowDays >= 1 && k2 >= 1 && minObs >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("d").asc)
+      .rowsBetween(-windowDays, -1)
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("trail_n", count(col("cnt")).over(w))
+      .withColumn("trail_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("trail_sumsq",
+        coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+      .withColumn("is_anomaly", expr(
+        s"""CAST(CASE WHEN trail_n >= $minObs AND
+           |  (CAST(trail_n AS DOUBLE) * CAST(cnt AS DOUBLE) - CAST(trail_sum AS DOUBLE))
+           |  * (CAST(trail_n AS DOUBLE) * CAST(cnt AS DOUBLE) - CAST(trail_sum AS DOUBLE))
+           |  > $k2.0 * (CAST(trail_n AS DOUBLE) * CAST(trail_sumsq AS DOUBLE)
+           |             - CAST(trail_sum AS DOUBLE) * CAST(trail_sum AS DOUBLE))
+           |  THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("trail_n"), col("trail_sum"), col("is_anomaly"))
+  }
 }

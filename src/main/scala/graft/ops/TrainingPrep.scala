@@ -263,4 +263,41 @@ object TrainingPrep {
     scored.join(broadcast(ranked), "ttr_bp")
       .select(col("doc_id"), col("ttr_bp"), col("bucket"))
   }
+
+  /** Corpus concentration report: how unevenly tokens spread across
+    * sources — the one-row balance check run before mixture planning
+    * (a Gini near 10000 means one domain owns the corpus; near 0
+    * means uniform). Gini from the sorted-rank identity
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ asc-sorted (source
+    * tie-break), emitted in basis points; top_share_bp is the largest
+    * source's token share. Every sum is an exact BIGINT; the two
+    * divides are single mirrored IEEE trees (house bp convention).
+    *
+    * Scale shape: the corpus collapses to source grain in ONE
+    * aggregate (token counting is size(split) — a map, no explode);
+    * the rank window and final rollup run on source-grain rows —
+    * metadata-sized at any corpus size. Overflow bound: Σ(i·x) ≤
+    * n·Σx, fine for BIGINT until n·total_tokens nears 9.2e18 (a
+    * million sources × a quadrillion tokens). */
+  def sourceConcentration(docs: DataFrame): DataFrame = {
+    val bySource = docs.filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(size(expr(TextAnalysis.TokensExpr)).cast("long")).as("tokens"))
+    bySource
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("tokens").asc, col("source").asc)).cast("long"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("tokens")).as("total_tokens"),
+        sum(col("i") * col("tokens")).as("iwx"),
+        max(col("tokens")).as("max_tokens"))
+      .select(
+        col("n_sources"), col("total_tokens"),
+        expr("""CAST(FLOOR((10000.0 * CAST(2 * iwx - (n_sources + 1) * total_tokens AS DOUBLE))
+               |     / CAST(n_sources * total_tokens AS DOUBLE)) AS BIGINT)""".stripMargin)
+          .as("gini_bp"),
+        expr("""CAST(FLOOR((10000.0 * CAST(max_tokens AS DOUBLE))
+               |     / CAST(total_tokens AS DOUBLE)) AS BIGINT)""".stripMargin)
+          .as("top_share_bp"))
+  }
 }

@@ -315,6 +315,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"head is a global sort:\n$p")
   }
 
+  test("q88 volume anomaly: one fact shuffle + day-grain window, no single-partition exchange") {
+    val p = plan("q88_volume_anomaly")
+    // (event_type, day) count shuffles the facts once; the trailing
+    // window runs at day×type grain partitioned by event_type — a
+    // global-window rewrite would show Exchange SinglePartition.
+    assert(shuffles(p) <= 2, p)
+    assert(!stripCached(p).contains("Exchange SinglePartition"),
+      s"window collapsed to a single partition:\n$p")
+  }
+
+  test("q89 source concentration: corpus collapses to source grain in one aggregate; no explode") {
+    val p = plan("q89_source_concentration")
+    // token counting is size(split(...)) — a map, never a token
+    // explode; the rank window and rollup run at source grain (the
+    // single-partition exchanges there move source-count rows)
+    assert(!p.contains("Generate"), s"token explode crept in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(stripCached(p)).length <= 1, p)
+  }
+
   test("q87 label outliers: centroids broadcast back; per-label top-k is rank-pushed") {
     val p = plan("q87_label_outliers")
     // centroid build: (label,pos) partial-sum shuffle + label-grain

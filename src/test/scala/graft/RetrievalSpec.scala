@@ -382,6 +382,55 @@ class RetrievalSpec extends SparkSpec {
     assert(three == 3 * one)
   }
 
+  test("volume anomaly: spike vs flat baseline flags; steady jitter and short history don't") {
+    val s = spark
+    import s.implicits._
+    val T0 = 1767225600000L // 2026-01-01 UTC
+    def t(day: Int, i: Int) =
+      new java.sql.Timestamp(T0 + day * 86400000L + i * 1000L)
+    // "a": 10,10,10,10,30 — zero-variance baseline, the 30 must flag.
+    // "b": 10,12,10,12,11 — day-5 deviation is exactly 0: no flag.
+    val bCounts = Seq(10, 12, 10, 12, 11)
+    val rows =
+      (for (d <- 0 to 4; i <- 0 until (if (d == 4) 30 else 10))
+        yield ("a", t(d, i))) ++
+        (for (d <- 0 to 4; i <- 0 until bCounts(d)) yield ("b", t(d, i)))
+    val out = graft.ops.Retention
+      .volumeAnomaly(rows.toDF("event_type", "ts"),
+        windowDays = 7, k2 = 4L, minObs = 4L)
+      .select("event_type", "day", "cnt", "is_anomaly")
+      .as[(String, String, Long, Long)].collect()
+    val flags = out.map(r => (r._1, r._2) -> r._4).toMap
+    // a@d5: (4·30−40)² = 6400 > 4·(4·400−40²) = 0
+    assert(flags(("a", "2026-01-05")) == 1L)
+    // b@d5: (4·11−44)² = 0, not > 4·(4·488−44²) = 64
+    assert(flags(("b", "2026-01-05")) == 0L)
+    // days with fewer than minObs trailing observations never claim
+    assert(out.filter(_._2 < "2026-01-05").forall(_._4 == 0L))
+    assert(out.length == 10)
+  }
+
+  test("source concentration: sorted-rank Gini, uniform floor, and top share") {
+    val s = spark
+    import s.implicits._
+    def corpus(rows: (String, String)*) =
+      rows.zipWithIndex.map { case ((src, t), i) =>
+        (i.toLong, t, "en", src, if (t == null) 0L else t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // tokens [1, 1, 6] asc (source tie-break): iwx = 1+2+18 = 21,
+    // num = 42 − 4·8 = 10, den = 3·8 → gini 4166; top 6/8 → 7500
+    val out = TrainingPrep.sourceConcentration(corpus(
+        "s1" -> "a", "s2" -> "a", "s3" -> "a a a a a a",
+        "s3" -> null))
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((3L, 8L, 4166L, 7500L)))
+    // perfectly uniform corpus → Gini exactly 0
+    val uni = TrainingPrep.sourceConcentration(corpus(
+        "u1" -> "a a", "u2" -> "b b", "u3" -> "c c", "u4" -> "d d"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(uni == ((4L, 8L, 0L, 2500L)))
+  }
+
   test("curriculum buckets: every doc lands in [0, buckets)") {
     val d = docs((1L to 17L).map(i =>
       i -> (("a " * i.toInt) + "b c").trim): _*)
