@@ -100,7 +100,10 @@ object Retention {
     * expression tree mirrored textually in the oracle: IEEE multiply
     * is deterministic, so both engines round identically and flags
     * can't diverge. Days with fewer than `minObs` trailing
-    * observations report 0 (no baseline, no claim).
+    * observations report 0 (no baseline, no claim). NULL-timestamp
+    * events are excluded (mirrored oracle-side): a null day would
+    * sort NULLS FIRST in Spark's asc window but LAST in DuckDB's,
+    * landing in different trailing frames on the two engines.
     *
     * Scale shape: ONE fact shuffle (the (event_type, day) count,
     * map-side combined); the window runs at day×type grain —
@@ -110,10 +113,16 @@ object Retention {
   def volumeAnomaly(events: DataFrame, windowDays: Int = 7,
       k2: Long = 4L, minObs: Long = 4L): DataFrame = {
     require(windowDays >= 1 && k2 >= 1 && minObs >= 2)
+    // a frame of windowDays rows can never reach a larger minObs —
+    // the op would silently flag nothing, a dead monitor that looks
+    // healthy (contract in the signature, as with cohortRetention)
+    require(windowDays >= minObs,
+      s"minObs=$minObs can never be met by a $windowDays-row frame")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("d").asc)
       .rowsBetween(-windowDays, -1)
     events
+      .filter(col("ts").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("trail_n", count(col("cnt")).over(w))

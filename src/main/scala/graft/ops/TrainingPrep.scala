@@ -277,8 +277,11 @@ object TrainingPrep {
     * aggregate (token counting is size(split) — a map, no explode);
     * the rank window and final rollup run on source-grain rows —
     * metadata-sized at any corpus size. Overflow bound: Σ(i·x) ≤
-    * n·Σx, fine for BIGINT until n·total_tokens nears 9.2e18 (a
-    * million sources × a quadrillion tokens). */
+    * n·Σx and the numerator DOUBLES it (2·iwx), so Spark's BIGINT
+    * wraps once n·total_tokens passes 2^62 ≈ 4.6e18 — half a million
+    * sources × a ~10T-token corpus stays 1000× inside it. (DuckDB
+    * sums in HUGEINT and would NOT wrap, so exceeding the bound is a
+    * cross-engine divergence, not a shared wrong answer.) */
   def sourceConcentration(docs: DataFrame): DataFrame = {
     val bySource = docs.filter(col("text").isNotNull)
       .groupBy(col("source"))

@@ -391,10 +391,13 @@ class RetrievalSpec extends SparkSpec {
     // "a": 10,10,10,10,30 — zero-variance baseline, the 30 must flag.
     // "b": 10,12,10,12,11 — day-5 deviation is exactly 0: no flag.
     val bCounts = Seq(10, 12, 10, 12, 11)
+    // the null-ts row must vanish, not create a null day that sorts
+    // into a different trailing frame per engine
     val rows =
       (for (d <- 0 to 4; i <- 0 until (if (d == 4) 30 else 10))
         yield ("a", t(d, i))) ++
-        (for (d <- 0 to 4; i <- 0 until bCounts(d)) yield ("b", t(d, i)))
+        (for (d <- 0 to 4; i <- 0 until bCounts(d)) yield ("b", t(d, i))) :+
+        (("a", null: java.sql.Timestamp))
     val out = graft.ops.Retention
       .volumeAnomaly(rows.toDF("event_type", "ts"),
         windowDays = 7, k2 = 4L, minObs = 4L)
