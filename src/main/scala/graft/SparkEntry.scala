@@ -2492,7 +2492,9 @@ object Oracles {
       s"""WITH daily AS (
          |  SELECT event_type, CAST(ts AS DATE) AS d,
          |         CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |  GROUP BY 1, 2),
          |w AS (
          |  SELECT event_type, d, cnt,
          |         CAST(COUNT(cnt) OVER win AS BIGINT) AS trail_n,

@@ -101,9 +101,11 @@ object Retention {
     * is deterministic, so both engines round identically and flags
     * can't diverge. Days with fewer than `minObs` trailing
     * observations report 0 (no baseline, no claim). NULL-timestamp
-    * events are excluded (mirrored oracle-side): a null day would
-    * sort NULLS FIRST in Spark's asc window but LAST in DuckDB's,
-    * landing in different trailing frames on the two engines.
+    * and NULL-type events are excluded (mirrored oracle-side): a
+    * null day would sort NULLS FIRST in Spark's asc window but LAST
+    * in DuckDB's, landing in different trailing frames; a null type
+    * can't key a store row in the streaming twin, so the whole
+    * operator family drops malformed records at the gate.
     *
     * Scale shape: ONE fact shuffle (the (event_type, day) count,
     * map-side combined); the window runs at day×type grain —
@@ -122,7 +124,7 @@ object Retention {
       .partitionBy(col("event_type")).orderBy(col("d").asc)
       .rowsBetween(-windowDays, -1)
     events
-      .filter(col("ts").isNotNull)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("trail_n", count(col("cnt")).over(w))

@@ -19,13 +19,14 @@ import graft.sink.StoreProvider
   * aggregation (Spark's checkpointed state carries totals across
   * batches and restarts; the watermark evicts closed days). Each
   * micro-batch publishes ABSOLUTE counts for changed keys via
-  * idempotent per-partition puts, then re-flags only the TYPES the
-  * batch touched (the TrendStream/T6 touched-group pattern): a late
-  * event changes one day's count, and that day sits in the trailing
-  * frame of up to `windowDays` later days — so the whole per-type
-  * day series is re-scanned. That state is calendar-bounded (a day
-  * per type per calendar day — years ≈ hundreds of rows), never
-  * stream-length bounded, and the scan runs executor-side.
+  * idempotent per-partition puts, then re-flags only the SPAN the
+  * batch can have flipped (the TrendStream/T6 touched-group pattern,
+  * bounded further): a changed day sits in the trailing frame of up
+  * to `windowDays` later observed days, so flag writes cover
+  * [first changed day, `windowDays` past the last changed one] —
+  * watermark-bounded, never history-bounded. The per-type state read
+  * is calendar-bounded (a row per type per calendar day) and runs
+  * executor-side.
   *
   * Replay-safe: every write is an absolute put keyed by
   * (event_type, day) — a re-delivered batch overwrites state with
@@ -41,11 +42,13 @@ object AnomalyStream {
   val Tables: Seq[String] = Seq("daily_count", "volume_anomaly")
 
   /** Per-(event_type, day) ABSOLUTE running counts for keys changed
-    * this batch (update mode). Null timestamps are dropped exactly
-    * as in the batch twin. */
+    * this batch (update mode). Null timestamps AND null types are
+    * dropped exactly as in the batch twin (a null type can't key a
+    * store row — JDBC `k1 = NULL` matches nothing, so the write
+    * would silently vanish). */
   def dailyCounts(events: DataFrame, delay: String = "2 days"): DataFrame =
     events
-      .filter(col("ts").isNotNull)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .withWatermark("ts", delay)
       .groupBy(col("event_type"), window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("cnt"))
@@ -60,22 +63,30 @@ object AnomalyStream {
   def anomalyBatch(provider: StoreProvider, windowDays: Int = 7,
       k2: Long = 4L, minObs: Long = 4L)(
       batch: DataFrame, batchId: Long): Unit = {
-    require(windowDays >= minObs,
-      s"minObs=$minObs can never be met by a $windowDays-row frame")
+    validate(windowDays, k2, minObs)
     batch.persist()
     try {
       AdClickStream.writePerPartition(batch, provider) { (s, r) =>
         s.put("daily_count", Seq(r.getString(0), r.getString(1)), r.getLong(2))
       }
-      // re-flag every day of the touched types: a changed day is in
-      // the trailing frame of later days, so flags downstream of it
-      // may flip; the per-type series is calendar-bounded state
-      val touched = batch.select(col("event_type")).distinct()
+      // Re-flag only what this batch can have flipped: a changed day
+      // sits in the trailing frame of up to `windowDays` LATER
+      // observed days, so the affected span is [first changed day,
+      // windowDays observed days past the last changed one] — puts
+      // are bounded by the batch's day span + W, not by history.
+      // (The prefix scan still reads the type's full calendar-bounded
+      // series — the store API has no range scan; the baseline needs
+      // the W days before the first change anyway.)
+      val touched = batch.groupBy(col("event_type"))
+        .agg(min(col("day")).as("from_day"), max(col("day")).as("to_day"))
       AdClickStream.writePerPartition(touched, provider) { (s, r) =>
-        val et = r.getString(0)
+        val (et, from, to) = (r.getString(0), r.getString(1), r.getString(2))
         val days = s.scanPrefix("daily_count", Seq(et))
           .map { case (key, n) => (key(1), n) }.sortBy(_._1)
-        days.indices.foreach { j =>
+        val lo = days.indexWhere(_._1 >= from)
+        val hi = math.min(
+          days.lastIndexWhere(_._1 <= to) + windowDays, days.length - 1)
+        (lo to hi).foreach { j =>
           val win = days.slice(math.max(0, j - windowDays), j).map(_._2)
           val n = win.length.toLong
           val sSum = win.sum
@@ -92,12 +103,29 @@ object AnomalyStream {
     } finally batch.unpersist()
   }
 
+  /** Same contract as the batch twin, enforced at construction time
+    * (a misconfigured monitor must fail fast, not silently never
+    * flag or die on its first micro-batch). */
+  private def validate(windowDays: Int, k2: Long, minObs: Long): Unit = {
+    require(windowDays >= 1 && k2 >= 1 && minObs >= 2,
+      s"invalid (windowDays=$windowDays, k2=$k2, minObs=$minObs)")
+    require(windowDays >= minObs,
+      s"minObs=$minObs can never be met by a $windowDays-row frame")
+  }
+
   /** The full query: daily counts → idempotent publish + touched-type
     * re-flag. */
   def anomalyQuery(events: DataFrame, provider: StoreProvider,
       checkpointDir: String, windowDays: Int = 7, k2: Long = 4L,
       minObs: Long = 4L, delay: String = "2 days",
-      trigger: Trigger = AdClickStream.DefaultTrigger): StreamingQuery =
+      trigger: Trigger = AdClickStream.DefaultTrigger): StreamingQuery = {
+    validate(windowDays, k2, minObs)
+    // tumbling windows align to UTC midnights regardless of session
+    // zone, but the batch twin's to_date follows the session zone —
+    // the documented parity only holds on the house UTC pin
+    val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC",
+      s"volume-anomaly parity with the batch report requires a UTC session (got $tz)")
     dailyCounts(events, delay)
       .writeStream
       .outputMode("update")
@@ -105,4 +133,5 @@ object AnomalyStream {
       .trigger(trigger)
       .foreachBatch(anomalyBatch(provider, windowDays, k2, minObs) _)
       .start()
+  }
 }

@@ -90,6 +90,23 @@ class AnomalyStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("re-flag writes cover only the changed span, not full history") {
+    val s = spark
+    import s.implicits._
+    val store = "anomaly-bound"
+    InMemoryStore.clear(store)
+    val st = new InMemoryStore(store)
+    // 9 days of pre-existing count state, as if written long ago
+    (1 to 9).foreach(d => st.put("daily_count", Seq("a", f"2026-01-0$d"), 10L))
+    // this batch touches ONLY day 9 (its count becomes a spike)
+    val batch = Seq(("a", "2026-01-09", 30L)).toDF("event_type", "day", "cnt")
+    AnomalyStream.anomalyBatch(InMemoryProvider(store))(batch, 0L)
+    val flags = st.scanPrefix("volume_anomaly", Seq("a")).toMap
+    // older days' baselines didn't change — no rewrite of history
+    assert(flags.keySet == Set(List("a", "2026-01-09")))
+    assert(flags(List("a", "2026-01-09")) == 1L) // 7 flat days, then 30
+  }
+
   test("anomalyBatch replay is a no-op (all writes absolute)") {
     val s = spark
     import s.implicits._
