@@ -116,7 +116,10 @@ object SparkEntry {
     "q86_cooccur_top" -> (Queries.cooccurTop _),
     "q87_label_outliers" -> (Queries.labelOutliers _),
     "q88_volume_anomaly" -> (Queries.volumeAnomaly _),
-    "q89_source_concentration" -> (Queries.sourceConcentration _)
+    "q89_source_concentration" -> (Queries.sourceConcentration _),
+    "q90_covisitation" -> (Queries.coVisitation _),
+    "q91_transitions" -> (Queries.transitions _),
+    "q92_source_overlap" -> (Queries.sourceOverlap _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -659,6 +662,22 @@ object Queries {
   /** One-row corpus balance report: token Gini + top-source share. */
   def sourceConcentration(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.sourceConcentration(Tables(spark, dir, "documents"))
+
+  val CoVisitTopK = 50
+  val CoVisitMaxItems = 64
+
+  /** Session-basket co-visitation pairs (top-50 by shared sessions). */
+  def coVisitation(spark: SparkSession, dir: String): DataFrame =
+    Market.coVisitation(Tables(spark, dir, "events"),
+      CoVisitTopK, CoVisitMaxItems)
+
+  /** Within-session event-type transition matrix. */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    Market.transitions(Tables(spark, dir, "events"))
+
+  /** Cross-source n-gram overlap / containment matrix. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(Tables(spark, dir, "documents"))
 
   val RetentionMaxOffset = 14
   /** Analysis window covering the whole fixture (events span Jan
@@ -2534,6 +2553,89 @@ object Oracles {
         |       CAST(FLOOR((10000.0 * CAST(MAX(tokens) AS DOUBLE))
         |            / CAST(SUM(tokens) AS DOUBLE)) AS BIGINT) AS top_share_bp
         |FROM r""".stripMargin,
+
+    // Co-visitation: capped (cap smallest item ids) session baskets,
+    // pairwise session counts, integer-bp confidences. The cap rank
+    // and the a<b self-join mirror Market.coVisitation's array comb.
+    "q90_covisitation" -> {
+      val cap = Queries.CoVisitMaxItems
+      s"""$sessionCte,
+         |it0 AS (
+         |  SELECT user_id, session_seq,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM sz
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |capped AS (
+         |  SELECT user_id, session_seq, item FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |      ORDER BY item) AS rn
+         |    FROM it0)
+         |  WHERE rn <= $cap),
+         |pairs AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |         CAST(COUNT(*) AS BIGINT) AS pair_sessions
+         |  FROM capped a
+         |  JOIN capped b ON a.user_id = b.user_id
+         |    AND a.session_seq = b.session_seq AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM capped GROUP BY 1)
+         |SELECT item_a, item_b, pair_sessions,
+         |       na.n AS sessions_a, nb.n AS sessions_b,
+         |       CAST(pair_sessions * 10000 // na.n AS BIGINT) AS conf_ab_bp,
+         |       CAST(pair_sessions * 10000 // nb.n AS BIGINT) AS conf_ba_bp
+         |FROM pairs
+         |JOIN n na ON na.item = pairs.item_a
+         |JOIN n nb ON nb.item = pairs.item_b
+         |ORDER BY pair_sessions DESC, item_a, item_b
+         |LIMIT ${Queries.CoVisitTopK}""".stripMargin
+    },
+
+    // Transition matrix: the lag sits on the session key; prob_bp is
+    // the house single integer divide per row.
+    "q91_transitions" ->
+      s"""$sessionCte,
+         |st AS (
+         |  SELECT user_id, session_seq, event_type,
+         |         lag(event_type) OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS prev_type
+         |  FROM sz),
+         |tr AS (
+         |  SELECT prev_type, event_type AS next_type,
+         |         CAST(COUNT(*) AS BIGINT) AS transitions
+         |  FROM st WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT prev_type, CAST(SUM(transitions) AS BIGINT) AS from_total
+         |  FROM tr GROUP BY 1)
+         |SELECT tr.prev_type, tr.next_type, tr.transitions,
+         |       CAST(tr.transitions * 10000 // tot.from_total AS BIGINT) AS prob_bp
+         |FROM tr JOIN tot USING (prev_type)""".stripMargin,
+
+    // Raw-string gram twin of the TokenGramHash grain (q65's
+    // convention — equal counts barring 64-bit collisions).
+    "q92_source_overlap" -> {
+      val n = graft.ops.Dedup.SpanGram
+      s"""WITH toks AS (
+         |  SELECT source, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (
+         |  SELECT DISTINCT source, array_to_string(t[i : i + ${n - 1}], ' ') AS g
+         |  FROM toks, unnest(range(1, len(t) - ${n - 2})) AS u(i)
+         |  WHERE len(t) >= $n),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(COUNT(*) AS BIGINT) AS shared_grams
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, shared_grams,
+         |       na.n AS grams_a, nb.n AS grams_b,
+         |       CAST(shared_grams * 10000 // na.n AS BIGINT) AS overlap_ab_bp,
+         |       CAST(shared_grams * 10000 // nb.n AS BIGINT) AS overlap_ba_bp
+         |FROM p
+         |JOIN tot na ON na.source = p.source_a
+         |JOIN tot nb ON nb.source = p.source_b""".stripMargin
+    },
 
     "q46_pii_scrub" ->
       s"""SELECT doc_id,

@@ -440,4 +440,55 @@ object Dedup {
             "NOT array_contains(drops, CAST(i + 1 AS BIGINT))), ' ')"))
           .as("clean_text"))
   }
+
+  /** Cross-source overlap matrix at `n`-gram grain: for every source
+    * pair, how many DISTINCT token n-grams they share, each source's
+    * own distinct-gram count, and both containment ratios in basis
+    * points — the provenance report run before picking dedup
+    * priorities or mixture weights (a crawl source 80%-contained in a
+    * curated one is redundant; 2% is complementary).
+    *
+    * Exact-duplicate overlap is this report at n → ∞; gram grain also
+    * sees partial/reformatted copies (the q65 rationale). Grams are
+    * `TokenGramHash` 64-bit hashes — never materialized as strings —
+    * under the house hash-grain convention (collisions < 1e-9 at 1e5
+    * grams, and at worst nudge one count).
+    *
+    * Scale shape: corpus → distinct (gram, source) in ONE
+    * partial-aggregated shuffle; gram-grain source sets are bounded
+    * by the SOURCE DOMAIN (dozens), so the per-gram pair comb is a
+    * map stage and the final aggregate's key space is source² —
+    * metadata-sized. Per-source totals ride the same grain
+    * (grouping-sets-free second agg over the persisted distinct set
+    * would re-read; instead the gram-grain frame is cached-free
+    * recomputed only at source grain — two scans of the SHUFFLED
+    * distinct set, not of the corpus). */
+  def sourceOverlap(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    val gramSource = withTokensBase(docs)
+      .filter(size(col("__t")) >= n)
+      .select(col("source"),
+        explode(graft.expressions.TokenGramHash.grams(col("__t"), n)).as("gh"))
+      .groupBy(col("gh"))
+      .agg(array_sort(collect_set(col("source"))).as("sources"))
+    val perGram = gramSource.select(col("sources"),
+      explode(expr(
+        """flatten(transform(sources, (a, i) ->
+          |  transform(slice(sources, i + 2, size(sources)), b ->
+          |    struct(a AS source_a, b AS source_b))))""".stripMargin)).as("p"))
+    val shared = perGram
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    val totals = gramSource
+      .select(explode(col("sources")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    shared
+      .join(broadcast(totals.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "grams_a")), Seq("source_a"))
+      .join(broadcast(totals.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "grams_b")), Seq("source_b"))
+      .withColumn("overlap_ab_bp", expr("shared_grams * 10000L div grams_a"))
+      .withColumn("overlap_ba_bp", expr("shared_grams * 10000L div grams_b"))
+      .select("source_a", "source_b", "shared_grams", "grams_a", "grams_b",
+        "overlap_ab_bp", "overlap_ba_bp")
+  }
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Session-basket mining over the events stream: item co-visitation
+  * ("users who touched X in a session also touched Y") and the
+  * event-type transition matrix (the Markov "user journey" report).
+  *
+  * Reference context: the reference's closest shapes are the
+  * category-session rollups (UserVisitSessionAnalyzeSpark.java's
+  * top-category / top-session passes, A9/W4 in SURVEY.md §2) — it has
+  * no pairwise basket or transition analysis; these are the standard
+  * product-analytics extensions over the same clickstream.
+  *
+  * Scale shapes:
+  *  - Co-visitation's danger is the per-session pair explosion: a bot
+  *    session with 10k distinct items would emit 50M pairs. The cap is
+  *    therefore load-bearing, not cosmetic: every session contributes
+  *    at most C(cap, 2) pairs, so pair volume is ≤ sessions × C(cap,2)
+  *    regardless of skew. The cap set is DETERMINISTIC (the cap
+  *    smallest item ids, via array_sort + slice — rerun- and
+  *    layout-stable, unlike "first seen in partition order").
+  *  - Shuffle ledger: assignSessions' one user_id window shuffle is
+  *    REUSED by the session-set aggregate (hash(user_id) satisfies the
+  *    (user_id, session_seq) clustering), then one pair-grain shuffle
+  *    whose key domain is observed pairs (catalog-bounded, not
+  *    event-bounded), then TakeOrderedAndProject for the head. The
+  *    per-item session counts ride the same pair aggregate via an
+  *    item-grain twin and two broadcast-sized joins (item catalog ≪
+  *    corpus).
+  *  - Transitions: the lag sits on the SAME user_id window partition
+  *    as session assignment (zero extra shuffle), and the (prev, next)
+  *    aggregate's key domain is event-type², metadata-sized.
+  *
+  * Cross-engine determinism (SURVEY.md §7.3): confidences are integer
+  * basis points via BIGINT div (pair_n × 10000 never overflows before
+  * 9.2e14 pair sessions); ranks tie-break on ids.
+  */
+object Market {
+
+  /** Distinct items per session, capped at `maxItems` smallest ids.
+    * One row per session with a sorted item array of size ∈ [1, cap].
+    */
+  private def sessionItems(events: DataFrame, itemCol: String, cap: Int): DataFrame =
+    Sessionize.assignSessions(events)
+      .withColumn("item", get_json_object(col("props"), itemCol).cast("long"))
+      .filter(col("item").isNotNull)
+      // (user_id, session_seq) is the session key; hash(user_id)
+      // partitioning from the sessionize window already clusters it —
+      // this aggregate adds no exchange (pinned in PlanAuditSpec).
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(slice(array_sort(collect_set(col("item"))), 1, cap).as("items"))
+
+  /** Co-visitation pairs: for every unordered item pair {a < b}, the
+    * number of sessions containing both, each item's own session
+    * count, and both conditional confidences in basis points.
+    * Top `k` pairs by pair_sessions (ties: item_a, item_b asc).
+    *
+    * Columns: item_a, item_b, pair_sessions, sessions_a, sessions_b,
+    * conf_ab_bp (= floor(pair × 10000 / sessions_a)), conf_ba_bp.
+    */
+  def coVisitation(events: DataFrame, k: Int, maxItems: Int = 64,
+      itemCol: String = "$.k"): DataFrame = {
+    val baskets = sessionItems(events, itemCol, maxItems)
+    // All a<b pairs of the sorted array via an index-pair comb —
+    // pure map stage, bounded by C(cap, 2) per row.
+    val pairs = baskets.select(explode(expr(
+      """flatten(transform(items, (a, i) ->
+        |  transform(slice(items, i + 2, size(items)), b ->
+        |    struct(a AS item_a, b AS item_b))))""".stripMargin)).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("pair_sessions"))
+    // Item-grain session counts from the SAME capped baskets (so
+    // confidences are internally consistent with the pair counts).
+    val itemN = baskets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(itemN.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("n", "sessions_a")), Seq("item_a"))
+      .join(broadcast(itemN.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("n", "sessions_b")), Seq("item_b"))
+      .withColumn("conf_ab_bp",
+        expr("pair_sessions * 10000L div sessions_a"))
+      .withColumn("conf_ba_bp",
+        expr("pair_sessions * 10000L div sessions_b"))
+      .select("item_a", "item_b", "pair_sessions", "sessions_a",
+        "sessions_b", "conf_ab_bp", "conf_ba_bp")
+      .orderBy(col("pair_sessions").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** Event-type transition matrix: within-session (prev → next)
+    * step counts and the per-prev transition probability in basis
+    * points. The lag window shares the sessionize partitioning —
+    * the whole report costs one user_id shuffle plus one
+    * event-type²-domain aggregate.
+    *
+    * Columns: prev_type, next_type, transitions, prob_bp
+    * (= floor(transitions × 10000 / Σ transitions from prev_type)).
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Sessionize.assignSessions(events)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(bySession))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("transitions"))
+    // Row-total join at event-type grain: metadata-sized, broadcast.
+    val totals = steps.groupBy("prev_type")
+      .agg(sum("transitions").as("from_total"))
+    steps.join(broadcast(totals), Seq("prev_type"))
+      .withColumn("prob_bp", expr("transitions * 10000L div from_total"))
+      .select("prev_type", "next_type", "transitions", "prob_bp")
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Market
+
+/** Session-basket mining: co-visitation pairs and the event-type
+  * transition matrix. */
+class MarketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, t: String, typ: String, k: Int) =
+    (id, Timestamp.valueOf(t), user, typ, 1.0, s"""{"k": $k}""")
+
+  private def toEvents(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("coVisitation counts shared-session pairs with both confidences") {
+    // user 1, one session: items {1, 2, 3}; user 2, one session: {1, 2};
+    // user 2's second session (3h later): {2} — no pair contribution.
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 2),
+      ev(2, 1, "2024-01-01 00:02:00", "click", 3),
+      ev(3, 1, "2024-01-01 00:03:00", "click", 2), // dup item, same session
+      ev(4, 2, "2024-01-01 00:00:00", "click", 2),
+      ev(5, 2, "2024-01-01 00:01:00", "click", 1),
+      ev(6, 2, "2024-01-01 03:30:00", "click", 2)))
+    val got = Market.coVisitation(df, 10)
+      .select("item_a", "item_b", "pair_sessions", "sessions_a",
+        "sessions_b", "conf_ab_bp", "conf_ba_bp")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // sessions: item1 in 2, item2 in 3, item3 in 1
+    // pairs: (1,2) in 2 sessions; (1,3) and (2,3) in 1
+    assert(got.head == ((1L, 2L, 2L, 2L, 3L, 10000L, 6666L)))
+    assert(got.toSet == Set(
+      (1L, 2L, 2L, 2L, 3L, 10000L, 6666L),
+      (1L, 3L, 1L, 2L, 1L, 5000L, 10000L),
+      (2L, 3L, 1L, 3L, 1L, 3333L, 10000L)))
+  }
+
+  test("coVisitation cap bounds the per-session pair comb deterministically") {
+    // one session with items 0..9; cap=3 keeps {0,1,2} → C(3,2)=3 pairs
+    val df = toEvents((0 until 10).map(i =>
+      ev(i.toLong, 1L, f"2024-01-01 00:0$i%01d:00", "click", 9 - i)))
+    val got = Market.coVisitation(df, 100, maxItems = 3)
+      .select("item_a", "item_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("coVisitation ranks by pair count then (item_a, item_b) and honors k") {
+    // 3 single-session users make pair (5,6) count 3; ties at 1 below it
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 5),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 6),
+      ev(2, 2, "2024-01-01 00:00:00", "click", 5),
+      ev(3, 2, "2024-01-01 00:01:00", "click", 6),
+      ev(4, 3, "2024-01-01 00:00:00", "click", 5),
+      ev(5, 3, "2024-01-01 00:01:00", "click", 6),
+      ev(6, 4, "2024-01-01 00:00:00", "click", 1),
+      ev(7, 4, "2024-01-01 00:01:00", "click", 2),
+      ev(8, 4, "2024-01-01 00:02:00", "click", 3)))
+    val got = Market.coVisitation(df, 2)
+      .select("item_a", "item_b", "pair_sessions")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 6L, 3L), (1L, 2L, 1L)))
+  }
+
+  test("coVisitation ignores null items and is repartition-invariant") {
+    val base = Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 2))
+    val noK = (9L, Timestamp.valueOf("2024-01-01 00:02:00"), 1L, "click", 1.0, "{}")
+    val df = toEvents(base :+ noK)
+    val a = Market.coVisitation(df, 10).collect().toSeq
+    val b = Market.coVisitation(toEvents(base :+ noK).repartition(7), 10)
+      .collect().toSeq
+    assert(a == b)
+    assert(a.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+  }
+
+  test("transitions counts within-session steps with bp probabilities") {
+    // user 1 session: view -> click -> click -> purchase
+    // user 2 session: view -> click; session break resets the chain
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "view", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 1),
+      ev(2, 1, "2024-01-01 00:02:00", "click", 1),
+      ev(3, 1, "2024-01-01 00:03:00", "purchase", 1),
+      ev(4, 2, "2024-01-01 00:00:00", "view", 1),
+      ev(5, 2, "2024-01-01 00:01:00", "click", 1),
+      ev(6, 2, "2024-01-01 03:00:00", "purchase", 1))) // new session, no prev
+    val got = Market.transitions(df)
+      .select("prev_type", "next_type", "transitions", "prob_bp")
+      .as[(String, String, Long, Long)].collect().toSet
+    // prev 'view' → 2/2 steps to click; prev 'click' → 1 of 2 each
+    assert(got == Set(
+      ("view", "click", 2L, 10000L),
+      ("click", "click", 1L, 5000L),
+      ("click", "purchase", 1L, 5000L)))
+  }
+
+  test("transitions never crosses a session boundary") {
+    // two sessions of the same user: last event of s1 is 'click',
+    // first of s2 is 'view' — no click->view edge may appear
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1),
+      ev(1, 1, "2024-01-01 05:00:00", "view", 1),
+      ev(2, 1, "2024-01-01 05:01:00", "click", 1)))
+    val got = Market.transitions(df)
+      .select("prev_type", "next_type").as[(String, String)].collect().toSet
+    assert(got == Set(("view", "click")))
+  }
+}

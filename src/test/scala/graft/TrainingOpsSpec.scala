@@ -477,4 +477,36 @@ class TrainingOpsSpec extends SparkSpec {
       .collect().toSeq.sortBy(_._3)
     assert(out == Seq((6L, 562500000000L, 1), (7L, 562500000000L, 2)))
   }
+
+  // ---- cross-source overlap matrix ----
+
+  test("sourceOverlap counts distinct shared grams with containment bp") {
+    // n=3: srcA doc has grams {a b c, b c d}; srcB shares exactly
+    // {a b c} (twice, in two docs — still ONE distinct gram);
+    // srcC shares nothing long enough.
+    val d = Seq(
+      (1L, "a b c d", "en", "srcA", 0L),
+      (2L, "a b c", "en", "srcB", 0L),
+      (3L, "x a b c", "en", "srcB", 0L),
+      (4L, "p q", "en", "srcC", 0L),
+      (5L, null.asInstanceOf[String], "en", "srcA", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.sourceOverlap(d, n = 3)
+      .select("source_a", "source_b", "shared_grams", "grams_a", "grams_b",
+        "overlap_ab_bp", "overlap_ba_bp")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    // srcA grams: {abc, bcd} (2); srcB grams: {abc, xab} (2)
+    assert(got == Seq(("srcA", "srcB", 1L, 2L, 2L, 5000L, 5000L)))
+  }
+
+  test("sourceOverlap: identical corpora in two sources → 10000 bp both ways") {
+    val d = Seq(
+      (1L, "t1 t2 t3 t4", "en", "a", 0L),
+      (2L, "t1 t2 t3 t4", "en", "b", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.sourceOverlap(d, n = 4)
+      .select("shared_grams", "overlap_ab_bp", "overlap_ba_bp")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10000L, 10000L)))
+  }
 }
