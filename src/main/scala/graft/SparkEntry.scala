@@ -119,7 +119,8 @@ object SparkEntry {
     "q89_source_concentration" -> (Queries.sourceConcentration _),
     "q90_covisitation" -> (Queries.coVisitation _),
     "q91_transitions" -> (Queries.transitions _),
-    "q92_source_overlap" -> (Queries.sourceOverlap _)
+    "q92_source_overlap" -> (Queries.sourceOverlap _),
+    "q93_pagerank" -> (Queries.pageRank _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -678,6 +679,17 @@ object Queries {
   /** Cross-source n-gram overlap / containment matrix. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(Tables(spark, dir, "documents"))
+
+  val PageRankIters = 3
+  val PageRankK = 20
+  val PageRankMinSupport = 2L
+
+  /** Item PageRank over the symmetrized co-visitation graph. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRankTopK(
+      Graph.symmetric(Market.coVisitPairs(Tables(spark, dir, "events")),
+        PageRankMinSupport),
+      PageRankIters, PageRankK)
 
   val RetentionMaxOffset = 14
   /** Analysis window covering the whole fixture (events span Jan
@@ -2610,6 +2622,69 @@ object Oracles {
          |SELECT tr.prev_type, tr.next_type, tr.transitions,
          |       CAST(tr.transitions * 10000 // tot.from_total AS BIGINT) AS prob_bp
          |FROM tr JOIN tot USING (prev_type)""".stripMargin,
+
+    // PageRank over the symmetrized co-visit graph: q90's capped
+    // basket CTEs feed the edge list, then each power-iteration round
+    // is unrolled as (share, contrib, dangling, rank) CTEs — the
+    // q52/q70 symbolic-unroll convention. All arithmetic is BIGINT
+    // floor div in the same order as Graph.pageRank.
+    "q93_pagerank" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      val damp = graft.ops.Graph.DampBp
+      val scale = graft.ops.Graph.Scale
+      def round(r: Int): String =
+        s"""s$r AS (
+           |  SELECT r.item AS src, $damp * r.rank // (10000 * d.deg) AS share
+           |  FROM r${r - 1} r JOIN deg d ON d.src = r.item),
+           |c$r AS (
+           |  SELECT e.dst AS item, CAST(SUM(s.share) AS BIGINT) AS in_mass
+           |  FROM edg e JOIN s$r s ON e.src = s.src GROUP BY 1),
+           |dg$r AS (
+           |  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dsum
+           |  FROM r${r - 1} r LEFT JOIN deg d ON d.src = r.item
+           |  WHERE d.src IS NULL),
+           |r$r AS (
+           |  SELECT r.item, r.n,
+           |         CAST((10000 - $damp) * ($scale // r.n) // 10000
+           |           + $damp * dg.dsum // (10000 * r.n)
+           |           + COALESCE(c.in_mass, 0) AS BIGINT) AS rank
+           |  FROM r${r - 1} r
+           |  LEFT JOIN c$r c ON c.item = r.item, dg$r dg)""".stripMargin
+      val rounds = (1 to Queries.PageRankIters).map(round).mkString(",\n")
+      s"""$sessionCte,
+         |it0 AS (
+         |  SELECT user_id, session_seq,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM sz
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |capped AS (
+         |  SELECT user_id, session_seq, item FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |      ORDER BY item) AS rn
+         |    FROM it0)
+         |  WHERE rn <= $cap),
+         |pairs AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |         CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM capped a
+         |  JOIN capped b ON a.user_id = b.user_id
+         |    AND a.session_seq = b.session_seq AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |edg AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT item_a AS src, item_b AS dst FROM pairs WHERE w >= $ms
+         |    UNION ALL
+         |    SELECT item_b, item_a FROM pairs WHERE w >= $ms)),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edg GROUP BY 1),
+         |nodes AS (SELECT src AS item FROM edg UNION SELECT dst FROM edg),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT item, n, $scale // n AS rank FROM nodes, tot),
+         |$rounds
+         |SELECT item, rank FROM r${Queries.PageRankIters}
+         |ORDER BY rank DESC, item LIMIT ${Queries.PageRankK}""".stripMargin
+    },
 
     // Raw-string gram twin of the TokenGramHash grain (q65's
     // convention — equal counts barring 64-bit collisions).

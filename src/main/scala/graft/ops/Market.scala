@@ -60,18 +60,27 @@ object Market {
     * Columns: item_a, item_b, pair_sessions, sessions_a, sessions_b,
     * conf_ab_bp (= floor(pair × 10000 / sessions_a)), conf_ba_bp.
     */
-  def coVisitation(events: DataFrame, k: Int, maxItems: Int = 64,
+  /** The full unordered pair-count set (item_a < item_b,
+    * pair_sessions) — the raw co-visitation graph [[coVisitation]]
+    * ranks and [[Graph.pageRank]]'s q93 composition feeds on. */
+  def coVisitPairs(events: DataFrame, maxItems: Int = 64,
       itemCol: String = "$.k"): DataFrame = {
     val baskets = sessionItems(events, itemCol, maxItems)
     // All a<b pairs of the sorted array via an index-pair comb —
     // pure map stage, bounded by C(cap, 2) per row.
-    val pairs = baskets.select(explode(expr(
+    baskets.select(explode(expr(
       """flatten(transform(items, (a, i) ->
         |  transform(slice(items, i + 2, size(items)), b ->
         |    struct(a AS item_a, b AS item_b))))""".stripMargin)).as("p"))
       .select(col("p.item_a"), col("p.item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("pair_sessions"))
+  }
+
+  def coVisitation(events: DataFrame, k: Int, maxItems: Int = 64,
+      itemCol: String = "$.k"): DataFrame = {
+    val baskets = sessionItems(events, itemCol, maxItems)
+    val pairs = coVisitPairs(events, maxItems, itemCol)
     // Item-grain session counts from the SAME capped baskets (so
     // confidences are internally consistent with the pair counts).
     val itemN = baskets.select(explode(col("items")).as("item"))

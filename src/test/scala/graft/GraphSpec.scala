@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Integer fixed-point PageRank: hand-computed rounds, dangling
+  * redistribution, and the symmetrize helper. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(rows: (Long, Long)*) = rows.toDF("src", "dst")
+
+  test("symmetric 2-cycle is a fixed point at Scale/n per node") {
+    // n=2, deg=1 each: share = .85*5e11, base = .15*5e11 → rank stays
+    val out = Graph.pageRank(edges(1L -> 2L, 2L -> 1L), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 500000000000L, 2L -> 500000000000L))
+  }
+
+  test("dangling node redistributes its mass uniformly (hand-computed)") {
+    // A(1)→B(2), B dangling. n=2, r0=5e11 each.
+    // r1: base=75e9; dangle=8500*5e11//20000=212.5e9; A's share to B=425e9
+    //   A=287.5e9, B=712.5e9 (mass conserved at 1e12)
+    // r2: dangle=8500*712.5e9//20000=302.8125e9; share_A=8500*287.5e9//10000=244.375e9
+    //   A=377.8125e9, B=622.1875e9
+    val r1 = Graph.pageRank(edges(1L -> 2L), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 287500000000L, 2L -> 712500000000L))
+    val r2 = Graph.pageRank(edges(1L -> 2L), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 377812500000L, 2L -> 622187500000L))
+  }
+
+  test("star hub outranks spokes; topK tie-breaks on item asc") {
+    // hub 0 ↔ spokes 1,2,3 (symmetric)
+    val e = edges(0L -> 1L, 1L -> 0L, 0L -> 2L, 2L -> 0L, 0L -> 3L, 3L -> 0L)
+    val top = Graph.pageRankTopK(e, iters = 3, k = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(top.head._1 == 0L)
+    assert(top.map(_._1) == Seq(0L, 1L, 2L, 3L)) // spoke tie → id asc
+    assert(top(1)._2 == top(2)._2 && top(2)._2 == top(3)._2)
+    assert(top.head._2 > top(1)._2)
+  }
+
+  test("duplicate edges collapse; ranks are repartition-invariant") {
+    val base = Seq(1L -> 2L, 1L -> 2L, 2L -> 1L)
+    val a = Graph.pageRank(edges(base: _*), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(edges(base: _*).repartition(7), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a == Map(1L -> 500000000000L, 2L -> 500000000000L))
+  }
+
+  test("symmetric() filters by weight and emits both directions") {
+    val pairs = Seq((1L, 2L, 3L), (2L, 3L, 1L))
+      .toDF("item_a", "item_b", "pair_sessions")
+    val got = Graph.symmetric(pairs, minWeight = 2L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 1L)))
+  }
+}
