@@ -120,7 +120,9 @@ object SparkEntry {
     "q90_covisitation" -> (Queries.coVisitation _),
     "q91_transitions" -> (Queries.transitions _),
     "q92_source_overlap" -> (Queries.sourceOverlap _),
-    "q93_pagerank" -> (Queries.pageRank _)
+    "q93_pagerank" -> (Queries.pageRank _),
+    "q94_rfm" -> (Queries.rfm _),
+    "q95_ordered_funnel" -> (Queries.orderedFunnel _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -690,6 +692,23 @@ object Queries {
       Graph.symmetric(Market.coVisitPairs(Tables(spark, dir, "events")),
         PageRankMinSupport),
       PageRankIters, PageRankK)
+
+  /** The fixture's events end Jan 2024; the RFM anchor sits just
+    * past them (an explicit parameter — wall-clock "today" would be
+    * unreproducible across engines and reruns). */
+  val RfmAnchor = "2024-02-01"
+  val RfmBuckets = 4
+
+  /** RFM user segmentation over purchase events. */
+  def rfm(spark: SparkSession, dir: String): DataFrame =
+    Retention.rfm(Tables(spark, dir, "events"), RfmAnchor, RfmBuckets)
+
+  val orderedFlow: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** Ordered-subsequence funnel depth over sessions. */
+  def orderedFunnel(spark: SparkSession, dir: String): DataFrame =
+    PageFunnel.orderedFunnel(spark,
+      Sessionize.assignSessions(Tables(spark, dir, "events")), orderedFlow)
 
   val RetentionMaxOffset = 14
   /** Analysis window covering the whole fixture (events span Jan
@@ -2622,6 +2641,91 @@ object Oracles {
          |SELECT tr.prev_type, tr.next_type, tr.transitions,
          |       CAST(tr.transitions * 10000 // tot.from_total AS BIGINT) AS prob_bp
          |FROM tr JOIN tot USING (prev_type)""".stripMargin,
+
+    // Ordered funnel: step k's sessions = sessions with a MIN event
+    // position for flow[k] strictly after step k−1's — unrolled
+    // min-joins, exactly the greedy-earliest fold (see
+    // PageFunnel.orderedFunnel's equivalence note).
+    "q95_ordered_funnel" -> {
+      val flow = Queries.orderedFlow
+      val stepCtes = flow.zipWithIndex.map { case (s, i) =>
+        val r = i + 1
+        if (r == 1)
+          s"""fp1 AS (
+             |  SELECT user_id, session_seq, MIN(seq) AS s
+             |  FROM frows WHERE event_type = '$s' GROUP BY 1, 2)""".stripMargin
+        else
+          s"""fp$r AS (
+             |  SELECT r.user_id, r.session_seq, MIN(r.seq) AS s
+             |  FROM frows r JOIN fp${r - 1} p
+             |    ON r.user_id = p.user_id AND r.session_seq = p.session_seq
+             |  WHERE r.event_type = '$s' AND r.seq > p.s
+             |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val reachedRows = flow.indices.map { i =>
+        s"SELECT ${i + 1} AS step_idx, CAST(COUNT(*) AS BIGINT) AS sessions_reached FROM fp${i + 1}"
+      }.mkString("\n  UNION ALL ")
+      val stepRows = flow.zipWithIndex
+        .map { case (s, i) => s"(${i + 1}, '$s')" }.mkString(", ")
+      s"""$sessionCte,
+         |frows AS (
+         |  SELECT user_id, session_seq, event_type,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS seq
+         |  FROM sz),
+         |fsess AS (SELECT DISTINCT user_id, session_seq FROM frows),
+         |$stepCtes,
+         |steps(step_idx, step) AS (VALUES $stepRows),
+         |rk AS ($reachedRows),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_sessions FROM fsess),
+         |fin AS (
+         |  SELECT CAST(s.step_idx AS BIGINT) AS step_idx, s.step,
+         |         rk.sessions_reached,
+         |         COALESCE(LAG(rk.sessions_reached) OVER (ORDER BY s.step_idx),
+         |           tot.total_sessions) AS prev_reached,
+         |         tot.total_sessions
+         |  FROM steps s JOIN rk ON rk.step_idx = s.step_idx, tot)
+         |SELECT step_idx, step, sessions_reached, prev_reached,
+         |       CASE WHEN prev_reached = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * sessions_reached / prev_reached)
+         |              AS BIGINT) END AS conv_from_prev_bp,
+         |       CASE WHEN total_sessions = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * sessions_reached / total_sessions)
+         |              AS BIGINT) END AS conv_from_start_bp
+         |FROM fin""".stripMargin
+    },
+
+    // RFM tiers: RANK()−1 at user grain ≡ the Spark side's
+    // value-grain strictly-better prefix (ties share a rank), the
+    // q68 twin convention, applied per metric.
+    "q94_rfm" -> {
+      val b = Queries.RfmBuckets
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(date_diff('day', MAX(CAST(ts AS DATE)),
+         |           DATE '${Queries.RfmAnchor}') AS BIGINT) AS recency_days,
+         |         CAST(COUNT(*) AS BIGINT) AS frequency,
+         |         CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+         |           AS monetary_cents
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type = 'purchase'
+         |  GROUP BY 1),
+         |r AS (
+         |  SELECT user_id, recency_days, frequency, monetary_cents,
+         |         RANK() OVER (ORDER BY recency_days ASC) - 1 AS rb_r,
+         |         RANK() OVER (ORDER BY frequency DESC) - 1 AS rb_f,
+         |         RANK() OVER (ORDER BY monetary_cents DESC) - 1 AS rb_m,
+         |         COUNT(*) OVER () AS n
+         |  FROM u),
+         |t AS (
+         |  SELECT user_id, recency_days, frequency, monetary_cents,
+         |         CAST(FLOOR($b.0 * rb_r / n) AS BIGINT) AS r_tier,
+         |         CAST(FLOOR($b.0 * rb_f / n) AS BIGINT) AS f_tier,
+         |         CAST(FLOOR($b.0 * rb_m / n) AS BIGINT) AS m_tier
+         |  FROM r)
+         |SELECT *, 'R' || r_tier || 'F' || f_tier || 'M' || m_tier AS segment
+         |FROM t""".stripMargin
+    },
 
     // PageRank over the symmetrized co-visit graph: q90's capped
     // basket CTEs feed the edge list, then each power-iteration round

@@ -74,6 +74,66 @@ object PageFunnel {
         col("prev_count"), col("convert_rate_bp"))
   }
 
+  /** Ordered (subsequence) funnel — the other funnel semantics: a
+    * session "reaches step k" when the first k flow steps occur IN
+    * ORDER within it, with any events in between (q07's adjacent-pair
+    * splits require consecutive rows). Per step: sessions reached,
+    * conversion vs the previous step and vs all sessions, in bp.
+    *
+    * Depth is a greedy earliest-match fold over the session's
+    * time-ordered event types: `aggregate(types, 0, (d, t) ->
+    * if t = flow[d] then d+1)`. Greedy-earliest is EXACT for
+    * subsequence matching (taking the earliest occurrence of step d
+    * never forecloses a later step — the remaining suffix only
+    * grows), so the fold equals the oracle's unrolled
+    * min-position-after-previous joins.
+    *
+    * Scale shape: the session event-type array rides the SAME
+    * user-grain aggregate every session op uses (bounded by the
+    * session gap contract); the fold is a map; depth-grain counts
+    * (≤ K+1 rows) and the step table are metadata-sized. One fact
+    * shuffle total, reusing the sessionize partitioning. */
+  def orderedFunnel(spark: SparkSession, sessionized: DataFrame,
+      flow: Seq[String]): DataFrame = {
+    require(flow.nonEmpty, "funnel needs at least 1 step")
+    import spark.implicits._
+    val steps = flow.zipWithIndex
+      .map { case (s, i) => (i.toLong + 1L, s) }.toDF("step_idx", "step")
+    val flowArr = s"array(${flow.map(s => s"'${s.replace("'", "''")}'").mkString(", ")})"
+    val depths = sessionized
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .withColumn("depth", expr(
+        s"""aggregate(evs, 0L, (d, e) ->
+           |  CASE WHEN d < ${flow.size} AND e.event_type = element_at($flowArr, CAST(d + 1 AS INT))
+           |       THEN d + 1 ELSE d END)""".stripMargin))
+    val byDepth = depths.groupBy(col("depth")).agg(count(lit(1)).as("n"))
+    // sessions reaching ≥ step_idx: suffix-sum over the ≤K+1-row
+    // depth table (broadcast-class; the window is metadata-grain)
+    val total = byDepth.agg(coalesce(sum(col("n")), lit(0L)).as("total_sessions"))
+    val reached = steps
+      .join(byDepth, col("depth") >= col("step_idx"), "left")
+      .groupBy(col("step_idx"), col("step"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("sessions_reached"))
+      .crossJoin(broadcast(total))
+    val byIdx = Window.orderBy(col("step_idx"))
+    reached
+      .withColumn("prev_reached",
+        coalesce(lag(col("sessions_reached"), 1).over(byIdx),
+          col("total_sessions")))
+      .withColumn("conv_from_prev_bp",
+        when(col("prev_reached") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("sessions_reached")
+            / col("prev_reached")).cast("long")))
+      .withColumn("conv_from_start_bp",
+        when(col("total_sessions") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("sessions_reached")
+            / col("total_sessions")).cast("long")))
+      .select("step_idx", "step", "sessions_reached", "prev_reached",
+        "conv_from_prev_bp", "conv_from_start_bp")
+  }
+
   /** Reference output-edge shape: ONE row, `split=rate|split=rate|...`
     * in flow order (domain/PageSplitConvertRate.java:5-6) — the K-row
     * funnel frame packed with the F8 codec. */

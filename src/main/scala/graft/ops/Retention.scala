@@ -141,4 +141,62 @@ object Retention {
       .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"),
         col("cnt"), col("trail_n"), col("trail_sum"), col("is_anomaly"))
   }
+
+  /** RFM user segmentation (Hughes 1994, the standard CRM cut):
+    * per-user Recency (days since last purchase, vs `anchor`),
+    * Frequency (purchase count) and Monetary (total cents), each
+    * mapped to a quantile tier 0..`buckets`-1 where tier 0 is BEST
+    * (most recent / most frequent / highest spend).
+    *
+    * Tier assignment is the q68 curriculum convention, NOT `ntile`:
+    * tier = floor(buckets × |strictly better| / n) computed on the
+    * VALUE-grain rank table and broadcast-joined back, so ties share
+    * a tier and reruns/repartitions can't migrate a user. The three
+    * windows run over value-grain frames (distinct recency days ≤
+    * the analysis window; distinct counts/totals ≪ users on any
+    * real purchase distribution — same contract q77's histogram
+    * quantile documents).
+    *
+    * Scale shape: one user-grain fact shuffle for the three metrics,
+    * three value-grain rank tables (broadcast-class), three
+    * broadcast joins back. `anchor` is an explicit parameter — "days
+    * ago" against wall-clock would be unreproducible (and Date.now
+    * drifts between engines).
+    */
+  def rfm(events: DataFrame, anchor: String, buckets: Int = 4,
+      purchaseType: String = "purchase"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val u = events
+      .filter(col("ts").isNotNull && col("event_type") === lit(purchaseType))
+      .groupBy(col("user_id"))
+      .agg(
+        datediff(lit(anchor).cast("date"), max(to_date(col("ts"))))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("value") * lit(100.0))).cast("long").as("monetary_cents"))
+    // value-grain tier table for one metric; bestDesc = larger-is-better
+    def tiers(metric: String, bestDesc: Boolean): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(if (bestDesc) col(metric).desc else col(metric).asc)
+      u.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+        .withColumn("rank_before",
+          coalesce(sum(col("cnt")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .select(col(metric),
+          floor(lit(buckets.toDouble) * col("rank_before") / col("n"))
+            .cast("long").as(s"${metric.charAt(0)}_tier"))
+    }
+    u.join(broadcast(tiers("recency_days", bestDesc = false)), "recency_days")
+      .join(broadcast(tiers("frequency", bestDesc = true)), "frequency")
+      .join(broadcast(tiers("monetary_cents", bestDesc = true)), "monetary_cents")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_tier"), col("f_tier"), col("m_tier"),
+        concat(lit("R"), col("r_tier"), lit("F"), col("f_tier"),
+          lit("M"), col("m_tier")).as("segment"))
+  }
 }

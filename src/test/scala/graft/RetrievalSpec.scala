@@ -442,4 +442,84 @@ class RetrievalSpec extends SparkSpec {
     assert(out.length == 17)
     assert(out.forall(r => r._3 >= 0L && r._3 < 5L))
   }
+
+  // ---- RFM segmentation ----
+
+  test("rfm computes metrics and strictly-better tiers; ties share a tier") {
+    import java.sql.Timestamp
+    def p(id: Long, user: Long, t: String, v: Double) =
+      (id, Timestamp.valueOf(t), user, "purchase", v, "{}")
+    // u1: 2 purchases, last Jan 10, 30.00 total
+    // u2: 1 purchase,  last Jan 20, 50.00
+    // u3: 1 purchase,  last Jan 20, 50.00  (full tie with u2)
+    // u4: 3 purchases, last Jan 05, 10.00
+    val df = (Seq(
+      p(0, 1, "2024-01-02 00:00:00", 10.0), p(1, 1, "2024-01-10 00:00:00", 20.0),
+      p(2, 2, "2024-01-20 00:00:00", 50.0),
+      p(3, 3, "2024-01-20 00:00:00", 50.0),
+      p(4, 4, "2024-01-01 00:00:00", 3.0), p(5, 4, "2024-01-03 00:00:00", 3.0),
+      p(6, 4, "2024-01-05 00:00:00", 4.0)) :+
+      (7L, Timestamp.valueOf("2024-01-25 00:00:00"), 1L, "view", 999.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Retention.rfm(df, "2024-02-01", buckets = 2)
+      .select("user_id", "recency_days", "frequency", "monetary_cents", "segment")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    // recency: u2/u3=12 (best, 0 better → tier0), u1=22 (2 better →
+    //   floor(2*2/4)=1), u4=27 (3 better → 1)
+    // frequency: u4=3 (t0), u1=2 (floor(2*1/4)=0), u2/u3=1 (2 better → 1)
+    // monetary: u2/u3=5000 (t0), u1=3000 (2 better → 1), u4=1000 (1)
+    assert(got == Set(
+      (1L, 22L, 2L, 3000L, "R1F0M1"),
+      (2L, 12L, 1L, 5000L, "R0F1M0"),
+      (3L, 12L, 1L, 5000L, "R0F1M0"),
+      (4L, 27L, 3L, 1000L, "R1F0M1")))
+  }
+
+  // ---- ordered funnel ----
+
+  test("orderedFunnel counts subsequence depth with any events between") {
+    import java.sql.Timestamp
+    def e(id: Long, user: Long, t: String, typ: String) =
+      (id, Timestamp.valueOf(t), user, typ, 1.0, "{}")
+    // s1 (u1): view .. error .. click .. purchase  → depth 3
+    // s2 (u2): click view                          → depth 1 (order matters)
+    // s3 (u3): view click                          → depth 2
+    val df = Seq(
+      e(0, 1, "2024-01-01 00:00:00", "view"),
+      e(1, 1, "2024-01-01 00:01:00", "error"),
+      e(2, 1, "2024-01-01 00:02:00", "click"),
+      e(3, 1, "2024-01-01 00:03:00", "purchase"),
+      e(4, 2, "2024-01-01 00:00:00", "click"),
+      e(5, 2, "2024-01-01 00:01:00", "view"),
+      e(6, 3, "2024-01-01 00:00:00", "view"),
+      e(7, 3, "2024-01-01 00:01:00", "click")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sess = graft.ops.Sessionize.assignSessions(df)
+    val got = graft.ops.PageFunnel
+      .orderedFunnel(spark, sess, Seq("view", "click", "purchase"))
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, "view", 3L, 3L, 10000L, 10000L),
+      (2L, "click", 2L, 3L, 6666L, 6666L),
+      (3L, "purchase", 1L, 2L, 5000L, 3333L)))
+  }
+
+  test("orderedFunnel greedy-earliest matches interleaved repeats") {
+    import java.sql.Timestamp
+    def e(id: Long, user: Long, t: String, typ: String) =
+      (id, Timestamp.valueOf(t), user, typ, 1.0, "{}")
+    // view view click view purchase → depth 3 (greedy takes 1st view,
+    // then the click, then the purchase)
+    val df = Seq(
+      e(0, 1, "2024-01-01 00:00:00", "view"),
+      e(1, 1, "2024-01-01 00:01:00", "view"),
+      e(2, 1, "2024-01-01 00:02:00", "click"),
+      e(3, 1, "2024-01-01 00:03:00", "view"),
+      e(4, 1, "2024-01-01 00:04:00", "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.PageFunnel.orderedFunnel(spark,
+      graft.ops.Sessionize.assignSessions(df), Seq("view", "click", "purchase"))
+      .select("step_idx", "sessions_reached").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
 }
