@@ -122,7 +122,8 @@ object SparkEntry {
     "q92_source_overlap" -> (Queries.sourceOverlap _),
     "q93_pagerank" -> (Queries.pageRank _),
     "q94_rfm" -> (Queries.rfm _),
-    "q95_ordered_funnel" -> (Queries.orderedFunnel _)
+    "q95_ordered_funnel" -> (Queries.orderedFunnel _),
+    "q96_containment" -> (Queries.containment _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -710,6 +711,10 @@ object Queries {
     PageFunnel.orderedFunnel(spark,
       Sessionize.assignSessions(Tables(spark, dir, "events")), orderedFlow)
 
+  /** Directional shingle-containment pairs over LSH candidates. */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables(spark, dir, "documents"))
+
   val RetentionMaxOffset = 14
   /** Analysis window covering the whole fixture (events span Jan
     * 2024) — the REQUIRED bound cohortRetention's scale contract
@@ -865,7 +870,10 @@ object Oracles {
     * pairs (doc_a, doc_b, inter, uni, jaccard_bp) at the 8000 bp
     * threshold. Sig hashes twin graft.expressions.MinHashSig — one
     * 28-bit md5-derived base hash per shingle, k-mixed mod the prime. */
-  val minhashPairCtes: String = {
+  /** shingles → minhash signature → bands → distinct candidate pairs
+    * (`cand`): the blocking prefix shared by the q22 Jaccard and q96
+    * containment oracles. */
+  val minhashCandCtes: String = {
     import graft.ops.Dedup.{NumBands, NumHashes}
     val rows = NumHashes / NumBands
     val sigCols = (0 until NumHashes).map(k =>
@@ -885,7 +893,11 @@ object Oracles {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val minhashPairCtes: String = {
+    s"""$minhashCandCtes,
        |v AS (
        |  SELECT doc_a, doc_b,
        |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
@@ -1364,6 +1376,32 @@ object Oracles {
     "q22_minhash_dedup_pairs" ->
       s"""WITH $minhashPairCtes
          |SELECT doc_a, doc_b, inter, uni, jaccard_bp FROM p""".stripMargin,
+
+    // Directional containment over the same band candidates; the
+    // oracle is the direct pairwise form (the Spark side's
+    // distinct-text-grain optimization is row-identical, q22's
+    // equivalence argument).
+    "q96_containment" ->
+      s"""WITH $minhashCandCtes,
+         |cv AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+         |         CAST(len(sa.shingles) AS BIGINT) AS size_a,
+         |         CAST(len(sb.shingles) AS BIGINT) AS size_b
+         |  FROM cand
+         |  JOIN sh sa ON cand.doc_a = sa.doc_id
+         |  JOIN sh sb ON cand.doc_b = sb.doc_id),
+         |cc AS (
+         |  SELECT doc_a, doc_b, inter, size_a, size_b,
+         |         CASE WHEN size_a = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * inter / size_a) AS BIGINT)
+         |         END AS cont_ab_bp,
+         |         CASE WHEN size_b = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * inter / size_b) AS BIGINT)
+         |         END AS cont_ba_bp
+         |  FROM cv)
+         |SELECT * FROM cc
+         |WHERE GREATEST(cont_ab_bp, cont_ba_bp) >= 8000""".stripMargin,
 
     // Connected components over q22's pair set (min-label transitive
     // closure; twin of Clustering.nearDupClusters). `reach` carries

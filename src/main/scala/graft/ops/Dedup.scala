@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline (documents
@@ -172,9 +172,11 @@ object Dedup {
     * The representative-grain signature frame is persisted once
     * (disk-backed): the band self-join and the two verify joins would
     * otherwise re-run the tokenize + shingle + md5-min subtree. */
-  def minhashDedupPairs(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
-    require(thresholdBp >= 1L && thresholdBp <= 10000L,
-      "thresholdBp must be in [1, 10000]")
+  /** Distinct-text-grain frames shared by the MinHash family:
+    * `members` = (th, doc_id) for every doc, `sig` = one signature row
+    * per distinct text under its min-id representative. Both persisted
+    * (each feeds ≥2 joins downstream). */
+  private def repSignatures(docs: DataFrame): (DataFrame, DataFrame) = {
     // null-safe group key (md5(NULL) is NULL; sentinel is not hex so it
     // cannot collide with a real hash)
     val withTh = docs.withColumn("th",
@@ -192,6 +194,13 @@ object Dedup {
       .select(col("th") +: col("doc_id") +: col("shingles") +:
         (0 until NumHashes).map(k => col(f"mh$k%02d")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (members, sig)
+  }
+
+  def minhashDedupPairs(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
+    require(thresholdBp >= 1L && thresholdBp <= 10000L,
+      "thresholdBp must be in [1, 10000]")
+    val (members, sig) = repSignatures(docs)
     val sh = sig.select(col("doc_id"), col("shingles"))
     val repKey = sig.select(col("th"), col("doc_id"),
       size(col("shingles")).cast("long").as("n_sh"))
@@ -220,6 +229,76 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         col("n_sh").as("inter"), col("n_sh").as("uni"),
         lit(10000L).as("jaccard_bp"))
+
+    cross.unionByName(intra)
+  }
+
+  /** Containment pairs — Broder's ASYMMETRIC resemblance: c(A→B) =
+    * |A∩B| / |A| over shingle sets. Jaccard misses the doc-inside-doc
+    * case (a paragraph fully copied into a 100× larger page scores
+    * |A|/|B| ≈ 0.01 Jaccard but containment 1.0); this is the signal
+    * for wire-copy / boilerplate-superset analysis. Reported for
+    * candidate pairs from the SAME MinHash band blocking as q22, with
+    * the standard caveat (bands approximate Jaccard, so
+    * high-containment-low-Jaccard pairs surface only when they still
+    * co-band; a dedicated containment index would bottom-k-sample the
+    * smaller set — out of scope, disclosed).
+    *
+    * Same distinct-text-grain shape as [[minhashDedupPairs]] (one
+    * signature/verification per distinct text, member expansion by
+    * equi-join). Containment is DIRECTIONAL, so the member-pair
+    * reorder (doc_a < doc_b) swaps sizes and containments when the
+    * member ids invert the representative order.
+    *
+    * Output: doc_a < doc_b, inter, size_a, size_b, cont_ab_bp,
+    * cont_ba_bp; kept when either direction ≥ `thresholdBp`. */
+  def containmentPairs(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
+    require(thresholdBp >= 1L && thresholdBp <= 10000L,
+      "thresholdBp must be in [1, 10000]")
+    val (members, sig) = repSignatures(docs)
+    val sh = sig.select(col("doc_id"), col("shingles"))
+    val repKey = sig.select(col("th"), col("doc_id"),
+      size(col("shingles")).cast("long").as("n_sh"))
+
+    val contBp = (inter: Column, sz: Column) =>
+      when(sz === 0L, lit(0L))
+        .otherwise(floor(lit(10000.0) * inter / sz).cast("long"))
+    val repPairs = lshCandidatePairsFromBands(lshBands(sig))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("size_a", size(col("sh_a")).cast("long"))
+      .withColumn("size_b", size(col("sh_b")).cast("long"))
+      .withColumn("cont_ab_bp", contBp(col("inter"), col("size_a")))
+      .withColumn("cont_ba_bp", contBp(col("inter"), col("size_b")))
+      .filter(greatest(col("cont_ab_bp"), col("cont_ba_bp")) >= thresholdBp)
+
+    val cross = repPairs
+      .join(repKey.select(col("doc_id").as("doc_a"), col("th").as("th_a")), "doc_a")
+      .join(repKey.select(col("doc_id").as("doc_b"), col("th").as("th_b")), "doc_b")
+      .join(members.select(col("th").as("th_a"), col("doc_id").as("m_a")), "th_a")
+      .join(members.select(col("th").as("th_b"), col("doc_id").as("m_b")), "th_b")
+      // directional columns swap with the id reorder
+      .select(
+        least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"),
+        col("inter"),
+        when(col("m_a") < col("m_b"), col("size_a")).otherwise(col("size_b")).as("size_a"),
+        when(col("m_a") < col("m_b"), col("size_b")).otherwise(col("size_a")).as("size_b"),
+        when(col("m_a") < col("m_b"), col("cont_ab_bp")).otherwise(col("cont_ba_bp")).as("cont_ab_bp"),
+        when(col("m_a") < col("m_b"), col("cont_ba_bp")).otherwise(col("cont_ab_bp")).as("cont_ba_bp"))
+
+    // intra-group: identical texts — containment 10000 both ways
+    val intra = members.as("x")
+      .join(members.as("y"),
+        col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.th").as("th"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .join(repKey.filter(col("n_sh") > 0).select(col("th"), col("n_sh")), "th")
+      .select(col("doc_a"), col("doc_b"),
+        col("n_sh").as("inter"), col("n_sh").as("size_a"),
+        col("n_sh").as("size_b"),
+        lit(10000L).as("cont_ab_bp"), lit(10000L).as("cont_ba_bp"))
 
     cross.unionByName(intra)
   }
