@@ -123,7 +123,8 @@ object SparkEntry {
     "q93_pagerank" -> (Queries.pageRank _),
     "q94_rfm" -> (Queries.rfm _),
     "q95_ordered_funnel" -> (Queries.orderedFunnel _),
-    "q96_containment" -> (Queries.containment _)
+    "q96_containment" -> (Queries.containment _),
+    "q97_source_diversity" -> (Queries.sourceDiversity _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -714,6 +715,10 @@ object Queries {
   /** Directional shingle-containment pairs over LSH candidates. */
   def containment(spark: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(Tables(spark, dir, "documents"))
+
+  /** Per-source lexical diversity (TTR / hapax / bigram) report. */
+  def sourceDiversity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceDiversity(Tables(spark, dir, "documents"))
 
   val RetentionMaxOffset = 14
   /** Analysis window covering the whole fixture (events span Jan
@@ -2679,6 +2684,47 @@ object Oracles {
          |SELECT tr.prev_type, tr.next_type, tr.transitions,
          |       CAST(tr.transitions * 10000 // tot.from_total AS BIGINT) AS prob_bp
          |FROM tr JOIN tot USING (prev_type)""".stripMargin,
+
+    // Diversity report: raw-string bigram grain twins the
+    // TokenGramHash hash grain (q65/q92 convention).
+    "q97_source_diversity" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |uc AS (
+        |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |u AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS types,
+        |         CAST(SUM(c) AS BIGINT) AS tokens,
+        |         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |  FROM uc GROUP BY 1),
+        |bg AS (
+        |  SELECT source, array_to_string(t[i : i + 1], ' ') AS g
+        |  FROM (SELECT source, string_split(text, ' ') AS t
+        |        FROM documents WHERE text IS NOT NULL),
+        |       unnest(range(1, len(t))) AS uu(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (
+        |  SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2),
+        |b AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS bigram_types,
+        |         CAST(SUM(c) AS BIGINT) AS bigrams
+        |  FROM bc GROUP BY 1)
+        |SELECT u.source, u.tokens, u.types, u.hapax,
+        |       COALESCE(b.bigrams, 0) AS bigrams,
+        |       COALESCE(b.bigram_types, 0) AS bigram_types,
+        |       CASE WHEN u.tokens = 0 THEN 0
+        |            ELSE CAST(FLOOR(10000.0 * u.types / u.tokens) AS BIGINT)
+        |       END AS ttr_bp,
+        |       CASE WHEN u.types = 0 THEN 0
+        |            ELSE CAST(FLOOR(10000.0 * u.hapax / u.types) AS BIGINT)
+        |       END AS hapax_bp,
+        |       CASE WHEN COALESCE(b.bigrams, 0) = 0 THEN 0
+        |            ELSE CAST(FLOOR(10000.0 * b.bigram_types / b.bigrams) AS BIGINT)
+        |       END AS bigram_ttr_bp
+        |FROM u LEFT JOIN b USING (source)""".stripMargin,
 
     // Ordered funnel: step k's sessions = sessions with a MIN event
     // position for flow[k] strictly after step k−1's — unrolled

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -387,4 +387,49 @@ object TextAnalysis {
   def standInWeights(spark: org.apache.spark.sql.SparkSession): DataFrame =
     spark.range(ClassifierBuckets.toLong).toDF("bucket")
       .withColumn("weight", expr(weightExpr("bucket")))
+
+  /** Per-source lexical diversity report — the corpus-health panel
+    * run on every intake batch (and the standard synthetic-data
+    * check: model-generated text shows collapsed TTR / bigram
+    * diversity and a starved hapax share long before eyeballs do):
+    * token count, vocabulary size (types), hapax count (freq-1
+    * types), bigram totals/types, and the three ratios in bp —
+    * type-token, hapax-of-types, distinct-bigram-of-bigrams.
+    *
+    * Scale shape: two corpus passes, each collapsing straight to a
+    * bounded grain — (source, token) counts then a source-grain
+    * rollup; (source, bigram-hash) via the fused `TokenGramHash` (no
+    * gram strings) then the same rollup. Both aggregates partial
+    * map-side (Zipf heads absorb there); the final join runs at
+    * source grain, metadata-sized. Nothing is windowed, nothing
+    * drives. */
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .withColumn("__t", expr(TokensExpr))
+    val uni = base
+      .select(col("source"), explode(col("__t")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("types"),
+        sum(col("cnt")).as("tokens"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("hapax"))
+    val bi = base.filter(size(col("__t")) >= 2)
+      .select(col("source"),
+        explode(graft.expressions.TokenGramHash.grams(col("__t"), 2)).as("gh"))
+      .groupBy(col("source"), col("gh"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("bigram_types"), sum(col("cnt")).as("bigrams"))
+    val bp = (n: Column, d: Column) =>
+      when(d === 0L, lit(0L))
+        .otherwise(floor(lit(10000.0) * n / d).cast("long"))
+    uni.join(bi, Seq("source"), "left")
+      .na.fill(0L, Seq("bigram_types", "bigrams"))
+      .select(col("source"), col("tokens"), col("types"), col("hapax"),
+        col("bigrams"), col("bigram_types"),
+        bp(col("types"), col("tokens")).as("ttr_bp"),
+        bp(col("hapax"), col("types")).as("hapax_bp"),
+        bp(col("bigram_types"), col("bigrams")).as("bigram_ttr_bp"))
+  }
 }

@@ -562,6 +562,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == Seq(("srcA", "srcB", 1L, 2L, 2L, 5000L, 5000L)))
   }
 
+  test("sourceDiversity: hand-computed TTR/hapax/bigram panel per source") {
+    val d = Seq(
+      (1L, "a b a", "en", "srcA", 0L),
+      (2L, "c", "en", "srcA", 0L),
+      (3L, "z", "en", "srcB", 0L),
+      (4L, null.asInstanceOf[String], "en", "srcB", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.sourceDiversity(d)
+      .select("source", "tokens", "types", "hapax", "bigrams", "bigram_types",
+        "ttr_bp", "hapax_bp", "bigram_ttr_bp")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    // srcA: tokens {a,b,a,c} → 4 tokens, 3 types, hapax {b,c}=2;
+    //   bigrams {a b, b a} → 2/2 distinct. srcB: one 1-token doc.
+    assert(got == Set(
+      ("srcA", 4L, 3L, 2L, 2L, 2L, 7500L, 6666L, 10000L),
+      ("srcB", 1L, 1L, 1L, 0L, 0L, 10000L, 10000L, 0L)))
+  }
+
   test("sourceOverlap: identical corpora in two sources → 10000 bp both ways") {
     val d = Seq(
       (1L, "t1 t2 t3 t4", "en", "a", 0L),
