@@ -543,12 +543,17 @@ object Dedup {
     * recomputed only at source grain — two scans of the SHUFFLED
     * distinct set, not of the corpus). */
   def sourceOverlap(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    // three consumers (pair comb + both total join sides) and no
+    // ReusedExchange across them — persist the gram-grain distinct
+    // set so the corpus gram pass runs once (disk-backed; the
+    // shuffled set is far smaller than a corpus re-scan)
     val gramSource = withTokensBase(docs)
       .filter(size(col("__t")) >= n)
       .select(col("source"),
         explode(graft.expressions.TokenGramHash.grams(col("__t"), n)).as("gh"))
       .groupBy(col("gh"))
       .agg(array_sort(collect_set(col("source"))).as("sources"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perGram = gramSource.select(col("sources"),
       explode(expr(
         """flatten(transform(sources, (a, i) ->

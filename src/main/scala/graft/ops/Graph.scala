@@ -41,10 +41,14 @@ object Graph {
     * in Scale units after `iters` rounds. */
   def pageRank(edges: DataFrame, iters: Int, dampBp: Long = DampBp): DataFrame = {
     require(iters >= 1, "pageRank needs at least one round")
+    // e and deg feed every round (+1 for nodes/degrees) — persist, or
+    // each round re-derives the whole upstream edge pipeline
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("item"))
       .union(e.select(col("dst").as("item"))).distinct()
     // n as a 1-row broadcast frame: node-count never touches the driver
@@ -52,7 +56,7 @@ object Graph {
     val r0 = nodes.crossJoin(broadcast(tot))
       .select(col("item"), col("n"), expr(s"${Scale}L div n").as("rank"))
 
-    (1 to iters).foldLeft(r0) { (r, _) =>
+    (1 to iters).foldLeft(r0) { (r, round) =>
       // per-source share: dangling sources (deg null) emit none
       val withDeg = r.join(deg.withColumnRenamed("src", "item"), Seq("item"), "left")
       val share = withDeg.filter(col("deg").isNotNull)
@@ -65,13 +69,19 @@ object Graph {
       // symmetric graphs), redistributed uniformly
       val dangle = withDeg.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
-      r.select(col("item"), col("n"))
+      val next = r.select(col("item"), col("n"))
         .join(contrib, Seq("item"), "left")
         .crossJoin(broadcast(dangle))
         .select(col("item"), col("n"),
           (expr(s"(10000L - $dampBp) * (${Scale}L div n) div 10000L")
             + expr(s"$dampBp * dsum div (10000L * n)")
             + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      // each round reads r three times (share, dangle, carry) — the
+      // Clustering convention: truncate lineage per intermediate
+      // round or the optimizer re-plans a tree that triples every
+      // iteration. The LAST round stays declarative (plan-auditable;
+      // nothing downstream re-reads it three times).
+      if (round < iters) next.localCheckpoint(false) else next
     }.select(col("item"), col("rank"))
   }
 

@@ -60,14 +60,9 @@ object Market {
     * Columns: item_a, item_b, pair_sessions, sessions_a, sessions_b,
     * conf_ab_bp (= floor(pair × 10000 / sessions_a)), conf_ba_bp.
     */
-  /** The full unordered pair-count set (item_a < item_b,
-    * pair_sessions) — the raw co-visitation graph [[coVisitation]]
-    * ranks and [[Graph.pageRank]]'s q93 composition feeds on. */
-  def coVisitPairs(events: DataFrame, maxItems: Int = 64,
-      itemCol: String = "$.k"): DataFrame = {
-    val baskets = sessionItems(events, itemCol, maxItems)
-    // All a<b pairs of the sorted array via an index-pair comb —
-    // pure map stage, bounded by C(cap, 2) per row.
+  /** a<b pair comb over the basket arrays — pure map stage, bounded
+    * by C(cap, 2) per row — then one observed-pair-domain count. */
+  private def pairsFromBaskets(baskets: DataFrame): DataFrame =
     baskets.select(explode(expr(
       """flatten(transform(items, (a, i) ->
         |  transform(slice(items, i + 2, size(items)), b ->
@@ -75,12 +70,22 @@ object Market {
       .select(col("p.item_a"), col("p.item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("pair_sessions"))
-  }
+
+  /** The full unordered pair-count set (item_a < item_b,
+    * pair_sessions) — the raw co-visitation graph [[coVisitation]]
+    * ranks and [[Graph.pageRank]]'s q93 composition feeds on. */
+  def coVisitPairs(events: DataFrame, maxItems: Int = 64,
+      itemCol: String = "$.k"): DataFrame =
+    pairsFromBaskets(sessionItems(events, itemCol, maxItems))
 
   def coVisitation(events: DataFrame, k: Int, maxItems: Int = 64,
       itemCol: String = "$.k"): DataFrame = {
+    // three consumers (pairs + both item-count join sides) — persist
+    // the session-grain baskets so the events→window→basket chain
+    // runs ONCE (session grain ≪ event grain; disk-backed)
     val baskets = sessionItems(events, itemCol, maxItems)
-    val pairs = coVisitPairs(events, maxItems, itemCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = pairsFromBaskets(baskets)
     // Item-grain session counts from the SAME capped baskets (so
     // confidences are internally consistent with the pair counts).
     val itemN = baskets.select(explode(col("items")).as("item"))
@@ -114,11 +119,14 @@ object Market {
     val bySession = Window
       .partitionBy(col("user_id"), col("session_seq"))
       .orderBy(col("ts"), col("event_id"))
+    // event-type²-grain, but both consumers (matrix + row totals)
+    // would otherwise re-run the whole fact chain — persist
     val steps = Sessionize.assignSessions(events)
       .withColumn("prev_type", lag(col("event_type"), 1).over(bySession))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("transitions"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Row-total join at event-type grain: metadata-sized, broadcast.
     val totals = steps.groupBy("prev_type")
       .agg(sum("transitions").as("from_total"))

@@ -108,7 +108,10 @@ object PageFunnel {
         s"""aggregate(evs, 0L, (d, e) ->
            |  CASE WHEN d < ${flow.size} AND e.event_type = element_at($flowArr, CAST(d + 1 AS INT))
            |       THEN d + 1 ELSE d END)""".stripMargin))
+    // ≤K+1 rows but derived from the full session pass; persisted so
+    // the total + per-step consumers don't re-run the fact scan
     val byDepth = depths.groupBy(col("depth")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sessions reaching ≥ step_idx: suffix-sum over the ≤K+1-row
     // depth table (broadcast-class; the window is metadata-grain)
     val total = byDepth.agg(coalesce(sum(col("n")), lit(0L)).as("total_sessions"))

@@ -166,6 +166,8 @@ object Retention {
   def rfm(events: DataFrame, anchor: String, buckets: Int = 4,
       purchaseType: String = "purchase"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // four consumers (three tier tables + the final join spine) —
+    // persist the user-grain metrics so the fact scan runs once
     val u = events
       .filter(col("ts").isNotNull && col("event_type") === lit(purchaseType))
       .groupBy(col("user_id"))
@@ -174,6 +176,7 @@ object Retention {
           .cast("long").as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(floor(col("value") * lit(100.0))).cast("long").as("monetary_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // value-grain tier table for one metric; bestDesc = larger-is-better
     def tiers(metric: String, bestDesc: Boolean): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
