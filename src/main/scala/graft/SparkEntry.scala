@@ -124,7 +124,8 @@ object SparkEntry {
     "q94_rfm" -> (Queries.rfm _),
     "q95_ordered_funnel" -> (Queries.orderedFunnel _),
     "q96_containment" -> (Queries.containment _),
-    "q97_source_diversity" -> (Queries.sourceDiversity _)
+    "q97_source_diversity" -> (Queries.sourceDiversity _),
+    "q98_pps_sample" -> (Queries.ppsSample _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -719,6 +720,13 @@ object Queries {
   /** Per-source lexical diversity (TTR / hapax / bigram) report. */
   def sourceDiversity(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.sourceDiversity(Tables(spark, dir, "documents"))
+
+  val PpsStride = 512L
+  val PpsShards = 8
+
+  /** Systematic PPS token-proportional corpus sample. */
+  def ppsSample(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.ppsSample(Tables(spark, dir, "documents"), PpsStride, PpsShards)
 
   val RetentionMaxOffset = 14
   /** Analysis window covering the whole fixture (events span Jan
@@ -2684,6 +2692,32 @@ object Oracles {
          |SELECT tr.prev_type, tr.next_type, tr.transitions,
          |       CAST(tr.transitions * 10000 // tot.from_total AS BIGINT) AS prob_bp
          |FROM tr JOIN tot USING (prev_type)""".stripMargin,
+
+    // Systematic PPS: the packSequences shard-cumsum shape + the
+    // shifted floor-div pick count (operands kept non-negative so
+    // `div`/`//` truncation equals floor in both engines).
+    "q98_pps_sample" -> {
+      val s = Queries.PpsStride; val sh = Queries.PpsShards
+      val r = s"((shard * 48271 + 12345) % $s)"
+      s"""WITH base AS (
+         |  SELECT doc_id, ((doc_id % $sh + $sh) % $sh) AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+         |  FROM documents WHERE text IS NOT NULL),
+         |o AS (
+         |  SELECT doc_id, shard, token_count,
+         |         CAST(COALESCE(SUM(token_count) OVER (
+         |           PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS start_offset
+         |  FROM base),
+         |p AS (
+         |  SELECT doc_id, shard, token_count, start_offset,
+         |         CAST((start_offset + token_count - 1 - $r + $s) // $s
+         |            - (start_offset - 1 - $r + $s) // $s AS BIGINT) AS picks
+         |  FROM o)
+         |SELECT doc_id, shard, token_count, start_offset, picks
+         |FROM p WHERE picks > 0""".stripMargin
+    },
 
     // Diversity report: raw-string bigram grain twins the
     // TokenGramHash hash grain (q65/q92 convention).

@@ -41,6 +41,50 @@ object TrainingPrep {
         floor(col("start_offset") / lit(seqLen.toDouble)).cast("long"))
   }
 
+  /** Systematic probability-proportional-to-size sampling: pick every
+    * `stride`-th token position in the shard's token stream; a doc is
+    * drawn once per pick landing inside its span, so selection
+    * probability (and expected multiplicity, for docs longer than the
+    * stride) is EXACTLY proportional to token count — the classic
+    * survey-sampling PPS scheme, here as the deterministic weighted
+    * sampler for "sample ~N tokens of corpus, long docs
+    * proportionally more often". Deterministic alternatives to this
+    * need `u^(1/w)` exponentials (A-ES) — floating pow that no
+    * cross-engine contract survives; systematic PPS is pure integer
+    * arithmetic.
+    *
+    * Per shard, pick positions are r, r+S, r+2S, … with the phase
+    * r = (shard·48271 + 12345) mod S (a fixed Lehmer draw — varying
+    * phases across shards avoids the classic systematic-sampling
+    * periodicity artifact). picks(doc) = #{m : r + mS ∈ [off,
+    * off+tok)} computed by two shifted floor-divs (+S keeps both
+    * numerators non-negative: `div` truncates toward zero, not
+    * -inf, so a negative operand would diverge from floor — and
+    * DuckDB `//` shares the hazard; staying non-negative sidesteps
+    * it in both engines).
+    *
+    * Scale shape = [[packSequences]]: one hash shuffle on shard, one
+    * per-shard cumsum window, shard count the parallelism knob.
+    * Output: sampled docs only, with multiplicity. */
+  def ppsSample(docs: DataFrame, stride: Long = 512L, shards: Int = 8): DataFrame = {
+    require(stride >= 1L && shards >= 1, "stride and shards must be positive")
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(expr(TextAnalysis.TokensExpr)).cast("long").as("token_count"))
+      .withColumn("start_offset",
+        coalesce(sum(col("token_count")).over(byShard), lit(0L)))
+      .withColumn("__r", expr(s"(shard * 48271L + 12345L) % $stride"))
+      .withColumn("picks", expr(
+        s"""(start_offset + token_count - 1L - __r + $stride) div $stride
+           | - (start_offset - 1L - __r + $stride) div $stride""".stripMargin))
+      .filter(col("picks") > 0L)
+      .select("doc_id", "shard", "token_count", "start_offset", "picks")
+  }
+
   /** Overlapping context chunks: split each document into windows of
     * `chunkTokens` tokens advancing by `stride` (< chunkTokens ⇒
     * consecutive chunks overlap — the RAG/long-context preprocessing

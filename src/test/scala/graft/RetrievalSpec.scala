@@ -443,6 +443,57 @@ class RetrievalSpec extends SparkSpec {
     assert(out.forall(r => r._3 >= 0L && r._3 < 5L))
   }
 
+  // ---- systematic PPS sampling ----
+
+  test("ppsSample: picks equal brute-force stride positions; totals match") {
+    // single shard (shards=1 → all docs, phase r = 12345 % 7 = 4),
+    // stride 7, docs of 5/3/9/1 tokens in id order
+    val d = Seq(
+      (0L, "t t t t t", "en", "s", 0L),   // off 0,  span [0,5)
+      (1L, "t t t", "en", "s", 0L),       // off 5,  span [5,8)
+      (2L, "t t t t t t t t t", "en", "s", 0L), // off 8, span [8,17)
+      (3L, "t", "en", "s", 0L)            // off 17, span [17,18)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TrainingPrep.ppsSample(d, stride = 7L, shards = 1)
+      .select("doc_id", "token_count", "start_offset", "picks")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, t, o, p) => id -> ((t, o, p)) }.toMap
+    // pick positions: 4, 11, 18, ... → doc0 gets {4}, doc2 gets {11};
+    // 18 is past the 18-token stream
+    assert(got == Map(0L -> ((5L, 0L, 1L)), 2L -> ((9L, 8L, 1L))))
+  }
+
+  test("ppsSample: a doc longer than the stride is drawn with multiplicity") {
+    val longDoc = (0 until 25).map(_ => "t").mkString(" ") // 25 tokens
+    val d = Seq((0L, longDoc, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TrainingPrep.ppsSample(d, stride = 7L, shards = 1)
+      .select("picks").as[Long].collect().toSeq
+    // phase 4: picks at 4, 11, 18 in [0,25) → 3
+    assert(got == Seq(3L))
+  }
+
+  test("ppsSample: expected totals — shard pick count is ceil((T-r)/S) and repartition-invariant") {
+    val docs = (0L until 40L).map(i =>
+      (i, (0 to (i % 7).toInt).map(_ => "w").mkString(" "), "en", "s", 0L))
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = graft.ops.TrainingPrep.ppsSample(df, 5L, 4)
+    val b = graft.ops.TrainingPrep.ppsSample(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(9), 5L, 4)
+    assert(a.collect().toSet == b.collect().toSet)
+    // per shard: sum(picks) == #{m : r + 5m < T_shard}, T from ALL
+    // docs of the shard (sampled or not — spans tile the stream)
+    val shardTokens = docs.groupBy(_._1 % 4L)
+      .view.mapValues(_.map(d => (d._1 % 7L) + 1L).sum).toMap
+    val perShard = a.groupBy("shard").agg(sum("picks").as("p"))
+      .select("shard", "p").as[(Long, Long)].collect().toMap
+    shardTokens.foreach { case (sh, t) =>
+      val r = (sh * 48271L + 12345L) % 5L
+      val expect = if (t <= r) 0L else (t - r + 4L) / 5L // ceil((t-r)/5)
+      assert(perShard.getOrElse(sh, 0L) == expect, s"shard $sh")
+    }
+  }
+
   // ---- RFM segmentation ----
 
   test("rfm computes metrics and strictly-better tiers; ties share a tier") {
