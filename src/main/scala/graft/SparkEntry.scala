@@ -689,12 +689,14 @@ object Queries {
   val PageRankK = 20
   val PageRankMinSupport = 2L
 
-  /** Item PageRank over the symmetrized co-visitation graph. */
+  /** Item PageRank over the symmetrized co-visitation graph
+    * (symmetric ⇒ no dangling nodes ⇒ the 2-stages-per-round dangle
+    * machinery is skipped; identical results, GraphSpec-pinned). */
   def pageRank(spark: SparkSession, dir: String): DataFrame =
     Graph.pageRankTopK(
       Graph.symmetric(Market.coVisitPairs(Tables(spark, dir, "events")),
         PageRankMinSupport),
-      PageRankIters, PageRankK)
+      PageRankIters, PageRankK, assumeNoDangling = true)
 
   /** The fixture's events end Jan 2024; the RFM anchor sits just
     * past them (an explicit parameter — wall-clock "today" would be

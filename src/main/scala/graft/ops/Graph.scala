@@ -38,8 +38,16 @@ object Graph {
 
   /** `edges`: directed (src, dst) BIGINT columns, self-loops allowed,
     * duplicates collapse. Returns (item, rank) for every node, rank
-    * in Scale units after `iters` rounds. */
-  def pageRank(edges: DataFrame, iters: Int, dampBp: Long = DampBp): DataFrame = {
+    * in Scale units after `iters` rounds.
+    *
+    * `assumeNoDangling`: when the caller guarantees every node has an
+    * out-edge (true by construction for [[symmetric]] graphs), the
+    * per-round dangling aggregate + scalar broadcast are omitted —
+    * two fewer stages per round; the dangle term is identically 0 on
+    * such graphs, so results are unchanged (GraphSpec pins both
+    * paths agree on a symmetric fixture). */
+  def pageRank(edges: DataFrame, iters: Int, dampBp: Long = DampBp,
+      assumeNoDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRank needs at least one round")
     // e and deg feed every round (+1 for nodes/degrees) — persist, or
     // each round re-derives the whole upstream edge pipeline
@@ -65,17 +73,23 @@ object Graph {
       val contrib = e.join(share, Seq("src"))
         .groupBy(col("dst").as("item"))
         .agg(sum(col("share")).as("in_mass"))
-      // dangling mass: one scalar (sum over no-out-edge nodes; 0 on
-      // symmetric graphs), redistributed uniformly
-      val dangle = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
-      val next = r.select(col("item"), col("n"))
+      val base = expr(s"(10000L - $dampBp) * (${Scale}L div n) div 10000L")
+      val joined = r.select(col("item"), col("n"))
         .join(contrib, Seq("item"), "left")
-        .crossJoin(broadcast(dangle))
-        .select(col("item"), col("n"),
-          (expr(s"(10000L - $dampBp) * (${Scale}L div n) div 10000L")
-            + expr(s"$dampBp * dsum div (10000L * n)")
-            + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      val next =
+        if (assumeNoDangling)
+          joined.select(col("item"), col("n"),
+            (base + coalesce(col("in_mass"), lit(0L))).as("rank"))
+        else {
+          // dangling mass: one scalar (sum over no-out-edge nodes; 0
+          // on symmetric graphs), redistributed uniformly
+          val dangle = withDeg.filter(col("deg").isNull)
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+          joined.crossJoin(broadcast(dangle))
+            .select(col("item"), col("n"),
+              (base + expr(s"$dampBp * dsum div (10000L * n)")
+                + coalesce(col("in_mass"), lit(0L))).as("rank"))
+        }
       // each round reads r three times (share, dangle, carry) — the
       // Clustering convention: truncate lineage per intermediate
       // round or the optimizer re-plans a tree that triples every
@@ -87,8 +101,8 @@ object Graph {
 
   /** Top-k nodes by rank, rank-desc with item tie-break. */
   def pageRankTopK(edges: DataFrame, iters: Int, k: Int,
-      dampBp: Long = DampBp): DataFrame =
-    pageRank(edges, iters, dampBp)
+      dampBp: Long = DampBp, assumeNoDangling: Boolean = false): DataFrame =
+    pageRank(edges, iters, dampBp, assumeNoDangling)
       .orderBy(col("rank").desc, col("item"))
       .limit(k)
 

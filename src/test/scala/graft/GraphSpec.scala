@@ -52,6 +52,14 @@ class GraphSpec extends SparkSpec {
     assert(a == Map(1L -> 500000000000L, 2L -> 500000000000L))
   }
 
+  test("assumeNoDangling path agrees with the full path on a symmetric graph") {
+    val e = edges(0L -> 1L, 1L -> 0L, 0L -> 2L, 2L -> 0L, 1L -> 2L, 2L -> 1L)
+    val full = Graph.pageRank(e, iters = 3).as[(Long, Long)].collect().toMap
+    val fast = Graph.pageRank(e, iters = 3, assumeNoDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(full == fast)
+  }
+
   test("symmetric() filters by weight and emits both directions") {
     val pairs = Seq((1L, 2L, 3L), (2L, 3L, 1L))
       .toDF("item_a", "item_b", "pair_sessions")
