@@ -125,7 +125,8 @@ object SparkEntry {
     "q95_ordered_funnel" -> (Queries.orderedFunnel _),
     "q96_containment" -> (Queries.containment _),
     "q97_source_diversity" -> (Queries.sourceDiversity _),
-    "q98_pps_sample" -> (Queries.ppsSample _)
+    "q98_pps_sample" -> (Queries.ppsSample _),
+    "q99_next_item_pairs" -> (Queries.nextItemPairs _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -729,6 +730,18 @@ object Queries {
   /** Systematic PPS token-proportional corpus sample. */
   def ppsSample(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.ppsSample(Tables(spark, dir, "documents"), PpsStride, PpsShards)
+
+  val NextItemContext = 3
+
+  /** Next-item (context, label) training pairs from sessions. The
+    * library op returns a typed array; the driver-compared projection
+    * joins it to a string — arrow ARRAY nullability annotations
+    * differ across engines (Spark collect_list elements are
+    * non-null; DuckDB list elements nullable) and would trip the
+    * schema gate on otherwise identical values. */
+  def nextItemPairs(spark: SparkSession, dir: String): DataFrame =
+    Market.nextItemPairs(Tables(spark, dir, "events"), NextItemContext)
+      .withColumn("context", concat_ws(",", col("context")))
 
   val RetentionMaxOffset = 14
   /** Analysis window covering the whole fixture (events span Jan
@@ -2694,6 +2707,39 @@ object Oracles {
          |SELECT tr.prev_type, tr.next_type, tr.transitions,
          |       CAST(tr.transitions * 10000 // tot.from_total AS BIGINT) AS prob_bp
          |FROM tr JOIN tot USING (prev_type)""".stripMargin,
+
+    // Next-item pairs: item events sessionized standalone (the
+    // contract — gap rule over item events), context as a framed
+    // window list. SUM window → HUGEINT, so session_seq is cast.
+    "q99_next_item_pairs" -> {
+      val cl = Queries.NextItemContext
+      s"""WITH iev AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |s0 AS (
+         |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id) AS prev_us
+         |  FROM iev),
+         |s1 AS (
+         |  SELECT user_id, event_id, ts_us, item,
+         |         CAST(SUM(CASE WHEN prev_us IS NULL
+         |                        OR ts_us - prev_us > 1800000000
+         |                   THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM s0),
+         |c AS (
+         |  SELECT user_id, session_seq, event_id, item,
+         |         list(item) OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id
+         |           ROWS BETWEEN $cl PRECEDING AND 1 PRECEDING) AS context
+         |  FROM s1)
+         |SELECT user_id, session_seq, event_id,
+         |       array_to_string(context, ',') AS context, item AS label
+         |FROM c WHERE len(context) >= 1""".stripMargin
+    },
 
     // Systematic PPS: the packSequences shard-cumsum shape + the
     // shifted floor-div pick count (operands kept non-negative so

@@ -105,6 +105,40 @@ object Market {
       .limit(k)
   }
 
+  /** Next-item training pairs — the sequential-recommendation twin of
+    * TrainingPrep.chunk: for every item event with ≥1 predecessor in
+    * its session, emit (context = up to `contextLen` preceding items
+    * in time order, label = the item). The supervised dataset a
+    * SASRec/GRU4Rec-style model trains on, generated declaratively.
+    *
+    * Contract: only item-bearing events participate (the stream is
+    * filtered BEFORE sessionization, so the 30-min gap rule applies
+    * to item events; mirrored in the oracle). Repeats are kept —
+    * sequence models want the true event order, not a basket set.
+    *
+    * Scale shape: one user_id fact shuffle (the sessionize window);
+    * the context window rides the SAME partitioning (user_id ⊇
+    * (user, session) clustering), so the whole generator is one
+    * shuffle + map stages. Context arrays are contextLen-bounded —
+    * output size ≤ input × (contextLen+1) longs. */
+  def nextItemPairs(events: DataFrame, contextLen: Int = 3,
+      itemCol: String = "$.k"): DataFrame = {
+    require(contextLen >= 1, "contextLen must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val withItem = events
+      .withColumn("item", get_json_object(col("props"), itemCol).cast("long"))
+      .filter(col("item").isNotNull)
+    val ctx = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-contextLen, -1)
+    Sessionize.assignSessions(withItem)
+      .withColumn("context", collect_list(col("item")).over(ctx))
+      .filter(size(col("context")) >= 1)
+      .select(col("user_id"), col("session_seq"), col("event_id"),
+        col("context"), col("item").as("label"))
+  }
+
   /** Event-type transition matrix: within-session (prev → next)
     * step counts and the per-prev transition probability in basis
     * points. The lag window shares the sessionize partitioning —

@@ -100,6 +100,38 @@ class MarketSpec extends SparkSpec {
       ("click", "purchase", 1L, 5000L)))
   }
 
+  test("nextItemPairs builds ordered bounded contexts; repeats kept; sessions isolate") {
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 7),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 8),
+      ev(2, 1, "2024-01-01 00:02:00", "click", 7), // repeat
+      ev(3, 1, "2024-01-01 00:03:00", "click", 9),
+      ev(4, 1, "2024-01-01 00:04:00", "click", 5), // context clips to 3
+      ev(5, 1, "2024-01-01 05:00:00", "click", 1), // new session, no pair
+      ev(6, 1, "2024-01-01 05:01:00", "click", 2)))
+    val got = Market.nextItemPairs(df, contextLen = 3)
+      .select("event_id", "context", "label")
+      .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, Seq(7L), 8L),
+      (2L, Seq(7L, 8L), 7L),
+      (3L, Seq(7L, 8L, 7L), 9L),
+      (4L, Seq(8L, 7L, 9L), 5L),
+      (6L, Seq(1L), 2L)))
+  }
+
+  test("nextItemPairs: non-item events neither emit nor break context") {
+    val noK = (9L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 1L,
+      "error", 1.0, "{}")
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 3),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 4)) :+ noK)
+    val got = Market.nextItemPairs(df, 3)
+      .select("event_id", "context", "label")
+      .as[(Long, Seq[Long], Long)].collect().toSeq
+    assert(got == Seq((1L, Seq(3L), 4L)))
+  }
+
   test("transitions never crosses a session boundary") {
     // two sessions of the same user: last event of s1 is 'click',
     // first of s2 is 'view' — no click->view edge may appear
