@@ -28,3 +28,23 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sf: String = TestSpark.sf0001
 }
+
+/** Minimal GroupState stub for direct state-transition-function
+  * tests (shared by the streaming specs). */
+final class TestGroupState[T] extends org.apache.spark.sql.streaming.GroupState[T] {
+  var value: Option[T] = None
+  override def exists: Boolean = value.isDefined
+  override def get: T = value.get
+  override def getOption: Option[T] = value
+  override def update(t: T): Unit = value = Some(t)
+  override def remove(): Unit = value = None
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(ms: Long): Unit = ()
+  override def setTimeoutDuration(d: String): Unit = ()
+  override def setTimeoutTimestamp(ms: Long): Unit = ()
+  override def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+  override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
