@@ -149,6 +149,29 @@ object ScaleProbe {
       Seq("doc_id", "text", "lang", "source")))
     t("hard negatives")(graft.ops.Similarity.hardNegatives(
       emb, col("vec_id") % 500 === 0))
+    // amplified USERS (disjoint id blocks): sessions scale mult×, the
+    // item catalog does not — pair work must track sessions × C(cap,2)
+    // and the pair-domain aggregate must stay catalog-bounded.
+    t("covisitation pairs")(graft.ops.Market.coVisitPairs(events))
+    t("transition matrix")(graft.ops.Market.transitions(events))
+    // the covisit GRAPH is catalog-bounded: amplified sessions thicken
+    // edges (higher counts), they don't add nodes — per-round join
+    // work must stay flat while the basket pass scales linearly.
+    t("pagerank 3r")(graft.ops.Graph.pageRank(
+      graft.ops.Graph.symmetric(graft.ops.Market.coVisitPairs(events), 2L),
+      iters = 3, assumeNoDangling = true))
+    t("rfm tiers")(graft.ops.Retention.rfm(events, "2024-12-31"))
+    t("ordered funnel")(graft.ops.PageFunnel.orderedFunnel(spark,
+      graft.ops.Sessionize.assignSessions(events),
+      Seq("signup", "view", "click", "purchase")))
+    // containment rides the q22 blocking: amplified docs multiply
+    // candidate pairs mult× (replica blocks), verification is
+    // pair-bounded like minhash dedup above.
+    t("containment pairs")(graft.ops.Dedup.containmentPairs(docs))
+    t("source overlap")(graft.ops.Dedup.sourceOverlap(docs))
+    t("source diversity")(graft.ops.TextAnalysis.sourceDiversity(docs))
+    t("pps sample")(graft.ops.TrainingPrep.ppsSample(docs, shards = 32))
+    t("next-item pairs")(graft.ops.Market.nextItemPairs(events))
     spark.stop()
   }
 }
