@@ -126,7 +126,10 @@ object SparkEntry {
     "q96_containment" -> (Queries.containment _),
     "q97_source_diversity" -> (Queries.sourceDiversity _),
     "q98_pps_sample" -> (Queries.ppsSample _),
-    "q99_next_item_pairs" -> (Queries.nextItemPairs _)
+    "q99_next_item_pairs" -> (Queries.nextItemPairs _),
+    "q100_ann_recall" -> (Queries.annRecall _),
+    "q101_fuzzy_decontaminate" -> (Queries.fuzzyDecontaminate _),
+    "q102_dedup_impact" -> (Queries.dedupImpact _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -790,6 +793,35 @@ object Queries {
 
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaFeatures(Multimodal.packMedia(Tables(spark, dir, "documents")))
+
+  val AnnRecallK = 3
+
+  /** Recall@k of the LSH ANN (q26) vs brute-force truth (q25). */
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annRecall(Tables(spark, dir, "embeddings"), knnQueryPred,
+      AnnRecallK)
+
+  /** Every FuzzyEvalMod-th doc plays the benchmark set; the rest are
+    * the training corpus. Plain `%` on BOTH engines (sign-of-dividend
+    * in Spark and DuckDB alike — pmod would diverge on negative ids,
+    * the q63 lesson). */
+  val FuzzyEvalMod = 10L
+  val FuzzyEvalRem = 7L
+  val FuzzyThresholdBp = 8000L
+
+  /** Fuzzy (MinHash-LSH) decontamination: train docs containing an
+    * eval doc's shingle set at ≥ FuzzyThresholdBp containment. */
+  def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Contamination.fuzzyFlagged(
+      docs.filter(col("doc_id") % FuzzyEvalMod =!= FuzzyEvalRem),
+      docs.filter(col("doc_id") % FuzzyEvalMod === FuzzyEvalRem),
+      FuzzyThresholdBp)
+  }
+
+  /** Per-source dedup savings report over q42's cluster assignment. */
+  def dedupImpact(spark: SparkSession, dir: String): DataFrame =
+    Clustering.dedupImpact(Tables(spark, dir, "documents"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -901,7 +933,10 @@ object Oracles {
   /** shingles → minhash signature → bands → distinct candidate pairs
     * (`cand`): the blocking prefix shared by the q22 Jaccard and q96
     * containment oracles. */
-  val minhashCandCtes: String = {
+  /** sh → sig → bands chain only (no pairing rule) — the shared prefix
+    * of the intra-corpus `cand` below and q101's cross-split candidate
+    * join. */
+  val minhashBandCtes: String = {
     import graft.ops.Dedup.{NumBands, NumHashes}
     val rows = NumHashes / NumBands
     val sigCols = (0 until NumHashes).map(k =>
@@ -917,12 +952,15 @@ object Oracles {
        |         $sigCols
        |  FROM sh),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  val minhashCandCtes: String =
+    s"""$minhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   val minhashPairCtes: String = {
     s"""$minhashCandCtes,
@@ -2740,6 +2778,131 @@ object Oracles {
          |       array_to_string(context, ',') AS context, item AS label
          |FROM c WHERE len(context) >= 1""".stripMargin
     },
+
+    // q25 (k=AnnRecallK) and q26 re-derived under disjoint CTE names,
+    // full-outer-merged at (query_id, neighbor_id) pair grain —
+    // recall@k of the LSH index vs exact truth.
+    "q100_ann_recall" -> {
+      val k = Queries.AnnRecallK
+      val hits = "SUM(CASE WHEN in_truth IS NOT NULL AND in_ann IS NOT NULL THEN 1 ELSE 0 END)"
+      s"""WITH $embQuantCte,
+         |tq AS (SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n
+         |       WHERE vec_id % ${Queries.KnnQueryMod} = 0),
+         |ts AS (
+         |  SELECT n.vec_id AS neighbor_id, tq.query_id,
+         |         CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+         |              i -> n.q[i] * tq.q_q[i])) AS BIGINT) AS dot,
+         |         n.n2, tq.q_n2
+         |  FROM n, tq WHERE n.vec_id != tq.query_id),
+         |tc AS (
+         |  SELECT query_id, neighbor_id,
+         |         CASE WHEN n2 = 0 OR q_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * dot / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM ts),
+         |truth AS (
+         |  SELECT query_id, neighbor_id, 1 AS in_truth FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |    FROM tc) WHERE rank <= $k),
+         |bkt AS (SELECT *, $signBucketExpr AS bucket FROM n),
+         |aq AS (SELECT vec_id AS query_id, bucket, q AS q_q, n2 AS q_n2
+         |       FROM bkt WHERE vec_id % ${Queries.KnnQueryMod} = 0),
+         |asc0 AS (
+         |  SELECT bkt.vec_id AS neighbor_id, aq.query_id,
+         |         CAST(list_sum(list_transform(range(1, len(bkt.q) + 1),
+         |              i -> bkt.q[i] * aq.q_q[i])) AS BIGINT) AS dot,
+         |         bkt.n2, aq.q_n2
+         |  FROM bkt JOIN aq ON bkt.bucket = aq.bucket
+         |  WHERE bkt.vec_id != aq.query_id),
+         |ac AS (
+         |  SELECT query_id, neighbor_id,
+         |         CASE WHEN n2 = 0 OR q_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * dot / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM asc0),
+         |ann AS (
+         |  SELECT query_id, neighbor_id, 1 AS in_ann FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |    FROM ac) WHERE rank <= $k),
+         |m AS (
+         |  SELECT COALESCE(t.query_id, a.query_id) AS query_id, t.in_truth, a.in_ann
+         |  FROM truth t FULL JOIN ann a
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+         |SELECT query_id,
+         |       CAST(SUM(COALESCE(in_truth, 0)) AS BIGINT) AS n_truth,
+         |       CAST(SUM(COALESCE(in_ann, 0)) AS BIGINT) AS n_ann,
+         |       CAST($hits AS BIGINT) AS n_hits,
+         |       CASE WHEN SUM(COALESCE(in_truth, 0)) = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * $hits / SUM(COALESCE(in_truth, 0))) AS BIGINT)
+         |       END AS recall_bp
+         |FROM m GROUP BY 1""".stripMargin
+    },
+
+    // Cross-split LSH candidates (train side % != rem, eval side
+    // % = rem over the shared band CTEs), verified by directional
+    // containment of the EVAL shingle set.
+    "q101_fuzzy_decontaminate" -> {
+      val m = Queries.FuzzyEvalMod; val r = Queries.FuzzyEvalRem
+      val bp = Queries.FuzzyThresholdBp
+      s"""WITH $minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_doc_id
+         |  FROM bands t JOIN bands e
+         |    ON t.band = e.band AND t.band_hash = e.band_hash
+         |  WHERE t.doc_id % $m != $r AND e.doc_id % $m = $r),
+         |v AS (
+         |  SELECT cand.doc_id, cand.eval_doc_id,
+         |         CAST(len(list_intersect(st.shingles, se.shingles)) AS BIGINT) AS inter,
+         |         CAST(len(se.shingles) AS BIGINT) AS size_eval
+         |  FROM cand
+         |  JOIN sh st ON cand.doc_id = st.doc_id
+         |  JOIN sh se ON cand.eval_doc_id = se.doc_id),
+         |f AS (
+         |  SELECT doc_id, eval_doc_id, inter, size_eval,
+         |         CASE WHEN size_eval = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * inter / size_eval) AS BIGINT)
+         |         END AS cont_bp
+         |  FROM v)
+         |SELECT * FROM f WHERE cont_bp >= $bp""".stripMargin
+    },
+
+    // q42's recursive cluster assignment folded to a per-source
+    // savings report (canonical-kept accounting; null text = 0 tokens).
+    "q102_dedup_impact" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM p),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+         |comp AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY 1),
+         |assign AS (
+         |  SELECT d.doc_id, d.source,
+         |         CASE WHEN d.text IS NULL THEN 0
+         |              ELSE len(string_split(d.text, ' ')) END AS n_tokens,
+         |         first_value(d.doc_id) OVER (
+         |           PARTITION BY c.component
+         |           ORDER BY coalesce(length(d.text), -1) DESC, d.doc_id ASC)
+         |           AS canonical_doc_id
+         |  FROM documents d JOIN comp c ON d.doc_id = c.doc_id),
+         |g AS (
+         |  SELECT source,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN doc_id = canonical_doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+         |         CAST(SUM(CASE WHEN doc_id = canonical_doc_id THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+         |  FROM assign GROUP BY 1)
+         |SELECT source, n_docs, n_kept, tokens_total, tokens_kept,
+         |       CASE WHEN tokens_total = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * (tokens_total - tokens_kept) / tokens_total) AS BIGINT)
+         |       END AS savings_bp
+         |FROM g""".stripMargin,
 
     // Systematic PPS: the packSequences shard-cumsum shape + the
     // shifted floor-div pick count (operands kept non-negative so

@@ -62,6 +62,56 @@ object Contamination {
       .agg(countDistinct(col("gh")).as("n_hits"))
   }
 
+  /** Fuzzy decontamination: training documents MinHash-LSH-similar to
+    * an eval document — the near-dup complement of [[flagged]]'s
+    * exact n-gram overlap (a paraphrased or lightly-edited eval leak
+    * shares few verbatim 8-grams but most of its shingle set; modern
+    * pipeline hygiene runs BOTH gates). Candidates share an LSH band
+    * with an eval doc; verification is directional containment of the
+    * EVAL shingle set in the training doc (the right asymmetry: a
+    * long train doc that embeds a whole eval item must flag even
+    * though symmetric Jaccard is tiny). Emits qualifying pairs
+    * (doc_id, eval_doc_id, inter, size_eval, cont_bp ≥ thresholdBp).
+    *
+    * Scale shape: the benchmark side (bands + shingles) is broadcast
+    * twice — eval suites are MBs against a TB corpus, same contract
+    * as [[flagged]]. The training corpus is scanned ONCE: its shingle
+    * sets ride through the band join as a carried column, so rows
+    * that match no eval band — all but a vanishing fraction — die in
+    * the map stage, and only matched rows shuffle (for the per-pair
+    * band dedup). No corpus self-join, no second corpus pass. */
+  def fuzzyFlagged(train: DataFrame, benchmark: DataFrame,
+      thresholdBp: Long = 8000L): DataFrame = {
+    require(thresholdBp >= 1L && thresholdBp <= 10000L,
+      "thresholdBp must be in [1, 10000]")
+    val evalSig = Dedup.minhashSignature(benchmark)
+    val evalBands = Dedup.lshBands(evalSig)
+      .select(col("doc_id").as("eval_doc_id"), col("band"), col("band_hash"))
+    val trainBands = Dedup.lshBands(Dedup.minhashSignature(train),
+      keep = Seq("shingles"))
+    val cand = trainBands
+      .join(broadcast(evalBands), Seq("band", "band_hash"))
+      // a pair can match in several bands: dedup at pair grain; the
+      // carried shingle array is doc_id-determined so it rides the
+      // grouping key (still an UnsafeRow hash aggregate) instead of
+      // forcing an object-buffer aggregate
+      .select(col("doc_id"), col("eval_doc_id"), col("shingles").as("sh_t"))
+      .distinct()
+    cand
+      .join(broadcast(evalSig.select(col("doc_id").as("eval_doc_id"),
+        col("shingles").as("sh_e"))), "eval_doc_id")
+      .withColumn("inter",
+        size(array_intersect(col("sh_t"), col("sh_e"))).cast("long"))
+      .withColumn("size_eval", size(col("sh_e")).cast("long"))
+      .withColumn("cont_bp",
+        when(col("size_eval") === 0L, lit(0L))
+          .otherwise(floor(lit(10000.0) * col("inter") / col("size_eval"))
+            .cast("long")))
+      .filter(col("cont_bp") >= thresholdBp)
+      .select(col("doc_id"), col("eval_doc_id"), col("inter"),
+        col("size_eval"), col("cont_bp"))
+  }
+
   // ---- streaming-safe Bloom gate ----------------------------------
   //
   // A stream can't run the exact join above (doc-grain regroup after

@@ -121,6 +121,39 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Recall@k of the LSH-bucketed ANN against brute-force ground
+    * truth, per query: the evaluation gate every approximate index
+    * needs before it replaces the exact path (recall is THE quality
+    * axis of ANN — Jégou et al. 2011 report it per index config).
+    * Output: (query_id, n_truth, n_ann, n_hits, recall_bp) where
+    * recall_bp = ⌊10000·hits/n_truth⌋ and n_ann ≤ k (a sparse bucket
+    * returns fewer — exactly the failure recall exposes).
+    *
+    * Scale shape: both sides are query-set-grain (probe set × k rows
+    * — broadcast-class by the same contract as [[knnBruteForce]]'s
+    * query side), so the full-outer pair merge and the per-query
+    * aggregate are metadata-sized no matter the corpus; the corpus
+    * cost is the two underlying scans, which this report shares with
+    * the indexes it grades. Both rankings break cosine ties by
+    * neighbor id, so the hit set is deterministic cross-engine. */
+  def annRecall(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
+    val truth = knnBruteForce(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_truth"))
+    val approx = annLsh(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_ann"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(coalesce(col("in_truth"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("in_ann"), lit(0L))).as("n_ann"),
+        sum(when(col("in_truth").isNotNull && col("in_ann").isNotNull, 1L)
+          .otherwise(0L)).as("n_hits"))
+      .withColumn("recall_bp",
+        when(col("n_truth") === 0L, lit(0L))
+          .otherwise(floor(lit(10000.0) * col("n_hits") / col("n_truth"))
+            .cast("long")))
+  }
+
   /** IVF coarse quantizer: one integer centroid per label (the
     * inverted-list key). Deterministic & oracle-exact: per-dimension
     * `floor(sum / count)` over the quantized vectors. The posexplode +

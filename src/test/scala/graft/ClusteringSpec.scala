@@ -94,4 +94,20 @@ class ClusteringSpec extends SparkSpec with TableDrivenPropertyChecks {
       .select("component", "cluster_size").as[(Long, Long)].head()
     assert(row3 == ((3L, 1L)))
   }
+
+  test("dedupImpact: per-source accounting over a known cluster") {
+    val docs = Seq(
+      (1L, "w w w w", "crawl"),   // near-dup pair {1,2}; canonical 1
+      (2L, "w w w w", "curated"), // (equal length, id tie-break)
+      (3L, "one unique text here", "crawl"),
+      (4L, null.asInstanceOf[String], "crawl") // singleton, 0 tokens
+    ).toDF("doc_id", "text", "source")
+    val got = Clustering.dedupImpact(docs)
+      .select("source", "n_docs", "n_kept", "tokens_total", "tokens_kept",
+        "savings_bp")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("crawl", 3L, 3L, 8L, 8L, 0L),
+      ("curated", 1L, 0L, 4L, 0L, 10000L)))
+  }
 }

@@ -591,4 +591,55 @@ class TrainingOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 10000L, 10000L)))
   }
+
+  test("annRecall matches a naive recomputation from the two rankings") {
+    val emb = Tables(spark, sf, "embeddings")
+    val pred = col("vec_id") % 100 === 0
+    val truth = Similarity.knnBruteForce(emb, pred, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (q, xs) =>
+        q -> xs.map(_._2).toSet }
+    val ann = Similarity.annLsh(emb, pred, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (q, xs) =>
+        q -> xs.map(_._2).toSet }
+    val got = Similarity.annRecall(emb, pred, k = 3)
+      .select("query_id", "n_truth", "n_ann", "n_hits", "recall_bp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == truth.keySet) // every query reported
+    got.foreach { case (q, nTruth, nAnn, nHits, bp) =>
+      val t = truth(q); val a = ann.getOrElse(q, Set.empty[Long])
+      assert(nTruth == t.size && nAnn == a.size && nHits == (t & a).size,
+        s"query $q accounting")
+      assert(bp == math.floor(10000.0 * (t & a).size / t.size).toLong)
+    }
+    // on this fixture the LSH index must find at least SOMETHING
+    assert(got.map(_._4).sum > 0L)
+  }
+
+  test("fuzzyFlagged: verbatim eval copy flags at 10000 bp; unrelated text doesn't") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // = eval doc 100
+      (2L, "totally different words with no overlap at all")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = Contamination.fuzzyFlagged(train, eval_)
+      .select("doc_id", "eval_doc_id", "inter", "size_eval", "cont_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 100L, 4L, 4L, 10000L)))
+  }
+
+  test("fuzzyFlagged: empty benchmark / short or null texts never flag") {
+    val train = Seq((1L, "a b c d e"), (2L, null.asInstanceOf[String]),
+      (3L, "x y")).toDF("doc_id", "text")
+    val none = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(Contamination.fuzzyFlagged(train, none).count() == 0L)
+    // null/short eval docs have empty shingle sets -> null band hashes
+    // -> no candidates (and a 0-size eval set could never reach the
+    // containment threshold anyway)
+    val degenerate = Seq((9L, null.asInstanceOf[String]), (10L, "p q"))
+      .toDF("doc_id", "text")
+    assert(Contamination.fuzzyFlagged(train, degenerate).count() == 0L)
+  }
 }
