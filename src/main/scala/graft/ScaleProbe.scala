@@ -172,6 +172,18 @@ object ScaleProbe {
     t("source diversity")(graft.ops.TextAnalysis.sourceDiversity(docs))
     t("pps sample")(graft.ops.TrainingPrep.ppsSample(docs, shards = 32))
     t("next-item pairs")(graft.ops.Market.nextItemPairs(events))
+    // recall eval is query-set-grain: amplified corpus grows the two
+    // underlying scans linearly, the merge/aggregate stays probe-sized
+    t("ann recall")(graft.ops.Similarity.annRecall(emb, col("vec_id") % 500 === 0))
+    // eval side FIXED (unamplified) while train amplifies mult× — the
+    // broadcast contract: train-side map work scales linearly, nothing
+    // else should move
+    t("fuzzy decontaminate")(graft.ops.Contamination.fuzzyFlagged(
+      docs, graft.tables.Tables(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 7)))
+    // rides the neardup-clusters probe above + one source-grain agg
+    t("dedup impact")(graft.ops.Clustering.dedupImpact(docs))
+    t("pii prevalence")(graft.ops.TextClean.piiPrevalence(docs))
     spark.stop()
   }
 }

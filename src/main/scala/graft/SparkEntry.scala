@@ -129,7 +129,8 @@ object SparkEntry {
     "q99_next_item_pairs" -> (Queries.nextItemPairs _),
     "q100_ann_recall" -> (Queries.annRecall _),
     "q101_fuzzy_decontaminate" -> (Queries.fuzzyDecontaminate _),
-    "q102_dedup_impact" -> (Queries.dedupImpact _)
+    "q102_dedup_impact" -> (Queries.dedupImpact _),
+    "q103_pii_prevalence" -> (Queries.piiPrevalence _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -822,6 +823,10 @@ object Queries {
   /** Per-source dedup savings report over q42's cluster assignment. */
   def dedupImpact(spark: SparkSession, dir: String): DataFrame =
     Clustering.dedupImpact(Tables(spark, dir, "documents"))
+
+  /** Per-source PII prevalence triage report (q46's patterns). */
+  def piiPrevalence(spark: SparkSession, dir: String): DataFrame =
+    TextClean.piiPrevalence(Tables(spark, dir, "documents"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -3152,6 +3157,33 @@ object Oracles {
          |       END AS pii_hits,
          |       regexp_replace(text, '${graft.ops.TextClean.PiiPattern}', '<PII>', 'g') AS scrubbed
          |FROM documents""".stripMargin,
+
+    // The combined-pattern hit count twins q46; per-class counts are
+    // independent scans of the alternation arms (overlap by design).
+    "q103_pii_prevalence" -> {
+      def n(p: String) =
+        s"CASE WHEN text IS NULL THEN 0 ELSE CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) END"
+      s"""WITH h AS (
+         |  SELECT source,
+         |         ${n(graft.ops.TextClean.PiiEmailPattern)} AS e,
+         |         ${n(graft.ops.TextClean.PiiDigitPattern)} AS d,
+         |         ${n(graft.ops.TextClean.PiiTermPattern)} AS t,
+         |         ${n(graft.ops.TextClean.PiiPattern)} AS c
+         |  FROM documents),
+         |g AS (
+         |  SELECT source,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |         CAST(SUM(e) AS BIGINT) AS email_hits,
+         |         CAST(SUM(d) AS BIGINT) AS number_hits,
+         |         CAST(SUM(t) AS BIGINT) AS term_hits,
+         |         CAST(SUM(c) AS BIGINT) AS pii_hits
+         |  FROM h GROUP BY 1)
+         |SELECT source, n_docs, n_flagged, email_hits, number_hits, term_hits,
+         |       pii_hits,
+         |       CAST(FLOOR(10000.0 * n_flagged / n_docs) AS BIGINT) AS flagged_bp
+         |FROM g""".stripMargin
+    },
 
     // Winnow hashes UTF-8 BYTES (Winnow.scala nullSafeEval), so the
     // oracle reconstructs the byte stream by nibble-parsing

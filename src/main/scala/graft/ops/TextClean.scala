@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-data text cleaning: intra-document repetition removal and
@@ -142,6 +142,48 @@ object TextClean {
     * a scrub rule that matches differently per engine is a leak. */
   val PiiPattern: String =
     s"([a-z0-9._]+@[a-z0-9.]+|[0-9]{7,}|\\b(${PiiTerms.mkString("|")})\\b)"
+
+  /** Per-class PII patterns (the alternation arms of [[PiiPattern]],
+    * scanned independently for the prevalence report). */
+  val PiiEmailPattern: String = "[a-z0-9._]+@[a-z0-9.]+"
+  val PiiDigitPattern: String = "[0-9]{7,}"
+  val PiiTermPattern: String = s"\\b(${PiiTerms.mkString("|")})\\b"
+
+  /** PII prevalence report per source — the triage table that decides
+    * which sources need the heavy scrub pass (running [[piiScrub]]'s
+    * rewrite over a TB source that turns out clean is wasted compute;
+    * running nothing over a leaky one is an incident). Per source:
+    * document counts, per-CLASS hit totals (independent scans of the
+    * [[PiiPattern]] alternation arms — a digit run inside an email
+    * counts in both classes; `pii_hits` from the combined pattern is
+    * the exact [[piiScrub]] redaction total, where alternation order
+    * arbitrates), and the flagged-document rate in basis points.
+    * Null-text docs count in `n_docs` with zero hits.
+    *
+    * Scale shape: a pure codegen'd regex map stage collapsing straight
+    * into a bounded-domain `source` hash aggregate — one partial-agg
+    * shuffle of source-grain partials, no second pass, no rewrite of
+    * the text column. */
+  def piiPrevalence(docs: DataFrame): DataFrame = {
+    def hits(pattern: String): Column =
+      when(col("text").isNull, lit(0L))
+        .otherwise(size(regexp_extract_all(col("text"), lit(pattern), lit(0)))
+          .cast("long"))
+    docs
+      .select(col("source"),
+        hits(PiiEmailPattern).as("e"), hits(PiiDigitPattern).as("d"),
+        hits(PiiTermPattern).as("t"), hits(PiiPattern).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("c") > 0L).cast("long")).as("n_flagged"),
+        sum(col("e")).as("email_hits"),
+        sum(col("d")).as("number_hits"),
+        sum(col("t")).as("term_hits"),
+        sum(col("c")).as("pii_hits"))
+      .withColumn("flagged_bp",
+        floor(lit(10000.0) * col("n_flagged") / col("n_docs")).cast("long"))
+  }
 
   /** Replace every PII match with the `<PII>` placeholder; count the
     * redactions per document. Null text passes through. */

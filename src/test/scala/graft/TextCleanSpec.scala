@@ -107,4 +107,26 @@ class TextCleanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("piiPrevalence: per-source class counts, overlap, null text, flagged rate") {
+    val d = Seq(
+      // email whose local part contains a 7+ digit run: counts in BOTH
+      // the email and number classes, once in the combined scrub count
+      (1L, "contact someone1234567@site.org today", "web"),
+      (2L, "my ssn is 123456789 and account too", "web"),
+      (3L, "clean text with nothing sensitive", "web"),
+      (4L, null.asInstanceOf[String], "web"),
+      (5L, "customer data", "curated")
+    ).toDF("doc_id", "text", "source")
+    val got = TextClean.piiPrevalence(d)
+      .select("source", "n_docs", "n_flagged", "email_hits", "number_hits",
+        "term_hits", "pii_hits", "flagged_bp")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // web: doc1 email=1 number=1(inside email) combined=1;
+    //      doc2 number=1, terms {ssn, account}=2, combined=3;
+    //      doc3/doc4 zero → flagged 2/4 = 5000 bp
+    assert(got == Set(
+      ("web", 4L, 2L, 1L, 2L, 2L, 4L, 5000L),
+      ("curated", 1L, 1L, 0L, 0L, 1L, 1L, 10000L)))
+  }
 }
