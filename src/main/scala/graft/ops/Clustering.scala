@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -142,12 +142,21 @@ object Clustering {
     * keep-the-most-content policy), doc_id-tie-broken; null text sorts
     * last. One window shuffle on component after the label join.
     */
-  def nearDupClusters(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
+  def nearDupClusters(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame =
+    clustersCarrying(docs, thresholdBp, Nil)
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        col("canonical_doc_id"))
+
+  /** [[nearDupClusters]] with extra doc columns carried through the
+    * ONE corpus-grain label join (so composed reports don't pay a
+    * second corpus scan + join to re-attach them). */
+  private def clustersCarrying(docs: DataFrame, thresholdBp: Long,
+      carry: Seq[Column]): DataFrame = {
     val pairs = Dedup.minhashDedupPairs(docs, thresholdBp)
       .select(col("doc_a"), col("doc_b"))
     val labels = connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("component"))
-    val labeled = docs.select(col("doc_id"), col("text"))
+    val labeled = docs.select(col("doc_id") +: col("text") +: carry: _*)
       .join(labels, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
     val byComponent = Window.partitionBy(col("component"))
@@ -156,8 +165,7 @@ object Clustering {
     labeled
       .withColumn("cluster_size", count(lit(1)).over(byComponent))
       .withColumn("canonical_doc_id", first(col("doc_id")).over(canonicalOrder))
-      .select(col("doc_id"), col("component"), col("cluster_size"),
-        col("canonical_doc_id"))
+      .drop("text")
   }
 
   /** Dedup impact report: what near-dup canonicalization saves, per
@@ -170,15 +178,15 @@ object Clustering {
     * an all-null-text source). Null-text docs count 0 tokens.
     *
     * Scale shape: rides [[nearDupClusters]] (pair-set CC + one label
-    * join) and adds one corpus-grain projection plus an aggregate on
-    * `source` — a bounded-domain key, so the report is one partial-agg
-    * shuffle of source-grain partials, not a second corpus pass. */
+    * join); `source` and the token count are carried through that one
+    * corpus-grain join (no second corpus scan), and the report itself
+    * is an aggregate on `source` — a bounded-domain key, so it adds
+    * one partial-agg shuffle of source-grain partials. */
   def dedupImpact(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
     val toks = when(col("text").isNotNull,
       size(split(col("text"), " ")).cast("long")).otherwise(0L)
-    nearDupClusters(docs, thresholdBp)
-      .join(docs.select(col("doc_id"), col("source"), toks.as("n_tokens")),
-        "doc_id")
+    clustersCarrying(docs, thresholdBp,
+      Seq(col("source"), toks.as("n_tokens")))
       .withColumn("kept", (col("doc_id") === col("canonical_doc_id")).cast("long"))
       .groupBy(col("source"))
       .agg(
