@@ -130,7 +130,8 @@ object SparkEntry {
     "q100_ann_recall" -> (Queries.annRecall _),
     "q101_fuzzy_decontaminate" -> (Queries.fuzzyDecontaminate _),
     "q102_dedup_impact" -> (Queries.dedupImpact _),
-    "q103_pii_prevalence" -> (Queries.piiPrevalence _)
+    "q103_pii_prevalence" -> (Queries.piiPrevalence _),
+    "q104_lang_temperature" -> (Queries.languageMix _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -827,6 +828,12 @@ object Queries {
   /** Per-source PII prevalence triage report (q46's patterns). */
   def piiPrevalence(spark: SparkSession, dir: String): DataFrame =
     TextClean.piiPrevalence(Tables(spark, dir, "documents"))
+
+  val LangMixBudget = 1000000L
+
+  /** Temperature-smoothed (α=1/2) per-language sampling plan. */
+  def languageMix(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.languageMix(Tables(spark, dir, "documents"), LangMixBudget)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -3157,6 +3164,31 @@ object Oracles {
          |       END AS pii_hits,
          |       regexp_replace(text, '${graft.ops.TextClean.PiiPattern}', '<PII>', 'g') AS scrubbed
          |FROM documents""".stripMargin,
+
+    // α=1/2 smoothing via sqrt — the one power IEEE requires to be
+    // correctly rounded, so ⌊√tokens⌋ is engine-exact (see
+    // TrainingPrep.languageMix).
+    "q104_lang_temperature" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+         |w AS (
+         |  SELECT lang, tokens,
+         |         CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w,
+         |         CAST(SUM(tokens) OVER () AS BIGINT) AS total_tokens,
+         |         CAST(SUM(CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT))
+         |              OVER () AS BIGINT) AS total_w
+         |  FROM t),
+         |p AS (
+         |  SELECT lang, tokens,
+         |         CAST(FLOOR(10000.0 * tokens / total_tokens) AS BIGINT) AS raw_bp,
+         |         CAST(FLOOR(10000.0 * w / total_w) AS BIGINT) AS target_bp
+         |  FROM w)
+         |SELECT lang, tokens, raw_bp, target_bp,
+         |       CAST(FLOOR(${Queries.LangMixBudget}.0 * target_bp / 10000.0) AS BIGINT)
+         |         AS sampled_tokens
+         |FROM p""".stripMargin,
 
     // The combined-pattern hit count twins q46; per-class counts are
     // independent scans of the alternation arms (overlap by design).

@@ -209,6 +209,47 @@ object TrainingPrep {
         col("deficit"))
   }
 
+  /** Temperature-smoothed language mixture (the XLM-R / mBERT
+    * exponential-smoothing rule, Conneau et al. 2020 §3.1): sampling
+    * weight ∝ tokens^α, which upweights tail languages relative to
+    * their raw share so the head language doesn't drown them. α is
+    * FIXED at 1/2: sqrt is the one power IEEE 754 requires to be
+    * correctly rounded, so ⌊√tokens⌋ is bit-identical in every
+    * engine — an arbitrary-α pow() is not, and a mixture table that
+    * differs per engine is exactly the non-determinism the house
+    * rules exist to kill (token counts < 2^53 stay double-exact).
+    *
+    * Per language: raw token share, smoothed sampling share (both bp,
+    * floor), and the token allocation from `budgetTokens`. Null-text
+    * docs carry no tokens; a null lang is its own mixture row (the
+    * unidentified bucket — real corpora always have one).
+    *
+    * Scale shape: one corpus pass collapsing into a bounded-domain
+    * (lang) hash aggregate; the share normalization is a
+    * single-partition window over ≤|langs| rows (the mixturePlan
+    * convention — never a second corpus scan). */
+  def languageMix(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val whole = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    docs
+      .filter(col("text").isNotNull)
+      .groupBy(col("lang"))
+      .agg(sum(size(expr(TextAnalysis.TokensExpr)).cast("long"))
+        .as("tokens"))
+      .withColumn("w", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+      .withColumn("total_tokens", sum(col("tokens")).over(whole))
+      .withColumn("total_w", sum(col("w")).over(whole))
+      .withColumn("raw_bp",
+        floor(lit(10000.0) * col("tokens") / col("total_tokens")).cast("long"))
+      .withColumn("target_bp",
+        floor(lit(10000.0) * col("w") / col("total_w")).cast("long"))
+      .withColumn("sampled_tokens",
+        floor(lit(budgetTokens.toDouble) * col("target_bp") / lit(10000.0))
+          .cast("long"))
+      .select(col("lang"), col("tokens"), col("raw_bp"), col("target_bp"),
+        col("sampled_tokens"))
+  }
+
   /** Deterministic exact-k per-group holdout (human-eval sampling):
     * the k docs per `groupCol` with the smallest md5(doc_id) — the
     * engine's layout-independent pseudo-random draw (q12's R1

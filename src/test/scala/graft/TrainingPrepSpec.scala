@@ -212,4 +212,27 @@ class TrainingPrepSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(out == Set(("src0", 3L, 3L), ("src1", 1L, 1L), ("src3", 2L, 2L)))
   }
+
+  test("languageMix: sqrt smoothing upweights the tail language; exact arithmetic") {
+    val s = spark
+    import s.implicits._
+    // en: 100 tokens, de: 4 tokens, null lang: 1 token, null text ignored
+    val d = (
+      (1 to 10).map(i => (i.toLong, Seq.fill(10)("w").mkString(" "), "en")) ++
+      Seq((90L, "w w w w", "de"), (91L, "w", null.asInstanceOf[String]),
+          (92L, null.asInstanceOf[String], "en"))
+    ).toDF("doc_id", "text", "lang")
+    val out = TrainingPrep.languageMix(d, budgetTokens = 10000L)
+      .select("lang", "tokens", "raw_bp", "target_bp", "sampled_tokens")
+      .as[(Option[String], Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // w: en=10, de=2, null=1 → total_w 13, total_tokens 105
+    assert(out(Some("en")) == ((100L, 9523L, 7692L, 7692L)))
+    assert(out(Some("de")) == ((4L, 380L, 1538L, 1538L)))
+    assert(out(None) == ((1L, 95L, 769L, 769L)))
+    // smoothing property: every tail language's share rises, the head's falls
+    assert(out(Some("de"))._3 > out(Some("de"))._2)
+    assert(out(None)._3 > out(None)._2)
+    assert(out(Some("en"))._3 < out(Some("en"))._2)
+  }
 }
