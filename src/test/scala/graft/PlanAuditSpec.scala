@@ -396,4 +396,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 4, p)
     assert(!p.contains("Window"), s"a window crept into a pure-agg report:\n$p")
   }
+
+  test("q101 fuzzy decontamination: eval side broadcast, corpus never self-joined") {
+    val p = plan("q101_fuzzy_decontaminate")
+    // both eval frames (bands, shingles) must arrive as broadcasts;
+    // a sort-merge join would mean the training corpus shuffled to
+    // meet the MB-scale benchmark
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet eval side:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q103 pii prevalence: pure regex map into one bounded-domain aggregate") {
+    val p = plan("q103_pii_prevalence")
+    assert(shuffles(p) == 1, p) // the (source) hash aggregate exchange
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("lang"), s"scan not pruned: $readSchema")
+  }
+
+  test("q104 language mix: one corpus pass — lang aggregate + tiny window, no rescan") {
+    val p = plan("q104_lang_temperature")
+    // corpus exchange on lang + the ≤|langs|-row SinglePartition
+    // window for normalization; a third shuffle would mean a rescan
+    assert(shuffles(p) <= 2, p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1,
+      s"corpus scanned more than once:\n$p")
+  }
 }
