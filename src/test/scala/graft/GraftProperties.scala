@@ -497,4 +497,38 @@ object GraftProperties extends Properties("graft") {
           deficit == math.max(0L, desired - planned)
       }
     }
+
+  property("dedup impact: per-source accounting conserves docs and tokens") =
+    forAll(genDocs) { rows =>
+      val s = spark
+      import s.implicits._
+      // spread the docs over 3 sources so the report has real groups
+      val d = rows.map { case (id, t) => (id, t, "en", s"s${id % 3}") }
+        .toDF("doc_id", "text", "lang", "source")
+      val out = graft.ops.Clustering.dedupImpact(d)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      val totalDocs = rows.size.toLong
+      val totalToks = rows.map(_._2.split(" ", -1).length.toLong).sum
+      out.map(_._2).sum == totalDocs &&
+        out.map(_._4).sum == totalToks &&
+        out.forall { case (_, nd, nk, tt, tk, bp) =>
+          nk >= 0L && nk <= nd && tk >= 0L && tk <= tt &&
+            bp >= 0L && bp <= 10000L
+        }
+    }
+
+  property("fuzzy self-decontamination flags every shingled doc against itself") =
+    forAll(genDocs) { rows =>
+      val d = docsDf(rows)
+      val self = graft.ops.Contamination.fuzzyFlagged(d, d)
+        .filter(col("doc_id") === col("eval_doc_id"))
+        .select("doc_id", "cont_bp")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // docs with >= 3 tokens have non-empty shingle sets: identical
+      // signatures band-match, containment is exactly 10000
+      val shingled = rows.filter(_._2.split(" ", -1).length >= 3).map(_._1).toSet
+      shingled.forall(id => self.get(id).contains(10000L)) &&
+        self.keySet == shingled
+    }
 }
