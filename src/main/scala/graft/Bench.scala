@@ -96,26 +96,24 @@ object Bench {
     val qid = (k: String) => k.takeWhile(_ != '_')
     val steady = results.map { case (k, _, w, _, _, _) => s"\"" + qid(k) + "\":" + f2(w) }
       .mkString("{", ",", "}")
-    // contention-invariant per-query metrics IN the JSON line so the
-    // driver gate can diff plans across rounds mechanically (wall time
-    // can't tell a regression from machine contention — round-2
-    // lesson). Budget: the harness tail-parses ONE stdout line and
-    // rounds 1-2 overflowed it with two full-name maps, so this map
-    // uses the short query id and K-scaled integers:
-    //   io[qNN] = [input_rows/1000, shuffle_write_KB]
-    // (ceil). Shuffle READ is deliberately omitted from the line — it
-    // tracks write minus AQE-localized reads and earned its keep only
-    // as a diagnostic; the exact (rows, read, write) triple stays on
-    // stderr above. ContractSpec pins the line under the capture
-    // budget at worst-case digits.
+    // Budget (measured from BENCH_r04): the harness keeps the LAST
+    // 2000 chars of stdout, and sbt appends a ~75-char "[success]"
+    // line after ours — so the whole JSON line must fit in ~1900
+    // chars or it is front-truncated and the driver's parse fails
+    // (rounds 1-4 all shipped "parsed": null this way). The per-query
+    // io map (~1.4 KB) is what overflowed it in r04; it moves to
+    // stderr in full (rows, shuffle_read, shuffle_write per query,
+    // printed above) and the stdout line carries one aggregate pair
+    //   io_total = [input_rows/1000, shuffle_write_KB]
+    // as the cross-round contention-invariant plan signal.
+    // ContractSpec pins the line under the capture budget at
+    // worst-case digits.
     val kceil = (v: Long) => (v + 999) / 1000
-    val io = results.map { case (k, _, _, rows, _, sw) =>
-      s"\"" + qid(k) + s"\":[${kceil(rows)},${kceil(sw)}]"
-    }.mkString("{", ",", "}")
+    val ioTotal = s"[${kceil(results.map(_._4).sum)},${kceil(results.map(_._6).sum)}]"
     val steadyTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     System.err.println(s"[bench] cold_total=${f(coldTotal)} steady_total=${f(steadyTotal)}")
-    println(s"""{"metric":"steady_total","value":${f(steadyTotal)},"unit":"sec","queries":$steady,"io":$io,"sf":"$sfDir"}""")
+    println(s"""{"metric":"steady_total","value":${f(steadyTotal)},"unit":"sec","queries":$steady,"io_total":$ioTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

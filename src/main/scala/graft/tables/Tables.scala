@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -47,12 +47,25 @@ object Tables {
     }
   }
 
-  /** The events nanos→micros rebuild, shared by both source branches
-    * (the raw column arrives as LongType under nanosAsLong). */
+  /** Normalize events.ts to session-tz TimestampType regardless of the
+    * physical parquet encoding, shared by both source branches. A real
+    * lakehouse sees mixed writers; the three encodings observed from
+    * the driver's generator so far:
+    *   - TIMESTAMP(NANOS)          → LongType under nanosAsLong
+    *   - TIMESTAMP(MICROS) no-tz   → TimestampNTZType
+    *   - TIMESTAMP(MICROS) utc-adj → TimestampType (no-op)
+    * The NTZ→TimestampType cast is value-preserving because every
+    * entry point (Verify, Bench, Explain, ScaleProbe, specs) pins the
+    * session timezone to UTC. */
   private def fixupEvents(name: String, df: DataFrame): DataFrame =
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** S6/S7 analog: register every table as a temp view so SQL-text
     * entry points (`spark.sql`) resolve the same names the DuckDB

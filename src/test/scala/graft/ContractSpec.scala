@@ -20,7 +20,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("query names are stable snake_case qNN_ identifiers; short ids unique") {
     SparkEntry.queries.keys.foreach { k =>
-      assert(k.matches("q\\d{2}_[a-z0-9_]+"), s"bad query name: $k")
+      assert(k.matches("q\\d{2,3}_[a-z0-9_]+"), s"bad query name: $k")
     }
     // Bench keys its JSON maps by the qNN prefix — a collision would
     // silently drop a query from the result line
@@ -29,22 +29,22 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("bench JSON line fits the harness output-tail capture budget") {
-    // The harness keeps only the tail of captured stdout; round 1's
-    // full-precision two-map line (~5 KB) was front-truncated and
-    // failed its JSON parse. The current format prints ONE line with
-    // short-id keys: a 2-decimal steady-seconds map and a K-scaled
-    // io [rows, shuffle_write] pair map (read stays on stderr).
-    // Reconstruct the worst case — 999.99 s per query, 1 B input
-    // rows (kceil → 7 digits), 1 GB shuffle write (kceil → 7 digits;
-    // bench-observed maximum is ~9 MB, so >100× headroom) — and keep
-    // it under 4 KB, comfortably inside the ~5 KB known-bad point.
+    // MEASURED budget (BENCH_r04 "tail"): the harness keeps the LAST
+    // 2000 chars of stdout, and sbt prints a ~75-char "[success]"
+    // line after ours. Anything longer than ~1900 chars is
+    // front-truncated → "parsed": null (rounds 1-4 all hit this; the
+    // old guard's 4 KB budget was a guess, and wrong). Current format:
+    // ONE line with a 2-decimal short-id steady map plus a single
+    // aggregate io_total pair; per-query io lives on stderr.
+    // Worst case reconstruction: 999.99 s per query, 10 B total input
+    // rows, 100 GB total shuffle write (kceil → 8 digits each).
     val ids = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
     val qmap = ids.map(n => s""""$n":999.99""").mkString("{", ",", "}")
-    val iomap = ids.map(n => s""""$n":[1000000,1048576]""").mkString("{", ",", "}")
     val line =
-      s"""{"metric":"steady_total","value":9999.999,"unit":"sec",""" +
-        s""""queries":$qmap,"io":$iomap,"sf":"/root/testdata/sf0.1"}"""
-    assert(line.length <= 4000,
-      s"bench line ${line.length}B — trim digits or split maps before adding more queries")
+      s"""{"metric":"steady_total","value":99999.999,"unit":"sec",""" +
+        s""""queries":$qmap,"io_total":[10000000,104857600],"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length <= 1850,
+      s"bench line ${line.length}B vs 2000B captured tail minus sbt epilogue — " +
+        "trim digits or move the queries map to stderr before adding more queries")
   }
 }
