@@ -131,7 +131,8 @@ object SparkEntry {
     "q101_fuzzy_decontaminate" -> (Queries.fuzzyDecontaminate _),
     "q102_dedup_impact" -> (Queries.dedupImpact _),
     "q103_pii_prevalence" -> (Queries.piiPrevalence _),
-    "q104_lang_temperature" -> (Queries.languageMix _)
+    "q104_lang_temperature" -> (Queries.languageMix _),
+    "q105_incremental_savings" -> (Queries.incrementalSavings _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -330,6 +331,15 @@ object Queries {
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     Dedup.incrementalDedupKept(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0))
+  }
+
+  /** q50's verdicts as the per-source savings accounting table (the
+    * streaming twin merges the same report per micro-batch). */
+  def incrementalSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.incrementalSavingsReport(
       docs.filter(col("doc_id") % 2 === 1),
       docs.filter(col("doc_id") % 2 === 0))
   }
@@ -1818,6 +1828,41 @@ object Oracles {
          |WHERE doc_id % 2 = 1
          |  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.id = d.doc_id)
          |  AND NOT EXISTS (SELECT 1 FROM exact x WHERE x.doc_id = d.doc_id)""".stripMargin,
+
+    // q50's drop verdicts (matched ∪ exact, negated kept-predicate)
+    // aggregated to the per-source savings accounting table.
+    "q105_incremental_savings" ->
+      s"""WITH $minhashPairCtes,
+         |matched AS (
+         |  SELECT doc_a AS id FROM p WHERE doc_a % 2 = 1 AND doc_b % 2 = 0
+         |  UNION
+         |  SELECT doc_b FROM p WHERE doc_b % 2 = 1 AND doc_a % 2 = 0),
+         |exact AS (
+         |  SELECT DISTINCT o.doc_id FROM documents o
+         |  JOIN documents e ON e.doc_id % 2 = 0 AND md5(o.text) = md5(e.text)
+         |  WHERE o.doc_id % 2 = 1),
+         |b AS (
+         |  SELECT d.doc_id, d.source,
+         |         CASE WHEN d.text IS NULL THEN 0
+         |              ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |         END AS n_tokens,
+         |         CASE WHEN EXISTS (SELECT 1 FROM matched m WHERE m.id = d.doc_id)
+         |                OR EXISTS (SELECT 1 FROM exact x WHERE x.doc_id = d.doc_id)
+         |              THEN 1 ELSE 0 END AS dropped
+         |  FROM documents d WHERE d.doc_id % 2 = 1),
+         |g AS (
+         |  SELECT source,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+         |         CAST(SUM(CASE WHEN dropped = 1 THEN n_tokens ELSE 0 END)
+         |              AS BIGINT) AS tokens_dropped
+         |  FROM b GROUP BY 1)
+         |SELECT source, n_docs, n_dropped, tokens_total, tokens_dropped,
+         |       CASE WHEN tokens_total = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * tokens_dropped / tokens_total) AS BIGINT)
+         |       END AS savings_bp
+         |FROM g""".stripMargin,
 
     // Twin of TextClean.repetitionMetrics at LineTokens. DuckDB
     // list_max/list_min of [] are NULL, matching Spark's

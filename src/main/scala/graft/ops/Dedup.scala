@@ -378,7 +378,15 @@ object Dedup {
     * parquet table, not a maintained index — the join shape is what
     * scales, and that is what this encodes. */
   def incrementalDedupKept(batch: DataFrame, corpus: DataFrame,
-      thresholdBp: Long = 8000L): DataFrame = {
+      thresholdBp: Long = 8000L): DataFrame =
+    incrementalDedupKeptCached(batch, corpus, thresholdBp)._1
+
+  /** [[incrementalDedupKept]] plus the two persisted signature frames
+    * it pins, so a REPEATED caller (the per-micro-batch streaming
+    * twin) can unpersist after materializing — one-shot callers
+    * (Verify/Bench) clear the whole cache per query instead. */
+  private[graft] def incrementalDedupKeptCached(batch: DataFrame,
+      corpus: DataFrame, thresholdBp: Long): (DataFrame, Seq[DataFrame]) = {
     require(thresholdBp >= 1L && thresholdBp <= 10000L,
       "thresholdBp must be in [1, 10000]")
     val corpusHashes = corpus.select(md5(col("text")).as("__h"))
@@ -400,8 +408,53 @@ object Dedup {
         sigC.select(col("doc_id"), col("shingles")))
       .filter(col("jaccard_bp") >= thresholdBp)
       .select(col("doc_a").as("doc_id")).distinct()
-    fresh.join(lost, Seq("doc_id"), "left_anti")
+    val kept = fresh.join(lost, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
+    (kept, Seq(sigB, sigC))
+  }
+
+  /** Incremental dedup-impact savings — q102's accounting table moved
+    * to the ingestion boundary: per source of an ARRIVING batch, how
+    * many docs/tokens arrived and how many were DROPPED as duplicates
+    * of the existing corpus (exact text replay, or ≥-threshold
+    * near-dup — the [[incrementalDedupKept]] verdicts exactly, so the
+    * gate and its accounting can never disagree). `savings_bp` =
+    * ⌊10000·tokens_dropped/tokens_total⌋, 0 for an all-null-text
+    * source. Null-text docs count 0 tokens and are never dropped (no
+    * hash to replay, no shingles to band).
+    *
+    * Scale shape: the verdict set rides incrementalDedupKept (the
+    * batch side broadcasts at production scale; the corpus index is
+    * materialized); the report adds one batch-grain flag join and a
+    * bounded-domain `source` aggregate. The streaming twin
+    * (NearDupStream.savingsBatch) applies THIS function per
+    * micro-batch, so stream and batch agree by construction. */
+  def incrementalSavingsReport(batch: DataFrame, corpus: DataFrame,
+      thresholdBp: Long = 8000L): DataFrame =
+    incrementalSavingsReportCached(batch, corpus, thresholdBp)._1
+
+  /** [[incrementalSavingsReport]] plus the persisted frames to release
+    * after materialization (see [[incrementalDedupKeptCached]]). */
+  private[graft] def incrementalSavingsReportCached(batch: DataFrame,
+      corpus: DataFrame, thresholdBp: Long): (DataFrame, Seq[DataFrame]) = {
+    val (kept0, cached) = incrementalDedupKeptCached(batch, corpus, thresholdBp)
+    val kept = kept0.select(col("doc_id"), lit(1L).as("__kept"))
+    val toks = when(col("text").isNotNull,
+      size(split(col("text"), " ")).cast("long")).otherwise(0L)
+    val report = batch.select(col("doc_id"), col("source"), toks.as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("dropped", col("__kept").isNull.cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dropped")).as("n_dropped"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(col("n_tokens") * col("dropped")).as("tokens_dropped"))
+      .withColumn("savings_bp",
+        when(col("tokens_total") === 0L, lit(0L))
+          .otherwise(floor(lit(10000.0) * col("tokens_dropped") / col("tokens_total"))
+            .cast("long")))
+    (report, cached)
   }
 
   /** 32-bit SimHash over distinct tokens: per bit j, tokens vote ±1 by

@@ -139,7 +139,15 @@ object TextClean {
     * Restricted to a regex subset (character classes, {n,}, \b,
     * alternation) whose semantics are identical in Java regex (Spark)
     * and RE2 (DuckDB/production scanners) — portability is the point:
-    * a scrub rule that matches differently per engine is a leak. */
+    * a scrub rule that matches differently per engine is a leak.
+    *
+    * KNOWN EDGE (EdgeCasesSpec-pinned): `\b`'s word-char set is
+    * Unicode in Java but ASCII in RE2, so a deny term flush against a
+    * non-ASCII word char ("ssn身份证") matches in RE2 only; the
+    * engine's Java no-match is the house semantics. RE2 has no
+    * lookarounds, so an explicit-ASCII-boundary rewrite would have to
+    * CONSUME the boundary chars — changing match extents and dropping
+    * back-to-back terms — a worse trade than the documented edge. */
   val PiiPattern: String =
     s"([a-z0-9._]+@[a-z0-9.]+|[0-9]{7,}|\\b(${PiiTerms.mkString("|")})\\b)"
 

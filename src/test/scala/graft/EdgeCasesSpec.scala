@@ -280,6 +280,87 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("pii prevalence (q103 twin) is regex-true on CJK + null text") {
+    // The PII patterns are ASCII character classes scanned over
+    // unicode text: a CJK document must contribute exactly the ASCII
+    // matches embedded in it (emails, digit runs, space-delimited
+    // deny-list words), and null text must count as a zero-hit doc,
+    // not poison the aggregate. Documented caveat pinned below: \b's
+    // word-char set is UNICODE in Java regex (the engine) but ASCII
+    // in RE2 (the oracle), so a deny term ABUTTING a CJK char matches
+    // in RE2 only — the engine's (Java) no-match behavior is the
+    // pinned semantics, and the oracle gate is safe because the
+    // generated corpus never puts a deny term flush against a
+    // non-ASCII word char (see TextClean.PiiTermPattern scaladoc).
+    val s = spark
+    import s.implicits._
+    val texts = Map(
+      1L -> "联系 方式 alice.w@example.com 电话 12345678 ssn身份证",
+      2L -> "パスワード account 番号 9999999 メール bob@test.jp です",
+      3L -> "깨끗한 문서 내용 전화 없음 이메일 없음 12345",
+      4L -> null.asInstanceOf[String])
+    val docs = texts.toSeq.sortBy(_._1)
+      .map { case (id, t) => (id, t, "xx", if (id <= 2) "srcA" else "srcB") }
+      .toDF("doc_id", "text", "lang", "source")
+    // independent recompute with java.util.regex (the engine Spark's
+    // regexp_extract_all compiles to) over the SAME pattern strings
+    def hits(t: String, p: String): Long =
+      if (t == null) 0L
+      else { val m = java.util.regex.Pattern.compile(p).matcher(t)
+        var n = 0L; while (m.find()) n += 1; n }
+    val out = TextClean.piiPrevalence(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet == Set("srcA", "srcB"))
+    Seq("srcA" -> Seq(1L, 2L), "srcB" -> Seq(3L, 4L)).foreach { case (src, ids) =>
+      val ts = ids.map(texts)
+      val r = out(src)
+      assert(r.getAs[Long]("n_docs") == ids.size.toLong, src)
+      assert(r.getAs[Long]("email_hits") ==
+        ts.map(hits(_, TextClean.PiiEmailPattern)).sum, src)
+      assert(r.getAs[Long]("number_hits") ==
+        ts.map(hits(_, TextClean.PiiDigitPattern)).sum, src)
+      assert(r.getAs[Long]("term_hits") ==
+        ts.map(hits(_, TextClean.PiiTermPattern)).sum, src)
+      assert(r.getAs[Long]("pii_hits") ==
+        ts.map(hits(_, TextClean.PiiPattern)).sum, src)
+      assert(r.getAs[Long]("n_flagged") ==
+        ts.count(t => hits(t, TextClean.PiiPattern) > 0L).toLong, src)
+    }
+    // the \b caveat, pinned: "ssn身份证" does NOT match in Java regex
+    // (身 is a Unicode word char, so there is no trailing boundary);
+    // RE2 would match (ASCII \b). A space-delimited deny word inside
+    // Japanese text matches in both engines (doc 2 "account").
+    assert(hits(texts(1L), TextClean.PiiTermPattern) == 0L)
+    assert(hits(texts(2L), TextClean.PiiTermPattern) == 1L)
+    // srcA: doc1 email+digits+term, doc2 email+digits+term → both flagged
+    assert(out("srcA").getAs[Long]("n_flagged") == 2L)
+    // srcB: "12345" is under the 7-digit floor and null is zero-hit
+    assert(out("srcB").getAs[Long]("n_flagged") == 0L)
+    assert(out("srcB").getAs[Long]("flagged_bp") == 0L)
+  }
+
+  test("fuzzy decontamination (q101 twin) flags an exact CJK duplicate; clean + null pass") {
+    // Shingling runs on the space tokenizer over unicode strings: an
+    // eval doc texturally identical to a train doc has an identical
+    // shingle SET, hence identical minhash signature, hence matches in
+    // every LSH band — flagging is deterministic (no probabilistic
+    // miss) and containment is exactly 10000 bp. A disjoint CJK doc
+    // and a null-text doc (no shingles → null band hash) never pair.
+    val s = spark
+    import s.implicits._
+    val contaminated = "自营 商品 与 第三方 商品 在 区域 热门 商品 统计 中 的 区分 方式 说明"
+    val train = Seq(
+      (10L, contaminated),
+      (11L, "한국어 텍스트 품질 점수 측정 테스트 구간 경계 확인 데이터 추가 문장"),
+      (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, contaminated)).toDF("doc_id", "text")
+    val out = Contamination.fuzzyFlagged(train, bench).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_doc_id"),
+        r.getAs[Long]("cont_bp"))).toSet
+    assert(out == Set((10L, 100L, 10000L)))
+  }
+
   test("winnow fingerprints (q34 twin) hash UTF-8 BYTES on CJK text") {
     // independent recompute: direct per-gram polynomial (not the
     // rolling update the expression uses)
