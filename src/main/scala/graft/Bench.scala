@@ -62,6 +62,10 @@ object Bench {
       // with dead entries over 30+ queries
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
+      // fn() runs INSIDE the timing on purpose: for plans with lineage
+      // truncation (localCheckpoint forces planning + codegen at
+      // construction) the build IS part of the query's cost — q93's
+      // build is 10× its execution, and excluding it would be lying.
       // noop sink materializes EVERY output column (count() would let
       // Catalyst prune the aggregates themselves out of the plan).
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -77,7 +81,15 @@ object Bench {
     // stdout carries ONE compact JSON line at the end — both prior
     // rounds' full cold+steady maps overflowed the harness's captured
     // tail and broke its JSON parse (BENCH_r01/r02 "parsed": null).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev bisection: SPARK_GRAFT_ONLY=q93_pagerank,q42_... restricts
+    // the run (the driver's no-env invocation is unchanged)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
+      // dev: dump the physical plan as seen by THIS harness's session
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
       val cold = once(name, fn)
       GraftSpark.drainListeners(spark.sparkContext)
       bytes.reset() // attribute bytes to the steady pass only

@@ -10,9 +10,10 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       // collect_set/collect_list aggregates (bounded per-group sets:
       // <=25 nation tokens, <=5 event types, fixed-width minhash sigs)
       // otherwise fall back to sort-based aggregation after only 128

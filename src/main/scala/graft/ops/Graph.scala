@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * (dangling = no out-edges; their mass redistributes uniformly —
   * without it a directed graph leaks rank every round).
   *
-  * Scale shape (per round, the standard Pregel cost): one join
-  * ranks⋈out-degrees on node (node grain), one edge⋈share join on
-  * src (the edge pass), one contribution aggregate on dst. The
+  * Scale shape (per round, the standard Pregel cost): one edge⋈share
+  * join on src (the edge pass) and one contribution aggregate on dst,
+  * plus the node-grain carry join. Out-degrees are joined ONCE into
+  * the round-0 rank frame and carried as a column through every round
+  * (they are rank-invariant), so no per-round degree join exists. The
   * node-grain frames are catalog-sized next to the edge list; the
   * dangling mass is ONE scalar crossJoin-broadcast, never a driver
   * value. Rounds is a model hyperparameter (3–20 in practice) — plan
@@ -49,44 +51,55 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, dampBp: Long = DampBp,
       assumeNoDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRank needs at least one round")
-    // e and deg feed every round (+1 for nodes/degrees) — persist, or
-    // each round re-derives the whole upstream edge pipeline
+    // e feeds every round's edge pass and r0 feeds round 1 three ways
+    // — LAZY localCheckpoint both, which (a) stores the blocks once
+    // like persist and (b) TRUNCATES LINEAGE, so each round's
+    // planning starts from an ExistingRDD instead of re-optimizing a
+    // plan carrying several copies of the whole upstream edge
+    // pipeline (measured: round-1 planning alone cost 3-5 s on the
+    // co-visitation graph without this — more than 10× the actual
+    // execution). Standard iterative-algorithm trade: truncated
+    // lineage means an executor loss mid-job restarts the job instead
+    // of recomputing blocks.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("item"))
       .union(e.select(col("dst").as("item"))).distinct()
     // n as a 1-row broadcast frame: node-count never touches the driver
     val tot = nodes.agg(count(lit(1)).as("n"))
+    // out-degree is rank-invariant: join it ONCE here and carry it as
+    // a column through every round (null deg = dangling node)
     val r0 = nodes.crossJoin(broadcast(tot))
-      .select(col("item"), col("n"), expr(s"${Scale}L div n").as("rank"))
+      .join(deg.withColumnRenamed("src", "item"), Seq("item"), "left")
+      .select(col("item"), col("n"), col("deg"),
+        expr(s"${Scale}L div n").as("rank"))
+      .localCheckpoint(false)
 
     (1 to iters).foldLeft(r0) { (r, round) =>
       // per-source share: dangling sources (deg null) emit none
-      val withDeg = r.join(deg.withColumnRenamed("src", "item"), Seq("item"), "left")
-      val share = withDeg.filter(col("deg").isNotNull)
+      val share = r.filter(col("deg").isNotNull)
         .select(col("item").as("src"),
           expr(s"$dampBp * rank div (10000L * deg)").as("share"))
       val contrib = e.join(share, Seq("src"))
         .groupBy(col("dst").as("item"))
         .agg(sum(col("share")).as("in_mass"))
       val base = expr(s"(10000L - $dampBp) * (${Scale}L div n) div 10000L")
-      val joined = r.select(col("item"), col("n"))
+      val joined = r.select(col("item"), col("n"), col("deg"))
         .join(contrib, Seq("item"), "left")
       val next =
         if (assumeNoDangling)
-          joined.select(col("item"), col("n"),
+          joined.select(col("item"), col("n"), col("deg"),
             (base + coalesce(col("in_mass"), lit(0L))).as("rank"))
         else {
           // dangling mass: one scalar (sum over no-out-edge nodes; 0
           // on symmetric graphs), redistributed uniformly
-          val dangle = withDeg.filter(col("deg").isNull)
+          val dangle = r.filter(col("deg").isNull)
             .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
           joined.crossJoin(broadcast(dangle))
-            .select(col("item"), col("n"),
+            .select(col("item"), col("n"), col("deg"),
               (base + expr(s"$dampBp * dsum div (10000L * n)")
                 + coalesce(col("in_mass"), lit(0L))).as("rank"))
         }

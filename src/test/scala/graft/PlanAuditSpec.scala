@@ -373,11 +373,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!stripCached(p).contains("SortMergeJoin"), p)
   }
 
-  test("q93 pagerank: edge list persisted once; per-round joins never cartesian; dangling scalar is broadcast") {
+  test("q93 pagerank: rounds read checkpointed frames; joins never cartesian") {
     val p = plan("q93_pagerank")
     // the unrolled rounds must not re-derive the session→pair chain:
-    // the live plan reads InMemoryTableScans of the edge/deg frames
-    assert(p.contains("InMemoryTableScan"), s"edge frame not persisted:\n$p")
+    // the edge list and rank carry are lazily localCheckpointed, so
+    // the live plan reads ExistingRDD scans and the sessionize window
+    // is entirely behind the checkpoint (planning the round tree with
+    // the full lineage inline cost 3-5 s — 10× the execution)
+    assert(p.contains("Scan ExistingRDD"), s"checkpoint inputs missing:\n$p")
+    assert(!p.contains("Window"),
+      s"session window re-derived past the checkpoint:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"a per-round join degenerated to a cartesian:\n$p")
   }
