@@ -184,6 +184,11 @@ object ScaleProbe {
     // rides the neardup-clusters probe above + one source-grain agg
     t("dedup impact")(graft.ops.Clustering.dedupImpact(docs))
     t("pii prevalence")(graft.ops.TextClean.piiPrevalence(docs))
+    // amplified ARRIVING batch vs the unamplified corpus index (the
+    // incremental-dedup probe's shape) + the flag join and
+    // source-grain rollup — must track the incremental-dedup probe
+    t("incremental savings")(graft.ops.Dedup.incrementalSavingsReport(
+      batchDocs, graft.tables.Tables(spark, dir, "documents")))
     spark.stop()
   }
 }

@@ -132,7 +132,8 @@ object SparkEntry {
     "q102_dedup_impact" -> (Queries.dedupImpact _),
     "q103_pii_prevalence" -> (Queries.piiPrevalence _),
     "q104_lang_temperature" -> (Queries.languageMix _),
-    "q105_incremental_savings" -> (Queries.incrementalSavings _)
+    "q105_incremental_savings" -> (Queries.incrementalSavings _),
+    "q106_split_leakage" -> (Queries.splitLeakage _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -428,6 +429,11 @@ object Queries {
     TrainingPrep.split(Tables(spark, dir, "documents"), SplitTrainBp, SplitValBp)
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Near-dup pairs vs the q63 split: the memorization-leakage audit. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.splitLeakage(Tables(spark, dir, "documents"),
+      SplitTrainBp, SplitValBp)
 
   /** The whole pipeline as ONE declarative plan — what actually ships
     * to a training run: quality ∧ dedup-kept ∧ decontaminated docs
@@ -2168,6 +2174,32 @@ object Oracles {
          |            ELSE 'test' END AS split,
          |       COUNT(*) AS n_docs
          |FROM s GROUP BY 1, 2""".stripMargin
+    },
+
+    // q22's pair CTEs + the q63 split expression applied to BOTH pair
+    // sides as a pure function of the ids (no corpus re-join — same
+    // shape as the Spark side). least/greatest collapse the unordered
+    // split pair; is_cross is functionally determined by the keys.
+    "q106_split_leakage" -> {
+      val t = Queries.SplitTrainBp; val v = Queries.SplitValBp
+      def sp(c: String) = {
+        val bp = s"((($c % 1000003 + 1000003) % 1000003) * 48271 + 12345) % 10000"
+        s"""CASE WHEN $bp < $t THEN 'train'
+           |     WHEN $bp < ${t + v} THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      }
+      s"""WITH $minhashPairCtes,
+         |sp AS (
+         |  SELECT least(${sp("doc_a")}, ${sp("doc_b")}) AS split_lo,
+         |         greatest(${sp("doc_a")}, ${sp("doc_b")}) AS split_hi,
+         |         jaccard_bp
+         |  FROM p)
+         |SELECT split_lo, split_hi,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(MAX(jaccard_bp) AS BIGINT) AS max_jaccard_bp,
+         |       CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END
+         |            AS BIGINT) AS is_cross
+         |FROM sp GROUP BY 1, 2""".stripMargin
     },
 
     // q65's gram/dup/hits chain + per-doc drop list applied by a

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,18 +142,49 @@ object TrainingPrep {
     * cross-engine twin must pmod-wrap the INNER mod as well (the
     * dividend sign leaks through the multiply: 1000003*48271 % 10000
     * = 4813 ≠ 0). Zero shuffle. */
+  /** The split verdict as a pure COLUMN over any id — the same Lehmer
+    * permutation [[split]] applies, usable anywhere a doc id appears
+    * without touching the corpus (e.g. on a pair frame's two sides). */
+  def splitCol(id: Column, trainBp: Long = 9800L, valBp: Long = 100L): Column = {
+    val bp = pmod(pmod(id, lit(1000003L)) * lit(48271L) + lit(12345L),
+      lit(10000L))
+    when(bp < trainBp, "train")
+      .when(bp < trainBp + valBp, "val")
+      .otherwise("test")
+  }
+
   def split(docs: DataFrame, trainBp: Long = 9800L, valBp: Long = 100L): DataFrame = {
     require(trainBp + valBp <= 10000L, "trainBp + valBp must leave room for test")
-    docs
-      .withColumn("split_bp",
-        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(48271L) + lit(12345L),
-          lit(10000L)))
-      .withColumn("split",
-        when(col("split_bp") < trainBp, "train")
-          .when(col("split_bp") < trainBp + valBp, "val")
-          .otherwise("test"))
-      .drop("split_bp")
+    docs.withColumn("split", splitCol(col("doc_id"), trainBp, valBp))
   }
+
+  /** Split leakage audit: where do near-duplicate pairs sit relative
+    * to the train/val/test split? A near-dup pair with one side in
+    * train and the other in val/test is memorization leakage — the
+    * eval doc's content is effectively in the training set even
+    * though exact-match decontamination (q55) would pass it. One row
+    * per unordered split pair: pair count, worst-case similarity, and
+    * the cross-split flag the release gate alerts on.
+    *
+    * Scale shape: rides q22's banded pair space (pairs ≪ corpus);
+    * split assignment is [[splitCol]] — a PURE FUNCTION of the ids
+    * already on the pair row, so the audit adds zero joins and zero
+    * corpus scans beyond the pair pipeline, just one bounded-domain
+    * (≤ 6 split-pair keys) aggregate. */
+  def splitLeakage(docs: DataFrame, trainBp: Long = 9800L,
+      valBp: Long = 100L, thresholdBp: Long = 8000L): DataFrame =
+    Dedup.minhashDedupPairs(docs, thresholdBp)
+      .withColumn("split_a", splitCol(col("doc_a"), trainBp, valBp))
+      .withColumn("split_b", splitCol(col("doc_b"), trainBp, valBp))
+      .select(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"),
+        col("jaccard_bp"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("jaccard_bp")).as("max_jaccard_bp"))
+      .withColumn("is_cross",
+        (col("split_lo") =!= col("split_hi")).cast("long"))
 
   /** Data-mixture allocation: turn declared per-source mixture
     * weights + a token budget into per-source sampling rates — the

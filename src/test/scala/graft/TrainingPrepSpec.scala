@@ -164,6 +164,35 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("splitLeakage: cross-split near-dup pairs surface; agrees with pairs × splitCol recompute") {
+    val d = graft.tables.Tables(spark, sf, "documents")
+    val got = graft.ops.TrainingPrep.splitLeakage(d, 9000L, 500L)
+      .collect()
+      .map(r => (r.getAs[String]("split_lo"), r.getAs[String]("split_hi")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("max_jaccard_bp"),
+          r.getAs[Long]("is_cross"))).toMap
+    // independent recompute: the q22 pair list + the split formula
+    // applied in plain JVM arithmetic
+    def splitOf(id: Long): String = {
+      val bp = ((id % 1000003L + 1000003L) % 1000003L * 48271L + 12345L) % 10000L
+      if (bp < 9000L) "train" else if (bp < 9500L) "val" else "test"
+    }
+    val pairs = graft.ops.Dedup.minhashDedupPairs(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jaccard_bp")))
+    val expect = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (splitOf(a), splitOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, ps) =>
+      k -> (ps.length.toLong, ps.map(_._3).max, if (k._1 == k._2) 0L else 1L)
+    }
+    assert(got == expect)
+    assert(got.nonEmpty) // the sf0.001 corpus has near-dup pairs
+    // every key is consistent: is_cross == (lo != hi)
+    got.foreach { case ((lo, hi), (_, _, x)) =>
+      assert(x == (if (lo == hi) 0L else 1L)) }
+  }
+
   test("source cap (exact): at most cap docs per source, deterministic, rank-pushed") {
     val d = graft.tables.Tables(spark, sf, "documents")
     val out = TrainingPrep.sourceCapExact(d, cap = 7)
