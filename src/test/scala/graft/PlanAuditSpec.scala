@@ -427,4 +427,27 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1,
       s"corpus scanned more than once:\n$p")
   }
+
+  test("q105 incremental savings: band-bucket candidates, never probe×build") {
+    val p = plan("q105_incremental_savings")
+    // the accounting may add a flag join and a source aggregate on
+    // top of q50's verdicts, but must never degenerate the pair
+    // space: no cartesian, and the LSH candidate join keys on
+    // (band, band_hash)
+    assert(!p.contains("CartesianProduct"), s"pair space blew up:\n$p")
+    assert(p.contains("band_hash"), s"band-bucket join missing:\n$p")
+  }
+
+  test("q106 split leakage: split is a pure column over the pair frame — no corpus re-join") {
+    val p = plan("q106_split_leakage")
+    // the split CASE must ride the pair rows (pmod arithmetic in the
+    // plan), not a join back to the corpus: allow exactly the joins
+    // the q22 pair pipeline itself owns, plus zero extra scans
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("pmod"), s"split not computed as a pure column:\n$p")
+    val scans = "Scan parquet".r.findAllIn(stripCached(p)).length
+    assert(scans <= "Scan parquet".r
+      .findAllIn(stripCached(plan("q22_minhash_dedup_pairs"))).length,
+      s"leakage audit re-scanned the corpus beyond the pair pipeline:\n$p")
+  }
 }
