@@ -1,14 +1,45 @@
 package graft
 
 import java.nio.file.Files
-import java.sql.Timestamp
+import java.sql.{DriverManager, Timestamp}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.ops.Dedup
-import graft.sink.{InMemoryProvider, InMemoryStore}
+import graft.sink.{InMemoryProvider, InMemoryStore, JdbcProvider, JdbcStore, KeyedStore, StoreProvider}
 import graft.streaming.{CorpusStream, NearDupStream}
+
+/** Fault injector for the savings-ledger exactly-once test: a real
+  * Derby JdbcStore that, while armed, throws ONCE right after a
+  * savings-table increment — after real work, before the ledger write
+  * and commit. Top-level for serializability; armed is a JVM global
+  * (local mode). */
+object SavingsCrashProvider {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+final case class SavingsCrashProvider(url: String) extends StoreProvider {
+  def open(): KeyedStore = new KeyedStore {
+    private val inner = new JdbcStore(DriverManager.getConnection(url))
+    def increment(table: String, key: Seq[String], delta: Long): Unit = {
+      inner.increment(table, key, delta)
+      if (table == NearDupStream.SavingsTable &&
+          SavingsCrashProvider.armed.compareAndSet(true, false))
+        throw new RuntimeException("injected crash: after increment, before commit")
+    }
+    def get(t: String, k: Seq[String]): Option[Long] = inner.get(t, k)
+    def put(t: String, k: Seq[String], v: Long): Unit = inner.put(t, k, v)
+    def insertKey(t: String, k: Seq[String]): Unit = inner.insertKey(t, k)
+    def replaceGroup(t: String, g: Seq[String],
+        rows: Seq[(Seq[String], Long)]): Unit = inner.replaceGroup(t, g, rows)
+    def scan(t: String): Seq[(List[String], Long)] = inner.scan(t)
+    override def scanPrefix(t: String, p: Seq[String]): Seq[(List[String], Long)] =
+      inner.scanPrefix(t, p)
+    override def txBegin(): Unit = inner.txBegin()
+    override def txCommit(): Unit = inner.txCommit()
+    def close(): Unit = inner.close()
+  }
+}
 
 /** q102/q105's streaming twin: the running per-source dedup-savings
   * table must agree with the batch accounting
@@ -86,6 +117,33 @@ class SavingsStreamSpec extends SparkSpec {
     assert(web._2 == 3L && web._3 == 2L && web._6 > 0L)
     val books = expect.find(_._1 == "books").get
     assert(books._2 == 2L && books._3 == 0L && books._6 == 0L)
+  }
+
+  test("savingsBatch on Derby: crash after a real increment rolls back; replay is exactly-once") {
+    val dir = Files.createTempDirectory("graft-derby-sav").toString
+    val url = s"jdbc:derby:$dir/db"
+    val boot = DriverManager.getConnection(s"$url;create=true")
+    Seq(
+      """CREATE TABLE neardup_savings (k1 VARCHAR(64), k2 VARCHAR(32),
+        | v BIGINT, PRIMARY KEY (k1, k2))""".stripMargin,
+      """CREATE TABLE graft_applied_batch (k1 VARCHAR(32), k2 VARCHAR(32),
+        | v BIGINT, PRIMARY KEY (k1, k2))""".stripMargin
+    ).foreach(boot.createStatement().executeUpdate)
+    boot.close()
+
+    val body = NearDupStream.savingsBatch(SavingsCrashProvider(url), corpus) _
+    // first attempt: a REAL savings increment lands, then the task
+    // dies before the ledger row and the commit — the transaction
+    // must roll the increment back with it
+    SavingsCrashProvider.armed.set(true)
+    intercept[Exception] { body(arrivalsDf, 0L) }
+    // replay of the same batch id: nothing was committed, so it
+    // applies cleanly — totals equal exactly one application
+    body(arrivalsDf, 0L)
+    assert(NearDupStream.savingsReport(JdbcProvider(url)).toSet == batchReport)
+    // and a SECOND replay after commit is skipped via the batch marker
+    body(arrivalsDf, 0L)
+    assert(NearDupStream.savingsReport(JdbcProvider(url)).toSet == batchReport)
   }
 
   test("a replayed micro-batch is not double-counted") {
