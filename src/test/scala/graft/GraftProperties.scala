@@ -518,6 +518,55 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  property("incremental savings == the kept-verdict complement, per source") =
+    forAll(genDocs) { rows =>
+      val s = spark
+      import s.implicits._
+      // even ids form the corpus, odd ids the arriving batch (the
+      // operator requires disjoint id spaces); 2 sources on each side
+      val (c, b) = rows.partition(_._1 % 2 == 0)
+      Prop.propBoolean(c.nonEmpty && b.nonEmpty) ==> {
+        def mk(xs: Seq[(Long, String)]) = xs
+          .map { case (id, t) => (id, t, "en", s"s${id % 2}") }
+          .toDF("doc_id", "text", "lang", "source")
+        val (corpus, batch) = (mk(c), mk(b))
+        val kept = Dedup.incrementalDedupKept(batch, corpus)
+          .select("doc_id").as[Long].collect().toSet
+        val out = Dedup.incrementalSavingsReport(batch, corpus)
+          .collect().map(r => r.getAs[String]("source") ->
+            (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"),
+              r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_dropped"),
+              r.getAs[Long]("savings_bp"))).toMap
+        val bySrc = b.groupBy { case (id, _) => s"s${id % 2}" }
+        out.keySet == bySrc.keySet && bySrc.forall { case (src, docs) =>
+          val toks = docs.map { case (id, t) =>
+            id -> t.split(" ", -1).length.toLong }.toMap
+          val dropped = docs.collect { case (id, _) if !kept(id) => id }
+          val (nD, nX, tT, tX, bp) = out(src)
+          val wantTx = dropped.map(toks).sum
+          nD == docs.size.toLong && nX == dropped.size.toLong &&
+            tT == toks.values.sum && tX == wantTx &&
+            bp == (if (tT == 0L) 0L
+                   else math.floor(10000.0 * tX / tT).toLong)
+        }
+      }
+    }
+
+  property("split leakage: pair accounting is exhaustive and split-consistent") =
+    forAll(genDocs) { rows =>
+      val d = docsDf(rows)
+      val pairCount = Dedup.minhashDedupPairs(d).count()
+      val out = graft.ops.TrainingPrep.splitLeakage(d)
+        .collect().map(r => (r.getAs[String]("split_lo"),
+          r.getAs[String]("split_hi"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("max_jaccard_bp"), r.getAs[Long]("is_cross")))
+      out.map(_._3).sum == pairCount &&
+        out.forall { case (lo, hi, n, mx, x) =>
+          lo <= hi && n >= 1L && mx >= 8000L && mx <= 10000L &&
+            x == (if (lo == hi) 0L else 1L)
+        }
+    }
+
   property("fuzzy self-decontamination flags every shingled doc against itself") =
     forAll(genDocs) { rows =>
       val d = docsDf(rows)
