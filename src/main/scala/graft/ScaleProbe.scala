@@ -81,8 +81,14 @@ object ScaleProbe {
     t("simhash pairs")(graft.ops.Dedup.simhashPairs(docs))
     t("embedding neardup")(graft.ops.Similarity.nearDupPairs(emb))
     t("winnow fingerprints")(graft.ops.TextAnalysis.winnowFingerprints(docs))
-    t("knn bruteforce")(graft.ops.Similarity.knnBruteForce(emb, col("vec_id") % 500 === 0))
-    t("ivf ann")(graft.ops.Similarity.ivfAnn(emb, col("vec_id") % 500 === 0))
+    // FIXED query set (base replica only): `% 500` alone also matches
+    // every amplified copy, which silently scales the query side with
+    // the corpus and reads as superlinear growth (measured 5.6× at 2×
+    // on ivf before the bound) — the claim under test is corpus
+    // growth at constant probe load.
+    val fixedQ = col("vec_id") % 500 === 0 && col("vec_id") < 10000000L
+    t("knn bruteforce")(graft.ops.Similarity.knnBruteForce(emb, fixedQ))
+    t("ivf ann")(graft.ops.Similarity.ivfAnn(emb, fixedQ))
     // amplified docs multiply the PAIR set mult× (each replica block
     // reproduces the original's near-dup pairs); rounds must stay flat
     // (log of the largest cluster, not of the corpus).
@@ -145,10 +151,15 @@ object ScaleProbe {
       graft.ops.Retention.cohortRetention(eventsLongHistory,
         ("2024-01-01", "2024-01-31")))
     t("active users 7d")(graft.ops.Retention.activeUsers(events))
+    // exact vs approx side by side: exact n_distinct pays the Expand
+    // (rows × aggregates, full-text shuffle — spills first as data
+    // grows); the HLL variant is the documented 100 TB path and must
+    // stay ~linear where exact goes superlinear.
     t("profile exact")(graft.ops.Profile.profile(docs,
       Seq("doc_id", "text", "lang", "source")))
-    t("hard negatives")(graft.ops.Similarity.hardNegatives(
-      emb, col("vec_id") % 500 === 0))
+    t("profile approx")(graft.ops.Profile.profileApprox(docs,
+      Seq("doc_id", "text", "lang", "source")))
+    t("hard negatives")(graft.ops.Similarity.hardNegatives(emb, fixedQ))
     // amplified USERS (disjoint id blocks): sessions scale mult×, the
     // item catalog does not — pair work must track sessions × C(cap,2)
     // and the pair-domain aggregate must stay catalog-bounded.
@@ -174,7 +185,7 @@ object ScaleProbe {
     t("next-item pairs")(graft.ops.Market.nextItemPairs(events))
     // recall eval is query-set-grain: amplified corpus grows the two
     // underlying scans linearly, the merge/aggregate stays probe-sized
-    t("ann recall")(graft.ops.Similarity.annRecall(emb, col("vec_id") % 500 === 0))
+    t("ann recall")(graft.ops.Similarity.annRecall(emb, fixedQ))
     // eval side FIXED (unamplified) while train amplifies mult× — the
     // broadcast contract: train-side map work scales linearly, nothing
     // else should move

@@ -152,13 +152,35 @@ object Clustering {
     * second corpus scan + join to re-attach them). */
   private def clustersCarrying(docs: DataFrame, thresholdBp: Long,
       carry: Seq[Column]): DataFrame = {
-    val pairs = Dedup.minhashDedupPairs(docs, thresholdBp)
-      .select(col("doc_a"), col("doc_b"))
-    val labels = connectedComponents(pairs)
-      .select(col("node").as("doc_id"), col("component"))
-    val labeled = docs.select(col("doc_id") +: col("text") +: carry: _*)
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    // CC at REPRESENTATIVE (distinct-text) grain: exact replays of a
+    // text collapse to one node, so the edge set tracks the near-dup
+    // relation, not the replay factor (member-grain edges grow
+    // C(d,2) per d-times-replayed text — quadratic on the crawl
+    // corpora this is for). Members re-attach afterwards: their
+    // group's rep id is min(doc_id) over the text-hash window — ONE
+    // corpus shuffle on md5(text), no join against the signature
+    // frames — and the rep's component arrives by a node-grain
+    // (pair-set-bounded, broadcastable) join. Labels are IDENTICAL to
+    // the member-grain formulation because each group's rep is its
+    // min doc_id and a shingled group is internally one cluster (the
+    // q42/q102 oracles, computed member-grain, pin this). Null and
+    // sub-shingle texts have no shingle set, never pair, and keep
+    // their own id — the shOk guard reproduces that (their window
+    // value is computed but unused).
+    val repPairs = Dedup.repNearDupPairs(docs, thresholdBp)
+    val labels = connectedComponents(repPairs)
+      .select(col("node").as("__rep"), col("component"))
+    val shOk = coalesce(size(split(col("text"), " ")), lit(-1)) >= Dedup.ShingleSize
+    val wTh = Window.partitionBy(md5(col("text")))
+    val withRep = docs.select(col("doc_id") +: col("text") +: carry: _*)
+      .withColumn("__rep",
+        when(col("text").isNotNull && shOk,
+          min(col("doc_id")).over(wTh)))
+    val labeled = withRep
+      .join(labels, Seq("__rep"), "left")
+      .withColumn("component",
+        coalesce(col("component"), col("__rep"), col("doc_id")))
+      .drop("__rep")
     val byComponent = Window.partitionBy(col("component"))
     val canonicalOrder = byComponent
       .orderBy(coalesce(length(col("text")), lit(-1)).desc, col("doc_id").asc)

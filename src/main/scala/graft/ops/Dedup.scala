@@ -197,6 +197,26 @@ object Dedup {
     (members, sig)
   }
 
+  /** Representative-grain verified near-dup pairs — the CC-scale
+    * surface: a text replayed d times contributes ONE node and its
+    * rep's edges, not C(d,2) member edges. On replay-heavy corpora
+    * (the 100 TB norm) member-grain edges grow quadratically in the
+    * replay factor while rep-grain edges do not (ScaleProbe: 5.3×
+    * supra-linear growth at 2× amplification before the rep-grain
+    * switch, ~linear after). Members re-attach by their text-hash
+    * group (each group's rep is its min doc_id — see
+    * Clustering.clustersCarrying). */
+  private[graft] def repNearDupPairs(docs: DataFrame,
+      thresholdBp: Long): DataFrame = {
+    require(thresholdBp >= 1L && thresholdBp <= 10000L,
+      "thresholdBp must be in [1, 10000]")
+    val (_, sig) = repSignatures(docs)
+    val sh = sig.select(col("doc_id"), col("shingles"))
+    verifyJaccard(lshCandidatePairsFromBands(lshBands(sig)), sh)
+      .filter(col("jaccard_bp") >= thresholdBp)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   def minhashDedupPairs(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
     require(thresholdBp >= 1L && thresholdBp <= 10000L,
       "thresholdBp must be in [1, 10000]")
