@@ -200,6 +200,11 @@ object ScaleProbe {
     // source-grain rollup — must track the incremental-dedup probe
     t("incremental savings")(graft.ops.Dedup.incrementalSavingsReport(
       batchDocs, graft.tables.Tables(spark, dir, "documents")))
+    // per-shard sort of corpus/S rows — the one legitimate sort; more
+    // shards at scale keeps each sort bounded (32 here vs 8 in tests)
+    t("shard shuffle")(graft.ops.TrainingPrep.shardShuffle(docs, shards = 32))
+    t("tokenizer fertility")(graft.ops.TextAnalysis.tokenizerFertility(docs))
+    t("value drift")(graft.ops.Retention.valueDrift(events, "2024-01-16"))
     spark.stop()
   }
 }

@@ -133,7 +133,10 @@ object SparkEntry {
     "q103_pii_prevalence" -> (Queries.piiPrevalence _),
     "q104_lang_temperature" -> (Queries.languageMix _),
     "q105_incremental_savings" -> (Queries.incrementalSavings _),
-    "q106_split_leakage" -> (Queries.splitLeakage _)
+    "q106_split_leakage" -> (Queries.splitLeakage _),
+    "q107_shard_shuffle" -> (Queries.shardShuffle _),
+    "q108_tokenizer_fertility" -> (Queries.tokenizerFertility _),
+    "q109_value_drift" -> (Queries.valueDrift _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -850,6 +853,27 @@ object Queries {
   /** Temperature-smoothed (α=1/2) per-language sampling plan. */
   def languageMix(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.languageMix(Tables(spark, dir, "documents"), LangMixBudget)
+
+  val ShuffleShards = 8
+
+  /** Deterministic global training-order shuffle (shard, pos). */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.shardShuffle(Tables(spark, dir, "documents"), ShuffleShards)
+
+  /** Per-language tokenizer fertility diagnostic. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizerFertility(Tables(spark, dir, "documents"))
+
+  // Mid-range split of the fixture's 2024-01 span; 25-wide buckets
+  // cover the observed 0..~500 value range in 20 bins.
+  val DriftSplitDate = "2024-01-16"
+  val DriftBucketWidth = 25.0
+  val DriftBuckets = 20
+
+  /** Value-distribution drift (TVD) per event type across the split. */
+  def valueDrift(spark: SparkSession, dir: String): DataFrame =
+    Retention.valueDrift(Tables(spark, dir, "events"), DriftSplitDate,
+      DriftBucketWidth, DriftBuckets)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -3266,6 +3290,84 @@ object Oracles {
          |       CAST(FLOOR(${Queries.LangMixBudget}.0 * target_bp / 10000.0) AS BIGINT)
          |         AS sampled_tokens
          |FROM p""".stripMargin,
+
+    // q81's nibble-parsed draw32 convention (DuckDB has no conv());
+    // the order-by is the full md5 hex string — ASCII compare, same
+    // collation both engines.
+    "q107_shard_shuffle" -> {
+      val s = Queries.ShuffleShards
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS draw
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc_id, draw,
+         |         CAST($draw32 AS BIGINT) % $s AS shard
+         |  FROM d)
+         |SELECT doc_id, shard,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |         ORDER BY draw, doc_id) - 1 AS BIGINT) AS pos
+         |FROM sh""".stripMargin
+    },
+
+    "q108_tokenizer_fertility" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         |         CAST(len(regexp_extract_all(text,
+         |           '${graft.ops.TextAnalysis.BpePattern}')) AS BIGINT) AS btoks,
+         |         CAST(length(text) AS BIGINT) AS chars
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (
+         |  SELECT lang,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(words) AS BIGINT) AS words,
+         |         CAST(SUM(btoks) AS BIGINT) AS bpe_tokens,
+         |         CAST(SUM(chars) AS BIGINT) AS chars
+         |  FROM t GROUP BY 1)
+         |SELECT lang, n_docs, words, bpe_tokens, chars,
+         |       CAST(FLOOR(10000.0 * bpe_tokens / words) AS BIGINT) AS fertility_bp,
+         |       CASE WHEN bpe_tokens > 0
+         |            THEN CAST(FLOOR(10000.0 * chars / bpe_tokens) AS BIGINT)
+         |            ELSE CAST(-1 AS BIGINT) END AS chars_per_token_bp
+         |FROM g""".stripMargin,
+
+    "q109_value_drift" -> {
+      val w = Queries.DriftBucketWidth
+      val b = Queries.DriftBuckets - 1
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |         CASE WHEN CAST(ts AS DATE) < DATE '${Queries.DriftSplitDate}'
+         |              THEN 'ref' ELSE 'cur' END AS side,
+         |         least(greatest(CAST(FLOOR(value / $w) AS BIGINT), 0), $b) AS bucket
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+         |c AS (
+         |  SELECT event_type, bucket,
+         |         CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+         |         CAST(SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+         |  FROM e GROUP BY 1, 2),
+         |t AS (
+         |  SELECT *,
+         |         CAST(SUM(ref_n) OVER (PARTITION BY event_type) AS BIGINT) AS ref_total,
+         |         CAST(SUM(cur_n) OVER (PARTITION BY event_type) AS BIGINT) AS cur_total
+         |  FROM c),
+         |d AS (
+         |  SELECT event_type, ref_total, cur_total,
+         |         abs(CAST(FLOOR(10000.0 * ref_n / ref_total) AS BIGINT)
+         |           - CAST(FLOOR(10000.0 * cur_n / cur_total) AS BIGINT)) AS diff_bp
+         |  FROM t WHERE ref_total > 0 AND cur_total > 0)
+         |SELECT event_type,
+         |       CAST(MAX(ref_total) AS BIGINT) AS ref_n,
+         |       CAST(MAX(cur_total) AS BIGINT) AS cur_n,
+         |       CAST(FLOOR(SUM(diff_bp) / 2.0) AS BIGINT) AS tvd_bp,
+         |       CAST(MAX(diff_bp) AS BIGINT) AS max_bucket_diff_bp
+         |FROM d GROUP BY 1""".stripMargin
+    },
 
     // The combined-pattern hit count twins q46; per-class counts are
     // independent scans of the alternation arms (overlap by design).

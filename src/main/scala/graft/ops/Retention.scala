@@ -142,6 +142,64 @@ object Retention {
         col("cnt"), col("trail_n"), col("trail_sum"), col("is_anomaly"))
   }
 
+  /** Distribution drift per event type: total-variation distance
+    * between the `value` distribution before and after `splitDate` —
+    * the data-drift monitor run between a reference window and the
+    * current one (schema unchanged, DISTRIBUTION shifted is the
+    * failure mode volume counts miss). TVD is chosen over PSI/KL
+    * deliberately: it needs no logarithm — libm log is not bit-stable
+    * across engines, while TVD over floored bp shares is pure integer
+    * arithmetic end to end (house rules).
+    *
+    * Values histogram into `nBuckets` fixed-width buckets (one IEEE
+    * divide + floor per row, clamped at both ends; width/bucket-count
+    * are explicit parameters, as an auto-ranged histogram would make
+    * the report depend on outliers). Per type:
+    * tvd_bp = (Σ_buckets |ref_share − cur_share|) / 2 on floored bp
+    * shares, plus the single worst bucket's share delta. Event types
+    * seen on only one side of the split have no distribution to
+    * compare and are dropped (deterministic on both engines — the
+    * alternative is a divide-by-zero whose inf/null semantics
+    * diverge).
+    *
+    * Scale shape: ONE fact shuffle, map-side combined into the
+    * (type × side × bucket) grain — bounded domain, metadata-sized at
+    * any event volume; the share windows and final rollup run on that
+    * grain. The streaming twin is AnomalyStream's shape with bucket
+    * in the key. */
+  def valueDrift(events: DataFrame, splitDate: String,
+      bucketWidth: Double = 25.0, nBuckets: Int = 20): DataFrame = {
+    require(bucketWidth > 0 && nBuckets >= 2, "need a real histogram")
+    val b = nBuckets - 1
+    val binned = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_type"),
+        when(to_date(col("ts")) < lit(splitDate).cast("date"), lit("ref"))
+          .otherwise(lit("cur")).as("side"),
+        least(greatest(floor(col("value") / lit(bucketWidth)).cast("long"),
+          lit(0L)), lit(b.toLong)).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        sum(when(col("side") === "ref", 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("cur_n"))
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    binned
+      .withColumn("ref_total", sum(col("ref_n")).over(byType))
+      .withColumn("cur_total", sum(col("cur_n")).over(byType))
+      .filter(col("ref_total") > 0L && col("cur_total") > 0L)
+      .withColumn("diff_bp", abs(
+        floor(lit(10000.0) * col("ref_n") / col("ref_total")).cast("long") -
+          floor(lit(10000.0) * col("cur_n") / col("cur_total")).cast("long")))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("ref_total")).as("ref_n"),
+        max(col("cur_total")).as("cur_n"),
+        floor(sum(col("diff_bp")) / lit(2.0)).cast("long").as("tvd_bp"),
+        max(col("diff_bp")).as("max_bucket_diff_bp"))
+  }
+
   /** RFM user segmentation (Hughes 1994, the standard CRM cut):
     * per-user Recency (days since last purchase, vs `anchor`),
     * Frequency (purchase count) and Monetary (total cents), each

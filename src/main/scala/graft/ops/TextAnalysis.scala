@@ -67,6 +67,40 @@ object TextAnalysis {
         expr("CAST(aggregate(btoks, 0L, (acc, x) -> acc + length(x)) AS BIGINT)")
           .as("bpe_token_chars"))
 
+  /** Tokenizer fertility per language: subword tokens (the BPE-ish
+    * pre-tokenizer) per whitespace word, the standard "how badly does
+    * this tokenizer serve language X" diagnostic (fertility ≈ 1 means
+    * one token per word; high fertility means the language trains and
+    * infers at a cost multiple). Also reports characters per subword
+    * token — the compression angle of the same question. Both ratios
+    * in basis points via the house single-divide floor.
+    *
+    * Scale shape: one corpus pass (two codegen'd per-row tokenize
+    * expressions, no explode — counts come from `size`) collapsing
+    * into a bounded-domain (lang) hash aggregate. Nothing here grows
+    * with corpus size except the map stage. */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("lang"),
+        size(expr(TokensExpr)).cast("long").as("words"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("btoks"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("words"),
+        sum(col("btoks")).as("bpe_tokens"),
+        sum(col("chars")).as("chars"))
+      .withColumn("fertility_bp",
+        floor(lit(10000.0) * col("bpe_tokens") / col("words")).cast("long"))
+      // a text of only whitespace has 0 bpe tokens; guard the divide
+      // the deterministic way (both engines would inf/null-diverge)
+      .withColumn("chars_per_token_bp",
+        when(col("bpe_tokens") > 0L,
+          floor(lit(10000.0) * col("chars") / col("bpe_tokens")).cast("long"))
+          .otherwise(lit(-1L)))
+
   /** Winnowing (MOSS) fingerprints: one row per (doc, fingerprint) —
     * the rolling-hash document-fingerprinting operator. k/w defaults
     * give the standard any-match-of-length-≥-(w+k−1) guarantee at a

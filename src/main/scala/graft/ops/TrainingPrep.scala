@@ -380,6 +380,38 @@ object TrainingPrep {
       .select(col("doc_id"), col("ttr_bp"), col("bucket"))
   }
 
+  /** Deterministic global training-order shuffle: every kept doc gets
+    * a pseudo-random (shard, pos) — the WebDataset/Megatron data-order
+    * contract, where the loader reads shards in parallel and each
+    * shard sequentially. The draw is the house md5 idiom (q12/q79):
+    * layout- and engine-independent, so the SAME training order comes
+    * back on any cluster, any rerun — `rand(seed)` or `repartition`
+    * order would not. The shard key is the draw's top 32 bits, NOT
+    * doc_id arithmetic: `doc_id % S` would correlate with every other
+    * id-modular assignment in the pipeline (packSequences shards,
+    * snapshot fixtures), and a shuffle whose shards echo ingest order
+    * isn't a shuffle.
+    *
+    * Scale shape: one hash-partition shuffle on shard + one per-shard
+    * sort of corpus/S rows; S is a free parallelism knob (pick ≥
+    * cluster cores, each shard an independent output file). The sort
+    * is the operator's PURPOSE (producing an order), not overhead —
+    * and it is the only one: no global window, no single-partition
+    * exchange anywhere. */
+  def shardShuffle(docs: DataFrame, shards: Int = 8): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("draw", md5(col("doc_id").cast("string")))
+      .withColumn("draw32", expr(
+        "CAST(conv(substring(draw, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("shard", pmod(col("draw32"), lit(shards.toLong)))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("draw"), col("doc_id"))) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Corpus concentration report: how unevenly tokens spread across
     * sources — the one-row balance check run before mixture planning
     * (a Gini near 10000 means one domain owns the corpus; near 0

@@ -438,6 +438,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("band_hash"), s"band-bucket join missing:\n$p")
   }
 
+  test("q107 shard shuffle: one shard-hash exchange, no global sort or single-partition window") {
+    val p = plan("q107_shard_shuffle")
+    // per-shard row_number = Exchange hashpartitioning(shard) + local
+    // sort; a SinglePartition exchange would mean a global ordering
+    // was imposed (the scale failure this operator exists to avoid)
+    assert(shuffles(p) == 1, p)
+    assert(!p.contains("SinglePartition"), s"global ordering imposed:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q108 tokenizer fertility: pure tokenize map into one bounded-domain aggregate") {
+    val p = plan("q108_tokenizer_fertility")
+    assert(shuffles(p) == 1, p) // the (lang) hash aggregate exchange
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"fertility must count via size(), never explode:\n$p")
+  }
+
+  test("q109 value drift: fact collapses to type×bucket grain in one shuffle; windows ride bounded grain") {
+    val p = plan("q109_value_drift")
+    // Exchange 1: the (type, bucket) count aggregate (fact-grain);
+    // Exchange 2: repartition to event_type for the share window —
+    // already metadata-sized. The final per-type aggregate must reuse
+    // the window's partitioning, so 2 is the budget.
+    assert(shuffles(p) <= 2, p)
+    assert(!p.contains("SinglePartition"), s"unbounded-grain window:\n$p")
+  }
+
   test("q106 split leakage: split is a pure column over the pair frame — no corpus re-join") {
     val p = plan("q106_split_leakage")
     // the split CASE must ride the pair rows (pmod arithmetic in the

@@ -413,6 +413,45 @@ class RetrievalSpec extends SparkSpec {
     assert(out.length == 10)
   }
 
+  test("value drift: hand-computed TVD, clamped buckets, one-sided types dropped") {
+    val s = spark
+    import s.implicits._
+    val T0 = 1767225600000L // 2026-01-01 UTC
+    def t(day: Int) = new java.sql.Timestamp(T0 + day * 86400000L)
+    // type a / ref (days 0-1): 5,15,15,25 → buckets 0,1,1,2 (totals 4)
+    //        ref shares bp: 2500, 5000, 2500, 0
+    // type a / cur (days 2-3): 5,-3,35,35,95 → buckets 0,0,3,3,3(clamped)
+    //        cur shares bp: 4000, 0, 0, 6000 (totals 5)
+    // diffs 1500+5000+2500+6000 = 15000 → tvd 7500, max 6000
+    val rows: Seq[(String, java.sql.Timestamp, java.lang.Double)] = Seq(
+      ("a", t(0), 5.0), ("a", t(0), 15.0), ("a", t(1), 15.0), ("a", t(1), 25.0),
+      ("a", t(2), 5.0), ("a", t(2), -3.0), ("a", t(3), 35.0), ("a", t(3), 35.0),
+      ("a", t(3), 95.0),
+      // one-sided type: no cur rows → no distribution to compare
+      ("b", t(0), 5.0), ("b", t(1), 15.0),
+      // malformed rows vanish at the gate
+      ("a", null, 5.0), ("a", t(0), null), (null, t(0), 5.0))
+    val out = graft.ops.Retention
+      .valueDrift(rows.toDF("event_type", "ts", "value"),
+        splitDate = "2026-01-03", bucketWidth = 10.0, nBuckets = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("a", 4L, 5L, 7500L, 6000L)))
+  }
+
+  test("value drift: identical distributions report exactly 0") {
+    val s = spark
+    import s.implicits._
+    val T0 = 1767225600000L
+    def t(day: Int) = new java.sql.Timestamp(T0 + day * 86400000L)
+    val rows = for (day <- Seq(0, 4); v <- Seq(5.0, 15.0, 15.0, 25.0))
+      yield ("a", t(day), v)
+    val out = graft.ops.Retention
+      .valueDrift(rows.toDF("event_type", "ts", "value"),
+        splitDate = "2026-01-03", bucketWidth = 10.0, nBuckets = 4)
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(out == (("a", 4L, 4L, 0L, 0L)))
+  }
+
   test("source concentration: sorted-rank Gini, uniform floor, and top share") {
     val s = spark
     import s.implicits._

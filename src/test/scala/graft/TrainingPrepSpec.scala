@@ -242,6 +242,51 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out == Set(("src0", 3L, 3L), ("src1", 1L, 1L), ("src3", 2L, 2L)))
   }
 
+  test("shardShuffle: dense per-shard positions, full coverage, null-text dropped") {
+    val d = docs((1L to 50L).map(i => i -> s"text $i"): _*)
+      .union(docs(99L -> null))
+    val out = TrainingPrep.shardShuffle(d, shards = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet == (1L to 50L).toSet) // 99 (null text) gone
+    assert(out.forall(r => r._2 >= 0 && r._2 < 4))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+  }
+
+  test("shardShuffle: repartition-invariant and decorrelated from id-mod sharding") {
+    val d = docs((1L to 64L).map(i => i -> s"text $i"): _*)
+    val a = TrainingPrep.shardShuffle(d, shards = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val b = TrainingPrep.shardShuffle(d.repartition(7), shards = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(a == b)
+    // the md5 draw must not echo doc_id % shards (a shuffle whose
+    // shards follow ingest order isn't a shuffle)
+    assert(a.exists { case (id, (shard, _)) => shard != id % 4 })
+    // and within a shard, position order must not echo id order
+    val inOrder = a.toSeq.filter(_._2._1 == a(1L)._1).sortBy(_._2._2).map(_._1)
+    assert(inOrder != inOrder.sorted, s"shard order echoes id order: $inOrder")
+  }
+
+  test("tokenizerFertility: hand-computed ratios; whitespace-only text guarded") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "ab cd", "en", "s", 0L),      // words 2, btoks [ab, cd] = 2
+      (2L, "x, y!", "en", "s", 0L),      // words 2, btoks [x , y !] = 4
+      (3L, "   ", "zz", "s", 0L),        // 4 empty words, 0 btoks
+      (4L, null, "en", "s", 0L))         // dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TextAnalysis.tokenizerFertility(d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // en: docs 2, words 4, btoks 6, chars 10 → fertility 15000, cpt 16666
+    assert(out("en") == (("en", 2L, 4L, 6L, 10L, 15000L, 16666L)))
+    // zz: fertility 0, chars_per_token guarded to -1 (not inf/null)
+    assert(out("zz") == (("zz", 1L, 4L, 0L, 3L, 0L, -1L)))
+  }
+
   test("languageMix: sqrt smoothing upweights the tail language; exact arithmetic") {
     val s = spark
     import s.implicits._
