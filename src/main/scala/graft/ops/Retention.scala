@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cohort retention — the canonical user-behavior analytics rollup
@@ -167,18 +167,35 @@ object Retention {
     * any event volume; the share windows and final rollup run on that
     * grain. The streaming twin is AnomalyStream's shape with bucket
     * in the key. */
+  /** The drift family's bucket assignment as a pure column — shared
+    * by the batch report and the streaming twin so the two can never
+    * bin differently. One IEEE divide + floor, clamped both ends. */
+  def bucketCol(value: Column, bucketWidth: Double, nBuckets: Int): Column =
+    least(greatest(floor(value / lit(bucketWidth)).cast("long"), lit(0L)),
+      lit((nBuckets - 1).toLong))
+
+  /** (event_type, bucket) value histogram over one window — the
+    * reference side a live drift monitor compares against. Bounded
+    * domain (types × buckets) from one map-side-combined shuffle. */
+  def valueHistogram(events: DataFrame, bucketWidth: Double = 25.0,
+      nBuckets: Int = 20): DataFrame =
+    events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .groupBy(col("event_type"),
+        bucketCol(col("value"), bucketWidth, nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   def valueDrift(events: DataFrame, splitDate: String,
       bucketWidth: Double = 25.0, nBuckets: Int = 20): DataFrame = {
     require(bucketWidth > 0 && nBuckets >= 2, "need a real histogram")
-    val b = nBuckets - 1
     val binned = events
       .filter(col("ts").isNotNull && col("event_type").isNotNull &&
         col("value").isNotNull)
       .select(col("event_type"),
         when(to_date(col("ts")) < lit(splitDate).cast("date"), lit("ref"))
           .otherwise(lit("cur")).as("side"),
-        least(greatest(floor(col("value") / lit(bucketWidth)).cast("long"),
-          lit(0L)), lit(b.toLong)).as("bucket"))
+        bucketCol(col("value"), bucketWidth, nBuckets).as("bucket"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(
         sum(when(col("side") === "ref", 1L).otherwise(0L)).as("ref_n"),
