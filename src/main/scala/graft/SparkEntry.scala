@@ -136,7 +136,8 @@ object SparkEntry {
     "q106_split_leakage" -> (Queries.splitLeakage _),
     "q107_shard_shuffle" -> (Queries.shardShuffle _),
     "q108_tokenizer_fertility" -> (Queries.tokenizerFertility _),
-    "q109_value_drift" -> (Queries.valueDrift _)
+    "q109_value_drift" -> (Queries.valueDrift _),
+    "q110_length_histogram" -> (Queries.lengthHistogram _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -874,6 +875,10 @@ object Queries {
   def valueDrift(spark: SparkSession, dir: String): DataFrame =
     Retention.valueDrift(Tables(spark, dir, "events"), DriftSplitDate,
       DriftBucketWidth, DriftBuckets)
+
+  /** Per-source log₂ token-length histogram (length-gate planning). */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthHistogram(Tables(spark, dir, "documents"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -3368,6 +3373,27 @@ object Oracles {
          |       CAST(MAX(diff_bp) AS BIGINT) AS max_bucket_diff_bp
          |FROM d GROUP BY 1""".stripMargin
     },
+
+    // ⌊log₂ n⌋ as binary-string length − 1 on BOTH engines (libm log2
+    // rounds differently at power-of-two boundaries; a string length
+    // cannot).
+    "q110_length_histogram" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tc
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT source,
+        |         CAST(length(format('{:b}', tc)) - 1 AS BIGINT) AS bucket, tc
+        |  FROM t),
+        |g AS (
+        |  SELECT source, bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(tc) AS BIGINT) AS tokens
+        |  FROM b GROUP BY 1, 2)
+        |SELECT source, bucket, n_docs, tokens,
+        |       CAST(FLOOR(10000.0 * n_docs /
+        |         SUM(n_docs) OVER (PARTITION BY source)) AS BIGINT) AS docs_bp
+        |FROM g""".stripMargin,
 
     // The combined-pattern hit count twins q46; per-class counts are
     // independent scans of the alternation arms (overlap by design).

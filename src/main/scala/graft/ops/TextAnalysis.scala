@@ -101,6 +101,34 @@ object TextAnalysis {
           floor(lit(10000.0) * col("chars") / col("bpe_tokens")).cast("long"))
           .otherwise(lit(-1L)))
 
+  /** Corpus length-distribution panel: per (source, log₂ length
+    * bucket) document and token counts with each bucket's share of
+    * its source's docs — the planning input for min/max-length gates
+    * (pick thresholds where the mass actually sits, not by folklore).
+    * Geometric buckets because doc lengths are heavy-tailed: linear
+    * bins waste the bottom and truncate the top.
+    *
+    * bucket = ⌊log₂ token_count⌋ computed EXACTLY as the binary
+    * string's length − 1 (`bin()` / `format('{:b}')`): libm log2 at
+    * power-of-two boundaries rounds differently per engine, an
+    * integer string length cannot. token_count ≥ 1 always (split of
+    * the empty string is one empty token), so bin() never sees 0.
+    *
+    * Scale shape: one map stage into a bounded (source × ≤64 buckets)
+    * hash aggregate; the share window runs on that grain. */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    val bySource = Window.partitionBy(col("source"))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), size(expr(TokensExpr)).cast("long").as("tc"))
+      .withColumn("bucket", (length(bin(col("tc"))) - 1).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("tokens"))
+      .withColumn("docs_bp",
+        floor(lit(10000.0) * col("n_docs") / sum(col("n_docs")).over(bySource))
+          .cast("long"))
+  }
+
   /** Winnowing (MOSS) fingerprints: one row per (doc, fingerprint) —
     * the rolling-hash document-fingerprinting operator. k/w defaults
     * give the standard any-match-of-length-≥-(w+k−1) guarantee at a

@@ -467,6 +467,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"unbounded-grain window:\n$p")
   }
 
+  test("q110 length histogram: one corpus shuffle; share window rides the bucket grain") {
+    val p = plan("q110_length_histogram")
+    // the (source, bucket) aggregate is the only fact-grain exchange;
+    // the docs_bp window repartitions the ≤ sources×64-row result
+    assert(shuffles(p) <= 2, p)
+    assert(!p.contains("SinglePartition"), s"unbounded-grain window:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("lang") && !readSchema.contains("doc_id"),
+      s"scan not pruned: $readSchema")
+  }
+
   test("q106 split leakage: split is a pure column over the pair frame — no corpus re-join") {
     val p = plan("q106_split_leakage")
     // the split CASE must ride the pair rows (pmod arithmetic in the

@@ -287,6 +287,28 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out("zz") == (("zz", 1L, 4L, 0L, 3L, 0L, -1L)))
   }
 
+  test("lengthHistogram: exact log2 buckets at power-of-two boundaries; shares per source") {
+    val s = spark
+    import s.implicits._
+    def text(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d = Seq(
+      (1L, text(1), "en", "s1", 0L),   // bucket 0
+      (2L, text(7), "en", "s1", 0L),   // bucket 2
+      (3L, text(8), "en", "s1", 0L),   // bucket 3 — the boundary libm gets wrong
+      (4L, text(9), "en", "s1", 0L),   // bucket 3
+      (5L, text(1024), "en", "s2", 0L), // bucket 10
+      (6L, null, "en", "s2", 0L))      // dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TextAnalysis.lengthHistogram(d)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      ("s1", 0L) -> ((1L, 1L, 2500L)),
+      ("s1", 2L) -> ((1L, 7L, 2500L)),
+      ("s1", 3L) -> ((2L, 17L, 5000L)),
+      ("s2", 10L) -> ((1L, 1024L, 10000L))))
+  }
+
   test("languageMix: sqrt smoothing upweights the tail language; exact arithmetic") {
     val s = spark
     import s.implicits._
