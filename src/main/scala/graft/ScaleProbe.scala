@@ -35,12 +35,18 @@ object ScaleProbe {
         idCols.foldLeft(df) { (d, c) => d.withColumn(c, col(c) + lit(i * shift)) }
       }.reduce(_ union _)
 
-    def t(name: String)(df: => DataFrame): Unit = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[scale] $name (x$mult): ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+    // dev bisection: SPARK_GRAFT_PROBE_ONLY=substr,substr limits the
+    // run (probe timings are only comparable from an idle machine, so
+    // re-measuring a few ops must not cost a full sweep)
+    val only: Seq[String] = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    def t(name: String)(df: => DataFrame): Unit =
+      if (only.isEmpty || only.exists(name.contains)) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[scale] $name (x$mult): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
 
     val events = amplify(graft.tables.Tables(spark, dir, "events"),
       Seq("event_id", "user_id"), 10000000L)
@@ -205,6 +211,7 @@ object ScaleProbe {
     t("shard shuffle")(graft.ops.TrainingPrep.shardShuffle(docs, shards = 32))
     t("tokenizer fertility")(graft.ops.TextAnalysis.tokenizerFertility(docs))
     t("value drift")(graft.ops.Retention.valueDrift(events, "2024-01-16"))
+    t("length histogram")(graft.ops.TextAnalysis.lengthHistogram(docs))
     spark.stop()
   }
 }

@@ -339,6 +339,26 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out("srcB").getAs[Long]("flagged_bp") == 0L)
   }
 
+  test("tokenizer fertility + length histogram (q108/q110 twins) on CJK + null text") {
+    // BpePattern's third alternative ([^a-z0-9\s]) makes each CJK
+    // character its own pre-token — exactly the high-fertility signal
+    // the diagnostic exists to surface. Java \s is ASCII, split(' ')
+    // is ASCII space: both deterministic on unicode text. length()
+    // counts code points.
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "你好 世界abc 123", "zh", "cjk", 0L), // words 3; btoks 你,好,世,界,abc,123 = 6; chars 12
+      (2L, null, "zh", "cjk", 0L))               // dropped everywhere
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fert = TextAnalysis.tokenizerFertility(d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(fert == (("zh", 1L, 3L, 6L, 12L, 20000L, 20000L)))
+    val hist = TextAnalysis.lengthHistogram(d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(hist == Seq(("cjk", 1L, 1L, 3L, 10000L))) // ⌊log2 3⌋ = 1
+  }
+
   test("fuzzy decontamination (q101 twin) flags an exact CJK duplicate; clean + null pass") {
     // Shingling runs on the space tokenizer over unicode strings: an
     // eval doc texturally identical to a train doc has an identical
