@@ -212,6 +212,8 @@ object ScaleProbe {
     t("tokenizer fertility")(graft.ops.TextAnalysis.tokenizerFertility(docs))
     t("value drift")(graft.ops.Retention.valueDrift(events, "2024-01-16"))
     t("length histogram")(graft.ops.TextAnalysis.lengthHistogram(docs))
+    // query set bounded to the base id range (the fixedQ convention)
+    t("rerank topk")(graft.ops.ProductQuant.rerankTopK(emb, fixedQ))
     spark.stop()
   }
 }

@@ -137,7 +137,8 @@ object SparkEntry {
     "q107_shard_shuffle" -> (Queries.shardShuffle _),
     "q108_tokenizer_fertility" -> (Queries.tokenizerFertility _),
     "q109_value_drift" -> (Queries.valueDrift _),
-    "q110_length_histogram" -> (Queries.lengthHistogram _)
+    "q110_length_histogram" -> (Queries.lengthHistogram _),
+    "q111_rerank_topk" -> (Queries.rerankTopK _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -879,6 +880,13 @@ object Queries {
   /** Per-source log₂ token-length histogram (length-gate planning). */
   def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.lengthHistogram(Tables(spark, dir, "documents"))
+
+  val RerankShortlist = 30
+
+  /** Two-stage ANN: ADC shortlist → exact cosine re-rank. */
+  def rerankTopK(spark: SparkSession, dir: String): DataFrame =
+    ProductQuant.rerankTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
+      PqM, PqK, RerankShortlist)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -3372,6 +3380,63 @@ object Oracles {
          |       CAST(FLOOR(SUM(diff_bp) / 2.0) AS BIGINT) AS tvd_bp,
          |       CAST(MAX(diff_bp) AS BIGINT) AS max_bucket_diff_bp
          |FROM d GROUP BY 1""".stripMargin
+    },
+
+    // Two-stage retrieval: q61's seed-book ADC chain kept to
+    // `RerankShortlist` depth, then exact-cosine re-rank of only the
+    // shortlist pairs (the q25 cosine convention — one mirrored IEEE
+    // tree). adc_rank is the stage-1 rank carried through.
+    "q111_rerank_topk" -> {
+      val m = Queries.PqM; val k = Queries.PqK
+      s"""WITH $embQuantCte,
+         |subs AS (
+         |  SELECT vec_id, CAST(s AS BIGINT) AS sub,
+         |         q[CAST(s * (len(q) // $m) + 1 AS BIGINT)
+         |           : CAST((s + 1) * (len(q) // $m) AS BIGINT)] AS qs
+         |  FROM n, unnest(range(0, $m)) AS u(s)),
+         |sv AS (
+         |  SELECT vec_id, sub, qs,
+         |         CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS n2s
+         |  FROM subs),
+         |book AS (SELECT sub, vec_id AS code, qs AS centroid, n2s AS c_n2
+         |         FROM sv WHERE vec_id < $k),
+         |dists AS (
+         |  SELECT v.vec_id, v.sub, b.code,
+         |         v.n2s + b.c_n2 - 2 * CAST(list_sum(list_transform(
+         |           range(1, len(v.qs) + 1),
+         |           i -> v.qs[i] * b.centroid[i])) AS BIGINT) AS dist
+         |  FROM sv v JOIN book b USING (sub)),
+         |enc AS (
+         |  SELECT vec_id, sub, CAST(MIN(dist * 256 + code) % 256 AS BIGINT) AS code
+         |  FROM dists GROUP BY 1, 2),
+         |pair AS (
+         |  SELECT d.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         CAST(SUM(d.dist) AS BIGINT) AS adc_dist
+         |  FROM enc e JOIN dists d ON e.sub = d.sub AND e.code = d.code
+         |  WHERE d.vec_id % ${Queries.KnnQueryMod} = 0 AND e.vec_id != d.vec_id
+         |  GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT query_id, neighbor_id, CAST(adc_rank AS BIGINT) AS adc_rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+         |        FROM pair)
+         |  WHERE adc_rank <= ${Queries.RerankShortlist}),
+         |x AS (
+         |  SELECT sl.query_id, sl.neighbor_id, sl.adc_rank,
+         |         CASE WHEN nn.n2 = 0 OR qq.n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 *
+         |                CAST(list_sum(list_transform(range(1, len(nn.q) + 1),
+         |                     i -> nn.q[i] * qq.q[i])) AS BIGINT)
+         |                / (sqrt(CAST(nn.n2 AS DOUBLE)) * sqrt(CAST(qq.n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM sl JOIN n nn ON nn.vec_id = sl.neighbor_id
+         |          JOIN n qq ON qq.vec_id = sl.query_id),
+         |rr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |  FROM x)
+         |SELECT query_id, neighbor_id, cos_bp, adc_rank, CAST(rank AS INT) AS rank
+         |FROM rr WHERE rank <= 10""".stripMargin
     },
 
     // ⌊log₂ n⌋ as binary-string length − 1 on BOTH engines (libm log2

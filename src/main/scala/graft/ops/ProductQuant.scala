@@ -165,6 +165,46 @@ object ProductQuant {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Two-stage retrieval (shortlist-then-rerank — the production ANN
+    * serving pattern): stage 1 scores the WHOLE corpus in the
+    * compressed domain ([[adcTopK]]) and keeps a `shortlist`-deep
+    * candidate set per query; stage 2 fetches ONLY those candidates'
+    * quantized vectors and re-ranks them by exact cosine. ADC
+    * distances are distorted by quantization; the re-rank buys back
+    * the lost precision for shortlist × queries exact dot products
+    * instead of corpus × queries.
+    *
+    * Scale shape: the shortlist is probe-grain (queries × shortlist,
+    * metadata-sized) and BROADCAST into the corpus scan, so stage 2's
+    * vector fetch is a map-side hash probe — the corpus floats never
+    * shuffle at any stage; exact-scoring work is bounded by the
+    * shortlist. `adc_rank` is carried through so the output shows
+    * what re-ranking moved. */
+  def rerankTopK(emb: DataFrame, queryPred: Column, m: Int = 8, k: Int = 16,
+      shortlist: Int = 30, topK: Int = 10,
+      book0: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= topK, "shortlist must cover the final top-k")
+    val sl = adcTopK(emb, queryPred, m, k, shortlist, book0)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("adc_rank"))
+    val quant = Similarity.quantized(emb)
+    val queries = quant.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"),
+        col("n2").as("q_n2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+    quant.select(col("vec_id").as("neighbor_id"), col("q"), col("n2"))
+      .join(broadcast(sl), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos_bp", Similarity.cosBp(
+        graft.expressions.DotProductLong.dot(col("q"), col("q_q")),
+        col("n2"), col("q_n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("cos_bp"),
+        col("adc_rank"), col("rank").cast("int").as("rank"))
+  }
+
   /** IVF-PQ: the standard billion-scale ANN index — IVF's learned
     * inverted lists bound WHICH candidates are scored (`nProbe`
     * lists per query, cosine-routed exactly like Similarity.ivfAnn),

@@ -478,6 +478,15 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned: $readSchema")
   }
 
+  test("q111 rerank: shortlist and queries broadcast into the corpus — floats never sort-merge") {
+    val p = plan("q111_rerank_topk")
+    // stage 2's vector fetch must be a map-side hash probe (shortlist
+    // is probe-grain); a SortMergeJoin would mean the corpus floats
+    // shuffled to meet a metadata-sized frame
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the re-rank:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"final top-k lost rank pushdown:\n$p")
+  }
+
   test("q106 split leakage: split is a pure column over the pair frame — no corpus re-join") {
     val p = plan("q106_split_leakage")
     // the split CASE must ride the pair rows (pmod arithmetic in the

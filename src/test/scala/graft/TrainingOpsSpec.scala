@@ -390,6 +390,47 @@ class TrainingOpsSpec extends SparkSpec {
     assert(trainedR >= 0.25, s"trained-codebook recall $trainedR")
   }
 
+  test("rerank: exact re-rank of the ADC shortlist beats (or ties) raw ADC recall; subset + order invariants") {
+    import ProductQuant._
+    val emb = Tables(spark, sf, "embeddings")
+    val pred = col("vec_id") % 50 === 0
+    // cosine ground truth (the q25 convention the re-rank scores with)
+    val exact = Similarity.quantized(emb)
+    val qs = exact.filter(pred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("c").desc, col("vec_id").asc)
+    val truth = exact.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("c", Similarity.cosBp(
+        graft.expressions.DotProductLong.dot(col("q"), col("qq")),
+        col("n2"), col("qn2")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val nQ = qs.count().toDouble
+    val reranked = rerankTopK(emb, pred, shortlist = 30)
+    val rerankRecall = reranked.select("query_id", "neighbor_id")
+      .intersect(truth).count() / (nQ * 10)
+    // raw ADC ranked by compressed distance, same cosine truth
+    val adcRecall = adcTopK(emb, pred, topK = 10)
+      .select("query_id", "neighbor_id").intersect(truth).count() / (nQ * 10)
+    info(f"cosine recall@10 adc=$adcRecall%.2f reranked=$rerankRecall%.2f")
+    assert(rerankRecall >= adcRecall,
+      s"re-ranking lost recall: $rerankRecall < $adcRecall")
+    // every re-ranked hit came from the stage-1 shortlist, and the
+    // final order is exactly cosine-desc (ties by id) within a query
+    val sl = adcTopK(emb, pred, topK = 30).select("query_id", "neighbor_id")
+    assert(reranked.select("query_id", "neighbor_id").exceptAll(sl).isEmpty)
+    val rows = reranked.collect()
+      .groupBy(_.getAs[Long]("query_id")).values
+    rows.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      val resorted = g.sortBy(r =>
+        (-r.getAs[Long]("cos_bp"), r.getAs[Long]("neighbor_id")))
+      assert(byRank.toSeq == resorted.toSeq)
+    }
+  }
+
   test("ivfPq: probing every list degenerates to plain ADC top-k") {
     import ProductQuant._
     val emb = Tables(spark, sf, "embeddings")
