@@ -580,4 +580,54 @@ object GraftProperties extends Properties("graft") {
       shingled.forall(id => self.get(id).contains(10000L)) &&
         self.keySet == shingled
     }
+
+  property("shardShuffle is a permutation: dense per-shard positions for ANY ids incl. negative") =
+    forAll(for {
+      n <- Gen.choose(1, 24)
+      ids <- Gen.listOfN(n, Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
+      shards <- Gen.choose(1, 5)
+    } yield (ids.distinct, shards)) { case (ids, shards) =>
+      val s = spark
+      import s.implicits._
+      val d = ids.map(id => (id, "text", "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = graft.ops.TrainingPrep.shardShuffle(d, shards)
+        .as[(Long, Long, Long)].collect()
+      out.map(_._1).toSet == ids.toSet &&
+        out.forall(r => r._2 >= 0 && r._2 < shards) &&
+        out.groupBy(_._2).forall { case (_, g) =>
+          g.map(_._3).sorted.toSeq == (0L until g.length)
+        }
+    }
+
+  property("valueDrift == JVM TVD recompute; bounded in [0, 10000]") =
+    forAll(for {
+      nr <- Gen.choose(1, 20)
+      nc <- Gen.choose(1, 20)
+      rv <- Gen.listOfN(nr, Gen.choose(-5.0, 120.0))
+      cv <- Gen.listOfN(nc, Gen.choose(-5.0, 120.0))
+    } yield (rv, cv)) { case (rv, cv) =>
+      val s = spark
+      import s.implicits._
+      val (w, nb) = (10.0, 8)
+      val rows =
+        rv.zipWithIndex.map { case (v, i) =>
+          ("a", new Timestamp(T0 + i * 1000L), v) } ++
+        cv.zipWithIndex.map { case (v, i) =>
+          ("a", new Timestamp(T0 + 5 * 86400000L + i * 1000L), v) }
+      val out = graft.ops.Retention
+        .valueDrift(rows.toDF("event_type", "ts", "value"),
+          splitDate = "2026-01-03", bucketWidth = w, nBuckets = nb)
+        .select("tvd_bp").as[Long].head()
+      def histo(vs: Seq[Double]): Map[Long, Long] =
+        vs.groupBy(v => math.min(math.max(math.floor(v / w).toLong, 0L),
+          nb - 1L)).view.mapValues(_.size.toLong).toMap
+      val (hr, hc) = (histo(rv), histo(cv))
+      val want = (hr.keySet ++ hc.keySet).toSeq.map { b =>
+        math.abs(
+          math.floor(10000.0 * hr.getOrElse(b, 0L) / rv.size).toLong -
+            math.floor(10000.0 * hc.getOrElse(b, 0L) / cv.size).toLong)
+      }.sum / 2
+      out == want && out >= 0L && out <= 10000L
+    }
 }
