@@ -214,6 +214,27 @@ object ScaleProbe {
     t("length histogram")(graft.ops.TextAnalysis.lengthHistogram(docs))
     // query set bounded to the base id range (the fixedQ convention)
     t("rerank topk")(graft.ops.ProductQuant.rerankTopK(emb, fixedQ))
+    t("bot sessions")(graft.ops.Sessionize.botSessions(events))
+    t("dwell time")(graft.ops.Sessionize.dwellTime(events))
+    // target side FIXED (base replica only): DSIR's target is a
+    // curated seed that does not grow with the crawl
+    t("dsir score")(graft.ops.TrainingPrep.dsirScore(docs,
+      graft.tables.Tables(spark, dir, "documents")
+        .filter(col("source") === "src0")))
+    t("budget select")(graft.ops.TrainingPrep.budgetSelect(
+      graft.ops.TextAnalysis.qualityClassifier(docs),
+      // budget scales with the corpus so the threshold stays interior
+      // (an all-full or all-dropped run measures the wrong regime)
+      20000L * mult))
+    t("windowed funnel")(graft.ops.PageFunnel.windowedFunnel(spark,
+      graft.ops.Sessionize.assignSessions(events),
+      Seq("signup", "view", "click", "purchase"), 600L))
+    // eval side FIXED (base replica only): the benchmark does not
+    // grow with the crawl — same contract as the decontaminate probe
+    t("eval contamination")(graft.ops.Contamination.evalContamination(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      graft.tables.Tables(spark, dir, "documents")
+        .filter(col("doc_id") % 5 === 0), 8))
     spark.stop()
   }
 }

@@ -138,7 +138,13 @@ object SparkEntry {
     "q108_tokenizer_fertility" -> (Queries.tokenizerFertility _),
     "q109_value_drift" -> (Queries.valueDrift _),
     "q110_length_histogram" -> (Queries.lengthHistogram _),
-    "q111_rerank_topk" -> (Queries.rerankTopK _)
+    "q111_rerank_topk" -> (Queries.rerankTopK _),
+    "q112_bot_sessions" -> (Queries.botSessions _),
+    "q113_dwell_time" -> (Queries.dwellTime _),
+    "q114_dsir_score" -> (Queries.dsirScore _),
+    "q115_budget_select" -> (Queries.budgetSelect _),
+    "q116_windowed_funnel" -> (Queries.windowedFunnel _),
+    "q117_eval_contamination" -> (Queries.evalContamination _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -887,6 +893,65 @@ object Queries {
   def rerankTopK(spark: SparkSession, dir: String): DataFrame =
     ProductQuant.rerankTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
       PqM, PqK, RerankShortlist)
+
+  // Fixture-scale bot thresholds: the driver's events table tops out
+  // at 3-event sessions (sf0.01), so the production defaults (5
+  // events, 2 s mean) never fire there. These values exercise both
+  // verdict paths on the fixture; production tunes per property.
+  val BotMinEvents = 3L
+  val BotFastGapUs = 300000000L // 300 s mean gap
+  val BotJitterUs = 60000000L   // 60 s spread
+
+  /** Session-grain bot/automation verdicts (rate + regularity). */
+  def botSessions(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.botSessions(Tables(spark, dir, "events"),
+      minEvents = BotMinEvents, fastGapUs = BotFastGapUs,
+      jitterUs = BotJitterUs)
+
+  /** Per-event-type dwell-time report (time-on-step analytics). */
+  def dwellTime(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.dwellTime(Tables(spark, dir, "events"))
+
+  /** DSIR target seed: one fixture source stands in for the curated
+    * corpus (Wikipedia/books in the paper) the raw crawl is scored
+    * against. */
+  val DsirTargetSource = "src0"
+
+  /** DSIR importance score of every document vs the target seed. */
+  def dsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    TrainingPrep.dsirScore(docs,
+      docs.filter(col("source") === DsirTargetSource))
+  }
+
+  // ≈ half the sf0.01 corpus tokens — the boundary class is exercised
+  // there; smaller fixtures select everything (reason = full only).
+  val SelectBudgetTokens = 20000L
+
+  /** Budget-constrained selection over the q69 classifier scores. */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.budgetSelect(
+      TextAnalysis.qualityClassifier(Tables(spark, dir, "documents")),
+      SelectBudgetTokens)
+
+  // 10-minute conversion window: binding on the fixture (median
+  // within-session gap ≈ 15 min), so q116's reach counts genuinely
+  // diverge from q95's unbounded ones.
+  val FunnelWindowSeconds = 600L
+
+  /** Time-boxed ordered funnel (per-step conversion window). */
+  def windowedFunnel(spark: SparkSession, dir: String): DataFrame =
+    PageFunnel.windowedFunnel(spark,
+      Sessionize.assignSessions(Tables(spark, dir, "events")),
+      orderedFlow, FunnelWindowSeconds)
+
+  /** Per-eval-item contamination triage (q55's split, reversed). */
+  def evalContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Contamination.evalContamination(
+      docs.filter(col("doc_id") % ContamEvalMod =!= 0),
+      docs.filter(col("doc_id") % ContamEvalMod === 0), ContamN)
+  }
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -1217,6 +1282,39 @@ object Oracles {
        |       lang, COUNT(*) AS n_docs,
        |       CAST(SUM(token_count) AS BIGINT) AS total_tokens
        |FROM s GROUP BY 1, 2""".stripMargin
+  }) + ("q115_budget_select" -> {
+    // budget selection over the q69 score table: value-grain class
+    // cumsum → threshold, md5-draw fill of the one boundary class
+    val b = Queries.SelectBudgetTokens
+    s"""WITH s AS (
+       |  SELECT doc_id, token_count, score
+       |  FROM (${baseSql("q69_quality_classifier")})),
+       |c AS (
+       |  SELECT score, CAST(SUM(token_count) AS BIGINT) AS cls_tokens
+       |  FROM s GROUP BY 1),
+       |cc AS (
+       |  SELECT *, CAST(COALESCE(SUM(cls_tokens) OVER (ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum_before
+       |  FROM c),
+       |full_cls AS (
+       |  SELECT score FROM cc WHERE cum_before + cls_tokens <= $b),
+       |bnd AS (
+       |  SELECT score, $b - cum_before AS remaining FROM cc
+       |  WHERE cum_before < $b AND cum_before + cls_tokens > $b),
+       |bsel AS (
+       |  SELECT doc_id, score, token_count, 'boundary' AS reason
+       |  FROM (
+       |    SELECT s.doc_id, s.score, s.token_count, bnd.remaining,
+       |           CAST(SUM(s.token_count) OVER (PARTITION BY s.score
+       |             ORDER BY md5(CAST(s.doc_id AS VARCHAR)), s.doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             AS BIGINT) AS cum
+       |    FROM s JOIN bnd ON s.score = bnd.score)
+       |  WHERE cum <= remaining)
+       |SELECT s.doc_id, s.score, s.token_count, 'full' AS reason
+       |FROM s JOIN full_cls USING (score)
+       |UNION ALL SELECT * FROM bsel""".stripMargin
   })
 
   private lazy val corpusSelectSql: String = {
@@ -3623,6 +3721,196 @@ object Oracles {
         |       CAST(list_sum(codes) AS BIGINT) AS byte_sum,
         |       $bins
         |FROM m""".stripMargin
+    },
+
+    // Gap stats ride the shared sessionize CTE; flags are pure integer
+    // comparisons (FALSE AND NULL = FALSE on both engines covers the
+    // single-event null-gap rows). The metronome floor is
+    // max(minEvents, 3): one gap has zero spread by construction.
+    "q112_bot_sessions" -> {
+      val (minE, fast, jit) =
+        (Queries.BotMinEvents, Queries.BotFastGapUs, Queries.BotJitterUs)
+      val metroE = math.max(minE, 3L)
+      s"""$sessionCte, g AS (
+         |  SELECT session_id, user_id,
+         |         ts_us - lag(ts_us) OVER (PARTITION BY user_id, session_seq
+         |                                  ORDER BY ts_us, event_id) AS gap_us,
+         |         ts_us
+         |  FROM sz),
+         |s AS (
+         |  SELECT session_id, user_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_events,
+         |         (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_s,
+         |         MIN(gap_us) AS min_gap_us,
+         |         MAX(gap_us) AS max_gap_us,
+         |         CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+         |  FROM g GROUP BY 1, 2),
+         |a AS (
+         |  SELECT *, CASE WHEN n_events > 1
+         |                 THEN sum_gap_us // (n_events - 1) END AS avg_gap_us
+         |  FROM s),
+         |f AS (
+         |  SELECT *,
+         |         CAST(n_events >= $minE AND avg_gap_us < $fast AS INT) AS flag_fast,
+         |         CAST(n_events >= $metroE
+         |              AND max_gap_us - min_gap_us <= $jit AS INT) AS flag_metronome
+         |  FROM a)
+         |SELECT *, CAST(flag_fast = 1 OR flag_metronome = 1 AS INT) AS is_bot
+         |FROM f""".stripMargin
+    },
+
+    // Dwell = lead-gap within the session; the session's last event has
+    // no observable dwell and is excluded (time-on-page semantics).
+    "q113_dwell_time" ->
+      s"""$sessionCte, g AS (
+         |  SELECT event_type,
+         |         lead(ts_us) OVER (PARTITION BY user_id, session_seq
+         |                           ORDER BY ts_us, event_id) - ts_us AS dwell_us
+         |  FROM sz)
+         |SELECT event_type,
+         |       CAST(COUNT(*) AS BIGINT) AS n_obs,
+         |       CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+         |       MIN(dwell_us) AS min_dwell_us,
+         |       MAX(dwell_us) AS max_dwell_us,
+         |       CAST(SUM(dwell_us) AS BIGINT) // COUNT(*) AS avg_dwell_us
+         |FROM g WHERE dwell_us IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // DSIR twin: the same hashed unigram+bigram feature stream (md5
+    // nibble buckets), add-1-smoothed bucket counts, and the exact
+    // integer ⌊log₂⌋ weights via the bitlen identity (flog2rSql).
+    "q114_dsir_score" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(md5(f), $i, 1)) - 1)"
+      val bucket =
+        s"(${nib(5)} * 4096 + ${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)})"
+      val bkts = graft.ops.TextAnalysis.ClassifierBuckets
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, lang, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (
+         |  SELECT doc_id, source, lang, u.f AS f
+         |  FROM tok, UNNEST(list_concat(t,
+         |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS u(f)),
+         |fb AS (SELECT doc_id, source, lang, $bucket AS bucket FROM f),
+         |tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_cnt FROM fb
+         |       WHERE source = '${Queries.DsirTargetSource}' GROUP BY 1),
+         |rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_cnt FROM fb GROUP BY 1),
+         |tt AS (SELECT CAST(COALESCE(SUM(t_cnt), 0) AS BIGINT) AS t_tot FROM tc),
+         |rt AS (SELECT CAST(COALESCE(SUM(r_cnt), 0) AS BIGINT) AS r_tot FROM rc),
+         |w0 AS (
+         |  SELECT bucket,
+         |         COALESCE(t_cnt, 0) + 1 AS ta, t_tot + $bkts AS tb,
+         |         r_cnt + 1 AS ra, r_tot + $bkts AS rb
+         |  FROM rc LEFT JOIN tc USING (bucket), tt, rt),
+         |w AS (
+         |  SELECT bucket,
+         |         ${flog2rSql("ta", "tb")} - ${flog2rSql("ra", "rb")} AS weight
+         |  FROM w0)
+         |SELECT fb.doc_id, fb.source, fb.lang,
+         |       CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |       CAST(SUM(weight) AS BIGINT) AS dsir_score
+         |FROM fb JOIN w USING (bucket)
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    // Windowed-funnel twin: existence chains carry EVERY candidate
+    // completion time per step (q95's greedy MIN(seq) is not exact
+    // once windows bind — a later step-1 restart can be the one that
+    // converts), DISTINCT-bounded per session. The fold's strict
+    // event-order constraint is seq (= ROW_NUMBER over ts, event_id).
+    "q116_windowed_funnel" -> {
+      val flow = Queries.orderedFlow
+      val wUs = Queries.FunnelWindowSeconds * 1000000L
+      val stepCtes = flow.zipWithIndex.map { case (s, i) =>
+        val r = i + 1
+        if (r == 1)
+          s"""wp1 AS (
+             |  SELECT DISTINCT user_id, session_seq, ts_us, seq
+             |  FROM frows WHERE event_type = '$s')""".stripMargin
+        else
+          s"""wp$r AS (
+             |  SELECT DISTINCT r.user_id, r.session_seq, r.ts_us, r.seq
+             |  FROM frows r JOIN wp${r - 1} p
+             |    ON r.user_id = p.user_id AND r.session_seq = p.session_seq
+             |  WHERE r.event_type = '$s' AND r.seq > p.seq
+             |    AND r.ts_us - p.ts_us <= $wUs)""".stripMargin
+      }.mkString(",\n")
+      val reachedRows = flow.indices.map { i =>
+        s"SELECT ${i + 1} AS step_idx, CAST(COUNT(*) AS BIGINT) AS sessions_reached FROM (SELECT DISTINCT user_id, session_seq FROM wp${i + 1})"
+      }.mkString("\n  UNION ALL ")
+      val stepRows = flow.zipWithIndex
+        .map { case (s, i) => s"(${i + 1}, '$s')" }.mkString(", ")
+      s"""$sessionCte,
+         |frows AS (
+         |  SELECT user_id, session_seq, event_type, ts_us,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS seq
+         |  FROM sz),
+         |fsess AS (SELECT DISTINCT user_id, session_seq FROM frows),
+         |$stepCtes,
+         |steps(step_idx, step) AS (VALUES $stepRows),
+         |rk AS ($reachedRows),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_sessions FROM fsess),
+         |fin AS (
+         |  SELECT CAST(s.step_idx AS BIGINT) AS step_idx, s.step,
+         |         rk.sessions_reached,
+         |         COALESCE(LAG(rk.sessions_reached) OVER (ORDER BY s.step_idx),
+         |           tot.total_sessions) AS prev_reached,
+         |         tot.total_sessions
+         |  FROM steps s JOIN rk ON rk.step_idx = s.step_idx, tot)
+         |SELECT step_idx, step, sessions_reached, prev_reached,
+         |       CASE WHEN prev_reached = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * sessions_reached / prev_reached)
+         |              AS BIGINT) END AS conv_from_prev_bp,
+         |       CASE WHEN total_sessions = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * sessions_reached / total_sessions)
+         |              AS BIGINT) END AS conv_from_start_bp
+         |FROM fin""".stripMargin
+    },
+
+    // q55's raw-string gram twin, reversed to eval grain; zero rows
+    // for un-leaked eval docs come from the left join.
+    "q117_eval_contamination" -> {
+      val n = Queries.ContamN; val m = Queries.ContamEvalMod
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+         |           i -> array_to_string(t[i : i + ${n - 1}], ' '))) AS gram
+         |  FROM toks WHERE len(t) >= $n),
+         |bg AS (SELECT DISTINCT doc_id AS eval_doc_id, gram FROM grams
+         |       WHERE doc_id % $m = 0),
+         |hits AS (
+         |  SELECT DISTINCT g.gram, g.doc_id AS train_doc_id
+         |  FROM grams g JOIN (SELECT DISTINCT gram FROM bg) b USING (gram)
+         |  WHERE g.doc_id % $m <> 0),
+         |pe AS (
+         |  SELECT eval_doc_id,
+         |         CAST(COUNT(DISTINCT bg.gram) AS BIGINT) AS leaked_grams,
+         |         CAST(COUNT(DISTINCT train_doc_id) AS BIGINT) AS n_train_docs
+         |  FROM bg JOIN hits USING (gram) GROUP BY 1),
+         |tot AS (
+         |  SELECT eval_doc_id, CAST(COUNT(*) AS BIGINT) AS total_grams
+         |  FROM bg GROUP BY 1)
+         |SELECT t.eval_doc_id, COALESCE(pe.leaked_grams, 0) AS leaked_grams,
+         |       COALESCE(pe.n_train_docs, 0) AS n_train_docs, t.total_grams,
+         |       CAST(FLOOR(10000.0 * COALESCE(pe.leaked_grams, 0)
+         |         / t.total_grams) AS BIGINT) AS leak_bp
+         |FROM tot t LEFT JOIN pe USING (eval_doc_id)""".stripMargin
     }
   )
+
+  /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB
+    * dialect) — the no-libm log twin of `TrainingPrep.flog2Ratio`:
+    * bitlen via `format('{:b}')` string length, the ±1 correction via
+    * an overflow-safe shift compare. */
+  private def flog2rSql(a: String, b: String): String = {
+    val la = s"length(format('{:b}', $a))"
+    val lb = s"length(format('{:b}', $b))"
+    s"""(($la - $lb) - CASE WHEN
+       |    ($la >= $lb AND ($a) < ($b) * (1::BIGINT << ($la - $lb)))
+       |    OR ($la < $lb AND ($a) * (1::BIGINT << ($lb - $la)) < ($b))
+       |  THEN 1 ELSE 0 END)""".stripMargin
+  }
 }

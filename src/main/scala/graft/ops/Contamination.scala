@@ -62,6 +62,39 @@ object Contamination {
       .agg(countDistinct(col("gh")).as("n_hits"))
   }
 
+  /** Benchmark-side triage — the REVERSE direction of [[flagged]]:
+    * instead of "which training docs must go", "which EVAL items are
+    * compromised and by how much" (the report an eval owner reads
+    * before trusting a score; a fully-leaked item invalidates the
+    * metric even after the training doc is dropped from the NEXT
+    * run). Per eval doc: distinct leaked grams, distinct training
+    * docs carrying them, total grams, and leak coverage in bp.
+    *
+    * Scale shape: both eval-side frames are broadcast (eval suites
+    * are MBs); the corpus is one map stage filtered AT THE JOIN by
+    * the broadcast gram set, so only matched (gram, train-doc) rows
+    * — a vanishing fraction — reach the two bounded aggregates.
+    * Un-leaked eval docs appear with zeros (left join): absence of
+    * evidence must be a visible row, not a missing one. */
+  def evalContamination(train: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    val bg = gramHashes(benchmark, n)
+      .select(col("doc_id").as("eval_doc_id"), col("gh")).distinct()
+    val hits = gramHashes(train, n)
+      .join(broadcast(bg.select(col("gh")).distinct()), Seq("gh"))
+      .select(col("gh"), col("doc_id").as("train_doc_id")).distinct()
+    val perEval = bg.join(hits, Seq("gh"))
+      .groupBy(col("eval_doc_id"))
+      .agg(countDistinct(col("gh")).as("leaked_grams"),
+        countDistinct(col("train_doc_id")).as("n_train_docs"))
+    bg.groupBy(col("eval_doc_id")).agg(count(lit(1)).as("total_grams"))
+      .join(perEval, Seq("eval_doc_id"), "left")
+      .na.fill(0L, Seq("leaked_grams", "n_train_docs"))
+      .withColumn("leak_bp",
+        floor(lit(10000.0) * col("leaked_grams") / col("total_grams"))
+          .cast("long"))
+  }
+
   /** Fuzzy decontamination: training documents MinHash-LSH-similar to
     * an eval document — the near-dup complement of [[flagged]]'s
     * exact n-gram overlap (a paraphrased or lightly-edited eval leak

@@ -96,18 +96,74 @@ object PageFunnel {
   def orderedFunnel(spark: SparkSession, sessionized: DataFrame,
       flow: Seq[String]): DataFrame = {
     require(flow.nonEmpty, "funnel needs at least 1 step")
-    import spark.implicits._
-    val steps = flow.zipWithIndex
-      .map { case (s, i) => (i.toLong + 1L, s) }.toDF("step_idx", "step")
-    val flowArr = s"array(${flow.map(s => s"'${s.replace("'", "''")}'").mkString(", ")})"
-    val depths = sessionized
-      .groupBy(col("user_id"), col("session_seq"))
-      .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
-        col("event_type")))).as("evs"))
+    val flowArr = sqlArray(flow)
+    val depths = sessionEvents(sessionized)
       .withColumn("depth", expr(
         s"""aggregate(evs, 0L, (d, e) ->
            |  CASE WHEN d < ${flow.size} AND e.event_type = element_at($flowArr, CAST(d + 1 AS INT))
            |       THEN d + 1 ELSE d END)""".stripMargin))
+    depthReport(spark, depths, flow)
+  }
+
+  /** Time-boxed ordered funnel — [[orderedFunnel]] with a per-step
+    * conversion window (the product-analytics default: "clicked
+    * within 10 minutes of viewing"): a session reaches step k when
+    * the first k flow steps occur in order AND each step lands within
+    * `windowSeconds` of the previous one.
+    *
+    * Greedy-earliest is NOT exact once windows bind (matching step 1
+    * at its earliest occurrence can strand a later restart that
+    * converts: A@0, A@50, B@55 with W=10 converts via the second A),
+    * so the fold carries per-depth DP state instead: state[d] = the
+    * LATEST completion time of the length-d prefix so far (−1 =
+    * unreached). Max-time is dominant — a larger completion time only
+    * loosens every future window check — and the array `transform`
+    * updates all depths SIMULTANEOUSLY from the pre-event state, so
+    * one event cannot chain through two steps, while still serving
+    * every partial chain it extends (repeated step types included).
+    * Reached depth = count of non-negative entries (prefix property:
+    * state[d] ≥ 0 requires state[d−1] ≥ 0 at match time).
+    *
+    * Same scale shape as [[orderedFunnel]]: one fact shuffle riding
+    * the sessionize partitioning; the DP state is K longs per session
+    * inside a map-stage fold; the report is metadata-sized. */
+  def windowedFunnel(spark: SparkSession, sessionized: DataFrame,
+      flow: Seq[String], windowSeconds: Long): DataFrame = {
+    require(flow.nonEmpty, "funnel needs at least 1 step")
+    val flowArr = sqlArray(flow)
+    val wUs = windowSeconds * 1000000L
+    val k = flow.size
+    val depths = sessionEvents(sessionized)
+      .withColumn("state", expr(
+        s"""aggregate(evs, array_repeat(-1L, $k), (st, e) ->
+           |  transform(st, (v, i) ->
+           |    CASE WHEN element_at($flowArr, i + 1) = e.event_type
+           |              AND (i = 0 OR (element_at(st, i) >= 0L
+           |                             AND e.ts_us - element_at(st, i) <= ${wUs}L))
+           |         THEN greatest(v, e.ts_us) ELSE v END))""".stripMargin))
+      .withColumn("depth", expr("size(filter(state, v -> v >= 0L))").cast("long"))
+    depthReport(spark, depths, flow)
+  }
+
+  private def sqlArray(flow: Seq[String]): String =
+    s"array(${flow.map(s => s"'${s.replace("'", "''")}'").mkString(", ")})"
+
+  /** One session row with the time-ordered (ts_us, event_id, type)
+    * event structs — the shared fact pass of both funnel variants
+    * (rides the sessionize user_id partitioning). */
+  private def sessionEvents(sessionized: DataFrame): DataFrame =
+    sessionized
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+        col("event_type")))).as("evs"))
+
+  /** Depth-grain rollup → per-step reach/conversion report (shared
+    * tail of both funnel variants). */
+  private def depthReport(spark: SparkSession, depths: DataFrame,
+      flow: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val steps = flow.zipWithIndex
+      .map { case (s, i) => (i.toLong + 1L, s) }.toDF("step_idx", "step")
     // ≤K+1 rows but derived from the full session pass; persisted so
     // the total + per-step consumers don't re-run the fact scan
     val byDepth = depths.groupBy(col("depth")).agg(count(lit(1)).as("n"))

@@ -69,4 +69,85 @@ object Sessionize {
   /** Convenience: events -> session aggregates. */
   def apply(events: DataFrame, gapSeconds: Long = 1800L): DataFrame =
     sessionAggregates(assignSessions(events, gapSeconds))
+
+  /** Bot / automation detection at session grain — the standard
+    * pre-analytics hygiene pass (and the guard [[Market.coVisitation]]'s
+    * pair cap exists for): sessions that are too fast or too REGULAR to
+    * be human. Two integer verdicts over the within-session inter-event
+    * gaps:
+    *
+    *  - `flag_fast`: ≥ `minEvents` events with mean gap below
+    *    `fastGapUs` (sustained super-human rate; a one-off double-click
+    *    doesn't trip it because the MEAN must stay low);
+    *  - `flag_metronome`: ≥ `minEvents` events whose gap spread
+    *    (max − min) fits inside `jitterUs` — scripted schedulers fire
+    *    on robotic cadence; humans never do. Spread over variance
+    *    deliberately: exact BIGINT arithmetic (house no-libm rule) and
+    *    one fewer aggregate, with the same verdict on a metronome.
+    *
+    * Scale shape: the gap lag rides the SAME user_id window partition
+    * as session assignment (zero extra shuffle, q91's pattern), then
+    * ONE session-grain hash aggregate — partial map-side, key domain =
+    * sessions. Single-event sessions aggregate null gaps and flag 0
+    * via the `n_events` floor. All columns BIGINT; `div` truncation ≡
+    * DuckDB `//` on the non-negative gap domain.
+    */
+  def botSessions(events: DataFrame, gapSeconds: Long = 1800L,
+      minEvents: Long = 5L, fastGapUs: Long = 2000000L,
+      jitterUs: Long = 1000000L): DataFrame = {
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    assignSessions(events, gapSeconds)
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(bySession))
+      .groupBy(col("session_id"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("(max(ts_us) - min(ts_us)) div 1000000").as("duration_s"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .withColumn("avg_gap_us",
+        expr("CASE WHEN n_events > 1 THEN sum_gap_us div (n_events - 1) END"))
+      .withColumn("flag_fast",
+        (col("n_events") >= minEvents && col("avg_gap_us") < fastGapUs)
+          .cast("int"))
+      // metronome needs ≥ 2 gaps to measure spread — a 2-event session
+      // has one gap and spread 0 by construction, so the floor is
+      // structurally ≥ 3 regardless of how low `minEvents` is set.
+      .withColumn("flag_metronome",
+        (col("n_events") >= math.max(minEvents, 3L) &&
+          col("max_gap_us") - col("min_gap_us") <= jitterUs).cast("int"))
+      .withColumn("is_bot",
+        (col("flag_fast") === 1 || col("flag_metronome") === 1).cast("int"))
+  }
+
+  /** Per-event-type dwell time — "how long do users sit on X before
+    * doing anything else": dwell of an event = gap to the session's
+    * NEXT event (the last event of a session has no observable dwell
+    * and is excluded — standard time-on-page semantics; session
+    * timeout would otherwise dominate every mean). Complements
+    * [[Market.transitions]]: that reports WHERE journeys go, this
+    * reports HOW LONG each step holds.
+    *
+    * Scale shape: the lead rides the sessionize user_id partition
+    * (zero extra shuffle), then one bounded-domain event_type
+    * aggregate — the whole report is metadata-sized. Integer µs
+    * throughout; avg via BIGINT `div`.
+    */
+  def dwellTime(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    assignSessions(events, gapSeconds)
+      .withColumn("dwell_us", lead(col("ts_us"), 1).over(bySession) - col("ts_us"))
+      .filter(col("dwell_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("dwell_us")).as("total_dwell_us"),
+        min(col("dwell_us")).as("min_dwell_us"),
+        max(col("dwell_us")).as("max_dwell_us"))
+      .withColumn("avg_dwell_us", expr("total_dwell_us div n_obs"))
+  }
 }

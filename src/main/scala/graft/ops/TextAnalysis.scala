@@ -396,9 +396,15 @@ object TextAnalysis {
 
   val ClassifierBuckets = 1 << 16
 
+  /** The hashing-trick bucket for an arbitrary string expression —
+    * md5 hex chars 5-8 parsed as 16 bits, the engine's portable-hash
+    * convention (shared by the classifier, DSIR scoring, and their
+    * oracles' nibble-parse twins). */
+  def bucketOf(column: String): String =
+    s"CAST(conv(substring(md5($column), 5, 4), 16, 10) AS BIGINT)"
+
   /** SQL lambda body: token string -> bucket [0, 65536). */
-  private val BucketExpr =
-    "CAST(conv(substring(md5(x), 5, 4), 16, 10) AS BIGINT)"
+  private val BucketExpr = bucketOf("x")
 
   /** Stand-in weight: bucket -> [-500, 500]. */
   private def weightExpr(bucket: String) = s"($bucket % 1001) - 500"

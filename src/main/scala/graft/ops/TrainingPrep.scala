@@ -451,4 +451,138 @@ object TrainingPrep {
                |     / CAST(total_tokens AS DOUBLE)) AS BIGINT)""".stripMargin)
           .as("top_share_bp"))
   }
+
+  /** Exact ⌊log₂(a/b)⌋ on positive BIGINTs — the no-libm logarithm
+    * (SURVEY §7.3): with d = bitlen(a) − bitlen(b), a/b lies in
+    * [2^(d−1), 2^(d+1)), so the floor is d, minus 1 iff a < b·2^d
+    * (the shift never overflows: bitlen(b)+d = bitlen(a) ≤ 63).
+    * Engine-portable because bitlen is a STRING length (`bin()` here,
+    * `format('{:b}')` in DuckDB) — libm log2 rounds differently at
+    * power-of-two boundaries, a string length cannot. */
+  private[graft] def flog2Ratio(a: Column, b: Column): Column = {
+    val d = (length(bin(a)) - length(bin(b))).cast("int")
+    val belowPow = when(d >= 0, a < call_function("shiftleft", b, d))
+      .otherwise(call_function("shiftleft", a, -d) < b)
+    (d - when(belowPow, 1).otherwise(0)).cast("int")
+  }
+
+  /** Hashed unigram+bigram feature stream of a docs frame — the
+    * bag-of-hashed-ngrams representation DSIR scores over. Bigrams
+    * via zip_with against the array tail (pure map, the q86 shape);
+    * buckets are the house md5-nibble hash ([[TextAnalysis.bucketOf]]),
+    * so the oracle reproduces them bit-for-bit. */
+  private def featStream(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("__t", expr(TextAnalysis.TokensExpr))
+      .withColumn("__f", concat(col("__t"), expr(
+        """zip_with(slice(__t, 1, size(__t) - 1),
+          |         slice(__t, 2, size(__t) - 1),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)))
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(col("__f")).as("f"))
+      .withColumn("bucket", expr(TextAnalysis.bucketOf("f")))
+
+  /** DSIR-style importance scoring (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): rank
+    * raw-corpus documents by how target-like their hashed-n-gram
+    * profile is. Per feature bucket f, the add-1-smoothed weight
+    *
+    *   λ(f) = ⌊log₂ p̂_target(f)⌋ − ⌊log₂ p̂_raw(f)⌋
+    *        = flog2(t_cnt+1, t_tot+B) − flog2(r_cnt+1, r_tot+B)
+    *
+    * and a document's score is Σ λ(f) over its feature OCCURRENCES —
+    * the log-likelihood ratio of the two bag-of-hashed-ngrams models,
+    * quantized to whole bits per feature ([[flog2Ratio]]; exact
+    * integers end to end, so the oracle hashes bit-identically — the
+    * DSIR paper's float log-ratio would not). Resampling by this
+    * score is the selection step; [[budgetSelect]] composes it with a
+    * token budget.
+    *
+    * Scale shape (the reason DSIR beats classifier-per-domain at
+    * 100 TB): both distributions live at BUCKET grain — ≤ 65536 rows
+    * regardless of corpus size — so the weight table broadcasts, and
+    * scoring is a map stage + one doc-grain aggregate. The raw corpus
+    * is read exactly twice (once collapsing to bucket counts, once
+    * scoring); the target (a curated seed, MBs-to-GBs) once. The
+    * weight join is INNER because every raw feature's bucket is by
+    * construction in the raw count table — nothing is dropped. */
+  /** Token-budget-constrained selection: keep the highest-scoring
+    * documents whose token counts fit a training budget — the
+    * selection step downstream of any scorer ([[dsirScore]], the
+    * quality classifier, a curriculum metric).
+    *
+    * NOT a global sort + running cumsum (which would single-partition
+    * a 100 TB corpus): scores collapse to VALUE grain first
+    * (`curriculumBuckets`' convention — distinct score values are
+    * bounded, integer scores over bounded feature sums), the
+    * class-level cumsum finds the threshold score s*, and then
+    *  - every doc in a class strictly above the threshold is kept by
+    *    a broadcast semi-join (pure map over the corpus);
+    *  - only the ONE boundary class (partially affordable) is
+    *    windowed, in deterministic md5-draw order (the house R1
+    *    layout-independent draw), to fill the remaining budget
+    *    without exceeding it.
+    *
+    * The input frame is persisted (it feeds both the class histogram
+    * and the two selection joins; scorers are usually expensive).
+    * Output: (doc_id, score, token_count, reason ∈ full|boundary);
+    * Σ token_count ≤ budgetTokens always, with equality iff the
+    * boundary class can fill it doc-exactly. */
+  def budgetSelect(scored: DataFrame, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val s = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    val byScore = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classes = s.groupBy(col("score"))
+      .agg(sum(col("token_count")).as("cls_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("cls_tokens")).over(byScore), lit(0L)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val full = classes
+      .filter(col("cum_before") + col("cls_tokens") <= budgetTokens)
+      .select(col("score"))
+    val boundary = classes
+      .filter(col("cum_before") < budgetTokens &&
+        col("cum_before") + col("cls_tokens") > budgetTokens)
+      .select(col("score"), (lit(budgetTokens) - col("cum_before")).as("remaining"))
+    val fullSel = s.join(broadcast(full), Seq("score"))
+      .select(col("doc_id"), col("score"), col("token_count"))
+      .withColumn("reason", lit("full"))
+    // the boundary window partitions on the single boundary score —
+    // it sorts ONE class, not the corpus
+    val byDraw = Window.partitionBy(col("score"))
+      .orderBy(col("draw"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundarySel = s.join(broadcast(boundary), Seq("score"))
+      .withColumn("draw", md5(col("doc_id").cast("string")))
+      .withColumn("cum", sum(col("token_count")).over(byDraw))
+      .filter(col("cum") <= col("remaining"))
+      .select(col("doc_id"), col("score"), col("token_count"))
+      .withColumn("reason", lit("boundary"))
+    fullSel.unionByName(boundarySel)
+  }
+
+  def dsirScore(raw: DataFrame, target: DataFrame): DataFrame = {
+    val b = lit(TextAnalysis.ClassifierBuckets.toLong)
+    val tCnt = featStream(target).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("t_cnt"))
+    val rCnt = featStream(raw).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("r_cnt"))
+    // empty-target guard: SUM over zero rows is NULL, coalesce to 0
+    // (every weight then collapses to the constant smoothing floor)
+    val tTot = tCnt.agg(coalesce(sum(col("t_cnt")), lit(0L)).as("t_tot"))
+    val rTot = rCnt.agg(coalesce(sum(col("r_cnt")), lit(0L)).as("r_tot"))
+    val weights = rCnt.join(tCnt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("t_cnt"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("weight",
+        flog2Ratio(col("t_cnt") + lit(1L), col("t_tot") + b) -
+          flog2Ratio(col("r_cnt") + lit(1L), col("r_tot") + b))
+      .select(col("bucket"), col("weight"))
+    featStream(raw)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("weight")).cast("long").as("dsir_score"))
+  }
 }

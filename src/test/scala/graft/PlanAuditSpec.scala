@@ -373,6 +373,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!stripCached(p).contains("SortMergeJoin"), p)
   }
 
+  test("q112 bot sessions: gap lag + session aggregate both ride the one user_id window shuffle") {
+    // lag over (user_id, session_seq) and groupBy(session_id, user_id)
+    // are each satisfied by hashpartitioning(user_id) — the whole
+    // verdict table is ONE fact shuffle, like q02.
+    val p = plan("q112_bot_sessions")
+    assert(shuffles(p) == 1, p)
+  }
+
+  test("q113 dwell time: one fact shuffle + the bounded event_type aggregate; no SinglePartition") {
+    val p = plan("q113_dwell_time")
+    assert(shuffles(p) <= 2, p)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length == 1, p)
+    assert(!stripCached(p).contains("Exchange SinglePartition"), p)
+  }
+
+  test("q114 dsir: bucket-grain weight table broadcast into the feature stream; one doc-grain shuffle") {
+    val p = plan("q114_dsir_score")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the scoring side shuffles exactly once — the (doc, source, lang)
+    // re-aggregate; everything else lives at ≤65536-bucket grain
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q115 budget select: class table broadcast back; the corpus is never globally sorted") {
+    val p = plan("q115_budget_select")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the threshold cumsum runs at score-value grain inside the cached
+    // class table; the LIVE plan must not range-partition (global
+    // sort) or single-partition the corpus
+    assert(!stripCached(p).contains("Exchange rangepartitioning"), p)
+    assert(!stripCached(p).contains("Exchange SinglePartition"), p)
+  }
+
+  test("q116 windowed funnel: DP fold is a map stage — the live plan reads the cached depth table, no fact re-shuffle") {
+    val p = plan("q116_windowed_funnel")
+    assert(p.contains("InMemoryTableScan"), s"depth table not persisted:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).isEmpty,
+      s"live plan re-shuffled the facts:\n$p")
+  }
+
   test("q93 pagerank: rounds read checkpointed frames; joins never cartesian") {
     val p = plan("q93_pagerank")
     // the unrolled rounds must not re-derive the session→pair chain:

@@ -612,4 +612,57 @@ class RetrievalSpec extends SparkSpec {
       .select("step_idx", "sessions_reached").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L)))
   }
+
+  test("windowedFunnel: per-step window gates conversion; a late restart converts where greedy would not") {
+    import java.sql.Timestamp
+    def e(id: Long, user: Long, t: String, typ: String) =
+      (id, Timestamp.valueOf(t), user, typ, 1.0, "{}")
+    val df = Seq(
+      // u1: view@0, click@15min → outside the 10-min window → depth 1
+      e(0, 1, "2024-01-01 00:00:00", "view"),
+      e(1, 1, "2024-01-01 00:15:00", "click"),
+      // u2: view@0, view@14min, click@20min — the greedy counter-case:
+      // earliest view is stale, the RESTART view converts → depth 2
+      e(10, 2, "2024-01-01 00:00:00", "view"),
+      e(11, 2, "2024-01-01 00:14:00", "view"),
+      e(12, 2, "2024-01-01 00:20:00", "click"),
+      // u3: tight chain view→click→purchase all within window → depth 3
+      e(20, 3, "2024-01-01 00:00:00", "view"),
+      e(21, 3, "2024-01-01 00:05:00", "click"),
+      e(22, 3, "2024-01-01 00:09:00", "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sess = graft.ops.Sessionize.assignSessions(df)
+    val got = graft.ops.PageFunnel
+      .windowedFunnel(spark, sess, Seq("view", "click", "purchase"), 600L)
+      .select("step_idx", "sessions_reached").as[(Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 3L), (2L, 2L), (3L, 1L)))
+    // the unbounded funnel counts u1's late click too
+    val unbounded = graft.ops.PageFunnel
+      .orderedFunnel(spark, sess, Seq("view", "click", "purchase"))
+      .select("step_idx", "sessions_reached").as[(Long, Long)]
+      .collect().toSet
+    assert(unbounded == Set((1L, 3L), (2L, 3L), (3L, 1L)))
+  }
+
+  test("windowedFunnel: one event cannot chain two steps (simultaneous DP update)") {
+    import java.sql.Timestamp
+    def e(id: Long, user: Long, t: String, typ: String) =
+      (id, Timestamp.valueOf(t), user, typ, 1.0, "{}")
+    // flow view→view: a single view must not count as both steps
+    val one = Seq(e(0, 1, "2024-01-01 00:00:00", "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d1 = graft.ops.PageFunnel.windowedFunnel(spark,
+      graft.ops.Sessionize.assignSessions(one), Seq("view", "view"), 600L)
+      .select("step_idx", "sessions_reached").as[(Long, Long)].collect().toSet
+    assert(d1 == Set((1L, 1L), (2L, 0L)))
+    val two = Seq(
+      e(0, 1, "2024-01-01 00:00:00", "view"),
+      e(1, 1, "2024-01-01 00:01:00", "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d2 = graft.ops.PageFunnel.windowedFunnel(spark,
+      graft.ops.Sessionize.assignSessions(two), Seq("view", "view"), 600L)
+      .select("step_idx", "sessions_reached").as[(Long, Long)].collect().toSet
+    assert(d2 == Set((1L, 1L), (2L, 1L)))
+  }
 }

@@ -60,4 +60,88 @@ class SessionizeSpec extends SparkSpec {
     val some = SessionFilter(sess, cust, Queries.filterParams)
     assert(some.count() <= all.count())
   }
+
+  // --- botSessions ------------------------------------------------------
+
+  private lazy val botFixture = Seq(
+    // user 1: metronome — 4 events exactly 20 s apart (spread 0)
+    ev(10, 1, "2024-01-01 00:00:00"),
+    ev(11, 1, "2024-01-01 00:00:20"),
+    ev(12, 1, "2024-01-01 00:00:40"),
+    ev(13, 1, "2024-01-01 00:01:00"),
+    // user 2: fast — gaps 1 s, 25 s, 1 s, 1 s (mean 7 s, spread 24 s)
+    ev(20, 2, "2024-01-01 00:00:00"),
+    ev(21, 2, "2024-01-01 00:00:01"),
+    ev(22, 2, "2024-01-01 00:00:26"),
+    ev(23, 2, "2024-01-01 00:00:27"),
+    ev(24, 2, "2024-01-01 00:00:28"),
+    // user 3: two events, one 1 s gap (spread 0 by construction)
+    ev(30, 3, "2024-01-01 00:00:00"),
+    ev(31, 3, "2024-01-01 00:00:01"),
+    // user 4: single event — no gaps at all
+    ev(40, 4, "2024-01-01 00:00:00")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private def botMap(minEvents: Long) = Sessionize
+    .botSessions(botFixture, minEvents = minEvents,
+      fastGapUs = 15000000L, jitterUs = 1000000L)
+    .collect().map(r => r.getAs[String]("session_id") -> r).toMap
+
+  test("botSessions: hand-computed gap stats and both verdict paths") {
+    val m = botMap(minEvents = 3L)
+    val metro = m("1_1")
+    assert(metro.getAs[Long]("n_events") == 4L)
+    assert(metro.getAs[Long]("min_gap_us") == 20000000L)
+    assert(metro.getAs[Long]("max_gap_us") == 20000000L)
+    assert(metro.getAs[Long]("avg_gap_us") == 20000000L)
+    assert(metro.getAs[Int]("flag_fast") == 0) // mean 20 s ≥ 15 s
+    assert(metro.getAs[Int]("flag_metronome") == 1)
+    assert(metro.getAs[Int]("is_bot") == 1)
+    val fast = m("2_1")
+    assert(fast.getAs[Long]("sum_gap_us") == 28000000L)
+    assert(fast.getAs[Long]("avg_gap_us") == 7000000L)
+    assert(fast.getAs[Int]("flag_fast") == 1)
+    assert(fast.getAs[Int]("flag_metronome") == 0) // spread 24 s
+    assert(fast.getAs[Int]("is_bot") == 1)
+    assert(m("3_1").getAs[Int]("is_bot") == 0) // under the event floor
+  }
+
+  test("botSessions: single-event sessions aggregate null gaps and never flag") {
+    val solo = botMap(minEvents = 3L)("4_1")
+    assert(solo.getAs[Long]("n_events") == 1L)
+    assert(solo.isNullAt(solo.fieldIndex("min_gap_us")))
+    assert(solo.isNullAt(solo.fieldIndex("avg_gap_us")))
+    assert(solo.getAs[Long]("duration_s") == 0L)
+    assert(solo.getAs[Int]("flag_fast") == 0 && solo.getAs[Int]("is_bot") == 0)
+  }
+
+  test("botSessions: metronome floor is structurally 3 — a one-gap session has spread 0 but is not a metronome") {
+    val m = botMap(minEvents = 2L)
+    val twoEv = m("3_1")
+    assert(twoEv.getAs[Long]("max_gap_us") - twoEv.getAs[Long]("min_gap_us") == 0L)
+    assert(twoEv.getAs[Int]("flag_metronome") == 0) // floor, not spread
+    assert(twoEv.getAs[Int]("flag_fast") == 1) // 1 s mean under 15 s
+  }
+
+  // --- dwellTime --------------------------------------------------------
+
+  test("dwellTime: lead-gap within session; session-final events excluded") {
+    val fixture = Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "view"),
+      ev(1, 1, "2024-01-01 00:00:10", "click"),
+      ev(2, 1, "2024-01-01 00:00:30", "purchase"), // last of session 1
+      ev(3, 1, "2024-01-01 02:00:00", "view"), // new session
+      ev(4, 1, "2024-01-01 02:00:05", "click") // last of session 2
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = Sessionize.dwellTime(fixture)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(!m.contains("purchase")) // only ever session-final
+    val view = m("view")
+    assert(view.getAs[Long]("n_obs") == 2L)
+    assert(view.getAs[Long]("total_dwell_us") == 15000000L)
+    assert(view.getAs[Long]("min_dwell_us") == 5000000L)
+    assert(view.getAs[Long]("max_dwell_us") == 10000000L)
+    assert(view.getAs[Long]("avg_dwell_us") == 7500000L)
+    assert(m("click").getAs[Long]("total_dwell_us") == 20000000L)
+  }
 }

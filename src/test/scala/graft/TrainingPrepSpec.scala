@@ -24,6 +24,21 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out == Map(1L -> 1L))
   }
 
+  test("evalContamination: per-eval leak coverage; un-leaked items appear with zeros") {
+    val bench = docs(
+      100L -> "alpha beta gamma delta epsilon",  // grams: 2 (n=4)
+      101L -> "one two three four five six")     // grams: 3, none leaked
+    val train = docs(
+      1L -> "xx alpha beta gamma delta yy",      // leaks "alpha beta gamma delta"
+      2L -> "zz alpha beta gamma delta ww")      // leaks the same gram
+    val out = Contamination.evalContamination(train, bench, n = 4)
+      .collect().map(r => r.getAs[Long]("eval_doc_id") ->
+        ((r.getAs[Long]("leaked_grams"), r.getAs[Long]("n_train_docs"),
+          r.getAs[Long]("total_grams"), r.getAs[Long]("leak_bp")))).toMap
+    assert(out(100L) == ((1L, 2L, 2L, 5000L))) // 1 of 2 grams, 2 train docs
+    assert(out(101L) == ((0L, 0L, 3L, 0L)))    // visible zero row
+  }
+
   test("decontamination counts DISTINCT overlapping grams per doc") {
     val bench = docs(100L -> "a b c d e")            // grams: "a b c", "b c d", "c d e"
     val train = docs(1L -> "a b c d e a b c")        // hits all 3 + repeats "a b c"
@@ -330,5 +345,81 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out(Some("de"))._3 > out(Some("de"))._2)
     assert(out(None)._3 > out(None)._2)
     assert(out(Some("en"))._3 < out(Some("en"))._2)
+  }
+
+  // ---- DSIR importance scoring ----
+
+  test("flog2Ratio is the exact floor(log2(a/b)) across power-of-two boundaries") {
+    val cases = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (7L, 2L), (8L, 2L), (9L, 2L),
+      (1L, 65536L), (65536L, 1L), (12345L, 99999L), (99999L, 12345L),
+      (1L, 65537L), (3L, 1L), (4L, 1L), (1L << 40, 3L), (3L, 1L << 40))
+    val got = cases.toDF("a", "b")
+      .select(TrainingPrep.flog2Ratio(col("a"), col("b")).as("f"))
+      .as[Int].collect()
+    val want = cases.map { case (a, b) =>
+      math.floor(math.log(a.toDouble / b) / math.log(2.0)).toInt
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("dsirScore ranks target-vocabulary docs above off-target docs") {
+    val target = docs(
+      100L -> "quantum flux capacitor resonance chamber",
+      101L -> "flux resonance quantum capacitor field")
+    val raw = docs(
+      1L -> "quantum flux capacitor resonance field", // target-like
+      2L -> "banana smoothie recipe with yogurt",     // off-target
+      3L -> "quantum banana flux smoothie field")     // mixed
+    val s = TrainingPrep.dsirScore(raw, target)
+      .select("doc_id", "dsir_score").as[(Long, Long)].collect().toMap
+    assert(s.keySet == Set(1L, 2L, 3L))
+    assert(s(1L) > s(3L) && s(3L) > s(2L))
+  }
+
+  test("dsirScore survives an empty target (smoothing floor only)") {
+    val raw = docs(1L -> "alpha beta", 2L -> "gamma delta")
+    val out = TrainingPrep.dsirScore(raw, docs().limit(0))
+    assert(out.count() == 2L)
+    // with t_cnt ≡ 0 every weight is flog2(1, B) − flog2(r_cnt+1, r_tot+B):
+    // strictly negative-or-zero minus a larger-ratio term — finite, no nulls
+    assert(out.filter(col("dsir_score").isNull).count() == 0L)
+  }
+
+  // ---- budgetSelect ----
+
+  private def scored(rows: (Long, Long, Long)*) =
+    rows.toDF("doc_id", "token_count", "score")
+
+  private def md5hex(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("budgetSelect: full classes above the threshold, md5-draw greedy fill of the boundary class") {
+    // class 10: 5 tokens (full at budget 12); class 8: two 5-token docs
+    // (cum_before 5, 5+10 > 12 → boundary, remaining 7 fits exactly one);
+    // class 5: never reached
+    val in = scored((1L, 5L, 10L), (2L, 5L, 8L), (3L, 5L, 8L), (4L, 100L, 5L))
+    val out = TrainingPrep.budgetSelect(in, budgetTokens = 12L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("reason")).toMap
+    val firstByDraw = Seq(2L, 3L).minBy(id => (md5hex(id), id))
+    assert(out == Map(1L -> "full", firstByDraw -> "boundary"))
+  }
+
+  test("budgetSelect: budget covering everything keeps everything as full classes") {
+    val in = scored((1L, 5L, 10L), (2L, 7L, 8L), (3L, 9L, 3L))
+    val out = TrainingPrep.budgetSelect(in, budgetTokens = 21L).collect()
+    assert(out.length == 3 && out.forall(_.getAs[String]("reason") == "full"))
+  }
+
+  test("budgetSelect: budget below the first document selects nothing, and never overshoots") {
+    val in = scored((1L, 5L, 10L), (2L, 7L, 8L))
+    assert(TrainingPrep.budgetSelect(in, budgetTokens = 2L).count() == 0L)
+    // invariant on the fixture query: Σ tokens ≤ budget
+    val sel = Queries.budgetSelect(spark, sf)
+      .agg(sum("token_count")).as[Long].head()
+    assert(sel <= Queries.SelectBudgetTokens)
   }
 }
