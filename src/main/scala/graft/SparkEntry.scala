@@ -144,7 +144,13 @@ object SparkEntry {
     "q114_dsir_score" -> (Queries.dsirScore _),
     "q115_budget_select" -> (Queries.budgetSelect _),
     "q116_windowed_funnel" -> (Queries.windowedFunnel _),
-    "q117_eval_contamination" -> (Queries.evalContamination _)
+    "q117_eval_contamination" -> (Queries.evalContamination _),
+    "q118_shard_mixing" -> (Queries.shardMixing _),
+    "q119_threshold_sweep" -> (Queries.thresholdSweep _),
+    "q120_signal_agreement" -> (Queries.signalAgreement _),
+    "q121_ivf_balance" -> (Queries.ivfBalance _),
+    "q122_script_mix" -> (Queries.scriptMix _),
+    "q123_boilerplate_lines" -> (Queries.boilerplateLines _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -952,6 +958,42 @@ object Queries {
       docs.filter(col("doc_id") % ContamEvalMod =!= 0),
       docs.filter(col("doc_id") % ContamEvalMod === 0), ContamN)
   }
+
+  /** Shard-mixing audit over q107's shuffle (per-shard source TVD). */
+  def shardMixing(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.shardMixing(Tables(spark, dir, "documents"), ShuffleShards)
+
+  // Dyadic width keeps floor(score/width) an exact binary scaling;
+  // 1024 yields ~tens of buckets over the fixture's score range.
+  val SweepBucketWidth = 1024L
+
+  /** Quality-threshold sweep over the q69 classifier scores. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.thresholdSweep(
+      TextAnalysis.qualityClassifier(Tables(spark, dir, "documents")),
+      SweepBucketWidth)
+
+  /** q18 heuristic × q69 classifier agreement matrix. */
+  def signalAgreement(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.signalAgreement(Tables(spark, dir, "documents"))
+
+  /** IVF list balance / coherence report (index-health gate). */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfBalance(Tables(spark, dir, "embeddings"))
+
+  /** Per-source character-class / script mixture panel. */
+  def scriptMix(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptMix(Tables(spark, dir, "documents"))
+
+  // Same token-window line analog as q45; 2 docs is the floor that
+  // makes a window "shared" at fixture scale.
+  val BoilerplateMinDocs = 2L
+  val BoilerplateTopK = 5
+
+  /** Top cross-document boilerplate lines per source. */
+  def boilerplateLines(spark: SparkSession, dir: String): DataFrame =
+    TextClean.boilerplateLines(Tables(spark, dir, "documents"),
+      LineTokens, BoilerplateMinDocs, BoilerplateTopK)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -3898,6 +3940,245 @@ object Oracles {
          |       CAST(FLOOR(10000.0 * COALESCE(pe.leaked_grams, 0)
          |         / t.total_grams) AS BIGINT) AS leak_bp
          |FROM tot t LEFT JOIN pe USING (eval_doc_id)""".stripMargin
+    },
+
+    // q107's nibble-parsed draw32 shard + a DENSE shard×source grid
+    // (absent sources must contribute their whole global share).
+    "q118_shard_mixing" -> {
+      val s = Queries.ShuffleShards
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT source, md5(CAST(doc_id AS VARCHAR)) AS draw,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tc
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT source, CAST($draw32 AS BIGINT) % $s AS shard, tc FROM d),
+         |obs AS (
+         |  SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(tc) AS BIGINT) AS tokens
+         |  FROM sh GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT g.range AS shard, s.source
+         |  FROM range(0, $s) g CROSS JOIN (SELECT DISTINCT source FROM obs) s),
+         |dense AS (
+         |  SELECT g.shard, g.source,
+         |         COALESCE(o.n_docs, 0) AS n_docs,
+         |         COALESCE(o.tokens, 0) AS tokens
+         |  FROM grid g LEFT JOIN obs o
+         |    ON o.shard = g.shard AND o.source = g.source),
+         |sh_tot AS (
+         |  SELECT *,
+         |         SUM(tokens) OVER (PARTITION BY shard) AS shard_tokens,
+         |         SUM(tokens) OVER (PARTITION BY source) AS source_tokens,
+         |         SUM(tokens) OVER () AS total_tokens
+         |  FROM dense),
+         |devs AS (
+         |  SELECT shard, n_docs, tokens, shard_tokens,
+         |         CASE WHEN shard_tokens = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * tokens / shard_tokens) AS BIGINT)
+         |         END AS share_bp,
+         |         CAST(FLOOR(10000.0 * source_tokens / total_tokens) AS BIGINT)
+         |           AS global_bp
+         |  FROM sh_tot)
+         |SELECT shard, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |       CAST(MAX(shard_tokens) AS BIGINT) AS tokens,
+         |       CAST(FLOOR(SUM(ABS(share_bp - global_bp)) / 2.0) AS BIGINT)
+         |         AS tvd_bp,
+         |       CAST(MAX(ABS(share_bp - global_bp)) AS BIGINT) AS max_dev_bp
+         |FROM devs GROUP BY 1""".stripMargin
+    },
+
+    // q69's score twin collapsed to dyadic buckets + a descending
+    // cumulative (keep-if-score≥threshold semantics).
+    "q119_threshold_sweep" -> {
+      val wd = Queries.SweepBucketWidth
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(md5(x), $i, 1)) - 1)"
+      val bucket =
+        s"(${nib(5)} * 4096 + ${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)})"
+      s"""WITH t AS (
+         |  SELECT string_split(text, ' ') AS tok FROM documents
+         |  WHERE text IS NOT NULL),
+         |s AS (
+         |  SELECT CAST(len(tok) AS BIGINT) AS token_count,
+         |         CAST(list_sum(list_transform(tok,
+         |           x -> ($bucket % 1001) - 500)) AS BIGINT) AS score
+         |  FROM t),
+         |b AS (
+         |  SELECT CAST(FLOOR(CAST(score AS DOUBLE) / $wd.0) AS BIGINT) AS bucket,
+         |         token_count
+         |  FROM s),
+         |g AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(token_count) AS BIGINT) AS tokens
+         |  FROM b GROUP BY 1)
+         |SELECT bucket, CAST(bucket * $wd AS BIGINT) AS min_score, n_docs, tokens,
+         |       CAST(SUM(n_docs) OVER w AS BIGINT) AS docs_kept,
+         |       CAST(SUM(tokens) OVER w AS BIGINT) AS tokens_kept,
+         |       CAST(FLOOR(10000.0 * SUM(n_docs) OVER w
+         |         / SUM(n_docs) OVER ()) AS BIGINT) AS docs_kept_bp,
+         |       CAST(FLOOR(10000.0 * SUM(tokens) OVER w
+         |         / SUM(tokens) OVER ()) AS BIGINT) AS tokens_kept_bp
+         |FROM g
+         |WINDOW w AS (ORDER BY bucket DESC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin
+    },
+
+    // the q18 gate expression verbatim (same defaults) × the q69
+    // score twin, both as column arithmetic on ONE scan.
+    "q120_signal_agreement" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(md5(x), $i, 1)) - 1)"
+      val bucket =
+        s"(${nib(5)} * 4096 + ${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)})"
+      s"""WITH t AS (
+         |  SELECT string_split(text, ' ') AS tok FROM documents
+         |  WHERE text IS NOT NULL),
+         |m AS (
+         |  SELECT CAST(len(tok) AS BIGINT) AS token_count,
+         |         CAST(len(list_filter(tok, x -> length(x) <= 2)) AS BIGINT)
+         |           AS short_count,
+         |         CAST(list_sum(list_transform(tok,
+         |           x -> ($bucket % 1001) - 500)) AS BIGINT) AS score
+         |  FROM t),
+         |v AS (
+         |  SELECT token_count,
+         |         CAST(token_count >= 20 AND
+         |           CAST(FLOOR(10000.0 * short_count / token_count) AS BIGINT)
+         |             <= 4000 AS INT) AS heuristic_ok,
+         |         CAST(score >= 0 AS INT) AS classifier_keep
+         |  FROM m),
+         |g AS (
+         |  SELECT heuristic_ok, classifier_keep,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(token_count) AS BIGINT) AS tokens
+         |  FROM v GROUP BY 1, 2)
+         |SELECT heuristic_ok, classifier_keep, n_docs, tokens,
+         |       CAST(FLOOR(10000.0 * n_docs / SUM(n_docs) OVER ()) AS BIGINT)
+         |         AS docs_bp,
+         |       CAST(heuristic_ok = classifier_keep AS INT) AS agree
+         |FROM g""".stripMargin
+    },
+
+    // q32's quantize/centroid CTE chain, folded to list grain with
+    // each vector's cosine to its OWN centroid.
+    "q121_ivf_balance" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, q,
+        |         CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2
+        |  FROM e),
+        |centdim AS (
+        |  SELECT label, i AS pos,
+        |         CAST(FLOOR(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        |  FROM n, unnest(range(1, len(q) + 1)) t(i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(c ORDER BY pos) AS centroid FROM centdim GROUP BY label),
+        |c2 AS (
+        |  SELECT label, centroid,
+        |         CAST(list_sum(list_transform(centroid, v -> v * v)) AS BIGINT) AS c_n2
+        |  FROM cent),
+        |s AS (
+        |  SELECT n.label,
+        |         CASE WHEN n.n2 = 0 OR c2.c_n2 = 0 THEN 0
+        |              ELSE CAST(FLOOR(10000.0 *
+        |                     CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+        |                          i -> n.q[i] * c2.centroid[i])) AS BIGINT)
+        |                     / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c2.c_n2 AS DOUBLE)))) AS BIGINT)
+        |         END AS cos_bp
+        |  FROM n JOIN c2 USING (label)),
+        |g AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |         CAST(SUM(cos_bp) AS BIGINT) AS sum_cos
+        |  FROM s GROUP BY 1)
+        |SELECT label, n_vecs,
+        |       CAST(FLOOR(10000.0 * n_vecs / SUM(n_vecs) OVER ()) AS BIGINT)
+        |         AS share_bp,
+        |       CAST(FLOOR(CAST(sum_cos AS DOUBLE) / n_vecs) AS BIGINT)
+        |         AS mean_cos_bp
+        |FROM g""".stripMargin,
+
+    // subtraction-trick char-class counts; patterns shared with the
+    // Spark side (Java-regex ∩ RE2 subset, q46/q83 convention).
+    "q122_script_mix" -> {
+      def cnt(cls: String) =
+        s"CAST(length(text) - length(regexp_replace(text, '$cls', '', 'g')) AS BIGINT)"
+      s"""WITH m AS (
+         |  SELECT source, CAST(length(text) AS BIGINT) AS chars,
+         |         ${cnt("[A-Za-z]")} AS letters,
+         |         ${cnt("[0-9]")} AS digits,
+         |         ${cnt("[ \\t\\n\\r]")} AS spaces,
+         |         ${cnt("[^\\x00-\\x7F]")} AS non_ascii
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (
+         |  SELECT *, CAST(letters > 0 AND non_ascii > 0 AS BIGINT) AS mixed
+         |  FROM m),
+         |g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(chars) AS BIGINT) AS chars,
+         |         CAST(SUM(letters) AS BIGINT) AS letters,
+         |         CAST(SUM(digits) AS BIGINT) AS digits,
+         |         CAST(SUM(spaces) AS BIGINT) AS spaces,
+         |         CAST(SUM(non_ascii) AS BIGINT) AS non_ascii,
+         |         CAST(SUM(mixed) AS BIGINT) AS n_mixed
+         |  FROM f GROUP BY 1)
+         |SELECT source, n_docs, chars, letters, digits, spaces, non_ascii,
+         |       n_mixed,
+         |       CASE WHEN chars = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * letters / chars) AS BIGINT)
+         |       END AS letter_bp,
+         |       CASE WHEN chars = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * digits / chars) AS BIGINT)
+         |       END AS digit_bp,
+         |       CASE WHEN chars = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * spaces / chars) AS BIGINT)
+         |       END AS space_bp,
+         |       CASE WHEN chars = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * non_ascii / chars) AS BIGINT)
+         |       END AS non_ascii_bp,
+         |       CASE WHEN n_docs = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * n_mixed / n_docs) AS BIGINT)
+         |       END AS mixed_bp
+         |FROM g""".stripMargin
+    },
+
+    // q45's chunk CTE (same L) + per-doc list_distinct, counted
+    // across docs at (source, line) grain.
+    "q123_boilerplate_lines" -> {
+      val l = Queries.LineTokens
+      val m = Queries.BoilerplateMinDocs
+      val k = Queries.BoilerplateTopK
+      s"""WITH t AS (
+         |  SELECT source, string_split(text, ' ') AS tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (
+         |  SELECT source,
+         |         list_transform(range(0, CAST(ceil(len(tokens) / $l.0) AS BIGINT)),
+         |           i -> array_to_string(tokens[i * $l + 1 : i * $l + $l], ' ')) AS chunks
+         |  FROM t),
+         |lines AS (
+         |  SELECT source, unnest(list_distinct(chunks)) AS line FROM c),
+         |g AS (
+         |  SELECT source, line, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM lines GROUP BY 1, 2
+         |  HAVING COUNT(*) >= $m),
+         |r AS (
+         |  SELECT source, line, n_docs,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY n_docs DESC, line ASC) AS INT) AS rank
+         |  FROM g)
+         |SELECT source, rank, line, n_docs FROM r WHERE rank <= $k"""
+        .stripMargin
     }
   )
 

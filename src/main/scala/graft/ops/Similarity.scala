@@ -214,6 +214,39 @@ object Similarity {
         col("cos_bp"), col("rank").cast("int").as("rank"))
   }
 
+  /** IVF index-health report: per inverted list (label key), its
+    * vector count, corpus share, and mean cosine-to-centroid — the
+    * two numbers that size an IVF deployment before it ships. Share
+    * imbalance is the latency tail (every probe of a hot list scans
+    * its whole list: a 10× over-full list is a 10× slower probe);
+    * low centroid coherence on a list says the coarse quantizer
+    * under-fits there (split the list / raise nlist). Jégou et al.
+    * 2011 tune exactly these two axes.
+    *
+    * Scale shape: centroids are metadata-sized and broadcast; the
+    * corpus is scanned once with the cosine-to-own-centroid as a map
+    * stage and collapses straight to list grain; the share window
+    * runs over |lists| rows. mean_cos_bp = ⌊Σcos/n⌋ on the already-
+    * floored per-vector bp values — exact BIGINT sum, one final
+    * divide. */
+  def ivfBalance(emb: DataFrame): DataFrame = {
+    val quant = quantized(emb)
+    val cents = ivfCentroidsFromQuantized(quant)
+    val scored = quant
+      .join(broadcast(cents), "label")
+      .withColumn("cos_bp", cosBp(dotExpr("q", "centroid"), col("n2"), col("c_n2")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("cos_bp")).as("sum_cos"))
+    val wAll = Window.partitionBy()
+    scored
+      .withColumn("share_bp",
+        floor(lit(10000.0) * col("n_vecs") / sum(col("n_vecs")).over(wAll))
+          .cast("long"))
+      .withColumn("mean_cos_bp",
+        floor(col("sum_cos").cast("double") / col("n_vecs")).cast("long"))
+      .select(col("label"), col("n_vecs"), col("share_bp"), col("mean_cos_bp"))
+  }
+
   /** Embedding near-duplicate pairs: co-bucketed, cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, thresholdBp: Long = 2000L): DataFrame = {
     val q = withSignBucket(quantized(emb))

@@ -456,6 +456,107 @@ object TextAnalysis {
     spark.range(ClassifierBuckets.toLong).toDF("bucket")
       .withColumn("weight", expr(weightExpr("bucket")))
 
+  /** Quality-signal agreement matrix: the q18 heuristic gate crossed
+    * with the q69 model gate, per cell (docs, tokens, share). The
+    * standard calibration read before trusting either filter alone —
+    * the two off-diagonal cells are exactly the docs where a curator
+    * must pick a side, and their SIZE is the decision's blast radius.
+    *
+    * Both verdicts are pure functions of `text`, so they are computed
+    * in the SAME map stage over one corpus scan — no join, no second
+    * pass (a doc_id join of the two gate outputs would shuffle the
+    * corpus twice to rediscover column-local arithmetic). The
+    * heuristic arm reproduces [[textQuality]]'s gate expression
+    * verbatim (spec-pinned parity) rather than calling it, because
+    * textQuality's per-doc projection drops `text` and the classifier
+    * score needs it.
+    *
+    * Scale shape: one corpus pass collapsing straight to the 2×2
+    * verdict grain; the share window runs over ≤4 rows. */
+  def signalAgreement(docs: DataFrame, minTokens: Long = 20L,
+      maxShortBp: Long = 4000L): DataFrame = {
+    val cells = withTokens(docs.filter(col("text").isNotNull))
+      .select(
+        size(col("tokens")).cast("long").as("token_count"),
+        expr("CAST(size(filter(tokens, x -> length(x) <= 2)) AS BIGINT)")
+          .as("short_count"),
+        classifierScore.as("score"))
+      .withColumn("short_bp",
+        floor(lit(10000.0) * col("short_count") / col("token_count")).cast("long"))
+      .withColumn("heuristic_ok",
+        (col("token_count") >= minTokens && col("short_bp") <= maxShortBp)
+          .cast("int"))
+      .withColumn("classifier_keep", (col("score") >= 0L).cast("int"))
+      .groupBy(col("heuristic_ok"), col("classifier_keep"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("token_count")).as("tokens"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells
+      .withColumn("docs_bp",
+        floor(lit(10000.0) * col("n_docs") / sum(col("n_docs")).over(wAll))
+          .cast("long"))
+      .withColumn("agree", (col("heuristic_ok") === col("classifier_keep")).cast("int"))
+  }
+
+  // ---- character-class / script mixture ----
+  //
+  // Counts are CHARACTERS (both engines' length() is code points on
+  // the formats in play), derived by the subtraction trick
+  // length(text) − length(regexp_replace(text, class, '')) so no
+  // engine-specific char-class table is involved; patterns stay in
+  // the shared Java-regex ∩ RE2 subset (q46/q83 convention).
+
+  val LetterClass = "[A-Za-z]"
+  val DigitClass = "[0-9]"
+  val SpaceClass = "[ \\t\\n\\r]"
+  val NonAsciiClass = "[^\\x00-\\x7F]"
+
+  /** Per-source character-class mixture: letter / digit / whitespace
+    * / other shares plus the non-ASCII share and a mixed-script flag
+    * rate (docs carrying BOTH ASCII letters and non-ASCII text — the
+    * classic spam/SEO and mis-tagged-language signal, and the first
+    * thing a language-ID audit looks at). Bp shares are floored from
+    * EXACT per-source character sums, not averaged per-doc ratios,
+    * so long docs weigh what they cost a tokenizer.
+    *
+    * Scale shape: four regex counts as one codegen'd map stage over
+    * the scan, collapsing straight to a bounded source-grain
+    * aggregate — zero joins, zero windows beyond none at all. */
+  def scriptMix(docs: DataFrame): DataFrame = {
+    def cnt(cls: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), cls, "")))
+        .cast("long")
+    docs.filter(col("text").isNotNull)
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("chars"),
+        cnt(LetterClass).as("letters"),
+        cnt(DigitClass).as("digits"),
+        cnt(SpaceClass).as("spaces"),
+        cnt(NonAsciiClass).as("non_ascii"))
+      .withColumn("mixed",
+        (col("letters") > 0L && col("non_ascii") > 0L).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("chars"),
+        sum(col("letters")).as("letters"),
+        sum(col("digits")).as("digits"),
+        sum(col("spaces")).as("spaces"),
+        sum(col("non_ascii")).as("non_ascii"),
+        sum(col("mixed")).as("n_mixed"))
+      .withColumn("letter_bp", shareBp(col("letters"), col("chars")))
+      .withColumn("digit_bp", shareBp(col("digits"), col("chars")))
+      .withColumn("space_bp", shareBp(col("spaces"), col("chars")))
+      .withColumn("non_ascii_bp", shareBp(col("non_ascii"), col("chars")))
+      .withColumn("mixed_bp", shareBp(col("n_mixed"), col("n_docs")))
+  }
+
+  /** House bp share with an explicit zero-denominator verdict (an
+    * all-empty-text source reports 0, not NULL/NaN). */
+  private def shareBp(num: Column, den: Column): Column =
+    when(den === 0L, lit(0L))
+      .otherwise(floor(lit(10000.0) * num / den).cast("long"))
+
   /** Per-source lexical diversity report — the corpus-health panel
     * run on every intake batch (and the standard synthetic-data
     * check: model-generated text shows collapsed TTR / bigram

@@ -56,6 +56,48 @@ object TextClean {
           .otherwise(concat_ws(" ", col("__kept"))).as("cleaned"))
   }
 
+  /** Cross-document boilerplate detection: the top-k "lines" (token
+    * windows, [[dedupLines]]'s line analog) appearing in at least
+    * `minDocs` DISTINCT documents of the same source — navigation
+    * chrome, cookie banners, license headers: template text a
+    * per-document repetition filter can never see because each doc
+    * carries it once. The output is the actionable removal list a
+    * RefinedWeb-style pipeline feeds back as a deny-list.
+    *
+    * Per-doc `array_distinct` before the explode makes the count a
+    * distinct-doc count with a PLAIN count(*) — no count_distinct
+    * Expand at the line grain.
+    *
+    * Scale shape: chunking is the same pure map as dedupLines; the
+    * exploded stream partial-aggregates map-side onto the (source,
+    * line) grain (boilerplate is by definition low-cardinality
+    * relative to the corpus — it repeats); the `minDocs` gate cuts
+    * the unique-line long tail BEFORE the top-k window, and the
+    * grouped top-k plans as WindowGroupLimit (rank cut ahead of the
+    * sort exchange). */
+  def boilerplateLines(docs: DataFrame, lineTokens: Int = 10,
+      minDocs: Long = 2L, k: Int = 5): DataFrame = {
+    require(lineTokens >= 1, "lineTokens must be >= 1")
+    val L = lineTokens
+    val lines = docs
+      .filter(col("text").isNotNull)
+      .withColumn("__tokens", expr("split(text, ' ')"))
+      .withColumn("__n_lines",
+        expr(s"CAST(ceil(size(__tokens) / $L.0) AS BIGINT)"))
+      .select(col("source"), explode(array_distinct(expr(
+        s"""transform(sequence(0, __n_lines - 1),
+           |  i -> concat_ws(' ', slice(__tokens, i * $L + 1, $L)))"""
+          .stripMargin))).as("line"))
+      .groupBy(col("source"), col("line"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("n_docs").desc, col("line").asc)
+    lines.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("line"), col("n_docs"))
+  }
+
   /** Gopher-style repetition metrics (Rae et al. 2021, Table A1) —
     * the signals a quality filter thresholds on, reported per
     * document instead of applied as removal:

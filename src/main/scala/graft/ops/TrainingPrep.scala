@@ -400,16 +400,127 @@ object TrainingPrep {
     * exchange anywhere. */
   def shardShuffle(docs: DataFrame, shards: Int = 8): DataFrame = {
     require(shards >= 1, "shards must be positive")
+    withShard(docs, shards)
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("draw"), col("doc_id"))) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** shardShuffle's assignment step alone — shard is a PURE FUNCTION
+    * of doc_id (md5 draw, top 32 bits, mod S), so consumers that only
+    * need the assignment (the mixing audit below) recompute it as a
+    * map stage instead of joining the shuffle output back. */
+  private def withShard(docs: DataFrame, shards: Int): DataFrame =
     docs
       .filter(col("text").isNotNull)
       .withColumn("draw", md5(col("doc_id").cast("string")))
       .withColumn("draw32", expr(
         "CAST(conv(substring(draw, 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("shard", pmod(col("draw32"), lit(shards.toLong)))
-      .withColumn("pos", (row_number().over(
-        Window.partitionBy(col("shard"))
-          .orderBy(col("draw"), col("doc_id"))) - 1).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** Shard-mixing audit for [[shardShuffle]]: per shard, how far the
+    * shard's SOURCE composition (by tokens) sits from the corpus-wide
+    * composition — total-variation distance in basis points plus the
+    * worst single-source deviation. A correct global shuffle makes
+    * every shard a miniature of the corpus; a shard whose TVD spikes
+    * means data order still correlates with provenance (the exact
+    * failure data-order papers blame for loss spikes — each training
+    * window over-exposes one domain). TVD over chi-square/KL per the
+    * house no-libm rule (q109's drift convention): floored bp shares,
+    * integer |·| sums, one final halving divide.
+    *
+    * The (shard × source) grid is DENSE — a source absent from a
+    * shard is a maximal mixing failure and must contribute its whole
+    * global share to that shard's TVD, so the grid is built by cross
+    * join (shards × source domain, metadata-sized) and observed
+    * counts land on it via a left join with zero-fill.
+    *
+    * Scale shape: shard is recomputed as a pure map (no join against
+    * the shuffle output), the corpus collapses to the (shard, source)
+    * grain in ONE aggregate, and everything after — the dense grid,
+    * the share windows, the per-shard rollup — runs on S × |sources|
+    * rows. */
+  def shardMixing(docs: DataFrame, shards: Int = 8): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    // persisted: the source-domain derivation below would otherwise
+    // re-scan the corpus just to enumerate sources (the bounded
+    // S × |sources| aggregate is the LAST corpus-grain frame)
+    val observed = withShard(docs, shards)
+      .groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(expr(TextAnalysis.TokensExpr)).cast("long")).as("tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = docs.sparkSession
+    val grid = spark.range(shards.toLong).toDF("shard")
+      .crossJoin(observed.select(col("source")).distinct())
+    val dense = grid.join(observed, Seq("shard", "source"), "left")
+      .na.fill(0L, Seq("n_docs", "tokens"))
+    val wShard = Window.partitionBy(col("shard"))
+    val wSource = Window.partitionBy(col("source"))
+    val wAll = Window.partitionBy()
+    dense
+      .withColumn("shard_tokens", sum(col("tokens")).over(wShard))
+      .withColumn("source_tokens", sum(col("tokens")).over(wSource))
+      .withColumn("total_tokens", sum(col("tokens")).over(wAll))
+      // house bp convention: one IEEE multiply + divide + floor each
+      .withColumn("share_bp",
+        when(col("shard_tokens") === 0L, lit(0L)).otherwise(
+          floor(lit(10000.0) * col("tokens") / col("shard_tokens")).cast("long")))
+      .withColumn("global_bp",
+        floor(lit(10000.0) * col("source_tokens") / col("total_tokens")).cast("long"))
+      .withColumn("dev_bp", abs(col("share_bp") - col("global_bp")))
+      .groupBy(col("shard"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        max(col("shard_tokens")).as("tokens"), // constant within the shard
+        floor(sum(col("dev_bp")).cast("double") / lit(2.0)).cast("long")
+          .as("tvd_bp"),
+        max(col("dev_bp")).as("max_dev_bp"))
+  }
+
+  /** Quality-threshold sweep: for every score bucket, what survives
+    * if the keep-gate were set there — the table a data curator reads
+    * to CHOOSE the cutoff (docs/tokens retained at each candidate
+    * threshold), instead of re-running the filter per candidate.
+    * Input is any per-doc scored frame (doc_id, token_count, score) —
+    * the q69 classifier, DSIR, or a trained model's output.
+    *
+    * `bucketWidth` MUST be a power of two: `floor(score / width)` is
+    * then an exact binary-scaling divide, so bucket ids are
+    * bit-identical cross-engine even for negative scores (where
+    * integer `div`'s truncation-toward-zero would disagree with
+    * floor).
+    *
+    * Scale shape: the corpus collapses to score-BUCKET grain in one
+    * aggregate; the descending cumulative (≥-threshold semantics)
+    * runs on that bounded domain (score range / width rows — the
+    * q104/q68 bounded-window convention), so the sweep costs one
+    * corpus pass regardless of how many thresholds it prices. */
+  def thresholdSweep(scored: DataFrame, bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth >= 1 && (bucketWidth & (bucketWidth - 1)) == 0L,
+      "bucketWidth must be a power of two")
+    val byBucket = scored
+      .withColumn("bucket",
+        floor(col("score").cast("double") / lit(bucketWidth.toDouble)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("token_count")).as("tokens"))
+    val wDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    byBucket
+      .withColumn("min_score", col("bucket") * lit(bucketWidth))
+      .withColumn("docs_kept", sum(col("n_docs")).over(wDesc))
+      .withColumn("tokens_kept", sum(col("tokens")).over(wDesc))
+      .withColumn("docs_kept_bp",
+        floor(lit(10000.0) * col("docs_kept") / sum(col("n_docs")).over(wAll))
+          .cast("long"))
+      .withColumn("tokens_kept_bp",
+        floor(lit(10000.0) * col("tokens_kept") / sum(col("tokens")).over(wAll))
+          .cast("long"))
+      .select(col("bucket"), col("min_score"), col("n_docs"), col("tokens"),
+        col("docs_kept"), col("tokens_kept"), col("docs_kept_bp"),
+        col("tokens_kept_bp"))
   }
 
   /** Corpus concentration report: how unevenly tokens spread across

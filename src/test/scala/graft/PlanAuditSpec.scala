@@ -543,4 +543,62 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(stripCached(plan("q22_minhash_dedup_pairs"))).length,
       s"leakage audit re-scanned the corpus beyond the pair pipeline:\n$p")
   }
+
+  test("q118 shard mixing: shard is a pure map (no join to the shuffle output); one live corpus scan") {
+    val p = plan("q118_shard_mixing")
+    // the corpus collapses to (shard, source) ONCE and is persisted;
+    // the source-domain grid reads the cache, not the parquet — any
+    // live Scan parquet beyond the cached build is a second pass
+    assert("FileScan parquet".r.findAllIn(stripCached(p)).isEmpty,
+      s"live corpus re-scan (cache bypassed):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bounded grid sort-merged:\n$p")
+    // the shard column must come from md5/pmod arithmetic, not a join
+    // (the arithmetic lives in the cached build lineage — full plan)
+    assert(p.contains("pmod"), s"shard not recomputed as a pure column:\n$p")
+  }
+
+  test("q119 threshold sweep: one corpus shuffle; cumulative rides the bounded bucket grain; scan pruned to text") {
+    val p = plan("q119_threshold_sweep")
+    assert(shuffles(p) == 2, p) // bucket agg + bounded-domain window
+    assert(!stripCached(p).contains("Join"), s"sweep must be join-free:\n$p")
+    // LIVE scans (another suite's cache may substitute a wider cached
+    // subtree — then the live plan has no scan at all, which is fine)
+    "ReadSchema: struct<([^>]*)".r.findAllMatchIn(stripCached(p))
+      .foreach { m =>
+        assert(m.group(1) == "text:string", s"scan not pruned: ${m.group(1)}")
+      }
+  }
+
+  test("q120 signal agreement: both verdicts in ONE map stage — no join, no second corpus pass") {
+    val p = plan("q120_signal_agreement")
+    assert(!stripCached(p).contains("Join"), s"gates joined instead of fused:\n$p")
+    assert("FileScan parquet".r.findAllIn(stripCached(p)).length <= 1,
+      s"corpus scanned more than once:\n$p")
+    assert(shuffles(p) == 2, p) // 2×2 agg + ≤4-row share window
+  }
+
+  test("q121 ivf balance: centroids broadcast; the corpus never sort-merges") {
+    val p = plan("q121_ivf_balance")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet centroids:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+  }
+
+  test("q122 script mix: join-free, explode-free single shuffle; scan pruned to (text, source)") {
+    val p = plan("q122_script_mix")
+    assert(shuffles(p) == 1, p)
+    assert(!stripCached(p).contains("Join") && !stripCached(p).contains("Generate"),
+      s"char classes must be regex subtraction, never explode:\n$p")
+    "ReadSchema: struct<([^>]*)".r.findAllMatchIn(stripCached(p)).foreach { m =>
+      assert(!m.group(1).contains("doc_id") && !m.group(1).contains("lang"),
+        s"scan not pruned: ${m.group(1)}")
+    }
+  }
+
+  test("q123 boilerplate lines: one (source, line) shuffle; grouped top-k plans WindowGroupLimit") {
+    val p = plan("q123_boilerplate_lines")
+    // line-grain agg + the top-k window's source repartition
+    assert(shuffles(p) == 2, p)
+    assert(p.contains("WindowGroupLimit"), s"top-k lost rank pushdown:\n$p")
+    assert(!p.contains("SinglePartition"), s"global ordering imposed:\n$p")
+  }
 }

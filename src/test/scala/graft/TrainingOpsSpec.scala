@@ -683,4 +683,105 @@ class TrainingOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Contamination.fuzzyFlagged(train, degenerate).count() == 0L)
   }
+
+  // ---- ivfBalance ----
+
+  test("ivfBalance: singleton/coherent lists score 10000, a split list scores its exact mean") {
+    val emb = Seq(
+      // list 0: two identical vectors — centroid IS the vector
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      // list 1: orthogonal pair — centroid [5e5, 5e5], cos = 7071 bp each
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfBalance(emb).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("mean_cos_bp")))).toMap
+    assert(out(0) == ((2L, 5000L, 10000L)))
+    // dot = 1e6*5e5; n2 = 1e12; c_n2 = 5e11 → floor(7071.06…) = 7071
+    assert(out(1) == ((2L, 5000L, 7071L)))
+  }
+
+  test("ivfBalance shares sum to ~10000 bp and counts conserve the corpus") {
+    val emb = Tables(spark, sf, "embeddings")
+    val rows = Similarity.ivfBalance(emb).collect()
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == emb.count())
+    val shareSum = rows.map(_.getAs[Long]("share_bp")).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - rows.length,
+      s"floored shares out of range: $shareSum")
+  }
+
+  // ---- signalAgreement ----
+
+  test("signalAgreement matches the q18 × q69 verdicts recomputed via a doc_id join") {
+    val docsT = Tables(spark, sf, "documents")
+    val want = TextAnalysis.textQuality(docsT)
+      .select(col("doc_id"), col("token_count"), col("quality_ok"))
+      .join(TextAnalysis.qualityClassifier(docsT)
+        .select(col("doc_id"), col("keep")), "doc_id")
+      .groupBy(col("quality_ok").as("heuristic_ok"),
+        col("keep").as("classifier_keep"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("token_count")).as("tokens"))
+      .collect()
+      .map(r => (r.getAs[Int]("heuristic_ok"), r.getAs[Int]("classifier_keep")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tokens")))).toMap
+    val got = TextAnalysis.signalAgreement(docsT).collect()
+      .map(r => (r.getAs[Int]("heuristic_ok"), r.getAs[Int]("classifier_keep")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tokens")))).toMap
+    assert(got == want)
+  }
+
+  test("signalAgreement: agree flags the diagonal, shares are floored of total") {
+    val docsT = Tables(spark, sf, "documents")
+    val rows = TextAnalysis.signalAgreement(docsT).collect()
+    rows.foreach { r =>
+      val expect = if (r.getAs[Int]("heuristic_ok") ==
+        r.getAs[Int]("classifier_keep")) 1 else 0
+      assert(r.getAs[Int]("agree") == expect)
+    }
+    val bpSum = rows.map(_.getAs[Long]("docs_bp")).sum
+    assert(bpSum <= 10000L && bpSum > 10000L - rows.length)
+  }
+
+  // ---- scriptMix ----
+
+  test("scriptMix: hand-computed char classes incl. CJK and the mixed-script flag") {
+    val d = Seq(
+      (1L, "abc 12", "s1"),   // 6 chars: 3 letters, 2 digits, 1 space
+      (2L, "你好 ab", "s1"),  // 5 chars: 2 letters, 1 space, 2 non-ascii (mixed)
+      (3L, "", "s2"))         // empty text: all-zero source via the 0-guard
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", lit(0L))
+    val out = graft.ops.TextAnalysis.scriptMix(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("chars"), r.getAs[Long]("letters"),
+          r.getAs[Long]("digits"), r.getAs[Long]("spaces"),
+          r.getAs[Long]("non_ascii"), r.getAs[Long]("n_mixed"),
+          r.getAs[Long]("mixed_bp")))).toMap
+    assert(out("s1") == ((11L, 5L, 2L, 2L, 2L, 1L, 5000L)))
+    assert(out("s2") == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    val s2 = graft.ops.TextAnalysis.scriptMix(d)
+      .filter(col("source") === "s2").head()
+    assert(s2.getAs[Long]("letter_bp") == 0L) // 0/0 guard, not null/NaN
+  }
+
+  // ---- boilerplateLines ----
+
+  test("boilerplateLines finds cross-doc windows, ignores within-doc repeats, ranks by count") {
+    val d = Seq(
+      (1L, "nav bar foo baa", "web"),
+      (2L, "nav bar baz qux", "web"),
+      (3L, "nav bar nav bar", "web"),  // distinct-per-doc: counts ONCE
+      (4L, "unique words here now", "web"),
+      (5L, "foo baa only here", "web"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", lit(0L))
+    val out = graft.ops.TextClean.boilerplateLines(d, lineTokens = 2,
+      minDocs = 2L, k = 5).collect()
+      .map(r => (r.getAs[String]("line"),
+        r.getAs[Long]("n_docs"), r.getAs[Int]("rank")))
+    // "nav bar": docs 1,2,3 → 3; "foo baa": docs 1,5 → 2; others < 2 gone
+    assert(out.toSet == Set(("nav bar", 3L, 1), ("foo baa", 2L, 2)))
+  }
 }

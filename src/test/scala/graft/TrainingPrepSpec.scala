@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Contamination, TrainingPrep}
+import graft.ops.{Contamination, TextAnalysis, TrainingPrep}
+import graft.tables.Tables
 
 class TrainingPrepSpec extends SparkSpec {
   import spark.implicits._
@@ -421,5 +422,105 @@ class TrainingPrepSpec extends SparkSpec {
     val sel = Queries.budgetSelect(spark, sf)
       .agg(sum("token_count")).as[Long].head()
     assert(sel <= Queries.SelectBudgetTokens)
+  }
+
+  // ---- shardMixing ----
+
+  /** The q107/q118 shard assignment recomputed in plain JVM code. */
+  private def shardOf(id: Long, shards: Int): Long =
+    java.lang.Long.parseLong(md5hex(id).substring(0, 8), 16) % shards
+
+  test("shardMixing: single-source corpus — populated shards sit at TVD 0, empty shards at the maximal 5000") {
+    val in = (1L to 20L).map(i => (i, "w1 w2 w3")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("only"))
+      .withColumn("n_chars", lit(0L))
+    val s = 4
+    val out = TrainingPrep.shardMixing(in, s).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("tvd_bp"), r.getAs[Long]("max_dev_bp")))).toMap
+    assert(out.keySet == (0L until s).toSet) // dense: every shard reports
+    val expectedDocs = (1L to 20L).groupBy(shardOf(_, s))
+      .view.mapValues(_.size.toLong).toMap
+    out.foreach { case (sh, (nd, tok, tvd, maxDev)) =>
+      assert(nd == expectedDocs.getOrElse(sh, 0L), s"shard $sh docs")
+      assert(tok == nd * 3, s"shard $sh tokens")
+      if (nd > 0) { assert(tvd == 0L && maxDev == 0L, s"shard $sh") }
+      else { assert(tvd == 5000L && maxDev == 10000L, s"empty shard $sh") }
+    }
+  }
+
+  test("shardMixing: a source confined to one shard raises the OTHER shards' TVD via the dense grid") {
+    val s = 2
+    val ids = (1L to 400L)
+    val shard0 = ids.filter(shardOf(_, s) == 0L).take(8)
+    val shard1 = ids.filter(shardOf(_, s) == 1L).take(8)
+    assert(shard0.size == 8 && shard1.size == 8)
+    // "mixed" lives on both shards; "confined" only on shard 0
+    val confined = (1000001L to 1000400L).filter(shardOf(_, s) == 0L).take(8)
+    assert(confined.size == 8)
+    val rows =
+      shard0.map(id => (id, "a a a a", "mixed")) ++
+      shard1.map(id => (id, "a a a a", "mixed")) ++
+      confined.map(id => (id, "b b b b", "confined"))
+    val in = rows.toSeq.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", lit(0L))
+    val out = TrainingPrep.shardMixing(in, s).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("tvd_bp")).toMap
+    // shard 1 carries zero "confined" tokens: its TVD must include the
+    // source's whole global share (the dense-grid contribution)
+    assert(out(1L) > 0L, s"dense grid lost the absent source: $out")
+  }
+
+  test("shardMixing conserves docs and tokens against the corpus") {
+    val docsT = Tables(spark, sf, "documents").filter(col("text").isNotNull)
+    val out = TrainingPrep.shardMixing(docsT, 8)
+    val (d, t) = out.agg(sum("n_docs"), sum("tokens"))
+      .as[(Long, Long)].head()
+    val want = docsT.agg(
+      count(lit(1)), sum(size(split(col("text"), " ")).cast("long")))
+      .as[(Long, Long)].head()
+    assert((d, t) == want)
+  }
+
+  // ---- thresholdSweep ----
+
+  test("thresholdSweep: hand-computed buckets, descending cumulative, negative-score floor") {
+    val in = scored(
+      (1L, 10L, -3000L), // floor(-3000/1024) = -3 (truncation would say -2)
+      (2L, 20L, -1L),    // bucket -1
+      (3L, 30L, 0L),     // bucket 0
+      (4L, 40L, 1500L),  // bucket 1
+      (5L, 50L, 2048L))  // bucket 2
+    val out = TrainingPrep.thresholdSweep(in, 1024L).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("min_score"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("docs_kept"), r.getAs[Long]("tokens_kept")))).toMap
+    assert(out(-3L) == ((-3072L, 1L, 5L, 150L))) // keeps everything
+    assert(out(-1L) == ((-1024L, 1L, 4L, 140L)))
+    assert(out(0L) == ((0L, 1L, 3L, 120L)))
+    assert(out(1L) == ((1024L, 1L, 2L, 90L)))
+    assert(out(2L) == ((2048L, 1L, 1L, 50L))) // strictest threshold
+  }
+
+  test("thresholdSweep rejects a non-dyadic bucket width") {
+    intercept[IllegalArgumentException] {
+      TrainingPrep.thresholdSweep(scored((1L, 1L, 1L)), 1000L)
+    }
+  }
+
+  test("thresholdSweep: kept shares are monotone and end at 10000 bp") {
+    val out = TrainingPrep.thresholdSweep(
+      TextAnalysis.qualityClassifier(Tables(spark, sf, "documents")),
+      Queries.SweepBucketWidth)
+      .orderBy(col("bucket").desc)
+      .select(col("docs_kept_bp"), col("tokens_kept_bp"))
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.sliding(2).foreach {
+      case Array((d1, t1), (d2, t2)) => assert(d1 <= d2 && t1 <= t2)
+      case _ =>
+    }
+    assert(out.last == ((10000L, 10000L)))
   }
 }
