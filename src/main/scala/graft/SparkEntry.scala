@@ -150,7 +150,10 @@ object SparkEntry {
     "q120_signal_agreement" -> (Queries.signalAgreement _),
     "q121_ivf_balance" -> (Queries.ivfBalance _),
     "q122_script_mix" -> (Queries.scriptMix _),
-    "q123_boilerplate_lines" -> (Queries.boilerplateLines _)
+    "q123_boilerplate_lines" -> (Queries.boilerplateLines _),
+    "q124_attribution" -> (Queries.attribution _),
+    "q125_doc_novelty" -> (Queries.docNovelty _),
+    "q126_surprisal" -> (Queries.surprisal _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -994,6 +997,26 @@ object Queries {
   def boilerplateLines(spark: SparkSession, dir: String): DataFrame =
     TextClean.boilerplateLines(Tables(spark, dir, "documents"),
       LineTokens, BoilerplateMinDocs, BoilerplateTopK)
+
+  /** First/last-touch conversion attribution over sessions. */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.attribution(Tables(spark, dir, "events"))
+
+  // Same token-window gram size as the q65 substring family; the
+  // fixture corpus has planted duplicates, so novelty < 10000 exists.
+  val NoveltyGram = 8
+
+  /** Per-doc corpus-novelty share at 8-gram grain. */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame =
+    Dedup.docNovelty(Tables(spark, dir, "documents"), NoveltyGram)
+
+  // Head size covering most of the synthetic corpus' Zipf mass while
+  // leaving a real OOV tail at sf0.01 (vocab there is ~1k types).
+  val SurprisalHeadK = 500
+
+  /** Unigram head-vocab surprisal (perplexity-filter proxy). */
+  def surprisal(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.surprisal(Tables(spark, dir, "documents"), SurprisalHeadK)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4179,6 +4202,86 @@ object Oracles {
          |  FROM g)
          |SELECT source, rank, line, n_docs FROM r WHERE rank <= $k"""
         .stripMargin
+    },
+
+    // the q02 session CTE + the two standard touch models; a
+    // first-of-session conversion has no earlier touch → 'direct'.
+    "q124_attribution" ->
+      s"""$sessionCte, c AS (
+         |  SELECT event_type,
+         |         first_value(event_type) OVER w AS first_type,
+         |         lag(event_type) OVER w AS prev_type,
+         |         row_number() OVER w AS seq
+         |  FROM sz
+         |  WINDOW w AS (PARTITION BY user_id, session_seq
+         |               ORDER BY ts_us, event_id)),
+         |conv AS (
+         |  SELECT CASE WHEN seq > 1 THEN first_type ELSE 'direct' END
+         |           AS first_touch,
+         |         COALESCE(prev_type, 'direct') AS last_touch
+         |  FROM c WHERE event_type = 'purchase'),
+         |u AS (
+         |  SELECT 'first' AS model, first_touch AS channel FROM conv
+         |  UNION ALL
+         |  SELECT 'last' AS model, last_touch AS channel FROM conv),
+         |g AS (
+         |  SELECT model, channel, CAST(COUNT(*) AS BIGINT) AS conversions
+         |  FROM u GROUP BY 1, 2)
+         |SELECT model, channel, conversions,
+         |       CAST(FLOOR(10000.0 * conversions /
+         |         SUM(conversions) OVER (PARTITION BY model)) AS BIGINT)
+         |         AS share_bp
+         |FROM g""".stripMargin,
+
+    // raw-string gram twin (q65 convention); DISTINCT per doc first so
+    // the carrier count is a distinct-doc count.
+    "q125_doc_novelty" -> {
+      val n = Queries.NoveltyGram
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i : i + ${n - 1}], ' ') AS g
+         |  FROM toks, unnest(range(1, len(t) - ${n - 2})) AS u(i)
+         |  WHERE len(t) >= $n),
+         |cc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS carriers
+         |       FROM grams GROUP BY 1),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_grams,
+         |         CAST(SUM(CASE WHEN carriers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS novel_grams
+         |  FROM grams JOIN cc USING (g) GROUP BY 1)
+         |SELECT t.doc_id, COALESCE(a.total_grams, 0) AS total_grams,
+         |       COALESCE(a.novel_grams, 0) AS novel_grams,
+         |       CASE WHEN a.doc_id IS NULL THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 * a.novel_grams / a.total_grams)
+         |              AS BIGINT) END AS novelty_bp
+         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
+
+    // head vocabulary by (term_freq desc, token asc) on BOTH engines;
+    // OOV floor freq=1; per-token ⌊log₂(T/freq)⌋ via the bitlen twin.
+    "q126_surprisal" -> {
+      val k = Queries.SurprisalHeadK
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |tot AS (
+         |  SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t_tot
+         |  FROM documents WHERE text IS NOT NULL),
+         |head AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS term_freq
+         |  FROM tok GROUP BY 1
+         |  ORDER BY term_freq DESC, token ASC LIMIT $k),
+         |s AS (
+         |  SELECT doc_id,
+         |         ${flog2rSql("t_tot", "COALESCE(term_freq, 1)")} AS sp
+         |  FROM tok LEFT JOIN head USING (token) CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS token_count,
+         |       CAST(SUM(sp) AS BIGINT) AS total_log2,
+         |       CAST(FLOOR(10000.0 * SUM(sp) / COUNT(*)) AS BIGINT)
+         |         AS avg_log2_bp
+         |FROM s GROUP BY 1""".stripMargin
     }
   )
 
@@ -4189,9 +4292,12 @@ object Oracles {
   private def flog2rSql(a: String, b: String): String = {
     val la = s"length(format('{:b}', $a))"
     val lb = s"length(format('{:b}', $b))"
+    // shifts clamped with greatest(): DuckDB's vectorized AND may
+    // evaluate a branch's shift even when its guard is false, and a
+    // negative shift amount raises — the guard still owns semantics.
     s"""(($la - $lb) - CASE WHEN
-       |    ($la >= $lb AND ($a) < ($b) * (1::BIGINT << ($la - $lb)))
-       |    OR ($la < $lb AND ($a) * (1::BIGINT << ($lb - $la)) < ($b))
+       |    ($la >= $lb AND ($a) < ($b) * (1::BIGINT << greatest($la - $lb, 0)))
+       |    OR ($la < $lb AND ($a) * (1::BIGINT << greatest($lb - $la, 0)) < ($b))
        |  THEN 1 ELSE 0 END)""".stripMargin
   }
 }

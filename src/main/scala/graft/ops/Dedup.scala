@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline (documents
@@ -555,6 +556,45 @@ object Dedup {
   private def withTokensBase(docs: DataFrame): DataFrame = docs
     .filter(col("text").isNotNull)
     .withColumn("__t", expr(TextAnalysis.TokensExpr))
+
+  /** Per-document novelty: the share of a doc's DISTINCT token
+    * `n`-grams that appear NOWHERE else in the corpus — the inverse
+    * reading of the q65 duplication family ("how much of this doc is
+    * new text" vs "how much is copied"). The memorization-risk /
+    * dataset-value triage signal: a crawl doc at 300 bp novelty is
+    * template chrome; an upweighting candidate sits near 10000.
+    *
+    * A gram is NOVEL iff exactly one document carries it (within-doc
+    * repeats are collapsed by the per-doc `array_distinct` BEFORE the
+    * explode, so a doc repeating its own phrase doesn't lose novelty
+    * — that is q49's repetition axis, not this one).
+    *
+    * Scale shape: grams are fused 64-bit `TokenGramHash`es (no gram
+    * strings); the carrier count is a WINDOW over the gram key on the
+    * already-distinct (doc, gram) stream — one gram-grain shuffle, no
+    * gram-table self-join — followed by the doc-grain re-aggregate.
+    * Docs too short for any gram surface with zero counts and a NULL
+    * novelty (visible-absence convention, q117): undefined is not 0.
+    */
+  def docNovelty(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    val base = withTokensBase(docs)
+    val grams = base
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.expressions.TokenGramHash.grams(col("__t"), n))).as("gh"))
+    val byGram = Window.partitionBy(col("gh"))
+    val scored = grams
+      .withColumn("carriers", count(lit(1)).over(byGram))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_grams"),
+        sum(when(col("carriers") === 1L, 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty_bp",
+        floor(lit(10000.0) * col("novel_grams") / col("total_grams"))
+          .cast("long"))
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("total_grams", "novel_grams"))
+  }
 
   def substringDupSpans(docs: DataFrame, n: Int = SpanGram,
       minCount: Long = 2L): DataFrame = {

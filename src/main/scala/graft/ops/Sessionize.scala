@@ -150,4 +150,56 @@ object Sessionize {
         max(col("dwell_us")).as("max_dwell_us"))
       .withColumn("avg_dwell_us", expr("total_dwell_us div n_obs"))
   }
+
+  /** Conversion attribution report — for every `convType` event, which
+    * earlier step of the SAME session gets the credit, under the two
+    * standard models side by side:
+    *
+    *  - `first`: the session's first event type (the acquisition
+    *    touch). A conversion that IS the session's first event has no
+    *    earlier touch → channel `direct`.
+    *  - `last`: the event type immediately preceding the conversion
+    *    (the closing touch); first-of-session conversions are again
+    *    `direct`.
+    *
+    * Both models emit (model, channel, conversions, share_bp) — the
+    * marketing-analytics table that decides budget splits. An earlier
+    * conversion CAN be a later one's touch (sessions with repeat
+    * purchases credit 'purchase'); that is the honest reading of the
+    * journey, not an artifact.
+    *
+    * Scale shape: first/lag/row_number all ride the sessionize
+    * user_id hash partition (hashpartitioning(user_id) satisfies the
+    * (user_id, session_seq) clustering — zero extra shuffle); the
+    * conversion filter cuts the stream BEFORE the model explode (2
+    * rows per conversion, not per event); the report aggregate runs
+    * at the bounded models × event-type-domain grain, share windows
+    * on top of that. */
+  def attribution(events: DataFrame, gapSeconds: Long = 1800L,
+      convType: String = "purchase"): DataFrame = {
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val conv = assignSessions(events, gapSeconds)
+      .withColumn("first_type", first(col("event_type")).over(bySession))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(bySession))
+      .withColumn("seq", row_number().over(bySession))
+      .filter(col("event_type") === convType)
+      .select(
+        when(col("seq") > 1, col("first_type")).otherwise(lit("direct"))
+          .as("first_touch"),
+        coalesce(col("prev_type"), lit("direct")).as("last_touch"))
+    val byModel = Window.partitionBy(col("model"))
+    conv
+      .select(explode(array(
+        struct(lit("first").as("model"), col("first_touch").as("channel")),
+        struct(lit("last").as("model"), col("last_touch").as("channel"))))
+        .as("mc"))
+      .select(col("mc.model").as("model"), col("mc.channel").as("channel"))
+      .groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).as("conversions"))
+      .withColumn("share_bp",
+        floor(lit(10000.0) * col("conversions") /
+          sum(col("conversions")).over(byModel)).cast("long"))
+  }
 }

@@ -497,6 +497,43 @@ object TextAnalysis {
       .withColumn("agree", (col("heuristic_ok") === col("classifier_keep")).cast("int"))
   }
 
+  /** Per-document unigram surprisal against the corpus' own head
+    * vocabulary — the integer-exact stand-in for CCNet/KenLM
+    * perplexity filtering (the single most-used LLM quality gate):
+    * docs full of common tokens score low (fluent/templated), docs of
+    * rare garbage score high; both tails get filtered or re-weighted
+    * downstream (q119 prices the cutoff).
+    *
+    * Per token: surprisal = ⌊log₂(T / freq)⌋ via `flog2Ratio` (the
+    * no-libm logarithm — bit-identical cross-engine where a float
+    * `ln` would not be), with freq from the top-`headK` vocabulary
+    * and an OOV floor of 1 (max surprisal) for everything outside it
+    * — the head IS the model, exactly how a pruned LM ships.
+    *
+    * Scale shape: the head (K rows) and the 1-row token total
+    * broadcast; scoring is one explode + broadcast-left-join +
+    * doc-grain aggregate (one shuffle). Three text passes total
+    * (map-only count, head build, scoring) — the head pass is shared
+    * with any q48/q85 consumer at deployment. */
+  def surprisal(docs: DataFrame, headK: Int = 1000): DataFrame = {
+    val live = docs.filter(col("text").isNotNull)
+    val tot = live.agg(
+      sum(size(expr(TokensExpr)).cast("long")).as("t_tot"))
+    val head = vocabTop(docs, headK).select(col("token"), col("term_freq"))
+    withTokens(live)
+      .select(col("doc_id"), explode(col("tokens")).as("token"))
+      .join(broadcast(head), Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("sp", TrainingPrep.flog2Ratio(
+        col("t_tot"), coalesce(col("term_freq"), lit(1L))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("token_count"),
+        sum(col("sp")).cast("long").as("total_log2"))
+      .withColumn("avg_log2_bp",
+        floor(lit(10000.0) * col("total_log2") / col("token_count"))
+          .cast("long"))
+  }
+
   // ---- character-class / script mixture ----
   //
   // Counts are CHARACTERS (both engines' length() is code points on

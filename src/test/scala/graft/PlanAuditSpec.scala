@@ -594,6 +594,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q124 attribution: touch windows ride the one sessionize shuffle; report exchanges are model-grain") {
+    val p = plan("q124_attribution")
+    // Exchange 1: user_id (fact) — shared by session assignment AND
+    // the first/lag/row_number touch windows (subset-clustering);
+    // exchanges 2-3: the bounded (model, channel) aggregate + the
+    // model share window. Any 4th exchange means a window stopped
+    // riding the session partitioning.
+    assert(shuffles(p) == 3, p)
+    assert(!p.contains("Join"), s"attribution must not join:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q125 doc novelty: carrier count is a gram-key window, not a gram self-join; hashes fused") {
+    val p = plan("q125_doc_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_token_gram_hash"),
+      s"gram strings materialized (TokenGramHash bypassed):\n$p")
+    // gram window + doc aggregate + the visible-zeros join's exchange
+    assert(shuffles(p) <= 4, p)
+    assert("Window \\[count".r.findAllIn(p).nonEmpty,
+      s"carrier count lost the window shape:\n$p")
+  }
+
+  test("q126 surprisal: head is TakeOrdered + broadcast; the token stream never sort-merges") {
+    val p = plan("q126_surprisal")
+    assert(p.contains("TakeOrderedAndProject"), s"head built by global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus tokens shuffled to meet the head:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"head join not broadcast:\n$p")
+  }
+
   test("q123 boilerplate lines: one (source, line) shuffle; grouped top-k plans WindowGroupLimit") {
     val p = plan("q123_boilerplate_lines")
     // line-grain agg + the top-k window's source repartition

@@ -144,4 +144,47 @@ class SessionizeSpec extends SparkSpec {
     assert(view.getAs[Long]("avg_dwell_us") == 7500000L)
     assert(m("click").getAs[Long]("total_dwell_us") == 20000000L)
   }
+
+  test("attribution: first/last-touch per session; first-of-session conversions are direct") {
+    val evs = Seq(
+      // user 1, one session: view → click → purchase
+      ev(0, 1, "2024-01-01 00:00:00", "view"),
+      ev(1, 1, "2024-01-01 00:05:00", "click"),
+      ev(2, 1, "2024-01-01 00:10:00", "purchase"),
+      // user 2: purchase opens the session → direct under both models
+      ev(3, 2, "2024-01-01 00:00:00", "purchase"),
+      // user 2, NEW session (2h later): signup → purchase
+      ev(4, 2, "2024-01-01 02:30:00", "signup"),
+      ev(5, 2, "2024-01-01 02:35:00", "purchase"),
+      // user 3: repeat purchase — the second credits 'purchase' (last)
+      // and the session's first event 'view' (first)
+      ev(6, 3, "2024-01-01 00:00:00", "view"),
+      ev(7, 3, "2024-01-01 00:01:00", "purchase"),
+      ev(8, 3, "2024-01-01 00:02:00", "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Sessionize.attribution(evs).collect()
+      .map(r => (r.getAs[String]("model"), r.getAs[String]("channel")) ->
+        r.getAs[Long]("conversions")).toMap
+    // 5 conversions total per model
+    assert(out == Map(
+      ("first", "view") -> 3L,   // u1's + both of u3's purchases
+      ("first", "signup") -> 1L, // user 2 session 2
+      ("first", "direct") -> 1L, // user 2 session 1 (solo purchase)
+      ("last", "click") -> 1L,    // u1
+      ("last", "signup") -> 1L,   // u2 session 2
+      ("last", "view") -> 1L,     // u3's first purchase
+      ("last", "purchase") -> 1L, // u3's second purchase
+      ("last", "direct") -> 1L))  // user 2 session 1
+  }
+
+  test("attribution share_bp sums to ~10000 within each model on the fixture") {
+    val rows = Queries.attribution(spark, sf).collect()
+    Seq("first", "last").foreach { m =>
+      val s = rows.filter(_.getAs[String]("model") == m)
+      val tot = s.map(_.getAs[Long]("conversions")).sum
+      val bp = s.map(_.getAs[Long]("share_bp")).sum
+      assert(tot > 0, s"model $m empty")
+      assert(bp <= 10000L && bp > 10000L - s.length, s"model $m: $bp")
+    }
+  }
 }

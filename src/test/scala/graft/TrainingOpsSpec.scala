@@ -766,6 +766,57 @@ class TrainingOpsSpec extends SparkSpec {
     assert(s2.getAs[Long]("letter_bp") == 0L) // 0/0 guard, not null/NaN
   }
 
+  // ---- docNovelty ----
+
+  test("docNovelty: copies zero out, unique docs hit 10000, short docs report NULL novelty") {
+    val d = docs(
+      1L -> "a b c d e f g h i",        // 9 tokens → 2 grams, both copied by doc 2
+      2L -> "a b c d e f g h i",        // exact copy
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8",  // 1 gram, unique
+      4L -> "x y")                      // < 8 tokens → no grams
+    val out = graft.ops.Dedup.docNovelty(d, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("total_grams"), r.getAs[Long]("novel_grams"),
+          Option(r.getAs[java.lang.Long]("novelty_bp"))))).toMap
+    assert(out(1L) == ((2L, 0L, Some(0L))))
+    assert(out(2L) == ((2L, 0L, Some(0L))))
+    assert(out(3L) == ((1L, 1L, Some(10000L))))
+    assert(out(4L) == ((0L, 0L, None))) // undefined, not 0
+  }
+
+  test("docNovelty: within-doc repeats don't lose novelty (distinct-per-doc grams)") {
+    // the doc repeats its own 8-gram; no OTHER doc carries it → novel
+    val d = docs(1L -> "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8")
+    val row = graft.ops.Dedup.docNovelty(d, n = 8).head()
+    assert(row.getAs[Long]("novel_grams") == row.getAs[Long]("total_grams"))
+    assert(row.getAs[Long]("novelty_bp") == 10000L)
+  }
+
+  // ---- surprisal ----
+
+  test("surprisal: head tokens score ⌊log2(T/freq)⌋, OOV floors at freq 1") {
+    // corpus: doc1 "a a a", doc2 "b" → T=4; head(1) = {a: 3}
+    // a: ⌊log2(4/3)⌋ = 0; b (OOV): ⌊log2(4/1)⌋ = 2
+    val d = docs(1L -> "a a a", 2L -> "b")
+    val out = graft.ops.TextAnalysis.surprisal(d, headK = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("token_count"), r.getAs[Long]("total_log2"),
+          r.getAs[Long]("avg_log2_bp")))).toMap
+    assert(out(1L) == ((3L, 0L, 0L)))
+    assert(out(2L) == ((1L, 2L, 20000L)))
+  }
+
+  test("surprisal: widening the head never increases any doc's score") {
+    val docsT = Tables(spark, sf, "documents")
+    val small = graft.ops.TextAnalysis.surprisal(docsT, headK = 50)
+      .select(col("doc_id"), col("total_log2").as("s_small"))
+    val large = graft.ops.TextAnalysis.surprisal(docsT, headK = 5000)
+      .select(col("doc_id"), col("total_log2").as("s_large"))
+    val worse = small.join(large, "doc_id")
+      .filter(col("s_large") > col("s_small")).count()
+    assert(worse == 0L, "a token got MORE surprising with a bigger head")
+  }
+
   // ---- boilerplateLines ----
 
   test("boilerplateLines finds cross-doc windows, ignores within-doc repeats, ranks by count") {
