@@ -235,6 +235,26 @@ object ScaleProbe {
       docs.filter(col("doc_id") % 5 =!= 0),
       graft.tables.Tables(spark, dir, "documents")
         .filter(col("doc_id") % 5 === 0), 8))
+    // dense grid is shards × sources (metadata) — only the one
+    // (shard, source) aggregate should scale
+    t("shard mixing")(graft.ops.TrainingPrep.shardMixing(docs, shards = 32))
+    t("threshold sweep")(graft.ops.TrainingPrep.thresholdSweep(
+      graft.ops.TextAnalysis.qualityClassifier(docs)))
+    t("signal agreement")(graft.ops.TextAnalysis.signalAgreement(docs))
+    t("ivf balance")(graft.ops.Similarity.ivfBalance(emb))
+    t("script mix")(graft.ops.TextAnalysis.scriptMix(docs))
+    // the line-grain aggregate absorbs the amplified corpus; replica
+    // copies make every line cross-doc shared, the worst case for the
+    // minDocs gate
+    t("boilerplate lines")(graft.ops.TextClean.boilerplateLines(docs,
+      lineTokens = 2))
+    t("attribution")(graft.ops.Sessionize.attribution(events))
+    // amplified replicas duplicate every gram: novelty collapses to 0
+    // but the gram window + doc re-aggregate see the full load
+    t("doc novelty")(graft.ops.Dedup.docNovelty(docs))
+    // head size fixed (a pruned LM doesn't grow with the corpus); the
+    // scoring explode+join scales linearly
+    t("surprisal")(graft.ops.TextAnalysis.surprisal(docs))
     spark.stop()
   }
 }
