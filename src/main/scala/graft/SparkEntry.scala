@@ -153,7 +153,10 @@ object SparkEntry {
     "q123_boilerplate_lines" -> (Queries.boilerplateLines _),
     "q124_attribution" -> (Queries.attribution _),
     "q125_doc_novelty" -> (Queries.docNovelty _),
-    "q126_surprisal" -> (Queries.surprisal _)
+    "q126_surprisal" -> (Queries.surprisal _),
+    "q127_session_paths" -> (Queries.sessionPaths _),
+    "q128_erasure_audit" -> (Queries.erasureAudit _),
+    "q129_cluster_sizes" -> (Queries.clusterSizeHistogram _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1017,6 +1020,32 @@ object Queries {
   /** Unigram head-vocab surprisal (perplexity-filter proxy). */
   def surprisal(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.surprisal(Tables(spark, dir, "documents"), SurprisalHeadK)
+
+  val SessionPathSteps = 5
+  val SessionPathK = 20
+
+  /** Top session paths (first-5-steps journeys + conversion share). */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionPaths(Tables(spark, dir, "events"),
+      maxSteps = SessionPathSteps, k = SessionPathK)
+
+  // ~2% of customers — a plausible erasure batch (and non-trivial on
+  // every fixture size).
+  val ErasureDenyMod = 53L
+
+  /** GDPR erasure cascade audit over the deny list. */
+  def erasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    Erasure.erasureAudit(
+      customer.filter(col("c_custkey") % ErasureDenyMod === 0)
+        .select(col("c_custkey").as("user_id")),
+      customer, Tables(spark, dir, "orders"),
+      Tables(spark, dir, "lineitem"), Tables(spark, dir, "events"))
+  }
+
+  /** Near-dup cluster-size ⌊log₂⌋ histogram (q42's shape report). */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    Clustering.clusterSizeHistogram(Tables(spark, dir, "documents"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4282,7 +4311,92 @@ object Oracles {
          |       CAST(FLOOR(10000.0 * SUM(sp) / COUNT(*)) AS BIGINT)
          |         AS avg_log2_bp
          |FROM s GROUP BY 1""".stripMargin
-    }
+    },
+
+    // q02's session CTE; conversion looks at the WHOLE session while
+    // the path string truncates at maxSteps (standard Sankey report).
+    "q127_session_paths" -> {
+      val m = Queries.SessionPathSteps; val k = Queries.SessionPathK
+      s"""$sessionCte, paths AS (
+         |  SELECT user_id, session_seq,
+         |         array_to_string(list_slice(
+         |           list(event_type ORDER BY ts_us, event_id), 1, $m), '>')
+         |           AS path,
+         |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS converted
+         |  FROM sz GROUP BY 1, 2),
+         |g AS (
+         |  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |         CAST(SUM(converted) AS BIGINT) AS n_converted
+         |  FROM paths GROUP BY 1)
+         |SELECT path, n_sessions, n_converted,
+         |       CAST(FLOOR(10000.0 * n_converted / n_sessions) AS BIGINT)
+         |         AS conv_bp
+         |FROM g ORDER BY n_sessions DESC, path ASC LIMIT $k""".stripMargin
+    },
+
+    "q128_erasure_audit" -> {
+      val m = Queries.ErasureDenyMod
+      s"""WITH deny AS (
+         |  SELECT DISTINCT c_custkey AS user_id FROM customer
+         |  WHERE c_custkey % $m = 0),
+         |ao AS (
+         |  SELECT o_orderkey FROM orders
+         |  WHERE o_custkey IN (SELECT user_id FROM deny)),
+         |a AS (
+         |  SELECT 'customer' AS table_name,
+         |         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         CAST(SUM(CASE WHEN c_custkey IN (SELECT user_id FROM deny)
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_affected
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         |         CAST(SUM(CASE WHEN o_custkey IN (SELECT user_id FROM deny)
+         |                       THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         |         CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM ao)
+         |                       THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+         |         CAST(SUM(CASE WHEN user_id IN (SELECT user_id FROM deny)
+         |                       THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM events)
+         |SELECT table_name, n_rows, n_affected,
+         |       CASE WHEN n_rows = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * n_affected / n_rows) AS BIGINT)
+         |       END AS affected_bp
+         |FROM a""".stripMargin
+    },
+
+    // q42's recursive component labels folded to per-cluster sizes,
+    // then q110's bitlen log2 buckets.
+    "q129_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM p),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+         |comp AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY 1),
+         |sizes AS (
+         |  SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM comp GROUP BY 1),
+         |g AS (
+         |  SELECT CAST(length(format('{:b}', sz)) - 1 AS BIGINT) AS bucket,
+         |         CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |         CAST(SUM(sz) AS BIGINT) AS n_docs
+         |  FROM sizes GROUP BY 1)
+         |SELECT bucket, n_clusters, n_docs,
+         |       CAST(FLOOR(10000.0 * n_docs / SUM(n_docs) OVER ()) AS BIGINT)
+         |         AS docs_bp
+         |FROM g""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

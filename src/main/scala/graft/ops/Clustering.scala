@@ -222,4 +222,28 @@ object Clustering {
             (col("tokens_total") - col("tokens_kept")) / col("tokens_total"))
             .cast("long")))
   }
+
+  /** Cluster-size distribution of the q42 near-dup graph — the shape
+    * report read BEFORE acting on dedup results: a corpus whose mass
+    * sits in two mega-clusters (boilerplate black holes) needs a
+    * different intervention (q123's deny-list) than one with many
+    * small clusters (normal crawl duplication). Sizes land in ⌊log₂⌋
+    * buckets (q110's geometric-bucket convention: bitlen-as-string
+    * so power-of-two boundaries are engine-exact).
+    *
+    * Scale shape: rides the q42 CC output; one component-grain
+    * aggregate collapses docs → clusters, then the ≤64-bucket
+    * histogram; doc share windows over the bucket domain. */
+  def clusterSizeHistogram(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    nearDupClusters(docs, thresholdBp)
+      .groupBy(col("component"))
+      .agg(max(col("cluster_size")).as("sz")) // constant within component
+      .withColumn("bucket", (length(bin(col("sz"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .withColumn("docs_bp",
+        floor(lit(10000.0) * col("n_docs") / sum(col("n_docs")).over(wAll))
+          .cast("long"))
+  }
 }

@@ -151,6 +151,42 @@ object Sessionize {
       .withColumn("avg_dwell_us", expr("total_dwell_us div n_obs"))
   }
 
+  /** Top session paths — the "what journeys actually happen" table
+    * (the Sankey/flow report every product-analytics tool leads
+    * with): sessions grouped by their first `maxSteps` event types
+    * joined as a path string, with session counts and the share that
+    * converts. Truncation is the standard move: full paths are
+    * near-unique (the count table would be the session table), the
+    * first-K prefix is where journeys still aggregate.
+    *
+    * Scale shape: one fact shuffle (the session-grain collect rides
+    * the sessionize user_id partition); per-session state is the
+    * ≤maxSteps-truncated type array (`slice` after an in-group sort
+    * of a session-bounded list); the path aggregate collapses to
+    * path-domain grain and the top-k is TakeOrderedAndProject. */
+  def sessionPaths(events: DataFrame, gapSeconds: Long = 1800L,
+      maxSteps: Int = 5, k: Int = 20,
+      convType: String = "purchase"): DataFrame = {
+    assignSessions(events, gapSeconds)
+      .groupBy(col("session_id"), col("user_id"))
+      .agg(
+        // struct sort by (ts_us, event_id) = deterministic event order
+        expr(s"""concat_ws('>', slice(transform(
+                |  array_sort(collect_list(struct(ts_us, event_id, event_type))),
+                |  s -> s.event_type), 1, $maxSteps))""".stripMargin)
+          .as("path"),
+        max(when(col("event_type") === convType, 1L).otherwise(0L))
+          .as("converted"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("conv_bp",
+        floor(lit(10000.0) * col("n_converted") / col("n_sessions"))
+          .cast("long"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Conversion attribution report — for every `convType` event, which
     * earlier step of the SAME session gets the credit, under the two
     * standard models side by side:

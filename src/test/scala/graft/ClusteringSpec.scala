@@ -110,4 +110,23 @@ class ClusteringSpec extends SparkSpec with TableDrivenPropertyChecks {
       ("crawl", 3L, 3L, 8L, 8L, 0L),
       ("curated", 1L, 0L, 4L, 0L, 10000L)))
   }
+
+  test("clusterSizeHistogram: log2 buckets over cluster sizes, docs conserved") {
+    // {1,2,3} identical → one size-3 cluster (bucket ⌊log2 3⌋ = 1);
+    // 5 and 6 singletons (bucket 0)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s", 0L),
+      (2L, "alpha beta gamma delta epsilon", "en", "s", 0L),
+      (3L, "alpha beta gamma delta epsilon", "en", "s", 0L),
+      (5L, (1 to 35).map(i => s"only$i").mkString(" "), "en", "s", 0L),
+      (6L, null.asInstanceOf[String], "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Clustering.clusterSizeHistogram(docs).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("docs_bp")))).toMap
+    assert(out(0L) == ((2L, 2L, 4000L))) // two singletons, 2/5 docs
+    assert(out(1L) == ((1L, 3L, 6000L))) // the size-3 cluster
+    assert(out.keySet == Set(0L, 1L))
+  }
 }

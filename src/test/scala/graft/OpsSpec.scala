@@ -102,4 +102,39 @@ class OpsSpec extends SparkSpec {
     assert(got(0) == ((1L, 600L, 0L)))
     assert(got(1) == ((2L, -300L, -1L)))
   }
+
+  test("erasureAudit cascades deny → customer → orders → lineitem → events") {
+    val s = spark
+    import s.implicits._
+    val deny = Seq(1L).toDF("user_id")
+    val customer = Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+    val orders = Seq((10L, 1L), (11L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1), (10L, 2), (11L, 1))
+      .toDF("l_orderkey", "l_linenumber")
+    val events = Seq((100L, 1L), (101L, 2L), (102L, 2L))
+      .toDF("event_id", "user_id")
+    val got = graft.ops.Erasure
+      .erasureAudit(deny, customer, orders, lineitem, events)
+      .collect().map(r => r.getAs[String]("table_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_affected"),
+          r.getAs[Long]("affected_bp")))).toMap
+    assert(got("customer") == ((2L, 1L, 5000L)))
+    assert(got("orders") == ((2L, 1L, 5000L)))
+    assert(got("lineitem") == ((3L, 2L, 6666L))) // order 10's two lines
+    assert(got("events") == ((3L, 1L, 3333L)))
+  }
+
+  test("erasureAudit with an empty deny list touches nothing") {
+    val s = spark
+    import s.implicits._
+    val empty = spark.emptyDataset[Long].toDF("user_id")
+    val got = graft.ops.Erasure.erasureAudit(empty,
+      Seq((1L, "a")).toDF("c_custkey", "c_name"),
+      Seq((10L, 1L)).toDF("o_orderkey", "o_custkey"),
+      Seq((10L, 1)).toDF("l_orderkey", "l_linenumber"),
+      Seq((100L, 1L)).toDF("event_id", "user_id"))
+      .collect()
+    assert(got.forall(_.getAs[Long]("n_affected") == 0L))
+    assert(got.map(_.getAs[Long]("n_rows")).sum == 4L)
+  }
 }

@@ -627,6 +627,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"head join not broadcast:\n$p")
   }
 
+  test("q127 session paths: fact shuffle + path aggregate, top-k is TakeOrdered") {
+    val p = plan("q127_session_paths")
+    assert(shuffles(p) == 2, p) // sessionize user_id + path-grain agg
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q128 erasure audit: every table scanned once on its key column; deny list broadcast") {
+    val p = plan("q128_erasure_audit")
+    assert(!p.contains("SortMergeJoin"), s"fact shuffled to meet the deny list:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
+    // each audited scan must read ONLY its join key (plus the deny
+    // predicate's column) — a wide scan pays the whole table width
+    // for a row count
+    "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p).foreach { m =>
+      assert(m.group(1).count(_ == ',') <= 1, s"scan not pruned: ${m.group(1)}")
+    }
+  }
+
   test("q123 boilerplate lines: one (source, line) shuffle; grouped top-k plans WindowGroupLimit") {
     val p = plan("q123_boilerplate_lines")
     // line-grain agg + the top-k window's source repartition

@@ -177,6 +177,34 @@ class SessionizeSpec extends SparkSpec {
       ("last", "direct") -> 1L))  // user 2 session 1
   }
 
+  test("sessionPaths truncates at maxSteps but converts on the WHOLE session") {
+    val evs = Seq(
+      // user 1: 6 steps, purchase is the 6th — beyond the 5-step path
+      ev(0, 1, "2024-01-01 00:00:00", "view"),
+      ev(1, 1, "2024-01-01 00:01:00", "click"),
+      ev(2, 1, "2024-01-01 00:02:00", "view"),
+      ev(3, 1, "2024-01-01 00:03:00", "click"),
+      ev(4, 1, "2024-01-01 00:04:00", "view"),
+      ev(5, 1, "2024-01-01 00:05:00", "purchase"),
+      // user 2: same 5-step prefix, never converts
+      ev(6, 2, "2024-01-01 00:00:00", "view"),
+      ev(7, 2, "2024-01-01 00:01:00", "click"),
+      ev(8, 2, "2024-01-01 00:02:00", "view"),
+      ev(9, 2, "2024-01-01 00:03:00", "click"),
+      ev(10, 2, "2024-01-01 00:04:00", "view"),
+      // user 3: short journey
+      ev(11, 3, "2024-01-01 00:00:00", "signup")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Sessionize.sessionPaths(evs, maxSteps = 5, k = 10)
+      .collect().map(r => r.getAs[String]("path") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converted"),
+          r.getAs[Long]("conv_bp")))).toMap
+    // users 1 and 2 share the truncated path; only user 1 converted
+    assert(out("view>click>view>click>view") == ((2L, 1L, 5000L)))
+    assert(out("signup") == ((1L, 0L, 0L)))
+    assert(out.size == 2)
+  }
+
   test("attribution share_bp sums to ~10000 within each model on the fixture") {
     val rows = Queries.attribution(spark, sf).collect()
     Seq("first", "last").foreach { m =>
