@@ -156,7 +156,10 @@ object SparkEntry {
     "q126_surprisal" -> (Queries.surprisal _),
     "q127_session_paths" -> (Queries.sessionPaths _),
     "q128_erasure_audit" -> (Queries.erasureAudit _),
-    "q129_cluster_sizes" -> (Queries.clusterSizeHistogram _)
+    "q129_cluster_sizes" -> (Queries.clusterSizeHistogram _),
+    "q130_compaction_plan" -> (Queries.compactionPlan _),
+    "q131_recency_sample" -> (Queries.recencySample _),
+    "q132_contributor_cap" -> (Queries.contributorCap _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1046,6 +1049,30 @@ object Queries {
   /** Near-dup cluster-size ⌊log₂⌋ histogram (q42's shape report). */
   def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
     Clustering.clusterSizeHistogram(Tables(spark, dir, "documents"))
+
+  // Fixture-scale target (production: 128 MB): small enough that
+  // multi-file sources exist at sf0.01.
+  val CompactionTargetBytes = 2048L
+
+  /** Output-file compaction plan per source. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.compactionPlan(Tables(spark, dir, "documents"),
+      CompactionTargetBytes)
+
+  // Inside the fixture's 2024-01 span: ages 0..~27 days exercise
+  // several half-lives AND the future-event filter.
+  val RecencyAsOf = "2024-01-28"
+
+  /** Recency-weighted (half-life) event sampling. */
+  def recencySample(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.recencySample(Tables(spark, dir, "events"), RecencyAsOf)
+
+  // Below the fixture's ~6-7 events/user so the cap actually cuts.
+  val ContributorCapK = 4
+
+  /** Per-user contributor cap (whale damping / data minimization). */
+  def contributorCap(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.contributorCap(Tables(spark, dir, "events"), ContributorCapK)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4396,7 +4423,59 @@ object Oracles {
          |SELECT bucket, n_clusters, n_docs,
          |       CAST(FLOOR(10000.0 * n_docs / SUM(n_docs) OVER ()) AS BIGINT)
          |         AS docs_bp
+         |FROM g""".stripMargin,
+
+    "q130_compaction_plan" -> {
+      val t = Queries.CompactionTargetBytes
+      s"""WITH g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_chars) AS BIGINT) AS bytes
+         |  FROM documents WHERE text IS NOT NULL GROUP BY 1)
+         |SELECT source, n_docs, bytes,
+         |       GREATEST(1, (bytes + ${t - 1}) // $t) AS n_files,
+         |       n_docs // GREATEST(1, (bytes + ${t - 1}) // $t) AS rows_per_file
          |FROM g""".stripMargin
+    },
+
+    // dyadic half-life decay: keep_bp = 10000 >> halflives (exact
+    // integer shift, no pow), md5 draw mod 10000 (q81's gate).
+    "q131_recency_sample" -> {
+      val asOf = Queries.RecencyAsOf
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type,
+         |         CAST(datediff('day', CAST(ts AS DATE), DATE '$asOf') AS BIGINT)
+         |           AS age_days,
+         |         md5(CAST(event_id AS VARCHAR)) AS draw
+         |  FROM events),
+         |h AS (
+         |  SELECT *, age_days // 7 AS halflives FROM e WHERE age_days >= 0),
+         |k AS (
+         |  SELECT *, CASE WHEN halflives >= 14 THEN CAST(0 AS BIGINT)
+         |                 ELSE CAST(10000 >> halflives AS BIGINT) END AS keep_bp
+         |  FROM h),
+         |d AS (
+         |  SELECT *, CAST($draw32 AS BIGINT) % 10000 AS draw_bp FROM k)
+         |SELECT event_id, user_id, event_type, age_days, keep_bp
+         |FROM d WHERE draw_bp < keep_bp""".stripMargin
+    },
+
+    // q80's keep-k-smallest-draw convention at the USER key.
+    "q132_contributor_cap" -> {
+      val k = Queries.ContributorCapK
+      s"""WITH r AS (
+         |  SELECT event_id, user_id, event_type,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id
+         |           ORDER BY md5(CAST(event_id AS VARCHAR)) ASC, event_id ASC)
+         |           AS rn
+         |  FROM events)
+         |SELECT event_id, user_id, event_type FROM r WHERE rn <= $k"""
+        .stripMargin
+    }
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

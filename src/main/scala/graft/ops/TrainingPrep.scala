@@ -523,6 +523,85 @@ object TrainingPrep {
         col("tokens_kept_bp"))
   }
 
+  /** Output-file compaction plan — the small-files planner run before
+    * any big write (the #1 operational failure of data lakes: a
+    * 100 TB corpus written at default parallelism yields millions of
+    * KB-sized files and an unusable metastore). Per source: exact
+    * byte volume (n_chars as the text-payload proxy), the file count
+    * at `targetBytes`, and rows-per-file — the numbers that become
+    * the writer's `repartition(n)` call.
+    *
+    * files = ceil(bytes / target) computed in pure BIGINT
+    * ((bytes + target − 1) div target — no float ceil), min 1 so an
+    * empty-but-present source still gets a file.
+    *
+    * Scale shape: one bounded source-grain aggregate over the scan;
+    * the plan table is metadata. */
+  def compactionPlan(docs: DataFrame, targetBytes: Long = 128L * 1024 * 1024)
+      : DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be positive")
+    docs.filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bytes"))
+      .withColumn("n_files",
+        greatest(lit(1L),
+          expr(s"(bytes + ${targetBytes - 1}L) div ${targetBytes}L")))
+      .withColumn("rows_per_file", expr("n_docs div n_files"))
+  }
+
+  /** Recency-weighted sampling over the event stream — train-on-fresh
+    * damping where an event's keep probability HALVES per
+    * `halfLifeDays` of age (a dyadic decay: the keep threshold is an
+    * exact integer shift, no float pow — the q81 rate-gate made
+    * time-aware). keep iff md5-draw bp < ⌊10000 / 2^age_halflives⌋;
+    * age from an explicit `asOf` anchor date (no wall clock — q94's
+    * rule). Deterministic and rerun/layout-stable like every house
+    * draw.
+    *
+    * Scale shape: a PURE MAP — draw, age arithmetic, shift, compare;
+    * no shuffle, no state. */
+  def recencySample(events: DataFrame, asOf: String,
+      halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be positive")
+    events
+      .withColumn("age_days",
+        datediff(lit(asOf).cast("date"), col("ts").cast("date")).cast("long"))
+      .filter(col("age_days") >= 0L) // future events have no age yet
+      .withColumn("halflives", expr(s"age_days div ${halfLifeDays}L"))
+      .withColumn("keep_bp",
+        when(col("halflives") >= 14L, lit(0L)) // 10000 >> 14 == 0
+          .otherwise(call_function("shiftright", lit(10000L),
+            col("halflives").cast("int"))))
+      .withColumn("draw_bp", expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000"))
+      .filter(col("draw_bp") < col("keep_bp"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("age_days"), col("keep_bp"))
+  }
+
+  /** Per-contributor event cap — the "whale damping" / data-
+    * minimization gate dataset governance applies before user data
+    * enters a training corpus: no single user may contribute more
+    * than `k` events. The keep set is the k smallest md5 draws per
+    * user (layout-independent, rerun-stable — q80's exact-cap
+    * convention applied at the USER key), so re-ingesting the same
+    * stream keeps the same rows.
+    *
+    * Scale shape: one user-key shuffle; the rank cut plans as
+    * WindowGroupLimit (partial top-k before the exchange), so a
+    * million-event whale forwards k rows per map task, not a
+    * million. */
+  def contributorCap(events: DataFrame, k: Int = 100): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(md5(col("event_id").cast("string")).asc, col("event_id").asc)
+    events
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
   /** Corpus concentration report: how unevenly tokens spread across
     * sources — the one-row balance check run before mixture planning
     * (a Gini near 10000 means one domain owns the corpus; near 0

@@ -38,7 +38,8 @@ class ContractSpec extends AnyFunSuite {
     // aggregate io_total pair; per-query io lives on stderr.
     // Worst case reconstruction: 999.99 s per query, 10 B total input
     // rows, 100 GB total shuffle write (kceil → 8 digits each).
-    val ids = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val ids = SparkEntry.queries.keys.toSeq
+      .map(_.takeWhile(_ != '_').stripPrefix("q"))
     val qmap = ids.map(n => s""""$n":999.99""").mkString("{", ",", "}")
     val line =
       s"""{"metric":"steady_total","value":99999.999,"unit":"sec",""" +

@@ -648,6 +648,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q131 recency sample is a PURE MAP: zero shuffles, zero joins, zero windows") {
+    val p = plan("q131_recency_sample")
+    assert(shuffles(p) == 0, p)
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Generate"),
+      s"the decay gate must pipeline with the scan:\n$p")
+  }
+
+  test("q132 contributor cap plans WindowGroupLimit (whales cut map-side)") {
+    val p = plan("q132_contributor_cap")
+    assert(p.contains("WindowGroupLimit"), s"rank cut lost pushdown:\n$p")
+    assert(shuffles(p) == 1, p)
+  }
+
   test("q123 boilerplate lines: one (source, line) shuffle; grouped top-k plans WindowGroupLimit") {
     val p = plan("q123_boilerplate_lines")
     // line-grain agg + the top-k window's source repartition

@@ -509,6 +509,70 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("compactionPlan: BIGINT ceil file counts; empty-byte source still gets one file") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "t", "en", "big", 3000L), (2L, "t", "en", "big", 2000L),
+      (3L, "t", "en", "exact", 2048L),
+      (4L, "", "en", "empty", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TrainingPrep.compactionPlan(d, targetBytes = 2048L).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("bytes"), r.getAs[Long]("n_files"),
+          r.getAs[Long]("rows_per_file")))).toMap
+    assert(out("big") == ((5000L, 3L, 0L)))   // ceil(5000/2048)=3; 2 div 3 = 0
+    assert(out("exact") == ((2048L, 1L, 1L))) // boundary: exactly one file
+    assert(out("empty") == ((0L, 1L, 1L)))    // min-1-file floor
+  }
+
+  test("recencySample: dyadic half-life thresholds, future events excluded, old tail zeroed") {
+    val s = spark
+    import s.implicits._
+    val asOf = "2024-03-01"
+    def e(id: Long, day: String) =
+      (id, java.sql.Timestamp.valueOf(s"$day 12:00:00"), 1L, "view", 1.0, "{}")
+    val evs = Seq(
+      e(1, "2024-03-01"),  // age 0  → keep_bp 10000 (always kept)
+      e(2, "2024-02-23"),  // age 7  → keep_bp 5000
+      e(3, "2024-02-09"),  // age 21 → keep_bp 1250
+      e(4, "2023-11-01"),  // age 121 → ≥14 half-lives → keep_bp 0
+      e(5, "2024-03-05"))  // future → filtered before the gate
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = TrainingPrep.recencySample(evs, asOf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("age_days"), r.getAs[Long]("keep_bp")))).toMap
+    assert(!out.contains(4L) && !out.contains(5L))
+    // JVM-recomputed draws decide which of 1-3 survive
+    def drawBp(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id).substring(0, 8), 16) % 10000L
+    val expectKeep = Seq(1L -> 10000L, 2L -> 5000L, 3L -> 1250L)
+      .filter { case (id, bp) => drawBp(id) < bp }.toMap
+    assert(out.view.mapValues(_._2).toMap == expectKeep)
+    out.get(2L).foreach { case (age, _) => assert(age == 7L) }
+  }
+
+  test("contributorCap keeps exactly the k smallest draws per user, repartition-invariant") {
+    val s = spark
+    import s.implicits._
+    val evs = (1L to 30L).map(id =>
+      (id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        id % 3, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = TrainingPrep.contributorCap(evs, k = 4)
+      .select("user_id", "event_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L to 2L).foreach { u =>
+      val want = (1L to 30L).filter(_ % 3 == u)
+        .sortBy(id => (md5hex(id), id)).take(4).toSet
+      assert(got(u) == want, s"user $u")
+    }
+    val re = TrainingPrep.contributorCap(evs.repartition(7), k = 4)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    // .toSeq first: flatMap on a Map would collapse same-key pairs
+    assert(re == got.toSeq.flatMap { case (u, ids) => ids.map(u -> _) }.toSet)
+  }
+
   test("thresholdSweep: kept shares are monotone and end at 10000 bp") {
     val out = TrainingPrep.thresholdSweep(
       TextAnalysis.qualityClassifier(Tables(spark, sf, "documents")),
