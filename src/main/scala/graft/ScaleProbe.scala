@@ -255,6 +255,22 @@ object ScaleProbe {
     // head size fixed (a pruned LM doesn't grow with the corpus); the
     // scoring explode+join scales linearly
     t("surprisal")(graft.ops.TextAnalysis.surprisal(docs))
+    t("session paths")(graft.ops.Sessionize.sessionPaths(events))
+    // deny list FIXED (base ids only): an erasure batch doesn't grow
+    // with the fact tables — each scan+flag join scales linearly
+    t("erasure audit") {
+      val customer = dim("customer")
+      graft.ops.Erasure.erasureAudit(
+        customer.filter(col("c_custkey") % 53 === 0)
+          .select(col("c_custkey").as("user_id")),
+        customer, orders, lineitem, eventsSameUsers)
+    }
+    t("cluster size histogram")(
+      graft.ops.Clustering.clusterSizeHistogram(docs))
+    t("compaction plan")(graft.ops.TrainingPrep.compactionPlan(docs))
+    t("recency sample")(graft.ops.TrainingPrep.recencySample(
+      events, "2024-01-28"))
+    t("contributor cap")(graft.ops.TrainingPrep.contributorCap(events))
     spark.stop()
   }
 }
