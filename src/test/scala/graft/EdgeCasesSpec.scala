@@ -398,4 +398,46 @@ class EdgeCasesSpec extends SparkSpec {
       assert(out.getOrElse(id, Seq.empty) == expected(t, 5, 4), s"doc $id")
     }
   }
+
+  test("round-5 text ops (q123/q125/q126 twins) on CJK + null text") {
+    val s = spark
+    import s.implicits._
+    // boilerplate: two docs share the CJK 2-token window "自营 商品"
+    val bp = Seq(
+      (1L, "自营 商品 其他 字", "web"),
+      (2L, "自营 商品 另外 内容", "web"),
+      (3L, null.asInstanceOf[String], "web"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("zh"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(0L))
+    val lines = graft.ops.TextClean.boilerplateLines(bp, lineTokens = 2,
+      minDocs = 2L, k = 5).collect()
+      .map(r => (r.getAs[String]("line"), r.getAs[Long]("n_docs")))
+    assert(lines.toSeq == Seq(("自营 商品", 2L)))
+
+    // novelty: identical 9-token CJK docs zero out; a distinct one is novel
+    val nine = "一 二 三 四 五 六 七 八 九"
+    val nv = Seq((1L, nine), (2L, nine),
+      (3L, "甲 乙 丙 丁 戊 己 庚 辛 壬"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("zh"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("cjk"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(0L))
+    val novelty = graft.ops.Dedup.docNovelty(nv, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Long]("novelty_bp"))).toMap
+    assert(novelty == Map(1L -> Some(0L), 2L -> Some(0L),
+      3L -> Some(10000L)))
+
+    // surprisal: CJK tokens hash/count like any other string
+    val sp = Seq((1L, "你 你 你"), (2L, "好"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("zh"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("cjk"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(0L))
+    val su = graft.ops.TextAnalysis.surprisal(sp, headK = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("token_count"), r.getAs[Long]("total_log2")))).toMap
+    assert(su == Map(1L -> ((3L, 0L)), 2L -> ((1L, 2L))))
+  }
 }
