@@ -159,7 +159,9 @@ object SparkEntry {
     "q129_cluster_sizes" -> (Queries.clusterSizeHistogram _),
     "q130_compaction_plan" -> (Queries.compactionPlan _),
     "q131_recency_sample" -> (Queries.recencySample _),
-    "q132_contributor_cap" -> (Queries.contributorCap _)
+    "q132_contributor_cap" -> (Queries.contributorCap _),
+    "q133_preference_pairs" -> (Queries.preferencePairs _),
+    "q134_ltv_curve" -> (Queries.ltvCurve _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1073,6 +1075,17 @@ object Queries {
   /** Per-user contributor cap (whale damping / data minimization). */
   def contributorCap(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.contributorCap(Tables(spark, dir, "events"), ContributorCapK)
+
+  val PreferenceK = 3
+
+  /** DPO preference pairs: per-source best-vs-worst by q69 score. */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.preferencePairs(Tables(spark, dir, "documents"), PreferenceK)
+
+  /** Cohort LTV curve (cumulative cents by account age). */
+  def ltvCurve(spark: SparkSession, dir: String): DataFrame =
+    Retention.ltvCurve(Tables(spark, dir, "events"),
+      RetentionWindow, RetentionMaxOffset)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4462,6 +4475,70 @@ object Oracles {
          |  SELECT *, CAST($draw32 AS BIGINT) % 10000 AS draw_bp FROM k)
          |SELECT event_id, user_id, event_type, age_days, keep_bp
          |FROM d WHERE draw_bp < keep_bp""".stripMargin
+    },
+
+    // q69's score twin; two QUALIFY-style extremes joined per source
+    // with the strict-margin gate.
+    "q133_preference_pairs" -> {
+      val k = Queries.PreferenceK
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(md5(x), $i, 1)) - 1)"
+      val bucket =
+        s"(${nib(5)} * 4096 + ${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)})"
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |         CAST(list_sum(list_transform(string_split(text, ' '),
+         |           x -> ($bucket % 1001) - 500)) AS BIGINT) AS score
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (
+         |  SELECT source, doc_id AS chosen_doc_id, score AS chosen_score,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM s),
+         |r AS (
+         |  SELECT source AS r_source, doc_id AS rejected_doc_id,
+         |         score AS rejected_score,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY score ASC, doc_id ASC) AS rn
+         |  FROM s)
+         |SELECT c.source, c.chosen_doc_id, r.rejected_doc_id,
+         |       c.chosen_score, r.rejected_score,
+         |       c.chosen_score - r.rejected_score AS margin
+         |FROM c JOIN r ON c.source = r.r_source
+         |WHERE c.rn <= $k AND r.rn <= $k
+         |  AND c.chosen_score > r.rejected_score""".stripMargin
+    },
+
+    // q75's cohort CTE with cents and a per-cohort cumulative.
+    "q134_ltv_curve" -> {
+      val m = Queries.RetentionMaxOffset
+      val (wFrom, wTo) = Queries.RetentionWindow
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS d,
+         |         CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE CAST(ts AS DATE) BETWEEN DATE '$wFrom' AND DATE '$wTo'),
+         |ud AS (
+         |  SELECT user_id, d, CAST(SUM(cents) AS BIGINT) AS day_cents
+         |  FROM e GROUP BY 1, 2),
+         |c AS (SELECT user_id, MIN(d) AS cohort_d FROM ud GROUP BY 1),
+         |f AS (
+         |  SELECT cohort_d, CAST(d - cohort_d AS BIGINT) AS age_days,
+         |         day_cents
+         |  FROM ud JOIN c USING (user_id)
+         |  WHERE d - cohort_d <= $m),
+         |g AS (
+         |  SELECT cohort_d, age_days,
+         |         CAST(COUNT(*) AS BIGINT) AS n_active,
+         |         CAST(SUM(day_cents) AS BIGINT) AS cents_day
+         |  FROM f GROUP BY 1, 2)
+         |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_date, age_days,
+         |       n_active, cents_day,
+         |       CAST(SUM(cents_day) OVER (PARTITION BY cohort_d
+         |         ORDER BY age_days
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS cents_cum
+         |FROM g""".stripMargin
     },
 
     // q80's keep-k-smallest-draw convention at the USER key.

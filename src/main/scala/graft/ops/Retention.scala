@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cohort retention — the canonical user-behavior analytics rollup
@@ -88,6 +89,46 @@ object Retention {
       .agg(count(lit(1)).as("n_users"))
       .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_date"),
         col("offset_days"), col("n_users"))
+
+  /** Cohort LTV curve — cumulative value per signup cohort by account
+    * age: the revenue twin of [[cohortRetention]] (retention says who
+    * comes BACK, LTV says what coming back is WORTH; the curve's
+    * flattening point is the payback-period input every acquisition
+    * budget uses). Value in house cents (per-event floor(value·100),
+    * exact BIGINT sums); cohort = the user's first active day inside
+    * the analysis window; `n_users` is the cohort's size carried on
+    * every row.
+    *
+    * Scale shape: ONE fact shuffle to user grain (first day + per-day
+    * cents ride the same aggregate via a day-keyed map), explode to
+    * observed (cohort, age) rows bounded by the horizon, then the
+    * cumulative window runs at cohort × horizon grain — metadata. */
+  def ltvCurve(events: DataFrame, window: (String, String),
+      maxOffsetDays: Int = 14): DataFrame = {
+    val wCum = Window.partitionBy(col("cohort_d")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      .filter(col("d").between(lit(window._1).cast("date"),
+        lit(window._2).cast("date")))
+      .groupBy(col("user_id"), col("d"))
+      .agg(sum(col("cents")).as("day_cents"))
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_d"),
+        collect_list(struct(col("d"), col("day_cents"))).as("days"))
+      .select(col("user_id"), col("cohort_d"), explode(expr(
+        s"filter(days, x -> datediff(x.d, cohort_d) <= $maxOffsetDays)"))
+        .as("x"))
+      .withColumn("age_days",
+        datediff(col("x.d"), col("cohort_d")).cast("long"))
+      .groupBy(col("cohort_d"), col("age_days"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("x.day_cents")).as("cents_day"))
+      .withColumn("cents_cum", sum(col("cents_day")).over(wCum))
+      .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_date"),
+        col("age_days"), col("n_active"), col("cents_day"), col("cents_cum"))
+  }
 
   /** Daily event-volume anomaly flags: for each (event_type, day),
     * test the day's count against the mean/variance of the trailing

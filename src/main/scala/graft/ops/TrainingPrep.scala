@@ -580,6 +580,45 @@ object TrainingPrep {
         col("age_days"), col("keep_bp"))
   }
 
+  /** Preference-pair mining (DPO/RLHF dataset prep): per source, pair
+    * the `k` highest-scoring documents (chosen) against the `k`
+    * lowest-scoring ones (rejected) — the classic
+    * best-vs-worst-of-pool construction when no human labels exist
+    * yet (quality-scorer margins stand in for preferences). Pairs
+    * require a STRICT score margin: an equal-score pair teaches
+    * nothing and its orientation would be an id-order artifact.
+    *
+    * Scale shape: scores are an inline map over the corpus scan; both
+    * extremes are WindowGroupLimit extracts sharing ONE source-key
+    * exchange (same partitioning, two sort orders); the pair join is
+    * between two (sources × k)-row frames — broadcast-class
+    * metadata regardless of corpus size, emitting ≤ k² pairs per
+    * source. */
+  def preferencePairs(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val scored = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.classifierScore.as("score"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wBot = Window.partitionBy(col("source"))
+      .orderBy(col("score").asc, col("doc_id").asc)
+    val chosen = scored.withColumn("__r", row_number().over(wTop))
+      .filter(col("__r") <= k)
+      .select(col("source"), col("doc_id").as("chosen_doc_id"),
+        col("score").as("chosen_score"))
+    val rejected = scored.withColumn("__r", row_number().over(wBot))
+      .filter(col("__r") <= k)
+      .select(col("source").as("r_source"),
+        col("doc_id").as("rejected_doc_id"),
+        col("score").as("rejected_score"))
+    chosen.join(broadcast(rejected), col("source") === col("r_source"))
+      .filter(col("chosen_score") > col("rejected_score"))
+      .select(col("source"), col("chosen_doc_id"), col("rejected_doc_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
+
   /** Per-contributor event cap — the "whale damping" / data-
     * minimization gate dataset governance applies before user data
     * enters a training corpus: no single user may contribute more

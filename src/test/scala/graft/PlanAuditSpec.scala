@@ -648,6 +648,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q133 preference pairs: both extremes WindowGroupLimit; the pair join is broadcast") {
+    val p = plan("q133_preference_pairs")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"an extreme lost its rank pushdown:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"metadata-sized extremes sort-merged:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q134 ltv curve: fact collapses through user grain; cumulative rides cohort grain") {
+    val p = plan("q134_ltv_curve")
+    // (user, day) agg → user agg (fact-grain), then the bounded
+    // (cohort, age) agg and the cohort window — partial map-side agg
+    // before the tiny exchanges beats forcing a cohort-key fact
+    // shuffle (cohorts are DAYS: a few hundred keys would take the
+    // whole corpus through a skewed exchange just to save one)
+    assert(shuffles(p) == 4, p)
+    assert(!p.contains("SinglePartition"), s"unbounded-grain window:\n$p")
+  }
+
   test("q131 recency sample is a PURE MAP: zero shuffles, zero joins, zero windows") {
     val p = plan("q131_recency_sample")
     assert(shuffles(p) == 0, p)

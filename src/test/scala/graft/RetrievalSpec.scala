@@ -200,6 +200,26 @@ class RetrievalSpec extends SparkSpec {
       ("2026-01-03", 0L) -> 1L)) // user 3; its d20 return is past the horizon
   }
 
+  test("ltvCurve: per-cohort cumulative cents by age; window and horizon gates") {
+    val s = spark
+    import s.implicits._
+    val T0 = 1767225600000L // 2026-01-01 UTC
+    def t(day: Int) = new java.sql.Timestamp(T0 + day * 86400000L + 3600000L)
+    val events = Seq(
+      (1L, t(0), 1.50), (1L, t(1), 2.25),   // user 1: cohort d0
+      (2L, t(0), 3.10),                     // user 2: cohort d0, day 0 only
+      (2L, t(20), 99.0),                    // past the 14-day horizon
+      (3L, t(40), 50.0))                    // outside the analysis window
+      .toDF("user_id", "ts", "value")
+    val out = graft.ops.Retention.ltvCurve(events,
+        ("2026-01-01", "2026-01-31"), maxOffsetDays = 14)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      ("2026-01-01", 0L) -> ((2L, 460L, 460L)),  // 150 + 310 cents
+      ("2026-01-01", 1L) -> ((1L, 225L, 685L))))
+  }
+
   test("retention: the required window bounds per-user state and re-cohorts") {
     val s = spark
     import s.implicits._

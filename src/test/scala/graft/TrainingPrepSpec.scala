@@ -573,6 +573,31 @@ class TrainingPrepSpec extends SparkSpec {
     assert(re == got.toSeq.flatMap { case (u, ids) => ids.map(u -> _) }.toSet)
   }
 
+  test("preferencePairs: extremes match the classifier ranking; every pair has a strict margin") {
+    val docsT = Tables(spark, sf, "documents")
+    val k = 3
+    val out = TrainingPrep.preferencePairs(docsT, k).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("chosen_score") > r.getAs[Long]("rejected_score"))
+      assert(r.getAs[Long]("margin") ==
+        r.getAs[Long]("chosen_score") - r.getAs[Long]("rejected_score"))
+    }
+    // independent recompute of the per-source extremes from the q69 scorer
+    val scored = TextAnalysis.qualityClassifier(docsT)
+      .join(docsT.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("doc_id"), col("score"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val all = scored(src).map(t => (t._2, t._3))
+      val top = all.sortBy { case (id, sc) => (-sc, id) }.take(k).map(_._1).toSet
+      val bot = all.sortBy { case (id, sc) => (sc, id) }.take(k).map(_._1).toSet
+      assert(rows.map(_.getAs[Long]("chosen_doc_id")).toSet.subsetOf(top), src)
+      assert(rows.map(_.getAs[Long]("rejected_doc_id")).toSet.subsetOf(bot), src)
+      assert(rows.length <= k * k, src)
+    }
+  }
+
   test("thresholdSweep: kept shares are monotone and end at 10000 bp") {
     val out = TrainingPrep.thresholdSweep(
       TextAnalysis.qualityClassifier(Tables(spark, sf, "documents")),
