@@ -161,7 +161,9 @@ object SparkEntry {
     "q131_recency_sample" -> (Queries.recencySample _),
     "q132_contributor_cap" -> (Queries.contributorCap _),
     "q133_preference_pairs" -> (Queries.preferencePairs _),
-    "q134_ltv_curve" -> (Queries.ltvCurve _)
+    "q134_ltv_curve" -> (Queries.ltvCurve _),
+    "q135_boilerplate_scrub" -> (Queries.boilerplateScrub _),
+    "q136_local_supplier_revenue" -> (Queries.localSupplierRevenue _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1086,6 +1088,23 @@ object Queries {
   def ltvCurve(spark: SparkSession, dir: String): DataFrame =
     Retention.ltvCurve(Tables(spark, dir, "events"),
       RetentionWindow, RetentionMaxOffset)
+
+  /** Cross-doc boilerplate REMOVAL (q123's actionable half). */
+  def boilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    TextClean.boilerplateScrub(Tables(spark, dir, "documents"),
+      LineTokens, BoilerplateMinDocs)
+
+  val Q5Region = "ASIA"
+  val Q5YearFrom = "1996-01-01"
+  val Q5YearUntil = "1997-01-01"
+
+  /** TPC-H Q5 shape: local-supplier revenue per nation. */
+  def localSupplierRevenue(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.localSupplierRevenue(
+      Tables(spark, dir, "lineitem"), Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "supplier"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "region"),
+      Q5Region, Q5YearFrom, Q5YearUntil)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4539,6 +4558,64 @@ object Oracles {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |         AS cents_cum
          |FROM g""".stripMargin
+    },
+
+    // q123's chunk/deny CTEs + positional anti filter + ordered
+    // reassembly; '' (not NULL) for fully-scrubbed docs (q78 pin).
+    "q135_boilerplate_scrub" -> {
+      val l = Queries.LineTokens
+      val m = Queries.BoilerplateMinDocs
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, source,
+         |         CAST(ceil(len(tokens) / $l.0) AS BIGINT) AS n_lines,
+         |         list_transform(range(0, CAST(ceil(len(tokens) / $l.0) AS BIGINT)),
+         |           i -> array_to_string(tokens[i * $l + 1 : i * $l + $l], ' ')) AS chunks
+         |  FROM t),
+         |deny AS (
+         |  SELECT source, line FROM (
+         |    SELECT source, unnest(list_distinct(chunks)) AS line FROM c)
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $m),
+         |occ AS (
+         |  SELECT doc_id, source, i AS pos, chunks[i] AS line
+         |  FROM c, unnest(range(1, len(chunks) + 1)) AS u(i)),
+         |kept AS (
+         |  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         array_to_string(list(o.line ORDER BY o.pos), ' ') AS cleaned
+         |  FROM occ o
+         |  WHERE NOT EXISTS (SELECT 1 FROM deny d
+         |                    WHERE d.source = o.source AND d.line = o.line)
+         |  GROUP BY 1)
+         |SELECT c.doc_id, c.source, c.n_lines,
+         |       COALESCE(k.n_kept, 0) AS n_kept,
+         |       COALESCE(k.cleaned, '') AS cleaned,
+         |       CAST(FLOOR(10000.0 * (c.n_lines - COALESCE(k.n_kept, 0))
+         |         / c.n_lines) AS BIGINT) AS removed_bp
+         |FROM c LEFT JOIN kept k USING (doc_id)""".stripMargin
+    },
+
+    // money: per-row floor of the SAME IEEE tree (price·(1−disc)·100)
+    // before the sum — the house cents convention on Q5's revenue.
+    "q136_local_supplier_revenue" -> {
+      val r = Queries.Q5Region
+      val (f, u) = (Queries.Q5YearFrom, Queries.Q5YearUntil)
+      s"""SELECT n.n_name,
+         |       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+         |         * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN region rg ON n.n_regionkey = rg.r_regionkey
+         |WHERE rg.r_name = '$r'
+         |  AND s.s_nationkey = c.c_nationkey
+         |  AND o.o_orderdate >= TIMESTAMP '$f'
+         |  AND o.o_orderdate < TIMESTAMP '$u'
+         |GROUP BY 1""".stripMargin
     },
 
     // q80's keep-k-smallest-draw convention at the USER key.

@@ -110,4 +110,49 @@ object AreaTopProducts {
       .select(col("area"), col("area_level"), col("product_id"), col("click_count"),
         col("city_infos"), col("product_name"), col("product_status"), col("rank"))
   }
+
+  /** Local-supplier revenue per nation (TPC-H Q5 shape): revenue from
+    * line items where the SUPPLIER sits in the customer's own nation,
+    * for one region and one order-date year — the classic multi-way
+    * star with a cross-dimension equality (c_nationkey = s_nationkey)
+    * that join reorder has to get right.
+    *
+    * Revenue in house cents: per-row
+    * ⌊l_extendedprice·(1−l_discount)·100⌋ — ONE mirrored IEEE tree
+    * then exact BIGINT sums (the money convention; a post-sum decimal
+    * cast would round differently per engine).
+    *
+    * Scale shape: region/nation hint-broadcast (bounded domains);
+    * customer and supplier carry NO hint (tens of GB at the design
+    * point — AQE decides); the local-supplier equality rides the
+    * lineitem⋈supplier join as a residual filter on already-joined
+    * columns, so no extra join or shuffle; ONE aggregate to the
+    * nation-grain result. */
+  def localSupplierRevenue(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String, yearFrom: String, yearUntil: String): DataFrame = {
+    val geo = orders
+      .filter(col("o_orderdate") >= lit(yearFrom).cast("timestamp") &&
+        col("o_orderdate") < lit(yearUntil).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("rev_cents"))
+      .join(geo, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") === col("c_nationkey")) // LOCAL supplier
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"),
+        count(lit(1)).as("n_lineitems"))
+  }
 }

@@ -98,6 +98,62 @@ object TextClean {
       .select(col("source"), col("rank"), col("line"), col("n_docs"))
   }
 
+  /** The actionable half of [[boilerplateLines]] (q78's
+    * detect-then-remove pattern at LINE grain): every token-window
+    * occurring in ≥ `minDocs` distinct docs of its source is DROPPED
+    * from every document carrying it, and the survivors re-join in
+    * original order. What per-doc dedupLines can't remove (each doc
+    * carries the template once) this does.
+    *
+    * Contract notes: null-text docs are excluded (q123's base);
+    * a fully-boilerplate doc emits `cleaned = ''` (empty string, not
+    * NULL — the q78 pin) with n_kept 0.
+    *
+    * Scale shape: the deny set is the (source, line) aggregate
+    * bounded by REPEATED lines (boilerplate is low-cardinality by
+    * definition); the occurrence stream joins it on (source, line) —
+    * AQE broadcasts the deny side when it fits, shuffles on the line
+    * key when not — and docs reassemble with ONE doc-grain aggregate
+    * ordered by the carried position. */
+  def boilerplateScrub(docs: DataFrame, lineTokens: Int = 10,
+      minDocs: Long = 2L): DataFrame = {
+    require(lineTokens >= 1, "lineTokens must be >= 1")
+    val L = lineTokens
+    val base = docs
+      .filter(col("text").isNotNull)
+      .withColumn("__tokens", expr("split(text, ' ')"))
+      .withColumn("__n_lines",
+        expr(s"CAST(ceil(size(__tokens) / $L.0) AS BIGINT)"))
+      .withColumn("__chunks", expr(
+        s"""transform(sequence(0, __n_lines - 1),
+           |  i -> concat_ws(' ', slice(__tokens, i * $L + 1, $L)))"""
+          .stripMargin))
+    val deny = base
+      .select(col("source"), explode(array_distinct(col("__chunks"))).as("line"))
+      .groupBy(col("source"), col("line"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minDocs)
+      .select(col("source"), col("line"), lit(1).as("__deny"))
+    val kept = base
+      .select(col("doc_id"), col("source"), col("__n_lines"),
+        posexplode(col("__chunks")).as(Seq("pos", "line")))
+      .join(deny, Seq("source", "line"), "left")
+      .filter(col("__deny").isNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("cleaned"))
+    base.select(col("doc_id"), col("source"), col("__n_lines").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .withColumn("removed_bp",
+        floor(lit(10000.0) * (col("n_lines") - col("n_kept")) / col("n_lines"))
+          .cast("long"))
+  }
+
   /** Gopher-style repetition metrics (Rae et al. 2021, Table A1) —
     * the signals a quality filter thresholds on, reported per
     * document instead of applied as removal:

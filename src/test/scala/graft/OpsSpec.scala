@@ -124,6 +124,33 @@ class OpsSpec extends SparkSpec {
     assert(got("events") == ((3L, 1L, 3333L)))
   }
 
+  test("localSupplierRevenue: only local-supplier lineitems in-region and in-year count") {
+    val s = spark
+    import s.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    val region = Seq((1, "ASIA"), (2, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10, "JAPAN", 1), (11, "CHINA", 1), (20, "FRANCE", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((100L, 10), (101L, 20)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((7L, 10), (8L, 11)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq(
+      (1000L, 100L, ts("1996-05-01")), // in year, ASIA customer
+      (1001L, 100L, ts("1994-01-01")), // out of year
+      (1002L, 101L, ts("1996-05-01"))) // EUROPE customer
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (1000L, 7L, 10.0, 0.1),  // local supplier (JAPAN=JAPAN): counts, 900c
+      (1000L, 8L, 10.0, 0.0),  // CHINA supplier for JAPAN customer: not local
+      (1001L, 7L, 99.0, 0.0),  // out-of-year order
+      (1002L, 7L, 99.0, 0.0))  // out-of-region customer
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = graft.ops.AreaTopProducts.localSupplierRevenue(
+      lineitem, orders, customer, supplier, nation, region,
+      "ASIA", "1996-01-01", "1997-01-01")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("JAPAN", 900L, 1L)))
+  }
+
   test("erasureAudit with an empty deny list touches nothing") {
     val s = spark
     import s.implicits._

@@ -668,6 +668,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"unbounded-grain window:\n$p")
   }
 
+  test("q135 boilerplate scrub: deny set never cartesians; docs reassemble in one aggregate") {
+    val p = plan("q135_boilerplate_scrub")
+    assert(!p.contains("CartesianProduct"), p)
+    // the date-pruned occurrence stream joins deny on (source, line);
+    // reassembly is a single ObjectHashAggregate at doc grain
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("q136 local-supplier revenue: bounded dims broadcast; order-date filter pushed to the scan") {
+    val p = plan("q136_local_supplier_revenue")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date range not pushed to the parquet scan:\n$p")
+  }
+
   test("q131 recency sample is a PURE MAP: zero shuffles, zero joins, zero windows") {
     val p = plan("q131_recency_sample")
     assert(shuffles(p) == 0, p)

@@ -129,4 +129,29 @@ class TextCleanSpec extends SparkSpec {
       ("web", 4L, 2L, 1L, 2L, 2L, 4L, 5000L),
       ("curated", 1L, 1L, 0L, 0L, 1L, 1L, 10000L)))
   }
+
+  test("boilerplateScrub removes cross-doc windows everywhere, keeps order, '' for full scrub") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "nav bar foo baa tail x", "web"),
+      (2L, "baz qux nav bar end y", "web"),
+      (3L, "nav bar nav bar", "web"),        // within-doc repeats of a denied line
+      (4L, "unique words here now", "web"),
+      (5L, "nav bar solo", "other"))         // other source: not denied there
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(0L))
+    val out = graft.ops.TextClean.boilerplateScrub(d, lineTokens = 2,
+      minDocs = 2L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("cleaned"), r.getAs[Long]("removed_bp")))).toMap
+    // "nav bar" appears in docs 1,2,3 of source web → denied there
+    assert(out(1L) == ((3L, 2L, "foo baa tail x", 3333L)))
+    assert(out(2L) == ((3L, 2L, "baz qux end y", 3333L)))
+    assert(out(3L) == ((2L, 0L, "", 10000L)))  // every occurrence removed
+    assert(out(4L) == ((2L, 2L, "unique words here now", 0L)))
+    assert(out(5L) == ((2L, 2L, "nav bar solo", 0L))) // per-source deny
+  }
 }
