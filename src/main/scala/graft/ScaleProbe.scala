@@ -271,6 +271,15 @@ object ScaleProbe {
     t("recency sample")(graft.ops.TrainingPrep.recencySample(
       events, "2024-01-28"))
     t("contributor cap")(graft.ops.TrainingPrep.contributorCap(events))
+    t("preference pairs")(graft.ops.TrainingPrep.preferencePairs(docs))
+    t("ltv curve")(graft.ops.Retention.ltvCurve(events,
+      ("2024-01-01", "2024-01-31")))
+    t("boilerplate scrub")(graft.ops.TextClean.boilerplateScrub(docs,
+      lineTokens = 2))
+    t("local supplier revenue")(graft.ops.AreaTopProducts
+      .localSupplierRevenue(lineitem, orders, dim("customer"),
+        dim("supplier"), dim("nation"), dim("region"),
+        "ASIA", "1996-01-01", "1997-01-01"))
     spark.stop()
   }
 }
