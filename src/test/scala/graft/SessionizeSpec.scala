@@ -177,6 +177,41 @@ class SessionizeSpec extends SparkSpec {
       ("last", "direct") -> 1L))  // user 2 session 1
   }
 
+  test("native session_window agrees with assignSessions on the fixture (boundary semantics documented)") {
+    // The engine sessionizes via lag+cumsum (new session iff
+    // gap > 1800 s) rather than the built-in session_window — the
+    // cumsum gives every downstream op a stable session KEY and a seq
+    // the windows can ride. This pins that the native aggregate would
+    // produce the SAME session partition on real data, so the choice
+    // is about key ergonomics, not divergent semantics.
+    val events = graft.tables.Tables(spark, sf, "events")
+    val native = events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "1800 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val ours = Sessionize.assignSessions(events)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(native == ours)
+    // Boundary: an event EXACTLY gap after its predecessor merges
+    // under BOTH definitions (ours: strictly-greater splits; native:
+    // next start <= window end merges) — the two rules agree even at
+    // the edge. Pinned so a Spark behavior change or an engine
+    // refactor surfaces here.
+    val edge = Seq(
+      ev(0, 1, "2024-01-01 00:00:00"),
+      ev(1, 1, "2024-01-01 00:30:00") // exactly 1800 s later
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Sessionize.assignSessions(edge)
+      .select(countDistinct(col("session_id"))).as[Long].head() == 1L)
+    assert(edge.groupBy(col("user_id"),
+        session_window(col("ts"), "1800 seconds")).count().count() == 1L)
+  }
+
   test("sessionPaths truncates at maxSteps but converts on the WHOLE session") {
     val evs = Seq(
       // user 1: 6 steps, purchase is the 6th — beyond the 5-step path
