@@ -163,7 +163,9 @@ object SparkEntry {
     "q133_preference_pairs" -> (Queries.preferencePairs _),
     "q134_ltv_curve" -> (Queries.ltvCurve _),
     "q135_boilerplate_scrub" -> (Queries.boilerplateScrub _),
-    "q136_local_supplier_revenue" -> (Queries.localSupplierRevenue _)
+    "q136_local_supplier_revenue" -> (Queries.localSupplierRevenue _),
+    "q137_key_skew" -> (Queries.keySkew _),
+    "q138_props_schema" -> (Queries.propsSchema _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1105,6 +1107,16 @@ object Queries {
       Tables(spark, dir, "customer"), Tables(spark, dir, "supplier"),
       Tables(spark, dir, "nation"), Tables(spark, dir, "region"),
       Q5Region, Q5YearFrom, Q5YearUntil)
+
+  val SkewTopK = 10
+
+  /** Join-key skew report over the events user_id (pre-join triage). */
+  def keySkew(spark: SparkSession, dir: String): DataFrame =
+    Profile.keySkew(Tables(spark, dir, "events"), "user_id", SkewTopK)
+
+  /** Semi-structured props schema profile. */
+  def propsSchema(spark: SparkSession, dir: String): DataFrame =
+    Profile.propsSchema(Tables(spark, dir, "events"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4617,6 +4629,48 @@ object Oracles {
          |  AND o.o_orderdate < TIMESTAMP '$u'
          |GROUP BY 1""".stripMargin
     },
+
+    // nulls are keys (NULLS FIRST tie-break); hot_x_mean is the
+    // cross-multiplied ratio to mean key frequency.
+    "q137_key_skew" -> {
+      val k = Queries.SkewTopK
+      s"""WITH bk AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key_value,
+         |         CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM events GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |         CAST(SUM(n_rows) AS BIGINT) AS total_rows
+         |  FROM bk)
+         |SELECT key_value, n_rows, n_keys, total_rows,
+         |       CAST(FLOOR(10000.0 * n_rows / total_rows) AS BIGINT)
+         |         AS share_bp,
+         |       CAST(FLOOR(10000.0 * (n_rows * n_keys) / total_rows) AS BIGINT)
+         |         AS hot_x_mean_bp
+         |FROM bk CROSS JOIN t
+         |ORDER BY n_rows DESC, key_value ASC NULLS FIRST LIMIT $k"""
+        .stripMargin
+    },
+
+    // values compared as STRINGS (the only cross-producer-safe type);
+    // DuckDB's dynamic '$.'||key path twins Spark's from_json map.
+    "q138_props_schema" ->
+      s"""WITH tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM events),
+         |kv AS (
+         |  SELECT u.k AS key,
+         |         json_extract_string(e.props, '$$.' || u.k) AS value
+         |  FROM events e, unnest(json_keys(e.props)) AS u(k)
+         |  WHERE e.props IS NOT NULL),
+         |g AS (
+         |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
+         |         CAST(COUNT(DISTINCT value) AS BIGINT) AS n_values,
+         |         MIN(value) AS min_value, MAX(value) AS max_value
+         |  FROM kv GROUP BY 1)
+         |SELECT key, n_present, n_values, min_value, max_value,
+         |       CAST(FLOOR(10000.0 * n_present / total_rows) AS BIGINT)
+         |         AS present_bp
+         |FROM g CROSS JOIN tot""".stripMargin,
 
     // q80's keep-k-smallest-draw convention at the USER key.
     "q132_contributor_cap" -> {

@@ -69,4 +69,67 @@ object Profile {
     }
     unpivot(df.agg(count(lit(1)).as("__n"), aggs: _*), columns)
   }
+
+  /** Join-key skew report — the diagnostic run BEFORE a big join or
+    * aggregation ships: the k hottest values of `key` with their row
+    * counts, each key's corpus share, and its ratio to the MEAN key
+    * frequency (`hot_x_mean`, in basis points of the mean — a key at
+    * 50× mean is the straggler task AQE's skew-join will have to
+    * split; two of them decide your salt factor). Nulls are a key
+    * like any other: a 40%-null join key is the most common skew bug.
+    *
+    * Scale shape: one partial-aggregated shuffle to key grain; the
+    * global mean (distinct keys + total rows) is a second aggregate
+    * OVER THE KEY-GRAIN frame (persisted, so the corpus is scanned
+    * once), broadcast as one row; top-k is TakeOrderedAndProject. */
+  def keySkew(df: DataFrame, key: String, k: Int = 10): DataFrame = {
+    val byKey = df
+      .groupBy(col(key).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = byKey.agg(
+      count(lit(1)).as("n_keys"), sum(col("n_rows")).as("total_rows"))
+    byKey.crossJoin(broadcast(totals))
+      .withColumn("share_bp",
+        floor(lit(10000.0) * col("n_rows") / col("total_rows")).cast("long"))
+      // n_rows / (total/keys) cross-multiplied: one divide, exact ints
+      .withColumn("hot_x_mean_bp",
+        floor(lit(10000.0) * (col("n_rows") * col("n_keys")) /
+          col("total_rows")).cast("long"))
+      .orderBy(col("n_rows").desc, col("key_value").asc_nulls_first)
+      .limit(k)
+      .select(col("key_value"), col("n_rows"), col("n_keys"),
+        col("total_rows"), col("share_bp"), col("hot_x_mean_bp"))
+  }
+
+  /** Semi-structured schema profile of a JSON column — the
+    * "what keys actually live in this props blob" report every
+    * event-pipeline onboarding starts with (the schema is whatever
+    * producers ship, and drift lands here first). Per discovered key:
+    * presence count and share, distinct-value count, min/max value
+    * (values as strings — the only cross-producer-safe type).
+    *
+    * Scale shape: `from_json` to map + one explode, collapsing to
+    * KEY grain (bounded by the real key vocabulary) with map-side
+    * partials; the row total is a 1-row broadcast; no second scan. */
+  def propsSchema(df: DataFrame, jsonCol: String = "props"): DataFrame = {
+    val tot = df.agg(count(lit(1)).as("total_rows"))
+    df
+      .select(explode(from_json(col(jsonCol),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+        .as(Seq("key", "value")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        count_distinct(col("value")).as("n_values"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .crossJoin(broadcast(tot))
+      .withColumn("present_bp",
+        floor(lit(10000.0) * col("n_present") / col("total_rows"))
+          .cast("long"))
+      .select(col("key"), col("n_present"), col("n_values"),
+        col("min_value"), col("max_value"), col("present_bp"))
+  }
 }

@@ -151,6 +151,38 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("JAPAN", 900L, 1L)))
   }
 
+  test("keySkew: hottest keys with shares and mean-multiples; null is a key") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(5)(Some(1L)) ++ Seq.fill(2)(Some(2L)) ++
+      Seq.fill(3)(Option.empty[Long]))
+      .toDF("user_id")
+    val out = graft.ops.Profile.keySkew(df, "user_id", k = 10).collect()
+      .map(r => Option(r.getAs[String]("key_value")) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("hot_x_mean_bp")))).toMap
+    assert(out(Some("1")) == ((5L, 5000L, 15000L))) // 5 vs mean 10/3
+    assert(out(Some("2")) == ((2L, 2000L, 6000L)))
+    assert(out(None) == ((3L, 3000L, 9000L)))       // null key reported
+  }
+
+  test("propsSchema discovers keys dynamically; invalid JSON contributes nothing but still counts in the total") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      """{"a": 1, "b": "x"}""", """{"a": 2}""",
+      null.asInstanceOf[String], "not json at all")
+      .toDF("props")
+    val out = graft.ops.Profile.propsSchema(df).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n_present"), r.getAs[Long]("n_values"),
+          r.getAs[String]("min_value"), r.getAs[String]("max_value"),
+          r.getAs[Long]("present_bp")))).toMap
+    assert(out("a") == ((2L, 2L, "1", "2", 5000L)))
+    assert(out("b") == ((1L, 1L, "x", "x", 2500L)))
+    assert(out.size == 2)
+  }
+
   test("erasureAudit with an empty deny list touches nothing") {
     val s = spark
     import s.implicits._

@@ -685,6 +685,23 @@ class PlanAuditSpec extends SparkSpec {
       s"order-date range not pushed to the parquet scan:\n$p")
   }
 
+  test("q137 key skew: one live corpus pass (totals read the persisted key-grain frame); top-k is TakeOrdered") {
+    val p = plan("q137_key_skew")
+    assert("FileScan parquet".r.findAllIn(stripCached(p)).isEmpty,
+      s"corpus re-scanned for the totals:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q138 props schema: one scan, key-grain aggregate, 1-row total broadcast") {
+    val p = plan("q138_props_schema")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("FileScan parquet".r.findAllIn(stripCached(p)).length <= 2, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("value") && !readSchema.contains("event_type"),
+      s"scan not pruned: $readSchema")
+  }
+
   test("q131 recency sample is a PURE MAP: zero shuffles, zero joins, zero windows") {
     val p = plan("q131_recency_sample")
     assert(shuffles(p) == 0, p)
