@@ -280,6 +280,8 @@ object ScaleProbe {
       .localSupplierRevenue(lineitem, orders, dim("customer"),
         dim("supplier"), dim("nation"), dim("region"),
         "ASIA", "1996-01-01", "1997-01-01"))
+    t("key skew")(graft.ops.Profile.keySkew(events, "user_id"))
+    t("props schema")(graft.ops.Profile.propsSchema(events))
     spark.stop()
   }
 }

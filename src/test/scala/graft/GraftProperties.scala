@@ -630,4 +630,93 @@ object GraftProperties extends Properties("graft") {
       }.sum / 2
       out == want && out >= 0L && out <= 10000L
     }
+
+  property("thresholdSweep cumulative equals a direct >=-threshold filter at every bucket") =
+    forAll(for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        tc <- Gen.choose(1L, 500L)
+        sc <- Gen.choose(-6000L, 6000L)
+      } yield (tc, sc))
+    } yield rows) { rows =>
+      val s = spark
+      import s.implicits._
+      val in = rows.zipWithIndex
+        .map { case ((tc, sc), i) => (i.toLong, tc, sc) }
+        .toDF("doc_id", "token_count", "score")
+      val out = graft.ops.TrainingPrep.thresholdSweep(in, 1024L)
+        .select("bucket", "docs_kept", "tokens_kept")
+        .as[(Long, Long, Long)].collect()
+      out.forall { case (b, dk, tk) =>
+        val kept = rows.filter { case (_, sc) =>
+          math.floor(sc.toDouble / 1024.0).toLong >= b }
+        dk == kept.size.toLong && tk == kept.map(_._1).sum
+      }
+    }
+
+  property("contributorCap never exceeds k and never invents rows") =
+    forAll(for {
+      n <- Gen.choose(1, 60)
+      k <- Gen.choose(1, 5)
+      users <- Gen.listOfN(n, Gen.choose(1L, 5L))
+    } yield (k, users)) { case (k, users) =>
+      val s = spark
+      import s.implicits._
+      val in = users.zipWithIndex.map { case (u, i) =>
+        (i.toLong, new Timestamp(T0 + i * 1000L), u, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val out = graft.ops.TrainingPrep.contributorCap(in, k)
+        .select("user_id", "event_id").as[(Long, Long)].collect()
+      val perUser = out.groupBy(_._1).view.mapValues(_.length).toMap
+      val inIds = users.indices.map(_.toLong).toSet
+      perUser.values.forall(_ <= k) &&
+        out.map(_._2).toSet.subsetOf(inIds) &&
+        perUser.keySet.forall(u =>
+          perUser(u) == math.min(k, users.count(_ == u)))
+    }
+
+  property("recencySample keeps exactly the rows whose JVM-recomputed draw clears the decayed gate") =
+    forAll(for {
+      n <- Gen.choose(1, 50)
+      ages <- Gen.listOfN(n, Gen.choose(-5L, 130L))
+    } yield ages) { ages =>
+      val s = spark
+      import s.implicits._
+      val asOfMs = T0 + 200L * 86400000L
+      val in = ages.zipWithIndex.map { case (age, i) =>
+        (i.toLong, new Timestamp(asOfMs - age * 86400000L), 1L, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val asOf = new java.text.SimpleDateFormat("yyyy-MM-dd") {
+        setTimeZone(java.util.TimeZone.getTimeZone("UTC")) }
+        .format(new java.util.Date(asOfMs))
+      val out = graft.ops.TrainingPrep.recencySample(in, asOf)
+        .select("event_id").as[Long].collect().toSet
+      def md5hex(id: Long): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val want = ages.zipWithIndex.collect { case (age, i)
+        if age >= 0 && {
+          val hl = age / 7
+          val keep = if (hl >= 14) 0L else 10000L >> hl
+          java.lang.Long.parseLong(md5hex(i.toLong).substring(0, 8), 16) % 10000L < keep
+        } => i.toLong }.toSet
+      out == want
+    }
+
+  property("shardMixing TVD stays in [0, 5000+] bounds and conserves docs") =
+    forAll(for {
+      n <- Gen.choose(1, 50)
+      srcs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield srcs) { srcs =>
+      val s = spark
+      import s.implicits._
+      val in = srcs.zipWithIndex.map { case (src, i) =>
+        (i.toLong, "w1 w2 w3", "en", src, 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = graft.ops.TrainingPrep.shardMixing(in, 4)
+        .select("n_docs", "tvd_bp").as[(Long, Long)].collect()
+      out.map(_._1).sum == srcs.size.toLong &&
+        out.forall { case (_, tvd) => tvd >= 0L && tvd <= 10000L }
+    }
 }
