@@ -44,6 +44,33 @@ object ClickJoinStream {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** The OUTER variant: every impression, attributed or not — the
+    * "wasted spend" stream. Stream-stream LEFT OUTER is the harder
+    * semantics: an unmatched impression can only emit once NO future
+    * click could still match it, i.e. after the watermark passes the
+    * end of its attribution window — Spark holds it in join state
+    * until then and emits the null-extended row on eviction. (The
+    * inner join never waits; the OUTER rows are late by one
+    * watermark advance BY DESIGN — a spec-pinned behavior, not a
+    * bug.) */
+  def attributionOutcome(imps: DataFrame, clicks: DataFrame,
+      windowSeconds: Long = 600L,
+      watermark: String = "10 minutes"): DataFrame = {
+    val i = imps.withWatermark("ts", watermark)
+      .select(col("ad_id"), col("impression_id"), col("ts").as("imp_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("ad_id").as("c_ad_id"), col("click_id"),
+        col("ts").as("click_ts"))
+    i.join(c,
+      col("ad_id") === col("c_ad_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"interval $windowSeconds seconds"),
+      "left_outer")
+      .select(col("ad_id"), col("impression_id"), col("imp_ts"),
+        col("click_id"), col("click_ts"),
+        col("click_id").isNotNull.cast("int").as("attributed"))
+  }
+
   /** The batch twin on static frames — same columns, same predicate
     * (the parity spec runs both on one event split). */
   def attributedClicksBatch(imps: DataFrame, clicks: DataFrame,

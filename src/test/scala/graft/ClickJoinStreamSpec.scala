@@ -90,6 +90,38 @@ class ClickJoinStreamSpec extends SparkSpec {
       s"range conjunct missing from the join:\n$cond")
   }
 
+  test("outer join: unattributed impressions emit only after the watermark passes their window") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val im = MemoryStream[Imp]
+    val cm = MemoryStream[Click]
+    val out = ClickJoinStream.attributionOutcome(im.toDF(), cm.toDF())
+    val q = out.writeStream
+      .format("memory").queryName("outcome_out").outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cjoin-o").toString)
+      .start()
+    try {
+      // imp 60 (ad 2) never clicked; imp 61 (ad 1) clicked in-window
+      im.addData(imp(2, 60, 0), imp(1, 61, 30))
+      cm.addData(clk(1, 600, 90))
+      q.processAllAvailable()
+      def rows() = spark.table("outcome_out")
+        .select("impression_id", "attributed")
+        .as[(Long, Int)].collect().toSet
+      // attributed row is out immediately; the unattributed one must
+      // NOT have emitted yet (its window could still be hit)
+      assert(rows() == Set((61L, 1)))
+      // advance the watermark far past imp 60's window end + slack
+      im.addData(imp(9, 999, 20000))
+      cm.addData(clk(9, 9999, 20001))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(rows().contains((60L, 0)), s"outer row never evicted: ${rows()}")
+    } finally q.stop()
+  }
+
   test("a click arriving in a later batch still attributes within the watermark slack") {
     val got = run(
       Seq(Seq(imp(5, 50, 0)), Seq.empty),
