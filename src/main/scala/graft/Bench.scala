@@ -31,6 +31,28 @@ object Bench {
     def reset(): Unit = { rows.reset(); sRead.reset(); sWrite.reset() }
   }
 
+  /** The stdout contract, enforced MECHANICALLY: the harness captures
+    * only the last ~2000 chars of stdout (sbt appends ~75 more), so
+    * the one JSON line must fit ~1900 or the driver's parse fails
+    * (rounds 1-4 shipped "parsed": null exactly this way). The
+    * per-query map is included while it fits; past the budget it
+    * falls back to stderr and the line keeps the parseable aggregate
+    * fields — a driver that can't see per-query times is degraded,
+    * one that can't parse AT ALL is blind. Returns (line, Some(map)
+    * iff the map overflowed to stderr). */
+  val StdoutBudget = 1850
+
+  def stdoutLine(total: String, queriesJson: String, ioTotal: String,
+      sfDir: String): (String, Option[String]) = {
+    val full =
+      s"""{"metric":"steady_total","value":$total,"unit":"sec",""" +
+        s""""queries":$queriesJson,"io_total":$ioTotal,"sf":"$sfDir"}"""
+    if (full.length <= StdoutBudget) (full, None)
+    else (s"""{"metric":"steady_total","value":$total,"unit":"sec",""" +
+      s""""queries_in_stderr":true,"io_total":$ioTotal,"sf":"$sfDir"}""",
+      Some(queriesJson))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -127,7 +149,10 @@ object Bench {
     val steadyTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     System.err.println(s"[bench] cold_total=${f(coldTotal)} steady_total=${f(steadyTotal)}")
-    println(s"""{"metric":"steady_total","value":${f(steadyTotal)},"unit":"sec","queries":$steady,"io_total":$ioTotal,"sf":"$sfDir"}""")
+    val (line, overflowMap) =
+      Bench.stdoutLine(f(steadyTotal), steady, ioTotal, sfDir)
+    overflowMap.foreach(m => System.err.println(s"[bench] queries=$m"))
+    println(line)
     spark.stop()
   }
 }

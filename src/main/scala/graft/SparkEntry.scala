@@ -165,7 +165,10 @@ object SparkEntry {
     "q135_boilerplate_scrub" -> (Queries.boilerplateScrub _),
     "q136_local_supplier_revenue" -> (Queries.localSupplierRevenue _),
     "q137_key_skew" -> (Queries.keySkew _),
-    "q138_props_schema" -> (Queries.propsSchema _)
+    "q138_props_schema" -> (Queries.propsSchema _),
+    "q139_quantile_table" -> (Queries.quantileTable _),
+    "q140_embedding_health" -> (Queries.embeddingHealth _),
+    "q141_modality_coverage" -> (Queries.modalityCoverage _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1117,6 +1120,22 @@ object Queries {
   /** Semi-structured props schema profile. */
   def propsSchema(spark: SparkSession, dir: String): DataFrame =
     Profile.propsSchema(Tables(spark, dir, "events"))
+
+  val QuantileRanks = Seq(5000L, 9000L, 9900L)
+
+  /** p50/p90/p99 value table per event type, one histogram pass. */
+  def quantileTable(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.quantileTable(Tables(spark, dir, "events"),
+      "event_type", "value", QuantileRanks)
+
+  /** Embedding-health audit (pre-index data-quality gate). */
+  def embeddingHealth(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingHealth(Tables(spark, dir, "embeddings"))
+
+  /** Text↔embedding modality coverage report. */
+  def modalityCoverage(spark: SparkSession, dir: String): DataFrame =
+    Profile.modalityCoverage(Tables(spark, dir, "documents"),
+      Tables(spark, dir, "embeddings"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4671,6 +4690,71 @@ object Oracles {
          |       CAST(FLOOR(10000.0 * n_present / total_rows) AS BIGINT)
          |         AS present_bp
          |FROM g CROSS JOIN tot""".stripMargin,
+
+    // q77's histogram CTE with the rank list unrolled + UNION'd long.
+    "q139_quantile_table" -> {
+      val ranks = Queries.QuantileRanks
+      val picks = ranks.map { p =>
+        s"""SELECT event_type, CAST($p AS BIGINT) AS rank_bp,
+           |       CAST(FLOOR(MIN(CASE WHEN cum >= ((n * $p + 9999) // 10000)
+           |         THEN v END) * 100) AS BIGINT) AS value_cents,
+           |       CAST(MIN(n) AS BIGINT) AS n_rows
+           |FROM c GROUP BY 1""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH h AS (
+         |  SELECT event_type, value AS v, COUNT(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *,
+         |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM h)
+         |$picks""".stripMargin
+    },
+
+    // non-finite = NaN or |x| > 1e39 (no finite float32 exceeds
+    // 3.4e38) — identical predicate on both engines, no isinf.
+    "q140_embedding_health" ->
+      s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_null,
+         |       CAST(SUM(CASE WHEN embedding IS NOT NULL
+         |         AND len(embedding) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_empty,
+         |       CAST(SUM(CASE WHEN embedding IS NOT NULL
+         |         AND len(embedding) > 0
+         |         AND len(list_filter(embedding, x -> x <> 0.0)) = 0
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |       CAST(SUM(CASE WHEN embedding IS NOT NULL
+         |         AND len(list_filter(embedding, x ->
+         |           isnan(CAST(x AS DOUBLE))
+         |           OR abs(CAST(x AS DOUBLE)) > 1e39)) > 0
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+         |       CAST(MIN(CASE WHEN embedding IS NOT NULL
+         |         THEN len(embedding) END) AS BIGINT) AS dims_min,
+         |       CAST(MAX(CASE WHEN embedding IS NOT NULL
+         |         THEN len(embedding) END) AS BIGINT) AS dims_max
+         |FROM embeddings GROUP BY 1""".stripMargin,
+
+    "q141_modality_coverage" ->
+      s"""WITH d AS (SELECT DISTINCT doc_id FROM documents),
+         |e AS (SELECT DISTINCT vec_id FROM embeddings),
+         |j AS (SELECT d.doc_id, e.vec_id
+         |      FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id)
+         |SELECT CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(vec_id) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         |       CAST(SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NULL
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS docs_only,
+         |       CAST(SUM(CASE WHEN doc_id IS NULL AND vec_id IS NOT NULL
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS vecs_only,
+         |       CASE WHEN COUNT(doc_id) = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 *
+         |              SUM(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+         |                  THEN 1 ELSE 0 END) / COUNT(doc_id)) AS BIGINT)
+         |       END AS coverage_bp
+         |FROM j""".stripMargin,
 
     // q80's keep-k-smallest-draw convention at the USER key.
     "q132_contributor_cap" -> {

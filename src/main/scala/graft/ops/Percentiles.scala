@@ -72,6 +72,33 @@ object Percentiles {
         min(col("n")).as("n_rows"))
   }
 
+  /** Multi-RANK quantile table (p50/p90/p99-style latency panel) from
+    * ONE histogram pass: every rank reads the same per-group
+    * cumulative value histogram, so adding a percentile costs one
+    * conditional aggregate, not a scan. Output one row per
+    * (group, rank_bp) — the long/tidy shape dashboards join against.
+    *
+    * Scale shape: exactly [[quantileCents]]'s plan (value-grain
+    * window, never rows) with the rank list unrolled as aggregate
+    * columns and unpivoted via a bounded explode. */
+  def quantileTable(df: DataFrame, groupCol: String, valueCol: String,
+      ranksBp: Seq[Long] = Seq(5000L, 9000L, 9900L)): DataFrame = {
+    require(ranksBp.nonEmpty && ranksBp.forall(p => p >= 1L && p <= 10000L),
+      "ranks must be in [1, 10000] bp")
+    val cum = cumHistogram(df, groupCol, valueCol)
+    val aggs = ranksBp.map { p =>
+      floor(min(when(col("cum") >= expr(s"(n * $p + 9999) div 10000"),
+        col(valueCol))).cast("double") * 100).cast("long").as(s"__q$p")
+    }
+    cum.groupBy(col(groupCol))
+      .agg(min(col("n")).as("n_rows"), aggs: _*)
+      .select(col(groupCol), col("n_rows"), explode(array(ranksBp.map { p =>
+        struct(lit(p).as("rank_bp"), col(s"__q$p").as("value_cents"))
+      }: _*)).as("q"))
+      .select(col(groupCol), col("q.rank_bp").as("rank_bp"),
+        col("q.value_cents").as("value_cents"), col("n_rows"))
+  }
+
   /** Multi-level totals via ROLLUP — per (a,b), per a, and grand
     * total in ONE pass (partial aggregation covers all levels;
     * grouping_id disambiguates). */

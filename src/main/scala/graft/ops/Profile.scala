@@ -132,4 +132,35 @@ object Profile {
       .select(col("key"), col("n_present"), col("n_values"),
         col("min_value"), col("max_value"), col("present_bp"))
   }
+
+  /** Cross-modality coverage report — do the text and embedding
+    * tables actually line up? One row: doc/vector counts, matched
+    * ids, each side's orphans, and text-side coverage in bp. The
+    * misaligned-modality check every multimodal ingest runs first
+    * (a 60% embedding coverage means the ANN index silently ignores
+    * 40% of the corpus).
+    *
+    * Scale shape: both sides collapse to DISTINCT id columns before
+    * the full-outer merge, so the join carries two id sets, not two
+    * corpora; output is one row. */
+  def modalityCoverage(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id")).distinct()
+      .withColumn("__d", lit(1L))
+    val e = emb.select(col("vec_id")).distinct()
+      .withColumn("__e", lit(1L))
+    d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("__d"), lit(0L))).as("n_docs"),
+        sum(coalesce(col("__e"), lit(0L))).as("n_vecs"),
+        sum(when(col("__d").isNotNull && col("__e").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("__d").isNotNull && col("__e").isNull, 1L)
+          .otherwise(0L)).as("docs_only"),
+        sum(when(col("__d").isNull && col("__e").isNotNull, 1L)
+          .otherwise(0L)).as("vecs_only"))
+      .withColumn("coverage_bp",
+        when(col("n_docs") === 0L, lit(0L))
+          .otherwise(floor(lit(10000.0) * col("n_matched") / col("n_docs"))
+            .cast("long")))
+  }
 }

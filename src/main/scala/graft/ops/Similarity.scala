@@ -247,6 +247,36 @@ object Similarity {
       .select(col("label"), col("n_vecs"), col("share_bp"), col("mean_cos_bp"))
   }
 
+  /** Embedding-health audit — the data-quality gate run before any
+    * index build: per label, the vectors that would corrupt one
+    * (null / empty / all-zero / non-finite components) plus the
+    * dimension range (ragged arrays are the classic silent killer —
+    * a dot product against a short vector either crashes the job or,
+    * worse, zero-pads). Non-finite = NaN or |x| > 1e39 (no finite
+    * float32 exceeds 3.4e38, so the bound is exact and engine-
+    * portable where an isinf builtin is not).
+    *
+    * Scale shape: one pure map over the scan into the bounded label
+    * grain. */
+  def embeddingHealth(emb: DataFrame): DataFrame =
+    emb.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("embedding").isNotNull && size(col("embedding")) === 0,
+          1L).otherwise(0L)).as("n_empty"),
+        sum(when(col("embedding").isNotNull && size(col("embedding")) > 0 &&
+          expr("size(filter(embedding, x -> x <> CAST(0.0 AS FLOAT))) = 0"),
+          1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("embedding").isNotNull && expr(
+          """size(filter(embedding, x ->
+            |  isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) > 1e39)) > 0"""
+            .stripMargin), 1L).otherwise(0L)).as("n_nonfinite"),
+        min(when(col("embedding").isNotNull, size(col("embedding"))))
+          .cast("long").as("dims_min"),
+        max(when(col("embedding").isNotNull, size(col("embedding"))))
+          .cast("long").as("dims_max"))
+
   /** Embedding near-duplicate pairs: co-bucketed, cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, thresholdBp: Long = 2000L): DataFrame = {
     val q = withSignBucket(quantized(emb))

@@ -28,24 +28,28 @@ class ContractSpec extends AnyFunSuite {
     assert(short.distinct.size == short.size, "short query ids collide")
   }
 
-  test("bench JSON line fits the harness output-tail capture budget") {
+  test("bench JSON line fits the harness output-tail capture budget under ANY digits") {
     // MEASURED budget (BENCH_r04 "tail"): the harness keeps the LAST
     // 2000 chars of stdout, and sbt prints a ~75-char "[success]"
-    // line after ours. Anything longer than ~1900 chars is
-    // front-truncated → "parsed": null (rounds 1-4 all hit this; the
-    // old guard's 4 KB budget was a guess, and wrong). Current format:
-    // ONE line with a 2-decimal short-id steady map plus a single
-    // aggregate io_total pair; per-query io lives on stderr.
-    // Worst case reconstruction: 999.99 s per query, 10 B total input
-    // rows, 100 GB total shuffle write (kceil → 8 digits each).
+    // line after ours — anything longer is front-truncated →
+    // "parsed": null (rounds 1-4 all hit this). The builder enforces
+    // it MECHANICALLY: when the per-query map would overflow, it
+    // falls back to stderr and the line keeps the aggregate fields.
     val ids = SparkEntry.queries.keys.toSeq
       .map(_.takeWhile(_ != '_').stripPrefix("q"))
-    val qmap = ids.map(n => s""""$n":999.99""").mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"steady_total","value":99999.999,"unit":"sec",""" +
-        s""""queries":$qmap,"io_total":[10000000,104857600],"sf":"/root/testdata/sf0.1"}"""
-    assert(line.length <= 1850,
-      s"bench line ${line.length}B vs 2000B captured tail minus sbt epilogue — " +
-        "trim digits or move the queries map to stderr before adding more queries")
+    // adversarial digits: the fallback must engage and still fit
+    val worst = ids.map(n => s""""$n":999.99""").mkString("{", ",", "}")
+    val (wLine, wOverflow) = Bench.stdoutLine("99999.999", worst,
+      "[10000000,104857600]", "/root/testdata/sf0.1")
+    assert(wLine.length <= 1850, s"fallback line still too long: ${wLine.length}B")
+    assert(wLine.contains("\"value\":99999.999"), wLine)
+    // realistic digits (every query under 10 s): map stays inline
+    val real = ids.map(n => s""""$n":9.99""").mkString("{", ",", "}")
+    val (rLine, rOverflow) = Bench.stdoutLine("999.999", real,
+      "[10000,100000]", "/root/testdata/sf0.1")
+    assert(rLine.length <= 1850, s"${rLine.length}B")
+    assert(rOverflow.isEmpty && rLine.contains("\"queries\":{"),
+      s"realistic map should stay inline: $rLine")
+    assert(wOverflow.isDefined || wLine.contains("\"queries\":{"))
   }
 }

@@ -183,6 +183,60 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("quantileTable: each rank matches the single-rank operator; ranks are monotone") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq.fill(10)(("b", 7.5))
+    val df = rows.toDF("g", "v")
+    val ranks = Seq(5000L, 9000L, 9900L)
+    val table = graft.ops.Percentiles.quantileTable(df, "g", "v", ranks)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("rank_bp")) ->
+        r.getAs[Long]("value_cents")).toMap
+    ranks.foreach { p =>
+      val single = graft.ops.Percentiles.quantileCents(df, "g", "v", p)
+        .collect().map(r => r.getAs[String]("g") ->
+          r.getAs[Long]("quantile_cents")).toMap
+      assert(table(("a", p)) == single("a"), s"rank $p")
+      assert(table(("b", p)) == single("b"), s"rank $p")
+    }
+    assert(table(("a", 5000L)) <= table(("a", 9000L)))
+    assert(table(("a", 9000L)) <= table(("a", 9900L)))
+    assert(table(("a", 5000L)) == 5000L && table(("a", 9900L)) == 9900L)
+  }
+
+  test("embeddingHealth flags null/empty/zero/non-finite vectors and ragged dims") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f), 1),
+      (1L, null.asInstanceOf[Array[Float]], 1),
+      (2L, Array.empty[Float], 1),
+      (3L, Array(0.0f, 0.0f), 1),
+      (4L, Array(Float.NaN, 1.0f), 1),
+      (5L, Array(Float.PositiveInfinity, 1.0f, 2.0f), 1) // ragged: 3 dims
+    ).toDF("vec_id", "embedding", "label")
+    val r = graft.ops.Similarity.embeddingHealth(emb).head()
+    assert(r.getAs[Long]("n_vecs") == 6L)
+    assert(r.getAs[Long]("n_null") == 1L)
+    assert(r.getAs[Long]("n_empty") == 1L)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Long]("n_nonfinite") == 2L) // NaN + Infinity
+    assert(r.getAs[Long]("dims_min") == 0L && r.getAs[Long]("dims_max") == 3L)
+  }
+
+  test("modalityCoverage counts matches and both orphan sides") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val emb = Seq(3L, 4L, 5L).toDF("vec_id")
+    val r = graft.ops.Profile.modalityCoverage(docs, emb).head()
+    assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_vecs"),
+      r.getAs[Long]("n_matched"), r.getAs[Long]("docs_only"),
+      r.getAs[Long]("vecs_only"), r.getAs[Long]("coverage_bp")) ==
+      ((4L, 3L, 2L, 2L, 1L, 5000L)))
+  }
+
   test("erasureAudit with an empty deny list touches nothing") {
     val s = spark
     import s.implicits._
