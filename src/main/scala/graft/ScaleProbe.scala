@@ -282,6 +282,10 @@ object ScaleProbe {
         "ASIA", "1996-01-01", "1997-01-01"))
     t("key skew")(graft.ops.Profile.keySkew(events, "user_id"))
     t("props schema")(graft.ops.Profile.propsSchema(events))
+    t("quantile table")(graft.ops.Percentiles.quantileTable(
+      events, "event_type", "value"))
+    t("embedding health")(graft.ops.Similarity.embeddingHealth(emb))
+    t("modality coverage")(graft.ops.Profile.modalityCoverage(docs, emb))
     spark.stop()
   }
 }
