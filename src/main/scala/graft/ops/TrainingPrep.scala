@@ -596,9 +596,13 @@ object TrainingPrep {
     * source. */
   def preferencePairs(docs: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1, "k must be positive")
+    // persisted: both extreme extracts read the scored frame, and the
+    // score is the expensive part (an md5 per token) — the cache is
+    // three thin columns, far smaller than re-reading the text
     val scored = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         TextAnalysis.classifierScore.as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wTop = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("doc_id").asc)
     val wBot = Window.partitionBy(col("source"))
