@@ -168,7 +168,8 @@ object SparkEntry {
     "q138_props_schema" -> (Queries.propsSchema _),
     "q139_quantile_table" -> (Queries.quantileTable _),
     "q140_embedding_health" -> (Queries.embeddingHealth _),
-    "q141_modality_coverage" -> (Queries.modalityCoverage _)
+    "q141_modality_coverage" -> (Queries.modalityCoverage _),
+    "q142_daily_pivot" -> (Queries.dailyActivityPivot _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1136,6 +1137,14 @@ object Queries {
   def modalityCoverage(spark: SparkSession, dir: String): DataFrame =
     Profile.modalityCoverage(Tables(spark, dir, "documents"),
       Tables(spark, dir, "embeddings"))
+
+  // the fixture's closed event domain, declared (pivot without
+  // declared values = an extra driver-side distinct scan)
+  val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily activity pivot (days × event types + residual + total). */
+  def dailyActivityPivot(spark: SparkSession, dir: String): DataFrame =
+    Retention.dailyActivityPivot(Tables(spark, dir, "events"), PivotTypes)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4735,6 +4744,20 @@ object Oracles {
          |       CAST(MAX(CASE WHEN embedding IS NOT NULL
          |         THEN len(embedding) END) AS BIGINT) AS dims_max
          |FROM embeddings GROUP BY 1""".stripMargin,
+
+    "q142_daily_pivot" -> {
+      val cols = Queries.PivotTypes.map { t =>
+        s"""CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+           |  AS BIGINT) AS "$t"""".stripMargin
+      }.mkString(",\n")
+      val inList = Queries.PivotTypes.map(t => s"'$t'").mkString(", ")
+      s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         |$cols,
+         |CAST(SUM(CASE WHEN event_type NOT IN ($inList)
+         |  OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS other,
+         |CAST(COUNT(*) AS BIGINT) AS total
+         |FROM events GROUP BY 1""".stripMargin
+    },
 
     "q141_modality_coverage" ->
       s"""WITH d AS (SELECT DISTINCT doc_id FROM documents),

@@ -130,6 +130,36 @@ object Retention {
         col("age_days"), col("n_active"), col("cents_day"), col("cents_cum"))
   }
 
+  /** Daily activity matrix — days × event types, the wide-format
+    * dashboard table (`pivot`). The type list is EXPLICIT: pivot
+    * without declared values first runs a driver-side distinct scan
+    * to discover the columns — a silent extra corpus pass and a
+    * nondeterministic column order; declaring the (bounded, known)
+    * domain makes it one aggregate with a fixed schema. Types outside
+    * the declared list still count in `total` (the honest residual).
+    *
+    * Scale shape: ONE hash aggregate at day grain (pivot compiles to
+    * conditional aggregates, partial map-side); the matrix is
+    * days × |types| — metadata. */
+  def dailyActivityPivot(events: DataFrame,
+      types: Seq[String]): DataFrame = {
+    require(types.nonEmpty, "declare the pivot domain")
+    val other = "other"
+    require(!types.contains(other), s"'$other' is the residual column")
+    events
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        // undeclared types fold into one residual column so the row
+        // total stays honest without a second scan or a join
+        when(col("event_type").isin(types: _*), col("event_type"))
+          .otherwise(lit(other)).as("t"))
+      .groupBy(col("day"))
+      .pivot("t", types :+ other)
+      .agg(count(lit(1)))
+      .na.fill(0L, types :+ other)
+      .withColumn("total",
+        (types :+ other).map(col).reduce(_ + _))
+  }
+
   /** Daily event-volume anomaly flags: for each (event_type, day),
     * test the day's count against the mean/variance of the trailing
     * `windowDays` OBSERVED days (ROWS frame — on gappy series the

@@ -237,6 +237,26 @@ class OpsSpec extends SparkSpec {
       ((4L, 3L, 2L, 2L, 1L, 5000L)))
   }
 
+  test("dailyActivityPivot: declared columns, residual fold, zero-fill, exact totals") {
+    val s = spark
+    import s.implicits._
+    def t(d: String) = java.sql.Timestamp.valueOf(s"$d 10:00:00")
+    val evs = Seq(
+      (0L, t("2024-01-01"), 1L, "view"), (1L, t("2024-01-01"), 1L, "view"),
+      (2L, t("2024-01-01"), 2L, "click"),
+      (3L, t("2024-01-01"), 2L, "mystery"), // undeclared → residual
+      (4L, t("2024-01-02"), 1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.Retention
+      .dailyActivityPivot(evs, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("view"), r.getAs[Long]("click"),
+          r.getAs[Long]("purchase"), r.getAs[Long]("other"),
+          r.getAs[Long]("total")))).toMap
+    assert(out("2024-01-01") == ((2L, 1L, 0L, 1L, 4L)))
+    assert(out("2024-01-02") == ((0L, 0L, 1L, 0L, 1L))) // zero-filled
+  }
+
   test("erasureAudit with an empty deny list touches nothing") {
     val s = spark
     import s.implicits._
