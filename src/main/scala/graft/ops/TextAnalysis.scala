@@ -519,7 +519,15 @@ object TextAnalysis {
     val live = docs.filter(col("text").isNotNull)
     val tot = live.agg(
       sum(size(expr(TokensExpr)).cast("long")).as("t_tot"))
-    val head = vocabTop(docs, headK).select(col("token"), col("term_freq"))
+    // term_freq-only head (vocabTop also computes doc_freq — a
+    // two-phase count_distinct Expand the scorer would pay for and
+    // never read); same (freq desc, token asc) boundary as q48/q85
+    val head = withTokens(live)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("term_freq"))
+      .orderBy(col("term_freq").desc, col("token").asc)
+      .limit(headK)
     withTokens(live)
       .select(col("doc_id"), explode(col("tokens")).as("token"))
       .join(broadcast(head), Seq("token"), "left")
