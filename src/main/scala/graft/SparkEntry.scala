@@ -169,7 +169,8 @@ object SparkEntry {
     "q139_quantile_table" -> (Queries.quantileTable _),
     "q140_embedding_health" -> (Queries.embeddingHealth _),
     "q141_modality_coverage" -> (Queries.modalityCoverage _),
-    "q142_daily_pivot" -> (Queries.dailyActivityPivot _)
+    "q142_daily_pivot" -> (Queries.dailyActivityPivot _),
+    "q143_centroid_drift" -> (Queries.centroidDrift _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1145,6 +1146,14 @@ object Queries {
   /** Daily activity pivot (days × event types + residual + total). */
   def dailyActivityPivot(spark: SparkSession, dir: String): DataFrame =
     Retention.dailyActivityPivot(Tables(spark, dir, "events"), PivotTypes)
+
+  // "index built before the last third of the corpus arrived"
+  val DriftBuiltMod = 3L
+
+  /** IVF centroid drift vs index-build time (staleness report). */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidDrift(Tables(spark, dir, "embeddings"),
+      col("vec_id") % DriftBuiltMod =!= 0)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4757,6 +4766,50 @@ object Oracles {
          |  OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS other,
          |CAST(COUNT(*) AS BIGINT) AS total
          |FROM events GROUP BY 1""".stripMargin
+    },
+
+    // q32's centroid CTE chain twice (old = built subset, now = all),
+    // cosine between the two integer centroids per label.
+    "q143_centroid_drift" -> {
+      val m = Queries.DriftBuiltMod
+      def cents(name: String, where: String) =
+        s"""e_$name AS (
+           |  SELECT vec_id, label,
+           |         list_transform(embedding,
+           |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+           |  FROM embeddings $where),
+           |cd_$name AS (
+           |  SELECT label, i AS pos,
+           |         CAST(FLOOR(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+           |  FROM e_$name, unnest(range(1, len(q) + 1)) t(i)
+           |  GROUP BY label, i),
+           |c_$name AS (
+           |  SELECT label, list(c ORDER BY pos) AS centroid FROM cd_$name
+           |  GROUP BY label),
+           |n_$name AS (
+           |  SELECT label, centroid,
+           |         CAST(list_sum(list_transform(centroid, v -> v * v)) AS BIGINT)
+           |           AS c_n2
+           |  FROM c_$name)""".stripMargin
+      s"""WITH ${cents("old", s"WHERE vec_id % $m <> 0")},
+         |${cents("now", "")},
+         |cnt AS (
+         |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_total,
+         |         CAST(SUM(CASE WHEN vec_id % $m <> 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_built
+         |  FROM embeddings GROUP BY 1)
+         |SELECT c.label, cnt.n_built, cnt.n_total,
+         |       CASE WHEN o.label IS NULL THEN NULL
+         |            WHEN o.c_n2 = 0 OR c.c_n2 = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 *
+         |              CAST(list_sum(list_transform(range(1, len(c.centroid) + 1),
+         |                   i -> o.centroid[i] * c.centroid[i])) AS BIGINT)
+         |              / (sqrt(CAST(o.c_n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))))
+         |              AS BIGINT)
+         |       END AS drift_cos_bp
+         |FROM n_now c
+         |LEFT JOIN n_old o ON c.label = o.label
+         |JOIN cnt ON cnt.label = c.label""".stripMargin
     },
 
     "q141_modality_coverage" ->

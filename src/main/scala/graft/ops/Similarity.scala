@@ -277,6 +277,38 @@ object Similarity {
         max(when(col("embedding").isNotNull, size(col("embedding"))))
           .cast("long").as("dims_max"))
 
+  /** Index-staleness report: how far each IVF list's centroid has
+    * DRIFTED since the index was built — cosine between the centroid
+    * over the index-time rows (`builtPred`) and over the full current
+    * corpus, per label, with both row counts. The rebuild trigger of
+    * index maintenance: a list at 9900 bp is fine, one at 7000 bp is
+    * routing queries with a stale map (recall decays silently — this
+    * report is how you notice BEFORE q100 recall does).
+    *
+    * Scale shape: two metadata-sized centroid builds (each one
+    * (label, pos) partial-sum shuffle, q32's shape) joined at label
+    * grain; the report is |lists| rows. */
+  def centroidDrift(emb: DataFrame, builtPred: Column): DataFrame = {
+    val old = ivfCentroidsFromQuantized(quantized(emb.filter(builtPred)))
+      .select(col("label"), col("centroid").as("c_old"),
+        col("c_n2").as("n2_old"))
+    val now = ivfCentroidsFromQuantized(quantized(emb))
+      .select(col("label"), col("centroid").as("c_now"),
+        col("c_n2").as("n2_now"))
+    val counts = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(builtPred, 1L).otherwise(0L)).as("n_built"))
+    now.join(old, Seq("label"), "left")
+      .join(broadcast(counts), Seq("label"))
+      .withColumn("drift_cos_bp",
+        when(col("c_old").isNull, lit(null).cast("long")) // list born after build
+          .otherwise(cosBp(
+            graft.expressions.DotProductLong.dot(col("c_old"), col("c_now")),
+            col("n2_old"), col("n2_now"))))
+      .select(col("label"), col("n_built"), col("n_total"),
+        col("drift_cos_bp"))
+  }
+
   /** Embedding near-duplicate pairs: co-bucketed, cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, thresholdBp: Long = 2000L): DataFrame = {
     val q = withSignBucket(quantized(emb))

@@ -712,6 +712,31 @@ class TrainingOpsSpec extends SparkSpec {
       s"floored shares out of range: $shareSum")
   }
 
+  // ---- centroidDrift ----
+
+  test("centroidDrift: unchanged lists score 10000; a post-build shift shows; new lists are NULL") {
+    // built = vec_id % 3 != 0 (ids 0, 3, 6, 9 arrived after the build)
+    val emb = Seq(
+      // label 0: every row was in the build → old == now → 10000
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      // label 1: built on +x, a post-build orthogonal row moves it
+      (4L, Array(1.0f, 0.0f), 1), (5L, Array(1.0f, 0.0f), 1),
+      (6L, Array(0.0f, 1.0f), 1),
+      // label 2: ONLY post-build rows → no old centroid
+      (9L, Array(0.5f, 0.5f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDrift(emb, col("vec_id") % 3 =!= 0)
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_built"), r.getAs[Long]("n_total"),
+          Option(r.getAs[java.lang.Long]("drift_cos_bp"))))).toMap
+    assert(out(0) == ((2L, 2L, Some(10000L))))
+    // label 1: old centroid (1e6, 0); new (floor(2e6/3), floor(1e6/3))
+    // → cos < 10000 but well above 0
+    val (nb, nt, drift) = out(1)
+    assert(nb == 2L && nt == 3L && drift.exists(d => d > 8000L && d < 10000L))
+    assert(out(2) == ((0L, 1L, None)))
+  }
+
   // ---- signalAgreement ----
 
   test("signalAgreement matches the q18 × q69 verdicts recomputed via a doc_id join") {
