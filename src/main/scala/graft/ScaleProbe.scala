@@ -286,6 +286,10 @@ object ScaleProbe {
       events, "event_type", "value"))
     t("embedding health")(graft.ops.Similarity.embeddingHealth(emb))
     t("modality coverage")(graft.ops.Profile.modalityCoverage(docs, emb))
+    t("daily pivot")(graft.ops.Retention.dailyActivityPivot(events,
+      Seq("click", "error", "purchase", "signup", "view")))
+    t("centroid drift")(graft.ops.Similarity.centroidDrift(emb,
+      col("vec_id") % 3 =!= 0))
     spark.stop()
   }
 }
