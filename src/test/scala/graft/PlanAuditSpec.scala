@@ -671,8 +671,8 @@ class PlanAuditSpec extends SparkSpec {
   test("q135 boilerplate scrub: deny set never cartesians; docs reassemble in one aggregate") {
     val p = plan("q135_boilerplate_scrub")
     assert(!p.contains("CartesianProduct"), p)
-    // the date-pruned occurrence stream joins deny on (source, line);
-    // reassembly is a single ObjectHashAggregate at doc grain
+    // the chunk occurrence stream joins deny on (source, line);
+    // reassembly is a single position-ordered aggregate at doc grain
     assert("ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
   }
 
