@@ -170,7 +170,9 @@ object SparkEntry {
     "q140_embedding_health" -> (Queries.embeddingHealth _),
     "q141_modality_coverage" -> (Queries.modalityCoverage _),
     "q142_daily_pivot" -> (Queries.dailyActivityPivot _),
-    "q143_centroid_drift" -> (Queries.centroidDrift _)
+    "q143_centroid_drift" -> (Queries.centroidDrift _),
+    "q144_return_times" -> (Queries.returnTimes _),
+    "q145_hourly_profile" -> (Queries.hourlyProfile _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1154,6 +1156,14 @@ object Queries {
   def centroidDrift(spark: SparkSession, dir: String): DataFrame =
     Similarity.centroidDrift(Tables(spark, dir, "embeddings"),
       col("vec_id") % DriftBuiltMod =!= 0)
+
+  /** Between-session return-time ⌊log₂ hours⌋ histogram. */
+  def returnTimes(spark: SparkSession, dir: String): DataFrame =
+    Retention.returnTimes(Tables(spark, dir, "events"))
+
+  /** Hour-of-day activity profile per event type (+ peak flag). */
+  def hourlyProfile(spark: SparkSession, dir: String): DataFrame =
+    Retention.hourlyProfile(Tables(spark, dir, "events"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4811,6 +4821,45 @@ object Oracles {
          |LEFT JOIN n_old o ON c.label = o.label
          |JOIN cnt ON cnt.label = c.label""".stripMargin
     },
+
+    // q02's session CTE → per-session start, per-user lag, ⌊log₂⌋
+    // hour buckets via the bitlen identity (bucket −1 = sub-hour).
+    "q144_return_times" ->
+      s"""$sessionCte, st AS (
+         |  SELECT user_id, session_seq, MIN(ts_us) AS start_us
+         |  FROM sz GROUP BY 1, 2),
+         |g AS (
+         |  SELECT (start_us - lag(start_us) OVER (PARTITION BY user_id
+         |            ORDER BY session_seq)) // 3600000000 AS away_hours
+         |  FROM st),
+         |b AS (
+         |  SELECT CASE WHEN away_hours < 1 THEN CAST(-1 AS BIGINT)
+         |              ELSE CAST(length(format('{:b}', away_hours)) - 1 AS BIGINT)
+         |         END AS bucket, away_hours
+         |  FROM g WHERE away_hours IS NOT NULL),
+         |h AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_returns,
+         |         CAST(MIN(away_hours) AS BIGINT) AS min_hours,
+         |         CAST(MAX(away_hours) AS BIGINT) AS max_hours
+         |  FROM b GROUP BY 1)
+         |SELECT bucket, n_returns, min_hours, max_hours,
+         |       CAST(FLOOR(10000.0 * n_returns / SUM(n_returns) OVER ())
+         |         AS BIGINT) AS returns_bp
+         |FROM h""".stripMargin,
+
+    "q145_hourly_profile" ->
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         |         CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, hour, n_events,
+         |       CAST(FLOOR(10000.0 * n_events /
+         |         SUM(n_events) OVER (PARTITION BY event_type)) AS BIGINT)
+         |         AS share_bp,
+         |       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type
+         |         ORDER BY n_events DESC, hour ASC) = 1
+         |         THEN 1 ELSE 0 END AS INT) AS is_peak
+         |FROM g""".stripMargin,
 
     "q141_modality_coverage" ->
       s"""WITH d AS (SELECT DISTINCT doc_id FROM documents),

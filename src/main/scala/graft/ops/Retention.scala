@@ -130,6 +130,61 @@ object Retention {
         col("age_days"), col("n_active"), col("cents_day"), col("cents_cum"))
   }
 
+  /** Return-time distribution — how long users stay away between
+    * consecutive SESSIONS, as a ⌊log₂ hours⌋ histogram (geometric
+    * buckets for a heavy-tailed quantity, q110's convention; bucket
+    * −1 holds sub-hour returns). The churn-model input cohort
+    * retention can't give you: q75 says WHO came back on day N, this
+    * says how long typical absences LAST.
+    *
+    * Scale shape: session starts come from the sessionize user_id
+    * shuffle; the per-user lag rides the same partitioning; the
+    * histogram is ≤64 rows. */
+  def returnTimes(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("session_seq"))
+    val wAll = Window.partitionBy()
+    Sessionize.assignSessions(events, gapSeconds)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_us")).as("start_us"))
+      .withColumn("prev_us", lag(col("start_us"), 1).over(byUser))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("away_hours",
+        expr("(start_us - prev_us) div 3600000000"))
+      .withColumn("bucket",
+        when(col("away_hours") < 1L, lit(-1L))
+          .otherwise((length(bin(col("away_hours"))) - 1).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_returns"),
+        min(col("away_hours")).as("min_hours"),
+        max(col("away_hours")).as("max_hours"))
+      .withColumn("returns_bp",
+        floor(lit(10000.0) * col("n_returns") /
+          sum(col("n_returns")).over(wAll)).cast("long"))
+  }
+
+  /** Hour-of-day activity profile per event type, with each type's
+    * peak hour — the capacity-planning / anomaly-baseline table
+    * (hours in the session timezone, UTC by the house pin). Peak is
+    * rank-1 by (count desc, hour asc) so ties are deterministic.
+    *
+    * Scale shape: one aggregate to the bounded type × 24 grain;
+    * the peak window rides it. */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val peak = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc, col("hour").asc)
+    events
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("share_bp",
+        floor(lit(10000.0) * col("n_events") /
+          sum(col("n_events")).over(byType)).cast("long"))
+      .withColumn("is_peak",
+        (row_number().over(peak) === 1).cast("int"))
+  }
+
   /** Daily activity matrix — days × event types, the wide-format
     * dashboard table (`pivot`). The type list is EXPLICIT: pivot
     * without declared values first runs a driver-side distinct scan

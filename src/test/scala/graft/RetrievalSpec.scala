@@ -220,6 +220,54 @@ class RetrievalSpec extends SparkSpec {
       ("2026-01-01", 1L) -> ((1L, 225L, 685L))))
   }
 
+  test("returnTimes: hand-computed away buckets; single-session users contribute nothing") {
+    val s = spark
+    import s.implicits._
+    val T0 = 1767225600000L
+    def t(hours: Double) = new java.sql.Timestamp(T0 + (hours * 3600000L).toLong)
+    val evs = Seq(
+      // user 1: sessions at 0h, 2.5h (away 2h → bucket 1), 50h (away
+      // 47h → bucket 5)
+      (0L, t(0), 1L), (1L, t(0.1), 1L), (2L, t(2.5), 1L), (3L, t(50), 1L),
+      // user 2: one session only → no return
+      (4L, t(0), 2L),
+      // user 3: return after 40 min → sub-hour bucket −1
+      (5L, t(0), 3L), (6L, t(0.9), 3L))
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val out = graft.ops.Retention.returnTimes(evs).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_returns"), r.getAs[Long]("min_hours"),
+          r.getAs[Long]("max_hours")))).toMap
+    assert(out(-1L) == ((1L, 0L, 0L)))   // user 3's 54-min away
+    assert(out(1L) == ((1L, 2L, 2L)))    // 2.4h → 2 full hours
+    assert(out(5L) == ((1L, 47L, 47L)))  // 47h → ⌊log2 47⌋ = 5
+    assert(out.size == 3)
+  }
+
+  test("hourlyProfile: shares per type sum to ~10000; exactly one peak per type, tie → earliest hour") {
+    val s = spark
+    import s.implicits._
+    val T0 = 1767225600000L
+    def at(h: Int) = new java.sql.Timestamp(T0 + h * 3600000L)
+    val evs = Seq(
+      (0L, at(9), "view"), (1L, at(9), "view"), (2L, at(17), "view"),
+      (3L, at(3), "click"), (4L, at(21), "click")) // tie → peak hour 3
+      .toDF("event_id", "ts", "event_type")
+      .withColumn("user_id", lit(1L))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val rows = graft.ops.Retention.hourlyProfile(evs).collect()
+    val peaks = rows.filter(_.getAs[Int]("is_peak") == 1)
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("hour")).toMap
+    assert(peaks == Map("view" -> 9L, "click" -> 3L))
+    Seq("view", "click").foreach { t =>
+      val bp = rows.filter(_.getAs[String]("event_type") == t)
+        .map(_.getAs[Long]("share_bp")).sum
+      assert(bp > 10000L - 24 && bp <= 10000L, t)
+    }
+  }
+
   test("retention: the required window bounds per-user state and re-cohorts") {
     val s = spark
     import s.implicits._
