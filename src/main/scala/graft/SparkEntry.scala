@@ -172,7 +172,8 @@ object SparkEntry {
     "q142_daily_pivot" -> (Queries.dailyActivityPivot _),
     "q143_centroid_drift" -> (Queries.centroidDrift _),
     "q144_return_times" -> (Queries.returnTimes _),
-    "q145_hourly_profile" -> (Queries.hourlyProfile _)
+    "q145_hourly_profile" -> (Queries.hourlyProfile _),
+    "q146_verdict_fusion" -> (Queries.verdictFusion _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1164,6 +1165,10 @@ object Queries {
   /** Hour-of-day activity profile per event type (+ peak flag). */
   def hourlyProfile(spark: SparkSession, dir: String): DataFrame =
     Retention.hourlyProfile(Tables(spark, dir, "events"))
+
+  /** Exact × MinHash × SimHash dedup verdict fusion matrix. */
+  def verdictFusion(spark: SparkSession, dir: String): DataFrame =
+    Dedup.verdictFusion(Tables(spark, dir, "documents"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4860,6 +4865,51 @@ object Oracles {
          |         ORDER BY n_events DESC, hour ASC) = 1
          |         THEN 1 ELSE 0 END AS INT) AS is_peak
          |FROM g""".stripMargin,
+
+    // q22's candidate/verify chain at the >=1bp floor × the q24
+    // simhash chain (CTE names prefixed to coexist) × text hashes.
+    "q146_verdict_fusion" -> {
+      val ssig = simhashSigCte
+        .replaceAll("\\b(tok|nib|votes|sig)\\b", "s$1")
+      s"""WITH $minhashCandCtes,
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+         |         CAST(len(sa.shingles) + len(sb.shingles)
+         |              - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS uni
+         |  FROM cand
+         |  JOIN sh sa ON cand.doc_a = sa.doc_id
+         |  JOIN sh sb ON cand.doc_b = sb.doc_id),
+         |p1 AS (
+         |  SELECT doc_a, doc_b,
+         |         CASE WHEN uni = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT)
+         |         END AS jaccard_bp
+         |  FROM v
+         |  WHERE CASE WHEN uni = 0 THEN 0
+         |             ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT)
+         |        END >= 1),
+         |$ssig,
+         |th AS (
+         |  SELECT doc_id, md5(text) AS th FROM documents
+         |  WHERE text IS NOT NULL),
+         |f AS (
+         |  SELECT CAST(ta.th = tb.th AS INT) AS exact_dup,
+         |         CAST(p1.jaccard_bp >= 8000 AS INT) AS mh_dup,
+         |         CAST(bit_count(xor(sa.simhash, sb.simhash)) <= 3 AS INT)
+         |           AS sh_dup,
+         |         p1.jaccard_bp
+         |  FROM p1
+         |  JOIN th ta ON p1.doc_a = ta.doc_id
+         |  JOIN th tb ON p1.doc_b = tb.doc_id
+         |  JOIN ssig sa ON p1.doc_a = sa.doc_id
+         |  JOIN ssig sb ON p1.doc_b = sb.doc_id)
+         |SELECT exact_dup, mh_dup, sh_dup,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       MIN(jaccard_bp) AS min_jaccard_bp,
+         |       MAX(jaccard_bp) AS max_jaccard_bp
+         |FROM f GROUP BY 1, 2, 3""".stripMargin
+    },
 
     "q141_modality_coverage" ->
       s"""WITH d AS (SELECT DISTINCT doc_id FROM documents),

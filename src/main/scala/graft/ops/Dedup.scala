@@ -254,6 +254,46 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Dedup verdict fusion — the three duplicate detectors the engine
+    * ships (exact text hash, MinHash Jaccard, SimHash Hamming)
+    * compared ON THE SAME PAIRS: per (exact, minhash, simhash)
+    * verdict cell, the pair count and the Jaccard range. The method-
+    * selection table: the (0,1,0) cell is what MinHash catches that
+    * SimHash misses at your thresholds, (1,1,1) is the easy mass, and
+    * a populated (1,0,·) cell means the MinHash threshold is dropping
+    * literal copies — a config bug this report exposes immediately.
+    *
+    * Universe: the verified LSH candidate pairs with Jaccard ≥ 1 bp
+    * (the band blocking is the shared recall envelope — pairs NO
+    * detector could cheaply see are out of scope by construction,
+    * and disclosed).
+    *
+    * Scale shape: rides q22's pair machinery (band-bucketed, never
+    * all-pairs); the text-hash and SimHash columns join the pair set
+    * at pair grain; the report is ≤8 rows. */
+  def verdictFusion(docs: DataFrame, mhThresholdBp: Long = 8000L,
+      maxHamming: Int = 3): DataFrame = {
+    val pairs = minhashDedupPairs(docs, 1L)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+    val th = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("th"))
+    val sg = simhash(docs)
+    pairs
+      .join(th.select(col("doc_id").as("doc_a"), col("th").as("th_a")), "doc_a")
+      .join(th.select(col("doc_id").as("doc_b"), col("th").as("th_b")), "doc_b")
+      .join(sg.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), "doc_a")
+      .join(sg.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), "doc_b")
+      .select(
+        (col("th_a") === col("th_b")).cast("int").as("exact_dup"),
+        (col("jaccard_bp") >= mhThresholdBp).cast("int").as("mh_dup"),
+        (expr("bit_count(sh_a ^ sh_b)") <= maxHamming).cast("int").as("sh_dup"),
+        col("jaccard_bp"))
+      .groupBy(col("exact_dup"), col("mh_dup"), col("sh_dup"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard_bp")).as("min_jaccard_bp"),
+        max(col("jaccard_bp")).as("max_jaccard_bp"))
+  }
+
   /** Containment pairs — Broder's ASYMMETRIC resemblance: c(A→B) =
     * |A∩B| / |A| over shingle sets. Jaccard misses the doc-inside-doc
     * case (a paragraph fully copied into a 100× larger page scores

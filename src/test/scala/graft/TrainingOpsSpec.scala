@@ -712,6 +712,29 @@ class TrainingOpsSpec extends SparkSpec {
       s"floored shares out of range: $shareSum")
   }
 
+  // ---- verdictFusion ----
+
+  test("verdictFusion: exact dups land in (1,1,1); near-dups split by method; totals conserve") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta",
+      2L -> "alpha beta gamma delta epsilon zeta eta", // exact dup of 1
+      7L -> base,
+      8L -> base.replace("w30", "zz"))                 // near-dup of 7
+    val out = Dedup.verdictFusion(d).collect()
+      .map(r => (r.getAs[Int]("exact_dup"), r.getAs[Int]("mh_dup"),
+        r.getAs[Int]("sh_dup")) -> r.getAs[Long]("n_pairs")).toMap
+    // identical texts: jaccard 10000 and hamming 0 by construction
+    assert(out((1, 1, 1)) == 1L)
+    // the near-dup pair is NOT exact; it must appear in some (0,·,·)
+    val nearCells = out.collect { case ((0, m, s), n) => ((m, s), n) }
+    assert(nearCells.values.sum == 1L, s"cells: $out")
+    // an exact pair can never score below either approximate detector
+    assert(!out.keySet.exists { case (e, m, s) => e == 1 && (m == 0 || s == 0) })
+    // universe conservation vs the pair machinery it rides
+    assert(out.values.sum == Dedup.minhashDedupPairs(d, 1L).count())
+  }
+
   // ---- centroidDrift ----
 
   test("centroidDrift: unchanged lists score 10000; a post-build shift shows; new lists are NULL") {
