@@ -290,6 +290,9 @@ object ScaleProbe {
       Seq("click", "error", "purchase", "signup", "view")))
     t("centroid drift")(graft.ops.Similarity.centroidDrift(emb,
       col("vec_id") % 3 =!= 0))
+    t("return times")(graft.ops.Retention.returnTimes(events))
+    t("hourly profile")(graft.ops.Retention.hourlyProfile(events))
+    t("verdict fusion")(graft.ops.Dedup.verdictFusion(docs))
     spark.stop()
   }
 }
