@@ -173,7 +173,9 @@ object SparkEntry {
     "q143_centroid_drift" -> (Queries.centroidDrift _),
     "q144_return_times" -> (Queries.returnTimes _),
     "q145_hourly_profile" -> (Queries.hourlyProfile _),
-    "q146_verdict_fusion" -> (Queries.verdictFusion _)
+    "q146_verdict_fusion" -> (Queries.verdictFusion _),
+    "q147_srm_check" -> (Queries.srmCheck _),
+    "q148_ab_lift" -> (Queries.abLift _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1169,6 +1171,14 @@ object Queries {
   /** Exact × MinHash × SimHash dedup verdict fusion matrix. */
   def verdictFusion(spark: SparkSession, dir: String): DataFrame =
     Dedup.verdictFusion(Tables(spark, dir, "documents"))
+
+  /** Sample-ratio-mismatch check for the md5 50/50 split. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    Experiment.srmCheck(Tables(spark, dir, "events"))
+
+  /** Per-arm conversion lift under the same split. */
+  def abLift(spark: SparkSession, dir: String): DataFrame =
+    Experiment.abLift(Tables(spark, dir, "events"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4909,6 +4919,64 @@ object Oracles {
          |       MIN(jaccard_bp) AS min_jaccard_bp,
          |       MAX(jaccard_bp) AS max_jaccard_bp
          |FROM f GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    // md5-draw arm assignment at the USER key (q81's nibble parse).
+    "q147_srm_check" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH u AS (
+         |  SELECT DISTINCT user_id FROM events),
+         |a AS (
+         |  SELECT CASE WHEN CAST($draw32 AS BIGINT) % 100 < 50
+         |              THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS draw FROM u)),
+         |g AS (
+         |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users FROM a GROUP BY 1)
+         |SELECT arm, n_users,
+         |       CAST(5000 AS BIGINT) AS expected_bp,
+         |       CAST(FLOOR(10000.0 * n_users / SUM(n_users) OVER ()) AS BIGINT)
+         |         AS observed_bp,
+         |       CAST(ABS(FLOOR(10000.0 * n_users / SUM(n_users) OVER ()) - 5000)
+         |         AS BIGINT) AS dev_bp,
+         |       CAST(ABS(FLOOR(10000.0 * n_users / SUM(n_users) OVER ()) - 5000)
+         |         > 300 AS INT) AS srm_flag
+         |FROM g""".stripMargin
+    },
+
+    "q148_ab_lift" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS converted
+         |  FROM events GROUP BY 1),
+         |a AS (
+         |  SELECT converted,
+         |         CASE WHEN CAST($draw32 AS BIGINT) % 100 < 50
+         |              THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT user_id, converted,
+         |          md5(CAST(user_id AS VARCHAR)) AS draw FROM u)),
+         |g AS (
+         |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |         CAST(SUM(converted) AS BIGINT) AS n_converted
+         |  FROM a GROUP BY 1)
+         |SELECT arm, n_users, n_converted,
+         |       CAST(FLOOR(10000.0 * n_converted / n_users) AS BIGINT)
+         |         AS conv_bp,
+         |       CAST(FLOOR(10000.0 * SUM(n_converted) OVER () /
+         |         SUM(n_users) OVER ()) AS BIGINT) AS pooled_bp,
+         |       CAST(FLOOR(10000.0 * n_converted / n_users) AS BIGINT) -
+         |         CAST(FLOOR(10000.0 * SUM(n_converted) OVER () /
+         |           SUM(n_users) OVER ()) AS BIGINT) AS delta_bp
+         |FROM g""".stripMargin
     },
 
     "q141_modality_coverage" ->

@@ -257,6 +257,49 @@ class OpsSpec extends SparkSpec {
     assert(out("2024-01-02") == ((0L, 0L, 1L, 0L, 1L))) // zero-filled
   }
 
+  test("srmCheck: arms from the JVM-recomputed draw; event volume cannot bias the ratio") {
+    val s = spark
+    import s.implicits._
+    def armOf(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(h, 16) % 100 < 50) "A" else "B"
+    }
+    // user 1 floods events; the DISTINCT-user ratio must ignore it
+    val evs = (Seq.fill(50)(1L) ++ (2L to 9L)).zipWithIndex
+      .map { case (u, i) => (i.toLong,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "view") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.Experiment.srmCheck(evs).collect()
+      .map(r => r.getAs[String]("arm") -> r.getAs[Long]("n_users")).toMap
+    val want = (1L to 9L).groupBy(armOf).view.mapValues(_.size.toLong).toMap
+    assert(out == want)
+  }
+
+  test("abLift: per-arm converters and pooled delta from hand journeys") {
+    val s = spark
+    import s.implicits._
+    def row(id: Long, u: Long, typ: String) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, typ)
+    val evs = (1L to 8L).flatMap { u =>
+      Seq(row(u * 10, u, "view")) ++
+        (if (u % 2 == 0) Seq(row(u * 10 + 1, u, "purchase")) else Nil)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val rows = graft.ops.Experiment.abLift(evs).collect()
+    val total = rows.map(_.getAs[Long]("n_users")).sum
+    val conv = rows.map(_.getAs[Long]("n_converted")).sum
+    assert(total == 8L && conv == 4L)
+    rows.foreach { r =>
+      val (nu, nc) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_converted"))
+      assert(r.getAs[Long]("conv_bp") ==
+        math.floor(10000.0 * nc / nu).toLong)
+      assert(r.getAs[Long]("pooled_bp") == 5000L)
+      assert(r.getAs[Long]("delta_bp") ==
+        r.getAs[Long]("conv_bp") - 5000L)
+    }
+  }
+
   test("erasureAudit with an empty deny list touches nothing") {
     val s = spark
     import s.implicits._
