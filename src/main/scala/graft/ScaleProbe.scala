@@ -293,6 +293,8 @@ object ScaleProbe {
     t("return times")(graft.ops.Retention.returnTimes(events))
     t("hourly profile")(graft.ops.Retention.hourlyProfile(events))
     t("verdict fusion")(graft.ops.Dedup.verdictFusion(docs))
+    t("srm check")(graft.ops.Experiment.srmCheck(events))
+    t("ab lift")(graft.ops.Experiment.abLift(events))
     spark.stop()
   }
 }
