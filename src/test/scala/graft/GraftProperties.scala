@@ -719,4 +719,46 @@ object GraftProperties extends Properties("graft") {
       out.map(_._1).sum == srcs.size.toLong &&
         out.forall { case (_, tvd) => tvd >= 0L && tvd <= 10000L }
     }
+
+  property("attribution conserves conversions: each model credits every purchase exactly once") =
+    forAll(genEvents) { rows =>
+      val events = df(rows)
+      val purchases = rows.count(_.getString(3) == "purchase").toLong
+      val byModel = graft.ops.Sessionize.attribution(events)
+        .select("model", "conversions")
+        .collect().groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getLong(1)).sum).toMap
+      byModel.getOrElse("first", 0L) == purchases &&
+        byModel.getOrElse("last", 0L) == purchases
+    }
+
+  property("sessionPaths conserves sessions and conversions at full k") =
+    forAll(genEvents) { rows =>
+      val events = df(rows)
+      val sess = graft.ops.Sessionize.assignSessions(events)
+      val nSessions = sess.select("session_id").distinct().count()
+      val nConverted = sess.filter(col("event_type") === "purchase")
+        .select("session_id").distinct().count()
+      val row = graft.ops.Sessionize.sessionPaths(events, k = 100000)
+        .agg(sum("n_sessions"), sum("n_converted")).head()
+      (row.getLong(0), row.getLong(1)) == ((nSessions, nConverted))
+    }
+
+  property("quantileTable == JVM nearest-rank recompute at p50/p90/p99") =
+    forAll(for {
+      n <- Gen.choose(1, 60)
+      vs <- Gen.listOfN(n, Gen.choose(0.0, 50.0).map(v => math.floor(v * 4) / 4))
+    } yield vs) { vs =>
+      val s = spark
+      import s.implicits._
+      val out = graft.ops.Percentiles.quantileTable(
+        vs.map(("g", _)).toDF("g", "v"), "g", "v")
+        .select("rank_bp", "value_cents").as[(Long, Long)].collect().toMap
+      val sorted = vs.sorted
+      Seq(5000L, 9000L, 9900L).forall { p =>
+        val rank = ((sorted.size * p + 9999) / 10000).toInt // ceil(p*n)
+        val want = math.floor(sorted(math.max(rank - 1, 0)) * 100).toLong
+        out(p) == want
+      }
+    }
 }
