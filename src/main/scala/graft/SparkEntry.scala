@@ -175,7 +175,8 @@ object SparkEntry {
     "q145_hourly_profile" -> (Queries.hourlyProfile _),
     "q146_verdict_fusion" -> (Queries.verdictFusion _),
     "q147_srm_check" -> (Queries.srmCheck _),
-    "q148_ab_lift" -> (Queries.abLift _)
+    "q148_ab_lift" -> (Queries.abLift _),
+    "q149_packing_efficiency" -> (Queries.packingEfficiency _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1179,6 +1180,12 @@ object Queries {
   /** Per-arm conversion lift under the same split. */
   def abLift(spark: SparkSession, dir: String): DataFrame =
     Experiment.abLift(Tables(spark, dir, "events"))
+
+  /** Packing-efficiency report for the q56 stream cut (same
+    * PackShards/PackSeqLen as the q56 registration). */
+  def packingEfficiency(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.packingEfficiency(Tables(spark, dir, "documents"),
+      PackShards, PackSeqLen)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -4919,6 +4926,26 @@ object Oracles {
          |       MIN(jaccard_bp) AS min_jaccard_bp,
          |       MAX(jaccard_bp) AS max_jaccard_bp
          |FROM f GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    "q149_packing_efficiency" -> {
+      val s = Queries.PackShards; val l = Queries.PackSeqLen
+      s"""WITH t AS (
+         |  SELECT doc_id % $s AS shard,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tc
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (
+         |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(tc) AS BIGINT) AS tokens
+         |  FROM t GROUP BY 1)
+         |SELECT shard, n_docs, tokens,
+         |       (tokens + ${l - 1}) // $l AS n_seqs,
+         |       ((tokens + ${l - 1}) // $l) * $l - tokens AS tail_waste,
+         |       CASE WHEN (tokens + ${l - 1}) // $l = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * tokens /
+         |              (((tokens + ${l - 1}) // $l) * $l)) AS BIGINT)
+         |       END AS utilization_bp
+         |FROM g""".stripMargin
     },
 
     // md5-draw arm assignment at the USER key (q81's nibble parse).

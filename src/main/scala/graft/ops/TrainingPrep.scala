@@ -41,6 +41,37 @@ object TrainingPrep {
         floor(col("start_offset") / lit(seqLen.toDouble)).cast("long"))
   }
 
+  /** Packing-efficiency report for [[packSequences]]'s stream cut:
+    * per shard, the tokens packed, the training sequences produced
+    * (⌈T/seqLen⌉ — the stream cut pads only the final partial
+    * sequence), the tail waste, and utilization in bp — the "how much
+    * compute goes to padding" number a packing config is judged by
+    * (the stream cut's utilization is 1 − waste/(n·L), near-perfect
+    * for T ≫ L; a per-DOC padding scheme would sit far lower, which
+    * is the comparison this report exists to make).
+    *
+    * Same shard rule as packSequences (doc_id mod S — spec-pinned
+    * equivalence); ceil in pure BIGINTs. One bounded shard-grain
+    * aggregate. */
+  def packingEfficiency(docs: DataFrame, shards: Int = 8,
+      seqLen: Long = 2048L): DataFrame = {
+    require(shards >= 1 && seqLen >= 1, "positive shards/seqLen")
+    docs
+      .filter(col("text").isNotNull)
+      .select(pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(expr(TextAnalysis.TokensExpr)).cast("long").as("tc"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("tokens"))
+      .withColumn("n_seqs",
+        expr(s"(tokens + ${seqLen - 1}L) div ${seqLen}L"))
+      .withColumn("tail_waste",
+        col("n_seqs") * lit(seqLen) - col("tokens"))
+      .withColumn("utilization_bp",
+        when(col("n_seqs") === 0L, lit(0L))
+          .otherwise(floor(lit(10000.0) * col("tokens") /
+            (col("n_seqs") * lit(seqLen))).cast("long")))
+  }
+
   /** Systematic probability-proportional-to-size sampling: pick every
     * `stride`-th token position in the shard's token stream; a doc is
     * drawn once per pick landing inside its span, so selection

@@ -424,6 +424,33 @@ class TrainingPrepSpec extends SparkSpec {
     assert(sel <= Queries.SelectBudgetTokens)
   }
 
+  // ---- packingEfficiency ----
+
+  test("packingEfficiency agrees with packSequences: n_seqs covers exactly the packed stream") {
+    val d = docs((1L to 17L).map(i =>
+      i -> (1 to (i % 5 + 1).toInt).map(j => s"t$j").mkString(" ")): _*)
+    val eff = TrainingPrep.packingEfficiency(d, shards = 4, seqLen = 3L)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("tokens"), r.getAs[Long]("n_seqs"),
+          r.getAs[Long]("tail_waste"), r.getAs[Long]("utilization_bp")))).toMap
+    val packed = TrainingPrep.packSequences(d, shards = 4, seqLen = 3L)
+      .groupBy("shard")
+      .agg(sum("token_count").as("t"), max("seq_id").as("m"))
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("t"), r.getAs[Long]("m")))).toMap
+    packed.foreach { case (sh, (t, maxSeq)) =>
+      val (tokens, nSeqs, waste, util) = eff(sh)
+      assert(tokens == t, s"shard $sh tokens")
+      // the stream cut's last sequence holds the stream tail: the
+      // report's ceil count can exceed the last START seq by at most
+      // one (a doc starting in seq k may spill into k+1)
+      assert(nSeqs >= maxSeq + 1 && nSeqs * 3L >= t && (nSeqs - 1) * 3L < t,
+        s"shard $sh seqs")
+      assert(waste == nSeqs * 3L - t)
+      assert(util == math.floor(10000.0 * t / (nSeqs * 3L)).toLong)
+    }
+  }
+
   // ---- shardMixing ----
 
   /** The q107/q118 shard assignment recomputed in plain JVM code. */
