@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach OUR stdout bare: the default
+// LoggedOutput strategy prefixes every child line with "[info] ",
+// which breaks the harness's JSON parse of Bench's one stdout line
+// (BENCH_r01..r05 all shipped "parsed": null this way).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -152,6 +152,17 @@ object Bench {
     val (line, overflowMap) =
       Bench.stdoutLine(f(steadyTotal), steady, ioTotal, sfDir)
     overflowMap.foreach(m => System.err.println(s"[bench] queries=$m"))
+    // Belt-and-braces artifact: the same JSON (with the FULL query map,
+    // never the stderr-overflow variant) lands on disk where a tail
+    // capture can't truncate it.
+    try {
+      val full =
+        s"""{"metric":"steady_total","value":${f(steadyTotal)},"unit":"sec",""" +
+          s""""queries":$steady,"io_total":$ioTotal,"sf":"$sfDir"}"""
+      val p = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json: $e") }
     println(line)
     spark.stop()
   }

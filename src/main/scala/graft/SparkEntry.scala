@@ -2038,7 +2038,7 @@ object Oracles {
         |  SELECT l_returnflag, l_quantity,
         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
         |         count(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_quantity IS NOT NULL)
         |SELECT l_returnflag,
         |       CAST(FLOOR(AVG(l_quantity) * 100) AS BIGINT) AS median_cents,
         |       CAST(MIN(n) AS BIGINT) AS n_rows
@@ -2061,7 +2061,7 @@ object Oracles {
         |  SELECT l_returnflag, l_quantity,
         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
         |         count(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_quantity IS NOT NULL)
         |SELECT l_returnflag,
         |       CAST(FLOOR(AVG(l_quantity) * 100) AS BIGINT) AS median_cents,
         |       CAST(MIN(n) AS BIGINT) AS n_rows,
@@ -2813,7 +2813,7 @@ object Oracles {
       val p = Queries.P95Bp
       s"""WITH h AS (
          |  SELECT l_returnflag, l_quantity AS v, COUNT(*) AS cnt
-         |  FROM lineitem GROUP BY 1, 2),
+         |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
          |c AS (
          |  SELECT *,
          |         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
@@ -4714,7 +4714,7 @@ object Oracles {
          |SELECT key_value, n_rows, n_keys, total_rows,
          |       CAST(FLOOR(10000.0 * n_rows / total_rows) AS BIGINT)
          |         AS share_bp,
-         |       CAST(FLOOR(10000.0 * (n_rows * n_keys) / total_rows) AS BIGINT)
+         |       CAST(FLOOR(10000.0 * n_rows / total_rows * n_keys) AS BIGINT)
          |         AS hot_x_mean_bp
          |FROM bk CROSS JOIN t
          |ORDER BY n_rows DESC, key_value ASC NULLS FIRST LIMIT $k"""
@@ -4753,7 +4753,7 @@ object Oracles {
       }.mkString("\nUNION ALL\n")
       s"""WITH h AS (
          |  SELECT event_type, value AS v, COUNT(*) AS cnt
-         |  FROM events GROUP BY 1, 2),
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
          |c AS (
          |  SELECT *,
          |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,

@@ -33,7 +33,16 @@ object Percentiles {
     * on this one frame. */
   private def cumHistogram(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    val hist = df.groupBy(col(groupCol), col(valueCol))
+    // NULL convention, pinned on BOTH engines: NULL values are
+    // excluded from the histogram AND from the rank denominator n. A
+    // NULL can never be selected as a quantile value, so counting it
+    // in n would shift every reported quantile toward smaller values;
+    // worse, Spark's window ORDER BY sorts NULLS FIRST while DuckDB's
+    // sorts NULLS LAST, so an unfiltered NULL silently breaks
+    // cross-engine parity. The oracle twins carry the matching
+    // WHERE <value> IS NOT NULL.
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("cnt"))
     val wg = Window.partitionBy(col(groupCol))
     hist
@@ -85,6 +94,11 @@ object Percentiles {
       ranksBp: Seq[Long] = Seq(5000L, 9000L, 9900L)): DataFrame = {
     require(ranksBp.nonEmpty && ranksBp.forall(p => p >= 1L && p <= 10000L),
       "ranks must be in [1, 10000] bp")
+    // duplicate ranks would generate duplicate __q<p> aggregate
+    // aliases in one agg() — an opaque AnalysisException at planning
+    // time; fail with a clear message instead
+    require(ranksBp.distinct.size == ranksBp.size,
+      s"ranks must be distinct: $ranksBp")
     val cum = cumHistogram(df, groupCol, valueCol)
     val aggs = ranksBp.map { p =>
       floor(min(when(col("cum") >= expr(s"(n * $p + 9999) div 10000"),

@@ -92,10 +92,15 @@ object Profile {
     byKey.crossJoin(broadcast(totals))
       .withColumn("share_bp",
         floor(lit(10000.0) * col("n_rows") / col("total_rows")).cast("long"))
-      // n_rows / (total/keys) cross-multiplied: one divide, exact ints
+      // n_rows / (total/keys) reassociated into DOUBLE space before
+      // the n_keys multiply: the integer cross-product n_rows*n_keys
+      // overflows BIGINT at the 100 TB design point (1e9-row hot key
+      // × 1e9 distinct keys), where Spark wraps silently and DuckDB
+      // raises — left-to-right 10000.0*n_rows/total*n_keys is the
+      // same IEEE op sequence on both engines, mirrored in q137's SQL
       .withColumn("hot_x_mean_bp",
-        floor(lit(10000.0) * (col("n_rows") * col("n_keys")) /
-          col("total_rows")).cast("long"))
+        floor(lit(10000.0) * col("n_rows") / col("total_rows") *
+          col("n_keys")).cast("long"))
       .orderBy(col("n_rows").desc, col("key_value").asc_nulls_first)
       .limit(k)
       .select(col("key_value"), col("n_rows"), col("n_keys"),
@@ -109,23 +114,43 @@ object Profile {
     * presence count and share, distinct-value count, min/max value
     * (values as strings — the only cross-producer-safe type).
     *
-    * Scale shape: `from_json` to map + one explode, collapsing to
-    * KEY grain (bounded by the real key vocabulary) with map-side
-    * partials; the row total is a 1-row broadcast; no second scan. */
+    * Scale shape: ONE scan of the corpus — each row explodes to its
+    * parsed (key, value) entries PLUS one sentinel entry, so the
+    * grand row total (NULL/garbage props included, matching the
+    * oracle's bare COUNT(*)) rides the same key-grain aggregate as a
+    * sentinel group instead of a second input scan. The total is then
+    * spread over the key-grain frame (bounded by the real key
+    * vocabulary, i.e. metadata-sized) with a global window — one
+    * single-partition exchange of key-grain rows, never of the
+    * corpus. PlanAuditSpec pins the single source scan. */
   def propsSchema(df: DataFrame, jsonCol: String = "props"): DataFrame = {
-    val tot = df.agg(count(lit(1)).as("total_rows"))
-    df
-      .select(explode(from_json(col(jsonCol),
-        org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.StringType)))
-        .as(Seq("key", "value")))
-      .groupBy(col("key"))
+    val parsed = from_json(col(jsonCol),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    val sentinel = struct(lit(true).as("s"),
+      lit(null).cast("string").as("key"),
+      lit(null).cast("string").as("value"))
+    // coalesce to the empty map: map_entries(NULL) is NULL and would
+    // null out the whole concat, dropping the row from the total
+    val entries = transform(
+      map_entries(coalesce(parsed, map())),
+      e => struct(lit(false).as("s"),
+        e.getField("key").as("key"), e.getField("value").as("value")))
+    val grain = df
+      .select(explode(concat(array(sentinel), entries)).as("e"))
+      .select(col("e.s").as("s"), col("e.key").as("key"),
+        col("e.value").as("value"))
+      .groupBy(col("s"), col("key"))
       .agg(count(lit(1)).as("n_present"),
         count_distinct(col("value")).as("n_values"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
-      .crossJoin(broadcast(tot))
+    val total = max(when(col("s"), col("n_present")))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    grain
+      .withColumn("total_rows", total)
+      .filter(!col("s"))
       .withColumn("present_bp",
         floor(lit(10000.0) * col("n_present") / col("total_rows"))
           .cast("long"))

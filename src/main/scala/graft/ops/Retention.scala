@@ -200,7 +200,13 @@ object Retention {
       types: Seq[String]): DataFrame = {
     require(types.nonEmpty, "declare the pivot domain")
     val other = "other"
-    require(!types.contains(other), s"'$other' is the residual column")
+    // all three output-schema names are reserved: 'other' is the
+    // residual column, 'day' is the grouping column (collides at
+    // pivot time), and 'total' would be silently overwritten by the
+    // row-total withColumn below, losing that type's counts
+    val reserved = Seq(other, "day", "total")
+    require(!types.exists(reserved.contains),
+      s"pivot types cannot use reserved names $reserved: $types")
     events
       .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
         // undeclared types fold into one residual column so the row

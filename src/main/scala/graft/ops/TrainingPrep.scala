@@ -483,8 +483,11 @@ object TrainingPrep {
         sum(size(expr(TextAnalysis.TokensExpr)).cast("long")).as("tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = docs.sparkSession
+    // both grid sides are metadata-sized (shards × distinct sources);
+    // the broadcast hint pins the nested-loop build side against any
+    // future AQE re-plan, matching house style (PlanAuditSpec-pinned)
     val grid = spark.range(shards.toLong).toDF("shard")
-      .crossJoin(observed.select(col("source")).distinct())
+      .crossJoin(broadcast(observed.select(col("source")).distinct()))
     val dense = grid.join(observed, Seq("shard", "source"), "left")
       .na.fill(0L, Seq("n_docs", "tokens"))
     val wShard = Window.partitionBy(col("shard"))

@@ -552,6 +552,11 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(stripCached(p)).isEmpty,
       s"live corpus re-scan (cache bypassed):\n$p")
     assert(!p.contains("SortMergeJoin"), s"bounded grid sort-merged:\n$p")
+    // the grid cross is hint-pinned to a broadcast nested loop of the
+    // metadata-sized source domain — never a shuffled CartesianProduct
+    assert(!p.contains("CartesianProduct"), s"grid cross shuffled:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"grid broadcast hint lost:\n$p")
     // the shard column must come from md5/pmod arithmetic, not a join
     // (the arithmetic lives in the cached build lineage — full plan)
     assert(p.contains("pmod"), s"shard not recomputed as a pure column:\n$p")
@@ -693,10 +698,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q138 props schema: one scan, key-grain aggregate, 1-row total broadcast") {
+  test("q138 props schema: ONE corpus scan; the row total rides the key-grain aggregate as a sentinel group") {
     val p = plan("q138_props_schema")
-    assert(!p.contains("SortMergeJoin"), p)
-    assert("FileScan parquet".r.findAllIn(stripCached(p)).length <= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"), p)
+    // the sentinel-entry design means total_rows needs no second pass:
+    // exactly one parquet scan in the whole plan
+    assert("FileScan parquet".r.findAllIn(stripCached(p)).length == 1,
+      s"total_rows grew a second corpus scan:\n$p")
+    // (key, value)-grain exchange + key-grain exchange (the distinct
+    // aggregate's two-level rewrite) + the key-grain global window's
+    // SinglePartition — every one moves a collapsed frame, never the
+    // exploded corpus stream
+    assert(shuffles(p) == 3, p)
     val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
     assert(!readSchema.contains("value") && !readSchema.contains("event_type"),
       s"scan not pruned: $readSchema")
