@@ -293,6 +293,10 @@ object ScaleProbe {
     t("return times")(graft.ops.Retention.returnTimes(events))
     t("hourly profile")(graft.ops.Retention.hourlyProfile(events))
     t("verdict fusion")(graft.ops.Dedup.verdictFusion(docs))
+    // rides the pack-sequences probe's one shard shuffle, then
+    // collapses to shard grain — only the cumsum pass should scale
+    t("packing efficiency")(graft.ops.TrainingPrep.packingEfficiency(
+      docs, shards = 32))
     t("srm check")(graft.ops.Experiment.srmCheck(events))
     t("ab lift")(graft.ops.Experiment.abLift(events))
     spark.stop()

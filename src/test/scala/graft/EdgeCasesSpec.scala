@@ -399,6 +399,32 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("props schema (q138 twin) on CJK keys/values, null values, garbage and null props") {
+    val s = spark
+    import s.implicits._
+    // the producer zoo: well-formed CJK maps, a JSON-null value (key
+    // present, value NULL — counted present, excluded from
+    // n_values/min/max), a NULL props, unparseable garbage, and the
+    // empty map. The last three contribute to total_rows only.
+    val ev = Seq(
+      """{"颜色":"红色","尺寸":"大"}""",
+      """{"颜色":"蓝色"}""",
+      null.asInstanceOf[String],
+      "not json at all",
+      "{}",
+      """{"颜色":null}""")
+      .toDF("props")
+    val out = Profile.propsSchema(ev).collect()
+      .map(r => r.getAs[String]("key") -> ((r.getAs[Long]("n_present"),
+        r.getAs[Long]("n_values"), r.getAs[String]("min_value"),
+        r.getAs[String]("max_value"), r.getAs[Long]("present_bp"))))
+      .toMap
+    // min/max compare UTF-8 bytes: 红 (E7 BA A2) < 蓝 (E8 93 9D)
+    assert(out == Map(
+      "颜色" -> ((3L, 2L, "红色", "蓝色", 5000L)),
+      "尺寸" -> ((1L, 1L, "大", "大", 1666L))))
+  }
+
   test("round-5 text ops (q123/q125/q126 twins) on CJK + null text") {
     val s = spark
     import s.implicits._

@@ -60,6 +60,27 @@ class TablesEncodingSpec extends SparkSpec {
     assert(df.select(unix_micros($"ts")).as[Long].head() == micros)
   }
 
+  test("INT96 (the legacy Hive/Impala encoding real lakehouses still ship) reads as TimestampType, value-preserving") {
+    // the fourth physical encoding in the wild: parquet INT96
+    // nanos-since-julian-midnight. Spark decodes it straight to
+    // session-tz TimestampType, so Tables must pass it through like
+    // the native encoding — pinned here so a generator flip to INT96
+    // is a CI failure, not a round casualty.
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      val df = readBack { dir =>
+        spark.range(1).select(
+          lit(1L).as("event_id"),
+          timestamp_micros(lit(micros)).as("ts"),
+          lit(7L).as("user_id"))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      }
+      assert(df.schema("ts").dataType == TimestampType)
+      assert(df.select(unix_micros($"ts")).as[Long].head() == micros)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+  }
+
   test("the driver's CURRENT events.parquet normalizes to TimestampType (whatever its physical encoding)") {
     val df = Tables(spark, sf, "events")
     assert(df.schema("ts").dataType == TimestampType)
