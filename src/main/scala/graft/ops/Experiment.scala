@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
 object Experiment {
 
   /** Deterministic arm for a user id: md5-draw mod 100 < splitPct →
-    * "A" else "B" (the q81/q107 draw convention at the user key). */
-  private[ops] def armCol(userCol: String, splitPct: Int): Column =
+    * "A" else "B" (the q81/q107 draw convention at the user key).
+    * Shared with [[graft.streaming.SrmStream]] — the live monitor must
+    * bucket EXACTLY like the batch check or parity is meaningless. */
+  private[graft] def armCol(userCol: String, splitPct: Int): Column =
     when(expr(s"CAST(conv(substring(md5(CAST($userCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
       < splitPct, lit("A")).otherwise(lit("B"))
 

@@ -56,9 +56,17 @@ object TopK {
   def topSessionsPerCategory(
       sessionized: DataFrame, nCategories: Int = 10, kSessions: Int = 10): DataFrame = {
     val clicks = withCategory(sessionized).filter(col("event_type") === "click")
+    // user_id rides in the grouping key so hashpartitioning(user_id) —
+    // already established by the assignSessions window — satisfies the
+    // aggregate's distribution and the click stream is NOT re-shuffled
+    // on (category_id, session_id). Semantics unchanged: session_id is
+    // user-prefixed (`<user>_<seq>`), so it determines user_id. Same
+    // subset-clustering trick as q02/q90/q91; PlanAuditSpec pins the
+    // shuffle count.
     val perSession = clicks
-      .groupBy(col("category_id"), col("session_id"))
+      .groupBy(col("category_id"), col("session_id"), col("user_id"))
       .agg(count(lit(1)).as("click_count"))
+      .drop("user_id")
     val top = topCategories(sessionized, nCategories).select("category_id")
     val w = Window.partitionBy(col("category_id"))
       .orderBy(col("click_count").desc, col("session_id").asc)

@@ -75,6 +75,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q06 session counts ride the sessionize user_id shuffle (no (category, session) re-shuffle)") {
+    // user_id in the per-session grouping key lets the assignSessions
+    // window's hashpartitioning(user_id) satisfy the aggregate — the
+    // click stream shuffles once. Remaining exchanges: the
+    // topCategories branch's category aggregate and the rank window,
+    // both carrying collapsed grains.
+    val p = plan("q06_top_sessions_per_category")
+    assert(shuffles(p) == 3, p)
+    assert("Exchange hashpartitioning\\(category_id[^)]*, session_id".r
+      .findFirstIn(p).isEmpty,
+      s"per-session aggregate re-shuffled the click stream:\n$p")
+  }
+
   test("q08 area top-3: dimension chain is all broadcast; at most one non-broadcast join") {
     val p = plan("q08_area_top3_products")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p)
