@@ -299,6 +299,11 @@ object ScaleProbe {
       docs, shards = 32))
     t("srm check")(graft.ops.Experiment.srmCheck(events))
     t("ab lift")(graft.ops.Experiment.abLift(events))
+    // sketch vs exact schema profile, the q73 profile-pair contrast:
+    // approx must stay linear where exact pays the (key, value) grain
+    t("props schema approx")(graft.ops.Profile.propsSchemaApprox(events))
+    t("cuped lift")(graft.ops.Experiment.cupedLift(events, "2024-01-16"))
+    t("winsorized lift")(graft.ops.Experiment.winsorizedLift(events))
     spark.stop()
   }
 }

@@ -176,7 +176,10 @@ object SparkEntry {
     "q146_verdict_fusion" -> (Queries.verdictFusion _),
     "q147_srm_check" -> (Queries.srmCheck _),
     "q148_ab_lift" -> (Queries.abLift _),
-    "q149_packing_efficiency" -> (Queries.packingEfficiency _)
+    "q149_packing_efficiency" -> (Queries.packingEfficiency _),
+    "q150_props_schema_approx" -> (Queries.propsSchemaApprox _),
+    "q151_cuped_lift" -> (Queries.cupedLift _),
+    "q152_winsorized_lift" -> (Queries.winsorizedLift _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1186,6 +1189,26 @@ object Queries {
   def packingEfficiency(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.packingEfficiency(Tables(spark, dir, "documents"),
       PackShards, PackSeqLen)
+
+  /** q138's sketch twin: exact schema profile + HLL-within-bound
+    * verdict (the q37 checked pattern). */
+  def propsSchemaApprox(spark: SparkSession, dir: String): DataFrame =
+    Profile.propsSchemaApproxChecked(Tables(spark, dir, "events"))
+
+  // mid-fixture experiment start: pre-period = before, post = after
+  val CupedSplitDate = "2024-01-16"
+
+  /** CUPED variance-reduced per-arm spend means. */
+  def cupedLift(spark: SparkSession, dir: String): DataFrame =
+    Experiment.cupedLift(Tables(spark, dir, "events"), CupedSplitDate)
+
+  // p90 so the cap binds at fixture scale (p99 of a small user count
+  // degenerates to the max and the capped branch never executes)
+  val WinsorBp = 9000L
+
+  /** Winsorized per-arm spend means (pooled p90 cap). */
+  def winsorizedLift(spark: SparkSession, dir: String): DataFrame =
+    Experiment.winsorizedLift(Tables(spark, dir, "events"), WinsorBp)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -5037,6 +5060,129 @@ object Oracles {
          |  FROM events)
          |SELECT event_id, user_id, event_type FROM r WHERE rn <= $k"""
         .stripMargin
+    },
+
+    // q138's oracle + the literal-1 sketch verdict (q37 pattern): the
+    // HLL estimate is engine-specific, so the Spark side emits the
+    // exact count and a within-bound flag; a sketch out of bound
+    // flips sketch_ok to 0 and fails the hash.
+    "q150_props_schema_approx" ->
+      s"""WITH tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM events),
+         |kv AS (
+         |  SELECT u.k AS key,
+         |         json_extract_string(e.props, '$$.' || u.k) AS value
+         |  FROM events e, unnest(json_keys(e.props)) AS u(k)
+         |  WHERE e.props IS NOT NULL),
+         |g AS (
+         |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
+         |         CAST(COUNT(DISTINCT value) AS BIGINT) AS n_values,
+         |         MIN(value) AS min_value, MAX(value) AS max_value
+         |  FROM kv GROUP BY 1)
+         |SELECT key, n_present, n_values, min_value, max_value,
+         |       CAST(FLOOR(10000.0 * n_present / total_rows) AS BIGINT)
+         |         AS present_bp,
+         |       CAST(1 AS INT) AS sketch_ok
+         |FROM g CROSS JOIN tot""".stripMargin,
+
+    // CUPED: exact HUGEINT moments (twin of Spark's decimal(38,0)
+    // sums — both order-independent integers), θ/means in DOUBLE with
+    // the identical expression shape.
+    "q151_cuped_lift" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      val d = Queries.CupedSplitDate
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |             AND value IS NOT NULL AND ts < TIMESTAMP '$d'
+         |           THEN CAST(FLOOR(value * 100.0) AS BIGINT) END), 0)
+         |           AS BIGINT) AS x,
+         |         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |             AND value IS NOT NULL AND ts >= TIMESTAMP '$d'
+         |           THEN CAST(FLOOR(value * 100.0) AS BIGINT) END), 0)
+         |           AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |a AS (
+         |  SELECT x, y,
+         |         CASE WHEN CAST($draw32 AS BIGINT) % 100 < 50
+         |              THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT user_id, x, y,
+         |          md5(CAST(user_id AS VARCHAR)) AS draw FROM u)),
+         |g AS (
+         |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |         SUM(CAST(x AS HUGEINT)) AS sx,
+         |         SUM(CAST(y AS HUGEINT)) AS sy,
+         |         SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         |         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+         |  FROM a GROUP BY 1),
+         |p AS (
+         |  SELECT *,
+         |         CAST(SUM(n_users) OVER () AS DOUBLE) AS pn,
+         |         CAST(SUM(sx) OVER () AS DOUBLE) AS psx,
+         |         CAST(SUM(sy) OVER () AS DOUBLE) AS psy,
+         |         CAST(SUM(sxy) OVER () AS DOUBLE) AS psxy,
+         |         CAST(SUM(sxx) OVER () AS DOUBLE) AS psxx
+         |  FROM g),
+         |t AS (
+         |  SELECT *,
+         |         CASE WHEN pn * psxx - psx * psx = 0 THEN 0.0
+         |              ELSE (pn * psxy - psx * psy) /
+         |                   (pn * psxx - psx * psx) END AS theta
+         |  FROM p)
+         |SELECT arm, n_users,
+         |       CAST(FLOOR(CAST(sy AS DOUBLE) / n_users) AS BIGINT)
+         |         AS raw_mean_cents,
+         |       CAST(FLOOR((CAST(sy AS DOUBLE) - theta *
+         |           (CAST(sx AS DOUBLE) - n_users * (psx / pn))) / n_users)
+         |         AS BIGINT) AS adj_mean_cents,
+         |       CAST(FLOOR(10000.0 * theta) AS BIGINT) AS theta_bp
+         |FROM t""".stripMargin
+    },
+
+    // winsorized means: nearest-rank pooled cap from the value-grain
+    // histogram (q77's CTE shape at the user-metric domain).
+    "q152_winsorized_lift" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      val p = Queries.WinsorBp
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |             AND value IS NOT NULL
+         |           THEN CAST(FLOOR(value * 100.0) AS BIGINT) END), 0)
+         |           AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |h AS (SELECT y, COUNT(*) AS cnt FROM u GROUP BY 1),
+         |c AS (SELECT y, SUM(cnt) OVER (ORDER BY y) AS cum,
+         |             SUM(cnt) OVER () AS n FROM h),
+         |cap AS (
+         |  SELECT CAST(MIN(CASE WHEN cum >= ((n * $p + 9999) // 10000)
+         |    THEN y END) AS BIGINT) AS cap_cents FROM c),
+         |a AS (
+         |  SELECT y,
+         |         CASE WHEN CAST($draw32 AS BIGINT) % 100 < 50
+         |              THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT user_id, y,
+         |          md5(CAST(user_id AS VARCHAR)) AS draw FROM u)),
+         |g AS (
+         |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |         SUM(CAST(y AS HUGEINT)) AS sy,
+         |         SUM(CAST(LEAST(y, cap_cents) AS HUGEINT)) AS sw,
+         |         CAST(MIN(cap_cents) AS BIGINT) AS cap_cents
+         |  FROM a CROSS JOIN cap GROUP BY 1)
+         |SELECT arm, n_users, cap_cents,
+         |       CAST(FLOOR(CAST(sy AS DOUBLE) / n_users) AS BIGINT)
+         |         AS raw_mean_cents,
+         |       CAST(FLOOR(CAST(sw AS DOUBLE) / n_users) AS BIGINT)
+         |         AS wins_mean_cents
+         |FROM g""".stripMargin
     }
   )
 

@@ -71,4 +71,116 @@ object Experiment {
           sum(col("n_users")).over(wAll)).cast("long"))
       .withColumn("delta_bp", col("conv_bp") - col("pooled_bp"))
   }
+
+  /** CUPED variance-reduced lift (Deng et al., WSDM 2013 — "Improving
+    * the Sensitivity of Online Controlled Experiments by Utilizing
+    * Pre-Experiment Data"): per-arm mean of the post-period metric
+    * adjusted by each user's PRE-period metric, ŷ = y − θ(x − x̄),
+    * with θ = cov(x,y)/var(x) fit on the pooled users. The adjustment
+    * removes the between-user variance the pre-period predicts, which
+    * is what lets a real platform call experiments days earlier; the
+    * arm DELTA is unbiased because assignment is independent of x.
+    *
+    * Determinism contract (cross-engine hash parity): per-user metrics
+    * are integer cents; every moment (Σx, Σy, Σxy, Σx²) is an EXACT
+    * decimal(38,0) sum — order-independent, overflow-safe past any
+    * BIGINT cents product — and only the final θ/mean arithmetic runs
+    * in double, with one pinned expression shape mirrored in the
+    * oracle SQL. Σ of doubles would be partition-order-dependent and
+    * can never hash-match.
+    *
+    * Scale shape: ONE fact shuffle (user-grain aggregate, partial
+    * map-side) → arm-grain aggregate (2 rows, map-side partials) →
+    * pooled moments as window sums over the 2 arm rows. No persist,
+    * no second corpus pass. */
+  def cupedLift(events: DataFrame, splitDate: String, splitPct: Int = 50,
+      metricType: String = "purchase"): DataFrame = {
+    val wAll = Window.partitionBy()
+    val cents = floor(col("value") * lit(100.0)).cast("long")
+    val isMetric = col("event_type") === metricType && col("value").isNotNull
+    val pre = when(isMetric && col("ts") < to_timestamp(lit(splitDate)), cents)
+    val post = when(isMetric && col("ts") >= to_timestamp(lit(splitDate)), cents)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val arms = events
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(pre), lit(0L)).as("x"),
+        coalesce(sum(post), lit(0L)).as("y"))
+      .withColumn("arm", armCol("user_id", splitPct))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+    // pooled moments over the ≤2 arm rows, all still exact integers
+    val (n, sx, sy, sxy, sxx) = (
+      sum(col("n_users")).over(wAll).cast("double"),
+      sum(col("sx")).over(wAll).cast("double"),
+      sum(col("sy")).over(wAll).cast("double"),
+      sum(col("sxy")).over(wAll).cast("double"),
+      sum(col("sxx")).over(wAll).cast("double"))
+    // θ = (NΣxy − ΣxΣy)/(NΣx² − (Σx)²); a constant pre-period
+    // (denominator 0) means nothing to adjust — θ = 0
+    val den = n * sxx - sx * sx
+    val theta = when(den === 0.0, lit(0.0)).otherwise((n * sxy - sx * sy) / den)
+    val xbar = sx / n
+    arms
+      .withColumn("__theta", theta)
+      .withColumn("__xbar", xbar)
+      .withColumn("raw_mean_cents",
+        floor(col("sy").cast("double") / col("n_users")).cast("long"))
+      .withColumn("adj_mean_cents",
+        floor((col("sy").cast("double") - col("__theta") *
+          (col("sx").cast("double") - col("n_users") * col("__xbar"))) /
+          col("n_users")).cast("long"))
+      .withColumn("theta_bp", floor(lit(10000.0) * col("__theta")).cast("long"))
+      .select(col("arm"), col("n_users"), col("raw_mean_cents"),
+        col("adj_mean_cents"), col("theta_bp"))
+  }
+
+  /** Winsorized lift — per-arm means of the user metric CAPPED at its
+    * pooled exact `pBp` quantile (nearest-rank, the house lower
+    * quantile): the robust revenue readout every experiment platform
+    * publishes beside the raw mean, because one whale in one arm can
+    * otherwise flip the sign of a raw delta. The cap is fit on the
+    * pooled users (assignment-independent, so capping is unbiased
+    * across arms).
+    *
+    * Scale shape: one fact shuffle to user grain (persisted — the
+    * frame feeds both the cap histogram and the arm means); the cap
+    * quantile runs on the (distinct metric value) histogram — value
+    * domain, not users — and comes back as a 1-row broadcast; arm
+    * grain is ≤2 rows. All sums integer cents; only the final mean
+    * division is double (pinned shape, mirrored in the oracle). */
+  def winsorizedLift(events: DataFrame, pBp: Long = 9900L,
+      splitPct: Int = 50, metricType: String = "purchase"): DataFrame = {
+    require(pBp >= 1L && pBp <= 10000L, "pBp in [1, 10000]")
+    val cents = floor(col("value") * lit(100.0)).cast("long")
+    val metric = when(col("event_type") === metricType &&
+      col("value").isNotNull, cents)
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(metric), lit(0L)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wCum = Window.partitionBy().orderBy(col("y").asc)
+    val cap = users
+      .groupBy(col("y")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .agg(min(when(col("cum") >= expr(s"(n * $pBp + 9999) div 10000"),
+        col("y"))).as("cap_cents"))
+    users
+      .withColumn("arm", armCol("user_id", splitPct))
+      .crossJoin(broadcast(cap))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y")).as("__sy"),
+        sum(least(col("y"), col("cap_cents"))).as("__sw"),
+        min(col("cap_cents")).as("cap_cents"))
+      .withColumn("raw_mean_cents",
+        floor(col("__sy").cast("double") / col("n_users")).cast("long"))
+      .withColumn("wins_mean_cents",
+        floor(col("__sw").cast("double") / col("n_users")).cast("long"))
+      .select(col("arm"), col("n_users"), col("cap_cents"),
+        col("raw_mean_cents"), col("wins_mean_cents"))
+  }
 }

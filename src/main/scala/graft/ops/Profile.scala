@@ -123,7 +123,10 @@ object Profile {
     * vocabulary, i.e. metadata-sized) with a global window — one
     * single-partition exchange of key-grain rows, never of the
     * corpus. PlanAuditSpec pins the single source scan. */
-  def propsSchema(df: DataFrame, jsonCol: String = "props"): DataFrame = {
+  /** The exploded (sentinel ∪ parsed-entry) stream both schema
+    * profiles aggregate: one row per (input row) sentinel + one per
+    * parsed (key, value) entry. */
+  private def propsEntries(df: DataFrame, jsonCol: String): DataFrame = {
     val parsed = from_json(col(jsonCol),
       org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType,
@@ -137,15 +140,15 @@ object Profile {
       map_entries(coalesce(parsed, map())),
       e => struct(lit(false).as("s"),
         e.getField("key").as("key"), e.getField("value").as("value")))
-    val grain = df
-      .select(explode(concat(array(sentinel), entries)).as("e"))
+    df.select(explode(concat(array(sentinel), entries)).as("e"))
       .select(col("e.s").as("s"), col("e.key").as("key"),
         col("e.value").as("value"))
-      .groupBy(col("s"), col("key"))
-      .agg(count(lit(1)).as("n_present"),
-        count_distinct(col("value")).as("n_values"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"))
+  }
+
+  /** Spread the sentinel group's count over the key grain and emit
+    * the report columns. */
+  private def propsReport(grain: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val total = max(when(col("s"), col("n_present")))
       .over(org.apache.spark.sql.expressions.Window.partitionBy())
     grain
@@ -154,9 +157,57 @@ object Profile {
       .withColumn("present_bp",
         floor(lit(10000.0) * col("n_present") / col("total_rows"))
           .cast("long"))
-      .select(col("key"), col("n_present"), col("n_values"),
-        col("min_value"), col("max_value"), col("present_bp"))
+      .select(Seq(col("key"), col("n_present"), col("n_values"),
+        col("min_value"), col("max_value"), col("present_bp")) ++ extra: _*)
   }
+
+  def propsSchema(df: DataFrame, jsonCol: String = "props"): DataFrame =
+    propsReport(
+      propsEntries(df, jsonCol)
+        .groupBy(col("s"), col("key"))
+        .agg(count(lit(1)).as("n_present"),
+          count_distinct(col("value")).as("n_values"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value")),
+      Seq.empty)
+
+  /** Sketch-based schema profile — the 100 TB default: identical
+    * report shape with approximate n_values (HLL, `rsd` standard
+    * error). The exact variant's distinct count is a two-level
+    * aggregate whose first level runs at (key, value) grain — for a
+    * high-cardinality value domain that is nearly a corpus-sized
+    * shuffle; the sketch is ONE aggregate level with a fixed-size
+    * buffer per key, merged map-side. */
+  def propsSchemaApprox(df: DataFrame, jsonCol: String = "props",
+      rsd: Double = 0.02): DataFrame =
+    propsReport(
+      propsEntries(df, jsonCol)
+        .groupBy(col("s"), col("key"))
+        .agg(count(lit(1)).as("n_present"),
+          approx_count_distinct(col("value"), rsd).as("n_values"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value")),
+      Seq.empty)
+
+  /** q150 twin (the q37 exact-twin + bounded-verdict pattern): the
+    * exact report plus a `sketch_ok` verdict that the HLL estimate is
+    * within `maxErrBp` of the exact count per key. The oracle emits
+    * the exact values and literal 1, so a sketch drifting out of
+    * bound hash-mismatches — the sketch is first-class in the
+    * correctness gate while production uses [[propsSchemaApprox]]
+    * alone. */
+  def propsSchemaApproxChecked(df: DataFrame, jsonCol: String = "props",
+      rsd: Double = 0.02, maxErrBp: Long = 500L): DataFrame =
+    propsReport(
+      propsEntries(df, jsonCol)
+        .groupBy(col("s"), col("key"))
+        .agg(count(lit(1)).as("n_present"),
+          count_distinct(col("value")).as("n_values"),
+          approx_count_distinct(col("value"), rsd).as("__sketch"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value")),
+      Seq((abs(col("__sketch") - col("n_values")) * lit(10000L) <=
+        col("n_values") * lit(maxErrBp)).cast("int").as("sketch_ok")))
 
   /** Cross-modality coverage report — do the text and embedding
     * tables actually line up? One row: doc/vector counts, matched

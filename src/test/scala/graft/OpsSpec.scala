@@ -300,6 +300,88 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cupedLift: θ and adjusted means match a straight-line recompute; constant pre-period → θ=0") {
+    val s = spark
+    import s.implicits._
+    def armOf(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(h, 16) % 100 < 50) "A" else "B"
+    }
+    // whole-dollar values so floor(value*100) is IEEE-exact
+    def row(id: Long, u: Long, day: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"),
+        u, "purchase", v)
+    val xs = (1L to 8L).map(u => u -> 100L * u).toMap          // pre cents
+    val ys = (1L to 8L).map(u => u -> 100L * (2 * u + u % 3)).toMap
+    val evs = (1L to 8L).flatMap { u =>
+      Seq(row(u * 10, u, 2, xs(u) / 100.0),
+        row(u * 10 + 1, u, 20, ys(u) / 100.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.Experiment.cupedLift(evs, "2024-01-10").collect()
+      .map(r => r.getAs[String]("arm") -> ((r.getAs[Long]("n_users"),
+        r.getAs[Long]("raw_mean_cents"), r.getAs[Long]("adj_mean_cents"),
+        r.getAs[Long]("theta_bp")))).toMap
+    // straight-line recompute with the documented expression shape
+    val n = 8.0
+    val (sx, sy) = (xs.values.sum.toDouble, ys.values.sum.toDouble)
+    val sxy = xs.keys.map(u => xs(u).toDouble * ys(u)).sum
+    val sxx = xs.values.map(x => x.toDouble * x).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val xbar = sx / n
+    val want = (1L to 8L).groupBy(armOf).map { case (arm, us) =>
+      val (ax, ay) = (us.map(xs).sum.toDouble, us.map(ys).sum.toDouble)
+      arm -> ((us.size.toLong,
+        math.floor(ay / us.size).toLong,
+        math.floor((ay - theta * (ax - us.size * xbar)) / us.size).toLong,
+        math.floor(10000.0 * theta).toLong))
+    }
+    assert(out == want)
+    assert(theta != 0.0) // the adjustment is actually exercised
+
+    // constant pre-period: var(x)=0 → θ=0 → adjusted == raw
+    val flat = (1L to 8L).flatMap { u =>
+      Seq(row(u * 10, u, 2, 3.0), row(u * 10 + 1, u, 20, ys(u) / 100.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    graft.ops.Experiment.cupedLift(flat, "2024-01-10").collect().foreach { r =>
+      assert(r.getAs[Long]("theta_bp") == 0L)
+      assert(r.getAs[Long]("adj_mean_cents") == r.getAs[Long]("raw_mean_cents"))
+    }
+  }
+
+  test("winsorizedLift: nearest-rank pooled cap; zero-metric users count; whale capped") {
+    val s = spark
+    import s.implicits._
+    def armOf(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(h, 16) % 100 < 50) "A" else "B"
+    }
+    def row(id: Long, u: Long, typ: String, v: java.lang.Double) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, typ, v)
+    // users 1..9 spend u dollars; user 10 never purchases (y=0)
+    val evs = ((1L to 9L).map(u => row(u, u, "purchase", u.toDouble)) :+
+      row(100L, 10L, "view", null)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.Experiment.winsorizedLift(evs, pBp = 5000L).collect()
+      .map(r => r.getAs[String]("arm") -> ((r.getAs[Long]("n_users"),
+        r.getAs[Long]("cap_cents"), r.getAs[Long]("raw_mean_cents"),
+        r.getAs[Long]("wins_mean_cents")))).toMap
+    // 10 users, rank ⌈10·0.5⌉=5 → 5th smallest of {0,100..900} = 400
+    val ys = ((1L to 9L).map(u => u -> 100L * u) :+ (10L -> 0L)).toMap
+    val want = (1L to 10L).groupBy(armOf).map { case (arm, us) =>
+      arm -> ((us.size.toLong, 400L,
+        math.floor(us.map(ys).sum.toDouble / us.size).toLong,
+        math.floor(us.map(u => math.min(ys(u), 400L)).sum.toDouble /
+          us.size).toLong))
+    }
+    assert(out == want)
+    // the cap actually binds (a whale exists above it in some arm)
+    assert(out.values.exists(v => v._4 < v._3))
+  }
+
   test("erasureAudit with an empty deny list touches nothing") {
     val s = spark
     import s.implicits._

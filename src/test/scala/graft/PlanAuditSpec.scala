@@ -728,6 +728,33 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned: $readSchema")
   }
 
+  test("q150 props schema approx: same single-scan shape as q138 (the sketch adds no pass)") {
+    val p = plan("q150_props_schema_approx")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1,
+      s"sketch verdict grew a second corpus scan:\n$p")
+    assert(shuffles(p) == 3, p)
+  }
+
+  test("q151 cuped: ONE fact shuffle (user grain); moments ride the 2-row arm grain; join-free") {
+    val p = plan("q151_cuped_lift")
+    // user aggregate (fact) + arm aggregate + the 2-row pooled window
+    assert(shuffles(p) == 3, p)
+    assert(!p.contains("Join"), s"cuped must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+  }
+
+  test("q152 winsorized: user frame persisted (one corpus pass); cap comes back as a broadcast") {
+    val p = plan("q152_winsorized_lift")
+    assert(p.contains("InMemoryRelation"), s"user frame not persisted:\n$p")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty,
+      s"live corpus re-scan (cache bypassed):\n$p")
+    assert(p.contains("BroadcastExchange"), s"cap not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // histogram aggregate + its value-grain window + the arm aggregate
+    assert(shuffles(p) <= 3, p)
+  }
+
   test("q131 recency sample is a PURE MAP: zero shuffles, zero joins, zero windows") {
     val p = plan("q131_recency_sample")
     assert(shuffles(p) == 0, p)
