@@ -304,6 +304,15 @@ object ScaleProbe {
     t("props schema approx")(graft.ops.Profile.propsSchemaApprox(events))
     t("cuped lift")(graft.ops.Experiment.cupedLift(events, "2024-01-16"))
     t("winsorized lift")(graft.ops.Experiment.winsorizedLift(events))
+    // amplified facts on both child and parent roles; work is key-grain
+    t("ref integrity")(graft.ops.Integrity.refIntegrity(Seq(
+      graft.ops.Integrity.Edge("lineitem_orders", lineitem, "l_orderkey",
+        orders, "o_orderkey"),
+      graft.ops.Integrity.Edge("orders_customer", orders, "o_custkey",
+        dim("customer"), "c_custkey"),
+      graft.ops.Integrity.Edge("events_customer", eventsSameUsers,
+        "user_id", dim("customer"), "c_custkey"))))
+    t("time to convert")(graft.ops.Integrity.timeToConvert(events))
     spark.stop()
   }
 }

@@ -179,7 +179,9 @@ object SparkEntry {
     "q149_packing_efficiency" -> (Queries.packingEfficiency _),
     "q150_props_schema_approx" -> (Queries.propsSchemaApprox _),
     "q151_cuped_lift" -> (Queries.cupedLift _),
-    "q152_winsorized_lift" -> (Queries.winsorizedLift _)
+    "q152_winsorized_lift" -> (Queries.winsorizedLift _),
+    "q153_ref_integrity" -> (Queries.refIntegrity _),
+    "q154_time_to_convert" -> (Queries.timeToConvert _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1209,6 +1211,26 @@ object Queries {
   /** Winsorized per-arm spend means (pooled p90 cap). */
   def winsorizedLift(spark: SparkSession, dir: String): DataFrame =
     Experiment.winsorizedLift(Tables(spark, dir, "events"), WinsorBp)
+
+  /** FK orphan audit over the star schema + the behavioral edge
+    * (events.user_id→customer exercises the nonzero-orphan branch;
+    * the TPC-H edges pin the zero case). */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame =
+    Integrity.refIntegrity(Seq(
+      Integrity.Edge("lineitem_orders",
+        Tables(spark, dir, "lineitem"), "l_orderkey",
+        Tables(spark, dir, "orders"), "o_orderkey"),
+      Integrity.Edge("orders_customer",
+        Tables(spark, dir, "orders"), "o_custkey",
+        Tables(spark, dir, "customer"), "c_custkey"),
+      Integrity.Edge("events_customer",
+        Tables(spark, dir, "events"), "user_id",
+        Tables(spark, dir, "customer"), "c_custkey")))
+
+  /** click→purchase conversion-delay quantile panel. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame =
+    Integrity.timeToConvert(Tables(spark, dir, "events"),
+      ranksBp = QuantileRanks)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -5183,6 +5205,74 @@ object Oracles {
          |       CAST(FLOOR(CAST(sw AS DOUBLE) / n_users) AS BIGINT)
          |         AS wins_mean_cents
          |FROM g""".stripMargin
+    },
+
+    // one subquery per FK edge (key-grain child counts LEFT JOIN the
+    // parent key set), unioned at report grain — the q153 twin.
+    "q153_ref_integrity" -> {
+      def edge(label: String, child: String, fk: String,
+          parent: String, pk: String) =
+        s"""SELECT '$label' AS edge,
+           |       CAST(SUM(nr) AS BIGINT) AS n_rows,
+           |       CAST(COUNT(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT)
+           |         AS n_keys,
+           |       CAST(COALESCE(SUM(CASE WHEN k IS NULL THEN nr END), 0)
+           |         AS BIGINT) AS n_null_rows,
+           |       CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL AND p IS NULL
+           |         THEN 1 END), 0) AS BIGINT) AS n_orphan_keys,
+           |       CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL AND p IS NULL
+           |         THEN nr END), 0) AS BIGINT) AS n_orphan_rows,
+           |       CAST(FLOOR(10000.0 *
+           |         COALESCE(SUM(CASE WHEN k IS NOT NULL AND p IS NULL
+           |           THEN nr END), 0) / SUM(nr)) AS BIGINT) AS orphan_bp
+           |FROM (
+           |  SELECT c.k AS k, c.nr AS nr, p.p AS p
+           |  FROM (SELECT $fk AS k, COUNT(*) AS nr FROM $child GROUP BY 1) c
+           |  LEFT JOIN (SELECT DISTINCT $pk AS k, 1 AS p FROM $parent) p
+           |    ON c.k = p.k)""".stripMargin
+      Seq(
+        edge("lineitem_orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edge("orders_customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edge("events_customer", "events", "user_id",
+          "customer", "c_custkey")).mkString("\nUNION ALL\n")
+    },
+
+    // window-derived first-from anchor, conditional first-to at the
+    // user grain, then q77's histogram CTE over delay seconds.
+    "q154_time_to_convert" -> {
+      val ranks = Queries.QuantileRanks
+      val picks = ranks.map { p =>
+        s"""SELECT CAST($p AS BIGINT) AS rank_bp,
+           |       CAST(MIN(CASE WHEN cum >= ((n * $p + 9999) // 10000)
+           |         THEN delay_s END) AS BIGINT) AS delay_s
+           |FROM c""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us,
+         |         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+         |           OVER (PARTITION BY user_id) AS t_from
+         |  FROM events WHERE ts IS NOT NULL),
+         |u AS (
+         |  SELECT user_id, MIN(t_from) AS t_from,
+         |         MIN(CASE WHEN event_type = 'purchase' AND us >= t_from
+         |           THEN us END) AS t_to
+         |  FROM e GROUP BY 1),
+         |g AS (
+         |  SELECT CASE WHEN t_to IS NOT NULL
+         |    THEN (t_to - t_from) // 1000000 END AS delay_s, t_from
+         |  FROM u),
+         |f AS (
+         |  SELECT CAST(COUNT(t_from) AS BIGINT) AS n_from_users,
+         |         CAST(COUNT(delay_s) AS BIGINT) AS n_converted FROM g),
+         |h AS (SELECT delay_s, COUNT(*) AS cnt FROM g
+         |      WHERE delay_s IS NOT NULL GROUP BY 1),
+         |c AS (SELECT delay_s, SUM(cnt) OVER (ORDER BY delay_s) AS cum,
+         |             SUM(cnt) OVER () AS n FROM h),
+         |q AS ($picks)
+         |SELECT rank_bp, delay_s, n_from_users, n_converted
+         |FROM q CROSS JOIN f""".stripMargin
     }
   )
 

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity audit — the orphan-row report every
+  * lakehouse runs before trusting a join: for each declared FK edge,
+  * how many child rows (and distinct keys) reference a parent that
+  * does not exist. A 2% orphan rate silently deletes 2% of revenue
+  * from every inner join downstream; this report is where that is
+  * caught. NULL FKs are counted separately (`n_null_rows`) — a NULL
+  * is "no reference", not a broken one, and lumping the two hides
+  * which producer is at fault.
+  *
+  * Scale shape, per edge: the child collapses to FK-KEY grain in one
+  * aggregate (partial map-side — the shuffle carries keyed counts,
+  * never rows), then LEFT-joins the parent's distinct key set at key
+  * grain; orphan rows are summed from the carried counts. The parent
+  * side is its key domain, not its table width. Edges are unioned at
+  * report grain (one row each).
+  */
+object Integrity {
+
+  /** One FK edge: child frame + FK column → parent frame + PK column,
+    * labeled `edge`. */
+  final case class Edge(edge: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String)
+
+  def refIntegrity(edges: Seq[Edge]): DataFrame = {
+    require(edges.nonEmpty, "declare at least one FK edge")
+    require(edges.map(_.edge).distinct.size == edges.size,
+      s"edge labels must be distinct: ${edges.map(_.edge)}")
+    edges.map { e =>
+      val childKeys = e.child
+        .groupBy(col(e.fk).as("__k"))
+        .agg(count(lit(1)).as("__rows"))
+      val parentKeys = e.parent.select(col(e.pk).as("__k")).distinct()
+        .withColumn("__p", lit(1L))
+      childKeys
+        .join(parentKeys, Seq("__k"), "left")
+        .agg(
+          sum(col("__rows")).as("n_rows"),
+          count(when(col("__k").isNotNull, 1L)).as("n_keys"),
+          coalesce(sum(when(col("__k").isNull, col("__rows"))), lit(0L))
+            .as("n_null_rows"),
+          coalesce(sum(when(col("__k").isNotNull && col("__p").isNull,
+            lit(1L))), lit(0L)).as("n_orphan_keys"),
+          coalesce(sum(when(col("__k").isNotNull && col("__p").isNull,
+            col("__rows"))), lit(0L)).as("n_orphan_rows"))
+        .select(lit(e.edge).as("edge"), col("n_rows"), col("n_keys"),
+          col("n_null_rows"), col("n_orphan_keys"), col("n_orphan_rows"),
+          floor(lit(10000.0) * col("n_orphan_rows") / col("n_rows"))
+            .cast("long").as("orphan_bp"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Time-to-convert report — the latency profile of a funnel edge:
+    * per user, the delay from their FIRST `fromType` event to their
+    * FIRST `toType` event at-or-after it; report = conversion counts
+    * plus exact nearest-rank quantiles of the delay (house lower
+    * quantile, integer seconds). The p90 here is the number that
+    * decides an attribution window or a retargeting deadline.
+    *
+    * Scale shape: the per-user "first fromType" is an unordered MIN
+    * window over user_id, and the user-grain aggregate right after it
+    * REUSES that window's partitioning (the q02/q06 subset-clustering
+    * trick) — one fact shuffle total, no self-join of two filtered
+    * scans. Converted users then collapse to DELAY-SECONDS grain for
+    * the quantile histogram (q77's value-grain plan: the rank window
+    * runs over distinct delays, never users). One row per rank. */
+  def timeToConvert(events: DataFrame, fromType: String = "click",
+      toType: String = "purchase",
+      ranksBp: Seq[Long] = Seq(5000L, 9000L, 9900L)): DataFrame = {
+    require(ranksBp.nonEmpty && ranksBp.distinct.size == ranksBp.size &&
+      ranksBp.forall(p => p >= 1L && p <= 10000L),
+      s"ranks must be distinct and in [1, 10000] bp: $ranksBp")
+    val us = unix_micros(col("ts"))
+    val wUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    // "first toType AT-OR-AFTER the first fromType": a purchase before
+    // the user's first click is NOT a conversion of this funnel edge,
+    // and must not hide a later one — hence the window, not a plain
+    // conditional min over all toType events
+    val grain = events
+      .filter(col("ts").isNotNull)
+      .withColumn("t_from",
+        min(when(col("event_type") === fromType, us)).over(wUser))
+      .groupBy(col("user_id"))
+      .agg(min(col("t_from")).as("t_from"),
+        min(when(col("event_type") === toType && us >= col("t_from"), us))
+          .as("t_to"))
+      .withColumn("delay_s",
+        when(col("t_to").isNotNull, expr("(t_to - t_from) div 1000000")))
+      // two consumers below (funnel totals + delay histogram) — the
+      // persist keeps the fact chain to ONE corpus pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val funnel = grain.agg(
+      count(when(col("t_from").isNotNull, 1L)).as("n_from_users"),
+      count(col("delay_s")).as("n_converted"))
+    val hist = grain
+      .filter(col("delay_s").isNotNull)
+      .groupBy(col("delay_s")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()
+          .orderBy(col("delay_s").asc)))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val picks = ranksBp.map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 9999) div 10000"),
+        col("delay_s"))).as(s"__q$p")
+    }
+    hist.agg(picks.head, picks.tail: _*)
+      .crossJoin(broadcast(funnel))
+      .select(col("n_from_users"), col("n_converted"),
+        explode(array(ranksBp.map { p =>
+          struct(lit(p).as("rank_bp"), col(s"__q$p").as("delay_s"))
+        }: _*)).as("q"))
+      .select(col("q.rank_bp").as("rank_bp"),
+        col("q.delay_s").as("delay_s"),
+        col("n_from_users"), col("n_converted"))
+  }
+}

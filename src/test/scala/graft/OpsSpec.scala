@@ -382,6 +382,50 @@ class OpsSpec extends SparkSpec {
     assert(out.values.exists(v => v._4 < v._3))
   }
 
+  test("refIntegrity: orphan keys/rows, NULL FKs counted apart, parent dupes collapsed") {
+    val s = spark
+    import s.implicits._
+    // fk 1 and 2 exist; fk 9 is an orphan carried by TWO rows; one
+    // NULL FK row must land in n_null_rows, not the orphan columns
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk") // dupe + unused parent keys
+    val out = graft.ops.Integrity.refIntegrity(Seq(
+      graft.ops.Integrity.Edge("e1", child, "fk", parent, "pk"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("edge") == "e1")
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_keys") == 3L)        // 1, 2, 9
+    assert(r.getAs[Long]("n_null_rows") == 1L)
+    assert(r.getAs[Long]("n_orphan_keys") == 1L) // 9
+    assert(r.getAs[Long]("n_orphan_rows") == 2L)
+    assert(r.getAs[Long]("orphan_bp") == 3333L)  // ⌊10000·2/6⌋
+  }
+
+  test("timeToConvert: purchase BEFORE the first click is not a conversion and hides nothing") {
+    val s = spark
+    import s.implicits._
+    val t0 = 1704067200000L // 2024-01-01 00:00:00 UTC
+    def row(id: Long, u: Long, typ: String, offS: Long) =
+      (id, new java.sql.Timestamp(t0 + offS * 1000L), u, typ)
+    val evs = Seq(
+      row(1, 1, "click", 0), row(2, 1, "purchase", 10),   // delay 10
+      row(3, 2, "purchase", 0), row(4, 2, "click", 5),    // only a pre-click purchase → NOT converted
+      row(5, 3, "purchase", 0), row(6, 3, "click", 5),    // early purchase ignored,
+      row(7, 3, "purchase", 65),                          //   later one converts: delay 60
+      row(8, 4, "click", 0),                              // never converts
+      row(9, 5, "purchase", 0))                           // no click → not a funnel user
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.Integrity
+      .timeToConvert(evs, ranksBp = Seq(5000L, 9900L)).collect()
+      .map(r => r.getAs[Long]("rank_bp") -> ((r.getAs[Long]("delay_s"),
+        r.getAs[Long]("n_from_users"), r.getAs[Long]("n_converted"))))
+      .toMap
+    // delays {10, 60}: rank ⌈2·0.5⌉=1 → 10; rank ⌈2·0.99⌉=2 → 60
+    assert(out == Map(5000L -> ((10L, 4L, 2L)), 9900L -> ((60L, 4L, 2L))))
+  }
+
   test("erasureAudit with an empty deny list touches nothing") {
     val s = spark
     import s.implicits._

@@ -755,6 +755,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) <= 3, p)
   }
 
+  test("q153 ref integrity: every scan pruned to its key column; joins at key grain, never cartesian") {
+    val p = plan("q153_ref_integrity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // 3 child + 3 parent roles (customer twice) = ≤6 single-column scans
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 6, p)
+    "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p).foreach { m =>
+      assert(!m.group(1).contains(","), s"scan not pruned: ${m.group(1)}")
+    }
+  }
+
+  test("q154 time to convert: user grain persisted (one corpus pass); quantile rides the delay histogram") {
+    val p = plan("q154_time_to_convert")
+    assert(p.contains("InMemoryRelation"), s"user grain not persisted:\n$p")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty,
+      s"live corpus re-scan (cache bypassed):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), s"funnel totals not broadcast:\n$p")
+  }
+
   test("q131 recency sample is a PURE MAP: zero shuffles, zero joins, zero windows") {
     val p = plan("q131_recency_sample")
     assert(shuffles(p) == 0, p)
