@@ -313,6 +313,10 @@ object ScaleProbe {
       graft.ops.Integrity.Edge("events_customer", eventsSameUsers,
         "user_id", dim("customer"), "c_custkey"))))
     t("time to convert")(graft.ops.Integrity.timeToConvert(events))
+    // both fact sides amplified: key-grain collapse must absorb the
+    // growth before the key join
+    t("join fanout")(graft.ops.Integrity.joinFanout(
+      eventsSameUsers, "user_id", orders, "o_custkey"))
     spark.stop()
   }
 }

@@ -181,7 +181,8 @@ object SparkEntry {
     "q151_cuped_lift" -> (Queries.cupedLift _),
     "q152_winsorized_lift" -> (Queries.winsorizedLift _),
     "q153_ref_integrity" -> (Queries.refIntegrity _),
-    "q154_time_to_convert" -> (Queries.timeToConvert _)
+    "q154_time_to_convert" -> (Queries.timeToConvert _),
+    "q155_join_fanout" -> (Queries.joinFanout _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1231,6 +1232,12 @@ object Queries {
   def timeToConvert(spark: SparkSession, dir: String): DataFrame =
     Integrity.timeToConvert(Tables(spark, dir, "events"),
       ranksBp = QuantileRanks)
+
+  /** Fan-out forecast for the many-to-many behavioral join
+    * (events.user_id × orders.o_custkey). */
+  def joinFanout(spark: SparkSession, dir: String): DataFrame =
+    Integrity.joinFanout(Tables(spark, dir, "events"), "user_id",
+      Tables(spark, dir, "orders"), "o_custkey")
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -5273,7 +5280,41 @@ object Oracles {
          |q AS ($picks)
          |SELECT rank_bp, delay_s, n_from_users, n_converted
          |FROM q CROSS JOIN f""".stripMargin
-    }
+    },
+
+    // predicted rows as HUGEINT→VARCHAR (Spark: decimal(38,0)→string
+    // — the one cross-engine-stable carrier for a Σ cl·cr that can
+    // pass BIGINT); hot key ties break by largest key on both sides.
+    "q155_join_fanout" ->
+      s"""WITH lc AS (
+         |  SELECT user_id AS lk, CAST(COUNT(*) AS BIGINT) AS cl
+         |  FROM events GROUP BY 1),
+         |rc AS (
+         |  SELECT o_custkey AS rk, CAST(COUNT(*) AS BIGINT) AS cr
+         |  FROM orders GROUP BY 1),
+         |j AS (SELECT lk, rk, cl, cr
+         |      FROM lc FULL OUTER JOIN rc ON lc.lk = rc.rk),
+         |r AS (
+         |  SELECT CAST(COALESCE(SUM(cl), 0) AS BIGINT) AS n_left_rows,
+         |         CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS n_right_rows,
+         |         CAST(COUNT(CASE WHEN cl IS NOT NULL AND lk IS NOT NULL
+         |           THEN 1 END) AS BIGINT) AS n_left_keys,
+         |         CAST(COUNT(CASE WHEN cr IS NOT NULL AND rk IS NOT NULL
+         |           THEN 1 END) AS BIGINT) AS n_right_keys,
+         |         CAST(COUNT(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+         |           THEN 1 END) AS BIGINT) AS n_matched_keys,
+         |         CAST(COALESCE(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+         |           THEN CAST(cl AS HUGEINT) * CAST(cr AS HUGEINT) END), 0)
+         |           AS VARCHAR) AS predicted_rows
+         |  FROM j),
+         |h AS (
+         |  SELECT CAST(lk AS VARCHAR) AS hot_key,
+         |         CAST(cl * cr AS BIGINT) AS hot_fanout
+         |  FROM j WHERE cl IS NOT NULL AND cr IS NOT NULL
+         |  ORDER BY cl * cr DESC, lk DESC LIMIT 1)
+         |SELECT n_left_rows, n_right_rows, n_left_keys, n_right_keys,
+         |       n_matched_keys, predicted_rows, hot_key, hot_fanout
+         |FROM r LEFT JOIN h ON TRUE""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

@@ -54,6 +54,61 @@ object Integrity {
     }.reduce(_ unionByName _)
   }
 
+  /** Join fan-out forecast — the pre-flight audit before a big join
+    * ships: collapse BOTH sides to key grain, and from the keyed
+    * counts alone predict the join's exact output cardinality
+    * (Σ cl·cr over matched keys) and its hottest key (the straggler
+    * task AQE will have to split). A 10¹²-row surprise is caught here
+    * for the cost of two key-grain aggregates, not discovered at hour
+    * three of the join itself. NULL join keys never match — their
+    * rows are visible in the side totals but predict nothing.
+    *
+    * Determinism: the fan-out sum is an exact decimal(38,0) aggregate
+    * (cl·cr alone can reach 10¹⁸ — BIGINT-edge — and the SUM far
+    * past it); the hot key breaks product ties by largest key, pinned
+    * on both engines. Output is ONE row; the hot-key columns are NULL
+    * when no key matches (left join of the 1-row report against the
+    * possibly-empty top-1).
+    *
+    * Scale shape: one shuffle per side to key grain (partial
+    * map-side), a key-grain join, a 1-row aggregate, and a
+    * TakeOrderedAndProject top-1 — the joined key frame is persisted
+    * so the two consumers share one build. */
+  def joinFanout(left: DataFrame, lk: String,
+      right: DataFrame, rk: String): DataFrame = {
+    val lc = left.groupBy(col(lk).as("__lk"))
+      .agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(rk).as("__rk"))
+      .agg(count(lit(1)).as("cr"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val j = lc
+      .join(rc, col("__lk") === col("__rk"), "full_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matched = col("cl").isNotNull && col("cr").isNotNull
+    val report = j.agg(
+      coalesce(sum(col("cl")), lit(0L)).as("n_left_rows"),
+      coalesce(sum(col("cr")), lit(0L)).as("n_right_rows"),
+      count(when(col("cl").isNotNull && col("__lk").isNotNull, 1L))
+        .as("n_left_keys"),
+      count(when(col("cr").isNotNull && col("__rk").isNotNull, 1L))
+        .as("n_right_keys"),
+      count(when(matched, 1L)).as("n_matched_keys"),
+      coalesce(sum(when(matched, dec(col("cl")) * dec(col("cr")))),
+        lit(0L).cast("decimal(38,0)")).as("predicted_rows"))
+    val hot = j
+      .filter(matched)
+      .withColumn("__fan", col("cl") * col("cr"))
+      .orderBy(col("__fan").desc, col("__lk").desc)
+      .limit(1)
+      .select(col("__lk").cast("string").as("hot_key"),
+        col("__fan").as("hot_fanout"))
+    report.join(hot, lit(true), "left")
+      .select(col("n_left_rows"), col("n_right_rows"),
+        col("n_left_keys"), col("n_right_keys"), col("n_matched_keys"),
+        col("predicted_rows").cast("string").as("predicted_rows"),
+        col("hot_key"), col("hot_fanout"))
+  }
+
   /** Time-to-convert report — the latency profile of a funnel edge:
     * per user, the delay from their FIRST `fromType` event to their
     * FIRST `toType` event at-or-after it; report = conversion counts

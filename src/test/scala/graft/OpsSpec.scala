@@ -403,6 +403,32 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("orphan_bp") == 3333L)  // ⌊10000·2/6⌋
   }
 
+  test("joinFanout: exact Σ cl·cr forecast, NULL keys predict nothing, largest-key tie-break, empty match") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(Some(1L), Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("lk")
+    val right = Seq(Some(1L), Some(2L), Some(2L), Some(2L), Some(3L),
+      None, None).toDF("rk")
+    val r = graft.ops.Integrity.joinFanout(left, "lk", right, "rk")
+      .collect().head
+    assert(r.getAs[Long]("n_left_rows") == 6L)
+    assert(r.getAs[Long]("n_right_rows") == 7L)
+    assert(r.getAs[Long]("n_left_keys") == 3L)   // 1, 2, 9
+    assert(r.getAs[Long]("n_right_keys") == 3L)  // 1, 2, 3
+    assert(r.getAs[Long]("n_matched_keys") == 2L)
+    assert(r.getAs[String]("predicted_rows") == "6") // 3·1 + 1·3
+    // fan ties at 3: key 2 beats key 1 (largest-key tie-break)
+    assert(r.getAs[String]("hot_key") == "2")
+    assert(r.getAs[Long]("hot_fanout") == 3L)
+
+    // no matching key: report row survives with NULL hot columns
+    val none = graft.ops.Integrity.joinFanout(
+      Seq(1L).toDF("lk"), "lk", Seq(2L).toDF("rk"), "rk").collect().head
+    assert(none.getAs[String]("predicted_rows") == "0")
+    assert(none.getAs[String]("hot_key") == null)
+  }
+
   test("timeToConvert: purchase BEFORE the first click is not a conversion and hides nothing") {
     val s = spark
     import s.implicits._

@@ -766,6 +766,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q155 join fanout: both sides collapse to key grain before the join; top-1 is TakeOrdered; one build") {
+    val p = plan("q155_join_fanout")
+    assert(p.contains("InMemoryRelation"), s"key frame not persisted:\n$p")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty,
+      s"live corpus re-scan (cache bypassed):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"hot key global-sorted:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q154 time to convert: user grain persisted (one corpus pass); quantile rides the delay histogram") {
     val p = plan("q154_time_to_convert")
     assert(p.contains("InMemoryRelation"), s"user grain not persisted:\n$p")
