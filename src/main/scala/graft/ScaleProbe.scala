@@ -317,6 +317,8 @@ object ScaleProbe {
     // growth before the key join
     t("join fanout")(graft.ops.Integrity.joinFanout(
       eventsSameUsers, "user_id", orders, "o_custkey"))
+    t("profile drift")(graft.ops.Profile.profileDrift(events, "ts",
+      "2024-01-16", Seq("event_type", "props", "value", "user_id")))
     spark.stop()
   }
 }

@@ -182,7 +182,8 @@ object SparkEntry {
     "q152_winsorized_lift" -> (Queries.winsorizedLift _),
     "q153_ref_integrity" -> (Queries.refIntegrity _),
     "q154_time_to_convert" -> (Queries.timeToConvert _),
-    "q155_join_fanout" -> (Queries.joinFanout _)
+    "q155_join_fanout" -> (Queries.joinFanout _),
+    "q156_profile_drift" -> (Queries.profileDrift _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1238,6 +1239,13 @@ object Queries {
   def joinFanout(spark: SparkSession, dir: String): DataFrame =
     Integrity.joinFanout(Tables(spark, dir, "events"), "user_id",
       Tables(spark, dir, "orders"), "o_custkey")
+
+  val DriftCols = Seq("event_type", "props", "value", "user_id")
+
+  /** Column-level null/cardinality drift across the q109 split. */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame =
+    Profile.profileDrift(Tables(spark, dir, "events"), "ts",
+      DriftSplitDate, DriftCols)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -5314,7 +5322,42 @@ object Oracles {
          |  ORDER BY cl * cr DESC, lk DESC LIMIT 1)
          |SELECT n_left_rows, n_right_rows, n_left_keys, n_right_keys,
          |       n_matched_keys, predicted_rows, hot_key, hot_fanout
-         |FROM r LEFT JOIN h ON TRUE""".stripMargin
+         |FROM r LEFT JOIN h ON TRUE""".stripMargin,
+
+    // one conditional-aggregate pass per column, unioned — the q73
+    // oracle pattern with the pre/post split spliced in.
+    "q156_profile_drift" -> {
+      val d = Queries.DriftSplitDate
+      val nullBp = (nn: String, n: String) =>
+        s"CASE WHEN $n = 0 THEN 0 ELSE CAST(FLOOR(10000.0 * ($n - $nn) / $n) AS BIGINT) END"
+      val rows = Queries.DriftCols.map { c =>
+        val (nnp, nnq) = (s"COUNT(CASE WHEN pre THEN $c END)",
+          s"COUNT(CASE WHEN NOT pre THEN $c END)")
+        s"""SELECT '$c' AS column_name,
+           |       CAST(COUNT(CASE WHEN pre THEN 1 END) AS BIGINT) AS n_pre,
+           |       CAST(COUNT(CASE WHEN NOT pre THEN 1 END) AS BIGINT) AS n_post,
+           |       CAST($nnp AS BIGINT) AS nn_pre,
+           |       CAST($nnq AS BIGINT) AS nn_post,
+           |       CAST(COUNT(DISTINCT CASE WHEN pre THEN $c END) AS BIGINT)
+           |         AS nd_pre,
+           |       CAST(COUNT(DISTINCT CASE WHEN NOT pre THEN $c END) AS BIGINT)
+           |         AS nd_post,
+           |       ${nullBp(nnq, s"COUNT(CASE WHEN NOT pre THEN 1 END)")} -
+           |         ${nullBp(nnp, s"COUNT(CASE WHEN pre THEN 1 END)")}
+           |         AS null_delta_bp,
+           |       CASE WHEN COUNT(DISTINCT CASE WHEN pre THEN $c END) = 0
+           |         THEN 0
+           |         ELSE CAST(FLOOR(10000.0 *
+           |           COUNT(DISTINCT CASE WHEN NOT pre THEN $c END) /
+           |           COUNT(DISTINCT CASE WHEN pre THEN $c END)) AS BIGINT)
+           |       END AS nd_ratio_bp
+           |FROM e""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT *, ts < TIMESTAMP '$d' AS pre
+         |  FROM events WHERE ts IS NOT NULL)
+         |$rows""".stripMargin
+    }
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

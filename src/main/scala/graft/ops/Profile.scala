@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the data-quality report a pipeline publishes
@@ -208,6 +208,52 @@ object Profile {
           max(col("value")).as("max_value")),
       Seq((abs(col("__sketch") - col("n_values")) * lit(10000L) <=
         col("n_values") * lit(maxErrBp)).cast("int").as("sketch_ok")))
+
+  /** Snapshot profile drift — q109's value-drift cousin at the SCHEMA
+    * level: for each column, null-rate and distinct-cardinality
+    * movement between the rows before and after `splitDate` (the
+    * "did a producer change what it ships" gate; a null-rate jump or
+    * a distinct-count collapse is how a silently-broken upstream
+    * field first shows up). Both snapshots aggregate in ONE pass via
+    * conditional aggregates — never two scans — then unpivot to the
+    * per-column report (metadata grain).
+    *
+    * Deltas are integer bp; the distinct ratio is floored bp of
+    * post/pre (0 when the pre snapshot never saw the column). */
+  def profileDrift(df: DataFrame, tsCol: String, splitDate: String,
+      columns: Seq[String]): DataFrame = {
+    checkNames(columns)
+    val pre = col(tsCol) < to_timestamp(lit(splitDate))
+    val post = col(tsCol) >= to_timestamp(lit(splitDate))
+    val aggs = columns.flatMap { c => Seq(
+      count(when(pre, col(c))).as(s"${c}__nnpre"),
+      count(when(post, col(c))).as(s"${c}__nnpost"),
+      count_distinct(when(pre, col(c))).as(s"${c}__ndpre"),
+      count_distinct(when(post, col(c))).as(s"${c}__ndpost"))
+    }
+    val row = df
+      .filter(col(tsCol).isNotNull)
+      .agg(count(when(pre, lit(1))).as("__npre"),
+        (count(when(post, lit(1))).as("__npost") +: aggs): _*)
+    val stack = columns
+      .map(c => s"'$c', `${c}__nnpre`, `${c}__nnpost`, `${c}__ndpre`, `${c}__ndpost`")
+      .mkString(", ")
+    val bpNull = (nn: Column, n: Column) =>
+      when(n === 0L, lit(0L))
+        .otherwise(floor(lit(10000.0) * (n - nn) / n).cast("long"))
+    row
+      .select(col("__npre"), col("__npost"),
+        expr(s"stack(${columns.size}, $stack) AS " +
+          "(column_name, nn_pre, nn_post, nd_pre, nd_post)"))
+      .select(col("column_name"),
+        col("__npre").as("n_pre"), col("__npost").as("n_post"),
+        col("nn_pre"), col("nn_post"), col("nd_pre"), col("nd_post"),
+        (bpNull(col("nn_post"), col("__npost")) -
+          bpNull(col("nn_pre"), col("__npre"))).as("null_delta_bp"),
+        when(col("nd_pre") === 0L, lit(0L))
+          .otherwise(floor(lit(10000.0) * col("nd_post") / col("nd_pre"))
+            .cast("long")).as("nd_ratio_bp"))
+  }
 
   /** Cross-modality coverage report — do the text and embedding
     * tables actually line up? One row: doc/vector counts, matched

@@ -403,6 +403,35 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("orphan_bp") == 3333L)  // ⌊10000·2/6⌋
   }
 
+  test("profileDrift: null-rate and cardinality movement from hand snapshots; post-only column ratio 0") {
+    val s = spark
+    import s.implicits._
+    def t(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    // pre (day 1): a = [x, y, NULL, NULL], b all NULL
+    // post (day 20): a = [x, x, x], b = [p, q]... b post on 2 of 3 rows
+    val rows = Seq(
+      (t("2024-01-01"), Some("x"), None: Option[String]),
+      (t("2024-01-01"), Some("y"), None),
+      (t("2024-01-01"), None, None),
+      (t("2024-01-01"), None, None),
+      (t("2024-01-20"), Some("x"), Some("p")),
+      (t("2024-01-20"), Some("x"), Some("q")),
+      (t("2024-01-20"), Some("x"), None))
+      .toDF("ts", "a", "b")
+    val out = graft.ops.Profile
+      .profileDrift(rows, "ts", "2024-01-10", Seq("a", "b")).collect()
+      .map(r => r.getAs[String]("column_name") -> ((
+        r.getAs[Long]("n_pre"), r.getAs[Long]("n_post"),
+        r.getAs[Long]("nn_pre"), r.getAs[Long]("nn_post"),
+        r.getAs[Long]("nd_pre"), r.getAs[Long]("nd_post"),
+        r.getAs[Long]("null_delta_bp"), r.getAs[Long]("nd_ratio_bp"))))
+      .toMap
+    // a: null rate 5000bp → 0 (delta −5000); distinct 2 → 1 (5000bp)
+    assert(out("a") == ((4L, 3L, 2L, 3L, 2L, 1L, -5000L, 5000L)))
+    // b: never seen pre → nd_ratio 0; nulls 10000bp → ⌊10000/3⌋=3333
+    assert(out("b") == ((4L, 3L, 0L, 2L, 0L, 2L, 3333L - 10000L, 0L)))
+  }
+
   test("joinFanout: exact Σ cl·cr forecast, NULL keys predict nothing, largest-key tie-break, empty match") {
     val s = spark
     import s.implicits._

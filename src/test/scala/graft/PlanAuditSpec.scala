@@ -766,6 +766,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q156 profile drift: both snapshots in ONE scan (conditional aggregates, never a self-union)") {
+    val p = plan("q156_profile_drift")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1,
+      s"pre/post split grew a second scan:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("q155 join fanout: both sides collapse to key grain before the join; top-1 is TakeOrdered; one build") {
     val p = plan("q155_join_fanout")
     assert(p.contains("InMemoryRelation"), s"key frame not persisted:\n$p")
