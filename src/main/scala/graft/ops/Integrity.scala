@@ -109,6 +109,31 @@ object Integrity {
         col("hot_key"), col("hot_fanout"))
   }
 
+  /** The user-grain conversion frame [[timeToConvert]] reports over
+    * (and the batch-parity surface for the live twin,
+    * [[graft.streaming.ConvertStream]]): per user, the first
+    * `fromType` timestamp and the delay to the first `toType` event
+    * AT-OR-AFTER it — a toType before the user's first fromType is
+    * NOT a conversion of this funnel edge, and must not hide a later
+    * one; hence the unordered min window (which the user-grain
+    * aggregate's partitioning then reuses — one fact shuffle). */
+  def conversionDelays(events: DataFrame, fromType: String,
+      toType: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val wUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    events
+      .filter(col("ts").isNotNull)
+      .withColumn("t_from",
+        min(when(col("event_type") === fromType, us)).over(wUser))
+      .groupBy(col("user_id"))
+      .agg(min(col("t_from")).as("t_from"),
+        min(when(col("event_type") === toType && us >= col("t_from"), us))
+          .as("t_to"))
+      .withColumn("delay_s",
+        when(col("t_to").isNotNull, expr("(t_to - t_from) div 1000000")))
+  }
+
   /** Time-to-convert report — the latency profile of a funnel edge:
     * per user, the delay from their FIRST `fromType` event to their
     * FIRST `toType` event at-or-after it; report = conversion counts
@@ -129,23 +154,7 @@ object Integrity {
     require(ranksBp.nonEmpty && ranksBp.distinct.size == ranksBp.size &&
       ranksBp.forall(p => p >= 1L && p <= 10000L),
       s"ranks must be distinct and in [1, 10000] bp: $ranksBp")
-    val us = unix_micros(col("ts"))
-    val wUser = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
-    // "first toType AT-OR-AFTER the first fromType": a purchase before
-    // the user's first click is NOT a conversion of this funnel edge,
-    // and must not hide a later one — hence the window, not a plain
-    // conditional min over all toType events
-    val grain = events
-      .filter(col("ts").isNotNull)
-      .withColumn("t_from",
-        min(when(col("event_type") === fromType, us)).over(wUser))
-      .groupBy(col("user_id"))
-      .agg(min(col("t_from")).as("t_from"),
-        min(when(col("event_type") === toType && us >= col("t_from"), us))
-          .as("t_to"))
-      .withColumn("delay_s",
-        when(col("t_to").isNotNull, expr("(t_to - t_from) div 1000000")))
+    val grain = conversionDelays(events, fromType, toType)
       // two consumers below (funnel totals + delay histogram) — the
       // persist keeps the fact chain to ONE corpus pass
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
