@@ -5317,9 +5317,11 @@ object Oracles {
          |  FROM j),
          |h AS (
          |  SELECT CAST(lk AS VARCHAR) AS hot_key,
-         |         CAST(cl * cr AS BIGINT) AS hot_fanout
+         |         CAST(CAST(cl AS HUGEINT) * CAST(cr AS HUGEINT) AS VARCHAR)
+         |           AS hot_fanout
          |  FROM j WHERE cl IS NOT NULL AND cr IS NOT NULL
-         |  ORDER BY cl * cr DESC, lk DESC LIMIT 1)
+         |  ORDER BY CAST(cl AS HUGEINT) * CAST(cr AS HUGEINT) DESC, lk DESC
+         |  LIMIT 1)
          |SELECT n_left_rows, n_right_rows, n_left_keys, n_right_keys,
          |       n_matched_keys, predicted_rows, hot_key, hot_fanout
          |FROM r LEFT JOIN h ON TRUE""".stripMargin,

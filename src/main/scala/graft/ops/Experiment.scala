@@ -161,13 +161,8 @@ object Experiment {
       .groupBy(col("user_id"))
       .agg(coalesce(sum(metric), lit(0L)).as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wCum = Window.partitionBy().orderBy(col("y").asc)
-    val cap = users
-      .groupBy(col("y")).agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
-      .agg(min(when(col("cum") >= expr(s"(n * $pBp + 9999) div 10000"),
-        col("y"))).as("cap_cents"))
+    val cap = Percentiles.valueQuantiles(users, "y", Seq(pBp))
+      .select(col(s"__q$pBp").as("cap_cents"))
     users
       .withColumn("arm", armCol("user_id", splitPct))
       .crossJoin(broadcast(cap))

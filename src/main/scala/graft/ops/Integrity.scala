@@ -97,11 +97,13 @@ object Integrity {
         lit(0L).cast("decimal(38,0)")).as("predicted_rows"))
     val hot = j
       .filter(matched)
-      .withColumn("__fan", col("cl") * col("cr"))
+      // decimal, like the sum: a BIGINT cl·cr wraps silently past
+      // 2^63 (wrong hot key, negative fan-out) where DuckDB raises
+      .withColumn("__fan", dec(col("cl")) * dec(col("cr")))
       .orderBy(col("__fan").desc, col("__lk").desc)
       .limit(1)
       .select(col("__lk").cast("string").as("hot_key"),
-        col("__fan").as("hot_fanout"))
+        col("__fan").cast("string").as("hot_fanout"))
     report.join(hot, lit(true), "left")
       .select(col("n_left_rows"), col("n_right_rows"),
         col("n_left_keys"), col("n_right_keys"), col("n_matched_keys"),
@@ -151,9 +153,6 @@ object Integrity {
   def timeToConvert(events: DataFrame, fromType: String = "click",
       toType: String = "purchase",
       ranksBp: Seq[Long] = Seq(5000L, 9000L, 9900L)): DataFrame = {
-    require(ranksBp.nonEmpty && ranksBp.distinct.size == ranksBp.size &&
-      ranksBp.forall(p => p >= 1L && p <= 10000L),
-      s"ranks must be distinct and in [1, 10000] bp: $ranksBp")
     val grain = conversionDelays(events, fromType, toType)
       // two consumers below (funnel totals + delay histogram) — the
       // persist keeps the fact chain to ONE corpus pass
@@ -161,19 +160,9 @@ object Integrity {
     val funnel = grain.agg(
       count(when(col("t_from").isNotNull, 1L)).as("n_from_users"),
       count(col("delay_s")).as("n_converted"))
-    val hist = grain
-      .filter(col("delay_s").isNotNull)
-      .groupBy(col("delay_s")).agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()
-          .orderBy(col("delay_s").asc)))
-      .withColumn("n", sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-    val picks = ranksBp.map { p =>
-      min(when(col("cum") >= expr(s"(n * $p + 9999) div 10000"),
-        col("delay_s"))).as(s"__q$p")
-    }
-    hist.agg(picks.head, picks.tail: _*)
+    // rank arithmetic + guards live in Percentiles.valueQuantiles
+    // (shared with winsorizedLift's cap) — one site to keep in sync
+    Percentiles.valueQuantiles(grain, "delay_s", ranksBp)
       .crossJoin(broadcast(funnel))
       .select(col("n_from_users"), col("n_converted"),
         explode(array(ranksBp.map { p =>

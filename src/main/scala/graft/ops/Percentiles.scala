@@ -113,6 +113,31 @@ object Percentiles {
         col("q.value_cents").as("value_cents"), col("n_rows"))
   }
 
+  /** Ungrouped exact nearest-rank quantiles of `valueCol`, as ONE row
+    * of `__q<p>` columns over the value-grain cumulative histogram
+    * (NULLs excluded — the shared convention above). The building
+    * block `Experiment.winsorizedLift` (pooled cap) and
+    * `Integrity.timeToConvert` (delay panel) rank from, so the rank
+    * arithmetic and its guards live in exactly one place. */
+  def valueQuantiles(df: DataFrame, valueCol: String,
+      ranksBp: Seq[Long]): DataFrame = {
+    require(ranksBp.nonEmpty && ranksBp.forall(p => p >= 1L && p <= 10000L),
+      "ranks must be in [1, 10000] bp")
+    require(ranksBp.distinct.size == ranksBp.size,
+      s"ranks must be distinct: $ranksBp")
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy().orderBy(col(valueCol).asc)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    val picks = ranksBp.map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 9999) div 10000"),
+        col(valueCol))).as(s"__q$p")
+    }
+    hist.agg(picks.head, picks.tail: _*)
+  }
+
   /** Multi-level totals via ROLLUP — per (a,b), per a, and grand
     * total in ONE pass (partial aggregation covers all levels;
     * grouping_id disambiguates). */

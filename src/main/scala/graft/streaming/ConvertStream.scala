@@ -46,11 +46,22 @@ object ConvertStream {
       state.remove() // window closed (or tombstone expired) — reclaim
       return Iterator.empty
     }
-    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    // full µs precision (getTime alone is ms — the batch twin compares
+    // unix_micros, and a truncated anchor shifts delay_s / the window
+    // edge on sub-ms data): seconds from getTime + µs from getNanos
+    def micros(e: SessionStream.Ev): Long =
+      math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+    // within a timestamp, fromType anchors BEFORE toType consumes —
+    // the batch semantic (t_from = min fromType ts; any toType with
+    // ts >= t_from counts; event ids are never consulted). Equal-ts
+    // pairs split across micro-batches fall under the straggler
+    // caveat.
+    val sorted = events.toSeq.sortBy(e =>
+      (micros(e), if (e.event_type == fromType) 0 else 1, e.event_id))
     var st = state.getOption
     val out = Seq.newBuilder[Conversion]
     sorted.foreach { e =>
-      val us = e.ts.getTime * 1000L
+      val us = micros(e)
       st match {
         case None if e.event_type == fromType =>
           st = Some(FunnelState(us, converted = false))
@@ -65,8 +76,14 @@ object ConvertStream {
     st match {
       case Some(s) =>
         state.update(s)
-        state.setTimeoutTimestamp(
-          s.fromUs / 1000L + windowSeconds * 1000L)
+        // the natural timeout (first + window) never advances with new
+        // events, so once the watermark passes it, any further event
+        // for this user (replayed purchase, repeat click) would make
+        // setTimeoutTimestamp throw and KILL the query — clamp to just
+        // past the current watermark; the next trigger reaps the state
+        state.setTimeoutTimestamp(math.max(
+          s.fromUs / 1000L + windowSeconds * 1000L,
+          state.getCurrentWatermarkMs() + 1L))
       case None => ()
     }
     out.result().iterator
@@ -80,6 +97,10 @@ object ConvertStream {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      // the batch twin drops NULL ts the same way; unguarded, one
+      // NULL-timestamp row would NPE inside updateUser and kill the
+      // query (SrmStream guards identically)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .withWatermark("ts", watermark)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
         lit(null).cast("double").as("value"))

@@ -69,6 +69,28 @@ class ConvertStreamSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("events arriving after the watermark passed the user's window do not kill the query (timeout clamp)") {
+    // u1's natural timeout (click + 60 s) is long past once u2's
+    // events push the watermark hours ahead; the batch-2 straggler
+    // purchase must be a silent no-op, not a setTimeoutTimestamp
+    // IllegalArgumentException that terminates the stream
+    val got = run(Seq(
+      Seq(ev(1, 1, 0, "click"), ev(2, 2, 10000, "click")),
+      Seq(ev(3, 1, 10050, "purchase"), ev(4, 2, 10020, "purchase"))),
+      windowSeconds = 60L)
+    // u1: outside its window; u2: converts within its own
+    assert(got.map(c => (c.user_id, c.delay_s)) == Seq((2L, 20L)))
+  }
+
+  test("a purchase sharing the first click's timestamp converts with delay 0 (batch tie semantics)") {
+    // batch anchors t_from = min click ts and counts any purchase with
+    // ts >= t_from — event ids are never consulted; the stream must
+    // anchor the click before consuming the same-ts purchase even
+    // when the purchase has the smaller id
+    val got = run(Seq(Seq(ev(1, 1, 0, "purchase"), ev(2, 1, 0, "click"))))
+    assert(got.map(c => (c.user_id, c.delay_s)) == Seq((1L, 0L)))
+  }
+
   test("a replayed purchase emits nothing (tombstone); a purchase outside the window emits nothing") {
     // duplicate purchase delivery in a later batch — still one row
     val dup = run(Seq(

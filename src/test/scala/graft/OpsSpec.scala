@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.ops._
 
 class OpsSpec extends SparkSpec {
+
+  /** JVM-side recompute of Experiment.armCol's md5 draw (one copy for
+    * every experiment-op test — the convention lives here and in the
+    * operator only). */
+  private def armOf(u: Long): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    if (java.lang.Long.parseLong(h, 16) % 100 < 50) "A" else "B"
+  }
   import spark.implicits._
 
   private def ev(id: Long, user: Long, t: String, typ: String, k: Int) =
@@ -260,12 +270,6 @@ class OpsSpec extends SparkSpec {
   test("srmCheck: arms from the JVM-recomputed draw; event volume cannot bias the ratio") {
     val s = spark
     import s.implicits._
-    def armOf(u: Long): String = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(u.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 8)
-      if (java.lang.Long.parseLong(h, 16) % 100 < 50) "A" else "B"
-    }
     // user 1 floods events; the DISTINCT-user ratio must ignore it
     val evs = (Seq.fill(50)(1L) ++ (2L to 9L)).zipWithIndex
       .map { case (u, i) => (i.toLong,
@@ -303,12 +307,6 @@ class OpsSpec extends SparkSpec {
   test("cupedLift: θ and adjusted means match a straight-line recompute; constant pre-period → θ=0") {
     val s = spark
     import s.implicits._
-    def armOf(u: Long): String = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(u.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 8)
-      if (java.lang.Long.parseLong(h, 16) % 100 < 50) "A" else "B"
-    }
     // whole-dollar values so floor(value*100) is IEEE-exact
     def row(id: Long, u: Long, day: Int, v: Double) =
       (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"),
@@ -353,12 +351,6 @@ class OpsSpec extends SparkSpec {
   test("winsorizedLift: nearest-rank pooled cap; zero-metric users count; whale capped") {
     val s = spark
     import s.implicits._
-    def armOf(u: Long): String = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(u.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 8)
-      if (java.lang.Long.parseLong(h, 16) % 100 < 50) "A" else "B"
-    }
     def row(id: Long, u: Long, typ: String, v: java.lang.Double) =
       (id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, typ, v)
     // users 1..9 spend u dollars; user 10 never purchases (y=0)
@@ -449,7 +441,7 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[String]("predicted_rows") == "6") // 3·1 + 1·3
     // fan ties at 3: key 2 beats key 1 (largest-key tie-break)
     assert(r.getAs[String]("hot_key") == "2")
-    assert(r.getAs[Long]("hot_fanout") == 3L)
+    assert(r.getAs[String]("hot_fanout") == "3")
 
     // no matching key: report row survives with NULL hot columns
     val none = graft.ops.Integrity.joinFanout(
