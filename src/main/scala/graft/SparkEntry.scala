@@ -183,7 +183,12 @@ object SparkEntry {
     "q153_ref_integrity" -> (Queries.refIntegrity _),
     "q154_time_to_convert" -> (Queries.timeToConvert _),
     "q155_join_fanout" -> (Queries.joinFanout _),
-    "q156_profile_drift" -> (Queries.profileDrift _)
+    "q156_profile_drift" -> (Queries.profileDrift _),
+    "q157_repetition" -> (Queries.repetition _),
+    "q158_triangles" -> (Queries.triangleStats _),
+    "q159_ann_mrr" -> (Queries.annMrr _),
+    "q160_decayed_popularity" -> (Queries.decayedPopularity _),
+    "q161_key_balance" -> (Queries.keyBalance _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1246,6 +1251,38 @@ object Queries {
   def profileDrift(spark: SparkSession, dir: String): DataFrame =
     Profile.profileDrift(Tables(spark, dir, "events"), "ts",
       DriftSplitDate, DriftCols)
+
+  /** Gopher-style within-doc repetition metrics (pseudo-line grain
+    * shared with q123's boilerplate report). */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(Tables(spark, dir, "documents"))
+
+  /** Triangle census over the q93 co-visit graph (same min support —
+    * the clustering-coefficient health check beside PageRank). */
+  def triangleStats(spark: SparkSession, dir: String): DataFrame =
+    Graph.triangleStats(Market.coVisitPairs(Tables(spark, dir, "events")),
+      PageRankMinSupport)
+
+  /** MRR@k of the q25 LSH ANN vs the exact top-1 (q100's rank twin). */
+  def annMrr(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annMrr(Tables(spark, dir, "embeddings"), knnQueryPred,
+      AnnRecallK)
+
+  val DecayHalfLifeDays = 7
+  val DecayTopK = 20
+
+  /** Dyadic-half-life trending items, anchored at the RFM date. */
+  def decayedPopularity(spark: SparkSession, dir: String): DataFrame =
+    Market.decayedPopularity(Tables(spark, dir, "events"), RfmAnchor,
+      DecayHalfLifeDays, DecayTopK)
+
+  /** Inverse-Simpson shuffle-balance scores for the workload's three
+    * big join keys (q155's parallelism complement). */
+  def keyBalance(spark: SparkSession, dir: String): DataFrame =
+    Integrity.keyBalance(Seq(
+      ("events_user_id", Tables(spark, dir, "events"), "user_id"),
+      ("orders_custkey", Tables(spark, dir, "orders"), "o_custkey"),
+      ("lineitem_orderkey", Tables(spark, dir, "lineitem"), "l_orderkey")))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -5359,6 +5396,219 @@ object Oracles {
          |  SELECT *, ts < TIMESTAMP '$d' AS pre
          |  FROM events WHERE ts IS NOT NULL)
          |$rows""".stripMargin
+    },
+
+    // Repetition: pseudo-lines and bigrams rebuilt as DuckDB list
+    // lambdas (the q55 gram idiom), then counted relationally — the
+    // Spark side's sorted-array folds produce the same exact values.
+    "q157_repetition" -> {
+      val L = 10
+      s"""WITH d AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |d2 AS (
+         |  SELECT doc_id, source,
+         |         list_transform(range(0, CAST(ceil(len(t) / $L.0) AS BIGINT)),
+         |           i -> array_to_string(t[i * $L + 1 : i * $L + $L], ' '))
+         |           AS lines,
+         |         CASE WHEN len(t) < 2 THEN []
+         |              ELSE list_transform(range(1, len(t)),
+         |                     i -> t[i] || ' ' || t[i + 1]) END AS bigrams
+         |  FROM d),
+         |ln AS (SELECT doc_id, source, unnest(lines) AS line FROM d2),
+         |lc AS (SELECT doc_id, source, line, COUNT(*) AS cnt
+         |       FROM ln GROUP BY 1, 2, 3),
+         |lstats AS (
+         |  SELECT doc_id, source,
+         |         CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         |         CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_lines,
+         |         CAST(SUM((cnt - 1) * length(line)) AS BIGINT) AS dup_chars,
+         |         CAST(SUM(cnt * length(line)) AS BIGINT) AS line_chars
+         |  FROM lc GROUP BY 1, 2),
+         |bg AS (SELECT doc_id, unnest(bigrams) AS b FROM d2),
+         |bc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+         |bm AS (
+         |  SELECT doc_id, b AS top_bigram, CAST(cnt AS BIGINT) AS top_bigram_n,
+         |         CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT)
+         |           AS n_bigrams,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |           ORDER BY cnt DESC, b ASC) AS rn
+         |  FROM bc),
+         |r AS (
+         |  SELECT l.doc_id, l.source, l.n_lines, l.dup_lines,
+         |         CAST(FLOOR(10000.0 * l.dup_lines / l.n_lines) AS BIGINT)
+         |           AS dup_line_bp,
+         |         CASE WHEN l.line_chars = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * l.dup_chars / l.line_chars)
+         |                AS BIGINT) END AS dup_char_bp,
+         |         b.top_bigram,
+         |         COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+         |         CASE WHEN b.n_bigrams IS NULL OR b.n_bigrams = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * b.top_bigram_n / b.n_bigrams)
+         |                AS BIGINT) END AS top_bigram_bp
+         |  FROM lstats l LEFT JOIN bm b ON b.doc_id = l.doc_id AND b.rn = 1)
+         |SELECT *, dup_line_bp > 3000 OR dup_char_bp > 2000
+         |            OR top_bigram_bp > 1800 AS flagged
+         |FROM r""".stripMargin
+    },
+
+    // Triangle census on the q93 edge set: the oracle counts each
+    // triangle once by plain id-ordering (a<b<c); the Spark side's
+    // degree-ordered orientation finds the same triangle set.
+    "q158_triangles" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      s"""$sessionCte,
+         |it0 AS (
+         |  SELECT user_id, session_seq,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM sz
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |capped AS (
+         |  SELECT user_id, session_seq, item FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |      ORDER BY item) AS rn
+         |    FROM it0)
+         |  WHERE rn <= $cap),
+         |pairs AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |         CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM capped a
+         |  JOIN capped b ON a.user_id = b.user_id
+         |    AND a.session_seq = b.session_seq AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |eg AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE w >= $ms),
+         |deg AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS v FROM eg UNION ALL SELECT b FROM eg)
+         |  GROUP BY 1),
+         |ns AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |         CAST(COALESCE(MAX(deg), 0) AS BIGINT) AS max_deg,
+         |         CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT)
+         |           AS n_wedges
+         |  FROM deg),
+         |es AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM eg),
+         |tri AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM eg e1
+         |  JOIN eg e2 ON e2.a = e1.b
+         |  JOIN eg e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT n_nodes, n_edges, max_deg, n_wedges, n_triangles,
+         |       CASE WHEN n_wedges = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * 3 * n_triangles / n_wedges)
+         |              AS BIGINT) END AS global_cc_bp
+         |FROM ns, es, tri""".stripMargin
+    },
+
+    // ANN MRR: q100's truth/ann CTEs, truth narrowed to rank 1 and
+    // the ANN rank carried instead of collapsed; rr in ppm by BIGINT
+    // floor div.
+    "q159_ann_mrr" -> {
+      val k = Queries.AnnRecallK
+      s"""WITH $embQuantCte,
+         |tq AS (SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n
+         |       WHERE vec_id % ${Queries.KnnQueryMod} = 0),
+         |ts AS (
+         |  SELECT n.vec_id AS neighbor_id, tq.query_id,
+         |         CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+         |              i -> n.q[i] * tq.q_q[i])) AS BIGINT) AS dot,
+         |         n.n2, tq.q_n2
+         |  FROM n, tq WHERE n.vec_id != tq.query_id),
+         |tc AS (
+         |  SELECT query_id, neighbor_id,
+         |         CASE WHEN n2 = 0 OR q_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * dot / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM ts),
+         |truth AS (
+         |  SELECT query_id, neighbor_id AS truth_id, cos_bp AS truth_cos_bp
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |    FROM tc) WHERE rank = 1),
+         |bkt AS (SELECT *, $signBucketExpr AS bucket FROM n),
+         |aq AS (SELECT vec_id AS query_id, bucket, q AS q_q, n2 AS q_n2
+         |       FROM bkt WHERE vec_id % ${Queries.KnnQueryMod} = 0),
+         |asc0 AS (
+         |  SELECT bkt.vec_id AS neighbor_id, aq.query_id,
+         |         CAST(list_sum(list_transform(range(1, len(bkt.q) + 1),
+         |              i -> bkt.q[i] * aq.q_q[i])) AS BIGINT) AS dot,
+         |         bkt.n2, aq.q_n2
+         |  FROM bkt JOIN aq ON bkt.bucket = aq.bucket
+         |  WHERE bkt.vec_id != aq.query_id),
+         |ac AS (
+         |  SELECT query_id, neighbor_id,
+         |         CASE WHEN n2 = 0 OR q_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * dot / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM asc0),
+         |ann AS (
+         |  SELECT query_id, neighbor_id AS truth_id, CAST(rank AS BIGINT) AS r
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |    FROM ac) WHERE rank <= $k)
+         |SELECT t.query_id, t.truth_id, t.truth_cos_bp,
+         |       CAST(COALESCE(a.r, 0) AS BIGINT) AS ann_rank,
+         |       CASE WHEN a.r IS NULL THEN 0
+         |            ELSE CAST(1000000 // a.r AS BIGINT) END AS rr_ppm
+         |FROM truth t LEFT JOIN ann a
+         |  ON a.query_id = t.query_id AND a.truth_id = t.truth_id""".stripMargin
+    },
+
+    // Dyadic decay: the weight is the same BIGINT right-shift on both
+    // engines — no libm exp anywhere.
+    "q160_decayed_popularity" -> {
+      val h = Queries.DecayHalfLifeDays
+      s"""WITH e AS (
+         |  SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+         |         date_diff('day', CAST(ts AS DATE),
+         |                   DATE '${Queries.RfmAnchor}') AS age
+         |  FROM events
+         |  WHERE ts IS NOT NULL
+         |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |f AS (
+         |  SELECT item, age,
+         |         1000000::BIGINT >> CAST(least(age // $h, 62) AS INT) AS w
+         |  FROM e WHERE age >= 0)
+         |SELECT item, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(w) AS BIGINT) AS score_ppm,
+         |       CAST(MIN(age) AS BIGINT) AS last_age_days
+         |FROM f GROUP BY 1
+         |ORDER BY score_ppm DESC, item
+         |LIMIT ${Queries.DecayTopK}""".stripMargin
+    },
+
+    // Key balance: Σc² in HUGEINT (the q155 big-number VARCHAR
+    // convention), the eff ratio in textually-mirrored DOUBLE.
+    "q161_key_balance" -> {
+      def side(label: String, table: String, key: String): String =
+        s"""SELECT '$label' AS side, n_rows, n_keys, max_key_rows,
+           |       COALESCE(CAST(sumsq AS VARCHAR), '0') AS sum_sq,
+           |       CASE WHEN COALESCE(sumsq, 0) = 0 THEN 0
+           |            ELSE CAST(FLOOR(CAST(n_rows AS DOUBLE) *
+           |              CAST(n_rows AS DOUBLE) / CAST(sumsq AS DOUBLE))
+           |              AS BIGINT) END AS eff_keys,
+           |       CASE WHEN n_keys = 0 THEN 0
+           |            ELSE CAST(FLOOR(10000.0 *
+           |              (CASE WHEN COALESCE(sumsq, 0) = 0 THEN 0
+           |                    ELSE CAST(FLOOR(CAST(n_rows AS DOUBLE) *
+           |                      CAST(n_rows AS DOUBLE) / CAST(sumsq AS DOUBLE))
+           |                      AS BIGINT) END) / n_keys) AS BIGINT)
+           |       END AS balance_bp
+           |FROM (
+           |  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+           |         CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |         CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_key_rows,
+           |         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sumsq
+           |  FROM (SELECT $key AS k, COUNT(*) AS c FROM $table
+           |        WHERE $key IS NOT NULL GROUP BY 1))""".stripMargin
+      Seq(side("events_user_id", "events", "user_id"),
+        side("orders_custkey", "orders", "o_custkey"),
+        side("lineitem_orderkey", "lineitem", "l_orderkey"))
+        .mkString("\nUNION ALL\n")
     }
   )
 

@@ -127,4 +127,69 @@ object Graph {
     p.select(col("item_a").as("src"), col("item_b").as("dst"))
       .union(p.select(col("item_b").as("src"), col("item_a").as("dst")))
   }
+
+  /** Triangle census + global clustering coefficient over an
+    * unordered pair list — the graph-health report next to PageRank:
+    * how clique-ish is the co-visit graph (cc → 1 means tight
+    * communities, → 0 means star/bot shapes), and how many closed
+    * triads back the "users who viewed X also viewed Y" confidence.
+    *
+    * One row: n_nodes, n_edges, max_deg, n_wedges (= Σ C(deg,2), the
+    * open+closed triad count), n_triangles, and
+    * global_cc_bp = ⌊10000 · 3·triangles / wedges⌋.
+    *
+    * Scale shape — the compact-forward orientation (Latapy 2008,
+    * standard distributed triangle counting): each edge is oriented
+    * from its LOWER-degree endpoint to the higher ((deg, id)
+    * lexicographic, so the orientation is total and deterministic).
+    * Every node's oriented out-degree is then O(√m) regardless of how
+    * skewed the raw degree distribution is — a celebrity node with
+    * 10⁶ followers has huge in-degree but tiny out-degree, so the
+    * wedge self-join (the quadratic step) enumerates O(m^1.5) wedge
+    * candidates instead of Σ C(deg,2). Each triangle {u<v<w} by rank
+    * is found exactly once: as the wedge (v,w) at its lowest-rank
+    * corner u, closed by the oriented edge v→w. The closure test is a
+    * semi-style inner join back to the oriented edge list — never an
+    * all-pairs product. The oracle counts the same triangle set by
+    * plain id-ordering; the counts agree because orientation only
+    * changes WHERE a triangle is found, not whether. */
+  def triangleStats(pairs: DataFrame, minWeight: Long = 1L,
+      weightCol: String = "pair_sessions"): DataFrame = {
+    val e = pairs.filter(col(weightCol) >= minWeight)
+      .select(col("item_a").as("a"), col("item_b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(max(col("deg")), lit(0L)).as("max_deg"),
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    val da = deg.select(col("v").as("a"), col("deg").as("da"))
+    val db = deg.select(col("v").as("b"), col("deg").as("db"))
+    val oriented = e.join(da, "a").join(db, "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst"), col("db").as("ddst")))
+        .otherwise(
+          struct(col("b").as("src"), col("a").as("dst"), col("da").as("ddst")))
+        .as("o"))
+      .select(col("o.src"), col("o.dst"), col("o.ddst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        (col("e1.ddst") < col("e2.ddst") ||
+          (col("e1.ddst") === col("e2.ddst") &&
+            col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+    val tri = wedges.join(oriented.select(col("src"), col("dst")),
+        Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("max_deg"),
+        col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * lit(3L) * col("n_triangles") /
+            col("n_wedges")).cast("long")).as("global_cc_bp"))
+  }
 }

@@ -172,4 +172,57 @@ object Integrity {
         col("q.delay_s").as("delay_s"),
         col("n_from_users"), col("n_converted"))
   }
+
+  /** Join-key balance audit — [[joinFanout]] predicts a join's output
+    * volume; this report predicts its PARALLELISM. The inverse-Simpson
+    * "effective key count" eff = N² / Σ c_k² is the number of
+    * equally-loaded keys that would produce the same collision mass:
+    * eff ≈ n_keys means a flat key (shuffle partitions balance);
+    * eff ≪ n_keys means the shuffle is secretly a few straggler
+    * tasks, whatever the distinct count claims. `balance_bp` =
+    * ⌊10000·eff/n_keys⌋ is the planner's one-glance number (10000 =
+    * perfectly flat). The complement of q137's hot-key TOP-N view:
+    * keySkew names the villains, keyBalance scores the whole
+    * distribution in one scalar.
+    *
+    * Determinism at 100 TB: Σ c² is an exact decimal(38,0) aggregate
+    * (a 3·10⁹-row key alone puts c² past BIGINT — Spark would wrap
+    * silently, DuckDB would raise; the q155 precedent) and ships as a
+    * digit string; the eff ratio runs in DOUBLE with the expression
+    * tree mirrored textually in the oracle (IEEE determinism — the
+    * volumeAnomaly convention).
+    *
+    * Scale shape, per side: one key-grain shuffle (partial map-side)
+    * collapsing the table to keyed counts, then a 1-row aggregate;
+    * sides union at report grain. NULL keys are excluded — they
+    * never match a join anyway. */
+  def keyBalance(sides: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(sides.nonEmpty, "declare at least one (label, frame, key) side")
+    require(sides.map(_._1).distinct.size == sides.size,
+      s"side labels must be distinct: ${sides.map(_._1)}")
+    sides.map { case (label, df, key) =>
+      val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+      df.filter(col(key).isNotNull)
+        .groupBy(col(key).as("__k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          coalesce(max(col("c")), lit(0L)).as("max_key_rows"),
+          sum(d18(col("c")) * d18(col("c"))).as("__sumsq"))
+        .select(
+          lit(label).as("side"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          coalesce(col("__sumsq").cast("string"), lit("0")).as("sum_sq"),
+          when(coalesce(col("__sumsq"), lit(0).cast("decimal(38,0)"))
+              === lit(0).cast("decimal(38,0)"), 0L)
+            .otherwise(floor(col("n_rows").cast("double") *
+              col("n_rows").cast("double") / col("__sumsq").cast("double"))
+              .cast("long")).as("eff_keys"))
+        .withColumn("balance_bp",
+          when(col("n_keys") === 0L, 0L)
+            .otherwise(floor(lit(10000.0) * col("eff_keys") / col("n_keys"))
+              .cast("long")))
+    }.reduce(_ unionByName _)
+  }
 }

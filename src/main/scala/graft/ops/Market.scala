@@ -168,4 +168,43 @@ object Market {
       .withColumn("prob_bp", expr("transitions * 10000L div from_total"))
       .select("prev_type", "next_type", "transitions", "prob_bp")
   }
+
+  /** Recency-decayed item popularity — the "trending now" ranking a
+    * raw lifetime count can't give (a product hot in 2019 should not
+    * outrank one hot this week). Each event contributes
+    * `⌊10⁶ / 2^(age_days div halfLifeDays)⌋` popularity mass — an
+    * EXACT dyadic half-life: weights are a BIGINT right-shift, never
+    * a libm `exp`, so the score is bit-identical cross-engine and
+    * across rerun/partition layouts (the house determinism rule the
+    * usual `exp(-λ·age)` breaks). Step-wise decay (per completed
+    * half-life) is the deliberate trade for exactness; at a 7-day
+    * half-life the step error vs smooth decay is < 2× on any single
+    * event and washes out in the aggregate ranking.
+    *
+    * `anchor` is an explicit parameter (wall-clock "now" would be
+    * unreproducible — the [[Retention.rfm]] precedent). Future events
+    * (age < 0) are excluded: they are clock skew, not popularity.
+    *
+    * Scale shape: the weight is a pure codegen'd map expression; ONE
+    * item-grain fact shuffle (map-side combined) then
+    * TakeOrderedAndProject for the head. Item catalog ≪ corpus. */
+  def decayedPopularity(events: DataFrame, anchor: String,
+      halfLifeDays: Int = 7, k: Int = 20,
+      itemCol: String = "$.k"): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be >= 1")
+    events
+      .withColumn("item", get_json_object(col("props"), itemCol).cast("long"))
+      .filter(col("item").isNotNull && col("ts").isNotNull)
+      .withColumn("age",
+        datediff(lit(anchor).cast("date"), to_date(col("ts"))).cast("long"))
+      .filter(col("age") >= 0L)
+      .withColumn("w", expr(
+        s"shiftright(1000000L, CAST(least(age div $halfLifeDays, 62L) AS INT))"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w")).as("score_ppm"),
+        min(col("age")).as("last_age_days"))
+      .orderBy(col("score_ppm").desc, col("item").asc)
+      .limit(k)
+  }
 }

@@ -154,6 +154,34 @@ object Similarity {
             .cast("long")))
   }
 
+  /** MRR@k of the LSH ANN against the exact nearest neighbor — the
+    * rank-position twin of [[annRecall]]: recall says WHETHER the
+    * true neighbor surfaced in the top-k; reciprocal rank says WHERE
+    * (a list that always buries the true hit at rank k ships a much
+    * worse product than one that leads with it, at identical recall).
+    * Per query: the exact top-1 neighbor, its cosine, the rank the
+    * ANN list gives it (0 = missed), and `rr_ppm` = ⌊10⁶/rank⌋ in
+    * parts-per-million (integer floor div — exact cross-engine; the
+    * corpus mean is Σ rr_ppm / queries, left to the reader at report
+    * grain).
+    *
+    * Scale shape: identical to [[annRecall]] — two probe-set-grain
+    * frames (|queries| and |queries|·k rows) left-joined at query
+    * grain; the corpus cost is the underlying scans. */
+  def annMrr(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
+    val truth1 = knnBruteForce(emb, queryPred, 1)
+      .select(col("query_id"), col("neighbor_id").as("truth_id"),
+        col("cos_bp").as("truth_cos_bp"))
+    val ann = annLsh(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id").as("truth_id"),
+        col("rank").cast("long").as("__r"))
+    truth1.join(ann, Seq("query_id", "truth_id"), "left")
+      .select(col("query_id"), col("truth_id"), col("truth_cos_bp"),
+        coalesce(col("__r"), lit(0L)).as("ann_rank"),
+        when(col("__r").isNull, 0L)
+          .otherwise(expr("1000000L div __r")).as("rr_ppm"))
+  }
+
   /** IVF coarse quantizer: one integer centroid per label (the
     * inverted-list key). Deterministic & oracle-exact: per-dimension
     * `floor(sum / count)` over the quantized vectors. The posexplode +

@@ -67,4 +67,44 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (2L, 1L)))
   }
+
+  private def pairsDf(rows: (Long, Long, Long)*) =
+    rows.toDF("item_a", "item_b", "pair_sessions")
+
+  test("triangleStats: hand-computed census on triangle + pendant edge") {
+    // triangle {1,2,3} plus pendant 3–4: deg 2,2,3,1
+    val got = Graph.triangleStats(pairsDf(
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))).collect().head
+    assert(got.getAs[Long]("n_nodes") == 4L)
+    assert(got.getAs[Long]("n_edges") == 4L)
+    assert(got.getAs[Long]("max_deg") == 3L)
+    assert(got.getAs[Long]("n_wedges") == 5L)     // 1+1+C(3,2)+0
+    assert(got.getAs[Long]("n_triangles") == 1L)
+    assert(got.getAs[Long]("global_cc_bp") == 6000L) // ⌊10000·3/5⌋
+  }
+
+  test("triangleStats: minWeight prunes the pendant; a pure triangle has cc 10000") {
+    val got = Graph.triangleStats(pairsDf(
+      (1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L), (3L, 4L, 1L)),
+      minWeight = 2L).collect().head
+    assert(got.getAs[Long]("n_nodes") == 3L && got.getAs[Long]("n_edges") == 3L)
+    assert(got.getAs[Long]("n_triangles") == 1L)
+    assert(got.getAs[Long]("global_cc_bp") == 10000L)
+  }
+
+  test("triangleStats: K4 counts all 4 triangles once each (degree ties everywhere)") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b, 1L)
+    val got = Graph.triangleStats(pairsDf(k4: _*)).collect().head
+    assert(got.getAs[Long]("n_triangles") == 4L)
+    assert(got.getAs[Long]("n_wedges") == 12L)    // 4·C(3,2)
+    assert(got.getAs[Long]("global_cc_bp") == 10000L)
+  }
+
+  test("triangleStats: empty edge set reports zeros, no division error") {
+    val got = Graph.triangleStats(pairsDf((1L, 2L, 1L)), minWeight = 5L)
+      .collect().head
+    assert(got.getAs[Long]("n_nodes") == 0L && got.getAs[Long]("n_edges") == 0L)
+    assert(got.getAs[Long]("n_triangles") == 0L &&
+      got.getAs[Long]("global_cc_bp") == 0L)
+  }
 }

@@ -486,4 +486,77 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("n_affected") == 0L))
     assert(got.map(_.getAs[Long]("n_rows")).sum == 4L)
   }
+
+  test("repetition: dup pseudo-lines, dup chars, modal bigram with smallest-gram tie-break") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b", "en", "src", 11L),  // 3×"a b" lines; mode "a b"×3 of 5
+      (2L, "x y z", "en", "src", 5L),         // no dups; bigram tie → "x y"
+      (3L, "q", "en", "src", 1L))             // single token: no bigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TextAnalysis.repetition(docs, lineTokens = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_lines") == 3L && d1.getAs[Long]("dup_lines") == 2L)
+    assert(d1.getAs[Long]("dup_line_bp") == 6666L)  // ⌊10000·2/3⌋
+    assert(d1.getAs[Long]("dup_char_bp") == 6666L)  // ⌊10000·6/9⌋
+    assert(d1.getAs[String]("top_bigram") == "a b")
+    assert(d1.getAs[Long]("top_bigram_n") == 3L)
+    assert(d1.getAs[Long]("top_bigram_bp") == 6000L) // ⌊10000·3/5⌋
+    assert(d1.getAs[Boolean]("flagged"))
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("dup_lines") == 0L && d2.getAs[Long]("dup_char_bp") == 0L)
+    assert(d2.getAs[String]("top_bigram") == "x y") // 1-run tie → smallest
+    val d3 = out(3L)
+    assert(d3.getAs[String]("top_bigram") == null)
+    assert(d3.getAs[Long]("top_bigram_n") == 0L &&
+      d3.getAs[Long]("top_bigram_bp") == 0L)
+    assert(!d3.getAs[Boolean]("flagged"))
+  }
+
+  test("keyBalance: skewed side scores below flat side; NULL keys excluded; exact Σc²") {
+    val s = spark
+    import s.implicits._
+    val skewed = Seq(Some(1L), Some(1L), Some(1L), Some(1L), Some(2L),
+      Some(2L), Some(3L), None).toDF("k")
+    val flat = Seq(1L, 2L, 3L).toDF("k")
+    val out = graft.ops.Integrity.keyBalance(Seq(
+      ("skewed", skewed, "k"), ("flat", flat, "k")))
+      .collect().map(r => r.getAs[String]("side") -> r).toMap
+    val sk = out("skewed")
+    assert(sk.getAs[Long]("n_rows") == 7L && sk.getAs[Long]("n_keys") == 3L)
+    assert(sk.getAs[Long]("max_key_rows") == 4L)
+    assert(sk.getAs[String]("sum_sq") == "21")      // 16+4+1
+    assert(sk.getAs[Long]("eff_keys") == 2L)        // ⌊49/21⌋
+    assert(sk.getAs[Long]("balance_bp") == 6666L)   // ⌊10000·2/3⌋
+    val fl = out("flat")
+    assert(fl.getAs[Long]("eff_keys") == 3L && fl.getAs[Long]("balance_bp") == 10000L)
+  }
+
+  test("decayedPopularity: exact dyadic half-life weights; future events excluded") {
+    val s = spark
+    import s.implicits._
+    def ev(id: Long, day: String, item: String) =
+      (id, java.sql.Timestamp.valueOf(s"$day 12:00:00"), 1L, "click", 0.0,
+        s"""{"k":$item}""")
+    val events = Seq(
+      ev(1, "2024-01-10", "1"),  // age 0  → 1_000_000
+      ev(2, "2024-01-09", "1"),  // age 1  → 1_000_000
+      ev(3, "2024-01-03", "1"),  // age 7  → 500_000
+      ev(4, "2023-11-01", "2"),  // age 70 → >>10 = 976
+      ev(5, "2023-12-26", "2"),  // age 15 → >>2 = 250_000
+      ev(6, "2024-01-11", "2"),  // FUTURE (age -1): excluded
+      (7L, java.sql.Timestamp.valueOf("2024-01-10 12:00:00"), 1L, "click",
+        0.0, """{"x":9}"""))     // no item key: excluded
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Market
+      .decayedPopularity(events, "2024-01-10", halfLifeDays = 7, k = 20)
+      .collect().map(r => (r.getAs[Long]("item"),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("score_ppm"),
+          r.getAs[Long]("last_age_days"))))
+    assert(out.toSeq == Seq(
+      1L -> ((3L, 2500000L, 0L)),
+      2L -> ((2L, 250976L, 15L))))  // score order: item 1 first
+  }
 }

@@ -658,6 +658,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.map(_._4).sum > 0L)
   }
 
+  test("annMrr matches a naive recomputation; missed truth scores 0") {
+    val emb = Tables(spark, sf, "embeddings")
+    val pred = col("vec_id") % 100 === 0
+    val truth1 = Similarity.knnBruteForce(emb, pred, k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toMap
+    val annRank = Similarity.annLsh(emb, pred, k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (q, n, r) => (q, n) -> r.toLong }.toMap
+    val got = Similarity.annMrr(emb, pred, k = 3)
+      .select("query_id", "truth_id", "ann_rank", "rr_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == truth1.keySet) // every query reported
+    got.foreach { case (q, t, r, rr) =>
+      assert(t == truth1(q), s"query $q truth id")
+      val want = annRank.getOrElse((q, t), 0L)
+      assert(r == want, s"query $q rank")
+      assert(rr == (if (want == 0L) 0L else 1000000L / want), s"query $q rr")
+    }
+  }
+
   test("fuzzyFlagged: verbatim eval copy flags at 10000 bp; unrelated text doesn't") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // = eval doc 100
