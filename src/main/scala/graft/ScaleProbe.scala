@@ -319,6 +319,23 @@ object ScaleProbe {
       eventsSameUsers, "user_id", orders, "o_custkey"))
     t("profile drift")(graft.ops.Profile.profileDrift(events, "ts",
       "2024-01-16", Seq("event_type", "props", "value", "user_id")))
+    // pair set grows with session count; the census must ride it
+    t("triangles")(graft.ops.Graph.triangleStats(
+      graft.ops.Market.coVisitPairs(events), minWeight = 2L))
+    t("ann mrr")(graft.ops.Similarity.annMrr(emb,
+      col("vec_id") % 50 === 0))
+    t("decayed popularity")(graft.ops.Market.decayedPopularity(
+      events, "2024-02-01"))
+    // both roles are amplified facts; work is key-grain
+    t("key balance")(graft.ops.Integrity.keyBalance(Seq(
+      ("events_user_id", eventsSameUsers, "user_id"),
+      ("orders_custkey", orders, "o_custkey"),
+      ("lineitem_orderkey", lineitem, "l_orderkey"))))
+    // both fact sides amplified in lockstep (1:N preserved); customer
+    // is the unamplified dim — Q3's selective-filter star shape
+    t("shipping priority")(graft.ops.AreaTopProducts.shippingPriority(
+      lineitem, orders, dim("customer"), "BUILDING", "1998-01-01"))
+    t("entry exit")(graft.ops.Sessionize.entryExit(events))
     spark.stop()
   }
 }

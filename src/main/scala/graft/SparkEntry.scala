@@ -184,11 +184,12 @@ object SparkEntry {
     "q154_time_to_convert" -> (Queries.timeToConvert _),
     "q155_join_fanout" -> (Queries.joinFanout _),
     "q156_profile_drift" -> (Queries.profileDrift _),
-    "q157_repetition" -> (Queries.repetition _),
-    "q158_triangles" -> (Queries.triangleStats _),
-    "q159_ann_mrr" -> (Queries.annMrr _),
-    "q160_decayed_popularity" -> (Queries.decayedPopularity _),
-    "q161_key_balance" -> (Queries.keyBalance _)
+    "q157_triangles" -> (Queries.triangleStats _),
+    "q158_ann_mrr" -> (Queries.annMrr _),
+    "q159_decayed_popularity" -> (Queries.decayedPopularity _),
+    "q160_key_balance" -> (Queries.keyBalance _),
+    "q161_shipping_priority" -> (Queries.shippingPriority _),
+    "q162_entry_exit" -> (Queries.entryExit _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1252,11 +1253,6 @@ object Queries {
     Profile.profileDrift(Tables(spark, dir, "events"), "ts",
       DriftSplitDate, DriftCols)
 
-  /** Gopher-style within-doc repetition metrics (pseudo-line grain
-    * shared with q123's boilerplate report). */
-  def repetition(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.repetition(Tables(spark, dir, "documents"))
-
   /** Triangle census over the q93 co-visit graph (same min support —
     * the clustering-coefficient health check beside PageRank). */
   def triangleStats(spark: SparkSession, dir: String): DataFrame =
@@ -1283,6 +1279,20 @@ object Queries {
       ("events_user_id", Tables(spark, dir, "events"), "user_id"),
       ("orders_custkey", Tables(spark, dir, "orders"), "o_custkey"),
       ("lineitem_orderkey", Tables(spark, dir, "lineitem"), "l_orderkey")))
+
+  val Q3Segment = "BUILDING"
+  val Q3Cutoff = "1998-01-01"
+  val Q3TopK = 10
+
+  /** TPC-H Q3 shape: top unshipped revenue for one market segment. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.shippingPriority(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Q3Segment, Q3Cutoff, Q3TopK)
+
+  /** Session entry/exit/bounce rates by event type. */
+  def entryExit(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.entryExit(Tables(spark, dir, "events"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -5398,64 +5408,10 @@ object Oracles {
          |$rows""".stripMargin
     },
 
-    // Repetition: pseudo-lines and bigrams rebuilt as DuckDB list
-    // lambdas (the q55 gram idiom), then counted relationally — the
-    // Spark side's sorted-array folds produce the same exact values.
-    "q157_repetition" -> {
-      val L = 10
-      s"""WITH d AS (
-         |  SELECT doc_id, source, string_split(text, ' ') AS t
-         |  FROM documents WHERE text IS NOT NULL),
-         |d2 AS (
-         |  SELECT doc_id, source,
-         |         list_transform(range(0, CAST(ceil(len(t) / $L.0) AS BIGINT)),
-         |           i -> array_to_string(t[i * $L + 1 : i * $L + $L], ' '))
-         |           AS lines,
-         |         CASE WHEN len(t) < 2 THEN []
-         |              ELSE list_transform(range(1, len(t)),
-         |                     i -> t[i] || ' ' || t[i + 1]) END AS bigrams
-         |  FROM d),
-         |ln AS (SELECT doc_id, source, unnest(lines) AS line FROM d2),
-         |lc AS (SELECT doc_id, source, line, COUNT(*) AS cnt
-         |       FROM ln GROUP BY 1, 2, 3),
-         |lstats AS (
-         |  SELECT doc_id, source,
-         |         CAST(SUM(cnt) AS BIGINT) AS n_lines,
-         |         CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_lines,
-         |         CAST(SUM((cnt - 1) * length(line)) AS BIGINT) AS dup_chars,
-         |         CAST(SUM(cnt * length(line)) AS BIGINT) AS line_chars
-         |  FROM lc GROUP BY 1, 2),
-         |bg AS (SELECT doc_id, unnest(bigrams) AS b FROM d2),
-         |bc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
-         |bm AS (
-         |  SELECT doc_id, b AS top_bigram, CAST(cnt AS BIGINT) AS top_bigram_n,
-         |         CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT)
-         |           AS n_bigrams,
-         |         ROW_NUMBER() OVER (PARTITION BY doc_id
-         |           ORDER BY cnt DESC, b ASC) AS rn
-         |  FROM bc),
-         |r AS (
-         |  SELECT l.doc_id, l.source, l.n_lines, l.dup_lines,
-         |         CAST(FLOOR(10000.0 * l.dup_lines / l.n_lines) AS BIGINT)
-         |           AS dup_line_bp,
-         |         CASE WHEN l.line_chars = 0 THEN 0
-         |              ELSE CAST(FLOOR(10000.0 * l.dup_chars / l.line_chars)
-         |                AS BIGINT) END AS dup_char_bp,
-         |         b.top_bigram,
-         |         COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
-         |         CASE WHEN b.n_bigrams IS NULL OR b.n_bigrams = 0 THEN 0
-         |              ELSE CAST(FLOOR(10000.0 * b.top_bigram_n / b.n_bigrams)
-         |                AS BIGINT) END AS top_bigram_bp
-         |  FROM lstats l LEFT JOIN bm b ON b.doc_id = l.doc_id AND b.rn = 1)
-         |SELECT *, dup_line_bp > 3000 OR dup_char_bp > 2000
-         |            OR top_bigram_bp > 1800 AS flagged
-         |FROM r""".stripMargin
-    },
-
     // Triangle census on the q93 edge set: the oracle counts each
     // triangle once by plain id-ordering (a<b<c); the Spark side's
     // degree-ordered orientation finds the same triangle set.
-    "q158_triangles" -> {
+    "q157_triangles" -> {
       val cap = Queries.CoVisitMaxItems
       val ms = Queries.PageRankMinSupport
       s"""$sessionCte,
@@ -5505,7 +5461,7 @@ object Oracles {
     // ANN MRR: q100's truth/ann CTEs, truth narrowed to rank 1 and
     // the ANN rank carried instead of collapsed; rr in ppm by BIGINT
     // floor div.
-    "q159_ann_mrr" -> {
+    "q158_ann_mrr" -> {
       val k = Queries.AnnRecallK
       s"""WITH $embQuantCte,
          |tq AS (SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n
@@ -5560,7 +5516,7 @@ object Oracles {
 
     // Dyadic decay: the weight is the same BIGINT right-shift on both
     // engines — no libm exp anywhere.
-    "q160_decayed_popularity" -> {
+    "q159_decayed_popularity" -> {
       val h = Queries.DecayHalfLifeDays
       s"""WITH e AS (
          |  SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
@@ -5583,7 +5539,7 @@ object Oracles {
 
     // Key balance: Σc² in HUGEINT (the q155 big-number VARCHAR
     // convention), the eff ratio in textually-mirrored DOUBLE.
-    "q161_key_balance" -> {
+    "q160_key_balance" -> {
       def side(label: String, table: String, key: String): String =
         s"""SELECT '$label' AS side, n_rows, n_keys, max_key_rows,
            |       COALESCE(CAST(sumsq AS VARCHAR), '0') AS sum_sq,
@@ -5609,7 +5565,61 @@ object Oracles {
         side("orders_custkey", "orders", "o_custkey"),
         side("lineitem_orderkey", "lineitem", "l_orderkey"))
         .mkString("\nUNION ALL\n")
-    }
+    },
+
+    // TPC-H Q3 shape with the q136 cents convention (per-row floor to
+    // BIGINT cents, then exact integer sum).
+    "q161_shipping_priority" ->
+      s"""SELECT l.l_orderkey,
+         |       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+         |         * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+         |       o.o_orderpriority
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = '${Queries.Q3Segment}'
+         |  AND o.o_orderdate < TIMESTAMP '${Queries.Q3Cutoff}'
+         |  AND l.l_shipdate > TIMESTAMP '${Queries.Q3Cutoff}'
+         |GROUP BY 1, 3, 4
+         |ORDER BY revenue_cents DESC, l.l_orderkey
+         |LIMIT ${Queries.Q3TopK}""".stripMargin,
+
+    // Entry/exit per session from deterministic (ts_us, event_id)
+    // first/last windows over the shared session CTE; type-grain
+    // full-outer merge.
+    "q162_entry_exit" ->
+      s"""$sessionCte,
+         |r AS (
+         |  SELECT user_id, session_seq, event_type,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS rn_a,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us DESC, event_id DESC) AS rn_d
+         |  FROM sz),
+         |s AS (
+         |  SELECT user_id, session_seq,
+         |         MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+         |         MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+         |         COUNT(*) AS n_events
+         |  FROM r GROUP BY 1, 2),
+         |en AS (
+         |  SELECT entry_type AS event_type,
+         |         CAST(COUNT(*) AS BIGINT) AS n_entries,
+         |         CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_bounces
+         |  FROM s GROUP BY 1),
+         |ex AS (
+         |  SELECT exit_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n_exits
+         |  FROM s GROUP BY 1)
+         |SELECT COALESCE(en.event_type, ex.event_type) AS event_type,
+         |       COALESCE(n_entries, 0) AS n_entries,
+         |       COALESCE(n_exits, 0) AS n_exits,
+         |       COALESCE(n_bounces, 0) AS n_bounces,
+         |       CASE WHEN COALESCE(n_entries, 0) = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * n_bounces / n_entries) AS BIGINT)
+         |       END AS bounce_bp
+         |FROM en FULL JOIN ex ON en.event_type = ex.event_type""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

@@ -155,4 +155,47 @@ object AreaTopProducts {
       .agg(sum(col("rev_cents")).as("revenue_cents"),
         count(lit(1)).as("n_lineitems"))
   }
+
+  /** Shipping-priority report (TPC-H Q3 shape): the top-k unshipped
+    * orders by outstanding revenue for one market segment — orders
+    * placed before `cutoff` whose lineitems ship after it. The
+    * workload's canonical "three-table join with selective filters on
+    * EVERY input" plan-quality probe: the segment filter prunes
+    * customer BEFORE its join, both date ranges must reach the
+    * parquet scans as pushed predicates, and the head is a top-k —
+    * never a global sort.
+    *
+    * Revenue follows the [[localSupplierRevenue]] money convention:
+    * per-row ⌊price·(1−disc)·100⌋ cents, summed as BIGINT — exact
+    * cross-engine, no IEEE sum-order sensitivity.
+    *
+    * Scale shape: customer collapses to a filtered key set (AQE
+    * broadcasts it when it fits — no forced hint, the q08 rule);
+    * lineitem is pre-filtered and pre-projected to (key, cents)
+    * before the fact join; the aggregate runs at order grain on the
+    * join's own l_orderkey partitioning; TakeOrderedAndProject ends
+    * it. */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, segment: String, cutoff: String,
+      k: Int = 10): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val cust = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val ord = orders.filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    lineitem.filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("rev_cents"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+      .limit(k)
+      .select(col("l_orderkey"), col("revenue_cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+  }
 }

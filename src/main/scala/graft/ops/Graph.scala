@@ -165,8 +165,12 @@ object Graph {
       coalesce(max(col("deg")), lit(0L)).as("max_deg"),
       coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
     val edgeStats = e.agg(count(lit(1)).as("n_edges"))
-    val da = deg.select(col("v").as("a"), col("deg").as("da"))
-    val db = deg.select(col("v").as("b"), col("deg").as("db"))
+    // node-grain degree table: item-catalog-bounded in the co-vis
+    // composition (the coVisitation itemN precedent) — broadcast, so
+    // the edge list never shuffles for its own annotations. A
+    // web-scale node domain would drop the hint and let AQE decide.
+    val da = broadcast(deg.select(col("v").as("a"), col("deg").as("da")))
+    val db = broadcast(deg.select(col("v").as("b"), col("deg").as("db")))
     val oriented = e.join(da, "a").join(db, "b")
       .select(when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),

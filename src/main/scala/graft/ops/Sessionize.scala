@@ -187,6 +187,50 @@ object Sessionize {
       .limit(k)
   }
 
+  /** Entry/exit/bounce report by event type — the landing-page
+    * analytics beside [[sessionPaths]]: where do sessions START, where
+    * do they END, and which entry types fail to produce a second
+    * event (bounce = a single-event session, the classic
+    * bounce-rate definition at type grain). A high-bounce entry type
+    * is the funnel's leak BEFORE any funnel step fires.
+    *
+    * Per event_type: `n_entries` (sessions whose first event has the
+    * type), `n_exits` (last event), `n_bounces` (single-event
+    * sessions entering there), `bounce_bp` = ⌊10000·bounces/entries⌋.
+    * First/last are deterministic min/max over (ts_us, event_id)
+    * struct order — the unique event key, never partition order.
+    *
+    * Scale shape: ONE fact shuffle (the sessionize window); the
+    * session-grain aggregate keeps user_id in its key so it rides the
+    * window's hash(user_id) partitioning; the entry/exit rollups and
+    * their full-outer merge run at event-type grain — metadata-sized
+    * at any volume. */
+  def entryExit(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val sessions = assignSessions(events, gapSeconds)
+      .groupBy(col("session_id"), col("user_id"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"),
+        count(lit(1)).as("n_events"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val entries = sessions.groupBy(col("entry_type").as("event_type"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+    val exits = sessions.groupBy(col("exit_type").as("event_type"))
+      .agg(count(lit(1)).as("n_exits"))
+    entries.join(exits, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_entries"), lit(0L)).as("n_entries"),
+        coalesce(col("n_exits"), lit(0L)).as("n_exits"),
+        coalesce(col("n_bounces"), lit(0L)).as("n_bounces"))
+      .withColumn("bounce_bp",
+        when(col("n_entries") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("n_bounces") / col("n_entries"))
+            .cast("long")))
+  }
+
   /** Conversion attribution report — for every `convType` event, which
     * earlier step of the SAME session gets the credit, under the two
     * standard models side by side:

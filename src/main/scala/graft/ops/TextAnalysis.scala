@@ -647,92 +647,4 @@ object TextAnalysis {
         bp(col("bigram_types"), col("bigrams")).as("bigram_ttr_bp"))
   }
 
-  /** Gopher-style within-document repetition metrics (Rae et al. 2021,
-    * "Scaling Language Models", Table A1) — the quality filter that
-    * catches the template/spam docs a perplexity filter misses: a doc
-    * whose lines repeat, or whose text is one bigram stamped over and
-    * over, is boilerplate regardless of how fluent each line looks.
-    *
-    * "Line" is the house pseudo-line of [[TextClean.boilerplateLines]]
-    * (consecutive `lineTokens`-token windows — the corpus has no
-    * newlines). Per doc:
-    *  - `dup_lines`    = occurrences beyond the first of each distinct
-    *                     line (n_lines − n_distinct_lines);
-    *  - `dup_line_bp`  = duplicate-line share of all lines;
-    *  - `dup_char_bp`  = duplicate-line share of line characters
-    *                     (Σ(cnt−1)·len over repeated lines ÷ Σcnt·len);
-    *  - `top_bigram`   / `top_bigram_n` / `top_bigram_bp` = the modal
-    *                     word bigram and its share of all bigram
-    *                     occurrences (ties → lexicographically
-    *                     smallest; Gopher measures the char share —
-    *                     the occurrence share is the same signal
-    *                     without double-counting long tokens);
-    *  - `flagged`      = Gopher-ish thresholds (30% dup lines, 20%
-    *                     dup chars, 18% top bigram).
-    *
-    * Scale shape: a PURE MAP STAGE — every metric folds over the
-    * doc's own token array (sorted copies are doc-bounded), so the
-    * operator has ZERO shuffles and streams through a 100 TB corpus
-    * at scan speed. The modal bigram comes from a run-length fold
-    * over the SORTED bigram array, not a (doc, gram) aggregate — no
-    * doc×gram key domain ever materializes. */
-  def repetition(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
-    require(lineTokens >= 1, "lineTokens must be >= 1")
-    val L = lineTokens
-    docs.filter(col("text").isNotNull)
-      .withColumn("__t", expr(TokensExpr))
-      .withColumn("__lines", expr(
-        s"""transform(sequence(0, CAST(ceil(size(__t) / $L.0) AS BIGINT) - 1),
-           |  i -> concat_ws(' ', slice(__t, CAST(i * $L + 1 AS INT), $L)))"""
-          .stripMargin))
-      .withColumn("__ls", expr("array_sort(__lines)"))
-      .withColumn("n_lines", size(col("__lines")).cast("long"))
-      .withColumn("dup_lines",
-        (col("n_lines") - size(array_distinct(col("__lines")))).cast("long"))
-      // duplicate occurrences are exactly the sorted-adjacent equals
-      .withColumn("__dup_chars", expr(
-        """CASE WHEN size(__ls) < 2 THEN 0L ELSE
-          |  aggregate(sequence(2, size(__ls)), 0L, (acc, i) ->
-          |    acc + IF(element_at(__ls, CAST(i AS INT)) =
-          |             element_at(__ls, CAST(i - 1 AS INT)),
-          |      CAST(length(element_at(__ls, CAST(i AS INT))) AS BIGINT), 0L))
-          |END""".stripMargin))
-      .withColumn("__line_chars",
-        expr("aggregate(__lines, 0L, (acc, x) -> acc + length(x))"))
-      // modal bigram: run-length fold over the sorted bigram array;
-      // strict > keeps the FIRST (= smallest, array is sorted) mode
-      .withColumn("__bs", expr(
-        """CASE WHEN size(__t) < 2 THEN CAST(array() AS ARRAY<STRING>) ELSE
-          |  array_sort(transform(sequence(1, size(__t) - 1), i ->
-          |    concat(element_at(__t, CAST(i AS INT)), ' ',
-          |           element_at(__t, CAST(i + 1 AS INT)))))
-          |END""".stripMargin))
-      .withColumn("__mode", expr(
-        """aggregate(__bs,
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
-          |               'best', CAST(NULL AS STRING), 'bestn', 0L),
-          |  (acc, x) -> named_struct(
-          |    'prev', x,
-          |    'run', IF(x = acc.prev, acc.run + 1L, 1L),
-          |    'best', IF(IF(x = acc.prev, acc.run + 1L, 1L) > acc.bestn,
-          |               x, acc.best),
-          |    'bestn', IF(IF(x = acc.prev, acc.run + 1L, 1L) > acc.bestn,
-          |               IF(x = acc.prev, acc.run + 1L, 1L), acc.bestn)))"""
-          .stripMargin))
-      .select(
-        col("doc_id"), col("source"), col("n_lines"), col("dup_lines"),
-        floor(lit(10000.0) * col("dup_lines") / col("n_lines"))
-          .cast("long").as("dup_line_bp"),
-        when(col("__line_chars") === 0L, 0L)
-          .otherwise(floor(lit(10000.0) * col("__dup_chars") /
-            col("__line_chars")).cast("long")).as("dup_char_bp"),
-        col("__mode.best").as("top_bigram"),
-        col("__mode.bestn").as("top_bigram_n"),
-        when(size(col("__bs")) === 0, 0L)
-          .otherwise(floor(lit(10000.0) * col("__mode.bestn") /
-            size(col("__bs"))).cast("long")).as("top_bigram_bp"))
-      .withColumn("flagged",
-        col("dup_line_bp") > 3000L || col("dup_char_bp") > 2000L ||
-          col("top_bigram_bp") > 1800L)
-  }
 }

@@ -161,6 +161,51 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("JAPAN", 900L, 1L)))
   }
 
+  test("shippingPriority: segment + both date gates bind; revenue is exact cents; top-k order") {
+    val s = spark
+    import s.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    val customer = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, ts("1997-06-01"), "1-URGENT"),   // qualifies
+      (11L, 1L, ts("1998-02-01"), "2-HIGH"),     // ordered after cutoff
+      (12L, 2L, ts("1997-06-01"), "3-MEDIUM"))   // wrong segment
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (10L, 10.0, 0.1, ts("1998-03-01")),  // ships after cutoff: 900c
+      (10L, 5.0, 0.0, ts("1998-03-02")),   // 500c → order 10 = 1400c
+      (10L, 99.0, 0.0, ts("1997-07-01")),  // shipped before cutoff
+      (11L, 99.0, 0.0, ts("1998-03-01")),  // order gated out
+      (12L, 99.0, 0.0, ts("1998-03-01")))  // segment gated out
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val out = graft.ops.AreaTopProducts.shippingPriority(
+      lineitem, orders, customer, "BUILDING", "1998-01-01")
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(out == Seq((10L, 1400L, "1997-06-01", "1-URGENT")))
+  }
+
+  test("entryExit: first/last by (ts, id); single-event session bounces; type-grain merge") {
+    val s = spark
+    import s.implicits._
+    def e(id: Long, u: Long, t: String, typ: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, typ, 0.0, "{}")
+    val events = Seq(
+      e(1, 1, "2024-01-01 00:00:00", "view"),    // session 1_1: view→click
+      e(2, 1, "2024-01-01 00:05:00", "click"),
+      e(3, 1, "2024-01-01 10:00:00", "view"),    // session 1_2: bounce
+      e(4, 2, "2024-01-01 00:00:00", "click"))   // session 2_1: bounce
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Sessionize.entryExit(events)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_entries"), r.getAs[Long]("n_exits"),
+          r.getAs[Long]("n_bounces"), r.getAs[Long]("bounce_bp")))).toMap
+    // view: enters 2 sessions (1 bounce), exits 1 (the bounce itself)
+    assert(out("view") == ((2L, 1L, 1L, 5000L)))
+    // click: enters 1 (its own bounce), exits 2
+    assert(out("click") == ((1L, 2L, 1L, 10000L)))
+  }
+
   test("keySkew: hottest keys with shares and mean-multiples; null is a key") {
     val s = spark
     import s.implicits._
@@ -485,34 +530,6 @@ class OpsSpec extends SparkSpec {
       .collect()
     assert(got.forall(_.getAs[Long]("n_affected") == 0L))
     assert(got.map(_.getAs[Long]("n_rows")).sum == 4L)
-  }
-
-  test("repetition: dup pseudo-lines, dup chars, modal bigram with smallest-gram tie-break") {
-    val s = spark
-    import s.implicits._
-    val docs = Seq(
-      (1L, "a b a b a b", "en", "src", 11L),  // 3×"a b" lines; mode "a b"×3 of 5
-      (2L, "x y z", "en", "src", 5L),         // no dups; bigram tie → "x y"
-      (3L, "q", "en", "src", 1L))             // single token: no bigrams
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val out = graft.ops.TextAnalysis.repetition(docs, lineTokens = 2)
-      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
-    val d1 = out(1L)
-    assert(d1.getAs[Long]("n_lines") == 3L && d1.getAs[Long]("dup_lines") == 2L)
-    assert(d1.getAs[Long]("dup_line_bp") == 6666L)  // ⌊10000·2/3⌋
-    assert(d1.getAs[Long]("dup_char_bp") == 6666L)  // ⌊10000·6/9⌋
-    assert(d1.getAs[String]("top_bigram") == "a b")
-    assert(d1.getAs[Long]("top_bigram_n") == 3L)
-    assert(d1.getAs[Long]("top_bigram_bp") == 6000L) // ⌊10000·3/5⌋
-    assert(d1.getAs[Boolean]("flagged"))
-    val d2 = out(2L)
-    assert(d2.getAs[Long]("dup_lines") == 0L && d2.getAs[Long]("dup_char_bp") == 0L)
-    assert(d2.getAs[String]("top_bigram") == "x y") // 1-run tie → smallest
-    val d3 = out(3L)
-    assert(d3.getAs[String]("top_bigram") == null)
-    assert(d3.getAs[Long]("top_bigram_n") == 0L &&
-      d3.getAs[Long]("top_bigram_bp") == 0L)
-    assert(!d3.getAs[Boolean]("flagged"))
   }
 
   test("keyBalance: skewed side scores below flat side; NULL keys excluded; exact Σc²") {

@@ -811,4 +811,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"top-k lost rank pushdown:\n$p")
     assert(!p.contains("SinglePartition"), s"global ordering imposed:\n$p")
   }
+
+  test("q157 triangles: edge + oriented frames persisted; degree joins broadcast; no cartesian edge product") {
+    val p = plan("q157_triangles")
+    assert(p.contains("InMemoryRelation"), s"edge frames not persisted:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge enumeration fell back to a cartesian product:\n$p")
+    assert(!stripCached(p).contains("FileScan parquet"),
+      s"live corpus re-scan (cache bypassed):\n$p")
+  }
+
+  test("q158 ann mrr: query sides broadcast; truth/ann merge never cartesian") {
+    val p = plan("q158_ann_mrr")
+    assert(p.contains("BroadcastExchange"), s"query set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-side cartesian:\n$p")
+  }
+
+  test("q159 decayed popularity: one item-grain shuffle; top-k is TakeOrdered; scan pruned to ts+props") {
+    val p = plan("q159_decayed_popularity")
+    assert(shuffles(p) == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("value") && !readSchema.contains("event_type"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q160 key balance: each side is key-grain agg + 1-row rollup; joins never appear") {
+    val p = plan("q160_key_balance")
+    assert(!p.contains("Join"), s"balance must not join:\n$p")
+    // 3 sides × (key-grain exchange + SinglePartition rollup)
+    assert(shuffles(p) <= 6, p)
+    "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p).foreach { m =>
+      assert(!m.group(1).contains(","), s"scan not pruned: ${m.group(1)}")
+    }
+  }
+
+  test("q161 shipping priority: both date gates pushed to the scans; top-k is TakeOrdered") {
+    val p = plan("q161_shipping_priority")
+    assert(p.contains("LessThan(o_orderdate"),
+      s"order-date gate not pushed:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"ship-date gate not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q162 entry exit: session frame persisted (one fact pass); rollups ride type grain") {
+    val p = plan("q162_entry_exit")
+    assert(p.contains("InMemoryRelation"), s"session frame not persisted:\n$p")
+    assert(!stripCached(p).contains("FileScan parquet"),
+      s"live corpus re-scan (cache bypassed):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
