@@ -336,6 +336,14 @@ object ScaleProbe {
     t("shipping priority")(graft.ops.AreaTopProducts.shippingPriority(
       lineitem, orders, dim("customer"), "BUILDING", "1998-01-01"))
     t("entry exit")(graft.ops.Sessionize.entryExit(events))
+    // header+detail amplified in lockstep; work is order-grain
+    t("order reconciliation")(graft.ops.Integrity.orderReconciliation(
+      orders, lineitem))
+    t("association rules")(graft.ops.Market.associationRules(events))
+    t("length quantiles")(graft.ops.Percentiles.quantileTable(
+      docs.filter(col("text").isNotNull).select(col("source"),
+        size(expr(graft.ops.TextAnalysis.TokensExpr)).cast("long")
+          .as("tok_len")), "source", "tok_len"))
     spark.stop()
   }
 }

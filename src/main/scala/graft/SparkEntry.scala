@@ -189,7 +189,10 @@ object SparkEntry {
     "q159_decayed_popularity" -> (Queries.decayedPopularity _),
     "q160_key_balance" -> (Queries.keyBalance _),
     "q161_shipping_priority" -> (Queries.shippingPriority _),
-    "q162_entry_exit" -> (Queries.entryExit _)
+    "q162_entry_exit" -> (Queries.entryExit _),
+    "q163_order_reconciliation" -> (Queries.orderReconciliation _),
+    "q164_association_rules" -> (Queries.associationRules _),
+    "q165_length_quantiles" -> (Queries.lengthQuantiles _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1293,6 +1296,33 @@ object Queries {
   /** Session entry/exit/bounce rates by event type. */
   def entryExit(spark: SparkSession, dir: String): DataFrame =
     Sessionize.entryExit(Tables(spark, dir, "events"))
+
+  val ReconToleranceBp = 100L
+
+  /** Header-vs-lines money reconciliation (1% tolerance). */
+  def orderReconciliation(spark: SparkSession, dir: String): DataFrame =
+    Integrity.orderReconciliation(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "lineitem"), ReconToleranceBp)
+
+  val LiftTopK = 20
+  // support floor 2 at the test SF (the sf0.01 pair histogram is
+  // 421/21/1 at support 1/2/3 — floor 3 leaves a 1-row report);
+  // production would raise it with the session volume
+  val LiftMinPair = 2L
+
+  /** Basket association rules ranked by lift (support floor 2). */
+  def associationRules(spark: SparkSession, dir: String): DataFrame =
+    Market.associationRules(Tables(spark, dir, "events"), LiftTopK,
+      LiftMinPair, CoVisitMaxItems)
+
+  /** Token-length quantile panel per source (q139's table over doc
+    * lengths; value_cents = token count × 100 fixed point). */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.quantileTable(
+      Tables(spark, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"),
+          size(expr(TextAnalysis.TokensExpr)).cast("long").as("tok_len")),
+      "source", "tok_len", QuantileRanks)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -5619,7 +5649,115 @@ object Oracles {
          |       CASE WHEN COALESCE(n_entries, 0) = 0 THEN 0
          |            ELSE CAST(FLOOR(10000.0 * n_bounces / n_entries) AS BIGINT)
          |       END AS bounce_bp
-         |FROM en FULL JOIN ex ON en.event_type = ex.event_type""".stripMargin
+         |FROM en FULL JOIN ex ON en.event_type = ex.event_type""".stripMargin,
+
+    // Header/detail money reconciliation: exact cents both sides, the
+    // q139 distinct-value histogram for the delta panel.
+    "q163_order_reconciliation" -> {
+      val tol = Queries.ReconToleranceBp
+      def pick(p: Long) =
+        s"""CAST(MIN(CASE WHEN cum >= ((n * $p + 9999) // 10000)
+           |  THEN abs_delta END) AS BIGINT) AS p${p / 100}_delta_cents"""
+          .stripMargin
+      s"""WITH lc AS (
+         |  SELECT l_orderkey,
+         |         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+         |           * (1.0 + l_tax) * 100.0) AS BIGINT)) AS BIGINT) AS line_cents
+         |  FROM lineitem GROUP BY 1),
+         |d AS (
+         |  SELECT CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS total_cents,
+         |         lc.line_cents,
+         |         lc.line_cents IS NULL AS no_lines,
+         |         abs(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+         |           - COALESCE(lc.line_cents, 0)) AS abs_delta
+         |  FROM orders o LEFT JOIN lc ON o.o_orderkey = lc.l_orderkey),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         CAST(SUM(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_no_lines,
+         |         CAST(SUM(CASE WHEN NOT no_lines AND abs_delta = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |         CAST(SUM(CASE WHEN NOT no_lines
+         |           AND abs_delta * 10000 <= total_cents * $tol
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tol
+         |  FROM d),
+         |st2 AS (
+         |  SELECT *, CASE WHEN n_orders = n_no_lines THEN 0
+         |    ELSE CAST(FLOOR(10000.0 * n_within_tol / (n_orders - n_no_lines))
+         |      AS BIGINT) END AS within_tol_bp
+         |  FROM st),
+         |h AS (SELECT abs_delta, COUNT(*) AS cnt FROM d
+         |      WHERE NOT no_lines GROUP BY 1),
+         |c AS (SELECT *, SUM(cnt) OVER (ORDER BY abs_delta) AS cum,
+         |             SUM(cnt) OVER () AS n FROM h),
+         |q AS (SELECT ${pick(5000L)}, ${pick(9000L)}, ${pick(9900L)} FROM c)
+         |SELECT n_orders, n_no_lines, n_exact, n_within_tol, within_tol_bp,
+         |       p50_delta_cents, p90_delta_cents, p99_delta_cents
+         |FROM st2 LEFT JOIN q ON TRUE""".stripMargin
+    },
+
+    // Lift over the q90 basket CTEs: the double ratio is evaluated in
+    // the SAME left-to-right order as the Spark column (IEEE
+    // determinism — the volumeAnomaly convention).
+    "q164_association_rules" -> {
+      val cap = Queries.CoVisitMaxItems
+      val mp = Queries.LiftMinPair
+      s"""$sessionCte,
+         |it0 AS (
+         |  SELECT user_id, session_seq,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM sz
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |capped AS (
+         |  SELECT user_id, session_seq, item FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |      ORDER BY item) AS rn
+         |    FROM it0)
+         |  WHERE rn <= $cap),
+         |pairs AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |         CAST(COUNT(*) AS BIGINT) AS pair_sessions
+         |  FROM capped a
+         |  JOIN capped b ON a.user_id = b.user_id
+         |    AND a.session_seq = b.session_seq AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM capped GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS total_sessions FROM (
+         |    SELECT DISTINCT user_id, session_seq FROM capped))
+         |SELECT item_a, item_b, pair_sessions,
+         |       na.n AS sessions_a, nb.n AS sessions_b, t.total_sessions,
+         |       CAST(FLOOR(10000.0 * pair_sessions / na.n / nb.n
+         |         * t.total_sessions) AS BIGINT) AS lift_bp
+         |FROM pairs
+         |JOIN n na ON na.item = pairs.item_a
+         |JOIN n nb ON nb.item = pairs.item_b, tot t
+         |WHERE pair_sessions >= $mp
+         |ORDER BY lift_bp DESC, item_a, item_b
+         |LIMIT ${Queries.LiftTopK}""".stripMargin
+    },
+
+    // q139's quantile-table twin over doc token lengths per source.
+    "q165_length_quantiles" -> {
+      val picks = Queries.QuantileRanks.map { p =>
+        s"""SELECT source, CAST($p AS BIGINT) AS rank_bp,
+           |       CAST(FLOOR(MIN(CASE WHEN cum >= ((n * $p + 9999) // 10000)
+           |         THEN v END) * 100) AS BIGINT) AS value_cents,
+           |       CAST(MIN(n) AS BIGINT) AS n_rows
+           |FROM c GROUP BY 1""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH h AS (
+         |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+         |         COUNT(*) AS cnt
+         |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *,
+         |         SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY source) AS n
+         |  FROM h)
+         |$picks""".stripMargin
+    }
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

@@ -225,4 +225,69 @@ object Integrity {
               .cast("long")))
     }.reduce(_ unionByName _)
   }
+
+  /** Ledger reconciliation: does the order header's total agree with
+    * the sum of its lines? The money twin of [[refIntegrity]] — FK
+    * orphans break joins, header/detail drift breaks REVENUE, and
+    * both are producer bugs a pipeline must surface before anyone
+    * aggregates the numbers. One row: order counts by agreement class
+    * (exact / within `toleranceBp` of the header / headless) and the
+    * p50/p90/p99 of the absolute delta — the "how wrong" panel that
+    * tells a rounding bug (deltas of a few cents) from a lost-lines
+    * bug (deltas the size of the order).
+    *
+    * Money is exact BIGINT cents end-to-end (per-row floor×100, the
+    * q136 convention); the delta quantiles use the house exact
+    * value-histogram nearest-rank (window over DISTINCT deltas, never
+    * rows). Orders with no lineitems are counted apart (`n_no_lines`)
+    * and excluded from the delta panel — "no detail" is a different
+    * defect than "wrong detail".
+    *
+    * Scale shape: one lineitem shuffle to order grain (map-side
+    * combined), an order-grain join, then the delta frame collapses
+    * to delta-value grain for the quantile window; the report is one
+    * row. */
+  def orderReconciliation(orders: DataFrame, lineitem: DataFrame,
+      toleranceBp: Long = 100L): DataFrame = {
+    require(toleranceBp >= 0L, "toleranceBp must be >= 0")
+    val lc = lineitem
+      .select(col("l_orderkey"), expr(
+        """CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+          |  * (1.0 + l_tax) * 100.0) AS BIGINT)""".stripMargin).as("c"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("c")).as("line_cents"))
+    val d = orders
+      .select(col("o_orderkey"),
+        expr("CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)").as("total_cents"))
+      .join(lc, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("total_cents"), col("line_cents"),
+        col("line_cents").isNull.as("no_lines"),
+        abs(col("total_cents") - coalesce(col("line_cents"), lit(0L)))
+          .as("abs_delta"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = d.agg(
+      count(lit(1)).as("n_orders"),
+      sum(when(col("no_lines"), 1L).otherwise(0L)).as("n_no_lines"),
+      sum(when(!col("no_lines") && col("abs_delta") === 0L, 1L).otherwise(0L))
+        .as("n_exact"),
+      sum(when(!col("no_lines") &&
+          col("abs_delta") * 10000L <= col("total_cents") * toleranceBp,
+        1L).otherwise(0L)).as("n_within_tol"))
+      .withColumn("within_tol_bp",
+        when(col("n_orders") === col("n_no_lines"), 0L)
+          .otherwise(floor(lit(10000.0) * col("n_within_tol") /
+            (col("n_orders") - col("n_no_lines"))).cast("long")))
+    // exact nearest-rank deltas over the distinct-delta histogram
+    val w = org.apache.spark.sql.expressions.Window
+    val hist = d.filter(!col("no_lines"))
+      .groupBy(col("abs_delta")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.partitionBy().orderBy(col("abs_delta").asc)))
+      .withColumn("n", sum(col("cnt")).over(w.partitionBy()))
+    val picks = Seq(5000L, 9000L, 9900L).map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 9999) div 10000"),
+        col("abs_delta"))).as(s"p${p / 100}_delta_cents")
+    }
+    stats.join(hist.agg(picks.head, picks.tail: _*), lit(true), "left")
+  }
 }

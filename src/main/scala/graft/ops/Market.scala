@@ -169,6 +169,51 @@ object Market {
       .select("prev_type", "next_type", "transitions", "prob_bp")
   }
 
+  /** Association rules by LIFT over the session baskets —
+    * [[coVisitation]] ranks pairs by raw co-occurrence, which is
+    * dominated by whatever is popular; lift
+    * (P(a,b) / (P(a)·P(b)), the independence ratio) surfaces the
+    * pairs that co-occur MORE than their popularity predicts — the
+    * actual association signal (Agrawal & Srikant 1994's
+    * support/confidence framework, Brin 1997's lift correction).
+    * `minPair` is the support floor: a 2-session pair can post a
+    * huge lift by luck; rules below the floor are noise.
+    *
+    * lift_bp = ⌊10000·pair/sa/sb·total⌋ evaluated in DOUBLE in
+    * exactly that left-to-right order (mirrored textually in the
+    * oracle — the volumeAnomaly IEEE-determinism convention;
+    * pair·total would overflow BIGINT at 10⁹-session scale, and a
+    * decimal ratio has no exact cross-engine floor).
+    *
+    * Scale shape: [[coVisitation]]'s plan plus ONE 1-row total
+    * broadcast — baskets persist once, pairs aggregate at observed-
+    * pair grain, item counts broadcast, TakeOrderedAndProject head.
+    */
+  def associationRules(events: DataFrame, k: Int = 20, minPair: Long = 3L,
+      maxItems: Int = 64, itemCol: String = "$.k"): DataFrame = {
+    require(minPair >= 1L, "minPair must be >= 1")
+    val baskets = sessionItems(events, itemCol, maxItems)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = pairsFromBaskets(baskets)
+      .filter(col("pair_sessions") >= minPair)
+    val itemN = baskets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+    val total = baskets.agg(count(lit(1)).as("total_sessions"))
+    pairs
+      .join(broadcast(itemN.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("n", "sessions_a")), Seq("item_a"))
+      .join(broadcast(itemN.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("n", "sessions_b")), Seq("item_b"))
+      .join(broadcast(total), lit(true))
+      .withColumn("lift_bp",
+        floor(lit(10000.0) * col("pair_sessions") / col("sessions_a") /
+          col("sessions_b") * col("total_sessions")).cast("long"))
+      .select("item_a", "item_b", "pair_sessions", "sessions_a",
+        "sessions_b", "total_sessions", "lift_bp")
+      .orderBy(col("lift_bp").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
   /** Recency-decayed item popularity — the "trending now" ranking a
     * raw lifetime count can't give (a product hot in 2019 should not
     * outrank one hot this week). Each event contributes

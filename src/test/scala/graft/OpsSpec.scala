@@ -206,6 +206,53 @@ class OpsSpec extends SparkSpec {
     assert(out("click") == ((1L, 2L, 1L, 10000L)))
   }
 
+  test("orderReconciliation: exact/within/mismatch classes; headless orders apart; delta panel") {
+    val s = spark
+    import s.implicits._
+    val orders = Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 10.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val lineitem = Seq(
+      (1L, 5.0, 0.0, 0.0), (1L, 5.0, 0.0, 0.0), // exact: 1000c
+      (2L, 9.95, 0.0, 0.0),  // ⌊9.95·100⌋=994 (IEEE 9.949…): delta 6c ≤ 1% → within
+      (3L, 5.0, 0.0, 0.0))                      // delta 500c → mismatch
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val r = graft.ops.Integrity
+      .orderReconciliation(orders, lineitem, toleranceBp = 100L)
+      .collect().head
+    assert(r.getAs[Long]("n_orders") == 4L)
+    assert(r.getAs[Long]("n_no_lines") == 1L)   // order 4
+    assert(r.getAs[Long]("n_exact") == 1L)
+    assert(r.getAs[Long]("n_within_tol") == 2L) // exact counts as within
+    assert(r.getAs[Long]("within_tol_bp") == 6666L) // ⌊10000·2/3⌋
+    // deltas {0, 6, 500}: ranks 2/3/3 of 3
+    assert(r.getAs[Long]("p50_delta_cents") == 6L)
+    assert(r.getAs[Long]("p90_delta_cents") == 500L)
+    assert(r.getAs[Long]("p99_delta_cents") == 500L)
+  }
+
+  test("associationRules: lift beats popularity; support floor prunes 1-session pairs") {
+    val s = spark
+    import s.implicits._
+    def bask(u: Long, items: Seq[Int]) = items.zipWithIndex.map { case (k, i) =>
+      (u * 100 + i, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$i:00"),
+        u, "click", 0.0, s"""{"k":$k}""")
+    }
+    // baskets: {1,2} {1,2} {1,3} {2} {3} — pair (1,2)×2, (1,3)×1
+    val events = (bask(1, Seq(1, 2)) ++ bask(2, Seq(1, 2)) ++
+      bask(3, Seq(1, 3)) ++ bask(4, Seq(2)) ++ bask(5, Seq(3)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Market.associationRules(events, k = 20, minPair = 2L)
+      .collect()
+    assert(out.length == 1) // (1,3) pruned by the support floor
+    val r = out.head
+    assert(r.getAs[Long]("item_a") == 1L && r.getAs[Long]("item_b") == 2L)
+    assert(r.getAs[Long]("pair_sessions") == 2L)
+    assert(r.getAs[Long]("sessions_a") == 3L && r.getAs[Long]("sessions_b") == 3L)
+    assert(r.getAs[Long]("total_sessions") == 5L)
+    // ⌊10000.0·2/3/3·5⌋ in left-to-right IEEE order
+    assert(r.getAs[Long]("lift_bp") == 11111L)
+  }
+
   test("keySkew: hottest keys with shares and mean-multiples; null is a key") {
     val s = spark
     import s.implicits._

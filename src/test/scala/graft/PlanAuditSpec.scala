@@ -864,4 +864,30 @@ class PlanAuditSpec extends SparkSpec {
       s"live corpus re-scan (cache bypassed):\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q163 order reconciliation: delta frame persisted (one pass for stats + panel)") {
+    val p = plan("q163_order_reconciliation")
+    assert(p.contains("InMemoryRelation"), s"delta frame not persisted:\n$p")
+    assert(!stripCached(p).contains("FileScan parquet"),
+      s"live corpus re-scan (cache bypassed):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q164 association rules: item counts + total broadcast; head is TakeOrdered") {
+    val p = plan("q164_association_rules")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+    assert(!stripCached(p).contains("SortMergeJoin"),
+      s"count join fell back to SMJ:\n$p")
+    // pair agg + item-count agg + the two 1-row aggregates' exchanges
+    assert(shuffles(p) <= 4, p)
+  }
+
+  test("q165 length quantiles: value-grain histogram, no joins; scan pruned to text+source") {
+    val p = plan("q165_length_quantiles")
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) <= 3, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"scan not pruned: $readSchema")
+  }
 }
