@@ -344,6 +344,13 @@ object ScaleProbe {
       docs.filter(col("text").isNotNull).select(col("source"),
         size(expr(graft.ops.TextAnalysis.TokensExpr)).cast("long")
           .as("tok_len")), "source", "tok_len"))
+    t("classifier calibration")(
+      graft.ops.TextAnalysis.classifierCalibration(docs))
+    t("key churn")(graft.ops.Profile.keyChurn(events, "user_id", "ts",
+      "2024-01-16"))
+    t("funnel by arm")(graft.ops.PageFunnel.windowedFunnelByArm(spark,
+      graft.ops.Sessionize.assignSessions(events),
+      Seq("signup", "view", "click", "purchase"), 600L))
     spark.stop()
   }
 }

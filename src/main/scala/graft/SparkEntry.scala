@@ -192,7 +192,10 @@ object SparkEntry {
     "q162_entry_exit" -> (Queries.entryExit _),
     "q163_order_reconciliation" -> (Queries.orderReconciliation _),
     "q164_association_rules" -> (Queries.associationRules _),
-    "q165_length_quantiles" -> (Queries.lengthQuantiles _)
+    "q165_length_quantiles" -> (Queries.lengthQuantiles _),
+    "q166_classifier_calibration" -> (Queries.classifierCalibration _),
+    "q167_key_churn" -> (Queries.keyChurn _),
+    "q168_funnel_by_arm" -> (Queries.funnelByArm _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1323,6 +1326,21 @@ object Queries {
         .select(col("source"),
           size(expr(TextAnalysis.TokensExpr)).cast("long").as("tok_len")),
       "source", "tok_len", QuantileRanks)
+
+  /** q69-score vs q18-heuristic reliability table. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierCalibration(Tables(spark, dir, "documents"))
+
+  /** user_id identity churn across the q109/q156 snapshot split. */
+  def keyChurn(spark: SparkSession, dir: String): DataFrame =
+    Profile.keyChurn(Tables(spark, dir, "events"), "user_id", "ts",
+      DriftSplitDate)
+
+  /** q116's windowed funnel split by the q147 A/B arms. */
+  def funnelByArm(spark: SparkSession, dir: String): DataFrame =
+    PageFunnel.windowedFunnelByArm(spark,
+      Sessionize.assignSessions(Tables(spark, dir, "events")),
+      orderedFlow, FunnelWindowSeconds)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -5757,6 +5775,147 @@ object Oracles {
          |         SUM(cnt) OVER (PARTITION BY source) AS n
          |  FROM h)
          |$picks""".stripMargin
+    },
+
+    // Calibration: q69's score recompute + q18's short-token gate,
+    // bucketed by the mirrored bucketCol expression (clamped floor of
+    // the per-token score shifted +500, width 100).
+    "q166_classifier_calibration" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(md5(x), $i, 1)) - 1)"
+      val bucket =
+        s"(${nib(5)} * 4096 + ${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)})"
+      s"""WITH t AS (
+         |  SELECT string_split(text, ' ') AS tok FROM documents
+         |  WHERE text IS NOT NULL),
+         |s AS (
+         |  SELECT CAST(len(tok) AS BIGINT) AS tc,
+         |         CAST(list_sum(list_transform(tok,
+         |           x -> ($bucket % 1001) - 500)) AS BIGINT) AS score,
+         |         CAST(len(list_filter(tok, x -> length(x) <= 2)) AS BIGINT)
+         |           AS sc
+         |  FROM t),
+         |b AS (
+         |  SELECT least(greatest(CAST(FLOOR((CAST(score AS DOUBLE) / tc
+         |           + 500.0) / 100.0) AS BIGINT), 0), 9) AS bucket,
+         |         CASE WHEN tc >= 20
+         |                AND CAST(FLOOR(10000.0 * sc / tc) AS BIGINT) <= 4000
+         |              THEN 1 ELSE 0 END AS ok
+         |  FROM s)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(ok) AS BIGINT) AS n_quality_ok,
+         |       CAST(FLOOR(10000.0 * SUM(ok) / COUNT(*)) AS BIGINT)
+         |         AS quality_ok_bp
+         |FROM b GROUP BY 1""".stripMargin
+    },
+
+    // Key identity churn across the q156 split: presence flags at key
+    // grain, then a 1-row rollup.
+    "q167_key_churn" -> {
+      val d = Queries.DriftSplitDate
+      s"""WITH k AS (
+         |  SELECT user_id,
+         |         MAX(CASE WHEN ts < TIMESTAMP '$d' THEN 1 ELSE 0 END) AS p,
+         |         MAX(CASE WHEN ts >= TIMESTAMP '$d' THEN 1 ELSE 0 END) AS q
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |  GROUP BY 1),
+         |r AS (
+         |  SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pre_keys,
+         |         CAST(COALESCE(SUM(q), 0) AS BIGINT) AS n_post_keys,
+         |         CAST(COALESCE(SUM(p * q), 0) AS BIGINT) AS n_both,
+         |         CAST(COALESCE(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END), 0)
+         |           AS BIGINT) AS n_new,
+         |         CAST(COALESCE(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END), 0)
+         |           AS BIGINT) AS n_lost
+         |  FROM k)
+         |SELECT *,
+         |       CASE WHEN n_post_keys = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * n_new / n_post_keys) AS BIGINT)
+         |       END AS new_bp,
+         |       CASE WHEN n_pre_keys = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * n_lost / n_pre_keys) AS BIGINT)
+         |       END AS lost_bp
+         |FROM r""".stripMargin
+    },
+
+    // q116's step-chain CTEs with the q147 arm draw threaded through;
+    // per-arm lag gives the from-prev conversion.
+    "q168_funnel_by_arm" -> {
+      val flow = Queries.orderedFlow
+      val wUs = Queries.FunnelWindowSeconds * 1000000L
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      val stepCtes = flow.zipWithIndex.map { case (s, i) =>
+        val r = i + 1
+        if (r == 1)
+          s"""wp1 AS (
+             |  SELECT DISTINCT user_id, session_seq, ts_us, seq
+             |  FROM frows WHERE event_type = '$s')""".stripMargin
+        else
+          s"""wp$r AS (
+             |  SELECT DISTINCT r.user_id, r.session_seq, r.ts_us, r.seq
+             |  FROM frows r JOIN wp${r - 1} p
+             |    ON r.user_id = p.user_id AND r.session_seq = p.session_seq
+             |  WHERE r.event_type = '$s' AND r.seq > p.seq
+             |    AND r.ts_us - p.ts_us <= $wUs)""".stripMargin
+      }.mkString(",\n")
+      val reachedRows = flow.indices.map { i =>
+        s"""SELECT f.arm, ${i + 1} AS step_idx,
+           |  CAST(COUNT(*) AS BIGINT) AS sessions_reached
+           |FROM (SELECT DISTINCT user_id, session_seq FROM wp${i + 1}) w
+           |JOIN farm f ON f.user_id = w.user_id
+           |  AND f.session_seq = w.session_seq
+           |GROUP BY 1""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      val stepRows = flow.zipWithIndex
+        .map { case (s, i) => s"(${i + 1}, '$s')" }.mkString(", ")
+      s"""$sessionCte,
+         |frows AS (
+         |  SELECT user_id, session_seq, event_type, ts_us,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS seq
+         |  FROM sz),
+         |fsess AS (SELECT DISTINCT user_id, session_seq FROM frows),
+         |ua AS (
+         |  SELECT user_id, CASE WHEN CAST($draw32 AS BIGINT) % 100 < 50
+         |           THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT DISTINCT user_id,
+         |          md5(CAST(user_id AS VARCHAR)) AS draw FROM frows)),
+         |farm AS (
+         |  SELECT f.user_id, f.session_seq, ua.arm
+         |  FROM fsess f JOIN ua USING (user_id)),
+         |$stepCtes,
+         |steps(step_idx, step) AS (VALUES $stepRows),
+         |arms AS (SELECT DISTINCT arm FROM farm),
+         |tot AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS total_sessions
+         |        FROM farm GROUP BY 1),
+         |rk AS ($reachedRows),
+         |grid AS (SELECT a.arm, s.step_idx, s.step FROM arms a, steps s),
+         |fin AS (
+         |  SELECT g.arm, CAST(g.step_idx AS BIGINT) AS step_idx, g.step,
+         |         CAST(COALESCE(rk.sessions_reached, 0) AS BIGINT)
+         |           AS sessions_reached,
+         |         t.total_sessions
+         |  FROM grid g
+         |  LEFT JOIN rk ON rk.arm = g.arm AND rk.step_idx = g.step_idx
+         |  JOIN tot t ON t.arm = g.arm),
+         |fin2 AS (
+         |  SELECT *, COALESCE(LAG(sessions_reached) OVER (
+         |      PARTITION BY arm ORDER BY step_idx), total_sessions)
+         |    AS prev_reached
+         |  FROM fin)
+         |SELECT arm, step_idx, step, sessions_reached, prev_reached,
+         |       CASE WHEN prev_reached = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * sessions_reached / prev_reached)
+         |              AS BIGINT) END AS conv_from_prev_bp,
+         |       CASE WHEN total_sessions = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * sessions_reached / total_sessions)
+         |              AS BIGINT) END AS reach_bp,
+         |       total_sessions
+         |FROM fin2""".stripMargin
     }
   )
 

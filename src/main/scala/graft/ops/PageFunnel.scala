@@ -145,6 +145,67 @@ object PageFunnel {
     depthReport(spark, depths, flow)
   }
 
+  /** [[windowedFunnel]] split by A/B arm — the experimentation read
+    * of the funnel: the same DP state fold, with every session
+    * assigned its [[Experiment.armCol]] arm (the md5 user draw shared
+    * with q147/q148 — a funnel split that buckets differently from
+    * the SRM check would be comparing different experiments). Output
+    * one row per (arm, step): sessions reached, conversion from the
+    * previous step, and reach vs the ARM's own session total — the
+    * per-arm curves whose gap IS the treatment effect on the funnel.
+    *
+    * Scale shape: identical to [[windowedFunnel]] (one fact shuffle,
+    * map-stage DP) — the rollup runs at (arm × depth) grain (≤
+    * 2·(K+1) rows) and the report join at (arm × step) grain. */
+  def windowedFunnelByArm(spark: SparkSession, sessionized: DataFrame,
+      flow: Seq[String], windowSeconds: Long,
+      splitPct: Int = 50): DataFrame = {
+    require(flow.nonEmpty, "funnel needs at least 1 step")
+    val flowArr = sqlArray(flow)
+    val wUs = windowSeconds * 1000000L
+    val k = flow.size
+    import spark.implicits._
+    val depths = sessionEvents(sessionized)
+      .withColumn("state", expr(
+        s"""aggregate(evs, array_repeat(-1L, $k), (st, e) ->
+           |  transform(st, (v, i) ->
+           |    CASE WHEN element_at($flowArr, i + 1) = e.event_type
+           |              AND (i = 0 OR (element_at(st, i) >= 0L
+           |                             AND e.ts_us - element_at(st, i) <= ${wUs}L))
+           |         THEN greatest(v, e.ts_us) ELSE v END))""".stripMargin))
+      .withColumn("depth", expr("size(filter(state, v -> v >= 0L))").cast("long"))
+      .withColumn("arm", Experiment.armCol("user_id", splitPct))
+    val steps = flow.zipWithIndex
+      .map { case (s, i) => (i.toLong + 1L, s) }.toDF("step_idx", "step")
+    val byDepth = depths.groupBy(col("arm"), col("depth"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = byDepth.groupBy(col("arm"))
+      .agg(sum(col("n")).as("total_sessions"))
+    val reached = totals
+      .crossJoin(broadcast(steps))
+      .join(byDepth.select(col("arm").as("__a"), col("depth"), col("n")),
+        col("__a") === col("arm") && col("depth") >= col("step_idx"), "left")
+      .groupBy(col("arm"), col("total_sessions"), col("step_idx"), col("step"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("sessions_reached"))
+    val byArm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("arm")).orderBy(col("step_idx"))
+    reached
+      .withColumn("prev_reached",
+        coalesce(lag(col("sessions_reached"), 1).over(byArm),
+          col("total_sessions")))
+      .withColumn("conv_from_prev_bp",
+        when(col("prev_reached") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("sessions_reached")
+            / col("prev_reached")).cast("long")))
+      .withColumn("reach_bp",
+        when(col("total_sessions") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("sessions_reached")
+            / col("total_sessions")).cast("long")))
+      .select("arm", "step_idx", "step", "sessions_reached", "prev_reached",
+        "conv_from_prev_bp", "reach_bp", "total_sessions")
+  }
+
   private def sqlArray(flow: Seq[String]): String =
     s"array(${flow.map(s => s"'${s.replace("'", "''")}'").mkString(", ")})"
 

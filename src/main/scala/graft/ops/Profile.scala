@@ -285,4 +285,48 @@ object Profile {
           .otherwise(floor(lit(10000.0) * col("n_matched") / col("n_docs"))
             .cast("long")))
   }
+
+  /** Key churn across a snapshot split — [[profileDrift]] tracks
+    * column STATISTICS (null rates, cardinalities); this report
+    * tracks key IDENTITY: which keys appeared, which disappeared.
+    * A stable cardinality can hide a fully-rotated population (1M
+    * users pre, 1M post, zero overlap — drift sees nothing, churn
+    * sees everything). One row: pre/post/both key counts, new/lost
+    * counts, and new_bp (share of post keys that are new) / lost_bp
+    * (share of pre keys that vanished) — the retention-at-key-grain
+    * numbers a capacity planner and an anomaly gate both read.
+    *
+    * Scale shape: ONE fact shuffle to key grain carrying two boolean
+    * presence flags (map-side combined), then a 1-row rollup. NULL
+    * keys are excluded — identity requires an identity. */
+  def keyChurn(df: DataFrame, keyCol: String, tsCol: String,
+      splitDate: String): DataFrame = {
+    val pre = col(tsCol) < to_timestamp(lit(splitDate))
+    val post = col(tsCol) >= to_timestamp(lit(splitDate))
+    df
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(when(pre, 1L).otherwise(0L)).as("p"),
+        max(when(post, 1L).otherwise(0L)).as("q"))
+      .agg(
+        sum(col("p")).as("n_pre_keys"),
+        sum(col("q")).as("n_post_keys"),
+        sum(col("p") * col("q")).as("n_both"),
+        sum(when(col("p") === 0L, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("q") === 0L, 1L).otherwise(0L)).as("n_lost"))
+      .select(
+        coalesce(col("n_pre_keys"), lit(0L)).as("n_pre_keys"),
+        coalesce(col("n_post_keys"), lit(0L)).as("n_post_keys"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_lost"), lit(0L)).as("n_lost"))
+      .withColumn("new_bp",
+        when(col("n_post_keys") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("n_new") / col("n_post_keys"))
+            .cast("long")))
+      .withColumn("lost_bp",
+        when(col("n_pre_keys") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("n_lost") / col("n_pre_keys"))
+            .cast("long")))
+  }
 }

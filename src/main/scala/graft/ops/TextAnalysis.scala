@@ -647,4 +647,41 @@ object TextAnalysis {
         bp(col("bigram_types"), col("bigrams")).as("bigram_ttr_bp"))
   }
 
+  /** Classifier calibration table — the reliability diagram of the
+    * q69 model gate against the q18 heuristic gate: per bucket of
+    * per-token classifier score, how often does the independent
+    * heuristic agree the doc is keepable? A well-behaved quality
+    * classifier shows MONOTONE agreement across buckets; a flat or
+    * U-shaped table means the score and the heuristic measure
+    * different things (q120's 2×2 agreement matrix says THAT they
+    * disagree; this table says WHERE on the score axis). The standard
+    * ML-eval surface (Guo et al. 2017's calibration framing) with the
+    * keep-heuristic standing in for labels — at 100 TB nobody has
+    * labels, only other signals.
+    *
+    * Buckets: per-token score (score/token_count, range ≈ [−500,500]
+    * by construction of the stand-in weights) shifted +500 into the
+    * [[Retention.bucketCol]] 10×100-wide clamped grid — the shared
+    * house binning, one IEEE divide mirrored textually in the oracle.
+    *
+    * Scale shape: ONE zero-shuffle map pass (both gates are array
+    * folds over the same tokens column) into a ≤10-row hash
+    * aggregate. */
+  def classifierCalibration(docs: DataFrame, minTokens: Long = 20L,
+      maxShortBp: Long = 4000L): DataFrame =
+    withTokens(docs.filter(col("text").isNotNull))
+      .select(size(col("tokens")).cast("long").as("tc"),
+        classifierScore.as("score"),
+        expr("CAST(size(filter(tokens, x -> length(x) <= 2)) AS BIGINT)")
+          .as("short_count"))
+      .withColumn("quality_ok",
+        (col("tc") >= minTokens &&
+          floor(lit(10000.0) * col("short_count") / col("tc")).cast("long")
+            <= maxShortBp).cast("long"))
+      .withColumn("bucket", Retention.bucketCol(
+        col("score").cast("double") / col("tc") + lit(500.0), 100.0, 10))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("quality_ok")).as("n_quality_ok"))
+      .withColumn("quality_ok_bp",
+        floor(lit(10000.0) * col("n_quality_ok") / col("n_docs")).cast("long"))
 }

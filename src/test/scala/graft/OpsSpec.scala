@@ -253,6 +253,62 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("lift_bp") == 11111L)
   }
 
+  test("keyChurn: identity churn distinguishes rotation from stability; NULLs excluded") {
+    val s = spark
+    import s.implicits._
+    def t(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    val rows = Seq(
+      (Some(1L), Some(t("2024-01-01"))),  // pre only → lost
+      (Some(2L), Some(t("2024-01-01"))),  // both
+      (Some(2L), Some(t("2024-01-20"))),
+      (Some(3L), Some(t("2024-01-20"))),  // post only → new
+      (Some(4L), Some(t("2024-01-20"))),  // post only → new
+      (None, Some(t("2024-01-01"))),      // null key: excluded
+      (Some(5L), None))                   // null ts: excluded
+      .toDF("user_id", "ts")
+    val r = graft.ops.Profile.keyChurn(rows, "user_id", "ts", "2024-01-10")
+      .collect().head
+    assert(r.getAs[Long]("n_pre_keys") == 2L)
+    assert(r.getAs[Long]("n_post_keys") == 3L)
+    assert(r.getAs[Long]("n_both") == 1L)
+    assert(r.getAs[Long]("n_new") == 2L && r.getAs[Long]("n_lost") == 1L)
+    assert(r.getAs[Long]("new_bp") == 6666L)  // ⌊10000·2/3⌋
+    assert(r.getAs[Long]("lost_bp") == 5000L) // ⌊10000·1/2⌋
+  }
+
+  test("classifierCalibration: buckets cover all docs; agreement matches an independent recompute") {
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val out = graft.ops.TextAnalysis.classifierCalibration(docs).collect()
+    assert(out.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0L && b <= 9L })
+    val nDocs = docs.filter(col("text").isNotNull).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // independent recompute of total agreement via the two source ops
+    val wantOk = graft.ops.TextAnalysis.textQuality(docs)
+      .filter(col("quality_ok") === 1).count()
+    assert(out.map(_.getAs[Long]("n_quality_ok")).sum == wantOk)
+  }
+
+  test("funnelByArm: arms partition the q116 funnel exactly") {
+    val sessionized = graft.ops.Sessionize.assignSessions(
+      graft.tables.Tables(spark, sf, "events"))
+    val flow = Seq("signup", "view", "click", "purchase")
+    val whole = graft.ops.PageFunnel.windowedFunnel(spark, sessionized,
+      flow, 600L).collect()
+      .map(r => r.getAs[Long]("step_idx") ->
+        r.getAs[Long]("sessions_reached")).toMap
+    val byArm = graft.ops.PageFunnel.windowedFunnelByArm(spark, sessionized,
+      flow, 600L).collect()
+    val armSums = byArm.groupBy(_.getAs[Long]("step_idx"))
+      .map { case (i, rs) => i -> rs.map(_.getAs[Long]("sessions_reached")).sum }
+    assert(armSums == whole)
+    assert(byArm.map(_.getAs[String]("arm")).toSet == Set("A", "B"))
+    // per-arm totals are arm-constant and sum to the session total
+    val totals = byArm.groupBy(_.getAs[String]("arm"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("total_sessions")).toSet }
+    assert(totals.forall(_.size == 1))
+  }
+
   test("keySkew: hottest keys with shares and mean-multiples; null is a key") {
     val s = spark
     import s.implicits._

@@ -890,4 +890,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
       s"scan not pruned: $readSchema")
   }
+
+  test("q166 calibration: both gates fold in ONE map pass — single shuffle to the 10-bucket grain") {
+    val p = plan("q166_classifier_calibration")
+    assert(shuffles(p) == 1, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(readSchema.contains("text") && !readSchema.contains("lang"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q167 key churn: key-grain flags + 1-row rollup, join-free") {
+    val p = plan("q167_key_churn")
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) == 2, p) // key grain + SinglePartition rollup
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q168 funnel by arm: depth frame persisted; steps broadcast; never cartesian") {
+    val p = plan("q168_funnel_by_arm")
+    assert(p.contains("InMemoryRelation"), s"depth frame not persisted:\n$p")
+    assert(!stripCached(p).contains("FileScan parquet"),
+      s"live corpus re-scan (cache bypassed):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
