@@ -351,6 +351,12 @@ object ScaleProbe {
     t("funnel by arm")(graft.ops.PageFunnel.windowedFunnelByArm(spark,
       graft.ops.Sessionize.assignSessions(events),
       Seq("signup", "view", "click", "purchase"), 600L))
+    t("sequential rules")(graft.ops.Market.sequentialRules(events))
+    t("returned revenue")(graft.ops.AreaTopProducts.returnedRevenue(
+      lineitem, orders, dim("customer"), dim("nation"),
+      "1996-01-01", "1997-01-01"))
+    t("part concentration")(graft.ops.AreaTopProducts.partConcentration(
+      lineitem))
     spark.stop()
   }
 }

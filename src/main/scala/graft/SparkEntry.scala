@@ -195,7 +195,10 @@ object SparkEntry {
     "q165_length_quantiles" -> (Queries.lengthQuantiles _),
     "q166_classifier_calibration" -> (Queries.classifierCalibration _),
     "q167_key_churn" -> (Queries.keyChurn _),
-    "q168_funnel_by_arm" -> (Queries.funnelByArm _)
+    "q168_funnel_by_arm" -> (Queries.funnelByArm _),
+    "q169_sequential_rules" -> (Queries.sequentialRules _),
+    "q170_returned_revenue" -> (Queries.returnedRevenue _),
+    "q171_part_concentration" -> (Queries.partConcentration _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1341,6 +1344,25 @@ object Queries {
     PageFunnel.windowedFunnelByArm(spark,
       Sessionize.assignSessions(Tables(spark, dir, "events")),
       orderedFlow, FunnelWindowSeconds)
+
+  /** Ordered (a THEN b) 2-sequences over session baskets. */
+  def sequentialRules(spark: SparkSession, dir: String): DataFrame =
+    Market.sequentialRules(Tables(spark, dir, "events"), LiftTopK,
+      CoVisitMaxItems)
+
+  /** TPC-H Q10 shape: top returned-revenue customers, 1996. */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.returnedRevenue(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "nation"), Q5YearFrom, Q5YearUntil)
+
+  val HhiMinRows = 8L
+  val HhiTopK = 20
+
+  /** Per-part supplier-concentration HHI (top-k most concentrated). */
+  def partConcentration(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.partConcentration(Tables(spark, dir, "lineitem"),
+      HhiMinRows, HhiTopK)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -5916,6 +5938,77 @@ object Oracles {
          |              AS BIGINT) END AS reach_bp,
          |       total_sessions
          |FROM fin2""".stripMargin
+    },
+
+    // Ordered sequences: rn over (first_us, item) = the Spark side's
+    // sorted-struct-array position, so rn_a < rn_b IS "a before b".
+    "q169_sequential_rules" -> {
+      val cap = Queries.CoVisitMaxItems
+      s"""$sessionCte,
+         |it AS (
+         |  SELECT user_id, session_seq,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+         |         MIN(ts_us) AS first_us
+         |  FROM sz
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |capped AS (
+         |  SELECT user_id, session_seq, item, rn FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |      ORDER BY first_us, item) AS rn
+         |    FROM it)
+         |  WHERE rn <= $cap),
+         |pairs AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |         CAST(COUNT(*) AS BIGINT) AS pair_sessions
+         |  FROM capped a
+         |  JOIN capped b ON a.user_id = b.user_id
+         |    AND a.session_seq = b.session_seq AND a.rn < b.rn
+         |  GROUP BY 1, 2),
+         |n AS (SELECT item AS item_a, CAST(COUNT(*) AS BIGINT) AS sessions_a
+         |      FROM capped GROUP BY 1)
+         |SELECT item_a, item_b, pair_sessions, sessions_a,
+         |       CAST(pair_sessions * 10000 // sessions_a AS BIGINT) AS conf_bp
+         |FROM pairs JOIN n USING (item_a)
+         |ORDER BY pair_sessions DESC, item_a, item_b
+         |LIMIT ${Queries.LiftTopK}""".stripMargin
+    },
+
+    // TPC-H Q10 shape with the house cents convention.
+    "q170_returned_revenue" ->
+      s"""SELECT c.c_custkey, n.n_name,
+         |       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+         |         * 100.0) AS BIGINT)) AS BIGINT) AS returned_cents,
+         |       CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= TIMESTAMP '${Queries.Q5YearFrom}'
+         |  AND o.o_orderdate < TIMESTAMP '${Queries.Q5YearUntil}'
+         |GROUP BY 1, 2
+         |ORDER BY returned_cents DESC, c.c_custkey
+         |LIMIT 20""".stripMargin,
+
+    // HHI: Σc² in HUGEINT, the ratio in textually-mirrored DOUBLE.
+    "q171_part_concentration" -> {
+      val m = Queries.HhiMinRows
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey, COUNT(*) AS c
+         |  FROM lineitem GROUP BY 1, 2),
+         |p AS (
+         |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         |         CAST(SUM(c) AS BIGINT) AS n_rows,
+         |         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sumsq
+         |  FROM ps GROUP BY 1)
+         |SELECT l_partkey, n_suppliers, n_rows,
+         |       CAST(FLOOR(10000.0 * CAST(sumsq AS DOUBLE) /
+         |         (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)))
+         |         AS BIGINT) AS hhi_bp
+         |FROM p WHERE n_rows >= $m
+         |ORDER BY hhi_bp DESC, l_partkey
+         |LIMIT ${Queries.HhiTopK}""".stripMargin
     }
   )
 

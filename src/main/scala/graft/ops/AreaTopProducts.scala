@@ -198,4 +198,70 @@ object AreaTopProducts {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_orderpriority"))
   }
+
+  /** Returned-item revenue report (TPC-H Q10 shape): which customers
+    * returned the most money in a date window — the churn-risk /
+    * fraud triage list. The selective flag filter (`l_returnflag =
+    * 'R'`) must reach the lineitem scan; geography is the q08
+    * broadcast rule (nation hint-broadcast at any scale, customer
+    * unhinted — AQE decides).
+    *
+    * Money: the q136 exact-cents convention. Top `k` customers by
+    * returned revenue (ties: custkey asc). */
+  def returnedRevenue(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame,
+      dateFrom: String, dateUntil: String, k: Int = 20): DataFrame = {
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(dateFrom).cast("timestamp") &&
+        col("o_orderdate") < lit(dateUntil).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("rev_cents"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("n_name"))
+      .agg(sum(col("rev_cents")).as("returned_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("returned_cents").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
+  /** Per-part supplier concentration (HHI): for every part with
+    * enough volume, the Herfindahl–Hirschman index of its supplier
+    * shares — ⌊10000·Σc²/(Σc)²⌋ — and the top-k most concentrated
+    * parts. hhi_bp = 10000 means single-sourced: the supply-chain
+    * risk report (a grouped cousin of q160's inverse-Simpson
+    * balance). `minRows` floors the volume — a 2-row part is
+    * trivially "concentrated".
+    *
+    * Σc² is decimal(38,0)-exact (the q155/q160 overflow rule); the
+    * final ratio runs in DOUBLE with the expression mirrored
+    * textually in the oracle.
+    *
+    * Scale shape: one (part, supplier)-grain shuffle (partial
+    * map-side), a part-grain rollup riding the same hash
+    * partitioning prefix, TakeOrderedAndProject head. */
+  def partConcentration(lineitem: DataFrame, minRows: Long = 8L,
+      k: Int = 20): DataFrame = {
+    val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+    lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("c")).as("n_rows"),
+        sum(d18(col("c")) * d18(col("c"))).as("__sumsq"))
+      .filter(col("n_rows") >= minRows)
+      .select(col("l_partkey"), col("n_suppliers"), col("n_rows"),
+        floor(lit(10000.0) * col("__sumsq").cast("double") /
+          (col("n_rows").cast("double") * col("n_rows").cast("double")))
+          .cast("long").as("hhi_bp"))
+      .orderBy(col("hhi_bp").desc, col("l_partkey").asc)
+      .limit(k)
+  }
 }

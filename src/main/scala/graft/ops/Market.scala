@@ -214,6 +214,61 @@ object Market {
       .limit(k)
   }
 
+  /** Sequential association rules — [[associationRules]] without the
+    * bag-of-items blindness: (a THEN b) counts sessions where item
+    * a's FIRST occurrence precedes item b's (the direction a
+    * recommender actually needs — "viewed X then bought Y" and
+    * "bought Y then viewed X" are different products). The AprioriAll
+    * 2-sequence (Agrawal & Srikant 1995) over capped session
+    * baskets.
+    *
+    * Order is by (first_us, item) — first-occurrence time with the
+    * item id breaking exact-timestamp ties, so the sequence is total
+    * and deterministic on both engines. The cap keeps the EARLIEST
+    * `maxItems` items (sequences privilege the session head; co-vis
+    * keeps smallest ids — different contract, both deterministic).
+    *
+    * Columns: item_a, item_b (a strictly before b), pair_sessions,
+    * sessions_a (sessions where a is in the capped basket),
+    * conf_bp = ⌊pair·10000/sessions_a⌋ — P(b later | a). Top `k` by
+    * pair_sessions (ties: item_a, item_b).
+    *
+    * Scale shape: the (session, item) first-occurrence aggregate and
+    * the basket aggregate BOTH ride the sessionize user_id window
+    * partitioning (user_id stays in every grouping key — zero extra
+    * exchanges); ordered pairs are a C(cap,2)-bounded map stage; the
+    * pair aggregate's key domain is observed ordered pairs. */
+  def sequentialRules(events: DataFrame, k: Int = 20, maxItems: Int = 64,
+      itemCol: String = "$.k"): DataFrame = {
+    val firsts = Sessionize.assignSessions(events)
+      .withColumn("item", get_json_object(col("props"), itemCol).cast("long"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("session_seq"), col("item"))
+      .agg(min(col("ts_us")).as("first_us"))
+    val baskets = firsts
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(slice(array_sort(collect_list(struct(col("first_us"), col("item")))),
+        1, maxItems).as("seqd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = baskets.select(explode(expr(
+      """flatten(transform(seqd, (a, i) ->
+        |  transform(slice(seqd, i + 2, size(seqd)), b ->
+        |    struct(a.item AS item_a, b.item AS item_b))))""".stripMargin))
+      .as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("pair_sessions"))
+    val itemN = baskets
+      .select(explode(expr("transform(seqd, s -> s.item)")).as("item_a"))
+      .groupBy("item_a").agg(count(lit(1)).as("sessions_a"))
+    pairs
+      .join(broadcast(itemN), Seq("item_a"))
+      .withColumn("conf_bp", expr("pair_sessions * 10000L div sessions_a"))
+      .select("item_a", "item_b", "pair_sessions", "sessions_a", "conf_bp")
+      .orderBy(col("pair_sessions").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
   /** Recency-decayed item popularity — the "trending now" ranking a
     * raw lifetime count can't give (a product hot in 2019 should not
     * outrank one hot this week). Each event contributes

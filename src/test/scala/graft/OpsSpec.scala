@@ -309,6 +309,64 @@ class OpsSpec extends SparkSpec {
     assert(totals.forall(_.size == 1))
   }
 
+  test("sequentialRules: order by first occurrence; repeats collapse; confidence vs antecedent") {
+    val s = spark
+    import s.implicits._
+    def e(id: Long, u: Long, offS: Long, item: Int) =
+      (id, new java.sql.Timestamp(1704067200000L + offS * 1000), u, "click",
+        0.0, s"""{"k":$item}""")
+    // user 1: 3@0, 1@10, 3@20 (repeat → first stays @0), 2@30 → seq [3,1,2]
+    // user 2: 1@0, 3@10 → seq [1,3]
+    val events = Seq(
+      e(1, 1, 0, 3), e(2, 1, 10, 1), e(3, 1, 20, 3), e(4, 1, 30, 2),
+      e(5, 2, 0, 1), e(6, 2, 10, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Market.sequentialRules(events, k = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 2L, 5000L),   // 1 then 2 (user 1)
+      (1L, 3L, 1L, 2L, 5000L),   // 1 then 3 (user 2 — NOT user 1)
+      (3L, 1L, 1L, 2L, 5000L),   // 3 then 1 (user 1)
+      (3L, 2L, 1L, 2L, 5000L)))  // 3 then 2 (user 1)
+  }
+
+  test("returnedRevenue: only R-flag items in-window count; exact cents; top-k order") {
+    val s = spark
+    import s.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    val nation = Seq((1, "JAPAN")).toDF("n_nationkey", "n_name")
+    val customer = Seq((100L, 1), (101L, 1)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (10L, 100L, ts("1996-05-01")),
+      (11L, 101L, ts("1996-06-01")),
+      (12L, 100L, ts("1994-01-01")))  // out of window
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (10L, "R", 10.0, 0.1),  // 900c → cust 100
+      (10L, "N", 99.0, 0.0),  // not returned
+      (11L, "R", 20.0, 0.0),  // 2000c → cust 101
+      (12L, "R", 99.0, 0.0))  // out-of-window order
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val out = graft.ops.AreaTopProducts.returnedRevenue(
+      lineitem, orders, customer, nation, "1996-01-01", "1997-01-01")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((101L, "JAPAN", 2000L, 1L), (100L, "JAPAN", 900L, 1L)))
+  }
+
+  test("partConcentration: single-source part scores 10000; even split 5000; volume floor binds") {
+    val s = spark
+    import s.implicits._
+    val lineitem = (
+      Seq.fill(10)((1L, 7L)) ++                      // part 1: one supplier
+      (Seq.fill(5)((2L, 7L)) ++ Seq.fill(5)((2L, 8L))) ++ // part 2: 5/5 split
+      Seq.fill(7)((3L, 7L)))                         // part 3: below minRows
+      .toDF("l_partkey", "l_suppkey")
+    val out = graft.ops.AreaTopProducts.partConcentration(lineitem,
+      minRows = 8L, k = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 10L, 10000L), (2L, 2L, 10L, 5000L)))
+  }
+
   test("keySkew: hottest keys with shares and mean-multiples; null is a key") {
     val s = spark
     import s.implicits._

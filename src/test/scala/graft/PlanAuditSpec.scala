@@ -916,4 +916,32 @@ class PlanAuditSpec extends SparkSpec {
       s"live corpus re-scan (cache bypassed):\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q169 sequential rules: basket frame persisted; antecedent counts broadcast; head TakeOrdered") {
+    val p = plan("q169_sequential_rules")
+    assert(p.contains("InMemoryRelation"), s"baskets not persisted:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+    assert(!stripCached(p).contains("SortMergeJoin"),
+      s"count join fell back to SMJ:\n$p")
+  }
+
+  test("q170 returned revenue: flag + date gates pushed; nation broadcast; head TakeOrdered") {
+    val p = plan("q170_returned_revenue")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"return-flag gate not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date gate not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q171 part concentration: two grain collapses, no joins, TakeOrdered head; 2-column scan") {
+    val p = plan("q171_part_concentration")
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) <= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_orderkey"), s"scan not pruned: $readSchema")
+  }
 }
