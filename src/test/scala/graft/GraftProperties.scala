@@ -744,6 +744,94 @@ object GraftProperties extends Properties("graft") {
       (row.getLong(0), row.getLong(1)) == ((nSessions, nConverted))
     }
 
+  property("triangleStats == JVM brute-force census on random small graphs") =
+    forAll(for {
+      n <- Gen.choose(0, 14)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 8L); b <- Gen.choose(1L, 8L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct) { es0 =>
+      // shrinking bypasses generator filters — re-enforce the a<b
+      // domain contract (coVisitPairs can never emit a self-loop)
+      val es = es0.distinct.filter(e => e._1 < e._2)
+      val s = spark
+      import s.implicits._
+      val pairs = (es :+ ((100L, 101L)))  // ≥1 row so toDF has a schema
+        .toDF("item_a", "item_b").withColumn("pair_sessions", lit(1L))
+      val edges = (es :+ ((100L, 101L))).toSet
+      val nodes = edges.flatMap(e => Set(e._1, e._2))
+      val deg = nodes.map(v => v ->
+        edges.count(e => e._1 == v || e._2 == v).toLong).toMap
+      val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+      val tris = (for {
+        a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+        if edges((a, b)) && edges((b, c)) && edges((a, c))
+      } yield (a, b, c)).size.toLong
+      val r = graft.ops.Graph.triangleStats(pairs).collect().head
+      r.getAs[Long]("n_nodes") == nodes.size.toLong &&
+        r.getAs[Long]("n_edges") == edges.size.toLong &&
+        r.getAs[Long]("n_wedges") == wedges &&
+        r.getAs[Long]("n_triangles") == tris &&
+        r.getAs[Long]("global_cc_bp") == (if (wedges == 0) 0L
+          else math.floor(10000.0 * 3 * tris / wedges).toLong)
+    }
+
+  property("entryExit conserves sessions: Σ entries == Σ exits == session count") =
+    forAll(genEvents) { rows =>
+      val events = df(rows)
+      val nSessions = graft.ops.Sessionize.assignSessions(events)
+        .select("session_id").distinct().count()
+      val out = graft.ops.Sessionize.entryExit(events).collect()
+      out.map(_.getAs[Long]("n_entries")).sum == nSessions &&
+        out.map(_.getAs[Long]("n_exits")).sum == nSessions &&
+        out.forall(r => r.getAs[Long]("n_bounces") <= r.getAs[Long]("n_entries"))
+    }
+
+  property("keyBalance: 1 <= eff <= n_keys, exact Σc², flat key scores 10000") =
+    forAll(for {
+      n <- Gen.choose(1, 50)
+      ks <- Gen.listOfN(n, Gen.choose(1L, 8L))
+    } yield ks) { ks =>
+      val s = spark
+      import s.implicits._
+      val r = graft.ops.Integrity.keyBalance(
+        Seq(("side", ks.toDF("k"), "k"))).collect().head
+      val counts = ks.groupBy(identity).values.map(_.size.toLong)
+      val sumsq = counts.map(c => BigInt(c) * BigInt(c)).sum
+      val eff = r.getAs[Long]("eff_keys")
+      r.getAs[String]("sum_sq") == sumsq.toString &&
+        eff >= 1L && eff <= r.getAs[Long]("n_keys") &&
+        r.getAs[Long]("balance_bp") <= 10000L &&
+        (counts.toSet.size != 1 ||
+          r.getAs[Long]("balance_bp") == 10000L) // flat → perfect score
+    }
+
+  property("decayedPopularity == JVM dyadic recompute") =
+    forAll(for {
+      n <- Gen.choose(1, 40)
+      evs <- Gen.listOfN(n, for {
+        item <- Gen.choose(1L, 5L)
+        age <- Gen.choose(0L, 100L)
+      } yield (item, age))
+    } yield evs) { evs =>
+      val s = spark
+      import s.implicits._
+      val anchor = "2024-02-01"
+      val rows = evs.zipWithIndex.map { case ((item, age), i) =>
+        (i.toLong, new Timestamp(Timestamp.valueOf(s"$anchor 00:00:00").getTime
+          - age * 86400000L), 1L, "click", 0.0, s"""{"k":$item}""")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val got = graft.ops.Market.decayedPopularity(rows, anchor, 7, 100)
+        .collect().map(r => r.getAs[Long]("item") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("score_ppm")))).toMap
+      val want = evs.groupBy(_._1).map { case (item, xs) =>
+        item -> ((xs.size.toLong,
+          xs.map { case (_, age) => 1000000L >> math.min(age / 7, 62L).toInt }
+            .sum))
+      }
+      got == want
+    }
+
   property("quantileTable == JVM nearest-rank recompute at p50/p90/p99") =
     forAll(for {
       n <- Gen.choose(1, 60)
