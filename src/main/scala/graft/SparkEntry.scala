@@ -198,7 +198,14 @@ object SparkEntry {
     "q168_funnel_by_arm" -> (Queries.funnelByArm _),
     "q169_sequential_rules" -> (Queries.sequentialRules _),
     "q170_returned_revenue" -> (Queries.returnedRevenue _),
-    "q171_part_concentration" -> (Queries.partConcentration _)
+    "q171_part_concentration" -> (Queries.partConcentration _),
+    "q172_promo_revenue" -> (Queries.promoRevenue _),
+    "q173_market_share" -> (Queries.marketShare _),
+    "q174_bracket_revenue" -> (Queries.bracketRevenue _),
+    "q175_idle_customers" -> (Queries.idleCustomers _),
+    "q176_engagement_gini" -> (Queries.engagementGini _),
+    "q177_next_item_backtest" -> (Queries.nextItemBacktest _),
+    "q178_dedup_threshold_curve" -> (Queries.dedupThresholdCurve _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1363,6 +1370,52 @@ object Queries {
   def partConcentration(spark: SparkSession, dir: String): DataFrame =
     AreaTopProducts.partConcentration(Tables(spark, dir, "lineitem"),
       HhiMinRows, HhiTopK)
+
+  val PromoType = "PROMO"
+
+  /** TPC-H Q14 shape: promo revenue share per ship month. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.promoRevenue(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "part"), PromoType)
+
+  /** TPC-H Q8 shape: supplier-nation share of ASIA's demand by year. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.marketShare(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"),
+      Tables(spark, dir, "region"), Q5Region)
+
+  // (brand, sizeLo, sizeHi, qtyLo, qtyHi), bounds inclusive
+  val Q19Brackets: Seq[(String, Int, Int, Int, Int)] = Seq(
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 10, 30, 10, 35),
+    ("Brand#3", 20, 50, 20, 50))
+
+  /** TPC-H Q19 shape: disjunctive bracket revenue. */
+  def bracketRevenue(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.disjunctiveRevenue(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "part"), Q19Brackets)
+
+  val IdleSince = "2000-01-01"
+
+  /** TPC-H Q22 shape: rich customers with no recent orders, by nation. */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.idleCustomers(Tables(spark, dir, "customer"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "nation"), IdleSince)
+
+  /** Exact Gini + top-decile share of events per user. */
+  def engagementGini(spark: SparkSession, dir: String): DataFrame =
+    Profile.engagementInequality(Tables(spark, dir, "events"), "user_id")
+
+  /** Time-split backtest of the majority next-item predictor. */
+  def nextItemBacktest(spark: SparkSession, dir: String): DataFrame =
+    Market.nextItemBacktest(Tables(spark, dir, "events"), DriftSplitDate)
+
+  val DedupSweepBp: Seq[Long] = Seq(5000L, 6000L, 7000L, 8000L, 9000L, 10000L)
+
+  /** Dedup threshold sensitivity curve over the q22 pair machinery. */
+  def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupThresholdCurve(Tables(spark, dir, "documents"), DedupSweepBp)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -6009,6 +6062,232 @@ object Oracles {
          |FROM p WHERE n_rows >= $m
          |ORDER BY hhi_bp DESC, l_partkey
          |LIMIT ${Queries.HhiTopK}""".stripMargin
+    },
+
+    "q172_promo_revenue" ->
+      s"""WITH lr AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_partkey,
+         |         CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)
+         |           AS BIGINT) AS rev_cents
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT ship_month,
+         |         CAST(COALESCE(SUM(CASE WHEN p.p_type = '${Queries.PromoType}'
+         |           THEN lr.rev_cents END), 0) AS BIGINT) AS promo_cents,
+         |         CAST(SUM(lr.rev_cents) AS BIGINT) AS total_cents
+         |  FROM lr JOIN part p ON lr.l_partkey = p.p_partkey
+         |  GROUP BY 1)
+         |SELECT ship_month, promo_cents, total_cents,
+         |       CAST(FLOOR(10000.0 * promo_cents / total_cents) AS BIGINT)
+         |         AS promo_bp
+         |FROM m ORDER BY ship_month""".stripMargin,
+
+    "q173_market_share" ->
+      s"""WITH regn AS (
+         |  SELECT n_nationkey AS cust_nkey
+         |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE r.r_name = '${Queries.Q5Region}'),
+         |ord AS (
+         |  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN regn ON c.c_nationkey = regn.cust_nkey),
+         |yn AS (
+         |  SELECT ord.o_year, n.n_name AS supp_nation,
+         |         CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+         |           * 100.0) AS BIGINT)) AS BIGINT) AS nation_cents
+         |  FROM lineitem l
+         |  JOIN ord ON l.l_orderkey = ord.o_orderkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  GROUP BY 1, 2)
+         |SELECT o_year, supp_nation, nation_cents,
+         |       CAST(FLOOR(10000.0 * nation_cents /
+         |         SUM(nation_cents) OVER (PARTITION BY o_year)) AS BIGINT)
+         |         AS share_bp
+         |FROM yn ORDER BY o_year, supp_nation""".stripMargin,
+
+    "q174_bracket_revenue" -> {
+      val conds = Queries.Q19Brackets.map { case (b, sLo, sHi, qLo, qHi) =>
+        s"(p_brand = '$b' AND p_size BETWEEN $sLo AND $sHi" +
+          s" AND l_quantity BETWEEN $qLo AND $qHi)"
+      }.mkString("\n   OR ")
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         |       CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice *
+         |         (1.0 - l_discount) * 100.0) AS BIGINT)), 0) AS BIGINT)
+         |         AS revenue_cents
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE $conds""".stripMargin
+    },
+
+    "q175_idle_customers" ->
+      s"""WITH bal AS (
+         |  SELECT c_custkey, c_nationkey,
+         |         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+         |  FROM customer),
+         |t AS (
+         |  SELECT CAST(SUM(bal_cents) AS BIGINT) // COUNT(*) AS avg_cents
+         |  FROM bal WHERE bal_cents > 0),
+         |idle AS (
+         |  SELECT b.c_custkey, b.c_nationkey, b.bal_cents
+         |  FROM bal b, t
+         |  WHERE b.bal_cents > t.avg_cents
+         |    AND NOT EXISTS (SELECT 1 FROM orders o
+         |      WHERE o.o_custkey = b.c_custkey
+         |        AND o.o_orderdate >= TIMESTAMP '${Queries.IdleSince}'))
+         |SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+         |       CAST(SUM(bal_cents) AS BIGINT) AS acctbal_cents
+         |FROM idle JOIN nation n ON idle.c_nationkey = n.n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Exact histogram-grain Gini (see Profile.engagementInequality):
+    // HUGEINT mirrors the decimal(38,0) exactness, the two ratios are
+    // the only doubles and textually mirror the Spark expressions.
+    "q176_engagement_gini" ->
+      s"""WITH pk AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM pk GROUP BY 1),
+         |w AS (
+         |  SELECT c, m,
+         |         CAST(COALESCE(SUM(m) OVER (ORDER BY c ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS kb,
+         |         CAST(COALESCE(SUM(m) OVER (ORDER BY c DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS kb_desc,
+         |         CAST(SUM(m) OVER () AS BIGINT) AS n
+         |  FROM h),
+         |w2 AS (
+         |  SELECT *, GREATEST(0, LEAST(m, GREATEST(1, n // 10) - kb_desc))
+         |    AS take
+         |  FROM w),
+         |a AS (
+         |  SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+         |         CAST(SUM(c * m) AS BIGINT) AS n_rows,
+         |         SUM(CAST(c AS HUGEINT) * CAST(m AS HUGEINT)
+         |               * CAST(kb AS HUGEINT)
+         |             + CAST(c AS HUGEINT) *
+         |               ((CAST(m AS HUGEINT) * (CAST(m AS HUGEINT) + 1)) // 2))
+         |           AS s1,
+         |         CAST(SUM(c * take) AS BIGINT) AS top_rows
+         |  FROM w2)
+         |SELECT COALESCE(n_keys, 0) AS n_keys,
+         |       COALESCE(n_rows, 0) AS n_rows,
+         |       CASE WHEN COALESCE(n_rows, 0) = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 *
+         |              (2.0 * CAST(s1 AS DOUBLE) -
+         |                (CAST(n_keys AS DOUBLE) + 1.0) *
+         |                  CAST(n_rows AS DOUBLE)) /
+         |              (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)))
+         |              AS BIGINT) END AS gini_bp,
+         |       CASE WHEN COALESCE(n_rows, 0) = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * top_rows / n_rows) AS BIGINT)
+         |            END AS top_decile_bp
+         |FROM a""".stripMargin,
+
+    // Two standalone item-event sessionizations (the q99 contract)
+    // split at the drift date; majority model from the train half,
+    // transition-weighted accuracy on the test half.
+    "q177_next_item_backtest" -> {
+      val d = Queries.DriftSplitDate
+      def sessPairs(src: String, out: String): String =
+        s"""${out}_s0 AS (
+           |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+           |    ORDER BY ts_us, event_id) AS prev_us
+           |  FROM $src),
+           |${out}_s1 AS (
+           |  SELECT user_id, event_id, ts_us, item,
+           |         CAST(SUM(CASE WHEN prev_us IS NULL
+           |                        OR ts_us - prev_us > 1800000000
+           |                   THEN 1 ELSE 0 END) OVER (
+           |           PARTITION BY user_id ORDER BY ts_us, event_id
+           |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           |  FROM ${out}_s0),
+           |$out AS (
+           |  SELECT prev_item, item AS next_item,
+           |         CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM (
+           |    SELECT user_id, session_seq, item,
+           |           lag(item) OVER (PARTITION BY user_id, session_seq
+           |             ORDER BY ts_us, event_id) AS prev_item
+           |    FROM ${out}_s1)
+           |  WHERE prev_item IS NOT NULL GROUP BY 1, 2)""".stripMargin
+      s"""WITH iev AS (
+         |  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |tr0 AS (SELECT * FROM iev WHERE ts < TIMESTAMP '$d'),
+         |te0 AS (SELECT * FROM iev WHERE ts >= TIMESTAMP '$d'),
+         |${sessPairs("tr0", "trp")},
+         |${sessPairs("te0", "tep")},
+         |model AS (
+         |  SELECT prev_item, next_item AS predicted FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY prev_item
+         |      ORDER BY n DESC, next_item ASC) AS rn
+         |    FROM trp) WHERE rn = 1),
+         |j AS (
+         |  SELECT tep.*, model.predicted
+         |  FROM tep LEFT JOIN model USING (prev_item)),
+         |a AS (
+         |  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_test,
+         |         CAST(COALESCE(SUM(CASE WHEN predicted IS NOT NULL THEN n
+         |           END), 0) AS BIGINT) AS n_covered,
+         |         CAST(COALESCE(SUM(CASE WHEN predicted = next_item THEN n
+         |           END), 0) AS BIGINT) AS n_hits
+         |  FROM j)
+         |SELECT n_test, n_covered, n_hits,
+         |       CASE WHEN n_test = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * n_hits / n_test) AS BIGINT)
+         |            END AS acc_bp,
+         |       CASE WHEN n_covered = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * n_hits / n_covered) AS BIGINT)
+         |            END AS covered_acc_bp
+         |FROM a""".stripMargin
+    },
+
+    // q22's candidate/verify CTEs re-derived at the sweep floor, the
+    // q23 loser rule per threshold; thresholds that drop nothing
+    // still get their zero row (LEFT JOIN from the VALUES list).
+    "q178_dedup_threshold_curve" -> {
+      val ts = Queries.DedupSweepBp
+      val values = ts.map(t => s"($t)").mkString(", ")
+      s"""WITH $minhashCandCtes,
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(sa.shingles, sb.shingles))
+         |           AS BIGINT) AS inter,
+         |         CAST(len(sa.shingles) + len(sb.shingles)
+         |              - len(list_intersect(sa.shingles, sb.shingles))
+         |           AS BIGINT) AS uni
+         |  FROM cand
+         |  JOIN sh sa ON cand.doc_a = sa.doc_id
+         |  JOIN sh sb ON cand.doc_b = sb.doc_id),
+         |p AS (
+         |  SELECT doc_a, doc_b,
+         |         CASE WHEN uni = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT)
+         |              END AS jaccard_bp
+         |  FROM v
+         |  WHERE CASE WHEN uni = 0 THEN 0
+         |             ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT)
+         |             END >= ${ts.min}),
+         |th(threshold_bp) AS (VALUES $values),
+         |sw AS (
+         |  SELECT th.threshold_bp, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |         CAST(COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_docs_dropped
+         |  FROM th JOIN p ON p.jaccard_bp >= th.threshold_bp
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT CAST(th.threshold_bp AS BIGINT) AS threshold_bp,
+         |       COALESCE(sw.n_pairs, 0) AS n_pairs,
+         |       COALESCE(sw.n_docs_dropped, 0) AS n_docs_dropped,
+         |       CASE WHEN tot.n_docs = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * COALESCE(sw.n_docs_dropped, 0)
+         |              / tot.n_docs) AS BIGINT) END AS drop_bp
+         |FROM th LEFT JOIN sw ON th.threshold_bp = sw.threshold_bp, tot
+         |ORDER BY 1""".stripMargin
     }
   )
 

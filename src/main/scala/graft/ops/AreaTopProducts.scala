@@ -264,4 +264,149 @@ object AreaTopProducts {
       .orderBy(col("hhi_bp").desc, col("l_partkey").asc)
       .limit(k)
   }
+
+  /** Promotion revenue share per ship month (TPC-H Q14 shape): of
+    * each month's revenue, how many basis points came from parts of
+    * the promo type — the marketing-effect trend line.
+    *
+    * Scale shape: ONE fact pass. The part dim carries no broadcast
+    * hint (tens of GB at the design point — the q08/q136 rule); the
+    * promo flag is a conditional aggregate, not a second scan or a
+    * self-join, so promo and total revenue come out of the same
+    * month-grain HashAggregate. Money is the q136 exact-cents
+    * convention; the share ratio is the one double, textually
+    * mirrored in the oracle.
+    *
+    * Columns: ship_month, promo_cents, total_cents, promo_bp. */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame,
+      promoType: String = "PROMO"): DataFrame = {
+    val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(100.0)).cast("long")
+    lineitem
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        rev.as("rev_cents"))
+      .join(part.select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(
+        coalesce(sum(when(col("p_type") === promoType, col("rev_cents"))),
+          lit(0L)).as("promo_cents"),
+        sum(col("rev_cents")).as("total_cents"))
+      .select(col("ship_month"), col("promo_cents"), col("total_cents"),
+        floor(lit(10000.0) * col("promo_cents") / col("total_cents"))
+          .cast("long").as("promo_bp"))
+      .orderBy(col("ship_month").asc)
+  }
+
+  /** Supplier-nation market share inside one customer region per
+    * order year (TPC-H Q8 shape): who supplies the region's demand,
+    * and is any nation gaining share year over year.
+    *
+    * Scale shape: the fact joins orders (date-windowed upstream of
+    * nothing — the full range is the report's x-axis) and supplier;
+    * nation (×2 roles) and region are hint-broadcast fixed-cardinality
+    * dims, customer and supplier are unhinted (AQE). The share
+    * denominator is a WINDOW over the (year × nation)-grain
+    * aggregate — ≤ years·25 rows — never a second fact pass.
+    *
+    * Columns: o_year, supp_nation, nation_cents, share_bp. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String): DataFrame = {
+    val regNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cust_nkey"))
+    val ord = orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regNations), col("c_nationkey") === col("cust_nkey"))
+      .select(col("o_orderkey"), col("o_year"))
+    val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(100.0)).cast("long")
+    val yearNation = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev_cents"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("o_year"), col("supp_nation"))
+      .agg(sum(col("rev_cents")).as("nation_cents"))
+    val byYear = Window.partitionBy(col("o_year"))
+    yearNation
+      .withColumn("__year_cents", sum(col("nation_cents")).over(byYear))
+      .select(col("o_year"), col("supp_nation"), col("nation_cents"),
+        floor(lit(10000.0) * col("nation_cents") / col("__year_cents"))
+          .cast("long").as("share_bp"))
+      .orderBy(col("o_year").asc, col("supp_nation").asc)
+  }
+
+  /** Disjunctive bracket revenue (TPC-H Q19 shape): revenue from an
+    * OR of (brand × part-size bracket × quantity bracket) deals — the
+    * classic "does the optimizer split a cross-table disjunction"
+    * exercise. Catalyst's PushExtraPredicateThroughJoin derives the
+    * part-only disjunction ((brand∧size)∨…) and pushes it to the part
+    * scan, and the quantity bounds prune the fact scan, so neither
+    * side reads rows no bracket can accept.
+    *
+    * Brackets are (brand, sizeLo..sizeHi, qtyLo..qtyHi), all bounds
+    * inclusive. One row: n_items, revenue_cents. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame,
+      brackets: Seq[(String, Int, Int, Int, Int)]): DataFrame = {
+    require(brackets.nonEmpty, "declare at least one bracket")
+    val cond = brackets.map { case (brand, sLo, sHi, qLo, qHi) =>
+      col("p_brand") === brand &&
+        col("p_size").between(sLo, sHi) &&
+        col("l_quantity").between(qLo.toDouble, qHi.toDouble)
+    }.reduce(_ || _)
+    val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(100.0)).cast("long")
+    lineitem
+      .select(col("l_partkey"), col("l_quantity"), rev.as("rev_cents"))
+      .join(part.select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("rev_cents")), lit(0L)).as("revenue_cents"))
+  }
+
+  /** Idle rich customers per nation (TPC-H Q22 shape): customers
+    * whose balance beats the positive-balance average but who placed
+    * NO order since `sinceDate` — the win-back campaign list, rolled
+    * to nation grain.
+    *
+    * The average is exact integer cents (sum of floored cents div
+    * count — both engines do identical BIGINT arithmetic, so the
+    * threshold row set cannot diverge on a double's last ulp). The
+    * scalar threshold is a 1-row cross join (broadcast by
+    * construction); the "no recent order" test is an ANTI join on the
+    * date-filtered orders — never a NOT IN driver collect.
+    *
+    * Columns: n_name, n_custs, acctbal_cents. */
+  def idleCustomers(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, sinceDate: String): DataFrame = {
+    val balCents = floor(col("c_acctbal") * lit(100.0)).cast("long")
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"),
+      balCents.as("bal_cents"))
+    val thresh = cust.filter(col("bal_cents") > 0L)
+      .agg(expr("sum(bal_cents) div count(1)").as("avg_cents"))
+    val recent = orders
+      .filter(col("o_orderdate") >= lit(sinceDate).cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(thresh))
+      .filter(col("bal_cents") > col("avg_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal_cents")).as("acctbal_cents"))
+      .orderBy(col("n_name").asc)
+  }
 }

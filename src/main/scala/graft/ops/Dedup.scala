@@ -728,4 +728,56 @@ object Dedup {
       .select("source_a", "source_b", "shared_grams", "grams_a", "grams_b",
         "overlap_ab_bp", "overlap_ba_bp")
   }
+
+  /** Dedup threshold sensitivity curve: for each candidate Jaccard
+    * threshold, how many pairs fire and how many documents the q23
+    * drop rule (a document is dropped when it is the LARGER id of
+    * any qualifying pair) would remove — the tuning table you read
+    * BEFORE committing a threshold to a 100 TB dedup run, where
+    * 8000 vs 7000 bp can be billions of documents.
+    *
+    * Universe: the verified LSH band-candidate pairs at the SWEEP
+    * FLOOR (min of `thresholdsBp`) — the verdictFusion recall-
+    * envelope disclosure applies: pairs below the floor's band
+    * recall are out of scope by construction, so sweep floors well
+    * below the band design point (8000) undercount; the curve's
+    * SHAPE near the operating point is what the table is for.
+    *
+    * Scale shape: one [[minhashDedupPairs]] run at the floor, a
+    * bounded ×|thresholds| explode of the (already LSH-bounded) pair
+    * set, one threshold-grain aggregate, and a 1-row total broadcast.
+    * The exact `count_distinct(doc_b)` is pair-set-grain, not
+    * corpus-grain.
+    *
+    * Columns: threshold_bp, n_pairs, n_docs_dropped, drop_bp. */
+  def dedupThresholdCurve(docs: DataFrame,
+      thresholdsBp: Seq[Long]): DataFrame = {
+    require(thresholdsBp.nonEmpty, "declare at least one threshold")
+    require(thresholdsBp.distinct.size == thresholdsBp.size,
+      s"thresholds must be distinct: $thresholdsBp")
+    require(thresholdsBp.forall(t => t >= 1L && t <= 10000L),
+      "thresholds must be in [1, 10000]")
+    val s = docs.sparkSession
+    import s.implicits._
+    val ts = thresholdsBp.sorted
+    val pairs = minhashDedupPairs(docs, ts.head)
+      .select(col("doc_b"), col("jaccard_bp"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val sweep = pairs
+      .withColumn("threshold_bp", explode(array(ts.map(lit): _*)))
+      .filter(col("jaccard_bp") >= col("threshold_bp"))
+      .groupBy(col("threshold_bp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("doc_b")).as("n_docs_dropped"))
+    ts.toDF("threshold_bp")
+      .join(sweep, Seq("threshold_bp"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("threshold_bp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        when(col("n_docs") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * coalesce(col("n_docs_dropped"),
+            lit(0L)) / col("n_docs")).cast("long")).as("drop_bp"))
+      .orderBy(col("threshold_bp").asc)
+  }
 }

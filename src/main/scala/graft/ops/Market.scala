@@ -307,4 +307,69 @@ object Market {
       .orderBy(col("score_ppm").desc, col("item").asc)
       .limit(k)
   }
+
+  /** Next-item predictor BACKTEST: train the majority-transition
+    * model (per previous item, the most frequent within-session
+    * successor — ties to the smaller item) on events before
+    * `splitDate`, score it on the transitions after — the honest
+    * time-split accuracy number behind "users who viewed X then
+    * viewed Y" recommendations (q91/q99 are the model surfaces; this
+    * is their evaluation harness).
+    *
+    * Both halves are sessionized INDEPENDENTLY over the item events
+    * (the q99 standalone-sessionize contract; the split boundary
+    * cleanly cuts any session that straddles it — that's the
+    * deployment reality too: the model never sees the future half of
+    * a live session). Accuracy is transition-weighted; `covered`
+    * restricts to transitions whose previous item was seen in
+    * training (the model can't guess an unseen item — the gap
+    * between acc_bp and covered_acc_bp is the cold-start tax).
+    *
+    * Scale shape: two sessionize shuffles (one per half — each a
+    * user-grain window), two observed-pair-grain aggregates, an
+    * item-grain model join (unhinted; item catalogs are broadcast-
+    * sized in practice, AQE decides), and a 1-row report. No driver
+    * state, no all-pairs anything.
+    *
+    * One row: n_test, n_covered, n_hits, acc_bp, covered_acc_bp. */
+  def nextItemBacktest(events: DataFrame, splitDate: String,
+      itemCol: String = "$.k"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withItem = events
+      .withColumn("item", get_json_object(col("props"), itemCol).cast("long"))
+      .filter(col("item").isNotNull)
+    val split = lit(splitDate).cast("timestamp")
+    def pairCounts(df: DataFrame): DataFrame = {
+      val bySession = Window
+        .partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ts"), col("event_id"))
+      Sessionize.assignSessions(df)
+        .withColumn("prev_item", lag(col("item"), 1).over(bySession))
+        .filter(col("prev_item").isNotNull)
+        .groupBy(col("prev_item"), col("item").as("next_item"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val train = pairCounts(withItem.filter(col("ts") < split))
+    val test = pairCounts(withItem.filter(col("ts") >= split))
+    val byPrev = Window.partitionBy(col("prev_item"))
+      .orderBy(col("n").desc, col("next_item").asc)
+    val model = train
+      .withColumn("__rn", row_number().over(byPrev))
+      .filter(col("__rn") === 1)
+      .select(col("prev_item"), col("next_item").as("predicted"))
+    test.join(model, Seq("prev_item"), "left")
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("n_test"),
+        coalesce(sum(when(col("predicted").isNotNull, col("n"))), lit(0L))
+          .as("n_covered"),
+        coalesce(sum(when(col("predicted") === col("next_item"), col("n"))),
+          lit(0L)).as("n_hits"))
+      .select(col("n_test"), col("n_covered"), col("n_hits"),
+        when(col("n_test") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("n_hits") / col("n_test"))
+            .cast("long")).as("acc_bp"),
+        when(col("n_covered") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("n_hits") / col("n_covered"))
+            .cast("long")).as("covered_acc_bp"))
+  }
 }

@@ -299,6 +299,82 @@ object Profile {
     * Scale shape: ONE fact shuffle to key grain carrying two boolean
     * presence flags (map-side combined), then a 1-row rollup. NULL
     * keys are excluded — identity requires an identity. */
+  /** Engagement inequality over `keyCol`: the exact Gini coefficient
+    * of rows-per-key plus the share of rows owned by the top decile
+    * of keys — "do 1% of the users generate 90% of the events", the
+    * one-row audit behind bot triage (q112), contributor caps (q132)
+    * and per-key rate limits.
+    *
+    * Exactness at scale without a per-key sort: collapse keys to
+    * COUNT-VALUE grain first (m keys share count c), then both
+    * statistics are closed-form over the histogram. With keys sorted
+    * by count ascending, a count-c block occupying ranks
+    * kb+1 … kb+m contributes c·(m·kb + m(m+1)/2) to Σ i·cᵢ, so
+    *   gini = (2·Σ i·cᵢ − (n+1)·Σ cᵢ) / (n·Σ cᵢ)
+    * needs only a cumulative window over the ≤|distinct counts| rows
+    * of the histogram — ties cost nothing because equal counts
+    * commute in Σ i·cᵢ. The top decile (k = max(1, ⌊n/10⌋) keys) is
+    * the same walk from the other end, the boundary block prorated
+    * at count grain — exact, and no per-key tie-break needed since
+    * tied keys are interchangeable by value. Products ride
+    * decimal(18,0)→(38,0) (the q160 overflow rule); the two ratios
+    * are the only doubles, textually mirrored in the oracle.
+    *
+    * Scale shape: one key-grain shuffle (map-side combined), one
+    * count-grain aggregate, then windows over the histogram — whose
+    * row count is bounded by the maximum per-key row count, not by
+    * the key count. One row: n_keys, n_rows, gini_bp, top_decile_bp.
+    */
+  def engagementInequality(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d18 = (c: Column) => c.cast("decimal(18,0)")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val hist = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val asc = Window.orderBy(col("c").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val desc = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = sum(col("m")).over(
+      Window.orderBy(col("c").asc).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    hist
+      .select(col("c"), col("m"),
+        coalesce(sum(col("m")).over(asc), lit(0L)).as("kb"),
+        coalesce(sum(col("m")).over(desc), lit(0L)).as("kb_desc"),
+        n.as("n"))
+      // top decile, count grain: the desc walk takes min(m, k - kb_desc)
+      // keys (clamped at 0) from each block
+      .withColumn("k10", greatest(lit(1L), expr("n div 10")))
+      .withColumn("take", greatest(lit(0L),
+        least(col("m"), col("k10") - col("kb_desc"))))
+      .agg(
+        max(col("n")).as("n_keys"),
+        sum(col("c") * col("m")).as("n_rows"),
+        // scale-0 decimals throughout: m(m+1) is even, so the ⌊/2⌋
+        // is exact, and scale-0 products never round (they'd overflow
+        // 38 digits first, loudly)
+        sum(d18(col("c")) * d18(col("m")) * d18(col("kb")) +
+          d18(col("c")) * d38(floor(
+            (d18(col("m")) * (d18(col("m")) + lit(1))) / lit(2))))
+          .as("__s1"),
+        sum(col("c") * col("take")).as("__top_rows"))
+      .select(
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        when(coalesce(col("n_rows"), lit(0L)) === 0L, 0L)
+          .otherwise(floor(lit(10000.0) *
+            (lit(2.0) * col("__s1").cast("double") -
+              (col("n_keys").cast("double") + lit(1.0)) *
+                col("n_rows").cast("double")) /
+            (col("n_keys").cast("double") * col("n_rows").cast("double")))
+            .cast("long")).as("gini_bp"),
+        when(coalesce(col("n_rows"), lit(0L)) === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("__top_rows") /
+            col("n_rows")).cast("long")).as("top_decile_bp"))
+  }
+
   def keyChurn(df: DataFrame, keyCol: String, tsCol: String,
       splitDate: String): DataFrame = {
     val pre = col(tsCol) < to_timestamp(lit(splitDate))
