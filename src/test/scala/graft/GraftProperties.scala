@@ -849,4 +849,94 @@ object GraftProperties extends Properties("graft") {
         out(p) == want
       }
     }
+
+  property("engagementInequality == JVM brute-force Gini + top decile") =
+    forAll(for {
+      n <- Gen.choose(0, 60)
+      ks <- Gen.listOfN(n, Gen.choose(1L, 9L))
+    } yield ks) { ks =>
+      val s = spark
+      import s.implicits._
+      // one NULL key row: must be excluded, not counted as a key
+      val in = (ks.map(Option(_)) :+ (None: Option[Long])).toDF("k")
+      val r = graft.ops.Profile.engagementInequality(in, "k")
+        .collect().head
+      val counts = ks.groupBy(identity).values.map(_.size.toLong).toSeq.sorted
+      val nk = counts.size.toLong
+      val s0 = counts.sum
+      val s1 = counts.zipWithIndex
+        .map { case (c, i) => BigInt(i + 1) * c }.sum
+      val expGini = if (s0 == 0L) 0L
+        else math.floor(10000.0 * (2.0 * s1.toDouble - (nk + 1.0) * s0) /
+          (nk.toDouble * s0)).toLong
+      val k10 = math.max(1L, nk / 10)
+      val top = counts.sorted.reverse.take(k10.toInt).sum
+      val expTop = if (s0 == 0L) 0L
+        else math.floor(10000.0 * top / s0).toLong
+      r.getAs[Long]("n_keys") == nk && r.getAs[Long]("n_rows") == s0 &&
+        r.getAs[Long]("gini_bp") == expGini &&
+        r.getAs[Long]("top_decile_bp") == expTop
+    }
+
+  property("nextItemBacktest == JVM recompute (sessionize, model, score)") =
+    forAll(genEvents) { rows =>
+      val split = "2026-01-01 00:20:00"
+      val got = graft.ops.Market.nextItemBacktest(df(rows), split)
+        .collect().head
+      val splitMs = Timestamp.valueOf(split).getTime
+      // (tsMs, eventId, item) per user — the q99 standalone-sessionize
+      // contract: gap > 1800 s within the item-event stream
+      def pairs(evs: Seq[Row]): Map[(Long, Long), Long] = evs
+        .map(r => (r.getAs[Timestamp](1).getTime, r.getLong(0),
+          r.getLong(2),
+          r.getString(4).replaceAll("""[^0-9]""", "").toLong))
+        .groupBy(_._3).values.flatMap { us =>
+          val sorted = us.sortBy(e => (e._1, e._2)).toList
+          val gaps = sorted.zip(None +: sorted.map(Some(_)))
+            .map { case (e, prev) =>
+              (e, prev.forall(p => e._1 - p._1 > 1800000L)) }
+          // consecutive pairs inside each session run
+          gaps.zip(gaps.drop(1)).collect {
+            case ((a, _), (b, newSession)) if !newSession => (a._4, b._4)
+          }
+        }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val train = pairs(rows.filter(
+        _.getAs[Timestamp](1).getTime < splitMs))
+      val test = pairs(rows.filter(
+        _.getAs[Timestamp](1).getTime >= splitMs))
+      val model = train.groupBy(_._1._1).map { case (prev, m) =>
+        prev -> m.toSeq.map { case ((_, next), n) => (n, next) }
+          .sortBy { case (n, next) => (-n, next) }.head._2
+      }
+      val nTest = test.values.sum
+      val nCov = test.collect {
+        case ((p, _), n) if model.contains(p) => n }.sum
+      val nHits = test.collect {
+        case ((p, nx), n) if model.get(p).contains(nx) => n }.sum
+      got.getAs[Long]("n_test") == nTest &&
+        got.getAs[Long]("n_covered") == nCov &&
+        got.getAs[Long]("n_hits") == nHits &&
+        got.getAs[Long]("acc_bp") == (if (nTest == 0L) 0L
+          else math.floor(10000.0 * nHits / nTest).toLong) &&
+        got.getAs[Long]("covered_acc_bp") == (if (nCov == 0L) 0L
+          else math.floor(10000.0 * nHits / nCov).toLong)
+    }
+
+  property("dedupThresholdCurve: monotone; operating-point row == q22 set") =
+    forAll(genDocs) { rows =>
+      val docs = docsDf(rows)
+      val ts = Seq(5000L, 8000L, 10000L)
+      val out = graft.ops.Dedup.dedupThresholdCurve(docs, ts).collect()
+        .map(r => r.getAs[Long]("threshold_bp") ->
+          ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_dropped"))))
+        .toMap
+      val p8000 = graft.ops.Dedup.minhashDedupPairs(docs, 8000L)
+        .select("doc_b").collect().map(_.getLong(0)).toSeq
+      val mono = ts.sorted.sliding(2).forall {
+        case Seq(a, b) => out(a)._1 >= out(b)._1 && out(a)._2 >= out(b)._2
+        case _ => true
+      }
+      mono && out(8000L)._1 == p8000.size.toLong &&
+        out(8000L)._2 == p8000.distinct.size.toLong
+    }
 }
