@@ -357,6 +357,23 @@ object ScaleProbe {
       "1996-01-01", "1997-01-01"))
     t("part concentration")(graft.ops.AreaTopProducts.partConcentration(
       lineitem))
+    t("promo revenue")(graft.ops.AreaTopProducts.promoRevenue(
+      lineitem, dim("part")))
+    t("market share")(graft.ops.AreaTopProducts.marketShare(
+      lineitem, orders, dim("customer"), dim("supplier"), dim("nation"),
+      dim("region"), "ASIA"))
+    t("bracket revenue")(graft.ops.AreaTopProducts.disjunctiveRevenue(
+      lineitem, dim("part"), Seq(
+        ("Brand#1", 1, 15, 1, 20), ("Brand#2", 10, 30, 10, 35),
+        ("Brand#3", 20, 50, 20, 50))))
+    t("idle customers")(graft.ops.AreaTopProducts.idleCustomers(
+      dim("customer"), orders, dim("nation"), "2000-01-01"))
+    t("engagement gini")(graft.ops.Profile.engagementInequality(
+      events, "user_id"))
+    t("next item backtest")(graft.ops.Market.nextItemBacktest(
+      events, "2024-01-16"))
+    t("dedup threshold curve")(graft.ops.Dedup.dedupThresholdCurve(
+      docs, Seq(5000L, 6000L, 7000L, 8000L, 9000L, 10000L)))
     spark.stop()
   }
 }
