@@ -944,4 +944,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("l_extendedprice") &&
       !readSchema.contains("l_orderkey"), s"scan not pruned: $readSchema")
   }
+
+  test("q172 promo revenue: one fact pass — conditional agg, no second scan, no fact shuffle before the month grain") {
+    val p = plan("q172_promo_revenue")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 2,
+      s"expected exactly lineitem + part scans:\n$p")
+    assert(shuffles(p) <= 2, p) // month-grain agg + output order
+    assert(!stripCached(p).contains("SortMergeJoin"),
+      s"part join fell back to SMJ:\n$p")
+  }
+
+  test("q174 bracket revenue: both per-side disjunctions extracted and PUSHED; part side broadcast") {
+    val p = plan("q174_bracket_revenue")
+    // quantity OR-of-ranges reaches the lineitem scan
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity disjunction not pushed to lineitem scan:\n$p")
+    // brand∧size disjunction reaches the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#1)"),
+      s"brand/size disjunction not pushed to part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
+    assert(shuffles(p) <= 1, p) // the 1-row final aggregate only
+  }
+
+  test("q175 idle customers: scalar threshold broadcast, ANTI join on the date-gated orders, nation broadcast") {
+    val p = plan("q175_idle_customers")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date gate not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar cross join planned as cartesian:\n$p")
+  }
+
+  test("q176 engagement gini: one key-grain shuffle; histogram windows never see key-grain rows") {
+    val p = plan("q176_engagement_gini")
+    // key-grain aggregate (user_id) + count-grain aggregate + the
+    // single-partition histogram windows — tiny by construction
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"scan not pruned to the key column: $readSchema")
+  }
+
+  test("q177 next item backtest: two sessionize shuffles, model join without cartesian, 1-row report") {
+    val p = plan("q177_next_item_backtest")
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length == 2,
+      s"expected one user_id shuffle per half:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
