@@ -205,7 +205,10 @@ object SparkEntry {
     "q175_idle_customers" -> (Queries.idleCustomers _),
     "q176_engagement_gini" -> (Queries.engagementGini _),
     "q177_next_item_backtest" -> (Queries.nextItemBacktest _),
-    "q178_dedup_threshold_curve" -> (Queries.dedupThresholdCurve _)
+    "q178_dedup_threshold_curve" -> (Queries.dedupThresholdCurve _),
+    "q179_top_supplier" -> (Queries.topSupplier _),
+    "q180_small_qty_revenue" -> (Queries.smallQuantityRevenue _),
+    "q181_large_orders" -> (Queries.largeOrders _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1416,6 +1419,27 @@ object Queries {
   /** Dedup threshold sensitivity curve over the q22 pair machinery. */
   def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupThresholdCurve(Tables(spark, dir, "documents"), DedupSweepBp)
+
+  val Q15From = "1996-01-01"
+  val Q15Until = "1996-04-01"
+
+  /** TPC-H Q15 shape: the quarter's top supplier(s), ties kept. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.topSupplier(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "supplier"), Q15From, Q15Until)
+
+  /** TPC-H Q17 shape: revenue from below-1/5-of-part-average orders. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.smallQuantityRevenue(Tables(spark, dir, "lineitem"))
+
+  val Q18MinQty = 150L
+  val Q18TopK = 20
+
+  /** TPC-H Q18 shape: top bulk orders by total quantity. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.largeOrders(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Q18MinQty, Q18TopK)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -6288,7 +6312,51 @@ object Oracles {
          |              / tot.n_docs) AS BIGINT) END AS drop_bp
          |FROM th LEFT JOIN sw ON th.threshold_bp = sw.threshold_bp, tot
          |ORDER BY 1""".stripMargin
-    }
+    },
+
+    "q179_top_supplier" ->
+      s"""WITH r AS (
+         |  SELECT l_suppkey,
+         |         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+         |           * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '${Queries.Q15From}'
+         |    AND l_shipdate < TIMESTAMP '${Queries.Q15Until}'
+         |  GROUP BY 1)
+         |SELECT s.s_suppkey, s.s_name, r.total_cents
+         |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         |WHERE r.total_cents = (SELECT MAX(total_cents) FROM r)
+         |ORDER BY s.s_suppkey""".stripMargin,
+
+    // exact integer threshold: denom·qty·n < numer·Σq (no double avg)
+    "q180_small_qty_revenue" ->
+      s"""WITH p AS (
+         |  SELECT l_partkey,
+         |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         |       CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice *
+         |         (1.0 - l.l_discount) * 100.0) AS BIGINT)), 0) AS BIGINT)
+         |         AS revenue_cents
+         |FROM lineitem l JOIN p ON l.l_partkey = p.l_partkey
+         |WHERE 5 * CAST(l.l_quantity AS BIGINT) * p.c < 1 * p.sq""".stripMargin,
+
+    "q181_large_orders" ->
+      s"""WITH oq AS (
+         |  SELECT l_orderkey,
+         |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING SUM(CAST(l_quantity AS BIGINT)) >= ${Queries.Q18MinQty})
+         |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+         |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+         |       CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS total_cents,
+         |       oq.sum_qty
+         |FROM oq
+         |JOIN orders o ON oq.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |ORDER BY oq.sum_qty DESC, o.o_orderkey
+         |LIMIT ${Queries.Q18TopK}""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

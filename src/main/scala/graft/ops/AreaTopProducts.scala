@@ -409,4 +409,93 @@ object AreaTopProducts {
         sum(col("bal_cents")).as("acctbal_cents"))
       .orderBy(col("n_name").asc)
   }
+
+  /** Quarter's top supplier(s) (TPC-H Q15 shape): every supplier tied
+    * at the window's maximum revenue — the "view + scalar max +
+    * equality join" exercise. The max is a 1-row broadcast back into
+    * the supplier-grain revenue table (never a global sort to pick
+    * the head, which would also silently drop ties).
+    *
+    * Columns: s_suppkey, s_name, total_cents. */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+      dateFrom: String, dateUntil: String): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(dateFrom).cast("timestamp") &&
+        col("l_shipdate") < lit(dateUntil).cast("timestamp"))
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("rev_cents"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev_cents")).as("total_cents"))
+    val maxRev = rev.agg(max(col("total_cents")).as("__max_cents"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_cents") === col("__max_cents"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  /** Small-quantity revenue (TPC-H Q17 shape): revenue from lineitems
+    * whose quantity is below `numer/denom` of their part's average —
+    * the correlated-aggregate-join exercise, and the "is anyone
+    * drip-buying parts that usually move in bulk" report.
+    *
+    * The threshold test is EXACT integer arithmetic: qty <
+    * (numer/denom)·(Σq/n) ⟺ denom·qty·n < numer·Σq (quantities are
+    * integral by schema contract and cast, all terms positive) — no
+    * double average whose last ulp could flip a boundary row between
+    * engines.
+    *
+    * Scale shape: one part-grain aggregate off the fact (map-side
+    * combined), joined back to the fact on the SAME key — the
+    * aggregate inherits the join partitioning, so the pair costs one
+    * fact shuffle; the report is one row. One row: n_items,
+    * revenue_cents. */
+  def smallQuantityRevenue(lineitem: DataFrame, numer: Long = 1L,
+      denom: Long = 5L): DataFrame = {
+    require(numer >= 1L && denom >= 1L, "fraction must be positive")
+    val pq = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("__sum_qty"),
+        count(lit(1)).as("__cnt"))
+    lineitem
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("__qty"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("rev_cents"))
+      .join(pq, Seq("l_partkey"))
+      .filter(lit(denom) * col("__qty") * col("__cnt") <
+        lit(numer) * col("__sum_qty"))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("rev_cents")), lit(0L)).as("revenue_cents"))
+  }
+
+  /** Large-quantity orders (TPC-H Q18 shape): the top-k orders by
+    * total quantity at or above `minQty`, with their customer — the
+    * HAVING-on-grouped-fact exercise and the bulk-buyer triage list.
+    *
+    * Scale shape: one order-grain quantity aggregate (map-side
+    * combined) FILTERED BEFORE the joins — only qualifying orders
+    * (a tiny fraction by construction) reach the orders/customer
+    * joins; TakeOrderedAndProject head, (sum_qty desc, orderkey asc)
+    * deterministic. */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, minQty: Long, k: Int = 20): DataFrame = {
+    val oq = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") >= minQty)
+    oq.join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long")
+          .as("total_cents"),
+        col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
 }
