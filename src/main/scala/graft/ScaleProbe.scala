@@ -374,6 +374,12 @@ object ScaleProbe {
       events, "2024-01-16"))
     t("dedup threshold curve")(graft.ops.Dedup.dedupThresholdCurve(
       docs, Seq(5000L, 6000L, 7000L, 8000L, 9000L, 10000L)))
+    t("top supplier")(graft.ops.AreaTopProducts.topSupplier(
+      lineitem, dim("supplier"), "1996-01-01", "1996-04-01"))
+    t("small qty revenue")(graft.ops.AreaTopProducts.smallQuantityRevenue(
+      lineitem))
+    t("large orders")(graft.ops.AreaTopProducts.largeOrders(
+      lineitem, orders, dim("customer"), 150L))
     spark.stop()
   }
 }

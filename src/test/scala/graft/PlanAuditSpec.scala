@@ -993,4 +993,37 @@ class PlanAuditSpec extends SparkSpec {
       s"expected one user_id shuffle per half:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q179 top supplier: ship-date window pushed; scalar max broadcast, no cartesian") {
+    val p = plan("q179_top_supplier")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"window not pushed to the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar max planned as cartesian:\n$p")
+  }
+
+  test("q180 small qty revenue: part-average join reuses the aggregate's l_partkey partitioning") {
+    val p = plan("q180_small_qty_revenue")
+    // the fact side and the part-grain aggregate hash-shuffle on the
+    // SAME key; nothing else may shuffle before the 1-row report
+    assert("Exchange hashpartitioning\\(l_partkey".r
+      .findAllIn(stripCached(p)).length <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("l_orderkey"), s"scan not pruned: $readSchema")
+  }
+
+  test("q181 large orders: HAVING filters the order grain BEFORE the joins; TakeOrdered head") {
+    val p = plan("q181_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
+    // the sum_qty >= threshold gate must sit under the first join
+    // (between the aggregate and the orders join), not above it
+    val lines = p.split("\n")
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") &&
+      l.contains("sum_qty"))
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(filterIdx >= 0, s"no sum_qty filter found:\n$p")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"quantity gate not below the join in the tree:\n$p")
+  }
 }
