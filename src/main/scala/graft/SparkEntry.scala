@@ -208,7 +208,8 @@ object SparkEntry {
     "q178_dedup_threshold_curve" -> (Queries.dedupThresholdCurve _),
     "q179_top_supplier" -> (Queries.topSupplier _),
     "q180_small_qty_revenue" -> (Queries.smallQuantityRevenue _),
-    "q181_large_orders" -> (Queries.largeOrders _)
+    "q181_large_orders" -> (Queries.largeOrders _),
+    "q182_cluster_quality" -> (Queries.clusterQualityProfile _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1440,6 +1441,10 @@ object Queries {
     AreaTopProducts.largeOrders(Tables(spark, dir, "lineitem"),
       Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
       Q18MinQty, Q18TopK)
+
+  /** Dedup-cluster-size × q18-quality interaction profile. */
+  def clusterQualityProfile(spark: SparkSession, dir: String): DataFrame =
+    Clustering.clusterQualityProfile(Tables(spark, dir, "documents"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -6356,7 +6361,52 @@ object Oracles {
          |JOIN orders o ON oq.l_orderkey = o.o_orderkey
          |JOIN customer c ON o.o_custkey = c.c_custkey
          |ORDER BY oq.sum_qty DESC, o.o_orderkey
-         |LIMIT ${Queries.Q18TopK}""".stripMargin
+         |LIMIT ${Queries.Q18TopK}""".stripMargin,
+
+    // q42's recursive-CC twin at doc grain × the q18 quality verdict,
+    // collapsed to ⌊log₂ cluster-size⌋ buckets (q129's bitlen).
+    "q182_cluster_quality" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM p
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM p),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+         |comp AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY 1),
+         |cs AS (
+         |  SELECT doc_id,
+         |         CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+         |           AS cluster_size
+         |  FROM comp),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS tokens
+         |      FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(len(tokens) AS BIGINT) AS token_count,
+         |         CAST(FLOOR(10000.0 *
+         |           CAST(len(list_filter(tokens, x -> length(x) <= 2))
+         |             AS BIGINT) / CAST(len(tokens) AS BIGINT)) AS BIGINT)
+         |           AS short_bp
+         |  FROM t),
+         |ok AS (
+         |  SELECT doc_id,
+         |         CAST((token_count >= 20 AND short_bp <= 4000) AS INT)
+         |           AS quality_ok
+         |  FROM q),
+         |j AS (
+         |  SELECT CAST(length(format('{:b}', cs.cluster_size)) - 1 AS BIGINT)
+         |           AS bucket,
+         |         ok.quality_ok
+         |  FROM cs JOIN ok ON cs.doc_id = ok.doc_id)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COALESCE(SUM(quality_ok), 0) AS BIGINT) AS n_quality_ok,
+         |       CAST(FLOOR(10000.0 * COALESCE(SUM(quality_ok), 0) / COUNT(*))
+         |         AS BIGINT) AS quality_bp
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

@@ -246,4 +246,36 @@ object Clustering {
         floor(lit(10000.0) * col("n_docs") / sum(col("n_docs")).over(wAll))
           .cast("long"))
   }
+
+  /** Dedup × quality interaction: per ⌊log₂ cluster-size⌋ bucket, how
+    * many docs pass the q18 quality gate — the curation question the
+    * two reports can't answer alone: ARE the heavily-duplicated
+    * clusters (boilerplate, mirrored spam, scraped templates) lower
+    * quality than the singletons? A falling quality_bp with rising
+    * bucket is the empirical license to dedup aggressively; a flat
+    * profile means dedup and quality filtering are independent axes.
+    *
+    * Scale shape: rides [[nearDupClusters]] (CC at representative
+    * grain, q42) joined at doc grain with the q18 quality verdict —
+    * one corpus-grain join, then a ≤64-bucket aggregate. NULL-text
+    * docs carry a NULL verdict (excluded from n_quality_ok, counted
+    * in n_docs — absence is visible, the q143 convention).
+    *
+    * Columns: bucket, n_docs, n_quality_ok, quality_bp. */
+  def clusterQualityProfile(docs: DataFrame, thresholdBp: Long = 8000L,
+      minTokens: Long = 20L, maxShortBp: Long = 4000L): DataFrame = {
+    val cl = nearDupClusters(docs, thresholdBp)
+      .select(col("doc_id"), col("cluster_size"))
+    val q = TextAnalysis.textQuality(docs, minTokens, maxShortBp)
+      .select(col("doc_id"), col("quality_ok").cast("long").as("__ok"))
+    cl.join(q, Seq("doc_id"))
+      .withColumn("bucket", (length(bin(col("cluster_size"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__ok")), lit(0L)).as("n_quality_ok"))
+      .withColumn("quality_bp",
+        floor(lit(10000.0) * col("n_quality_ok") / col("n_docs"))
+          .cast("long"))
+      .orderBy(col("bucket").asc)
+  }
 }

@@ -349,14 +349,9 @@ object Market {
         .groupBy(col("prev_item"), col("item").as("next_item"))
         .agg(count(lit(1)).as("n"))
     }
-    val train = pairCounts(withItem.filter(col("ts") < split))
     val test = pairCounts(withItem.filter(col("ts") >= split))
-    val byPrev = Window.partitionBy(col("prev_item"))
-      .orderBy(col("n").desc, col("next_item").asc)
-    val model = train
-      .withColumn("__rn", row_number().over(byPrev))
-      .filter(col("__rn") === 1)
-      .select(col("prev_item"), col("next_item").as("predicted"))
+    val model = majorityNextItemModel(events.filter(col("ts") < split),
+      itemCol)
     test.join(model, Seq("prev_item"), "left")
       .agg(
         coalesce(sum(col("n")), lit(0L)).as("n_test"),
@@ -371,5 +366,34 @@ object Market {
         when(col("n_covered") === 0L, 0L)
           .otherwise(floor(lit(10000.0) * col("n_hits") / col("n_covered"))
             .cast("long")).as("covered_acc_bp"))
+  }
+
+  /** The majority-transition next-item model as a standalone surface:
+    * per previous item, the most frequent within-session successor
+    * (ties to the smaller item — deterministic). [[nextItemBacktest]]
+    * trains this on its pre-split half; `streaming/ScoreStream`
+    * broadcasts the same table against a live event stream. Item-
+    * catalog grain: broadcast-sized in practice.
+    *
+    * Columns: prev_item, predicted. */
+  def majorityNextItemModel(events: DataFrame,
+      itemCol: String = "$.k"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Sessionize.assignSessions(events
+        .withColumn("item", get_json_object(col("props"), itemCol).cast("long"))
+        .filter(col("item").isNotNull))
+      .withColumn("prev_item", lag(col("item"), 1).over(bySession))
+      .filter(col("prev_item").isNotNull)
+      .groupBy(col("prev_item"), col("item").as("next_item"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy(col("prev_item"))
+      .orderBy(col("n").desc, col("next_item").asc)
+    pairs
+      .withColumn("__rn", row_number().over(byPrev))
+      .filter(col("__rn") === 1)
+      .select(col("prev_item"), col("next_item").as("predicted"))
   }
 }
