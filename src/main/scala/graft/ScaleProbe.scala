@@ -380,6 +380,7 @@ object ScaleProbe {
       lineitem))
     t("large orders")(graft.ops.AreaTopProducts.largeOrders(
       lineitem, orders, dim("customer"), 150L))
+    t("cluster quality")(graft.ops.Clustering.clusterQualityProfile(docs))
     spark.stop()
   }
 }
