@@ -922,6 +922,32 @@ object GraftProperties extends Properties("graft") {
           else math.floor(10000.0 * nHits / nCov).toLong)
     }
 
+  property("smallQuantityRevenue == JVM brute force (exact integer threshold)") =
+    forAll(for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, for {
+        part <- Gen.choose(1L, 6L)
+        qty <- Gen.choose(1L, 50L)
+        price <- Gen.choose(100L, 99999L).map(_ / 100.0)
+        disc <- Gen.oneOf(0.0, 0.05, 0.1)
+      } yield (part, qty, price, disc))
+    } yield rows) { rows =>
+      val s = spark
+      import s.implicits._
+      val li = rows.map { case (p, q, pr, d) => (p, q.toDouble, pr, d) }
+        .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val r = graft.ops.AreaTopProducts.smallQuantityRevenue(li)
+        .collect().head
+      val byPart = rows.groupBy(_._1).map { case (p, xs) =>
+        p -> ((xs.map(_._2).sum, xs.size.toLong)) }
+      val sel = rows.filter { case (p, q, _, _) =>
+        val (sq, c) = byPart(p); 5L * q * c < sq }
+      val cents = sel.map { case (_, _, pr, d) =>
+        math.floor(pr * (1.0 - d) * 100.0).toLong }.sum
+      r.getAs[Long]("n_items") == sel.size.toLong &&
+        r.getAs[Long]("revenue_cents") == cents
+    }
+
   property("dedupThresholdCurve: monotone; operating-point row == q22 set") =
     forAll(genDocs) { rows =>
       val docs = docsDf(rows)
