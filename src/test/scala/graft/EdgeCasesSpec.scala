@@ -466,4 +466,66 @@ class EdgeCasesSpec extends SparkSpec {
         ((r.getAs[Long]("token_count"), r.getAs[Long]("total_log2")))).toMap
     assert(su == Map(1L -> ((3L, 0L)), 2L -> ((1L, 2L))))
   }
+
+  test("engagement gini (q176): empty frame and all-null keys report zeros") {
+    val s = spark
+    import s.implicits._
+    val empty = Profile.engagementInequality(
+      emptyEvents.select(col("user_id").as("k")), "k").collect().head
+    assert((empty.getAs[Long]("n_keys"), empty.getAs[Long]("n_rows"),
+      empty.getAs[Long]("gini_bp"), empty.getAs[Long]("top_decile_bp")) ==
+      ((0L, 0L, 0L, 0L)))
+    val nulls = Profile.engagementInequality(
+      Seq[Option[Long]](None, None).toDF("k"), "k").collect().head
+    assert(nulls.getAs[Long]("n_keys") == 0L &&
+      nulls.getAs[Long]("n_rows") == 0L)
+    // one key owns everything: gini over n=1 is 0, top decile is 100%
+    val one = Profile.engagementInequality(
+      Seq(5L, 5L, 5L).toDF("k"), "k").collect().head
+    assert((one.getAs[Long]("n_keys"), one.getAs[Long]("gini_bp"),
+      one.getAs[Long]("top_decile_bp")) == ((1L, 0L, 10000L)))
+  }
+
+  test("next-item backtest (q177): empty halves report zero accuracy, not a crash") {
+    // all events AFTER the split: empty model, everything cold
+    val afterOnly = graft.ops.Market.nextItemBacktest(oneEvent, "2020-01-01")
+      .collect().head
+    assert(afterOnly.getAs[Long]("n_covered") == 0L &&
+      afterOnly.getAs[Long]("acc_bp") == 0L)
+    // all events BEFORE the split: nothing to score
+    val beforeOnly = graft.ops.Market.nextItemBacktest(oneEvent, "2030-01-01")
+      .collect().head
+    assert(beforeOnly.getAs[Long]("n_test") == 0L &&
+      beforeOnly.getAs[Long]("acc_bp") == 0L)
+  }
+
+  test("TPC-H shapes (q179/q180/q181) on empty lineitem: empty or zero-row reports") {
+    val s = spark
+    import s.implicits._
+    val emptyLi = Seq.empty[(Long, Long, Long, Double, Double, Double, Timestamp)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate")
+    val sup = Seq((1L, "s1")).toDF("s_suppkey", "s_name")
+    assert(AreaTopProducts.topSupplier(emptyLi, sup,
+      "1996-01-01", "1997-01-01").count() == 0)
+    val sq = AreaTopProducts.smallQuantityRevenue(emptyLi).collect().head
+    assert((sq.getAs[Long]("n_items"), sq.getAs[Long]("revenue_cents")) ==
+      ((0L, 0L)))
+    val ord = Seq.empty[(Long, Long, Timestamp, Double)]
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((1L, "c1")).toDF("c_custkey", "c_name")
+    assert(AreaTopProducts.largeOrders(emptyLi, ord, cust, 1L).count() == 0)
+  }
+
+  test("dedup threshold curve (q178): empty corpus keeps every threshold row at zero") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.dedupThresholdCurve(empty, Seq(5000L, 10000L)).collect()
+      .map(r => r.getAs[Long]("threshold_bp") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_dropped"),
+          r.getAs[Long]("drop_bp")))).toMap
+    assert(out == Map(5000L -> ((0L, 0L, 0L)), 10000L -> ((0L, 0L, 0L))))
+  }
 }
