@@ -922,6 +922,31 @@ object GraftProperties extends Properties("graft") {
           else math.floor(10000.0 * nHits / nCov).toLong)
     }
 
+  property("assignSessions == Spark-native session_window (off-boundary gaps)") =
+    forAll(genEvents) { rows =>
+      // Boundary disclosure: our rule keeps gap == 1800 s in-session,
+      // native session_window starts a new one (strict <). genEvents
+      // never emits an exact-1800 gap, so the operators must agree on
+      // every generated history — the living proof that the hand-
+      // rolled (oracle-mirrorable) sessionize IS the built-in
+      // operator's semantics everywhere off that one boundary.
+      val events = df(rows)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))
+      val ours = Sessionize.assignSessions(events)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("a"), max(col("ts")).as("b"),
+          count(lit(1)).as("n"))
+        .select("user_id", "a", "b", "n").collect().map(key).sorted.toSeq
+      val native = events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("a"), max(col("ts")).as("b"),
+          count(lit(1)).as("n"))
+        .select("user_id", "a", "b", "n").collect().map(key).sorted.toSeq
+      ours == native
+    }
+
   property("smallQuantityRevenue == JVM brute force (exact integer threshold)") =
     forAll(for {
       n <- Gen.choose(1, 50)
