@@ -381,6 +381,10 @@ object ScaleProbe {
     t("large orders")(graft.ops.AreaTopProducts.largeOrders(
       lineitem, orders, dim("customer"), 150L))
     t("cluster quality")(graft.ops.Clustering.clusterQualityProfile(docs))
+    t("revenue seasonality")(graft.ops.Retention.revenueSeasonality(orders))
+    t("order gap quantiles")(graft.ops.Retention.orderGapQuantiles(
+      orders, dim("customer"), Seq(5000L, 9000L, 9900L)))
+    t("pareto coverage")(graft.ops.Profile.paretoCoverage(orders))
     spark.stop()
   }
 }

@@ -209,7 +209,10 @@ object SparkEntry {
     "q179_top_supplier" -> (Queries.topSupplier _),
     "q180_small_qty_revenue" -> (Queries.smallQuantityRevenue _),
     "q181_large_orders" -> (Queries.largeOrders _),
-    "q182_cluster_quality" -> (Queries.clusterQualityProfile _)
+    "q182_cluster_quality" -> (Queries.clusterQualityProfile _),
+    "q183_revenue_seasonality" -> (Queries.revenueSeasonality _),
+    "q184_order_gap_quantiles" -> (Queries.orderGapQuantiles _),
+    "q185_pareto_coverage" -> (Queries.paretoCoverage _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1445,6 +1448,21 @@ object Queries {
   /** Dedup-cluster-size × q18-quality interaction profile. */
   def clusterQualityProfile(spark: SparkSession, dir: String): DataFrame =
     Clustering.clusterQualityProfile(Tables(spark, dir, "documents"))
+
+  /** Calendar-month revenue seasonality index. */
+  def revenueSeasonality(spark: SparkSession, dir: String): DataFrame =
+    Retention.revenueSeasonality(Tables(spark, dir, "orders"))
+
+  /** Inter-purchase interval quantile panel per market segment. */
+  def orderGapQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Retention.orderGapQuantiles(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), QuantileRanks)
+
+  val ParetoTargetBp = 8000L
+
+  /** Minimal customers covering 80% of revenue (exact Pareto point). */
+  def paretoCoverage(spark: SparkSession, dir: String): DataFrame =
+    Profile.paretoCoverage(Tables(spark, dir, "orders"), ParetoTargetBp)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -6406,7 +6424,93 @@ object Oracles {
          |       CAST(COALESCE(SUM(quality_ok), 0) AS BIGINT) AS n_quality_ok,
          |       CAST(FLOOR(10000.0 * COALESCE(SUM(quality_ok), 0) / COUNT(*))
          |         AS BIGINT) AS quality_bp
-         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q183_revenue_seasonality" ->
+      s"""WITH m AS (
+         |  SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+         |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS month_cents
+         |  FROM orders GROUP BY 1)
+         |SELECT month, n_orders, month_cents,
+         |       CAST(FLOOR(10000.0 * month_cents * 12 /
+         |         SUM(month_cents) OVER ()) AS BIGINT) AS index_bp
+         |FROM m ORDER BY month""".stripMargin,
+
+    // gap lag per customer, then the q139/q165 exact quantile twin at
+    // segment grain (value = gap days, cents = days × 100)
+    "q184_order_gap_quantiles" -> {
+      val picks = Queries.QuantileRanks.map { p =>
+        s"""SELECT c_mktsegment, CAST($p AS BIGINT) AS rank_bp,
+           |       CAST(FLOOR(MIN(CASE WHEN cum >= ((n * $p + 9999) // 10000)
+           |         THEN v END) * 100) AS BIGINT) AS value_cents,
+           |       CAST(MIN(n) AS BIGINT) AS n_rows
+           |FROM c GROUP BY 1""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH g AS (
+         |  SELECT o_custkey,
+         |         CAST(date_diff('day',
+         |           CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+         |             ORDER BY o_orderdate, o_orderkey) AS DATE),
+         |           CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+         |  FROM orders),
+         |h AS (
+         |  SELECT cu.c_mktsegment, g.gap_days AS v, COUNT(*) AS cnt
+         |  FROM g JOIN customer cu ON g.o_custkey = cu.c_custkey
+         |  WHERE g.gap_days IS NOT NULL
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *,
+         |         SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY v) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n
+         |  FROM h)
+         |$picks""".stripMargin
+    },
+
+    // top-down revenue-value histogram walk; the prorate ceil is
+    // exact HUGEINT division (the Spark side's decimal candidate is
+    // corrected by the same integer comparisons)
+    "q185_pareto_coverage" -> {
+      val bp = Queries.ParetoTargetBp
+      s"""WITH cr AS (
+         |  SELECT o_custkey,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS v
+         |  FROM orders GROUP BY 1),
+         |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS m
+         |      FROM cr WHERE v > 0 GROUP BY 1),
+         |w AS (
+         |  SELECT v, m,
+         |         COALESCE(SUM(CAST(v AS HUGEINT) * CAST(m AS HUGEINT))
+         |           OVER (ORDER BY v DESC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cb,
+         |         SUM(CAST(v AS HUGEINT) * CAST(m AS HUGEINT)) OVER () AS tot,
+         |         CAST(SUM(m) OVER () AS BIGINT) AS nc
+         |  FROM h),
+         |n AS (SELECT *, (tot * $bp + 9999) // 10000 - cb AS need FROM w),
+         |k AS (
+         |  SELECT *,
+         |         CASE WHEN need <= 0 THEN 0
+         |              WHEN CAST(m AS HUGEINT) * CAST(v AS HUGEINT) < need
+         |                THEN CAST(m AS HUGEINT)
+         |              ELSE (need + v - 1) // v END AS kk
+         |  FROM n),
+         |a AS (
+         |  SELECT CAST(MAX(nc) AS BIGINT) AS n_customers,
+         |         CAST(COALESCE(SUM(kk), 0) AS BIGINT) AS n_top,
+         |         CAST(COALESCE(SUM(kk * CAST(v AS HUGEINT)), 0) AS BIGINT)
+         |           AS covered_cents,
+         |         CAST(COALESCE(MAX(tot), 0) AS BIGINT) AS total_cents
+         |  FROM k)
+         |SELECT COALESCE(n_customers, 0) AS n_customers, n_top,
+         |       covered_cents, total_cents,
+         |       CASE WHEN total_cents = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * covered_cents / total_cents)
+         |              AS BIGINT) END AS top_share_bp
+         |FROM a""".stripMargin
+    }
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

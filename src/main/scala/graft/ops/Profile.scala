@@ -375,6 +375,80 @@ object Profile {
             col("n_rows")).cast("long")).as("top_decile_bp"))
   }
 
+  /** Pareto coverage: the MINIMAL number of customers whose summed
+    * revenue reaches `targetBp` of the total — the literal "how many
+    * customers are 80% of the business" number, with the exact share
+    * those customers actually hold ([[engagementInequality]] is the
+    * whole-curve summary; this is the one point management asks for).
+    *
+    * Exact at scale without a per-customer sort: collapse to
+    * REVENUE-VALUE grain (m customers share revenue v) and walk the
+    * histogram from the top; tied customers are interchangeable so
+    * the boundary group is prorated by ⌈need/v⌉ — integer-exact.
+    * The one decimal division (the prorate ceil) uses the flog2Ratio
+    * convention: an approximate candidate, then exact integer
+    * comparisons own the ±1 correction. All sums ride
+    * decimal(18,0)→(38,0); total/covered are emitted as BIGINT cents
+    * (exact to ±92 quadrillion dollars — beyond any revenue).
+    *
+    * Zero-revenue customers are excluded (they can never help reach
+    * the target; the count is customers WITH revenue). One row:
+    * n_customers, n_top, covered_cents, total_cents, top_share_bp. */
+  def paretoCoverage(orders: DataFrame, targetBp: Long = 8000L): DataFrame = {
+    require(targetBp >= 1L && targetBp <= 10000L,
+      "targetBp must be in [1, 10000]")
+    import org.apache.spark.sql.expressions.Window
+    val d18 = (c: Column) => c.cast("decimal(18,0)")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val hist = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("v"))
+      .filter(col("v") > 0L)
+      .groupBy(col("v")).agg(count(lit(1)).as("m"))
+    val desc = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rows = hist.select(col("v"), col("m"),
+        coalesce(sum(d18(col("v")) * d18(col("m"))).over(desc),
+          lit(0).cast("decimal(38,0)")).as("cb"),
+        sum(d18(col("v")) * d18(col("m"))).over(wAll).as("tot"),
+        sum(col("m")).over(wAll).as("nc"))
+      // t = ⌈tot·bp/10000⌉: the /10000 quotient terminates at 4
+      // decimals, so the scale-6 division is EXACT and floor is safe
+      .withColumn("t", d38(floor(
+        (col("tot") * lit(targetBp) + lit(9999)) / lit(10000))))
+      .withColumn("need", col("t") - col("cb"))
+      // candidate ⌈need/v⌉ (scale-6 division may round near integers)
+      .withColumn("kc", d38(floor(
+        (col("need") + d38(col("v")) - lit(1)) / d38(col("v")))))
+      .withColumn("k",
+        when(col("need") <= lit(0), lit(0).cast("decimal(38,0)"))
+          .when(d18(col("m")) * d18(col("v")) < col("need"),
+            d38(d18(col("m")))) // whole group needed, still short
+          .otherwise( // exact integer comparisons own the ±1
+            when(col("kc") * d38(col("v")) < col("need"), col("kc") + lit(1))
+              .when((col("kc") - lit(1)) * d38(col("v")) >= col("need"),
+                col("kc") - lit(1))
+              .otherwise(col("kc"))))
+    rows.agg(
+        coalesce(max(col("nc")), lit(0L)).as("n_customers"),
+        coalesce(sum(col("k")), lit(0).cast("decimal(38,0)")).as("__k"),
+        coalesce(sum(col("k") * d38(col("v"))),
+          lit(0).cast("decimal(38,0)")).as("__cov"),
+        coalesce(max(col("tot")), lit(0).cast("decimal(38,0)")).as("__tot"))
+      .select(col("n_customers"),
+        col("__k").cast("long").as("n_top"),
+        col("__cov").cast("long").as("covered_cents"),
+        col("__tot").cast("long").as("total_cents"))
+      // the bp ratio reads the BIGINT columns so the double expression
+      // is textually identical to the oracle's
+      .withColumn("top_share_bp",
+        when(col("total_cents") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("covered_cents") /
+            col("total_cents")).cast("long")))
+  }
+
   def keyChurn(df: DataFrame, keyCol: String, tsCol: String,
       splitDate: String): DataFrame = {
     val pre = col(tsCol) < to_timestamp(lit(splitDate))

@@ -409,4 +409,56 @@ object Retention {
         concat(lit("R"), col("r_tier"), lit("F"), col("f_tier"),
           lit("M"), col("m_tier")).as("segment"))
   }
+
+  /** Revenue seasonality index: per calendar month (1-12, all years
+    * pooled), order count, revenue, and the index against a flat
+    * year — index_bp = ⌊10000·month_cents·12/total_cents⌋, so 10000
+    * means an average month, 13000 a +30% season — the
+    * capacity-planning twin of [[hourlyProfile]] at order grain.
+    *
+    * Header-grain money (o_totalprice; q163 reconciles headers
+    * against lines, so the cheaper scan is the honest one here).
+    * One orders scan, a ≤12-row aggregate, a window denominator.
+    * Columns: month, n_orders, month_cents, index_bp. */
+  def revenueSeasonality(orders: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy()
+    orders
+      .select(month(col("o_orderdate")).cast("long").as("month"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("month_cents"))
+      .withColumn("index_bp",
+        floor(lit(10000.0) * col("month_cents") * lit(12L) /
+          sum(col("month_cents")).over(wAll)).cast("long"))
+      .orderBy(col("month").asc)
+  }
+
+  /** Inter-purchase interval panel: nearest-rank quantiles of the
+    * days between a customer's consecutive orders, per market
+    * segment — the reorder-cycle read behind replenishment
+    * campaigns ([[returnTimes]] is the session-grain cousin; this is
+    * order grain with the house exact-quantile machinery).
+    *
+    * Scale shape: one customer-grain window (lag over order date),
+    * a segment join (customer dim, unhinted — AQE), then
+    * [[Percentiles.quantileTable]]'s value-grain histogram — the
+    * window never sees row grain per segment. Columns:
+    * c_mktsegment, rank_bp, value_cents (= gap days × 100), n_rows. */
+  def orderGapQuantiles(orders: DataFrame, customer: DataFrame,
+      ranksBp: Seq[Long]): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val gaps = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("__prev", lag(col("o_orderdate"), 1).over(byCust))
+      .filter(col("__prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("__prev")).cast("long")
+          .as("gap_days"))
+    Percentiles.quantileTable(
+      gaps.join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("gap_days")),
+      "c_mktsegment", "gap_days", ranksBp)
+  }
 }

@@ -922,6 +922,33 @@ object GraftProperties extends Properties("graft") {
           else math.floor(10000.0 * nHits / nCov).toLong)
     }
 
+  property("paretoCoverage == JVM greedy brute force at adversarial targets") =
+    forAll(for {
+      n <- Gen.choose(0, 40)
+      vs <- Gen.listOfN(n, Gen.choose(1L, 500L)) // whole dollars: exact cents
+      bp <- Gen.oneOf(1L, 2500L, 8000L, 9999L, 10000L)
+    } yield (vs, bp)) { case (vs, bp) =>
+      val s = spark
+      import s.implicits._
+      val orders = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.toDouble) }.toDF("o_custkey", "o_totalprice")
+      val r = graft.ops.Profile.paretoCoverage(orders, bp).collect().head
+      val cents = vs.map(100L * _).sortBy(-_)
+      val total = cents.sum
+      val t = (BigInt(total) * bp + 9999) / 10000
+      var cum = BigInt(0); var k = 0L
+      cents.takeWhile { c =>
+        val go = cum < t; if (go) { cum += c; k += 1 }; go
+      }
+      val share = if (total == 0L) 0L
+        else math.floor(10000.0 * cum.toLong / total).toLong
+      r.getAs[Long]("n_customers") == vs.size.toLong &&
+        r.getAs[Long]("n_top") == k &&
+        r.getAs[Long]("covered_cents") == cum.toLong &&
+        r.getAs[Long]("total_cents") == total &&
+        r.getAs[Long]("top_share_bp") == share
+    }
+
   property("assignSessions == Spark-native session_window (off-boundary gaps)") =
     forAll(genEvents) { rows =>
       // Boundary disclosure: our rule keeps gap == 1800 s in-session,

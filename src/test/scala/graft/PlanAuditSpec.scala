@@ -1013,6 +1013,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("l_orderkey"), s"scan not pruned: $readSchema")
   }
 
+  test("q183 seasonality: one pruned orders scan into the 12-row month grain") {
+    val p = plan("q183_revenue_seasonality")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("o_custkey") &&
+      !readSchema.contains("o_orderpriority"), s"scan not pruned: $readSchema")
+  }
+
+  test("q184 order gaps: gap lag on one o_custkey shuffle; segment quantiles never see row grain") {
+    val p = plan("q184_order_gap_quantiles")
+    assert("Exchange hashpartitioning\\(o_custkey".r
+      .findAllIn(stripCached(p)).length == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q185 pareto: one customer-grain shuffle; histogram walk at value grain; pruned scan") {
+    val p = plan("q185_pareto_coverage")
+    assert("Exchange hashpartitioning\\(o_custkey".r
+      .findAllIn(stripCached(p)).length == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("o_orderdate"), s"scan not pruned: $readSchema")
+  }
+
   test("q181 large orders: HAVING filters the order grain BEFORE the joins; TakeOrdered head") {
     val p = plan("q181_large_orders")
     assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
