@@ -385,6 +385,8 @@ object ScaleProbe {
     t("order gap quantiles")(graft.ops.Retention.orderGapQuantiles(
       orders, dim("customer"), Seq(5000L, 9000L, 9900L)))
     t("pareto coverage")(graft.ops.Profile.paretoCoverage(orders))
+    t("yoy growth")(graft.ops.Retention.yoyMonthlyGrowth(orders))
+    t("priority mix")(graft.ops.Retention.priorityMixShift(orders))
     spark.stop()
   }
 }

@@ -212,7 +212,9 @@ object SparkEntry {
     "q182_cluster_quality" -> (Queries.clusterQualityProfile _),
     "q183_revenue_seasonality" -> (Queries.revenueSeasonality _),
     "q184_order_gap_quantiles" -> (Queries.orderGapQuantiles _),
-    "q185_pareto_coverage" -> (Queries.paretoCoverage _)
+    "q185_pareto_coverage" -> (Queries.paretoCoverage _),
+    "q186_yoy_growth" -> (Queries.yoyMonthlyGrowth _),
+    "q187_priority_mix" -> (Queries.priorityMixShift _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1463,6 +1465,14 @@ object Queries {
   /** Minimal customers covering 80% of revenue (exact Pareto point). */
   def paretoCoverage(spark: SparkSession, dir: String): DataFrame =
     Profile.paretoCoverage(Tables(spark, dir, "orders"), ParetoTargetBp)
+
+  /** Year-over-year monthly revenue growth (strict year−1 pairing). */
+  def yoyMonthlyGrowth(spark: SparkSession, dir: String): DataFrame =
+    Retention.yoyMonthlyGrowth(Tables(spark, dir, "orders"))
+
+  /** Order-priority mix by year with the YoY share movement. */
+  def priorityMixShift(spark: SparkSession, dir: String): DataFrame =
+    Retention.priorityMixShift(Tables(spark, dir, "orders"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -6510,7 +6520,51 @@ object Oracles {
          |            ELSE CAST(FLOOR(10000.0 * covered_cents / total_cents)
          |              AS BIGINT) END AS top_share_bp
          |FROM a""".stripMargin
-    }
+    },
+
+    "q186_yoy_growth" ->
+      s"""WITH m AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         |         CAST(month(o_orderdate) AS BIGINT) AS month,
+         |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS month_cents
+         |  FROM orders GROUP BY 1, 2),
+         |l AS (
+         |  SELECT *,
+         |         lag(month_cents) OVER (PARTITION BY month ORDER BY year)
+         |           AS prev,
+         |         lag(year) OVER (PARTITION BY month ORDER BY year)
+         |           AS prev_year
+         |  FROM m)
+         |SELECT year, month, n_orders, month_cents,
+         |       CASE WHEN prev IS NULL OR prev_year != year - 1 THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 * month_cents / prev) - 10000
+         |              AS BIGINT) END AS growth_bp
+         |FROM l ORDER BY year, month""".stripMargin,
+
+    "q187_priority_mix" ->
+      s"""WITH y AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         |         o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+         |  FROM orders GROUP BY 1, 2),
+         |s AS (
+         |  SELECT *,
+         |         CAST(FLOOR(10000.0 * n_orders /
+         |           SUM(n_orders) OVER (PARTITION BY year)) AS BIGINT)
+         |           AS share_bp
+         |  FROM y),
+         |l AS (
+         |  SELECT *,
+         |         lag(share_bp) OVER (PARTITION BY o_orderpriority
+         |           ORDER BY year) AS prev,
+         |         lag(year) OVER (PARTITION BY o_orderpriority
+         |           ORDER BY year) AS prev_year
+         |  FROM s)
+         |SELECT year, o_orderpriority, n_orders, share_bp,
+         |       CASE WHEN prev IS NULL OR prev_year != year - 1 THEN NULL
+         |            ELSE share_bp - prev END AS delta_bp
+         |FROM l ORDER BY year, o_orderpriority""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

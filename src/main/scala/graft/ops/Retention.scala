@@ -461,4 +461,64 @@ object Retention {
         .select(col("c_mktsegment"), col("gap_days")),
       "c_mktsegment", "gap_days", ranksBp)
   }
+
+  /** Year-over-year monthly revenue growth: per (year, month), the
+    * revenue and its growth vs the SAME month one year earlier —
+    * the seasonality-adjusted trend ([[revenueSeasonality]] pools
+    * years; this is the per-year movement that tells growth from
+    * season). growth_bp = ⌊10000·cents/prev_cents⌋ − 10000 (so +1200
+    * is +12%); NULL for a month with no prior-year twin (absence
+    * visible, the q143 convention).
+    *
+    * Scale shape: one pruned orders scan to the (year × month) grain
+    * (≤ years·12 rows), then a 12-month lag over the month PARTITION
+    * — never a row-grain window. Columns: year, month, n_orders,
+    * month_cents, growth_bp. */
+  def yoyMonthlyGrowth(orders: DataFrame): DataFrame = {
+    val byMonth = Window.partitionBy(col("month")).orderBy(col("year").asc)
+    orders
+      .select(year(col("o_orderdate")).cast("long").as("year"),
+        month(col("o_orderdate")).cast("long").as("month"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      .groupBy(col("year"), col("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("month_cents"))
+      .withColumn("__prev", lag(col("month_cents"), 1).over(byMonth))
+      .withColumn("__prev_year", lag(col("year"), 1).over(byMonth))
+      // strictly year−1: a month absent in the prior year reports
+      // NULL, not growth vs whatever older year happened to exist
+      .select(col("year"), col("month"), col("n_orders"), col("month_cents"),
+        when(col("__prev").isNull || col("__prev_year") =!= col("year") - 1L,
+          lit(null).cast("long"))
+          .otherwise((floor(lit(10000.0) * col("month_cents") /
+            col("__prev")) - lit(10000L)).cast("long")).as("growth_bp"))
+      .orderBy(col("year").asc, col("month").asc)
+  }
+
+  /** Order-priority mix by year: per (year, priority), order share in
+    * bp and the share's movement vs the prior year — is URGENT
+    * creeping up (an ops-load leading indicator). Same grain budget
+    * as [[yoyMonthlyGrowth]]: one pruned scan, a years×priorities
+    * aggregate, two tiny windows. Columns: year, o_orderpriority,
+    * n_orders, share_bp, delta_bp (NULL on the first year). */
+  def priorityMixShift(orders: DataFrame): DataFrame = {
+    val byYear = Window.partitionBy(col("year"))
+    val byPriority = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("year").asc)
+    orders
+      .select(year(col("o_orderdate")).cast("long").as("year"),
+        col("o_orderpriority"))
+      .groupBy(col("year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("share_bp",
+        floor(lit(10000.0) * col("n_orders") /
+          sum(col("n_orders")).over(byYear)).cast("long"))
+      .withColumn("__prev", lag(col("share_bp"), 1).over(byPriority))
+      .withColumn("__prev_year", lag(col("year"), 1).over(byPriority))
+      .select(col("year"), col("o_orderpriority"), col("n_orders"),
+        col("share_bp"),
+        when(col("__prev").isNull || col("__prev_year") =!= col("year") - 1L,
+          lit(null).cast("long"))
+          .otherwise(col("share_bp") - col("__prev")).as("delta_bp"))
+      .orderBy(col("year").asc, col("o_orderpriority").asc)
+  }
 }

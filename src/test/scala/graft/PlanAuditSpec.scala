@@ -1036,6 +1036,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("o_orderdate"), s"scan not pruned: $readSchema")
   }
 
+  test("q186/q187 time-hierarchy reports: one pruned orders scan each, windows at the tiny grain") {
+    Seq("q186_yoy_growth", "q187_priority_mix").foreach { q =>
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, s"$q:\n$p")
+      val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+      assert(!readSchema.contains("o_custkey"), s"$q scan not pruned: $readSchema")
+    }
+  }
+
   test("q181 large orders: HAVING filters the order grain BEFORE the joins; TakeOrdered head") {
     val p = plan("q181_large_orders")
     assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
