@@ -387,6 +387,9 @@ object ScaleProbe {
     t("pareto coverage")(graft.ops.Profile.paretoCoverage(orders))
     t("yoy growth")(graft.ops.Retention.yoyMonthlyGrowth(orders))
     t("priority mix")(graft.ops.Retention.priorityMixShift(orders))
+    t("nation movers")(graft.ops.AreaTopProducts.nationRankMovers(
+      lineitem, orders, dim("customer"), dim("nation")))
+    t("discount bands")(graft.ops.AreaTopProducts.discountBands(lineitem))
     spark.stop()
   }
 }

@@ -214,7 +214,9 @@ object SparkEntry {
     "q184_order_gap_quantiles" -> (Queries.orderGapQuantiles _),
     "q185_pareto_coverage" -> (Queries.paretoCoverage _),
     "q186_yoy_growth" -> (Queries.yoyMonthlyGrowth _),
-    "q187_priority_mix" -> (Queries.priorityMixShift _)
+    "q187_priority_mix" -> (Queries.priorityMixShift _),
+    "q188_nation_movers" -> (Queries.nationRankMovers _),
+    "q189_discount_bands" -> (Queries.discountBands _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1473,6 +1475,16 @@ object Queries {
   /** Order-priority mix by year with the YoY share movement. */
   def priorityMixShift(spark: SparkSession, dir: String): DataFrame =
     Retention.priorityMixShift(Tables(spark, dir, "orders"))
+
+  /** Nation revenue league table with YoY rank movement. */
+  def nationRankMovers(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.nationRankMovers(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "nation"))
+
+  /** Discount-band effectiveness curve. */
+  def discountBands(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.discountBands(Tables(spark, dir, "lineitem"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -6564,7 +6576,48 @@ object Oracles {
          |SELECT year, o_orderpriority, n_orders, share_bp,
          |       CASE WHEN prev IS NULL OR prev_year != year - 1 THEN NULL
          |            ELSE share_bp - prev END AS delta_bp
-         |FROM l ORDER BY year, o_orderpriority""".stripMargin
+         |FROM l ORDER BY year, o_orderpriority""".stripMargin,
+
+    "q188_nation_movers" ->
+      s"""WITH yn AS (
+         |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         |         n.n_name,
+         |         CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+         |           * 100.0) AS BIGINT)) AS BIGINT) AS nation_cents
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY o_year
+         |    ORDER BY nation_cents DESC, n_name ASC) AS BIGINT) AS rank
+         |  FROM yn),
+         |l AS (
+         |  SELECT *,
+         |         lag(rank) OVER (PARTITION BY n_name ORDER BY o_year)
+         |           AS prev_rank,
+         |         lag(o_year) OVER (PARTITION BY n_name ORDER BY o_year)
+         |           AS prev_year
+         |  FROM r)
+         |SELECT o_year, n_name, nation_cents, rank,
+         |       CASE WHEN prev_rank IS NULL OR prev_year != o_year - 1
+         |            THEN NULL ELSE prev_rank - rank END AS rank_delta
+         |FROM l ORDER BY o_year, rank""".stripMargin,
+
+    "q189_discount_bands" ->
+      s"""WITH b AS (
+         |  SELECT CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)
+         |           AS discount_pct,
+         |         CAST(l_quantity AS BIGINT) AS qty,
+         |         CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)
+         |           AS BIGINT) AS rev_cents
+         |  FROM lineitem)
+         |SELECT discount_pct, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |       CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
+         |       CAST(SUM(qty) AS BIGINT) * 100 // CAST(COUNT(*) AS BIGINT)
+         |         AS avg_qty_x100
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

@@ -498,4 +498,67 @@ object AreaTopProducts {
       .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
       .limit(k)
   }
+
+  /** Nation revenue league table with rank movement: per order year,
+    * each customer nation's revenue, its rank (revenue desc, name
+    * asc), and how many places it moved vs the PREVIOUS year —
+    * positive rank_delta means climbed. The "market movers" read on
+    * top of q136's single-window snapshot. Strict year−1 pairing (the
+    * q186 convention): a nation absent the prior year reports NULL.
+    *
+    * Scale shape: the q170 join chain to (year × nation) grain
+    * (≤ years·25 rows), then two windows over that tiny grain —
+    * rank within year, lag within nation. */
+  def nationRankMovers(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame): DataFrame = {
+    val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(100.0)).cast("long")
+    val yearNation = lineitem
+      .select(col("l_orderkey"), rev.as("rev_cents"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("o_year"), col("n_name"))
+      .agg(sum(col("rev_cents")).as("nation_cents"))
+    val inYear = Window.partitionBy(col("o_year"))
+      .orderBy(col("nation_cents").desc, col("n_name").asc)
+    val byNation = Window.partitionBy(col("n_name")).orderBy(col("o_year").asc)
+    yearNation
+      .withColumn("rank", row_number().over(inYear).cast("long"))
+      .withColumn("__prev_rank", lag(col("rank"), 1).over(byNation))
+      .withColumn("__prev_year", lag(col("o_year"), 1).over(byNation))
+      .select(col("o_year"), col("n_name"), col("nation_cents"), col("rank"),
+        when(col("__prev_rank").isNull ||
+            col("__prev_year") =!= col("o_year") - 1L,
+          lit(null).cast("long"))
+          .otherwise(col("__prev_rank") - col("rank")).as("rank_delta"))
+      .orderBy(col("o_year").asc, col("rank").asc)
+  }
+
+  /** Discount-band effectiveness: per discount band, item count,
+    * revenue, and mean quantity ×100 — does a deeper discount
+    * actually move more units (TPC-H Q6's question, answered as a
+    * curve instead of one band). Bands are the exact discount values
+    * ×100 rounded to integer bp-of-100 (discounts are hundredths by
+    * schema contract), so banding is exact, not float-binned.
+    *
+    * One fact scan, a ≤|distinct discounts|-row aggregate. Columns:
+    * discount_pct, n_items, revenue_cents, avg_qty_x100. */
+  def discountBands(lineitem: DataFrame): DataFrame = {
+    val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      lit(100.0)).cast("long")
+    lineitem
+      .select(floor(col("l_discount") * lit(100.0) + lit(0.5)).cast("long")
+          .as("discount_pct"),
+        col("l_quantity").cast("long").as("qty"), rev.as("rev_cents"))
+      .groupBy(col("discount_pct"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev_cents")).as("revenue_cents"),
+        expr("sum(qty) * 100L div count(1)").as("avg_qty_x100"))
+      .orderBy(col("discount_pct").asc)
+  }
 }

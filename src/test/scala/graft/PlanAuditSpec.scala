@@ -1036,6 +1036,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("o_orderdate"), s"scan not pruned: $readSchema")
   }
 
+  test("q188 nation movers: nation broadcast; both windows at the year-nation grain; no cartesian") {
+    val p = plan("q188_nation_movers")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"nation not broadcast:\n$p")
+  }
+
+  test("q189 discount bands: join-free single fact pass, 3-column pruned scan") {
+    val p = plan("q189_discount_bands")
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) <= 2, p) // band aggregate + output order
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_shipdate"), s"scan not pruned: $readSchema")
+  }
+
   test("q186/q187 time-hierarchy reports: one pruned orders scan each, windows at the tiny grain") {
     Seq("q186_yoy_growth", "q187_priority_mix").foreach { q =>
       val p = plan(q)
