@@ -61,4 +61,32 @@ class ContractSpec extends AnyFunSuite {
       s"120-query map should stay inline: $sLine")
     assert(wOverflow.isDefined || wLine.contains("\"queries\":{"))
   }
+
+  test("bench history roundtrips and a write preserves other sf sections") {
+    // the contention-defense cross-run trigger reads what the prior
+    // FULL run wrote; a write that dropped the other sf's section
+    // would blind the next driver run after any dev run at sf0.01
+    val sfA = "test://contract-sf-a"
+    val sfB = "test://contract-sf-b"
+    Bench.writeHistory(sfA, Seq(("q01_x", 1.234567, 100L, 2048L)))
+    Bench.writeHistory(sfB, Seq(("q02_y", 0.5, 7L, 0L)))
+    val a = Bench.readHistory(sfA)
+    assert(a == Map("q01_x" -> ((1.235, 100L, 2048L))), a.toString)
+    assert(Bench.readHistory(sfB) == Map("q02_y" -> ((0.5, 7L, 0L))))
+    assert(Bench.readHistory("test://missing").isEmpty)
+  }
+
+  test("bench.json mirror artifact is written with the full map") {
+    // README "Benchmark artifacts": target/bench.json is the
+    // per-query comparison surface now that stdout permanently rides
+    // the queries_in_stderr fallback past ~160 queries
+    // a scratch path: clobbering the REAL target/bench.json from a
+    // test would destroy the driver's artifact if tests run after Bench
+    val json = """{"metric":"steady_total","value":1.0,"unit":"sec","queries":{"01":1.00},"io_total":[1,1],"sf":"test"}"""
+    val path = "target/bench-contract-test.json"
+    Bench.writeMirror(json, path)
+    val p = java.nio.file.Paths.get(path)
+    assert(java.nio.file.Files.exists(p))
+    assert(new String(java.nio.file.Files.readAllBytes(p), "UTF-8") == json)
+  }
 }
