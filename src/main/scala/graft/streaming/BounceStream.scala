@@ -36,13 +36,15 @@ object BounceStream {
   val Tables: Seq[String] = Seq("bounce_entries", "bounce_exits",
     "bounce_bounces")
 
-  /** Per-user open-visit state: O(1) — the entry type is fixed at
-    * open, the exit type overwritten by each later event, nothing is
-    * buffered. A closed user leaves a seq-only TOMBSTONE (startUs ==
-    * -1) so the next session numbers seq+1 (the SessionStream id
-    * contract). */
+  /** Per-user open-visit state: O(1) — entry/exit types plus the
+    * (ts, event_id) coordinates that hold them, so cross-batch
+    * stragglers keep the q162 deterministic order (see [[updateUser]]);
+    * nothing is buffered. A closed user leaves a seq-only TOMBSTONE
+    * (startUs == -1) so the next session numbers seq+1 (the
+    * SessionStream id contract). */
   final case class OpenVisit(seq: Long, startUs: Long, lastUs: Long,
-      steps: Long, entryType: String = "", exitType: String = "") {
+      steps: Long, entryType: String = "", exitType: String = "",
+      entryId: Long = Long.MaxValue, exitId: Long = Long.MinValue) {
     def isTombstone: Boolean = startUs < 0
   }
 
@@ -54,7 +56,18 @@ object BounceStream {
     ClosedVisit(userId, s"${userId}_${s.seq}", s.entryType, s.exitType,
       s.steps)
 
-  /** The state-transition function (exposed for direct unit tests). */
+  /** The state-transition function (exposed for direct unit tests).
+    *
+    * Cross-batch straggler semantics match the batch twin
+    * (`Sessionize.entryExit` over the deterministic (ts, event_id)
+    * order), mirroring SessionStream.updateUser: an event predating
+    * the open visit by more than the gap forms its OWN earlier visit
+    * (a bounce, as the batch sessionizer would have split it); an
+    * in-gap event only takes over the entry role if it precedes the
+    * recorded start — (ts, event_id)-compared against the event that
+    * holds it — and only takes over the exit role if it follows the
+    * recorded end, so a late-arriving mid-visit event can never
+    * overwrite either endpoint. */
   def updateUser(gapSeconds: Long)(
       userId: Long, events: Iterator[Ev],
       state: GroupState[OpenVisit]): Iterator[ClosedVisit] = {
@@ -72,15 +85,37 @@ object BounceStream {
     sorted.foreach { e =>
       val us = e.ts.getTime * 1000L
       open match {
-        case Some(s) if !s.isTombstone && us - s.lastUs <= gapUs =>
-          open = Some(s.copy(lastUs = math.max(s.lastUs, us),
-            steps = s.steps + 1, exitType = e.event_type))
-        case Some(s) =>
-          if (!s.isTombstone) closed += close(userId, s)
+        case Some(s) if s.isTombstone =>
           open = Some(OpenVisit(s.seq + 1, us, us, 1L, e.event_type,
-            e.event_type))
+            e.event_type, e.event_id, e.event_id))
+        case Some(s) if us < s.startUs - gapUs =>
+          // pre-gap straggler: its own earlier single-event visit; the
+          // open visit is not yet emitted, so renumber it after the
+          // straggler — ids stay event-time-ordered (SessionStream
+          // convention)
+          closed += close(userId, OpenVisit(s.seq, us, us, 1L,
+            e.event_type, e.event_type, e.event_id, e.event_id))
+          open = Some(s.copy(seq = s.seq + 1))
+        case Some(s) if us - s.lastUs <= gapUs =>
+          val entryWins = us < s.startUs ||
+            (us == s.startUs && e.event_id < s.entryId)
+          val exitWins = us > s.lastUs ||
+            (us == s.lastUs && e.event_id > s.exitId)
+          open = Some(s.copy(
+            startUs = math.min(s.startUs, us),
+            lastUs = math.max(s.lastUs, us),
+            steps = s.steps + 1,
+            entryType = if (entryWins) e.event_type else s.entryType,
+            exitType = if (exitWins) e.event_type else s.exitType,
+            entryId = if (entryWins) e.event_id else s.entryId,
+            exitId = if (exitWins) e.event_id else s.exitId))
+        case Some(s) =>
+          closed += close(userId, s)
+          open = Some(OpenVisit(s.seq + 1, us, us, 1L, e.event_type,
+            e.event_type, e.event_id, e.event_id))
         case None =>
-          open = Some(OpenVisit(1L, us, us, 1L, e.event_type, e.event_type))
+          open = Some(OpenVisit(1L, us, us, 1L, e.event_type, e.event_type,
+            e.event_id, e.event_id))
       }
     }
     open.foreach { s =>

@@ -97,6 +97,49 @@ class BounceStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("updateUser: cross-batch stragglers keep the (ts, event_id) entry/exit order") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def usOf(sec: Long) = (T0 + sec * 1000) * 1000L
+    // open visit [1000s view .. 1060s click], ids 10 (entry) / 11 (exit)
+    val open = BounceStream.OpenVisit(3L, usOf(1000), usOf(1060), 2L,
+      "view", "click", 10L, 11L)
+    def st() = TestGroupState.create[BounceStream.OpenVisit](
+      org.apache.spark.api.java.Optional.of(open),
+      GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+
+    // (a) mid-visit straggler (between start and last): merges but
+    // takes NEITHER endpoint — the pre-fix bug overwrote exit_type
+    val stA = st()
+    assert(BounceStream.updateUser(1800L)(
+      1L, Iterator(Ev(1, 20, ts(1030), "signup")), stA).isEmpty)
+    assert(stA.get == BounceStream.OpenVisit(3L, usOf(1000), usOf(1060), 3L,
+      "view", "click", 10L, 11L))
+
+    // (b) gap-close straggler BEFORE start: becomes the entry
+    val stB = st()
+    assert(BounceStream.updateUser(1800L)(
+      1L, Iterator(Ev(1, 21, ts(900), "promo")), stB).isEmpty)
+    assert(stB.get == BounceStream.OpenVisit(3L, usOf(900), usOf(1060), 3L,
+      "promo", "click", 21L, 11L))
+
+    // (c) straggler more than a gap before start: its own earlier
+    // bounce visit under the current seq; open visit renumbered
+    val stC = st()
+    val outC = BounceStream.updateUser(100L)(
+      1L, Iterator(Ev(1, 22, ts(200), "ad")), stC).toSeq
+    assert(outC == Seq(BounceStream.ClosedVisit(1L, "1_3", "ad", "ad", 1L)))
+    assert(stC.get == open.copy(seq = 4L))
+
+    // (d) equal-ts tie-breaks: id < entryId takes entry; id > exitId
+    // takes exit (the batch (ts, event_id) order)
+    val stD = st()
+    assert(BounceStream.updateUser(1800L)(1L, Iterator(
+      Ev(1, 5, ts(1000), "early"), Ev(1, 30, ts(1060), "late")), stD).isEmpty)
+    assert(stD.get == BounceStream.OpenVisit(3L, usOf(1000), usOf(1060), 4L,
+      "early", "late", 5L, 30L))
+  }
+
   test("re-delivered batch is a no-op: ledger-guarded increments") {
     val s = spark
     import s.implicits._
