@@ -143,9 +143,31 @@ object Clustering {
     * last. One window shuffle on component after the label join.
     */
   def nearDupClusters(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame =
-    clustersCarrying(docs, thresholdBp, Nil)
-      .select(col("doc_id"), col("component"), col("cluster_size"),
-        col("canonical_doc_id"))
+    clustersFrom(assignments(docs, thresholdBp))
+
+  /** THE shared cluster-assignment artifact — the library-level
+    * contract for the CC family (q42/q102/q129/q182): the full
+    * doc-grain frame `(doc_id, component, cluster_size,
+    * canonical_doc_id, source, n_tokens)` that every downstream dedup
+    * report is a pure aggregate of. Compute it ONCE per (corpus,
+    * threshold), persist/checkpoint it, and feed the `*From`
+    * parameterizations — each standalone report otherwise re-runs the
+    * LSH pair build + connected components, the expensive 90% of
+    * every query in the family. At 100 TB this is the difference
+    * between one CC pass and four.
+    *
+    * `n_tokens` uses the house whitespace token count with null text
+    * counting 0 (the [[dedupImpact]] convention). */
+  def assignments(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
+    val toks = when(col("text").isNotNull,
+      size(split(col("text"), " ")).cast("long")).otherwise(0L)
+    clustersCarrying(docs, thresholdBp, Seq(col("source"), toks.as("n_tokens")))
+  }
+
+  /** q42's shape from a prebuilt [[assignments]] frame. */
+  def clustersFrom(assign: DataFrame): DataFrame =
+    assign.select(col("doc_id"), col("component"), col("cluster_size"),
+      col("canonical_doc_id"))
 
   /** [[nearDupClusters]] with extra doc columns carried through the
     * ONE corpus-grain label join (so composed reports don't pay a
@@ -204,11 +226,13 @@ object Clustering {
     * corpus-grain join (no second corpus scan), and the report itself
     * is an aggregate on `source` — a bounded-domain key, so it adds
     * one partial-agg shuffle of source-grain partials. */
-  def dedupImpact(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
-    val toks = when(col("text").isNotNull,
-      size(split(col("text"), " ")).cast("long")).otherwise(0L)
-    clustersCarrying(docs, thresholdBp,
-      Seq(col("source"), toks.as("n_tokens")))
+  def dedupImpact(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame =
+    dedupImpactFrom(assignments(docs, thresholdBp))
+
+  /** [[dedupImpact]] from a prebuilt [[assignments]] frame: one
+    * source-grain aggregate, no corpus or pair-set work. */
+  def dedupImpactFrom(assign: DataFrame): DataFrame =
+    assign
       .withColumn("kept", (col("doc_id") === col("canonical_doc_id")).cast("long"))
       .groupBy(col("source"))
       .agg(
@@ -221,7 +245,6 @@ object Clustering {
           .otherwise(floor(lit(10000.0) *
             (col("tokens_total") - col("tokens_kept")) / col("tokens_total"))
             .cast("long")))
-  }
 
   /** Cluster-size distribution of the q42 near-dup graph — the shape
     * report read BEFORE acting on dedup results: a corpus whose mass
@@ -234,9 +257,13 @@ object Clustering {
     * Scale shape: rides the q42 CC output; one component-grain
     * aggregate collapses docs → clusters, then the ≤64-bucket
     * histogram; doc share windows over the bucket domain. */
-  def clusterSizeHistogram(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame = {
+  def clusterSizeHistogram(docs: DataFrame, thresholdBp: Long = 8000L): DataFrame =
+    clusterSizeHistogramFrom(assignments(docs, thresholdBp))
+
+  /** [[clusterSizeHistogram]] from a prebuilt [[assignments]] frame. */
+  def clusterSizeHistogramFrom(assign: DataFrame): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    nearDupClusters(docs, thresholdBp)
+    assign
       .groupBy(col("component"))
       .agg(max(col("cluster_size")).as("sz")) // constant within component
       .withColumn("bucket", (length(bin(col("sz"))) - 1).cast("long"))
@@ -263,10 +290,16 @@ object Clustering {
     *
     * Columns: bucket, n_docs, n_quality_ok, quality_bp. */
   def clusterQualityProfile(docs: DataFrame, thresholdBp: Long = 8000L,
-      minTokens: Long = 20L, maxShortBp: Long = 4000L): DataFrame = {
-    val cl = nearDupClusters(docs, thresholdBp)
-      .select(col("doc_id"), col("cluster_size"))
-    val q = TextAnalysis.textQuality(docs, minTokens, maxShortBp)
+      minTokens: Long = 20L, maxShortBp: Long = 4000L): DataFrame =
+    clusterQualityProfileFrom(assignments(docs, thresholdBp),
+      TextAnalysis.textQuality(docs, minTokens, maxShortBp))
+
+  /** [[clusterQualityProfile]] from a prebuilt [[assignments]] frame
+    * and a doc-grain quality verdict (q18's output): one doc-grain
+    * join + the ≤64-bucket aggregate. */
+  def clusterQualityProfileFrom(assign: DataFrame, quality: DataFrame): DataFrame = {
+    val cl = assign.select(col("doc_id"), col("cluster_size"))
+    val q = quality
       .select(col("doc_id"), col("quality_ok").cast("long").as("__ok"))
     cl.join(q, Seq("doc_id"))
       .withColumn("bucket", (length(bin(col("cluster_size"))) - 1).cast("long"))

@@ -155,6 +155,8 @@ object Graph {
     * changes WHERE a triangle is found, not whether. */
   def triangleStats(pairs: DataFrame, minWeight: Long = 1L,
       weightCol: String = "pair_sessions"): DataFrame = {
+    // persisted intermediates are caller-owned (the lazy-return house
+    // convention — see the graft package scaladoc, "Cache ownership")
     val e = pairs.filter(col(weightCol) >= minWeight)
       .select(col("item_a").as("a"), col("item_b").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

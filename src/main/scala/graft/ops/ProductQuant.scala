@@ -149,12 +149,18 @@ object ProductQuant {
     "aggregate(zip_with(codes, lut, (c, r) -> element_at(r, c)), " +
       "0L, (acc, v) -> acc + v)")
 
+  /** `book0`/`codes0` are the shared-model-artifact seams: a caller
+    * serving many query batches builds the codebook and the encoded
+    * corpus ONCE (they are the expensive, query-independent 90%) and
+    * passes them here, so each batch costs only its LUT + the ADC
+    * scan. `codes0` must be `encode(emb, book, m)` for the same book. */
   def adcTopK(emb: DataFrame, queryPred: Column, m: Int = 8, k: Int = 16,
-      topK: Int = 10, book0: Option[DataFrame] = None): DataFrame = {
+      topK: Int = 10, book0: Option[DataFrame] = None,
+      codes0: Option[DataFrame] = None): DataFrame = {
     val book = book0.getOrElse(seedCodebook(emb, m, k))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    encode(emb, book, m)
+    codes0.getOrElse(encode(emb, book, m))
       .crossJoin(broadcast(queryLut(emb, queryPred, book, m)))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc_dist", AdcDist)
@@ -182,9 +188,10 @@ object ProductQuant {
     * what re-ranking moved. */
   def rerankTopK(emb: DataFrame, queryPred: Column, m: Int = 8, k: Int = 16,
       shortlist: Int = 30, topK: Int = 10,
-      book0: Option[DataFrame] = None): DataFrame = {
+      book0: Option[DataFrame] = None,
+      codes0: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= topK, "shortlist must cover the final top-k")
-    val sl = adcTopK(emb, queryPred, m, k, shortlist, book0)
+    val sl = adcTopK(emb, queryPred, m, k, shortlist, book0, codes0)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("adc_rank"))
     val quant = Similarity.quantized(emb)
@@ -213,7 +220,8 @@ object ProductQuant {
     * then joined in place against the broadcast (query, list, LUT)
     * probe set — candidates outside probed lists are never read. */
   def ivfPqTopK(emb: DataFrame, queryPred: Column, m: Int = 8, k: Int = 16,
-      topK: Int = 10, nProbe: Int = 1, book0: Option[DataFrame] = None): DataFrame = {
+      topK: Int = 10, nProbe: Int = 1, book0: Option[DataFrame] = None,
+      codes0: Option[DataFrame] = None): DataFrame = {
     val book = book0.getOrElse(seedCodebook(emb, m, k))
     val quant = Similarity.quantized(emb)
     val queries = quant.filter(queryPred)
@@ -234,7 +242,8 @@ object ProductQuant {
       .join(broadcast(queryLut(emb, queryPred, book, m)), "query_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    encode(emb, book, m, carry = Seq("label"))
+    // codes0 contract: encode(emb, book, m, carry = Seq("label"))
+    codes0.getOrElse(encode(emb, book, m, carry = Seq("label")))
       .join(broadcast(probes), Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc_dist", AdcDist)

@@ -286,19 +286,6 @@ object Profile {
             .cast("long")))
   }
 
-  /** Key churn across a snapshot split — [[profileDrift]] tracks
-    * column STATISTICS (null rates, cardinalities); this report
-    * tracks key IDENTITY: which keys appeared, which disappeared.
-    * A stable cardinality can hide a fully-rotated population (1M
-    * users pre, 1M post, zero overlap — drift sees nothing, churn
-    * sees everything). One row: pre/post/both key counts, new/lost
-    * counts, and new_bp (share of post keys that are new) / lost_bp
-    * (share of pre keys that vanished) — the retention-at-key-grain
-    * numbers a capacity planner and an anomaly gate both read.
-    *
-    * Scale shape: ONE fact shuffle to key grain carrying two boolean
-    * presence flags (map-side combined), then a 1-row rollup. NULL
-    * keys are excluded — identity requires an identity. */
   /** Engagement inequality over `keyCol`: the exact Gini coefficient
     * of rows-per-key plus the share of rows owned by the top decile
     * of keys — "do 1% of the users generate 90% of the events", the
@@ -449,6 +436,19 @@ object Profile {
             col("total_cents")).cast("long")))
   }
 
+  /** Key churn across a snapshot split — [[profileDrift]] tracks
+    * column STATISTICS (null rates, cardinalities); this report
+    * tracks key IDENTITY: which keys appeared, which disappeared.
+    * A stable cardinality can hide a fully-rotated population (1M
+    * users pre, 1M post, zero overlap — drift sees nothing, churn
+    * sees everything). One row: pre/post/both key counts, new/lost
+    * counts, and new_bp (share of post keys that are new) / lost_bp
+    * (share of pre keys that vanished) — the retention-at-key-grain
+    * numbers a capacity planner and an anomaly gate both read.
+    *
+    * Scale shape: ONE fact shuffle to key grain carrying two boolean
+    * presence flags (map-side combined), then a 1-row rollup. NULL
+    * keys are excluded — identity requires an identity. */
   def keyChurn(df: DataFrame, keyCol: String, tsCol: String,
       splitDate: String): DataFrame = {
     val pre = col(tsCol) < to_timestamp(lit(splitDate))

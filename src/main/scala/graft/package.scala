@@ -47,5 +47,21 @@
   *    with DuckDB oracle twins; [[graft.Verify]], [[graft.Bench]],
   *    [[graft.Explain]], [[graft.ScaleProbe]] — the correctness /
   *    timing / plan / scaling harnesses.
+  *
+  * ==Cache ownership convention==
+  *
+  * Operators that reference an intermediate frame more than once in
+  * one returned plan (coVisitation's edge list, triangleStats'
+  * oriented edges, entryExit, orderReconciliation, association/
+  * sequentialRules, windowedFunnelByArm, trainedCodebook) `persist`
+  * that intermediate and return a LAZY frame — so they cannot
+  * unpersist it themselves: the consumer hasn't run yet. The CALLER
+  * owns the cache: a long-lived session reclaims these entries with
+  * `spark.catalog.clearCache()` (Bench does so between queries), or
+  * unpersists selectively after materializing the result. Entries are
+  * intermediate-grain (pair sets, aggregate frames), never corpus
+  * text/floats. Cross-query artifacts deliberately OUTLIVE
+  * clearCache via [[graft.ops.Shared]] (localCheckpoint blocks) —
+  * see its disclosure scaladoc.
   */
 package object graft

@@ -129,4 +129,30 @@ class ClusteringSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(out(1L) == ((1L, 3L, 6000L))) // the size-3 cluster
     assert(out.keySet == Set(0L, 1L))
   }
+
+  test("reports over a shared assignments frame equal the standalone entries") {
+    // the ops.Shared contract: build Clustering.assignments once,
+    // derive every family report from it — results must be IDENTICAL
+    // to the standalone (rebuild-everything) entry points, including
+    // on null-text singletons and cross-source clusters
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "crawl", 0L),
+      (2L, "alpha beta gamma delta epsilon", "en", "curated", 0L),
+      (3L, (1 to 35).map(i => s"only$i").mkString(" "), "en", "crawl", 0L),
+      (4L, null.asInstanceOf[String], "en", "crawl", 0L),
+      (5L, "alpha beta gamma delta epsilon", "en", "crawl", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val assign = Clustering.assignments(docs).localCheckpoint()
+    val quality = graft.ops.TextAnalysis.textQuality(docs)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(Clustering.clustersFrom(assign)) ==
+      rows(Clustering.nearDupClusters(docs)))
+    assert(rows(Clustering.dedupImpactFrom(assign)) ==
+      rows(Clustering.dedupImpact(docs)))
+    assert(rows(Clustering.clusterSizeHistogramFrom(assign)) ==
+      rows(Clustering.clusterSizeHistogram(docs)))
+    assert(rows(Clustering.clusterQualityProfileFrom(assign, quality)) ==
+      rows(Clustering.clusterQualityProfile(docs)))
+  }
 }
