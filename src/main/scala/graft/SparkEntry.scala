@@ -216,7 +216,13 @@ object SparkEntry {
     "q186_yoy_growth" -> (Queries.yoyMonthlyGrowth _),
     "q187_priority_mix" -> (Queries.priorityMixShift _),
     "q188_nation_movers" -> (Queries.nationRankMovers _),
-    "q189_discount_bands" -> (Queries.discountBands _)
+    "q189_discount_bands" -> (Queries.discountBands _),
+    "q190_late_priority" -> (Queries.latePriorityCounts _),
+    "q191_revenue_forecast" -> (Queries.revenueForecast _),
+    "q192_nation_volume" -> (Queries.nationVolume _),
+    "q193_priority_line_counts" -> (Queries.priorityLineCounts _),
+    "q194_customer_order_dist" -> (Queries.customerOrderDistribution _),
+    "q195_waiting_suppliers" -> (Queries.waitingSuppliers _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -489,10 +495,36 @@ object Queries {
   val PqM = 8
   val PqK = 16
 
+  /** The PQ family's shared model artifacts (ops.Shared contract —
+    * an ANN service builds its codebook and encoded corpus once, then
+    * serves every query batch from them): seed book + seed-encoded
+    * codes feed q61 and q111's shortlist stage; the trained book +
+    * label-carrying codes feed q62. Books are m×k rows; codes are
+    * doc-grain (id + m codes), never the float vectors. */
+  private def sharedSeedBook(spark: SparkSession, dir: String): DataFrame =
+    Shared.memo(spark, s"pq_seed_book:$dir")(
+      ProductQuant.seedCodebook(Tables(spark, dir, "embeddings"), PqM, PqK))
+
+  private def sharedSeedCodes(spark: SparkSession, dir: String): DataFrame =
+    Shared.memo(spark, s"pq_seed_codes:$dir")(
+      ProductQuant.encode(Tables(spark, dir, "embeddings"),
+        sharedSeedBook(spark, dir), PqM))
+
+  private def sharedTrainedBook(spark: SparkSession, dir: String): DataFrame =
+    Shared.memo(spark, s"pq_trained_book:$dir")(
+      ProductQuant.trainedCodebook(Tables(spark, dir, "embeddings"),
+        PqM, PqK, iters = 1))
+
+  private def sharedTrainedCodes(spark: SparkSession, dir: String): DataFrame =
+    Shared.memo(spark, s"pq_trained_codes:$dir")(
+      ProductQuant.encode(Tables(spark, dir, "embeddings"),
+        sharedTrainedBook(spark, dir), PqM, carry = Seq("label")))
+
   /** PQ/ADC top-10 with the oracle-able seed codebook. */
   def pqAnn(spark: SparkSession, dir: String): DataFrame =
     ProductQuant.adcTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
-      PqM, PqK)
+      PqM, PqK, book0 = Some(sharedSeedBook(spark, dir)),
+      codes0 = Some(sharedSeedCodes(spark, dir)))
 
   /** IVF-PQ on the TRAINED codebook: one symbolically-unrolled
     * integer-Lloyd refinement of the seed book (q61 keeps the seed
@@ -501,7 +533,8 @@ object Queries {
   def ivfPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     ProductQuant.ivfPqTopK(emb, knnQueryPred, PqM, PqK,
-      book0 = Some(ProductQuant.trainedCodebook(emb, PqM, PqK, iters = 1)))
+      book0 = Some(sharedTrainedBook(spark, dir)),
+      codes0 = Some(sharedTrainedCodes(spark, dir)))
   }
 
   val SplitTrainBp = 9000L
@@ -651,10 +684,20 @@ object Queries {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables(spark, dir, "documents"))
 
+  /** The q42/q102/q129/q182 family's shared cluster-assignment
+    * artifact (ops.Shared contract): LSH pairs + CC built once per
+    * session, every report a pure aggregate of the checkpointed
+    * doc-grain frame. Standalone Clustering entry points stay for
+    * direct library use; ClusteringSpec pins From-over-shared ≡
+    * standalone. */
+  private def sharedAssignments(spark: SparkSession, dir: String): DataFrame =
+    Shared.memo(spark, s"cc_assignments:$dir")(
+      Clustering.assignments(Tables(spark, dir, "documents")))
+
   /** Transitive closure of q22's near-dup pairs: per-doc cluster id +
     * canonical representative (large-star/small-star CC). */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    Clustering.nearDupClusters(Tables(spark, dir, "documents"))
+    Clustering.clustersFrom(sharedAssignments(spark, dir))
 
   val AsofToleranceSecs = 3600L
 
@@ -922,7 +965,7 @@ object Queries {
 
   /** Per-source dedup savings report over q42's cluster assignment. */
   def dedupImpact(spark: SparkSession, dir: String): DataFrame =
-    Clustering.dedupImpact(Tables(spark, dir, "documents"))
+    Clustering.dedupImpactFrom(sharedAssignments(spark, dir))
 
   /** Per-source PII prevalence triage report (q46's patterns). */
   def piiPrevalence(spark: SparkSession, dir: String): DataFrame =
@@ -961,10 +1004,13 @@ object Queries {
 
   val RerankShortlist = 30
 
-  /** Two-stage ANN: ADC shortlist → exact cosine re-rank. */
+  /** Two-stage ANN: ADC shortlist → exact cosine re-rank (shortlist
+    * stage rides the shared seed book + codes, q61's artifacts). */
   def rerankTopK(spark: SparkSession, dir: String): DataFrame =
     ProductQuant.rerankTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
-      PqM, PqK, RerankShortlist)
+      PqM, PqK, RerankShortlist,
+      book0 = Some(sharedSeedBook(spark, dir)),
+      codes0 = Some(sharedSeedCodes(spark, dir)))
 
   // Fixture-scale bot thresholds: the driver's events table tops out
   // at 3-event sessions (sf0.01), so the production defaults (5
@@ -1105,7 +1151,7 @@ object Queries {
 
   /** Near-dup cluster-size ⌊log₂⌋ histogram (q42's shape report). */
   def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
-    Clustering.clusterSizeHistogram(Tables(spark, dir, "documents"))
+    Clustering.clusterSizeHistogramFrom(sharedAssignments(spark, dir))
 
   // Fixture-scale target (production: 128 MB): small enough that
   // multi-file sources exist at sf0.01.
@@ -1451,7 +1497,8 @@ object Queries {
 
   /** Dedup-cluster-size × q18-quality interaction profile. */
   def clusterQualityProfile(spark: SparkSession, dir: String): DataFrame =
-    Clustering.clusterQualityProfile(Tables(spark, dir, "documents"))
+    Clustering.clusterQualityProfileFrom(sharedAssignments(spark, dir),
+      TextAnalysis.textQuality(Tables(spark, dir, "documents")))
 
   /** Calendar-month revenue seasonality index. */
   def revenueSeasonality(spark: SparkSession, dir: String): DataFrame =
@@ -1485,6 +1532,57 @@ object Queries {
   /** Discount-band effectiveness curve. */
   def discountBands(spark: SparkSession, dir: String): DataFrame =
     AreaTopProducts.discountBands(Tables(spark, dir, "lineitem"))
+
+  val Q4From = "1996-07-01"
+  val Q4Until = "1996-10-01"
+  val Q4GraceDays = 60
+
+  /** TPC-H Q4 shape: priority counts of quarter orders with a line
+    * shipped >60 days after ordering (EXISTS semi-join). */
+  def latePriorityCounts(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.latePriorityCounts(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Q4From, Q4Until, Q4GraceDays)
+
+  val Q6From = "1996-01-01"
+  val Q6Until = "1997-01-01"
+
+  /** TPC-H Q6 shape: one-row discount-revenue forecast. */
+  def revenueForecast(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.revenueForecast(Tables(spark, dir, "lineitem"),
+      Q6From, Q6Until)
+
+  val Q7NationA = "NATION_1"
+  val Q7NationB = "NATION_2"
+  val Q7From = "1996-01-01"
+  val Q7Until = "1998-01-01"
+
+  /** TPC-H Q7 shape: bilateral nation trade volume by ship year. */
+  def nationVolume(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.nationVolume(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"),
+      Q7NationA, Q7NationB, Q7From, Q7Until)
+
+  /** TPC-H Q12 shape: high/low priority line counts per return flag. */
+  def priorityLineCounts(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.priorityLineCounts(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Q6From, Q6Until)
+
+  /** TPC-H Q13 shape: order-count distribution incl. zero-order
+    * customers. */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.customerOrderDistribution(Tables(spark, dir, "customer"),
+      Tables(spark, dir, "orders"))
+
+  val Q21GraceDays = 45
+  val Q21TopK = 25
+
+  /** TPC-H Q21 shape: suppliers who alone kept multi-supplier orders
+    * waiting. */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.waitingSuppliers(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "supplier"),
+      Q21GraceDays, Q21TopK)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -6617,7 +6715,103 @@ object Oracles {
          |       CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
          |       CAST(SUM(qty) AS BIGINT) * 100 // CAST(COUNT(*) AS BIGINT)
          |         AS avg_qty_x100
-         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TPC-H Q4 shape: correlated EXISTS with ship-vs-order lateness
+    // (no commit/receipt dates in this schema).
+    "q190_late_priority" ->
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+         |FROM orders o
+         |WHERE o.o_orderdate >= TIMESTAMP '${Queries.Q4From}'
+         |  AND o.o_orderdate < TIMESTAMP '${Queries.Q4Until}'
+         |  AND EXISTS (
+         |    SELECT 1 FROM lineitem l
+         |    WHERE l.l_orderkey = o.o_orderkey
+         |      AND l.l_shipdate > o.o_orderdate
+         |        + INTERVAL ${Queries.Q4GraceDays} DAY)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TPC-H Q6 shape with the house bp convention.
+    "q191_revenue_forecast" ->
+      s"""SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000.0)
+         |         AS BIGINT)) AS BIGINT) AS forecast_rev_bp,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '${Queries.Q6From}'
+         |  AND l_shipdate < TIMESTAMP '${Queries.Q6Until}'
+         |  AND l_discount >= 0.02 AND l_discount <= 0.04
+         |  AND l_quantity < 24.0""".stripMargin,
+
+    // TPC-H Q7 shape: both trade directions as rows.
+    "q192_nation_volume" ->
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+         |       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+         |         * 100.0) AS BIGINT)) AS BIGINT) AS volume_cents,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+         |WHERE l.l_shipdate >= TIMESTAMP '${Queries.Q7From}'
+         |  AND l.l_shipdate < TIMESTAMP '${Queries.Q7Until}'
+         |  AND ((ns.n_name = '${Queries.Q7NationA}'
+         |        AND nc.n_name = '${Queries.Q7NationB}')
+         |    OR (ns.n_name = '${Queries.Q7NationB}'
+         |        AND nc.n_name = '${Queries.Q7NationA}'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // TPC-H Q12 shape: returnflag plays the (absent) shipmode's role.
+    "q193_priority_line_counts" ->
+      s"""SELECT l.l_returnflag,
+         |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE l.l_shipdate >= TIMESTAMP '${Queries.Q6From}'
+         |  AND l.l_shipdate < TIMESTAMP '${Queries.Q6Until}'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TPC-H Q13 shape: zero-order customers kept by the left join.
+    "q194_customer_order_dist" ->
+      s"""WITH per_cust AS (
+         |  SELECT c.c_custkey,
+         |         CAST(COALESCE(o.n, 0) AS BIGINT) AS c_count
+         |  FROM customer c
+         |  LEFT JOIN (SELECT o_custkey, COUNT(*) AS n
+         |             FROM orders GROUP BY 1) o
+         |    ON c.c_custkey = o.o_custkey)
+         |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+         |FROM per_cust
+         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // TPC-H Q21 shape, rewritten (both engines) as ONE order-grain
+    // aggregate: >=2 distinct suppliers, exactly 1 late, charge it.
+    "q195_waiting_suppliers" ->
+      s"""WITH per_order AS (
+         |  SELECT l.l_orderkey,
+         |         COUNT(DISTINCT l.l_suppkey) AS n_supp,
+         |         COUNT(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate
+         |           + INTERVAL ${Queries.Q21GraceDays} DAY
+         |           THEN l.l_suppkey END) AS n_late_supp,
+         |         MIN(CASE WHEN l.l_shipdate > o.o_orderdate
+         |           + INTERVAL ${Queries.Q21GraceDays} DAY
+         |           THEN l.l_suppkey END) AS late_supp
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_orderstatus = 'F'
+         |  GROUP BY 1)
+         |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+         |FROM per_order p
+         |JOIN supplier s ON p.late_supp = s.s_suppkey
+         |WHERE p.n_supp >= 2 AND p.n_late_supp = 1
+         |GROUP BY 1
+         |ORDER BY numwait DESC, s.s_name
+         |LIMIT ${Queries.Q21TopK}""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

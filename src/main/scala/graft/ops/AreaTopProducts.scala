@@ -561,4 +561,165 @@ object AreaTopProducts {
         expr("sum(qty) * 100L div count(1)").as("avg_qty_x100"))
       .orderBy(col("discount_pct").asc)
   }
+
+  /** TPC-H Q4 shape (EXISTS semi-join): per order priority, how many
+    * orders placed in [dateFrom, dateUntil) had at least one line
+    * shipped more than `graceDays` after the order date. The schema
+    * has no commit/receipt dates, so "kept the customer waiting" is
+    * ship-vs-order lateness — the same correlated-EXISTS shape.
+    *
+    * Scale shape: the EXISTS is a LEFT SEMI join on l_orderkey with
+    * the lateness predicate inside the join condition — the fact side
+    * is never widened (no pre-join distinct needed; semi stops at
+    * first match), and the result is a ≤5-row priority aggregate. */
+  def latePriorityCounts(lineitem: DataFrame, orders: DataFrame,
+      dateFrom: String, dateUntil: String, graceDays: Int = 60): DataFrame = {
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(dateFrom).cast("timestamp") &&
+        col("o_orderdate") < lit(dateUntil).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    ord
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") +
+          expr(s"INTERVAL $graceDays DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  /** TPC-H Q6 shape: the one-row "what would revenue change if"
+    * forecast — discount revenue (Σ extendedprice·discount, house bp
+    * convention) over a year × a discount band × a quantity cap.
+    * Pure scan-side predicate + ungrouped aggregate: the whole query
+    * is a single codegen'd pass with every filter pushed to parquet. */
+  def revenueForecast(lineitem: DataFrame, dateFrom: String,
+      dateUntil: String, discLo: Double = 0.02, discHi: Double = 0.04,
+      maxQty: Double = 24.0): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(dateFrom).cast("timestamp") &&
+        col("l_shipdate") < lit(dateUntil).cast("timestamp") &&
+        col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < maxQty)
+      .agg(
+        sum(floor(col("l_extendedprice") * col("l_discount") * lit(10000.0))
+          .cast("long")).as("forecast_rev_bp"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q7 shape: bilateral trade volume between two nations by
+    * ship year — supplier nation on one side, customer nation on the
+    * other, both directions kept as separate rows.
+    *
+    * Scale shape: ONE fact pass; supplier and nation joins are
+    * broadcast (100 / 25 rows — supplier is hint-broadcast here
+    * because, unlike customer, the supplier dim stays
+    * metadata-grained at the 100 TB design point), the
+    * orders→customer chain carries no hint (AQE decides), and the
+    * nation-pair filter prunes before the aggregate. */
+  def nationVolume(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationA: String, nationB: String,
+      dateFrom: String, dateUntil: String): DataFrame = {
+    val n = nation.select(col("n_nationkey"), col("n_name"))
+    val supp = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(dateFrom).cast("timestamp") &&
+        col("l_shipdate") < lit(dateUntil).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("volume_cents"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(sum(col("volume_cents")).as("volume_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc,
+        col("ship_year").asc)
+  }
+
+  /** TPC-H Q12 shape (join + conditional two-way count): per return
+    * flag, lines shipped in the window split into high-priority
+    * (1-URGENT / 2-HIGH) vs lower-priority orders. The schema has no
+    * ship mode; returnflag is the 3-value line dimension playing its
+    * role — the shape (fact⋈header + CASE-summed counts) is the
+    * point. */
+  def priorityLineCounts(lineitem: DataFrame, orders: DataFrame,
+      dateFrom: String, dateUntil: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(dateFrom).cast("timestamp") &&
+        col("l_shipdate") < lit(dateUntil).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** TPC-H Q13 shape: the customer order-count distribution —
+    * per-customer order counts INCLUDING zero-order customers (left
+    * join), folded into (c_count → custdist). The left join is what
+    * distinguishes this from a plain groupBy: customers with no
+    * orders are the business signal.
+    *
+    * Scale shape: orders collapse to customer grain FIRST (one fact
+    * shuffle), then a key-grain left join and a ≤max-count-domain
+    * histogram aggregate. */
+  def customerOrderDistribution(customer: DataFrame,
+      orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("c_count")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q21 shape: suppliers who single-handedly kept
+    * multi-supplier orders waiting — per order, ≥2 distinct suppliers
+    * and EXACTLY ONE of them late (ship > order date + graceDays);
+    * that supplier is charged one wait. The classic
+    * EXISTS/NOT-EXISTS pair is rewritten as ONE order-grain aggregate
+    * (distinct-supplier and distinct-late-supplier counts + the
+    * argmin late supplier), which both engines compute identically —
+    * and which is the 100 TB plan anyway: one fact shuffle to order
+    * grain, no self-joins of lineitem against itself.
+    *
+    * Output: top `k` (s_name, numwait), numwait desc, name asc. */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, graceDays: Int = 45, k: Int = 25): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") +
+      expr(s"INTERVAL $graceDays DAYS")
+    val perOrder = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        min(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2L && col("n_late_supp") === 1L)
+    perOrder
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(k)
+  }
 }
