@@ -390,6 +390,95 @@ object ScaleProbe {
     t("nation movers")(graft.ops.AreaTopProducts.nationRankMovers(
       lineitem, orders, dim("customer"), dim("nation")))
     t("discount bands")(graft.ops.AreaTopProducts.discountBands(lineitem))
+
+    // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
+    // disposition, exercised at scale rather than only on SkewSpec's
+    // synthetic fixture): one hot key owns ~50% of the amplified fact
+    // rows, pushed through an equi-join with broadcast disabled (a
+    // broadcast join has no skew to split). Three variants map the
+    // disposition's BOUNDARY, found by this probe on Spark 4.1.2:
+    //   (a) plain join to the stage output → AQE splits the hot
+    //       partition (skew=true — the SkewSpec pin's shape);
+    //   (b) join feeding a differently-keyed aggregate → ALSO splits;
+    //   (c) pre-aggregate the fact to key grain BELOW the join (the
+    //       hot key collapses to one row) then join + re-aggregate —
+    //       no skew left to split by construction (skew_split=false
+    //       is EXPECTED here), and the fastest of the three.
+    // BOUNDARY (found by this probe on Spark 4.1.2): the rule
+    // pattern-matches SMJ over BARE shuffle stages only — any
+    // operator between a shuffle stage and the join child (e.g. the
+    // final HashAggregate of a derived distinct() dim) silently
+    // disables the split, even with forceOptimizeSkewedJoin=true. A
+    // DERIVED dim must be materialized first (checkpoint / parquet —
+    // done below) for AQE skew handling to engage; at 100 TB prefer
+    // (c), which beats the split plans outright and carries no such
+    // fine print.
+    // Fixture note: the payload is md5 hex because shuffle files are
+    // LZ4-compressed and a hot partition of 50% IDENTICAL longs
+    // compresses below any byte threshold — skew detection reads
+    // compressed map-output sizes, so the fixture needs
+    // incompressible per-row bytes (real fact rows have them).
+    if (only.isEmpty || only.exists("skew join".contains)) {
+      val conf = spark.conf
+      val saved = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        .map(k => k -> conf.getOption(k)).toMap
+      try {
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val hot = events
+          .withColumn("user_id",
+            when(col("event_id") % 2 === 0, lit(777L)).otherwise(col("user_id")))
+          .select(col("user_id"),
+            md5(col("event_id").cast("string")).as("payload"))
+        val users = events.select(col("user_id")).distinct()
+          .withColumn("segment", pmod(col("user_id"), lit(10L)))
+          .localCheckpoint() // see BOUNDARY 1 above
+        def timed(name: String)(run: => (Long, String)): Unit = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val (n, plan) = run
+          val secs = (System.nanoTime() - t0) / 1e9
+          val split = plan.contains("skew=true")
+          println(f"[scale] skew join $name (x$mult): $secs%.2f s " +
+            f"rows=$n skew_split=$split")
+        }
+        timed("(a) join->sink") {
+          // collect (not foreach, whose toRdd path never flips the
+          // plan's isFinalPlan readout; not a noop write command,
+          // which wraps the join in its own execution) so the final
+          // plan's skew marker is readable afterwards
+          val j = hot.join(users, "user_id")
+          (j.collect().length.toLong, j.queryExecution.executedPlan.toString)
+        }
+        timed("(b) join->agg") {
+          val p = hot.join(users, "user_id")
+            .groupBy(col("segment"))
+            .agg(count(lit(1)).as("n"), min(col("payload")).as("p0"))
+          val n = p.collect().map(_.getAs[Long]("n")).sum
+          (n, p.queryExecution.executedPlan.toString)
+        }
+        timed("(c) pre-agg rewrite") {
+          val perUser = hot.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("cnt"), min(col("payload")).as("pmin"))
+          val p = perUser.join(users, "user_id")
+            .groupBy(col("segment"))
+            .agg(sum(col("cnt")).as("n"), min(col("pmin")).as("p0"))
+          val n = p.collect().map(_.getAs[Long]("n")).sum
+          (n, p.queryExecution.executedPlan.toString)
+        }
+      } finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
     spark.stop()
   }
 }

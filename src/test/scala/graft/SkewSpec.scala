@@ -83,4 +83,61 @@ class SkewSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  // The BOUNDARY of the J3/J4 disposition, found by the round-7
+  // ScaleProbe skew fixture: OptimizeSkewedJoin pattern-matches a
+  // sort-merge join over BARE shuffle stages, so any operator between
+  // a shuffle stage and the join child — here the final HashAggregate
+  // of a distinct()-derived dim — silently disables the split (even
+  // under forceOptimizeSkewedJoin). Pinned as a NEGATIVE so a Spark
+  // upgrade that lifts the limitation shows up here; until then the
+  // operational rule stands: materialize derived dims (checkpoint /
+  // parquet) before joining them against a skewed fact, or use the
+  // pre-aggregate-below-join rewrite (ScaleProbe variant (c)).
+  test("AQE skew split is DISABLED by a derived (distinct) dim side — boundary pin") {
+    val s = spark
+    import s.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 120
+      val hot = spark.range(100000).select(lit(0L).as("k"),
+        concat(lit(pad), col("id").cast("string")).as("payload"))
+      val cold = spark.range(8000).select((col("id") % 40 + 1).as("k"),
+        lit(pad).as("payload"))
+      val left = hot.union(cold)
+      // SAME skew as the firing pin above, but the dim is DERIVED: the
+      // distinct leaves its final HashAggregate between the shuffle
+      // stage and the join
+      val right = spark.range(4100).select((col("id") % 41).as("k")).distinct()
+        .select(col("k"), (col("k") * 7).as("dim"))
+      val joined = left.join(right, "k")
+      assert(joined.collect().length == 108000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(!plan.contains("skew=true"),
+        "OptimizeSkewedJoin fired through a derived dim — Spark lifted " +
+          s"the bare-shuffle-stage limitation; update the J3/J4 guidance:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
