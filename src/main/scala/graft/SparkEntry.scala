@@ -222,7 +222,10 @@ object SparkEntry {
     "q192_nation_volume" -> (Queries.nationVolume _),
     "q193_priority_line_counts" -> (Queries.priorityLineCounts _),
     "q194_customer_order_dist" -> (Queries.customerOrderDistribution _),
-    "q195_waiting_suppliers" -> (Queries.waitingSuppliers _)
+    "q195_waiting_suppliers" -> (Queries.waitingSuppliers _),
+    "q196_bfs_reach" -> (Queries.bfsReach _),
+    "q197_seasonal_deviation" -> (Queries.seasonalDeviation _),
+    "q198_source_datacard" -> (Queries.sourceDatacard _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1583,6 +1586,25 @@ object Queries {
     AreaTopProducts.waitingSuppliers(Tables(spark, dir, "lineitem"),
       Tables(spark, dir, "orders"), Tables(spark, dir, "supplier"),
       Q21GraceDays, Q21TopK)
+
+  val BfsMaxHops = 3
+
+  /** Bounded BFS from the co-visit hub over the q93 graph: min-hop
+    * reach within 3 hops of the highest-degree item. */
+  def bfsReach(spark: SparkSession, dir: String): DataFrame =
+    Graph.bfsReach(
+      Graph.symmetric(Market.coVisitPairs(Tables(spark, dir, "events")),
+        PageRankMinSupport),
+      BfsMaxHops)
+
+  /** Per-(year, month) revenue indexed against the same calendar
+    * month's cross-year mean. */
+  def seasonalDeviation(spark: SparkSession, dir: String): DataFrame =
+    Retention.seasonalDeviation(Tables(spark, dir, "orders"))
+
+  /** Per-source data card: volume, hygiene, breadth in one frame. */
+  def sourceDatacard(spark: SparkSession, dir: String): DataFrame =
+    Profile.sourceDatacard(Tables(spark, dir, "documents"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -1625,6 +1647,37 @@ object Oracles {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |WHERE e.event_type = 'click'
       |  AND json_extract_string(e.props, '$.k') IS NOT NULL""".stripMargin
+
+  /** Symmetrized co-visitation edge list (twin of Graph.symmetric ∘
+    * Market.coVisitPairs) as CTE text: expects `sz` from
+    * [[sessionCte]] in scope; defines `edg` (src, dst) and `deg`
+    * (src, deg). Shared by the q93 PageRank and q196 BFS oracles. */
+  def coVisEdgesCte(cap: Int, minSupport: Long): String =
+    s"""it0 AS (
+       |  SELECT user_id, session_seq,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       |  FROM sz
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |capped AS (
+       |  SELECT user_id, session_seq, item FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+       |      ORDER BY item) AS rn
+       |    FROM it0)
+       |  WHERE rn <= $cap),
+       |pairs AS (
+       |  SELECT a.item AS item_a, b.item AS item_b,
+       |         CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM capped a
+       |  JOIN capped b ON a.user_id = b.user_id
+       |    AND a.session_seq = b.session_seq AND a.item < b.item
+       |  GROUP BY 1, 2),
+       |edg AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT item_a AS src, item_b AS dst FROM pairs WHERE w >= $minSupport
+       |    UNION ALL
+       |    SELECT item_b, item_a FROM pairs WHERE w >= $minSupport)),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edg GROUP BY 1)""".stripMargin
 
   /** Distinct 3-word shingles per document (twin of Dedup.withShingles). */
   val shingleCte: String =
@@ -3941,31 +3994,7 @@ object Oracles {
            |  LEFT JOIN c$r c ON c.item = r.item, dg$r dg)""".stripMargin
       val rounds = (1 to Queries.PageRankIters).map(round).mkString(",\n")
       s"""$sessionCte,
-         |it0 AS (
-         |  SELECT user_id, session_seq,
-         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
-         |  FROM sz
-         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
-         |  GROUP BY 1, 2, 3),
-         |capped AS (
-         |  SELECT user_id, session_seq, item FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
-         |      ORDER BY item) AS rn
-         |    FROM it0)
-         |  WHERE rn <= $cap),
-         |pairs AS (
-         |  SELECT a.item AS item_a, b.item AS item_b,
-         |         CAST(COUNT(*) AS BIGINT) AS w
-         |  FROM capped a
-         |  JOIN capped b ON a.user_id = b.user_id
-         |    AND a.session_seq = b.session_seq AND a.item < b.item
-         |  GROUP BY 1, 2),
-         |edg AS (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT item_a AS src, item_b AS dst FROM pairs WHERE w >= $ms
-         |    UNION ALL
-         |    SELECT item_b, item_a FROM pairs WHERE w >= $ms)),
-         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edg GROUP BY 1),
+         |${coVisEdgesCte(cap, ms)},
          |nodes AS (SELECT src AS item FROM edg UNION SELECT dst FROM edg),
          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
          |r0 AS (SELECT item, n, $scale // n AS rank FROM nodes, tot),
@@ -6811,7 +6840,75 @@ object Oracles {
          |WHERE p.n_supp >= 2 AND p.n_late_supp = 1
          |GROUP BY 1
          |ORDER BY numwait DESC, s.s_name
-         |LIMIT ${Queries.Q21TopK}""".stripMargin
+         |LIMIT ${Queries.Q21TopK}""".stripMargin,
+
+    // Bounded BFS as the naive expand-then-min (fine at oracle scale;
+    // the Spark side prunes the frontier — same min-hop semantics).
+    "q196_bfs_reach" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      val hops = (1 to Queries.BfsMaxHops).map { h =>
+        val prev = if (h == 1) "seed" else s"n${h - 1}"
+        s"""n$h AS (
+           |  SELECT DISTINCT e.dst AS item
+           |  FROM edg e JOIN $prev f ON e.src = f.item)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to Queries.BfsMaxHops)
+        .map(h => s"SELECT item, $h AS hops FROM n$h")
+        .mkString("\nUNION ALL\n")
+      s"""$sessionCte,
+         |${coVisEdgesCte(cap, ms)},
+         |seed AS (
+         |  SELECT src AS item FROM deg ORDER BY deg DESC, src LIMIT 1),
+         |$hops,
+         |u AS (
+         |  SELECT item, 0 AS hops FROM seed
+         |  UNION ALL
+         |  $union)
+         |SELECT item, CAST(MIN(hops) AS BIGINT) AS hops
+         |FROM u GROUP BY 1 ORDER BY hops, item""".stripMargin
+    },
+
+    "q197_seasonal_deviation" ->
+      s"""WITH m AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         |         CAST(month(o_orderdate) AS BIGINT) AS month,
+         |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS month_cents
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT year, month, n_orders, month_cents,
+         |       CAST(FLOOR(10000.0 * month_cents *
+         |           COUNT(*) OVER (PARTITION BY month) /
+         |           SUM(month_cents) OVER (PARTITION BY month))
+         |         AS BIGINT) AS moy_index_bp
+         |FROM m ORDER BY year, month""".stripMargin,
+
+    "q198_source_datacard" ->
+      s"""WITH s AS (
+         |  SELECT source,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(COUNT(text) AS BIGINT) AS n_text,
+         |         CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+         |         CAST(COALESCE(SUM(CASE WHEN text IS NOT NULL
+         |           THEN len(string_split(text, ' ')) ELSE 0 END), 0)
+         |           AS BIGINT) AS tot_tokens,
+         |         CAST(COALESCE(SUM(COALESCE(n_chars, 0)), 0) AS BIGINT)
+         |           AS tot_chars,
+         |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM documents GROUP BY 1)
+         |SELECT source, n_docs, n_text,
+         |       CAST(FLOOR(10000.0 * (n_docs - n_text) / n_docs) AS BIGINT)
+         |         AS null_bp,
+         |       n_distinct_texts,
+         |       CASE WHEN n_text = 0 THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 * (n_text - n_distinct_texts)
+         |              / n_text) AS BIGINT) END AS dup_bp,
+         |       tot_tokens,
+         |       CASE WHEN n_text = 0 THEN NULL
+         |            ELSE tot_tokens // n_text END AS avg_tokens,
+         |       tot_chars, n_langs
+         |FROM s ORDER BY source""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

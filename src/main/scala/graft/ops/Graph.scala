@@ -198,4 +198,51 @@ object Graph {
           .otherwise(floor(lit(10000.0) * lit(3L) * col("n_triangles") /
             col("n_wedges")).cast("long")).as("global_cc_bp"))
   }
+
+  /** Bounded-depth BFS from the hub node: min-hop distance to every
+    * node within `maxHops` of the highest-degree vertex (degree desc,
+    * id asc tie-break — a deterministic seed, no driver pick). The
+    * "how far does influence travel" companion to PageRank: hop-0 is
+    * the hub, hop-1 its neighborhood, hop-k the k-step reach.
+    *
+    * Scale shape — frontier-pruned Pregel, `iters` unrolled
+    * symbolically like [[pageRank]] (driver composes the plan, never
+    * touches data): per round ONE frontier⋈edges join on src plus one
+    * anti-join against the visited set, so each edge is traversed at
+    * most once per round and — because the frontier carries only
+    * NEWLY-reached nodes — the total work is O(edges within reach),
+    * not O(edges × rounds). The naive alternative (expand all paths,
+    * min at the end — what the DuckDB oracle does, fine at oracle
+    * scale) multiplies by path count and dies on any dense graph.
+    * The seed is a 1-row frame (argmax via sort-limit), so round 1's
+    * join broadcasts; later frontiers grow and AQE re-plans per
+    * round off the checkpointed sizes. Visited/frontier frames are
+    * node-grain (≪ edges) and lineage-truncated per round — the
+    * [[pageRank]] re-planning lesson.
+    *
+    * Returns (item, hops) for every reached node, hops ∈ [0, maxHops],
+    * ordered hops asc, item asc. */
+  def bfsReach(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "bfsReach needs at least one hop")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val seed = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src").asc).limit(1)
+      .select(col("src").as("item"))
+    val dist0 = seed.select(col("item"), lit(0L).as("hops"))
+      .localCheckpoint(false)
+    val (distN, _) = (1 to maxHops).foldLeft((dist0, dist0.select("item"))) {
+      case ((dist, frontier), h) =>
+        // expand one hop, keep only first-time arrivals
+        val reached = frontier.join(e, frontier("item") === e("src"))
+          .select(e("dst").as("item")).distinct()
+        val fresh = reached.join(dist.select("item"), Seq("item"), "left_anti")
+          .localCheckpoint(false) // read twice: union below + next round
+        val next = dist.union(fresh.select(col("item"), lit(h.toLong).as("hops")))
+        (if (h < maxHops) next.localCheckpoint(false) else next, fresh)
+    }
+    distN.orderBy(col("hops").asc, col("item").asc)
+  }
 }

@@ -479,4 +479,49 @@ object Profile {
           .otherwise(floor(lit(10000.0) * col("n_lost") / col("n_pre_keys"))
             .cast("long")))
   }
+
+  /** Per-source data card: the one-row-per-source summary a corpus
+    * README publishes — volume (docs, tokens, chars), hygiene (null
+    * and exact-dup rates), and breadth (distinct languages). The
+    * source-grain composition of [[profile]]'s table-grain counts
+    * with the q18/q21 text metrics, so a mixture designer can read
+    * every source's vitals off one frame before weighting it.
+    *
+    * ONE documents scan → one source-grain aggregate. The two exact
+    * distinct counts (texts, langs) make Catalyst plan an Expand ×3
+    * before the shuffle — the [[profile]] trade, exact and oracle-able;
+    * at 100 TB swap them for approx_count_distinct exactly as
+    * [[profileApprox]] does. Token counts guard null text explicitly
+    * (Spark's non-ANSI size(split(NULL)) = −1 trap, q64's lesson).
+    * Rates are floor-bp; averages are BIGINT floor divisions (all
+    * operands non-negative, so Spark's truncating DIV and DuckDB's
+    * flooring // agree). Columns: source, n_docs, n_text, null_bp,
+    * n_distinct_texts, dup_bp, tot_tokens, avg_tokens, tot_chars,
+    * n_langs — sorted by source. */
+  def sourceDatacard(docs: DataFrame): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("text")).as("n_text"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        sum(when(col("text").isNotNull, toks).otherwise(0L)).as("tot_tokens"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("tot_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(
+        col("source"), col("n_docs"), col("n_text"),
+        floor(lit(10000.0) * (col("n_docs") - col("n_text")) / col("n_docs"))
+          .cast("long").as("null_bp"),
+        col("n_distinct_texts"),
+        when(col("n_text") === 0L, lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) *
+            (col("n_text") - col("n_distinct_texts")) / col("n_text"))
+            .cast("long")).as("dup_bp"),
+        col("tot_tokens"),
+        when(col("n_text") === 0L, lit(null).cast("long"))
+          .otherwise(expr("tot_tokens div n_text")).as("avg_tokens"),
+        col("tot_chars"), col("n_langs"))
+      .orderBy(col("source").asc)
+  }
 }

@@ -433,6 +433,35 @@ object Retention {
       .orderBy(col("month").asc)
   }
 
+  /** Seasonally-adjusted month panel: per (year, month), revenue and
+    * its index against the SAME calendar month's cross-year mean —
+    * moy_index_bp = ⌊10000·month_cents·n_years/moy_total_cents⌋, so
+    * 10000 means "a normal January", 12000 a January running 20% hot.
+    * Complements [[revenueSeasonality]] (which pools years to find
+    * the seasonal shape) and the q186 YoY lag (which compares only
+    * adjacent years): this one flags the anomalous instance of a
+    * month against its whole history — the seasonality-aware version
+    * of the q88 volume-anomaly idea at order grain.
+    *
+    * One orders scan → (year, month) grain (tens of rows at any data
+    * size — the calendar bounds it), then a month-partitioned window
+    * for the cross-year denominator. All-integer cents until the one
+    * final bp ratio (house floor-bp rule). Columns: year, month,
+    * n_orders, month_cents, moy_index_bp. */
+  def seasonalDeviation(orders: DataFrame): DataFrame = {
+    val wMoy = Window.partitionBy(col("month"))
+    orders
+      .select(year(col("o_orderdate")).cast("long").as("year"),
+        month(col("o_orderdate")).cast("long").as("month"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      .groupBy(col("year"), col("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("month_cents"))
+      .withColumn("moy_index_bp",
+        floor(lit(10000.0) * col("month_cents") * count(lit(1)).over(wMoy) /
+          sum(col("month_cents")).over(wMoy)).cast("long"))
+      .orderBy(col("year").asc, col("month").asc)
+  }
+
   /** Inter-purchase interval panel: nearest-rank quantiles of the
     * days between a customer's consecutive orders, per market
     * segment — the reorder-cycle read behind replenishment
