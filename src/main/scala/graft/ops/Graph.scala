@@ -238,8 +238,12 @@ object Graph {
         // expand one hop, keep only first-time arrivals
         val reached = frontier.join(e, frontier("item") === e("src"))
           .select(e("dst").as("item")).distinct()
-        val fresh = reached.join(dist.select("item"), Seq("item"), "left_anti")
-          .localCheckpoint(false) // read twice: union below + next round
+        val pruned = reached.join(dist.select("item"), Seq("item"), "left_anti")
+        // mid rounds read `fresh` twice (union + next expand) —
+        // checkpoint; the LAST round reads it once and stays
+        // declarative so the expand+prune shape is plan-auditable
+        val fresh =
+          if (h < maxHops) pruned.localCheckpoint(false) else pruned
         val next = dist.union(fresh.select(col("item"), lit(h.toLong).as("hops")))
         (if (h < maxHops) next.localCheckpoint(false) else next, fresh)
     }

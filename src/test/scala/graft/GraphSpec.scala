@@ -107,4 +107,32 @@ class GraphSpec extends SparkSpec {
     assert(got.getAs[Long]("n_triangles") == 0L &&
       got.getAs[Long]("global_cc_bp") == 0L)
   }
+
+  /** Symmetric path 1–2–3–4–5: degrees (1,2,2,2,1); the seed is the
+    * lowest-id max-degree node = 2. */
+  private def pathEdges = edges(
+    1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L,
+    3L -> 4L, 4L -> 3L, 4L -> 5L, 5L -> 4L)
+
+  test("bfsReach: hand-computed hops on a path; deg-desc id-asc seed") {
+    val got = Graph.bfsReach(pathEdges, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 0L, 1L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("bfsReach: maxHops truncates the reach") {
+    val got = Graph.bfsReach(pathEdges, maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 0L, 1L -> 1L, 3L -> 1L))
+  }
+
+  test("bfsReach: disconnected component stays unreached; cycles don't relabel") {
+    // triangle {1,2,3} (all deg 2, seed = 1) + far component {10,11}
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 1L -> 3L, 3L -> 1L,
+      10L -> 11L, 11L -> 10L)
+    val got = Graph.bfsReach(e, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    // min-hop: the cycle revisits 1 at hop 2 but the anti-join drops it
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
 }

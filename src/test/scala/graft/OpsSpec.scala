@@ -737,4 +737,50 @@ class OpsSpec extends SparkSpec {
       1L -> ((3L, 2500000L, 0L)),
       2L -> ((2L, 250976L, 15L))))  // score order: item 1 first
   }
+
+  test("seasonalDeviation: month indexed against its own cross-year mean") {
+    val s = spark
+    import s.implicits._
+    def o(k: Long, d: String, p: Double) =
+      (k, 1L, "O", p, java.sql.Timestamp.valueOf(s"$d 00:00:00"), "1-URGENT")
+    val orders = Seq(
+      o(1, "2023-01-05", 100.0), // Jan '23: 10000c of 40000c Jan total
+      o(2, "2024-01-09", 300.0), // Jan '24: 30000c
+      o(3, "2023-02-01", 200.0)) // Feb: single year → index 10000
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = graft.ops.Retention.seasonalDeviation(orders).collect()
+      .map(r => ((r.getAs[Long]("year"), r.getAs[Long]("month")),
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("month_cents"),
+          r.getAs[Long]("moy_index_bp"))))
+    assert(got.toSeq == Seq(
+      (2023L, 1L) -> ((1L, 10000L, 5000L)),   // ⌊10000·10000·2/40000⌋
+      (2023L, 2L) -> ((1L, 20000L, 10000L)),
+      (2024L, 1L) -> ((1L, 30000L, 15000L))))
+  }
+
+  test("sourceDatacard: null-safe tokens, dup/null rates, lang breadth") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "A", 5L),
+      (2L, "a b c", "en", "A", 5L),               // exact dup
+      (3L, null.asInstanceOf[String], "fr", "A", 0L), // null text: 0 tokens
+      (4L, "x", "de", "B", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.Profile.sourceDatacard(docs).collect()
+    assert(got.map(_.getAs[String]("source")).toSeq == Seq("A", "B"))
+    val a = got(0)
+    assert(a.getAs[Long]("n_docs") == 3L && a.getAs[Long]("n_text") == 2L)
+    assert(a.getAs[Long]("null_bp") == 3333L)    // ⌊10000·1/3⌋
+    assert(a.getAs[Long]("n_distinct_texts") == 1L)
+    assert(a.getAs[Long]("dup_bp") == 5000L)     // ⌊10000·1/2⌋
+    assert(a.getAs[Long]("tot_tokens") == 6L)    // NOT 5: null text adds 0, not -1
+    assert(a.getAs[Long]("avg_tokens") == 3L)
+    assert(a.getAs[Long]("tot_chars") == 10L && a.getAs[Long]("n_langs") == 2L)
+    val b = got(1)
+    assert(b.getAs[Long]("n_docs") == 1L && b.getAs[Long]("null_bp") == 0L &&
+      b.getAs[Long]("dup_bp") == 0L && b.getAs[Long]("tot_tokens") == 1L &&
+      b.getAs[Long]("n_langs") == 1L)
+  }
 }

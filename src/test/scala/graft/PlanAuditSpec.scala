@@ -1073,4 +1073,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinIdx >= 0 && filterIdx > joinIdx,
       s"quantity gate not below the join in the tree:\n$p")
   }
+
+  test("q196 BFS: frontier pruned by anti-joins, never a cartesian expansion") {
+    // the final-round plan: each prior round is a checkpointed
+    // ExistingRDD, so the live tree shows the last expand+prune —
+    // a frontier⋈edges join plus the visited-set anti-join
+    val p = plan("q196_bfs_reach")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), s"visited-set anti-join missing:\n$p")
+  }
+
+  test("q197 seasonal deviation: one pruned orders scan; windows at the year-month grain") {
+    val p = plan("q197_seasonal_deviation")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("o_custkey") &&
+      !readSchema.contains("o_orderpriority"), s"scan not pruned: $readSchema")
+    // the cross-year window runs on (year,month) grain — after the agg
+    val lines = p.split("\n")
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window not above the month-grain aggregate:\n$p")
+  }
+
+  test("q198 source datacard: join-free single documents scan into the source grain") {
+    val p = plan("q198_source_datacard")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    // exact multi-distinct = the documented Expand trade, ONE of them
+    assert("Expand".r.findAllIn(stripCached(p)).length <= 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("doc_id"), s"scan not pruned: $readSchema")
+  }
 }
