@@ -390,6 +390,13 @@ object ScaleProbe {
     t("nation movers")(graft.ops.AreaTopProducts.nationRankMovers(
       lineitem, orders, dim("customer"), dim("nation")))
     t("discount bands")(graft.ops.AreaTopProducts.discountBands(lineitem))
+    // same-users amplification (the q93 pagerank shape): the co-vis
+    // graph grows with SESSIONS per user, the expensive regime
+    t("bfs reach")(graft.ops.Graph.bfsReach(
+      graft.ops.Graph.symmetric(
+        graft.ops.Market.coVisitPairs(eventsSameUsers), 2L), 3))
+    t("seasonal deviation")(graft.ops.Retention.seasonalDeviation(orders))
+    t("source datacard")(graft.ops.Profile.sourceDatacard(docs))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

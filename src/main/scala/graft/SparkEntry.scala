@@ -840,13 +840,22 @@ object Queries {
   val PageRankK = 20
   val PageRankMinSupport = 2L
 
+  /** The graph family's (q93/q157/q196) shared co-visitation pair
+    * set (ops.Shared contract): the sessionize → basket → pair
+    * pipeline runs once per session; each graph query is a traversal
+    * of the checkpointed pair frame — (item_a, item_b, weight) rows,
+    * item-catalog-bounded, never corpus-sized. Every consumer is
+    * independently oracle-checked, so the memo can't drift. */
+  private def sharedCoVisPairs(spark: SparkSession, dir: String): DataFrame =
+    Shared.memo(spark, s"covis_pairs:$dir")(
+      Market.coVisitPairs(Tables(spark, dir, "events")))
+
   /** Item PageRank over the symmetrized co-visitation graph
     * (symmetric ⇒ no dangling nodes ⇒ the 2-stages-per-round dangle
     * machinery is skipped; identical results, GraphSpec-pinned). */
   def pageRank(spark: SparkSession, dir: String): DataFrame =
     Graph.pageRankTopK(
-      Graph.symmetric(Market.coVisitPairs(Tables(spark, dir, "events")),
-        PageRankMinSupport),
+      Graph.symmetric(sharedCoVisPairs(spark, dir), PageRankMinSupport),
       PageRankIters, PageRankK, assumeNoDangling = true)
 
   /** The fixture's events end Jan 2024; the RFM anchor sits just
@@ -1332,8 +1341,7 @@ object Queries {
   /** Triangle census over the q93 co-visit graph (same min support —
     * the clustering-coefficient health check beside PageRank). */
   def triangleStats(spark: SparkSession, dir: String): DataFrame =
-    Graph.triangleStats(Market.coVisitPairs(Tables(spark, dir, "events")),
-      PageRankMinSupport)
+    Graph.triangleStats(sharedCoVisPairs(spark, dir), PageRankMinSupport)
 
   /** MRR@k of the q25 LSH ANN vs the exact top-1 (q100's rank twin). */
   def annMrr(spark: SparkSession, dir: String): DataFrame =
@@ -1593,8 +1601,7 @@ object Queries {
     * reach within 3 hops of the highest-degree item. */
   def bfsReach(spark: SparkSession, dir: String): DataFrame =
     Graph.bfsReach(
-      Graph.symmetric(Market.coVisitPairs(Tables(spark, dir, "events")),
-        PageRankMinSupport),
+      Graph.symmetric(sharedCoVisPairs(spark, dir), PageRankMinSupport),
       BfsMaxHops)
 
   /** Per-(year, month) revenue indexed against the same calendar
