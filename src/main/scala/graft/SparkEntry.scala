@@ -225,7 +225,9 @@ object SparkEntry {
     "q195_waiting_suppliers" -> (Queries.waitingSuppliers _),
     "q196_bfs_reach" -> (Queries.bfsReach _),
     "q197_seasonal_deviation" -> (Queries.seasonalDeviation _),
-    "q198_source_datacard" -> (Queries.sourceDatacard _)
+    "q198_source_datacard" -> (Queries.sourceDatacard _),
+    "q199_anomaly_sessions" -> (Queries.anomalySessions _),
+    "q200_zorder_cells" -> (Queries.zorderLayout _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1612,6 +1614,20 @@ object Queries {
   /** Per-source data card: volume, hygiene, breadth in one frame. */
   def sourceDatacard(spark: SparkSession, dir: String): DataFrame =
     Profile.sourceDatacard(Tables(spark, dir, "documents"))
+
+  /** Interval-overlap join: sessions live during q88's anomalous
+    * days (broadcast theta-join — the day dim is calendar-bounded). */
+  def anomalySessions(spark: SparkSession, dir: String): DataFrame =
+    Retention.anomalySessionOverlap(Tables(spark, dir, "events"),
+      AnomalyWindowDays, AnomalyK2, AnomalyMinObs)
+
+  val ZorderGridBits = 16
+  val ZorderCellBits = 6
+
+  /** Z-order layout audit of lineitem on (l_partkey, l_suppkey). */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    Layout.zorderCells(Tables(spark, dir, "lineitem"),
+      "l_partkey", "l_suppkey", ZorderGridBits, ZorderCellBits)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -1941,6 +1957,26 @@ object Oracles {
 
   val sql: Map[String, String] = baseSql + ("q47_corpus_select" -> {
     corpusSelectSql
+  }) + ("q199_anomaly_sessions" -> {
+    // session intervals (µs, the q02 sz grain) theta-joined to the
+    // q88 anomaly days (embedded whole, the q64 composition pattern)
+    s"""$sessionCte,
+       |si AS (
+       |  SELECT user_id, session_seq, MIN(ts_us) AS a_us, MAX(ts_us) AS b_us
+       |  FROM sz GROUP BY 1, 2),
+       |anom AS (
+       |  SELECT DISTINCT day FROM (${baseSql("q88_volume_anomaly")}) q88
+       |  WHERE is_anomaly = 1),
+       |ad AS (
+       |  SELECT day, epoch_us(CAST(day AS TIMESTAMP)) AS d0_us,
+       |         epoch_us(CAST(day AS TIMESTAMP)) + 86400000000 AS d1_us
+       |  FROM anom)
+       |SELECT ad.day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |       CAST(COUNT(DISTINCT si.user_id) AS BIGINT) AS n_users,
+       |       CAST(SUM((LEAST(si.b_us, ad.d1_us) - GREATEST(si.a_us, ad.d0_us))
+       |         // 1000000) AS BIGINT) AS overlap_seconds
+       |FROM si JOIN ad ON si.a_us < ad.d1_us AND si.b_us >= ad.d0_us
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }) + ("q64_training_manifest" -> {
     // the q47 composition extended with the q55 contamination CTE and
     // the q63 split arithmetic — the full-manifest oracle
@@ -6915,7 +6951,54 @@ object Oracles {
          |       CASE WHEN n_text = 0 THEN NULL
          |            ELSE tot_tokens // n_text END AS avg_tokens,
          |       tot_chars, n_langs
-         |FROM s ORDER BY source""".stripMargin
+         |FROM s ORDER BY source""".stripMargin,
+
+    // Morton twin: the same 5-step magic-number bit dilation as
+    // expressions.MortonCode, unrolled as stepwise CTE columns (all
+    // masks < 2^63, all values non-negative, so BIGINT & | << match
+    // the JVM bit-for-bit).
+    "q200_zorder_cells" -> {
+      val gb = Queries.ZorderGridBits
+      val cb = Queries.ZorderCellBits
+      val gmax = (1L << gb) - 1L
+      val shift = 2 * gb - cb
+      // one CTE per dilation step, both coordinates in lockstep
+      val steps = Seq(
+        (16, "281470681808895"), (8, "71777214294589695"),
+        (4, "1085102592571150095"), (2, "3689348814741910323"),
+        (1, "6148914691236517205")).zipWithIndex.map {
+        case ((sh, mask), i) =>
+          s"""m${i + 1} AS (
+             |  SELECT a, b, (ya | (ya << $sh)) & $mask AS ya,
+             |         (yb | (yb << $sh)) & $mask AS yb FROM m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rows_in AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b
+         |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+         |bounds AS (
+         |  SELECT MIN(a) AS lo_a, MAX(a) AS hi_a,
+         |         MIN(b) AS lo_b, MAX(b) AS hi_b FROM rows_in),
+         |m0 AS (
+         |  SELECT r.a, r.b,
+         |         ((r.a - bo.lo_a) * $gmax
+         |           // GREATEST(bo.hi_a - bo.lo_a, 1)) & 2147483647 AS ya,
+         |         ((r.b - bo.lo_b) * $gmax
+         |           // GREATEST(bo.hi_b - bo.lo_b, 1)) & 2147483647 AS yb
+         |  FROM rows_in r, bounds bo),
+         |$steps,
+         |m AS (SELECT a, b, (ya | (yb << 1)) >> $shift AS cell FROM m5),
+         |c AS (
+         |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         MIN(a) AS min_a, MAX(a) AS max_a,
+         |         MIN(b) AS min_b, MAX(b) AS max_b
+         |  FROM m GROUP BY 1)
+         |SELECT c.cell, c.n_rows, c.min_a, c.max_a, c.min_b, c.max_b,
+         |       CAST(FLOOR(10000.0 * (c.max_a - c.min_a) /
+         |         GREATEST(bo.hi_a - bo.lo_a, 1)) AS BIGINT) AS span_a_bp,
+         |       CAST(FLOOR(10000.0 * (c.max_b - c.min_b) /
+         |         GREATEST(bo.hi_b - bo.lo_b, 1)) AS BIGINT) AS span_b_bp
+         |FROM c, bounds bo ORDER BY c.cell""".stripMargin
+    }
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.expressions.MortonCode
+
+/** Physical data-layout planning — the multi-dimensional clustering
+  * audit behind lakehouse OPTIMIZE/Z-ORDER decisions (Morton 1966;
+  * the interleaved layout every engine with file-level min/max stats
+  * exploits): how well would this table prune if laid out along the
+  * Z-curve of two filter columns?
+  *
+  * [[zorderCells]] grids both dimensions, assigns each row its
+  * Z-curve cell (the top `cellBits` bits of the interleaved code),
+  * and reports per-cell row counts plus the min/max span of each RAW
+  * dimension — a cell whose spans are ≪ the global range is a file
+  * that both single-column filters can skip. That per-cell span table
+  * IS the pruning model: expected scan fraction under a predicate on
+  * either column is the sum of overlapping cells' row shares.
+  *
+  * Scale shape: one 4-scalar bounds aggregate (broadcast back via a
+  * 1-row crossJoin, the house scalar pattern), then ONE map stage —
+  * the codegen'd [[MortonCode]] is a handful of ALU ops per row — and
+  * one cell-grain aggregate (≤ 2^cellBits groups). No sort, no
+  * window, no shuffle beyond the tiny final grain: the audit costs
+  * one pass regardless of table size. The LAYOUT itself (actually
+  * rewriting files) is `df.repartitionByRange(N, morton)` +
+  * sortWithinPartitions — sampled range boundaries, no global sort.
+  */
+object Layout {
+
+  /** Per-Z-cell occupancy and raw-dimension spans.
+    *
+    * `gridBits` = resolution per dimension (positions are normalized
+    * to [0, 2^gridBits) with BIGINT floor arithmetic — exact in any
+    * engine for non-negative ranges < 2^(63−gridBits)). `cellBits` =
+    * how many leading Morton bits define a cell (2^cellBits cells).
+    * Columns: cell, n_rows, min_a, max_a, min_b, max_b, span_a_bp,
+    * span_b_bp (cell span over global range, floor-bp). */
+  def zorderCells(df: DataFrame, colA: String, colB: String,
+      gridBits: Int = 16, cellBits: Int = 6): DataFrame = {
+    require(gridBits >= 1 && gridBits <= 31, "gridBits in [1,31]")
+    require(cellBits >= 1 && cellBits <= 2 * gridBits,
+      "cellBits in [1, 2*gridBits]")
+    val rows = df.select(col(colA).cast("long").as("a"),
+        col(colB).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val bounds = rows.agg(
+      min(col("a")).as("lo_a"), max(col("a")).as("hi_a"),
+      min(col("b")).as("lo_b"), max(col("b")).as("hi_b"))
+    val gmax = (1L << gridBits) - 1L
+    def pos(c: String) =
+      expr(s"(($c - lo_$c) * ${gmax}L) div greatest(hi_$c - lo_$c, 1L)")
+    val shift = 2 * gridBits - cellBits
+    rows.crossJoin(broadcast(bounds))
+      .select(col("a"), col("b"),
+        shiftright(MortonCode.morton(pos("a"), pos("b")), shift).as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      .crossJoin(broadcast(bounds))
+      .select(col("cell"), col("n_rows"),
+        col("min_a"), col("max_a"), col("min_b"), col("max_b"),
+        floor(lit(10000.0) * (col("max_a") - col("min_a")) /
+          greatest(col("hi_a") - col("lo_a"), lit(1L))).cast("long")
+          .as("span_a_bp"),
+        floor(lit(10000.0) * (col("max_b") - col("min_b")) /
+          greatest(col("hi_b") - col("lo_b"), lit(1L))).cast("long")
+          .as("span_b_bp"))
+      .orderBy(col("cell").asc)
+  }
+}

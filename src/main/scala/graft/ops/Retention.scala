@@ -274,6 +274,43 @@ object Retention {
         col("cnt"), col("trail_n"), col("trail_sum"), col("is_anomaly"))
   }
 
+  /** Sessions live during anomalous days — the interval-overlap join
+    * tying [[volumeAnomaly]]'s day flags back to session grain: for
+    * each flagged day, how many sessions touched it, how many users,
+    * and how much session time fell INSIDE the day ("was the spike a
+    * few marathon sessions or everyone at once"). A session [a, b]
+    * touches day [d0, d1) iff a < d1 ∧ b ≥ d0; its overlap is
+    * ⌊(min(b,d1) − max(a,d0)) / 1e6⌋ seconds, exact in BIGINT µs.
+    *
+    * Scale shape — the reason this ISN'T a blocked interval join: the
+    * day dimension is CALENDAR-BOUNDED (≤ a few thousand rows for
+    * decades of history), so the right 100 TB plan is a broadcast
+    * theta-join of the session-grain frame (which rides the one
+    * sessionize shuffle) against the tiny flagged-day frame — no
+    * explode, no extra fact shuffle. Blocked decomposition (explode
+    * intervals into day buckets, equi-join on date) is the fallback
+    * only when BOTH sides are large. Final grain is days. */
+  def anomalySessionOverlap(events: DataFrame, windowDays: Int = 7,
+      k2: Long = 4L, minObs: Long = 4L): DataFrame = {
+    val sess = Sessionize.assignSessions(events)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_us")).as("a_us"), max(col("ts_us")).as("b_us"))
+    val dayUs = 86400000000L
+    val days = volumeAnomaly(events, windowDays, k2, minObs)
+      .filter(col("is_anomaly") === 1L)
+      .select(col("day")).distinct()
+      .select(col("day"), unix_micros(to_timestamp(col("day"))).as("d0_us"))
+      .withColumn("d1_us", col("d0_us") + lit(dayUs))
+    sess.join(broadcast(days),
+        col("a_us") < col("d1_us") && col("b_us") >= col("d0_us"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(expr("(least(b_us, d1_us) - greatest(a_us, d0_us)) div 1000000L"))
+          .as("overlap_seconds"))
+      .orderBy(col("day").asc)
+  }
+
   /** Distribution drift per event type: total-variation distance
     * between the `value` distribution before and after `splitDate` —
     * the data-drift monitor run between a reference window and the

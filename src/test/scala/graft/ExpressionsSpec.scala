@@ -135,7 +135,9 @@ class ExpressionsSpec extends SparkSpec {
         .select(col("vec_id"), DotProductLong.dot(col("q"), col("q")).as("n2")),
       docs.select(col("doc_id"),
         graft.expressions.TokenGramHash.grams(
-          expr(graft.ops.TextAnalysis.TokensExpr), 8).as("gh"))
+          expr(graft.ops.TextAnalysis.TokensExpr), 8).as("gh")),
+      graft.ops.Layout.zorderCells(
+        Tables(spark, sf, "lineitem"), "l_partkey", "l_suppkey")
     ).map(_.collect().map(_.toString).sorted.toSeq)
     val viaCodegen = outputs()
     val ws = spark.conf.get("spark.sql.codegen.wholeStage")
@@ -186,6 +188,42 @@ class ExpressionsSpec extends SparkSpec {
     // `*(n)` prefix marks operators fused into a WholeStageCodegen stage
     val dotLine = plan.linesIterator.find(_.contains("graft_dot")).get
     assert(dotLine.trim.startsWith("*"), s"graft_dot not codegen'd:\n$plan")
+  }
+
+  test("MortonCode: matches a bit-loop reference; masks to 31 bits; null-propagates") {
+    import spark.implicits._
+    // slow reference: place bit i of a at 2i, of b at 2i+1
+    def ref(a: Long, b: Long): Long = {
+      val (x, y) = (a & 0x7FFFFFFFL, b & 0x7FFFFFFFL)
+      (0 until 31).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    }
+    val cases = Seq[(Long, Long)]((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L),
+      (5L, 3L), (0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL),
+      (0x7FFFFFFFL, 0x7FFFFFFFL), (123456789L, 987654321L),
+      (1L << 31 | 1L, 0L),   // bit 31 masked off → equals (1, 0)
+      (-1L, 0L))             // negative masks to 0x7FFFFFFF
+    val got = cases.toDF("a", "b")
+      .select(graft.expressions.MortonCode.morton(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    assert(got == cases.map { case (a, b) => ref(a, b) })
+    assert(got(1) == 1L && got(2) == 2L && got(3) == 15L)
+    assert(got(9) == got(1)) // the mask pin
+    val nulls = Seq((Some(1L), None: Option[Long]), (None: Option[Long], Some(1L)))
+      .toDF("a", "b")
+      .select(graft.expressions.MortonCode.morton(col("a"), col("b")))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
+  test("MortonCode participates in WholeStageCodegen") {
+    val plan = Tables(spark, sf, "lineitem")
+      .select(graft.expressions.MortonCode.morton(
+        col("l_partkey"), col("l_suppkey")).as("z"))
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_morton")).get
+    assert(line.trim.startsWith("*"), s"graft_morton not codegen'd:\n$plan")
   }
 
   test("Winnow participates in WholeStageCodegen (no CodegenFallback)") {

@@ -783,4 +783,57 @@ class OpsSpec extends SparkSpec {
       b.getAs[Long]("dup_bp") == 0L && b.getAs[Long]("tot_tokens") == 1L &&
       b.getAs[Long]("n_langs") == 1L)
   }
+
+  test("zorderCells: 1-bit grid = quadrants; spans measured on raw values") {
+    val s = spark
+    import s.implicits._
+    // corners of a [0,10]² box + one interior point that lands in
+    // quadrant 0 and stretches its span to half the range
+    val df = Seq((0L, 0L), (10L, 0L), (0L, 10L), (10L, 10L), (5L, 5L))
+      .toDF("x", "y")
+    val got = graft.ops.Layout.zorderCells(df, "x", "y",
+      gridBits = 1, cellBits = 2).collect()
+    assert(got.map(_.getAs[Long]("cell")).toSeq == Seq(0L, 1L, 2L, 3L))
+    val q0 = got(0) // (0,0) and (5,5): pos 5*1//10 = 0
+    assert(q0.getAs[Long]("n_rows") == 2L)
+    assert(q0.getAs[Long]("max_a") == 5L && q0.getAs[Long]("max_b") == 5L)
+    assert(q0.getAs[Long]("span_a_bp") == 5000L &&
+      q0.getAs[Long]("span_b_bp") == 5000L)
+    // cell 1 = a high, b low (a on even bits); pure corners span 0
+    val q1 = got(1)
+    assert(q1.getAs[Long]("min_a") == 10L && q1.getAs[Long]("min_b") == 0L)
+    assert(q1.getAs[Long]("span_a_bp") == 0L)
+  }
+
+  test("anomalySessionOverlap: midnight straddler counted with exact overlap seconds") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val baseline = (1 to 5).map(d =>
+      (d.toLong, t(f"2024-01-0$d%d 12:00:00"), 1L, "click"))
+    // 50-event spike on Jan 6 (user 2, one instant → one 0-length session)
+    val spike = (100 to 149).map(i =>
+      (i.toLong, t("2024-01-06 12:00:00"), 2L, "click"))
+    // user 99 straddles midnight into the flagged day: 23:45 → 00:15
+    // (gap 1800 s = NOT a session break; overlap with Jan 6 = 900 s)
+    val straddle = Seq(
+      (200L, t("2024-01-05 23:45:00"), 99L, "click"),
+      (201L, t("2024-01-06 00:15:00"), 99L, "click"))
+    val events = (baseline ++ spike ++ straddle)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.Retention.anomalySessionOverlap(events).collect()
+    // the straddler's 23:45 event ALSO lifts Jan 5 off the
+    // zero-variance baseline, so both days flag — and the straddling
+    // session is correctly counted on each side of midnight
+    assert(got.map(_.getAs[String]("day")).toSeq ==
+      Seq("2024-01-05", "2024-01-06"))
+    val d5 = got(0) // user 1's point session + the straddler
+    assert(d5.getAs[Long]("n_sessions") == 2L &&
+      d5.getAs[Long]("n_users") == 2L &&
+      d5.getAs[Long]("overlap_seconds") == 900L) // 23:45 → midnight
+    val d6 = got(1) // the spike's point session + the straddler
+    assert(d6.getAs[Long]("n_sessions") == 2L &&
+      d6.getAs[Long]("n_users") == 2L &&
+      d6.getAs[Long]("overlap_seconds") == 900L) // midnight → 00:15
+  }
 }

@@ -1097,6 +1097,33 @@ class PlanAuditSpec extends SparkSpec {
       s"window not above the month-grain aggregate:\n$p")
   }
 
+  test("q199 anomaly sessions: day dim broadcast (theta-join, never sort-merge); sessions ride the user window shuffle") {
+    val p = plan("q199_anomaly_sessions")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"interval theta-join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q200 zorder cells: no sort/window before the cell grain; morton codegen'd; 2-column pruned scans") {
+    val p = plan("q200_zorder_cells")
+    // the audit is scan → map → cell-grain agg: the only Sort is the
+    // final ≤2^cellBits-row output ordering, never a fact-table sort
+    assert(!p.contains("Window"), p)
+    // morton rides a plain Project over the scan (WSCG participation
+    // is pinned in ExpressionsSpec — AQE plan text omits the * marks);
+    // the cell aggregate must sit DIRECTLY above it: map then agg,
+    // nothing between
+    val lines = p.split("\n")
+    val mortonIdx = lines.indexWhere(_.contains("graft_morton"))
+    assert(mortonIdx > 0, s"no morton projection:\n$p")
+    assert(lines(mortonIdx - 1).contains("HashAggregate"),
+      s"cell aggregate not directly above the morton map:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(readSchema.contains("l_partkey") && !readSchema.contains("l_orderkey"),
+      s"scan not pruned: $readSchema")
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)
