@@ -397,6 +397,15 @@ object ScaleProbe {
         graft.ops.Market.coVisitPairs(eventsSameUsers), 2L), 3))
     t("seasonal deviation")(graft.ops.Retention.seasonalDeviation(orders))
     t("source datacard")(graft.ops.Profile.sourceDatacard(docs))
+    t("anomaly sessions")(graft.ops.Retention.anomalySessionOverlap(events))
+    t("zorder cells")(graft.ops.Layout.zorderCells(
+      lineitem, "l_partkey", "l_suppkey"))
+    t("covis components")(graft.ops.Graph.componentSizes(
+      graft.ops.Market.coVisitPairs(eventsSameUsers), 2L))
+    t("triple itemsets")(graft.ops.Market.tripleItemsets(eventsSameUsers))
+    t("equidepth bins")(graft.ops.Percentiles.equiDepthBins(
+      lineitem.select(floor(col("l_extendedprice") * lit(100.0))
+        .cast("long").as("cents")), "cents", 10))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

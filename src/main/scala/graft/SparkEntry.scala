@@ -227,7 +227,10 @@ object SparkEntry {
     "q197_seasonal_deviation" -> (Queries.seasonalDeviation _),
     "q198_source_datacard" -> (Queries.sourceDatacard _),
     "q199_anomaly_sessions" -> (Queries.anomalySessions _),
-    "q200_zorder_cells" -> (Queries.zorderLayout _)
+    "q200_zorder_cells" -> (Queries.zorderLayout _),
+    "q201_covis_components" -> (Queries.coVisComponents _),
+    "q202_triple_itemsets" -> (Queries.tripleItemsets _),
+    "q203_equidepth_bins" -> (Queries.equiDepthHistogram _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1628,6 +1631,29 @@ object Queries {
   def zorderLayout(spark: SparkSession, dir: String): DataFrame =
     Layout.zorderCells(Tables(spark, dir, "lineitem"),
       "l_partkey", "l_suppkey", ZorderGridBits, ZorderCellBits)
+
+  /** Component-size census of the q93 co-visit graph (shared pairs;
+    * the same CC machinery as the near-dup clusters). */
+  def coVisComponents(spark: SparkSession, dir: String): DataFrame =
+    Graph.componentSizes(sharedCoVisPairs(spark, dir), PageRankMinSupport)
+
+  val TripleMaxItems = 16
+  val TripleMinSupport = 5L
+  val TripleTopK = 20
+
+  /** Frequent item triples over capped user-lifetime baskets. */
+  def tripleItemsets(spark: SparkSession, dir: String): DataFrame =
+    Market.tripleItemsets(Tables(spark, dir, "events"),
+      TripleTopK, TripleMinSupport, TripleMaxItems)
+
+  val EquiDepthBins = 10
+
+  /** Exact equi-depth histogram of lineitem price cents. */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.equiDepthBins(
+      Tables(spark, dir, "lineitem").select(
+        floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents")),
+      "cents", EquiDepthBins)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -6998,6 +7024,71 @@ object Oracles {
          |       CAST(FLOOR(10000.0 * (c.max_b - c.min_b) /
          |         GREATEST(bo.hi_b - bo.lo_b, 1)) AS BIGINT) AS span_b_bp
          |FROM c, bounds bo ORDER BY c.cell""".stripMargin
+    },
+
+    // the q42 recursive-CC pattern transplanted to the co-vis graph
+    // (edg is already symmetric, so one reach direction suffices)
+    "q201_covis_components" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      val cte = sessionCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$cte,
+         |${coVisEdgesCte(cap, ms)},
+         |nodes AS (SELECT DISTINCT src AS item FROM edg),
+         |reach(node, lbl) AS (
+         |  SELECT item, item FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edg e ON e.src = r.node),
+         |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1)
+         |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM comp GROUP BY 1
+         |ORDER BY n_items DESC, component""".stripMargin
+    },
+
+    // user-lifetime capped baskets (see Market.tripleItemsets for why
+    // not session grain), closed by an a<b<c self-join (the comb the
+    // Spark side does as a map stage)
+    "q202_triple_itemsets" -> {
+      val cap = Queries.TripleMaxItems
+      val ms = Queries.TripleMinSupport
+      s"""WITH it0 AS (
+         |  SELECT user_id,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2),
+         |capped AS (
+         |  SELECT user_id, item FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY item) AS rn
+         |    FROM it0)
+         |  WHERE rn <= $cap),
+         |t AS (
+         |  SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+         |         CAST(COUNT(*) AS BIGINT) AS n_users_3set
+         |  FROM capped a
+         |  JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+         |  JOIN capped c ON b.user_id = c.user_id AND b.item < c.item
+         |  GROUP BY 1, 2, 3)
+         |SELECT * FROM t WHERE n_users_3set >= $ms
+         |ORDER BY n_users_3set DESC, item_a, item_b, item_c
+         |LIMIT ${Queries.TripleTopK}""".stripMargin
+    },
+
+    "q203_equidepth_bins" -> {
+      val nb = Queries.EquiDepthBins
+      s"""WITH h AS (
+         |  SELECT CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents,
+         |         COUNT(*) AS cnt
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         |c AS (
+         |  SELECT cents, cnt, SUM(cnt) OVER (ORDER BY cents) AS cum,
+         |         SUM(cnt) OVER () AS n
+         |  FROM h),
+         |b AS (SELECT (cum - 1) * $nb // n + 1 AS bin, cnt, cents FROM c)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |       MIN(cents) AS lo, MAX(cents) AS hi
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 

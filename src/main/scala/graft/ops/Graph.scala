@@ -199,6 +199,25 @@ object Graph {
             col("n_wedges")).cast("long")).as("global_cc_bp"))
   }
 
+  /** Connected-component size census over an unordered pair list —
+    * the community structure read beside [[triangleStats]]: is the
+    * co-visit graph one giant component (a healthy catalog) or
+    * fragmented islands (siloed categories, or a support threshold
+    * set too high)? Delegates to [[Clustering.connectedComponents]]
+    * (large-star/small-star, the same machinery as the near-dup
+    * clusters — one CC implementation in the library, two graph
+    * domains), then one component-grain count.
+    *
+    * Columns: component (the member minimum — a stable label),
+    * n_items; ordered n_items desc, component asc. */
+  def componentSizes(pairs: DataFrame, minWeight: Long = 1L,
+      weightCol: String = "pair_sessions"): DataFrame =
+    Clustering.connectedComponents(
+        pairs.filter(col(weightCol) >= minWeight), "item_a", "item_b")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy(col("n_items").desc, col("component").asc)
+
   /** Bounded-depth BFS from the hub node: min-hop distance to every
     * node within `maxHops` of the highest-degree vertex (degree desc,
     * id asc tie-break — a deterministic seed, no driver pick). The

@@ -138,6 +138,34 @@ object Percentiles {
     hist.agg(picks.head, picks.tail: _*)
   }
 
+  /** Exact equi-DEPTH histogram: `nBins` bins of (as near as ties
+    * allow) equal row count over an integer value column — the
+    * profiling complement of the fixed-width q110 histogram, and what
+    * tie-heavy columns actually need: a value whose rank interval
+    * crosses a boundary lands whole in the bin of its LAST rank, so
+    * heavy ties produce visibly fat (and possibly missing) bins
+    * instead of a silently lying "uniform" picture. bin(v) =
+    * (cum(v)−1)·nBins div n + 1 — all-integer, engine-exact.
+    *
+    * Same scale shape as [[valueQuantiles]]: one value-grain
+    * aggregate, a cumulative window over DISTINCT values (never
+    * rows), then a ≤nBins-row report. NULLs excluded like every
+    * quantile op (same cross-engine reason). Columns: bin, n_rows,
+    * lo, hi; bins with no final rank are absent by construction. */
+  def equiDepthBins(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy().orderBy(col(valueCol).asc)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("bin", expr(s"(cum - 1L) * ${nBins}L div n + 1L"))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+      .orderBy(col("bin").asc)
+  }
+
   /** Multi-level totals via ROLLUP — per (a,b), per a, and grand
     * total in ONE pass (partial aggregation covers all levels;
     * grouping_id disambiguates). */

@@ -126,6 +126,15 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(2L -> 0L, 1L -> 1L, 3L -> 1L))
   }
 
+  test("componentSizes: min-labeled components, weight pruning, size-desc order") {
+    val got = Graph.componentSizes(pairsDf(
+      (2L, 3L, 2L), (1L, 2L, 2L), (5L, 6L, 2L), (7L, 8L, 1L)),
+      minWeight = 2L)
+      .as[(Long, Long)].collect().toSeq
+    // {1,2,3} labeled by its min, {5,6}; the weight-1 edge is pruned
+    assert(got == Seq((1L, 3L), (5L, 2L)))
+  }
+
   test("bfsReach: disconnected component stays unreached; cycles don't relabel") {
     // triangle {1,2,3} (all deg 2, seed = 1) + far component {10,11}
     val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 1L -> 3L, 3L -> 1L,

@@ -143,4 +143,31 @@ class MarketSpec extends SparkSpec {
       .select("prev_type", "next_type").as[(String, String)].collect().toSet
     assert(got == Set(("view", "click")))
   }
+
+  test("tripleItemsets: user-lifetime baskets, support floor, cap") {
+    // user 1: {1,2,3}; user 2: {1,2,3,4} (across two far-apart events —
+    // lifetime grain ignores session gaps); user 3: {1,2,9}
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 2),
+      ev(2, 1, "2024-01-01 00:02:00", "click", 3),
+      ev(3, 2, "2024-01-01 00:00:00", "click", 1),
+      ev(4, 2, "2024-01-05 00:00:00", "click", 2), // days later: same basket
+      ev(5, 2, "2024-01-05 00:01:00", "click", 3),
+      ev(6, 2, "2024-01-05 00:02:00", "click", 4),
+      ev(7, 3, "2024-01-01 00:00:00", "click", 1),
+      ev(8, 3, "2024-01-01 00:01:00", "click", 2),
+      ev(9, 3, "2024-01-01 00:02:00", "click", 9)))
+    val got = Market.tripleItemsets(df, k = 20, minSupport = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 2L))) // only {1,2,3} clears support 2
+    // cap = 2 → no user basket can form a triple
+    assert(Market.tripleItemsets(df, k = 20, minSupport = 1L, maxItems = 2)
+      .count() == 0L)
+    // support 1 sees every triple of user 2's 4-item basket
+    val all = Market.tripleItemsets(df, k = 100, minSupport = 1L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(all.length == 5) // {123},{124},{134},{234},{129}
+    assert(all.head == ((1L, 2L, 3L, 2L))) // support-desc head
+  }
 }

@@ -784,6 +784,28 @@ class OpsSpec extends SparkSpec {
       b.getAs[Long]("n_langs") == 1L)
   }
 
+  test("equiDepthBins: uniform values split evenly; heavy ties eat bins visibly") {
+    val s = spark
+    import s.implicits._
+    // uniform: 1..10 into 5 bins of 2
+    val uni = graft.ops.Percentiles.equiDepthBins(
+      (1L to 10L).toDF("v"), "v", 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(uni == (1L to 5L).map(b => (b, 2L, 2 * b - 1L, 2 * b)))
+    // ties: six 1s swallow bins 1-2 and land whole in bin 3
+    // (value → bin of its LAST rank: bin = (cum−1)·nb div n + 1)
+    val tied = graft.ops.Percentiles.equiDepthBins(
+      (Seq.fill(6)(1L) ++ Seq(2L, 3L, 4L, 5L)).toDF("v"), "v", 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(tied == Seq((3L, 6L, 1L, 1L), (4L, 2L, 2L, 3L), (5L, 2L, 4L, 5L)))
+    // nulls excluded like every quantile op
+    val withNull = graft.ops.Percentiles.equiDepthBins(
+      (Seq[Option[Long]](Some(1L), None, Some(2L)))
+        .toDF("v"), "v", 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(withNull == Seq((1L, 1L, 1L, 1L), (2L, 1L, 2L, 2L)))
+  }
+
   test("zorderCells: 1-bit grid = quadrants; spans measured on raw values") {
     val s = spark
     import s.implicits._

@@ -1124,6 +1124,30 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned: $readSchema")
   }
 
+  test("q202 triple itemsets: join-free comb — one fact scan, basket agg + triple agg, TakeOrdered head") {
+    val p = plan("q202_triple_itemsets")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    assert(shuffles(p) <= 2, p) // user-basket agg + triple-grain agg
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("event_type") && !readSchema.contains("value,"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q203 equi-depth bins: window over DISTINCT values (agg below window), one pruned scan") {
+    val p = plan("q203_equidepth_bins")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    val lines = p.split("\n")
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"cumulative window not above the value-grain aggregate:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(readSchema == "l_extendedprice:double",
+      s"scan not pruned to the one value column: $readSchema")
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)
