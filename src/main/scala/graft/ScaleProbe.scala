@@ -406,6 +406,15 @@ object ScaleProbe {
     t("equidepth bins")(graft.ops.Percentiles.equiDepthBins(
       lineitem.select(floor(col("l_extendedprice") * lit(100.0))
         .cast("long").as("cents")), "cents", 10))
+    t("neyman allocation")(graft.ops.StratifiedExtract.neymanAllocation(
+      orders.select(col("o_orderpriority"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents")),
+      "o_orderpriority", "cents", 1000L))
+    t("churn features")(graft.ops.TrainingPrep.churnFeatures(
+      eventsSameUsers, "2024-01-20", 11))
+    t("gains table")(graft.ops.Experiment.gainsTable(
+      graft.ops.TrainingPrep.churnFeatures(eventsSameUsers, "2024-01-20", 11),
+      "n_events", "label", 10))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -230,7 +230,10 @@ object SparkEntry {
     "q200_zorder_cells" -> (Queries.zorderLayout _),
     "q201_covis_components" -> (Queries.coVisComponents _),
     "q202_triple_itemsets" -> (Queries.tripleItemsets _),
-    "q203_equidepth_bins" -> (Queries.equiDepthHistogram _)
+    "q203_equidepth_bins" -> (Queries.equiDepthHistogram _),
+    "q204_neyman_allocation" -> (Queries.neymanAllocation _),
+    "q205_churn_features" -> (Queries.churnFeatures _),
+    "q206_gains_table" -> (Queries.gainsTable _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1654,6 +1657,33 @@ object Queries {
       Tables(spark, dir, "lineitem").select(
         floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents")),
       "cents", EquiDepthBins)
+
+  val NeymanBudget = 1000L
+
+  /** Neyman-optimal sample allocation across order priorities. */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame =
+    StratifiedExtract.neymanAllocation(
+      Tables(spark, dir, "orders").select(col("o_orderpriority"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents")),
+      "o_orderpriority", "cents", NeymanBudget)
+
+  /** The fixture's events end Jan 30; split at Jan 20 leaves a
+    * ~10-day label horizon (explicit anchors, the RfmAnchor rule). */
+  val ChurnSplitDate = "2024-01-20"
+  val ChurnHorizonDays = 11
+
+  /** User-grain churn feature/label table (time-split, no leakage). */
+  def churnFeatures(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.churnFeatures(Tables(spark, dir, "events"),
+      ChurnSplitDate, ChurnHorizonDays)
+
+  val GainsBins = 10
+
+  /** Cumulative gains table: pre-split activity as the score,
+    * return-in-horizon as the converter label. */
+  def gainsTable(spark: SparkSession, dir: String): DataFrame =
+    Experiment.gainsTable(churnFeatures(spark, dir),
+      "n_events", "label", GainsBins)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -2003,6 +2033,30 @@ object Oracles {
        |         // 1000000) AS BIGINT) AS overlap_seconds
        |FROM si JOIN ad ON si.a_us < ad.d1_us AND si.b_us >= ad.d0_us
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }) + ("q206_gains_table" -> {
+    // the q205 feature table re-read as (score, label), cut into
+    // equal-depth tiers over score DESC (q203's last-rank bin rule)
+    val nb = Queries.GainsBins
+    s"""WITH f AS (
+       |  SELECT n_events AS score, label
+       |  FROM (${baseSql("q205_churn_features")}) q205),
+       |h AS (SELECT score, COUNT(*) AS cnt, SUM(label) AS conv
+       |      FROM f GROUP BY 1),
+       |c AS (SELECT *, SUM(cnt) OVER (ORDER BY score DESC) AS cum,
+       |             SUM(cnt) OVER () AS n
+       |      FROM h),
+       |b AS (SELECT (cum - 1) * $nb // n + 1 AS tier, cnt, conv FROM c),
+       |g AS (SELECT tier, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       |             CAST(SUM(conv) AS BIGINT) AS n_converters
+       |      FROM b GROUP BY 1)
+       |SELECT CAST(tier AS BIGINT) AS tier, n_rows, n_converters,
+       |       CAST(FLOOR(10000.0 * n_converters / n_rows) AS BIGINT)
+       |         AS conv_bp,
+       |       CASE WHEN SUM(n_converters) OVER () = 0 THEN 0
+       |            ELSE CAST(FLOOR(10000.0 * SUM(n_converters)
+       |              OVER (ORDER BY tier) / SUM(n_converters) OVER ())
+       |              AS BIGINT) END AS cum_gain_bp
+       |FROM g ORDER BY tier""".stripMargin
   }) + ("q64_training_manifest" -> {
     // the q47 composition extended with the q55 contamination CTE and
     // the q63 split arithmetic — the full-manifest oracle
@@ -7089,6 +7143,84 @@ object Oracles {
          |SELECT CAST(bin AS BIGINT) AS bin, CAST(SUM(cnt) AS BIGINT) AS n_rows,
          |       MIN(cents) AS lo, MAX(cents) AS hi
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // HUGEINT twin of the decimal(38,0) Neyman arithmetic; the isqrt
+    // seed+correct and largest-remainder steps mirror
+    // StratifiedExtract.neymanAllocation line for line
+    "q204_neyman_allocation" -> {
+      val b = Queries.NeymanBudget
+      s"""WITH st AS (
+         |  SELECT o_orderpriority AS stratum,
+         |         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         SUM(CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+         |           AS HUGEINT)) AS s,
+         |         SUM(CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+         |           * CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS HUGEINT))
+         |           AS q
+         |  FROM orders
+         |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+         |  GROUP BY 1),
+         |v AS (SELECT stratum, n_rows,
+         |             CAST(n_rows AS HUGEINT) * q - s * s AS varnum FROM st),
+         |y AS (SELECT *,
+         |        CAST(FLOOR(SQRT(CAST(varnum AS DOUBLE))) AS BIGINT) AS y0
+         |      FROM v),
+         |yu AS (SELECT *, CASE
+         |         WHEN CAST(y0 + 2 AS HUGEINT) * (y0 + 2) <= varnum THEN y0 + 2
+         |         WHEN CAST(y0 + 1 AS HUGEINT) * (y0 + 1) <= varnum THEN y0 + 1
+         |         ELSE y0 END AS yy FROM y),
+         |w AS (SELECT stratum, n_rows, CASE
+         |         WHEN CAST(yy AS HUGEINT) * yy <= varnum THEN yy
+         |         WHEN CAST(yy - 1 AS HUGEINT) * (yy - 1) <= varnum THEN yy - 1
+         |         ELSE yy - 2 END AS w FROM yu),
+         |t AS (SELECT *, SUM(CAST(w AS HUGEINT)) OVER () AS tot_w,
+         |             COUNT(*) OVER () AS n_strata FROM w),
+         |u AS (SELECT stratum, n_rows, w,
+         |             CASE WHEN tot_w = 0 THEN 1 ELSE w END AS w2,
+         |             CASE WHEN tot_w = 0 THEN CAST(n_strata AS HUGEINT)
+         |                  ELSE tot_w END AS tw2
+         |      FROM t),
+         |a AS (SELECT *,
+         |             CAST($b AS HUGEINT) * w2 // tw2 AS base,
+         |             CAST($b AS HUGEINT) * w2
+         |               - (CAST($b AS HUGEINT) * w2 // tw2) * tw2 AS rem
+         |      FROM u),
+         |r AS (SELECT *, $b - SUM(base) OVER () AS leftover,
+         |             ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk
+         |      FROM a)
+         |SELECT stratum, n_rows, CAST(w AS BIGINT) AS ney_weight,
+         |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+         |         AS BIGINT) AS alloc
+         |FROM r ORDER BY stratum""".stripMargin
+    },
+
+    "q205_churn_features" -> {
+      val d = Queries.ChurnSplitDate
+      val h = Queries.ChurnHorizonDays
+      s"""WITH f AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+         |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_purchases,
+         |         CAST(SUM(CASE WHEN event_type = 'purchase'
+         |           THEN CAST(FLOOR(value * 100.0) AS BIGINT) ELSE 0 END)
+         |           AS BIGINT) AS value_cents,
+         |         CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '$d')
+         |           AS BIGINT) AS recency_days
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND ts < TIMESTAMP '$d'
+         |  GROUP BY 1),
+         |l AS (
+         |  SELECT DISTINCT user_id FROM events
+         |  WHERE ts >= TIMESTAMP '$d'
+         |    AND ts < TIMESTAMP '$d' + INTERVAL $h DAY)
+         |SELECT f.user_id, f.n_events, f.n_days, f.n_purchases,
+         |       f.value_cents, f.recency_days,
+         |       CAST(CASE WHEN l.user_id IS NULL THEN 0 ELSE 1 END
+         |         AS BIGINT) AS label
+         |FROM f LEFT JOIN l ON f.user_id = l.user_id
+         |ORDER BY f.user_id""".stripMargin
     }
   )
 

@@ -178,4 +178,47 @@ object Experiment {
       .select(col("arm"), col("n_users"), col("cap_cents"),
         col("raw_mean_cents"), col("wins_mean_cents"))
   }
+
+  /** Cumulative gains table — the model-evaluation readout next to
+    * [[graft.ops.TextAnalysis.classifierCalibration]]'s reliability
+    * buckets: rank the scored population best-first, cut it into
+    * `nBins` equal-depth tiers, and report each tier's conversion
+    * rate plus the cumulative share of ALL converters captured so
+    * far ("the top 20% of scores holds 60% of converters" — the
+    * targeting-budget curve).
+    *
+    * Tiers use [[Percentiles.equiDepthBins]]' exact last-rank rule
+    * over score DESC (tier 1 = best; a tied score lands whole in one
+    * tier, so heavy score ties surface as fat tiers, never split
+    * arbitrarily). Same scale shape too: one score-grain aggregate,
+    * cumulative windows over DISTINCT scores, a ≤nBins-row report.
+    *
+    * Columns: tier, n_rows, n_converters, conv_bp, cum_gain_bp. */
+  def gainsTable(scored: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val whole = Window.partitionBy()
+    scored
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(labelCol)).as("conv"))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col(scoreCol).desc)))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .withColumn("tier", expr(s"(cum - 1L) * ${nBins}L div n + 1L"))
+      .groupBy(col("tier"))
+      .agg(sum(col("cnt")).as("n_rows"), sum(col("conv")).as("n_converters"))
+      .withColumn("conv_bp",
+        floor(lit(10000.0) * col("n_converters") / col("n_rows")).cast("long"))
+      .withColumn("cum_conv",
+        sum(col("n_converters")).over(Window.orderBy(col("tier").asc)))
+      .withColumn("total_conv", sum(col("n_converters")).over(whole))
+      .withColumn("cum_gain_bp",
+        when(col("total_conv") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("cum_conv") / col("total_conv"))
+            .cast("long")))
+      .select(col("tier"), col("n_rows"), col("n_converters"),
+        col("conv_bp"), col("cum_gain_bp"))
+      .orderBy(col("tier").asc)
+  }
 }

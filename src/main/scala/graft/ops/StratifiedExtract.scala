@@ -71,4 +71,81 @@ object StratifiedExtract {
       .select(col("date_hour"), col("session_id"), col("start_time"),
         col("event_types"))
   }
+
+  /** Neyman-optimal stratified sample allocation (Neyman 1934): split
+    * a sampling `budget` across strata proportionally to N_h·σ_h —
+    * the allocation that minimizes the variance of the stratified
+    * mean estimator, vs [[apply]]'s size-proportional quotas. The
+    * design table a 100 TB sampling job computes FIRST (stratum
+    * grain, metadata-sized) before drawing a single row.
+    *
+    * All integer, no libm (house determinism rules):
+    *  - N_h·σ_h = √(N_h·Σx² − (Σx)²) exactly, because the variance
+    *    numerator IS (N_h·σ_h)² — so the weight needs ONE integer
+    *    sqrt and no division;
+    *  - sums are decimal(38,0) (cents² overflow Long far below real
+    *    stratum sizes); isqrt = IEEE sqrt seeded, then a ±2 exact
+    *    decimal correction — exact while varnum < 2^104 ≈ 2e31 (seed
+    *    error < 2 there; beyond that, Newton-iterate);
+    *  - integer quotas by the largest-remainder method (floor shares,
+    *    leftovers to the largest B·w − base·W remainders, stratum-asc
+    *    tie-break), so Σ alloc = budget exactly.
+    *  - zero-variance degenerate case (W = 0): uniform weights.
+    *
+    * Scale shape: one fact pass → stratum-grain stats; everything
+    * after runs on ≤|strata| rows inside one coalesce(1) stage (the
+    * [[apply]] quota-table pattern). Columns: stratum, n_rows,
+    * ney_weight, alloc. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      centsCol: String, budget: Long): DataFrame = {
+    require(budget >= 0L, "budget must be >= 0")
+    val dec = "decimal(38,0)"
+    val stats = df
+      .filter(col(stratumCol).isNotNull && col(centsCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(centsCol).cast(dec)).as("s"),
+        sum((col(centsCol) * col(centsCol)).cast(dec)).as("q"))
+      .withColumn("varnum",
+        (col("n_rows").cast(dec) * col("q") - col("s") * col("s")))
+    val wholeFrame = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    stats
+      // isqrt: IEEE seed, then exact ±2 decimal correction
+      .withColumn("y0",
+        floor(sqrt(col("varnum").cast("double"))).cast("long"))
+      .withColumn("yu", expr(
+        s"""CASE WHEN CAST(y0 + 2L AS $dec) * CAST(y0 + 2L AS $dec) <= varnum THEN y0 + 2L
+           |     WHEN CAST(y0 + 1L AS $dec) * CAST(y0 + 1L AS $dec) <= varnum THEN y0 + 1L
+           |     ELSE y0 END""".stripMargin))
+      .withColumn("w", expr(
+        s"""CASE WHEN CAST(yu AS $dec) * CAST(yu AS $dec) <= varnum THEN yu
+           |     WHEN CAST(yu - 1L AS $dec) * CAST(yu - 1L AS $dec) <= varnum THEN yu - 1L
+           |     ELSE yu - 2L END""".stripMargin))
+      .coalesce(1)
+      .withColumn("tot_w", sum(col("w").cast(dec)).over(wholeFrame))
+      .withColumn("n_strata", count(lit(1)).over(wholeFrame))
+      // degenerate all-zero-variance design → uniform weights
+      .withColumn("w2", when(col("tot_w") === lit(0L).cast(dec), lit(1L))
+        .otherwise(col("w")))
+      .withColumn("tw2", when(col("tot_w") === lit(0L).cast(dec),
+        col("n_strata").cast(dec)).otherwise(col("tot_w")))
+      .withColumn("base", expr(
+        s"CAST(CAST(${budget}L AS $dec) * CAST(w2 AS $dec) / tw2 AS $dec)")
+        .cast("long"))
+      .withColumn("base", expr(
+        s"""CASE WHEN (CAST(base AS $dec) * tw2) <= CAST(${budget}L AS $dec) * CAST(w2 AS $dec)
+           |     THEN base ELSE base - 1L END""".stripMargin))
+      .withColumn("rem",
+        expr(s"CAST(${budget}L AS $dec) * CAST(w2 AS $dec) - CAST(base AS $dec) * tw2"))
+      .withColumn("leftover",
+        lit(budget) - sum(col("base")).over(wholeFrame))
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("rem").desc, col("stratum").asc)))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("stratum"), col("n_rows"), col("w").as("ney_weight"),
+        col("alloc"))
+      .orderBy(col("stratum").asc)
+  }
 }

@@ -860,4 +860,49 @@ object TrainingPrep {
       .agg(count(lit(1)).as("n_feats"),
         sum(col("weight")).cast("long").as("dsir_score"))
   }
+
+  /** Churn-model FEATURE TABLE — the user-grain supervised dataset a
+    * retention model trains on, generated declaratively: behavioral
+    * features from the window BEFORE `splitDate`, a binary label
+    * ("came back") from [splitDate, splitDate + horizonDays). The
+    * time split is the leakage boundary — no feature reads an event
+    * the label window can see (the q177 backtest discipline applied
+    * to dataset GENERATION).
+    *
+    * Features (all integer): n_events, n_days (distinct active days),
+    * n_purchases, value_cents (purchase cents), recency_days (split −
+    * last active day). Label: 1 iff the user has ANY event in the
+    * horizon. Users with no pre-split events are excluded (no
+    * features to learn from; cold-start is q177's covered/uncovered
+    * split, a different report).
+    *
+    * Scale shape: one user-grain aggregate per side — the feature agg
+    * over pre-split events, a distinct-user frame over the horizon —
+    * joined left at user grain (the label side carries one column).
+    * Both aggregates map-side-combine; no window, no explode. */
+  def churnFeatures(events: DataFrame, splitDate: String,
+      horizonDays: Int): DataFrame = {
+    require(horizonDays >= 1, "horizonDays must be >= 1")
+    val split = to_timestamp(lit(splitDate))
+    val horizonEnd = expr(
+      s"to_timestamp('$splitDate') + make_interval(0, 0, 0, $horizonDays, 0, 0, 0)")
+    val isPurchase = col("event_type") === "purchase"
+    val feats = events
+      .filter(col("ts").isNotNull && col("ts") < split)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        sum(when(isPurchase, 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(isPurchase, floor(col("value") * lit(100.0)).cast("long"))
+          .otherwise(0L)).as("value_cents"),
+        datediff(to_date(split), max(to_date(col("ts")))).cast("long")
+          .as("recency_days"))
+    val returned = events
+      .filter(col("ts").isNotNull && col("ts") >= split && col("ts") < horizonEnd)
+      .select(col("user_id")).distinct()
+      .withColumn("label", lit(1L))
+    feats.join(returned, Seq("user_id"), "left")
+      .withColumn("label", coalesce(col("label"), lit(0L)))
+      .orderBy(col("user_id").asc)
+  }
 }

@@ -806,6 +806,47 @@ class OpsSpec extends SparkSpec {
     assert(withNull == Seq((1L, 1L, 1L, 1L), (2L, 1L, 2L, 2L)))
   }
 
+  test("neymanAllocation: budget follows N·sigma exactly; degenerate and remainder paths") {
+    val s = spark
+    import s.implicits._
+    def alloc(rows: Seq[(String, Long)], budget: Long) =
+      graft.ops.StratifiedExtract.neymanAllocation(
+        rows.toDF("stratum", "cents"), "stratum", "cents", budget)
+        .collect().map(r => (r.getAs[String]("stratum"),
+          r.getAs[Long]("ney_weight"), r.getAs[Long]("alloc"))).toSeq
+    // A constant (sigma 0), B spread {0,200}: varnum_B = 2·40000−40000²/...
+    // = 2·40000 − 200² = 40000 → weight 200; all 10 draws go to B
+    val spread = alloc(Seq(("A", 100L), ("A", 100L), ("B", 0L), ("B", 200L)), 10L)
+    assert(spread == Seq(("A", 0L, 0L), ("B", 200L, 10L)))
+    // every stratum constant → uniform weights, remainder to A (asc)
+    val flat = alloc(Seq(("A", 100L), ("A", 100L), ("B", 5L), ("B", 5L)), 5L)
+    assert(flat.map(_._3) == Seq(3L, 2L))
+    // equal weights 1 ({0,1} → varnum 1), budget 10 over 3 strata:
+    // base 3 each, largest-remainder +1 to the first by name
+    val rem = alloc(Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L),
+      ("C", 0L), ("C", 1L)), 10L)
+    assert(rem.map(_._2) == Seq(1L, 1L, 1L))
+    assert(rem.map(_._3) == Seq(4L, 3L, 3L))
+    assert(rem.map(_._3).sum == 10L)
+  }
+
+  test("gainsTable: DESC equal-depth tiers, conversion and cumulative gain") {
+    val s = spark
+    import s.implicits._
+    val scored = Seq((4L, 1L), (3L, 1L), (2L, 0L), (1L, 0L))
+      .toDF("score", "label")
+    val got = graft.ops.Experiment.gainsTable(scored, "score", "label", 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 10000L, 10000L),
+      (2L, 2L, 0L, 0L, 10000L)))
+    // a fully tied score lands whole in ONE tier (the last-rank rule)
+    val tied = graft.ops.Experiment.gainsTable(
+      Seq((7L, 1L), (7L, 0L), (7L, 0L), (7L, 1L)).toDF("score", "label"),
+      "score", "label", 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(tied == Seq((2L, 4L, 2L, 5000L, 10000L)))
+  }
+
   test("zorderCells: 1-bit grid = quadrants; spans measured on raw values") {
     val s = spark
     import s.implicits._

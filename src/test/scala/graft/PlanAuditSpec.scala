@@ -1148,6 +1148,36 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned to the one value column: $readSchema")
   }
 
+  test("q204 neyman: one pruned fact pass; design arithmetic on the coalesced stratum grain") {
+    val p = plan("q204_neyman_allocation")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    assert(shuffles(p) <= 2, p) // stratum agg; final sort rides coalesce(1)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("o_orderdate") &&
+      !readSchema.contains("o_custkey"), s"scan not pruned: $readSchema")
+  }
+
+  test("q205 churn features: two filtered event passes, user-grain join, no cartesian") {
+    val p = plan("q205_churn_features")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 2,
+      s"expected exactly the feature + label scans:\n$p")
+    // the split-date gate must be PUSHED to both scans
+    assert("PushedFilters: \\[[^\\]]*(LessThan|GreaterThanOrEqual)\\(ts".r
+      .findAllIn(p).length == 2, s"split predicate not pushed:\n$p")
+  }
+
+  test("q206 gains table: tier windows above the score-grain aggregate") {
+    val p = plan("q206_gains_table")
+    assert(!p.contains("CartesianProduct"), p)
+    val lines = p.split("\n")
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"cumulative window not above the score-grain aggregate:\n$p")
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)

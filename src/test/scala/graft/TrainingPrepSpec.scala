@@ -639,4 +639,34 @@ class TrainingPrepSpec extends SparkSpec {
     }
     assert(out.last == ((10000L, 10000L)))
   }
+
+  test("churnFeatures: time-split leakage boundary, exact features, horizon label") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val events = Seq(
+      // user 1: 2 pre-split days, one purchase; returns in horizon
+      (1L, t("2024-01-10 10:00:00"), 1L, "view", 0.0),
+      (2L, t("2024-01-15 10:00:00"), 1L, "purchase", 12.5),
+      (3L, t("2024-01-22 10:00:00"), 1L, "click", 0.0),
+      // user 2: pre-split only → label 0
+      (4L, t("2024-01-18 10:00:00"), 2L, "click", 0.0),
+      // user 3: event AT the split instant — label side, NOT features;
+      // with no pre-split history the user is excluded entirely
+      (5L, t("2024-01-20 00:00:00"), 3L, "view", 0.0),
+      // user 4: returns AFTER the horizon → label 0
+      (6L, t("2024-01-19 10:00:00"), 4L, "view", 0.0),
+      (7L, t("2024-02-05 10:00:00"), 4L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.ops.TrainingPrep
+      .churnFeatures(events, "2024-01-20", horizonDays = 11)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_days"),
+          r.getAs[Long]("n_purchases"), r.getAs[Long]("value_cents"),
+          r.getAs[Long]("recency_days"), r.getAs[Long]("label"))))
+    assert(got.toSeq == Seq(
+      1L -> ((2L, 2L, 1L, 1250L, 5L, 1L)),
+      2L -> ((1L, 1L, 0L, 0L, 2L, 0L)),
+      4L -> ((1L, 1L, 0L, 0L, 1L, 0L)))) // Feb 5 is past Jan 31
+  }
 }
