@@ -415,6 +415,8 @@ object ScaleProbe {
     t("gains table")(graft.ops.Experiment.gainsTable(
       graft.ops.TrainingPrep.churnFeatures(eventsSameUsers, "2024-01-20", 11),
       "n_events", "label", 10))
+    t("theilsen trend")(graft.ops.Retention.theilSenTrend(orders))
+    t("robust anomaly")(graft.ops.Retention.robustVolumeAnomaly(events))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -233,7 +233,9 @@ object SparkEntry {
     "q203_equidepth_bins" -> (Queries.equiDepthHistogram _),
     "q204_neyman_allocation" -> (Queries.neymanAllocation _),
     "q205_churn_features" -> (Queries.churnFeatures _),
-    "q206_gains_table" -> (Queries.gainsTable _)
+    "q206_gains_table" -> (Queries.gainsTable _),
+    "q207_theilsen_trend" -> (Queries.theilSenTrend _),
+    "q208_robust_anomaly" -> (Queries.robustVolumeAnomaly _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1684,6 +1686,19 @@ object Queries {
   def gainsTable(spark: SparkSession, dir: String): DataFrame =
     Experiment.gainsTable(churnFeatures(spark, dir),
       "n_events", "label", GainsBins)
+
+  val TheilSenLastDays = 365
+
+  /** Theil–Sen robust trailing-year revenue trend (one-row report). */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame =
+    Retention.theilSenTrend(Tables(spark, dir, "orders"), TheilSenLastDays)
+
+  val RobustAnomalyK = 5L
+
+  /** Median/MAD robust volume anomaly (q88's modified-z twin). */
+  def robustVolumeAnomaly(spark: SparkSession, dir: String): DataFrame =
+    Retention.robustVolumeAnomaly(Tables(spark, dir, "events"),
+      AnomalyWindowDays, RobustAnomalyK, AnomalyMinObs)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -7221,6 +7236,73 @@ object Oracles {
          |         AS BIGINT) AS label
          |FROM f LEFT JOIN l ON f.user_id = l.user_id
          |ORDER BY f.user_id""".stripMargin
+    },
+
+    "q207_theilsen_trend" -> {
+      val ld = Queries.TheilSenLastDays
+      s"""WITH daily0 AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |           AS x,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS y
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |mx AS (SELECT MAX(x) AS mx FROM daily0),
+         |daily AS (
+         |  SELECT d.x, d.y FROM daily0 d, mx
+         |  WHERE d.x >= mx.mx - ${ld - 1}),
+         |sl AS (
+         |  SELECT CAST(FLOOR(10000.0 * (b.y - a.y) / (b.x - a.x)) AS BIGINT) AS s
+         |  FROM daily a JOIN daily b ON b.x > a.x),
+         |c AS (SELECT s, COUNT(*) AS cnt FROM sl GROUP BY 1),
+         |cc AS (SELECT s, SUM(cnt) OVER (ORDER BY s) AS cum,
+         |              SUM(cnt) OVER () AS n FROM c),
+         |m AS (
+         |  SELECT CAST(MIN(n) AS BIGINT) AS n_pairs,
+         |         CAST(FLOOR((MIN(CASE WHEN cum >= (n + 1) // 2 THEN s END)
+         |           + MIN(CASE WHEN cum >= (n + 2) // 2 THEN s END)) / 2.0)
+         |           AS BIGINT) AS slope_bp_per_day
+         |  FROM cc),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+         |SELECT nd.n_days, m.n_pairs, m.slope_bp_per_day FROM m, nd""".stripMargin
+    },
+
+    // median/MAD twin of q88: trailing windows materialized by the
+    // bounded day-grain explode; medians are sorted-list picks
+    "q208_robust_anomaly" -> {
+      val wd = Queries.AnomalyWindowDays
+      val k = Queries.RobustAnomalyK
+      val mo = Queries.AnomalyMinObs
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS d,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+         |tr AS (
+         |  SELECT d0.event_type,
+         |         d0.d + CAST(g.i AS INTEGER) AS d, d0.cnt
+         |  FROM daily d0, unnest(range(1, $wd + 1)) AS g(i)),
+         |t0 AS (SELECT event_type, d, list_sort(list(cnt)) AS arr
+         |       FROM tr GROUP BY 1, 2),
+         |t1 AS (SELECT event_type, d, arr, CAST(len(arr) AS BIGINT) AS trail_n,
+         |              CAST(FLOOR((arr[(len(arr) + 1) // 2]
+         |                + arr[(len(arr) + 2) // 2]) / 2.0) AS BIGINT) AS med
+         |       FROM t0),
+         |t2 AS (SELECT event_type, d, trail_n, med,
+         |              list_sort(list_transform(arr, x -> abs(x - med))) AS dev
+         |       FROM t1),
+         |t3 AS (SELECT event_type, d, trail_n, med,
+         |              CAST(FLOOR((dev[(trail_n + 1) // 2]
+         |                + dev[(trail_n + 2) // 2]) / 2.0) AS BIGINT) AS mad
+         |       FROM t2)
+         |SELECT dd.event_type, strftime(dd.d, '%Y-%m-%d') AS day, dd.cnt,
+         |       CAST(COALESCE(t3.trail_n, 0) AS BIGINT) AS trail_n,
+         |       t3.med, t3.mad,
+         |       CAST(CASE WHEN COALESCE(t3.trail_n, 0) >= $mo
+         |                  AND ABS(dd.cnt - t3.med) > $k * t3.mad
+         |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM daily dd
+         |LEFT JOIN t3 ON dd.event_type = t3.event_type AND dd.d = t3.d
+         |ORDER BY dd.event_type, day""".stripMargin
     }
   )
 

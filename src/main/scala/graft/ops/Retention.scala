@@ -311,6 +311,118 @@ object Retention {
       .orderBy(col("day").asc)
   }
 
+  /** Theil–Sen robust trend of daily revenue (Theil 1950, Sen 1968):
+    * the MEDIAN of all pairwise day-to-day slopes — the trend line a
+    * single Black-Friday outlier can't drag, where an OLS slope moves
+    * with every extreme day. One row: n_days, n_pairs,
+    * slope_bp_per_day (median slope, cents/day scaled ×10000).
+    *
+    * Scale shape — why all-pairs is FINE here: slopes are taken at
+    * DAY grain, and the day domain is calendar-bounded (a decade is
+    * ~3.7k days → ~6.6M pairs) regardless of fact-table size, so the
+    * quadratic step is a broadcast self-join over a metadata-sized
+    * frame that never grows with the data. The fact table contributes
+    * one day-grain aggregate pass. Slope values are
+    * floor(10000·Δcents/Δdays) — both engines evaluate the SAME IEEE
+    * double division and floor (numerators < 2^53), then the median
+    * is the exact cum-histogram pick at slope-value grain, lo/hi
+    * averaged with one final floor (the medianCents convention).
+    *
+    * `lastDays` bounds the trend to the trailing window ending at the
+    * newest order day (scalar max, broadcast back — the q179
+    * pattern): a "current trend" read wants recent days, and the
+    * pair count drops quadratically with the window (365 days →
+    * ~66k pairs vs ~6.6M for a decade). */
+  def theilSenTrend(orders: DataFrame, lastDays: Int = 365): DataFrame = {
+    require(lastDays >= 2, "a trend needs at least 2 days")
+    val daily0 = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("y"))
+      .select(datediff(col("d"), to_date(lit("1970-01-01")))
+        .cast("long").as("x"), col("y"))
+      // four day-grain consumers (the scalar max, both pair sides,
+      // the day count) — truncate the lineage so the fact-table
+      // aggregate runs ONCE, not per consumer
+      .localCheckpoint(false)
+    val maxX = daily0.agg(max(col("x")).as("mx"))
+    val daily = daily0.crossJoin(broadcast(maxX))
+      .filter(col("x") >= col("mx") - lit(lastDays.toLong - 1L))
+      .select(col("x"), col("y"))
+    val slopes = daily.as("a")
+      .join(broadcast(daily.as("b")), col("b.x") > col("a.x"))
+      .select(floor(lit(10000.0) * (col("b.y") - col("a.y")) /
+        (col("b.x") - col("a.x"))).cast("long").as("s"))
+    val whole = Window.partitionBy()
+    val cum = slopes.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(whole.orderBy(col("s").asc)))
+      .withColumn("n", sum(col("cnt")).over(whole))
+    def atRank(rank: Column): Column = min(when(col("cum") >= rank, col("s")))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    cum.agg(
+        min(col("n")).as("n_pairs"),
+        floor((atRank(expr("(n + 1) div 2")) + atRank(expr("(n + 2) div 2")))
+          / lit(2.0)).cast("long").as("slope_bp_per_day"))
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n_pairs"), col("slope_bp_per_day"))
+  }
+
+  /** Robust volume anomaly — [[volumeAnomaly]]'s median/MAD twin
+    * (modified z-score, Iglewicz & Hoaglin 1993 shape): flag a day
+    * when |count − trailing-median| exceeds `kTimes` × the trailing
+    * MAD. Against the mean/σ version, ONE prior spike in the window
+    * can't inflate the spread and mask the next spike (σ grows
+    * quadratically with the outlier; MAD ignores it) — the detector
+    * you actually leave running.
+    *
+    * Exact and integer end-to-end: trailing counts live at calendar ×
+    * event-type grain, so each day's window is materialized by a
+    * bounded ×windowDays explode of the DAY-grain frame (the q76
+    * sliding-window trick — never a fact re-scan), medians are
+    * sorted-array picks (lo/hi floor-averaged, the medianCents
+    * convention), and the flag compares |cnt−med| > kTimes·MAD in
+    * BIGINT. MAD = 0 (a constant window) degenerates to "any
+    * deviation flags" — kTimes·0 = 0 — matching the σ=0 behavior of
+    * the mean detector. Days with fewer than `minObs` trailing
+    * observations never flag. */
+  def robustVolumeAnomaly(events: DataFrame, windowDays: Int = 7,
+      kTimes: Long = 5L, minObs: Long = 4L): DataFrame = {
+    require(windowDays >= 1 && kTimes >= 1 && minObs >= 2)
+    require(windowDays >= minObs,
+      s"minObs=$minObs can never be met by a $windowDays-day window")
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trail = daily
+      .select(col("event_type"), col("cnt"), explode(expr(
+        s"sequence(date_add(d, 1), date_add(d, $windowDays))")).as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sort_array(collect_list(col("cnt"))).as("arr"))
+      .withColumn("trail_n", size(col("arr")).cast("long"))
+      .withColumn("med", expr(
+        """floor((element_at(arr, CAST((trail_n + 1) div 2 AS INT))
+          |  + element_at(arr, CAST((trail_n + 2) div 2 AS INT))) / 2.0)
+          |""".stripMargin).cast("long"))
+      .withColumn("dev", expr("sort_array(transform(arr, x -> abs(x - med)))"))
+      .withColumn("mad", expr(
+        """floor((element_at(dev, CAST((trail_n + 1) div 2 AS INT))
+          |  + element_at(dev, CAST((trail_n + 2) div 2 AS INT))) / 2.0)
+          |""".stripMargin).cast("long"))
+      .select(col("event_type"), col("d"), col("trail_n"), col("med"),
+        col("mad"))
+    daily.join(trail, Seq("event_type", "d"), "left")
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"), col("cnt"),
+        coalesce(col("trail_n"), lit(0L)).as("trail_n"),
+        col("med"), col("mad"),
+        when(coalesce(col("trail_n"), lit(0L)) >= minObs &&
+          abs(col("cnt") - col("med")) > lit(kTimes) * col("mad"), 1L)
+          .otherwise(0L).as("is_anomaly"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   /** Distribution drift per event type: total-variation distance
     * between the `value` distribution before and after `splitDate` —
     * the data-drift monitor run between a reference window and the

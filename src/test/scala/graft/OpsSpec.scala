@@ -847,6 +847,46 @@ class OpsSpec extends SparkSpec {
     assert(tied == Seq((2L, 4L, 2L, 5000L, 10000L)))
   }
 
+  test("theilSenTrend: median slope shrugs off the outlier day") {
+    val s = spark
+    import s.implicits._
+    def o(k: Long, d: String, p: Double) =
+      (k, 1L, "O", p, java.sql.Timestamp.valueOf(s"$d 00:00:00"), "x")
+    // daily cents 10000, 20000, 30000, then an outlier 100000
+    val orders = Seq(o(1, "2024-01-01", 100.0), o(2, "2024-01-02", 200.0),
+      o(3, "2024-01-03", 300.0), o(4, "2024-01-04", 1000.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = graft.ops.Retention.theilSenTrend(orders).collect().head
+    assert(r.getAs[Long]("n_days") == 4L && r.getAs[Long]("n_pairs") == 6L)
+    // slopes (bp/day): 1e8 ×3, 3e8, 4e8, 7e8 → median (1e8+3e8)/2
+    assert(r.getAs[Long]("slope_bp_per_day") == 200000000L)
+  }
+
+  test("robustVolumeAnomaly: a past spike can't mask detection; flags only the spike") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val events = ((1 to 5).map(d =>
+      (d.toLong, t(f"2024-01-0$d%d 12:00:00"), 1L, "click")) ++
+      (100 to 149).map(i => (i.toLong, t("2024-01-06 12:00:00"), 2L, "click")) :+
+      (200L, t("2024-01-07 12:00:00"), 1L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.Retention.robustVolumeAnomaly(events)
+      .collect().map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("trail_n"),
+          Option(r.get(r.fieldIndex("med"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("mad"))).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("is_anomaly")))).toMap
+    assert(got("2024-01-06") == ((50L, 5L, Some(1L), Some(0L), 1L)))
+    // the day AFTER the spike: MAD ignores the spike in its window —
+    // med 1, mad 0, a normal count does NOT flag
+    assert(got("2024-01-07") == ((1L, 6L, Some(1L), Some(0L), 0L)))
+    // short-history days never flag (trail_n < minObs)
+    assert(got("2024-01-02")._5 == 0L)
+    assert(got.values.map(_._5).sum == 1L)
+  }
+
   test("zorderCells: 1-bit grid = quadrants; spans measured on raw values") {
     val s = spark
     import s.implicits._

@@ -1178,6 +1178,21 @@ class PlanAuditSpec extends SparkSpec {
       s"cumulative window not above the score-grain aggregate:\n$p")
   }
 
+  test("q207 theil-sen: day-grain pair join is BROADCAST (calendar-bounded), one fact pass") {
+    val p = plan("q207_theilsen_trend")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair join must not shuffle the day frame:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"pair join not broadcast:\n$p")
+  }
+
+  test("q208 robust anomaly: trailing windows via day-grain explode, never a fact re-scan") {
+    val p = stripCached(plan("q208_robust_anomaly"))
+    // the explode must sit ABOVE the day-grain aggregate (cached daily
+    // frame), so the ×windowDays factor applies to calendar rows only
+    assert("Scan parquet".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)
