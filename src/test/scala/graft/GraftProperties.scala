@@ -1017,4 +1017,89 @@ object GraftProperties extends Properties("graft") {
       mono && out(8000L)._1 == p8000.size.toLong &&
         out(8000L)._2 == p8000.distinct.size.toLong
     }
+
+  property("morton: expression == bit-loop reference on arbitrary longs") =
+    forAll(Gen.listOfN(8, for {
+      a <- Gen.choose(Long.MinValue, Long.MaxValue)
+      b <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (a, b))) { ps =>
+      val s = spark; import s.implicits._
+      def ref(a: Long, b: Long): Long = {
+        val (x, y) = (a & 0x7FFFFFFFL, b & 0x7FFFFFFFL)
+        (0 until 31).map { i =>
+          (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+        }.reduce(_ | _)
+      }
+      val got = ps.toDF("a", "b")
+        .select(graft.expressions.MortonCode.morton(col("a"), col("b")))
+        .as[Long].collect().toSeq
+      got == ps.map { case (a, b) => ref(a, b) }
+    }
+
+  property("equiDepthBins == JVM last-rank recompute; rows conserved") =
+    forAll(Gen.choose(1, 6),
+      Gen.nonEmptyListOf(Gen.choose(0L, 20L))) { (nb, vals) =>
+      val s = spark; import s.implicits._
+      val got = graft.ops.Percentiles.equiDepthBins(vals.toDF("v"), "v", nb)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val n = vals.size.toLong
+      val hist = vals.groupBy(identity).map { case (v, xs) =>
+        (v, xs.size.toLong) }.toSeq.sortBy(_._1)
+      val cums = hist.scanLeft(0L)(_ + _._2).tail
+      val want = hist.zip(cums)
+        .map { case ((v, c), cum) => ((cum - 1) * nb / n + 1, v, c) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, xs) =>
+          (b, xs.map(_._3).sum, xs.map(_._2).min, xs.map(_._2).max) }
+      got == want && got.map(_._2).sum == n
+    }
+
+  property("neymanAllocation: quotas sum to budget; weights are exact integer sqrt") =
+    forAll(
+      Gen.nonEmptyListOf(for {
+        st <- Gen.oneOf("A", "B", "C", "D")
+        cents <- Gen.choose(0L, 100000L)
+      } yield (st, cents)),
+      Gen.choose(0L, 50L)) { (rows, budget) =>
+      val s = spark; import s.implicits._
+      val got = graft.ops.StratifiedExtract.neymanAllocation(
+        rows.toDF("stratum", "cents"), "stratum", "cents", budget)
+        .collect().map(r => (r.getAs[String]("stratum"),
+          r.getAs[Long]("ney_weight"), r.getAs[Long]("alloc")))
+      def isqrt(v: BigInt): BigInt =
+        if (v < 2) v
+        else {
+          var x = BigInt(1) << ((v.bitLength + 2) / 2)
+          var y = (x + v / x) / 2
+          while (y < x) { x = y; y = (x + v / x) / 2 }
+          x
+        }
+      val want = rows.groupBy(_._1).map { case (st, xs) =>
+        val n = BigInt(xs.size)
+        val sum = xs.map(x => BigInt(x._2)).sum
+        val sq = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum
+        st -> isqrt(n * sq - sum * sum)
+      }
+      got.map(_._3).sum == budget &&
+        got.forall { case (st, w, _) => BigInt(w) == want(st) }
+    }
+
+  property("bfsReach == JVM BFS min-hop from the deg-max seed") =
+    forAll(Gen.nonEmptyListOf(for {
+      a <- Gen.choose(1L, 8L); b <- Gen.choose(1L, 8L) if a != b
+    } yield (a, b))) { es0 =>
+      val s = spark; import s.implicits._
+      val es = es0.flatMap(e => Seq(e, e.swap)).distinct
+      val got = graft.ops.Graph.bfsReach(es.toDF("src", "dst"), maxHops = 3)
+        .as[(Long, Long)].collect().toMap
+      val adj = es.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+      val seed = adj.toSeq.map { case (k, ns) => (-ns.size, k) }.min._2
+      val want = scala.collection.mutable.Map(seed -> 0L)
+      var frontier = Set(seed)
+      for (h <- 1 to 3) {
+        frontier = frontier.flatMap(adj(_)).filterNot(want.contains)
+        frontier.foreach(want(_) = h.toLong)
+      }
+      got == want.toMap
+    }
 }
