@@ -235,7 +235,10 @@ object SparkEntry {
     "q205_churn_features" -> (Queries.churnFeatures _),
     "q206_gains_table" -> (Queries.gainsTable _),
     "q207_theilsen_trend" -> (Queries.theilSenTrend _),
-    "q208_robust_anomaly" -> (Queries.robustVolumeAnomaly _)
+    "q208_robust_anomaly" -> (Queries.robustVolumeAnomaly _),
+    "q209_fulfillment_latency" -> (Queries.fulfillmentLatency _),
+    "q210_growth_accounting" -> (Queries.growthAccounting _),
+    "q211_revenue_acf" -> (Queries.revenueAcf _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1699,6 +1702,21 @@ object Queries {
   def robustVolumeAnomaly(spark: SparkSession, dir: String): DataFrame =
     Retention.robustVolumeAnomaly(Tables(spark, dir, "events"),
       AnomalyWindowDays, RobustAnomalyK, AnomalyMinObs)
+
+  /** Order→ship latency quantile panel per priority (SLA readout). */
+  def fulfillmentLatency(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.fulfillmentLatency(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), QuantileRanks)
+
+  /** Daily new-vs-returning user growth accounting panel. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame =
+    Retention.growthAccounting(Tables(spark, dir, "events"))
+
+  val AcfMaxLag = 14
+
+  /** Lag-1..14 autocorrelation of daily revenue (seasonality scan). */
+  def revenueAcf(spark: SparkSession, dir: String): DataFrame =
+    Retention.revenueAcf(Tables(spark, dir, "orders"), AcfMaxLag)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -7303,6 +7321,78 @@ object Oracles {
          |FROM daily dd
          |LEFT JOIN t3 ON dd.event_type = t3.event_type AND dd.d = t3.d
          |ORDER BY dd.event_type, day""".stripMargin
+    },
+
+    // the q184 quantile-pick pattern at (priority, latency-days) grain
+    "q209_fulfillment_latency" -> {
+      val picks = Queries.QuantileRanks.map { p =>
+        s"""SELECT o_orderpriority, CAST($p AS BIGINT) AS rank_bp,
+           |       CAST(FLOOR(MIN(CASE WHEN cum >= ((n * $p + 9999) // 10000)
+           |         THEN v END) * 100) AS BIGINT) AS value_cents,
+           |       CAST(MIN(n) AS BIGINT) AS n_rows
+           |FROM c GROUP BY 1""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH h AS (
+         |  SELECT o.o_orderpriority,
+         |         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+         |           CAST(l.l_shipdate AS DATE)) AS BIGINT) AS v,
+         |         COUNT(*) AS cnt
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *,
+         |         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY v) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM h)
+         |$picks""".stripMargin
+    },
+
+    "q210_growth_accounting" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |f AS (SELECT user_id, MIN(d) AS f FROM ud GROUP BY 1),
+         |p AS (
+         |  SELECT ud.d, CAST(COUNT(*) AS BIGINT) AS n_active,
+         |         CAST(SUM(CASE WHEN ud.d = f.f THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_new,
+         |         CAST(SUM(CASE WHEN ud.d <> f.f THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_returning
+         |  FROM ud JOIN f ON ud.user_id = f.user_id
+         |  GROUP BY 1)
+         |SELECT strftime(d, '%Y-%m-%d') AS day, n_active, n_new, n_returning,
+         |       CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_users
+         |FROM p ORDER BY day""".stripMargin,
+
+    // rational-mean autocorrelation: centered series scaled by n so
+    // every sum is integer (HUGEINT), one IEEE division at the end
+    "q211_revenue_acf" -> {
+      val ml = Queries.AcfMaxLag
+      s"""WITH daily AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |           AS x,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS y
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS s FROM daily),
+         |ce AS (
+         |  SELECT d.x, CAST(st.n AS HUGEINT) * d.y - st.s AS c
+         |  FROM daily d, st),
+         |vn AS (SELECT SUM(c * c) AS varnum FROM ce),
+         |lg AS (
+         |  SELECT ce.x + g.i AS x, CAST(g.i AS BIGINT) AS lag, ce.c AS c_lag
+         |  FROM ce, unnest(range(1, $ml + 1)) AS g(i)),
+         |cv AS (
+         |  SELECT lg.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |         SUM(ce.c * lg.c_lag) AS covnum
+         |  FROM ce JOIN lg ON ce.x = lg.x
+         |  GROUP BY 1)
+         |SELECT cv.lag, cv.n_pairs,
+         |       CASE WHEN vn.varnum = 0 THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 * CAST(cv.covnum AS DOUBLE)
+         |              / CAST(vn.varnum AS DOUBLE)) AS BIGINT) END AS acf_bp
+         |FROM cv, vn ORDER BY cv.lag""".stripMargin
     }
   )
 

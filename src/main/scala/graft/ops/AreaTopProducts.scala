@@ -722,4 +722,24 @@ object AreaTopProducts {
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(k)
   }
+
+  /** Fulfillment-latency quantile panel: per order priority, exact
+    * nearest-rank quantiles of order-date → ship-date days — the SLA
+    * readout ("does URGENT actually ship faster, and at which tail
+    * does it stop?"). The q184 composition shape: one line-grain
+    * equi-join for the latency column, then the shared
+    * [[Percentiles.quantileTable]] machinery — the window runs over
+    * DISTINCT latency values per priority (day-valued, so a few
+    * thousand at most), never rows. value_cents = days × 100 (the
+    * quantile-table cents convention). */
+  def fulfillmentLatency(lineitem: DataFrame, orders: DataFrame,
+      ranksBp: Seq[Long]): DataFrame =
+    Percentiles.quantileTable(
+      lineitem.select(col("l_orderkey"), col("l_shipdate"))
+        .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("latency_days")),
+      "o_orderpriority", "latency_days", ranksBp)
 }

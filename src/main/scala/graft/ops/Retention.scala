@@ -423,6 +423,91 @@ object Retention {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** Growth accounting: per day, active users split into NEW (first
+    * day ever) vs RETURNING, plus the cumulative user base — the
+    * canonical startup-metrics panel ("is the activity growth new
+    * acquisition or the same users coming back"). Complements
+    * [[cohortRetention]] (which follows one cohort forward) and q76's
+    * DAU/WAU (which counts without attribution).
+    *
+    * Scale shape — the [[apply]] (cohort) active-day-set pattern:
+    * ONE user-grain aggregate builds each user's distinct-day set
+    * (map-side partial dedup; the set is bounded by the analysis
+    * window's calendar length, the documented cohort contract), the
+    * first day is its array_min, and the explode back to (user, day)
+    * feeds the calendar-grain panel — one fact shuffle total, where
+    * the naive distinct → min-join plan pays two ((user, day) hash
+    * clustering cannot serve a user-grain aggregate). */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val perUser = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("d")).as("days"))
+      .select(array_min(col("days")).as("f"), explode(col("days")).as("d"))
+    perUser
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("d") === col("f"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("d") =!= col("f"), 1L).otherwise(0L)).as("n_returning"))
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("d").asc)))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_new"), col("n_returning"), col("cum_users"))
+      .orderBy(col("day").asc)
+  }
+
+  /** Lag-k autocorrelation of daily revenue, k = 1..maxLag — the
+    * seasonality detector behind [[revenueSeasonality]]'s fixed
+    * calendar buckets: a weekly rhythm shows as an acf spike at
+    * lag 7 without assuming the period in advance.
+    *
+    * Exact cross-engine arithmetic with a RATIONAL mean: scale the
+    * centered series by n (c_t = n·y_t − S, an integer), so
+    * numerator and denominator both carry the n² factor and the
+    * ratio is unchanged — no floating mean, no libm. acf_bp =
+    * ⌊10000·Σ c_t·c_{t+k} / Σ c_t²⌋ over decimal(38,0) sums (the one
+    * IEEE division at the end is of two exactly-computed integers —
+    * both engines round identically). Missing days simply produce no
+    * (t, t+k) pair — the panel is day-grain sparse-safe.
+    *
+    * Scale shape: day-grain frame (calendar-bounded), lineage
+    * truncated once; lags materialized by a bounded ×maxLag explode
+    * of that frame, closed by a day-grain self-join. Columns: lag,
+    * n_pairs, acf_bp (null when the series is constant). */
+  def revenueAcf(orders: DataFrame, maxLag: Int = 14): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val dec = "decimal(38,0)"
+    val daily = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("y"))
+      .select(datediff(col("d"), to_date(lit("1970-01-01")))
+        .cast("long").as("x"), col("y"))
+      .localCheckpoint(false) // 3 consumers: stats + both join sides
+    val stats = daily.agg(count(lit(1)).as("n"),
+      sum(col("y").cast(dec)).as("s"))
+    val centered = daily.crossJoin(broadcast(stats))
+      .select(col("x"),
+        (col("n").cast(dec) * col("y").cast(dec) - col("s")).as("c"))
+      .localCheckpoint(false) // varnum + both lag-join sides
+    val varnum = centered.agg(sum(col("c") * col("c")).as("varnum"))
+    val lagged = centered.select(col("c").as("c_lag"),
+      explode(expr(s"sequence(1L, ${maxLag}L)")).as("lag"),
+      col("x"))
+      .select((col("x") + col("lag")).as("x"), col("lag"), col("c_lag"))
+    centered.join(lagged, Seq("x"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c") * col("c_lag")).as("covnum"))
+      .crossJoin(broadcast(varnum))
+      .select(col("lag"), col("n_pairs"),
+        when(col("varnum") === lit(0L).cast(dec), lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) * col("covnum").cast("double") /
+            col("varnum").cast("double")).cast("long")).as("acf_bp"))
+      .orderBy(col("lag").asc)
+  }
+
   /** Distribution drift per event type: total-variation distance
     * between the `value` distribution before and after `splitDate` —
     * the data-drift monitor run between a reference window and the

@@ -887,6 +887,67 @@ class OpsSpec extends SparkSpec {
     assert(got.values.map(_._5).sum == 1L)
   }
 
+  test("growthAccounting: new/returning attribution and cumulative base") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val events = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 11:00:00"), 1L, "view"), // same day dedups
+      (3L, t("2024-01-02 10:00:00"), 1L, "view"), // returning
+      (4L, t("2024-01-02 10:00:00"), 2L, "view")) // new on day 2
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.Retention.growthAccounting(events)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 1L, 1L, 0L, 1L),
+      ("2024-01-02", 2L, 1L, 1L, 2L)))
+  }
+
+  test("revenueAcf: alternating series — negative odd lags, positive even; constant series is null") {
+    val s = spark
+    import s.implicits._
+    def o(k: Long, d: String, p: Double) =
+      (k, 1L, "O", p, java.sql.Timestamp.valueOf(s"$d 00:00:00"), "x")
+    val alt = Seq(o(1, "2024-01-01", 1.0), o(2, "2024-01-02", 3.0),
+      o(3, "2024-01-03", 1.0), o(4, "2024-01-04", 3.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = graft.ops.Retention.revenueAcf(alt, maxLag = 5)
+      .collect().map(r => (r.getAs[Long]("lag"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("acf_bp"))).toSeq
+    // c = {-400,400,-400,400}; varnum 640000; lags beyond the span
+    // produce no pairs and no rows
+    assert(got == Seq((1L, 3L, -7500L), (2L, 2L, 5000L), (3L, 1L, -2500L)))
+    val const = Seq(o(1, "2024-01-01", 2.0), o(2, "2024-01-02", 2.0),
+      o(3, "2024-01-03", 2.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val c = graft.ops.Retention.revenueAcf(const, maxLag = 2).collect()
+    assert(c.forall(_.isNullAt(2))) // zero variance → undefined acf
+  }
+
+  test("fulfillmentLatency: exact nearest-rank picks per priority") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(s"$x 00:00:00")
+    val orders = Seq((10L, "1-URGENT", t("2024-01-01")),
+      (20L, "2-HIGH", t("2024-01-01")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    // URGENT latencies {1,2,3,4}; HIGH {10}
+    val lines = Seq((10L, t("2024-01-02")), (10L, t("2024-01-03")),
+      (10L, t("2024-01-04")), (10L, t("2024-01-05")), (20L, t("2024-01-11")))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = graft.ops.AreaTopProducts
+      .fulfillmentLatency(lines, orders, Seq(5000L, 9900L))
+      .collect().map(r => ((r.getAs[String]("o_orderpriority"),
+        r.getAs[Long]("rank_bp")),
+        (r.getAs[Long]("value_cents"), r.getAs[Long]("n_rows")))).toMap
+    assert(got(("1-URGENT", 5000L)) == ((200L, 4L))) // rank ceil(4·.5)=2 → 2 days
+    assert(got(("1-URGENT", 9900L)) == ((400L, 4L)))
+    assert(got(("2-HIGH", 5000L)) == ((1000L, 1L)))
+  }
+
   test("zorderCells: 1-bit grid = quadrants; spans measured on raw values") {
     val s = spark
     import s.implicits._

@@ -1193,6 +1193,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q209 fulfillment latency: quantile windows at (priority, value) grain, pruned scans") {
+    val p = plan("q209_fulfillment_latency")
+    assert(!p.contains("CartesianProduct"), p)
+    val lines = p.split("\n")
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window not above the value-grain aggregate:\n$p")
+    val readSchemas = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(readSchemas.forall(s => !s.contains("o_totalprice") &&
+      !s.contains("l_quantity")), s"scans not pruned: $readSchemas")
+  }
+
+  test("q210 growth accounting: one user-grain fact shuffle (day-set pattern), no join") {
+    val p = plan("q210_growth_accounting")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length == 1,
+      s"expected exactly one user-grain shuffle:\n$p")
+  }
+
+  test("q211 revenue acf: lag explode sits on the checkpointed day grain, never the fact table") {
+    val p = stripCached(plan("q211_revenue_acf"))
+    assert("Scan parquet".r.findAllIn(p).length == 0,
+      s"fact scan leaked past the day-grain checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)
