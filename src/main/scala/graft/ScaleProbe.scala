@@ -417,6 +417,10 @@ object ScaleProbe {
       "n_events", "label", 10))
     t("theilsen trend")(graft.ops.Retention.theilSenTrend(orders))
     t("robust anomaly")(graft.ops.Retention.robustVolumeAnomaly(events))
+    t("fulfillment latency")(graft.ops.AreaTopProducts.fulfillmentLatency(
+      lineitem, orders, Seq(5000L, 9000L, 9900L)))
+    t("growth accounting")(graft.ops.Retention.growthAccounting(events))
+    t("revenue acf")(graft.ops.Retention.revenueAcf(orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

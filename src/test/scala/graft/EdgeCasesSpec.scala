@@ -528,4 +528,51 @@ class EdgeCasesSpec extends SparkSpec {
           r.getAs[Long]("drop_bp")))).toMap
     assert(out == Map(5000L -> ((0L, 0L, 0L)), 10000L -> ((0L, 0L, 0L))))
   }
+
+  test("round-7 operators on empty and degenerate inputs") {
+    val s = spark
+    import s.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.bfsReach(noEdges, 3).count() == 0)
+    val noPairs = Seq.empty[(Long, Long, Long)]
+      .toDF("item_a", "item_b", "pair_sessions")
+    assert(Graph.componentSizes(noPairs).count() == 0)
+    val noVals = Seq.empty[Long].toDF("v")
+    assert(Percentiles.equiDepthBins(noVals, "v", 5).count() == 0)
+    // single value: rank 1 of 1 → bin (1−1)·nb div 1 + 1 = 1
+    val one = Percentiles.equiDepthBins(Seq(7L).toDF("v"), "v", 4).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("bin") == 1L)
+    val noStrata = Seq.empty[(String, Long)].toDF("stratum", "cents")
+    assert(StratifiedExtract.neymanAllocation(noStrata, "stratum", "cents",
+      10L).count() == 0)
+    // budget 0: every stratum reports 0 draws
+    val zeroBudget = StratifiedExtract.neymanAllocation(
+      Seq(("A", 1L), ("A", 3L)).toDF("stratum", "cents"),
+      "stratum", "cents", 0L).collect()
+    assert(zeroBudget.map(_.getAs[Long]("alloc")).toSeq == Seq(0L))
+    val noOrders = Seq.empty[(Long, Long, String, Double,
+        java.sql.Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    assert(Retention.seasonalDeviation(noOrders).count() == 0)
+    assert(Retention.revenueAcf(noOrders).count() == 0)
+    // theil-sen on an empty series: one row, null slope, zero counts
+    val ts0 = Retention.theilSenTrend(noOrders).collect().head
+    assert(ts0.getAs[Long]("n_days") == 0L && ts0.isNullAt(2))
+    val noEvents = emptyEvents
+    assert(Retention.growthAccounting(noEvents).count() == 0)
+    assert(Retention.robustVolumeAnomaly(noEvents).count() == 0)
+    assert(Retention.anomalySessionOverlap(noEvents).count() == 0)
+    assert(graft.ops.TrainingPrep.churnFeatures(noEvents, "2024-01-20", 7)
+      .count() == 0)
+    assert(graft.ops.Market.tripleItemsets(noEvents).count() == 0)
+    val noDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Profile.sourceDatacard(noDocs).count() == 0)
+    val noXY = Seq.empty[(Long, Long)].toDF("xx", "yy")
+    assert(Layout.zorderCells(noXY, "xx", "yy").count() == 0)
+    val noScores = Seq.empty[(Long, Long)].toDF("score", "label")
+    assert(graft.ops.Experiment.gainsTable(noScores, "score", "label", 5)
+      .count() == 0)
+  }
 }
