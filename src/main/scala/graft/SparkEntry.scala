@@ -238,7 +238,9 @@ object SparkEntry {
     "q208_robust_anomaly" -> (Queries.robustVolumeAnomaly _),
     "q209_fulfillment_latency" -> (Queries.fulfillmentLatency _),
     "q210_growth_accounting" -> (Queries.growthAccounting _),
-    "q211_revenue_acf" -> (Queries.revenueAcf _)
+    "q211_revenue_acf" -> (Queries.revenueAcf _),
+    "q212_cusum_revenue" -> (Queries.cusumRevenue _),
+    "q213_benford_audit" -> (Queries.benfordAudit _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1717,6 +1719,21 @@ object Queries {
   /** Lag-1..14 autocorrelation of daily revenue (seasonality scan). */
   def revenueAcf(spark: SparkSession, dir: String): DataFrame =
     Retention.revenueAcf(Tables(spark, dir, "orders"), AcfMaxLag)
+
+  val CusumSlackBp = 2000L
+  val CusumHMeanDays = 3L
+
+  /** CUSUM sequential change-point monitor over daily revenue. */
+  def cusumRevenue(spark: SparkSession, dir: String): DataFrame =
+    Retention.cusumRevenue(Tables(spark, dir, "orders"),
+      CusumSlackBp, CusumHMeanDays)
+
+  /** Benford first-digit audit of order amounts (in cents). */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    Profile.benfordAudit(
+      Tables(spark, dir, "orders").select(
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents")),
+      "cents")
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -7393,6 +7410,80 @@ object Oracles {
          |            ELSE CAST(FLOOR(10000.0 * CAST(cv.covnum AS DOUBLE)
          |              / CAST(vn.varnum AS DOUBLE)) AS BIGINT) END AS acf_bp
          |FROM cv, vn ORDER BY cv.lag""".stripMargin
+    },
+
+    // the max(0, S+dev) recursion as its closed form: raw cumsum minus
+    // the running prefix min (incl. the empty prefix's 0) — exact
+    // HUGEINT twin of the decimal(38,0) Spark columns
+    "q212_cusum_revenue" -> {
+      val sl = Queries.CusumSlackBp
+      val h = Queries.CusumHMeanDays
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS y
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS s FROM daily),
+         |dv AS (
+         |  SELECT d.d, d.y, st.s,
+         |         CAST(10000 AS HUGEINT) * st.n * d.y
+         |           - CAST(${10000L + sl} AS HUGEINT) * st.s AS devp,
+         |         CAST(${10000L - sl} AS HUGEINT) * st.s
+         |           - CAST(10000 AS HUGEINT) * st.n * d.y AS devn
+         |  FROM daily d, st),
+         |cw AS (
+         |  SELECT *,
+         |         SUM(devp) OVER (ORDER BY d
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         |         SUM(devn) OVER (ORDER BY d
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+         |  FROM dv),
+         |cs AS (
+         |  SELECT *,
+         |         cp - LEAST(CAST(0 AS HUGEINT), MIN(cp) OVER (ORDER BY d
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |           AS cusum_p,
+         |         cn - LEAST(CAST(0 AS HUGEINT), MIN(cn) OVER (ORDER BY d
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |           AS cusum_n
+         |  FROM cw)
+         |SELECT strftime(d, '%Y-%m-%d') AS day, y AS cents,
+         |       CAST(FLOOR(CAST(cusum_p AS DOUBLE) / CAST(s AS DOUBLE))
+         |         AS BIGINT) AS pos_bp,
+         |       CAST(FLOOR(CAST(cusum_n AS DOUBLE) / CAST(s AS DOUBLE))
+         |         AS BIGINT) AS neg_bp,
+         |       CAST(CASE WHEN cusum_p > CAST(${10000L * h} AS HUGEINT) * s
+         |         THEN 1 ELSE 0 END AS BIGINT) AS pos_alarm,
+         |       CAST(CASE WHEN cusum_n > CAST(${10000L * h} AS HUGEINT) * s
+         |         THEN 1 ELSE 0 END AS BIGINT) AS neg_alarm
+         |FROM cs ORDER BY day""".stripMargin
+    },
+
+    "q213_benford_audit" -> {
+      val dims = graft.ops.Profile.BenfordBp.zipWithIndex
+        .map { case (bp, i) => s"(${i + 1}, $bp)" }.mkString(", ")
+      s"""WITH v AS (
+         |  SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |obs AS (
+         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM v WHERE cents > 0 GROUP BY 1),
+         |dim AS (SELECT CAST(digit AS BIGINT) AS digit,
+         |               CAST(benford_bp AS BIGINT) AS benford_bp
+         |        FROM (VALUES $dims) AS t(digit, benford_bp)),
+         |j AS (
+         |  SELECT d.digit, CAST(COALESCE(o.n, 0) AS BIGINT) AS n, d.benford_bp,
+         |         SUM(COALESCE(o.n, 0)) OVER () AS total
+         |  FROM dim d LEFT JOIN obs o ON d.digit = o.digit)
+         |SELECT digit, n,
+         |       CAST(CASE WHEN total = 0 THEN 0
+         |            ELSE FLOOR(10000.0 * n / total) END AS BIGINT) AS share_bp,
+         |       benford_bp,
+         |       CAST(CASE WHEN total = 0 THEN 0
+         |            ELSE FLOOR(10000.0 * n / total) END AS BIGINT) - benford_bp
+         |         AS delta_bp
+         |FROM j ORDER BY digit""".stripMargin
     }
   )
 

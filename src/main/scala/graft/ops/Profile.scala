@@ -480,6 +480,47 @@ object Profile {
             .cast("long")))
   }
 
+  /** Benford's-law first-digit bp shares, ⌊10000·log₁₀(1+1/d)⌋ —
+    * public constants, precomputed so the audit needs no logarithm
+    * at runtime (house no-libm rule). */
+  val BenfordBp: Seq[Long] =
+    Seq(3010L, 1760L, 1249L, 969L, 791L, 669L, 579L, 511L, 457L)
+
+  /** Benford first-digit audit — the classic fabricated-data /
+    * broken-ETL tripwire: naturally-occurring multi-magnitude amounts
+    * follow log₁₀(1+1/d) first-digit shares; capped, defaulted, or
+    * synthesized values don't. Per digit 1–9: count, observed share
+    * (bp), the Benford expectation, and the signed delta — plus the
+    * digit rows a broken pipeline leaves EMPTY (the dim is a
+    * generated 9-row frame, so a missing digit reports 0, not an
+    * absent row).
+    *
+    * First digit by decimal-string head (pure integer/string ops, no
+    * log10); zero and negative amounts are excluded — Benford is
+    * defined on positive magnitudes. One fact pass → 9-row report. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val obs = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0L)
+      .select(expr(s"CAST(substr(CAST($valueCol AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.functions.{typedLit => tl}
+    val dim = obs.sparkSession.range(1, 10)
+      .select(col("id").as("digit"),
+        element_at(tl(BenfordBp), col("id").cast("int")).as("benford_bp"))
+    dim.join(obs, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        when(col("total") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("n") / col("total"))
+            .cast("long")).as("share_bp"),
+        col("benford_bp"))
+      .withColumn("delta_bp", col("share_bp") - col("benford_bp"))
+      .orderBy(col("digit").asc)
+  }
+
   /** Per-source data card: the one-row-per-source summary a corpus
     * README publishes — volume (docs, tokens, chars), hygiene (null
     * and exact-dup rates), and breadth (distinct languages). The

@@ -508,6 +508,60 @@ object Retention {
       .orderBy(col("lag").asc)
   }
 
+  /** CUSUM change-point monitor over daily revenue (Page 1954): the
+    * sequential detector that catches a SUSTAINED small shift long
+    * before any per-day threshold fires — each day accumulates its
+    * excess over (mean ± slack) and an alarm raises when the
+    * accumulated drift clears `hMeanDays` mean-days of revenue.
+    *
+    * The textbook recursion S_t = max(0, S_{t−1} + dev_t) is not a
+    * window function, but its closed form IS: S_t = C_t − min_{j≤t}
+    * C_j over the raw cumulative sum C (with the empty prefix's 0) —
+    * two windows over the day-grain frame, no recursion, no UDF. All
+    * arithmetic integer via the rational-mean scaling (everything ×
+    * 10000·n, the revenueAcf trick): dev⁺_t = 10000·n·y_t −
+    * (10000+slackBp)·S, alarms compare decimals EXACTLY against
+    * 10000·hMeanDays·S; only the reporting column (cusum in bp of a
+    * mean day) takes one IEEE division.
+    *
+    * Columns: day, cents, pos_bp, neg_bp (cusum levels, bp of one
+    * mean day), pos_alarm, neg_alarm. Day grain end to end. */
+  def cusumRevenue(orders: DataFrame, slackBp: Long = 2000L,
+      hMeanDays: Long = 3L): DataFrame = {
+    require(slackBp >= 0L && slackBp < 10000L, "slackBp in [0, 10000)")
+    require(hMeanDays >= 1L, "hMeanDays must be >= 1")
+    val dec = "decimal(38,0)"
+    val daily = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("y"))
+      .localCheckpoint(false) // stats + panel
+    val stats = daily.agg(count(lit(1)).as("n"),
+      sum(col("y").cast(dec)).as("s"))
+    val byDay = Window.orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("devp", expr(
+        s"CAST(10000L AS $dec) * n * y - CAST(${10000L + slackBp}L AS $dec) * s"))
+      .withColumn("devn", expr(
+        s"CAST(${10000L - slackBp}L AS $dec) * s - CAST(10000L AS $dec) * n * y"))
+      .withColumn("cp", sum(col("devp")).over(byDay))
+      .withColumn("cn", sum(col("devn")).over(byDay))
+      .withColumn("cusum_p",
+        col("cp") - least(lit(0L).cast(dec), min(col("cp")).over(byDay)))
+      .withColumn("cusum_n",
+        col("cn") - least(lit(0L).cast(dec), min(col("cn")).over(byDay)))
+      .withColumn("thresh", expr(s"CAST(${10000L * hMeanDays}L AS $dec) * s"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("y").as("cents"),
+        floor(col("cusum_p").cast("double") / col("s").cast("double"))
+          .cast("long").as("pos_bp"),
+        floor(col("cusum_n").cast("double") / col("s").cast("double"))
+          .cast("long").as("neg_bp"),
+        when(col("cusum_p") > col("thresh"), 1L).otherwise(0L).as("pos_alarm"),
+        when(col("cusum_n") > col("thresh"), 1L).otherwise(0L).as("neg_alarm"))
+      .orderBy(col("day").asc)
+  }
+
   /** Distribution drift per event type: total-variation distance
     * between the `value` distribution before and after `splitDate` —
     * the data-drift monitor run between a reference window and the

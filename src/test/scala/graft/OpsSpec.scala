@@ -948,6 +948,45 @@ class OpsSpec extends SparkSpec {
     assert(got(("2-HIGH", 5000L)) == ((1000L, 1L)))
   }
 
+  test("cusumRevenue: step shift accumulates to an alarm; closed form matches hand recursion") {
+    val s = spark
+    import s.implicits._
+    def o(k: Long, d: String, p: Double) =
+      (k, 1L, "O", p, java.sql.Timestamp.valueOf(s"$d 00:00:00"), "x")
+    // 4 days at 100c then 4 at 400c; slack 20%, alarm at 1 mean-day
+    val orders = ((1 to 4).map(i => o(i, f"2024-01-0$i%d", 1.0)) ++
+      (5 to 8).map(i => o(i, f"2024-01-0$i%d", 4.0)))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = graft.ops.Retention.cusumRevenue(orders, 2000L, 1L)
+      .collect().map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("pos_bp"), r.getAs[Long]("neg_bp"),
+          r.getAs[Long]("pos_alarm"), r.getAs[Long]("neg_alarm")))).toMap
+    // hand recursion (µ=250c): + side grows 100c-days/day from day 5,
+    // clears the 250c threshold on day 7; − side mirrors on days 3-4
+    // and drains back to 0 once the shift lands
+    assert(got("2024-01-08") == ((16000L, 0L, 1L, 0L)))
+    assert(got("2024-01-07")._3 == 1L && got("2024-01-06")._3 == 0L)
+    assert(got("2024-01-03")._4 == 1L && got("2024-01-04")._4 == 1L)
+    assert(got("2024-01-05")._4 == 0L && got("2024-01-04")._2 == 16000L)
+    assert(got("2024-01-07")._2 == 0L) // drained, not negative
+  }
+
+  test("benfordAudit: digit extraction, zero/negative exclusion, empty digits report 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L, 19L, 25L, 300L, 9L, 0L, -5L).toDF("cents")
+    val got = graft.ops.Profile.benfordAudit(df, "cents")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (1L to 9L))
+    val byD = got.map(r => r._1 -> r).toMap
+    assert(byD(1L)._2 == 2L && byD(1L)._3 == 4000L)
+    assert(byD(1L)._5 == 4000L - 3010L)
+    assert(byD(2L)._2 == 1L && byD(3L)._2 == 1L && byD(9L)._2 == 1L)
+    assert(byD(4L)._2 == 0L && byD(4L)._3 == 0L && byD(4L)._5 == -969L)
+    assert(got.map(_._2).sum == 5L) // 0 and −5 excluded
+  }
+
   test("zorderCells: 1-bit grid = quadrants; spans measured on raw values") {
     val s = spark
     import s.implicits._

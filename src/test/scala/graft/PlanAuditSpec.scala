@@ -1222,6 +1222,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q212 cusum: windows on the checkpointed day grain; exact-decimal alarm compares") {
+    val p = stripCached(plan("q212_cusum_revenue"))
+    assert("Scan parquet".r.findAllIn(p).length == 0,
+      s"fact scan leaked past the day-grain checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q213 benford: one pruned fact pass into a 9-row generated dim") {
+    val p = plan("q213_benford_audit")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(readSchema == "o_totalprice:double",
+      s"scan not pruned to the amount column: $readSchema")
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)
