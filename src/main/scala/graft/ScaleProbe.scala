@@ -421,6 +421,10 @@ object ScaleProbe {
       lineitem, orders, Seq(5000L, 9000L, 9900L)))
     t("growth accounting")(graft.ops.Retention.growthAccounting(events))
     t("revenue acf")(graft.ops.Retention.revenueAcf(orders))
+    t("cusum revenue")(graft.ops.Retention.cusumRevenue(orders))
+    t("benford audit")(graft.ops.Profile.benfordAudit(
+      orders.select(floor(col("o_totalprice") * lit(100.0)).cast("long")
+        .as("cents")), "cents"))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's
