@@ -240,7 +240,9 @@ object SparkEntry {
     "q210_growth_accounting" -> (Queries.growthAccounting _),
     "q211_revenue_acf" -> (Queries.revenueAcf _),
     "q212_cusum_revenue" -> (Queries.cusumRevenue _),
-    "q213_benford_audit" -> (Queries.benfordAudit _)
+    "q213_benford_audit" -> (Queries.benfordAudit _),
+    "q214_k_anonymity" -> (Queries.kAnonymity _),
+    "q215_l_diversity" -> (Queries.lDiversity _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1734,6 +1736,27 @@ object Queries {
       Tables(spark, dir, "orders").select(
         floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents")),
       "cents")
+
+  val AnonK = 5L
+  val DiversityL = 3L
+
+  /** Customer quasi-identifier frame: nation, segment, balance band —
+    * the columns a "scrubbed" export would plausibly keep. */
+  private def customerQi(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer").select(
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / lit(1000.0)).cast("long").as("balance_band"))
+
+  /** K-anonymity risk histogram over the customer QI frame. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Profile.kAnonymityProfile(customerQi(spark, dir),
+      Seq("nation", "segment", "balance_band"), AnonK)
+
+  /** L-diversity risk histogram: segment as the sensitive attribute
+    * inside (nation, balance_band) groups. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    Profile.lDiversityProfile(customerQi(spark, dir),
+      Seq("nation", "balance_band"), "segment", DiversityL)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -7484,6 +7507,47 @@ object Oracles {
          |            ELSE FLOOR(10000.0 * n / total) END AS BIGINT) - benford_bp
          |         AS delta_bp
          |FROM j ORDER BY digit""".stripMargin
+    },
+
+    "q214_k_anonymity" -> {
+      val k = Queries.AnonK
+      s"""WITH qi AS (
+         |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS balance_band
+         |  FROM customer),
+         |g AS (
+         |  SELECT nation, segment, balance_band,
+         |         CAST(COUNT(*) AS BIGINT) AS n,
+         |         SUM(COUNT(*)) OVER () AS total
+         |  FROM qi GROUP BY 1, 2, 3)
+         |SELECT n AS size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |       CAST(SUM(n) AS BIGINT) AS n_rows,
+         |       CAST(FLOOR(10000.0 * SUM(n) / MIN(total)) AS BIGINT)
+         |         AS risk_bp
+         |FROM g WHERE n < $k GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q215_l_diversity" -> {
+      val l = Queries.DiversityL
+      s"""WITH qi AS (
+         |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS balance_band
+         |  FROM customer),
+         |gs AS (
+         |  SELECT nation, balance_band, segment,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM qi GROUP BY 1, 2, 3),
+         |g AS (
+         |  SELECT nation, balance_band,
+         |         CAST(COUNT(*) AS BIGINT) AS diversity,
+         |         CAST(SUM(n) AS BIGINT) AS n,
+         |         SUM(SUM(n)) OVER () AS total
+         |  FROM gs GROUP BY 1, 2)
+         |SELECT diversity, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |       CAST(SUM(n) AS BIGINT) AS n_rows,
+         |       CAST(FLOOR(10000.0 * SUM(n) / MIN(total)) AS BIGINT)
+         |         AS risk_bp
+         |FROM g WHERE diversity < $l GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 

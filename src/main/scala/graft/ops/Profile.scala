@@ -521,6 +521,65 @@ object Profile {
       .orderBy(col("digit").asc)
   }
 
+  /** K-anonymity risk profile (Sweeney 2002): how many rows sit in a
+    * quasi-identifier group smaller than k — each is a re-identification
+    * candidate if this table ever leaves the building. The release
+    * gate next to the PII scrub (q46/q103) and the erasure audit
+    * (q128): scrubbing direct identifiers is not enough when the QI
+    * COMBINATION is unique.
+    *
+    * Output at GROUP-SIZE grain (sizes 1..k−1 observed), not group
+    * grain — the risky-group list itself can be huge and is exactly
+    * what a report must NOT republish; the histogram is bounded by k:
+    * size, n_groups, n_rows, risk_bp (share of ALL table rows exposed
+    * at that size). One scan → QI-grain aggregate → ≤k−1-row report
+    * (the denominator rides a window over that tiny frame). */
+  def kAnonymityProfile(df: DataFrame, qiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2L, "need QI columns and k >= 2")
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(whole))
+      .filter(col("n") < k)
+      .groupBy(col("n").as("size"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"),
+        min(col("total")).as("__t"))
+      .select(col("size"), col("n_groups"), col("n_rows"),
+        floor(lit(10000.0) * col("n_rows") / col("__t")).cast("long")
+          .as("risk_bp"))
+      .orderBy(col("size").asc)
+  }
+
+  /** L-diversity risk profile (Machanavajjhala 2007): the
+    * k-anonymity follow-up — a LARGE QI group is still unsafe when
+    * every member shares the same sensitive value (homogeneity
+    * attack: group size 100, all 'DELINQUENT' → membership alone
+    * leaks the attribute). Per QI group, the number of DISTINCT
+    * sensitive values; groups below `l` report at diversity grain:
+    * diversity, n_groups, n_rows, risk_bp. Same one-scan shape as
+    * [[kAnonymityProfile]] with a two-level aggregate (QI+sensitive
+    * grain collapses first, so the distinct count is a plain count —
+    * no Expand). */
+  def lDiversityProfile(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2L, "need QI columns and l >= 2")
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("diversity"), sum(col("n")).as("n"))
+      .withColumn("total", sum(col("n")).over(whole))
+      .filter(col("diversity") < l)
+      .groupBy(col("diversity"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"),
+        min(col("total")).as("__t"))
+      .select(col("diversity"), col("n_groups"), col("n_rows"),
+        floor(lit(10000.0) * col("n_rows") / col("__t")).cast("long")
+          .as("risk_bp"))
+      .orderBy(col("diversity").asc)
+  }
+
   /** Per-source data card: the one-row-per-source summary a corpus
     * README publishes — volume (docs, tokens, chars), hygiene (null
     * and exact-dup rates), and breadth (distinct languages). The

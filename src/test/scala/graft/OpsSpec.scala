@@ -987,6 +987,29 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_._2).sum == 5L) // 0 and −5 excluded
   }
 
+  test("kAnonymityProfile: size histogram of sub-k groups; safe groups absent") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq("x") ++ Seq.fill(2)("y") ++ Seq.fill(10)("z")).toDF("qi")
+    val got = graft.ops.Profile.kAnonymityProfile(df, Seq("qi"), 5L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // total 13 rows; the 10-row group clears k and must not appear
+    assert(got == Seq((1L, 1L, 1L, 769L), (2L, 1L, 2L, 1538L)))
+  }
+
+  test("lDiversityProfile: homogeneous groups flagged by distinct-sensitive count") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("A", "m"), ("A", "m"), ("A", "m"),        // diversity 1
+      ("B", "m"), ("B", "n"),                    // diversity 2
+      ("C", "m"), ("C", "n"), ("C", "o"))        // diversity 3: safe
+      .toDF("qi", "sens")
+    val got = graft.ops.Profile.lDiversityProfile(df, Seq("qi"), "sens", 3L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 3L, 3750L), (2L, 1L, 2L, 2500L)))
+  }
+
   test("zorderCells: 1-bit grid = quadrants; spans measured on raw values") {
     val s = spark
     import s.implicits._

@@ -1238,6 +1238,17 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned to the amount column: $readSchema")
   }
 
+  test("q214/q215 privacy profiles: one pruned scan, two-level aggregates, no Expand") {
+    Seq("q214_k_anonymity", "q215_l_diversity").foreach { q =>
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, s"$q:\n$p")
+      assert(!p.contains("Expand"), s"$q distinct planned as Expand:\n$p")
+      val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+      assert(!readSchema.contains("c_name") && !readSchema.contains("c_address"),
+        s"$q scan not pruned: $readSchema")
+    }
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)
