@@ -242,7 +242,10 @@ object SparkEntry {
     "q212_cusum_revenue" -> (Queries.cusumRevenue _),
     "q213_benford_audit" -> (Queries.benfordAudit _),
     "q214_k_anonymity" -> (Queries.kAnonymity _),
-    "q215_l_diversity" -> (Queries.lDiversity _)
+    "q215_l_diversity" -> (Queries.lDiversity _),
+    "q216_seasonal_backtest" -> (Queries.seasonalBacktest _),
+    "q217_discount_elasticity" -> (Queries.discountElasticity _),
+    "q218_dow_type_lift" -> (Queries.dowTypeLift _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1757,6 +1760,18 @@ object Queries {
   def lDiversity(spark: SparkSession, dir: String): DataFrame =
     Profile.lDiversityProfile(customerQi(spark, dir),
       Seq("nation", "balance_band"), "segment", DiversityL)
+
+  /** Seasonal-naive forecast backtest (MAE + weighted MAPE). */
+  def seasonalBacktest(spark: SparkSession, dir: String): DataFrame =
+    Retention.seasonalBacktest(Tables(spark, dir, "orders"))
+
+  /** OLS quantity-on-discount slope (classical elasticity read). */
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.discountElasticity(Tables(spark, dir, "lineitem"))
+
+  /** Day-of-week × event-type independence lift heatmap. */
+  def dowTypeLift(spark: SparkSession, dir: String): DataFrame =
+    Retention.dowTypeLift(Tables(spark, dir, "events"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -7548,7 +7563,69 @@ object Oracles {
          |       CAST(FLOOR(10000.0 * SUM(n) / MIN(total)) AS BIGINT)
          |         AS risk_bp
          |FROM g WHERE diversity < $l GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    "q216_seasonal_backtest" ->
+      s"""WITH m AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+         |l AS (
+         |  SELECT *,
+         |         lag(cents) OVER (PARTITION BY mo ORDER BY yr) AS pred,
+         |         lag(yr) OVER (PARTITION BY mo ORDER BY yr) AS pred_yr
+         |  FROM m)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+         |       CAST(SUM(ABS(cents - pred)) // COUNT(*) AS BIGINT) AS mae_cents,
+         |       CAST(FLOOR(10000.0 * SUM(ABS(cents - pred)) / SUM(cents))
+         |         AS BIGINT) AS wmape_bp
+         |FROM l WHERE pred IS NOT NULL AND pred_yr = yr - 1""".stripMargin,
+
+    "q217_discount_elasticity" ->
+      s"""WITH v AS (
+         |  SELECT CAST(FLOOR(l_discount * 100.0) AS BIGINT) AS x,
+         |         CAST(FLOOR(l_quantity) AS BIGINT) AS y
+         |  FROM lineitem
+         |  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL),
+         |s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |         SUM(CAST(x * y AS HUGEINT)) AS sxy,
+         |         SUM(CAST(x * x AS HUGEINT)) AS sxx
+         |  FROM v)
+         |SELECT n_rows,
+         |       CASE WHEN CAST(n_rows AS HUGEINT) * sxx - sx * sx = 0 THEN NULL
+         |            ELSE CAST(FLOOR(100.0 *
+         |              CAST(CAST(n_rows AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+         |              CAST(CAST(n_rows AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+         |              AS BIGINT) END AS slope_x100,
+         |       CASE WHEN CAST(n_rows AS HUGEINT) * sxx - sx * sx = 0 THEN NULL
+         |            ELSE CAST(FLOOR(100.0 *
+         |              CAST(sy * sxx - sx * sxy AS DOUBLE) /
+         |              CAST(CAST(n_rows AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+         |              AS BIGINT) END AS intercept_x100
+         |FROM s""".stripMargin,
+
+    "q218_dow_type_lift" ->
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+         |w AS (
+         |  SELECT *,
+         |         SUM(n) OVER (PARTITION BY event_type) AS r,
+         |         SUM(n) OVER (PARTITION BY dow) AS cc,
+         |         SUM(n) OVER () AS t
+         |  FROM c)
+         |SELECT event_type, dow, n,
+         |       CAST(FLOOR(10000.0 *
+         |         CAST(CAST(n AS HUGEINT) * t AS DOUBLE) /
+         |         CAST(CAST(r AS HUGEINT) * cc AS DOUBLE)) AS BIGINT)
+         |         AS lift_bp
+         |FROM w ORDER BY event_type, dow""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

@@ -723,6 +723,43 @@ object AreaTopProducts {
       .limit(k)
   }
 
+  /** OLS slope of quantity on discount percentage — the classical
+    * price-elasticity read beside [[discountBands]]' banded curve and
+    * the Theil–Sen robust trend (the library carries both fit
+    * families: least-squares when the data is clean, median-based
+    * when it isn't). One row: n_rows, slope_x100 (quantity units per
+    * discount POINT, ×100), intercept_x100.
+    *
+    * Closed-form simple regression on integer sums: slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), every product in decimal(38,0)
+    * (they overflow Long at real row counts), ONE IEEE division each
+    * for the two reported coefficients. Zero x-variance (a single
+    * discount level) reports NULLs rather than dividing. One fact
+    * pass, no shuffle beyond the scalar aggregate. */
+  def discountElasticity(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    lineitem
+      .filter(col("l_discount").isNotNull && col("l_quantity").isNotNull)
+      .select(floor(col("l_discount") * lit(100.0)).cast("long").as("x"),
+        floor(col("l_quantity")).cast("long").as("y"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .withColumn("den", expr(s"CAST(n_rows AS $dec) * sxx - sx * sx"))
+      .withColumn("slope_x100",
+        when(col("den") === lit(0L).cast(dec), lit(null).cast("long"))
+          .otherwise(floor(lit(100.0) *
+            expr(s"CAST(n_rows AS $dec) * sxy - sx * sy").cast("double") /
+            col("den").cast("double")).cast("long")))
+      .withColumn("intercept_x100",
+        when(col("den") === lit(0L).cast(dec), lit(null).cast("long"))
+          .otherwise(floor(lit(100.0) *
+            expr("sy * sxx - sx * sxy").cast("double") /
+            col("den").cast("double")).cast("long")))
+      .select(col("n_rows"), col("slope_x100"), col("intercept_x100"))
+  }
+
   /** Fulfillment-latency quantile panel: per order priority, exact
     * nearest-rank quantiles of order-date → ship-date days — the SLA
     * readout ("does URGENT actually ship faster, and at which tail

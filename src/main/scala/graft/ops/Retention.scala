@@ -562,6 +562,66 @@ object Retention {
       .orderBy(col("day").asc)
   }
 
+  /** Seasonal-naive forecast backtest: predict each month's revenue
+    * as the SAME month one year earlier, score the months that have a
+    * prior-year twin — the baseline every fancier forecaster must
+    * beat, and the q186 YoY lag turned into an accuracy number. One
+    * row: n_months, mae_cents (floor mean |error|), wmape_bp
+    * (⌊10000·Σ|err|/Σactual⌋ — the weighted MAPE, division-free per
+    * month so zero-revenue months can't blow it up).
+    *
+    * Month grain end to end (calendar-bounded); strict year−1 pairing
+    * like [[yoyMonthlyGrowth]]. */
+  def seasonalBacktest(orders: DataFrame): DataFrame = {
+    val m = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+    val w = Window.partitionBy(col("mo")).orderBy(col("yr").asc)
+    m.withColumn("pred", lag(col("cents"), 1).over(w))
+      .withColumn("pred_yr", lag(col("yr"), 1).over(w))
+      .filter(col("pred").isNotNull && col("pred_yr") === col("yr") - 1L)
+      .agg(count(lit(1)).as("n_months"),
+        expr("sum(abs(cents - pred)) div count(1)").as("mae_cents"),
+        floor(lit(10000.0) * sum(abs(col("cents") - col("pred"))) /
+          sum(col("cents"))).cast("long").as("wmape_bp"))
+  }
+
+  /** Day-of-week × event-type behavioral lift: observed cell count
+    * against the independence expectation — lift_bp =
+    * ⌊10000·O·N/(row·col)⌋, the contingency heatmap that shows
+    * "purchases skew to weekends" without assuming any period. The
+    * per-cell integer-exact alternative to a χ² statistic (whose
+    * fraction sum has no common denominator — and the per-cell lift
+    * is what the analyst reads anyway).
+    *
+    * One fact pass → cell grain (|types|×7); row/col/grand totals
+    * ride windows over that tiny frame. ISO day-of-week (Mon=1..7,
+    * `weekday+1` — Spark's `dayofweek` is Sunday-first and DuckDB's
+    * `dayofweek` is 0-based; the ISO form is the one both spell
+    * identically). decimal(38,0) products before the one IEEE
+    * division (O·N overflows Long at real scale). */
+  def dowTypeLift(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", sum(col("n")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("c", sum(col("n")).over(Window.partitionBy(col("dow"))))
+      .withColumn("t", sum(col("n")).over(Window.partitionBy()))
+      .select(col("event_type"), col("dow"), col("n"),
+        floor(lit(10000.0) *
+          expr(s"CAST(n AS $dec) * CAST(t AS $dec)").cast("double") /
+          expr(s"CAST(r AS $dec) * CAST(c AS $dec)").cast("double"))
+          .cast("long").as("lift_bp"))
+      .orderBy(col("event_type").asc, col("dow").asc)
+  }
+
   /** Distribution drift per event type: total-variation distance
     * between the `value` distribution before and after `splitDate` —
     * the data-drift monitor run between a reference window and the

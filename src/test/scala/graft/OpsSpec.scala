@@ -1010,6 +1010,56 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 3L, 3750L), (2L, 1L, 2L, 2500L)))
   }
 
+  test("seasonalBacktest: strict year-1 pairing; exact MAE and weighted MAPE") {
+    val s = spark
+    import s.implicits._
+    def o(k: Long, d: String, p: Double) =
+      (k, 1L, "O", p, java.sql.Timestamp.valueOf(s"$d 00:00:00"), "x")
+    val orders = Seq(
+      o(1, "2023-01-15", 1.0),  // Jan'23 100c (train only)
+      o(2, "2024-01-15", 1.5),  // Jan'24 150c: pred 100, |err| 50
+      o(3, "2024-02-15", 2.0),  // Feb'24 200c (train only)
+      o(4, "2025-02-15", 1.0),  // Feb'25 100c: pred 200, |err| 100
+      o(5, "2027-01-15", 9.0))  // Jan'27: NO 2026 twin → excluded
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = graft.ops.Retention.seasonalBacktest(orders).collect().head
+    assert(r.getAs[Long]("n_months") == 2L)
+    assert(r.getAs[Long]("mae_cents") == 75L)
+    assert(r.getAs[Long]("wmape_bp") == 6000L) // ⌊10000·150/250⌋
+  }
+
+  test("discountElasticity: closed-form OLS on a 2-point line; zero variance is null") {
+    val s = spark
+    import s.implicits._
+    val li = Seq((0.00, 10.0), (0.10, 20.0)).toDF("l_discount", "l_quantity")
+    val r = graft.ops.AreaTopProducts.discountElasticity(li).collect().head
+    assert(r.getAs[Long]("n_rows") == 2L)
+    assert(r.getAs[Long]("slope_x100") == 100L)     // +1 unit / point
+    assert(r.getAs[Long]("intercept_x100") == 1000L)
+    val flat = Seq((0.05, 10.0), (0.05, 20.0)).toDF("l_discount", "l_quantity")
+    val f = graft.ops.AreaTopProducts.discountElasticity(flat).collect().head
+    assert(f.isNullAt(1) && f.isNullAt(2))
+  }
+
+  test("dowTypeLift: ISO dow; independence lift exact on a hand contingency table") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    // 2024-01-01 is a Monday (iso 1), 01-02 a Tuesday (iso 2)
+    val events = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "A"),
+      (2L, t("2024-01-01 11:00:00"), 1L, "A"),
+      (3L, t("2024-01-01 12:00:00"), 1L, "A"),
+      (4L, t("2024-01-02 10:00:00"), 1L, "B"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.Retention.dowTypeLift(events)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 1L, 3L, 13333L),  // ⌊10000·3·4/(3·3)⌋
+      ("B", 2L, 1L, 40000L))) // ⌊10000·1·4/(1·1)⌋
+  }
+
   test("zorderCells: 1-bit grid = quadrants; spans measured on raw values") {
     val s = spark
     import s.implicits._

@@ -1249,6 +1249,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q216-q218 stat reports: single pruned fact pass each, grain-bounded windows") {
+    Seq("q216_seasonal_backtest" -> "o_custkey",
+      "q217_discount_elasticity" -> "l_orderkey",
+      "q218_dow_type_lift" -> "props").foreach { case (q, dropped) =>
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+      assert(!readSchema.contains(dropped), s"$q scan not pruned: $readSchema")
+    }
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)
