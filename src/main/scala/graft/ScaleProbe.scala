@@ -425,6 +425,17 @@ object ScaleProbe {
     t("benford audit")(graft.ops.Profile.benfordAudit(
       orders.select(floor(col("o_totalprice") * lit(100.0)).cast("long")
         .as("cents")), "cents"))
+    val custQi = dim("customer").select(
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / lit(1000.0)).cast("long").as("balance_band"))
+    t("k anonymity")(graft.ops.Profile.kAnonymityProfile(custQi,
+      Seq("nation", "segment", "balance_band"), 5L))
+    t("l diversity")(graft.ops.Profile.lDiversityProfile(custQi,
+      Seq("nation", "balance_band"), "segment", 3L))
+    t("seasonal backtest")(graft.ops.Retention.seasonalBacktest(orders))
+    t("discount elasticity")(graft.ops.AreaTopProducts.discountElasticity(
+      lineitem))
+    t("dow type lift")(graft.ops.Retention.dowTypeLift(events))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's
