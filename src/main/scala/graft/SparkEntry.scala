@@ -245,7 +245,10 @@ object SparkEntry {
     "q215_l_diversity" -> (Queries.lDiversity _),
     "q216_seasonal_backtest" -> (Queries.seasonalBacktest _),
     "q217_discount_elasticity" -> (Queries.discountElasticity _),
-    "q218_dow_type_lift" -> (Queries.dowTypeLift _)
+    "q218_dow_type_lift" -> (Queries.dowTypeLift _),
+    "q219_kendall_daily" -> (Queries.kendallDaily _),
+    "q220_lifecycle_census" -> (Queries.lifecycleCensus _),
+    "q221_skipgram_pairs" -> (Queries.skipGramPairs _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1772,6 +1775,33 @@ object Queries {
   /** Day-of-week × event-type independence lift heatmap. */
   def dowTypeLift(spark: SparkSession, dir: String): DataFrame =
     Retention.dowTypeLift(Tables(spark, dir, "events"))
+
+  /** Kendall τ-a between daily order count and daily revenue. */
+  def kendallDaily(spark: SparkSession, dir: String): DataFrame =
+    Retention.kendallDaily(Tables(spark, dir, "orders"))
+
+  val LifecycleNewDays = 7
+  val LifecycleActiveDays = 7
+  val LifecycleChurnDays = 14
+
+  /** Mid-fixture anchor (events span January): a stage census at the
+    * period END degenerates to one bucket; the operational read is
+    * taken DURING the period. */
+  val LifecycleAnchor = "2024-01-25"
+
+  /** User lifecycle census at the mid-January anchor. */
+  def lifecycleCensus(spark: SparkSession, dir: String): DataFrame =
+    Retention.lifecycleCensus(Tables(spark, dir, "events"), LifecycleAnchor,
+      LifecycleNewDays, LifecycleActiveDays, LifecycleChurnDays)
+
+  val SkipGramWindow = 2
+  val SkipGramTopK = 50
+  val SkipGramMinCount = 2L
+
+  /** Skip-gram item co-occurrence pairs (embedding-training input). */
+  def skipGramPairs(spark: SparkSession, dir: String): DataFrame =
+    Market.skipGramPairs(Tables(spark, dir, "events"), SkipGramWindow,
+      SkipGramTopK, SkipGramMinCount)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -7625,7 +7655,94 @@ object Oracles {
          |         CAST(CAST(n AS HUGEINT) * t AS DOUBLE) /
          |         CAST(CAST(r AS HUGEINT) * cc AS DOUBLE)) AS BIGINT)
          |         AS lift_bp
-         |FROM w ORDER BY event_type, dow""".stripMargin
+         |FROM w ORDER BY event_type, dow""".stripMargin,
+
+    "q219_kendall_daily" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |         CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS c
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |p AS (
+         |  SELECT CAST(SIGN(b.n - a.n) * SIGN(b.c - a.c) AS BIGINT) AS s
+         |  FROM daily a JOIN daily b ON b.d > a.d),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_concordant,
+         |         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_discordant,
+         |         CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_ties
+         |  FROM p),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+         |SELECT nd.n_days, agg.n_pairs, agg.n_concordant, agg.n_discordant,
+         |       agg.n_ties,
+         |       CASE WHEN agg.n_pairs = 0 THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 *
+         |              (agg.n_concordant - agg.n_discordant) / agg.n_pairs)
+         |              AS BIGINT) END AS tau_bp
+         |FROM agg, nd""".stripMargin,
+
+    "q220_lifecycle_census" -> {
+      val a = Queries.LifecycleAnchor
+      val nd = Queries.LifecycleNewDays
+      val ad = Queries.LifecycleActiveDays
+      val cd = Queries.LifecycleChurnDays
+      s"""WITH u AS (
+         |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d,
+         |         MAX(CAST(ts AS DATE)) AS last_d
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |  GROUP BY 1),
+         |s AS (
+         |  SELECT CASE
+         |           WHEN date_diff('day', first_d, DATE '$a') <= $nd THEN 'new'
+         |           WHEN date_diff('day', last_d, DATE '$a') > $cd THEN 'churned'
+         |           WHEN date_diff('day', last_d, DATE '$a') > $ad THEN 'at_risk'
+         |           ELSE 'active' END AS stage
+         |  FROM u)
+         |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |       CAST(FLOOR(10000.0 * COUNT(*) / SUM(COUNT(*)) OVER ())
+         |         AS BIGINT) AS share_bp
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // positions self-join twin of the two ±window collect frames
+    "q221_skipgram_pairs" -> {
+      val w = Queries.SkipGramWindow
+      val mc = Queries.SkipGramMinCount
+      s"""WITH iev AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |s0 AS (
+         |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id) AS prev_us
+         |  FROM iev),
+         |s1 AS (
+         |  SELECT user_id, event_id, ts_us, item,
+         |         CAST(SUM(CASE WHEN prev_us IS NULL
+         |                        OR ts_us - prev_us > 1800000000
+         |                   THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM s0),
+         |pos AS (
+         |  SELECT user_id, session_seq, item,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS pos
+         |  FROM s1)
+         |SELECT a.item AS center, b.item AS context,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM pos a JOIN pos b
+         |  ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+         |  AND a.pos <> b.pos AND ABS(a.pos - b.pos) <= $w
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $mc
+         |ORDER BY n_pairs DESC, center, context
+         |LIMIT ${Queries.SkipGramTopK}""".stripMargin
+    }
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

@@ -139,6 +139,40 @@ object Market {
         col("context"), col("item").as("label"))
   }
 
+  /** Skip-gram (center, context) pair counts — the word2vec-style
+    * co-occurrence table an item-embedding trainer consumes
+    * (Mikolov 2013 shape): for every item event, every other item
+    * within ±`window` positions of the SAME session emits one
+    * directional pair. Repeats kept (true event order, the
+    * [[nextItemPairs]] contract); the stream is filtered to
+    * item-bearing events BEFORE sessionization, mirrored in the
+    * oracle. Top `k` pairs above `minCount`, full-key tie-break.
+    *
+    * Scale shape: both context windows (±window rows) ride the ONE
+    * sessionize user_id shuffle — the explode is 2·window-bounded per
+    * event, then a single (center, context)-grain count whose key
+    * domain is catalog², observed subset. */
+  def skipGramPairs(events: DataFrame, window: Int = 2, k: Int = 50,
+      minCount: Long = 2L, itemCol: String = "$.k"): DataFrame = {
+    require(window >= 1 && minCount >= 1L, "window and minCount >= 1")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val withItem = events
+      .withColumn("item", get_json_object(col("props"), itemCol).cast("long"))
+      .filter(col("item").isNotNull)
+    val sess = W.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    Sessionize.assignSessions(withItem)
+      .withColumn("ctx", concat(
+        collect_list(col("item")).over(sess.rowsBetween(-window, -1)),
+        collect_list(col("item")).over(sess.rowsBetween(1, window))))
+      .select(col("item").as("center"), explode(col("ctx")).as("context"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+      .orderBy(col("n_pairs").desc, col("center").asc, col("context").asc)
+      .limit(k)
+  }
+
   /** Event-type transition matrix: within-session (prev → next)
     * step counts and the per-prev transition probability in basis
     * points. The lag window shares the sessionize partitioning —

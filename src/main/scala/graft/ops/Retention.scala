@@ -622,6 +622,79 @@ object Retention {
       .orderBy(col("event_type").asc, col("dow").asc)
   }
 
+  /** Kendall τ-a between daily order count and daily revenue — "do
+    * busier days actually make more money, monotonically?" The
+    * rank-correlation that needs NO ranks: count concordant vs
+    * discordant day pairs directly, so ties need no average-rank
+    * fractions and every number is an integer
+    * (τ_bp = ⌊10000·(n_c − n_d)/n_pairs⌋, tied-on-either-axis pairs
+    * counted in the denominator — the τ-a convention, stated).
+    *
+    * Scale shape: the all-pairs step is the [[theilSenTrend]]
+    * argument verbatim — day grain is calendar-bounded, so the
+    * quadratic self-join is a broadcast over a metadata-sized frame
+    * no matter how large the fact table. One row: n_days, n_pairs,
+    * n_concordant, n_discordant, n_ties, tau_bp. */
+  def kendallDaily(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("c"))
+      .select(datediff(col("d"), to_date(lit("1970-01-01")))
+        .cast("long").as("x"), col("n"), col("c"))
+      .localCheckpoint(false) // both pair sides + the day count
+    val pairs = daily.as("a")
+      .join(broadcast(daily.as("b")), col("b.x") > col("a.x"))
+      .select((signum((col("b.n") - col("a.n")).cast("double")) *
+        signum((col("b.c") - col("a.c")).cast("double")))
+        .cast("long").as("s"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_concordant"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("n_discordant"),
+        sum(when(col("s") === 0L, 1L).otherwise(0L)).as("n_ties"))
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n_pairs"), col("n_concordant"),
+        col("n_discordant"), col("n_ties"),
+        when(col("n_pairs") === 0L, lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) *
+            (col("n_concordant") - col("n_discordant")) / col("n_pairs"))
+            .cast("long")).as("tau_bp"))
+  }
+
+  /** User lifecycle census as of an explicit `anchor` (the RfmAnchor
+    * rule — wall-clock "today" is unreproducible): every observed
+    * user lands in exactly ONE stage by tenure and recency —
+    * `new` (first seen within newDays), else `churned` (silent
+    * longer than churnDays), else `at_risk` (silent longer than
+    * activeDays), else `active`. The four-bucket board a growth team
+    * tracks weekly; [[growthAccounting]] is its per-day flow twin.
+    *
+    * One user-grain aggregate (min/max day — map-side combine), a
+    * stage map, a 4-row census with shares. */
+  def lifecycleCensus(events: DataFrame, anchor: String, newDays: Int = 7,
+      activeDays: Int = 7, churnDays: Int = 14): DataFrame = {
+    require(newDays >= 1 && activeDays >= 1 && churnDays > activeDays,
+      "churnDays must exceed activeDays")
+    val a = to_date(lit(anchor))
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_d"),
+        max(to_date(col("ts"))).as("last_d"))
+      .select(
+        when(datediff(a, col("first_d")) <= newDays, "new")
+          .when(datediff(a, col("last_d")) > churnDays, "churned")
+          .when(datediff(a, col("last_d")) > activeDays, "at_risk")
+          .otherwise("active").as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .withColumn("share_bp",
+        floor(lit(10000.0) * col("n_users") /
+          sum(col("n_users")).over(Window.partitionBy())).cast("long"))
+      .orderBy(col("stage").asc)
+  }
+
   /** Distribution drift per event type: total-variation distance
     * between the `value` distribution before and after `splitDate` —
     * the data-drift monitor run between a reference window and the

@@ -574,5 +574,18 @@ class EdgeCasesSpec extends SparkSpec {
     val noScores = Seq.empty[(Long, Long)].toDF("score", "label")
     assert(graft.ops.Experiment.gainsTable(noScores, "score", "label", 5)
       .count() == 0)
+    assert(Retention.cusumRevenue(noOrders).count() == 0)
+    assert(Retention.seasonalBacktest(noOrders).head.getAs[Long]("n_months")
+      == 0L)
+    val noCents = Seq.empty[Long].toDF("cents")
+    val bf = Profile.benfordAudit(noCents, "cents").collect()
+    assert(bf.length == 9 && bf.forall(_.getAs[Long]("share_bp") == 0L))
+    val noQi = Seq.empty[(String, String)].toDF("qi", "sens")
+    assert(Profile.kAnonymityProfile(noQi, Seq("qi"), 5L).count() == 0)
+    assert(Profile.lDiversityProfile(noQi, Seq("qi"), "sens", 3L).count() == 0)
+    val noLines = Seq.empty[(Double, Double)].toDF("l_discount", "l_quantity")
+    val el = AreaTopProducts.discountElasticity(noLines).collect().head
+    assert(el.getAs[Long]("n_rows") == 0L && el.isNullAt(1))
+    assert(Retention.dowTypeLift(noEvents).count() == 0)
   }
 }

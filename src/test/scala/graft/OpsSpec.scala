@@ -1060,6 +1060,70 @@ class OpsSpec extends SparkSpec {
       ("B", 2L, 1L, 40000L))) // ⌊10000·1·4/(1·1)⌋
   }
 
+  test("kendallDaily: concordant/discordant/tied pairs by hand") {
+    val s = spark
+    import s.implicits._
+    def o(k: Long, d: String, p: Double) =
+      (k, 1L, "O", p, java.sql.Timestamp.valueOf(s"$d 00:00:00"), "x")
+    // day grain (n, cents): (1,100) (2,200) (3,150) (1,50)
+    val orders = Seq(o(1, "2024-01-01", 1.0),
+      o(2, "2024-01-02", 1.0), o(3, "2024-01-02", 1.0),
+      o(4, "2024-01-03", 0.5), o(5, "2024-01-03", 0.5), o(6, "2024-01-03", 0.5),
+      o(7, "2024-01-04", 0.5))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val r = graft.ops.Retention.kendallDaily(orders).collect().head
+    assert(r.getAs[Long]("n_days") == 4L && r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("n_concordant") == 4L)
+    assert(r.getAs[Long]("n_discordant") == 1L) // (d2,d3): n up, cents down
+    assert(r.getAs[Long]("n_ties") == 1L)       // (d1,d4): equal n
+    assert(r.getAs[Long]("tau_bp") == 5000L)    // ⌊10000·3/6⌋
+  }
+
+  test("lifecycleCensus: each stage assigned by tenure/recency precedence") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(s"$x 12:00:00")
+    val events = Seq(
+      (1L, t("2024-01-20"), 1L, "view"),  // tenure 5 → new
+      (2L, t("2024-01-01"), 2L, "view"),  // recency 1 → active
+      (3L, t("2024-01-24"), 2L, "view"),
+      (4L, t("2024-01-01"), 3L, "view"),  // recency 10 → at_risk
+      (5L, t("2024-01-15"), 3L, "view"),
+      (6L, t("2024-01-01"), 4L, "view"),  // recency 20 → churned
+      (7L, t("2024-01-05"), 4L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.Retention
+      .lifecycleCensus(events, "2024-01-25")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("active", 1L, 2500L), ("at_risk", 1L, 2500L),
+      ("churned", 1L, 2500L), ("new", 1L, 2500L)))
+  }
+
+  test("skipGramPairs: +-window context, session isolation, repeats kept") {
+    val s = spark
+    import s.implicits._
+    def ev(id: Long, user: Long, t: String, k: Long) =
+      (id, java.sql.Timestamp.valueOf(t), user, "click", 1.0, s"""{"k":$k}""")
+    val events = Seq(
+      ev(0, 1, "2024-01-01 00:00:00", 1), ev(1, 1, "2024-01-01 00:01:00", 2),
+      ev(2, 1, "2024-01-01 00:02:00", 3), ev(3, 1, "2024-01-01 00:03:00", 4),
+      // user 2: two events >30 min apart — different sessions, no pair
+      ev(4, 2, "2024-01-01 00:00:00", 7), ev(5, 2, "2024-01-01 05:00:00", 8),
+      // user 3: the same item twice in one session — repeats pair
+      ev(6, 3, "2024-01-01 00:00:00", 5), ev(7, 3, "2024-01-01 00:01:00", 5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Market
+      .skipGramPairs(events, window = 2, k = 100, minCount = 1L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((5L, 5L)) == 2L) // both directions of the repeat
+    assert(m((1L, 2L)) == 1L && m((1L, 3L)) == 1L && !m.contains((1L, 4L)))
+    assert(m((2L, 4L)) == 1L && m((3L, 1L)) == 1L)
+    assert(!m.contains((7L, 8L)) && !m.contains((8L, 7L)))
+    assert(got.map(_._3).sum == 12L) // 10 from [1,2,3,4] + 2 repeats
+  }
+
   test("zorderCells: 1-bit grid = quadrants; spans measured on raw values") {
     val s = spark
     import s.implicits._

@@ -1261,6 +1261,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q219 kendall: day-grain pair join broadcast off the checkpoint (no fact re-scan)") {
+    val p = stripCached(plan("q219_kendall_daily"))
+    assert("Scan parquet".r.findAllIn(p).length == 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q221 skip-gram: both context frames ride ONE sessionize shuffle; TakeOrdered head") {
+    val p = plan("q221_skipgram_pairs")
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length == 1,
+      s"context windows re-shuffled the fact:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)
