@@ -433,6 +433,10 @@ object ScaleProbe {
     t("l diversity")(graft.ops.Profile.lDiversityProfile(custQi,
       Seq("nation", "balance_band"), "segment", 3L))
     t("seasonal backtest")(graft.ops.Retention.seasonalBacktest(orders))
+    t("kendall daily")(graft.ops.Retention.kendallDaily(orders))
+    t("lifecycle census")(graft.ops.Retention.lifecycleCensus(
+      events, "2024-01-25"))
+    t("skipgram pairs")(graft.ops.Market.skipGramPairs(eventsSameUsers))
     t("discount elasticity")(graft.ops.AreaTopProducts.discountElasticity(
       lineitem))
     t("dow type lift")(graft.ops.Retention.dowTypeLift(events))
