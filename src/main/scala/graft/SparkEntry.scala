@@ -248,7 +248,9 @@ object SparkEntry {
     "q218_dow_type_lift" -> (Queries.dowTypeLift _),
     "q219_kendall_daily" -> (Queries.kendallDaily _),
     "q220_lifecycle_census" -> (Queries.lifecycleCensus _),
-    "q221_skipgram_pairs" -> (Queries.skipGramPairs _)
+    "q221_skipgram_pairs" -> (Queries.skipGramPairs _),
+    "q222_replenishment_cycle" -> (Queries.replenishmentCycle _),
+    "q223_recsys_coverage" -> (Queries.recsysCoverage _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1802,6 +1804,18 @@ object Queries {
   def skipGramPairs(spark: SparkSession, dir: String): DataFrame =
     Market.skipGramPairs(Tables(spark, dir, "events"), SkipGramWindow,
       SkipGramTopK, SkipGramMinCount)
+
+  val ReplenishMinIntervals = 3L
+
+  /** Per-item replenishment cadence (median repurchase gap). */
+  def replenishmentCycle(spark: SparkSession, dir: String): DataFrame =
+    Market.replenishmentCycle(Tables(spark, dir, "events"),
+      ReplenishMinIntervals)
+
+  /** Co-vis recommender coverage over the shared pair frame. */
+  def recsysCoverage(spark: SparkSession, dir: String): DataFrame =
+    Market.recsysCoverage(Tables(spark, dir, "events"),
+      sharedCoVisPairs(spark, dir), PageRankMinSupport)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -7742,6 +7756,66 @@ object Oracles {
          |GROUP BY 1, 2 HAVING COUNT(*) >= $mc
          |ORDER BY n_pairs DESC, center, context
          |LIMIT ${Queries.SkipGramTopK}""".stripMargin
+    },
+
+    "q222_replenishment_cycle" -> {
+      val mi = Queries.ReplenishMinIntervals
+      s"""WITH pd AS (
+         |  SELECT DISTINCT user_id,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+         |         CAST(ts AS DATE) AS d
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND ts IS NOT NULL
+         |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |g AS (
+         |  SELECT item,
+         |         CAST(date_diff('day',
+         |           lag(d) OVER (PARTITION BY user_id, item ORDER BY d),
+         |           d) AS BIGINT) AS gap
+         |  FROM pd),
+         |h AS (
+         |  SELECT item, gap AS v, COUNT(*) AS cnt FROM g
+         |  WHERE gap IS NOT NULL GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *,
+         |         SUM(cnt) OVER (PARTITION BY item ORDER BY v) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY item) AS n
+         |  FROM h),
+         |m AS (
+         |  SELECT item, CAST(MIN(n) AS BIGINT) AS n_intervals,
+         |         CAST(FLOOR((MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+         |           + MIN(CASE WHEN cum >= (n + 2) // 2 THEN v END))
+         |           / 2.0 * 100) AS BIGINT) // 100 AS median_gap_days
+         |  FROM c GROUP BY 1)
+         |SELECT item, n_intervals, CAST(median_gap_days AS BIGINT)
+         |         AS median_gap_days
+         |FROM m WHERE n_intervals >= $mi ORDER BY item""".stripMargin
+    },
+
+    "q223_recsys_coverage" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      s"""$sessionCte,
+         |${coVisEdgesCte(cap, ms)},
+         |covered AS (SELECT DISTINCT src AS item FROM edg),
+         |ev AS (
+         |  SELECT CAST(json_extract_string(e.props, '$$.k') AS BIGINT) AS item
+         |  FROM events e
+         |  WHERE json_extract_string(e.props, '$$.k') IS NOT NULL),
+         |j AS (
+         |  SELECT ev.item, c.item AS cov
+         |  FROM ev LEFT JOIN covered c ON ev.item = c.item)
+         |SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS n_items_observed,
+         |       CAST(COUNT(DISTINCT cov) AS BIGINT) AS n_items_covered,
+         |       CAST(FLOOR(10000.0 * COUNT(DISTINCT cov)
+         |         / COUNT(DISTINCT item)) AS BIGINT) AS item_coverage_bp,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(CASE WHEN cov IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_events_covered,
+         |       CAST(FLOOR(10000.0 * SUM(CASE WHEN cov IS NOT NULL
+         |           THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+         |         AS event_coverage_bp
+         |FROM j""".stripMargin
     }
   )
 

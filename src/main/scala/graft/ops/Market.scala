@@ -173,6 +173,80 @@ object Market {
       .limit(k)
   }
 
+  /** Replenishment cycle per item: exact median days between a
+    * user's CONSECUTIVE purchases of the SAME item — the
+    * reorder-cadence read behind "subscribe & save" and stock
+    * forecasting ([[decayedPopularity]] says what's hot NOW; this
+    * says when buyers come BACK). Items below `minIntervals` observed
+    * gaps are dropped (a cadence needs evidence).
+    *
+    * Scale shape: ONE (user, item)-grain aggregate collapses purchase
+    * events to each pair's sorted distinct-day set (map-side partial
+    * dedup; set bounded by the analysis window's calendar length, the
+    * cohortRetention contract) and consecutive gaps fall out of an
+    * index-zip over the array — no window at all. The q210 lesson
+    * baked in: a (user, item, day) DISTINCT can't serve a
+    * (user, item) window's clustering, so the distinct-then-lag plan
+    * pays a second fact shuffle this formulation never does. The
+    * exact median then runs on the shared cum-histogram machinery at
+    * (item, gap-value) grain. Columns: item, n_intervals,
+    * median_gap_days (lo/hi floor-average, the medianCents
+    * convention /100). */
+  def replenishmentCycle(events: DataFrame, minIntervals: Long = 3L,
+      itemCol: String = "$.k"): DataFrame = {
+    val gaps = events
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+      .withColumn("item", get_json_object(col("props"), itemCol).cast("long"))
+      .filter(col("item").isNotNull)
+      .select(col("user_id"), col("item"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id"), col("item"))
+      .agg(sort_array(collect_set(col("d"))).as("arr"))
+      .select(col("item"), explode(expr(
+        """transform(slice(arr, 2, size(arr) - 1),
+          |  (x, i) -> CAST(datediff(x, element_at(arr, i + 1)) AS BIGINT))
+          |""".stripMargin)).as("gap_days"))
+    Percentiles.medianCents(gaps, "item", "gap_days")
+      .filter(col("n_rows") >= minIntervals)
+      .select(col("item"), col("n_rows").as("n_intervals"),
+        expr("median_cents div 100L").as("median_gap_days"))
+      .orderBy(col("item").asc)
+  }
+
+  /** Recommender cold-start coverage — what share of the observed
+    * catalog can the co-visitation engine recommend FOR at all (an
+    * item with zero qualifying pairs has no neighbors to serve):
+    * one row of n_items_observed, n_items_covered, coverage_bp, plus
+    * the same at event weight (events whose item is covered — a
+    * popularity-weighted view; tail items drag coverage down long
+    * after traffic coverage is fine).
+    *
+    * Rides the SHARED co-vis pair frame (q93/q157/q196/q201 family);
+    * the covered-item set is catalog-bounded and broadcasts into the
+    * one events pass. */
+  def recsysCoverage(events: DataFrame, pairs: DataFrame,
+      minSupport: Long = 2L, itemCol: String = "$.k"): DataFrame = {
+    val p = pairs.filter(col("pair_sessions") >= minSupport)
+    val covered = p.select(col("item_a").as("item"))
+      .union(p.select(col("item_b").as("item"))).distinct()
+    val ev = events
+      .withColumn("item", get_json_object(col("props"), itemCol).cast("long"))
+      .filter(col("item").isNotNull)
+      .join(broadcast(covered.withColumn("cov", lit(1L))), Seq("item"), "left")
+    ev.agg(
+        countDistinct(col("item")).as("n_items_observed"),
+        countDistinct(when(col("cov").isNotNull, col("item")))
+          .as("n_items_covered"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L))
+          .as("n_events_covered"))
+      .select(col("n_items_observed"), col("n_items_covered"),
+        floor(lit(10000.0) * col("n_items_covered") / col("n_items_observed"))
+          .cast("long").as("item_coverage_bp"),
+        col("n_events"), col("n_events_covered"),
+        floor(lit(10000.0) * col("n_events_covered") / col("n_events"))
+          .cast("long").as("event_coverage_bp"))
+  }
+
   /** Event-type transition matrix: within-session (prev → next)
     * step counts and the per-prev transition probability in basis
     * points. The lag window shares the sessionize partitioning —

@@ -144,6 +144,45 @@ class MarketSpec extends SparkSpec {
     assert(got == Set(("view", "click")))
   }
 
+  test("replenishmentCycle: same-day dedup, per-item pooled gaps, support floor") {
+    // item 5: user 1 gaps {3,6,1} (a same-day repeat collapses),
+    // user 2 gap {1} → pooled sorted [1,1,3,6] → median ⌊(1+3)/2⌋ = 2
+    // item 7: one gap only → dropped by minIntervals
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "purchase", 5),
+      ev(1, 1, "2024-01-01 09:00:00", "purchase", 5), // same day: dedup
+      ev(2, 1, "2024-01-04 00:00:00", "purchase", 5),
+      ev(3, 1, "2024-01-10 00:00:00", "purchase", 5),
+      ev(4, 1, "2024-01-11 00:00:00", "purchase", 5),
+      ev(5, 2, "2024-01-01 00:00:00", "purchase", 5),
+      ev(6, 2, "2024-01-02 00:00:00", "purchase", 5),
+      ev(7, 3, "2024-01-01 00:00:00", "purchase", 7),
+      ev(8, 3, "2024-01-09 00:00:00", "purchase", 7),
+      ev(9, 1, "2024-01-05 00:00:00", "view", 5)))   // non-purchase ignored
+    val got = Market.replenishmentCycle(df, minIntervals = 3L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 4L, 2L)))
+  }
+
+  test("recsysCoverage: item and event coverage against a pair frame") {
+    val pairs = Seq((1L, 2L, 3L), (2L, 3L, 1L))
+      .toDF("item_a", "item_b", "pair_sessions")
+    // support 2 keeps only {1,2}; items observed {1,2,3,4}; 5 events
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 1),
+      ev(2, 1, "2024-01-01 00:02:00", "click", 2),
+      ev(3, 2, "2024-01-01 00:00:00", "click", 3),
+      ev(4, 2, "2024-01-01 00:01:00", "click", 4)))
+    val r = Market.recsysCoverage(df, pairs, minSupport = 2L).collect().head
+    assert(r.getAs[Long]("n_items_observed") == 4L)
+    assert(r.getAs[Long]("n_items_covered") == 2L)
+    assert(r.getAs[Long]("item_coverage_bp") == 5000L)
+    assert(r.getAs[Long]("n_events") == 5L)
+    assert(r.getAs[Long]("n_events_covered") == 3L)
+    assert(r.getAs[Long]("event_coverage_bp") == 6000L)
+  }
+
   test("tripleItemsets: user-lifetime baskets, support floor, cap") {
     // user 1: {1,2,3}; user 2: {1,2,3,4} (across two far-apart events —
     // lifetime grain ignores session gaps); user 3: {1,2,9}

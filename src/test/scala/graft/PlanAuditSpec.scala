@@ -1276,6 +1276,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q222 replenishment: ONE fact shuffle (day-set comb, no window over rows)") {
+    val p = plan("q222_replenishment_cycle")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length == 1,
+      s"gap comb re-shuffled the purchases:\n$p")
+  }
+
+  test("q223 recsys coverage: covered-item set broadcast into ONE events pass") {
+    val p = plan("q223_recsys_coverage")
+    assert(p.contains("BroadcastHashJoin"), s"covered set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)
