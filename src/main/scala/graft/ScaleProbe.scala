@@ -437,6 +437,10 @@ object ScaleProbe {
     t("lifecycle census")(graft.ops.Retention.lifecycleCensus(
       events, "2024-01-25"))
     t("skipgram pairs")(graft.ops.Market.skipGramPairs(eventsSameUsers))
+    t("replenishment cycle")(graft.ops.Market.replenishmentCycle(
+      eventsSameUsers))
+    t("recsys coverage")(graft.ops.Market.recsysCoverage(eventsSameUsers,
+      graft.ops.Market.coVisitPairs(eventsSameUsers), 2L))
     t("discount elasticity")(graft.ops.AreaTopProducts.discountElasticity(
       lineitem))
     t("dow type lift")(graft.ops.Retention.dowTypeLift(events))

@@ -1084,6 +1084,58 @@ object GraftProperties extends Properties("graft") {
         got.forall { case (st, w, _) => BigInt(w) == want(st) }
     }
 
+  property("kendallDaily == JVM pair enumeration (concordant/discordant/ties)") =
+    forAll(Gen.nonEmptyListOf(for {
+      day <- Gen.choose(1, 12)
+      p <- Gen.choose(1L, 5L)
+    } yield (day, p))) { rows =>
+      val s = spark; import s.implicits._
+      val orders = rows.zipWithIndex.map { case ((day, p), i) =>
+        (i.toLong, 1L, "O", p.toDouble,
+          java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"), "x")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val r = graft.ops.Retention.kendallDaily(orders).collect().head
+      val daily = rows.groupBy(_._1).map { case (d, xs) =>
+        (d, xs.size.toLong, xs.map(_._2 * 100L).sum) }.toSeq.sortBy(_._1)
+      val pairs = for {
+        (Seq(a, b)) <- daily.combinations(2).toSeq
+      } yield math.signum((b._2 - a._2).toDouble *
+        (b._3 - a._3).toDouble).toLong
+      r.getAs[Long]("n_days") == daily.size.toLong &&
+        r.getAs[Long]("n_pairs") == pairs.size.toLong &&
+        r.getAs[Long]("n_concordant") == pairs.count(_ == 1L).toLong &&
+        r.getAs[Long]("n_discordant") == pairs.count(_ == -1L).toLong &&
+        r.getAs[Long]("n_ties") == pairs.count(_ == 0L).toLong
+    }
+
+  property("replenishmentCycle == JVM gap median over pooled user-item days") =
+    forAll(Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1L, 3L)
+      item <- Gen.choose(1L, 3L)
+      day <- Gen.choose(1, 20)
+    } yield (user, item, day))) { rows =>
+      val s = spark; import s.implicits._
+      val events = rows.zipWithIndex.map { case ((u, it, d), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"),
+          u, "purchase", 1.0, s"""{"k":$it}""")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val got = graft.ops.Market.replenishmentCycle(events, minIntervals = 1L)
+        .as[(Long, Long, Long)].collect()
+        .map { case (k, v, m) => k -> ((v, m)) }.toMap
+      val want = rows.map(r => (r._1, r._2) -> r._3).groupBy(_._1)
+        .toSeq.flatMap { case ((_, item), xs) =>
+          val days = xs.map(_._2).distinct.sorted
+          days.sliding(2).collect { case Seq(a, b) => (item, (b - a).toLong) }
+        }.groupBy(_._1).map { case (item, gs) =>
+          val sorted = gs.map(_._2).sorted
+          val n = sorted.size
+          val med = (sorted((n - 1) / 2) + sorted(n / 2)) / 2
+          item -> ((n.toLong, med))
+        }
+      got == want
+    }
+
   property("bfsReach == JVM BFS min-hop from the deg-max seed") =
     forAll(Gen.nonEmptyListOf(for {
       a <- Gen.choose(1L, 8L); b <- Gen.choose(1L, 8L) if a != b
