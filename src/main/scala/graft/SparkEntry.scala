@@ -250,7 +250,9 @@ object SparkEntry {
     "q220_lifecycle_census" -> (Queries.lifecycleCensus _),
     "q221_skipgram_pairs" -> (Queries.skipGramPairs _),
     "q222_replenishment_cycle" -> (Queries.replenishmentCycle _),
-    "q223_recsys_coverage" -> (Queries.recsysCoverage _)
+    "q223_recsys_coverage" -> (Queries.recsysCoverage _),
+    "q224_growth_decomposition" -> (Queries.growthDecomposition _),
+    "q225_order_composition" -> (Queries.orderComposition _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1816,6 +1818,14 @@ object Queries {
   def recsysCoverage(spark: SparkSession, dir: String): DataFrame =
     Market.recsysCoverage(Tables(spark, dir, "events"),
       sharedCoVisPairs(spark, dir), PageRankMinSupport)
+
+  /** Yearly revenue growth decomposed into volume × AOV effects. */
+  def growthDecomposition(spark: SparkSession, dir: String): DataFrame =
+    Retention.growthDecomposition(Tables(spark, dir, "orders"))
+
+  /** Lines-per-order histogram with order and revenue shares. */
+  def orderComposition(spark: SparkSession, dir: String): DataFrame =
+    Retention.orderComposition(Tables(spark, dir, "lineitem"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -7816,7 +7826,52 @@ object Oracles {
          |           THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
          |         AS event_coverage_bp
          |FROM j""".stripMargin
-    }
+    },
+
+    "q224_growth_decomposition" ->
+      s"""WITH y AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |l AS (
+         |  SELECT *, lag(n_orders) OVER (ORDER BY year) AS pn,
+         |         lag(cents) OVER (ORDER BY year) AS pc,
+         |         lag(year) OVER (ORDER BY year) AS py
+         |  FROM y)
+         |SELECT year, n_orders, cents, cents // n_orders AS aov_cents,
+         |       CASE WHEN py = year - 1
+         |            THEN CAST(FLOOR(10000.0 * cents / pc) AS BIGINT) - 10000
+         |            ELSE NULL END AS rev_growth_bp,
+         |       CASE WHEN py = year - 1
+         |            THEN CAST(FLOOR(10000.0 * n_orders / pn) AS BIGINT) - 10000
+         |            ELSE NULL END AS vol_growth_bp,
+         |       CASE WHEN py = year - 1
+         |            THEN CAST(FLOOR(10000.0 *
+         |              CAST(CAST(cents AS HUGEINT) * pn AS DOUBLE) /
+         |              CAST(CAST(pc AS HUGEINT) * n_orders AS DOUBLE))
+         |              AS BIGINT) - 10000
+         |            ELSE NULL END AS aov_growth_bp
+         |FROM l ORDER BY year""".stripMargin,
+
+    "q225_order_composition" ->
+      s"""WITH o AS (
+         |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+         |           * 100.0) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM lineitem GROUP BY 1),
+         |h AS (
+         |  SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+         |  FROM o GROUP BY 1)
+         |SELECT n_lines, n_orders,
+         |       CAST(FLOOR(10000.0 * n_orders / SUM(n_orders) OVER ())
+         |         AS BIGINT) AS order_share_bp,
+         |       revenue_cents,
+         |       CAST(FLOOR(10000.0 * revenue_cents /
+         |         SUM(revenue_cents) OVER ()) AS BIGINT) AS revenue_share_bp
+         |FROM h ORDER BY n_lines""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

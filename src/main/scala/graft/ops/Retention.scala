@@ -695,6 +695,73 @@ object Retention {
       .orderBy(col("stage").asc)
   }
 
+  /** Revenue growth decomposition by year: the finance identity
+    * rev_ratio = volume_ratio × AOV_ratio, reported in bp per year —
+    * "did we grow because more orders came in, or because orders got
+    * bigger?" Each ratio is an exact integer-cross-multiplication bp
+    * (⌊10000·S_t·n_{t−1}·.../…⌋ never materializes a rational
+    * average), and aov_cents itself is the floor division shown for
+    * reference. Strict year−1 pairing (first year reports NULLs).
+    *
+    * Year grain end to end; decimal(38,0) cross products (S·n
+    * overflows Long at real scale). Columns: year, n_orders, cents,
+    * aov_cents, rev_growth_bp, vol_growth_bp, aov_growth_bp. */
+  def growthDecomposition(orders: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("year").asc)
+    orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(year(col("o_orderdate")).cast("long").as("year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+      .withColumn("pn", lag(col("n_orders"), 1).over(w))
+      .withColumn("pc", lag(col("cents"), 1).over(w))
+      .withColumn("py", lag(col("year"), 1).over(w))
+      .withColumn("paired", col("py") === col("year") - 1L)
+      .select(col("year"), col("n_orders"), col("cents"),
+        expr("cents div n_orders").as("aov_cents"),
+        when(col("paired"), floor(lit(10000.0) * col("cents") / col("pc"))
+          .cast("long") - 10000L).as("rev_growth_bp"),
+        when(col("paired"), floor(lit(10000.0) * col("n_orders") / col("pn"))
+          .cast("long") - 10000L).as("vol_growth_bp"),
+        // AOV ratio by cross-multiplication: (S_t/n_t)/(S_p/n_p)
+        // = S_t·n_p / (S_p·n_t) — exact integers, one IEEE division
+        when(col("paired"), floor(lit(10000.0) *
+          expr(s"CAST(cents AS $dec) * CAST(pn AS $dec)").cast("double") /
+          expr(s"CAST(pc AS $dec) * CAST(n_orders AS $dec)").cast("double"))
+          .cast("long") - 10000L).as("aov_growth_bp"))
+      .orderBy(col("year").asc)
+  }
+
+  /** Order-composition histogram: how many line items an order
+    * carries, with each bucket's share of orders AND of revenue — the
+    * "is revenue concentrated in big multi-line orders" mix read
+    * (q194 counts orders per customer; this counts lines per order).
+    *
+    * One lineitem pass to order grain (count + cents ride the same
+    * aggregate), then a ≤|max lines|-row histogram with window
+    * denominators. Columns: n_lines, n_orders, order_share_bp,
+    * revenue_cents, revenue_share_bp. */
+  def orderComposition(lineitem: DataFrame): DataFrame = {
+    val whole = Window.partitionBy()
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0)).cast("long")).as("cents"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
+      .withColumn("order_share_bp",
+        floor(lit(10000.0) * col("n_orders") /
+          sum(col("n_orders")).over(whole)).cast("long"))
+      .withColumn("revenue_share_bp",
+        floor(lit(10000.0) * col("revenue_cents") /
+          sum(col("revenue_cents")).over(whole)).cast("long"))
+      .select(col("n_lines"), col("n_orders"), col("order_share_bp"),
+        col("revenue_cents"), col("revenue_share_bp"))
+      .orderBy(col("n_lines").asc)
+  }
+
   /** Distribution drift per event type: total-variation distance
     * between the `value` distribution before and after `splitDate` —
     * the data-drift monitor run between a reference window and the

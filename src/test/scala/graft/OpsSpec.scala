@@ -1124,6 +1124,41 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_._3).sum == 12L) // 10 from [1,2,3,4] + 2 repeats
   }
 
+  test("growthDecomposition: multiplicative identity by hand; gap years report null") {
+    val s = spark
+    import s.implicits._
+    def o(k: Long, d: String, p: Double) =
+      (k, 1L, "O", p, java.sql.Timestamp.valueOf(s"$d 00:00:00"), "x")
+    val orders = Seq(
+      o(1, "2023-03-01", 1.0), o(2, "2023-07-01", 1.0),      // 2 × 100c
+      o(3, "2024-01-01", 1.5), o(4, "2024-02-01", 1.5),      // 4 orders,
+      o(5, "2024-03-01", 1.5), o(6, "2024-04-01", 1.5),      // 600c
+      o(7, "2027-01-01", 9.0))                               // gap year
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val got = graft.ops.Retention.growthDecomposition(orders).collect()
+      .map(r => r.getAs[Long]("year") -> r).toMap
+    val y24 = got(2024L)
+    assert(y24.getAs[Long]("aov_cents") == 150L)
+    assert(y24.getAs[Long]("rev_growth_bp") == 20000L) // 200c → 600c
+    assert(y24.getAs[Long]("vol_growth_bp") == 10000L) // 2 → 4 orders
+    assert(y24.getAs[Long]("aov_growth_bp") == 5000L)  // 100c → 150c
+    // (1+2.0) == (1+1.0)·(1+0.5): the identity the decomposition states
+    assert(got(2023L).isNullAt(4) && got(2027L).isNullAt(4)) // no y-1 twin
+  }
+
+  test("orderComposition: per-bucket order and revenue shares") {
+    val s = spark
+    import s.implicits._
+    val li = Seq((10L, 1.0, 0.0), (20L, 1.0, 0.0), (20L, 1.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val got = graft.ops.Retention.orderComposition(li)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 5000L, 100L, 3333L),
+      (2L, 1L, 5000L, 200L, 6666L)))
+  }
+
   test("zorderCells: 1-bit grid = quadrants; spans measured on raw values") {
     val s = spark
     import s.implicits._

@@ -1290,6 +1290,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q224/q225 mix reports: one pruned fact pass, windows at report grain, no joins") {
+    Seq("q224_growth_decomposition", "q225_order_composition").foreach { q =>
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      val lines = p.split("\n")
+      val winIdx = lines.indexWhere(_.contains("Window"))
+      val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+      assert(winIdx >= 0 && aggIdx > winIdx,
+        s"$q window not above the grain aggregate:\n$p")
+    }
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)
