@@ -441,6 +441,8 @@ object ScaleProbe {
       eventsSameUsers))
     t("recsys coverage")(graft.ops.Market.recsysCoverage(eventsSameUsers,
       graft.ops.Market.coVisitPairs(eventsSameUsers), 2L))
+    t("growth decomposition")(graft.ops.Retention.growthDecomposition(orders))
+    t("order composition")(graft.ops.Retention.orderComposition(lineitem))
     t("discount elasticity")(graft.ops.AreaTopProducts.discountElasticity(
       lineitem))
     t("dow type lift")(graft.ops.Retention.dowTypeLift(events))
