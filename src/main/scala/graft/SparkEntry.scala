@@ -252,7 +252,10 @@ object SparkEntry {
     "q222_replenishment_cycle" -> (Queries.replenishmentCycle _),
     "q223_recsys_coverage" -> (Queries.recsysCoverage _),
     "q224_growth_decomposition" -> (Queries.growthDecomposition _),
-    "q225_order_composition" -> (Queries.orderComposition _)
+    "q225_order_composition" -> (Queries.orderComposition _),
+    "q226_pagerank_weighted" -> (Queries.pageRankWeighted _),
+    "q227_personalized_pagerank" -> (Queries.personalizedPageRank _),
+    "q228_degree_assortativity" -> (Queries.degreeAssortativity _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1826,6 +1829,33 @@ object Queries {
   /** Lines-per-order histogram with order and revenue shares. */
   def orderComposition(spark: SparkSession, dir: String): DataFrame =
     Retention.orderComposition(Tables(spark, dir, "lineitem"))
+
+  /** Symmetric WEIGHTED co-vis edges (pair_sessions as strength). */
+  private def weightedCoVisEdges(spark: SparkSession, dir: String): DataFrame = {
+    val p = sharedCoVisPairs(spark, dir)
+      .filter(col("pair_sessions") >= PageRankMinSupport)
+    p.select(col("item_a").as("src"), col("item_b").as("dst"),
+        col("pair_sessions").as("w"))
+      .union(p.select(col("item_b").as("src"), col("item_a").as("dst"),
+        col("pair_sessions").as("w")))
+  }
+
+  /** Weighted PageRank top-20 over the co-vis graph. */
+  def pageRankWeighted(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRankWeighted(weightedCoVisEdges(spark, dir), PageRankIters)
+      .orderBy(col("rank").desc, col("item").asc).limit(PageRankK)
+
+  /** Personalized PageRank (similar-to-hub scores), top-20. */
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame =
+    Graph.personalizedPageRank(
+        Graph.symmetric(sharedCoVisPairs(spark, dir), PageRankMinSupport),
+        PageRankIters)
+      .orderBy(col("rank").desc, col("item").asc).limit(PageRankK)
+
+  /** Degree assortativity of the co-vis graph (one row). */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    Graph.degreeAssortativity(sharedCoVisPairs(spark, dir),
+      PageRankMinSupport)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -7871,7 +7901,128 @@ object Oracles {
          |       revenue_cents,
          |       CAST(FLOOR(10000.0 * revenue_cents /
          |         SUM(revenue_cents) OVER ()) AS BIGINT) AS revenue_share_bp
-         |FROM h ORDER BY n_lines""".stripMargin
+         |FROM h ORDER BY n_lines""".stripMargin,
+
+    // the q93 unrolled recursion with per-EDGE weighted shares,
+    // mirroring Graph.pageRankWeighted's two-step floor term for term
+    "q226_pagerank_weighted" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      val damp = graft.ops.Graph.DampBp
+      val scale = graft.ops.Graph.Scale
+      def round(r: Int): String =
+        s"""s$r AS (
+           |  SELECT r.item AS src, wo.wout, $damp * r.rank // 10000 AS t
+           |  FROM r${r - 1} r JOIN wout wo ON wo.src = r.item),
+           |c$r AS (
+           |  SELECT e.dst AS item, CAST(SUM(s.t * e.w // s.wout) AS BIGINT)
+           |           AS in_mass
+           |  FROM edgw e JOIN s$r s ON e.src = s.src GROUP BY 1),
+           |dg$r AS (
+           |  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dsum
+           |  FROM r${r - 1} r LEFT JOIN wout w ON w.src = r.item
+           |  WHERE w.src IS NULL),
+           |r$r AS (
+           |  SELECT r.item, r.n,
+           |         CAST((10000 - $damp) * ($scale // r.n) // 10000
+           |           + $damp * dg.dsum // (10000 * r.n)
+           |           + COALESCE(c.in_mass, 0) AS BIGINT) AS rank
+           |  FROM r${r - 1} r
+           |  LEFT JOIN c$r c ON c.item = r.item, dg$r dg)""".stripMargin
+      val rounds = (1 to Queries.PageRankIters).map(round).mkString(",\n")
+      s"""$sessionCte,
+         |${coVisEdgesCte(cap, ms)},
+         |edgw AS (
+         |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+         |    SELECT item_a AS src, item_b AS dst, w FROM pairs WHERE w >= $ms
+         |    UNION ALL
+         |    SELECT item_b, item_a, w FROM pairs WHERE w >= $ms)
+         |  GROUP BY 1, 2),
+         |wout AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+         |         FROM edgw GROUP BY 1),
+         |nodes AS (SELECT src AS item FROM edgw
+         |          UNION SELECT dst FROM edgw),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT item, n, $scale // n AS rank FROM nodes, tot),
+         |$rounds
+         |SELECT item, rank FROM r${Queries.PageRankIters}
+         |ORDER BY rank DESC, item LIMIT ${Queries.PageRankK}""".stripMargin
+    },
+
+    // personalized restart: teleport + dangling mass land on the
+    // deg-max seed; all mass starts there (Graph.personalizedPageRank)
+    "q227_personalized_pagerank" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      val damp = graft.ops.Graph.DampBp
+      val scale = graft.ops.Graph.Scale
+      def round(r: Int): String =
+        s"""s$r AS (
+           |  SELECT r.item AS src, $damp * r.rank // (10000 * d.deg) AS share
+           |  FROM r${r - 1} r JOIN deg d ON d.src = r.item),
+           |c$r AS (
+           |  SELECT e.dst AS item, CAST(SUM(s.share) AS BIGINT) AS in_mass
+           |  FROM edg e JOIN s$r s ON e.src = s.src GROUP BY 1),
+           |dg$r AS (
+           |  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dsum
+           |  FROM r${r - 1} r LEFT JOIN deg d ON d.src = r.item
+           |  WHERE d.src IS NULL),
+           |r$r AS (
+           |  SELECT r.item, r.is_seed,
+           |         CAST(r.is_seed * (((10000 - $damp) * $scale
+           |             + $damp * dg.dsum) // 10000)
+           |           + COALESCE(c.in_mass, 0) AS BIGINT) AS rank
+           |  FROM r${r - 1} r
+           |  LEFT JOIN c$r c ON c.item = r.item, dg$r dg)""".stripMargin
+      val rounds = (1 to Queries.PageRankIters).map(round).mkString(",\n")
+      s"""$sessionCte,
+         |${coVisEdgesCte(cap, ms)},
+         |seed AS (
+         |  SELECT src AS item FROM deg ORDER BY deg DESC, src LIMIT 1),
+         |nodes AS (SELECT src AS item FROM edg UNION SELECT dst FROM edg),
+         |r0 AS (
+         |  SELECT n.item,
+         |         CAST(CASE WHEN s.item IS NOT NULL THEN 1 ELSE 0 END
+         |           AS BIGINT) AS is_seed,
+         |         CAST(CASE WHEN s.item IS NOT NULL THEN $scale ELSE 0 END
+         |           AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN seed s ON n.item = s.item),
+         |$rounds
+         |SELECT item, rank FROM r${Queries.PageRankIters}
+         |ORDER BY rank DESC, item LIMIT ${Queries.PageRankK}""".stripMargin
+    },
+
+    // symmetric enumeration makes the two endpoint marginals equal, so
+    // assortativity is a RATIONAL of exact HUGEINT sums (no sqrt)
+    "q228_degree_assortativity" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      s"""$sessionCte,
+         |${coVisEdgesCte(cap, ms)},
+         |xy AS (
+         |  SELECT du.deg AS x, dv.deg AS y
+         |  FROM edg e
+         |  JOIN deg du ON du.src = e.src
+         |  JOIN deg dv ON dv.src = e.dst),
+         |s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |         SUM(CAST(x AS HUGEINT)) AS sx,
+         |         SUM(CAST(x * y AS HUGEINT)) AS sxy,
+         |         SUM(CAST(x * x AS HUGEINT)) AS sxx
+         |  FROM xy),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |              CAST(COALESCE(MAX(deg), 0) AS BIGINT) AS max_deg
+         |       FROM deg)
+         |SELECT ns.n_nodes, CAST(s.m // 2 AS BIGINT) AS n_edges, ns.max_deg,
+         |       CASE WHEN CAST(s.m AS HUGEINT) * s.sxx - s.sx * s.sx = 0
+         |            THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 *
+         |              CAST(CAST(s.m AS HUGEINT) * s.sxy - s.sx * s.sx
+         |                AS DOUBLE) /
+         |              CAST(CAST(s.m AS HUGEINT) * s.sxx - s.sx * s.sx
+         |                AS DOUBLE)) AS BIGINT) END AS assortativity_bp
+         |FROM s, ns""".stripMargin
+    }
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

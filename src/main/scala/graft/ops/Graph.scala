@@ -119,6 +119,151 @@ object Graph {
       .orderBy(col("rank").desc, col("item"))
       .limit(k)
 
+  /** WEIGHTED PageRank over (src, dst, w) edges — co-visit counts ARE
+    * edge strengths, and the unweighted walk throws that signal away
+    * (an item seen with a neighbor 500 times ranks no closer than one
+    * seen once). Same fixed-point discipline as [[pageRank]]; the
+    * per-node share split becomes per-EDGE:
+    *   contrib(u→v) = t_u·w_uv div W_u, t_u = dampBp·r_u div 10000
+    * (the two-step floor keeps every product under Long overflow for
+    * w ≤ ~1e6 — t ≤ 8.5e11 — and is the DEFINED semantics the oracle
+    * mirrors term for term). Dangling mass redistributes uniformly as
+    * before. Returns (item, rank), Scale units.
+    *
+    * Scale shape unchanged: one edge⋈rank join + one dst aggregate
+    * per round, W_u joined once and carried. */
+  def pageRankWeighted(edges: DataFrame, iters: Int,
+      dampBp: Long = DampBp): DataFrame = {
+    require(iters >= 1, "pageRankWeighted needs at least one round")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w") > 0L)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(false)
+    val wOut = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val nodes = e.select(col("src").as("item"))
+      .union(e.select(col("dst").as("item"))).distinct()
+    val tot = nodes.agg(count(lit(1)).as("n"))
+    val r0 = nodes.crossJoin(broadcast(tot))
+      .join(wOut.withColumnRenamed("src", "item"), Seq("item"), "left")
+      .select(col("item"), col("n"), col("wout"),
+        expr(s"${Scale}L div n").as("rank"))
+      .localCheckpoint(false)
+    (1 to iters).foldLeft(r0) { (r, round) =>
+      val share = r.filter(col("wout").isNotNull)
+        .select(col("item").as("src"), col("wout"),
+          expr(s"$dampBp * rank div 10000L").as("t"))
+      val contrib = e.join(share, Seq("src"))
+        .groupBy(col("dst").as("item"))
+        .agg(sum(expr("t * w div wout")).as("in_mass"))
+      val base = expr(s"(10000L - $dampBp) * (${Scale}L div n) div 10000L")
+      val dangle = r.filter(col("wout").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+      val next = r.select(col("item"), col("n"), col("wout"))
+        .join(contrib, Seq("item"), "left")
+        .crossJoin(broadcast(dangle))
+        .select(col("item"), col("n"), col("wout"),
+          (base + expr(s"$dampBp * dsum div (10000L * n)")
+            + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      if (round < iters) next.localCheckpoint(false) else next
+    }.select(col("item"), col("rank"))
+  }
+
+  /** Personalized PageRank (topic-sensitive, Haveliwala 2002) from
+    * the hub node: the restart mass — teleport AND dangling — all
+    * lands on ONE seed (deg-max, id-asc tie-break, the [[bfsReach]]
+    * rule) instead of spreading uniformly, so ranks answer "how close
+    * is every item to THIS one under a random walk", the
+    * similar-items score a recommender serves. Same unrolled integer
+    * machinery as [[pageRank]]; per round:
+    *   r'(v) = [v = seed]·((10000−damp)·Scale + damp·dangle) div 10000
+    *           + Σ shares into v.
+    * Returns (item, rank), Scale units; unreached items rank 0. */
+  def personalizedPageRank(edges: DataFrame, iters: Int,
+      dampBp: Long = DampBp): DataFrame = {
+    require(iters >= 1, "personalizedPageRank needs at least one round")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val seed = deg.orderBy(col("deg").desc, col("src").asc).limit(1)
+      .select(col("src").as("item"), lit(1L).as("is_seed"))
+    val nodes = e.select(col("src").as("item"))
+      .union(e.select(col("dst").as("item"))).distinct()
+    val r0 = nodes
+      .join(broadcast(seed), Seq("item"), "left")
+      .join(deg.withColumnRenamed("src", "item"), Seq("item"), "left")
+      .select(col("item"), col("deg"),
+        coalesce(col("is_seed"), lit(0L)).as("is_seed"),
+        // all mass starts at the seed — the walk's true t=0 state
+        when(col("is_seed") === 1L, Scale).otherwise(0L).as("rank"))
+      .localCheckpoint(false)
+    (1 to iters).foldLeft(r0) { (r, round) =>
+      val share = r.filter(col("deg").isNotNull && col("rank") > 0L)
+        .select(col("item").as("src"),
+          expr(s"$dampBp * rank div (10000L * deg)").as("share"))
+      val contrib = e.join(share, Seq("src"))
+        .groupBy(col("dst").as("item"))
+        .agg(sum(col("share")).as("in_mass"))
+      val dangle = r.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+      val next = r.select(col("item"), col("deg"), col("is_seed"))
+        .join(contrib, Seq("item"), "left")
+        .crossJoin(broadcast(dangle))
+        .select(col("item"), col("deg"), col("is_seed"),
+          (col("is_seed") * expr(
+            s"((10000L - $dampBp) * ${Scale}L + $dampBp * dsum) div 10000L")
+            + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      if (round < iters) next.localCheckpoint(false) else next
+    }.select(col("item"), col("rank"))
+  }
+
+  /** Degree assortativity (Newman 2002) over an unordered pair list:
+    * do high-degree items co-visit with other hubs (r > 0, a rich
+    * club) or with the long tail (r < 0, hub-and-spoke)? The Pearson
+    * correlation of endpoint degrees across DIRECTED edges — and
+    * because every undirected edge is enumerated both ways, the two
+    * endpoint marginals are IDENTICAL, so the usual √(var_x·var_y)
+    * denominator collapses to one variance and the whole statistic is
+    * a rational of exact decimal sums — no square root, no libm:
+    *   r_bp = ⌊10000·(nΣxy − (Σx)²) / (nΣx² − (Σx)²)⌋.
+    * One row: n_nodes, n_edges (undirected), max_deg,
+    * assortativity_bp (null for a degree-regular graph, where the
+    * variance is 0 and r is undefined).
+    *
+    * Scale shape: degree annotations broadcast onto the edge list
+    * (the [[triangleStats]] policy), one scalar aggregate. */
+  def degreeAssortativity(pairs: DataFrame, minWeight: Long = 1L,
+      weightCol: String = "pair_sessions"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = pairs.filter(col(weightCol) >= minWeight)
+      .select(col("item_a").as("a"), col("item_b").as("b"))
+      .localCheckpoint(false)
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(max(col("deg")), lit(0L)).as("max_deg"))
+    val dir = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val xy = dir
+      .join(broadcast(deg.select(col("v").as("u"), col("deg").as("x"))), "u")
+      .join(broadcast(deg.select(col("v"), col("deg").as("y"))), "v")
+    val sums = xy.agg(count(lit(1)).as("m"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    nodeStats.crossJoin(broadcast(sums))
+      .select(col("n_nodes"), expr("m div 2").as("n_edges"), col("max_deg"),
+        when(expr(s"CAST(m AS $dec) * sxx - sx * sx") === lit(0L).cast(dec),
+          lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) *
+            expr(s"CAST(m AS $dec) * sxy - sx * sx").cast("double") /
+            expr(s"CAST(m AS $dec) * sxx - sx * sx").cast("double"))
+            .cast("long")).as("assortativity_bp"))
+  }
+
   /** Symmetrize an unordered pair list (item_a < item_b) into the
     * directed both-ways edge list PageRank expects. */
   def symmetric(pairs: DataFrame, minWeight: Long = 1L,

@@ -108,6 +108,51 @@ class GraphSpec extends SparkSpec {
       got.getAs[Long]("global_cc_bp") == 0L)
   }
 
+  test("pageRankWeighted: one hand-computed round; heavy edge carries more mass") {
+    // 1↔2 (w 9), 1↔3 (w 1): node 1 splits its mass 90/10
+    val e = Seq((1L, 2L, 9L), (2L, 1L, 9L), (1L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r1 = Graph.pageRankWeighted(e, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // r0 = ⌊1e12/3⌋; t = ⌊8500·r0/10000⌋ = 283333333333; base =
+    // ⌊1500·333333333333/10000⌋ = 49999999999
+    assert(r1 == Map(
+      1L -> 616666666665L, // base + t(from 2) + t(from 3)
+      2L -> 304999999998L, // base + ⌊t·9/10⌋
+      3L -> 78333333332L)) // base + ⌊t·1/10⌋
+    val r3 = Graph.pageRankWeighted(e, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3(2L) > r3(3L)) // the weight preference persists
+  }
+
+  test("personalizedPageRank: restart mass pinned to the hub seed (hand round)") {
+    // star 0 ↔ {1,2,3}: seed 0 (deg 3); all mass starts at the seed
+    val e = edges(0L -> 1L, 1L -> 0L, 0L -> 2L, 2L -> 0L, 0L -> 3L, 3L -> 0L)
+    val r1 = Graph.personalizedPageRank(e, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // seed keeps only the teleport slice; spokes split the walk mass
+    assert(r1 == Map(0L -> 150000000000L,
+      1L -> 283333333333L, 2L -> 283333333333L, 3L -> 283333333333L))
+    // vs UNIFORM pagerank the seed's neighborhood is strictly favored:
+    // a 5-node chain 0-1-2-3-4 ranks node 1 (next to hub... here all
+    // symmetric) — instead pin that teleport NEVER lands off-seed:
+    val r2 = Graph.personalizedPageRank(e, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2.values.sum <= Graph.Scale) // floor dust only, no leak
+    assert(r2(0L) > r2(1L)) // round 2 returns walk mass to the seed
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative; regular graph is null") {
+    val star = pairsDf((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L))
+    val r = Graph.degreeAssortativity(star).collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L && r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Long]("max_deg") == 3L)
+    assert(r.getAs[Long]("assortativity_bp") == -10000L)
+    val k3 = Graph.degreeAssortativity(
+      pairsDf((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L))).collect().head
+    assert(k3.isNullAt(3)) // all degrees equal: variance 0, undefined
+  }
+
   /** Symmetric path 1–2–3–4–5: degrees (1,2,2,2,1); the seed is the
     * lowest-id max-degree node = 2. */
   private def pathEdges = edges(
