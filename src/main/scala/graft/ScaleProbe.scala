@@ -443,6 +443,19 @@ object ScaleProbe {
       graft.ops.Market.coVisitPairs(eventsSameUsers), 2L))
     t("growth decomposition")(graft.ops.Retention.growthDecomposition(orders))
     t("order composition")(graft.ops.Retention.orderComposition(lineitem))
+    val covisPairs = graft.ops.Market.coVisitPairs(eventsSameUsers)
+      .localCheckpoint(false)
+    t("pagerank weighted")(graft.ops.Graph.pageRankWeighted(
+      covisPairs.filter(col("pair_sessions") >= 2L)
+        .select(col("item_a").as("src"), col("item_b").as("dst"),
+          col("pair_sessions").as("w"))
+        .union(covisPairs.filter(col("pair_sessions") >= 2L)
+          .select(col("item_b").as("src"), col("item_a").as("dst"),
+            col("pair_sessions").as("w"))), 3))
+    t("personalized pagerank")(graft.ops.Graph.personalizedPageRank(
+      graft.ops.Graph.symmetric(covisPairs, 2L), 3))
+    t("degree assortativity")(graft.ops.Graph.degreeAssortativity(
+      covisPairs, 2L))
     t("discount elasticity")(graft.ops.AreaTopProducts.discountElasticity(
       lineitem))
     t("dow type lift")(graft.ops.Retention.dowTypeLift(events))
