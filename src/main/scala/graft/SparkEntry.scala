@@ -255,7 +255,9 @@ object SparkEntry {
     "q225_order_composition" -> (Queries.orderComposition _),
     "q226_pagerank_weighted" -> (Queries.pageRankWeighted _),
     "q227_personalized_pagerank" -> (Queries.personalizedPageRank _),
-    "q228_degree_assortativity" -> (Queries.degreeAssortativity _)
+    "q228_degree_assortativity" -> (Queries.degreeAssortativity _),
+    "q229_bm25_known_item" -> (Queries.bm25KnownItem _),
+    "q230_token_spectrum" -> (Queries.tokenSpectrum _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1856,6 +1858,19 @@ object Queries {
   def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
     Graph.degreeAssortativity(sharedCoVisPairs(spark, dir),
       PageRankMinSupport)
+
+  val KnownItemMod = 10L
+  val KnownItemTokens = 3
+  val KnownItemK = 10
+
+  /** BM25 known-item retrieval eval (found@k + MRR@k). */
+  def bm25KnownItem(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25KnownItem(Tables(spark, dir, "documents"),
+      KnownItemMod, KnownItemTokens, KnownItemK)
+
+  /** Token frequency spectrum (the sort-free Zipf read). */
+  def tokenSpectrum(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.tokenSpectrum(Tables(spark, dir, "documents"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -8022,7 +8037,86 @@ object Oracles {
          |              CAST(CAST(s.m AS HUGEINT) * s.sxx - s.sx * s.sx
          |                AS DOUBLE)) AS BIGINT) END AS assortativity_bp
          |FROM s, ns""".stripMargin
-    }
+    },
+
+    // the q66 BM25 machinery with a DERIVED query set (every 10th
+    // doc's first 3 distinct tokens; relevant = the doc itself)
+    "q229_bm25_known_item" -> {
+      val qm = Queries.KnownItemMod
+      val qt = Queries.KnownItemTokens
+      val k = Queries.KnownItemK
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |q AS (
+         |  SELECT DISTINCT doc_id AS query_id,
+         |         unnest(list_distinct(t[1 : $qt])) AS token
+         |  FROM toks WHERE doc_id % $qm = 0),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE)
+         |           / CAST(COUNT(*) AS BIGINT) AS avgdl
+         |  FROM dl),
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok JOIN (SELECT DISTINCT token FROM q) qt USING (token)
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+         |          FROM tf GROUP BY 1),
+         |contrib AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |         CAST(FLOOR(1000000.0
+         |           * ((2.0 * (st.n_docs - dfreq.df) + 1.0)
+         |             / (2.0 * dfreq.df + 1.0))
+         |           * ((tf.tf * 2.5)
+         |             / (tf.tf + 1.5
+         |               * (0.25 + 0.75 * (dl.dl / st.avgdl))))) AS BIGINT) AS c
+         |  FROM tf
+         |  JOIN dfreq USING (token)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  JOIN q ON q.token = tf.token, st),
+         |s AS (
+         |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp
+         |  FROM contrib GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
+         |  FROM s),
+         |hits AS (
+         |  SELECT query_id, rank FROM r
+         |  WHERE rank <= $k AND doc_id = query_id),
+         |nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+         |       FROM q),
+         |ha AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_found,
+         |         CAST(COALESCE(SUM(10000 // rank), 0) AS BIGINT) AS rr_sum
+         |  FROM hits)
+         |SELECT nq.n_queries, ha.n_found,
+         |       CAST(CASE WHEN nq.n_queries = 0 THEN 0
+         |            ELSE FLOOR(10000.0 * ha.n_found / nq.n_queries)
+         |            END AS BIGINT) AS found_bp,
+         |       CAST(CASE WHEN nq.n_queries = 0 THEN 0
+         |            ELSE ha.rr_sum // nq.n_queries END AS BIGINT) AS mrr_bp
+         |FROM ha, nq""".stripMargin
+    },
+
+    "q230_token_spectrum" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+         |      FROM tok GROUP BY 1),
+         |b AS (SELECT CAST(length(format('{:b}', freq)) - 1 AS BIGINT)
+         |               AS bucket, freq
+         |      FROM f)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(freq) AS BIGINT) AS occurrences,
+         |       CAST(FLOOR(10000.0 * SUM(freq) / SUM(SUM(freq)) OVER ())
+         |         AS BIGINT) AS occ_share_bp
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

@@ -105,4 +105,66 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_fp"))
   }
+
+  /** Known-item retrieval eval: can BM25 find the document its own
+    * opening words came from? Every `queryMod`-th document becomes a
+    * query (its first `queryTokens` distinct tokens), the relevant
+    * answer is the source document itself, and the report is the
+    * standard search-quality pair — found@k and MRR@k (per-query
+    * rr_bp = 10000 div rank, summed and floor-averaged; all integer,
+    * the q158 ANN-MRR convention applied to text). The self-contained
+    * index health check a retrieval stack runs after every re-index:
+    * no labels needed, and a score that degrades only when indexing,
+    * tokenization, or ranking regressed.
+    *
+    * One row: n_queries, n_found, found_bp, mrr_bp. Scale shape is
+    * [[bm25TopK]]'s (probe-set queries broadcast into one postings
+    * pass) plus a query-grain join back to the ranks. */
+  def bm25KnownItem(docs: DataFrame, queryMod: Long = 10L,
+      queryTokens: Int = 3, k: Int = 10): DataFrame = {
+    require(queryMod >= 1L && queryTokens >= 1 && k >= 1)
+    val queries = docs
+      .filter(col("text").isNotNull && col("doc_id") % queryMod === 0L)
+      .select(col("doc_id").as("query_id"),
+        explode(expr(
+          s"array_distinct(slice(${TextAnalysis.TokensExpr}, 1, $queryTokens))"))
+          .as("token"))
+    val hits = bm25TopK(docs, queries, k)
+      .filter(col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("rank"))
+    val nq = queries.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    hits.agg(count(lit(1)).as("n_found"),
+        coalesce(sum(expr("10000L div rank")), lit(0L)).as("rr_sum"))
+      .crossJoin(broadcast(nq))
+      .select(col("n_queries"), col("n_found"),
+        when(col("n_queries") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("n_found") / col("n_queries"))
+            .cast("long")).as("found_bp"),
+        when(col("n_queries") === 0L, 0L)
+          .otherwise(expr("rr_sum div n_queries")).as("mrr_bp"))
+  }
+
+  /** Token frequency spectrum: how many distinct tokens occur ~2^b
+    * times (bucket = the exact bitlen-as-string ⌊log₂ freq⌋, the q110
+    * convention) and what share of all token OCCURRENCES each band
+    * owns — the Zipf read without a global rank sort: a natural
+    * corpus shows the long-tail staircase (many rare tokens, few
+    * frequent ones owning most mass); template/boilerplate corpora
+    * show a hollowed middle. Vocabulary-grain aggregate → ≤64-row
+    * histogram; no sort, no window over the vocabulary. */
+  def tokenSpectrum(docs: DataFrame): DataFrame = {
+    val whole = Window.partitionBy()
+    docs
+      .filter(col("text").isNotNull)
+      .select(explode(expr(TextAnalysis.TokensExpr)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("bucket", (length(bin(col("freq"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("occurrences"))
+      .withColumn("occ_share_bp",
+        floor(lit(10000.0) * col("occurrences") /
+          sum(col("occurrences")).over(whole)).cast("long"))
+      .orderBy(col("bucket").asc)
+  }
 }

@@ -733,4 +733,36 @@ class RetrievalSpec extends SparkSpec {
       .select("step_idx", "sessions_reached").as[(Long, Long)].collect().toSet
     assert(d2 == Set((1L, 1L), (2L, 1L)))
   }
+
+  test("bm25KnownItem: exact MRR with a duplicate-content tie broken by doc_id") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (10L, "aa bb cc", "en", "s", 8L),
+      (20L, "aa bb cc", "en", "s", 8L), // identical text: same scores
+      (30L, "xx yy zz", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.ops.Retrieval
+      .bm25KnownItem(docs, queryMod = 10L, queryTokens = 3, k = 10)
+      .collect().head
+    assert(r.getAs[Long]("n_queries") == 3L)
+    assert(r.getAs[Long]("n_found") == 3L)
+    assert(r.getAs[Long]("found_bp") == 10000L)
+    // query 10 → rank 1 (id tie-break), query 20 → rank 2, query 30 → 1:
+    // mrr = (10000 + 5000 + 10000) div 3
+    assert(r.getAs[Long]("mrr_bp") == 8333L)
+  }
+
+  test("tokenSpectrum: log2 frequency bands with occurrence shares") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a a a a b b c", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.Retrieval.tokenSpectrum(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, 1428L),  // c ×1
+      (1L, 1L, 2L, 2857L),  // b ×2
+      (2L, 1L, 4L, 5714L))) // a ×4
+  }
 }
