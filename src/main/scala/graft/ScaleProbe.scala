@@ -456,6 +456,8 @@ object ScaleProbe {
       graft.ops.Graph.symmetric(covisPairs, 2L), 3))
     t("degree assortativity")(graft.ops.Graph.degreeAssortativity(
       covisPairs, 2L))
+    t("bm25 known item")(graft.ops.Retrieval.bm25KnownItem(docs))
+    t("token spectrum")(graft.ops.Retrieval.tokenSpectrum(docs))
     t("discount elasticity")(graft.ops.AreaTopProducts.discountElasticity(
       lineitem))
     t("dow type lift")(graft.ops.Retention.dowTypeLift(events))

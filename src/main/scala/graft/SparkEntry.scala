@@ -1862,11 +1862,12 @@ object Queries {
   val KnownItemMod = 10L
   val KnownItemTokens = 3
   val KnownItemK = 10
+  val KnownItemMaxQueries = 200
 
   /** BM25 known-item retrieval eval (found@k + MRR@k). */
   def bm25KnownItem(spark: SparkSession, dir: String): DataFrame =
     Retrieval.bm25KnownItem(Tables(spark, dir, "documents"),
-      KnownItemMod, KnownItemTokens, KnownItemK)
+      KnownItemMod, KnownItemTokens, KnownItemK, KnownItemMaxQueries)
 
   /** Token frequency spectrum (the sort-free Zipf read). */
   def tokenSpectrum(spark: SparkSession, dir: String): DataFrame =
@@ -8048,10 +8049,13 @@ object Oracles {
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t
          |  FROM documents WHERE text IS NOT NULL),
+         |qd AS (
+         |  SELECT doc_id FROM toks WHERE doc_id % $qm = 0
+         |  ORDER BY doc_id LIMIT ${Queries.KnownItemMaxQueries}),
          |q AS (
-         |  SELECT DISTINCT doc_id AS query_id,
+         |  SELECT DISTINCT toks.doc_id AS query_id,
          |         unnest(list_distinct(t[1 : $qt])) AS token
-         |  FROM toks WHERE doc_id % $qm = 0),
+         |  FROM toks JOIN qd ON toks.doc_id = qd.doc_id),
          |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
          |st AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -119,12 +119,21 @@ object Retrieval {
     *
     * One row: n_queries, n_found, found_bp, mrr_bp. Scale shape is
     * [[bm25TopK]]'s (probe-set queries broadcast into one postings
-    * pass) plus a query-grain join back to the ranks. */
+    * pass) plus a query-grain join back to the ranks — which only
+    * holds because the probe set is CAPPED (`maxQueries`, smallest
+    * qualifying doc_ids): an eval whose query count scales with the
+    * corpus turns the scoring join quadratic (measured 3.5× at a 2×
+    * corpus before the cap — the q25 fixed-probe lesson applied to
+    * text). */
   def bm25KnownItem(docs: DataFrame, queryMod: Long = 10L,
-      queryTokens: Int = 3, k: Int = 10): DataFrame = {
-    require(queryMod >= 1L && queryTokens >= 1 && k >= 1)
-    val queries = docs
+      queryTokens: Int = 3, k: Int = 10, maxQueries: Int = 200): DataFrame = {
+    require(queryMod >= 1L && queryTokens >= 1 && k >= 1 && maxQueries >= 1)
+    val probeDocs = docs
       .filter(col("text").isNotNull && col("doc_id") % queryMod === 0L)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id").asc).limit(maxQueries)
+    val queries = docs
+      .join(broadcast(probeDocs), Seq("doc_id"))
       .select(col("doc_id").as("query_id"),
         explode(expr(
           s"array_distinct(slice(${TextAnalysis.TokensExpr}, 1, $queryTokens))"))
