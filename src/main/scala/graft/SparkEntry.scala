@@ -257,7 +257,9 @@ object SparkEntry {
     "q227_personalized_pagerank" -> (Queries.personalizedPageRank _),
     "q228_degree_assortativity" -> (Queries.degreeAssortativity _),
     "q229_bm25_known_item" -> (Queries.bm25KnownItem _),
-    "q230_token_spectrum" -> (Queries.tokenSpectrum _)
+    "q230_token_spectrum" -> (Queries.tokenSpectrum _),
+    "q231_absorption_prob" -> (Queries.absorptionProbability _),
+    "q232_conversion_hazard" -> (Queries.conversionHazard _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1872,6 +1874,21 @@ object Queries {
   /** Token frequency spectrum (the sort-free Zipf read). */
   def tokenSpectrum(spark: SparkSession, dir: String): DataFrame =
     Retrieval.tokenSpectrum(Tables(spark, dir, "documents"))
+
+  val AbsorbTarget = "purchase"
+  val AbsorbSteps = 5
+
+  /** 5-step purchase-absorption probability per start type. */
+  def absorptionProbability(spark: SparkSession, dir: String): DataFrame =
+    Market.absorptionProbability(Tables(spark, dir, "events"),
+      AbsorbTarget, AbsorbSteps)
+
+  val HazardMaxOffset = 14
+
+  /** Signup→purchase discrete hazard table with right-censoring. */
+  def conversionHazard(spark: SparkSession, dir: String): DataFrame =
+    Retention.conversionHazard(Tables(spark, dir, "events"),
+      "signup", "purchase", HazardMaxOffset)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -8120,7 +8137,88 @@ object Oracles {
          |       CAST(SUM(freq) AS BIGINT) AS occurrences,
          |       CAST(FLOOR(10000.0 * SUM(freq) / SUM(SUM(freq)) OVER ())
          |         AS BIGINT) AS occ_share_bp
-         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q91 transition matrix, then the bp absorption recursion
+    // unrolled — one CTE pair per step, mirroring
+    // Market.absorptionProbability's per-pair floor exactly
+    "q231_absorption_prob" -> {
+      val tgt = Queries.AbsorbTarget
+      def round(r: Int): String =
+        s"""h$r AS (
+           |  SELECT m.prev_type AS start_type,
+           |         CAST(SUM(m.prob_bp * a.a_bp // 10000) AS BIGINT) AS hop_bp
+           |  FROM m JOIN a${r - 1} a ON a.start_type = m.next_type
+           |  WHERE m.next_type <> '$tgt' GROUP BY 1),
+           |a$r AS (
+           |  SELECT a1.start_type,
+           |         CAST(a1.a_bp + COALESCE(h.hop_bp, 0) AS BIGINT) AS a_bp
+           |  FROM a1 LEFT JOIN h$r h ON h.start_type = a1.start_type)"""
+          .stripMargin
+      val rounds = (2 to Queries.AbsorbSteps).map(round).mkString(",\n")
+      s"""$sessionCte,
+         |st AS (
+         |  SELECT user_id, session_seq, event_type,
+         |         lag(event_type) OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS prev_type
+         |  FROM sz),
+         |tr AS (
+         |  SELECT prev_type, event_type AS next_type,
+         |         CAST(COUNT(*) AS BIGINT) AS transitions
+         |  FROM st WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT prev_type, CAST(SUM(transitions) AS BIGINT) AS from_total
+         |  FROM tr GROUP BY 1),
+         |m AS (
+         |  SELECT tr.prev_type, tr.next_type,
+         |         CAST(tr.transitions * 10000 // tot.from_total AS BIGINT)
+         |           AS prob_bp
+         |  FROM tr JOIN tot USING (prev_type)),
+         |a1 AS (
+         |  SELECT p.start_type, CAST(COALESCE(d.prob_bp, 0) AS BIGINT) AS a_bp
+         |  FROM (SELECT DISTINCT prev_type AS start_type FROM m) p
+         |  LEFT JOIN (SELECT prev_type AS start_type, prob_bp FROM m
+         |             WHERE next_type = '$tgt') d
+         |    ON d.start_type = p.start_type),
+         |$rounds
+         |SELECT start_type, a_bp AS absorb_bp FROM a${Queries.AbsorbSteps}
+         |ORDER BY absorb_bp DESC, start_type""".stripMargin
+    },
+
+    "q232_conversion_hazard" -> {
+      val mo = Queries.HazardMaxOffset
+      s"""WITH cs AS (
+         |  SELECT MAX(CAST(ts AS DATE)) AS censor_d
+         |  FROM events WHERE ts IS NOT NULL),
+         |u AS (
+         |  SELECT user_id,
+         |         MIN(CASE WHEN event_type = 'signup'
+         |             THEN CAST(ts AS DATE) END) AS s_d,
+         |         list_sort(list(DISTINCT CASE WHEN event_type = 'purchase'
+         |             THEN CAST(ts AS DATE) END)) AS pds
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |  GROUP BY 1),
+         |f AS (
+         |  SELECT CAST(date_diff('day', u.s_d, cs.censor_d) AS BIGINT)
+         |           AS follow_up,
+         |         CAST(date_diff('day', u.s_d,
+         |           list_min(list_filter(pds, x -> x >= u.s_d))) AS BIGINT)
+         |           AS conv_off
+         |  FROM u, cs WHERE u.s_d IS NOT NULL),
+         |r AS (
+         |  SELECT conv_off,
+         |         LEAST(COALESCE(conv_off, follow_up), follow_up) AS risk_end
+         |  FROM f),
+         |x AS (
+         |  SELECT conv_off, CAST(g.t AS BIGINT) AS t
+         |  FROM r, unnest(range(0, LEAST(risk_end, $mo) + 1)) AS g(t))
+         |SELECT t AS offset_days, CAST(COUNT(*) AS BIGINT) AS n_at_risk,
+         |       CAST(SUM(CASE WHEN conv_off = t THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_converted,
+         |       CAST(FLOOR(10000.0 * SUM(CASE WHEN conv_off = t
+         |           THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS hazard_bp
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

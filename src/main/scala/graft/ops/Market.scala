@@ -277,6 +277,52 @@ object Market {
       .select("prev_type", "next_type", "transitions", "prob_bp")
   }
 
+  /** k-step absorption probability into `target` under the observed
+    * [[transitions]] Markov chain: from each event type, the
+    * probability of reaching (e.g.) 'purchase' within `steps`
+    * transitions — the funnel read the raw matrix can't give you,
+    * because multi-hop paths (view→click→purchase) contribute mass no
+    * single cell shows. Session EXIT is the implicit second absorber:
+    * row probabilities sum to ≤10000 over observed next steps and the
+    * missing mass never converts — exactly the real semantics.
+    *
+    * Fixed-point bp recursion, unrolled symbolically (the pageRank
+    * discipline — the driver composes a plan over the event-type²
+    * frame, never touches data):
+    *   α₁(s) = p_bp(s→target);
+    *   α_{k+1}(s) = α₁(s) + Σ_{t≠target} ⌊p_bp(s→t)·α_k(t)/10000⌋.
+    * Every product ≤ 1e8; per-pair floor is the defined semantics the
+    * oracle mirrors. Grain is |types|² throughout — metadata. Columns:
+    * start_type, absorb_bp (within `steps`), ordered desc/start. */
+  def absorptionProbability(events: DataFrame, target: String = "purchase",
+      steps: Int = 5): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val m = transitions(events)
+      .select(col("prev_type"), col("next_type"), col("prob_bp"))
+      .localCheckpoint(false) // consumed every round
+    // α₁ over EVERY start type (0 when no direct edge — a type whose
+    // only route is multi-hop must still accumulate in later rounds)
+    val a1 = m.select(col("prev_type").as("start_type")).distinct()
+      .join(m.filter(col("next_type") === target)
+        .select(col("prev_type").as("start_type"),
+          col("prob_bp").as("direct_bp")), Seq("start_type"), "left")
+      .select(col("start_type"),
+        coalesce(col("direct_bp"), lit(0L)).as("a_bp"))
+      .localCheckpoint(false)
+    val aK = (2 to steps).foldLeft(a1) { (a, _) =>
+      val hop = m.filter(col("next_type") =!= target)
+        .join(a.withColumnRenamed("start_type", "next_type"), Seq("next_type"))
+        .groupBy(col("prev_type").as("start_type"))
+        .agg(sum(expr("prob_bp * a_bp div 10000L")).as("hop_bp"))
+      a1.join(hop, Seq("start_type"), "left")
+        .select(col("start_type"),
+          (col("a_bp") + coalesce(col("hop_bp"), lit(0L))).as("a_bp"))
+        .localCheckpoint(false)
+    }
+    aK.select(col("start_type"), col("a_bp").as("absorb_bp"))
+      .orderBy(col("absorb_bp").desc, col("start_type").asc)
+  }
+
   /** Association rules by LIFT over the session baskets —
     * [[coVisitation]] ranks pairs by raw co-occurrence, which is
     * dominated by whatever is popular; lift

@@ -762,6 +762,55 @@ object Retention {
       .orderBy(col("n_lines").asc)
   }
 
+  /** Discrete-time conversion hazard table with right-censoring — the
+    * survival-analysis read a plain conversion rate gets wrong: users
+    * who signed up recently haven't HAD 14 days to convert, and
+    * counting them as non-converters biases every rate downward.
+    * Per day-offset t since first `fromType`: n_at_risk (users still
+    * unconverted and still under observation at t — censoring at the
+    * corpus's last observed day), n_converted (first `toType` exactly
+    * at t), hazard_bp = ⌊10000·d/n⌋. This hazard table IS the
+    * Kaplan–Meier input; the KM product itself is a recursion with no
+    * window closed form, and the per-offset hazards are what the
+    * analyst reads anyway.
+    *
+    * One user-grain aggregate (signup day + the purchase-day set,
+    * window-bounded by the cohort contract), a scalar censor-day
+    * broadcast, then a ≤maxOffset explode at USER grain feeding the
+    * offset-grain report. Integer end to end. */
+  def conversionHazard(events: DataFrame, fromType: String = "signup",
+      toType: String = "purchase", maxOffsetDays: Int = 14): DataFrame = {
+    require(maxOffsetDays >= 0, "maxOffsetDays must be >= 0")
+    val censor = events.filter(col("ts").isNotNull)
+      .agg(max(to_date(col("ts"))).as("censor_d"))
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === fromType, to_date(col("ts"))))
+        .as("s_d"),
+        sort_array(collect_set(
+          when(col("event_type") === toType, to_date(col("ts"))))).as("pds"))
+      .filter(col("s_d").isNotNull)
+      .crossJoin(broadcast(censor))
+      .select(
+        datediff(col("censor_d"), col("s_d")).cast("long").as("follow_up"),
+        expr("datediff(array_min(filter(pds, x -> x >= s_d)), s_d)")
+          .cast("long").as("conv_off"))
+      .select(col("conv_off"),
+        least(coalesce(col("conv_off"), col("follow_up")), col("follow_up"))
+          .as("risk_end"))
+      .select(col("conv_off"), explode(expr(
+        s"sequence(0L, least(risk_end, ${maxOffsetDays}L))")).as("t"))
+      .groupBy(col("t").as("offset_days"))
+      .agg(count(lit(1)).as("n_at_risk"),
+        sum(when(col("conv_off") === col("t"), 1L).otherwise(0L))
+          .as("n_converted"))
+      .withColumn("hazard_bp",
+        floor(lit(10000.0) * col("n_converted") / col("n_at_risk"))
+          .cast("long"))
+      .orderBy(col("offset_days").asc)
+  }
+
   /** Distribution drift per event type: total-variation distance
     * between the `value` distribution before and after `splitDate` —
     * the data-drift monitor run between a reference window and the

@@ -183,6 +183,26 @@ class MarketSpec extends SparkSpec {
     assert(r.getAs[Long]("event_coverage_bp") == 6000L)
   }
 
+  test("absorptionProbability: hand-unrolled 5-step recursion on a 2-state chain") {
+    // view→click always; click→{purchase, view} 50/50:
+    // α1=(0,5000) α2=(5000,5000) α3=(5000,7500) α4=(7500,7500)
+    // α5=(7500,8750) for (view, click)
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "view", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 1),
+      ev(2, 1, "2024-01-01 00:02:00", "purchase", 1),
+      ev(3, 2, "2024-01-01 00:00:00", "view", 1),
+      ev(4, 2, "2024-01-01 00:01:00", "click", 1),
+      ev(5, 2, "2024-01-01 00:02:00", "view", 1)))
+    val got = Market.absorptionProbability(df, "purchase", steps = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("click", 8750L), ("view", 7500L)))
+    // one step = the direct edge only
+    val one = Market.absorptionProbability(df, "purchase", steps = 1)
+      .as[(String, Long)].collect().toMap
+    assert(one == Map("click" -> 5000L, "view" -> 0L))
+  }
+
   test("tripleItemsets: user-lifetime baskets, support floor, cap") {
     // user 1: {1,2,3}; user 2: {1,2,3,4} (across two far-apart events —
     // lifetime grain ignores session gaps); user 3: {1,2,9}

@@ -1159,6 +1159,32 @@ class OpsSpec extends SparkSpec {
       (2L, 1L, 5000L, 200L, 6666L)))
   }
 
+  test("conversionHazard: censoring, same-day conversion, pre-signup purchases ignored") {
+    val s = spark
+    import s.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(s"$x 12:00:00")
+    val events = Seq(
+      (1L, t("2024-01-01"), 1L, "signup"),
+      (2L, t("2024-01-03"), 1L, "purchase"),  // u1: converts at t=2
+      (3L, t("2024-01-01"), 2L, "signup"),    // u2: censored, never converts
+      (4L, t("2024-01-05"), 2L, "view"),      // also sets censor day Jan 5
+      (5L, t("2024-01-04"), 3L, "signup"),
+      (6L, t("2024-01-04"), 3L, "purchase"),  // u3: same-day, t=0
+      (7L, t("2024-01-02"), 4L, "view"),      // u4: no signup → excluded
+      (8L, t("2024-01-01"), 5L, "purchase"),  // PRE-signup purchase: ignored
+      (9L, t("2024-01-03"), 5L, "signup"),
+      (10L, t("2024-01-04"), 5L, "purchase")) // u5: converts at t=1
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.Retention.conversionHazard(events)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, 1L, 2500L),  // u1,u2,u3,u5 at risk; u3 converts
+      (1L, 3L, 1L, 3333L),  // u5 converts at 1
+      (2L, 2L, 1L, 5000L),  // u1 converts at 2
+      (3L, 1L, 0L, 0L),     // only censored u2 remains
+      (4L, 1L, 0L, 0L)))
+  }
+
   test("zorderCells: 1-bit grid = quadrants; spans measured on raw values") {
     val s = spark
     import s.implicits._

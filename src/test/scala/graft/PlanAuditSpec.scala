@@ -1303,6 +1303,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q231 absorption: one sessionize shuffle builds the matrix; recursion at type-squared grain") {
+    val p = plan("q231_absorption_prob")
+    assert(!p.contains("CartesianProduct"), p)
+    // the unrolled rounds ride checkpointed type-grain frames — the
+    // live plan must not re-scan the fact table per round
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 0, p)
+  }
+
+  test("q232 conversion hazard: user-grain aggregate + bounded offset explode, no window") {
+    val p = plan("q232_conversion_hazard")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length == 1,
+      s"expected exactly one user-grain shuffle:\n$p")
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)
