@@ -458,6 +458,8 @@ object ScaleProbe {
       covisPairs, 2L))
     t("bm25 known item")(graft.ops.Retrieval.bm25KnownItem(docs))
     t("token spectrum")(graft.ops.Retrieval.tokenSpectrum(docs))
+    t("absorption prob")(graft.ops.Market.absorptionProbability(events))
+    t("conversion hazard")(graft.ops.Retention.conversionHazard(events))
     t("discount elasticity")(graft.ops.AreaTopProducts.discountElasticity(
       lineitem))
     t("dow type lift")(graft.ops.Retention.dowTypeLift(events))

@@ -259,7 +259,9 @@ object SparkEntry {
     "q229_bm25_known_item" -> (Queries.bm25KnownItem _),
     "q230_token_spectrum" -> (Queries.tokenSpectrum _),
     "q231_absorption_prob" -> (Queries.absorptionProbability _),
-    "q232_conversion_hazard" -> (Queries.conversionHazard _)
+    "q232_conversion_hazard" -> (Queries.conversionHazard _),
+    "q233_audience_overlap" -> (Queries.audienceOverlap _),
+    "q234_minhash_calibration" -> (Queries.minhashCalibration _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1889,6 +1891,16 @@ object Queries {
   def conversionHazard(spark: SparkSession, dir: String): DataFrame =
     Retention.conversionHazard(Tables(spark, dir, "events"),
       "signup", "purchase", HazardMaxOffset)
+
+  val AudienceTopK = 10
+
+  /** Audience-overlap Jaccard matrix for the top items. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Market.audienceOverlap(Tables(spark, dir, "events"), AudienceTopK)
+
+  /** MinHash signature calibration vs exact Jaccard. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCalibration(Tables(spark, dir, "documents"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -8218,6 +8230,70 @@ object Oracles {
          |       CAST(FLOOR(10000.0 * SUM(CASE WHEN conv_off = t
          |           THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS hazard_bp
          |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q233_audience_overlap" -> {
+      val k = Queries.AudienceTopK
+      s"""WITH iu AS (
+         |  SELECT DISTINCT CAST(json_extract_string(props, '$$.k') AS BIGINT)
+         |           AS item, user_id
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |    AND user_id IS NOT NULL),
+         |top AS (
+         |  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_users
+         |  FROM iu GROUP BY 1 ORDER BY n_users DESC, item LIMIT $k),
+         |ui AS (SELECT iu.item, iu.user_id FROM iu JOIN top USING (item)),
+         |sh AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM ui a JOIN ui b
+         |    ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2)
+         |SELECT sh.item_a, sh.item_b,
+         |       ta.n_users AS n_users_a, tb.n_users AS n_users_b, sh.n_shared,
+         |       CAST(FLOOR(10000.0 * sh.n_shared /
+         |         (ta.n_users + tb.n_users - sh.n_shared)) AS BIGINT)
+         |         AS jaccard_bp
+         |FROM sh
+         |JOIN top ta ON ta.item = sh.item_a
+         |JOIN top tb ON tb.item = sh.item_b
+         |ORDER BY jaccard_bp DESC, sh.item_a, sh.item_b""".stripMargin
+    },
+
+    // signature self-estimate (625·matches) vs exact Jaccard over the
+    // SAME banded candidates — the sig/cand CTEs are q22's verbatim
+    "q234_minhash_calibration" -> {
+      val eq = (0 until graft.ops.Dedup.NumHashes)
+        .map(kk => f"CASE WHEN a.mh$kk%02d = b.mh$kk%02d THEN 1 ELSE 0 END")
+        .mkString("\n         + ")
+      s"""WITH $minhashCandCtes,
+         |pm AS (
+         |  SELECT cand.doc_a, cand.doc_b,
+         |         CAST($eq AS BIGINT) AS matches,
+         |         CAST(len(list_intersect(sa.shingles, sb.shingles))
+         |           AS BIGINT) AS inter,
+         |         CAST(len(sa.shingles) + len(sb.shingles)
+         |           - len(list_intersect(sa.shingles, sb.shingles))
+         |           AS BIGINT) AS uni
+         |  FROM cand
+         |  JOIN sig a ON cand.doc_a = a.doc_id
+         |  JOIN sig b ON cand.doc_b = b.doc_id
+         |  JOIN sh sa ON cand.doc_a = sa.doc_id
+         |  JOIN sh sb ON cand.doc_b = sb.doc_id),
+         |pj AS (
+         |  SELECT matches,
+         |         CASE WHEN uni = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT)
+         |              END AS jaccard_bp
+         |  FROM pm)
+         |SELECT matches, CAST(matches * 625 AS BIGINT) AS est_bp,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(jaccard_bp) // COUNT(*) AS BIGINT)
+         |         AS mean_jaccard_bp,
+         |       CAST(SUM(ABS(matches * 625 - jaccard_bp)) // COUNT(*)
+         |         AS BIGINT) AS mean_abs_err_bp
+         |FROM pj GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 

@@ -120,6 +120,46 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+  /** MinHash sketch CALIBRATION — is 16 permutations enough? For
+    * every LSH candidate pair, the signature's own similarity
+    * estimate (matching components / 16 → est_bp = 625·matches)
+    * against the exact shingle Jaccard, rolled up per match count:
+    * n_pairs, mean exact Jaccard, and the mean absolute estimate
+    * error — the table that justifies (or indicts) the signature
+    * width before anyone trusts q22's verdicts at 100 TB. A healthy
+    * sketch shows mean_jaccard_bp ≈ est_bp per row; drift at the low
+    * bands means the candidate filter is doing the real work.
+    *
+    * One signature pass (persisted — bands + both pair sides + the
+    * exact verify all read it), the banded candidate join, a ≤17-row
+    * report. All integer (625·matches exact; means are floor divs). */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val sig = minhashSignature(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidatePairsFromBands(lshBands(sig))
+    val mhCols = (0 until NumHashes).map(k => f"mh$k%02d")
+    val a = sig.select(col("doc_id").as("doc_a") +:
+      col("shingles").as("sh_a") +:
+      mhCols.map(c => col(c).as(s"a_$c")): _*)
+    val b = sig.select(col("doc_id").as("doc_b") +:
+      col("shingles").as("sh_b") +:
+      mhCols.map(c => col(c).as(s"b_$c")): _*)
+    val matches = mhCols
+      .map(c => when(col(s"a_$c") === col(s"b_$c"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    jaccardCols(cand.join(a, "doc_a").join(b, "doc_b"))
+      .withColumn("matches", matches)
+      .groupBy(col("matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jaccard_bp")).as("__sj"),
+        sum(abs(col("matches") * lit(625L) - col("jaccard_bp"))).as("__se"))
+      .select(col("matches"), (col("matches") * lit(625L)).as("est_bp"),
+        col("n_pairs"),
+        expr("__sj div n_pairs").as("mean_jaccard_bp"),
+        expr("__se div n_pairs").as("mean_abs_err_bp"))
+      .orderBy(col("matches").asc)
+  }
+
   /** Exact-Jaccard columns (basis points) from paired shingle arrays
     * `sh_a`/`sh_b`. */
   /** Shared exact-Jaccard columns over `sh_a`/`sh_b` shingle sets —

@@ -323,6 +323,47 @@ object Market {
       .orderBy(col("absorb_bp").desc, col("start_type").asc)
   }
 
+  /** Audience-overlap matrix for the TOP items: exact user-set
+    * Jaccard between every pair of the `topK` most-viewed items —
+    * "do these two products share an audience" (merchandising reads
+    * it for bundle candidates; ads for cross-targeting). Item
+    * popularity is distinct-user reach; ties break on item id.
+    *
+    * Scale shape: the top-item set is a broadcast-sized dim
+    * (TakeOrdered over item grain), so the (item, user) frame filters
+    * at the scan to topK items and every user contributes at most
+    * C(topK, 2) pairs — the intersection join is user-grain bounded,
+    * never catalog². Columns: item_a, item_b, n_users_a, n_users_b,
+    * n_shared, jaccard_bp. */
+  def audienceOverlap(events: DataFrame, topK: Int = 10,
+      itemCol: String = "$.k"): DataFrame = {
+    require(topK >= 2, "need at least two items to overlap")
+    val iu = events
+      .withColumn("item", get_json_object(col("props"), itemCol).cast("long"))
+      .filter(col("item").isNotNull && col("user_id").isNotNull)
+      .select(col("item"), col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = iu.groupBy(col("item")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("item").asc).limit(topK)
+    val ui = iu.join(broadcast(top), Seq("item"))
+    val shared = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(top.select(col("item").as("item_a"),
+        col("n_users").as("n_users_a"))), Seq("item_a"))
+      .join(broadcast(top.select(col("item").as("item_b"),
+        col("n_users").as("n_users_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_users_a"),
+        col("n_users_b"), col("n_shared"),
+        floor(lit(10000.0) * col("n_shared") /
+          (col("n_users_a") + col("n_users_b") - col("n_shared")))
+          .cast("long").as("jaccard_bp"))
+      .orderBy(col("jaccard_bp").desc, col("item_a").asc, col("item_b").asc)
+  }
+
   /** Association rules by LIFT over the session baskets —
     * [[coVisitation]] ranks pairs by raw co-occurrence, which is
     * dominated by whatever is popular; lift

@@ -203,6 +203,20 @@ class MarketSpec extends SparkSpec {
     assert(one == Map("click" -> 5000L, "view" -> 0L))
   }
 
+  test("audienceOverlap: exact user-set jaccard over the top items only") {
+    // item 1: {u1,u2,u3}; item 2: {u2,u3}; item 3: {u9} — topK 2 drops it
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1),
+      ev(1, 2, "2024-01-01 00:00:00", "click", 1),
+      ev(2, 3, "2024-01-01 00:00:00", "click", 1),
+      ev(3, 2, "2024-01-01 00:01:00", "click", 2),
+      ev(4, 3, "2024-01-01 00:01:00", "click", 2),
+      ev(5, 9, "2024-01-01 00:00:00", "click", 3)))
+    val got = Market.audienceOverlap(df, topK = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 2L, 2L, 6666L))) // ⌊10000·2/3⌋
+  }
+
   test("tripleItemsets: user-lifetime baskets, support floor, cap") {
     // user 1: {1,2,3}; user 2: {1,2,3,4} (across two far-apart events —
     // lifetime grain ignores session gaps); user 3: {1,2,9}

@@ -1320,6 +1320,23 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one user-grain shuffle:\n$p")
   }
 
+  test("q233 audience overlap: top-item dim broadcast; TakeOrdered picks the dim") {
+    val p = plan("q233_audience_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k dim not pushed:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"top-item dim not broadcast:\n$p")
+  }
+
+  test("q234 minhash calibration: one signature build feeds bands + pair sides + verify") {
+    val p = plan("q234_minhash_calibration")
+    assert(!p.contains("CartesianProduct"), p)
+    // the persisted signature frame appears as InMemoryRelation scans,
+    // never as repeated shingle recomputation in the live plan
+    assert("graft_minhash".r.findAllIn(stripCached(p)).isEmpty,
+      s"signature recomputed outside the cached frame:\n$p")
+  }
+
   test("q198 source datacard: join-free single documents scan into the source grain") {
     val p = plan("q198_source_datacard")
     assert(!p.contains("Join"), p)

@@ -905,4 +905,20 @@ class TrainingOpsSpec extends SparkSpec {
     // "nav bar": docs 1,2,3 → 3; "foo baa": docs 1,5 → 2; others < 2 gone
     assert(out.toSet == Set(("nav bar", 3L, 1), ("foo baa", 2L, 2)))
   }
+
+  test("minhashCalibration: identical texts land at 16/16 with zero error") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "umber vole wombat xylem yarrow zephyr")
+    val got = graft.ops.Dedup.minhashCalibration(d).collect()
+      .map(r => r.getAs[Long]("matches") ->
+        ((r.getAs[Long]("est_bp"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("mean_jaccard_bp"),
+          r.getAs[Long]("mean_abs_err_bp")))).toMap
+    // the identical pair MUST be a candidate (all bands agree) and
+    // calibrate perfectly; the unrelated doc shares no band
+    assert(got(16L) == ((10000L, 1L, 10000L, 0L)))
+    assert(got.keySet == Set(16L))
+  }
 }
