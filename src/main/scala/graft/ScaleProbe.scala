@@ -460,6 +460,8 @@ object ScaleProbe {
     t("token spectrum")(graft.ops.Retrieval.tokenSpectrum(docs))
     t("absorption prob")(graft.ops.Market.absorptionProbability(events))
     t("conversion hazard")(graft.ops.Retention.conversionHazard(events))
+    t("audience overlap")(graft.ops.Market.audienceOverlap(eventsSameUsers))
+    t("minhash calibration")(graft.ops.Dedup.minhashCalibration(docs))
     t("discount elasticity")(graft.ops.AreaTopProducts.discountElasticity(
       lineitem))
     t("dow type lift")(graft.ops.Retention.dowTypeLift(events))
