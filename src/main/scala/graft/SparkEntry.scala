@@ -261,7 +261,12 @@ object SparkEntry {
     "q231_absorption_prob" -> (Queries.absorptionProbability _),
     "q232_conversion_hazard" -> (Queries.conversionHazard _),
     "q233_audience_overlap" -> (Queries.audienceOverlap _),
-    "q234_minhash_calibration" -> (Queries.minhashCalibration _)
+    "q234_minhash_calibration" -> (Queries.minhashCalibration _),
+    "q235_min_cost_supplier" -> (Queries.minCostSupplier _),
+    "q236_product_profit" -> (Queries.productProfit _),
+    "q237_important_parts" -> (Queries.importantParts _),
+    "q238_part_supplier_counts" -> (Queries.partSupplierCounts _),
+    "q239_excess_suppliers" -> (Queries.excessSuppliers _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1630,6 +1635,58 @@ object Queries {
     AreaTopProducts.waitingSuppliers(Tables(spark, dir, "lineitem"),
       Tables(spark, dir, "orders"), Tables(spark, dir, "supplier"),
       Q21GraceDays, Q21TopK)
+
+  val Q2Region = "ASIA"
+  val Q2Sizes = Seq(5, 11, 23, 37, 44)
+  val Q2Type = "STANDARD"
+  val Q2TopK = 100
+
+  /** TPC-H Q2 shape: min-unit-price supplier per filtered part in one
+    * region (correlated MIN rewritten as a part-grain window min). */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.minCostSupplier(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "part"), Tables(spark, dir, "supplier"),
+      Tables(spark, dir, "nation"), Tables(spark, dir, "region"),
+      Q2Region, Q2Sizes, Q2Type, Q2TopK)
+
+  val Q9NameToken = "red"
+
+  /** TPC-H Q9 shape: nation×year profit with the dyadic
+    * retailprice·qty/2 supply-cost proxy. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.productProfit(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "part"),
+      Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"),
+      Q9NameToken)
+
+  val Q11Nation = "NATION_3"
+
+  /** TPC-H Q11 shape: parts above a dyadic 1/1024 share of one
+    * nation's shipped value (pure-BIGINT threshold compare). */
+  def importantParts(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.importantParts(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"),
+      Q11Nation)
+
+  val Q16ExcludeBrand = "Brand#13"
+  val Q16ExcludeType = "PROMO"
+  val Q16Sizes = Seq(2, 7, 14, 21, 28, 35, 42, 49)
+
+  /** TPC-H Q16 shape: distinct-supplier counts per part profile with
+    * brand/type/flagged-supplier exclusions. */
+  def partSupplierCounts(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.partSupplierCounts(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "part"), Tables(spark, dir, "supplier"),
+      Q16ExcludeBrand, Q16ExcludeType, Q16Sizes)
+
+  val Q20Nation = "NATION_5"
+
+  /** TPC-H Q20 shape: one nation's suppliers holding >half of a
+    * part-year's shipped quantity. */
+  def excessSuppliers(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.excessSuppliers(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"),
+      Q20Nation)
 
   val BfsMaxHops = 3
 
@@ -8294,7 +8351,111 @@ object Oracles {
          |       CAST(SUM(ABS(matches * 625 - jaccard_bp)) // COUNT(*)
          |         AS BIGINT) AS mean_abs_err_bp
          |FROM pj GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // TPC-H Q2 shape: correlated MIN as a part-grain window min over
+    // observed unit prices; ties at the min all kept.
+    "q235_min_cost_supplier" ->
+      s"""WITH geo AS (
+         |  SELECT s.s_suppkey, s.s_name,
+         |         CAST(FLOOR(s.s_acctbal * 100.0) AS BIGINT) AS acctbal_cents,
+         |         n.n_name
+         |  FROM supplier s
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE r.r_name = '${Queries.Q2Region}'),
+         |offers AS (
+         |  SELECT p.p_partkey, p.p_type, g.s_name, g.acctbal_cents, g.n_name,
+         |         MIN(CAST(FLOOR(l.l_extendedprice * 100.0 / l.l_quantity)
+         |           AS BIGINT)) AS offer_cents
+         |  FROM lineitem l
+         |  JOIN geo g ON l.l_suppkey = g.s_suppkey
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |  WHERE l.l_quantity > 0.0
+         |    AND p.p_size IN (${Queries.Q2Sizes.mkString(", ")})
+         |    AND p.p_type = '${Queries.Q2Type}'
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |m AS (
+         |  SELECT *, MIN(offer_cents) OVER (PARTITION BY p_partkey)
+         |    AS min_cents
+         |  FROM offers)
+         |SELECT acctbal_cents, s_name, n_name, p_partkey, p_type, offer_cents
+         |FROM m WHERE offer_cents = min_cents
+         |ORDER BY acctbal_cents DESC, s_name, p_partkey
+         |LIMIT ${Queries.Q2TopK}""".stripMargin,
+
+    // TPC-H Q9 shape: per-row floors BEFORE the sum (order-free), the
+    // dyadic /2 cost proxy as *50.0.
+    "q236_product_profit" ->
+      s"""SELECT n.n_name AS nation,
+         |       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         |       CAST(SUM(
+         |         CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+         |           AS BIGINT)
+         |         - CAST(FLOOR(p.p_retailprice * l.l_quantity * 50.0)
+         |           AS BIGINT)) AS BIGINT) AS profit_cents,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE p.p_name LIKE '%${Queries.Q9NameToken}%'
+         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+
+    // TPC-H Q11 shape: dyadic 1/1024 share threshold — pure-BIGINT
+    // compare against the part-grain total, no float division.
+    "q237_important_parts" ->
+      s"""WITH per_part AS (
+         |  SELECT l.l_partkey,
+         |         CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS value_cents
+         |  FROM lineitem l
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  WHERE n.n_name = '${Queries.Q11Nation}'
+         |  GROUP BY 1)
+         |SELECT l_partkey AS p_partkey, value_cents
+         |FROM per_part
+         |WHERE value_cents * 1024 > (SELECT SUM(value_cents) FROM per_part)
+         |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+
+    // TPC-H Q16 shape: NOT-IN supplier exclusion + per-profile
+    // distinct supplier counts.
+    "q238_part_supplier_counts" ->
+      s"""SELECT p.p_brand, p.p_type, p.p_size,
+         |       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE p.p_brand <> '${Queries.Q16ExcludeBrand}'
+         |  AND p.p_type <> '${Queries.Q16ExcludeType}'
+         |  AND p.p_size IN (${Queries.Q16Sizes.mkString(", ")})
+         |  AND l.l_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // TPC-H Q20 shape: >half of a part-year's quantity, as a 2·q >
+    // total BIGINT compare over a window sum; nation filter selects
+    // output AFTER domination is measured against all suppliers.
+    "q239_excess_suppliers" ->
+      s"""WITH per_supp AS (
+         |  SELECT l_partkey, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |         l_suppkey,
+         |         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+         |           AS supp_qty
+         |  FROM lineitem GROUP BY 1, 2, 3),
+         |dom AS (
+         |  SELECT *, SUM(supp_qty) OVER (PARTITION BY l_partkey, ship_year)
+         |    AS total_qty
+         |  FROM per_supp)
+         |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_part_years
+         |FROM dom d
+         |JOIN supplier s ON d.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |WHERE d.supp_qty * 2 > d.total_qty
+         |  AND n.n_name = '${Queries.Q20Nation}'
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

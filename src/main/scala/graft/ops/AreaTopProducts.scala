@@ -779,4 +779,189 @@ object AreaTopProducts {
           datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
             .as("latency_days")),
       "o_orderpriority", "latency_days", ranksBp)
+
+  /** TPC-H Q2 shape (correlated MIN subquery): for parts of the given
+    * sizes whose type matches, the supplier(s) in one region offering
+    * the MINIMUM observed unit price. The schema has no partsupp, so
+    * a supplier's "offer" for a part is its min shipped unit price
+    * floor(extendedprice·100 / quantity) over its lineitems — the
+    * correlated `= (SELECT min(..))` shape is the point, rewritten as
+    * a window min at part grain (both engines): no second fact scan,
+    * no self-join of the offer table against itself.
+    *
+    * Scale shape: supplier/nation/region collapse to a ≤dim-sized
+    * broadcast; one fact shuffle to (part, supplier) offer grain;
+    * the window runs at offer grain (|parts|×|suppliers| bound).
+    * Ties at the min are all kept (Q2 semantics), output deterministic
+    * via (acctbal desc, s_name, p_partkey) + limit. */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String, sizes: Seq[Int], typeName: String,
+      k: Int = 100): DataFrame = {
+    val suppGeo = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        floor(col("s_acctbal") * lit(100.0)).cast("long").as("acctbal_cents"),
+        col("n_name"))
+    val parts = part
+      .filter(col("p_size").isin(sizes.map(Integer.valueOf): _*) &&
+        col("p_type") === typeName)
+      .select(col("p_partkey"), col("p_type"))
+    val offers = lineitem
+      .filter(col("l_quantity") > lit(0.0))
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * lit(100.0) / col("l_quantity"))
+          .cast("long").as("unit_cents"))
+      .join(broadcast(suppGeo), col("l_suppkey") === col("s_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_type"), col("s_name"),
+        col("acctbal_cents"), col("n_name"))
+      .agg(min(col("unit_cents")).as("offer_cents"))
+    offers
+      .withColumn("min_cents",
+        min(col("offer_cents")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("offer_cents") === col("min_cents"))
+      .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"), col("offer_cents"))
+      .orderBy(col("acctbal_cents").desc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q9 shape: product-line profit by supplier nation and order
+    * year, for parts whose name carries a token. No partsupp →
+    * supply cost is proxied as retailprice·quantity/2 (a dyadic
+    * factor, exact in IEEE); profit per line =
+    * floor(extprice·(1−disc)·100) − floor(retailprice·qty·50), both
+    * floors per row BEFORE the sum so order can't matter.
+    *
+    * Scale shape: part filter prunes the fact early (join on the
+    * filtered part dim), supplier→nation broadcast, orders joined
+    * only for the year — one fact shuffle into the (nation, year)
+    * aggregate. */
+  def productProfit(lineitem: DataFrame, orders: DataFrame,
+      part: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nameToken: String): DataFrame = {
+    val parts = part.filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("nation"), col("o_year"),
+        (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long") -
+          floor(col("p_retailprice") * col("l_quantity") * lit(50.0))
+            .cast("long")).as("amount_cents"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("amount_cents")).as("profit_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (global-scalar threshold): parts whose shipped
+    * value from one nation's suppliers exceeds a 1/1024 fraction of
+    * that nation's total. The fraction is dyadic ON PURPOSE: the keep
+    * test is `value_cents · 1024 > total_cents` — pure BIGINT
+    * arithmetic, no float division anywhere.
+    *
+    * Scale shape: one fact pass to part grain, the scalar total is a
+    * second aggregate OVER THE PART-GRAIN frame (not the fact), and
+    * the threshold compare is a broadcast 1-row cross join — the
+    * classic "HAVING > (SELECT sum(..) * f)" decorrelation. */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, nationName: String): DataFrame = {
+    val supp = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("value_cents"))
+    perPart
+      .crossJoin(broadcast(perPart.agg(
+        sum(col("value_cents")).as("total_cents"))))
+      .filter(col("value_cents") * lit(1024L) > col("total_cents"))
+      .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("p_partkey").asc)
+  }
+
+  /** TPC-H Q16 shape (NOT IN exclusion + COUNT DISTINCT): how many
+    * distinct suppliers can deliver each (brand, type, size) part
+    * profile, excluding one brand, one type, and "complained-about"
+    * suppliers — proxied here as negative account balance (the schema
+    * has no comment text). The NOT-IN list is an anti-join; supplier
+    * counts come from observed lineitem (part, supplier) pairs.
+    *
+    * Scale shape: the exclusion dim is broadcast; the fact collapses
+    * to DISTINCT (profile, suppkey) in one shuffle (count-distinct's
+    * expand never touches raw rows); output is profile-domain sized. */
+  def partSupplierCounts(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, excludeBrand: String,
+      excludeType: String, sizes: Seq[Int]): DataFrame = {
+    val parts = part
+      .filter(col("p_brand") =!= excludeBrand &&
+        col("p_type") =!= excludeType &&
+        col("p_size").isin(sizes.map(Integer.valueOf): _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val flagged = supplier.filter(col("s_acctbal") < lit(0.0))
+      .select(col("s_suppkey"))
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  /** TPC-H Q20 shape (excess-share suppliers): suppliers of one
+    * nation who, for at least one (part, ship-year), shipped MORE
+    * THAN HALF of that part-year's total quantity — the "holding
+    * excess stock" signal without a partsupp availqty column. The
+    * share test is `2·supp_qty > total_qty` on BIGINT whole units
+    * (quantities are integral in this schema); no division.
+    *
+    * Scale shape: one fact shuffle to (part, year, supplier) grain;
+    * the part-year total is a window sum over that aggregate (grain
+    * ≤ |parts|×|years|×|suppliers|, itself shuffle-bounded); nation
+    * filter + name join are broadcast. */
+  def excessSuppliers(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, nationName: String): DataFrame = {
+    val perSupp = lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      .groupBy(col("l_partkey"), col("ship_year"), col("l_suppkey"))
+      .agg(sum(col("qty")).as("supp_qty"))
+    val dominated = perSupp
+      .withColumn("total_qty", sum(col("supp_qty")).over(
+        Window.partitionBy(col("l_partkey"), col("ship_year"))))
+      .filter(col("supp_qty") * lit(2L) > col("total_qty"))
+    val suppNation = supplier.select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey"))
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    dominated
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_part_years"))
+      .orderBy(col("s_name").asc)
+  }
 }

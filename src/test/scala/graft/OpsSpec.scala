@@ -1237,4 +1237,101 @@ class OpsSpec extends SparkSpec {
       d6.getAs[Long]("n_users") == 2L &&
       d6.getAs[Long]("overlap_seconds") == 900L) // midnight → 00:15
   }
+
+  test("minCostSupplier: per-part window min; ties all kept; region/size/type gates bind") {
+    val region = Seq((1, "ASIA"), (2, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10, "JAPAN", 1), (20, "FRANCE", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((7L, "S7", 10, 100.50), (8L, "S8", 10, 50.0),
+      (9L, "S9", 20, 999.0)) // S9: out of region
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val part = Seq((1L, "STANDARD", 5), (2L, "STANDARD", 9), // 2: size gate
+      (3L, "PROMO", 5), (4L, "STANDARD", 5))                 // 3: type gate
+      .toDF("p_partkey", "p_type", "p_size")
+    val li = Seq(
+      (1L, 7L, 100.0, 10.0), // S7@p1 1000c
+      (1L, 7L, 50.0, 10.0),  // S7@p1 500c → S7 offer = 500 (min of its rows)
+      (1L, 8L, 60.0, 10.0),  // S8@p1 600c: loses
+      (1L, 9L, 1.0, 1.0),    // cheapest but out-of-region
+      (2L, 7L, 1.0, 1.0), (3L, 7L, 1.0, 1.0), // gated parts
+      (4L, 7L, 50.0, 10.0),  // S7@p4 500c — tie
+      (4L, 8L, 50.0, 10.0))  // S8@p4 500c — tie: both kept
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val out = AreaTopProducts.minCostSupplier(li, part, supplier, nation,
+      region, "ASIA", Seq(5), "STANDARD")
+      .as[(Long, String, String, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (10050L, "S7", "JAPAN", 1L, "STANDARD", 500L),
+      (10050L, "S7", "JAPAN", 4L, "STANDARD", 500L),
+      (5000L, "S8", "JAPAN", 4L, "STANDARD", 500L)))
+  }
+
+  test("productProfit: name token gates parts; profit = rev cents − dyadic cost proxy") {
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val part = Seq((1L, "red widget", 10.0), (2L, "blue bolt", 10.0))
+      .toDF("p_partkey", "p_name", "p_retailprice")
+    val supplier = Seq((7L, 10)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((10, "JAPAN")).toDF("n_nationkey", "n_name")
+    val orders = Seq((100L, ts("1996-05-01")), (101L, ts("1997-02-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      // floor(100·0.9·100)=9000c rev − floor(10·2·50)=1000c cost → 8000
+      (100L, 1L, 7L, 2.0, 100.0, 0.1),
+      // 5000 − 500 → 4500 in 1997
+      (101L, 1L, 7L, 1.0, 50.0, 0.0),
+      (100L, 2L, 7L, 1.0, 999.0, 0.0)) // name-gated out
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val out = AreaTopProducts.productProfit(li, orders, part, supplier,
+      nation, "red").as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("JAPAN", 1997L, 4500L, 1L),
+      ("JAPAN", 1996L, 8000L, 1L)))
+  }
+
+  test("importantParts: dyadic 1/1024 share threshold on pure BIGINT cents") {
+    val nation = Seq((3, "NATION_3"), (4, "NATION_4"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((7L, 3), (8L, 4)).toDF("s_suppkey", "s_nationkey")
+    val li = Seq(
+      (1L, 7L, 100.0),  // p1: 10000c — 10000·1024 > 10005 ✓
+      (2L, 7L, 0.05),   // p2: 5c — 5120 < 10005 ✗
+      (3L, 8L, 999.0))  // other nation: not in the pool at all
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val out = AreaTopProducts.importantParts(li, supplier, nation,
+      "NATION_3").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 10000L)))
+  }
+
+  test("partSupplierCounts: brand/type/size and flagged-supplier exclusions; distinct count") {
+    val part = Seq(
+      (1L, "Brand#1", "SMALL", 2), (2L, "Brand#13", "SMALL", 2), // brand gate
+      (3L, "Brand#1", "PROMO", 2), (4L, "Brand#1", "SMALL", 3))  // type/size
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supplier = Seq((7L, 10.0), (8L, -1.0)) // 8: flagged
+      .toDF("s_suppkey", "s_acctbal")
+    val li = Seq((1L, 7L), (1L, 7L), (1L, 8L), (2L, 7L), (3L, 7L), (4L, 7L))
+      .toDF("l_partkey", "l_suppkey")
+    val out = AreaTopProducts.partSupplierCounts(li, part, supplier,
+      "Brand#13", "PROMO", Seq(2))
+      .as[(String, String, Int, Long)].collect().toSeq
+    assert(out == Seq(("Brand#1", "SMALL", 2, 1L)))
+  }
+
+  test("excessSuppliers: 2·q > total per part-year; domination measured before the nation gate") {
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val nation = Seq((5, "NATION_5"), (6, "NATION_6"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((7L, "S7", 5), (8L, "S8", 6))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val li = Seq(
+      (1L, 7L, ts("1996-03-01"), 6.0), // p1/1996: S7=6 of 10 → dominates
+      (1L, 8L, ts("1996-04-01"), 4.0),
+      (1L, 7L, ts("1997-03-01"), 5.0), // p1/1997: 5 of 10 → exactly half: no
+      (1L, 8L, ts("1997-04-01"), 5.0),
+      (2L, 8L, ts("1996-03-01"), 10.0)) // S8 dominates p2 but wrong nation
+      .toDF("l_partkey", "l_suppkey", "l_shipdate", "l_quantity")
+    val out = AreaTopProducts.excessSuppliers(li, supplier, nation,
+      "NATION_5").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("S7", 1L)))
+  }
 }
