@@ -266,7 +266,9 @@ object SparkEntry {
     "q236_product_profit" -> (Queries.productProfit _),
     "q237_important_parts" -> (Queries.importantParts _),
     "q238_part_supplier_counts" -> (Queries.partSupplierCounts _),
-    "q239_excess_suppliers" -> (Queries.excessSuppliers _)
+    "q239_excess_suppliers" -> (Queries.excessSuppliers _),
+    "q240_pruning_audit" -> (Queries.pruningAudit _),
+    "q241_lsh_planner" -> (Queries.lshPlanner _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1720,6 +1722,15 @@ object Queries {
     Layout.zorderCells(Tables(spark, dir, "lineitem"),
       "l_partkey", "l_suppkey", ZorderGridBits, ZorderCellBits)
 
+  val PruneProbes = 16
+
+  /** Zone-map pruning audit over the q200 layout: per equal-width
+    * range probe, cells a min/max reader must scan vs rows actually
+    * selected. */
+  def pruningAudit(spark: SparkSession, dir: String): DataFrame =
+    Layout.pruningAudit(Tables(spark, dir, "lineitem"),
+      "l_partkey", "l_suppkey", ZorderGridBits, ZorderCellBits, PruneProbes)
+
   /** Component-size census of the q93 co-visit graph (shared pairs;
     * the same CC machinery as the near-dup clusters). */
   def coVisComponents(spark: SparkSession, dir: String): DataFrame =
@@ -1958,6 +1969,14 @@ object Queries {
   /** MinHash signature calibration vs exact Jaccard. */
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashCalibration(Tables(spark, dir, "documents"))
+
+  val LshPlannerTauBp = 8000L
+
+  /** LSH banding planner: S-curve expected recall / false-collision
+    * mass per (rows, bands) factorization on the observed pair
+    * sample. */
+  def lshPlanner(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshPlanner(Tables(spark, dir, "documents"), LshPlannerTauBp)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -2000,6 +2019,48 @@ object Oracles {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |WHERE e.event_type = 'click'
       |  AND json_extract_string(e.props, '$.k') IS NOT NULL""".stripMargin
+
+  /** Z-order cell table of lineitem on (l_partkey, l_suppkey) as CTE
+    * text (twin of Layout.zorderCells): defines `rows_in` (a, b),
+    * `bounds`, `m` (row → cell), and `c` (cell, n_rows, min/max per
+    * dim). The dilation chain mirrors the codegen'd MortonCode
+    * expression bit for bit. Shared by the q200 layout audit and the
+    * q240 pruning audit. */
+  val zorderCellCtes: String = {
+    val gb = Queries.ZorderGridBits
+    val gmax = (1L << gb) - 1L
+    val shift = 2 * gb - Queries.ZorderCellBits
+    // one CTE per dilation step, both coordinates in lockstep
+    val steps = Seq(
+      (16, "281470681808895"), (8, "71777214294589695"),
+      (4, "1085102592571150095"), (2, "3689348814741910323"),
+      (1, "6148914691236517205")).zipWithIndex.map {
+      case ((sh, mask), i) =>
+        s"""m${i + 1} AS (
+           |  SELECT a, b, (ya | (ya << $sh)) & $mask AS ya,
+           |         (yb | (yb << $sh)) & $mask AS yb FROM m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""rows_in AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b
+       |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+       |bounds AS (
+       |  SELECT MIN(a) AS lo_a, MAX(a) AS hi_a,
+       |         MIN(b) AS lo_b, MAX(b) AS hi_b FROM rows_in),
+       |m0 AS (
+       |  SELECT r.a, r.b,
+       |         ((r.a - bo.lo_a) * $gmax
+       |           // GREATEST(bo.hi_a - bo.lo_a, 1)) & 2147483647 AS ya,
+       |         ((r.b - bo.lo_b) * $gmax
+       |           // GREATEST(bo.hi_b - bo.lo_b, 1)) & 2147483647 AS yb
+       |  FROM rows_in r, bounds bo),
+       |$steps,
+       |m AS (SELECT a, b, (ya | (yb << 1)) >> $shift AS cell FROM m5),
+       |c AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |         MIN(a) AS min_a, MAX(a) AS max_a,
+       |         MIN(b) AS min_b, MAX(b) AS max_b
+       |  FROM m GROUP BY 1)""".stripMargin
+  }
 
   /** Symmetrized co-visitation edge list (twin of Graph.symmetric ∘
     * Market.coVisitPairs) as CTE text: expects `sz` from
@@ -7311,48 +7372,14 @@ object Oracles {
     // expressions.MortonCode, unrolled as stepwise CTE columns (all
     // masks < 2^63, all values non-negative, so BIGINT & | << match
     // the JVM bit-for-bit).
-    "q200_zorder_cells" -> {
-      val gb = Queries.ZorderGridBits
-      val cb = Queries.ZorderCellBits
-      val gmax = (1L << gb) - 1L
-      val shift = 2 * gb - cb
-      // one CTE per dilation step, both coordinates in lockstep
-      val steps = Seq(
-        (16, "281470681808895"), (8, "71777214294589695"),
-        (4, "1085102592571150095"), (2, "3689348814741910323"),
-        (1, "6148914691236517205")).zipWithIndex.map {
-        case ((sh, mask), i) =>
-          s"""m${i + 1} AS (
-             |  SELECT a, b, (ya | (ya << $sh)) & $mask AS ya,
-             |         (yb | (yb << $sh)) & $mask AS yb FROM m$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH rows_in AS (
-         |  SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b
-         |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
-         |bounds AS (
-         |  SELECT MIN(a) AS lo_a, MAX(a) AS hi_a,
-         |         MIN(b) AS lo_b, MAX(b) AS hi_b FROM rows_in),
-         |m0 AS (
-         |  SELECT r.a, r.b,
-         |         ((r.a - bo.lo_a) * $gmax
-         |           // GREATEST(bo.hi_a - bo.lo_a, 1)) & 2147483647 AS ya,
-         |         ((r.b - bo.lo_b) * $gmax
-         |           // GREATEST(bo.hi_b - bo.lo_b, 1)) & 2147483647 AS yb
-         |  FROM rows_in r, bounds bo),
-         |$steps,
-         |m AS (SELECT a, b, (ya | (yb << 1)) >> $shift AS cell FROM m5),
-         |c AS (
-         |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |         MIN(a) AS min_a, MAX(a) AS max_a,
-         |         MIN(b) AS min_b, MAX(b) AS max_b
-         |  FROM m GROUP BY 1)
+    "q200_zorder_cells" ->
+      s"""WITH $zorderCellCtes
          |SELECT c.cell, c.n_rows, c.min_a, c.max_a, c.min_b, c.max_b,
          |       CAST(FLOOR(10000.0 * (c.max_a - c.min_a) /
          |         GREATEST(bo.hi_a - bo.lo_a, 1)) AS BIGINT) AS span_a_bp,
          |       CAST(FLOOR(10000.0 * (c.max_b - c.min_b) /
          |         GREATEST(bo.hi_b - bo.lo_b, 1)) AS BIGINT) AS span_b_bp
-         |FROM c, bounds bo ORDER BY c.cell""".stripMargin
-    },
+         |FROM c, bounds bo ORDER BY c.cell""".stripMargin,
 
     // the q42 recursive-CC pattern transplanted to the co-vis graph
     // (edg is already symmetric, so one reach direction suffices)
@@ -8455,7 +8482,119 @@ object Oracles {
          |JOIN nation n ON s.s_nationkey = n.n_nationkey
          |WHERE d.supp_qty * 2 > d.total_qty
          |  AND n.n_name = '${Queries.Q20Nation}'
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // zone-map reader simulation over the q200 cell table: per
+    // equal-width probe (ceil boundaries — a declared domain), cells
+    // whose [min,max] overlaps vs rows actually matching. Probes the
+    // data range can't fill (c_hi < c_lo) are dropped, not scanned.
+    "q240_pruning_audit" -> {
+      val p = Queries.PruneProbes
+      val vals = (0 until p).map(i => s"($i)").mkString(", ")
+      s"""WITH $zorderCellCtes,
+         |pr0 AS (SELECT i FROM (VALUES $vals) t(i)),
+         |pra AS (
+         |  SELECT 'a' AS dim, CAST(i AS BIGINT) AS probe,
+         |         bo.lo_a + (i * (bo.hi_a - bo.lo_a + 1) + ${p - 1}) // $p
+         |           AS c_lo,
+         |         bo.lo_a + ((i + 1) * (bo.hi_a - bo.lo_a + 1) + ${p - 1})
+         |           // $p - 1 AS c_hi
+         |  FROM pr0, bounds bo),
+         |prb AS (
+         |  SELECT 'b' AS dim, CAST(i AS BIGINT) AS probe,
+         |         bo.lo_b + (i * (bo.hi_b - bo.lo_b + 1) + ${p - 1}) // $p
+         |           AS c_lo,
+         |         bo.lo_b + ((i + 1) * (bo.hi_b - bo.lo_b + 1) + ${p - 1})
+         |           // $p - 1 AS c_hi
+         |  FROM pr0, bounds bo),
+         |prn AS (
+         |  SELECT * FROM (SELECT * FROM pra UNION ALL SELECT * FROM prb)
+         |  WHERE c_hi >= c_lo),
+         |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM c),
+         |scan AS (
+         |  SELECT p.dim, p.probe, CAST(COUNT(*) AS BIGINT) AS scan_cells,
+         |         CAST(SUM(c.n_rows) AS BIGINT) AS scan_rows
+         |  FROM prn p JOIN c ON
+         |       (p.dim = 'a' AND c.min_a <= p.c_hi AND c.max_a >= p.c_lo)
+         |    OR (p.dim = 'b' AND c.min_b <= p.c_hi AND c.max_b >= p.c_lo)
+         |  GROUP BY 1, 2),
+         |sel AS (
+         |  SELECT p.dim, p.probe, CAST(COUNT(*) AS BIGINT) AS select_rows
+         |  FROM prn p JOIN rows_in r ON
+         |       (p.dim = 'a' AND r.a BETWEEN p.c_lo AND p.c_hi)
+         |    OR (p.dim = 'b' AND r.b BETWEEN p.c_lo AND p.c_hi)
+         |  GROUP BY 1, 2)
+         |SELECT p.dim, p.probe, p.c_lo, p.c_hi,
+         |       CAST(COALESCE(s.scan_cells, 0) AS BIGINT) AS scan_cells,
+         |       CAST(COALESCE(s.scan_rows, 0) AS BIGINT) AS scan_rows,
+         |       CAST(COALESCE(e.select_rows, 0) AS BIGINT) AS select_rows,
+         |       CAST(FLOOR(10000.0 * COALESCE(s.scan_rows, 0) / t.total_rows)
+         |         AS BIGINT) AS scan_bp,
+         |       CAST(FLOOR(10000.0 * COALESCE(e.select_rows, 0) / t.total_rows)
+         |         AS BIGINT) AS select_bp
+         |FROM prn p
+         |LEFT JOIN scan s ON p.dim = s.dim AND p.probe = s.probe
+         |LEFT JOIN sel e ON p.dim = e.dim AND p.probe = e.probe, tot t
+         |ORDER BY 1, 2""".stripMargin
+    },
+
+    // S-curve planner over the q22 candidate sample: p = 1−(1−s^r)^b
+    // per power-of-two (r, b), both exponent chains as repeated
+    // squaring (textually identical IEEE multiplies in both engines),
+    // p floored to bp per pair before any sum.
+    "q241_lsh_planner" -> {
+      val tau = Queries.LshPlannerTauBp
+      def cfgSql(j: Int): String = {
+        val k = 4 - j
+        var from = s"(SELECT jaccard_bp, 1.0 - x$j AS y0 FROM b4) t0"
+        for (i <- 1 to k)
+          from = s"(SELECT jaccard_bp, y${i - 1} * y${i - 1} AS y$i" +
+            s" FROM $from) t$i"
+        s"""SELECT CAST(${1L << j} AS BIGINT) AS rows_per_band,
+           |       CAST(${1L << k} AS BIGINT) AS n_bands, jaccard_bp,
+           |       CAST(FLOOR(10000.0 * (1.0 - y$k)) AS BIGINT) AS p_bp
+           |FROM $from""".stripMargin
+      }
+      val nTrue = s"SUM(CASE WHEN jaccard_bp >= $tau THEN 1 ELSE 0 END)"
+      s"""WITH $minhashCandCtes,
+         |v AS (
+         |  SELECT CAST(len(list_intersect(sa.shingles, sb.shingles))
+         |           AS BIGINT) AS inter,
+         |         CAST(len(sa.shingles) + len(sb.shingles)
+         |           - len(list_intersect(sa.shingles, sb.shingles))
+         |           AS BIGINT) AS uni
+         |  FROM cand
+         |  JOIN sh sa ON cand.doc_a = sa.doc_id
+         |  JOIN sh sb ON cand.doc_b = sb.doc_id),
+         |jp AS (
+         |  SELECT CASE WHEN uni = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * inter / uni) AS BIGINT)
+         |              END AS jaccard_bp
+         |  FROM v),
+         |b0 AS (SELECT jaccard_bp,
+         |              CAST(jaccard_bp AS DOUBLE) / 10000.0 AS x0 FROM jp),
+         |b1 AS (SELECT *, x0 * x0 AS x1 FROM b0),
+         |b2 AS (SELECT *, x1 * x1 AS x2 FROM b1),
+         |b3 AS (SELECT *, x2 * x2 AS x3 FROM b2),
+         |b4 AS (SELECT *, x3 * x3 AS x4 FROM b3),
+         |cfg AS (
+         |${(0 to 4).map(cfgSql).mkString("", "\nUNION ALL\n", "")})
+         |SELECT rows_per_band, n_bands,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST($nTrue AS BIGINT) AS n_true,
+         |       CAST(COUNT(*) - $nTrue AS BIGINT) AS n_false,
+         |       CASE WHEN $nTrue = 0 THEN NULL
+         |            ELSE CAST(SUM(CASE WHEN jaccard_bp >= $tau THEN p_bp
+         |                          ELSE 0 END) // $nTrue AS BIGINT)
+         |            END AS recall_bp,
+         |       CASE WHEN COUNT(*) = $nTrue THEN NULL
+         |            ELSE CAST(SUM(CASE WHEN jaccard_bp < $tau THEN p_bp
+         |                          ELSE 0 END) // (COUNT(*) - $nTrue)
+         |                 AS BIGINT)
+         |            END AS fp_bp,
+         |       CAST(SUM(p_bp) AS BIGINT) AS exp_cand_bp_sum
+         |FROM cfg GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    }
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

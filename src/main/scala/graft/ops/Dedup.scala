@@ -160,6 +160,66 @@ object Dedup {
       .orderBy(col("matches").asc)
   }
 
+  /** LSH parameter PLANNER — which (rows-per-band, bands)
+    * factorization of the 16-component signature fits THIS corpus?
+    * For every observed candidate pair (the banded sample — disclosed
+    * bias: pairs the current 4×4 scheme can see), the S-curve
+    * collision probability p = 1 − (1 − s^r)^b is evaluated per
+    * power-of-two factorization (r, b) ∈ {1×16 … 16×1} and rolled up
+    * against the exact Jaccard at the house dup threshold `tauBp`:
+    * expected recall over true pairs, expected collision mass over
+    * false pairs, and the total expected candidate mass — the table
+    * that picks banding BEFORE a 100 TB re-shingle, from data the
+    * current scheme already computed.
+    *
+    * No libm: s^r and (1−s^r)^b use repeated-squaring column chains
+    * (r and b are powers of two) — every step one correctly-rounded
+    * IEEE multiply in a TEXTUALLY identical tree in both engines
+    * (SURVEY §7.3 dyadic-constant family); per-pair p floors to bp
+    * BEFORE any sum so order can't matter.
+    *
+    * Scale shape: one signature pass feeds bands + both exact-verify
+    * sides; the scored pair frame (one skinny column) is persisted
+    * and each of the 5 configs reads the cache; output is 5 rows. */
+  def lshPlanner(docs: DataFrame, tauBp: Long = 8000L): DataFrame = {
+    val sig = minhashSignature(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidatePairsFromBands(lshBands(sig))
+    val scored0 = verifyJaccard(cand, sig.select(col("doc_id"), col("shingles")))
+      .select(col("jaccard_bp"),
+        (col("jaccard_bp").cast("double") / lit(10000.0)).as("x0"))
+    // x_i = s^(2^i): the shared squaring ladder
+    val base = (1 to 4).foldLeft(scored0) { (d, i) =>
+      d.withColumn(s"x$i", col(s"x${i - 1}") * col(s"x${i - 1}"))
+    }.persist()
+    val configs = (0 to 4).map { j =>
+      val k = 4 - j // r = 2^j rows/band, b = 2^k bands
+      val y = (1 to k).foldLeft(
+        base.withColumn("y0", lit(1.0) - col(s"x$j"))) { (d, i) =>
+        d.withColumn(s"y$i", col(s"y${i - 1}") * col(s"y${i - 1}"))
+      }
+      y.select(lit(1L << j).as("rows_per_band"),
+        lit(1L << k).as("n_bands"), col("jaccard_bp"),
+        floor(lit(10000.0) * (lit(1.0) - col(s"y$k"))).cast("long").as("p_bp"))
+    }.reduce(_ unionAll _)
+    configs
+      .groupBy(col("rows_per_band"), col("n_bands"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard_bp") >= tauBp, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("jaccard_bp") >= tauBp, col("p_bp")).otherwise(0L))
+          .as("__ct"),
+        sum(when(col("jaccard_bp") < tauBp, col("p_bp")).otherwise(0L))
+          .as("__cf"))
+      .select(col("rows_per_band"), col("n_bands"), col("n_pairs"),
+        col("n_true"), (col("n_pairs") - col("n_true")).as("n_false"),
+        when(col("n_true") === 0L, lit(null).cast("long"))
+          .otherwise(expr("__ct div n_true")).as("recall_bp"),
+        when(col("n_pairs") === col("n_true"), lit(null).cast("long"))
+          .otherwise(expr("__cf div (n_pairs - n_true)")).as("fp_bp"),
+        (col("__ct") + col("__cf")).as("exp_cand_bp_sum"))
+      .orderBy(col("rows_per_band").asc)
+  }
+
   /** Exact-Jaccard columns (basis points) from paired shingle arrays
     * `sh_a`/`sh_b`. */
   /** Shared exact-Jaccard columns over `sh_a`/`sh_b` shingle sets —

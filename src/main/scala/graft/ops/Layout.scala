@@ -70,4 +70,79 @@ object Layout {
           .as("span_b_bp"))
       .orderBy(col("cell").asc)
   }
+
+  /** Zone-map pruning audit: how much would file-level min/max stats
+    * actually SKIP under this layout? [[zorderCells]] says how tight
+    * the cells are; this op closes the loop by simulating the reader:
+    * a declared family of `probes` equal-width range predicates per
+    * dimension (the ceil-boundary partition of each global range — a
+    * DECLARED domain, not whatever values happen to appear), and per
+    * probe
+    *  - scan_cells / scan_rows: cells whose [min,max] interval
+    *    overlaps the probe — what a zone-map reader must touch;
+    *  - select_rows: rows that actually match — the ideal scan.
+    * scan_bp vs select_bp is the read-amplification the layout costs;
+    * a perfect layout has them equal.
+    *
+    * Scale shape: the cell table (≤2^cellBits rows) is persisted and
+    * reused for global bounds, totals, and the overlap test — all
+    * cell-grain. The only row-grain work is ONE pass with a
+    * broadcast nested-loop join against the ≤2·probes probe rows
+    * (constant per-row work); nothing row-grain ever shuffles. Empty
+    * probes (range narrower than the probe count) are dropped —
+    * their overlap test is vacuous. */
+  def pruningAudit(df: DataFrame, colA: String, colB: String,
+      gridBits: Int = 16, cellBits: Int = 6, probes: Int = 16): DataFrame = {
+    require(probes >= 1 && probes <= 1024, "probes in [1,1024]")
+    val cells = zorderCells(df, colA, colB, gridBits, cellBits)
+      .persist()
+    // every row lives in a cell, so global bounds and the row total
+    // are cell-grain aggregates — no second fact scan
+    val glob = cells.agg(
+      min(col("min_a")).as("lo_a"), max(col("max_a")).as("hi_a"),
+      min(col("min_b")).as("lo_b"), max(col("max_b")).as("hi_b"),
+      sum(col("n_rows")).as("total_rows"))
+    val spark = df.sparkSession
+    val p = probes.toLong
+    def probeFor(d: String) = spark.range(p).toDF("probe")
+      .crossJoin(broadcast(glob))
+      .select(lit(d).as("dim"), col("probe"),
+        expr(s"lo_$d + (probe * (hi_$d - lo_$d + 1L) + ${p - 1}L) div ${p}L")
+          .as("c_lo"),
+        expr(s"lo_$d + ((probe + 1L) * (hi_$d - lo_$d + 1L) + ${p - 1}L)" +
+          s" div ${p}L - 1L").as("c_hi"),
+        col("total_rows"))
+    val probeFrame = probeFor("a").unionAll(probeFor("b"))
+      .filter(col("c_hi") >= col("c_lo"))
+    val scan = probeFrame
+      .join(cells,
+        (col("dim") === "a" && col("min_a") <= col("c_hi") &&
+          col("max_a") >= col("c_lo")) ||
+        (col("dim") === "b" && col("min_b") <= col("c_hi") &&
+          col("max_b") >= col("c_lo")))
+      .groupBy(col("dim"), col("probe"))
+      .agg(count(lit(1)).as("scan_cells"), sum(col("n_rows")).as("scan_rows"))
+    val rows = df.select(col(colA).cast("long").as("a"),
+        col(colB).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val sel = rows
+      .join(broadcast(probeFrame.select(col("dim"), col("probe"),
+        col("c_lo"), col("c_hi"))),
+        (col("dim") === "a" && col("a").between(col("c_lo"), col("c_hi"))) ||
+        (col("dim") === "b" && col("b").between(col("c_lo"), col("c_hi"))))
+      .groupBy(col("dim"), col("probe"))
+      .agg(count(lit(1)).as("select_rows"))
+    probeFrame
+      .join(scan, Seq("dim", "probe"), "left")
+      .join(sel, Seq("dim", "probe"), "left")
+      .select(col("dim"), col("probe"), col("c_lo"), col("c_hi"),
+        coalesce(col("scan_cells"), lit(0L)).as("scan_cells"),
+        coalesce(col("scan_rows"), lit(0L)).as("scan_rows"),
+        coalesce(col("select_rows"), lit(0L)).as("select_rows"),
+        floor(lit(10000.0) * coalesce(col("scan_rows"), lit(0L)) /
+          col("total_rows")).cast("long").as("scan_bp"),
+        floor(lit(10000.0) * coalesce(col("select_rows"), lit(0L)) /
+          col("total_rows")).cast("long").as("select_bp"))
+      .orderBy(col("dim").asc, col("probe").asc)
+  }
 }

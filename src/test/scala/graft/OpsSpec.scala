@@ -1334,4 +1334,38 @@ class OpsSpec extends SparkSpec {
       "NATION_5").as[(String, Long)].collect().toSeq
     assert(out == Seq(("S7", 1L)))
   }
+
+  test("pruningAudit: diagonal layout — every probe touches exactly one cell, both dims") {
+    // a = b = 0..15, gridBits=4 → pos == value; cell = top bit of
+    // each dim interleaved → rows 0-7 in cell 0, rows 8-15 in cell 3.
+    // 4 probes of width 4; each probe's rows live in one cell.
+    val df = (0L to 15L).map(i => (i, i)).toDF("x", "y")
+    val out = Layout.pruningAudit(df, "x", "y",
+      gridBits = 4, cellBits = 2, probes = 4)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val expect = for (d <- Seq("a", "b"); i <- 0L to 3L) yield
+      (d, i, 4 * i, 4 * i + 3, 1L, 8L, 4L, 5000L, 2500L)
+    assert(out == expect)
+  }
+
+  test("pruningAudit: a gap probe selects nothing but still scans the spanning cell") {
+    // one wide cell spanning [0, 15] with rows only at the edges: the
+    // middle probes match zero rows yet the zone map can't skip them.
+    val df = Seq((0L, 0L), (15L, 0L)).toDF("x", "y")
+    val out = Layout.pruningAudit(df, "x", "y",
+      gridBits = 4, cellBits = 2, probes = 4)
+      .filter(col("dim") === "a")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // cells: (0,0) → cell 0; (15,0) → pos a=15 b=0 → cell 1 (a-top
+    // bit set, b-top clear). Probe 0 [0,3]: scans cell0 only (cell1's
+    // min_a=15 > 3). Probes 1-2: scan nothing, select nothing. Probe
+    // 3 [12,15]: scans cell1.
+    assert(out == Seq(
+      ("a", 0L, 0L, 3L, 1L, 1L, 1L, 5000L, 5000L),
+      ("a", 1L, 4L, 7L, 0L, 0L, 0L, 0L, 0L),
+      ("a", 2L, 8L, 11L, 0L, 0L, 0L, 0L, 0L),
+      ("a", 3L, 12L, 15L, 1L, 1L, 1L, 5000L, 5000L)))
+  }
 }

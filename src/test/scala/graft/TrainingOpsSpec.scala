@@ -921,4 +921,39 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got(16L) == ((10000L, 1L, 10000L, 0L)))
     assert(got.keySet == Set(16L))
   }
+
+  test("lshPlanner: an identical pair is caught at p=1 by every factorization") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "umber vole wombat xylem yarrow zephyr")
+    // s = 1.0 → s^r = 1, (1−s^r)^b = 0, p = 1 for every (r, b)
+    val got = graft.ops.Dedup.lshPlanner(d).collect()
+      .map(r => (r.getAs[Long]("rows_per_band"), r.getAs[Long]("n_bands"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_false"), r.getAs[java.lang.Long]("recall_bp"),
+        r.getAs[java.lang.Long]("fp_bp"),
+        r.getAs[Long]("exp_cand_bp_sum"))).toSeq
+    val expect = Seq(1L -> 16L, 2L -> 8L, 4L -> 4L, 8L -> 2L, 16L -> 1L)
+      .map { case (r, b) =>
+        (r, b, 1L, 1L, 0L, java.lang.Long.valueOf(10000L),
+          null.asInstanceOf[java.lang.Long], 10000L)
+      }
+    assert(got == expect)
+  }
+
+  test("lshPlanner: a pair below tau lands on the false side with null recall") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta")
+    // tau above any reachable jaccard → the (exact-dup) pair is a
+    // "false" collision: recall undefined, fp mass = its p = 1
+    val got = graft.ops.Dedup.lshPlanner(d, tauBp = 10001L).collect()
+      .map(r => (r.getAs[Long]("n_true"), r.getAs[Long]("n_false"),
+        r.getAs[java.lang.Long]("recall_bp"),
+        r.getAs[java.lang.Long]("fp_bp"))).toSeq
+    assert(got.size == 5 && got.forall(_ ==
+      ((0L, 1L, null.asInstanceOf[java.lang.Long],
+        java.lang.Long.valueOf(10000L)))))
+  }
 }
