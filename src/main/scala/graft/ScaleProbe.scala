@@ -465,6 +465,25 @@ object ScaleProbe {
     t("discount elasticity")(graft.ops.AreaTopProducts.discountElasticity(
       lineitem))
     t("dow type lift")(graft.ops.Retention.dowTypeLift(events))
+    t("min cost supplier")(graft.ops.AreaTopProducts.minCostSupplier(
+      lineitem, dim("part"), dim("supplier"), dim("nation"), dim("region"),
+      "ASIA", Seq(5, 11, 23, 37, 44), "STANDARD"))
+    t("product profit")(graft.ops.AreaTopProducts.productProfit(
+      lineitem, orders, dim("part"), dim("supplier"), dim("nation"), "red"))
+    t("important parts")(graft.ops.AreaTopProducts.importantParts(
+      lineitem, dim("supplier"), dim("nation"), "NATION_3"))
+    t("part supplier counts")(graft.ops.AreaTopProducts.partSupplierCounts(
+      lineitem, dim("part"), dim("supplier"), "Brand#13", "PROMO",
+      Seq(2, 7, 14, 21, 28, 35, 42, 49)))
+    t("excess suppliers")(graft.ops.AreaTopProducts.excessSuppliers(
+      lineitem, dim("supplier"), dim("nation"), "NATION_5"))
+    t("pruning audit")(graft.ops.Layout.pruningAudit(
+      lineitem, "l_partkey", "l_suppkey"))
+    t("lsh planner")(graft.ops.Dedup.lshPlanner(docs))
+    t("pq distortion")(graft.ops.ProductQuant.distortion(emb))
+    t("ivf probe curve")(graft.ops.Similarity.ivfProbeCurve(
+      emb, col("vec_id") % 500 === 0 && col("vec_id") < 10000000L))
+    t("order backlog")(graft.ops.Retention.orderBacklog(lineitem, orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

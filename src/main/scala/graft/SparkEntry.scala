@@ -268,7 +268,10 @@ object SparkEntry {
     "q238_part_supplier_counts" -> (Queries.partSupplierCounts _),
     "q239_excess_suppliers" -> (Queries.excessSuppliers _),
     "q240_pruning_audit" -> (Queries.pruningAudit _),
-    "q241_lsh_planner" -> (Queries.lshPlanner _)
+    "q241_lsh_planner" -> (Queries.lshPlanner _),
+    "q242_pq_distortion" -> (Queries.pqDistortion _),
+    "q243_ivf_probe_curve" -> (Queries.ivfProbeCurve _),
+    "q244_order_backlog" -> (Queries.orderBacklog _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -571,6 +574,12 @@ object Queries {
     ProductQuant.adcTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
       PqM, PqK, book0 = Some(sharedSeedBook(spark, dir)),
       codes0 = Some(sharedSeedCodes(spark, dir)))
+
+  /** PQ distortion audit: per-subspace quantization error vs signal
+    * energy under the q61 seed codebook. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame =
+    ProductQuant.distortion(Tables(spark, dir, "embeddings"), PqM, PqK,
+      book0 = Some(sharedSeedBook(spark, dir)))
 
   /** IVF-PQ on the TRAINED codebook: one symbolically-unrolled
     * integer-Lloyd refinement of the seed book (q61 keeps the seed
@@ -981,6 +990,13 @@ object Queries {
 
   def ivfAnn(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfAnn(Tables(spark, dir, "embeddings"), knnQueryPred)
+
+  val IvfProbeDepths = Seq(1, 2, 4, 8)
+
+  /** IVF recall-vs-cost curve over probe depths 1/2/4/8. */
+  def ivfProbeCurve(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfProbeCurve(Tables(spark, dir, "embeddings"), knnQueryPred,
+      AnnRecallK, IvfProbeDepths)
 
   // ---- training-data pipeline: multimodal columns ----
 
@@ -1969,6 +1985,12 @@ object Queries {
   /** MinHash signature calibration vs exact Jaccard. */
   def minhashCalibration(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashCalibration(Tables(spark, dir, "documents"))
+
+  /** Open-order backlog: interval counting on ± deltas at order
+    * grain. */
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame =
+    Retention.orderBacklog(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"))
 
   val LshPlannerTauBp = 8000L
 
@@ -8536,6 +8558,169 @@ object Oracles {
          |LEFT JOIN scan s ON p.dim = s.dim AND p.probe = s.probe
          |LEFT JOIN sel e ON p.dim = e.dim AND p.probe = e.probe, tot t
          |ORDER BY 1, 2""".stripMargin
+    },
+
+    // per-subspace quantization error (the encoder's own argmin
+    // distance) vs signal energy — q61's CTE chain, error rollup.
+    "q242_pq_distortion" -> {
+      val m = Queries.PqM; val k = Queries.PqK
+      s"""WITH $embQuantCte,
+         |subs AS (
+         |  SELECT vec_id, CAST(s AS BIGINT) AS sub,
+         |         q[CAST(s * (len(q) // $m) + 1 AS BIGINT)
+         |           : CAST((s + 1) * (len(q) // $m) AS BIGINT)] AS qs
+         |  FROM n, unnest(range(0, $m)) AS u(s)),
+         |sv AS (
+         |  SELECT vec_id, sub, qs,
+         |         CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS n2s
+         |  FROM subs),
+         |book AS (SELECT sub, vec_id AS code, qs AS centroid, n2s AS c_n2
+         |         FROM sv WHERE vec_id < $k),
+         |dists AS (
+         |  SELECT v.vec_id, v.sub, v.n2s, b.code,
+         |         v.n2s + b.c_n2 - 2 * CAST(list_sum(list_transform(
+         |           range(1, len(v.qs) + 1),
+         |           i -> v.qs[i] * b.centroid[i])) AS BIGINT) AS dist
+         |  FROM sv v JOIN book b USING (sub)),
+         |errs AS (
+         |  SELECT vec_id, sub, n2s, MIN(dist) AS err
+         |  FROM dists GROUP BY 1, 2, 3)
+         |SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(err) // COUNT(*) AS BIGINT) AS mean_err,
+         |       CAST(MAX(err) AS BIGINT) AS max_err,
+         |       CASE WHEN SUM(n2s) = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * SUM(err) / SUM(n2s)) AS BIGINT)
+         |            END AS noise_bp
+         |FROM errs GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // interval counting: ±1 deltas at order grain (close = last line
+    // ship day; lineless orders never close), day-grain rollup, then
+    // the running EOD sums over the calendar-bounded day domain.
+    "q244_order_backlog" ->
+      """WITH close AS (
+        |  SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS close_day
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS open_day,
+        |         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |         c.close_day
+        |  FROM orders LEFT JOIN close c ON o_orderkey = c.l_orderkey),
+        |deltas AS (
+        |  SELECT open_day AS day, 1 AS d_orders, cents AS d_cents FROM o
+        |  UNION ALL
+        |  SELECT close_day, -1, -cents FROM o WHERE close_day IS NOT NULL),
+        |byday AS (
+        |  SELECT day,
+        |         CAST(SUM(CASE WHEN d_orders > 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS opened,
+        |         CAST(SUM(CASE WHEN d_orders < 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS closed,
+        |         SUM(d_orders) AS net, SUM(d_cents) AS net_cents
+        |  FROM deltas GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, opened, closed,
+        |       CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_eod,
+        |       CAST(SUM(net_cents) OVER (ORDER BY day) AS BIGINT)
+        |         AS open_cents_eod
+        |FROM byday ORDER BY 1""".stripMargin,
+
+    // q32's IVF chain at probe_rank <= max depth, then per-depth
+    // re-rank + recall/cost rollups against the q25 brute-force truth.
+    "q243_ivf_probe_curve" -> {
+      val k = Queries.AnnRecallK
+      val maxP = Queries.IvfProbeDepths.max
+      val depths = Queries.IvfProbeDepths.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding,
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, label, q,
+         |         CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2
+         |  FROM e),
+         |centdim AS (
+         |  SELECT label, i AS pos,
+         |         CAST(FLOOR(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM n, unnest(range(1, len(q) + 1)) t(i)
+         |  GROUP BY label, i),
+         |cent AS (
+         |  SELECT label, list(c ORDER BY pos) AS centroid FROM centdim GROUP BY label),
+         |c2 AS (
+         |  SELECT label, centroid,
+         |         CAST(list_sum(list_transform(centroid, v -> v * v)) AS BIGINT) AS c_n2
+         |  FROM cent),
+         |queries AS (
+         |  SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n
+         |  WHERE vec_id % ${Queries.KnnQueryMod} = 0),
+         |probe AS (
+         |  SELECT query_id, q_q, q_n2, c2.label,
+         |         CASE WHEN q_n2 = 0 OR c_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 *
+         |                     CAST(list_sum(list_transform(range(1, len(q_q) + 1),
+         |                          i -> q_q[i] * centroid[i])) AS BIGINT)
+         |                     / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS c_cos
+         |  FROM queries, c2),
+         |apr AS (
+         |  SELECT query_id, q_q, q_n2, label, pr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY c_cos DESC, label ASC) AS pr
+         |    FROM probe) WHERE pr <= $maxP),
+         |scored AS (
+         |  SELECT a.query_id, a.pr, n.vec_id AS neighbor_id,
+         |         CASE WHEN n.n2 = 0 OR a.q_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 *
+         |                     CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+         |                          i -> n.q[i] * a.q_q[i])) AS BIGINT)
+         |                     / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(a.q_n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM apr a JOIN n ON n.label = a.label AND n.vec_id <> a.query_id),
+         |tscored AS (
+         |  SELECT qq.query_id, n.vec_id AS neighbor_id,
+         |         CASE WHEN n.n2 = 0 OR qq.q_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 *
+         |                     CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+         |                          i -> n.q[i] * qq.q_q[i])) AS BIGINT)
+         |                     / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qq.q_n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM queries qq JOIN n ON n.vec_id <> qq.query_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |    FROM tscored) WHERE rank <= $k),
+         |cfg AS (SELECT CAST(d AS BIGINT) AS n_probe
+         |        FROM unnest([$depths]) AS u(d)),
+         |annp AS (
+         |  SELECT c.n_probe, s.query_id, s.neighbor_id,
+         |         row_number() OVER (PARTITION BY c.n_probe, s.query_id
+         |                            ORDER BY s.cos_bp DESC, s.neighbor_id ASC)
+         |           AS rank
+         |  FROM cfg c JOIN scored s ON s.pr <= c.n_probe),
+         |hits AS (
+         |  SELECT a.n_probe, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM annp a
+         |  JOIN truth t ON a.query_id = t.query_id
+         |    AND a.neighbor_id = t.neighbor_id
+         |  WHERE a.rank <= $k GROUP BY 1),
+         |cost AS (
+         |  SELECT c.n_probe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+         |  FROM cfg c JOIN scored s ON s.pr <= c.n_probe GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |         CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+         |  FROM truth)
+         |SELECT c.n_probe, tot.n_queries, tot.n_truth,
+         |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(COALESCE(co.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |       CASE WHEN tot.n_truth = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * COALESCE(h.n_hits, 0)
+         |                 / tot.n_truth) AS BIGINT) END AS recall_bp
+         |FROM cfg c
+         |LEFT JOIN hits h ON c.n_probe = h.n_probe
+         |LEFT JOIN cost co ON c.n_probe = co.n_probe, tot
+         |ORDER BY 1""".stripMargin
     },
 
     // S-curve planner over the q22 candidate sample: p = 1−(1−s^r)^b

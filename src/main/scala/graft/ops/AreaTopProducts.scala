@@ -817,6 +817,10 @@ object AreaTopProducts {
           .cast("long").as("unit_cents"))
       .join(broadcast(suppGeo), col("l_suppkey") === col("s_suppkey"))
       .join(parts, col("l_partkey") === col("p_partkey"))
+      // partition on the window key BEFORE the aggregate: clustering
+      // on p_partkey satisfies the offer-grain groupBy's distribution
+      // AND the part-grain window's — one fact shuffle end-to-end
+      .repartition(col("p_partkey"))
       .groupBy(col("p_partkey"), col("p_type"), col("s_name"),
         col("acctbal_cents"), col("n_name"))
       .agg(min(col("unit_cents")).as("offer_cents"))
@@ -892,6 +896,9 @@ object AreaTopProducts {
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(col("cents")).as("value_cents"))
+      // both the threshold compare AND the scalar total read this
+      // part-grain frame: persist it or the fact is scanned twice
+      .persist()
     perPart
       .crossJoin(broadcast(perPart.agg(
         sum(col("value_cents")).as("total_cents"))))
@@ -947,6 +954,9 @@ object AreaTopProducts {
       .select(col("l_partkey"), col("l_suppkey"),
         year(col("l_shipdate")).cast("long").as("ship_year"),
         floor(col("l_quantity")).cast("long").as("qty"))
+      // (part, year) clustering serves the supplier-grain aggregate
+      // AND the part-year window: one fact shuffle end-to-end
+      .repartition(col("l_partkey"), col("ship_year"))
       .groupBy(col("l_partkey"), col("ship_year"), col("l_suppkey"))
       .agg(sum(col("qty")).as("supp_qty"))
     val dominated = perSupp

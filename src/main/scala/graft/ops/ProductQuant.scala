@@ -212,6 +212,40 @@ object ProductQuant {
         col("adc_rank"), col("rank").cast("int").as("rank"))
   }
 
+  /** PQ distortion audit — how much signal does the compressed index
+    * throw away, per subspace? For every (vector, subspace) the
+    * quantization error is the assigned code's distance (= the argmin
+    * distance the encoder already minimizes); per subspace this rolls
+    * up to mean/max squared error and `noise_bp` = error energy over
+    * signal energy (Σ err / Σ ‖subvector‖², floor-bp) — the
+    * table that says WHICH subspaces need a bigger codebook before
+    * anyone trusts q111's shortlists at 100 TB. A healthy book shows
+    * noise_bp ≪ 10000 and no subspace an outlier.
+    *
+    * All integer algebra on the quantized grid (the distances are the
+    * encoder's own); one broadcast codebook join, one (vec, sub)
+    * argmin, one m-row aggregate. */
+  def distortion(emb: DataFrame, m: Int = 8, k: Int = 16,
+      book0: Option[DataFrame] = None): DataFrame = {
+    val book = book0.getOrElse(seedCodebook(emb, m, k))
+    subvectors(emb, m)
+      .join(broadcast(book), Seq("sub"))
+      .withColumn("dist", col("n2s") + col("c_n2") -
+        lit(2L) * graft.expressions.DotProductLong.dot(col("qs"), col("centroid")))
+      .groupBy(col("vec_id"), col("sub"), col("n2s"))
+      .agg(min(col("dist")).as("err"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err")).as("__se"), max(col("err")).as("max_err"),
+        sum(col("n2s")).as("__sn"))
+      .select(col("sub").cast("long").as("sub"), col("n_vecs"),
+        expr("__se div n_vecs").as("mean_err"), col("max_err"),
+        when(col("__sn") === 0L, lit(0L))
+          .otherwise(floor(lit(10000.0) * col("__se") / col("__sn"))
+            .cast("long")).as("noise_bp"))
+      .orderBy(col("sub").asc)
+  }
+
   /** IVF-PQ: the standard billion-scale ANN index — IVF's learned
     * inverted lists bound WHICH candidates are scored (`nProbe`
     * lists per query, cosine-routed exactly like Similarity.ivfAnn),

@@ -1087,4 +1087,53 @@ object Retention {
           .otherwise(col("share_bp") - col("__prev")).as("delta_bp"))
       .orderBy(col("year").asc, col("o_orderpriority").asc)
   }
+
+  /** Open-order BACKLOG over time — the interval-counting pattern
+    * every ops dashboard needs: per change day, orders opened, orders
+    * closed (close = the day the LAST line ships), and the running
+    * count/value still open at end of day. An order shipped the day
+    * it was placed contributes zero at EOD (both deltas land);
+    * an order with no lineitems never closes and stays in the
+    * backlog — the dangling-work signal, not an error.
+    *
+    * Scale shape: ±1 delta events at order grain (ONE fact shuffle to
+    * close dates), a day-grain aggregate, and the running sum over
+    * the calendar-bounded day domain (the q212 single-partition walk
+    * — a few thousand rows regardless of fact size). Days with no
+    * change emit no row (the backlog is constant between rows). */
+  def orderBacklog(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val close = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close_day"))
+    val o = orders
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("open_day"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      .join(close, col("o_orderkey") === col("l_orderkey"), "left")
+    // both deltas in ONE pass (a union of two selects over `o` would
+    // run the order-grain join twice); a never-closing order's null
+    // close delta drops in the filter
+    val deltas = o
+      .select(explode(array(
+        struct(col("open_day").as("day"), lit(1L).as("d_orders"),
+          col("cents").as("d_cents")),
+        struct(col("close_day").as("day"), lit(-1L).as("d_orders"),
+          (-col("cents")).as("d_cents")))).as("d"))
+      .select(col("d.day").as("day"), col("d.d_orders").as("d_orders"),
+        col("d.d_cents").as("d_cents"))
+      .filter(col("day").isNotNull)
+    val wDay = Window.orderBy(col("day"))
+    deltas
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("d_orders") > 0L, 1L).otherwise(0L)).as("opened"),
+        sum(when(col("d_orders") < 0L, 1L).otherwise(0L)).as("closed"),
+        sum(col("d_orders")).as("__net"),
+        sum(col("d_cents")).as("__net_cents"))
+      .withColumn("open_eod", sum(col("__net")).over(wDay))
+      .withColumn("open_cents_eod", sum(col("__net_cents")).over(wDay))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("opened"), col("closed"), col("open_eod"),
+        col("open_cents_eod"))
+      .orderBy(col("day").asc)
+  }
 }

@@ -257,6 +257,71 @@ object Similarity {
     * runs over |lists| rows. mean_cos_bp = ⌊Σcos/n⌋ on the already-
     * floored per-vector bp values — exact BIGINT sum, one final
     * divide. */
+  /** IVF recall-vs-cost CURVE — nProbe is THE serving knob
+    * ([[ivfAnn]]); this table measures it instead of guessing: per
+    * probe depth, micro-averaged recall@k against the exact top-k
+    * (one brute-force truth pass) and the candidate count actually
+    * scored (the cost axis). The production question "how many lists
+    * must I probe for 95% recall, and what does each step cost" is
+    * answered by two adjacent rows.
+    *
+    * Scale shape: the probe ranking and the candidate scoring run
+    * ONCE at the deepest depth (probe_rank carried), the scored frame
+    * is persisted, and each depth is a window + rollup over that
+    * probe-grain cache — depths never re-touch the corpus. Truth is
+    * the q25 brute-force pass (queries are the sampled probe set, so
+    * it is |queries|×|corpus| map work, no shuffle of the corpus). */
+  def ivfProbeCurve(emb: DataFrame, queryPred: Column, k: Int = 3,
+      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), "probe depths >= 1")
+    val maxP = probes.max
+    val quant = quantized(emb)
+    val q = quant.select(col("vec_id"), col("label"), col("q"), col("n2"))
+    val cents = ivfCentroidsFromQuantized(quant)
+    val queries = q.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("q_q"),
+        col("n2").as("q_n2"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("label").asc)
+    val assigned = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosBp(
+        graft.expressions.DotProductLong.dot(col("q_q"), col("centroid")),
+        col("q_n2"), col("c_n2")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= maxP)
+      .select(col("query_id"), col("q_q"), col("q_n2"), col("label"),
+        col("pr"))
+    val scored = q.join(broadcast(assigned), "label")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_bp", cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos_bp"), col("pr"))
+      .persist()
+    val truth = knnBruteForce(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val tot = truth.agg(count(lit(1)).as("n_truth"),
+      countDistinct(col("query_id")).as("n_queries"))
+    probes.map { p =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+      val ann = scored.filter(col("pr") <= p)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val cost = scored.filter(col("pr") <= p)
+        .agg(count(lit(1)).as("n_candidates"))
+      hits.crossJoin(cost).crossJoin(tot)
+        .select(lit(p.toLong).as("n_probe"), col("n_queries"),
+          col("n_truth"), col("n_hits"), col("n_candidates"),
+          when(col("n_truth") === 0L, lit(0L))
+            .otherwise(floor(lit(10000.0) * col("n_hits") / col("n_truth"))
+              .cast("long")).as("recall_bp"))
+    }.reduce(_ unionAll _).orderBy(col("n_probe").asc)
+  }
+
   def ivfBalance(emb: DataFrame): DataFrame = {
     val quant = quantized(emb)
     val cents = ivfCentroidsFromQuantized(quant)

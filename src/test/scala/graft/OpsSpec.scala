@@ -1335,6 +1335,25 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("S7", 1L)))
   }
 
+  test("orderBacklog: same-day close nets to zero at EOD; lineless orders never close") {
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val orders = Seq(
+      (1L, ts("2024-01-01"), 10.0), // closes on d3 (last line)
+      (2L, ts("2024-01-01"), 5.0),  // ships same day: 0 net at EOD
+      (3L, ts("2024-01-02"), 2.0))  // no lines: stays open forever
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val li = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-03")),
+      (2L, ts("2024-01-01")))
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Retention.orderBacklog(li, orders)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 2L, 1L, 1L, 1000L),
+      ("2024-01-02", 1L, 0L, 2L, 1200L),
+      ("2024-01-03", 0L, 1L, 1L, 200L)))
+  }
+
   test("pruningAudit: diagonal layout — every probe touches exactly one cell, both dims") {
     // a = b = 0..15, gridBits=4 → pos == value; cell = top bit of
     // each dim interleaved → rows 0-7 in cell 0, rows 8-15 in cell 3.

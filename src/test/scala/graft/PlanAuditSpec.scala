@@ -1346,4 +1346,91 @@ class PlanAuditSpec extends SparkSpec {
     val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
     assert(!readSchema.contains("doc_id"), s"scan not pruned: $readSchema")
   }
+
+  test("q235 min-cost supplier: ONE fact shuffle serves offer agg AND part window; TakeOrdered head") {
+    val p = plan("q235_min_cost_supplier")
+    assert(shuffles(p) == 1, p)
+    assert(p.contains("REPARTITION_BY_COL"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q236 product profit: pruned fact scan, dims never shuffle the fact twice") {
+    val p = plan("q236_product_profit")
+    assert(!p.contains("CartesianProduct"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      s"lineitem scan not pruned: $readSchema")
+    assert(shuffles(p) <= 4, p) // li/orders SMJ sides + agg + final sort
+  }
+
+  test("q237 important parts: part-grain frame cached — ONE fact scan feeds compare and total") {
+    val p = plan("q237_important_parts")
+    // live plan reads the cached part-grain frame; only the scalar
+    // total (SinglePartition) and the final sort shuffle
+    assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty, stripCached(p))
+    assert(shuffles(p) <= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q238 part supplier counts: broadcast anti-join; distinct pairs in bounded shuffles") {
+    val p = plan("q238_part_supplier_counts")
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      p.contains("LeftAnti, BuildRight"), p)
+    assert(shuffles(p) <= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q239 excess suppliers: ONE fact shuffle serves supplier agg AND part-year window") {
+    val p = plan("q239_excess_suppliers")
+    assert(p.contains("REPARTITION_BY_COL"), p)
+    // fact shuffle + two supplier-grain (≤100-row) shuffles
+    assert(shuffles(p) == 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q240 pruning audit: cells cached (one live fact scan); probes broadcast to the row pass") {
+    val p = plan("q240_pruning_audit")
+    // the only LIVE parquet scan is the select_rows pass; bounds,
+    // totals and the overlap test all read the cached cell table
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1,
+      stripCached(p))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q242 pq distortion: broadcast codebook; corpus floats never shuffle") {
+    val p = plan("q242_pq_distortion")
+    assert(!p.contains("CartesianProduct"), p)
+    // (vec, sub) argmin + the m-row rollup + the sort — nothing else
+    assert(shuffles(p) <= 3, p)
+    assert(p.contains("BroadcastExchange") || p.contains("InMemoryRelation"), p)
+  }
+
+  test("q243 ivf probe curve: depths read the cached scored frame, never the corpus") {
+    val p = plan("q243_ivf_probe_curve")
+    assert(!p.contains("CartesianProduct"), p)
+    // scored + truth are persisted: at most the truth build's scan
+    // appears live; the four depths must not re-touch parquet
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1,
+      stripCached(p))
+  }
+
+  test("q244 order backlog: one scan per table (explode deltas, no double pass); day-grain walk") {
+    val p = plan("q244_order_backlog")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 2, p)
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("SinglePartition"), p) // the bounded day walk
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q241 lsh planner: one signature build; the 5 configs read the cached scored frame") {
+    val p = plan("q241_lsh_planner")
+    assert(!p.contains("CartesianProduct"), p)
+    // no shingle/signature recomputation outside the cached frames
+    assert("graft_minhash".r.findAllIn(stripCached(p)).isEmpty,
+      s"signature recomputed outside the cached frame:\n$p")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty,
+      s"raw docs rescanned by the config fan-out:\n${stripCached(p)}")
+  }
 }

@@ -922,6 +922,41 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.keySet == Set(16L))
   }
 
+  test("pqDistortion: hand-checkable errors; codebook members quantize to zero error") {
+    // m=1, k=2: vecs 0,1 ARE the codes (err 0). float32 rounds just
+    // BELOW the decimal values, so the 1e6 floor-quantization gives
+    // q = [0,0], [1,0], [3,0]: vec 2 picks code 1 at squared distance
+    // (3-1)² = 4; signal energy 0+1+9 = 10.
+    val emb = Seq(
+      (0L, Array(0.000001f, 0.0f), 0), (1L, Array(0.000002f, 0.0f), 0),
+      (2L, Array(0.000004f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = ProductQuant.distortion(emb, m = 1, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // mean = floor(4/3) = 1; noise = floor(10000*4/10) = 4000
+    assert(got == Seq((0L, 3L, 1L, 4L, 4000L)))
+  }
+
+  test("ivfProbeCurve: recall climbs with probe depth and hits 10000 at all lists") {
+    // list 0 = +x cluster; list 1 mixes -x vectors with a +x truth
+    // neighbor (12) AND the query — depth 1 probes list 0 only and
+    // misses 12; depth 2 scores everything.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.1f), 0), (1L, Array(0.9f, 0.2f), 0),
+      (2L, Array(0.8f, 0.0f), 0),
+      (10L, Array(-1.0f, 0.1f), 1), (11L, Array(-0.9f, 0.0f), 1),
+      (12L, Array(0.97f, 0.1f), 1),
+      (50L, Array(0.95f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfProbeCurve(emb, col("vec_id") === 50, k = 2,
+      probes = Seq(1, 2))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // (n_probe, n_queries, n_truth, n_hits, n_candidates, recall_bp)
+    // depth 2 scores list 0 (3) + list 1 minus self (3) = 6 candidates
+    assert(got == Seq(
+      (1L, 1L, 2L, 1L, 3L, 5000L),
+      (2L, 1L, 2L, 2L, 6L, 10000L)), got.toString)
+  }
+
   test("lshPlanner: an identical pair is caught at p=1 by every factorization") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon zeta",
