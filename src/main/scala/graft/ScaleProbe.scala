@@ -484,6 +484,13 @@ object ScaleProbe {
     t("ivf probe curve")(graft.ops.Similarity.ivfProbeCurve(
       emb, col("vec_id") % 500 === 0 && col("vec_id") < 10000000L))
     t("order backlog")(graft.ops.Retention.orderBacklog(lineitem, orders))
+    t("doc keywords")(graft.ops.Retrieval.docKeywords(docs))
+    t("clustering coeff")(graft.ops.Graph.clusteringCoefficient(
+      graft.ops.Market.coVisitPairs(eventsSameUsers), 2L))
+    t("t closeness")(graft.ops.Profile.tClosenessProfile(
+      events.select(pmod(col("user_id"), lit(97L)).as("grp"),
+        col("event_type").as("s")),
+      Seq("grp"), "s"))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

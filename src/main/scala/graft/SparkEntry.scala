@@ -271,7 +271,10 @@ object SparkEntry {
     "q241_lsh_planner" -> (Queries.lshPlanner _),
     "q242_pq_distortion" -> (Queries.pqDistortion _),
     "q243_ivf_probe_curve" -> (Queries.ivfProbeCurve _),
-    "q244_order_backlog" -> (Queries.orderBacklog _)
+    "q244_order_backlog" -> (Queries.orderBacklog _),
+    "q245_doc_keywords" -> (Queries.docKeywords _),
+    "q246_clustering_coeff" -> (Queries.clusteringCoefficient _),
+    "q247_t_closeness" -> (Queries.tCloseness _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1991,6 +1994,26 @@ object Queries {
   def orderBacklog(spark: SparkSession, dir: String): DataFrame =
     Retention.orderBacklog(Tables(spark, dir, "lineitem"),
       Tables(spark, dir, "orders"))
+
+  val DocKeywordsK = 3
+
+  /** Per-document top-k keywords by tf · ⌊log₂(N/df)⌋. */
+  def docKeywords(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.docKeywords(Tables(spark, dir, "documents"), DocKeywordsK)
+
+  /** Degree-banded local clustering coefficients of the co-visit
+    * graph (shared pair frame, q93's support threshold). */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame =
+    Graph.clusteringCoefficient(sharedCoVisPairs(spark, dir),
+      PageRankMinSupport)
+
+  val TClosenessBandBp = 1000L
+
+  /** T-closeness risk histogram over the q214 QI classes with
+    * segment as the sensitive attribute. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    Profile.tClosenessProfile(customerQi(spark, dir),
+      Seq("nation", "balance_band"), "segment", TClosenessBandBp)
 
   val LshPlannerTauBp = 8000L
 
@@ -8623,6 +8646,123 @@ object Oracles {
         |       CAST(SUM(net_cents) OVER (ORDER BY day) AS BIGINT)
         |         AS open_cents_eod
         |FROM byday ORDER BY 1""".stripMargin,
+
+    // tf · bitlen-idf keywords: flog2rSql is the exact ⌊log₂(N/df)⌋
+    // twin; ties broken token-asc.
+    "q245_doc_keywords" -> {
+      val k = Queries.DocKeywordsK
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |    FROM documents WHERE text IS NOT NULL)
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+         |s AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         |         CAST(${flog2rSql("nd.n", "dfq.df")} AS INT) AS idf_bits
+         |  FROM tf JOIN dfq USING (token), nd),
+         |r AS (
+         |  SELECT *, CAST(tf * idf_bits AS BIGINT) AS score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY tf * idf_bits DESC, token ASC) AS rank
+         |  FROM s)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df,
+         |       idf_bits, score
+         |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+    },
+
+    // q157's triangle chain with the corners kept: each (x,y,z)
+    // triangle credits its 3 nodes; cc = 2t/(d(d-1)) in bp, rolled up
+    // to bitlen degree bands.
+    "q246_clustering_coeff" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      s"""$sessionCte,
+         |it0 AS (
+         |  SELECT user_id, session_seq,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM sz
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |capped AS (
+         |  SELECT user_id, session_seq, item FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |      ORDER BY item) AS rn
+         |    FROM it0)
+         |  WHERE rn <= $cap),
+         |pairs AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |         CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM capped a
+         |  JOIN capped b ON a.user_id = b.user_id
+         |    AND a.session_seq = b.session_seq AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |eg AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE w >= $ms),
+         |deg AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS v FROM eg UNION ALL SELECT b FROM eg)
+         |  GROUP BY 1),
+         |tric AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM eg e1
+         |  JOIN eg e2 ON e2.a = e1.b
+         |  JOIN eg e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tcount AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+         |    SELECT x AS v FROM tric UNION ALL SELECT y FROM tric
+         |    UNION ALL SELECT z FROM tric)
+         |  GROUP BY 1),
+         |cc AS (
+         |  SELECT d.deg,
+         |         CAST(FLOOR(10000.0 * 2 * COALESCE(t.t, 0)
+         |           / (d.deg * (d.deg - 1))) AS BIGINT) AS cc_bp
+         |  FROM deg d LEFT JOIN tcount t ON d.v = t.v
+         |  WHERE d.deg >= 2)
+         |SELECT CAST(length(format('{:b}', deg)) - 1 AS BIGINT) AS deg_band,
+         |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |       CAST(SUM(cc_bp) // COUNT(*) AS BIGINT) AS mean_cc_bp,
+         |       CAST(MIN(cc_bp) AS BIGINT) AS min_cc_bp,
+         |       CAST(MAX(cc_bp) AS BIGINT) AS max_cc_bp
+         |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // one-sided TV identity: only observed (class, value) pairs
+    // contribute; exact integer numerators, one double divide per
+    // class, banded rollup.
+    "q247_t_closeness" -> {
+      val b = Queries.TClosenessBandBp
+      s"""WITH qi AS (
+         |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS balance_band
+         |  FROM customer),
+         |gs AS (
+         |  SELECT nation, balance_band, segment,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM qi GROUP BY 1, 2, 3),
+         |gv AS (SELECT segment, CAST(SUM(n) AS BIGINT) AS g
+         |       FROM gs GROUP BY 1),
+         |gc AS (SELECT nation, balance_band, CAST(SUM(n) AS BIGINT) AS nc
+         |       FROM gs GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS ng FROM gs),
+         |tv AS (
+         |  SELECT gs.nation, gs.balance_band, gc.nc,
+         |         CAST(FLOOR(10000.0 *
+         |             CAST(SUM(GREATEST(gs.n * tot.ng - gv.g * gc.nc, 0))
+         |               AS DOUBLE)
+         |             / (CAST(gc.nc AS DOUBLE) * CAST(tot.ng AS DOUBLE)))
+         |           AS BIGINT) AS tv_bp
+         |  FROM gs
+         |  JOIN gv USING (segment)
+         |  JOIN gc USING (nation, balance_band), tot
+         |  GROUP BY 1, 2, gc.nc, tot.ng)
+         |SELECT tv_bp // $b AS tv_band,
+         |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |       CAST(SUM(nc) AS BIGINT) AS n_rows,
+         |       CAST(MAX(tv_bp) AS BIGINT) AS max_tv_bp
+         |FROM tv GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // q32's IVF chain at probe_rank <= max depth, then per-depth
     // re-rank + recall/cost rollups against the q25 brute-force truth.

@@ -580,6 +580,54 @@ object Profile {
       .orderBy(col("diversity").asc)
   }
 
+  /** T-closeness risk profile (Li et al. 2007) — the third member of
+    * the release-gate trio (k-anonymity q214, l-diversity q215): a
+    * large, diverse QI group STILL leaks when its sensitive-value
+    * distribution differs sharply from the table's (skewness attack:
+    * the group is 90% 'DELINQUENT' vs 5% globally — membership shifts
+    * the prior). Distance is TOTAL VARIATION, the no-libm member of
+    * the distance family (the q156 drift convention; the paper's EMD
+    * needs a ground metric the schema doesn't carry), computed by the
+    * one-sided identity TV = Σ_v (p_class(v) − p_global(v))⁺ — only
+    * values PRESENT in the class contribute, so one pass over the
+    * observed (class, value) grain suffices.
+    *
+    * Exact rational arithmetic: per value, (n_cv·N_g − g_v·N_c)⁺ in
+    * decimal(38,0) (Long products overflow at real row counts), one
+    * double division per class for tv_bp. Output at tv-band grain
+    * (band = tv_bp div bandBp — bounded), never group grain. */
+  def tClosenessProfile(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, bandBp: Long = 1000L): DataFrame = {
+    require(qiCols.nonEmpty && bandBp >= 1L, "need QI columns and a band")
+    val dec = "decimal(38,0)"
+    val qi = qiCols.map(col)
+    val gs = df
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .persist() // feeds the global, class, and scalar aggregates
+    val gv = gs.groupBy(col(sensitiveCol)).agg(sum(col("n")).as("g"))
+    val gc = gs.groupBy(qi: _*).agg(sum(col("n")).as("nc"))
+    val tot = gs.agg(sum(col("n")).as("ng"))
+    val tv = gs
+      .join(broadcast(gv), Seq(sensitiveCol))
+      .join(gc, qiCols)
+      .crossJoin(broadcast(tot))
+      .withColumn("__pos", greatest(
+        expr(s"CAST(n AS $dec) * CAST(ng AS $dec)" +
+          s" - CAST(g AS $dec) * CAST(nc AS $dec)"),
+        lit(0L).cast(dec)))
+      .groupBy(qi :+ col("nc") :+ col("ng"): _*)
+      .agg(sum(col("__pos")).as("__s"))
+      .withColumn("tv_bp",
+        floor(lit(10000.0) * col("__s").cast("double") /
+          (col("nc").cast("double") * col("ng").cast("double")))
+          .cast("long"))
+    tv.groupBy(expr(s"tv_bp div ${bandBp}L").as("tv_band"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("nc")).as("n_rows"),
+        max(col("tv_bp")).as("max_tv_bp"))
+      .orderBy(col("tv_band").asc)
+  }
+
   /** Per-source data card: the one-row-per-source summary a corpus
     * README publishes — volume (docs, tokens, chars), hygiene (null
     * and exact-dup rates), and breadth (distinct languages). The

@@ -176,4 +176,39 @@ object Retrieval {
           sum(col("occurrences")).over(whole)).cast("long"))
       .orderBy(col("bucket").asc)
   }
+
+  /** Per-document KEYWORDS: top `k` tokens by tf·idf with the
+    * no-libm idf — idf_bits = ⌊log₂(N/df)⌋ via the bitlen identity
+    * ([[TrainingPrep.flog2Ratio]], the q114 DSIR convention), so the
+    * score is pure BIGINT and bit-identical cross-engine. Corpus-wide
+    * stopwords (df = N) score 0 bits and sink; rare distinctive terms
+    * rise. Tie-break token asc — deterministic keyword lists.
+    *
+    * Scale shape: one tokenize pass to (doc, token) grain (persisted
+    * — it feeds both the document-frequency aggregate and the score
+    * join), token-grain df, a 1-row N broadcast, and a per-doc top-k
+    * window. The df join is token-grain × doc-token-grain on the
+    * token key — the natural shuffle; no corpus re-scan. */
+  def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(expr(TextAnalysis.TokensExpr)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_bits",
+        TrainingPrep.flog2Ratio(col("n"), col("df")))
+      .withColumn("score", col("tf") * col("idf_bits").cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("token"), col("tf"), col("df"),
+        col("idf_bits"), col("score"))
+      .orderBy(col("doc_id").asc, col("rank").asc)
+  }
 }

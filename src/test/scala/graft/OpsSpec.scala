@@ -1335,6 +1335,47 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("S7", 1L)))
   }
 
+  test("docKeywords: bitlen idf sinks corpus-wide tokens; token-asc tie-break") {
+    val docs = Seq(
+      (1L, "apple apple banana"), (2L, "apple cherry"),
+      (3L, "apple dog"), (4L, "apple elk"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.docKeywords(docs, k = 3)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, Int, String, Long, Long, Int, Long)].collect().toSeq
+    // N=4: apple df=4 → 0 bits (score 0 despite tf 2); banana df=1 →
+    // ⌊log₂4⌋=2 bits, score 2 → rank 1
+    assert(out == Seq(
+      (1L, 1, "banana", 1L, 1L, 2, 2L),
+      (1L, 2, "apple", 2L, 4L, 0, 0L)))
+  }
+
+  test("clusteringCoefficient: triangle + pendant — clique members at 10000, hub diluted") {
+    val pairs = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L), (1L, 4L, 5L))
+      .toDF("item_a", "item_b", "pair_sessions")
+    val out = Graph.clusteringCoefficient(pairs, minWeight = 1L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // node 1: deg 3, 1 triangle → 2/(3·2) = 3333 bp; nodes 2,3: deg 2
+    // → 10000; node 4: deg 1 excluded. All land in bitlen band 1;
+    // mean = ⌊23333/3⌋ = 7777.
+    assert(out == Seq((1L, 3L, 7777L, 3333L, 10000L)))
+  }
+
+  test("tClosenessProfile: one-sided TV identity matches the hand distribution math") {
+    val rows = Seq.fill(4)(("A", "X")) ++
+      (Seq.fill(3)(("B", "X")) :+ (("B", "Y"))) ++
+      Seq(("C", "X"), ("C", "Y"))
+    val df = rows.toDF("grp", "s")
+    val out = Profile.tClosenessProfile(df, Seq("grp"), "s", bandBp = 1000L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // global: X 8/10, Y 2/10. TV: A (all X) = 0.2 → 2000; B (3X,1Y)
+    // = 0.05 → 500; C (1X,1Y) = 0.3 → 3000.
+    assert(out == Seq(
+      (0L, 1L, 4L, 500L),
+      (2L, 1L, 4L, 2000L),
+      (3L, 1L, 2L, 3000L)))
+  }
+
   test("orderBacklog: same-day close nets to zero at EOD; lineless orders never close") {
     def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
     val orders = Seq(

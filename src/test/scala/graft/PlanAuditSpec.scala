@@ -1424,6 +1424,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q245 doc keywords: one tokenize pass cached; df join + WindowGroupLimit head") {
+    val p = plan("q245_doc_keywords")
+    // the (doc, token) frame is persisted — df, N, and the score join
+    // all read the cache; no second documents scan
+    assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty, stripCached(p))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q246 clustering coeff: degree-oriented wedges off the cached edge frames") {
+    val p = plan("q246_clustering_coeff")
+    assert(!p.contains("CartesianProduct"), p)
+    // wedge join + corner count ride the persisted oriented frame;
+    // the co-vis pair build lives in the shared cached lineage
+    assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty, stripCached(p))
+  }
+
+  test("q247 t-closeness: one scan; global/class grains re-aggregate the cached gs frame") {
+    val p = plan("q247_t_closeness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty, stripCached(p))
+  }
+
   test("q241 lsh planner: one signature build; the 5 configs read the cached scored frame") {
     val p = plan("q241_lsh_planner")
     assert(!p.contains("CartesianProduct"), p)
