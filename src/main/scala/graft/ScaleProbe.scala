@@ -491,6 +491,9 @@ object ScaleProbe {
       events.select(pmod(col("user_id"), lit(97L)).as("grp"),
         col("event_type").as("s")),
       Seq("grp"), "s"))
+    t("grouping sets")(graft.ops.Percentiles.groupingSetsTotals(
+      orders, "o_orderpriority", "o_orderstatus", "o_totalprice"))
+    t("vocab growth")(graft.ops.Retrieval.vocabGrowth(docs))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -274,7 +274,9 @@ object SparkEntry {
     "q244_order_backlog" -> (Queries.orderBacklog _),
     "q245_doc_keywords" -> (Queries.docKeywords _),
     "q246_clustering_coeff" -> (Queries.clusteringCoefficient _),
-    "q247_t_closeness" -> (Queries.tCloseness _)
+    "q247_t_closeness" -> (Queries.tCloseness _),
+    "q248_grouping_sets" -> (Queries.groupingSetsTotals _),
+    "q249_vocab_growth" -> (Queries.vocabGrowth _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2006,6 +2008,18 @@ object Queries {
   def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame =
     Graph.clusteringCoefficient(sharedCoVisPairs(spark, dir),
       PageRankMinSupport)
+
+  /** Grouping-sets margins over orders: both 1-D margins + grand
+    * total without the cross product. */
+  def groupingSetsTotals(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.groupingSetsTotals(Tables(spark, dir, "orders"),
+      "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+  val VocabCheckpoints = 4
+
+  /** Heaps'-law vocabulary growth at doc-id quarter checkpoints. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.vocabGrowth(Tables(spark, dir, "documents"), VocabCheckpoints)
 
   val TClosenessBandBp = 1000L
 
@@ -8646,6 +8660,54 @@ object Oracles {
         |       CAST(SUM(net_cents) OVER (ORDER BY day) AS BIGINT)
         |         AS open_cents_eod
         |FROM byday ORDER BY 1""".stripMargin,
+
+    // both 1-D margins + grand total, no cross product; explicit
+    // grouping flags disambiguate subtotals from genuine NULL keys.
+    "q248_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_a,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+        |         AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_a, g_b, 1, 2""".stripMargin,
+
+    // cumulative distinct via first-occurrence: a token counts at
+    // cutoff c iff min(doc_id) <= c — one tokenize pass, checkpoint
+    // rollups over the token- and doc-grain frames.
+    "q249_vocab_growth" -> {
+      val cp = Queries.VocabCheckpoints
+      val vals = (1 to cp).mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |firsts AS (SELECT token, MIN(doc_id) AS first_doc
+         |           FROM tok GROUP BY 1),
+         |dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM tok GROUP BY 1),
+         |mx AS (SELECT MAX(doc_id) AS m FROM dt),
+         |cuts AS (
+         |  SELECT CAST(i AS BIGINT) AS checkpoint, (mx.m * i) // $cp AS cutoff
+         |  FROM unnest([$vals]) u(i), mx),
+         |d AS (
+         |  SELECT c.checkpoint, c.cutoff,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n) AS BIGINT) AS total_tokens
+         |  FROM cuts c JOIN dt ON dt.doc_id <= c.cutoff
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT c.checkpoint, CAST(COUNT(*) AS BIGINT) AS distinct_tokens
+         |  FROM cuts c JOIN firsts f ON f.first_doc <= c.cutoff
+         |  GROUP BY 1)
+         |SELECT d.checkpoint, d.cutoff, d.n_docs, d.total_tokens,
+         |       v.distinct_tokens,
+         |       CAST(FLOOR(10000.0 * v.distinct_tokens / d.total_tokens)
+         |         AS BIGINT) AS ttr_bp
+         |FROM d JOIN v USING (checkpoint) ORDER BY 1""".stripMargin
+    },
 
     // tf · bitlen-idf keywords: flog2rSql is the exact ⌊log₂(N/df)⌋
     // twin; ties broken token-asc.

@@ -195,6 +195,42 @@ object Percentiles {
         coalesce(col(b), lit("ALL")).as(b),
         col("n_rows"), col("total_cents"))
 
+  /** GROUPING SETS margins — the family member rollup and cube
+    * can't express: both one-dimensional margins PLUS the grand
+    * total, WITHOUT the (a, b) cross product (the dashboard-margin
+    * query; on a high-cardinality pair the cross slice is exactly
+    * the part you don't want to compute). Explicit grouping flags
+    * (g_a, g_b) disambiguate subtotal rows from genuine NULL keys —
+    * the discriminator the coalesce-'ALL' convention alone lacks.
+    * Same single Expand + one-shuffle plan and integer-cents
+    * convention as [[rollupTotals]]/[[cubeTotals]]. */
+  def groupingSetsTotals(df: DataFrame, a: String, b: String,
+      valueCol: String): DataFrame = {
+    // the () set is a SEPARATE ungrouped aggregate on purpose: SQL's
+    // GROUPING SETS (()) emits a grand-total row even on an EMPTY
+    // table (DuckDB does), while Spark's Dataset.groupingSets treats
+    // every set as grouped and emits nothing — an ungrouped agg has
+    // the SQL semantics natively (EdgeCasesSpec pins the convergence)
+    val margins = df.groupingSets(Seq(Seq(col(a)), Seq(col(b))),
+        col(a), col(b))
+      .agg(grouping(col(a)).cast("long").as("g_a"),
+        grouping(col(b)).cast("long").as("g_b"),
+        count(lit(1)).as("n_rows"),
+        sum(floor(col(valueCol) * lit(100.0))).as("total_cents"))
+      .select(
+        coalesce(col(a), lit("ALL")).as(a),
+        coalesce(col(b), lit("ALL")).as(b),
+        col("g_a"), col("g_b"), col("n_rows"), col("total_cents"))
+    val grand = df
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col(valueCol) * lit(100.0))).as("total_cents"))
+      .select(lit("ALL").as(a), lit("ALL").as(b),
+        lit(1L).as("g_a"), lit(1L).as("g_b"),
+        col("n_rows"), col("total_cents"))
+    margins.unionAll(grand)
+      .orderBy(col("g_a").asc, col("g_b").asc, col(a).asc, col(b).asc)
+  }
+
   /** Approximate per-group median in cents via a mergeable quantile
     * sketch (`percentile_approx`) — the scale path for genuinely
     * CONTINUOUS value domains, where the exact histogram plan above

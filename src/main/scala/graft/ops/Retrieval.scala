@@ -189,6 +189,46 @@ object Retrieval {
     * join), token-grain df, a 1-row N broadcast, and a per-doc top-k
     * window. The df join is token-grain × doc-token-grain on the
     * token key — the natural shuffle; no corpus re-scan. */
+  /** Vocabulary GROWTH curve (the Heaps'-law read): at doc-id
+    * checkpoints (quarters of the id range — a derived, declared
+    * domain, per the SURVEY rule), the cumulative token count,
+    * cumulative DISTINCT token count, and type-token ratio. A corpus
+    * whose vocabulary keeps growing linearly is unbounded-entropy
+    * (ids, hashes, noise); one that flattens is natural language —
+    * the curve says which, and where dedup/cleaning bent it.
+    *
+    * Exactness without re-scanning per checkpoint: a token's
+    * cumulative-distinct contribution at cutoff c is `first_doc ≤ c`
+    * — so ONE tokenize pass feeds a token-grain first-occurrence
+    * aggregate and a doc-grain count, and each checkpoint is a
+    * broadcast theta-join over those two bounded frames. */
+  def vocabGrowth(docs: DataFrame, checkpoints: Int = 4): DataFrame = {
+    require(checkpoints >= 1 && checkpoints <= 64, "1..64 checkpoints")
+    val tok = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(expr(TextAnalysis.TokensExpr)).as("token"))
+      .persist()
+    val firsts = tok.groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val docTokens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cuts = docs.sparkSession.range(1, checkpoints + 1).toDF("checkpoint")
+      .crossJoin(broadcast(tok.agg(max(col("doc_id")).as("m"))))
+      .select(col("checkpoint"),
+        expr(s"(m * checkpoint) div ${checkpoints}L").as("cutoff"))
+    val d = broadcast(cuts).join(docTokens, col("doc_id") <= col("cutoff"))
+      .groupBy(col("checkpoint"), col("cutoff"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+    val v = broadcast(cuts.select(col("checkpoint").as("cp"),
+        col("cutoff").as("cut")))
+      .join(firsts, col("first_doc") <= col("cut"))
+      .groupBy(col("cp"))
+      .agg(count(lit(1)).as("distinct_tokens"))
+    d.join(v, col("checkpoint") === col("cp"))
+      .select(col("checkpoint"), col("cutoff"), col("n_docs"),
+        col("total_tokens"), col("distinct_tokens"),
+        floor(lit(10000.0) * col("distinct_tokens") / col("total_tokens"))
+          .cast("long").as("ttr_bp"))
+      .orderBy(col("checkpoint").asc)
+  }
+
   def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(expr(TextAnalysis.TokensExpr)).as("token"))

@@ -588,4 +588,57 @@ class EdgeCasesSpec extends SparkSpec {
     assert(el.getAs[Long]("n_rows") == 0L && el.isNullAt(1))
     assert(Retention.dowTypeLift(noEvents).count() == 0)
   }
+
+  test("round-7 second-wave ops on empty inputs: empty (never erroring) reports") {
+    val s = spark
+    import s.implicits._
+    val emptyLi = Seq.empty[(Long, Long, Long, Double, Double, Double, Timestamp)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate")
+    val emptyOrd = Seq.empty[(Long, Timestamp, Double)]
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val part = Seq((1L, "red widget", "Brand#1", "SMALL", 2, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val sup = Seq((1L, "s1", 0, 1.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nat = Seq((0, "NATION_0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((0, "ASIA")).toDF("r_regionkey", "r_name")
+    assert(AreaTopProducts.minCostSupplier(emptyLi, part, sup, nat, reg,
+      "ASIA", Seq(2), "SMALL").count() == 0)
+    assert(AreaTopProducts.productProfit(emptyLi, emptyOrd, part, sup, nat,
+      "red").count() == 0)
+    assert(AreaTopProducts.importantParts(emptyLi, sup, nat,
+      "NATION_0").count() == 0)
+    assert(AreaTopProducts.partSupplierCounts(emptyLi, part, sup,
+      "Brand#13", "PROMO", Seq(2)).count() == 0)
+    assert(AreaTopProducts.excessSuppliers(emptyLi, sup, nat,
+      "NATION_0").count() == 0)
+    assert(Layout.pruningAudit(emptyLi, "l_partkey", "l_suppkey")
+      .count() == 0) // null bounds → every probe dropped
+    assert(Retention.orderBacklog(emptyLi, emptyOrd).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Dedup.lshPlanner(emptyDocs).count() == 0)
+    assert(Retrieval.docKeywords(emptyDocs).count() == 0)
+    assert(Retrieval.vocabGrowth(emptyDocs).count() == 0)
+    val emptyPairs = Seq.empty[(Long, Long, Long)]
+      .toDF("item_a", "item_b", "pair_sessions")
+    assert(Graph.clusteringCoefficient(emptyPairs).count() == 0)
+    val noQi2 = Seq.empty[(String, String)].toDF("qi", "sens")
+    assert(Profile.tClosenessProfile(noQi2, Seq("qi"), "sens").count() == 0)
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ops.ProductQuant.distortion(emptyEmb).count() == 0)
+    assert(graft.ops.Similarity.ivfProbeCurve(emptyEmb,
+      col("vec_id") === 0L).collect()
+      .forall(r => r.getAs[Long]("n_truth") == 0L &&
+        r.getAs[Long]("recall_bp") == 0L))
+    val gsEmpty = Percentiles.groupingSetsTotals(
+      Seq.empty[(String, String, Double)]
+        .toDF("o_orderpriority", "o_orderstatus", "o_totalprice"),
+      "o_orderpriority", "o_orderstatus", "o_totalprice")
+    // grand-total row survives (0 rows, null cents) — SQL semantics
+    assert(gsEmpty.count() == 1)
+  }
 }

@@ -1335,6 +1335,32 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("S7", 1L)))
   }
 
+  test("groupingSetsTotals: both margins + grand total, no cross product; flags disambiguate") {
+    val orders = Seq(("A", "O", 1.0), ("A", "F", 2.0), ("B", "O", 3.0))
+      .toDF("o_orderpriority", "o_orderstatus", "o_totalprice")
+    val out = Percentiles.groupingSetsTotals(orders,
+      "o_orderpriority", "o_orderstatus", "o_totalprice")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", "ALL", 0L, 1L, 2L, 300L),
+      ("B", "ALL", 0L, 1L, 1L, 300L),
+      ("ALL", "F", 1L, 0L, 1L, 200L),
+      ("ALL", "O", 1L, 0L, 2L, 400L),
+      ("ALL", "ALL", 1L, 1L, 3L, 600L)))
+  }
+
+  test("vocabGrowth: cumulative distinct via first occurrence; TTR falls as the corpus grows") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.vocabGrowth(docs, checkpoints = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 2L, 2L, 10000L),
+      (2L, 2L, 2L, 4L, 3L, 7500L),
+      (3L, 3L, 3L, 5L, 3L, 6000L),
+      (4L, 4L, 4L, 6L, 4L, 6666L)))
+  }
+
   test("docKeywords: bitlen idf sinks corpus-wide tokens; token-asc tie-break") {
     val docs = Seq(
       (1L, "apple apple banana"), (2L, "apple cherry"),

@@ -1447,6 +1447,23 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty, stripCached(p))
   }
 
+  test("q248 grouping sets: one Expand for the margins + the SQL-semantics grand total") {
+    val p = plan("q248_grouping_sets")
+    assert("Expand".r.findAllIn(stripCached(p)).length == 1, p)
+    assert(!p.contains("Join"), p)
+    // margins agg + grand-total SinglePartition + the final sort; the
+    // grand total is a second scan BY DESIGN (empty-table semantics)
+    assert(shuffles(p) <= 3, p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 2, p)
+  }
+
+  test("q249 vocab growth: one cached tokenize pass; checkpoints broadcast theta-joins") {
+    val p = plan("q249_vocab_growth")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty, stripCached(p))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q241 lsh planner: one signature build; the 5 configs read the cached scored frame") {
     val p = plan("q241_lsh_planner")
     assert(!p.contains("CartesianProduct"), p)
