@@ -1136,6 +1136,71 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  property("pruningAudit conservation: scan ⊇ select per probe; selects partition the table") =
+    forAll(Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 200L); b <- Gen.choose(0L, 200L)
+    } yield (a, b))) { rows =>
+      val s = spark; import s.implicits._
+      val out = graft.ops.Layout.pruningAudit(rows.toDF("x", "y"),
+        "x", "y", gridBits = 8, cellBits = 4, probes = 4).collect()
+      val perDim = out.groupBy(_.getAs[String]("dim"))
+      out.forall(r => r.getAs[Long]("scan_rows") >= r.getAs[Long]("select_rows")) &&
+        perDim.values.forall(
+          _.map(_.getAs[Long]("select_rows")).sum == rows.size.toLong)
+    }
+
+  property("orderBacklog conservation: Σopened − Σclosed == final open; value likewise") =
+    forAll(Gen.nonEmptyListOf(for {
+      order <- Gen.choose(1L, 12L)
+      openD <- Gen.choose(0, 20)
+      shipLag <- Gen.choose(0, 15)
+      price <- Gen.choose(1, 500)
+    } yield (order, openD, openD + shipLag, price))) { rows0 =>
+      val s = spark; import s.implicits._
+      // one header per order (first wins), possibly several lines
+      val hdr = rows0.groupBy(_._1).toSeq.map { case (o, xs) => xs.head }
+      def d(i: Int) = Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(math.max(i, 0).toLong).atStartOfDay())
+      val orders = hdr.map { case (o, od, _, p) => (o, d(od), p / 10.0) }
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      val li = rows0.map { case (o, _, sd, _) => (o, d(sd)) }
+        .toDF("l_orderkey", "l_shipdate")
+      val out = graft.ops.Retention.orderBacklog(li, orders).collect()
+      val opened = out.map(_.getAs[Long]("opened")).sum
+      val closed = out.map(_.getAs[Long]("closed")).sum
+      val lastOpen = out.last.getAs[Long]("open_eod")
+      // every generated order has >=1 line, so all eventually close
+      opened - closed == lastOpen && lastOpen == 0L &&
+        out.last.getAs[Long]("open_cents_eod") == 0L
+    }
+
+  property("clusteringCoefficient == JVM brute force per degree band") =
+    forAll(Gen.nonEmptyListOf(for {
+      a <- Gen.choose(1L, 7L); b <- Gen.choose(1L, 7L) if a != b
+    } yield if (a < b) (a, b) else (b, a))) { es0 =>
+      val es = es0.distinct
+      val s = spark; import s.implicits._
+      val got = graft.ops.Graph.clusteringCoefficient(
+        es.map { case (a, b) => (a, b, 1L) }
+          .toDF("item_a", "item_b", "pair_sessions"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2).toSet }
+      val ccs = adj.toSeq.filter(_._2.size >= 2).map { case (v, ns) =>
+        val t = ns.toSeq.combinations(2)
+          .count { case Seq(x, y) => adj(x).contains(y) }
+        val deg = ns.size.toLong
+        val bp = math.floor(10000.0 * 2 * t / (deg * (deg - 1))).toLong
+        (63 - java.lang.Long.numberOfLeadingZeros(deg), bp)
+      }
+      val want = ccs.groupBy(_._1.toLong).toSeq.sortBy(_._1)
+        .map { case (band, xs) =>
+          val bps = xs.map(_._2)
+          (band, xs.size.toLong, bps.sum / bps.size, bps.min, bps.max)
+        }
+      got == want
+    }
+
   property("bfsReach == JVM BFS min-hop from the deg-max seed") =
     forAll(Gen.nonEmptyListOf(for {
       a <- Gen.choose(1L, 8L); b <- Gen.choose(1L, 8L) if a != b
