@@ -494,6 +494,11 @@ object ScaleProbe {
     t("grouping sets")(graft.ops.Percentiles.groupingSetsTotals(
       orders, "o_orderpriority", "o_orderstatus", "o_totalprice"))
     t("vocab growth")(graft.ops.Retrieval.vocabGrowth(docs))
+    t("revenue bridge")(graft.ops.Retention.revenueBridge(
+      orders, dim("customer"), dim("nation"), 1997))
+    t("duplicate orders")(graft.ops.Integrity.duplicateOrders(orders))
+    t("price dispersion")(graft.ops.Integrity.priceDispersion(lineitem))
+    t("linenumber audit")(graft.ops.Integrity.linenumberAudit(lineitem))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -276,7 +276,11 @@ object SparkEntry {
     "q246_clustering_coeff" -> (Queries.clusteringCoefficient _),
     "q247_t_closeness" -> (Queries.tCloseness _),
     "q248_grouping_sets" -> (Queries.groupingSetsTotals _),
-    "q249_vocab_growth" -> (Queries.vocabGrowth _)
+    "q249_vocab_growth" -> (Queries.vocabGrowth _),
+    "q250_revenue_bridge" -> (Queries.revenueBridge _),
+    "q251_duplicate_orders" -> (Queries.duplicateOrders _),
+    "q252_price_dispersion" -> (Queries.priceDispersion _),
+    "q253_linenumber_audit" -> (Queries.linenumberAudit _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2014,6 +2018,30 @@ object Queries {
   def groupingSetsTotals(spark: SparkSession, dir: String): DataFrame =
     Percentiles.groupingSetsTotals(Tables(spark, dir, "orders"),
       "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+  val BridgeYear = 1997
+
+  /** YoY revenue bridge by nation, one conditional-sum fact pass. */
+  def revenueBridge(spark: SparkSession, dir: String): DataFrame =
+    Retention.revenueBridge(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "nation"),
+      BridgeYear)
+
+  /** Duplicate-order (double-payment) audit at multiplicity grain. */
+  def duplicateOrders(spark: SparkSession, dir: String): DataFrame =
+    Integrity.duplicateOrders(Tables(spark, dir, "orders"))
+
+  val DispersionMinLines = 3L
+  val DispersionTopK = 20
+
+  /** Unit-price dispersion: top spread_bp parts. */
+  def priceDispersion(spark: SparkSession, dir: String): DataFrame =
+    Integrity.priceDispersion(Tables(spark, dir, "lineitem"),
+      DispersionMinLines, DispersionTopK)
+
+  /** Line-number contiguity audit (one summary row). */
+  def linenumberAudit(spark: SparkSession, dir: String): DataFrame =
+    Integrity.linenumberAudit(Tables(spark, dir, "lineitem"))
 
   val VocabCheckpoints = 4
 
@@ -8660,6 +8688,104 @@ object Oracles {
         |       CAST(SUM(net_cents) OVER (ORDER BY day) AS BIGINT)
         |         AS open_cents_eod
         |FROM byday ORDER BY 1""".stripMargin,
+
+    // one conditional-sum fact pass; growth null when the base year
+    // is empty (strict pairing, the q186 convention).
+    "q250_revenue_bridge" -> {
+      val yr = Queries.BridgeYear
+      s"""SELECT n.n_name AS nation,
+         |       CAST(SUM(CASE WHEN year(o.o_orderdate) = $yr
+         |         THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+         |         ELSE 0 END) AS BIGINT) AS rev_cents,
+         |       CAST(SUM(CASE WHEN year(o.o_orderdate) = ${yr - 1}
+         |         THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+         |         ELSE 0 END) AS BIGINT) AS prev_cents,
+         |       CAST(SUM(CASE WHEN year(o.o_orderdate) = $yr
+         |         THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+         |         ELSE 0 END)
+         |         - SUM(CASE WHEN year(o.o_orderdate) = ${yr - 1}
+         |         THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+         |         ELSE 0 END) AS BIGINT) AS delta_cents,
+         |       CASE WHEN SUM(CASE WHEN year(o.o_orderdate) = ${yr - 1}
+         |           THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+         |           ELSE 0 END) <= 0 THEN NULL
+         |         ELSE CAST(FLOOR(10000.0 *
+         |           (SUM(CASE WHEN year(o.o_orderdate) = $yr
+         |              THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+         |              ELSE 0 END)
+         |            - SUM(CASE WHEN year(o.o_orderdate) = ${yr - 1}
+         |              THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+         |              ELSE 0 END))
+         |           / SUM(CASE WHEN year(o.o_orderdate) = ${yr - 1}
+         |              THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+         |              ELSE 0 END)) AS BIGINT) END AS growth_bp
+         |FROM orders o
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE year(o.o_orderdate) IN ($yr, ${yr - 1})
+         |GROUP BY 1
+         |ORDER BY delta_cents DESC, nation""".stripMargin
+    },
+
+    // candidate grain (customer, day); exact dupes = repeated amounts
+    // inside a candidate group; group lists never published
+    "q251_duplicate_orders" ->
+      """WITH a AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT o_custkey, day, CAST(SUM(n) AS BIGINT) AS size,
+        |         CAST(COUNT(*) AS BIGINT) AS nd,
+        |         CAST(SUM((n - 1) * cents) AS BIGINT) AS exposed
+        |  FROM a GROUP BY 1, 2)
+        |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(size) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CASE WHEN nd < size THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_exact_groups,
+        |       CAST(SUM(exposed) AS BIGINT) AS exposed_cents
+        |FROM g WHERE size >= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // widest unit-price spreads; partkey tie-break
+    "q252_price_dispersion" -> {
+      val ml = Queries.DispersionMinLines
+      s"""WITH u AS (
+         |  SELECT l_partkey,
+         |         CAST(FLOOR(l_extendedprice * 100.0 / l_quantity)
+         |           AS BIGINT) AS unit_cents
+         |  FROM lineitem WHERE l_quantity > 0.0),
+         |p AS (
+         |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |         MIN(unit_cents) AS min_cents,
+         |         MAX(unit_cents) AS max_cents
+         |  FROM u GROUP BY 1)
+         |SELECT l_partkey, n_lines, min_cents, max_cents,
+         |       CAST(FLOOR(10000.0 * (max_cents - min_cents) / max_cents)
+         |         AS BIGINT) AS spread_bp
+         |FROM p WHERE n_lines >= $ml AND max_cents > 0
+         |ORDER BY spread_bp DESC, l_partkey
+         |LIMIT ${Queries.DispersionTopK}""".stripMargin
+    },
+
+    // structural line-number check: dup beats gap in classification
+    "q253_linenumber_audit" ->
+      """WITH o AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS nd,
+        |         CAST(MAX(l_linenumber) AS BIGINT) AS mx,
+        |         CAST(MIN(l_linenumber) AS BIGINT) AS mn
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CASE WHEN nd < n THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup,
+        |       CAST(SUM(CASE WHEN nd = n AND (mx <> n OR mn <> 1)
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_gap,
+        |       CAST(COUNT(*)
+        |         - SUM(CASE WHEN nd < n THEN 1 ELSE 0 END)
+        |         - SUM(CASE WHEN nd = n AND (mx <> n OR mn <> 1)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+        |FROM o""".stripMargin,
 
     // both 1-D margins + grand total, no cross product; explicit
     // grouping flags disambiguate subtotals from genuine NULL keys.

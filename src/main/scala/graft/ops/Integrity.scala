@@ -290,4 +290,78 @@ object Integrity {
     }
     stats.join(hist.agg(picks.head, picks.tail: _*), lit(true), "left")
   }
+
+  /** Duplicate-ORDER audit — the double-payment tripwire. Candidate
+    * grain is (customer, order day): several same-day orders from one
+    * customer are re-submission CANDIDATES; identical amounts inside
+    * such a group (distinct cents < size) are the strict exact-dupe
+    * signal, and `exposed_cents` totals the repeated amounts a
+    * payment run would double-charge. Reported at multiplicity grain
+    * (never the group list — the k-anonymity disclosure rule):
+    * size, n_groups, n_orders, n_exact_groups, exposed_cents. One
+    * fact pass → two bounded aggregates. */
+  def duplicateOrders(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      // amount grain first: (n−1)·cents per repeated amount is the
+      // exposed mass, and the distinct-amount count falls out free
+      .groupBy(col("o_custkey"), col("day"), col("cents"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_custkey"), col("day"))
+      .agg(sum(col("n")).as("size"), count(lit(1)).as("nd"),
+        sum((col("n") - 1L) * col("cents")).as("exposed"))
+      .filter(col("size") >= 2L)
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("size")).as("n_orders"),
+        sum(when(col("nd") < col("size"), 1L).otherwise(0L))
+          .as("n_exact_groups"),
+        sum(col("exposed")).as("exposed_cents"))
+      .orderBy(col("size").asc)
+
+  /** Line-number contiguity audit: every order's l_linenumber should
+    * be exactly 1..n. One order-grain aggregate classifies each
+    * order — `dup` (distinct < count: repeated numbers), else `gap`
+    * (max ≠ count: holes or offset starts), else ok — and one
+    * summary row reports the counts. The cheap structural check
+    * before anyone trusts per-line joins at 100 TB. */
+  def linenumberAudit(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_linenumber")).as("nd"),
+        max(col("l_linenumber")).cast("long").as("mx"),
+        min(col("l_linenumber")).cast("long").as("mn"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("nd") < col("n"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("nd") === col("n") &&
+          (col("mx") =!= col("n") || col("mn") =!= 1L), 1L)
+          .otherwise(0L)).as("n_gap"))
+      .select(col("n_orders"), col("n_dup"), col("n_gap"),
+        (col("n_orders") - col("n_dup") - col("n_gap")).as("n_ok"))
+
+  /** Unit-price DISPERSION audit: parts whose observed unit price
+    * (extendedprice/quantity, cents) spreads widest — pricing errors,
+    * unit mismatches, or genuine discrimination surface here. Per
+    * part with ≥ `minLines` lines: line count, min/max unit cents,
+    * spread_bp = (max−min)/max. Top `k` by spread (partkey
+    * tie-break). One fact pass → part grain → TakeOrdered head. */
+  def priceDispersion(lineitem: DataFrame, minLines: Long = 3L,
+      k: Int = 20): DataFrame =
+    lineitem
+      .filter(col("l_quantity") > lit(0.0))
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * lit(100.0) / col("l_quantity"))
+          .cast("long").as("unit_cents"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("unit_cents")).as("min_cents"),
+        max(col("unit_cents")).as("max_cents"))
+      .filter(col("n_lines") >= minLines && col("max_cents") > 0L)
+      .withColumn("spread_bp",
+        floor(lit(10000.0) * (col("max_cents") - col("min_cents")) /
+          col("max_cents")).cast("long"))
+      .orderBy(col("spread_bp").desc, col("l_partkey").asc)
+      .limit(k)
 }

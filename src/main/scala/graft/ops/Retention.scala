@@ -1088,6 +1088,36 @@ object Retention {
       .orderBy(col("year").asc, col("o_orderpriority").asc)
   }
 
+  /** YoY revenue BRIDGE by nation — the FP&A waterfall input: per
+    * customer nation, revenue in `year` vs `year−1` (cents), the
+    * delta, and growth_bp (floor; null when the base year is empty —
+    * never growth vs nothing). ONE fact pass: both years come from
+    * conditional sums, no self-join, no pivot. */
+  def revenueBridge(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, yr: Int): DataFrame = {
+    val cents = floor(col("o_totalprice") * lit(100.0)).cast("long")
+    val y = year(col("o_orderdate"))
+    orders
+      .filter(y === yr || y === yr - 1)
+      .select(col("o_custkey"),
+        when(y === yr, cents).otherwise(0L).as("cur"),
+        when(y === yr - 1, cents).otherwise(0L).as("prev"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("cur")).as("rev_cents"),
+        sum(col("prev")).as("prev_cents"))
+      .select(col("nation"), col("rev_cents"), col("prev_cents"),
+        (col("rev_cents") - col("prev_cents")).as("delta_cents"),
+        when(col("prev_cents") <= 0L, lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) *
+            (col("rev_cents") - col("prev_cents")) / col("prev_cents"))
+            .cast("long")).as("growth_bp"))
+      .orderBy(col("delta_cents").desc, col("nation").asc)
+  }
+
   /** Open-order BACKLOG over time — the interval-counting pattern
     * every ops dashboard needs: per change day, orders opened, orders
     * closed (close = the day the LAST line ships), and the running

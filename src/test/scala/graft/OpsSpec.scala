@@ -1335,6 +1335,70 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("S7", 1L)))
   }
 
+  test("revenueBridge: conditional sums pair strict years; empty base year → null growth") {
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val orders = Seq(
+      (10L, 1L, ts("1997-03-01"), 2.0), (11L, 1L, ts("1996-03-01"), 1.0),
+      (12L, 2L, ts("1997-05-01"), 3.0), // no 1996 base
+      (13L, 1L, ts("1995-01-01"), 9.0)) // out of window
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((1L, 1), (2L, 2)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((1, "N1"), (2, "N2")).toDF("n_nationkey", "n_name")
+    val out = Retention.revenueBridge(orders, cust, nat, 1997)
+      .collect().map(r => (r.getAs[String]("nation"),
+        r.getAs[Long]("rev_cents"), r.getAs[Long]("prev_cents"),
+        r.getAs[Long]("delta_cents"), r.getAs[java.lang.Long]("growth_bp")))
+      .toSeq
+    assert(out == Seq(
+      ("N2", 300L, 0L, 300L, null.asInstanceOf[java.lang.Long]),
+      ("N1", 200L, 100L, 100L, java.lang.Long.valueOf(10000L))))
+  }
+
+  test("duplicateOrders: candidate grain (cust, day); exact dupes flagged, exposed summed") {
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val orders = Seq(
+      // cust 1, one day, 5 orders: 3× 100c + 2 distinct → exact group,
+      // exposed = 2·100c beyond the first copy
+      (1L, 1L, ts("2024-01-01"), 1.0), (2L, 1L, ts("2024-01-01"), 1.0),
+      (3L, 1L, ts("2024-01-01"), 1.0),
+      (4L, 1L, ts("2024-01-01"), 2.0), (5L, 1L, ts("2024-01-01"), 3.0),
+      // cust 2: a same-day pair with DIFFERENT amounts — candidate,
+      // not exact, zero exposed
+      (6L, 2L, ts("2024-01-01"), 1.0), (7L, 2L, ts("2024-01-01"), 4.0),
+      (8L, 3L, ts("2024-01-01"), 1.0)) // singleton: not reported
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Integrity.duplicateOrders(orders)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (2L, 1L, 2L, 0L, 0L),
+      (5L, 1L, 5L, 1L, 200L)))
+  }
+
+  test("priceDispersion: min-lines gate; spread ranked desc with partkey tie-break") {
+    val li = Seq(
+      (1L, 100.0, 1.0), (1L, 50.0, 1.0), (1L, 100.0, 1.0), // spread 5000
+      (2L, 1.0, 1.0), (2L, 99.0, 1.0),                     // only 2 lines
+      (3L, 10.0, 1.0), (3L, 10.0, 1.0), (3L, 10.0, 1.0))   // spread 0
+      .toDF("l_partkey", "l_extendedprice", "l_quantity")
+    val out = Integrity.priceDispersion(li, minLines = 3L, k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 5000L, 10000L, 5000L),
+      (3L, 3L, 1000L, 1000L, 0L)))
+  }
+
+  test("linenumberAudit: dup beats gap; offset starts count as gaps") {
+    val li = Seq(
+      (1L, 1), (1L, 2), (1L, 3), // ok
+      (2L, 1), (2L, 1),          // dup
+      (3L, 1), (3L, 3),          // gap (hole)
+      (4L, 2))                   // gap (offset start)
+      .toDF("l_orderkey", "l_linenumber")
+    val out = Integrity.linenumberAudit(li)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out == ((4L, 1L, 2L, 1L)))
+  }
+
   test("groupingSetsTotals: both margins + grand total, no cross product; flags disambiguate") {
     val orders = Seq(("A", "O", 1.0), ("A", "F", 2.0), ("B", "O", 3.0))
       .toDF("o_orderpriority", "o_orderstatus", "o_totalprice")

@@ -1464,6 +1464,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q250 revenue bridge: ONE conditional-sum fact pass — no self-join, no pivot") {
+    val p = plan("q250_revenue_bridge")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // orders appears once: both years are CASE sums in one aggregate
+    val orders = "Scan parquet [^\n]*orders".r.findAllIn(stripCached(p)).length
+    assert(orders == 1, s"orders scanned $orders times:\n$p")
+  }
+
+  test("q251-q253 integrity audits: single pruned fact pass each") {
+    Seq("q251_duplicate_orders", "q253_linenumber_audit").foreach { q =>
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q:\n$p")
+    }
+    val p = plan("q252_price_dispersion")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q241 lsh planner: one signature build; the 5 configs read the cached scored frame") {
     val p = plan("q241_lsh_planner")
     assert(!p.contains("CartesianProduct"), p)
