@@ -86,11 +86,12 @@ object Layout {
     *
     * Scale shape: the cell table (≤2^cellBits rows) is persisted and
     * reused for global bounds, totals, and the overlap test — all
-    * cell-grain. The only row-grain work is ONE pass with a
-    * broadcast nested-loop join against the ≤2·probes probe rows
-    * (constant per-row work); nothing row-grain ever shuffles. Empty
-    * probes (range narrower than the probe count) are dropped —
-    * their overlap test is vacuous. */
+    * cell-grain. The only row-grain work is ONE pass computing each
+    * row's probe by ARITHMETIC (the ceil-partition inverse map — see
+    * below; no per-row probe-list scan); nothing row-grain ever
+    * shuffles beyond the (dim, probe)-grain count. Empty probes
+    * (range narrower than the probe count) are dropped — their
+    * overlap test is vacuous. */
   def pruningAudit(df: DataFrame, colA: String, colB: String,
       gridBits: Int = 16, cellBits: Int = 6, probes: Int = 16): DataFrame = {
     require(probes >= 1 && probes <= 1024, "probes in [1,1024]")
@@ -125,11 +126,18 @@ object Layout {
     val rows = df.select(col(colA).cast("long").as("a"),
         col(colB).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-    val sel = rows
-      .join(broadcast(probeFrame.select(col("dim"), col("probe"),
-        col("c_lo"), col("c_hi"))),
-        (col("dim") === "a" && col("a").between(col("c_lo"), col("c_hi"))) ||
-        (col("dim") === "b" && col("b").between(col("c_lo"), col("c_hi"))))
+    // row → probe is pure arithmetic, not a probe-list join: for the
+    // ceil-boundary partition c_lo_i = lo + ⌈iW/P⌉, the inverse map
+    // is exactly i = ((v − lo)·P) div W (x ≥ ⌈iW/P⌉ ⇒ Px ≥ iW, and
+    // x < ⌈(i+1)W/P⌉ ⇒ Px < (i+1)W) — one codegen'd div per value
+    // instead of a P-way nested-loop compare per row
+    def probeOf(d: String) =
+      expr(s"(($d - lo_$d) * ${p}L) div (hi_$d - lo_$d + 1L)")
+    val sel = rows.crossJoin(broadcast(glob))
+      .select(explode(array(
+        struct(lit("a").as("dim"), probeOf("a").as("probe")),
+        struct(lit("b").as("dim"), probeOf("b").as("probe")))).as("d"))
+      .select(col("d.dim").as("dim"), col("d.probe").as("probe"))
       .groupBy(col("dim"), col("probe"))
       .agg(count(lit(1)).as("select_rows"))
     probeFrame
