@@ -496,6 +496,11 @@ object ScaleProbe {
     t("vocab growth")(graft.ops.Retrieval.vocabGrowth(docs))
     t("revenue bridge")(graft.ops.Retention.revenueBridge(
       orders, dim("customer"), dim("nation"), 1997))
+    t("zero sales days")(graft.ops.Integrity.zeroSalesDays(lineitem))
+    t("cross source dups")(graft.ops.Integrity.crossSourceDups(docs))
+    t("weighted quantiles")(graft.ops.Percentiles.weightedQuantileTable(
+      lineitem, "l_returnflag", "l_extendedprice", "l_quantity",
+      Seq(5000L, 9000L, 9900L)))
     t("duplicate orders")(graft.ops.Integrity.duplicateOrders(orders))
     t("price dispersion")(graft.ops.Integrity.priceDispersion(lineitem))
     t("linenumber audit")(graft.ops.Integrity.linenumberAudit(lineitem))

@@ -280,7 +280,10 @@ object SparkEntry {
     "q250_revenue_bridge" -> (Queries.revenueBridge _),
     "q251_duplicate_orders" -> (Queries.duplicateOrders _),
     "q252_price_dispersion" -> (Queries.priceDispersion _),
-    "q253_linenumber_audit" -> (Queries.linenumberAudit _)
+    "q253_linenumber_audit" -> (Queries.linenumberAudit _),
+    "q254_zero_sales_days" -> (Queries.zeroSalesDays _),
+    "q255_cross_source_dups" -> (Queries.crossSourceDups _),
+    "q256_weighted_price_quantiles" -> (Queries.weightedPriceQuantiles _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2042,6 +2045,25 @@ object Queries {
   /** Line-number contiguity audit (one summary row). */
   def linenumberAudit(spark: SparkSession, dir: String): DataFrame =
     Integrity.linenumberAudit(Tables(spark, dir, "lineitem"))
+
+  val ZeroSalesMinSpan = 30L
+  val ZeroSalesTopK = 20
+
+  /** Per-part zero-sales-day share within its own active span. */
+  def zeroSalesDays(spark: SparkSession, dir: String): DataFrame =
+    Integrity.zeroSalesDays(Tables(spark, dir, "lineitem"),
+      ZeroSalesMinSpan, ZeroSalesTopK)
+
+  /** Exact-duplicate text matrix between sources. */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame =
+    Integrity.crossSourceDups(Tables(spark, dir, "documents"))
+
+  val WeightedRanksBp = Seq(5000L, 9000L, 9900L)
+
+  /** Quantity-weighted price quantiles per return flag. */
+  def weightedPriceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.weightedQuantileTable(Tables(spark, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice", "l_quantity", WeightedRanksBp)
 
   val VocabCheckpoints = 4
 
@@ -8786,6 +8808,81 @@ object Oracles {
         |         - SUM(CASE WHEN nd = n AND (mx <> n OR mn <> 1)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
         |FROM o""".stripMargin,
+
+    // span vs distinct sale days per part, min-span gate, top-k
+    "q254_zero_sales_days" -> {
+      val ms = Queries.ZeroSalesMinSpan
+      s"""WITH p AS (
+         |  SELECT l_partkey,
+         |         CAST(MAX(CAST(l_shipdate AS DATE)) -
+         |              MIN(CAST(l_shipdate AS DATE)) + 1 AS BIGINT)
+         |           AS span_days,
+         |         CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+         |           AS sale_days
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_partkey, span_days, sale_days,
+         |       CAST(span_days - sale_days AS BIGINT) AS zero_days,
+         |       CAST(FLOOR(10000.0 * (span_days - sale_days) / span_days)
+         |         AS BIGINT) AS zero_bp
+         |FROM p WHERE span_days >= $ms
+         |ORDER BY zero_bp DESC, l_partkey
+         |LIMIT ${Queries.ZeroSalesTopK}""".stripMargin
+    },
+
+    // (hash, source) grain first; diagonal = within-source dup texts
+    // (always emitted over the observed source domain), off-diagonal
+    // = exact texts shared by two sources
+    "q255_cross_source_dups" ->
+      """WITH hs AS (
+        |  SELECT md5(text) AS h, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+        |within AS (
+        |  SELECT source AS source_a, source AS source_b,
+        |         CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_shared_texts
+        |  FROM hs GROUP BY 1, 2),
+        |crossp AS (
+        |  SELECT x.source AS source_a, y.source AS source_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+        |  FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT * FROM within
+        |UNION ALL
+        |SELECT * FROM crossp
+        |ORDER BY n_shared_texts DESC, source_a, source_b""".stripMargin,
+
+    // weight-mass nearest rank: crossing at ceil(rank·W/10000) of the
+    // group's total quantity
+    "q256_weighted_price_quantiles" -> {
+      val ranks = Queries.WeightedRanksBp
+      val picks = ranks.map { p =>
+        s"""CAST(FLOOR(CAST(MIN(CASE WHEN cum >= (tw * $p + 9999) // 10000
+           |  AND tw > 0 THEN l_extendedprice END) AS DOUBLE) * 100)
+           |  AS BIGINT) AS q$p""".stripMargin
+      }.mkString(",\n")
+      val unions = ranks.map { p =>
+        s"SELECT l_returnflag, CAST($p AS BIGINT) AS rank_bp," +
+          s" q$p AS value_cents, total_weight FROM agg"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH h AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+         |           AS w
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *,
+         |         SUM(w) OVER (PARTITION BY l_returnflag
+         |                      ORDER BY l_extendedprice ASC) AS cum,
+         |         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+         |  FROM h),
+         |agg AS (
+         |  SELECT l_returnflag, CAST(MIN(tw) AS BIGINT) AS total_weight,
+         |$picks
+         |  FROM c GROUP BY 1)
+         |$unions""".stripMargin
+    },
 
     // both 1-D margins + grand total, no cross product; explicit
     // grouping flags disambiguate subtotals from genuine NULL keys.

@@ -341,6 +341,58 @@ object Integrity {
       .select(col("n_orders"), col("n_dup"), col("n_gap"),
         (col("n_orders") - col("n_dup") - col("n_gap")).as("n_ok"))
 
+  /** Zero-sales-day audit: per part, how much of its own active span
+    * (first to last sale day) had NO sales at all — the stock-out /
+    * delisting signal a demand forecast must not train through.
+    * Parts below `minSpanDays` are noise and gated out; top `k` by
+    * zero-share (partkey tie-break). One fact pass to part grain:
+    * span and distinct-day counts are the whole computation. */
+  def zeroSalesDays(lineitem: DataFrame, minSpanDays: Long = 30L,
+      k: Int = 20): DataFrame =
+    lineitem
+      .select(col("l_partkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .groupBy(col("l_partkey"))
+      .agg((max(col("day")) - min(col("day")) + 1L).as("span_days"),
+        countDistinct(col("day")).as("sale_days"))
+      .filter(col("span_days") >= minSpanDays)
+      .select(col("l_partkey"), col("span_days"), col("sale_days"),
+        (col("span_days") - col("sale_days")).as("zero_days"),
+        floor(lit(10000.0) * (col("span_days") - col("sale_days")) /
+          col("span_days")).cast("long").as("zero_bp"))
+      .orderBy(col("zero_bp").desc, col("l_partkey").asc)
+      .limit(k)
+
+  /** Duplicate-provenance MATRIX — which source copies which: the
+    * diagonal counts texts duplicated WITHIN a source (always
+    * emitted, 0 = provably clean — the observed source set is the
+    * declared domain), off-diagonal cells count exact texts SHARED
+    * by two sources. Together they say where a mixture's dedup
+    * budget actually goes (crawl↔crawl churn vs curated leaking
+    * into crawl). Collapses to (text hash, source) grain FIRST, so
+    * the pair join is bounded by the source count per hash
+    * (≤ |sources|), never by replica multiplicity — the q42
+    * representative-grain discipline. */
+  def crossSourceDups(docs: DataFrame): DataFrame = {
+    val hs = docs.filter(col("text").isNotNull)
+      .select(md5(col("text")).as("h"), col("source"))
+      .groupBy(col("h"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // diagonal, cross pairs, and the source domain
+    val within = hs.groupBy(col("source"))
+      .agg(sum(when(col("n") >= 2L, 1L).otherwise(0L)).as("n_shared_texts"))
+      .select(col("source").as("source_a"), col("source").as("source_b"),
+        col("n_shared_texts"))
+    val cross = hs.as("x").join(hs.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+    within.unionAll(cross)
+      .orderBy(col("n_shared_texts").desc, col("source_a").asc,
+        col("source_b").asc)
+  }
+
   /** Unit-price DISPERSION audit: parts whose observed unit price
     * (extendedprice/quantity, cents) spreads widest — pricing errors,
     * unit mismatches, or genuine discrimination surface here. Per

@@ -113,6 +113,47 @@ object Percentiles {
         col("q.value_cents").as("value_cents"), col("n_rows"))
   }
 
+  /** WEIGHTED exact nearest-rank quantiles: rank positions measured
+    * in weight mass, not rows — "the price below which half the
+    * UNITS ship" needs quantity weighting, and a row-ranked quantile
+    * answers a different question. Same value-grain cumulative-
+    * histogram shape as [[quantileTable]] (the window never runs
+    * over raw rows), with the crossing at ceil(rank·W/10000) of the
+    * group's total weight; weights floor to BIGINT so the crossing
+    * arithmetic is exact in both engines. Zero-total-weight groups
+    * report null values. */
+  def weightedQuantileTable(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String,
+      ranksBp: Seq[Long] = Seq(5000L, 9000L, 9900L)): DataFrame = {
+    require(ranksBp.nonEmpty && ranksBp.forall(p => p >= 1L && p <= 10000L),
+      "ranks must be in [1, 10000] bp")
+    require(ranksBp.distinct.size == ranksBp.size,
+      s"ranks must be distinct: $ranksBp")
+    val hist = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(groupCol), col(valueCol),
+        floor(col(weightCol)).cast("long").as("__w"))
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col("__w")).as("__w"))
+      .withColumn("cum", sum(col("__w")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol).asc)))
+      .withColumn("tw", sum(col("__w")).over(
+        Window.partitionBy(col(groupCol))))
+    val aggs = ranksBp.map { p =>
+      floor(min(when(col("cum") >= expr(s"(tw * $p + 9999) div 10000") &&
+        col("tw") > 0L, col(valueCol))).cast("double") * 100).cast("long")
+        .as(s"__q$p")
+    }
+    hist.groupBy(col(groupCol))
+      .agg(min(col("tw")).as("total_weight"), aggs: _*)
+      .select(col(groupCol), col("total_weight"),
+        explode(array(ranksBp.map { p =>
+          struct(lit(p).as("rank_bp"), col(s"__q$p").as("value_cents"))
+        }: _*)).as("q"))
+      .select(col(groupCol), col("q.rank_bp").as("rank_bp"),
+        col("q.value_cents").as("value_cents"), col("total_weight"))
+  }
+
   /** Ungrouped exact nearest-rank quantiles of `valueCol`, as ONE row
     * of `__q<p>` columns over the value-grain cumulative histogram
     * (NULLs excluded — the shared convention above). The building

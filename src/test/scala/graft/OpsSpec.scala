@@ -1335,6 +1335,39 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("S7", 1L)))
   }
 
+  test("zeroSalesDays: span vs distinct sale days; min-span gate") {
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val li = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-31")), // span 31, 2 days
+      (2L, ts("2024-01-01")), (2L, ts("2024-01-05"))) // span 5: gated
+      .toDF("l_partkey", "l_shipdate")
+    val out = Integrity.zeroSalesDays(li, minSpanDays = 30L, k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 31L, 2L, 29L, 9354L)))
+  }
+
+  test("crossSourceDups: diagonal always present (0 = clean); shared texts credit the pair") {
+    val docs = Seq(
+      (1L, "dup text", "s1"), (2L, "dup text", "s1"), // within-s1 dup
+      (3L, "shared", "s1"), (4L, "shared", "s2"),     // cross pair
+      (5L, "only c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Integrity.crossSourceDups(docs)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("s1", "s1", 1L), ("s1", "s2", 1L), ("s2", "s2", 0L)))
+  }
+
+  test("weightedQuantileTable: rank positions in weight mass, not rows") {
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 9.0))
+      .toDF("grp", "price", "qty")
+    val out = Percentiles.weightedQuantileTable(df, "grp", "price", "qty",
+      Seq(5000L, 9900L))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // total weight 10; the 50% crossing needs cum >= 5 → 2.0 (a
+    // row-ranked median would say 1.0/2.0 split) — 200 cents
+    assert(out == Seq(("g", 5000L, 200L, 10L), ("g", 9900L, 200L, 10L)))
+  }
+
   test("revenueBridge: conditional sums pair strict years; empty base year → null growth") {
     def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
     val orders = Seq(

@@ -1484,6 +1484,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q254/q256 part and weighted-quantile panels: one pruned fact pass each") {
+    val p4 = plan("q254_zero_sales_days")
+    assert("Scan parquet".r.findAllIn(stripCached(p4)).length == 1, p4)
+    assert(p4.contains("TakeOrderedAndProject"), p4)
+    val p6 = plan("q256_weighted_price_quantiles")
+    assert("Scan parquet".r.findAllIn(stripCached(p6)).length == 1, p6)
+    // the window runs over the (flag, price) value grain, not rows
+    assert(!p6.contains("CartesianProduct"), p6)
+  }
+
+  test("q255 duplicate-provenance matrix: diagonal + cross off the cached hash-source grain") {
+    val p = plan("q255_cross_source_dups")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty, stripCached(p))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q241 lsh planner: one signature build; the 5 configs read the cached scored frame") {
     val p = plan("q241_lsh_planner")
     assert(!p.contains("CartesianProduct"), p)
