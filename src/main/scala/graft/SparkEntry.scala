@@ -1745,19 +1745,26 @@ object Queries {
   val ZorderGridBits = 16
   val ZorderCellBits = 6
 
+  /** The q200 cell table as a shared model artifact (the layout's
+    * index metadata — q200 publishes it, q240 prunes against it). */
+  private def sharedZorderCells(spark: SparkSession, dir: String): DataFrame =
+    Shared.memo(spark, s"zorder_cells:$dir")(
+      Layout.zorderCells(Tables(spark, dir, "lineitem"),
+        "l_partkey", "l_suppkey", ZorderGridBits, ZorderCellBits))
+
   /** Z-order layout audit of lineitem on (l_partkey, l_suppkey). */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame =
-    Layout.zorderCells(Tables(spark, dir, "lineitem"),
-      "l_partkey", "l_suppkey", ZorderGridBits, ZorderCellBits)
+    sharedZorderCells(spark, dir)
 
   val PruneProbes = 16
 
   /** Zone-map pruning audit over the q200 layout: per equal-width
     * range probe, cells a min/max reader must scan vs rows actually
-    * selected. */
+    * selected (shared cell table — one build serves both queries). */
   def pruningAudit(spark: SparkSession, dir: String): DataFrame =
     Layout.pruningAudit(Tables(spark, dir, "lineitem"),
-      "l_partkey", "l_suppkey", ZorderGridBits, ZorderCellBits, PruneProbes)
+      "l_partkey", "l_suppkey", ZorderGridBits, ZorderCellBits, PruneProbes,
+      cells0 = Some(sharedZorderCells(spark, dir)))
 
   /** Component-size census of the q93 co-visit graph (shared pairs;
     * the same CC machinery as the near-dup clusters). */

@@ -93,10 +93,15 @@ object Layout {
     * (range narrower than the probe count) are dropped — their
     * overlap test is vacuous. */
   def pruningAudit(df: DataFrame, colA: String, colB: String,
-      gridBits: Int = 16, cellBits: Int = 6, probes: Int = 16): DataFrame = {
+      gridBits: Int = 16, cellBits: Int = 6, probes: Int = 16,
+      cells0: Option[DataFrame] = None): DataFrame = {
     require(probes >= 1 && probes <= 1024, "probes in [1,1024]")
-    val cells = zorderCells(df, colA, colB, gridBits, cellBits)
-      .persist()
+    // cells0 is the shared-model-artifact seam (the book0 pattern):
+    // the cell table is the layout's index metadata — a caller that
+    // also publishes it (q200) builds it once. Contract: cells0 must
+    // be zorderCells(df, colA, colB, gridBits, cellBits).
+    val cells = cells0.getOrElse(
+      zorderCells(df, colA, colB, gridBits, cellBits).persist())
     // every row lives in a cell, so global bounds and the row total
     // are cell-grain aggregates — no second fact scan
     val glob = cells.agg(
