@@ -497,6 +497,7 @@ object ScaleProbe {
     t("revenue bridge")(graft.ops.Retention.revenueBridge(
       orders, dim("customer"), dim("nation"), 1997))
     t("zero sales days")(graft.ops.Integrity.zeroSalesDays(lineitem))
+    t("trailing revenue")(graft.ops.Retention.trailingRevenue(orders))
     t("cross source dups")(graft.ops.Integrity.crossSourceDups(docs))
     t("weighted quantiles")(graft.ops.Percentiles.weightedQuantileTable(
       lineitem, "l_returnflag", "l_extendedprice", "l_quantity",

@@ -283,7 +283,8 @@ object SparkEntry {
     "q253_linenumber_audit" -> (Queries.linenumberAudit _),
     "q254_zero_sales_days" -> (Queries.zeroSalesDays _),
     "q255_cross_source_dups" -> (Queries.crossSourceDups _),
-    "q256_weighted_price_quantiles" -> (Queries.weightedPriceQuantiles _)
+    "q256_weighted_price_quantiles" -> (Queries.weightedPriceQuantiles _),
+    "q257_trailing_revenue" -> (Queries.trailingRevenue _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2064,6 +2065,13 @@ object Queries {
   /** Exact-duplicate text matrix between sources. */
   def crossSourceDups(spark: SparkSession, dir: String): DataFrame =
     Integrity.crossSourceDups(Tables(spark, dir, "documents"))
+
+  val TrailingWindowDays = 7
+
+  /** Rolling 7-day revenue via a RANGE frame over day numbers. */
+  def trailingRevenue(spark: SparkSession, dir: String): DataFrame =
+    Retention.trailingRevenue(Tables(spark, dir, "orders"),
+      TrailingWindowDays)
 
   val WeightedRanksBp = Seq(5000L, 9000L, 9900L)
 
@@ -8815,6 +8823,29 @@ object Oracles {
         |         - SUM(CASE WHEN nd = n AND (mx <> n OR mn <> 1)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
         |FROM o""".stripMargin,
+
+    // RANGE frame over day numbers: value distance, so calendar gaps
+    // never let a dark week's revenue read as current
+    "q257_trailing_revenue" -> {
+      val wd = Queries.TrailingWindowDays
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents,
+         |         CAST(COUNT(*) AS BIGINT) AS n_orders
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
+         |SELECT strftime(DATE '1970-01-01' + CAST(daynum AS INT),
+         |         '%Y-%m-%d') AS day,
+         |       cents, n_orders,
+         |       CAST(SUM(cents) OVER (ORDER BY daynum
+         |         RANGE BETWEEN ${wd - 1} PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS trail_cents,
+         |       CAST(SUM(n_orders) OVER (ORDER BY daynum
+         |         RANGE BETWEEN ${wd - 1} PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS trail_orders
+         |FROM d ORDER BY 1""".stripMargin
+    },
 
     // span vs distinct sale days per part, min-span gate, top-k
     "q254_zero_sales_days" -> {

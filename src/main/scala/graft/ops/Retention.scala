@@ -1088,6 +1088,37 @@ object Retention {
       .orderBy(col("year").asc, col("o_orderpriority").asc)
   }
 
+  /** Trailing-window revenue — the rolling-7-day panel every revenue
+    * dashboard draws, and the library's RANGE-frame exemplar: the
+    * frame is `RANGE BETWEEN windowDays−1 PRECEDING AND CURRENT ROW`
+    * over the DAY NUMBER, so calendar gaps are handled by VALUE
+    * distance — a ROWS frame would silently reach across a dark week
+    * and report stale revenue as current (the spec pins the gap
+    * case). Emitted at observed-day grain; days with no orders have
+    * no row (the trailing value is constant until the next sale).
+    *
+    * Scale shape: one fact pass to the calendar-bounded day grain,
+    * then the single-partition day walk (the q212 pattern). */
+  def trailingRevenue(orders: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays >= 1")
+    val w = Window.orderBy(col("daynum"))
+      .rangeBetween(-(windowDays - 1L), 0L)
+    orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"), count(lit(1)).as("n_orders"))
+      .withColumn("trail_cents", sum(col("cents")).over(w))
+      .withColumn("trail_orders", sum(col("n_orders")).over(w))
+      .select(
+        date_format(expr("date_add('1970-01-01', CAST(daynum AS INT))"),
+          "yyyy-MM-dd").as("day"),
+        col("cents"), col("n_orders"), col("trail_cents"),
+        col("trail_orders"))
+      .orderBy(col("day").asc)
+  }
+
   /** YoY revenue BRIDGE by nation — the FP&A waterfall input: per
     * customer nation, revenue in `year` vs `year−1` (cents), the
     * delta, and growth_bp (floor; null when the base year is empty —

@@ -1335,6 +1335,22 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("S7", 1L)))
   }
 
+  test("trailingRevenue: RANGE frame — a calendar gap excludes stale days (ROWS would not)") {
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val orders = Seq(
+      (1L, ts("2024-01-01"), 1.0), (2L, ts("2024-01-02"), 2.0),
+      (3L, ts("2024-01-09"), 4.0)) // 7+ days after day 2
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Retention.trailingRevenue(orders, windowDays = 7)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 100L, 1L, 100L, 1L),
+      ("2024-01-02", 200L, 1L, 300L, 2L),
+      // day 9's trailing window is [Jan 3, Jan 9] — days 1-2 are OUT;
+      // a 6-PRECEDING ROWS frame would wrongly report 700
+      ("2024-01-09", 400L, 1L, 400L, 1L)))
+  }
+
   test("zeroSalesDays: span vs distinct sale days; min-span gate") {
     def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
     val li = Seq(

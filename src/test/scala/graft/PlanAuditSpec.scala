@@ -1494,6 +1494,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p6.contains("CartesianProduct"), p6)
   }
 
+  test("q257 trailing revenue: one fact pass; RANGE frame on the bounded day walk") {
+    val p = plan("q257_trailing_revenue")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    assert(p.contains("RangeFrame"), p)
+    assert(p.contains("SinglePartition"), p) // calendar-bounded walk
+  }
+
   test("q255 duplicate-provenance matrix: diagonal + cross off the cached hash-source grain") {
     val p = plan("q255_cross_source_dups")
     assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty, stripCached(p))
