@@ -1201,6 +1201,36 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  property("weightedQuantileTable == JVM weight-mass nearest rank") =
+    forAll(Gen.nonEmptyListOf(for {
+      v <- Gen.choose(1, 50); w <- Gen.choose(0L, 9L)
+    } yield (v.toDouble, w.toDouble))) { rows =>
+      val s = spark; import s.implicits._
+      val ranks = Seq(2500L, 5000L, 9900L)
+      val got = graft.ops.Percentiles.weightedQuantileTable(
+        rows.map { case (v, w) => ("g", v, w) }.toDF("grp", "v", "w"),
+        "grp", "v", "w", ranks).collect()
+        .map(r => r.getAs[Long]("rank_bp") ->
+          Option(r.getAs[java.lang.Long]("value_cents")).map(_.toLong))
+        .toMap
+      val hist = rows.groupBy(_._1).map { case (v, xs) =>
+        v -> xs.map(x => math.floor(x._2).toLong).sum
+      }.toSeq.sortBy(_._1)
+      val tw = hist.map(_._2).sum
+      val want = ranks.map { p =>
+        p -> (if (tw <= 0L) None
+        else {
+          val need = (tw * p + 9999L) / 10000L
+          var cum = 0L
+          hist.collectFirst {
+            case (v, w) if { cum += w; cum >= need } =>
+              math.floor(v * 100).toLong
+          }
+        })
+      }.toMap
+      got == want
+    }
+
   property("bfsReach == JVM BFS min-hop from the deg-max seed") =
     forAll(Gen.nonEmptyListOf(for {
       a <- Gen.choose(1L, 8L); b <- Gen.choose(1L, 8L) if a != b
