@@ -1105,8 +1105,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q200 zorder cells: no sort/window before the cell grain; morton codegen'd; 2-column pruned scans") {
-    val p = plan("q200_zorder_cells")
+  test("q200 zorder cells: BUILD plan is scan→morton map→cell agg; registered query reads the shared checkpointed cells") {
+    // q200's registered entry serves the Shared.memo cell artifact, so
+    // its own plan is just the checkpoint scan — the structural pins
+    // live on the artifact BUILD, explained directly (the same split
+    // ClusteringSpec uses for shared ≡ standalone).
+    val p = graft.ops.Layout.zorderCells(
+      graft.tables.Tables(spark, sf, "lineitem"),
+      "l_partkey", "l_suppkey",
+      Queries.ZorderGridBits, Queries.ZorderCellBits)
+      .queryExecution.executedPlan.toString
     // the audit is scan → map → cell-grain agg: the only Sort is the
     // final ≤2^cellBits-row output ordering, never a fact-table sort
     assert(!p.contains("Window"), p)
@@ -1122,6 +1130,12 @@ class PlanAuditSpec extends SparkSpec {
     val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
     assert(readSchema.contains("l_partkey") && !readSchema.contains("l_orderkey"),
       s"scan not pruned: $readSchema")
+    // the SERVED plan: a lineage-truncated artifact scan, no fact work
+    val served = plan("q200_zorder_cells")
+    assert(served.contains("Scan ExistingRDD"),
+      s"q200 not serving the checkpointed cell artifact:\n$served")
+    assert(!served.contains("Scan parquet"),
+      s"q200 re-scanned the fact table instead of the artifact:\n$served")
   }
 
   test("q202 triple itemsets: join-free comb — one fact scan, basket agg + triple agg, TakeOrdered head") {
