@@ -582,6 +582,21 @@ object Queries {
       ProductQuant.encode(Tables(spark, dir, "embeddings"),
         sharedTrainedBook(spark, dir), PqM, carry = Seq("label")))
 
+  /** The ANN family's shared index artifacts (ops.Shared contract —
+    * the sign-LSH/IVF twin of the PQ book+codes above): the quantized
+    * corpus (LSH bucket + integer codes + exact norms, doc-grain
+    * integer rows — never the float vectors) and the IVF coarse
+    * centroids (label-grain). Built once per session;
+    * q25/q26/q27/q32/q72/q87/q100/q121/q143/q158/q243 all serve from
+    * them instead of each re-quantizing the corpus. */
+  private def sharedAnnIndex(spark: SparkSession, dir: String): DataFrame =
+    Shared.memo(spark, s"ann_index:$dir")(
+      Similarity.quantizedCorpus(Tables(spark, dir, "embeddings")))
+
+  private def sharedIvfCentroids(spark: SparkSession, dir: String): DataFrame =
+    Shared.memo(spark, s"ivf_centroids:$dir")(
+      Similarity.ivfCentroidsFromQuantized(sharedAnnIndex(spark, dir)))
+
   /** PQ/ADC top-10 with the oracle-able seed codebook. */
   def pqAnn(spark: SparkSession, dir: String): DataFrame =
     ProductQuant.adcTopK(Tables(spark, dir, "embeddings"), knnQueryPred,
@@ -789,11 +804,13 @@ object Queries {
   val knnQueryPred: Column = col("vec_id") % KnnQueryMod === 0
 
   def knnBruteforce(spark: SparkSession, dir: String): DataFrame =
-    Similarity.knnBruteForce(Tables(spark, dir, "embeddings"), knnQueryPred)
+    Similarity.knnBruteForce(Tables(spark, dir, "embeddings"), knnQueryPred,
+      quant0 = Some(sharedAnnIndex(spark, dir)))
 
   /** Contrastive hard negatives: most-similar different-label top-3. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
-    Similarity.hardNegatives(Tables(spark, dir, "embeddings"), knnQueryPred)
+    Similarity.hardNegatives(Tables(spark, dir, "embeddings"), knnQueryPred,
+      quant0 = Some(sharedAnnIndex(spark, dir)))
 
   /** BPE inference (the q70 merges applied): vocabulary re-segmented
     * by the learned rules. The merge list is collected driver-side —
@@ -870,7 +887,8 @@ object Queries {
 
   /** Per-label embedding outliers vs the label's floor-mean centroid. */
   def labelOutliers(spark: SparkSession, dir: String): DataFrame =
-    Similarity.labelOutliers(Tables(spark, dir, "embeddings"), OutlierTopK)
+    Similarity.labelOutliers(Tables(spark, dir, "embeddings"), OutlierTopK,
+      quant0 = Some(sharedAnnIndex(spark, dir)))
 
   val AnomalyWindowDays = 7
   val AnomalyK2 = 4L // z² threshold: flag when z² > 4 (|z| > 2σ)
@@ -996,20 +1014,26 @@ object Queries {
     Profile.profile(Tables(spark, dir, "documents"), ProfileCols)
 
   def annLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.annLsh(Tables(spark, dir, "embeddings"), knnQueryPred)
+    Similarity.annLsh(Tables(spark, dir, "embeddings"), knnQueryPred,
+      quant0 = Some(sharedAnnIndex(spark, dir)))
 
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(Tables(spark, dir, "embeddings"))
+    Similarity.nearDupPairs(Tables(spark, dir, "embeddings"),
+      quant0 = Some(sharedAnnIndex(spark, dir)))
 
   def ivfAnn(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfAnn(Tables(spark, dir, "embeddings"), knnQueryPred)
+    Similarity.ivfAnn(Tables(spark, dir, "embeddings"), knnQueryPred,
+      quant0 = Some(sharedAnnIndex(spark, dir)),
+      cents0 = Some(sharedIvfCentroids(spark, dir)))
 
   val IvfProbeDepths = Seq(1, 2, 4, 8)
 
   /** IVF recall-vs-cost curve over probe depths 1/2/4/8. */
   def ivfProbeCurve(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfProbeCurve(Tables(spark, dir, "embeddings"), knnQueryPred,
-      AnnRecallK, IvfProbeDepths)
+      AnnRecallK, IvfProbeDepths,
+      quant0 = Some(sharedAnnIndex(spark, dir)),
+      cents0 = Some(sharedIvfCentroids(spark, dir)))
 
   // ---- training-data pipeline: multimodal columns ----
 
@@ -1027,7 +1051,7 @@ object Queries {
   /** Recall@k of the LSH ANN (q26) vs brute-force truth (q25). */
   def annRecall(spark: SparkSession, dir: String): DataFrame =
     Similarity.annRecall(Tables(spark, dir, "embeddings"), knnQueryPred,
-      AnnRecallK)
+      AnnRecallK, quant0 = Some(sharedAnnIndex(spark, dir)))
 
   /** Every FuzzyEvalMod-th doc plays the benchmark set; the rest are
     * the training corpus. Plain `%` on BOTH engines (sign-of-dividend
@@ -1175,7 +1199,9 @@ object Queries {
 
   /** IVF list balance / coherence report (index-health gate). */
   def ivfBalance(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfBalance(Tables(spark, dir, "embeddings"))
+    Similarity.ivfBalance(Tables(spark, dir, "embeddings"),
+      quant0 = Some(sharedAnnIndex(spark, dir)),
+      cents0 = Some(sharedIvfCentroids(spark, dir)))
 
   /** Per-source character-class / script mixture panel. */
   def scriptMix(spark: SparkSession, dir: String): DataFrame =
@@ -1329,7 +1355,9 @@ object Queries {
   /** IVF centroid drift vs index-build time (staleness report). */
   def centroidDrift(spark: SparkSession, dir: String): DataFrame =
     Similarity.centroidDrift(Tables(spark, dir, "embeddings"),
-      col("vec_id") % DriftBuiltMod =!= 0)
+      col("vec_id") % DriftBuiltMod =!= 0,
+      quant0 = Some(sharedAnnIndex(spark, dir)),
+      cents0 = Some(sharedIvfCentroids(spark, dir)))
 
   /** Between-session return-time ⌊log₂ hours⌋ histogram. */
   def returnTimes(spark: SparkSession, dir: String): DataFrame =
@@ -1418,7 +1446,7 @@ object Queries {
   /** MRR@k of the q25 LSH ANN vs the exact top-1 (q100's rank twin). */
   def annMrr(spark: SparkSession, dir: String): DataFrame =
     Similarity.annMrr(Tables(spark, dir, "embeddings"), knnQueryPred,
-      AnnRecallK)
+      AnnRecallK, quant0 = Some(sharedAnnIndex(spark, dir)))
 
   val DecayHalfLifeDays = 7
   val DecayTopK = 20

@@ -37,6 +37,33 @@ object Similarity {
         s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT))"))
       .withColumn("n2", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
 
+  /** The shared ANN index artifact (ops.Shared contract — the
+    * sign-LSH/IVF twin of the PQ book+codes): per vector its LSH
+    * bucket, integer-quantized components, and exact squared norm.
+    * Doc-grain INTEGER rows — the float payload never lands in the
+    * artifact (the bucket is materialized here precisely so readers
+    * need no float column). Every entry point below accepts it via
+    * its `quant0` seam; an ANN service builds this once (it IS the
+    * index) and serves every query batch from it. Contract: `quant0`
+    * must equal `quantizedCorpus(emb)` for the same corpus. */
+  def quantizedCorpus(emb: DataFrame): DataFrame =
+    withSignBucket(quantized(emb))
+      .select(col("vec_id"), col("label"), col("bucket"), col("q"), col("n2"))
+
+  /** quant0 seam resolution — standalone callers rebuild just the
+    * quantized columns inline (NOT the sign bucket: it hard-fails on
+    * sub-SignBits vectors, so only the LSH entry points compute it);
+    * artifact-backed callers read the checkpointed rows. */
+  private def corpusOf(emb: DataFrame, quant0: Option[DataFrame]): DataFrame =
+    quant0.getOrElse(quantized(emb)
+      .select(col("vec_id"), col("label"), col("q"), col("n2")))
+
+  /** Like [[corpusOf]] but with the LSH bucket — the standalone path
+    * of the bucket-keyed ops. */
+  private def bucketedCorpusOf(emb: DataFrame,
+      quant0: Option[DataFrame]): DataFrame =
+    quant0.getOrElse(withSignBucket(quantized(emb)))
+
   /** Exact integer dot product of two quantized vectors — a native
     * codegen'd Catalyst expression (graft.expressions.DotProductLong):
     * one fused loop, no intermediate zip array, stays in
@@ -53,8 +80,9 @@ object Similarity {
 
   /** Brute-force cosine top-k: `queryPred` selects the query vectors
     * (small — broadcast), ranked against the whole corpus. */
-  def knnBruteForce(emb: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
-    val q = quantized(emb)
+  def knnBruteForce(emb: DataFrame, queryPred: Column, k: Int = 10,
+      quant0: Option[DataFrame] = None): DataFrame = {
+    val q = corpusOf(emb, quant0)
     val queries = q.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("q_q"), col("n2").as("q_n2"))
     val scored = q.select(col("vec_id").as("neighbor_id"), col("q"), col("n2"))
@@ -77,8 +105,9 @@ object Similarity {
     * pass prunes same-label rows before any scoring; swap the
     * crossJoin for the IVF/LSH-bucketed probe at billion-vector
     * scale exactly as q26/q32 do for kNN. */
-  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
-    val q = quantized(emb)
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int = 3,
+      quant0: Option[DataFrame] = None): DataFrame = {
+    val q = corpusOf(emb, quant0)
     val queries = q.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("q").as("q_q"), col("n2").as("q_n2"))
@@ -103,8 +132,9 @@ object Similarity {
 
   /** Bucketed ANN: top-k among co-bucketed candidates only — the scale
     * path (shuffle on bucket key; pair space bounded by bucket size). */
-  def annLsh(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
-    val q = withSignBucket(quantized(emb))
+  def annLsh(emb: DataFrame, queryPred: Column, k: Int = 3,
+      quant0: Option[DataFrame] = None): DataFrame = {
+    val q = bucketedCorpusOf(emb, quant0)
       .select(col("vec_id"), col("bucket"), col("q"), col("n2"))
     val queries = q.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("bucket"),
@@ -136,10 +166,11 @@ object Similarity {
     * cost is the two underlying scans, which this report shares with
     * the indexes it grades. Both rankings break cosine ties by
     * neighbor id, so the hit set is deterministic cross-engine. */
-  def annRecall(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
-    val truth = knnBruteForce(emb, queryPred, k)
+  def annRecall(emb: DataFrame, queryPred: Column, k: Int = 3,
+      quant0: Option[DataFrame] = None): DataFrame = {
+    val truth = knnBruteForce(emb, queryPred, k, quant0)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_truth"))
-    val approx = annLsh(emb, queryPred, k)
+    val approx = annLsh(emb, queryPred, k, quant0)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_ann"))
     truth.join(approx, Seq("query_id", "neighbor_id"), "full_outer")
       .groupBy(col("query_id"))
@@ -168,11 +199,12 @@ object Similarity {
     * Scale shape: identical to [[annRecall]] — two probe-set-grain
     * frames (|queries| and |queries|·k rows) left-joined at query
     * grain; the corpus cost is the underlying scans. */
-  def annMrr(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
-    val truth1 = knnBruteForce(emb, queryPred, 1)
+  def annMrr(emb: DataFrame, queryPred: Column, k: Int = 3,
+      quant0: Option[DataFrame] = None): DataFrame = {
+    val truth1 = knnBruteForce(emb, queryPred, 1, quant0)
       .select(col("query_id"), col("neighbor_id").as("truth_id"),
         col("cos_bp").as("truth_cos_bp"))
-    val ann = annLsh(emb, queryPred, k)
+    val ann = annLsh(emb, queryPred, k, quant0)
       .select(col("query_id"), col("neighbor_id").as("truth_id"),
         col("rank").cast("long").as("__r"))
     truth1.join(ann, Seq("query_id", "truth_id"), "left")
@@ -190,7 +222,11 @@ object Similarity {
   def ivfCentroids(emb: DataFrame): DataFrame =
     ivfCentroidsFromQuantized(quantized(emb))
 
-  private def ivfCentroidsFromQuantized(q: DataFrame): DataFrame =
+  /** Centroids from an already-quantized frame (needs label + q) —
+    * the cents0 seam's build: Shared.memo callers feed it the
+    * [[quantizedCorpus]] artifact so the two index pieces share one
+    * corpus pass. */
+  private[graft] def ivfCentroidsFromQuantized(q: DataFrame): DataFrame =
     q
       .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -212,10 +248,11 @@ object Similarity {
     * force, which TrainingOpsSpec pins. nProbe=1 keeps the q32 oracle
     * exact; list count tunes the other axis at corpus scale. */
   def ivfAnn(emb: DataFrame, queryPred: Column, k: Int = 3,
-      nProbe: Int = 1): DataFrame = {
-    val quant = quantized(emb)
-    val q = quant.select(col("vec_id"), col("label"), col("q"), col("n2"))
-    val cents = ivfCentroidsFromQuantized(quant) // one quantization subtree, not two
+      nProbe: Int = 1, quant0: Option[DataFrame] = None,
+      cents0: Option[DataFrame] = None): DataFrame = {
+    val q = corpusOf(emb, quant0)
+      .select(col("vec_id"), col("label"), col("q"), col("n2"))
+    val cents = cents0.getOrElse(ivfCentroidsFromQuantized(q)) // one quantization subtree, not two
     val queries = q.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("q_q"), col("n2").as("q_n2"))
     val probe = queries
@@ -266,18 +303,22 @@ object Similarity {
     * answered by two adjacent rows.
     *
     * Scale shape: the probe ranking and the candidate scoring run
-    * ONCE at the deepest depth (probe_rank carried), the scored frame
-    * is persisted, and each depth is a window + rollup over that
-    * probe-grain cache — depths never re-touch the corpus. Truth is
-    * the q25 brute-force pass (queries are the sampled probe set, so
-    * it is |queries|×|corpus| map work, no shuffle of the corpus). */
+    * ONCE at the deepest depth (probe_rank carried); each candidate
+    * row is then exploded to the depths whose probe budget includes
+    * it (≤|depths| copies of a probe-set-grain frame — queries are a
+    * sampled probe set by contract, so this never scales with the
+    * corpus), and ONE (query, depth) window + ONE depth rollup close
+    * the curve — a single plan, not a per-depth job loop, and depths
+    * never re-touch the corpus. Truth is the q25 brute-force pass
+    * (|queries|×|corpus| map work, no shuffle of the corpus). */
   def ivfProbeCurve(emb: DataFrame, queryPred: Column, k: Int = 3,
-      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+      probes: Seq[Int] = Seq(1, 2, 4, 8), quant0: Option[DataFrame] = None,
+      cents0: Option[DataFrame] = None): DataFrame = {
     require(probes.nonEmpty && probes.forall(_ >= 1), "probe depths >= 1")
     val maxP = probes.max
-    val quant = quantized(emb)
-    val q = quant.select(col("vec_id"), col("label"), col("q"), col("n2"))
-    val cents = ivfCentroidsFromQuantized(quant)
+    val q = corpusOf(emb, quant0)
+      .select(col("vec_id"), col("label"), col("q"), col("n2"))
+    val cents = cents0.getOrElse(ivfCentroidsFromQuantized(q))
     val queries = q.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("q_q"),
         col("n2").as("q_n2"))
@@ -292,39 +333,50 @@ object Similarity {
       .filter(col("pr") <= maxP)
       .select(col("query_id"), col("q_q"), col("q_n2"), col("label"),
         col("pr"))
-    val scored = q.join(broadcast(assigned), "label")
+    val depthArr = s"array(${probes.map(p => s"${p}L").mkString(", ")})"
+    // a candidate found at probe rank pr participates in every depth
+    // d ≥ pr: explode to those depths once, then ONE (query, depth)
+    // rank window and ONE depth-grain rollup replace the per-depth
+    // job loop (same rows per depth by construction)
+    val exploded = q.join(broadcast(assigned), "label")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_bp", cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos_bp"), col("pr"))
+        col("cos_bp"),
+        explode(expr(s"filter($depthArr, d -> d >= pr)")).as("n_probe"))
       .persist()
-    val truth = knnBruteForce(emb, queryPred, k)
+    val truth = knnBruteForce(emb, queryPred, k, quant0)
       .select(col("query_id"), col("neighbor_id")).persist()
     val tot = truth.agg(count(lit(1)).as("n_truth"),
       countDistinct(col("query_id")).as("n_queries"))
-    probes.map { p =>
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
-      val ann = scored.filter(col("pr") <= p)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val cost = scored.filter(col("pr") <= p)
-        .agg(count(lit(1)).as("n_candidates"))
-      hits.crossJoin(cost).crossJoin(tot)
-        .select(lit(p.toLong).as("n_probe"), col("n_queries"),
-          col("n_truth"), col("n_hits"), col("n_candidates"),
-          when(col("n_truth") === 0L, lit(0L))
-            .otherwise(floor(lit(10000.0) * col("n_hits") / col("n_truth"))
-              .cast("long")).as("recall_bp"))
-    }.reduce(_ unionAll _).orderBy(col("n_probe").asc)
+    val w = Window.partitionBy(col("query_id"), col("n_probe"))
+      .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+    val hits = exploded
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("n_hits"))
+    val cost = exploded.groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("n_candidates"))
+    // depth spine from the declared list so an empty depth still rows
+    tot.select(explode(expr(depthArr)).as("n_probe"),
+        col("n_queries"), col("n_truth"))
+      .join(hits, Seq("n_probe"), "left")
+      .join(cost, Seq("n_probe"), "left")
+      .select(col("n_probe"), col("n_queries"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        when(col("n_truth") === 0L, lit(0L))
+          .otherwise(floor(lit(10000.0) * coalesce(col("n_hits"), lit(0L)) /
+            col("n_truth")).cast("long")).as("recall_bp"))
+      .orderBy(col("n_probe").asc)
   }
 
-  def ivfBalance(emb: DataFrame): DataFrame = {
-    val quant = quantized(emb)
-    val cents = ivfCentroidsFromQuantized(quant)
+  def ivfBalance(emb: DataFrame, quant0: Option[DataFrame] = None,
+      cents0: Option[DataFrame] = None): DataFrame = {
+    val quant = corpusOf(emb, quant0)
+    val cents = cents0.getOrElse(ivfCentroidsFromQuantized(quant))
     val scored = quant
       .join(broadcast(cents), "label")
       .withColumn("cos_bp", cosBp(dotExpr("q", "centroid"), col("n2"), col("c_n2")))
@@ -381,14 +433,17 @@ object Similarity {
     * Scale shape: two metadata-sized centroid builds (each one
     * (label, pos) partial-sum shuffle, q32's shape) joined at label
     * grain; the report is |lists| rows. */
-  def centroidDrift(emb: DataFrame, builtPred: Column): DataFrame = {
-    val old = ivfCentroidsFromQuantized(quantized(emb.filter(builtPred)))
+  def centroidDrift(emb: DataFrame, builtPred: Column,
+      quant0: Option[DataFrame] = None,
+      cents0: Option[DataFrame] = None): DataFrame = {
+    val corpus = corpusOf(emb, quant0)
+    val old = ivfCentroidsFromQuantized(corpus.filter(builtPred))
       .select(col("label"), col("centroid").as("c_old"),
         col("c_n2").as("n2_old"))
-    val now = ivfCentroidsFromQuantized(quantized(emb))
+    val now = cents0.getOrElse(ivfCentroidsFromQuantized(corpus))
       .select(col("label"), col("centroid").as("c_now"),
         col("c_n2").as("n2_now"))
-    val counts = emb.groupBy(col("label"))
+    val counts = corpus.groupBy(col("label"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(builtPred, 1L).otherwise(0L)).as("n_built"))
     now.join(old, Seq("label"), "left")
@@ -403,8 +458,9 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: co-bucketed, cosine ≥ threshold. */
-  def nearDupPairs(emb: DataFrame, thresholdBp: Long = 2000L): DataFrame = {
-    val q = withSignBucket(quantized(emb))
+  def nearDupPairs(emb: DataFrame, thresholdBp: Long = 2000L,
+      quant0: Option[DataFrame] = None): DataFrame = {
+    val q = bucketedCorpusOf(emb, quant0)
       .select(col("vec_id"), col("bucket"), col("q"), col("n2"))
     q.as("a")
       .join(q.as("b"),
@@ -465,10 +521,15 @@ object Similarity {
     * while the oracle's SUM would skip it — the same row, two
     * engines, two answers. The forall gate (mirrored oracle-side)
     * pins one behavior. */
-  def labelOutliers(emb: DataFrame, k: Int): DataFrame = {
-    val e = quantized(emb.filter(
-      col("embedding").isNotNull && col("label").isNotNull &&
-        expr("forall(embedding, x -> x IS NOT NULL)")))
+  def labelOutliers(emb: DataFrame, k: Int,
+      quant0: Option[DataFrame] = None): DataFrame = {
+    // the null gates translate exactly onto the quantized artifact:
+    // a null embedding transforms to a null q, a null ELEMENT to a
+    // null q element (NaN elements cast to a value, matching the
+    // float-side IS NOT NULL check), so filtering q is the same set
+    val e = corpusOf(emb, quant0).filter(
+      col("q").isNotNull && col("label").isNotNull &&
+        expr("forall(q, x -> x IS NOT NULL)"))
       .select(col("vec_id"), col("label"), col("q"))
     // the IVF coarse quantizer IS this centroid (same floor(sum/count)
     // convention the q87 oracle mirrors — one copy, not two)

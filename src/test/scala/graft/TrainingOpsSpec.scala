@@ -991,4 +991,53 @@ class TrainingOpsSpec extends SparkSpec {
       ((0L, 1L, null.asInstanceOf[java.lang.Long],
         java.lang.Long.valueOf(10000L)))))
   }
+
+  // ---- shared ANN index artifact (ops.Shared seam) ----
+
+  test("ANN reports over a shared quantized index equal the standalone entries") {
+    // the ops.Shared contract for the similarity family: build the
+    // quantized corpus (bucket + codes + norms) and the IVF centroids
+    // ONCE, feed every entry point through its quant0/cents0 seam —
+    // results must be IDENTICAL to the standalone (rebuild-everything)
+    // paths, including on a null-embedding row the index carries
+    val emb = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 0.2f, -0.1f, 0.4f), 0),
+      (1L, Array(0.9f, 0.2f, 0.1f, 0.1f, -0.2f, 0.3f), 0),
+      (2L, Array(0.8f, 0.0f, -0.2f, 0.3f, 0.1f, 0.2f), 0),
+      (10L, Array(-1.0f, 0.1f, 0.3f, -0.2f, 0.2f, -0.4f), 1),
+      (11L, Array(-0.9f, 0.0f, 0.2f, -0.1f, 0.3f, -0.3f), 1),
+      (12L, Array(-0.8f, -0.1f, 0.25f, -0.3f, 0.1f, -0.2f), 1),
+      (20L, Array(0.0f, 1.0f, 1.0f, 0.5f, 0.5f, 0.1f), 2),
+      (21L, null.asInstanceOf[Array[Float]], 2)
+    ).toDF("vec_id", "embedding", "label")
+    val pred = col("vec_id") % 10 === 0
+    val index = Some(Similarity.quantizedCorpus(emb).localCheckpoint())
+    val cents = Some(
+      Similarity.ivfCentroidsFromQuantized(index.get).localCheckpoint())
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(Similarity.knnBruteForce(emb, pred, 3, index)) ==
+      rows(Similarity.knnBruteForce(emb, pred, 3)))
+    assert(rows(Similarity.annLsh(emb, pred, 3, index)) ==
+      rows(Similarity.annLsh(emb, pred, 3)))
+    assert(rows(Similarity.annRecall(emb, pred, 3, index)) ==
+      rows(Similarity.annRecall(emb, pred, 3)))
+    assert(rows(Similarity.annMrr(emb, pred, 3, index)) ==
+      rows(Similarity.annMrr(emb, pred, 3)))
+    assert(rows(Similarity.hardNegatives(emb, pred, 2, index)) ==
+      rows(Similarity.hardNegatives(emb, pred, 2)))
+    assert(rows(Similarity.nearDupPairs(emb, 2000L, index)) ==
+      rows(Similarity.nearDupPairs(emb, 2000L)))
+    assert(rows(Similarity.ivfAnn(emb, pred, 2, 2, index, cents)) ==
+      rows(Similarity.ivfAnn(emb, pred, 2, 2)))
+    assert(rows(Similarity.ivfBalance(emb, index, cents)) ==
+      rows(Similarity.ivfBalance(emb)))
+    assert(rows(Similarity.ivfProbeCurve(emb, pred, 2, Seq(1, 2), index, cents)) ==
+      rows(Similarity.ivfProbeCurve(emb, pred, 2, Seq(1, 2))))
+    assert(rows(Similarity.centroidDrift(emb, col("vec_id") % 3 =!= 0,
+      index, cents)) ==
+      rows(Similarity.centroidDrift(emb, col("vec_id") % 3 =!= 0)))
+    assert(rows(Similarity.labelOutliers(emb, 2, index)) ==
+      rows(Similarity.labelOutliers(emb, 2)))
+  }
 }
