@@ -284,7 +284,9 @@ object SparkEntry {
     "q254_zero_sales_days" -> (Queries.zeroSalesDays _),
     "q255_cross_source_dups" -> (Queries.crossSourceDups _),
     "q256_weighted_price_quantiles" -> (Queries.weightedPriceQuantiles _),
-    "q257_trailing_revenue" -> (Queries.trailingRevenue _)
+    "q257_trailing_revenue" -> (Queries.trailingRevenue _),
+    "q258_active_users_sketch" -> (Queries.activeUsersChecked _),
+    "q259_datacard_sketch" -> (Queries.sourceDatacardChecked _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2107,6 +2109,17 @@ object Queries {
   def weightedPriceQuantiles(spark: SparkSession, dir: String): DataFrame =
     Percentiles.weightedQuantileTable(Tables(spark, dir, "lineitem"),
       "l_returnflag", "l_extendedprice", "l_quantity", WeightedRanksBp)
+
+  /** q76's sketch gate (q37 machinery): exact DAU/WAU + HLL-within-
+    * bound verdict on the `activeUsers(exact = false)` path. */
+  def activeUsersChecked(spark: SparkSession, dir: String): DataFrame =
+    Retention.activeUsersChecked(Tables(spark, dir, "events"),
+      ActiveWindowDays)
+
+  /** q198's sketch gate: exact distinct texts/langs per source + HLL
+    * verdicts on the `sourceDatacard(exact = false)` path. */
+  def sourceDatacardChecked(spark: SparkSession, dir: String): DataFrame =
+    Profile.sourceDatacardChecked(Tables(spark, dir, "documents"))
 
   val VocabCheckpoints = 4
 
@@ -8949,6 +8962,35 @@ object Oracles {
          |  FROM c GROUP BY 1)
          |$unions""".stripMargin
     },
+
+    // q76's sketch gate: oracle emits the exact counts + literal-1
+    // verdicts (the q37 convention — sketch drift flips the Spark-side
+    // verdict and hash-mismatches)
+    "q258_active_users_sketch" -> {
+      val w = Queries.ActiveWindowDays
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |days AS (SELECT DISTINCT d AS report_d FROM ud),
+         |wau AS (
+         |  SELECT days.report_d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+         |  FROM days JOIN ud
+         |    ON ud.d <= days.report_d AND ud.d > days.report_d - $w
+         |  GROUP BY 1),
+         |dau AS (
+         |  SELECT d AS report_d, CAST(COUNT(*) AS BIGINT) AS dau
+         |  FROM ud GROUP BY 1)
+         |SELECT strftime(dau.report_d, '%Y-%m-%d') AS report_date, dau, wau,
+         |       CAST(1 AS INT) AS sketch_ok
+         |FROM dau JOIN wau USING (report_d)""".stripMargin
+    },
+
+    "q259_datacard_sketch" ->
+      """SELECT source,
+        |       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(1 AS INT) AS texts_sketch_ok,
+        |       CAST(1 AS INT) AS langs_sketch_ok
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // both 1-D margins + grand total, no cross product; explicit
     // grouping flags disambiguate subtotals from genuine NULL keys.

@@ -638,25 +638,30 @@ object Profile {
     * ONE documents scan → one source-grain aggregate. The two exact
     * distinct counts (texts, langs) make Catalyst plan an Expand ×3
     * before the shuffle — the [[profile]] trade, exact and oracle-able;
-    * at 100 TB swap them for approx_count_distinct exactly as
-    * [[profileApprox]] does. Token counts guard null text explicitly
-    * (Spark's non-ANSI size(split(NULL)) = −1 trap, q64's lesson).
-    * Rates are floor-bp; averages are BIGINT floor divisions (all
-    * operands non-negative, so Spark's truncating DIV and DuckDB's
-    * flooring // agree). Columns: source, n_docs, n_text, null_bp,
-    * n_distinct_texts, dup_bp, tot_tokens, avg_tokens, tot_chars,
-    * n_langs — sorted by source. */
-  def sourceDatacard(docs: DataFrame): DataFrame = {
+    * at 100 TB pass `exact = false`: both become
+    * approx_count_distinct exactly as [[profileApprox]] does (no
+    * Expand, fixed-size mergeable sketches), gated by
+    * [[sourceDatacardChecked]]. Token counts guard null text
+    * explicitly (Spark's non-ANSI size(split(NULL)) = −1 trap, q64's
+    * lesson). Rates are floor-bp; averages are BIGINT floor divisions
+    * (all operands non-negative, so Spark's truncating DIV and
+    * DuckDB's flooring // agree). Columns: source, n_docs, n_text,
+    * null_bp, n_distinct_texts, dup_bp, tot_tokens, avg_tokens,
+    * tot_chars, n_langs — sorted by source. */
+  def sourceDatacard(docs: DataFrame, exact: Boolean = true,
+      rsd: Double = 0.015): DataFrame = {
     val toks = size(split(col("text"), " ")).cast("long")
+    def nd(c: String) =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), rsd)
     docs
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         count(col("text")).as("n_text"),
-        countDistinct(col("text")).as("n_distinct_texts"),
+        nd("text").as("n_distinct_texts"),
         sum(when(col("text").isNotNull, toks).otherwise(0L)).as("tot_tokens"),
         sum(coalesce(col("n_chars"), lit(0L))).as("tot_chars"),
-        countDistinct(col("lang")).as("n_langs"))
+        nd("lang").as("n_langs"))
       .select(
         col("source"), col("n_docs"), col("n_text"),
         floor(lit(10000.0) * (col("n_docs") - col("n_text")) / col("n_docs"))
@@ -670,6 +675,30 @@ object Profile {
         when(col("n_text") === 0L, lit(null).cast("long"))
           .otherwise(expr("tot_tokens div n_text")).as("avg_tokens"),
         col("tot_chars"), col("n_langs"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Sketch gate for the [[sourceDatacard]] HLL path (q37 machinery):
+    * exact distinct counts plus bounded-error verdicts on both
+    * sketches. Deterministic output (oracle: exact values + literal
+    * 1); a sketch past `maxErrBp` flips its verdict and the row
+    * hash-mismatches. The mixed exact/sketch aggregate is
+    * gate-shaped — production uses `sourceDatacard(exact = false)`. */
+  def sourceDatacardChecked(docs: DataFrame, rsd: Double = 0.015,
+      maxErrBp: Long = 500L): DataFrame = {
+    def ok(sk: String, ex: String) =
+      (abs(col(sk) - col(ex)) * lit(10000L) <= col(ex) * lit(maxErrBp))
+        .cast("int")
+    docs
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("text")).as("n_distinct_texts"),
+        approx_count_distinct(col("text"), rsd).as("__sk_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        approx_count_distinct(col("lang"), rsd).as("__sk_langs"))
+      .select(col("source"), col("n_distinct_texts"), col("n_langs"),
+        ok("__sk_texts", "n_distinct_texts").as("texts_sketch_ok"),
+        ok("__sk_langs", "n_langs").as("langs_sketch_ok"))
       .orderBy(col("source").asc)
   }
 }

@@ -34,10 +34,14 @@ object Retention {
     * that turns a sliding distinct-window into one plain distinct
     * aggregation (no per-day re-scan, no self-join range probe). The
     * report-day set is data-bounded via a semi-join on observed days.
-    * For 100 TB × 90-day windows swap the final countDistinct for
-    * HLL partials (q37 machinery) — the explode factor is the window
-    * length, so keep windows short or sketch. */
-  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    * For 100 TB × 90-day windows pass `exact = false`: the final
+    * countDistinct becomes HLL partials (fixed-size mergeable sketch
+    * per report day instead of shuffling every contributing pair) —
+    * the explode factor is the window length, so keep windows short
+    * or sketch. [[activeUsersChecked]] is the q37-machinery gate that
+    * keeps the sketch path inside the cross-engine oracle. */
+  def activeUsers(events: DataFrame, windowDays: Int = 7,
+      exact: Boolean = true, rsd: Double = 0.015): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
     val ud = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
     val days = ud.select(col("d").as("report_d")).distinct()
@@ -46,7 +50,8 @@ object Retention {
         s"sequence(d, date_add(d, ${windowDays - 1}))")).as("report_d"))
       .join(days, Seq("report_d"), "left_semi")
     val wau = contrib.groupBy(col("report_d"))
-      .agg(countDistinct(col("user_id")).as("wau"))
+      .agg(if (exact) countDistinct(col("user_id")).as("wau")
+      else approx_count_distinct(col("user_id"), rsd).as("wau"))
     val dau = ud.groupBy(col("d").as("report_d"))
       .agg(count(lit(1)).as("dau"))
     dau.join(wau, "report_d")
@@ -54,6 +59,37 @@ object Retention {
         col("dau"), col("wau"),
         floor(lit(10000.0) * col("dau") / col("wau")).cast("long")
           .as("stickiness_bp"))
+  }
+
+  /** Sketch gate for the [[activeUsers]] HLL path (q37 machinery):
+    * exact DAU/WAU plus a bounded-error verdict on the sketch WAU.
+    * The sketch runs over the pre-deduped (user, report day) frame —
+    * HLL insertion is idempotent so the estimate matches the
+    * `exact = false` production path, while the exact count becomes a
+    * plain count and the plan avoids a mixed-distinct Expand. The
+    * output is deterministic (oracle: exact values + literal 1);
+    * sketch drift past `maxErrBp` flips the verdict and the row
+    * hash-mismatches. */
+  def activeUsersChecked(events: DataFrame, windowDays: Int = 7,
+      rsd: Double = 0.015, maxErrBp: Long = 500L): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val days = ud.select(col("d").as("report_d")).distinct()
+    val contrib = ud
+      .select(col("user_id"), explode(expr(
+        s"sequence(d, date_add(d, ${windowDays - 1}))")).as("report_d"))
+      .join(days, Seq("report_d"), "left_semi")
+      .distinct()
+    val wau = contrib.groupBy(col("report_d"))
+      .agg(count(col("user_id")).as("wau"),
+        approx_count_distinct(col("user_id"), rsd).as("__sketch"))
+    val dau = ud.groupBy(col("d").as("report_d"))
+      .agg(count(lit(1)).as("dau"))
+    dau.join(wau, "report_d")
+      .select(date_format(col("report_d"), "yyyy-MM-dd").as("report_date"),
+        col("dau"), col("wau"),
+        (abs(col("__sketch") - col("wau")) * lit(10000L) <=
+          col("wau") * lit(maxErrBp)).cast("int").as("sketch_ok"))
   }
 
   /** Cohort retention over a REQUIRED analysis window

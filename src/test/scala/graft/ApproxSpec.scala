@@ -31,4 +31,51 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(a - e) <= 100, s"$k: approx $a vs exact $e")
     }
   }
+
+  test("activeUsers sketch path tracks exact WAU; checked gate verdicts hold") {
+    val ev = graft.tables.Tables(spark, sf, "events")
+    val exact = graft.ops.Retention.activeUsers(ev, 7)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau")))).toMap
+    val sk = graft.ops.Retention.activeUsers(ev, 7, exact = false)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("wau")).toMap
+    exact.foreach { case (d, (_, w)) =>
+      assert(math.abs(sk(d) - w).toDouble / w <= 0.05,
+        s"$d: sketch wau ${sk(d)} vs exact $w")
+    }
+    // checked gate: exact columns reproduce the exact path; verdicts 1
+    val checked = graft.ops.Retention.activeUsersChecked(ev, 7).collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val d = r.getString(0)
+      assert((r.getAs[Long]("dau"), r.getAs[Long]("wau")) == exact(d))
+      assert(r.getAs[Int]("sketch_ok") == 1, s"$d sketch out of bound")
+    }
+  }
+
+  test("sourceDatacard sketch path tracks exact distincts; checked gate verdicts hold") {
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val exact = graft.ops.Profile.sourceDatacard(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_distinct_texts"), r.getAs[Long]("n_langs")))).toMap
+    val sk = graft.ops.Profile.sourceDatacard(docs, exact = false)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_distinct_texts"), r.getAs[Long]("n_langs")))).toMap
+    exact.foreach { case (src, (t, l)) =>
+      val (ta, la) = sk(src)
+      assert(math.abs(ta - t).toDouble / math.max(t, 1L) <= 0.05,
+        s"$src: sketch texts $ta vs exact $t")
+      assert(math.abs(la - l).toDouble / math.max(l, 1L) <= 0.05,
+        s"$src: sketch langs $la vs exact $l")
+    }
+    val checked = graft.ops.Profile.sourceDatacardChecked(docs).collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val src = r.getString(0)
+      assert((r.getAs[Long]("n_distinct_texts"), r.getAs[Long]("n_langs"))
+        == exact(src))
+      assert(r.getAs[Int]("texts_sketch_ok") == 1, s"$src texts out of bound")
+      assert(r.getAs[Int]("langs_sketch_ok") == 1, s"$src langs out of bound")
+    }
+  }
 }
