@@ -286,7 +286,13 @@ object SparkEntry {
     "q256_weighted_price_quantiles" -> (Queries.weightedPriceQuantiles _),
     "q257_trailing_revenue" -> (Queries.trailingRevenue _),
     "q258_active_users_sketch" -> (Queries.activeUsersChecked _),
-    "q259_datacard_sketch" -> (Queries.sourceDatacardChecked _)
+    "q259_datacard_sketch" -> (Queries.sourceDatacardChecked _),
+    "q260_mann_whitney" -> (Queries.mannWhitney _),
+    "q261_trailing_median" -> (Queries.trailingMedianRevenue _),
+    "q262_zipf_decay" -> (Queries.zipfDecay _),
+    "q263_link_prediction" -> (Queries.linkPrediction _),
+    "q264_event_burst_dedup" -> (Queries.eventBurstDedup _),
+    "q265_layout_compare" -> (Queries.layoutCompare _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2120,6 +2126,43 @@ object Queries {
     * verdicts on the `sourceDatacard(exact = false)` path. */
   def sourceDatacardChecked(spark: SparkSession, dir: String): DataFrame =
     Profile.sourceDatacardChecked(Tables(spark, dir, "documents"))
+
+  /** Mann-Whitney rank-sum test between the q147 arms on per-user
+    * event counts (exact doubled-unit midranks; CLES effect size). */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    Experiment.mannWhitney(Tables(spark, dir, "events"))
+
+  /** Trailing 7-day MEDIAN of daily revenue (q257's robust twin). */
+  def trailingMedianRevenue(spark: SparkSession, dir: String): DataFrame =
+    Retention.trailingMedianRevenue(Tables(spark, dir, "orders"),
+      TrailingWindowDays)
+
+  val ZipfMaxRank = 64
+
+  /** Zipf per-octave decay table over the corpus vocabulary. */
+  def zipfDecay(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfDecay(Tables(spark, dir, "documents"), ZipfMaxRank)
+
+  val LinkPredK = 20
+
+  /** Link-prediction scores (common-neighbor + Jaccard) for 2-hop
+    * non-edges of the co-visit graph (shared pairs artifact). */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame =
+    Graph.linkPrediction(sharedCoVisPairs(spark, dir),
+      PageRankMinSupport, LinkPredK)
+
+  val BurstToleranceSec = 10L
+
+  /** Tolerance-window event dedup report per event type. */
+  def eventBurstDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.eventBurstDedup(Tables(spark, dir, "events"), BurstToleranceSec)
+
+  /** Z-order vs single-column-sort pruning showdown on the q200
+    * layout columns (shared Z cell artifact). */
+  def layoutCompare(spark: SparkSession, dir: String): DataFrame =
+    Layout.layoutCompare(Tables(spark, dir, "lineitem"),
+      "l_partkey", "l_suppkey", ZorderGridBits, ZorderCellBits,
+      PruneProbes, zcells0 = Some(sharedZorderCells(spark, dir)))
 
   val VocabCheckpoints = 4
 
@@ -8991,6 +9034,215 @@ object Oracles {
         |       CAST(1 AS INT) AS texts_sketch_ok,
         |       CAST(1 AS INT) AS langs_sketch_ok
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // exact doubled-unit midranks (rank2 = 2*cum_before + cnt + 1):
+    // rank sums and U are BIGINTs, no float ranks cross-engine
+    "q260_mann_whitney" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH u AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM events GROUP BY 1),
+         |a AS (
+         |  SELECT m, CASE WHEN CAST($draw32 AS BIGINT) % 100 < 50
+         |            THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT user_id, m, md5(CAST(user_id AS VARCHAR)) AS draw
+         |        FROM u)),
+         |v AS (
+         |  SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |         CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS cnt_a
+         |  FROM a GROUP BY 1),
+         |r AS (SELECT *, CAST(SUM(cnt) OVER (ORDER BY m) AS BIGINT) AS cum
+         |      FROM v),
+         |t AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         |         CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         |         CAST(SUM(cnt_a * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
+         |           AS r_a2
+         |  FROM r)
+         |SELECT 'A' AS arm, n_a AS n_users, r_a2 AS rank_sum_x2,
+         |       r_a2 - n_a * (n_a + 1) AS u_x2,
+         |       CASE WHEN n_a = 0 OR n = n_a THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 * (r_a2 - n_a * (n_a + 1))
+         |              / (2.0 * n_a * (n - n_a))) AS BIGINT) END AS cles_bp
+         |FROM t
+         |UNION ALL
+         |SELECT 'B', n - n_a, n * (n + 1) - r_a2,
+         |       2 * n_a * (n - n_a) - (r_a2 - n_a * (n_a + 1)),
+         |       CASE WHEN n_a = 0 OR n = n_a THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 *
+         |              (2 * n_a * (n - n_a) - (r_a2 - n_a * (n_a + 1)))
+         |              / (2.0 * n_a * (n - n_a))) AS BIGINT) END
+         |FROM t
+         |ORDER BY 1""".stripMargin
+    },
+
+    // rank-midpoint median (q38 convention) inside the q257 RANGE
+    // window: integer // of the 1-2 middle daily totals
+    "q261_trailing_median" -> {
+      val wd = Queries.TrailingWindowDays
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |p AS (
+         |  SELECT x.daynum, x.cents, s.daynum AS sday, s.cents AS scents
+         |  FROM d x JOIN d s ON s.daynum BETWEEN x.daynum - ${wd - 1}
+         |    AND x.daynum),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY daynum
+         |           ORDER BY scents, sday) AS rn,
+         |         COUNT(*) OVER (PARTITION BY daynum) AS cnt
+         |  FROM p)
+         |SELECT strftime(DATE '1970-01-01' + CAST(daynum AS INT),
+         |         '%Y-%m-%d') AS day,
+         |       CAST(MIN(cents) AS BIGINT) AS cents,
+         |       CAST(SUM(scents) // COUNT(*) AS BIGINT) AS trail_median_cents,
+         |       CAST(MIN(cnt) AS BIGINT) AS n_window_days
+         |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+         |GROUP BY daynum ORDER BY 1""".stripMargin
+    },
+
+    // per-octave frequency ratio: Zipf slope diagnostic without logs
+    "q262_zipf_decay" -> {
+      val mr = Queries.ZipfMaxRank
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |v AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS term_freq
+         |  FROM t GROUP BY 1
+         |  ORDER BY term_freq DESC, token ASC LIMIT ${2 * mr}),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY term_freq DESC,
+         |           token ASC) AS BIGINT) AS rank
+         |  FROM v)
+         |SELECT o.rank, o.term_freq AS freq, d.term_freq AS freq_2x,
+         |       CAST(FLOOR(10000.0 * d.term_freq / o.term_freq) AS BIGINT)
+         |         AS decay_bp
+         |FROM r o JOIN r d ON d.rank = o.rank * 2
+         |WHERE (o.rank & (o.rank - 1)) = 0 AND o.rank <= $mr
+         |ORDER BY o.rank""".stripMargin
+    },
+
+    // common-neighbor + Jaccard for 2-hop NON-edges of the co-vis
+    // graph (edg/deg from the shared graph CTE)
+    "q263_link_prediction" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      val k = Queries.LinkPredK
+      s"""$sessionCte,
+         |${coVisEdgesCte(cap, ms)},
+         |cand AS (
+         |  SELECT x.dst AS item_a, y.dst AS item_b,
+         |         CAST(COUNT(*) AS BIGINT) AS common_neighbors
+         |  FROM edg x JOIN edg y ON x.src = y.src AND x.dst < y.dst
+         |  GROUP BY 1, 2),
+         |nc AS (
+         |  SELECT c.* FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM edg e
+         |                    WHERE e.src = c.item_a AND e.dst = c.item_b))
+         |SELECT n.item_a, n.item_b, n.common_neighbors,
+         |       da.deg AS deg_a, db.deg AS deg_b,
+         |       CAST(FLOOR(10000.0 * n.common_neighbors /
+         |         (da.deg + db.deg - n.common_neighbors)) AS BIGINT)
+         |         AS jaccard_bp
+         |FROM nc n
+         |JOIN deg da ON da.src = n.item_a
+         |JOIN deg db ON db.src = n.item_b
+         |ORDER BY jaccard_bp DESC, common_neighbors DESC, item_a, item_b
+         |LIMIT $k""".stripMargin
+    },
+
+    // gap measured to the PREVIOUS event: burst chains collapse
+    "q264_event_burst_dedup" -> {
+      val tolUs = Queries.BurstToleranceSec * 1000000L
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) AS ts_us,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+         |           ORDER BY epoch_us(ts), event_id) AS prev_us
+         |  FROM events),
+         |f AS (
+         |  SELECT event_type,
+         |         CASE WHEN prev_us IS NOT NULL AND ts_us - prev_us <= $tolUs
+         |              THEN 1 ELSE 0 END AS is_dup
+         |  FROM e)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+         |       CAST(FLOOR(10000.0 * SUM(is_dup) / COUNT(*)) AS BIGINT)
+         |         AS dup_bp,
+         |       CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_kept
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // two zone-map audits (Z cells vs equal-width single-column
+    // cells) joined at probe grain
+    "q265_layout_compare" -> {
+      val p = Queries.PruneProbes
+      val c = 1L << Queries.ZorderCellBits
+      val vals = (0 until p).map(i => s"($i)").mkString(", ")
+      s"""WITH $zorderCellCtes,
+         |lc AS (
+         |  SELECT ((r.a - bo.lo_a) * $c) // (bo.hi_a - bo.lo_a + 1) AS cell,
+         |         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         MIN(a) AS min_a, MAX(a) AS max_a,
+         |         MIN(b) AS min_b, MAX(b) AS max_b
+         |  FROM rows_in r, bounds bo GROUP BY 1),
+         |pr0 AS (SELECT i FROM (VALUES $vals) t(i)),
+         |pra AS (
+         |  SELECT 'a' AS dim, CAST(i AS BIGINT) AS probe,
+         |         bo.lo_a + (i * (bo.hi_a - bo.lo_a + 1) + ${p - 1}) // $p
+         |           AS c_lo,
+         |         bo.lo_a + ((i + 1) * (bo.hi_a - bo.lo_a + 1) + ${p - 1})
+         |           // $p - 1 AS c_hi
+         |  FROM pr0, bounds bo),
+         |prb AS (
+         |  SELECT 'b' AS dim, CAST(i AS BIGINT) AS probe,
+         |         bo.lo_b + (i * (bo.hi_b - bo.lo_b + 1) + ${p - 1}) // $p
+         |           AS c_lo,
+         |         bo.lo_b + ((i + 1) * (bo.hi_b - bo.lo_b + 1) + ${p - 1})
+         |           // $p - 1 AS c_hi
+         |  FROM pr0, bounds bo),
+         |prn AS (
+         |  SELECT * FROM (SELECT * FROM pra UNION ALL SELECT * FROM prb)
+         |  WHERE c_hi >= c_lo),
+         |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM c),
+         |scanz AS (
+         |  SELECT p.dim, p.probe, CAST(SUM(c.n_rows) AS BIGINT) AS rows_z
+         |  FROM prn p JOIN c ON
+         |       (p.dim = 'a' AND c.min_a <= p.c_hi AND c.max_a >= p.c_lo)
+         |    OR (p.dim = 'b' AND c.min_b <= p.c_hi AND c.max_b >= p.c_lo)
+         |  GROUP BY 1, 2),
+         |scanl AS (
+         |  SELECT p.dim, p.probe, CAST(SUM(l.n_rows) AS BIGINT) AS rows_l
+         |  FROM prn p JOIN lc l ON
+         |       (p.dim = 'a' AND l.min_a <= p.c_hi AND l.max_a >= p.c_lo)
+         |    OR (p.dim = 'b' AND l.min_b <= p.c_hi AND l.max_b >= p.c_lo)
+         |  GROUP BY 1, 2),
+         |sel AS (
+         |  SELECT p.dim, p.probe, CAST(COUNT(*) AS BIGINT) AS select_rows
+         |  FROM prn p JOIN rows_in r ON
+         |       (p.dim = 'a' AND r.a BETWEEN p.c_lo AND p.c_hi)
+         |    OR (p.dim = 'b' AND r.b BETWEEN p.c_lo AND p.c_hi)
+         |  GROUP BY 1, 2)
+         |SELECT p.dim, p.probe,
+         |       CAST(FLOOR(10000.0 * COALESCE(e.select_rows, 0) / t.total_rows)
+         |         AS BIGINT) AS select_bp,
+         |       CAST(FLOOR(10000.0 * COALESCE(z.rows_z, 0) / t.total_rows)
+         |         AS BIGINT) AS z_scan_bp,
+         |       CAST(FLOOR(10000.0 * COALESCE(l.rows_l, 0) / t.total_rows)
+         |         AS BIGINT) AS sort_scan_bp
+         |FROM prn p
+         |LEFT JOIN scanz z ON p.dim = z.dim AND p.probe = z.probe
+         |LEFT JOIN scanl l ON p.dim = l.dim AND p.probe = l.probe
+         |LEFT JOIN sel e ON p.dim = e.dim AND p.probe = e.probe, tot t
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     // both 1-D margins + grand total, no cross product; explicit
     // grouping flags disambiguate subtotals from genuine NULL keys.

@@ -880,4 +880,41 @@ object Dedup {
             lit(0L)) / col("n_docs")).cast("long")).as("drop_bp"))
       .orderBy(col("threshold_bp").asc)
   }
+
+  /** Tolerance-window EVENT dedup — the double-fire scrubber an
+    * ingestion edge runs before events reach analytics: within each
+    * (user, event type), an event arriving ≤ `toleranceSec` after its
+    * predecessor is a duplicate burst member (double-click, client
+    * retry, at-least-once replay); the first of each burst is the
+    * keeper. The gap is measured to the PREVIOUS event, so a chain of
+    * rapid fires collapses to its first event — retry-storm
+    * semantics, the same chaining rule as sessionization gaps.
+    * Report per event type: events, duplicates, dup share (floor-bp),
+    * events kept.
+    *
+    * Scale shape: ONE fact shuffle on (user, type) for the lag
+    * window, then the type-grain rollup (map-side combined, ≤ a few
+    * rows). The dup flag is order-independent under timestamp ties
+    * (a zero gap is a dup wherever the tie sorts), so the event-id
+    * tie-break is determinism hygiene, not load-bearing. */
+  def eventBurstDedup(events: DataFrame, toleranceSec: Long = 10L): DataFrame = {
+    require(toleranceSec >= 0L, "toleranceSec >= 0")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_dup",
+        (col("prev_us").isNotNull &&
+          col("ts_us") - col("prev_us") <= toleranceSec * 1000000L)
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("is_dup")).as("n_dups"))
+      .select(col("event_type"), col("n_events"), col("n_dups"),
+        floor(lit(10000.0) * col("n_dups") / col("n_events")).cast("long")
+          .as("dup_bp"),
+        (col("n_events") - col("n_dups")).as("n_kept"))
+      .orderBy(col("event_type").asc)
+  }
 }

@@ -179,6 +179,61 @@ object Experiment {
         col("raw_mean_cents"), col("wins_mean_cents"))
   }
 
+  /** Mann–Whitney rank-sum test (Mann & Whitney 1947) between the
+    * two deterministic arms on the per-user event-count metric — the
+    * nonparametric twin of [[abLift]]: ranks instead of means, so one
+    * whale user can't buy a significant result. Exact integer output:
+    * midranks carry in DOUBLED units (a tie group's average rank is
+    * half-integral; rank2 = 2·cum_before + cnt + 1 is a BIGINT), so
+    * rank sums and U statistics are exact cross-engine — no float
+    * ranks, no normal approximation baked in. The effect size is the
+    * common-language CLES = U / (n_a·n_b) in floor-bp (Vargha–Delaney
+    * A): 5000 bp = stochastic equality; the reader applies whatever
+    * z/exact table their n warrants to the exact U.
+    *
+    * Scale shape: one user-grain pass (the fact shuffle), then the
+    * rank walk runs at metric-VALUE grain (distinct per-user counts —
+    * a bounded domain, the q77 histogram trick), so the
+    * single-partition cum window sees metadata, never users. Output
+    * is 2 rows. */
+  def mannWhitney(events: DataFrame, splitPct: Int = 50): DataFrame = {
+    require(splitPct >= 1 && splitPct <= 99, "splitPct in [1,99]")
+    val users = events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("m"))
+      .withColumn("arm", armCol("user_id", splitPct))
+    val vals = users.groupBy(col("m"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("cnt_a"))
+    val wv = Window.orderBy(col("m"))
+    val agg = vals
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .withColumn("rank2",
+        lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+      .agg(sum(col("cnt")).as("n"), sum(col("cnt_a")).as("n_a"),
+        sum(col("cnt_a") * col("rank2")).as("r_a2"))
+    // R_B2 = n(n+1) − R_A2 (total doubled rank mass); U_A2 = R_A2 −
+    // n_a(n_a+1); U_A + U_B = n_a·n_b
+    agg.select(
+        explode(array(
+          struct(lit("A").as("arm"), col("n_a").as("n_users"),
+            col("r_a2").as("rank_sum_x2"),
+            (col("r_a2") - col("n_a") * (col("n_a") + 1L)).as("u_x2")),
+          struct(lit("B").as("arm"), (col("n") - col("n_a")).as("n_users"),
+            (col("n") * (col("n") + 1L) - col("r_a2")).as("rank_sum_x2"),
+            (lit(2L) * col("n_a") * (col("n") - col("n_a")) -
+              (col("r_a2") - col("n_a") * (col("n_a") + 1L))).as("u_x2"))))
+          .as("s"),
+        col("n_a"), col("n"))
+      .select(col("s.arm").as("arm"), col("s.n_users"),
+        col("s.rank_sum_x2"), col("s.u_x2"),
+        when(col("n_a") === 0L || col("n") === col("n_a"),
+          lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) * col("s.u_x2") /
+            (lit(2.0) * col("n_a") * (col("n") - col("n_a"))))
+            .cast("long")).as("cles_bp"))
+      .orderBy(col("arm").asc)
+  }
+
   /** Cumulative gains table — the model-evaluation readout next to
     * [[graft.ops.TextAnalysis.classifierCalibration]]'s reliability
     * buckets: rank the scored population best-first, cut it into

@@ -273,6 +273,52 @@ object Graph {
       .union(p.select(col("item_b").as("src"), col("item_a").as("dst")))
   }
 
+  /** Link-prediction scores over an unordered pair list — the
+    * "which edge forms next" table (Liben-Nowell & Kleinberg 2003):
+    * for every 2-hop candidate pair (non-adjacent nodes sharing at
+    * least one neighbor), the common-neighbor count and the
+    * neighborhood Jaccard ⌊10000·|N(a)∩N(b)| / |N(a)∪N(b)|⌋ — the
+    * two classical unsupervised predictors. Top-k by Jaccard
+    * (common-neighbor, then id tie-breaks), the "recommend this
+    * missing co-visit edge" feed.
+    *
+    * Scale shape: wedge enumeration at the shared-neighbor CENTER
+    * (the same quadratic step as [[triangleStats]] — bounded here
+    * because the co-vis composition caps per-session items and
+    * min-support trims hub fans; a web-scale deployment caps
+    * per-center neighbor lists first), a candidate-grain rollup, an
+    * anti-join against the live edge list (predictions must be
+    * NON-edges), degree annotations broadcast back, and a
+    * TakeOrdered head — never a global sort. */
+  def linkPrediction(pairs: DataFrame, minWeight: Long = 1L, k: Int = 20,
+      weightCol: String = "pair_sessions"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val e = pairs.filter(col(weightCol) >= minWeight)
+      .select(col("item_a").as("a"), col("item_b").as("b"))
+    val adj = symmetric(pairs, minWeight, weightCol)
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val cand = adj.as("x").join(adj.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(e, Seq("a", "b"), "left_anti")
+    cand
+      .join(broadcast(deg.select(col("src").as("a"), col("deg").as("deg_a"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("src").as("b"), col("deg").as("deg_b"))),
+        Seq("b"))
+      .withColumn("jaccard_bp",
+        floor(lit(10000.0) * col("common_neighbors") /
+          (col("deg_a") + col("deg_b") - col("common_neighbors")))
+          .cast("long"))
+      .orderBy(col("jaccard_bp").desc, col("common_neighbors").desc,
+        col("a").asc, col("b").asc)
+      .limit(k)
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("common_neighbors"), col("deg_a"), col("deg_b"),
+        col("jaccard_bp"))
+  }
+
   /** Triangle census + global clustering coefficient over an
     * unordered pair list — the graph-health report next to PageRank:
     * how clique-ish is the co-visit graph (cc → 1 means tight

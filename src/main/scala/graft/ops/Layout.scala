@@ -98,8 +98,11 @@ object Layout {
     require(probes >= 1 && probes <= 1024, "probes in [1,1024]")
     // cells0 is the shared-model-artifact seam (the book0 pattern):
     // the cell table is the layout's index metadata — a caller that
-    // also publishes it (q200) builds it once. Contract: cells0 must
-    // be zorderCells(df, colA, colB, gridBits, cellBits).
+    // also publishes it (q200) builds it once. Contract: cells0 is a
+    // cell table of the zorderCells SCHEMA over the same rows —
+    // zorderCells itself, or linearCells for the single-column-sort
+    // layout (the audit machinery is layout-agnostic: it only reads
+    // per-cell spans and occupancy).
     val cells = cells0.getOrElse(
       zorderCells(df, colA, colB, gridBits, cellBits).persist())
     // every row lives in a cell, so global bounds and the row total
@@ -156,6 +159,69 @@ object Layout {
           col("total_rows")).cast("long").as("scan_bp"),
         floor(lit(10000.0) * coalesce(col("select_rows"), lit(0L)) /
           col("total_rows")).cast("long").as("select_bp"))
+      .orderBy(col("dim").asc, col("probe").asc)
+  }
+
+  /** Equal-width single-column cells — the "just ORDER BY a" layout's
+    * zone-map model, in the [[zorderCells]] schema so [[pruningAudit]]
+    * can audit either layout: cell = ⌊(a − lo)·2^cellBits / range⌋,
+    * the file a range-partitioned single-column sort would land the
+    * row in. Same one-pass shape as zorderCells (bounds aggregate
+    * broadcast back, one map, one cell-grain aggregate). */
+  def linearCells(df: DataFrame, colA: String, colB: String,
+      cellBits: Int = 6): DataFrame = {
+    require(cellBits >= 1 && cellBits <= 31, "cellBits in [1,31]")
+    val rows = df.select(col(colA).cast("long").as("a"),
+        col(colB).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val bounds = rows.agg(
+      min(col("a")).as("lo_a"), max(col("a")).as("hi_a"),
+      min(col("b")).as("lo_b"), max(col("b")).as("hi_b"))
+    val c = 1L << cellBits
+    rows.crossJoin(broadcast(bounds))
+      .select(col("a"), col("b"),
+        expr(s"((a - lo_a) * ${c}L) div (hi_a - lo_a + 1L)").as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      .crossJoin(broadcast(bounds))
+      .select(col("cell"), col("n_rows"),
+        col("min_a"), col("max_a"), col("min_b"), col("max_b"),
+        floor(lit(10000.0) * (col("max_a") - col("min_a")) /
+          greatest(col("hi_a") - col("lo_a"), lit(1L))).cast("long")
+          .as("span_a_bp"),
+        floor(lit(10000.0) * (col("max_b") - col("min_b")) /
+          greatest(col("hi_b") - col("lo_b"), lit(1L))).cast("long")
+          .as("span_b_bp"))
+      .orderBy(col("cell").asc)
+  }
+
+  /** Layout showdown — the OPTIMIZE decision table ("Z-ORDER BY
+    * (a, b)" vs "ORDER BY a"): per zone-map probe, the scan fraction
+    * each layout forces vs the ideal selection. The single-column
+    * sort prunes its own dimension perfectly and the other one not at
+    * all; Z-order pays a bounded premium on `a` to make `b` prunable
+    * — this table shows exactly where the crossover sits for THIS
+    * table's value distribution, instead of asserting the folklore.
+    *
+    * Scale shape: two [[pruningAudit]] passes (each one fact scan +
+    * cell-grain work) joined at (dim, probe) grain — metadata. */
+  def layoutCompare(df: DataFrame, colA: String, colB: String,
+      gridBits: Int = 16, cellBits: Int = 6, probes: Int = 16,
+      zcells0: Option[DataFrame] = None): DataFrame = {
+    val z = pruningAudit(df, colA, colB, gridBits, cellBits, probes,
+        cells0 = zcells0)
+      .select(col("dim"), col("probe"),
+        col("scan_bp").as("z_scan_bp"), col("select_bp"))
+    // persisted like the default-path cell frame (caller-owns-cache
+    // convention): the audit reads it for bounds AND the overlap join
+    val lin = pruningAudit(df, colA, colB, gridBits, cellBits, probes,
+        cells0 = Some(linearCells(df, colA, colB, cellBits).persist()))
+      .select(col("dim"), col("probe"), col("scan_bp").as("sort_scan_bp"))
+    z.join(lin, Seq("dim", "probe"))
+      .select(col("dim"), col("probe"), col("select_bp"),
+        col("z_scan_bp"), col("sort_scan_bp"))
       .orderBy(col("dim").asc, col("probe").asc)
   }
 }

@@ -1155,6 +1155,53 @@ object Retention {
       .orderBy(col("day").asc)
   }
 
+  /** Trailing-window MEDIAN of daily revenue — q257's robust twin:
+    * the rolling median ignores a one-day spike that would drag the
+    * rolling mean for a whole window (the same mean→rank upgrade as
+    * Theil–Sen vs OLS). RANGE semantics like q257: the window is day
+    * NUMBERS, so calendar gaps shrink the window's content instead of
+    * stretching it. Median is the rank-midpoint convention (q38):
+    * floor of the mean of the two middle daily totals, exact BIGINT
+    * division.
+    *
+    * Scale shape: the fact table collapses to the day panel first
+    * (one shuffle); the window self-join, rank window, and rollup all
+    * run at day grain — a decade is ~3.6k rows, metadata. The panel
+    * side is broadcast. */
+  def trailingMedianRevenue(orders: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays >= 1")
+    // the panel feeds both join sides — persisted (caller-owns-cache
+    // convention) so the fact table is scanned once, not twice
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+      .persist()
+    val src = day.select(col("daynum").as("sday"), col("cents").as("scents"))
+    val w = Window.partitionBy(col("daynum"))
+      .orderBy(col("scents").asc, col("sday").asc)
+    val wc = Window.partitionBy(col("daynum"))
+    day
+      .join(broadcast(src),
+        col("sday") >= col("daynum") - (windowDays - 1L) &&
+          col("sday") <= col("daynum"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("rn") === expr("(cnt + 1L) div 2L") ||
+        col("rn") === expr("(cnt + 2L) div 2L"))
+      .groupBy(col("daynum"))
+      .agg(min(col("cents")).as("cents"),
+        expr("sum(scents) div count(1)").as("trail_median_cents"),
+        min(col("cnt")).as("n_window_days"))
+      .select(
+        date_format(expr("date_add('1970-01-01', CAST(daynum AS INT))"),
+          "yyyy-MM-dd").as("day"),
+        col("cents"), col("trail_median_cents"), col("n_window_days"))
+      .orderBy(col("day").asc)
+  }
+
   /** YoY revenue BRIDGE by nation — the FP&A waterfall input: per
     * customer nation, revenue in `year` vs `year−1` (cents), the
     * delta, and growth_bp (floor; null when the base year is empty —

@@ -202,6 +202,42 @@ object TextAnalysis {
       .orderBy(col("term_freq").desc, col("token").asc)
       .limit(k)
 
+  /** Zipf rank-frequency decay table — the power-law diagnostic
+    * WITHOUT logs: for each octave rank r ∈ {1, 2, 4, …, maxRank},
+    * the term frequency at rank r and at rank 2r and their ratio in
+    * floor-bp. Under an ideal Zipf law f(r) ∝ 1/r^s the per-octave
+    * ratio f(2r)/f(r) = 2^(−s) is CONSTANT (~5000 bp for s = 1); a
+    * drifting column means head (stopwords) and tail obey different
+    * laws — what a tokenizer/vocab designer actually checks before
+    * sizing a vocabulary. Ratios are exact integer bp (no libm, no
+    * cross-engine log); rank ties break token-asc like [[vocabTop]].
+    *
+    * Scale shape: one tokenize pass into token grain (map-side
+    * combined), a TakeOrdered head of 2·maxRank rows, then all
+    * rank/join work runs on that metadata-sized list. */
+  def zipfDecay(docs: DataFrame, maxRank: Int = 64): DataFrame = {
+    require(maxRank >= 1, "maxRank >= 1")
+    // the head feeds both join sides — persisted (caller-owns-cache
+    // convention) so the corpus is tokenized once, not twice
+    val top = withTokens(docs)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("term_freq"))
+      .orderBy(col("term_freq").desc, col("token").asc)
+      .limit(2 * maxRank)
+      .persist()
+    val w = Window.orderBy(col("term_freq").desc, col("token").asc)
+    val ranked = top.withColumn("rank", row_number().over(w).cast("long"))
+    val twice = ranked.select(col("rank").as("rank_2x"),
+      col("term_freq").as("freq_2x"))
+    ranked
+      .filter(expr("(rank & (rank - 1)) = 0") && col("rank") <= maxRank)
+      .join(twice, col("rank_2x") === col("rank") * 2L)
+      .select(col("rank"), col("term_freq").as("freq"), col("freq_2x"),
+        floor(lit(10000.0) * col("freq_2x") / col("term_freq"))
+          .cast("long").as("decay_bp"))
+      .orderBy(col("rank").asc)
+  }
+
   /** Distinctive vocabulary per language: the top-k tokens by term
     * frequency among tokens that are NOT ubiquitous — document
     * frequency ≤ `maxDfBp` basis points of that language's corpus

@@ -1567,4 +1567,124 @@ class OpsSpec extends SparkSpec {
       ("a", 2L, 8L, 11L, 0L, 0L, 0L, 0L, 0L),
       ("a", 3L, 12L, 15L, 1L, 1L, 1L, 5000L, 5000L)))
   }
+
+  test("mannWhitney: doubled midranks, U identities, and CLES match a JVM recompute") {
+    val s2 = spark
+    import s2.implicits._
+    // per-user metric = event count: craft counts 1,2,2,3,1,5 over six
+    // users; arms come from the md5 draw, so recompute them the same way
+    val counts = Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 3, 5L -> 1, 6L -> 5)
+    val events = counts.toSeq.flatMap { case (u, n) =>
+      (1 to n).map(_ => u)
+    }.toDF("user_id")
+    val got = Experiment.mannWhitney(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("rank_sum_x2"),
+          r.getAs[Long]("u_x2"), r.getAs[Long]("cles_bp")))).toMap
+    // JVM recompute with exact midranks (doubled units)
+    val arms = counts.keys.toSeq.toDF("user_id")
+      .select(col("user_id"),
+        graft.ops.Experiment.armCol("user_id", 50).as("arm"))
+      .as[(Long, String)].collect().toMap
+    val ms = counts.toSeq.map { case (u, m) => (m.toLong, arms(u)) }
+    val byV = ms.groupBy(_._1).toSeq.sortBy(_._1)
+    var cum = 0L; var rA2 = 0L
+    byV.foreach { case (_, g) =>
+      val rank2 = 2 * cum + g.size + 1
+      rA2 += rank2 * g.count(_._2 == "A"); cum += g.size
+    }
+    val n = ms.size.toLong; val nA = ms.count(_._2 == "A").toLong
+    val uA2 = rA2 - nA * (nA + 1)
+    assert(got("A") == ((nA, rA2, uA2,
+      math.floor(10000.0 * uA2 / (2.0 * nA * (n - nA))).toLong)))
+    val uB2 = 2 * nA * (n - nA) - uA2
+    assert(got("B") == ((n - nA, n * (n + 1) - rA2, uB2,
+      math.floor(10000.0 * uB2 / (2.0 * nA * (n - nA))).toLong)))
+    // identities: rank mass conserves; U_A + U_B = n_a * n_b
+    assert(got("A")._2 + got("B")._2 == n * (n + 1))
+    assert(got("A")._3 + got("B")._3 == 2 * nA * (n - nA))
+  }
+
+  test("trailingMedianRevenue: rank-midpoint medians; calendar gap shrinks the window") {
+    val s2 = spark
+    import s2.implicits._
+    val orders = Seq(
+      ("2024-01-01", 1.0), ("2024-01-01", 0.5), // day total 150
+      ("2024-01-02", 3.0),                      // 300
+      ("2024-01-03", 2.0),                      // 200
+      ("2024-01-15", 5.0)                       // 500, past the gap
+    ).toDF("o_orderdate", "o_totalprice")
+    val got = Retention.trailingMedianRevenue(orders, 7).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("cents"), r.getAs[Long]("trail_median_cents"),
+          r.getAs[Long]("n_window_days")))).toMap
+    assert(got("2024-01-01") == ((150L, 150L, 1L)))
+    assert(got("2024-01-02") == ((300L, 225L, 2L))) // (150+300) div 2
+    assert(got("2024-01-03") == ((200L, 200L, 3L)))
+    assert(got("2024-01-15") == ((500L, 500L, 1L)), "gap leaked old days")
+  }
+
+  test("zipfDecay: per-octave ratios from engineered frequencies; missing 2r rank drops") {
+    val s2 = spark
+    import s2.implicits._
+    val text = (Seq.fill(8)("t1") ++ Seq.fill(4)("t2") ++
+      Seq.fill(2)("t3") ++ Seq("t4")).mkString(" ")
+    val docs = Seq((1L, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.zipfDecay(docs, 64)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // rank1 f=8 vs rank2 f=4 -> 5000; rank2 f=4 vs rank4 f=1 -> 2500;
+    // rank4 has no rank8 partner -> dropped
+    assert(got == Seq((1L, 8L, 4L, 5000L), (2L, 4L, 1L, 2500L)))
+  }
+
+  test("linkPrediction: 2-hop non-edges scored; existing edges excluded") {
+    val s2 = spark
+    import s2.implicits._
+    // path 1-2-3-4 plus the direct edge (1,3): wedge (1,3) at center 2
+    // is a REAL edge and must not be predicted
+    val pairs = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 3L, 1L))
+      .toDF("item_a", "item_b", "pair_sessions")
+    val got = Graph.linkPrediction(pairs, 1L, 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // deg: 1->2, 2->2, 3->3, 4->1. candidates: (1,4) via 3, (2,4) via 3
+    assert(got == Seq(
+      (1L, 4L, 1L, 2L, 1L, 5000L),
+      (2L, 4L, 1L, 2L, 1L, 5000L)))
+  }
+
+  test("eventBurstDedup: chained bursts collapse to the first; per-type rollup") {
+    val s2 = spark
+    import s2.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, sec))
+    val events = Seq(
+      (1L, "click", 1L, ts(0)), (1L, "click", 2L, ts(5)),
+      (1L, "click", 3L, ts(9)), (1L, "click", 4L, ts(30)),
+      (2L, "click", 5L, ts(0)),
+      (1L, "view", 6L, ts(0)), (1L, "view", 7L, ts(20))
+    ).toDF("user_id", "event_type", "event_id", "ts")
+    val got = Dedup.eventBurstDedup(events, 10L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // click: 5 events, the 5s and 9s rows chain off the first (gap to
+    // PREVIOUS <= 10s each) -> 2 dups; the 30s row restarts
+    assert(got == Seq(
+      ("click", 5L, 2L, 4000L, 3L),
+      ("view", 2L, 0L, 0L, 2L)))
+  }
+
+  test("layoutCompare: single-column sort prunes its own dim and nothing else; Z bounded on both") {
+    val s2 = spark
+    import s2.implicits._
+    // 4x4 value grid scaled to [0,15]: under ORDER BY a, every cell
+    // spans ALL of b (b probes scan 100%); Z quadrants bound both dims
+    val df = (for (x <- 0 to 3; y <- 0 to 3) yield (x * 5L, y * 5L))
+      .toDF("x", "y")
+    val got = Layout.layoutCompare(df, "x", "y",
+      gridBits = 4, cellBits = 2, probes = 4)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val expect = for (d <- Seq("a", "b"); i <- 0L to 3L) yield
+      (d, i, 2500L, 5000L, if (d == "a") 2500L else 10000L)
+    assert(got == expect)
+  }
 }

@@ -1530,4 +1530,61 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(stripCached(p)).isEmpty,
       s"raw docs rescanned by the config fan-out:\n${stripCached(p)}")
   }
+
+  test("q260 mann whitney: scan pruned to user_id; user agg + value-grain rank walk only") {
+    val p = plan("q260_mann_whitney")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(readSchema == "user_id:bigint", s"scan not pruned: $readSchema")
+    // user agg + metric-value agg + the single-partition rank walk
+    assert(shuffles(p) <= 3, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q261 trailing median: panel persisted (one live fact scan); self-join broadcast, never sort-merge") {
+    val p = plan("q261_trailing_median")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1,
+      stripCached(p))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q262 zipf decay: one pruned scan (inside the persisted head); TakeOrdered, never a global sort") {
+    val p = plan("q262_zipf_decay")
+    // the corpus tokenize runs ONCE at head materialization; both join
+    // sides then read the 2·maxRank-row cache
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 0, p)
+    assert(p.contains("TakeOrderedAndProject"), s"vocab head global-sorted:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("doc_id") && !readSchema.contains("lang"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q263 link prediction: rides the co-vis artifact (no parquet); degree maps broadcast; top-k pushed") {
+    val p = plan("q263_link_prediction")
+    assert(!stripCached(p).contains("Scan parquet"),
+      s"re-derived the pair artifact from parquet:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"degree map not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
+  }
+
+  test("q264 event burst dedup: one pruned scan; lag window rides the (user,type) shuffle") {
+    val p = plan("q264_event_burst_dedup")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+    // lag window + type-grain rollup + the ≤|types|-row output sort
+    assert(shuffles(p) <= 3, p)
+  }
+
+  test("q265 layout compare: shared Z cells + persisted linear cells; probes broadcast; no cartesian") {
+    val p = plan("q265_layout_compare")
+    // live fact scans: the two select_rows passes (+ nothing else; both
+    // cell tables come from the artifact / the persisted frame)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 3,
+      stripCached(p))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probe overlap join not broadcast:\n$p")
+  }
 }
