@@ -505,6 +505,14 @@ object ScaleProbe {
     t("duplicate orders")(graft.ops.Integrity.duplicateOrders(orders))
     t("price dispersion")(graft.ops.Integrity.priceDispersion(lineitem))
     t("linenumber audit")(graft.ops.Integrity.linenumberAudit(lineitem))
+    t("mann whitney")(graft.ops.Experiment.mannWhitney(events))
+    t("trailing median")(graft.ops.Retention.trailingMedianRevenue(orders))
+    t("zipf decay")(graft.ops.TextAnalysis.zipfDecay(docs))
+    t("link prediction")(graft.ops.Graph.linkPrediction(
+      graft.ops.Market.coVisitPairs(events), minWeight = 2L))
+    t("event burst dedup")(graft.ops.Dedup.eventBurstDedup(events))
+    t("layout compare")(graft.ops.Layout.layoutCompare(
+      lineitem, "l_partkey", "l_suppkey"))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's
