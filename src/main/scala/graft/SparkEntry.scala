@@ -292,7 +292,10 @@ object SparkEntry {
     "q262_zipf_decay" -> (Queries.zipfDecay _),
     "q263_link_prediction" -> (Queries.linkPrediction _),
     "q264_event_burst_dedup" -> (Queries.eventBurstDedup _),
-    "q265_layout_compare" -> (Queries.layoutCompare _)
+    "q265_layout_compare" -> (Queries.layoutCompare _),
+    "q266_bm25_ndcg" -> (Queries.bm25Ndcg _),
+    "q267_markov_eval" -> (Queries.markovEval _),
+    "q268_revenue_pareto" -> (Queries.revenuePareto _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2008,10 +2011,40 @@ object Queries {
   val KnownItemK = 10
   val KnownItemMaxQueries = 200
 
+  /** The known-item eval's shared outcome frame (ops.Shared
+    * contract): the expensive BM25 ranking pass runs once; q229's
+    * found/MRR summary and q266's nDCG are both rollups of this
+    * probe-set-grain (query_id, rank-or-null) artifact. */
+  private def sharedKnownItemOutcomes(spark: SparkSession,
+      dir: String): DataFrame =
+    Shared.memo(spark, s"bm25_outcomes:$dir")(
+      Retrieval.bm25KnownItemOutcomes(Tables(spark, dir, "documents"),
+        KnownItemMod, KnownItemTokens, KnownItemK, KnownItemMaxQueries))
+
   /** BM25 known-item retrieval eval (found@k + MRR@k). */
   def bm25KnownItem(spark: SparkSession, dir: String): DataFrame =
     Retrieval.bm25KnownItem(Tables(spark, dir, "documents"),
-      KnownItemMod, KnownItemTokens, KnownItemK, KnownItemMaxQueries)
+      KnownItemMod, KnownItemTokens, KnownItemK, KnownItemMaxQueries,
+      outcomes0 = Some(sharedKnownItemOutcomes(spark, dir)))
+
+  /** nDCG@k over the same known-item outcomes (shared artifact). */
+  def bm25Ndcg(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25Ndcg(Tables(spark, dir, "documents"),
+      KnownItemMod, KnownItemTokens, KnownItemK, KnownItemMaxQueries,
+      outcomes0 = Some(sharedKnownItemOutcomes(spark, dir)))
+
+  val MarkovSplitDate = "2024-01-16"
+
+  /** Time-split top-1 next-event prediction accuracy of the q91
+    * transition matrix. */
+  def markovEval(spark: SparkSession, dir: String): DataFrame =
+    Market.markovEval(Tables(spark, dir, "events"), MarkovSplitDate)
+
+  val ParetoTiers = 10
+
+  /** Customer revenue concentration: Lorenz tiers + exact Gini. */
+  def revenuePareto(spark: SparkSession, dir: String): DataFrame =
+    Retention.revenuePareto(Tables(spark, dir, "orders"), ParetoTiers)
 
   /** Token frequency spectrum (the sort-free Zipf read). */
   def tokenSpectrum(spark: SparkSession, dir: String): DataFrame =
@@ -2300,6 +2333,62 @@ object Oracles {
        |    UNION ALL
        |    SELECT item_b, item_a FROM pairs WHERE w >= $minSupport)),
        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edg GROUP BY 1)""".stripMargin
+
+  /** BM25 known-item eval chain (twin of
+    * Retrieval.bm25KnownItemOutcomes): defines `q` (query_id, token)
+    * and `hits` (query_id, rank ≤ k where the query's own doc
+    * surfaced). Shared by the q229 found/MRR and q266 nDCG rollups. */
+  val knownItemCtes: String = {
+    val qm = Queries.KnownItemMod
+    val qt = Queries.KnownItemTokens
+    val k = Queries.KnownItemK
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |qd AS (
+       |  SELECT doc_id FROM toks WHERE doc_id % $qm = 0
+       |  ORDER BY doc_id LIMIT ${Queries.KnownItemMaxQueries}),
+       |q AS (
+       |  SELECT DISTINCT toks.doc_id AS query_id,
+       |         unnest(list_distinct(t[1 : $qt])) AS token
+       |  FROM toks JOIN qd ON toks.doc_id = qd.doc_id),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE)
+       |           / CAST(COUNT(*) AS BIGINT) AS avgdl
+       |  FROM dl),
+       |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM tok JOIN (SELECT DISTINCT token FROM q) qt USING (token)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+       |          FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         CAST(FLOOR(1000000.0
+       |           * ((2.0 * (st.n_docs - dfreq.df) + 1.0)
+       |             / (2.0 * dfreq.df + 1.0))
+       |           * ((tf.tf * 2.5)
+       |             / (tf.tf + 1.5
+       |               * (0.25 + 0.75 * (dl.dl / st.avgdl))))) AS BIGINT) AS c
+       |  FROM tf
+       |  JOIN dfreq USING (token)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  JOIN q ON q.token = tf.token, st),
+       |s AS (
+       |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp
+       |  FROM contrib GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
+       |  FROM s),
+       |hits AS (
+       |  SELECT query_id, rank FROM r
+       |  WHERE rank <= $k AND doc_id = query_id)""".stripMargin
+  }
 
   /** Distinct 3-word shingles per document (twin of Dedup.withShingles). */
   val shingleCte: String =
@@ -8363,56 +8452,8 @@ object Oracles {
 
     // the q66 BM25 machinery with a DERIVED query set (every 10th
     // doc's first 3 distinct tokens; relevant = the doc itself)
-    "q229_bm25_known_item" -> {
-      val qm = Queries.KnownItemMod
-      val qt = Queries.KnownItemTokens
-      val k = Queries.KnownItemK
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t
-         |  FROM documents WHERE text IS NOT NULL),
-         |qd AS (
-         |  SELECT doc_id FROM toks WHERE doc_id % $qm = 0
-         |  ORDER BY doc_id LIMIT ${Queries.KnownItemMaxQueries}),
-         |q AS (
-         |  SELECT DISTINCT toks.doc_id AS query_id,
-         |         unnest(list_distinct(t[1 : $qt])) AS token
-         |  FROM toks JOIN qd ON toks.doc_id = qd.doc_id),
-         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-         |st AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |         CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE)
-         |           / CAST(COUNT(*) AS BIGINT) AS avgdl
-         |  FROM dl),
-         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
-         |tf AS (
-         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM tok JOIN (SELECT DISTINCT token FROM q) qt USING (token)
-         |  GROUP BY 1, 2),
-         |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
-         |          FROM tf GROUP BY 1),
-         |contrib AS (
-         |  SELECT q.query_id, tf.doc_id,
-         |         CAST(FLOOR(1000000.0
-         |           * ((2.0 * (st.n_docs - dfreq.df) + 1.0)
-         |             / (2.0 * dfreq.df + 1.0))
-         |           * ((tf.tf * 2.5)
-         |             / (tf.tf + 1.5
-         |               * (0.25 + 0.75 * (dl.dl / st.avgdl))))) AS BIGINT) AS c
-         |  FROM tf
-         |  JOIN dfreq USING (token)
-         |  JOIN dl ON dl.doc_id = tf.doc_id
-         |  JOIN q ON q.token = tf.token, st),
-         |s AS (
-         |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_fp
-         |  FROM contrib GROUP BY 1, 2),
-         |r AS (
-         |  SELECT query_id, doc_id,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |           ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
-         |  FROM s),
-         |hits AS (
-         |  SELECT query_id, rank FROM r
-         |  WHERE rank <= $k AND doc_id = query_id),
+    "q229_bm25_known_item" ->
+      s"""WITH $knownItemCtes,
          |nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
          |       FROM q),
          |ha AS (
@@ -8425,7 +8466,97 @@ object Oracles {
          |            END AS BIGINT) AS found_bp,
          |       CAST(CASE WHEN nq.n_queries = 0 THEN 0
          |            ELSE ha.rr_sum // nq.n_queries END AS BIGINT) AS mrr_bp
-         |FROM ha, nq""".stripMargin
+         |FROM ha, nq""".stripMargin,
+
+    // same CTE chain as q229; the discounts are the SAME fixed-point
+    // literals the Spark plan embeds (generated once in
+    // Retrieval.ndcgGainsPpm - no engine libm on either side)
+    "q266_bm25_ndcg" -> {
+      val gains = graft.ops.Retrieval.ndcgGainsPpm(Queries.KnownItemK)
+      val arr = s"[${gains.mkString(", ")}]"
+      s"""WITH $knownItemCtes,
+         |nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+         |       FROM q),
+         |ga AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_found,
+         |         CAST(COALESCE(SUM(($arr)[CAST(rank AS INT)]), 0) AS BIGINT)
+         |           AS gain_sum
+         |  FROM hits)
+         |SELECT nq.n_queries, ga.n_found,
+         |       CAST(CASE WHEN nq.n_queries = 0 THEN 0
+         |            ELSE ga.gain_sum // nq.n_queries END AS BIGINT)
+         |         AS ndcg_ppm
+         |FROM ga, nq""".stripMargin
+    },
+
+    // time-split top-1 next-event eval: boundary binds to the
+    // PREDICTED event; cold-start prev types score 0 with NULL model
+    "q267_markov_eval" -> {
+      val d = Queries.MarkovSplitDate
+      s"""$sessionCte,
+         |st AS (
+         |  SELECT user_id, session_seq, event_type, ts,
+         |         lag(event_type) OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS prev_type
+         |  FROM sz),
+         |tr AS (
+         |  SELECT prev_type, event_type AS next_type,
+         |         CASE WHEN ts < TIMESTAMP '$d' THEN 1 ELSE 0 END AS is_train,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM st WHERE prev_type IS NOT NULL GROUP BY 1, 2, 3),
+         |model AS (
+         |  SELECT prev_type, next_type AS predicted_next FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY prev_type
+         |      ORDER BY n DESC, next_type ASC) AS r
+         |    FROM tr WHERE is_train = 1)
+         |  WHERE r = 1)
+         |SELECT t.prev_type, m.predicted_next,
+         |       CAST(SUM(t.n) AS BIGINT) AS n_eval,
+         |       CAST(SUM(CASE WHEN t.next_type = m.predicted_next
+         |         THEN t.n ELSE 0 END) AS BIGINT) AS n_correct,
+         |       CAST(FLOOR(10000.0 * SUM(CASE WHEN t.next_type =
+         |           m.predicted_next THEN t.n ELSE 0 END) / SUM(t.n))
+         |         AS BIGINT) AS acc_bp
+         |FROM tr t LEFT JOIN model m USING (prev_type)
+         |WHERE t.is_train = 0
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    },
+
+    // Lorenz tiers (tie groups land whole by their last DESC rank) +
+    // exact rank-formula Gini in doubled units at value grain
+    "q268_revenue_pareto" -> {
+      val t = Queries.ParetoTiers
+      s"""WITH cust AS (
+         |  SELECT o_custkey,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |g AS (
+         |  SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM cust GROUP BY 1),
+         |w AS (
+         |  SELECT *, CAST(SUM(cnt) OVER (ORDER BY cents ASC) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+         |         CAST(SUM(cnt * cents) OVER () AS BIGINT) AS tot
+         |  FROM g),
+         |gini AS (
+         |  SELECT CAST(FLOOR(10000.0 *
+         |      (SUM((2 * (cum - cnt) + cnt + 1) * cnt * cents)
+         |        - (MIN(n) + 1) * MIN(tot))
+         |      / (MIN(n) * MIN(tot))) AS BIGINT) AS gini_bp
+         |  FROM w),
+         |tiers AS (
+         |  SELECT (n - (cum - cnt) - 1) * $t // n + 1 AS tier,
+         |         CAST(SUM(cnt) AS BIGINT) AS n_customers,
+         |         CAST(SUM(cnt * cents) AS BIGINT) AS revenue_cents,
+         |         CAST(MIN(tot) AS BIGINT) AS tot
+         |  FROM w GROUP BY 1)
+         |SELECT tier, n_customers, revenue_cents,
+         |       CAST(FLOOR(10000.0 * revenue_cents / tot) AS BIGINT)
+         |         AS rev_share_bp,
+         |       CAST(FLOOR(10000.0 * SUM(revenue_cents) OVER (ORDER BY tier)
+         |         / tot) AS BIGINT) AS cum_share_bp,
+         |       (SELECT gini_bp FROM gini) AS gini_bp
+         |FROM tiers ORDER BY tier""".stripMargin
     },
 
     "q230_token_spectrum" ->

@@ -277,6 +277,53 @@ object Market {
       .select("prev_type", "next_type", "transitions", "prob_bp")
   }
 
+  /** Time-split next-event prediction eval — does the [[transitions]]
+    * matrix actually PREDICT, or only describe? Train on transitions
+    * whose predicted (next) event falls BEFORE `splitDate`, take each
+    * prev type's modal next as the model (count desc, type asc tie),
+    * and score top-1 accuracy on the transitions at-or-after the
+    * split. The boundary binds to the PREDICTED event (the q63
+    * leakage rule: the thing being predicted must never have been
+    * trainable), so a transition straddling the split is eval, never
+    * train. Prev types first seen in eval carry a NULL prediction and
+    * score 0 — the cold-start penalty belongs in the metric.
+    *
+    * Columns: prev_type, predicted_next, n_eval, n_correct, acc_bp.
+    *
+    * Scale shape: one sessionize shuffle (the lag window), then
+    * train/eval/model/score all live at event-type²-grain (persisted
+    * once — two consumers); the model join is broadcast. */
+  def markovEval(events: DataFrame, splitDate: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Sessionize.assignSessions(events)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(bySession))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"),
+        (col("ts") < lit(splitDate).cast("timestamp")).as("is_train"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wPred = Window.partitionBy(col("prev_type"))
+      .orderBy(col("n").desc, col("next_type").asc)
+    val model = steps.filter(col("is_train"))
+      .withColumn("r", row_number().over(wPred))
+      .filter(col("r") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted_next"))
+    steps.filter(!col("is_train"))
+      .join(broadcast(model), Seq("prev_type"), "left")
+      .groupBy(col("prev_type"), col("predicted_next"))
+      .agg(sum(col("n")).as("n_eval"),
+        sum(when(col("next_type") === col("predicted_next"), col("n"))
+          .otherwise(0L)).as("n_correct"))
+      .select(col("prev_type"), col("predicted_next"),
+        col("n_eval"), col("n_correct"),
+        floor(lit(10000.0) * col("n_correct") / col("n_eval")).cast("long")
+          .as("acc_bp"))
+      .orderBy(col("prev_type").asc)
+  }
+
   /** k-step absorption probability into `target` under the observed
     * [[transitions]] Markov chain: from each event type, the
     * probability of reaching (e.g.) 'purchase' within `steps`

@@ -1155,6 +1155,69 @@ object Retention {
       .orderBy(col("day").asc)
   }
 
+  /** Revenue concentration — the Pareto/Lorenz table plus an exact
+    * Gini coefficient: customers ranked by lifetime revenue, cut into
+    * `nTiers` equal-depth tiers (tier 1 = biggest spenders; a tied
+    * revenue value lands whole in one tier, the equiDepthBins rule
+    * mirrored descending), with each tier's customer count, revenue,
+    * revenue share, and the running "top tiers own X%" cumulative —
+    * the "top 10% of customers = 60% of revenue" readout. gini_bp is
+    * the exact rank formula G = (2Σi·x₍ᵢ₎ − (n+1)Σx) / (nΣx) in
+    * floor-bp, computed in DOUBLED rank units over the VALUE grain so
+    * ties need no per-row rank: a tie group's Σranks is
+    * cnt·cum_before + cnt(cnt+1)/2, integral after doubling.
+    *
+    * Scale shape: one fact shuffle to customer grain, then the rank
+    * walk runs at distinct-REVENUE grain (the q77 histogram trick);
+    * the report is nTiers rows. Σi·x terms are BIGINT — at extreme
+    * scale (n·x beyond 2^63) swap for decimal accumulators. */
+  def revenuePareto(orders: DataFrame, nTiers: Int = 10): DataFrame = {
+    require(nTiers >= 1, "nTiers >= 1")
+    val cust = orders.groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+    val wAsc = Window.partitionBy().orderBy(col("cents").asc)
+    val wAll = Window.partitionBy()
+    // value-grain frame feeds BOTH the Gini rollup and the tier
+    // branch — persisted (caller-owns-cache convention) so the fact
+    // chain runs once
+    val g = cust.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wAsc))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("tot", sum(col("cnt") * col("cents")).over(wAll))
+      // 2·Σ(asc ranks) of the tie group — integral in doubled units
+      .withColumn("sir2",
+        (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L)) *
+          col("cnt"))
+      .persist()
+    val gini = g.agg(sum(expr("sir2 * cents")).as("s2ix"),
+        min(col("n")).as("n"), min(col("tot")).as("tot"))
+      .select(when(col("tot") <= 0L, lit(null).cast("long"))
+        .otherwise(floor(lit(10000.0) *
+          (col("s2ix") - (col("n") + 1L) * col("tot")) /
+          (col("n") * col("tot"))).cast("long")).as("gini_bp"))
+    val wTier = Window.partitionBy().orderBy(col("tier").asc)
+    g
+      // tie group's LAST descending rank decides its tier (desc rank
+      // of the group's last member = n − cum_before)
+      .withColumn("tier",
+        expr(s"(n - (cum - cnt) - 1L) * ${nTiers}L div n + 1L"))
+      .groupBy(col("tier"))
+      .agg(sum(col("cnt")).as("n_customers"),
+        sum(expr("cnt * cents")).as("revenue_cents"),
+        min(col("tot")).as("__tot"))
+      .withColumn("rev_share_bp",
+        floor(lit(10000.0) * col("revenue_cents") / col("__tot"))
+          .cast("long"))
+      .withColumn("cum_share_bp",
+        floor(lit(10000.0) * sum(col("revenue_cents")).over(wTier) /
+          col("__tot")).cast("long"))
+      .crossJoin(broadcast(gini))
+      .select(col("tier"), col("n_customers"), col("revenue_cents"),
+        col("rev_share_bp"), col("cum_share_bp"), col("gini_bp"))
+      .orderBy(col("tier").asc)
+  }
+
   /** Trailing-window MEDIAN of daily revenue — q257's robust twin:
     * the rolling median ignores a one-day spike that would drag the
     * rolling mean for a whole window (the same mean→rank upgrade as

@@ -125,7 +125,15 @@ object Retrieval {
     * corpus turns the scoring join quadratic (measured 3.5× at a 2×
     * corpus before the cap — the q25 fixed-probe lesson applied to
     * text). */
-  def bm25KnownItem(docs: DataFrame, queryMod: Long = 10L,
+  /** Probe-grain known-item OUTCOMES: one row per probe query with
+    * the rank its own document achieved in the BM25 top-k (null =
+    * missed) — the shared eval artifact (ops.Shared contract): the
+    * expensive ranking pass runs once, and every eval metric (q229's
+    * found/MRR summary, q266's nDCG) is a rollup of this
+    * probe-set-grain frame. Probe queries whose token set is empty
+    * after the slice drop out of `queries`, so the outcome universe
+    * is the DISTINCT query set actually ranked. */
+  def bm25KnownItemOutcomes(docs: DataFrame, queryMod: Long = 10L,
       queryTokens: Int = 3, k: Int = 10, maxQueries: Int = 200): DataFrame = {
     require(queryMod >= 1L && queryTokens >= 1 && k >= 1 && maxQueries >= 1)
     val probeDocs = docs
@@ -141,17 +149,59 @@ object Retrieval {
     val hits = bm25TopK(docs, queries, k)
       .filter(col("doc_id") === col("query_id"))
       .select(col("query_id"), col("rank"))
-    val nq = queries.select(col("query_id")).distinct()
-      .agg(count(lit(1)).as("n_queries"))
-    hits.agg(count(lit(1)).as("n_found"),
-        coalesce(sum(expr("10000L div rank")), lit(0L)).as("rr_sum"))
-      .crossJoin(broadcast(nq))
+    queries.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+  }
+
+  def bm25KnownItem(docs: DataFrame, queryMod: Long = 10L,
+      queryTokens: Int = 3, k: Int = 10, maxQueries: Int = 200,
+      outcomes0: Option[DataFrame] = None): DataFrame = {
+    val o = outcomes0.getOrElse(
+      bm25KnownItemOutcomes(docs, queryMod, queryTokens, k, maxQueries))
+    o.agg(count(lit(1)).as("n_queries"),
+        count(col("rank")).as("n_found"),
+        coalesce(sum(when(col("rank").isNotNull, expr("10000L div rank"))
+          .otherwise(0L)), lit(0L)).as("rr_sum"))
       .select(col("n_queries"), col("n_found"),
         when(col("n_queries") === 0L, 0L)
           .otherwise(floor(lit(10000.0) * col("n_found") / col("n_queries"))
             .cast("long")).as("found_bp"),
         when(col("n_queries") === 0L, 0L)
           .otherwise(expr("rr_sum div n_queries")).as("mrr_bp"))
+  }
+
+  /** nDCG@k of the known-item eval — the rank-DISCOUNT companion to
+    * q229's found/MRR: with one relevant document per query, ideal
+    * DCG is 1 and per-query nDCG is exactly 1/log₂(rank+1); a miss
+    * scores 0. The discounts are FIXED-POINT LITERALS (⌊10⁶/log₂(r+1)⌋
+    * for r = 1..k, same constants in the oracle), so no runtime libm
+    * and no cross-engine log drift — the k-entry table IS the metric
+    * definition. Corpus nDCG = Σ gain_ppm div n_queries. Rolls up the
+    * shared [[bm25KnownItemOutcomes]] artifact — the ranking pass is
+    * never re-run for a second metric. */
+  /** The nDCG discount table ⌊10⁶/log₂(r+1)⌋, r = 1..k — generated
+    * ONCE here and embedded as literals in both the Spark plan and
+    * the DuckDB oracle, so the two engines share constants instead of
+    * each calling their own libm. */
+  private[graft] def ndcgGainsPpm(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  def bm25Ndcg(docs: DataFrame, queryMod: Long = 10L,
+      queryTokens: Int = 3, k: Int = 10, maxQueries: Int = 200,
+      outcomes0: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && k <= 63, "k in [1,63]")
+    val o = outcomes0.getOrElse(
+      bm25KnownItemOutcomes(docs, queryMod, queryTokens, k, maxQueries))
+    val gainArr = s"array(${ndcgGainsPpm(k).map(g => s"${g}L").mkString(", ")})"
+    o.agg(count(lit(1)).as("n_queries"),
+        count(col("rank")).as("n_found"),
+        coalesce(sum(when(col("rank").isNotNull,
+          expr(s"element_at($gainArr, CAST(rank AS INT))"))
+          .otherwise(0L)), lit(0L)).as("gain_sum"))
+      .select(col("n_queries"), col("n_found"),
+        when(col("n_queries") === 0L, 0L)
+          .otherwise(expr("gain_sum div n_queries")).as("ndcg_ppm"))
   }
 
   /** Token frequency spectrum: how many distinct tokens occur ~2^b

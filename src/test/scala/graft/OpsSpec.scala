@@ -1687,4 +1687,51 @@ class OpsSpec extends SparkSpec {
       (d, i, 2500L, 5000L, if (d == "a") 2500L else 10000L)
     assert(got == expect)
   }
+
+  test("markovEval: trains on pre-split transitions only; cold-start prev scores 0 with NULL model") {
+    val s2 = spark
+    import s2.implicits._
+    def ev(u: Long, id: Long, t: String, day: Int, sec: Int) =
+      (u, id, t, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, day, 10, 0, sec)))
+    // train (before 01-16): A->B twice, A->C once  => model A -> B
+    // eval  (after):        A->B (hit), A->C (miss), D->A (cold start)
+    val events = Seq(
+      ev(1, 1, "A", 10, 0), ev(1, 2, "B", 10, 10),
+      ev(2, 3, "A", 11, 0), ev(2, 4, "B", 11, 10),
+      ev(3, 5, "A", 12, 0), ev(3, 6, "C", 12, 10),
+      ev(4, 7, "A", 20, 0), ev(4, 8, "B", 20, 10),
+      ev(5, 9, "A", 21, 0), ev(5, 10, "C", 21, 10),
+      ev(6, 11, "D", 22, 0), ev(6, 12, "A", 22, 10)
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Market.markovEval(events, "2024-01-16").collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getString(1)), r.getAs[Long]("n_eval"),
+          r.getAs[Long]("n_correct"), r.getAs[Long]("acc_bp")))).toMap
+    assert(got("A") == ((Some("B"), 2L, 1L, 5000L)))
+    assert(got("D") == ((None, 1L, 0L, 0L)), "cold-start must score 0")
+    assert(got.size == 2)
+  }
+
+  test("revenuePareto: tie-respecting tiers, Lorenz cumulative, exact Gini") {
+    val s2 = spark
+    import s2.implicits._
+    val orders = Seq(
+      (1L, 0.6), (1L, 0.4), // customer 1: 100 cents
+      (2L, 2.0), (3L, 3.0), (4L, 4.0)
+    ).toDF("o_custkey", "o_totalprice")
+    val got = Retention.revenuePareto(orders, 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // asc 100,200,300,400: Gini = (2*3000 - 5*1000)/(4*1000) = 2500bp
+    assert(got == Seq(
+      (1L, 2L, 700L, 7000L, 7000L, 2500L),
+      (2L, 2L, 300L, 3000L, 10000L, 2500L)))
+    // tie group lands whole: three equal customers in 2 tiers -> the
+    // tie bin goes entirely to the tier of its LAST desc rank
+    val tied = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0))
+      .toDF("o_custkey", "o_totalprice")
+    val g2 = Retention.revenuePareto(tied, 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq((2L, 3L, 300L, 10000L, 10000L, 0L)))
+  }
 }

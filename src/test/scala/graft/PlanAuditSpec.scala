@@ -1587,4 +1587,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), s"probe overlap join not broadcast:\n$p")
   }
+
+  test("q266 bm25 ndcg: serves the shared outcomes artifact, never re-ranking the corpus") {
+    val p = plan("q266_bm25_ndcg")
+    assert(p.contains("Scan ExistingRDD"),
+      s"not serving the checkpointed outcomes:\n$p")
+    assert(!stripCached(p).contains("Scan parquet"),
+      s"re-ran the BM25 ranking pass:\n$p")
+  }
+
+  test("q267 markov eval: steps persisted (one live fact chain); model join broadcast") {
+    val p = plan("q267_markov_eval")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1,
+      stripCached(p))
+    assert(!p.contains("SortMergeJoin"), s"model join shuffled the steps:\n$p")
+  }
+
+  test("q268 revenue pareto: one pruned scan (inside the persisted value grain); scalar gini broadcast") {
+    val p = plan("q268_revenue_pareto")
+    // the fact chain runs ONCE at value-grain materialization; both
+    // the gini rollup and the tier branch read the cache
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 0,
+      stripCached(p))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_orderpriority"),
+      s"scan not pruned: $readSchema")
+  }
 }

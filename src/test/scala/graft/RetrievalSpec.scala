@@ -765,4 +765,32 @@ class RetrievalSpec extends SparkSpec {
       (1L, 1L, 2L, 2857L),  // b ×2
       (2L, 1L, 4L, 5714L))) // a ×4
   }
+
+  test("bm25Ndcg: fixed-point discounts over known ranks; misses score 0") {
+    val s2 = spark
+    import s2.implicits._
+    // outcomes injected directly: ranks 1, 2, miss -> gains 10^6,
+    // 630929, 0; corpus nDCG = floor(1630929 / 3)
+    val outcomes = Seq((10L, Some(1L)), (20L, Some(2L)), (30L, None))
+      .toDF("query_id", "rank")
+    val out = Retrieval.bm25Ndcg(outcomes /* unused */, k = 10,
+      outcomes0 = Some(outcomes)).collect().head
+    assert(out.getAs[Long]("n_queries") == 3L)
+    assert(out.getAs[Long]("n_found") == 2L)
+    assert(out.getAs[Long]("ndcg_ppm") == (1000000L + 630929L) / 3L)
+  }
+
+  test("known-item rollups over the shared outcomes artifact equal the standalone entries") {
+    val s2 = spark
+    import s2.implicits._
+    val docsT = graft.tables.Tables(spark, sf, "documents")
+    val o = Some(Retrieval.bm25KnownItemOutcomes(docsT, 10L, 3, 10, 50)
+      .localCheckpoint())
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(Retrieval.bm25KnownItem(docsT, 10L, 3, 10, 50, o)) ==
+      rows(Retrieval.bm25KnownItem(docsT, 10L, 3, 10, 50)))
+    assert(rows(Retrieval.bm25Ndcg(docsT, 10L, 3, 10, 50, o)) ==
+      rows(Retrieval.bm25Ndcg(docsT, 10L, 3, 10, 50)))
+  }
 }
