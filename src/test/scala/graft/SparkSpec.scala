@@ -33,12 +33,13 @@ abstract class SparkSpec extends AnyFunSuite {
   * tests (shared by the streaming specs). */
 final class TestGroupState[T] extends org.apache.spark.sql.streaming.GroupState[T] {
   var value: Option[T] = None
+  var timedOut: Boolean = false
   override def exists: Boolean = value.isDefined
   override def get: T = value.get
   override def getOption: Option[T] = value
   override def update(t: T): Unit = value = Some(t)
   override def remove(): Unit = value = None
-  override def hasTimedOut: Boolean = false
+  override def hasTimedOut: Boolean = timedOut
   override def setTimeoutDuration(ms: Long): Unit = ()
   override def setTimeoutDuration(d: String): Unit = ()
   override def setTimeoutTimestamp(ms: Long): Unit = ()
