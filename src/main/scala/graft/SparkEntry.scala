@@ -295,7 +295,10 @@ object SparkEntry {
     "q265_layout_compare" -> (Queries.layoutCompare _),
     "q266_bm25_ndcg" -> (Queries.bm25Ndcg _),
     "q267_markov_eval" -> (Queries.markovEval _),
-    "q268_revenue_pareto" -> (Queries.revenuePareto _)
+    "q268_revenue_pareto" -> (Queries.revenuePareto _),
+    "q269_engagement_auc" -> (Queries.engagementAuc _),
+    "q270_quarterly_pivot" -> (Queries.quarterlyPivot _),
+    "q271_quarterly_unpivot" -> (Queries.quarterlyLong _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2045,6 +2048,24 @@ object Queries {
   /** Customer revenue concentration: Lorenz tiers + exact Gini. */
   def revenuePareto(spark: SparkSession, dir: String): DataFrame =
     Retention.revenuePareto(Tables(spark, dir, "orders"), ParetoTiers)
+
+  /** Exact rank-formula ROC-AUC: does activity predict conversion. */
+  def engagementAuc(spark: SparkSession, dir: String): DataFrame =
+    Experiment.engagementAuc(Tables(spark, dir, "events"))
+
+  val PivotYear = 1997
+
+  /** Quarterly revenue pivot by nation (declared-domain pivot). */
+  def quarterlyPivot(spark: SparkSession, dir: String): DataFrame =
+    Retention.quarterlyPivot(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "nation"),
+      PivotYear)
+
+  /** The pivot melted back to long via Dataset.unpivot. */
+  def quarterlyLong(spark: SparkSession, dir: String): DataFrame =
+    Retention.quarterlyLong(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "nation"),
+      PivotYear)
 
   /** Token frequency spectrum (the sort-free Zipf read). */
   def tokenSpectrum(spark: SparkSession, dir: String): DataFrame =
@@ -8557,6 +8578,89 @@ object Oracles {
          |         / tot) AS BIGINT) AS cum_share_bp,
          |       (SELECT gini_bp FROM gini) AS gini_bp
          |FROM tiers ORDER BY tier""".stripMargin
+    },
+
+    // AUC == Mann-Whitney U / (n_pos*n_neg): the q260 doubled-midrank
+    // machinery with the conversion label in place of the arm
+    "q269_engagement_auc" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1
+         |           ELSE 0 END) AS BIGINT) AS m,
+         |         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+         |           ELSE 0 END) AS BIGINT) AS pos
+         |  FROM events GROUP BY 1),
+         |v AS (
+         |  SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |         CAST(SUM(pos) AS BIGINT) AS cnt_pos
+         |  FROM u GROUP BY 1),
+         |r AS (SELECT *, CAST(SUM(cnt) OVER (ORDER BY m) AS BIGINT) AS cum
+         |      FROM v),
+         |t AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_users,
+         |         CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+         |         CAST(SUM(cnt_pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
+         |           AS r_pos2
+         |  FROM r)
+         |SELECT n_users, n_pos, n_users - n_pos AS n_neg,
+         |       CASE WHEN n_pos = 0 OR n_pos = n_users THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 *
+         |              (r_pos2 - n_pos * (n_pos + 1))
+         |              / (2.0 * n_pos * (n_users - n_pos))) AS BIGINT)
+         |       END AS auc_bp
+         |FROM t""".stripMargin,
+
+    // declared-domain pivot: conditional sums over the fixed quarter
+    // set (the exact plan Spark's pivot compiles to)
+    "q270_quarterly_pivot" -> {
+      val y = Queries.PivotYear
+      s"""WITH f AS (
+         |  SELECT c.c_nationkey,
+         |         CAST(quarter(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS q,
+         |         CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS cents
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  WHERE year(CAST(o.o_orderdate AS DATE)) = $y),
+         |g AS (
+         |  SELECT n.n_name AS nation,
+         |         CAST(COALESCE(SUM(CASE WHEN q = 1 THEN cents END), 0)
+         |           AS BIGINT) AS q1_cents,
+         |         CAST(COALESCE(SUM(CASE WHEN q = 2 THEN cents END), 0)
+         |           AS BIGINT) AS q2_cents,
+         |         CAST(COALESCE(SUM(CASE WHEN q = 3 THEN cents END), 0)
+         |           AS BIGINT) AS q3_cents,
+         |         CAST(COALESCE(SUM(CASE WHEN q = 4 THEN cents END), 0)
+         |           AS BIGINT) AS q4_cents
+         |  FROM f JOIN nation n ON f.c_nationkey = n.n_nationkey
+         |  GROUP BY 1)
+         |SELECT nation, q1_cents, q2_cents, q3_cents, q4_cents,
+         |       q1_cents + q2_cents + q3_cents + q4_cents AS total_cents
+         |FROM g ORDER BY nation""".stripMargin
+    },
+
+    // the same cells long: one row per (nation, quarter), zeros kept
+    "q271_quarterly_unpivot" -> {
+      val y = Queries.PivotYear
+      s"""WITH f AS (
+         |  SELECT c.c_nationkey,
+         |         CAST(quarter(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS q,
+         |         CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS cents
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  WHERE year(CAST(o.o_orderdate AS DATE)) = $y),
+         |n4 AS (
+         |  SELECT n.n_name AS nation, qq.quarter
+         |  FROM (SELECT DISTINCT c_nationkey FROM f) fn
+         |  JOIN nation n ON fn.c_nationkey = n.n_nationkey
+         |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS quarter) qq),
+         |g AS (
+         |  SELECT n.n_name AS nation, f.q AS quarter,
+         |         CAST(SUM(cents) AS BIGINT) AS cents
+         |  FROM f JOIN nation n ON f.c_nationkey = n.n_nationkey
+         |  GROUP BY 1, 2)
+         |SELECT n4.nation, CAST(n4.quarter AS BIGINT) AS quarter,
+         |       CAST(COALESCE(g.cents, 0) AS BIGINT) AS cents
+         |FROM n4 LEFT JOIN g ON n4.nation = g.nation
+         |  AND n4.quarter = g.quarter
+         |ORDER BY 1, 2""".stripMargin
     },
 
     "q230_token_spectrum" ->

@@ -234,6 +234,47 @@ object Experiment {
       .orderBy(col("arm").asc)
   }
 
+  /** Exact ROC-AUC of an engagement score predicting conversion —
+    * the classifier-health number next to [[gainsTable]]'s deciles:
+    * AUC = P(score of a random converter > score of a random
+    * non-converter) + ½·P(tie), which is exactly the Mann–Whitney
+    * U / (n_pos·n_neg) — so it reuses the q260 doubled-midrank
+    * machinery (rank2 BIGINTs, no float ranks, ties handled by
+    * construction) with the conversion LABEL in place of the arm.
+    * Score = the user's non-conversion event count (does raw activity
+    * predict purchase); the op is the template for any
+    * (score, label) pair at user grain. One row: n_users, n_pos,
+    * n_neg, auc_bp (5000 = uninformative).
+    *
+    * Scale shape: one user-grain pass, then the rank walk at
+    * score-VALUE grain (q77 trick) — the window sees distinct
+    * activity counts, never users. */
+  def engagementAuc(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") =!= convType, 1L).otherwise(0L))
+        .as("m"),
+        max(when(col("event_type") === convType, 1L).otherwise(0L))
+          .as("pos"))
+    val vals = users.groupBy(col("m"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("cnt_pos"))
+    val wv = Window.orderBy(col("m"))
+    vals
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .withColumn("rank2",
+        lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+      .agg(sum(col("cnt")).as("n_users"), sum(col("cnt_pos")).as("n_pos"),
+        sum(col("cnt_pos") * col("rank2")).as("r_pos2"))
+      .select(col("n_users"), col("n_pos"),
+        (col("n_users") - col("n_pos")).as("n_neg"),
+        when(col("n_pos") === 0L || col("n_pos") === col("n_users"),
+          lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) *
+            (col("r_pos2") - col("n_pos") * (col("n_pos") + 1L)) /
+            (lit(2.0) * col("n_pos") * (col("n_users") - col("n_pos"))))
+            .cast("long")).as("auc_bp"))
+  }
+
   /** Cumulative gains table — the model-evaluation readout next to
     * [[graft.ops.TextAnalysis.classifierCalibration]]'s reliability
     * buckets: rank the scored population best-first, cut it into

@@ -1155,6 +1155,61 @@ object Retention {
       .orderBy(col("day").asc)
   }
 
+  /** Quarterly revenue PIVOT by customer nation — the wide
+    * board-report shape (one row per nation, one column per quarter):
+    * `RelationalGroupedDataset.pivot` with the quarter domain
+    * DECLARED (Seq(1,2,3,4)), so the plan is one pass with
+    * conditional aggregates — no extra distinct-values job, stable
+    * column set. Absent quarters are 0, the reporting convention.
+    *
+    * Scale shape: fact → (custkey, quarter, cents) map, one
+    * customer-dim join (dim broadcast), one nation-grain pivot
+    * aggregate (map-side combined). Columns: nation, q1_cents …
+    * q4_cents, total_cents. */
+  def quarterlyPivot(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, yr: Int): DataFrame = {
+    val cents = floor(col("o_totalprice") * lit(100.0)).cast("long")
+    orders
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"), quarter(col("o_orderdate")).as("q"),
+        cents.as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .pivot("q", Seq(1, 2, 3, 4))
+      .agg(sum(col("cents")))
+      .select(col("nation"),
+        coalesce(col("1"), lit(0L)).as("q1_cents"),
+        coalesce(col("2"), lit(0L)).as("q2_cents"),
+        coalesce(col("3"), lit(0L)).as("q3_cents"),
+        coalesce(col("4"), lit(0L)).as("q4_cents"))
+      .withColumn("total_cents",
+        col("q1_cents") + col("q2_cents") + col("q3_cents") + col("q4_cents"))
+      .orderBy(col("nation").asc)
+  }
+
+  /** The wide report melted back to long — `Dataset.unpivot` (the
+    * analysis shape: one (nation, quarter, cents) row per cell,
+    * ready for grouping/window work). Pivot→unpivot is the lossless
+    * round-trip every reporting pipeline needs in both directions;
+    * unpivot is a zero-shuffle map-side explode (each input row emits
+    * its 4 cells). Quarters with zero revenue are KEPT — dropping
+    * them would make the round-trip lossy and bias means. */
+  def quarterlyLong(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, yr: Int): DataFrame =
+    quarterlyPivot(orders, customer, nation, yr)
+      .unpivot(
+        Array(col("nation")),
+        Array(col("q1_cents"), col("q2_cents"), col("q3_cents"),
+          col("q4_cents")),
+        "quarter_col", "cents")
+      .select(col("nation"),
+        substring(col("quarter_col"), 2, 1).cast("long").as("quarter"),
+        col("cents"))
+      .orderBy(col("nation").asc, col("quarter").asc)
+
   /** Revenue concentration — the Pareto/Lorenz table plus an exact
     * Gini coefficient: customers ranked by lifetime revenue, cut into
     * `nTiers` equal-depth tiers (tier 1 = biggest spenders; a tied

@@ -1734,4 +1734,43 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(g2 == Seq((2L, 3L, 300L, 10000L, 10000L, 0L)))
   }
+
+  test("engagementAuc: hand AUC with a tie pair; doubled midranks exact") {
+    val s2 = spark
+    import s2.implicits._
+    def evs(u: Long, views: Int, purchase: Boolean) =
+      (1 to views).map(i => (u, s"v$i", "view")) ++
+        (if (purchase) Seq((u, "p", "purchase")) else Nil)
+    // pos activity {3, 5}, neg {1, 2, 3}: U = 5.5 of 6 -> 9166 bp
+    val events = (evs(1, 3, true) ++ evs(2, 1, false) ++ evs(3, 2, false) ++
+      evs(4, 5, true) ++ evs(5, 3, false))
+      .map { case (u, id, t) => (u, s"$u-$id", t) }
+      .toDF("user_id", "event_id", "event_type")
+    val out = Experiment.engagementAuc(events).collect().head
+    assert((out.getAs[Long]("n_users"), out.getAs[Long]("n_pos"),
+      out.getAs[Long]("n_neg"), out.getAs[Long]("auc_bp")) ==
+      ((5L, 2L, 3L, 9166L)))
+  }
+
+  test("quarterlyPivot/quarterlyLong: declared quarter domain, zeros kept, lossless round-trip") {
+    val s2 = spark
+    import s2.implicits._
+    val orders = Seq(
+      (1L, "1997-01-15", 1.0), (1L, "1997-02-10", 2.0),
+      (1L, "1997-07-01", 3.0), (2L, "1997-10-05", 4.0),
+      (1L, "1996-05-05", 99.0) // out-of-year: excluded
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val customer = Seq((1L, 10L), (2L, 20L)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((10L, "A"), (20L, "B")).toDF("n_nationkey", "n_name")
+    val wide = Retention.quarterlyPivot(orders, customer, nation, 1997)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(wide == Seq(
+      ("A", 300L, 0L, 300L, 0L, 600L),
+      ("B", 0L, 0L, 0L, 400L, 400L)))
+    val long = Retention.quarterlyLong(orders, customer, nation, 1997)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(long == Seq(
+      ("A", 1L, 300L), ("A", 2L, 0L), ("A", 3L, 300L), ("A", 4L, 0L),
+      ("B", 1L, 0L), ("B", 2L, 0L), ("B", 3L, 0L), ("B", 4L, 400L)))
+  }
 }

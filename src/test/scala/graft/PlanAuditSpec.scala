@@ -1615,4 +1615,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_orderpriority"),
       s"scan not pruned: $readSchema")
   }
+
+  test("q269 engagement auc: pruned scan; user agg + value-grain rank walk, join-free") {
+    val p = plan("q269_engagement_auc")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+    assert(shuffles(p) <= 3, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q270 quarterly pivot: declared domain (no distinct-values job); dims broadcast") {
+    val p = plan("q270_quarterly_pivot")
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the two-phase pivot aggregate + the ≤|nations|-row output sort
+    assert(shuffles(p) <= 3, p)
+  }
+
+  test("q271 quarterly unpivot: Expand over the wide report, no extra fact pass") {
+    val p = plan("q271_quarterly_unpivot")
+    assert(p.contains("Expand"), s"unpivot did not plan as Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 3, p)
+  }
 }
