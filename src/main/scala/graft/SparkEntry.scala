@@ -298,7 +298,14 @@ object SparkEntry {
     "q268_revenue_pareto" -> (Queries.revenuePareto _),
     "q269_engagement_auc" -> (Queries.engagementAuc _),
     "q270_quarterly_pivot" -> (Queries.quarterlyPivot _),
-    "q271_quarterly_unpivot" -> (Queries.quarterlyLong _)
+    "q271_quarterly_unpivot" -> (Queries.quarterlyLong _),
+    "q272_ewma_revenue" -> (Queries.ewmaRevenue _),
+    "q273_signal_kappa" -> (Queries.signalKappa _),
+    "q274_chi_square_lift" -> (Queries.chiSquareLift _),
+    "q275_quantile_normalize" -> (Queries.quantileNormalize _),
+    "q276_rrf_fusion" -> (Queries.rrfFusion _),
+    "q277_kcore" -> (Queries.kcore _),
+    "q278_burstiness" -> (Queries.burstiness _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2066,6 +2073,42 @@ object Queries {
     Retention.quarterlyLong(Tables(spark, dir, "orders"),
       Tables(spark, dir, "customer"), Tables(spark, dir, "nation"),
       PivotYear)
+
+  val EwmaWindowDays = 16
+
+  /** Dyadic-decay EWMA revenue panel + spike score. */
+  def ewmaRevenue(spark: SparkSession, dir: String): DataFrame =
+    Retention.ewmaRevenue(Tables(spark, dir, "orders"), EwmaWindowDays)
+
+  /** Cohen's κ between the heuristic and classifier quality gates. */
+  def signalKappa(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.signalKappa(Tables(spark, dir, "documents"))
+
+  /** Pearson χ² independence test on the arm × converted table. */
+  def chiSquareLift(spark: SparkSession, dir: String): DataFrame =
+    Experiment.chiSquareLift(Tables(spark, dir, "events"))
+
+  /** Per-type quantile-normalization mapping for event value. */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.quantileNormalize(Tables(spark, dir, "events"))
+
+  /** RRF ensemble of the LSH + IVF indexes, graded vs exact truth. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    Similarity.rrfFusion(Tables(spark, dir, "embeddings"), knnQueryPred,
+      AnnRecallK, quant0 = Some(sharedAnnIndex(spark, dir)),
+      cents0 = Some(sharedIvfCentroids(spark, dir)))
+
+  val KcoreK = 3
+  val KcoreIters = 4
+
+  /** k-core of the co-visitation graph by bounded peeling. */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    Graph.kcore(sharedCoVisPairs(spark, dir), KcoreK, KcoreIters,
+      PageRankMinSupport)
+
+  /** Variance-to-mean dispersion of daily counts per event type. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    Retention.burstiness(Tables(spark, dir, "events"))
 
   /** Token frequency spectrum (the sort-free Zipf read). */
   def tokenSpectrum(spark: SparkSession, dir: String): DataFrame =
@@ -8662,6 +8705,326 @@ object Oracles {
          |  AND n4.quarter = g.quarter
          |ORDER BY 1, 2""".stripMargin
     },
+
+    // dyadic EWMA: each source day fans forward <=W days with weight
+    // 2^(W-1-lag); fixed kernel mass 2^W-1, BIGINT-exact both engines
+    "q272_ewma_revenue" -> {
+      val w = Queries.EwmaWindowDays
+      val denom = (1L << w) - 1L
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |c AS (
+         |  SELECT a.daynum,
+         |         SUM(b.cents * (CAST(1 AS BIGINT) <<
+         |           CAST(${w - 1} - (a.daynum - b.daynum) AS INT))) AS wsum
+         |  FROM d a JOIN d b
+         |    ON b.daynum BETWEEN a.daynum - ${w - 1} AND a.daynum
+         |  GROUP BY 1)
+         |SELECT strftime(DATE '1970-01-01' + CAST(d.daynum AS INT),
+         |         '%Y-%m-%d') AS day,
+         |       d.cents,
+         |       CAST(c.wsum // $denom AS BIGINT) AS ewma_cents,
+         |       CASE WHEN c.wsum // $denom > 0
+         |            THEN CAST(FLOOR(10000.0 * d.cents /
+         |              (c.wsum // $denom)) AS BIGINT)
+         |       END AS spike_bp
+         |FROM d JOIN c ON d.daynum = c.daynum
+         |ORDER BY 1""".stripMargin
+    },
+
+    // q120's verdict CTEs folded to one 5-sum row; kappa from the
+    // exact cross-products
+    "q273_signal_kappa" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(md5(x), $i, 1)) - 1)"
+      val bucket =
+        s"(${nib(5)} * 4096 + ${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)})"
+      s"""WITH t AS (
+         |  SELECT string_split(text, ' ') AS tok FROM documents
+         |  WHERE text IS NOT NULL),
+         |m AS (
+         |  SELECT CAST(len(tok) AS BIGINT) AS token_count,
+         |         CAST(len(list_filter(tok, x -> length(x) <= 2)) AS BIGINT)
+         |           AS short_count,
+         |         CAST(list_sum(list_transform(tok,
+         |           x -> ($bucket % 1001) - 500)) AS BIGINT) AS score
+         |  FROM t),
+         |v AS (
+         |  SELECT CAST(token_count >= 20 AND
+         |           CAST(FLOOR(10000.0 * short_count / token_count) AS BIGINT)
+         |             <= 4000 AS BIGINT) AS h,
+         |         CAST(score >= 0 AS BIGINT) AS c
+         |  FROM m),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(h) AS BIGINT) AS n_heuristic_ok,
+         |         CAST(SUM(c) AS BIGINT) AS n_classifier_keep,
+         |         CAST(SUM(h * c) + SUM((1 - h) * (1 - c)) AS BIGINT)
+         |           AS n_agree
+         |  FROM v),
+         |s AS (
+         |  SELECT *, n_heuristic_ok * n_classifier_keep +
+         |         (n_docs - n_heuristic_ok) * (n_docs - n_classifier_keep)
+         |           AS ss
+         |  FROM g)
+         |SELECT n_docs, n_heuristic_ok, n_classifier_keep, n_agree,
+         |       CAST(FLOOR(10000.0 * n_agree / n_docs) AS BIGINT) AS po_bp,
+         |       CAST(FLOOR(10000.0 * ss / (n_docs * n_docs)) AS BIGINT)
+         |         AS pe_bp,
+         |       CASE WHEN n_docs * n_docs = ss THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 * (n_docs * n_agree - ss) /
+         |              (n_docs * n_docs - ss)) AS BIGINT)
+         |       END AS kappa_bp
+         |FROM s""".stripMargin
+    },
+
+    // 2x2 closed form N*(ad-bc)^2/(Ra*Rb*C1*C0) in HUGEINT with one
+    // integral division (mirrors the decimal(38,0) DIV)
+    "q274_chi_square_lift" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      val crit = graft.ops.Experiment.ChiSqCrit1DfBp
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS pos
+         |  FROM events GROUP BY 1),
+         |a AS (
+         |  SELECT pos,
+         |         CASE WHEN CAST($draw32 AS BIGINT) % 100 < 50
+         |              THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT user_id, pos,
+         |          md5(CAST(user_id AS VARCHAR)) AS draw FROM u)),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |         CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_a,
+         |         CAST(SUM(CASE WHEN arm = 'A' THEN pos ELSE 0 END) AS BIGINT)
+         |           AS conv_a,
+         |         CAST(SUM(pos) AS BIGINT) AS conv_all
+         |  FROM a),
+         |e AS (
+         |  SELECT n_users, n_a, n_users - n_a AS n_b, conv_a,
+         |         conv_all - conv_a AS conv_b,
+         |         CAST(conv_a AS HUGEINT) *
+         |           CAST(n_users - n_a - (conv_all - conv_a) AS HUGEINT) -
+         |         CAST(conv_all - conv_a AS HUGEINT) *
+         |           CAST(n_a - conv_a AS HUGEINT) AS det,
+         |         CAST(n_a AS HUGEINT) * CAST(n_users - n_a AS HUGEINT) *
+         |           CAST(conv_all AS HUGEINT) *
+         |           CAST(n_users - conv_all AS HUGEINT) AS den
+         |  FROM g)
+         |SELECT n_users, n_a, n_b, conv_a, conv_b,
+         |       CASE WHEN den = 0 THEN NULL
+         |            ELSE CAST((CAST(10000 AS HUGEINT) *
+         |              CAST(n_users AS HUGEINT) * det * det) // den AS BIGINT)
+         |       END AS chi2_bp,
+         |       CASE WHEN den = 0 THEN NULL
+         |            ELSE CAST((CAST(10000 AS HUGEINT) *
+         |              CAST(n_users AS HUGEINT) * det * det) // den
+         |              >= $crit AS INT)
+         |       END AS significant
+         |FROM e""".stripMargin
+    },
+
+    // midrank CDF in bp at (type, value-cents) grain — the broadcast
+    // quantile-normalization mapping
+    "q275_quantile_normalize" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100.0) AS BIGINT) AS cents,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, cents, n_events,
+        |       CAST(FLOOR(10000.0 *
+        |         (2 * (SUM(n_events) OVER (PARTITION BY event_type
+        |            ORDER BY cents) - n_events) + n_events) /
+        |         (2.0 * SUM(n_events) OVER (PARTITION BY event_type)))
+        |         AS BIGINT) AS pct_bp
+        |FROM g ORDER BY 1, 2""".stripMargin,
+
+    // lsh + ivf + fused rankings graded against the exact top-k; RRF
+    // in integer ppm (1000000 // (60 + rank)) so fusion is bit-exact
+    "q276_rrf_fusion" -> {
+      val k = Queries.AnnRecallK
+      val m = Queries.KnnQueryMod
+      val rrfK = graft.ops.Similarity.RrfK
+      val dotOf = (l: String, r: String) =>
+        s"""CAST(list_sum(list_transform(range(1, len($l) + 1),
+           |              i -> $l[i] * $r[i])) AS BIGINT)""".stripMargin
+      val cosOf = (dot: String, a: String, b: String) =>
+        s"""CASE WHEN $a = 0 OR $b = 0 THEN 0
+           |     ELSE CAST(FLOOR(10000.0 * $dot /
+           |       (sqrt(CAST($a AS DOUBLE)) * sqrt(CAST($b AS DOUBLE))))
+           |       AS BIGINT)
+           |END""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |         list_transform(embedding,
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+         |           AS q
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, label, embedding, q,
+         |         CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS n2
+         |  FROM e),
+         |qs AS (SELECT vec_id AS query_id, q AS q_q, n2 AS q_n2 FROM n
+         |       WHERE vec_id % $m = 0),
+         |tc AS (
+         |  SELECT qs.query_id, n.vec_id AS neighbor_id,
+         |         ${cosOf(dotOf("n.q", "qs.q_q"), "n.n2", "qs.q_n2")} AS cos_bp
+         |  FROM n, qs WHERE n.vec_id != qs.query_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |    FROM tc) WHERE rank <= $k),
+         |ntr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+         |        FROM truth GROUP BY 1),
+         |bkt AS (SELECT *, $signBucketExpr AS bucket FROM n),
+         |aq AS (SELECT vec_id AS query_id, bucket, q AS q_q, n2 AS q_n2
+         |       FROM bkt WHERE vec_id % $m = 0),
+         |lc AS (
+         |  SELECT aq.query_id, bkt.vec_id AS neighbor_id,
+         |         ${cosOf(dotOf("bkt.q", "aq.q_q"), "bkt.n2", "aq.q_n2")}
+         |           AS cos_bp
+         |  FROM bkt JOIN aq ON bkt.bucket = aq.bucket
+         |  WHERE bkt.vec_id != aq.query_id),
+         |lshr AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |    FROM lc) WHERE rank <= $k),
+         |centdim AS (
+         |  SELECT label, i AS pos,
+         |         CAST(FLOOR(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         |           AS c
+         |  FROM n, unnest(range(1, len(q) + 1)) t(i)
+         |  GROUP BY label, i),
+         |cent AS (
+         |  SELECT label, list(c ORDER BY pos) AS centroid
+         |  FROM centdim GROUP BY label),
+         |c2 AS (
+         |  SELECT label, centroid,
+         |         CAST(list_sum(list_transform(centroid, v -> v * v))
+         |           AS BIGINT) AS c_n2
+         |  FROM cent),
+         |probe AS (
+         |  SELECT query_id, q_q, q_n2, c2.label,
+         |         ${cosOf(dotOf("q_q", "centroid"), "q_n2", "c_n2")} AS c_cos
+         |  FROM qs, c2),
+         |assigned AS (
+         |  SELECT query_id, q_q, q_n2, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY c_cos DESC, label ASC) AS pr
+         |    FROM probe) WHERE pr = 1),
+         |ic AS (
+         |  SELECT a.query_id, n.vec_id AS neighbor_id,
+         |         ${cosOf(dotOf("n.q", "a.q_q"), "n.n2", "a.q_n2")} AS cos_bp
+         |  FROM assigned a JOIN n ON n.label = a.label
+         |    AND n.vec_id <> a.query_id),
+         |ivfr AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |    FROM ic) WHERE rank <= $k),
+         |fj AS (
+         |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |         COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+         |         COALESCE(1000000 // ($rrfK + l.rank), 0) +
+         |           COALESCE(1000000 // ($rrfK + v.rank), 0) AS rrf_ppm
+         |  FROM lshr l FULL JOIN ivfr v
+         |    ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id),
+         |fused AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_ppm DESC, neighbor_id ASC) AS rank
+         |    FROM fj) WHERE rank <= $k),
+         |entries AS (
+         |  SELECT query_id, neighbor_id, 'lsh' AS method FROM lshr
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, 'ivf' FROM ivfr
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, 'rrf' FROM fused),
+         |g AS (
+         |  SELECT en.query_id, en.method,
+         |         CAST(COUNT(*) AS BIGINT) AS n_returned,
+         |         CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM entries en LEFT JOIN truth t
+         |    ON en.query_id = t.query_id AND en.neighbor_id = t.neighbor_id
+         |  GROUP BY 1, 2)
+         |SELECT g.query_id, g.method, g.n_returned, g.n_hits, ntr.n_truth,
+         |       CASE WHEN ntr.n_truth = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * g.n_hits / ntr.n_truth)
+         |              AS BIGINT)
+         |       END AS recall_bp
+         |FROM g JOIN ntr ON g.query_id = ntr.query_id
+         |ORDER BY 1, 2""".stripMargin
+    },
+
+    // bounded peeling unrolled: vi = degree>=k survivors, ei = edges
+    // with both endpoints alive; converged = residual is a true core
+    "q277_kcore" -> {
+      val k = Queries.KcoreK
+      val iters = Queries.KcoreIters
+      val peel = (1 to iters).map { i =>
+        val prev = if (i == 1) "edg" else s"e${i - 1}"
+        s"""v$i AS (SELECT src FROM $prev GROUP BY 1
+           |        HAVING COUNT(*) >= $k),
+           |e$i AS (SELECT e.src, e.dst FROM $prev e
+           |        JOIN v$i a ON e.src = a.src
+           |        JOIN v$i b ON e.dst = b.src)""".stripMargin
+      }.mkString(",\n")
+      s"""$sessionCte,
+         |${coVisEdgesCte(Queries.CoVisitMaxItems, Queries.PageRankMinSupport)},
+         |$peel,
+         |dfin AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |         FROM e$iters GROUP BY 1)
+         |SELECT CAST($k AS BIGINT) AS k, CAST($iters AS BIGINT) AS iters,
+         |       CAST(COUNT(*) AS BIGINT) AS n_core_vertices,
+         |       CAST(COALESCE(SUM(deg), 0) // 2 AS BIGINT) AS n_core_edges,
+         |       CAST(MIN(deg) AS BIGINT) AS min_core_deg,
+         |       CAST(COUNT(*) = 0 OR MIN(deg) >= $k AS INT) AS converged
+         |FROM dfin""".stripMargin
+    },
+
+    // daily counts on the global span; dark days are true zeros that
+    // never need rows — VMR from the 3 observed-day sums
+    "q278_burstiness" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS daynum,
+        |         CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT MAX(daynum) - MIN(daynum) + 1 AS span_days FROM d),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS active_days,
+        |         CAST(SUM(x) AS BIGINT) AS n_events,
+        |         CAST(SUM(x * x) AS BIGINT) AS ss
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, CAST(s.span_days AS BIGINT) AS span_days,
+        |       active_days, n_events,
+        |       CAST(FLOOR(1000.0 * n_events / s.span_days) AS BIGINT)
+        |         AS mean_mpd,
+        |       CAST(FLOOR(10000.0 * (s.span_days * ss - n_events * n_events)
+        |         / (s.span_days * n_events)) AS BIGINT) AS vmr_bp,
+        |       CAST(CAST(FLOOR(10000.0 *
+        |         (s.span_days * ss - n_events * n_events) /
+        |         (s.span_days * n_events)) AS BIGINT) > 10000 AS INT)
+        |         AS overdispersed
+        |FROM g, s ORDER BY 1""".stripMargin,
 
     "q230_token_spectrum" ->
       s"""WITH tok AS (

@@ -317,4 +317,57 @@ object Experiment {
         col("conv_bp"), col("cum_gain_bp"))
       .orderBy(col("tier").asc)
   }
+
+  /** χ²(1) critical value at α=0.05 in bp (3.8415 — the textbook
+    * significance bar for a 2×2 independence test). */
+  val ChiSqCrit1DfBp = 38415L
+
+  /** Pearson χ² independence test on the arm × converted 2×2 table —
+    * the significance read next to [[abLift]]'s effect size (a lift
+    * without a χ² is a coin-flip story). Uses the 2×2 closed form
+    * χ² = N·(ad−bc)²/(R_A·R_B·C₁·C₀), computed in decimal(38,0) with
+    * ONE integral division, so chi2_bp is bit-identical cross-engine
+    * (per-cell (O−E)²/E floors would each truncate differently).
+    * `significant` compares against the α=0.05 critical value
+    * [[ChiSqCrit1DfBp]]; NULL χ² when any margin is empty (the test
+    * is undefined, not "not significant").
+    *
+    * Scale shape: one user-grain fact pass (arm is a pure hash of
+    * user_id, conversion a max flag), then a single 4-sum aggregate;
+    * all χ² arithmetic runs on the one-row result. */
+  def chiSquareLift(events: DataFrame, splitPct: Int = 50,
+      convType: String = "purchase"): DataFrame = {
+    require(splitPct >= 1 && splitPct <= 99, "splitPct in [1,99]")
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("pos"))
+      .withColumn("arm", armCol("user_id", splitPct))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    users
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("pos")).otherwise(0L))
+          .as("conv_a"),
+        sum(col("pos")).as("conv_all"))
+      .withColumn("n_b", col("n_users") - col("n_a"))
+      .withColumn("conv_b", col("conv_all") - col("conv_a"))
+      // det = ad − bc over the 2×2 (converted × arm) cells
+      .withColumn("__det",
+        dec(col("conv_a")) * dec(col("n_b") - col("conv_b")) -
+          dec(col("conv_b")) * dec(col("n_a") - col("conv_a")))
+      .withColumn("__den",
+        dec(col("n_a")) * dec(col("n_b")) * dec(col("conv_all")) *
+          dec(col("n_users") - col("conv_all")))
+      .withColumn("chi2_bp",
+        when(col("__den") === dec(lit(0L)), lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(10000 AS DECIMAL(38,0)) * n_users * __det * __det)" +
+              " DIV __den AS BIGINT)")))
+      .select(col("n_users"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"), col("chi2_bp"),
+        when(col("chi2_bp").isNull, lit(null).cast("int"))
+          .otherwise((col("chi2_bp") >= ChiSqCrit1DfBp).cast("int"))
+          .as("significant"))
+  }
 }

@@ -520,4 +520,49 @@ object Graph {
     }
     distN.orderBy(col("hops").asc, col("item").asc)
   }
+
+  /** k-core extraction by iterative peeling (Seidman 1983) — the
+    * standard "dense backbone vs ragged fringe" cut: repeatedly drop
+    * every vertex with degree < k until none remain. Recommenders
+    * trim to the 2- or 3-core before factorization (fringe items have
+    * no co-signal), and the core size is the graph-health number next
+    * to q157's clustering coefficient. A FIXED iteration budget keeps
+    * the plan bounded; `converged` reports whether the residual is a
+    * true k-core (min residual degree ≥ k) — on real co-visit graphs
+    * peeling stabilizes in a handful of rounds because each round
+    * only re-examines neighbors of dropped vertices.
+    *
+    * One row: k, iters, n_core_vertices, n_core_edges (undirected),
+    * min_core_deg (NULL on an empty core), converged.
+    *
+    * Scale shape: per round, one degree aggregate + two semi-joins,
+    * all at ITEM-grain (the co-vis catalog — the q263/q157 argument:
+    * edges are item pairs, bounded by the catalog, never by fact
+    * rows); the symmetric edge list keeps degree counting one
+    * aggregate instead of a union of two directions per round. */
+  def kcore(pairs: DataFrame, k: Int = 3, iters: Int = 4,
+      minWeight: Long = 1L,
+      weightCol: String = "pair_sessions"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(iters >= 1 && iters <= 8, "iters in [1,8]")
+    var e = symmetric(pairs, minWeight, weightCol)
+    for (_ <- 1 to iters) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+    }
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    deg.agg(
+        count(lit(1)).as("n_core_vertices"),
+        coalesce(sum(col("deg")), lit(0L)).as("__deg_sum"),
+        min(col("deg")).as("min_core_deg"))
+      .select(lit(k.toLong).as("k"), lit(iters.toLong).as("iters"),
+        col("n_core_vertices"),
+        expr("__deg_sum DIV 2").as("n_core_edges"),
+        col("min_core_deg"),
+        (col("n_core_vertices") === 0L ||
+          col("min_core_deg") >= k.toLong).cast("int").as("converged"))
+  }
 }

@@ -1398,4 +1398,100 @@ object Retention {
         col("open_cents_eod"))
       .orderBy(col("day").asc)
   }
+
+  /** Exponentially-weighted trailing revenue — the smoothed panel a
+    * spike monitor baselines against, the decay-weighted complement
+    * of [[trailingRevenue]]'s flat window. Weights are DYADIC
+    * (half-life one day: lag ℓ weighs 2^(W−1−ℓ)), so the whole walk
+    * is BIGINT-exact on both engines — the usual α-EWMA recurrence is
+    * float-recursive and engine-divergent, while a truncated dyadic
+    * kernel is just shifted sums. Days absent from the panel inside
+    * the window contribute true zeros (the denominator stays the full
+    * kernel mass 2^W−1), and the first W−1 days carry the standard
+    * zero-init warm-up bias — both are properties of EWMA itself, not
+    * of this formulation. `spike_bp` = today ÷ smoothed baseline in
+    * bp (10000 = on-trend; NULL while the baseline floor-divides to
+    * zero).
+    *
+    * Scale shape: one fact pass to day grain, then each day row
+    * FANS FORWARD to the ≤W target days it can reach (a sequence
+    * explode — day-grain metadata, never fact rows) and one day-grain
+    * aggregate; emitted at observed-day grain like q257. Weighted
+    * sums reach cents·2^W — at extreme daily volumes lower `W` or
+    * lift the sums to decimal(38,0). */
+  def ewmaRevenue(orders: DataFrame, windowDays: Int = 16): DataFrame = {
+    require(windowDays >= 2 && windowDays <= 32, "windowDays in [2,32]")
+    val w = windowDays.toLong
+    val denom = (1L << windowDays) - 1L
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+    val smoothed = day
+      .select(col("daynum").as("src"), col("cents").as("src_cents"),
+        explode(sequence(col("daynum"), col("daynum") + lit(w - 1L)))
+          .as("daynum"))
+      .withColumn("w_cents",
+        col("src_cents") * expr(
+          s"shiftleft(CAST(1 AS BIGINT), CAST(${w - 1L} - (daynum - src) AS INT))"))
+      .groupBy(col("daynum"))
+      .agg(sum(col("w_cents")).as("wsum"))
+    day.join(smoothed, Seq("daynum"))
+      .withColumn("ewma_cents", expr(s"wsum DIV $denom"))
+      .select(
+        date_format(expr("date_add('1970-01-01', CAST(daynum AS INT))"),
+          "yyyy-MM-dd").as("day"),
+        col("cents"), col("ewma_cents"),
+        when(col("ewma_cents") > 0L,
+          floor(lit(10000.0) * col("cents") / col("ewma_cents"))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("spike_bp"))
+      .orderBy(col("day").asc)
+  }
+
+  /** Per-type burstiness of the event stream — the variance-to-mean
+    * ratio (index of dispersion) of DAILY counts: a Poisson-steady
+    * signal sits at VMR = 1 (10000 bp); campaign-driven or botty
+    * types run far over (all the volume lands in spikes), and
+    * metronome-regular types run under. The capacity-planning read:
+    * an overdispersed type needs peak provisioning, not mean. Days
+    * are measured on the GLOBAL observed span (shared denominator so
+    * types are comparable), and dark days count as true zeros WITHOUT
+    * generating rows: with n = span_days, VMR·10⁴ =
+    * ⌊10⁴·(n·Σx² − (Σx)²)/(n·Σx)⌋ — zeros contribute nothing to Σx or
+    * Σx², so the observed-day sums already tell the whole story.
+    *
+    * Scale shape: one fact pass to (type, day) grain (map-side
+    * combined), a type-grain 3-sum aggregate, a broadcast 1-row span.
+    * The cross-products reach (n·Σx)² magnitudes — lift to
+    * decimal(38,0) past ~10¹⁵ daily events. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("daynum"))
+      .agg(count(lit(1)).as("x"))
+    val span = daily.agg(
+      (max(col("daynum")) - min(col("daynum")) + lit(1L)).as("span_days"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("active_days"), sum(col("x")).as("n_events"),
+        sum(col("x") * col("x")).as("__ss"))
+      .crossJoin(broadcast(span))
+      .withColumn("vmr_bp",
+        floor(lit(10000.0) *
+          (col("span_days") * col("__ss") -
+            col("n_events") * col("n_events")) /
+          (col("span_days") * col("n_events"))).cast("long"))
+      .select(col("event_type"), col("span_days"), col("active_days"),
+        col("n_events"),
+        floor(lit(1000.0) * col("n_events") / col("span_days"))
+          .cast("long").as("mean_mpd"),
+        col("vmr_bp"),
+        (col("vmr_bp") > 10000L).cast("int").as("overdispersed"))
+      .orderBy(col("event_type").asc)
+  }
 }

@@ -214,6 +214,68 @@ object Similarity {
           .otherwise(expr("1000000L div __r")).as("rr_ppm"))
   }
 
+  /** RRF smoothing constant (Cormack, Clarke & Buettcher, SIGIR 2009
+    * use k=60 and report it robust across collections). */
+  val RrfK = 60L
+
+  /** Reciprocal-rank-fusion ensemble of the two approximate indexes —
+    * the hybrid-retrieval move applied to ANN serving: the LSH and
+    * IVF rankings fail on DIFFERENT queries (a sparse sign-bucket vs
+    * a mis-assigned coarse list), so fusing them recovers recall
+    * neither has alone, for two cheap index probes instead of one
+    * exact scan. Per candidate: rrf = Σ ⌊10⁶/(K+rank)⌋ over the
+    * indexes that returned it (integer floor-div — exact cross-engine
+    * where the usual float 1/(k+r) sum is not); fused top-k re-ranks
+    * by (rrf desc, id). The report grades all three lists against the
+    * exact top-k at (query, method) grain — the two baseline rows ARE
+    * the ablation, so "did fusion help" is read per query.
+    *
+    * Scale shape: every frame here is probe-set-grain (|queries|·k
+    * rows, broadcast-class by the knnBruteForce query contract); the
+    * corpus cost is the underlying index scans, shared with q26/q32
+    * via the memoized ANN artifact. The fusion join, re-rank window,
+    * and recall merge never touch corpus rows. */
+  def rrfFusion(emb: DataFrame, queryPred: Column, k: Int = 3,
+      quant0: Option[DataFrame] = None,
+      cents0: Option[DataFrame] = None): DataFrame = {
+    val lsh = annLsh(emb, queryPred, k, quant0)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("lsh_rank"))
+    val ivf = ivfAnn(emb, queryPred, k, 1, quant0, cents0)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("ivf_rank"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("neighbor_id").asc)
+    val fused = lsh.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr(s"1000000L div ($RrfK + lsh_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($RrfK + ivf_rank)"), lit(0L)))
+      .withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= k)
+    val entries =
+      lsh.select(col("query_id"), col("neighbor_id"), lit("lsh").as("method"))
+        .union(ivf.select(col("query_id"), col("neighbor_id"),
+          lit("ivf").as("method")))
+        .union(fused.select(col("query_id"), col("neighbor_id"),
+          lit("rrf").as("method")))
+    val truth = knnBruteForce(emb, queryPred, k, quant0)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_truth"))
+    val nTruth = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"))
+    entries
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"), col("method"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("in_truth"), lit(0L))).as("n_hits"))
+      .join(nTruth, Seq("query_id"))
+      .select(col("query_id"), col("method"), col("n_returned"),
+        col("n_hits"), col("n_truth"),
+        when(col("n_truth") === 0L, lit(0L))
+          .otherwise(floor(lit(10000.0) * col("n_hits") / col("n_truth"))
+            .cast("long")).as("recall_bp"))
+      .orderBy(col("query_id").asc, col("method").asc)
+  }
+
   /** IVF coarse quantizer: one integer centroid per label (the
     * inverted-list key). Deterministic & oracle-exact: per-dimension
     * `floor(sum / count)` over the quantized vectors. The posexplode +

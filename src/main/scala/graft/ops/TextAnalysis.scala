@@ -533,6 +533,60 @@ object TextAnalysis {
       .withColumn("agree", (col("heuristic_ok") === col("classifier_keep")).cast("int"))
   }
 
+  /** Cohen's κ between the q18 heuristic and the q69 classifier —
+    * the chance-corrected single number behind [[signalAgreement]]'s
+    * 2×2 matrix (raw agreement flatters filters that mostly say
+    * "keep": two signals that each keep 95% agree ~90% by luck
+    * alone). κ = (p_o − p_e)/(1 − p_e) with p_e from the marginals;
+    * in exact sums: κ·10⁴ = ⌊10⁴·(N·D − S)/(N² − S)⌋ where D =
+    * n₁₁+n₀₀ and S = r_h·r_c + (N−r_h)(N−r_c). Landis–Koch reads:
+    * ≥8000 almost perfect, ≥6000 substantial. NULL when the
+    * marginals are degenerate (N² = S — a constant signal has no
+    * chance-corrected agreement).
+    *
+    * Scale shape: both verdicts are pure functions of text, so ONE
+    * corpus map pass feeds a single 5-sum aggregate (no 2×2 grain,
+    * no join); the κ arithmetic runs on the one-row result. The
+    * cross-products reach N² — swap the window to decimal(38,0)
+    * sums past ~10⁹ docs. */
+  def signalKappa(docs: DataFrame, minTokens: Long = 20L,
+      maxShortBp: Long = 4000L): DataFrame = {
+    val flags = withTokens(docs.filter(col("text").isNotNull))
+      .select(
+        size(col("tokens")).cast("long").as("token_count"),
+        expr("CAST(size(filter(tokens, x -> length(x) <= 2)) AS BIGINT)")
+          .as("short_count"),
+        classifierScore.as("score"))
+      .select(
+        ((col("token_count") >= minTokens) &&
+          (floor(lit(10000.0) * col("short_count") / col("token_count"))
+            .cast("long") <= maxShortBp)).cast("long").as("h"),
+        (col("score") >= 0L).cast("long").as("c"))
+    flags
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("h")).as("n_heuristic_ok"),
+        sum(col("c")).as("n_classifier_keep"),
+        sum(col("h") * col("c")).as("n_both"),
+        sum((lit(1L) - col("h")) * (lit(1L) - col("c"))).as("n_neither"))
+      .withColumn("n_agree", col("n_both") + col("n_neither"))
+      .withColumn("__s",
+        col("n_heuristic_ok") * col("n_classifier_keep") +
+          (col("n_docs") - col("n_heuristic_ok")) *
+          (col("n_docs") - col("n_classifier_keep")))
+      .select(col("n_docs"), col("n_heuristic_ok"),
+        col("n_classifier_keep"), col("n_agree"),
+        floor(lit(10000.0) * col("n_agree") / col("n_docs"))
+          .cast("long").as("po_bp"),
+        floor(lit(10000.0) * col("__s") / (col("n_docs") * col("n_docs")))
+          .cast("long").as("pe_bp"),
+        when(col("n_docs") * col("n_docs") === col("__s"),
+          lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) *
+            (col("n_docs") * col("n_agree") - col("__s")) /
+            (col("n_docs") * col("n_docs") - col("__s"))).cast("long"))
+          .as("kappa_bp"))
+  }
+
   /** Per-document unigram surprisal against the corpus' own head
     * vocabulary — the integer-exact stand-in for CCNet/KenLM
     * perplexity filtering (the single most-used LLM quality gate):

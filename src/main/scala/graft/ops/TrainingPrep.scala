@@ -905,4 +905,37 @@ object TrainingPrep {
       .withColumn("label", coalesce(col("label"), lit(0L)))
       .orderBy(col("user_id").asc)
   }
+
+  /** Quantile-normalization mapping for a monetary feature — the
+    * rank-based feature transform (the no-libm stand-in for z-score
+    * standardization: no mean, no σ, no sqrt) every tabular training
+    * pipeline ships so one whale can't dominate a linear model. Per
+    * event_type, each distinct value-cents maps to its midrank CDF
+    * position in bp: pct_bp = ⌊10⁴·(2·cum_below + cnt)/(2N)⌋ — ties
+    * share one midrank (the q260 doubled-unit trick), the mapping is
+    * monotone, and the transformed feature is uniform on [0,10⁴] by
+    * construction. The output IS the broadcast artifact: training
+    * joins raw values against this (type, cents)-grain table.
+    *
+    * Scale shape: one fact pass to (type, value) grain with map-side
+    * combine, then per-type windows over DISTINCT values — the
+    * window never sees fact rows, and the result is bounded by the
+    * value domain, not the event count. */
+  def quantileNormalize(events: DataFrame): DataFrame = {
+    val wType = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"))
+    val wAll = Window.partitionBy(col("event_type"))
+    events
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("__cum", sum(col("n_events")).over(wType))
+      .withColumn("__n", sum(col("n_events")).over(wAll))
+      .select(col("event_type"), col("cents"), col("n_events"),
+        floor(lit(10000.0) *
+          (lit(2L) * (col("__cum") - col("n_events")) + col("n_events")) /
+          (lit(2.0) * col("__n"))).cast("long").as("pct_bp"))
+      .orderBy(col("event_type").asc, col("cents").asc)
+  }
 }

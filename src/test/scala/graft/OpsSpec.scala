@@ -1773,4 +1773,156 @@ class OpsSpec extends SparkSpec {
       ("A", 1L, 300L), ("A", 2L, 0L), ("A", 3L, 300L), ("A", 4L, 0L),
       ("B", 1L, 0L), ("B", 2L, 0L), ("B", 3L, 0L), ("B", 4L, 400L)))
   }
+
+  test("ewmaRevenue: dyadic weights, gap day contributes zero, spike bp") {
+    val s2 = spark
+    import s2.implicits._
+    // W=2: weights (2,1), kernel mass 3; day 2 dark, day 3 isolated
+    val orders = Seq(
+      ("2024-01-01", 3.0), ("2024-01-02", 6.0), ("2024-01-04", 3.0)
+    ).toDF("o_orderdate", "o_totalprice")
+    val got = Retention.ewmaRevenue(orders, 2)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      // day1: 300*2/3 = 200; spike 300/200
+      ("2024-01-01", 300L, 200L, Some(15000L)),
+      // day2: (600*2 + 300*1)/3 = 500; spike 600/500
+      ("2024-01-02", 600L, 500L, Some(12000L)),
+      // day4: the dark day 3 contributed ZERO mass; own 300*2/3 = 200
+      ("2024-01-04", 300L, 200L, Some(15000L))))
+  }
+
+  test("signalKappa: parity with signalAgreement cells; degenerate marginals -> NULL") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (1 to 30).map { i =>
+      val longToks = Seq.fill(5 + i % 25)(s"token$i").mkString(" ")
+      val shortToks = Seq.fill(i % 7)("ab").mkString(" ")
+      (i.toLong, s"$longToks $shortToks".trim)
+    }.toDF("doc_id", "text")
+    val cells = TextAnalysis.signalAgreement(docs).collect()
+      .map(r => (r.getAs[Int]("heuristic_ok").toLong,
+        r.getAs[Int]("classifier_keep").toLong, r.getAs[Long]("n_docs")))
+    val n = cells.map(_._3).sum
+    val rh = cells.filter(_._1 == 1L).map(_._3).sum
+    val rc = cells.filter(_._2 == 1L).map(_._3).sum
+    val d = cells.filter(c => c._1 == c._2).map(_._3).sum
+    val ss = rh * rc + (n - rh) * (n - rc)
+    val out = TextAnalysis.signalKappa(docs).collect().head
+    assert(out.getAs[Long]("n_docs") == n)
+    assert(out.getAs[Long]("n_agree") == d)
+    assert(out.getAs[Long]("po_bp") ==
+      math.floor(10000.0 * d / n).toLong)
+    assert(out.getAs[Long]("pe_bp") ==
+      math.floor(10000.0 * ss / (n * n)).toLong)
+    if (n * n == ss) assert(out.isNullAt(out.fieldIndex("kappa_bp")))
+    else assert(out.getAs[Long]("kappa_bp") ==
+      math.floor(10000.0 * (n * d - ss) / (n * n - ss)).toLong)
+    // degenerate marginals: every doc lands in the SAME (h, c) cell.
+    // Short texts pin h = 0; pick a classifier-reject text (c = 0) so
+    // rh = rc = 0 and pe = 1 -> kappa undefined, NULL
+    val cand = (1 to 30).map(i => (i.toLong, s"neg$i token$i word$i"))
+      .toDF("doc_id", "text")
+    val negText = TextAnalysis.qualityClassifier(cand)
+      .filter(col("keep") === 0).select("doc_id").as[Long].collect()
+      .headOption.map(i => s"neg$i token$i word$i")
+      .getOrElse(fail("no negative-score candidate in 30 draws"))
+    val dup = Seq((1L, negText), (2L, negText)).toDF("doc_id", "text")
+    val nul = TextAnalysis.signalKappa(dup).collect().head
+    assert(nul.getAs[Long]("pe_bp") == 10000L)
+    assert(nul.isNullAt(nul.fieldIndex("kappa_bp")))
+  }
+
+  test("chiSquareLift: hand 2x2 closed form, significance gate, empty margin -> NULL") {
+    val s2 = spark
+    import s2.implicits._
+    // first 3 user ids of each md5 arm
+    val ids = (1L to 50L)
+    val as = ids.filter(armOf(_) == "A").take(3).toSeq
+    val bs = ids.filter(armOf(_) == "B").take(3).toSeq
+    def events(convA: Int, convB: Int) =
+      (as.zipWithIndex.map { case (u, i) =>
+        (u, if (i < convA) "purchase" else "view")
+      } ++ bs.zipWithIndex.map { case (u, i) =>
+        (u, if (i < convB) "purchase" else "view")
+      }).toDF("user_id", "event_type")
+    // A converts 3/3, B 0/3: det = 9, den = 81, chi2 = 60000 (sig)
+    val hot = Experiment.chiSquareLift(events(3, 0)).collect().head
+    assert((hot.getAs[Long]("n_a"), hot.getAs[Long]("n_b"),
+      hot.getAs[Long]("conv_a"), hot.getAs[Long]("conv_b")) ==
+      ((3L, 3L, 3L, 0L)))
+    assert(hot.getAs[Long]("chi2_bp") == 60000L)
+    assert(hot.getAs[Int]("significant") == 1)
+    // A converts 2/3, B 0/3: det = 6, den = 3*3*2*4 = 72 -> 30000 (not)
+    val mild = Experiment.chiSquareLift(events(2, 0)).collect().head
+    assert(mild.getAs[Long]("chi2_bp") == 30000L)
+    assert(mild.getAs[Int]("significant") == 0)
+    // nobody converts: a zero margin -> test undefined, NULL
+    val flat = Experiment.chiSquareLift(events(0, 0)).collect().head
+    assert(flat.isNullAt(flat.fieldIndex("chi2_bp")))
+    assert(flat.isNullAt(flat.fieldIndex("significant")))
+  }
+
+  test("quantileNormalize: midrank CDF per type, ties share one bp, nulls dropped") {
+    val s2 = spark
+    import s2.implicits._
+    val events = Seq(
+      ("x", Some(1.0)), ("x", Some(1.0)), ("x", Some(1.0)),
+      ("x", Some(2.0)), ("y", Some(5.0)), ("y", None)
+    ).toDF("event_type", "value")
+    val got = TrainingPrep.quantileNormalize(events)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // x: 100 cents x3 -> (0*2+3)/8; 200 cents -> (3*2+1)/8
+      ("x", 100L, 3L, 3750L), ("x", 200L, 1L, 8750L),
+      ("y", 500L, 1L, 5000L)))
+  }
+
+  test("kcore: tail peels off, triangle survives; budget exhaustion reports unconverged") {
+    val s2 = spark
+    import s2.implicits._
+    // triangle {1,2,3} with a pendant 4
+    val tri = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("item_a", "item_b", "pair_sessions")
+    val got = Graph.kcore(tri, k = 2, iters = 2).collect().head
+    assert((got.getAs[Long]("n_core_vertices"), got.getAs[Long]("n_core_edges"),
+      got.getAs[Long]("min_core_deg"), got.getAs[Int]("converged")) ==
+      ((3L, 3L, 2L, 1)))
+    // a path has no 2-core: peeling empties it (NULL min degree)
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("item_a", "item_b", "pair_sessions")
+    val empty = Graph.kcore(path, k = 2, iters = 2).collect().head
+    assert(empty.getAs[Long]("n_core_vertices") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("min_core_deg")))
+    assert(empty.getAs[Int]("converged") == 1)
+    // 5-chain, one round only: endpoints peel, residual is NOT a core
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("item_a", "item_b", "pair_sessions")
+    val partial = Graph.kcore(chain, k = 2, iters = 1).collect().head
+    assert(partial.getAs[Long]("n_core_vertices") == 3L)
+    assert(partial.getAs[Long]("min_core_deg") == 1L)
+    assert(partial.getAs[Int]("converged") == 0)
+  }
+
+  test("burstiness: VMR on the global span; dark days are implicit zeros") {
+    val s2 = spark
+    import s2.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1 + day, 12, 0, 0))
+    // global span = days 0..2 (3 days)
+    val events = Seq(
+      ("a", ts(0)), ("a", ts(0)), ("a", ts(2)), ("a", ts(2)), // 2,0,2
+      ("b", ts(0)), ("b", ts(1)), ("b", ts(2)),               // 1,1,1
+      ("c", ts(0)), ("c", ts(0)), ("c", ts(0))                // 3,0,0
+    ).toDF("event_type", "ts")
+    val got = Retention.burstiness(events)
+      .as[(String, Long, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      // a: (3*8-16)/(3*4) -> 6666 bp; mean 4/3 -> 1333 mpd
+      ("a", 3L, 2L, 4L, 1333L, 6666L, 0),
+      // b: metronome -> 0 bp
+      ("b", 3L, 3L, 3L, 1000L, 0L, 0),
+      // c: one spike -> (3*9-9)/(3*3) = 2.0 -> overdispersed
+      ("c", 3L, 1L, 3L, 1000L, 20000L, 1)))
+  }
 }

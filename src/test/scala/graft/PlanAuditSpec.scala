@@ -1639,4 +1639,70 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Expand"), s"unpivot did not plan as Expand:\n$p")
     assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 3, p)
   }
+
+  test("q272 ewma revenue: one fact scan to day grain; day-grain fan-out, no NLJ") {
+    val p = plan("q272_ewma_revenue")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 2,
+      s"fact scanned more than twice:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(readSchema.contains("o_orderdate") &&
+      readSchema.contains("o_totalprice") && !readSchema.contains("o_comment"),
+      s"scan not pruned: $readSchema")
+    // the forward fan-out is a sequence explode at day grain — never
+    // a nested-loop range join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q273 signal kappa: single corpus scan, join-free 5-sum aggregate") {
+    val p = plan("q273_signal_kappa")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    assert(!p.contains("Join"), p)
+    // one doc-grain partial agg into a 1-row final agg
+    assert(shuffles(p) <= 1, p)
+  }
+
+  test("q274 chi square: user-grain pass then one-row arithmetic, join-free") {
+    val p = plan("q274_chi_square_lift")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) <= 2, p)
+  }
+
+  test("q276 rrf fusion: rides the shared ANN artifact (no parquet); probe-grain merges only") {
+    val p = plan("q276_rrf_fusion")
+    assert(!stripCached(p).contains("Scan parquet"),
+      s"fusion must reuse the memoized ANN index:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q277 kcore: item-grain peeling over the shared co-vis artifact") {
+    val p = plan("q277_kcore")
+    assert(!stripCached(p).contains("Scan parquet"),
+      s"kcore must reuse the memoized co-vis pairs:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q278 burstiness: pruned scan, day-grain aggregates, 1-row broadcast span") {
+    val p = plan("q278_burstiness")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q275 quantile normalize: value-grain windows, never fact-row windows") {
+    val p = plan("q275_quantile_normalize")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    // fact collapses to (type, cents) BEFORE any Window node
+    val winIdx = p.linesIterator.indexWhere(_.contains("Window"))
+    val aggIdx = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"window must sit above the value-grain aggregate:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }

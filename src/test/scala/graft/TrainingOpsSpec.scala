@@ -658,6 +658,65 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.map(_._4).sum > 0L)
   }
 
+  test("rrfFusion matches a JVM refold of the two rankings; fused top-k by integer ppm") {
+    val emb = Tables(spark, sf, "embeddings")
+    val pred = col("vec_id") % 100 === 0
+    val k = 3
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Long)]] =
+      df.select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long"))
+        .as[(Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (q, xs) =>
+          q -> xs.map(t => (t._2, t._3)).sortBy(_._2) }
+    val lsh = ranks(Similarity.annLsh(emb, pred, k))
+    val ivf = ranks(Similarity.ivfAnn(emb, pred, k))
+    val truth = Similarity.knnBruteForce(emb, pred, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    def fusedOf(q: Long): Set[Long] = {
+      val lm = lsh.getOrElse(q, Nil).toMap
+      val im = ivf.getOrElse(q, Nil).toMap
+      (lm.keySet ++ im.keySet).toSeq
+        .map { id =>
+          val ppm = lm.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+            im.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L)
+          (id, ppm)
+        }
+        .sortBy { case (id, ppm) => (-ppm, id) }.take(k).map(_._1).toSet
+    }
+    val got = Queries.rrfFusion(spark, sf).collect().map { r =>
+      ((r.getAs[Long]("query_id"), r.getAs[String]("method")),
+        (r.getAs[Long]("n_returned"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("n_truth"), r.getAs[Long]("recall_bp")))
+    }.toMap
+    // shared-artifact wrapper == direct op (pred and k line up by contract)
+    assert(Queries.KnnQueryMod == 50L && Queries.AnnRecallK == k)
+    val direct = Similarity.rrfFusion(emb, col("vec_id") % 50 === 0, k)
+    val gotDirect = direct.collect().map { r =>
+      ((r.getAs[Long]("query_id"), r.getAs[String]("method")),
+        (r.getAs[Long]("n_returned"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("n_truth"), r.getAs[Long]("recall_bp")))
+    }.toMap
+    assert(got == gotDirect, "shared ANN artifact must not change the report")
+    // refold on the % 100 probe subset: those queries' rows must agree
+    truth.keys.foreach { q =>
+      val t = truth(q)
+      val sets = Map(
+        "lsh" -> lsh.getOrElse(q, Nil).map(_._1).toSet,
+        "ivf" -> ivf.getOrElse(q, Nil).map(_._1).toSet,
+        "rrf" -> fusedOf(q))
+      sets.foreach { case (m, s) =>
+        val (nRet, nHits, nTruth, bp) = got((q, m))
+        assert(nRet == s.size && nHits == (t & s).size && nTruth == t.size,
+          s"($q, $m) accounting")
+        assert(bp == math.floor(10000.0 * (t & s).size / t.size).toLong)
+      }
+    }
+    // every reported method row belongs to a live probe query
+    assert(got.keySet.map(_._2) == Set("lsh", "ivf", "rrf"))
+  }
+
   test("annMrr matches a naive recomputation; missed truth scores 0") {
     val emb = Tables(spark, sf, "embeddings")
     val pred = col("vec_id") % 100 === 0
