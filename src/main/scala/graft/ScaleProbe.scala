@@ -513,6 +513,19 @@ object ScaleProbe {
     t("event burst dedup")(graft.ops.Dedup.eventBurstDedup(events))
     t("layout compare")(graft.ops.Layout.layoutCompare(
       lineitem, "l_partkey", "l_suppkey"))
+    t("ewma revenue")(graft.ops.Retention.ewmaRevenue(orders))
+    t("signal kappa")(graft.ops.TextAnalysis.signalKappa(docs))
+    t("chi square lift")(graft.ops.Experiment.chiSquareLift(events))
+    t("quantile normalize")(graft.ops.TrainingPrep.quantileNormalize(events))
+    // FIXED probe set under amplification (modulus scales with mult):
+    // eval probes are a sampled set by contract — growing them with
+    // the corpus would measure eval-set growth, not index scaling
+    // (the q229 capped-probe lesson)
+    t("rrf fusion")(graft.ops.Similarity.rrfFusion(emb,
+      col("vec_id") % (50L * mult) === 0))
+    t("kcore")(graft.ops.Graph.kcore(
+      graft.ops.Market.coVisitPairs(events), 3, 4, 2L))
+    t("burstiness")(graft.ops.Retention.burstiness(events))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -305,7 +305,9 @@ object SparkEntry {
     "q275_quantile_normalize" -> (Queries.quantileNormalize _),
     "q276_rrf_fusion" -> (Queries.rrfFusion _),
     "q277_kcore" -> (Queries.kcore _),
-    "q278_burstiness" -> (Queries.burstiness _)
+    "q278_burstiness" -> (Queries.burstiness _),
+    "q279_bloom_pruning" -> (Queries.bloomPruningAudit _),
+    "q280_covis_backtest" -> (Queries.covisBacktest _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2109,6 +2111,23 @@ object Queries {
   /** Variance-to-mean dispersion of daily counts per event type. */
   def burstiness(spark: SparkSession, dir: String): DataFrame =
     Retention.burstiness(Tables(spark, dir, "events"))
+
+  val BloomCellBits = 6
+  val BloomMBits = 131072L
+  val BloomProbes = 16
+
+  /** Bloom-vs-zone-map point-lookup pruning audit on lineitem laid
+    * out by partkey, probed on orderkey. */
+  def bloomPruningAudit(spark: SparkSession, dir: String): DataFrame =
+    Layout.bloomPruningAudit(Tables(spark, dir, "lineitem"),
+      "l_partkey", "l_orderkey", BloomCellBits, BloomMBits, BloomProbes)
+
+  val CovisBacktestK = 5
+
+  /** Hit-rate@k backtest of the co-visitation recommender shelf. */
+  def covisBacktest(spark: SparkSession, dir: String): DataFrame =
+    Market.covisBacktest(Tables(spark, dir, "events"), DriftSplitDate,
+      CovisBacktestK, CoVisitMaxItems)
 
   /** Token frequency spectrum (the sort-free Zipf read). */
   def tokenSpectrum(spark: SparkSession, dir: String): DataFrame =
@@ -8995,6 +9014,182 @@ object Oracles {
          |       CAST(MIN(deg) AS BIGINT) AS min_core_deg,
          |       CAST(COUNT(*) = 0 OR MIN(deg) >= $k AS INT) AS converged
          |FROM dfin""".stripMargin
+    },
+
+    // zone map vs 2-hash bloom vs exact membership per point probe;
+    // 20-bit md5 nibble hashes, md5-ordered deterministic probe draw
+    "q279_bloom_pruning" -> {
+      val c = 1L << Queries.BloomCellBits
+      val m = Queries.BloomMBits
+      val p = Queries.BloomProbes
+      // 5-nibble (20-bit) md5 hash of the value string, mod m
+      def nib(col: String, i: Int) =
+        s"(instr('0123456789abcdef', substr(md5(CAST($col AS VARCHAR)), $i, 1)) - 1)"
+      def h(col: String, start: Int) =
+        s"((${nib(col, start)} * 65536 + ${nib(col, start + 1)} * 4096 + " +
+          s"${nib(col, start + 2)} * 256 + ${nib(col, start + 3)} * 16 + " +
+          s"${nib(col, start + 4)}) % $m)"
+      s"""WITH r AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS a,
+         |         CAST(l_orderkey AS BIGINT) AS b
+         |  FROM lineitem
+         |  WHERE l_partkey IS NOT NULL AND l_orderkey IS NOT NULL),
+         |bo AS (SELECT MIN(a) AS lo_a, MAX(a) AS hi_a FROM r),
+         |asg AS (
+         |  SELECT ((r.a - bo.lo_a) * $c) // (bo.hi_a - bo.lo_a + 1) AS cell,
+         |         r.b
+         |  FROM r, bo),
+         |cs AS (
+         |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         MIN(b) AS min_b, MAX(b) AS max_b
+         |  FROM asg GROUP BY 1),
+         |bb AS (
+         |  SELECT DISTINCT cell, bit FROM (
+         |    SELECT cell, unnest([${h("b", 1)}, ${h("b", 6)}]) AS bit
+         |    FROM asg)),
+         |cv AS (SELECT DISTINCT cell, b FROM asg),
+         |pv AS (
+         |  SELECT b AS probe_b, ${h("b", 1)} AS pb1, ${h("b", 6)} AS pb2,
+         |         CASE WHEN ${h("b", 1)} = ${h("b", 6)} THEN 1 ELSE 2 END
+         |           AS nb
+         |  FROM (SELECT DISTINCT b FROM r)
+         |  ORDER BY md5(CAST(b AS VARCHAR)), b LIMIT $p),
+         |zone AS (
+         |  SELECT probe_b, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |         CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         |         CAST(SUM(CASE WHEN min_b <= probe_b AND max_b >= probe_b
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS zone_cells,
+         |         CAST(SUM(CASE WHEN min_b <= probe_b AND max_b >= probe_b
+         |           THEN n_rows ELSE 0 END) AS BIGINT) AS zone_rows
+         |  FROM cs, pv GROUP BY 1),
+         |bl AS (
+         |  SELECT probe_b, cell, nb, COUNT(*) AS matched
+         |  FROM bb JOIN pv ON bb.bit = pv.pb1 OR bb.bit = pv.pb2
+         |  GROUP BY 1, 2, 3),
+         |blc AS (
+         |  SELECT probe_b, CAST(COUNT(*) AS BIGINT) AS bloom_cells,
+         |         CAST(SUM(cs.n_rows) AS BIGINT) AS bloom_rows
+         |  FROM bl JOIN cs USING (cell) WHERE matched = nb GROUP BY 1),
+         |ex AS (
+         |  SELECT probe_b, CAST(COUNT(*) AS BIGINT) AS exact_cells
+         |  FROM cv JOIN pv ON cv.b = pv.probe_b GROUP BY 1)
+         |SELECT z.probe_b, z.n_cells, z.zone_cells, z.zone_rows,
+         |       CAST(COALESCE(blc.bloom_cells, 0) AS BIGINT) AS bloom_cells,
+         |       CAST(COALESCE(blc.bloom_rows, 0) AS BIGINT) AS bloom_rows,
+         |       CAST(COALESCE(ex.exact_cells, 0) AS BIGINT) AS exact_cells,
+         |       CAST(COALESCE(blc.bloom_cells, 0) -
+         |            COALESCE(ex.exact_cells, 0) AS BIGINT) AS fp_cells,
+         |       CAST(FLOOR(10000.0 * z.zone_rows / z.total_rows) AS BIGINT)
+         |         AS zone_bp,
+         |       CAST(FLOOR(10000.0 * COALESCE(blc.bloom_rows, 0) /
+         |         z.total_rows) AS BIGINT) AS bloom_bp
+         |FROM zone z
+         |LEFT JOIN blc ON z.probe_b = blc.probe_b
+         |LEFT JOIN ex ON z.probe_b = ex.probe_b
+         |ORDER BY 1""".stripMargin
+    },
+
+    // q177's independent-halves contract with the co-vis top-k shelf
+    // as the model; self-transitions excluded on the eval side
+    "q280_covis_backtest" -> {
+      val d = Queries.DriftSplitDate
+      val cap = Queries.CoVisitMaxItems
+      val k = Queries.CovisBacktestK
+      s"""WITH te AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '$d'
+         |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+         |te1 AS (
+         |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id) AS prev_us
+         |  FROM te),
+         |te2 AS (
+         |  SELECT user_id, event_id, ts_us, item,
+         |         CAST(SUM(CASE WHEN prev_us IS NULL
+         |                        OR ts_us - prev_us > 1800000000
+         |                   THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM te1),
+         |test AS (
+         |  SELECT prev_item, item AS next_item,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT user_id, session_seq, item,
+         |           lag(item) OVER (PARTITION BY user_id, session_seq
+         |             ORDER BY ts_us, event_id) AS prev_item
+         |    FROM te2)
+         |  WHERE prev_item IS NOT NULL AND prev_item <> item
+         |  GROUP BY 1, 2),
+         |tr AS (
+         |  SELECT user_id, event_id, props, epoch_us(ts) AS ts_us
+         |  FROM events WHERE ts < TIMESTAMP '$d'),
+         |tr1 AS (
+         |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id) AS prev_us
+         |  FROM tr),
+         |tsz AS (
+         |  SELECT user_id, props,
+         |         CAST(SUM(CASE WHEN prev_us IS NULL
+         |                        OR ts_us - prev_us > 1800000000
+         |                   THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM tr1),
+         |it0 AS (
+         |  SELECT user_id, session_seq,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+         |  FROM tsz
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |capped AS (
+         |  SELECT user_id, session_seq, item FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+         |      ORDER BY item) AS rn
+         |    FROM it0)
+         |  WHERE rn <= $cap),
+         |pairs AS (
+         |  SELECT a.item AS item_a, b.item AS item_b,
+         |         CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM capped a
+         |  JOIN capped b ON a.user_id = b.user_id
+         |    AND a.session_seq = b.session_seq AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |shelf AS (
+         |  SELECT prev_item, rec_item FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY prev_item
+         |      ORDER BY w DESC, rec_item ASC) AS r
+         |    FROM (
+         |      SELECT item_a AS prev_item, item_b AS rec_item, w FROM pairs
+         |      UNION ALL
+         |      SELECT item_b, item_a, w FROM pairs))
+         |  WHERE r <= $k),
+         |cov AS (SELECT DISTINCT prev_item FROM shelf),
+         |j AS (
+         |  SELECT test.n,
+         |         cov.prev_item IS NOT NULL AS covered,
+         |         shelf.rec_item IS NOT NULL AS hit
+         |  FROM test
+         |  LEFT JOIN cov ON test.prev_item = cov.prev_item
+         |  LEFT JOIN shelf ON test.prev_item = shelf.prev_item
+         |    AND test.next_item = shelf.rec_item),
+         |a AS (
+         |  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_test,
+         |         CAST(COALESCE(SUM(CASE WHEN covered THEN n END), 0)
+         |           AS BIGINT) AS n_covered,
+         |         CAST(COALESCE(SUM(CASE WHEN hit THEN n END), 0)
+         |           AS BIGINT) AS n_hits
+         |  FROM j)
+         |SELECT n_test, n_covered, n_hits,
+         |       CASE WHEN n_test = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * n_hits / n_test) AS BIGINT)
+         |            END AS hit_bp,
+         |       CASE WHEN n_covered = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * n_hits / n_covered) AS BIGINT)
+         |            END AS covered_hit_bp
+         |FROM a""".stripMargin
     },
 
     // daily counts on the global span; dark days are true zeros that

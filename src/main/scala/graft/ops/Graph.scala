@@ -545,13 +545,19 @@ object Graph {
       weightCol: String = "pair_sessions"): DataFrame = {
     require(k >= 1, "k >= 1")
     require(iters >= 1 && iters <= 8, "iters in [1,8]")
-    var e = symmetric(pairs, minWeight, weightCol)
+    // each round reads the previous edge frame THREE times (the
+    // degree build feeds both semi-join sides) — without truncation
+    // the lineage re-instantiates the whole upstream 3^iters times
+    // (the bfsReach per-hop rule); a lazy localCheckpoint pins each
+    // round to one materialization of an item-grain frame
+    var e = symmetric(pairs, minWeight, weightCol).localCheckpoint(false)
     for (_ <- 1 to iters) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
       e = e.join(keep, Seq("src"), "left_semi")
         .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
+        .localCheckpoint(false)
     }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     deg.agg(

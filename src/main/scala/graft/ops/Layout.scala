@@ -224,4 +224,95 @@ object Layout {
         col("z_scan_bp"), col("sort_scan_bp"))
       .orderBy(col("dim").asc, col("probe").asc)
   }
+
+  /** Bloom-filter pruning audit — the "should these files carry bloom
+    * filters" decision table (Parquet row-group blooms): when the
+    * layout sorts by `colA`, every file spans nearly the FULL range
+    * of an uncorrelated `colB`, so zone maps can't prune point
+    * lookups on `colB` at all — a per-file bloom prunes by MEMBERSHIP
+    * instead, at the cost of `mBits` of metadata per file. Per point
+    * probe (a deterministic md5-ordered draw of `probes` distinct
+    * `colB` values): files passed by the zone map, by the bloom
+    * (2 md5-derived hashes — no false negatives by construction, so
+    * bloom ⊇ exact always), exactly containing the value, and the
+    * bloom's false positives — the gap between the last two is what
+    * the metadata spend buys.
+    *
+    * Scale shape: one fact pass to cell assignment (persisted —
+    * caller-owned, the house cache convention) feeding three
+    * cell-grain collapses: stats, the distinct (cell, bit) bloom set
+    * (≤ cells·2·ndv rows — this IS the real bloom metadata footprint,
+    * reported so the audit prices it honestly), and the distinct
+    * (cell, value) set. Probes broadcast everywhere; no frame after
+    * the first pass scales with row count. */
+  def bloomPruningAudit(df: DataFrame, colA: String, colB: String,
+      cellBits: Int = 6, mBits: Long = 131072L,
+      probes: Int = 16): DataFrame = {
+    require(cellBits >= 1 && cellBits <= 31, "cellBits in [1,31]")
+    require(mBits >= 2L && mBits <= (1L << 20), "mBits in [2, 2^20]")
+    require(probes >= 1 && probes <= 1024, "probes in [1,1024]")
+    val rows = df.select(col(colA).cast("long").as("a"),
+        col(colB).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val bounds = rows.agg(
+      min(col("a")).as("lo_a"), max(col("a")).as("hi_a"))
+    val c = 1L << cellBits
+    val assigned = rows.crossJoin(broadcast(bounds))
+      .select(expr(s"((a - lo_a) * ${c}L) div (hi_a - lo_a + 1L)")
+        .as("cell"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two 20-bit md5 hashes of the value (5 hex nibbles each), mod m
+    def h(start: Int, column: String) = expr(
+      s"CAST(conv(substring(md5(CAST($column AS STRING)), $start, 5)," +
+        s" 16, 10) AS BIGINT) % ${mBits}L")
+    val cellStats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+    val bloomBits = assigned
+      .select(col("cell"), explode(array(h(1, "b"), h(6, "b"))).as("bit"))
+      .distinct()
+    val cellValues = assigned.select(col("cell"), col("b")).distinct()
+    // probe draw rides the SAME persisted pass (one fact scan total)
+    val probeVals = assigned.select(col("b")).distinct()
+      .orderBy(expr("md5(CAST(b AS STRING))"), col("b")).limit(probes)
+      .select(col("b").as("probe_b"), h(1, "b").as("pb1"),
+        h(6, "b").as("pb2"))
+      .withColumn("nb", when(col("pb1") === col("pb2"), 1L).otherwise(2L))
+    val zone = cellStats.crossJoin(broadcast(probeVals))
+      .groupBy(col("probe_b"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_rows")).as("total_rows"),
+        sum(when(col("min_b") <= col("probe_b") &&
+          col("max_b") >= col("probe_b"), 1L).otherwise(0L)).as("zone_cells"),
+        sum(when(col("min_b") <= col("probe_b") &&
+          col("max_b") >= col("probe_b"), col("n_rows")).otherwise(0L))
+          .as("zone_rows"))
+    val bloom = bloomBits.join(broadcast(probeVals),
+        col("bit") === col("pb1") || col("bit") === col("pb2"))
+      .groupBy(col("probe_b"), col("cell"), col("nb"))
+      .agg(count(lit(1)).as("__matched"))
+      .filter(col("__matched") === col("nb"))
+      .join(cellStats, Seq("cell"))
+      .groupBy(col("probe_b"))
+      .agg(count(lit(1)).as("bloom_cells"),
+        sum(col("n_rows")).as("bloom_rows"))
+    val exact = cellValues.join(broadcast(probeVals),
+        col("b") === col("probe_b"))
+      .groupBy(col("probe_b"))
+      .agg(count(lit(1)).as("exact_cells"))
+    zone
+      .join(bloom, Seq("probe_b"), "left")
+      .join(exact, Seq("probe_b"), "left")
+      .select(col("probe_b"), col("n_cells"), col("zone_cells"),
+        col("zone_rows"),
+        coalesce(col("bloom_cells"), lit(0L)).as("bloom_cells"),
+        coalesce(col("bloom_rows"), lit(0L)).as("bloom_rows"),
+        coalesce(col("exact_cells"), lit(0L)).as("exact_cells"),
+        (coalesce(col("bloom_cells"), lit(0L)) -
+          coalesce(col("exact_cells"), lit(0L))).as("fp_cells"),
+        floor(lit(10000.0) * col("zone_rows") / col("total_rows"))
+          .cast("long").as("zone_bp"),
+        floor(lit(10000.0) * coalesce(col("bloom_rows"), lit(0L)) /
+          col("total_rows")).cast("long").as("bloom_bp"))
+      .orderBy(col("probe_b").asc)
+  }
 }

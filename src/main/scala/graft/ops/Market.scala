@@ -678,4 +678,83 @@ object Market {
       .filter(col("__rn") === 1)
       .select(col("prev_item"), col("next_item").as("predicted"))
   }
+
+  /** Co-visitation recommender BACKTEST: hit-rate@k of the q90 pair
+    * surface as an actual recommender — train co-vis pairs on events
+    * before `splitDate`, rank each item's top-k neighbors by
+    * (pair_sessions desc, id), and score "was the next item in the
+    * previous item's list" on the transitions after. The companion to
+    * [[nextItemBacktest]]: that grades the top-1 majority model, this
+    * grades the k-slot shelf every "users also viewed" module ships —
+    * together they say whether the extra k−1 slots earn their screen
+    * space.
+    *
+    * Same honest-split contract as q177: both halves sessionized
+    * INDEPENDENTLY, self-transitions excluded (a repeat view is not a
+    * recommendation win), `covered` = transitions whose previous item
+    * has ≥1 trained neighbor (the cold-start tax is
+    * hit_bp vs covered_hit_bp).
+    *
+    * Scale shape: two sessionize shuffles (one per half), the train
+    * half collapsing to capped item-pair grain (the q90 argument);
+    * the neighbor shelf is a WindowGroupLimit over item-pair rows;
+    * the eval join is (prev, next)-grain against the (items·k)-sized
+    * shelf; 1-row report.
+    *
+    * One row: n_test, n_covered, n_hits, hit_bp, covered_hit_bp. */
+  def covisBacktest(events: DataFrame, splitDate: String, k: Int = 5,
+      maxItems: Int = 64, itemCol: String = "$.k"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val split = lit(splitDate).cast("timestamp")
+    val pairs = coVisitPairs(events.filter(col("ts") < split),
+      maxItems, itemCol)
+    val shelf = pairs
+      .select(col("item_a").as("prev_item"), col("item_b").as("rec_item"),
+        col("pair_sessions"))
+      .union(pairs.select(col("item_b"), col("item_a"),
+        col("pair_sessions")))
+      .withColumn("__r", row_number().over(Window
+        .partitionBy(col("prev_item"))
+        .orderBy(col("pair_sessions").desc, col("rec_item").asc)))
+      .filter(col("__r") <= k)
+      .select(col("prev_item"), col("rec_item"))
+      // the shelf feeds coverage AND the hit join, and its own build
+      // reads the pair frame twice (both directions) — persist the
+      // (items·k)-sized result so the train half is scanned once
+      // (caller-owned, the house cache convention)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val covered = shelf.select(col("prev_item")).distinct()
+      .withColumn("__c", lit(1L))
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val test = Sessionize.assignSessions(events.filter(col("ts") >= split)
+        .withColumn("item", get_json_object(col("props"), itemCol)
+          .cast("long"))
+        .filter(col("item").isNotNull))
+      .withColumn("prev_item", lag(col("item"), 1).over(bySession))
+      .filter(col("prev_item").isNotNull && col("prev_item") =!= col("item"))
+      .groupBy(col("prev_item"), col("item").as("next_item"))
+      .agg(count(lit(1)).as("n"))
+    val shelfKeyed = shelf.select(col("prev_item").as("__s_prev"),
+      col("rec_item").as("__s_rec"))
+    test
+      .join(covered, Seq("prev_item"), "left")
+      .join(shelfKeyed,
+        col("prev_item") === col("__s_prev") &&
+          col("next_item") === col("__s_rec"), "left")
+      .agg(sum(col("n")).as("n_test"),
+        coalesce(sum(when(col("__c").isNotNull, col("n"))), lit(0L))
+          .as("n_covered"),
+        coalesce(sum(when(col("__s_rec").isNotNull, col("n"))), lit(0L))
+          .as("n_hits"))
+      .select(col("n_test"), col("n_covered"), col("n_hits"),
+        when(col("n_test") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("n_hits") / col("n_test"))
+            .cast("long")).as("hit_bp"),
+        when(col("n_covered") === 0L, 0L)
+          .otherwise(floor(lit(10000.0) * col("n_hits") / col("n_covered"))
+            .cast("long")).as("covered_hit_bp"))
+  }
 }

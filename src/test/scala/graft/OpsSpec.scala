@@ -1925,4 +1925,66 @@ class OpsSpec extends SparkSpec {
       // c: one spike -> (3*9-9)/(3*3) = 2.0 -> overdispersed
       ("c", 3L, 1L, 3L, 1000L, 20000L, 1)))
   }
+
+  test("bloomPruningAudit: zone by range, bloom by JVM-recomputed membership, no false negatives") {
+    val s2 = spark
+    import s2.implicits._
+    val m = 1024L
+    def jvmH(v: Long, start: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(start - 1, start + 4), 16) % m
+    }
+    // cellBits=1 over a in {0,1}: cell = a. cell0 holds b {1,100},
+    // cell1 holds b {2,99}
+    val df = Seq((0L, 1L), (0L, 100L), (1L, 2L), (1L, 99L))
+      .toDF("a", "b")
+    val got = Layout.bloomPruningAudit(df, "a", "b", cellBits = 1,
+      mBits = m, probes = 4).collect()
+      .map(r => r.getAs[Long]("probe_b") ->
+        ((r.getAs[Long]("n_cells"), r.getAs[Long]("zone_cells"),
+          r.getAs[Long]("zone_rows"), r.getAs[Long]("bloom_cells"),
+          r.getAs[Long]("exact_cells"), r.getAs[Long]("fp_cells")))).toMap
+    assert(got.keySet == Set(1L, 2L, 99L, 100L))
+    val cellBits = Map(
+      0L -> Set(1L, 100L).flatMap(v => Set(jvmH(v, 1), jvmH(v, 6))),
+      1L -> Set(2L, 99L).flatMap(v => Set(jvmH(v, 1), jvmH(v, 6))))
+    got.foreach { case (v, (nCells, zc, zr, bc, ec, fp)) =>
+      assert(nCells == 2L)
+      // zone: cell0 spans [1,100], cell1 [2,99]
+      val zExp = Seq(0L -> (1L <= v && v <= 100L),
+        1L -> (2L <= v && v <= 99L)).count(_._2)
+      assert(zc == zExp && zr == 2L * zExp, s"zone at probe $v")
+      val bExp = cellBits.count { case (_, bits) =>
+        Set(jvmH(v, 1), jvmH(v, 6)).subsetOf(bits) }
+      assert(bc == bExp, s"bloom at probe $v")
+      assert(ec == 1L, s"exact at probe $v")
+      assert(bc >= ec && fp == bc - ec, s"no-false-negative at probe $v")
+    }
+  }
+
+  test("covisBacktest: shelf hit, covered miss, cold-start miss; self-transitions excluded") {
+    val s2 = spark
+    import s2.implicits._
+    def ev(id: Long, u: Long, day: Int, sec: Int, item: Long) =
+      (id, Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, day, 10, 0, sec)),
+        u, "view", s"""{"k": $item}""")
+    val events = Seq(
+      // train (< Jan 16): u1 basket {10,11}; u2 basket {10,11,12}
+      ev(1, 1, 10, 0, 10), ev(2, 1, 10, 10, 11),
+      ev(3, 2, 11, 0, 10), ev(4, 2, 11, 10, 11), ev(5, 2, 11, 20, 12),
+      // eval (>= Jan 16): u3 items 10,10,11,13 -> 10->10 (self, drop),
+      // 10->11 (hit), 11->13 (covered miss); u4 50->60 (cold start)
+      ev(6, 3, 20, 0, 10), ev(7, 3, 20, 10, 10), ev(8, 3, 20, 20, 11),
+      ev(9, 3, 20, 30, 13),
+      ev(10, 4, 21, 0, 50), ev(11, 4, 21, 10, 60)
+    ).toDF("event_id", "ts", "user_id", "event_type", "props")
+    val out = Market.covisBacktest(events, "2024-01-16", k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // shelf(10) = [11 (w2), 12 (w1)]; 10->11 hits; 11->13 covered
+    // miss; 50->60 uncovered
+    assert(out == ((3L, 2L, 1L, 3333L, 5000L)))
+  }
 }

@@ -1695,6 +1695,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q279 bloom pruning: one persisted assignment pass; probes broadcast, no cartesian") {
+    val p = plan("q279_bloom_pruning")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(readSchema.contains("l_partkey") &&
+      readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"scan not pruned: $readSchema")
+    // the persisted cell assignment hides its scan; only the probe
+    // draw re-touches parquet live
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q280 covis backtest: two pruned halves, pair-grain shelf, 1-row report") {
+    val p = plan("q280_covis_backtest")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("value"), s"scan not pruned: $readSchema")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q275 quantile normalize: value-grain windows, never fact-row windows") {
     val p = plan("q275_quantile_normalize")
     assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
