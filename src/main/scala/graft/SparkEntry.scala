@@ -307,7 +307,15 @@ object SparkEntry {
     "q277_kcore" -> (Queries.kcore _),
     "q278_burstiness" -> (Queries.burstiness _),
     "q279_bloom_pruning" -> (Queries.bloomPruningAudit _),
-    "q280_covis_backtest" -> (Queries.covisBacktest _)
+    "q280_covis_backtest" -> (Queries.covisBacktest _),
+    "q281_rolling_wau_sketch" -> (Queries.rollingUsersSketch _),
+    "q282_diff_in_diff" -> (Queries.diffInDiff _),
+    "q283_timeout_sweep" -> (Queries.timeoutSweep _),
+    "q284_readability" -> (Queries.readability _),
+    "q285_bigram_perplexity" -> (Queries.bigramPerplexity _),
+    "q286_anisotropy" -> (Queries.anisotropy _),
+    "q287_brown_forecast" -> (Queries.brownForecast _),
+    "q288_negative_sampling" -> (Queries.negativeSampling _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2242,6 +2250,58 @@ object Queries {
     * verdicts on the `sourceDatacard(exact = false)` path. */
   def sourceDatacardChecked(spark: SparkSession, dir: String): DataFrame =
     Profile.sourceDatacardChecked(Tables(spark, dir, "documents"))
+
+  val RollingWindows = Seq(7, 14, 28)
+
+  /** Rolling 7/14/28-day active users from one set of mergeable
+    * per-day HLL sketches (exact twins + verdicts keep it in the
+    * oracle). */
+  def rollingUsersSketch(spark: SparkSession, dir: String): DataFrame =
+    Retention.rollingUsersSketch(Tables(spark, dir, "events"), RollingWindows)
+
+  /** Region-rollout difference-in-differences on mean order value
+    * (TREAT = ASIA, CTRL = AMERICA, cutoff 1998-01-01). */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame =
+    Experiment.diffInDiff(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "nation"),
+      Tables(spark, dir, "region"))
+
+  val SweepTimeouts = Seq(300L, 600L, 1800L, 3600L, 7200L)
+
+  /** Session-timeout sensitivity sweep: sessions(T) for 5 candidate
+    * gaps from ONE lag pass (sessions = users + gaps>T). */
+  def timeoutSweep(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.timeoutSweep(Tables(spark, dir, "events"), SweepTimeouts)
+
+  /** Per-source Flesch-proxy readability panel (integer milli-units,
+    * vowel-run syllables). */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(Tables(spark, dir, "documents"))
+
+  /** Add-one bigram-LM self-perplexity gate (CCNet-style), per
+    * source; flags docs over 125% of the corpus mean bits/token. */
+  def bigramPerplexity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramPerplexity(Tables(spark, dir, "documents"))
+
+  val AnisotropyDim = 64
+
+  /** Embedding anisotropy: integer-exact variance share along the
+    * mean direction vs the 1/d isotropy baseline. */
+  def anisotropy(spark: SparkSession, dir: String): DataFrame =
+    Similarity.anisotropy(Tables(spark, dir, "embeddings"), AnisotropyDim)
+
+  /** Brown double-smoothing one-day-ahead revenue forecast backtest
+    * (dyadic kernel, dense calendar spine, q272's window W). */
+  def brownForecast(spark: SparkSession, dir: String): DataFrame =
+    Retention.brownForecast(Tables(spark, dir, "orders"), EwmaWindowDays)
+
+  val NegSampleK = 16
+
+  /** Word2vec unigram^¾ negative-sampling table (top-16 + <REST>
+    * rollup, exact nested-isqrt weights, inverse-CDF ppm columns). */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.negativeSampling(Tables(spark, dir, "documents"),
+      NegSampleK)
 
   /** Mann-Whitney rank-sum test between the q147 arms on per-user
     * event counts (exact doubled-unit midranks; CLES effect size). */
@@ -10357,6 +10417,373 @@ object Oracles {
          |            END AS fp_bp,
          |       CAST(SUM(p_bp) AS BIGINT) AS exp_cand_bp_sum
          |FROM cfg GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    },
+
+    // exact twins of the three rolling windows (q258 trailing
+    // semantics, one joined fan-out at maxW); sketch verdicts literal
+    // 1 — a drifting HLL union flips the bit and the row mismatches
+    "q281_rolling_wau_sketch" -> {
+      val ws = Queries.RollingWindows
+      val maxW = ws.max
+      val waus = ws.map(w =>
+        s"""         CAST(COUNT(DISTINCT CASE WHEN lag < $w
+           |           THEN user_id END) AS BIGINT) AS wau$w""".stripMargin)
+        .mkString(",\n")
+      val oks = ws.map(w => s"CAST(1 AS INT) AS sk${w}_ok").mkString(", ")
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |days AS (SELECT DISTINCT d AS report_d FROM ud),
+         |c AS (
+         |  SELECT days.report_d, ud.user_id,
+         |         (days.report_d - ud.d) AS lag
+         |  FROM days JOIN ud
+         |    ON ud.d <= days.report_d AND ud.d > days.report_d - $maxW),
+         |w AS (
+         |  SELECT report_d,
+         |$waus
+         |  FROM c GROUP BY 1),
+         |dau AS (
+         |  SELECT d AS report_d, CAST(COUNT(*) AS BIGINT) AS dau
+         |  FROM ud GROUP BY 1)
+         |SELECT strftime(dau.report_d, '%Y-%m-%d') AS report_date, dau,
+         |       ${ws.map(w => s"wau$w").mkString(", ")}, $oks
+         |FROM dau JOIN w USING (report_d)""".stripMargin
+    },
+
+    // 2×2 panel in house cents; DuckDB SUM(BIGINT) widens to HUGEINT
+    // so every sum is re-cast; // == Spark DIV on positive cents
+    "q282_diff_in_diff" ->
+      """WITH dim AS (
+        |  SELECT c.c_custkey,
+        |         CASE WHEN r.r_name = 'ASIA' THEN 'TREAT'
+        |              ELSE 'CTRL' END AS grp
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name IN ('ASIA', 'AMERICA')),
+        |g AS (
+        |  SELECT dim.grp,
+        |         CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE)
+        |             >= DATE '1998-01-01' THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS n_pre,
+        |         CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE)
+        |             >= DATE '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_post,
+        |         CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE)
+        |             < DATE '1998-01-01'
+        |           THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS c_pre,
+        |         CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE)
+        |             >= DATE '1998-01-01'
+        |           THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS c_post
+        |  FROM orders o JOIN dim ON o.o_custkey = dim.c_custkey
+        |  WHERE o.o_orderdate IS NOT NULL
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT grp, n_pre, n_post,
+        |         CASE WHEN n_pre > 0
+        |              THEN CAST(c_pre // n_pre AS BIGINT) END
+        |           AS mean_pre_cents,
+        |         CASE WHEN n_post > 0
+        |              THEN CAST(c_post // n_post AS BIGINT) END
+        |           AS mean_post_cents
+        |  FROM g),
+        |dd AS (SELECT *, mean_post_cents - mean_pre_cents AS delta_cents
+        |       FROM d),
+        |s AS (
+        |  SELECT CAST(SUM(CASE WHEN grp = 'TREAT' THEN delta_cents END)
+        |         - SUM(CASE WHEN grp = 'CTRL' THEN delta_cents END)
+        |         AS BIGINT) AS did_cents
+        |  FROM dd)
+        |SELECT grp, n_pre, n_post, mean_pre_cents, mean_post_cents,
+        |       delta_cents, did_cents
+        |FROM dd, s ORDER BY grp""".stripMargin,
+
+    // sessions(T) = first-events + gaps>T from one lag pass; gaps in
+    // µs (the assignSessions convention), candidates unrolled as a
+    // UNION ALL over the 1-row sum table
+    "q283_timeout_sweep" -> {
+      val ts = Queries.SweepTimeouts
+      val xs = ts.map(t =>
+        s"""         CAST(SUM(CASE WHEN gap_us > ${t}000000 THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS x$t""".stripMargin).mkString(",\n")
+      val rows = ts.map(t =>
+        s"""SELECT CAST($t AS BIGINT) AS timeout_s,
+           |       n_users + x$t AS n_sessions, n_events,
+           |       CAST((1000 * n_events) // (n_users + x$t) AS BIGINT)
+           |         AS events_per_session_milli
+           |FROM t""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH g AS (
+         |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         |  FROM events WHERE ts IS NOT NULL),
+         |t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         |         CAST(SUM(CASE WHEN gap_us IS NULL THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_users,
+         |$xs
+         |  FROM g)
+         |$rows
+         |ORDER BY timeout_s""".stripMargin
+    },
+
+    // vowel-run syllable proxy via the double-replace run count;
+    // score clamped at 0 so every // runs on nonnegative operands
+    "q284_readability" ->
+      """WITH per AS (
+        |  SELECT source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |         greatest(CAST(
+        |           length(regexp_replace(text, '[.!?]+', '#', 'g'))
+        |           - length(regexp_replace(text, '[.!?]+', '', 'g'))
+        |           AS BIGINT), 1) AS s,
+        |         CAST(
+        |           length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+        |           - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+        |           AS BIGINT) AS vr
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT source, w, s, greatest(vr, w) AS syl,
+        |         greatest(206835 - (1015 * w) // s
+        |           - (84600 * greatest(vr, w)) // w, 0) AS flesch_milli
+        |  FROM per),
+        |g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(w) AS BIGINT) AS sw,
+        |         CAST(SUM(s) AS BIGINT) AS ss,
+        |         CAST(SUM(syl) AS BIGINT) AS ssyl,
+        |         CAST(SUM(flesch_milli) AS BIGINT) AS sf,
+        |         CAST(SUM(CASE WHEN flesch_milli < 50000 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS hard
+        |  FROM f GROUP BY 1)
+        |SELECT source, n_docs,
+        |       CAST(sf // n_docs AS BIGINT) AS mean_flesch_milli,
+        |       CAST((1000 * sw) // ss AS BIGINT) AS wps_milli,
+        |       CAST((1000 * ssyl) // sw AS BIGINT) AS spw_milli,
+        |       CASE WHEN n_docs = 0 THEN 0
+        |            ELSE CAST(FLOOR(10000.0 * hard / n_docs) AS BIGINT)
+        |       END AS p_hard_bp
+        |FROM g ORDER BY source""".stripMargin,
+
+    // add-1 bigram LM scored against itself: bits =
+    // ⌊log₂((c1+V)/(c2+1))⌋ via the bitlen identity; bigrams by the
+    // q86 double-unnest pos join; model tables derived from the
+    // (doc, bigram, cnt) partials exactly like the Spark plan
+    "q285_bigram_perplexity" ->
+      s"""WITH live AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS t
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+         |tok AS (
+         |  SELECT doc_id, source, unnest(t) AS token,
+         |         unnest(range(1, len(t) + 1)) AS pos
+         |  FROM live),
+         |docbi AS (
+         |  SELECT a.doc_id, a.source, a.token AS w1, b.token AS w2,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2, 3, 4),
+         |c2 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2
+         |       FROM docbi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY 1),
+         |vv AS (
+         |  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+         |  FROM (SELECT unnest(t) AS token FROM live)),
+         |scored AS (
+         |  SELECT d.doc_id, d.source, d.cnt,
+         |         CAST(${flog2rSql("c1.c1 + vv.v", "c2.c2 + 1")} AS BIGINT)
+         |           AS bits
+         |  FROM docbi d
+         |  JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
+         |  JOIN c1 ON c1.w1 = d.w1, vv),
+         |perdoc AS (
+         |  SELECT doc_id, source, CAST(SUM(cnt) AS BIGINT) AS nb,
+         |         CAST(SUM(cnt * bits) AS BIGINT) AS sb
+         |  FROM scored GROUP BY 1, 2),
+         |m AS (
+         |  SELECT CAST((1000 * SUM(sb)) // SUM(nb) AS BIGINT)
+         |    AS corpus_mean_milli
+         |  FROM perdoc),
+         |pd AS (
+         |  SELECT *, CAST((1000 * sb) // nb AS BIGINT) AS bpt_milli
+         |  FROM perdoc),
+         |g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(sb) AS BIGINT) AS sbits,
+         |         CAST(MIN(m.corpus_mean_milli) AS BIGINT)
+         |           AS corpus_mean_milli,
+         |         CAST(SUM(CASE WHEN 100 * bpt_milli >
+         |             105 * m.corpus_mean_milli THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS flagged
+         |  FROM pd, m GROUP BY 1)
+         |SELECT source, n_docs, n_bigrams,
+         |       CAST((1000 * sbits) // n_bigrams AS BIGINT)
+         |         AS bits_per_token_milli,
+         |       corpus_mean_milli, flagged,
+         |       CASE WHEN n_docs = 0 THEN 0
+         |            ELSE CAST(FLOOR(10000.0 * flagged / n_docs) AS BIGINT)
+         |       END AS flagged_bp
+         |FROM g ORDER BY source""".stripMargin,
+
+    // HUGEINT twin of the decimal(38,0) moment arithmetic; ×1000
+    // fixed point, per-dim sums via the q86 parallel-unnest, the
+    // projection re-joins the d-row S table at position grain
+    "q286_anisotropy" -> {
+      val d = Queries.AnisotropyDim
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))
+         |           AS q
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = $d),
+         |pos AS (
+         |  SELECT vec_id, unnest(q) AS v,
+         |         unnest(range(1, len(q) + 1)) AS i
+         |  FROM e),
+         |dims AS (
+         |  SELECT i, CAST(SUM(v) AS HUGEINT) AS s,
+         |         CAST(SUM(v * v) AS HUGEINT) AS ss
+         |  FROM pos GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e),
+         |st AS (
+         |  SELECT CAST(SUM(nn.n * ss - s * s) AS HUGEINT) AS bprime,
+         |         CAST(SUM(s * s) AS HUGEINT) AS s2
+         |  FROM dims, nn),
+         |pr AS (
+         |  SELECT pos.vec_id,
+         |         CAST(SUM(CAST(pos.v AS HUGEINT) * dims.s) AS HUGEINT) AS p
+         |  FROM pos JOIN dims ON dims.i = pos.i
+         |  GROUP BY 1),
+         |ag AS (
+         |  SELECT CAST(SUM(p) AS HUGEINT) AS sp,
+         |         CAST(SUM(p * p) AS HUGEINT) AS spp
+         |  FROM pr),
+         |fin AS (
+         |  SELECT CAST(nn.n AS BIGINT) AS n_vecs,
+         |         CAST($d AS INT) AS n_dims,
+         |         CASE WHEN st.s2 = 0 OR st.bprime = 0 THEN NULL
+         |              ELSE CAST((10000 * (nn.n * ag.spp - ag.sp * ag.sp))
+         |                // (st.s2 * st.bprime) AS BIGINT)
+         |         END AS var_explained_bp,
+         |         CAST(${10000L / d} AS BIGINT) AS isotropy_bp
+         |  FROM nn, st, ag)
+         |SELECT *,
+         |       CASE WHEN var_explained_bp IS NULL THEN NULL
+         |            ELSE CAST((1000 * var_explained_bp) // isotropy_bp
+         |              AS BIGINT)
+         |       END AS excess_milli
+         |FROM fin""".stripMargin
+    },
+
+    // q272's dyadic kernel twice over a DENSE generate_series spine;
+    // F(t+1) = 3·S1 − 2·S2 clamped at 0, scored against lead(cents)
+    "q287_brown_forecast" -> {
+      val w = Queries.EwmaWindowDays
+      val denom = (1L << w) - 1L
+      def ker(src: String, v: String, out: String) =
+        s"""  SELECT a.daynum,
+           |         CAST(SUM(b.$v * (CAST(1 AS BIGINT) <<
+           |           CAST(${w - 1} - (a.daynum - b.daynum) AS INT)))
+           |           // $denom AS BIGINT) AS $out
+           |  FROM $src a JOIN $src b
+           |    ON b.daynum BETWEEN a.daynum - ${w - 1} AND a.daynum
+           |  GROUP BY 1""".stripMargin
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |sp AS (
+         |  SELECT unnest(generate_series((SELECT MIN(daynum) FROM d),
+         |           (SELECT MAX(daynum) FROM d))) AS daynum),
+         |dense AS (
+         |  SELECT sp.daynum, COALESCE(d.cents, 0) AS cents
+         |  FROM sp LEFT JOIN d USING (daynum)),
+         |s1 AS (
+         |${ker("dense", "cents", "s1_cents")}),
+         |s2 AS (
+         |${ker("s1", "s1_cents", "s2_cents")}),
+         |f AS (
+         |  SELECT dense.daynum, dense.cents, s1.s1_cents, s2.s2_cents,
+         |         greatest(3 * s1.s1_cents - 2 * s2.s2_cents, 0)
+         |           AS forecast_next_cents,
+         |         lead(dense.cents) OVER (ORDER BY dense.daynum)
+         |           AS next_cents
+         |  FROM dense JOIN s1 USING (daynum) JOIN s2 USING (daynum))
+         |SELECT strftime(DATE '1970-01-01' + CAST(daynum AS INT),
+         |         '%Y-%m-%d') AS day,
+         |       cents, s1_cents, s2_cents, forecast_next_cents, next_cents,
+         |       CASE WHEN next_cents IS NOT NULL
+         |            THEN abs(forecast_next_cents - next_cents)
+         |       END AS abs_err_cents,
+         |       CASE WHEN next_cents > 0
+         |            THEN CAST(FLOOR(10000.0 *
+         |              abs(forecast_next_cents - next_cents) / next_cents)
+         |              AS BIGINT)
+         |       END AS ape_bp
+         |FROM f ORDER BY 1""".stripMargin
+    },
+
+    // exact nested isqrt (IEEE seed, ±2 correction — the
+    // StratifiedExtract convention) for w = ⌊√(c·⌊√c⌋)⌋; head by
+    // QUALIFY, tail rolled into the <REST> row so Σppm is total
+    "q288_negative_sampling" -> {
+      val k = Queries.NegSampleK
+      s"""WITH cnts AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+         |        FROM documents WHERE text IS NOT NULL)
+         |  GROUP BY 1),
+         |u1 AS (SELECT token, cnt,
+         |         CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS y0
+         |       FROM cnts),
+         |u2 AS (SELECT token, cnt,
+         |         CASE WHEN (y0+2)*(y0+2) <= cnt THEN y0+2
+         |              WHEN (y0+1)*(y0+1) <= cnt THEN y0+1
+         |              ELSE y0 END AS yu
+         |       FROM u1),
+         |u3 AS (SELECT token, cnt,
+         |         CASE WHEN yu*yu <= cnt THEN yu
+         |              WHEN (yu-1)*(yu-1) <= cnt THEN yu-1
+         |              ELSE yu-2 END AS r1
+         |       FROM u2),
+         |v1 AS (SELECT token, cnt, cnt * r1 AS m,
+         |         CAST(floor(sqrt(CAST(cnt * r1 AS DOUBLE))) AS BIGINT) AS z0
+         |       FROM u3),
+         |v2 AS (SELECT token, cnt, m,
+         |         CASE WHEN (z0+2)*(z0+2) <= m THEN z0+2
+         |              WHEN (z0+1)*(z0+1) <= m THEN z0+1
+         |              ELSE z0 END AS zu
+         |       FROM v1),
+         |w AS (SELECT token, cnt,
+         |        CASE WHEN zu*zu <= m THEN zu
+         |             WHEN (zu-1)*(zu-1) <= m THEN zu-1
+         |             ELSE zu-2 END AS w34
+         |      FROM v2),
+         |head AS (
+         |  SELECT token, cnt, w34,
+         |         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+         |  FROM w QUALIFY rank <= $k),
+         |rest AS (
+         |  SELECT '<REST>' AS token,
+         |         CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS cnt,
+         |         CAST(COALESCE(SUM(w34), 0) AS BIGINT) AS w34,
+         |         (SELECT COUNT(*) FROM head) + 1 AS rank
+         |  FROM w WHERE token NOT IN (SELECT token FROM head)),
+         |allr AS (SELECT * FROM head UNION ALL SELECT * FROM rest),
+         |t AS (SELECT CAST(SUM(w34) AS BIGINT) AS tot FROM allr),
+         |p AS (SELECT allr.*, CAST((1000000 * w34) // t.tot AS BIGINT)
+         |        AS sample_ppm
+         |      FROM allr, t)
+         |SELECT CAST(rank AS INT) AS rank, token, cnt, w34, sample_ppm,
+         |       CAST(SUM(sample_ppm) OVER (ORDER BY rank) AS BIGINT)
+         |         AS cum_ppm
+         |FROM p ORDER BY rank""".stripMargin
     }
   )
 

@@ -370,4 +370,62 @@ object Experiment {
           .otherwise((col("chi2_bp") >= ChiSqCrit1DfBp).cast("int"))
           .as("significant"))
   }
+
+  /** Difference-in-differences panel — the observational-causal
+    * estimator for a rollout that hit one REGION at a date the other
+    * region never saw (pricing change, carrier switch, UI launch):
+    * did = (treat_post − treat_pre) − (ctrl_post − ctrl_pre) on mean
+    * order value. The control group's delta absorbs the common time
+    * trend; what survives the double difference is the treatment
+    * effect — VALID ONLY under parallel pre-trends, which is the
+    * analyst's check, not the estimator's (the per-group means are in
+    * the output exactly so that check can be eyeballed). Means are
+    * floor-divided house cents; `did_cents` is carried on both rows.
+    *
+    * Scale shape: the customer dim collapses to (custkey, grp) before
+    * the fact join (nation/region broadcast into it); ONE fact pass
+    * lands on group grain (2 rows, 4 conditional sums), and every
+    * estimator subtraction runs on that 2-row frame. The 1-row `did`
+    * summary re-enters via broadcast — the house scalar pattern. */
+  def diffInDiff(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame, treated: String = "ASIA",
+      control: String = "AMERICA", cutoff: String = "1998-01-01"): DataFrame = {
+    val dim = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin(treated, control))
+      .select(col("c_custkey"),
+        when(col("r_name") === treated, lit("TREAT"))
+          .otherwise(lit("CTRL")).as("grp"))
+    val g = orders
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"),
+        (to_date(col("o_orderdate")) >= lit(cutoff).cast("date"))
+          .cast("long").as("post"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(lit(1L) - col("post")).as("n_pre"),
+        sum(col("post")).as("n_post"),
+        sum(when(col("post") === 0L, col("cents")).otherwise(0L))
+          .as("__c_pre"),
+        sum(when(col("post") === 1L, col("cents")).otherwise(0L))
+          .as("__c_post"))
+      .withColumn("mean_pre_cents",
+        when(col("n_pre") > 0L, expr("__c_pre DIV n_pre")))
+      .withColumn("mean_post_cents",
+        when(col("n_post") > 0L, expr("__c_post DIV n_post")))
+      .withColumn("delta_cents",
+        col("mean_post_cents") - col("mean_pre_cents"))
+    val did = g.agg(
+      (sum(when(col("grp") === "TREAT", col("delta_cents")))
+        - sum(when(col("grp") === "CTRL", col("delta_cents"))))
+        .as("did_cents"))
+    g.crossJoin(broadcast(did))
+      .select(col("grp"), col("n_pre"), col("n_post"),
+        col("mean_pre_cents"), col("mean_post_cents"), col("delta_cents"),
+        col("did_cents"))
+      .orderBy(col("grp").asc)
+  }
 }

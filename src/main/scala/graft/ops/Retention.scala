@@ -1494,4 +1494,152 @@ object Retention {
         (col("vmr_bp") > 10000L).cast("int").as("overdispersed"))
       .orderBy(col("event_type").asc)
   }
+
+  /** Brown double-exponential-smoothing forecast backtest — the
+    * trend-aware upgrade of [[ewmaRevenue]]: a single EWMA lags any
+    * trending series by design; Brown's method (Brown '59) smooths
+    * the smoother (S2 = EWMA of S1) and extrapolates
+    * F(t+1) = 3·S1 − 2·S2 (level 2S1−S2 plus one step of slope
+    * S1−S2, the α/(1−α)=1 form at the dyadic α=½). Both passes use
+    * the q272 truncated dyadic kernel (lag ℓ weighs 2^(W−1−ℓ), mass
+    * 2^W−1) so the whole walk is BIGINT-exact cross-engine.
+    *
+    * The panel is DENSE — a calendar spine from the observed min to
+    * max day, dark days carrying true zero revenue — because S2
+    * reads S1 on EVERY day in its window; an observed-days-only S2
+    * would silently skip spine positions and the two engines would
+    * only agree by luck. Forecasts clamp at 0 (a dyadic slope can
+    * extrapolate a collapsing series below zero; revenue can't go
+    * there). `next_cents`/error columns are NULL on the last day —
+    * nothing to score against. First 2W−2 days carry the standard
+    * zero-init warm-up bias, a property of the method.
+    *
+    * Scale shape: one fact pass to day grain; the spine, both
+    * fan-forward ×W explodes, the 1-step lead, and every error
+    * column live at calendar-day grain — metadata no matter the
+    * fact volume. */
+  def brownForecast(orders: DataFrame, windowDays: Int = 16): DataFrame = {
+    require(windowDays >= 2 && windowDays <= 32, "windowDays in [2,32]")
+    val w = windowDays.toLong
+    val denom = (1L << windowDays) - 1L
+    // the day panel is referenced by the spine, the dense join, and
+    // (through s1c) both smoothing passes — persist it so the FACT
+    // table is scanned once, not once per lineage branch
+    // (package.scala cache-ownership convention: caller owns it)
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+      .persist()
+    val spine = day
+      .agg(min(col("daynum")).as("mn"), max(col("daynum")).as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("daynum"))
+    val dense = spine.join(day, Seq("daynum"), "left")
+      .select(col("daynum"), coalesce(col("cents"), lit(0L)).as("cents"))
+      .persist()
+    def smooth(src: DataFrame, valueCol: String, out: String): DataFrame =
+      src
+        .select(col("daynum").as("src"), col(valueCol).as("v"),
+          explode(sequence(col("daynum"), col("daynum") + lit(w - 1L)))
+            .as("daynum"))
+        .withColumn("wv", col("v") * expr(
+          s"shiftleft(CAST(1 AS BIGINT), CAST(${w - 1L} - (daynum - src) AS INT))"))
+        .groupBy(col("daynum"))
+        .agg(expr(s"CAST(sum(wv) DIV $denom AS BIGINT)").as(out))
+    val s1 = smooth(dense, "cents", "s1_cents")
+    // the ×W fan-out runs past the spine edge; clip both passes back
+    val s1c = dense.join(s1, Seq("daynum")).select(col("daynum"),
+      col("cents"), col("s1_cents"))
+    val s2 = smooth(s1c, "s1_cents", "s2_cents")
+    val wDay = Window.orderBy(col("daynum"))
+    s1c.join(s2, Seq("daynum"))
+      .withColumn("forecast_next_cents",
+        greatest(lit(3L) * col("s1_cents") - lit(2L) * col("s2_cents"),
+          lit(0L)))
+      .withColumn("next_cents", lead(col("cents"), 1).over(wDay))
+      .select(
+        date_format(expr("date_add('1970-01-01', CAST(daynum AS INT))"),
+          "yyyy-MM-dd").as("day"),
+        col("cents"), col("s1_cents"), col("s2_cents"),
+        col("forecast_next_cents"), col("next_cents"),
+        when(col("next_cents").isNotNull,
+          abs(col("forecast_next_cents") - col("next_cents")))
+          .as("abs_err_cents"),
+        when(col("next_cents") > 0L,
+          floor(lit(10000.0) *
+            abs(col("forecast_next_cents") - col("next_cents")) /
+            col("next_cents")).cast("long")).as("ape_bp"))
+      .orderBy(col("day").asc)
+  }
+
+  /** Rolling multi-window active users from MERGEABLE day sketches —
+    * the "build partials once, serve every window" pattern that is
+    * the only affordable shape for rolling distincts at 100 TB. One
+    * fact shuffle builds a per-day Datasketches HLL of user ids
+    * (`hll_sketch_agg`, fixed-size state, map-side mergeable); each
+    * day's SKETCH then fans forward to the ≤maxW report days it
+    * reaches (day-grain metadata — a few KB per row — never the
+    * (user, day) pairs [[activeUsers]] explodes), and one
+    * `hll_union_agg` per window length reads the same fan-out. Adding
+    * a window length is a new conditional union over the SAME
+    * partials, not a new fact pass; daily refresh is one new day
+    * sketch + re-union of ≤maxW cached rows — the incremental path no
+    * exact formulation has.
+    *
+    * Output carries EXACT twins (q37/q258 machinery: the cross-engine
+    * oracle checks the exact columns; sketch drift past `maxErrBp`
+    * flips a verdict bit and the row hash-mismatches). The exact
+    * branch's ×maxW (user, day) explode and 3-way conditional
+    * distinct (one Expand) exist FOR the gate — at production scale
+    * run the sketch branch alone.
+    *
+    * Window semantics match q258: report day d covers source days
+    * (d-W, d], report days bounded to observed days. */
+  def rollingUsersSketch(events: DataFrame, windows: Seq[Int] = Seq(7, 14, 28),
+      lgK: Int = 12, maxErrBp: Long = 500L): DataFrame = {
+    require(windows.nonEmpty && windows == windows.sorted &&
+      windows.forall(_ >= 1), "windows ascending, >= 1")
+    val maxW = windows.max
+    // ud feeds the exact fan-out, the sketch build, and the dau
+    // panel; daySk feeds the report-day spine, the sketch fan-out,
+    // and the output join — persist both (user-day / day grain, the
+    // package.scala caller-owns-cache convention) so the fact table
+    // is scanned exactly once
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct().persist()
+    val daySk = ud.groupBy(col("d"))
+      .agg(count(lit(1)).as("dau"),
+        expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
+      .persist()
+    val days = daySk.select(col("d").as("report_d"))
+    val fanTo = (src: DataFrame) => src
+      .withColumn("report_d",
+        explode(expr(s"sequence(d, date_add(d, ${maxW - 1}))")))
+      .join(days, Seq("report_d"), "left_semi")
+      .withColumn("lag", datediff(col("report_d"), col("d")))
+    val exact = fanTo(ud).groupBy(col("report_d"))
+      .agg(
+        countDistinct(when(col("lag") < windows.head, col("user_id")))
+          .as(s"wau${windows.head}"),
+        windows.tail.map(w =>
+          countDistinct(when(col("lag") < w, col("user_id"))).as(s"wau$w")): _*)
+    val est = fanTo(daySk.select(col("d"), col("sk"))).groupBy(col("report_d"))
+      .agg(
+        expr(s"hll_sketch_estimate(hll_union_agg(" +
+          s"CASE WHEN lag < ${windows.head} THEN sk END))")
+          .as(s"__est${windows.head}"),
+        windows.tail.map(w =>
+          expr(s"hll_sketch_estimate(hll_union_agg(" +
+            s"CASE WHEN lag < $w THEN sk END))").as(s"__est$w")): _*)
+    val verdicts = windows.map(w =>
+      (abs(col(s"__est$w") - col(s"wau$w")) * lit(10000L) <=
+        col(s"wau$w") * lit(maxErrBp)).cast("int").as(s"sk${w}_ok"))
+    daySk.select(col("d").as("report_d"), col("dau"))
+      .join(exact, "report_d").join(est, "report_d")
+      .select(Seq(date_format(col("report_d"), "yyyy-MM-dd").as("report_date"),
+        col("dau")) ++ windows.map(w => col(s"wau$w")) ++ verdicts: _*)
+      .orderBy(col("report_date").asc)
+  }
 }

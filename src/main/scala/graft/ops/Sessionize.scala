@@ -282,4 +282,52 @@ object Sessionize {
         floor(lit(10000.0) * col("conversions") /
           sum(col("conversions")).over(byModel)).cast("long"))
   }
+
+  /** Session-timeout sensitivity sweep — the calibration table run
+    * BEFORE anyone hardcodes a 30-minute gap: for each candidate
+    * timeout T, the session count the corpus would produce, in ONE
+    * pass. The identity that makes it one pass: sessions(T) =
+    * active_users + |gaps > T| (every user starts one session; each
+    * super-threshold gap starts another), so a single per-user lag
+    * walk yields the gap multiset and every candidate is a
+    * conditional count over it — the naive sweep re-sessionizes the
+    * corpus per T. The plateau in `n_sessions` as T grows is where
+    * the timeout stops mattering; `events_per_session_milli` is the
+    * matching density read.
+    *
+    * Scale shape: one (user)-keyed sort window over the fact table
+    * (the same shuffle [[assignSessions]] pays ONCE), collapsing
+    * map-side to the ≤|timeouts|-row sweep via conditional sums; the
+    * candidate list is compile-time metadata. */
+  def timeoutSweep(events: DataFrame,
+      timeouts: Seq[Long] = Seq(300L, 600L, 1800L, 3600L, 7200L)): DataFrame = {
+    require(timeouts.nonEmpty && timeouts == timeouts.sorted,
+      "timeouts ascending")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .filter(col("ts").isNotNull)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(byUser))
+    // n_users = null-gap count (each user's FIRST event has no lag),
+    // so the whole sweep is plain conditional sums — no mixed
+    // distinct aggregate, no Expand. Gap compare in µs, the
+    // assignSessions convention.
+    val aggs = Seq(
+      count(lit(1)).as("n_events"),
+      sum(when(col("gap_us").isNull, 1L).otherwise(0L)).as("n_users")) ++
+      timeouts.map(t =>
+        sum(when(col("gap_us") > t * 1000000L, 1L).otherwise(0L))
+          .as(s"__x$t"))
+    val tot = gaps.agg(aggs.head, aggs.tail: _*)
+    tot.select(explode(array(timeouts.map(t =>
+        struct(lit(t).as("timeout_s"),
+          (col("n_users") + col(s"__x$t")).as("n_sessions"),
+          col("n_events").as("n_events"))): _*)).as("r"))
+      .select(col("r.timeout_s"), col("r.n_sessions"), col("r.n_events"))
+      .withColumn("events_per_session_milli",
+        expr("(1000 * n_events) DIV n_sessions"))
+      .orderBy(col("timeout_s").asc)
+  }
 }

@@ -606,4 +606,67 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("label"), col("vec_id"), col("dist"), col("rank"))
   }
+
+  /** Embedding-space anisotropy audit — the share of total variance
+    * lying along the MEAN direction, the one-number read on the
+    * "narrow cone" pathology (Ethayarajh '19): healthy isotropic
+    * spaces sit near the 1/d baseline; collapsed spaces (bad
+    * pooling, over-trained encoders) concentrate variance along μ
+    * and every cosine saturates — ANN recall and near-dup thresholds
+    * silently degrade. The mean direction is the closed-form probe
+    * (no iterative eigensolver, no libm): var_explained =
+    * Var(x·S) / (|S|²·ΣᵢVar(xᵢ)) with S the per-dim sum vector, all
+    * in exact integer arithmetic on ×`quant` fixed-point components —
+    * a LOWER bound on the top eigenvalue share, which is exactly the
+    * alarm direction (high = definitely collapsed).
+    *
+    * Scale shape: one posexplode pass to dim grain (d-bounded rows),
+    * the d-row S vector re-enters as a broadcast ARRAY scalar, and
+    * the projection pass is one zip_with map + 1-row aggregate —
+    * two corpus scans, zero joins at fact grain. decimal(38,0)
+    * cross-products bound n: at quant 10³ the Σp² term stays inside
+    * 38 digits to n ≈ 7×10⁵ vectors — run the audit on a sample at
+    * corpus scale (it estimates a RATIO; a fixed 10⁵-row hash sample
+    * is the production shape) or drop quant a decade per 100× rows. */
+  def anisotropy(emb: DataFrame, dim: Int = 64, quant: Long = 1000L): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val e = emb
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(expr(s"transform(embedding, x -> " +
+        s"CAST(FLOOR(CAST(x AS DOUBLE) * $quant.0) AS BIGINT))").as("q"))
+    // d rows; read by both the moment stats and the S-vector collect
+    // (caller-owns-cache convention)
+    val dims = e
+      .select(posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(sum(col("v")).as("s"), sum(col("v") * col("v")).as("ss"))
+      .persist()
+    val nRow = e.agg(count(lit(1)).as("n"))
+    val stats = dims.crossJoin(broadcast(nRow)).agg(
+      sum(dec(col("n")) * dec(col("ss")) - dec(col("s")) * dec(col("s")))
+        .as("bprime"),
+      sum(dec(col("s")) * dec(col("s"))).as("s2"))
+    val sArr = dims
+      .agg(sort_array(collect_list(struct(col("i"), col("s")))).as("a"))
+      .select(expr("transform(a, x -> x.s)").as("sv"))
+    val proj = e.crossJoin(broadcast(sArr))
+      .select(expr("aggregate(zip_with(q, sv, (a, b) -> a * b), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("p"))
+      .agg(count(lit(1)).as("__n2"),
+        sum(dec(col("p"))).as("sp"),
+        sum(dec(col("p")) * dec(col("p"))).as("spp"))
+    nRow.crossJoin(broadcast(stats)).crossJoin(broadcast(proj))
+      .withColumn("__a",
+        dec(col("n")) * col("spp") - col("sp") * col("sp"))
+      .select(col("n").as("n_vecs"), lit(dim).as("n_dims"),
+        when(col("s2") === dec(lit(0L)) || col("bprime") === dec(lit(0L)),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(10000 AS DECIMAL(38,0)) * __a)" +
+              " DIV (s2 * bprime) AS BIGINT)")).as("var_explained_bp"),
+        lit(10000L / dim).as("isotropy_bp"))
+      .withColumn("excess_milli",
+        when(col("var_explained_bp").isNull, lit(null).cast("long"))
+          .otherwise(expr("(1000 * var_explained_bp) DIV isotropy_bp")))
+  }
 }

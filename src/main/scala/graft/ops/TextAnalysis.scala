@@ -774,4 +774,122 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("quality_ok")).as("n_quality_ok"))
       .withColumn("quality_ok_bp",
         floor(lit(10000.0) * col("n_quality_ok") / col("n_docs")).cast("long"))
+
+  /** Bigram-LM cross-entropy filter — the add-one-smoothed 2-gram
+    * twin of [[surprisal]]'s unigram gate, the integer-exact stand-in
+    * for CCNet/KenLM perplexity filtering AT THE MODEL ORDER the real
+    * pipelines use: fluent text is predictable from its left token;
+    * shuffled/garbage/boilerplate-stitched text is not, even when its
+    * unigram profile looks normal. Per bigram: bits =
+    * ⌊log₂((c(w₁)+V) / (c(w₁w₂)+1))⌋ (`flog2Ratio`, no libm) — the
+    * corpus scores against ITSELF, the standard self-perplexity
+    * audit. A doc flags when its bits/token exceeds `flagRatioPct`%
+    * of the corpus mean.
+    *
+    * Scale shape: bigrams collapse to (doc, bigram, count) grain
+    * map-side BEFORE any join; the model tables derive from those
+    * partials (c₂ = one more aggregate, c₁ = an aggregate OF c₂ —
+    * the fact stream is never re-scanned), and scoring is two
+    * bigram-keyed shuffle joins (model tables are vocab²-bounded,
+    * too big to broadcast by design) + one doc-grain aggregate.
+    * Vocab size V is a broadcast 1-row scalar, as is the corpus
+    * mean the flag compares against. */
+  def bigramPerplexity(docs: DataFrame, flagRatioPct: Long = 105L): DataFrame = {
+    val live = docs.filter(col("text").isNotNull)
+      .withColumn("__t", expr(TokensExpr))
+      .filter(size(col("__t")) >= 2)
+    // docBi feeds the c2 model build, the c1 build (via c2), and the
+    // scoring join — persist it (doc×distinct-bigram grain, the
+    // package.scala caller-owns-cache convention) so the corpus is
+    // tokenized once, not once per model table
+    val docBi = live
+      .select(col("doc_id"), col("source"), explode(expr(
+        """zip_with(slice(__t, 1, size(__t) - 1),
+          |         slice(__t, 2, size(__t) - 1),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("b"))
+      .groupBy(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val c2 = docBi.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = live.select(explode(col("__t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val perDoc = docBi
+      .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits", TrainingPrep.flog2Ratio(
+        col("c1") + col("v"), col("c2") + lit(1L)).cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("nb"),
+        sum(col("cnt") * col("bits")).as("sb"))
+      .withColumn("bpt_milli", expr("(1000 * sb) DIV nb"))
+      .persist() // read by the corpus mean AND the per-source rollup
+    val mean = perDoc.agg(
+      expr("(1000 * SUM(sb)) DIV SUM(nb)").as("corpus_mean_milli"))
+    perDoc.crossJoin(broadcast(mean))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("n_bigrams"),
+        sum(col("sb")).as("__sb"),
+        first(col("corpus_mean_milli")).as("corpus_mean_milli"),
+        sum(when(col("bpt_milli") * lit(100L) >
+          col("corpus_mean_milli") * lit(flagRatioPct), 1L).otherwise(0L))
+          .as("flagged"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        expr("(1000 * __sb) DIV n_bigrams").as("bits_per_token_milli"),
+        col("corpus_mean_milli"),
+        col("flagged"),
+        shareBp(col("flagged"), col("n_docs")).as("flagged_bp"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Per-source readability panel — a Flesch-reading-ease proxy in
+    * exact integer milli-units (Flesch '48: 206.835 − 1.015·w/s −
+    * 84.6·syll/w), the classic complexity prior a curriculum or
+    * audience filter sorts on. Syllables are VOWEL-GROUP RUNS
+    * ([aeiouy]+, floored at one per word — the standard dictionary-
+    * free proxy; for vowel-free scripts the floor makes the score a
+    * pure words-per-sentence read, stated not hidden). Sentences are
+    * [.!?]+ runs, min 1. Each term floor-divides separately (bit-
+    * identical cross-engine; the ≤2-milli truncation skew is noise at
+    * the 10-point grade-band grain this feeds).
+    *
+    * Run counting rides the q122 subtraction trick twice:
+    * length(replace(run, '#')) − length(replace(run, '')) = number of
+    * runs, no engine-specific split semantics.
+    *
+    * Scale shape: a pure codegen map stage (three regex passes per
+    * doc) straight into a bounded source-grain aggregate; doc-grain
+    * scores never shuffle (sums travel). */
+  def readability(docs: DataFrame, hardBelowMilli: Long = 50000L): DataFrame = {
+    def runs(c: Column, cls: String) =
+      (length(regexp_replace(c, cls, "#")) -
+        length(regexp_replace(c, cls, ""))).cast("long")
+    docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        greatest(runs(col("text"), "[.!?]+"), lit(1L)).as("s"),
+        runs(lower(col("text")), "[aeiouy]+").as("vr"))
+      .withColumn("syl", greatest(col("vr"), col("w")))
+      // clamped at 0 (the conventional scale floor) — also keeps
+      // every later integer division on nonnegative operands, where
+      // Spark DIV and DuckDB // agree
+      .withColumn("flesch_milli",
+        greatest(lit(206835L) - expr("(1015 * w) DIV s") -
+          expr("(84600 * syl) DIV w"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("__w"), sum(col("s")).as("__s"),
+        sum(col("syl")).as("__syl"), sum(col("flesch_milli")).as("__f"),
+        sum(when(col("flesch_milli") < hardBelowMilli, 1L).otherwise(0L))
+          .as("__hard"))
+      .select(col("source"), col("n_docs"),
+        expr("__f DIV n_docs").as("mean_flesch_milli"),
+        expr("(1000 * __w) DIV __s").as("wps_milli"),
+        expr("(1000 * __syl) DIV __w").as("spw_milli"),
+        shareBp(col("__hard"), col("n_docs")).as("p_hard_bp"))
+      .orderBy(col("source").asc)
+  }
 }

@@ -938,4 +938,65 @@ object TrainingPrep {
           (lit(2.0) * col("__n"))).cast("long").as("pct_bp"))
       .orderBy(col("event_type").asc, col("cents").asc)
   }
+
+  /** Exact ⌊√c⌋ for nonnegative BIGINT columns: IEEE sqrt seed, then
+    * a ±2 integer correction (the StratifiedExtract convention,
+    * here in plain BIGINT — exact while c ≲ 2^62 so the squared
+    * candidates stay in range). */
+  private[graft] def isqrtCol(c: Column): Column = {
+    val y0 = floor(sqrt(c.cast("double"))).cast("long")
+    val yu = when((y0 + 2) * (y0 + 2) <= c, y0 + 2)
+      .when((y0 + 1) * (y0 + 1) <= c, y0 + 1).otherwise(y0)
+    when(yu * yu <= c, yu)
+      .when((yu - 1) * (yu - 1) <= c, yu - 1).otherwise(yu - 2)
+  }
+
+  /** Word2vec negative-sampling table — the unigram^¾ distribution
+    * (Mikolov '13) every skip-gram/contrastive trainer draws noise
+    * words from, as a K+1-row inverse-CDF spec: top-K tokens with
+    * exact integer weights w = ⌊√(c·⌊√c⌋)⌋ (the deterministic ¾-power
+    * — two nested integer sqrts, no libm pow, no float engine drift)
+    * and one `<REST>` rollup row carrying the ENTIRE tail's weight
+    * mass, so Σ sample_ppm covers the whole vocabulary and a sampler
+    * binary-searching `cum_ppm` is correct, not just head-correct.
+    * The ¾ exponent is the whole point: raw unigram over-draws
+    * stopwords, uniform over-draws garbage; ¾ is the published
+    * middle ground.
+    *
+    * Scale shape: one tokenize pass map-side-combines to vocab
+    * grain; weights are per-row scalar integer ops at vocab grain;
+    * the head is a TakeOrdered K, the tail collapses via one
+    * broadcast anti-join + aggregate; ranks/cumsums run on K+1 rows.
+    * Weight arithmetic stays in BIGINT while c ≲ 4×10¹² (c^1.5 must
+    * fit); shard the vocab count or pre-divide counts past that. */
+  def negativeSampling(docs: DataFrame, topK: Int = 64): DataFrame = {
+    // vocab grain; read by the head TakeOrdered and the tail rollup
+    // (caller-owns-cache convention)
+    val cnts = docs.filter(col("text").isNotNull)
+      .select(explode(expr(TextAnalysis.TokensExpr)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w34", isqrtCol(col("cnt") * isqrtCol(col("cnt"))))
+      .persist()
+    val head = cnts
+      .orderBy(col("cnt").desc, col("token").asc).limit(topK)
+    val rest = cnts
+      .join(broadcast(head.select(col("token"))), Seq("token"), "left_anti")
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"),
+        coalesce(sum(col("w34")), lit(0L)).as("w34"))
+      .select(lit("<REST>").as("token"), col("cnt"), col("w34"))
+    val wRank = Window.orderBy(col("__last").asc, col("cnt").desc,
+      col("token").asc)
+    val ranked = head.withColumn("__last", lit(0))
+      .unionByName(rest.withColumn("__last", lit(1)))
+      .withColumn("rank", row_number().over(wRank))
+    val total = ranked.agg(sum(col("w34")).as("__tot"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("sample_ppm", expr("(1000000 * w34) DIV __tot"))
+      .withColumn("cum_ppm",
+        sum(col("sample_ppm")).over(wRank.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("token"), col("cnt"), col("w34"),
+        col("sample_ppm"), col("cum_ppm"))
+      .orderBy(col("rank").asc)
+  }
 }

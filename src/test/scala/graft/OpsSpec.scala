@@ -1987,4 +1987,146 @@ class OpsSpec extends SparkSpec {
     // miss; 50->60 uncovered
     assert(out == ((3L, 2L, 1L, 3333L, 5000L)))
   }
+
+  test("rollingUsersSketch: exact multi-window waus; sketch verdicts pass at tiny cardinality") {
+    val s2 = spark
+    import s2.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 10:00:00"),
+      (2L, "2024-01-01 11:00:00"), (3L, "2024-01-03 09:00:00")
+    ).toDF("user_id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Retention.rollingUsersSketch(events, Seq(2, 3))
+      .as[(String, Long, Long, Long, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      // d1: dau {1,2}; wau2 = wau3 = {1,2}
+      ("2024-01-01", 2L, 2L, 2L, 1, 1),
+      // d2: dau {1}; 2-day {1,2}; 3-day {1,2}
+      ("2024-01-02", 1L, 2L, 2L, 1, 1),
+      // d3: dau {3}; 2-day {1,3} (d2,d3); 3-day {1,2,3}
+      ("2024-01-03", 1L, 2L, 3L, 1, 1)))
+  }
+
+  test("diffInDiff: control delta absorbs the trend; did carried on both rows") {
+    val s2 = spark
+    import s2.implicits._
+    val region = Seq((0L, "ASIA"), (1L, "AMERICA"), (2L, "EUROPE"))
+      .toDF("r_regionkey", "r_name")
+    val nation = Seq((10L, 0L), (11L, 1L), (12L, 2L))
+      .toDF("n_nationkey", "n_regionkey")
+    val customer = Seq((1L, 10L), (2L, 11L), (3L, 12L))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (1L, "1997-05-01", 100.0), (1L, "1997-06-01", 200.0), // treat pre
+      (1L, "1998-05-01", 400.0),                            // treat post
+      (2L, "1997-05-01", 100.0),                            // ctrl pre
+      (2L, "1998-05-01", 150.0),                            // ctrl post
+      (3L, "1997-05-01", 999.0)                             // excluded region
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Experiment.diffInDiff(orders, customer, nation, region)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("CTRL", 1L, 1L, 10000L, 15000L, 5000L, 20000L),
+      ("TREAT", 2L, 1L, 15000L, 40000L, 25000L, 20000L)))
+  }
+
+  test("timeoutSweep: sessions = first events + super-threshold gaps, one lag multiset") {
+    val s2 = spark
+    import s2.implicits._
+    val t0 = 1700000000L
+    val events = Seq(
+      (1L, 1L, t0), (2L, 1L, t0 + 30L), (3L, 1L, t0 + 200L),
+      (4L, 2L, t0)
+    ).toDF("event_id", "user_id", "secs")
+      .withColumn("ts", col("secs").cast("timestamp")).drop("secs")
+    val got = Sessionize.timeoutSweep(events, Seq(10L, 100L))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // gaps: u1 -> (null, 30s, 170s), u2 -> (null)
+    assert(got == Seq(
+      (10L, 4L, 4L, 1000L),   // both gaps exceed 10s
+      (100L, 3L, 4L, 1333L))) // only the 170s gap exceeds 100s
+  }
+
+  test("readability: hand-computed Flesch milli terms on one doc") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq((1L, "Hello world. This is fine.", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.readability(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // w=5, sentence runs=2, vowel runs=7 (he-llo:2, world:1, this:1,
+    // is:1, fine:2), syl=max(7,5)=7
+    // flesch = 206835 - (1015*5)DIV2 - (84600*7)DIV5
+    //        = 206835 - 2537 - 118440 = 85858
+    assert(got == Seq(("s", 1L, 85858L, 2500L, 1400L, 0L)))
+  }
+
+  test("bigramPerplexity: add-1 bits per bigram; flag fires over 105% of corpus mean") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq((1L, "a b a b", "s"), (2L, "a b c", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.bigramPerplexity(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2; V=3
+    // bits(a,b)=⌊log2(6/4)⌋=0; bits(b,a)=⌊log2(5/2)⌋=1; bits(b,c)=1
+    // d1: nb=3 sb=1 bpt=333; d2: nb=2 sb=1 bpt=500; mean=(1000*2)DIV5=400
+    // flag at 105%: d2 only (50000 > 42000)
+    assert(got == Seq(("s", 2L, 5L, 400L, 400L, 1L, 5000L)))
+  }
+
+  test("anisotropy: axis-concentrated cloud scores high; zero mean vector -> NULL") {
+    val s2 = spark
+    import s2.implicits._
+    val e1 = Seq(
+      (1L, Seq(0.5f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.3f, 0.1f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r1 = Similarity.anisotropy(e1, dim = 4).collect().head
+    // q=(500,100,0,0),(300,100,0,0): S=(800,200,0,0), bprime=40000,
+    // s2=680000, p=(420000,260000), A=2.56e10 ->
+    // bp = 10000*A // (s2*bprime) = 9411; excess = 1000*9411 DIV 2500
+    assert(r1.getAs[Long]("n_vecs") == 2L)
+    assert(r1.getAs[Long]("var_explained_bp") == 9411L)
+    assert(r1.getAs[Long]("isotropy_bp") == 2500L)
+    assert(r1.getAs[Long]("excess_milli") == 3764L)
+    val e2 = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r2 = Similarity.anisotropy(e2, dim = 4).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("var_explained_bp")),
+      "zero mean direction must yield NULL, not a division blowup")
+  }
+
+  test("brownForecast: W=2 hand walk — dense spine, dark day, clamped forecast, edge NULLs") {
+    val s2 = spark
+    import s2.implicits._
+    val orders = Seq(
+      ("2024-01-01", 3.0), ("2024-01-02", 6.0), ("2024-01-04", 3.0)
+    ).toDF("o_orderdate", "o_totalprice")
+    val got = Retention.brownForecast(orders, 2)
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().toSeq
+    assert(got == Seq(
+      // s1: 200,500,200,200 ; s2: 133,400,300,200
+      ("2024-01-01", 300L, 200L, 133L, 334L, Some(600L), Some(266L),
+        Some(4433L)),
+      ("2024-01-02", 600L, 500L, 400L, 700L, Some(0L), Some(700L), None),
+      ("2024-01-03", 0L, 200L, 300L, 0L, Some(300L), Some(300L),
+        Some(10000L)),
+      ("2024-01-04", 300L, 200L, 200L, 200L, None, None, None)))
+  }
+
+  test("negativeSampling: nested-isqrt ¾ weights, REST rollup closes the CDF") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = TrainingPrep.negativeSampling(docs, topK = 2)
+      .as[(Int, String, Long, Long, Long, Long)].collect().toSeq
+    // w34: a=⌊√(4·2)⌋=2, b=⌊√(2·1)⌋=1, c=1; total 4
+    assert(got == Seq(
+      (1, "a", 4L, 2L, 500000L, 500000L),
+      (2, "b", 2L, 1L, 250000L, 750000L),
+      (3, "<REST>", 1L, 1L, 250000L, 1000000L)))
+  }
 }
