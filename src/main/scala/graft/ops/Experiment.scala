@@ -418,6 +418,9 @@ object Experiment {
         when(col("n_post") > 0L, expr("__c_post DIV n_post")))
       .withColumn("delta_cents",
         col("mean_post_cents") - col("mean_pre_cents"))
+      // 2 rows, read by the did scalar AND the output join — persist
+      // so the fact join runs once (caller-owns-cache convention)
+      .persist()
     val did = g.agg(
       (sum(when(col("grp") === "TREAT", col("delta_cents")))
         - sum(when(col("grp") === "CTRL", col("delta_cents"))))

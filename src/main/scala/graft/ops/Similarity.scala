@@ -649,13 +649,16 @@ object Similarity {
     val sArr = dims
       .agg(sort_array(collect_list(struct(col("i"), col("s")))).as("a"))
       .select(expr("transform(a, x -> x.s)").as("sv"))
+    // the projection pass re-counts rows (__n2 == n), so nRow feeds
+    // ONLY the moment stats — the corpus is scanned twice total
+    // (count + projection), never a third time for the report row
     val proj = e.crossJoin(broadcast(sArr))
       .select(expr("aggregate(zip_with(q, sv, (a, b) -> a * b), " +
         "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("p"))
-      .agg(count(lit(1)).as("__n2"),
+      .agg(count(lit(1)).as("n"),
         sum(dec(col("p"))).as("sp"),
         sum(dec(col("p")) * dec(col("p"))).as("spp"))
-    nRow.crossJoin(broadcast(stats)).crossJoin(broadcast(proj))
+    proj.crossJoin(broadcast(stats))
       .withColumn("__a",
         dec(col("n")) * col("spp") - col("sp") * col("sp"))
       .select(col("n").as("n_vecs"), lit(dim).as("n_dims"),

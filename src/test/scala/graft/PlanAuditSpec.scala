@@ -1726,4 +1726,69 @@ class PlanAuditSpec extends SparkSpec {
       s"window must sit above the value-grain aggregate:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q281 rolling wau sketch: one cached fact collapse; HLL unions ride the day fan-out") {
+    val p = plan("q281_rolling_wau_sketch")
+    // ud and daySk are persisted — live plan reads the caches, parquet
+    // is scanned only inside the (stripped) cache build
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(p.contains("hll_union_agg"), s"sketch union branch missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q282 diff in diff: pruned orders scan, broadcast dims, 2-row estimator arithmetic") {
+    val p = plan("q282_diff_in_diff")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("o_comment"), s"scan not pruned: $readSchema")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 4, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only nested-loop is the broadcast 1-row did scalar
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q283 timeout sweep: one pruned scan, one lag window, join-free sweep") {
+    val p = plan("q283_timeout_sweep")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q284 readability: pure map stage into a source-grain aggregate, join-free") {
+    val p = plan("q284_readability")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) <= 2, p) // source agg + output sort
+  }
+
+  test("q285 bigram perplexity: model tables ride the cached (doc,bigram) partials") {
+    val p = plan("q285_bigram_perplexity")
+    // docBi and perDoc are persisted; the only live parquet touch is
+    // the vocab-size scalar's tokenize pass
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q286 anisotropy: dim-grain cache reused; projection is a zip_with map, no fact join") {
+    val p = plan("q286_anisotropy")
+    // nRow + projection pass touch parquet live; dims' build is cached
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"fact-grain join crept in:\n$p")
+  }
+
+  test("q287 brown forecast: cached day panel, calendar-grain walk, no NLJ range join") {
+    val p = plan("q287_brown_forecast")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q288 negative sampling: vocab cache + TakeOrdered head, no re-tokenize") {
+    val p = plan("q288_negative_sampling")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
