@@ -526,6 +526,15 @@ object ScaleProbe {
     t("kcore")(graft.ops.Graph.kcore(
       graft.ops.Market.coVisitPairs(events), 3, 4, 2L))
     t("burstiness")(graft.ops.Retention.burstiness(events))
+    t("rolling wau sketch")(graft.ops.Retention.rollingUsersSketch(events))
+    t("diff in diff")(graft.ops.Experiment.diffInDiff(
+      orders, dim("customer"), dim("nation"), dim("region")))
+    t("timeout sweep")(graft.ops.Sessionize.timeoutSweep(events))
+    t("readability")(graft.ops.TextAnalysis.readability(docs))
+    t("bigram perplexity")(graft.ops.TextAnalysis.bigramPerplexity(docs))
+    t("anisotropy")(graft.ops.Similarity.anisotropy(emb))
+    t("brown forecast")(graft.ops.Retention.brownForecast(orders))
+    t("negative sampling")(graft.ops.TrainingPrep.negativeSampling(docs))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -975,10 +975,21 @@ object TrainingPrep {
     val cnts = docs.filter(col("text").isNotNull)
       .select(explode(expr(TextAnalysis.TokensExpr)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .withColumn("w34", isqrtCol(col("cnt") * isqrtCol(col("cnt"))))
+      // the inner isqrt is staged through its own projection: inlining
+      // it into the outer correction's 6 references builds a ~100-node
+      // codegen tree whose janino compile dwarfs the vocab-grain data
+      .withColumn("__r1", isqrtCol(col("cnt")))
+      .select(col("token"), col("cnt"),
+        isqrtCol(col("cnt") * col("__r1")).as("w34"))
       .persist()
+    // head and the K+1-row ranked frame are each read by 2-3 plan
+    // branches; persisting them keeps the whole sampler derivation at
+    // one vocab pass + constant-size fragments (without it, the
+    // TakeOrdered head re-plans per branch and codegen compile time
+    // dominates the vocab-grain data)
     val head = cnts
       .orderBy(col("cnt").desc, col("token").asc).limit(topK)
+      .persist()
     val rest = cnts
       .join(broadcast(head.select(col("token"))), Seq("token"), "left_anti")
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"),
@@ -989,6 +1000,7 @@ object TrainingPrep {
     val ranked = head.withColumn("__last", lit(0))
       .unionByName(rest.withColumn("__last", lit(1)))
       .withColumn("rank", row_number().over(wRank))
+      .persist()
     val total = ranked.agg(sum(col("w34")).as("__tot"))
     ranked.crossJoin(broadcast(total))
       .withColumn("sample_ppm", expr("(1000000 * w34) DIV __tot"))
