@@ -315,7 +315,9 @@ object SparkEntry {
     "q285_bigram_perplexity" -> (Queries.bigramPerplexity _),
     "q286_anisotropy" -> (Queries.anisotropy _),
     "q287_brown_forecast" -> (Queries.brownForecast _),
-    "q288_negative_sampling" -> (Queries.negativeSampling _)
+    "q288_negative_sampling" -> (Queries.negativeSampling _),
+    "q289_bootstrap_ci" -> (Queries.bootstrapCi _),
+    "q290_supplier_skyline" -> (Queries.supplierSkyline _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2302,6 +2304,18 @@ object Queries {
   def negativeSampling(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.negativeSampling(Tables(spark, dir, "documents"),
       NegSampleK)
+
+  /** Poisson-bootstrap CI for the A/B conversion lift: 32 replicate
+    * weights per user from one md5 map pass, empirical 2/32-31/32
+    * interval + covers-zero verdict. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    Experiment.bootstrapCi(Tables(spark, dir, "events"))
+
+  /** Supplier Pareto frontier on mean unit cost vs mean ship delay
+    * (sort-scan skyline over the supplier dimension). */
+  def supplierSkyline(spark: SparkSession, dir: String): DataFrame =
+    Market.supplierSkyline(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"))
 
   /** Mann-Whitney rank-sum test between the q147 arms on per-user
     * event counts (exact doubled-unit midranks; CLES effect size). */
@@ -10784,7 +10798,123 @@ object Oracles {
          |       CAST(SUM(sample_ppm) OVER (ORDER BY rank) AS BIGINT)
          |         AS cum_ppm
          |FROM p ORDER BY rank""".stripMargin
-    }
+    },
+
+    // Poisson-bootstrap twin: same md5 draws (nib machinery at the
+    // (user,'_',b) key), same PoissonCdf32 thresholds, same floored
+    // replicate rates; interval = sorted-list picks at 2 / n/2 / n-1
+    "q289_bootstrap_ci" -> {
+      val nibx = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(x, $i, 1)) - 1)"
+      val drawX = (1 to 8)
+        .map(i => s"${nibx(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      val nibd = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val drawArm = (1 to 8)
+        .map(i => s"${nibd(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      val cdf = graft.ops.Experiment.PoissonCdf32
+      val wCase = "CASE " + cdf.zipWithIndex
+        .map { case (c, k) => s"WHEN d32 < $c THEN $k" }
+        .mkString(" ") + s" ELSE ${cdf.length} END"
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS pos
+         |  FROM events GROUP BY 1),
+         |a AS (
+         |  SELECT user_id, pos,
+         |         CASE WHEN CAST($drawArm AS BIGINT) % 100 < 50
+         |              THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT user_id, pos,
+         |          md5(CAST(user_id AS VARCHAR)) AS draw FROM u)),
+         |r AS (
+         |  SELECT arm, pos, b,
+         |         md5(CAST(user_id AS VARCHAR) || '_' || CAST(b AS VARCHAR))
+         |           AS x
+         |  FROM a CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb),
+         |w AS (
+         |  SELECT arm, pos, b, $wCase AS w
+         |  FROM (SELECT arm, pos, b, CAST($drawX AS BIGINT) AS d32 FROM r)),
+         |g AS (
+         |  SELECT b, arm, CAST(SUM(w) AS BIGINT) AS nw,
+         |         CAST(SUM(w * pos) AS BIGINT) AS cw
+         |  FROM w GROUP BY 1, 2),
+         |d AS (
+         |  SELECT b,
+         |         CASE WHEN SUM(CASE WHEN arm = 'A' THEN nw END) > 0
+         |              THEN CAST(FLOOR(10000.0 *
+         |                SUM(CASE WHEN arm = 'A' THEN cw END) /
+         |                SUM(CASE WHEN arm = 'A' THEN nw END)) AS BIGINT)
+         |         END -
+         |         CASE WHEN SUM(CASE WHEN arm = 'B' THEN nw END) > 0
+         |              THEN CAST(FLOOR(10000.0 *
+         |                SUM(CASE WHEN arm = 'B' THEN cw END) /
+         |                SUM(CASE WHEN arm = 'B' THEN nw END)) AS BIGINT)
+         |         END AS delta_bp
+         |  FROM g GROUP BY 1),
+         |sp AS (
+         |  SELECT list_sort(list(delta_bp)) AS ds
+         |  FROM d WHERE delta_bp IS NOT NULL),
+         |iv AS (
+         |  SELECT CAST(len(ds) AS BIGINT) AS n_reps,
+         |         CAST(ds[2] AS BIGINT) AS boot_lo_bp,
+         |         CAST(ds[CAST(len(ds) // 2 AS INT)] AS BIGINT)
+         |           AS boot_med_bp,
+         |         CAST(ds[len(ds) - 1] AS BIGINT) AS boot_hi_bp
+         |  FROM sp),
+         |obs AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |         CAST(FLOOR(10000.0 *
+         |           SUM(CASE WHEN arm = 'A' THEN pos ELSE 0 END) /
+         |           SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)) AS BIGINT) -
+         |         CAST(FLOOR(10000.0 *
+         |           SUM(CASE WHEN arm = 'B' THEN pos ELSE 0 END) /
+         |           SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)) AS BIGINT)
+         |           AS obs_delta_bp
+         |  FROM a)
+         |SELECT n_users, obs_delta_bp, n_reps, boot_lo_bp, boot_med_bp,
+         |       boot_hi_bp,
+         |       CAST(boot_lo_bp <= 0 AND boot_hi_bp >= 0 AS INT)
+         |         AS covers_zero
+         |FROM obs, iv""".stripMargin
+    },
+
+    // sort-scan skyline: keep rows whose delay strictly undercuts
+    // every cheaper-or-equal predecessor's running min
+    "q290_supplier_skyline" ->
+      """WITH stats AS (
+        |  SELECT l.l_suppkey AS suppkey,
+        |         CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |         CAST(SUM(CAST(FLOOR(100.0 * l.l_extendedprice /
+        |             l.l_quantity) AS BIGINT)) AS BIGINT) AS uc,
+        |         CAST(SUM(CAST(l.l_shipdate AS DATE)
+        |           - CAST(o.o_orderdate AS DATE)) AS BIGINT) AS dl
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate IS NOT NULL AND l.l_quantity > 0
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT suppkey, n_lines,
+        |         CAST(uc // n_lines AS BIGINT) AS mean_unit_cents,
+        |         CAST((1000 * dl) // n_lines AS BIGINT) AS mean_delay_milli
+        |  FROM stats),
+        |sc AS (
+        |  SELECT *,
+        |         MIN(mean_delay_milli) OVER (
+        |           ORDER BY mean_unit_cents ASC, mean_delay_milli ASC,
+        |             suppkey ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS min_prev
+        |  FROM m),
+        |sky AS (
+        |  SELECT * FROM sc
+        |  WHERE min_prev IS NULL OR mean_delay_milli < min_prev)
+        |SELECT CAST(row_number() OVER (
+        |         ORDER BY mean_unit_cents ASC, suppkey ASC) AS INT)
+        |         AS skyline_rank,
+        |       suppkey, n_lines, mean_unit_cents, mean_delay_milli
+        |FROM sky ORDER BY skyline_rank""".stripMargin
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

@@ -371,6 +371,87 @@ object Experiment {
           .as("significant"))
   }
 
+  /** Poisson(1) inverse-CDF thresholds scaled to 2^32 (floor of the
+    * cumulative), shared verbatim with the oracle: a uniform 32-bit
+    * md5 draw below threshold k gets bootstrap weight k; past the
+    * last one it caps at 9 (tail mass ~8e-10 at cap+1). */
+  val PoissonCdf32: Seq[Long] = Seq(1580030168L, 3160060337L,
+    3950075421L, 4213413783L, 4279248373L, 4292415291L, 4294609777L,
+    4294923276L, 4294962463L)
+
+  private def poissonWeight(draw: Column): Column =
+    PoissonCdf32.zipWithIndex.foldRight(lit(PoissonCdf32.length.toLong)) {
+      case ((c, k), rest) => when(draw < c, k.toLong).otherwise(rest)
+    }
+
+  /** Poisson-bootstrap confidence interval for the A/B conversion
+    * lift — the resampling pattern that actually runs at fleet scale
+    * (Chamandy '12): a classical bootstrap re-DRAWS users per
+    * replicate (B full shuffles of the fact table); the Poisson
+    * bootstrap gives every user an independent Poisson(1) replicate
+    * weight instead, so all `b` replicates ride ONE user-grain pass
+    * as a ×B map fan-out, and each replicate's conversion rate is a
+    * weighted mean. Weights come from the house md5 draw at the
+    * (user, replicate) key — deterministic, cross-engine, and
+    * independent of the arm draw (different key string). Replicate
+    * deltas are floored to bp; the interval is the empirical
+    * 2/32–31/32 spread (B=32 keeps the output a metadata-sized
+    * exact-sortable set; widen B for tighter tails, the cost is the
+    * fan-out factor). `covers_zero` = the ship/no-ship read.
+    *
+    * Scale shape: one fact shuffle to user grain (persisted: the
+    * observed delta and the replicate fan-out both read it), a ×B
+    * user-grain map, one (b, arm)-grain aggregate (2B rows,
+    * map-side combined), and all interval arithmetic on ≤B rows. */
+  def bootstrapCi(events: DataFrame, splitPct: Int = 50,
+      convType: String = "purchase", b: Int = 32): DataFrame = {
+    require(b >= 4 && b <= 256, "replicates in [4,256]")
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("pos"))
+      .withColumn("arm", armCol("user_id", splitPct))
+      .persist()
+    val rateBp = (cw: Column, nw: Column) =>
+      when(nw > 0L, floor(lit(10000.0) * cw / nw).cast("long"))
+    val deltas = users
+      .select(col("user_id"), col("pos"), col("arm"),
+        explode(array((0 until b).map(i => lit(i)): _*)).as("b"))
+      .withColumn("draw", expr(
+        "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), '_', " +
+          "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("w", poissonWeight(col("draw")))
+      .groupBy(col("b"), col("arm"))
+      .agg(sum(col("w")).as("nw"), sum(col("w") * col("pos")).as("cw"))
+      .groupBy(col("b"))
+      .agg(
+        rateBp(sum(when(col("arm") === "A", col("cw"))),
+          sum(when(col("arm") === "A", col("nw")))).as("__ra"),
+        rateBp(sum(when(col("arm") === "B", col("cw"))),
+          sum(when(col("arm") === "B", col("nw")))).as("__rb"))
+      .select((col("__ra") - col("__rb")).as("delta_bp"))
+      .filter(col("delta_bp").isNotNull)
+    val spread = deltas.agg(
+      sort_array(collect_list(col("delta_bp"))).as("ds"))
+      .select(size(col("ds")).cast("long").as("n_reps"),
+        element_at(col("ds"), 2).as("boot_lo_bp"),
+        element_at(col("ds"), expr("CAST(size(ds) DIV 2 AS INT)"))
+          .as("boot_med_bp"),
+        element_at(col("ds"), expr("size(ds) - 1")).as("boot_hi_bp"))
+    val observed = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("c"))
+      .agg(count(lit(1)).as("__arms"),
+        rateBp(sum(when(col("arm") === "A", col("c"))),
+          sum(when(col("arm") === "A", col("n")))).as("__oa"),
+        rateBp(sum(when(col("arm") === "B", col("c"))),
+          sum(when(col("arm") === "B", col("n")))).as("__ob"),
+        sum(col("n")).as("n_users"))
+      .select(col("n_users"), (col("__oa") - col("__ob")).as("obs_delta_bp"))
+    observed.crossJoin(broadcast(spread))
+      .withColumn("covers_zero",
+        (col("boot_lo_bp") <= 0L && col("boot_hi_bp") >= 0L).cast("int"))
+  }
+
   /** Difference-in-differences panel — the observational-causal
     * estimator for a rollout that hit one REGION at a date the other
     * region never saw (pricing change, carrier switch, UI launch):

@@ -757,4 +757,53 @@ object Market {
           .otherwise(floor(lit(10000.0) * col("n_hits") / col("n_covered"))
             .cast("long")).as("covered_hit_bp"))
   }
+
+  /** Supplier Pareto frontier (skyline) on mean unit cost vs mean
+    * ship delay — the classic two-criteria sourcing query: a supplier
+    * is on the frontier iff NO other supplier is at-or-better on both
+    * axes (and strictly better on one); everything off the frontier
+    * has a strictly preferable alternative and exists only as
+    * negotiating leverage. Computed by the textbook sort-scan: order
+    * by (cost asc, delay asc, suppkey asc), keep rows whose delay
+    * strictly undercuts every predecessor's — equal-(cost, delay)
+    * duplicates keep the lowest suppkey as the frontier
+    * representative. Unit cost = per-line ⌊100·extendedprice/qty⌋
+    * cents (one IEEE divide, floored — the house money rule), means
+    * floor-divided.
+    *
+    * Scale shape: one fact join+pass to SUPPLIER grain; the skyline
+    * sort-scan and rank run over the bounded supplier dimension —
+    * a single-partition window over dim-grain rows, metadata no
+    * matter the fact volume. */
+  def supplierSkyline(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = lineitem
+      .filter(col("l_shipdate").isNotNull && col("l_quantity") > 0)
+      .join(orders.select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("__od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(lit(100.0) * col("l_extendedprice") / col("l_quantity"))
+          .cast("long")).as("__uc"),
+        sum(datediff(to_date(col("l_shipdate")), col("__od")).cast("long"))
+          .as("__dl"))
+      .select(col("suppkey"), col("n_lines"),
+        expr("__uc DIV n_lines").as("mean_unit_cents"),
+        expr("(1000 * __dl) DIV n_lines").as("mean_delay_milli"))
+    val wPrev = Window
+      .orderBy(col("mean_unit_cents").asc, col("mean_delay_milli").asc,
+        col("suppkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stats
+      .withColumn("__minPrev", min(col("mean_delay_milli")).over(wPrev))
+      .filter(col("__minPrev").isNull ||
+        col("mean_delay_milli") < col("__minPrev"))
+      .select(
+        row_number().over(Window.orderBy(col("mean_unit_cents").asc,
+          col("suppkey").asc)).as("skyline_rank"),
+        col("suppkey"), col("n_lines"), col("mean_unit_cents"),
+        col("mean_delay_milli"))
+      .orderBy(col("skyline_rank").asc)
+  }
 }

@@ -2117,6 +2117,76 @@ class OpsSpec extends SparkSpec {
       ("2024-01-04", 300L, 200L, 200L, 200L, None, None, None)))
   }
 
+  test("bootstrapCi: full JVM twin of draws, weights, replicate rates, and interval picks") {
+    val s2 = spark
+    import s2.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def draw32(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+    def weight(d: Long): Long = {
+      val i = Experiment.PoissonCdf32.indexWhere(d < _)
+      if (i < 0) Experiment.PoissonCdf32.length.toLong else i.toLong
+    }
+    // 60 users; purchase iff user % 3 == 0
+    val users = (1L to 60L)
+    val events = users.flatMap { u =>
+      Seq((u, "view")) ++ (if (u % 3 == 0) Seq((u, "purchase")) else Nil)
+    }.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, u, Timestamp.valueOf("2024-01-01 10:00:00"), t)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val got = Experiment.bootstrapCi(events).collect().head
+    // twin
+    val pos = users.map(u => u -> (if (u % 3 == 0) 1L else 0L)).toMap
+    val arm = users.map(u => u -> armOf(u)).toMap
+    def rate(cw: Long, nw: Long): Option[Long] =
+      if (nw > 0) Some(math.floor(10000.0 * cw / nw).toLong) else None
+    val deltas = (0 until 32).flatMap { b =>
+      val ws = users.map(u => u -> weight(draw32(s"${u}_$b"))).toMap
+      val (na, ca) = (users.filter(arm(_) == "A").map(ws).sum,
+        users.filter(arm(_) == "A").map(u => ws(u) * pos(u)).sum)
+      val (nb, cb) = (users.filter(arm(_) == "B").map(ws).sum,
+        users.filter(arm(_) == "B").map(u => ws(u) * pos(u)).sum)
+      for (ra <- rate(ca, na); rb <- rate(cb, nb)) yield ra - rb
+    }.sorted
+    val obs = {
+      val a = users.filter(arm(_) == "A")
+      val b = users.filter(arm(_) == "B")
+      rate(a.map(pos).sum, a.size.toLong).get -
+        rate(b.map(pos).sum, b.size.toLong).get
+    }
+    assert(got.getAs[Long]("n_users") == 60L)
+    assert(got.getAs[Long]("obs_delta_bp") == obs)
+    assert(got.getAs[Long]("n_reps") == deltas.length.toLong)
+    assert(got.getAs[Long]("boot_lo_bp") == deltas(1))
+    assert(got.getAs[Long]("boot_med_bp") == deltas(deltas.length / 2 - 1))
+    assert(got.getAs[Long]("boot_hi_bp") == deltas(deltas.length - 2))
+    assert(got.getAs[Int]("covers_zero") ==
+      (if (deltas(1) <= 0 && deltas(deltas.length - 2) >= 0) 1 else 0))
+  }
+
+  test("supplierSkyline: dominated supplier dropped by the sort-scan") {
+    val s2 = spark
+    import s2.implicits._
+    val orders = Seq(
+      (10L, "2024-01-01"), (11L, "2024-01-01"), (12L, "2024-01-01")
+    ).toDF("o_orderkey", "o_orderdate")
+    val lineitem = Seq(
+      // s1: unit 100c, delay 5d; s2: unit 200c, delay 3d;
+      // s3: unit 150c, delay 7d -> dominated by s1
+      (10L, 1L, 1.0, 1.00, "2024-01-06"),
+      (11L, 2L, 1.0, 2.00, "2024-01-04"),
+      (12L, 3L, 1.0, 1.50, "2024-01-08")
+    ).toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+      "l_shipdate")
+    val got = Market.supplierSkyline(lineitem, orders)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, 1L, 1L, 100L, 5000L),
+      (2, 2L, 1L, 200L, 3000L)))
+  }
+
   test("negativeSampling: nested-isqrt ¾ weights, REST rollup closes the CDF") {
     val s2 = spark
     import s2.implicits._

@@ -1791,4 +1791,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q289 bootstrap ci: cached user grain, pruned scan, replicate fan-out is a map") {
+    val p = plan("q289_bootstrap_ci")
+    // users persisted: both the replicate fan-out and the observed
+    // delta read the cache — zero live parquet touches
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"replicate weighting must be a map stage, not a join:\n$p")
+  }
+
+  test("q290 supplier skyline: one fact join to supplier grain; dim-grain sort-scan") {
+    val p = plan("q290_supplier_skyline")
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("l_comment"), s"scan not pruned: $readSchema")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
