@@ -535,6 +535,8 @@ object ScaleProbe {
     t("anisotropy")(graft.ops.Similarity.anisotropy(emb))
     t("brown forecast")(graft.ops.Retention.brownForecast(orders))
     t("negative sampling")(graft.ops.TrainingPrep.negativeSampling(docs))
+    t("bootstrap ci")(graft.ops.Experiment.bootstrapCi(events))
+    t("supplier skyline")(graft.ops.Market.supplierSkyline(lineitem, orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's
