@@ -537,6 +537,7 @@ object ScaleProbe {
     t("negative sampling")(graft.ops.TrainingPrep.negativeSampling(docs))
     t("bootstrap ci")(graft.ops.Experiment.bootstrapCi(events))
     t("supplier skyline")(graft.ops.Market.supplierSkyline(lineitem, orders))
+    t("quantile forecast")(graft.ops.Retention.quantileForecast(orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -317,7 +317,8 @@ object SparkEntry {
     "q287_brown_forecast" -> (Queries.brownForecast _),
     "q288_negative_sampling" -> (Queries.negativeSampling _),
     "q289_bootstrap_ci" -> (Queries.bootstrapCi _),
-    "q290_supplier_skyline" -> (Queries.supplierSkyline _)
+    "q290_supplier_skyline" -> (Queries.supplierSkyline _),
+    "q291_quantile_forecast" -> (Queries.quantileForecast _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2316,6 +2317,15 @@ object Queries {
   def supplierSkyline(spark: SparkSession, dir: String): DataFrame =
     Market.supplierSkyline(Tables(spark, dir, "lineitem"),
       Tables(spark, dir, "orders"))
+
+  val QfWindowDays = 28
+  val QfLevelsBp = Seq(5000L, 9000L)
+
+  /** Trailing-quantile revenue forecast (p50/p90 over the preceding
+    * 28 dense-spine days) + pinball-loss calibration backtest. */
+  def quantileForecast(spark: SparkSession, dir: String): DataFrame =
+    Retention.quantileForecast(Tables(spark, dir, "orders"),
+      QfWindowDays, QfLevelsBp)
 
   /** Mann-Whitney rank-sum test between the q147 arms on per-user
     * event counts (exact doubled-unit midranks; CLES effect size). */
@@ -10914,7 +10924,49 @@ object Oracles {
         |         ORDER BY mean_unit_cents ASC, suppkey ASC) AS INT)
         |         AS skyline_rank,
         |       suppkey, n_lines, mean_unit_cents, mean_delay_milli
-        |FROM sky ORDER BY skyline_rank""".stripMargin
+        |FROM sky ORDER BY skyline_rank""".stripMargin,
+
+    // nearest-rank picks from the sorted trailing window; pinball in
+    // integer cents; same dense spine as q287
+    "q291_quantile_forecast" -> {
+      val w = Queries.QfWindowDays
+      val levels = Queries.QfLevelsBp
+      val rows = levels.map { q =>
+        val r = ((q * w + 9999L) / 10000L).toInt
+        s"""SELECT CAST($q AS BIGINT) AS quantile_bp,
+           |       CAST(COUNT(*) AS BIGINT) AS n_days,
+           |       CAST(SUM(CASE WHEN cents >= win[$r]
+           |             THEN ($q * (cents - win[$r])) // 10000
+           |             ELSE (${10000L - q} * (win[$r] - cents)) // 10000
+           |           END) // COUNT(*) AS BIGINT) AS mean_pinball_cents,
+           |       CAST(FLOOR(10000.0 * SUM(CASE WHEN cents <= win[$r]
+           |             THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+           |         AS coverage_bp
+           |FROM sc""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |sp AS (
+         |  SELECT unnest(generate_series((SELECT MIN(daynum) FROM d),
+         |           (SELECT MAX(daynum) FROM d))) AS daynum),
+         |dense AS (
+         |  SELECT sp.daynum, COALESCE(d.cents, 0) AS cents
+         |  FROM sp LEFT JOIN d USING (daynum)),
+         |hist AS (
+         |  SELECT t.daynum, list_sort(list(b.cents)) AS win
+         |  FROM dense b JOIN dense t
+         |    ON t.daynum BETWEEN b.daynum + 1 AND b.daynum + $w
+         |  GROUP BY 1 HAVING COUNT(*) = $w),
+         |sc AS (
+         |  SELECT dense.daynum, dense.cents, hist.win
+         |  FROM dense JOIN hist USING (daynum))
+         |$rows
+         |ORDER BY quantile_bp""".stripMargin
+    }
   )
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB

@@ -1574,6 +1574,72 @@ object Retention {
       .orderBy(col("day").asc)
   }
 
+  /** Trailing-quantile revenue forecast with a pinball-loss
+    * calibration backtest — the QUANTILE complement of [[brownForecast]]
+    * (a point forecast says what to expect; capacity planning and
+    * anomaly thresholds need "a p90 day looks like X"). Each day's
+    * p50/p90 predictions are the nearest-rank quantiles of the
+    * PRECEDING `windowDays` dense-spine revenues (dark days are true
+    * zeros, q287's spine convention; nearest-rank keeps everything
+    * integer-exact). The backtest scores each prediction with pinball
+    * loss — the strictly proper score for quantiles: loss_q(y, ŷ) =
+    * q·(y−ŷ)⁺ + (1−q)·(ŷ−y)⁺ — and reports per level the mean loss
+    * and the observed coverage share, which for a CALIBRATED q-level
+    * forecast sits near q (the one-number "is my p90 a real p90"
+    * read).
+    *
+    * Scale shape: one fact pass to the cached day panel; the ×W
+    * fan-out, per-day sorted window array (W elements), picks,
+    * losses, and the ≤|levels|-row rollup are all calendar-grain. */
+  def quantileForecast(orders: DataFrame, windowDays: Int = 28,
+      levelsBp: Seq[Long] = Seq(5000L, 9000L)): DataFrame = {
+    require(windowDays >= 2, "windowDays >= 2")
+    require(levelsBp.nonEmpty && levelsBp == levelsBp.sorted &&
+      levelsBp.forall(q => q > 0L && q < 10000L), "levels in (0,1) bp, asc")
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+      .persist()
+    val spine = day
+      .agg(min(col("daynum")).as("mn"), max(col("daynum")).as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("daynum"))
+    val dense = spine.join(day, Seq("daynum"), "left")
+      .select(col("daynum"), coalesce(col("cents"), lit(0L)).as("cents"))
+      .persist()
+    // each source day votes into the windowDays FOLLOWING target days
+    val hist = dense
+      .select(col("cents").as("v"),
+        explode(sequence(col("daynum") + lit(1L),
+          col("daynum") + lit(windowDays.toLong))).as("daynum"))
+      .groupBy(col("daynum"))
+      .agg(sort_array(collect_list(col("v"))).as("win"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") === windowDays.toLong) // full windows only
+    // day-grain rows carrying the W-element window array; read once
+    // per quantile level (caller-owns-cache convention)
+    val scored = dense.join(hist, Seq("daynum")).persist()
+    val perLevel = levelsBp.map { q =>
+      val rank = ((q * windowDays + 9999L) / 10000L).toInt // nearest-rank
+      val pred = element_at(col("win"), rank)
+      val lossCents = when(col("cents") >= pred,
+        expr(s"($q * (cents - element_at(win, $rank))) DIV 10000"))
+        .otherwise(
+          expr(s"((10000 - $q) * (element_at(win, $rank) - cents)) DIV 10000"))
+      scored.agg(
+        count(lit(1)).as("n_days"),
+        sum(lossCents).as("__loss"),
+        sum(when(col("cents") <= pred, 1L).otherwise(0L)).as("__cov"))
+        .select(lit(q).as("quantile_bp"), col("n_days"),
+          expr("__loss DIV n_days").as("mean_pinball_cents"),
+          floor(lit(10000.0) * col("__cov") / col("n_days")).cast("long")
+            .as("coverage_bp"))
+    }
+    perLevel.reduce(_ unionByName _).orderBy(col("quantile_bp").asc)
+  }
+
   /** Rolling multi-window active users from MERGEABLE day sketches —
     * the "build partials once, serve every window" pattern that is
     * the only affordable shape for rolling distincts at 100 TB. One

@@ -2187,6 +2187,23 @@ class OpsSpec extends SparkSpec {
       (2, 2L, 1L, 200L, 3000L)))
   }
 
+  test("quantileForecast: W=2 hand picks, pinball means, coverage shares") {
+    val s2 = spark
+    import s2.implicits._
+    val orders = Seq(
+      ("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 3.0),
+      ("2024-01-05", 5.0) // day 4 dark -> zero on the spine
+    ).toDF("o_orderdate", "o_totalprice")
+    val got = Retention.quantileForecast(orders, 2, Seq(5000L, 9000L))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // full windows: d3 [100,200], d4 [200,300], d5 [0,300]
+    // q50 rank 1 preds (100,200,0): losses (100,100,250) mean 150, cov 1/3
+    // q90 rank 2 preds (200,300,300): losses (90,30,180) mean 100, cov 1/3
+    assert(got == Seq(
+      (5000L, 3L, 150L, 3333L),
+      (9000L, 3L, 100L, 3333L)))
+  }
+
   test("negativeSampling: nested-isqrt ¾ weights, REST rollup closes the CDF") {
     val s2 = spark
     import s2.implicits._

@@ -1802,6 +1802,13 @@ class PlanAuditSpec extends SparkSpec {
       s"replicate weighting must be a map stage, not a join:\n$p")
   }
 
+  test("q291 quantile forecast: cached day panel; window arrays at calendar grain") {
+    val p = plan("q291_quantile_forecast")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q290 supplier skyline: one fact join to supplier grain; dim-grain sort-scan") {
     val p = plan("q290_supplier_skyline")
     val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
