@@ -538,6 +538,8 @@ object ScaleProbe {
     t("bootstrap ci")(graft.ops.Experiment.bootstrapCi(events))
     t("supplier skyline")(graft.ops.Market.supplierSkyline(lineitem, orders))
     t("quantile forecast")(graft.ops.Retention.quantileForecast(orders))
+    t("markov attribution")(graft.ops.Market.markovAttribution(
+      events, Seq("click", "error", "signup", "view")))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

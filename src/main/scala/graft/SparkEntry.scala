@@ -318,7 +318,8 @@ object SparkEntry {
     "q288_negative_sampling" -> (Queries.negativeSampling _),
     "q289_bootstrap_ci" -> (Queries.bootstrapCi _),
     "q290_supplier_skyline" -> (Queries.supplierSkyline _),
-    "q291_quantile_forecast" -> (Queries.quantileForecast _)
+    "q291_quantile_forecast" -> (Queries.quantileForecast _),
+    "q292_markov_attribution" -> (Queries.markovAttribution _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2326,6 +2327,17 @@ object Queries {
   def quantileForecast(spark: SparkSession, dir: String): DataFrame =
     Retention.quantileForecast(Tables(spark, dir, "orders"),
       QfWindowDays, QfLevelsBp)
+
+  /** Declared channel domain for Markov attribution (the q142
+    * convention): the pivot types minus the conversion target. */
+  val AttributionChannels: Seq[String] =
+    PivotTypes.filterNot(_ == AbsorbTarget)
+
+  /** Markov removal-effect attribution over the q231 absorption
+    * walk: removal(c) = 1 - p_without_c / p, credits normalized. */
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame =
+    Market.markovAttribution(Tables(spark, dir, "events"),
+      AttributionChannels, AbsorbTarget, AbsorbSteps)
 
   /** Mann-Whitney rank-sum test between the q147 arms on per-user
     * event counts (exact doubled-unit midranks; CLES effect size). */
@@ -10966,6 +10978,100 @@ object Oracles {
          |  FROM dense JOIN hist USING (daynum))
          |$rows
          |ORDER BY quantile_bp""".stripMargin
+    },
+
+    // q231's unrolled K-step walk once per chain (full + one per
+    // removed channel: edges touching c deleted, no renormalization);
+    // p = session-start-weighted reach, target starts count 10000
+    "q292_markov_attribution" -> {
+      val tgt = Queries.AbsorbTarget
+      val steps = Queries.AbsorbSteps
+      val chans = Queries.AttributionChannels
+      def walk(tag: String, edgeFilter: String): String = {
+        def round(r: Int): String =
+          s"""h${r}_$tag AS (
+             |  SELECT m.prev_type AS start_type,
+             |         CAST(SUM(m.prob_bp * a.a_bp // 10000) AS BIGINT)
+             |           AS hop_bp
+             |  FROM m_$tag m JOIN a${r - 1}_$tag a
+             |    ON a.start_type = m.next_type
+             |  WHERE m.next_type <> '$tgt' GROUP BY 1),
+             |a${r}_$tag AS (
+             |  SELECT a1.start_type,
+             |         CAST(a1.a_bp + COALESCE(h.hop_bp, 0) AS BIGINT) AS a_bp
+             |  FROM a1_$tag a1
+             |  LEFT JOIN h${r}_$tag h ON h.start_type = a1.start_type)"""
+            .stripMargin
+        s"""m_$tag AS (
+           |  SELECT prev_type, next_type, prob_bp FROM m0 $edgeFilter),
+           |a1_$tag AS (
+           |  SELECT p.start_type, CAST(COALESCE(d.prob_bp, 0) AS BIGINT)
+           |           AS a_bp
+           |  FROM (SELECT DISTINCT prev_type AS start_type FROM m_$tag) p
+           |  LEFT JOIN (SELECT prev_type AS start_type, prob_bp FROM m_$tag
+           |             WHERE next_type = '$tgt') d
+           |    ON d.start_type = p.start_type),
+           |${(2 to steps).map(round).mkString(",\n")}""".stripMargin
+      }
+      def pCte(tag: String, excluded: Option[String]): String = {
+        val exCase = excluded
+          .map(c => s"WHEN s.start_type = '$c' THEN 0")
+          .getOrElse("")
+        s"""p_$tag AS (
+           |  SELECT CAST(SUM(s.n * CASE WHEN s.start_type = '$tgt'
+           |                 THEN 10000 $exCase
+           |                 ELSE COALESCE(a.a_bp, 0) END)
+           |         // SUM(s.n) AS BIGINT) AS p_bp
+           |  FROM starts s
+           |  LEFT JOIN a${steps}_$tag a ON a.start_type = s.start_type)"""
+          .stripMargin
+      }
+      val chainCtes = (walk("full", "") +: chans.map(c =>
+        walk(c, s"WHERE prev_type <> '$c' AND next_type <> '$c'")))
+        .mkString(",\n")
+      val pCtes = (pCte("full", None) +: chans.map(c => pCte(c, Some(c))))
+        .mkString(",\n")
+      val chRows = chans.map(c =>
+        s"SELECT '$c' AS channel, p_bp FROM p_$c").mkString("\nUNION ALL\n")
+      s"""$sessionCte,
+         |st AS (
+         |  SELECT user_id, session_seq, event_type,
+         |         lag(event_type) OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS prev_type
+         |  FROM sz),
+         |starts AS (
+         |  SELECT event_type AS start_type, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM st WHERE prev_type IS NULL GROUP BY 1),
+         |tr AS (
+         |  SELECT prev_type, event_type AS next_type,
+         |         CAST(COUNT(*) AS BIGINT) AS transitions
+         |  FROM st WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT prev_type, CAST(SUM(transitions) AS BIGINT) AS from_total
+         |  FROM tr GROUP BY 1),
+         |m0 AS (
+         |  SELECT tr.prev_type, tr.next_type,
+         |         CAST(tr.transitions * 10000 // tot.from_total AS BIGINT)
+         |           AS prob_bp
+         |  FROM tr JOIN tot USING (prev_type)),
+         |$chainCtes,
+         |$pCtes,
+         |ch AS (
+         |$chRows),
+         |rel AS (
+         |  SELECT ch.channel, pf.p_bp AS p_full_bp, ch.p_bp AS p_removed_bp,
+         |         CASE WHEN pf.p_bp > 0
+         |              THEN CAST(FLOOR(10000.0 * (pf.p_bp - ch.p_bp)
+         |                / pf.p_bp) AS BIGINT)
+         |         END AS removal_bp
+         |  FROM ch, p_full pf)
+         |SELECT channel, p_full_bp, p_removed_bp, removal_bp,
+         |       CASE WHEN SUM(removal_bp) OVER () > 0
+         |            THEN CAST(FLOOR(10000.0 * removal_bp /
+         |              SUM(removal_bp) OVER ()) AS BIGINT)
+         |       END AS credit_bp
+         |FROM rel
+         |ORDER BY removal_bp DESC, channel""".stripMargin
     }
   )
 

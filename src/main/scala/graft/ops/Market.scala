@@ -348,25 +348,10 @@ object Market {
       .select(col("prev_type"), col("next_type"), col("prob_bp"))
       .localCheckpoint(false) // consumed every round
     // α₁ over EVERY start type (0 when no direct edge — a type whose
-    // only route is multi-hop must still accumulate in later rounds)
-    val a1 = m.select(col("prev_type").as("start_type")).distinct()
-      .join(m.filter(col("next_type") === target)
-        .select(col("prev_type").as("start_type"),
-          col("prob_bp").as("direct_bp")), Seq("start_type"), "left")
-      .select(col("start_type"),
-        coalesce(col("direct_bp"), lit(0L)).as("a_bp"))
-      .localCheckpoint(false)
-    val aK = (2 to steps).foldLeft(a1) { (a, _) =>
-      val hop = m.filter(col("next_type") =!= target)
-        .join(a.withColumnRenamed("start_type", "next_type"), Seq("next_type"))
-        .groupBy(col("prev_type").as("start_type"))
-        .agg(sum(expr("prob_bp * a_bp div 10000L")).as("hop_bp"))
-      a1.join(hop, Seq("start_type"), "left")
-        .select(col("start_type"),
-          (col("a_bp") + coalesce(col("hop_bp"), lit(0L))).as("a_bp"))
-        .localCheckpoint(false)
-    }
-    aK.select(col("start_type"), col("a_bp").as("absorb_bp"))
+    // only route is multi-hop must still accumulate in later rounds);
+    // the walk itself is [[reachFrom]], shared with markovAttribution
+    reachFrom(m, target, steps)
+      .select(col("start_type"), col("a_bp").as("absorb_bp"))
       .orderBy(col("absorb_bp").desc, col("start_type").asc)
   }
 
@@ -756,6 +741,118 @@ object Market {
         when(col("n_covered") === 0L, 0L)
           .otherwise(floor(lit(10000.0) * col("n_hits") / col("n_covered"))
             .cast("long")).as("covered_hit_bp"))
+  }
+
+  /** K-step absorption vector of `chain` toward `target` — the
+    * shared walk of [[absorptionProbability]] and
+    * [[markovAttribution]]: α₁ = direct edge to target (0 where
+    * absent), then `steps−1` rounds of
+    * α ← α₁ + Σ_non-target P(s→x)·α(x), every frame event-type-grain
+    * and lineage-truncated per round. */
+  private def reachFrom(chain: DataFrame, target: String,
+      steps: Int): DataFrame = {
+    val a1 = chain.select(col("prev_type").as("start_type")).distinct()
+      .join(broadcast(chain.filter(col("next_type") === target)
+        .select(col("prev_type").as("start_type"),
+          col("prob_bp").as("direct_bp"))), Seq("start_type"), "left")
+      .select(col("start_type"),
+        coalesce(col("direct_bp"), lit(0L)).as("a_bp"))
+      .localCheckpoint(false)
+    (2 to steps).foldLeft(a1) { (a, _) =>
+      val hop = chain.filter(col("next_type") =!= target)
+        .join(broadcast(a.withColumnRenamed("start_type", "next_type")),
+          Seq("next_type"))
+        .groupBy(col("prev_type").as("start_type"))
+        .agg(sum(expr("prob_bp * a_bp div 10000L")).as("hop_bp"))
+      a1.join(broadcast(hop), Seq("start_type"), "left")
+        .select(col("start_type"),
+          (col("a_bp") + coalesce(col("hop_bp"), lit(0L))).as("a_bp"))
+        .localCheckpoint(false)
+    }
+  }
+
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * credit model that fixes first/last-touch's blind spots by
+    * asking the counterfactual: how much conversion reach DIES if
+    * channel c vanishes? removal(c) = 1 − p₋c/p, where p is the
+    * session-start-weighted K-step absorption probability toward
+    * `target` and p₋c re-runs the same walk on the chain with every
+    * edge touching c deleted (paths through c strand — no
+    * renormalization, per the model). Credits are removal effects
+    * normalized across channels. Start weights are SESSION-START
+    * type counts (the null-lag rows of the same window pass that
+    * builds the chain); a session starting AT the target counts as
+    * reached in both worlds, one starting at the removed channel
+    * contributes zero reach in the removal world. Floors are applied
+    * per round identically in both walks, so p₋c ≤ p holds exactly
+    * and removal effects are never negative.
+    *
+    * `channels` is a DECLARED domain (the q142 convention — no
+    * driver-side distinct-collect); unknown names simply produce a
+    * no-op removal row.
+    *
+    * Scale shape: ONE sessionize shuffle builds the lag frame; the
+    * chain, start counts, and every one of the (1+|channels|)×K
+    * walk rounds live at event-type(²) grain — bounded-domain
+    * metadata, lineage-truncated per round. */
+  def markovAttribution(events: DataFrame, channels: Seq[String],
+      target: String = "purchase", steps: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(channels.nonEmpty && !channels.contains(target),
+      "channels must be non-empty and exclude the target")
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val lagged = Sessionize.assignSessions(events)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(bySession))
+      .select(col("event_type"), col("prev_type"))
+      .persist()
+    val tr = lagged.filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("transitions"))
+    val totals = tr.groupBy("prev_type")
+      .agg(sum("transitions").as("from_total"))
+    val m = tr.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"),
+        expr("transitions * 10000L div from_total").as("prob_bp"))
+      .localCheckpoint(false)
+    val starts = lagged.filter(col("prev_type").isNull)
+      .groupBy(col("event_type").as("start_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    // 1-row start-weighted reach of a chain; `excluded` starts score 0
+    def pOf(chain: DataFrame, excluded: Option[String]): DataFrame = {
+      val base = starts
+        .join(broadcast(reachFrom(chain, target, steps)),
+          Seq("start_type"), "left")
+        .withColumn("a",
+          when(col("start_type") === target, lit(10000L))
+            .otherwise(coalesce(col("a_bp"), lit(0L))))
+      val cut = excluded.fold(base)(c =>
+        base.withColumn("a",
+          when(col("start_type") === c, lit(0L)).otherwise(col("a"))))
+      cut.agg(expr("sum(n * a) DIV sum(n)").as("p_bp"))
+    }
+    val pFull = pOf(m, None).select(col("p_bp").as("p_full_bp"))
+    val rows = channels.map { c =>
+      pOf(m.filter(col("prev_type") =!= c && col("next_type") =!= c),
+        Some(c))
+        .select(lit(c).as("channel"), col("p_bp").as("p_removed_bp"))
+    }.reduce(_ unionByName _)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    rows.crossJoin(broadcast(pFull))
+      .withColumn("removal_bp",
+        when(col("p_full_bp") > 0L,
+          floor(lit(10000.0) * (col("p_full_bp") - col("p_removed_bp")) /
+            col("p_full_bp")).cast("long")))
+      .withColumn("credit_bp",
+        when(sum(col("removal_bp")).over(wAll) > 0L,
+          floor(lit(10000.0) * col("removal_bp") /
+            sum(col("removal_bp")).over(wAll)).cast("long")))
+      .select(col("channel"), col("p_full_bp"), col("p_removed_bp"),
+        col("removal_bp"), col("credit_bp"))
+      .orderBy(col("removal_bp").desc, col("channel").asc)
   }
 
   /** Supplier Pareto frontier (skyline) on mean unit cost vs mean

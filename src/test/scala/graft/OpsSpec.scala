@@ -2204,6 +2204,28 @@ class OpsSpec extends SparkSpec {
       (9000L, 3L, 100L, 3333L)))
   }
 
+  test("markovAttribution: removal kills the routed reach; credits normalize") {
+    val s2 = spark
+    import s2.implicits._
+    def e(id: Long, u: Long, sec: Int, t: String) =
+      (id, u, Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d"), t)
+    val events = Seq(
+      e(1, 1, 0, "view"), e(2, 1, 10, "click"), e(3, 1, 20, "purchase"),
+      e(4, 2, 0, "view"), e(5, 2, 10, "click"),
+      e(6, 3, 0, "click"), e(7, 3, 10, "purchase"),
+      e(8, 4, 0, "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Market.markovAttribution(events, Seq("click", "view"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // chain: view->click (1.0), click->purchase (1.0); starts view×3,
+    // click×1 -> p_full = 10000. Remove click: chain empty, p = 0,
+    // removal 10000. Remove view: only click-start survives, p = 2500,
+    // removal 7500. credits 10000/17500 and 7500/17500.
+    assert(got == Seq(
+      ("click", 10000L, 0L, 10000L, 5714L),
+      ("view", 10000L, 2500L, 7500L, 4285L)))
+  }
+
   test("negativeSampling: nested-isqrt ¾ weights, REST rollup closes the CDF") {
     val s2 = spark
     import s2.implicits._

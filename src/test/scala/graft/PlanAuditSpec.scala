@@ -1809,6 +1809,16 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q292 markov attribution: walks ride checkpointed type-grain frames") {
+    val p = plan("q292_markov_attribution")
+    // the lag frame is persisted and every walk round is
+    // localCheckpointed — at most the cache build touches parquet
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"type-grain walk must not need a sort-merge join:\n$p")
+  }
+
   test("q290 supplier skyline: one fact join to supplier grain; dim-grain sort-scan") {
     val p = plan("q290_supplier_skyline")
     val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
