@@ -540,6 +540,7 @@ object ScaleProbe {
     t("quantile forecast")(graft.ops.Retention.quantileForecast(orders))
     t("markov attribution")(graft.ops.Market.markovAttribution(
       events, Seq("click", "error", "signup", "view")))
+    t("seasonal brown")(graft.ops.Retention.seasonalBrownBacktest(orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

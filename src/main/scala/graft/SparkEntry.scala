@@ -319,7 +319,8 @@ object SparkEntry {
     "q289_bootstrap_ci" -> (Queries.bootstrapCi _),
     "q290_supplier_skyline" -> (Queries.supplierSkyline _),
     "q291_quantile_forecast" -> (Queries.quantileForecast _),
-    "q292_markov_attribution" -> (Queries.markovAttribution _)
+    "q292_markov_attribution" -> (Queries.markovAttribution _),
+    "q293_seasonal_brown" -> (Queries.seasonalBrownBacktest _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2338,6 +2339,12 @@ object Queries {
   def markovAttribution(spark: SparkSession, dir: String): DataFrame =
     Market.markovAttribution(Tables(spark, dir, "events"),
       AttributionChannels, AbsorbTarget, AbsorbSteps)
+
+  /** Forecaster bake-off: Brown vs Brown × train-half dow index,
+    * MAE/wMAPE on the eval half. */
+  def seasonalBrownBacktest(spark: SparkSession, dir: String): DataFrame =
+    Retention.seasonalBrownBacktest(Tables(spark, dir, "orders"),
+      EwmaWindowDays)
 
   /** Mann-Whitney rank-sum test between the q147 arms on per-user
     * event counts (exact doubled-unit midranks; CLES effect size). */
@@ -11072,6 +11079,78 @@ object Oracles {
          |       END AS credit_bp
          |FROM rel
          |ORDER BY removal_bp DESC, channel""".stripMargin
+    },
+
+    // q287's kernel chain + a TRAIN-half dow index (leakage rule:
+    // eval days never inform the index); report = 2 model rows
+    "q293_seasonal_brown" -> {
+      val w = Queries.EwmaWindowDays
+      val denom = (1L << w) - 1L
+      def ker(src: String, v: String, out: String) =
+        s"""  SELECT a.daynum,
+           |         CAST(SUM(b.$v * (CAST(1 AS BIGINT) <<
+           |           CAST(${w - 1} - (a.daynum - b.daynum) AS INT)))
+           |           // $denom AS BIGINT) AS $out
+           |  FROM $src a JOIN $src b
+           |    ON b.daynum BETWEEN a.daynum - ${w - 1} AND a.daynum
+           |  GROUP BY 1""".stripMargin
+      def rpt(model: String, fc: String) =
+        s"""SELECT '$model' AS model, CAST(COUNT(*) AS BIGINT) AS n_days,
+           |       CAST(SUM(abs($fc - next_cents)) // COUNT(*) AS BIGINT)
+           |         AS mae_cents,
+           |       CASE WHEN SUM(next_cents) > 0
+           |            THEN CAST((10000 * SUM(abs($fc - next_cents)))
+           |              // SUM(next_cents) AS BIGINT)
+           |       END AS wmape_bp
+           |FROM ev""".stripMargin
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |bounds AS (
+         |  SELECT MIN(daynum) AS mn, MAX(daynum) AS mx,
+         |         MIN(daynum) + (MAX(daynum) - MIN(daynum)) // 2 AS mid
+         |  FROM d),
+         |sp AS (
+         |  SELECT unnest(generate_series((SELECT mn FROM bounds),
+         |           (SELECT mx FROM bounds))) AS daynum),
+         |dense AS (
+         |  SELECT sp.daynum, COALESCE(d.cents, 0) AS cents
+         |  FROM sp LEFT JOIN d USING (daynum)),
+         |s1 AS (
+         |${ker("dense", "cents", "s1")}),
+         |s1c AS (
+         |  SELECT dense.daynum, dense.cents, s1.s1
+         |  FROM dense JOIN s1 USING (daynum)),
+         |s2 AS (
+         |${ker("s1c", "s1", "s2")}),
+         |panel AS (
+         |  SELECT s1c.daynum, s1c.cents,
+         |         greatest(3 * s1c.s1 - 2 * s2.s2, 0) AS f,
+         |         lead(s1c.cents) OVER (ORDER BY s1c.daynum) AS next_cents,
+         |         (s1c.daynum + 1) % 7 AS next_dow
+         |  FROM s1c JOIN s2 USING (daynum)),
+         |tr AS (
+         |  SELECT * FROM dense, bounds WHERE daynum <= mid),
+         |ov AS (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS m FROM tr),
+         |idx AS (
+         |  SELECT daynum % 7 AS next_dow,
+         |         CASE WHEN ov.m > 0
+         |              THEN CAST((10000 * (SUM(cents) // COUNT(*))) // ov.m
+         |                AS BIGINT)
+         |              ELSE 10000 END AS idx_bp
+         |  FROM tr, ov GROUP BY 1, ov.m),
+         |ev AS (
+         |  SELECT panel.*, CAST((f * idx.idx_bp) // 10000 AS BIGINT)
+         |           AS f_dow
+         |  FROM panel JOIN idx USING (next_dow), bounds
+         |  WHERE panel.daynum > bounds.mid AND next_cents IS NOT NULL)
+         |${rpt("brown", "f")}
+         |UNION ALL
+         |${rpt("brown_dow", "f_dow")}
+         |ORDER BY model""".stripMargin
     }
   )
 

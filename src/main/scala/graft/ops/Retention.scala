@@ -1574,6 +1574,90 @@ object Retention {
       .orderBy(col("day").asc)
   }
 
+  /** Forecaster bake-off: Brown double smoothing vs Brown ×
+    * day-of-week index — the model-selection backtest a revenue
+    * panel runs before trusting either. The seasonal index
+    * idx(dow) = mean(cents | dow) / mean(cents) is fit on the FIRST
+    * half of the dense spine only (the q63 leakage rule: the eval
+    * half must never have informed the index), then each eval-day
+    * forecast is F·idx(dow(t+1))/10⁴ against the plain F = 3S1−2S2.
+    * One row per model with MAE and weighted-MAPE (Σ|err|/Σy in bp —
+    * the scale-free read that doesn't blow up on near-zero days);
+    * whichever row wins is the model the panel should ship.
+    *
+    * Scale shape: everything downstream of the one fact pass lives
+    * on the calendar spine — the smoothing fan-outs, the 7-row dow
+    * index (broadcast back), the split bound (1-row broadcast), and
+    * the 2-row report. */
+  def seasonalBrownBacktest(orders: DataFrame,
+      windowDays: Int = 16): DataFrame = {
+    require(windowDays >= 2 && windowDays <= 32, "windowDays in [2,32]")
+    val w = windowDays.toLong
+    val denom = (1L << windowDays) - 1L
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+      .persist()
+    val bounds = day.agg(min(col("daynum")).as("mn"),
+      max(col("daynum")).as("mx"))
+      .withColumn("mid", expr("mn + (mx - mn) DIV 2"))
+      .persist()
+    val dense = bounds.select(explode(expr("sequence(mn, mx)")).as("daynum"))
+      .join(day, Seq("daynum"), "left")
+      .select(col("daynum"), coalesce(col("cents"), lit(0L)).as("cents"))
+      .persist()
+    def smooth(src: DataFrame, valueCol: String, out: String): DataFrame =
+      src
+        .select(col("daynum").as("src"), col(valueCol).as("v"),
+          explode(sequence(col("daynum"), col("daynum") + lit(w - 1L)))
+            .as("daynum"))
+        .withColumn("wv", col("v") * expr(
+          s"shiftleft(CAST(1 AS BIGINT), CAST(${w - 1L} - (daynum - src) AS INT))"))
+        .groupBy(col("daynum"))
+        .agg(expr(s"CAST(sum(wv) DIV $denom AS BIGINT)").as(out))
+    val s1c = dense.join(smooth(dense, "cents", "s1"), Seq("daynum"))
+      .persist()
+    val panel = s1c.join(smooth(s1c, "s1", "s2"), Seq("daynum"))
+      .withColumn("f",
+        greatest(lit(3L) * col("s1") - lit(2L) * col("s2"), lit(0L)))
+      .withColumn("next_cents",
+        lead(col("cents"), 1).over(Window.orderBy(col("daynum"))))
+      .withColumn("next_dow", pmod(col("daynum") + lit(1L), lit(7L)))
+      .persist()
+    // dow index from the TRAIN half only (day grain, 7+1 rows out)
+    val trainDays = dense.crossJoin(broadcast(bounds))
+      .filter(col("daynum") <= col("mid"))
+    val overall = trainDays.agg(
+      expr("sum(cents) DIV count(1)").as("__mean"))
+    val idx = trainDays
+      .groupBy(pmod(col("daynum"), lit(7L)).as("next_dow"))
+      .agg(expr("sum(cents) DIV count(1)").as("__dmean"))
+      .crossJoin(broadcast(overall))
+      .select(col("next_dow"),
+        when(col("__mean") > 0L,
+          expr("(10000 * __dmean) DIV __mean")).otherwise(lit(10000L))
+          .as("idx_bp"))
+    val eval0 = panel.crossJoin(broadcast(bounds))
+      .filter(col("daynum") > col("mid") && col("next_cents").isNotNull)
+      .join(broadcast(idx), Seq("next_dow"))
+      .withColumn("f_dow", expr("(f * idx_bp) DIV 10000"))
+      .persist()
+    def report(model: String, fc: Column): DataFrame =
+      eval0.agg(count(lit(1)).as("n_days"),
+        sum(abs(fc - col("next_cents"))).as("__ae"),
+        sum(col("next_cents")).as("__y"))
+        .select(lit(model).as("model"), col("n_days"),
+          expr("__ae DIV n_days").as("mae_cents"),
+          when(col("__y") > 0L, expr("(10000 * __ae) DIV __y"))
+            .as("wmape_bp"))
+    report("brown", col("f"))
+      .unionByName(report("brown_dow", col("f_dow")))
+      .orderBy(col("model").asc)
+  }
+
   /** Trailing-quantile revenue forecast with a pinball-loss
     * calibration backtest — the QUANTILE complement of [[brownForecast]]
     * (a point forecast says what to expect; capacity planning and

@@ -2226,6 +2226,44 @@ class OpsSpec extends SparkSpec {
       ("view", 10000L, 2500L, 7500L, 4285L)))
   }
 
+  test("seasonalBrownBacktest: JVM twin of the split, index, and both reports") {
+    val s2 = spark
+    import s2.implicits._
+    val w = 2
+    // 30 consecutive days with a strong dow signal
+    val cents = (0 until 30).map(i => (i, ((i % 7) + 1) * 1000L))
+    val orders = cents.map { case (i, c) =>
+      (java.time.LocalDate.ofEpochDay(19700L + i).toString, c / 100.0)
+    }.toDF("o_orderdate", "o_totalprice")
+    val got = Retention.seasonalBrownBacktest(orders, w)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    // twin
+    val mn = 19700L; val mx = 19729L; val mid = mn + (mx - mn) / 2
+    val y = cents.map { case (i, c) => (19700L + i) -> c }.toMap
+    def s1(d: Long) = (2 * y(d) + (if (d > mn) y(d - 1) else 0L)) / 3
+    def s2f(d: Long) = (2 * s1(d) + (if (d > mn) s1(d - 1) else 0L)) / 3
+    def f(d: Long) = math.max(3 * s1(d) - 2 * s2f(d), 0L)
+    val train = (mn to mid).map(d => d -> y(d))
+    val m = train.map(_._2).sum / train.size
+    val idx = (0L to 6L).map { dow =>
+      val ds = train.filter(_._1 % 7 == dow)
+      dow -> (if (m > 0) (10000L * (ds.map(_._2).sum / ds.size)) / m
+              else 10000L)
+    }.toMap
+    val ev = ((mid + 1) to (mx - 1)).map { d =>
+      (y(d + 1), f(d), (f(d) * idx((d + 1) % 7)) / 10000L)
+    }
+    def rep(pick: ((Long, Long, Long)) => Long) = {
+      val ae = ev.map(e => math.abs(pick(e) - e._1)).sum
+      (ev.size.toLong, ae / ev.size, (10000L * ae) / ev.map(_._1).sum)
+    }
+    val (n, maeB, wmB) = rep(_._2)
+    val (_, maeD, wmD) = rep(_._3)
+    assert(got == Seq(
+      ("brown", n, maeB, Some(wmB)),
+      ("brown_dow", n, maeD, Some(wmD))))
+  }
+
   test("negativeSampling: nested-isqrt ¾ weights, REST rollup closes the CDF") {
     val s2 = spark
     import s2.implicits._

@@ -1819,6 +1819,13 @@ class PlanAuditSpec extends SparkSpec {
       s"type-grain walk must not need a sort-merge join:\n$p")
   }
 
+  test("q293 seasonal brown: cached spine; index and report at calendar grain") {
+    val p = plan("q293_seasonal_brown")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q290 supplier skyline: one fact join to supplier grain; dim-grain sort-scan") {
     val p = plan("q290_supplier_skyline")
     val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
