@@ -541,6 +541,14 @@ object ScaleProbe {
     t("markov attribution")(graft.ops.Market.markovAttribution(
       events, Seq("click", "error", "signup", "view")))
     t("seasonal brown")(graft.ops.Retention.seasonalBrownBacktest(orders))
+    t("position attribution")(graft.ops.Sessionize.positionAttribution(events))
+    t("ks test")(graft.ops.Experiment.ksTest(events))
+    t("cms check")(graft.ops.CountMin.heavyHitterCheck(docs))
+    t("scd2 history")(graft.ops.Scd.tierHistory(events))
+    t("scd2 revenue")(graft.ops.Scd.revenueByTier(events))
+    t("transition entropy")(graft.ops.Market.transitionEntropy(events))
+    t("label prop")(graft.ops.Graph.labelProp(
+      graft.ops.Market.coVisitPairs(events), 4, 2L))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

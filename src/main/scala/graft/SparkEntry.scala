@@ -320,7 +320,14 @@ object SparkEntry {
     "q290_supplier_skyline" -> (Queries.supplierSkyline _),
     "q291_quantile_forecast" -> (Queries.quantileForecast _),
     "q292_markov_attribution" -> (Queries.markovAttribution _),
-    "q293_seasonal_brown" -> (Queries.seasonalBrownBacktest _)
+    "q293_seasonal_brown" -> (Queries.seasonalBrownBacktest _),
+    "q294_position_attribution" -> (Queries.positionAttribution _),
+    "q295_ks_test" -> (Queries.ksTest _),
+    "q296_cms_check" -> (Queries.cmsCheck _),
+    "q297_scd2_history" -> (Queries.scd2History _),
+    "q298_scd2_revenue" -> (Queries.scd2Revenue _),
+    "q299_transition_entropy" -> (Queries.transitionEntropy _),
+    "q300_label_prop" -> (Queries.labelProp _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2346,10 +2353,49 @@ object Queries {
     Retention.seasonalBrownBacktest(Tables(spark, dir, "orders"),
       EwmaWindowDays)
 
+  /** Position-based (U-shaped 40/20/40) attribution over the q124
+    * sessions: per-touch bp credit by path position, channel grain. */
+  def positionAttribution(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.positionAttribution(Tables(spark, dir, "events"))
+
   /** Mann-Whitney rank-sum test between the q147 arms on per-user
     * event counts (exact doubled-unit midranks; CLES effect size). */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame =
     Experiment.mannWhitney(Tables(spark, dir, "events"))
+
+  /** Kolmogorov-Smirnov two-sample test between the q147 arms on
+    * per-user event counts (cross-multiplied exact D, squared-bound
+    * alpha=0.05 verdict). */
+  def ksTest(spark: SparkSession, dir: String): DataFrame =
+    Experiment.ksTest(Tables(spark, dir, "events"))
+
+  /** Count-min sketch (4x256, md5-nibble rows) over corpus tokens:
+    * exact top-20 tokens vs their CMS estimates + e*N/w bound. */
+  def cmsCheck(spark: SparkSession, dir: String): DataFrame =
+    CountMin.heavyHitterCheck(Tables(spark, dir, "documents"))
+
+  /** SCD type-2 loyalty-tier history (thresholds 3/10/30 cumulative
+    * purchases): one effective-dated version row per tier change. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    Scd.tierHistory(Tables(spark, dir, "events"))
+
+  /** Point-in-time revenue by loyalty tier: purchases as-of-joined to
+    * the q297 version in force at their timestamp. */
+  def scd2Revenue(spark: SparkSession, dir: String): DataFrame =
+    Scd.revenueByTier(Tables(spark, dir, "events"))
+
+  /** Conditional next-step entropy per current event type (floor-log2
+    * surprisal bits over the q91 transition matrix). */
+  def transitionEntropy(spark: SparkSession, dir: String): DataFrame =
+    Market.transitionEntropy(Tables(spark, dir, "events"))
+
+  val LpRounds = 4
+
+  /** Weighted label-propagation community census over the shared
+    * co-visitation graph (4 synchronous rounds, min-label ties). */
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    Graph.labelProp(sharedCoVisPairs(spark, dir), LpRounds,
+      PageRankMinSupport)
 
   /** Trailing 7-day MEDIAN of daily revenue (q257's robust twin). */
   def trailingMedianRevenue(spark: SparkSession, dir: String): DataFrame =
@@ -11151,8 +11197,263 @@ object Oracles {
          |UNION ALL
          |${rpt("brown_dow", "f_dow")}
          |ORDER BY model""".stripMargin
+    },
+
+    // windows-only twin of the pair-free credit computation: fsum is
+    // the session-constant first-touch mass, msum the RANGE-frame
+    // suffix sum of middle rates, lead reads the closing touch.
+    "q294_position_attribution" ->
+      s"""$sessionCte, b AS (
+         |  SELECT user_id, session_seq, event_type,
+         |         row_number() OVER w AS seq,
+         |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+         |           AS is_conv
+         |  FROM sz
+         |  WINDOW w AS (PARTITION BY user_id, session_seq
+         |               ORDER BY ts_us, event_id)),
+         |wd AS (
+         |  SELECT event_type, seq, is_conv,
+         |         SUM(CASE WHEN is_conv = 1 AND seq >= 2 THEN
+         |               CASE WHEN seq = 2 THEN 10000
+         |                    WHEN seq = 3 THEN 5000 ELSE 4000 END
+         |             ELSE 0 END) OVER (PARTITION BY user_id, session_seq)
+         |           AS fsum,
+         |         lead(is_conv) OVER (PARTITION BY user_id, session_seq
+         |                             ORDER BY seq) AS nxt_conv,
+         |         SUM(CASE WHEN is_conv = 1 AND seq >= 4 THEN
+         |               CAST(FLOOR(2000.0 / (seq - 3)) AS BIGINT)
+         |             ELSE 0 END)
+         |           OVER (PARTITION BY user_id, session_seq ORDER BY seq
+         |                 RANGE BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING)
+         |           AS msum
+         |  FROM b),
+         |credits AS (
+         |  SELECT event_type AS channel,
+         |         (CASE WHEN seq = 1 THEN fsum ELSE 0 END)
+         |         + (CASE WHEN seq >= 2 AND nxt_conv = 1 THEN
+         |              CASE WHEN seq = 2 THEN 5000 ELSE 4000 END
+         |            ELSE 0 END)
+         |         + (CASE WHEN seq >= 2 THEN COALESCE(msum, 0) ELSE 0 END)
+         |           AS credit
+         |  FROM wd
+         |  UNION ALL
+         |  SELECT 'direct', 10000 FROM wd WHERE is_conv = 1 AND seq = 1),
+         |g AS (
+         |  SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_bp
+         |  FROM credits GROUP BY 1 HAVING SUM(credit) > 0)
+         |SELECT channel, credit_bp,
+         |       CAST(FLOOR(10000.0 * credit_bp /
+         |         SUM(credit_bp) OVER ()) AS BIGINT) AS share_bp
+         |FROM g ORDER BY channel""".stripMargin,
+
+    // exact D via cross-multiplied cumulative counts; the squared
+    // rejection bound runs in HUGEINT (Spark side: DECIMAL(38,0)).
+    "q295_ks_test" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH u AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM events GROUP BY 1),
+         |a AS (
+         |  SELECT m, CASE WHEN CAST($draw32 AS BIGINT) % 100 < 50
+         |            THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT user_id, m, md5(CAST(user_id AS VARCHAR)) AS draw
+         |        FROM u)),
+         |v AS (
+         |  SELECT m,
+         |         CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS ca,
+         |         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS cb
+         |  FROM a GROUP BY 1),
+         |w AS (
+         |  SELECT SUM(ca) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum_a,
+         |         SUM(cb) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum_b,
+         |         SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+         |  FROM v),
+         |d AS (
+         |  SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+         |         CAST(MAX(n_b) AS BIGINT) AS n_b,
+         |         CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+         |  FROM w)
+         |SELECT n_a, n_b, d_num,
+         |       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 * d_num / (n_a * n_b)) AS BIGINT)
+         |       END AS d_bp,
+         |       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         |            ELSE CAST(1000000 * CAST(d_num AS HUGEINT) * d_num >
+         |              1844164 * CAST(n_a + n_b AS HUGEINT) * n_a * n_b
+         |              AS INT)
+         |       END AS reject_05
+         |FROM d""".stripMargin
+    },
+
+    // every counter rebuilt nibble-by-nibble: row j's bucket = md5
+    // hex chars 2j+1..2j+2 (8 bits), the bucketOf convention.
+    "q296_cms_check" -> {
+      val nib = (p: String) =>
+        s"(instr('0123456789abcdef', substr(d, $p, 1)) - 1)"
+      s"""WITH c AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+         |        FROM documents WHERE text IS NOT NULL)
+         |  GROUP BY 1),
+         |h AS (SELECT tok, cnt, md5(tok) AS d FROM c),
+         |f AS (
+         |  SELECT tok, cnt, j.row_id,
+         |         ${nib("2 * j.row_id + 1")} * 16
+         |           + ${nib("2 * j.row_id + 2")} AS bucket
+         |  FROM h, (SELECT unnest(range(0, ${CountMin.Rows})) AS row_id) j),
+         |sk AS (
+         |  SELECT row_id, bucket, CAST(SUM(cnt) AS BIGINT) AS cc
+         |  FROM f GROUP BY 1, 2),
+         |p AS (SELECT tok, cnt, md5(tok) AS d FROM c
+         |      ORDER BY cnt DESC, tok ASC LIMIT 20),
+         |pf AS (
+         |  SELECT tok, cnt, j.row_id,
+         |         ${nib("2 * j.row_id + 1")} * 16
+         |           + ${nib("2 * j.row_id + 2")} AS bucket
+         |  FROM p, (SELECT unnest(range(0, ${CountMin.Rows})) AS row_id) j),
+         |est AS (
+         |  SELECT pf.tok, pf.cnt, CAST(MIN(sk.cc) AS BIGINT) AS est_cnt
+         |  FROM pf JOIN sk USING (row_id, bucket) GROUP BY 1, 2),
+         |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM c)
+         |SELECT tok AS token, cnt AS exact_cnt, est_cnt,
+         |       est_cnt - cnt AS over_cnt,
+         |       CAST(est_cnt - cnt <=
+         |         CAST(FLOOR(2.718281828 * n_tokens / ${CountMin.Width})
+         |           AS BIGINT) AS INT) AS bound_ok
+         |FROM est, n
+         |ORDER BY exact_cnt DESC, token""".stripMargin
+    },
+
+    // tier is nondecreasing, so version order (valid_from_us, tier)
+    // is event order even when two crossings share a timestamp.
+    "q297_scd2_history" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM events),
+         |t AS (
+         |  SELECT user_id, ts_us, event_id,
+         |         ${scdTierSql("cum")} AS tier
+         |  FROM e),
+         |c AS (
+         |  SELECT *, lag(tier) OVER (PARTITION BY user_id
+         |                            ORDER BY ts_us, event_id) AS prev
+         |  FROM t),
+         |ch AS (
+         |  SELECT user_id, tier, ts_us AS valid_from_us
+         |  FROM c WHERE prev IS NULL OR tier <> prev)
+         |SELECT user_id, tier, valid_from_us,
+         |       lead(valid_from_us) OVER (PARTITION BY user_id
+         |         ORDER BY valid_from_us, tier) - 1 AS valid_to_us
+         |FROM ch""".stripMargin,
+
+    // interval-join twin of the as-of read: degenerate zero-width
+    // versions (two crossings on one timestamp) match nothing, so the
+    // highest tier at the instant wins — exactly the Spark tie-break.
+    "q298_scd2_revenue" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+         |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM events),
+         |t AS (
+         |  SELECT user_id, ts_us, event_id, event_type, value,
+         |         ${scdTierSql("cum")} AS tier
+         |  FROM e),
+         |c AS (
+         |  SELECT *, lag(tier) OVER (PARTITION BY user_id
+         |                            ORDER BY ts_us, event_id) AS prev
+         |  FROM t),
+         |hist AS (
+         |  SELECT user_id, tier, valid_from_us,
+         |         lead(valid_from_us) OVER (PARTITION BY user_id
+         |           ORDER BY valid_from_us, tier) - 1 AS valid_to_us
+         |  FROM (SELECT user_id, tier, ts_us AS valid_from_us
+         |        FROM c WHERE prev IS NULL OR tier <> prev)),
+         |purch AS (
+         |  SELECT user_id, ts_us, value FROM t WHERE event_type = 'purchase'),
+         |rd AS (
+         |  SELECT p.user_id, p.value, h.tier
+         |  FROM purch p LEFT JOIN hist h
+         |    ON p.user_id = h.user_id AND p.ts_us >= h.valid_from_us
+         |    AND (h.valid_to_us IS NULL OR p.ts_us <= h.valid_to_us))
+         |SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+         |         AS revenue_cents
+         |FROM rd GROUP BY 1 ORDER BY tier""".stripMargin,
+
+    // q91's transition CTEs + the flog2 surprisal sum (q126 bit
+    // convention): total_bits = sum c*floor(log2(n/c)).
+    "q299_transition_entropy" ->
+      s"""$sessionCte,
+         |st AS (
+         |  SELECT user_id, session_seq, event_type,
+         |         lag(event_type) OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS prev_type
+         |  FROM sz),
+         |tr AS (
+         |  SELECT prev_type, event_type AS next_type,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM st WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |wt AS (
+         |  SELECT prev_type, c,
+         |         CAST(SUM(c) OVER (PARTITION BY prev_type) AS BIGINT) AS n
+         |  FROM tr),
+         |b AS (
+         |  SELECT prev_type, c, n,
+         |         CAST(${flog2rSql("n", "c")} AS BIGINT) AS bits
+         |  FROM wt)
+         |SELECT prev_type, CAST(MAX(n) AS BIGINT) AS n_transitions,
+         |       CAST(SUM(c * bits) AS BIGINT) AS total_bits,
+         |       CAST(FLOOR(1000.0 * SUM(c * bits) / MAX(n)) AS BIGINT)
+         |         AS avg_bits_milli
+         |FROM b GROUP BY 1 ORDER BY prev_type""".stripMargin,
+
+    // the 4 LPA sweeps unrolled symbolically (the q52 kmeans
+    // convention); weighted edges from the q93 pair CTEs.
+    "q300_label_prop" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      val rounds = (1 to Queries.LpRounds).map { i =>
+        s"""s$i AS (
+           |  SELECT e.dst AS item, l.label, CAST(SUM(e.w) AS BIGINT) AS score
+           |  FROM edgw e JOIN l${i - 1} l ON e.src = l.item GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT item, label FROM (
+           |    SELECT item, label, ROW_NUMBER() OVER (PARTITION BY item
+           |      ORDER BY score DESC, label ASC) AS rn FROM s$i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$sessionCte,
+         |${coVisEdgesCte(cap, ms)},
+         |edgw AS (
+         |  SELECT item_a AS src, item_b AS dst, w FROM pairs WHERE w >= $ms
+         |  UNION ALL
+         |  SELECT item_b, item_a, w FROM pairs WHERE w >= $ms),
+         |l0 AS (SELECT DISTINCT src AS item, src AS label FROM edgw),
+         |$rounds
+         |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM l${Queries.LpRounds} GROUP BY 1
+         |ORDER BY n_items DESC, community""".stripMargin
     }
   )
+
+  /** SCD tier of a cumulative purchase count (SQL twin of
+    * Scd.tierOf over [[graft.ops.Scd.TierThresholds]]). */
+  private[graft] def scdTierSql(cum: String): String =
+    graft.ops.Scd.TierThresholds
+      .map(t => s"CASE WHEN $cum >= $t THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
 
   /** Exact ⌊log₂(a/b)⌋ over positive BIGINT expressions (DuckDB
     * dialect) — the no-libm log twin of `TrainingPrep.flog2Ratio`:

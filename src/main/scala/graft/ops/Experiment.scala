@@ -234,6 +234,56 @@ object Experiment {
       .orderBy(col("arm").asc)
   }
 
+  /** Kolmogorov–Smirnov two-sample test between the deterministic
+    * arms on the per-user event-count metric — the DISTRIBUTION-shape
+    * complement of [[mannWhitney]]: the rank-sum test only sees
+    * location (a variance-only treatment effect leaves U at chance),
+    * KS flags ANY difference between the two empirical CDFs. Exact
+    * integer statistic: D is computed as max over the value grid of
+    * |cumA·n_b − cumB·n_a| (cross-multiplied BIGINTs — never a float
+    * CDF subtraction), reported in floor-bp of n_a·n_b. The α=0.05
+    * verdict is the large-sample rejection D > c(α)·√((n_a+n_b)/
+    * (n_a·n_b)), c(0.05)=1.358, evaluated EXACTLY by squaring both
+    * sides in DECIMAL(38,0): 10⁶·D_num² vs 1 844 164·(n_a+n_b)·n_a·n_b
+    * — no sqrt, no libm (house rule).
+    *
+    * Scale shape: one user-grain pass (the fact shuffle), then the
+    * CDF walk runs at metric-VALUE grain (the q77 histogram trick) —
+    * the single-partition cum window sees distinct per-user counts,
+    * never users. Output is 1 row. */
+  def ksTest(events: DataFrame, splitPct: Int = 50): DataFrame = {
+    require(splitPct >= 1 && splitPct <= 99, "splitPct in [1,99]")
+    val users = events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("m"))
+      .withColumn("arm", armCol("user_id", splitPct))
+    val vals = users.groupBy(col("m"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("cb"))
+    val wv = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val dec = "decimal(38,0)"
+    vals
+      .withColumn("cum_a", sum(col("ca")).over(wv))
+      .withColumn("cum_b", sum(col("cb")).over(wv))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .withColumn("diff",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("diff")).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) * col("d_num") /
+            (col("n_a") * col("n_b"))).cast("long")).as("d_bp"),
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("int"))
+          .otherwise((col("d_num").cast(dec) * col("d_num") * lit(1000000L) >
+            lit(1844164L).cast(dec) * (col("n_a") + col("n_b")) *
+              col("n_a") * col("n_b")).cast("int")).as("reject_05"))
+  }
+
   /** Exact ROC-AUC of an engagement score predicting conversion —
     * the classifier-health number next to [[gainsTable]]'s deciles:
     * AUC = P(score of a random converter > score of a random

@@ -521,6 +521,60 @@ object Graph {
     distN.orderBy(col("hops").asc, col("item").asc)
   }
 
+  /** Label-propagation communities (Raghavan et al. 2007), the
+    * modularity-style read FINER than [[componentSizes]]: CC says
+    * "connected at all", LPA says "densely connected" — a bridge edge
+    * joins two components into one CC but label propagation keeps the
+    * two dense sides in different communities. Deterministic variant:
+    * synchronous rounds, every node adopts the label with the highest
+    * incident WEIGHT mass among its neighbors (score desc, label asc
+    * tie — no RNG, no visit-order dependence, so the oracle replays
+    * it exactly); a FIXED round budget keeps the plan bounded and
+    * sidesteps synchronous LPA's bipartite oscillation by fiat — the
+    * output is "communities after K sweeps", the same determinism
+    * convention as [[pageRank]]'s fixed iterations.
+    *
+    * Columns: community (label = member item id), n_items; ordered
+    * n_items desc, community asc.
+    *
+    * Scale shape: per round ONE edge⋈labels join (edge-grain, the
+    * item catalog's pair list — never fact rows), an (item, label)
+    * aggregate, and a per-item top-1 window (WindowGroupLimit);
+    * label frames are node-grain and lineage-truncated per round
+    * (the [[kcore]] 3^iters lesson). */
+  def labelProp(pairs: DataFrame, rounds: Int = 4, minWeight: Long = 1L,
+      weightCol: String = "pair_sessions"): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds in [1,8]")
+    val p = pairs.filter(col(weightCol) >= minWeight)
+    val edges = p.select(col("item_a").as("src"), col("item_b").as("dst"),
+        col(weightCol).as("w"))
+      .union(p.select(col("item_b").as("src"), col("item_a").as("dst"),
+        col(weightCol).as("w")))
+      .localCheckpoint(false)
+    val labels0 = edges.select(col("src").as("item")).distinct()
+      .select(col("item"), col("item").as("label"))
+      .localCheckpoint(false)
+    val byItem = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("score").desc, col("label").asc)
+    val finalLabels = (1 to rounds).foldLeft(labels0) { (labels, r) =>
+      val next = edges
+        .join(labels.withColumnRenamed("item", "src"), Seq("src"))
+        .groupBy(col("dst").as("item"), col("label"))
+        .agg(sum(col("w")).as("score"))
+        .withColumn("rn", row_number().over(byItem))
+        .filter(col("rn") === 1)
+        .select(col("item"), col("label"))
+      // last round stays declarative so the join+window shape is
+      // plan-auditable; mid rounds truncate lineage
+      if (r < rounds) next.localCheckpoint(false) else next
+    }
+    finalLabels
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy(col("n_items").desc, col("community").asc)
+  }
+
   /** k-core extraction by iterative peeling (Seidman 1983) — the
     * standard "dense backbone vs ragged fringe" cut: repeatedly drop
     * every vertex with degree < k until none remain. Recommenders

@@ -277,6 +277,44 @@ object Market {
       .select("prev_type", "next_type", "transitions", "prob_bp")
   }
 
+  /** Next-step predictability — the conditional-entropy read over the
+    * [[transitions]] matrix: per current type, H(next | cur) in the
+    * house no-libm bit units (per-outcome surprisal ⌊log₂(n/c)⌋ via
+    * `flog2Ratio`, mass-weighted — the integer floor of the Shannon
+    * sum, the same convention as q126 token surprisal and the q285
+    * bigram bits). Low avg bits = a navigation rail (the next step is
+    * nearly forced); high = a browse hub. The number [[markovEval]]
+    * contextualizes: top-1 accuracy CAN'T beat a high-entropy row, and
+    * this table says which rows those are.
+    *
+    * Columns: prev_type, n_transitions, total_bits, avg_bits_milli.
+    *
+    * Scale shape: one sessionize shuffle (the lag window), then
+    * everything at event-type²-grain: row totals via a type-keyed
+    * window, one aggregate back to type grain. */
+  def transitionEntropy(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    Sessionize.assignSessions(events)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(bySession))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(byPrev))
+      .withColumn("bits",
+        TrainingPrep.flog2Ratio(col("n"), col("c")).cast("long"))
+      .groupBy(col("prev_type"))
+      .agg(max(col("n")).as("n_transitions"),
+        sum(col("c") * col("bits")).as("total_bits"))
+      .withColumn("avg_bits_milli",
+        floor(lit(1000.0) * col("total_bits") / col("n_transitions"))
+          .cast("long"))
+      .orderBy(col("prev_type").asc)
+  }
+
   /** Time-split next-event prediction eval — does the [[transitions]]
     * matrix actually PREDICT, or only describe? Train on transitions
     * whose predicted (next) event falls BEFORE `splitDate`, take each

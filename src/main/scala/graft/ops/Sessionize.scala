@@ -283,6 +283,87 @@ object Sessionize {
           sum(col("conversions")).over(byModel)).cast("long"))
   }
 
+  /** Position-based ("U-shaped") attribution — the third standard
+    * model next to [[attribution]]'s first/last and
+    * [[Market.markovAttribution]]'s counterfactual: every touch in
+    * the conversion's session prefix earns credit, weighted by
+    * POSITION — 40% first, 40% last, the middle 20% split evenly
+    * (n = 1 touch → 100%; n = 2 → 50/50; a first-of-session
+    * conversion has no touch → `direct`). Credit is integer bp per
+    * (conversion, touch): first/last weights are exact constants,
+    * each middle touch gets ⌊2000/(n−2)⌋ bp (IEEE divide + floor is
+    * bit-identical cross-engine; the ≤(n−3) bp floor remainder per
+    * conversion is documented, never re-distributed — the same floor
+    * convention as every share in the house).
+    *
+    * The interesting part is the shape: the naive implementation
+    * joins every conversion to its whole session prefix (a range
+    * self-join — path rows explode quadratically in multi-purchase
+    * sessions). Here each EVENT computes its own total credit with
+    * three window reads on the one sessionize partition:
+    *
+    *  - first-credit (seq 1 only): a session-constant sum of
+    *    fw(s) over the session's conversions at seq s ≥ 2
+    *    (fw = 10000/5000/4000 for path length 1/2/≥3);
+    *  - last-credit (seq k ≥ 2, next event converts): 5000 when the
+    *    path is the pair, 4000 otherwise — a `lead` read;
+    *  - middle-credit (seq k ≥ 2): Σ ⌊2000/(s−3)⌋ over conversions
+    *    at s ≥ k+2 — a RANGE frame (2 FOLLOWING → ∞) suffix sum, so
+    *    every later conversion's middle rate is read once per event,
+    *    not once per (event, conversion) pair.
+    *
+    * Zero joins, zero self-pairs: row count stays |events| + one
+    * extra row per first-of-session conversion (the `direct`
+    * credit, emitted via a filtered explode). Report at channel
+    * grain: total credit_bp and share_bp.
+    */
+  def positionAttribution(events: DataFrame, gapSeconds: Long = 1800L,
+      convType: String = "purchase"): DataFrame = {
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySeq = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("seq").cast("long"))
+    val base = assignSessions(events, gapSeconds)
+      .withColumn("seq", row_number().over(bySession))
+      .withColumn("is_conv", (col("event_type") === convType).cast("int"))
+    val credited = base
+      // session-constant first-touch mass: fw(s) per conversion, s>=2
+      .withColumn("fsum", sum(
+        when(col("is_conv") === 1 && col("seq") >= 2,
+          when(col("seq") === 2, 10000L)
+            .when(col("seq") === 3, 5000L).otherwise(4000L))
+          .otherwise(0L))
+        .over(Window.partitionBy(col("user_id"), col("session_seq"))))
+      .withColumn("nxt_conv", lead(col("is_conv"), 1).over(bySession))
+      // suffix sum of middle rates over conversions >= 2 positions later
+      .withColumn("msum", sum(
+        when(col("is_conv") === 1 && col("seq") >= 4,
+          floor(lit(2000.0) / (col("seq") - 3)).cast("long"))
+          .otherwise(0L))
+        .over(bySeq.rangeBetween(2L, Window.unboundedFollowing)))
+      .withColumn("credit",
+        when(col("seq") === 1, col("fsum")).otherwise(0L) +
+        when(col("seq") >= 2 && col("nxt_conv") === 1,
+          when(col("seq") === 2, 5000L).otherwise(4000L)).otherwise(0L) +
+        when(col("seq") >= 2, coalesce(col("msum"), lit(0L))).otherwise(0L))
+      .withColumn("direct_credit",
+        when(col("is_conv") === 1 && col("seq") === 1, 10000L).otherwise(0L))
+    val wAll = Window.partitionBy()
+    credited
+      .select(explode(expr(
+        """filter(array(struct(event_type AS channel, credit),
+          |             struct('direct' AS channel, direct_credit AS credit)),
+          |       x -> x.credit > 0)""".stripMargin)).as("c"))
+      .groupBy(col("c.channel").as("channel"))
+      .agg(sum(col("c.credit")).as("credit_bp"))
+      .withColumn("share_bp",
+        floor(lit(10000.0) * col("credit_bp") /
+          sum(col("credit_bp")).over(wAll)).cast("long"))
+      .orderBy(col("channel").asc)
+  }
+
   /** Session-timeout sensitivity sweep — the calibration table run
     * BEFORE anyone hardcodes a 30-minute gap: for each candidate
     * timeout T, the session count the corpus would produce, in ONE

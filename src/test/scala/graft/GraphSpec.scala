@@ -189,4 +189,27 @@ class GraphSpec extends SparkSpec {
     // min-hop: the cycle revisits 1 at hop 2 but the anti-join drops it
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("labelProp: weak bridge keeps two dense sides in separate communities (CC merges them)") {
+    // two weight-3 triangles joined by a weight-1 bridge 3–5
+    val pairs = pairsDf(
+      (1L, 2L, 3L), (1L, 3L, 3L), (2L, 3L, 3L),
+      (5L, 6L, 3L), (5L, 7L, 3L), (6L, 7L, 3L),
+      (3L, 5L, 1L))
+    val got = Graph.labelProp(pairs, rounds = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (5L, 3L)))
+    // the contrast claim: connected components see ONE island
+    val cc = Graph.componentSizes(pairs).as[(Long, Long)].collect().toSeq
+    assert(cc == Seq((1L, 6L)))
+  }
+
+  test("labelProp: fixed round budget is deterministic under synchronous oscillation") {
+    // a star oscillates under synchronous sweeps; 4 rounds pins the
+    // even-sweep state — same answer every run and in the oracle
+    val pairs = pairsDf((10L, 1L, 5L), (10L, 2L, 1L))
+    val got = Graph.labelProp(pairs, rounds = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (10L, 1L)))
+  }
 }

@@ -132,6 +132,21 @@ class MarketSpec extends SparkSpec {
     assert(got == Seq((1L, Seq(3L), 4L)))
   }
 
+  test("transitionEntropy: floor-log2 surprisal mass on a hand matrix") {
+    // one session v c v c v c v p: from 'view' n=4 (3 click, 1
+    // purchase) → bits 3·⌊log2 4/3⌋ + 1·⌊log2 4/1⌋ = 2; from 'click'
+    // n=3 all view → 0
+    val df = toEvents((0 to 7).map { i =>
+      val typ = if (i == 7) "purchase" else if (i % 2 == 0) "view" else "click"
+      ev(i.toLong, 1, f"2024-01-01 00:0$i:00", typ, 1)
+    })
+    val got = Market.transitionEntropy(df)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 3L, 0L, 0L),
+      ("view", 4L, 2L, 500L)))
+  }
+
   test("transitions never crosses a session boundary") {
     // two sessions of the same user: last event of s1 is 'click',
     // first of s2 is 'view' — no click->view edge may appear

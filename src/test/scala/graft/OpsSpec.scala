@@ -2276,4 +2276,121 @@ class OpsSpec extends SparkSpec {
       (2, "b", 2L, 1L, 250000L, 750000L),
       (3, "<REST>", 1L, 1L, 250000L, 1000000L)))
   }
+
+  test("ksTest: exact cross-multiplied D and squared-bound verdict match a JVM recompute") {
+    val s2 = spark
+    import s2.implicits._
+    // engineered counts: same trick as the mannWhitney spec — the op
+    // only reads user_id, the metric is the per-user row count
+    val counts = (1L to 40L).map(u => u -> (1 + ((u * u) % 7)).toInt).toMap
+    val events = counts.toSeq.flatMap { case (u, n) =>
+      (1 to n).map(_ => u)
+    }.toDF("user_id")
+    val row = Experiment.ksTest(events).collect().head
+    // JVM walk over the value grid
+    val byArm = counts.toSeq.map { case (u, m) => (m.toLong, armOf(u)) }
+    val nA = byArm.count(_._2 == "A").toLong
+    val nB = byArm.size - nA
+    var cumA = 0L; var cumB = 0L; var dNum = 0L
+    byArm.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      cumA += g.count(_._2 == "A"); cumB += g.count(_._2 == "B")
+      dNum = math.max(dNum, math.abs(cumA * nB - cumB * nA))
+    }
+    assert(row.getAs[Long]("n_a") == nA && row.getAs[Long]("n_b") == nB)
+    assert(row.getAs[Long]("d_num") == dNum)
+    assert(row.getAs[Long]("d_bp") ==
+      math.floor(10000.0 * dNum / (nA * nB)).toLong)
+    val reject = BigInt(1000000) * BigInt(dNum) * BigInt(dNum) >
+      BigInt(1844164) * BigInt(nA + nB) * BigInt(nA) * BigInt(nB)
+    assert(row.getAs[Int]("reject_05") == (if (reject) 1 else 0))
+    // identical arms on a symmetric fixture would reject nothing; here
+    // just pin D's range
+    assert(row.getAs[Long]("d_bp") >= 0L && row.getAs[Long]("d_bp") <= 10000L)
+  }
+
+  test("cms heavyHitterCheck: estimates are one-sided and match a JVM sketch") {
+    val s2 = spark
+    import s2.implicits._
+    // small vocab so md5 collisions are reproducible in the JVM twin
+    val words = (0 until 40).map(i => s"w$i")
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(1 + (i * 13) % 17)(w) }
+      .mkString(" ")
+    val docs = Seq((1L, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exact = text.split(" ").groupBy(identity).map { case (w, a) =>
+      w -> a.length.toLong
+    }
+    val sketch = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      .withDefaultValue(0L)
+    exact.foreach { case (w, c) =>
+      val h = md5hex(w)
+      (0 until CountMin.Rows).foreach { j =>
+        val b = Integer.parseInt(h.substring(2 * j, 2 * j + 2), 16)
+        sketch((j, b)) += c
+      }
+    }
+    def est(w: String): Long = {
+      val h = md5hex(w)
+      (0 until CountMin.Rows).map { j =>
+        sketch((j, Integer.parseInt(h.substring(2 * j, 2 * j + 2), 16)))
+      }.min
+    }
+    val got = CountMin.heavyHitterCheck(docs, topK = 10).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val w = r.getAs[String]("token")
+      assert(r.getAs[Long]("exact_cnt") == exact(w))
+      assert(r.getAs[Long]("est_cnt") == est(w), s"token $w")
+      assert(r.getAs[Long]("over_cnt") >= 0L, "CMS must never underestimate")
+    }
+    // probe selection: exact top-10 by (count desc, token asc)
+    val wantProbes = exact.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(10).map(_._1).toSet
+    assert(got.map(_.getAs[String]("token")).toSet == wantProbes)
+  }
+
+  test("scd2 tierHistory + revenueByTier: versions, intervals, and PIT reads on hand journeys") {
+    val s2 = spark
+    import s2.implicits._
+    def e(id: Long, u: Long, t: String, typ: String, v: Double = 10.0) =
+      (id, Timestamp.valueOf(t), u, typ, v, "{}")
+    // user 1: 4 purchases — crosses the 3-threshold on the 3rd
+    val evs = Seq(
+      e(0, 1, "2024-01-01 00:00:00", "view"),
+      e(1, 1, "2024-01-01 01:00:00", "purchase", 1.0),
+      e(2, 1, "2024-01-01 02:00:00", "purchase", 2.0),
+      e(3, 1, "2024-01-01 03:00:00", "purchase", 4.0), // opens tier 1
+      e(4, 1, "2024-01-01 04:00:00", "purchase", 8.0),
+      // user 2: two purchases share ONE timestamp, the first crossing
+      // tier 1 — both must read in the NEW tier (version rows sort
+      // before probe rows at equal ts)
+      e(5, 2, "2024-01-02 00:00:00", "purchase", 1.0),
+      e(6, 2, "2024-01-02 01:00:00", "purchase", 2.0),
+      e(7, 2, "2024-01-02 02:00:00", "purchase", 4.0),
+      e(8, 2, "2024-01-02 02:00:00", "purchase", 8.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val hist = Scd.tierHistory(evs, Seq(3L, 10L, 30L)).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("tier")) ->
+        ((r.getAs[Long]("valid_from_us"), Option(r.get(3)).map(_.toString))))
+      .toMap
+    def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+    // user 1: tier 0 opens at first event, tier 1 at the 3rd purchase
+    assert(hist((1L, 0)) ==
+      ((us("2024-01-01 00:00:00"), Some((us("2024-01-01 03:00:00") - 1).toString))))
+    assert(hist((1L, 1)) == ((us("2024-01-01 03:00:00"), None)))
+    // user 2: same-ts crossing — tier1's version starts at the shared ts
+    assert(hist((2L, 1))._1 == us("2024-01-02 02:00:00"))
+    val rev = Scd.revenueByTier(evs, Seq(3L, 10L, 30L)).collect()
+      .map(r => r.getAs[Int]("tier") ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Long]("n_users"),
+          r.getAs[Long]("revenue_cents")))).toMap
+    // tier 0: u1 p1+p2 (300c), u2 p1+p2 (300c); tier 1: u1 p3+p4
+    // (1200c), u2 BOTH same-ts purchases read in the new tier (1200c)
+    assert(rev == Map(
+      0 -> ((4L, 2L, 600L)),
+      1 -> ((4L, 2L, 2400L))))
+  }
 }

@@ -1834,4 +1834,69 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q294 position attribution: join-free window credits; one fact shuffle; props pruned") {
+    val p = plan("q294_position_attribution")
+    // suffix sums + lead + explode replace the naive conversion×prefix
+    // self-join — no join node of any kind may appear
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q295 ks test: join-free; CDF walk at value grain; scan pruned to user_id") {
+    val p = plan("q295_ks_test")
+    assert(!p.contains("Join"), p)
+    // one fact shuffle to user grain; the rest is value-grain metadata
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(readSchema == "user_id:bigint", s"scan not pruned: $readSchema")
+  }
+
+  test("q296 cms check: one corpus pass (cached token counts); sketch join broadcast") {
+    val p = plan("q296_cms_check")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q297 scd2 history: ONE user shuffle end to end (run/lag/lead subset-clustered)") {
+    val p = plan("q297_scd2_history")
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q298 scd2 revenue: as-of union+window, never a range join") {
+    val p = plan("q298_scd2_revenue")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // probe+build union rides user_id partitioning; report is tier grain
+    assert(shuffles(p) <= 5, p)
+  }
+
+  test("q299 transition entropy: one sessionize shuffle; type-grain walk; join-free") {
+    val p = plan("q299_transition_entropy")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q300 label prop: rides the checkpointed co-vis artifact; no cartesian, no live fact scan") {
+    val p = plan("q300_label_prop")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the pair build lives in the Shared artifact: the query plan must
+    // read the checkpointed RDD, never re-scan events
+    assert(!stripCached(p).contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
 }

@@ -240,6 +240,94 @@ class SessionizeSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("positionAttribution: hand journeys cover every path-length regime") {
+    val evs = Seq(
+      // user 1: view click view click purchase — n=4: first view 4000,
+      // last click 4000, middles (click, view) floor(2000/2)=1000 each
+      ev(0, 1, "2024-01-01 00:00:00", "view"),
+      ev(1, 1, "2024-01-01 00:01:00", "click"),
+      ev(2, 1, "2024-01-01 00:02:00", "view"),
+      ev(3, 1, "2024-01-01 00:03:00", "click"),
+      ev(4, 1, "2024-01-01 00:04:00", "purchase"),
+      // user 2: solo purchase -> direct 10000
+      ev(5, 2, "2024-01-01 00:00:00", "purchase"),
+      // user 3: view purchase -> n=1: view 10000
+      ev(6, 3, "2024-01-01 00:00:00", "view"),
+      ev(7, 3, "2024-01-01 00:01:00", "purchase"),
+      // user 4: view click purchase -> n=2: view 5000, click 5000
+      ev(8, 4, "2024-01-01 00:00:00", "view"),
+      ev(9, 4, "2024-01-01 00:01:00", "click"),
+      ev(10, 4, "2024-01-01 00:02:00", "purchase"),
+      // user 5: view purchase purchase -> conv1 n=1: view 10000;
+      // conv2 n=2: view 5000 (first), purchase 5000 (last)
+      ev(11, 5, "2024-01-01 00:00:00", "view"),
+      ev(12, 5, "2024-01-01 00:01:00", "purchase"),
+      ev(13, 5, "2024-01-01 00:02:00", "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Sessionize.positionAttribution(evs).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("credit_bp"), r.getAs[Long]("share_bp")))).toMap
+    // view: 4000+1000 (u1) + 10000 (u3) + 5000 (u4) + 10000+5000 (u5)
+    assert(out == Map(
+      "view" -> ((35000L, 5833L)),
+      "click" -> ((10000L, 1666L)), // u1 4000+1000, u4 5000
+      "purchase" -> ((5000L, 833L)), // u5 conv2 last touch
+      "direct" -> ((10000L, 1666L)))) // u2 solo
+  }
+
+  test("positionAttribution matches a per-conversion path walk on generated journeys") {
+    // deterministic journeys incl. session gaps, repeat purchases,
+    // and long paths (middle splits with floors)
+    val types = Seq("view", "click", "cart", "purchase", "signup")
+    val evs = (1L to 30L).flatMap { u =>
+      val n = 3 + (u % 9).toInt
+      (0 until n).map { i =>
+        val minutes = i * (5 + (u % 3).toInt * 20) // gaps up to 45min
+        val typ = types(((u * 7 + i * 3) % types.size).toInt)
+        (u * 100 + i, Timestamp.valueOf("2024-01-01 00:00:00").toLocalDateTime
+          .plusMinutes(minutes).toString.replace('T', ' ') + ":00", u, typ)
+      }
+    }.map { case (id, t, u, typ) => ev(id, u, t.take(19), typ) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // JVM walk: sessionize at 1800s, enumerate conversions, credit paths
+    val rows = evs.select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, Timestamp, String)].collect()
+    val credits = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._2)).toSeq
+      var sessions = Seq(Seq(sorted.head))
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          if (b._3.getTime - a._3.getTime > 1800000L)
+            sessions :+= Seq(b)
+          else sessions = sessions.init :+ (sessions.last :+ b)
+        case _ =>
+      }
+      sessions.foreach { sess =>
+        sess.zipWithIndex.filter(_._1._4 == "purchase").foreach {
+          case (_, idx) =>
+            val path = sess.take(idx).map(_._4)
+            path.size match {
+              case 0 => credits("direct") += 10000L
+              case 1 => credits(path.head) += 10000L
+              case 2 => credits(path.head) += 5000L
+                credits(path.last) += 5000L
+              case n =>
+                credits(path.head) += 4000L
+                credits(path.last) += 4000L
+                val mid = math.floor(2000.0 / (n - 2)).toLong
+                path.slice(1, n - 1).foreach(c => credits(c) += mid)
+            }
+        }
+      }
+    }
+    val got = Sessionize.positionAttribution(evs).collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Long]("credit_bp"))
+      .toMap
+    assert(got == credits.toMap.filter(_._2 > 0L))
+  }
+
   test("attribution share_bp sums to ~10000 within each model on the fixture") {
     val rows = Queries.attribution(spark, sf).collect()
     Seq("first", "last").foreach { m =>
