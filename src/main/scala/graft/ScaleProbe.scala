@@ -549,6 +549,11 @@ object ScaleProbe {
     t("transition entropy")(graft.ops.Market.transitionEntropy(events))
     t("label prop")(graft.ops.Graph.labelProp(
       graft.ops.Market.coVisitPairs(events), 4, 2L))
+    t("autocorrelation")(graft.ops.Retention.autocorrelation(orders))
+    t("power iteration")(graft.ops.Similarity.powerIteration(emb))
+    t("sketch quantiles")(graft.ops.Percentiles.sketchQuantileTable(
+      lineitem, "l_returnflag", "l_extendedprice"))
+    t("path trigrams")(graft.ops.Market.pathTrigrams(events))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -327,7 +327,11 @@ object SparkEntry {
     "q297_scd2_history" -> (Queries.scd2History _),
     "q298_scd2_revenue" -> (Queries.scd2Revenue _),
     "q299_transition_entropy" -> (Queries.transitionEntropy _),
-    "q300_label_prop" -> (Queries.labelProp _)
+    "q300_label_prop" -> (Queries.labelProp _),
+    "q301_autocorrelation" -> (Queries.autocorrelation _),
+    "q302_power_iteration" -> (Queries.powerIteration _),
+    "q303_sketch_quantiles" -> (Queries.sketchQuantiles _),
+    "q304_path_trigrams" -> (Queries.pathTrigrams _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2396,6 +2400,34 @@ object Queries {
   def labelProp(spark: SparkSession, dir: String): DataFrame =
     Graph.labelProp(sharedCoVisPairs(spark, dir), LpRounds,
       PageRankMinSupport)
+
+  val AutocorrLags = Seq(1, 7, 14, 28)
+
+  /** Daily-revenue autocorrelation at the candidate seasonal lags
+    * (dense spine, decimal cross-products, truncated integer ratio). */
+  def autocorrelation(spark: SparkSession, dir: String): DataFrame =
+    Retention.autocorrelation(Tables(spark, dir, "orders"), AutocorrLags)
+
+  val PowerIters = 3
+
+  /** Matrix-free power iteration: top principal direction's variance
+    * share of the centered moment matrix (the q286 spectral upgrade). */
+  def powerIteration(spark: SparkSession, dir: String): DataFrame =
+    Similarity.powerIteration(Tables(spark, dir, "embeddings"),
+      AnisotropyDim, PowerIters)
+
+  /** Log-band quantile sketch vs the exact nearest-rank answer on
+    * lineitem prices by returnflag (the mergeable-percentile swap). */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Percentiles.sketchQuantileTable(Tables(spark, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice")
+
+  val TrigramTopK = 20
+
+  /** Top contiguous 3-step session paths with share of all 3-windows
+    * (funnel discovery at event-type-cubed grain). */
+  def pathTrigrams(spark: SparkSession, dir: String): DataFrame =
+    Market.pathTrigrams(Tables(spark, dir, "events"), TrigramTopK)
 
   /** Trailing 7-day MEDIAN of daily revenue (q257's robust twin). */
   def trailingMedianRevenue(spark: SparkSession, dir: String): DataFrame =
@@ -11445,7 +11477,203 @@ object Oracles {
          |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_items
          |FROM l${Queries.LpRounds} GROUP BY 1
          |ORDER BY n_items DESC, community""".stripMargin
-    }
+    },
+
+    // HUGEINT cross-products; truncated (//) mean and ratio — the
+    // Spark side's decimal DIV convention, pinned negative-safe.
+    "q301_autocorrelation" -> {
+      val lags = Queries.AutocorrLags
+      val leads = lags.map(l =>
+        s"lead(dev, $l) OVER (ORDER BY daynum) AS d$l").mkString(",\n|         ")
+      val sums = lags.map(l =>
+        s"""SUM(CASE WHEN d$l IS NOT NULL
+           |             THEN CAST(dev AS HUGEINT) * d$l ELSE 0 END) AS n$l,
+           |         CAST(SUM(CASE WHEN d$l IS NOT NULL THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS c$l""".stripMargin).mkString(",\n         ")
+      val rows = lags.map(l =>
+        s"""SELECT CAST($l AS BIGINT) AS lag_days, c$l AS n_pairs,
+           |       CASE WHEN den > 0
+           |            THEN CAST((10000 * n$l) // den AS BIGINT) END AS r_bp
+           |FROM t""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |sp AS (
+         |  SELECT unnest(generate_series((SELECT MIN(daynum) FROM d),
+         |           (SELECT MAX(daynum) FROM d))) AS daynum),
+         |dense AS (
+         |  SELECT sp.daynum, COALESCE(d.cents, 0) AS cents
+         |  FROM sp LEFT JOIN d USING (daynum)),
+         |m AS (SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) AS m FROM dense),
+         |v AS (SELECT daynum, cents - m.m AS dev FROM dense, m),
+         |w AS (
+         |  SELECT dev,
+         |         $leads
+         |  FROM v),
+         |t AS (
+         |  SELECT SUM(CAST(dev AS HUGEINT) * dev) AS den,
+         |         $sums
+         |  FROM w)
+         |$rows
+         |ORDER BY lag_days""".stripMargin
+    },
+
+    // the K power sweeps unrolled symbolically (q52 convention); every
+    // sweep is B'v = n·Σq(q·v) − s(s·v) at (vec, dim) long format,
+    // renormalized to max|v|=1000 by // (truncation — Spark DIV twin)
+    "q302_power_iteration" -> {
+      val d = Queries.AnisotropyDim
+      val k = Queries.PowerIters
+      val sweeps = (1 to k).map { j =>
+        s"""p$j AS (
+           |  SELECT pos.vec_id,
+           |         CAST(SUM(CAST(pos.qv AS HUGEINT) * v${j - 1}.v) AS HUGEINT)
+           |           AS p
+           |  FROM pos JOIN v${j - 1} USING (i) GROUP BY 1),
+           |qp$j AS (
+           |  SELECT pos.i,
+           |         CAST(SUM(CAST(pos.qv AS HUGEINT) * p$j.p) AS HUGEINT) AS qp
+           |  FROM pos JOIN p$j USING (vec_id) GROUP BY 1),
+           |sv$j AS (
+           |  SELECT CAST(SUM(CAST(dims.s AS HUGEINT) * v${j - 1}.v)
+           |           AS HUGEINT) AS sv
+           |  FROM dims JOIN v${j - 1} USING (i)),
+           |w$j AS (
+           |  SELECT qp$j.i, nn.n * qp$j.qp - dims.s * sv$j.sv AS w
+           |  FROM qp$j JOIN dims USING (i), nn, sv$j),
+           |m$j AS (SELECT MAX(ABS(w)) AS m FROM w$j),
+           |v$j AS (
+           |  SELECT i, CASE WHEN m$j.m = 0 THEN CAST(1000 AS HUGEINT)
+           |                 ELSE (1000 * w) // m$j.m END AS v
+           |  FROM w$j, m$j)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))
+         |           AS q
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = $d),
+         |pos AS (
+         |  SELECT vec_id, unnest(q) AS qv,
+         |         unnest(range(1, len(q) + 1)) AS i
+         |  FROM e),
+         |dims AS (
+         |  SELECT i, CAST(SUM(qv) AS HUGEINT) AS s,
+         |         CAST(SUM(qv * qv) AS HUGEINT) AS ss
+         |  FROM pos GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e),
+         |v0 AS (SELECT unnest(range(1, $d + 1)) AS i,
+         |              CAST(1000 AS HUGEINT) AS v),
+         |$sweeps,
+         |pf AS (
+         |  SELECT pos.vec_id,
+         |         CAST(SUM(CAST(pos.qv AS HUGEINT) * v$k.v) AS HUGEINT) AS p
+         |  FROM pos JOIN v$k USING (i) GROUP BY 1),
+         |svf AS (
+         |  SELECT CAST(SUM(CAST(dims.s AS HUGEINT) * v$k.v) AS HUGEINT) AS sv
+         |  FROM dims JOIN v$k USING (i)),
+         |vtv AS (SELECT CAST(SUM(v * v) AS HUGEINT) AS t FROM v$k),
+         |st AS (
+         |  SELECT CAST(SUM(nn.n * ss - s * s) AS HUGEINT) AS bprime
+         |  FROM dims, nn),
+         |ag AS (SELECT CAST(SUM(p * p) AS HUGEINT) AS spp FROM pf),
+         |fin AS (
+         |  SELECT CAST(nn.n AS BIGINT) AS n_vecs,
+         |         CAST($d AS INT) AS n_dims,
+         |         CAST($k AS INT) AS iters,
+         |         CASE WHEN vtv.t = 0 OR st.bprime = 0 THEN NULL
+         |              ELSE CAST((10000 * (nn.n * ag.spp - svf.sv * svf.sv))
+         |                // (vtv.t * st.bprime) AS BIGINT)
+         |         END AS top_share_bp,
+         |         CAST(${10000L / d} AS BIGINT) AS isotropy_bp
+         |  FROM nn, vtv, st, ag, svf)
+         |SELECT *,
+         |       CASE WHEN top_share_bp IS NULL THEN NULL
+         |            ELSE CAST((1000 * top_share_bp) // isotropy_bp
+         |              AS BIGINT)
+         |       END AS excess_milli
+         |FROM fin""".stripMargin
+    },
+
+    // bit-length bands via format('{:b}') (the flog2 convention);
+    // both walks share the q73 nearest-rank rule (n·p+9999)//10000
+    "q303_sketch_quantiles" -> {
+      val ranks = Seq(5000L, 9000L, 9900L).mkString(", ")
+      s"""WITH h AS (
+         |  SELECT l_returnflag AS g,
+         |         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+         |q AS (SELECT unnest([$ranks]) AS rank_bp),
+         |e AS (
+         |  SELECT g, cents, cnt,
+         |         SUM(cnt) OVER (PARTITION BY g ORDER BY cents) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY g) AS n
+         |  FROM h),
+         |ex AS (
+         |  SELECT g, rank_bp, CAST(MIN(n) AS BIGINT) AS n_rows,
+         |         CAST(MIN(CASE WHEN cum >= (n * rank_bp + 9999) // 10000
+         |                       THEN cents END) AS BIGINT) AS exact_cents
+         |  FROM e, q GROUP BY 1, 2),
+         |b AS (
+         |  SELECT g,
+         |         CASE WHEN cents <= 0 THEN 0
+         |              ELSE CAST(length(format('{:b}', cents)) AS INT)
+         |         END AS band,
+         |         CAST(SUM(cnt) AS BIGINT) AS bcnt
+         |  FROM h GROUP BY 1, 2),
+         |bc AS (
+         |  SELECT g, band, bcnt,
+         |         SUM(bcnt) OVER (PARTITION BY g ORDER BY band) AS cumb,
+         |         SUM(bcnt) OVER (PARTITION BY g) AS n
+         |  FROM b),
+         |bq AS (
+         |  SELECT g, rank_bp,
+         |         CAST(MIN(CASE WHEN cumb >= (n * rank_bp + 9999) // 10000
+         |                       THEN band END) AS INT) AS sk_band
+         |  FROM bc, q GROUP BY 1, 2),
+         |j AS (
+         |  SELECT ex.g AS l_returnflag, ex.rank_bp, ex.n_rows,
+         |         ex.exact_cents, bq.sk_band,
+         |         CASE WHEN bq.sk_band = 0 THEN 0
+         |              ELSE (CAST(1 AS BIGINT) << (bq.sk_band - 1))
+         |         END AS sk_lo_cents,
+         |         CASE WHEN bq.sk_band = 0 THEN 0
+         |              ELSE (CAST(1 AS BIGINT) << bq.sk_band) - 1
+         |         END AS sk_hi_cents
+         |  FROM ex JOIN bq ON ex.g = bq.g AND ex.rank_bp = bq.rank_bp)
+         |SELECT l_returnflag, CAST(rank_bp AS BIGINT) AS rank_bp, n_rows,
+         |       exact_cents, sk_band, sk_lo_cents, sk_hi_cents,
+         |       CAST(exact_cents BETWEEN sk_lo_cents AND sk_hi_cents AS INT)
+         |         AS within,
+         |       CAST(((sk_hi_cents - sk_lo_cents) * 10000)
+         |         // GREATEST(sk_lo_cents, 1) AS BIGINT) AS rel_width_bp
+         |FROM j ORDER BY l_returnflag, rank_bp""".stripMargin
+    },
+
+    "q304_path_trigrams" ->
+      s"""$sessionCte,
+         |st AS (
+         |  SELECT event_type,
+         |         lead(event_type, 1) OVER w AS t1,
+         |         lead(event_type, 2) OVER w AS t2
+         |  FROM sz
+         |  WINDOW w AS (PARTITION BY user_id, session_seq
+         |               ORDER BY ts_us, event_id)),
+         |g AS (
+         |  SELECT event_type AS step1, t1 AS step2, t2 AS step3,
+         |         CAST(COUNT(*) AS BIGINT) AS n_paths
+         |  FROM st WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+         |  GROUP BY 1, 2, 3)
+         |SELECT step1, step2, step3, n_paths,
+         |       CAST(FLOOR(10000.0 * n_paths / SUM(n_paths) OVER ())
+         |         AS BIGINT) AS share_bp
+         |FROM g
+         |ORDER BY n_paths DESC, step1, step2, step3
+         |LIMIT ${Queries.TrigramTopK}""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

@@ -277,6 +277,43 @@ object Market {
       .select("prev_type", "next_type", "transitions", "prob_bp")
   }
 
+  /** Frequent 3-step journey patterns — the sequence-mining read one
+    * order up from [[transitions]] (2-step) and sideways from
+    * [[Market.nextItemPairs]] (items, not types): which exact
+    * three-event paths do sessions actually walk, with each path's
+    * share of all 3-windows. The funnel-DISCOVERY tool: q07's funnel
+    * asks about a path someone already hypothesized; this table says
+    * which paths are worth hypothesizing (a PrefixSpan depth-3 census
+    * restricted to contiguous steps — the contiguity is what keeps it
+    * one window pass instead of a subsequence blowup).
+    *
+    * Columns: step1, step2, step3, n_paths, share_bp; top `topK` by
+    * count (type tie-breaks — deterministic).
+    *
+    * Scale shape: two leads on the ONE sessionize shuffle (same
+    * window partition), then everything at event-type³ grain —
+    * bounded by the type catalog cubed, never by fact rows. */
+  def pathTrigrams(events: DataFrame, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySession = Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy()
+    Sessionize.assignSessions(events)
+      .withColumn("t1", lead(col("event_type"), 1).over(bySession))
+      .withColumn("t2", lead(col("event_type"), 2).over(bySession))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t1").as("step2"),
+        col("t2").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .withColumn("share_bp",
+        floor(lit(10000.0) * col("n_paths") /
+          sum(col("n_paths")).over(wAll)).cast("long"))
+      .orderBy(col("n_paths").desc, col("step1").asc, col("step2").asc,
+        col("step3").asc)
+      .limit(topK)
+  }
+
   /** Next-step predictability — the conditional-entropy read over the
     * [[transitions]] matrix: per current type, H(next | cur) in the
     * house no-libm bit units (per-outcome surprisal ⌊log₂(n/c)⌋ via

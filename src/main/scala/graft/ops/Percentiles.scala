@@ -113,6 +113,79 @@ object Percentiles {
         col("q.value_cents").as("value_cents"), col("n_rows"))
   }
 
+  /** Log-band quantile SKETCH next to its exact answer — the
+    * mergeable swap for [[quantileTable]] when the value domain is
+    * genuinely unbounded (the one regime the scaladoc above sends to
+    * sketches): per (group, bit-length band) counts are the whole
+    * summary — ≤64 rows per group, cell-wise addable across
+    * executors/days exactly like the q281 HLL partials — and the
+    * quantile answer is the band holding the target rank, i.e. a
+    * GUARANTEED-width interval [2^(b−1), 2^b−1] (relative width ≤ 2×)
+    * rather than a point. The verdict columns make the trade
+    * auditable: `within` (the exact nearest-rank value lands in the
+    * sketch's band — structural: both walks use the same rank rule
+    * over the same mass, so a 0 here is a bug, not noise) and
+    * `rel_width_bp` (what 2× relative error means at this quantile,
+    * in bp of the band floor).
+    *
+    * Columns: group, rank_bp, n_rows, exact_cents, sk_band,
+    * sk_lo_cents, sk_hi_cents, within, rel_width_bp.
+    *
+    * Scale shape: ONE fact pass to the (group, cents) histogram
+    * (persisted — the exact walk and the band walk are two readers;
+    * caller-owns-cache convention); the band walk then runs over ≤64
+    * rows per group. At 100 TB you'd ship ONLY the band counts and
+    * skip the exact twin — the twin exists to grade the sketch. */
+  def sketchQuantileTable(df: DataFrame, groupCol: String, valueCol: String,
+      ranksBp: Seq[Long] = Seq(5000L, 9000L, 9900L)): DataFrame = {
+    require(ranksBp.nonEmpty && ranksBp.forall(p => p >= 1L && p <= 10000L)
+      && ranksBp.distinct.size == ranksBp.size, "ranks distinct, in [1,10000]")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol),
+        floor(col(valueCol) * lit(100.0)).cast("long").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val wg = Window.partitionBy(col(groupCol))
+    def rankOf(p: Long) = expr(s"(n * $p + 9999) div 10000")
+    val exact = hist
+      .withColumn("cum", sum(col("cnt")).over(wg.orderBy(col("cents").asc)))
+      .withColumn("n", sum(col("cnt")).over(wg))
+    val exactQ = exact.groupBy(col(groupCol))
+      .agg(min(col("n")).as("n_rows"), ranksBp.map { p =>
+        min(when(col("cum") >= rankOf(p), col("cents"))).as(s"__e$p")
+      }: _*)
+    val bands = hist
+      .withColumn("band", when(col("cents") <= 0L, lit(0))
+        .otherwise(length(bin(col("cents")))).cast("int"))
+      .groupBy(col(groupCol), col("band"))
+      .agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("cumb", sum(col("bcnt")).over(wg.orderBy(col("band").asc)))
+      .withColumn("n", sum(col("bcnt")).over(wg))
+    val bAggs = ranksBp.map { p =>
+      min(when(col("cumb") >= rankOf(p), col("band"))).as(s"__b$p")
+    }
+    val bandQ = bands.groupBy(col(groupCol)).agg(bAggs.head, bAggs.tail: _*)
+    exactQ.join(bandQ, Seq(groupCol))
+      .select(col(groupCol), col("n_rows"),
+        explode(array(ranksBp.map { p =>
+          struct(lit(p).as("rank_bp"), col(s"__e$p").as("exact_cents"),
+            col(s"__b$p").as("sk_band"))
+        }: _*)).as("q"))
+      .select(col(groupCol), col("q.rank_bp").as("rank_bp"), col("n_rows"),
+        col("q.exact_cents").as("exact_cents"),
+        col("q.sk_band").as("sk_band"))
+      .withColumn("sk_lo_cents", when(col("sk_band") === 0, 0L)
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), sk_band - 1)")))
+      .withColumn("sk_hi_cents", when(col("sk_band") === 0, 0L)
+        .otherwise(expr("shiftleft(CAST(1 AS BIGINT), sk_band) - 1")))
+      .withColumn("within",
+        (col("exact_cents") >= col("sk_lo_cents") &&
+          col("exact_cents") <= col("sk_hi_cents")).cast("int"))
+      .withColumn("rel_width_bp", expr(
+        "((sk_hi_cents - sk_lo_cents) * 10000) DIV greatest(sk_lo_cents, 1)"))
+      .orderBy(col(groupCol).asc, col("rank_bp").asc)
+  }
+
   /** WEIGHTED exact nearest-rank quantiles: rank positions measured
     * in weight mass, not rows — "the price below which half the
     * UNITS ship" needs quantity weighting, and a row-ranked quantile

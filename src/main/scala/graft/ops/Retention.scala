@@ -1574,6 +1574,72 @@ object Retention {
       .orderBy(col("day").asc)
   }
 
+  /** Daily-revenue autocorrelation panel — the seasonality DETECTOR
+    * that justifies (or vetoes) [[seasonalBrownBacktest]]'s dow index
+    * before anyone fits it: r(ℓ) for the candidate lags over the
+    * dense calendar spine (dark days are true zeros — skipping them
+    * would splice non-adjacent days together and fabricate
+    * correlation). A strong r(7) says weekly seasonality is real;
+    * r(1) is the momentum read; r(28) ≈ monthly habit.
+    *
+    * Exactness: deviations are against the TRUNCATED integer mean
+    * (Σ DIV n — the bias is < 1 cent/day and both engines compute it
+    * identically); cross-products are summed in DECIMAL(38,0)
+    * (HUGEINT twin) because dev² reaches cents², far past 2^63; the
+    * final ratio is (10⁴·N_ℓ) DIV D — integer division truncating
+    * toward zero in BOTH engines (pinned by the spec), never a float
+    * over 2^53. |r_bp| ≤ 10⁴ by Cauchy–Schwarz, so the quotient
+    * always fits a BIGINT.
+    *
+    * Columns: lag_days, n_pairs, r_bp.
+    *
+    * Scale shape: one fact pass to day grain; the spine, the per-lag
+    * leads (ONE single-partition window pass over calendar rows —
+    * metadata), and the |lags|-row report never see fact rows. */
+  def autocorrelation(orders: DataFrame,
+      lags: Seq[Int] = Seq(1, 7, 14, 28)): DataFrame = {
+    require(lags.nonEmpty && lags == lags.sorted && lags.head >= 1 &&
+      lags.distinct == lags, "lags ascending, distinct, >= 1")
+    // the spine bounds and the dense join are two lineage readers of
+    // the day panel — persist so the fact table is scanned once
+    // (package.scala caller-owns-cache convention)
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+      .persist()
+    val spine = day
+      .agg(min(col("daynum")).as("mn"), max(col("daynum")).as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("daynum"))
+    val dec = "decimal(38,0)"
+    val wDay = Window.orderBy(col("daynum"))
+    val withDev = spine.join(day, Seq("daynum"), "left")
+      .select(col("daynum"), coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("dev",
+        col("cents") - expr("sum(cents) OVER () DIV count(1) OVER ()"))
+    val withLeads = lags.foldLeft(withDev) { (d, l) =>
+      d.withColumn(s"__d$l", lead(col("dev"), l).over(wDay))
+    }
+    val aggs =
+      Seq(count(lit(1)).as("n_days"),
+        sum(col("dev").cast(dec) * col("dev")).as("den")) ++
+      lags.flatMap(l => Seq(
+        sum(when(col(s"__d$l").isNotNull,
+          col("dev").cast(dec) * col(s"__d$l")).otherwise(lit(0L).cast(dec)))
+          .as(s"__n$l"),
+        sum(col(s"__d$l").isNotNull.cast("long")).as(s"__c$l")))
+    val tot = withLeads.agg(aggs.head, aggs.tail: _*)
+    tot.select(explode(array(lags.map(l =>
+        struct(lit(l.toLong).as("lag_days"), col(s"__c$l").as("n_pairs"),
+          when(col("den") > 0,
+            expr(s"(CAST(10000 AS $dec) * __n$l) DIV den"))
+            .otherwise(lit(null).cast("long")).as("r_bp"))): _*)).as("r"))
+      .select(col("r.lag_days"), col("r.n_pairs"), col("r.r_bp"))
+      .orderBy(col("lag_days").asc)
+  }
+
   /** Forecaster bake-off: Brown double smoothing vs Brown ×
     * day-of-week index — the model-selection backtest a revenue
     * panel runs before trusting either. The seasonal index

@@ -628,6 +628,115 @@ object Similarity {
     * 38 digits to n ≈ 7×10⁵ vectors — run the audit on a sample at
     * corpus scale (it estimates a RATIO; a fixed 10⁵-row hash sample
     * is the production shape) or drop quant a decade per 100× rows. */
+  /** Dominant-eigendirection variance share by power iteration — the
+    * SPECTRAL upgrade of [[anisotropy]]: that op measures variance
+    * along the MEAN direction (the common-bias read); this one finds
+    * the actual top principal direction of the centered second-moment
+    * matrix and reports its variance share, the "is the embedding
+    * space collapsing onto one axis" number (rogue-dimension audits,
+    * Timkey & van Schijndel 2021). top_share_bp ≥ q286's
+    * var_explained_bp by construction; a large gap means the dominant
+    * axis is NOT the mean direction — whitening would help where
+    * mean-centering alone wouldn't.
+    *
+    * The d×d covariance is NEVER materialized: each power step
+    * computes B'v = n·Σ q(q·v) − s(s·v) with one corpus map pass
+    * (p = q·v per vector via zip_with, then a posexplode to dim
+    * grain), where s is the dim-sum vector — the matrix-free
+    * iteration that scales to any corpus. Everything integer: vectors
+    * quantized at `quant` (q286 convention), v renormalized each
+    * round to max|v| = 1000 by DECIMAL DIV (truncation toward zero —
+    * identical in both engines, pinned by the spec), ties and signs
+    * deterministic. Fixed `iters` budget (the pageRank convention):
+    * the report is "the share after K sweeps" — convergence is fast
+    * (gap ratio per sweep) and K is part of the contract.
+    *
+    * Columns: n_vecs, n_dims, iters, top_share_bp (vᵀB'v/(vᵀv·trB')),
+    * isotropy_bp (10⁴/d), excess_milli.
+    *
+    * Scale shape: K+2 corpus passes over the persisted quantized
+    * frame (caller-owns-cache); every other frame is d-row or 1-row
+    * metadata, broadcast into the next pass. The decimal bounds are
+    * anisotropy's: past ~7×10⁵ vectors run on a hash sample or drop
+    * `quant` a decade. */
+  def powerIteration(emb: DataFrame, dim: Int = 64, iters: Int = 3,
+      quant: Long = 1000L): DataFrame = {
+    require(iters >= 1 && iters <= 6, "iters in [1,6]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val e = emb
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(expr(s"transform(embedding, x -> " +
+        s"CAST(FLOOR(CAST(x AS DOUBLE) * $quant.0) AS BIGINT))").as("q"))
+      .persist()
+    val dims = e
+      .select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("i"))
+      .agg(sum(col("qi")).as("s"), sum(col("qi") * col("qi")).as("ss"))
+      .persist()
+    val nRow = e.agg(count(lit(1)).as("n"))
+    // p = q·v per vector, for a given broadcast v array frame
+    def projected(vFrame: DataFrame): DataFrame =
+      e.crossJoin(broadcast(vFrame))
+        .select(col("q"), expr(
+          "aggregate(zip_with(q, vv, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("p"))
+    def svDotOf(vFrame: DataFrame): DataFrame =
+      dims.agg(sort_array(collect_list(struct(col("i"), col("s")))).as("a"))
+        .select(expr("transform(a, x -> x.s)").as("sv"))
+        .crossJoin(vFrame)
+        .select(expr(
+          "aggregate(zip_with(sv, vv, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("svdot"))
+    val v0 = nRow.select(
+      array((0 until dim).map(_ => lit(1000L)): _*).as("vv"))
+    val wAll = Window.partitionBy()
+    val vFinal = (1 to iters).foldLeft(v0) { (vF, _) =>
+      val qp = projected(vF)
+        .select(posexplode(col("q")).as(Seq("i", "qi")), col("p"))
+        .groupBy(col("i")).agg(sum(col("qi") * col("p")).as("qp"))
+      val next = qp
+        .join(dims.select(col("i"), col("s")), Seq("i"))
+        .crossJoin(broadcast(nRow))
+        .crossJoin(broadcast(svDotOf(vF)))
+        .select(col("i"),
+          (dec(col("n")) * dec(col("qp")) -
+            dec(col("s")) * dec(col("svdot"))).as("w"))
+        .withColumn("m", max(abs(col("w"))).over(wAll))
+        .select(col("i"),
+          when(col("m") === dec(lit(0L)), lit(1000L))
+            .otherwise(expr("(CAST(1000 AS DECIMAL(38,0)) * w) DIV m"))
+            .as("v"))
+        .agg(sort_array(collect_list(struct(col("i"), col("v")))).as("a"))
+        .select(expr("transform(a, x -> x.v)").as("vv"))
+      next.localCheckpoint(false)
+    }
+    val stats = dims.crossJoin(broadcast(nRow)).agg(
+      sum(dec(col("n")) * dec(col("ss")) - dec(col("s")) * dec(col("s")))
+        .as("bprime"))
+    val vtv = vFinal.select(expr(
+      "aggregate(transform(vv, x -> x * x), CAST(0 AS BIGINT), " +
+        "(acc, x) -> acc + x)").as("vtv"))
+    projected(vFinal)
+      .agg(count(lit(1)).as("n"), sum(dec(col("p")) * dec(col("p"))).as("spp"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(svDotOf(vFinal)))
+      .crossJoin(broadcast(vtv))
+      .withColumn("__num",
+        dec(col("n")) * col("spp") - dec(col("svdot")) * dec(col("svdot")))
+      .select(col("n").as("n_vecs"), lit(dim).as("n_dims"),
+        lit(iters).as("iters"),
+        when(col("vtv") === 0L || col("bprime") === dec(lit(0L)),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(10000 AS DECIMAL(38,0)) * __num)" +
+              " DIV (CAST(vtv AS DECIMAL(38,0)) * bprime) AS BIGINT)"))
+          .as("top_share_bp"),
+        lit(10000L / dim).as("isotropy_bp"))
+      .withColumn("excess_milli",
+        when(col("top_share_bp").isNull, lit(null).cast("long"))
+          .otherwise(expr("(1000 * top_share_bp) DIV isotropy_bp")))
+  }
+
   def anisotropy(emb: DataFrame, dim: Int = 64, quant: Long = 1000L): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val e = emb

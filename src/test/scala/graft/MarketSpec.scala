@@ -147,6 +147,27 @@ class MarketSpec extends SparkSpec {
       ("view", 4L, 2L, 500L)))
   }
 
+  test("pathTrigrams: contiguous 3-windows with shares; sessions isolate") {
+    // v c v c v c v p -> windows vcv×3, cvc×2, cvp×1 (6 total)
+    val df = toEvents((0 to 7).map { i =>
+      val typ = if (i == 7) "purchase" else if (i % 2 == 0) "view" else "click"
+      ev(i.toLong, 1, f"2024-01-01 00:0$i:00", typ, 1)
+    })
+    val got = Market.pathTrigrams(df)
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("view", "click", "view", 3L, 5000L),
+      ("click", "view", "click", 2L, 3333L),
+      ("click", "view", "purchase", 1L, 1666L)))
+    // a session break kills the straddling windows
+    val split = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "view", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "click", 1),
+      ev(2, 1, "2024-01-01 05:00:00", "view", 1),
+      ev(3, 1, "2024-01-01 05:01:00", "click", 1)))
+    assert(Market.pathTrigrams(split).count() == 0L)
+  }
+
   test("transitions never crosses a session boundary") {
     // two sessions of the same user: last event of s1 is 'click',
     // first of s2 is 'view' — no click->view edge may appear

@@ -2352,6 +2352,106 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_.getAs[String]("token")).toSet == wantProbes)
   }
 
+  test("autocorrelation: alternating series pins r(1)=-8750, r(2)=+7500 exactly") {
+    val s2 = spark
+    import s2.implicits._
+    // 8 days alternating 100/300 cents: mean 200, dev ±100.
+    // r(1): 7 products of -10000 -> (10000*-70000) DIV 80000 = -8750
+    // r(2): 6 products of +10000 -> (10000*60000) DIV 80000 = 7500
+    val orders = (0 until 8).map { i =>
+      (f"2024-01-${i + 1}%02d", if (i % 2 == 0) 1.0 else 3.0)
+    }.toDF("o_orderdate", "o_totalprice")
+    val got = Retention.autocorrelation(orders, Seq(1, 2))
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, 7L, Some(-8750L)), (2L, 6L, Some(7500L))))
+  }
+
+  test("autocorrelation matches a BigInt recompute on gapped generated revenue") {
+    val s2 = spark
+    import s2.implicits._
+    // deterministic daily revenue with a weekly pattern and dark days
+    val days = (0 until 60).filter(i => i % 11 != 3) // calendar gaps
+    val orders = days.map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      (d.toString, ((i % 7) * 17 + (i * i) % 23 + 1).toDouble)
+    }.toDF("o_orderdate", "o_totalprice")
+    val lags = Seq(1, 7)
+    val got = Retention.autocorrelation(orders, lags)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // JVM twin over the DENSE spine
+    val cents = days.map(i =>
+      i.toLong -> (((i % 7) * 17 + (i * i) % 23 + 1).toDouble * 100).floor.toLong).toMap
+    val spine = (0 to days.max).map(i => cents.getOrElse(i.toLong, 0L))
+    val n = spine.size.toLong
+    val m = spine.sum / n // truncated mean (all positive)
+    val dev = spine.map(_ - m)
+    val den = dev.map(d => BigInt(d) * d).sum
+    lags.foreach { l =>
+      val pairs = dev.indices.dropRight(l)
+      val num = pairs.map(t => BigInt(dev(t)) * dev(t + l)).sum
+      val r = (BigInt(10000) * num) / den // BigInt / truncates toward zero
+      assert(got(l.toLong) == ((pairs.size.toLong, Some(r.toLong))), s"lag $l")
+    }
+  }
+
+  test("powerIteration: single-axis corpus converges to share 10000; degenerate corpus is null") {
+    val s2 = spark
+    import s2.implicits._
+    val axis = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f), 0),
+      (2L, Seq(-1.0f, 0f, 0f, 0f), 0),
+      (3L, Seq(3.0f, 0f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val row = Similarity.powerIteration(axis, dim = 4, iters = 2).collect().head
+    assert((row.getAs[Long]("n_vecs"), row.getAs[Int]("n_dims"),
+      row.getAs[Long]("top_share_bp"), row.getAs[Long]("isotropy_bp"),
+      row.getAs[Long]("excess_milli")) == ((3L, 4, 10000L, 2500L, 4000L)))
+    // identical vectors: zero centered variance -> null shares
+    val flat = Seq(
+      (1L, Seq(1.0f, 1f, 1f, 1f), 0),
+      (2L, Seq(1.0f, 1f, 1f, 1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r2 = Similarity.powerIteration(flat, dim = 4, iters = 2).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("top_share_bp")))
+  }
+
+  test("powerIteration dominates the mean-direction share on the fixture") {
+    val top = Queries.powerIteration(spark, sf).collect().head
+      .getAs[Long]("top_share_bp")
+    val mean = Queries.anisotropy(spark, sf).collect().head
+      .getAs[Long]("var_explained_bp")
+    // the top principal direction explains at least what the mean
+    // direction does (up to the two floors' 1bp each)
+    assert(top >= mean - 2, s"top $top < mean-direction $mean")
+  }
+
+  test("sketchQuantileTable: bands hold the exact quantiles on a hand histogram") {
+    val s2 = spark
+    import s2.implicits._
+    // cents 1, 2, 5, 100 -> p50 rank 2 = 2c (band 2 = [2,3]),
+    // p99 rank 4 = 100c (band 7 = [64,127])
+    val df = Seq(("A", 0.01), ("A", 0.02), ("A", 0.05), ("A", 1.00))
+      .toDF("g", "v")
+    val got = Percentiles.sketchQuantileTable(df, "g", "v",
+      Seq(5000L, 9900L)).collect()
+      .map(r => r.getAs[Long]("rank_bp") ->
+        ((r.getAs[Long]("exact_cents"), r.getAs[Int]("sk_band"),
+          r.getAs[Long]("sk_lo_cents"), r.getAs[Long]("sk_hi_cents"),
+          r.getAs[Int]("within")))).toMap
+    assert(got(5000L) == ((2L, 2, 2L, 3L, 1)))
+    assert(got(9900L) == ((100L, 7, 64L, 127L, 1)))
+  }
+
+  test("sketchQuantileTable: within holds on every fixture row (structural one-sidedness)") {
+    val rows = Queries.sketchQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("within") == 1, r.toString)
+      assert(r.getAs[Long]("rel_width_bp") <= 10000L, r.toString)
+    }
+  }
+
   test("scd2 tierHistory + revenueByTier: versions, intervals, and PIT reads on hand journeys") {
     val s2 = spark
     import s2.implicits._

@@ -1890,6 +1890,42 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned: $readSchema")
   }
 
+  test("q301 autocorrelation: cached day panel; leads share one calendar window; no cartesian") {
+    val p = plan("q301_autocorrelation")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // all four lags read ONE window pass (a second Window node over
+    // daynum would mean the leads split)
+    assert("Window".r.findAllIn(stripCached(p)).length <= 2, p)
+  }
+
+  test("q302 power iteration: cached quantized corpus; sweeps are map passes, no fact join") {
+    val p = plan("q302_power_iteration")
+    assert(!stripCached(p).contains("Scan parquet"),
+      s"corpus re-scanned live:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"fact-grain join crept in:\n$p")
+  }
+
+  test("q303 sketch quantiles: one fact pass (cached cents histogram); band walk at band grain") {
+    val p = plan("q303_sketch_quantiles")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q304 path trigrams: both leads ride the one sessionize shuffle; join-free") {
+    val p = plan("q304_path_trigrams")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"scan not pruned: $readSchema")
+  }
+
   test("q300 label prop: rides the checkpointed co-vis artifact; no cartesian, no live fact scan") {
     val p = plan("q300_label_prop")
     assert(!p.contains("CartesianProduct") &&
