@@ -554,6 +554,10 @@ object ScaleProbe {
     t("sketch quantiles")(graft.ops.Percentiles.sketchQuantileTable(
       lineitem, "l_returnflag", "l_extendedprice"))
     t("path trigrams")(graft.ops.Market.pathTrigrams(events))
+    t("scd2 census")(graft.ops.Scd.monthEndCensus(events))
+    t("join cardinality")(graft.ops.Profile.joinCardinalityAudit(
+      events, orders, "user_id", "o_custkey"))
+    t("runs test")(graft.ops.Retention.runsTest(orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -331,7 +331,10 @@ object SparkEntry {
     "q301_autocorrelation" -> (Queries.autocorrelation _),
     "q302_power_iteration" -> (Queries.powerIteration _),
     "q303_sketch_quantiles" -> (Queries.sketchQuantiles _),
-    "q304_path_trigrams" -> (Queries.pathTrigrams _)
+    "q304_path_trigrams" -> (Queries.pathTrigrams _),
+    "q305_scd2_census" -> (Queries.scd2Census _),
+    "q306_join_cardinality" -> (Queries.joinCardinality _),
+    "q307_runs_test" -> (Queries.runsTest _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2428,6 +2431,22 @@ object Queries {
     * (funnel discovery at event-type-cubed grain). */
   def pathTrigrams(spark: SparkSession, dir: String): DataFrame =
     Market.pathTrigrams(Tables(spark, dir, "events"), TrigramTopK)
+
+  /** Month-end tier census: users per loyalty tier at every month-end
+    * instant, read from the q297 type-2 history. */
+  def scd2Census(spark: SparkSession, dir: String): DataFrame =
+    Scd.monthEndCensus(Tables(spark, dir, "events"))
+
+  /** System-R join-size estimate vs the true events⋈orders-on-user
+    * cardinality, scored as q-error (the optimizer-stats audit). */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame =
+    Profile.joinCardinalityAudit(Tables(spark, dir, "events"),
+      Tables(spark, dir, "orders"), "user_id", "o_custkey")
+
+  /** Wald-Wolfowitz runs test on daily revenue moves (trend vs
+    * oscillation vs random, exact squared-bound verdict). */
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    Retention.runsTest(Tables(spark, dir, "orders"))
 
   /** Trailing 7-day MEDIAN of daily revenue (q257's robust twin). */
   def trailingMedianRevenue(spark: SparkSession, dir: String): DataFrame =
@@ -11673,7 +11692,133 @@ object Oracles {
          |         AS BIGINT) AS share_bp
          |FROM g
          |ORDER BY n_paths DESC, step1, step2, step3
-         |LIMIT ${Queries.TrigramTopK}""".stripMargin
+         |LIMIT ${Queries.TrigramTopK}""".stripMargin,
+
+    // q297's history CTEs + a month-end cut spine built from the
+    // history's own bounds; containment join at version grain
+    "q305_scd2_census" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM events),
+         |t AS (
+         |  SELECT user_id, ts_us, event_id,
+         |         ${scdTierSql("cum")} AS tier
+         |  FROM e),
+         |c AS (
+         |  SELECT *, lag(tier) OVER (PARTITION BY user_id
+         |                            ORDER BY ts_us, event_id) AS prev
+         |  FROM t),
+         |hist AS (
+         |  SELECT user_id, tier, valid_from_us,
+         |         lead(valid_from_us) OVER (PARTITION BY user_id
+         |           ORDER BY valid_from_us, tier) - 1 AS valid_to_us
+         |  FROM (SELECT user_id, tier, ts_us AS valid_from_us
+         |        FROM c WHERE prev IS NULL OR tier <> prev)),
+         |bounds AS (
+         |  SELECT MIN(epoch_us(ts)) // 86400000000 AS mnd,
+         |         MAX(epoch_us(ts)) // 86400000000 AS mxd
+         |  FROM events WHERE ts IS NOT NULL),
+         |sp AS (
+         |  SELECT unnest(generate_series((SELECT mnd FROM bounds),
+         |           (SELECT mxd FROM bounds))) AS daynum),
+         |cuts AS (
+         |  SELECT strftime(d, '%Y-%m-%d') AS snapshot_day,
+         |         (daynum + 1) * 86400000000 - 1 AS cut_us
+         |  FROM (SELECT daynum, DATE '1970-01-01' + CAST(daynum AS INT) AS d
+         |        FROM sp)
+         |  WHERE last_day(d) = d OR daynum = (SELECT mxd FROM bounds))
+         |SELECT cuts.snapshot_day, hist.tier,
+         |       CAST(COUNT(*) AS BIGINT) AS n_users
+         |FROM hist JOIN cuts
+         |  ON hist.valid_from_us <= cuts.cut_us
+         | AND (hist.valid_to_us IS NULL OR hist.valid_to_us >= cuts.cut_us)
+         |GROUP BY 1, 2 ORDER BY snapshot_day, tier""".stripMargin,
+
+    // the true join size is a key-grain Σ cl·cr, never a row join;
+    // HUGEINT arithmetic, // quotients (Spark decimal DIV twin)
+    "q306_join_cardinality" ->
+      s"""WITH la AS (
+         |  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS cl
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |ra AS (
+         |  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cr
+         |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |ls AS (SELECT CAST(SUM(cl) AS BIGINT) AS n_left,
+         |              CAST(COUNT(*) AS BIGINT) AS ndv_left FROM la),
+         |rs AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_right,
+         |              CAST(COUNT(*) AS BIGINT) AS ndv_right FROM ra),
+         |ac AS (
+         |  SELECT COALESCE(SUM(CAST(cl AS HUGEINT) * cr), 0) AS actual_rows
+         |  FROM la JOIN ra USING (k)),
+         |f AS (
+         |  SELECT ls.n_left, rs.n_right, ls.ndv_left, rs.ndv_right,
+         |         CAST(ac.actual_rows AS BIGINT) AS actual_rows,
+         |         CAST((CAST(ls.n_left AS HUGEINT) * rs.n_right)
+         |           // GREATEST(ls.ndv_left, rs.ndv_right) AS BIGINT)
+         |           AS predicted_rows
+         |  FROM ls, rs, ac)
+         |SELECT n_left, n_right, ndv_left, ndv_right, actual_rows,
+         |       predicted_rows,
+         |       CASE WHEN actual_rows = 0 OR predicted_rows = 0 THEN NULL
+         |            ELSE CAST((1000 * CAST(GREATEST(actual_rows,
+         |                   predicted_rows) AS HUGEINT))
+         |              // LEAST(actual_rows, predicted_rows) AS BIGINT)
+         |       END AS q_error_milli,
+         |       CAST(predicted_rows < actual_rows AS INT) AS underestimated
+         |FROM f""".stripMargin,
+
+    // dense-spine moves, zero ties dropped; the verdict is the
+    // all-integer 10^4·A²·(n−1) > 38416·2m·(2m−n) compare in HUGEINT
+    "q307_runs_test" ->
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |sp AS (
+         |  SELECT unnest(generate_series((SELECT MIN(daynum) FROM d),
+         |           (SELECT MAX(daynum) FROM d))) AS daynum),
+         |dense AS (
+         |  SELECT sp.daynum, COALESCE(d.cents, 0) AS cents
+         |  FROM sp LEFT JOIN d USING (daynum)),
+         |mv AS (
+         |  SELECT daynum,
+         |         cents - lag(cents) OVER (ORDER BY daynum) AS mv
+         |  FROM dense),
+         |sg AS (
+         |  SELECT daynum, CASE WHEN mv > 0 THEN 1 ELSE -1 END AS s
+         |  FROM mv WHERE mv IS NOT NULL AND mv <> 0),
+         |ch AS (
+         |  SELECT s, CASE WHEN s <> lag(s) OVER (ORDER BY daynum)
+         |                 THEN 1 ELSE 0 END AS chg
+         |  FROM sg),
+         |t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_up,
+         |         CAST(1 + COALESCE(SUM(chg), 0) AS BIGINT) AS n_runs
+         |  FROM ch),
+         |f AS (
+         |  SELECT n AS n_moves, n_up, n - n_up AS n_down, n_runs,
+         |         2 * n_up * (n - n_up) AS m2
+         |  FROM t)
+         |SELECT n_moves, n_up, n_down, n_runs,
+         |       CASE WHEN n_moves = 0 THEN NULL
+         |            ELSE CAST((1000 * (n_moves + m2)) // n_moves AS BIGINT)
+         |       END AS expected_runs_milli,
+         |       CASE WHEN m2 = 0 OR n_moves < 2 THEN NULL
+         |            ELSE CAST(10000 *
+         |                   CAST(n_moves * n_runs - n_moves - m2 AS HUGEINT)
+         |                   * (n_moves * n_runs - n_moves - m2)
+         |                   * (n_moves - 1)
+         |                 > 38416 * CAST(m2 AS HUGEINT) * (m2 - n_moves)
+         |                 AS INT)
+         |       END AS reject_05
+         |FROM f""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

@@ -701,4 +701,61 @@ object Profile {
         ok("__sk_langs", "n_langs").as("langs_sketch_ok"))
       .orderBy(col("source").asc)
   }
+
+  /** Join-cardinality estimator audit — the optimizer-stats health
+    * check: the textbook System-R estimate |A⋈B| ≈ |A|·|B| /
+    * max(ndv_A, ndv_B) (uniformity + containment assumptions) against
+    * the TRUE join size, scored as the q-error
+    * max(pred, actual)/min(pred, actual) (Moerkotte et al. 2009 — the
+    * metric plan-quality papers use, symmetric in over/under). The
+    * table to run before trusting any CBO join reorder on a new
+    * dataset: a q-error of 1.0 means the uniformity assumption holds;
+    * skewed keys blow it up and the plan that "looked" cheapest
+    * wasn't.
+    *
+    * The true size is computed WITHOUT materializing the join:
+    * Σ cnt_A(k)·cnt_B(k) over matched keys — key-grain aggregates on
+    * both sides, one key-grain join; fact rows are counted, never
+    * paired. All arithmetic DECIMAL(38,0) (HUGEINT twin), quotients
+    * by truncating DIV.
+    *
+    * One row: n_left, n_right, ndv_left, ndv_right, actual_rows,
+    * predicted_rows, q_error_milli, underestimated. */
+  def joinCardinalityAudit(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // each key-grain frame feeds its totals AND the matched-key sum —
+    // persist so each fact side is scanned once (caller-owns-cache)
+    val la = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+      .persist()
+    val ra = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+      .persist()
+    val ls = la.agg(sum(col("cl")).as("n_left"),
+      count(lit(1)).as("ndv_left"))
+    val rs = ra.agg(sum(col("cr")).as("n_right"),
+      count(lit(1)).as("ndv_right"))
+    val actual = la.join(ra, Seq("k"))
+      .agg(coalesce(sum(dec(col("cl")) * dec(col("cr"))),
+        dec(lit(0L))).as("actual_rows"))
+    actual.crossJoin(broadcast(ls)).crossJoin(broadcast(rs))
+      .withColumn("predicted_rows", expr(
+        """(CAST(n_left AS DECIMAL(38,0)) * n_right)
+          |  DIV greatest(ndv_left, ndv_right)""".stripMargin))
+      .select(col("n_left"), col("n_right"), col("ndv_left"),
+        col("ndv_right"),
+        col("actual_rows").cast("long").as("actual_rows"),
+        col("predicted_rows"),
+        when(col("actual_rows") === dec(lit(0L)) ||
+          col("predicted_rows") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            """(1000 * CAST(greatest(CAST(actual_rows AS DECIMAL(38,0)),
+              |              CAST(predicted_rows AS DECIMAL(38,0))) AS DECIMAL(38,0)))
+              |  DIV least(CAST(actual_rows AS DECIMAL(38,0)),
+              |            CAST(predicted_rows AS DECIMAL(38,0)))""".stripMargin))
+          .as("q_error_milli"),
+        (col("predicted_rows") < col("actual_rows").cast("long"))
+          .cast("int").as("underestimated"))
+  }
 }

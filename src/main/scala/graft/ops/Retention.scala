@@ -1640,6 +1640,65 @@ object Retention {
       .orderBy(col("lag_days").asc)
   }
 
+  /** Wald–Wolfowitz runs test on daily revenue MOVES — the
+    * randomness read beside [[autocorrelation]]: that op measures
+    * LINEAR lag correlation; the runs test catches non-linear
+    * momentum/mean-reversion it can't see (too few sign runs =
+    * trending, too many = oscillating), from nothing but up/down
+    * signs. Moves are day-over-day deltas on the dense spine
+    * (a dark day is a real drop to zero, then a real jump back);
+    * zero moves are dropped (the standard tie rule).
+    *
+    * Exactness: R, n₊, n₋ are plain counts; the α=0.05 verdict
+    * compares n·(R−E) SQUARED against z²·Var with every term scaled
+    * integer — 10⁴·A²·(n−1) > 38416·2m·(2m−n), A = n·R − n − 2m,
+    * m = n₊·n₋ — in DECIMAL(38,0)/HUGEINT, no sqrt, no float. NULL
+    * verdict when a side is empty (Var = 0).
+    *
+    * One row: n_moves, n_up, n_down, n_runs, expected_runs_milli,
+    * reject_05.
+    *
+    * Scale shape: one fact pass to day grain; moves, signs, and the
+    * run walk are single-partition windows over calendar rows
+    * (metadata); the report is 1 row. */
+  def runsTest(orders: DataFrame): DataFrame = {
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+      .persist()
+    val spine = day
+      .agg(min(col("daynum")).as("mn"), max(col("daynum")).as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("daynum"))
+    val wDay = Window.orderBy(col("daynum"))
+    val dec = "decimal(38,0)"
+    spine.join(day, Seq("daynum"), "left")
+      .select(col("daynum"), coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("mv", col("cents") - lag(col("cents"), 1).over(wDay))
+      .filter(col("mv").isNotNull && col("mv") =!= 0L)
+      .withColumn("s", when(col("mv") > 0L, 1).otherwise(-1))
+      .withColumn("chg",
+        (col("s") =!= lag(col("s"), 1).over(wDay)).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_up"),
+        (lit(1L) + sum(coalesce(col("chg"), lit(0L)))).as("n_runs"))
+      .withColumn("n_down", col("n") - col("n_up"))
+      .withColumn("m2", lit(2L) * col("n_up") * col("n_down"))
+      .select(col("n").as("n_moves"), col("n_up"), col("n_down"),
+        col("n_runs"),
+        when(col("n") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(1000 * (n + m2)) DIV n"))
+          .as("expected_runs_milli"),
+        when(col("m2") === 0L || col("n") < 2L, lit(null).cast("int"))
+          .otherwise((expr(
+            s"CAST(10000 AS $dec) * CAST(n * n_runs - n - m2 AS $dec)" +
+              s" * CAST(n * n_runs - n - m2 AS $dec) * CAST(n - 1 AS $dec)") >
+            expr(s"CAST(38416 AS $dec) * m2 * CAST(m2 - n AS $dec)"))
+            .cast("int")).as("reject_05"))
+  }
+
   /** Forecaster bake-off: Brown double smoothing vs Brown ×
     * day-of-week index — the model-selection backtest a revenue
     * panel runs before trusting either. The seasonal index

@@ -67,6 +67,47 @@ object Scd {
         lead(col("valid_from_us"), 1).over(versions) - 1L)
   }
 
+  /** Month-end tier census — the SNAPSHOT consumer of [[tierHistory]]
+    * (the other classic SCD read next to [[revenueByTier]]'s as-of):
+    * for every month-end inside the observed event span, how many
+    * users sat in each tier AT THAT INSTANT. This is the table a
+    * "loyalty program growth" dashboard plots; without the type-2
+    * history it cannot be built at all (the current-state dimension
+    * only answers "now").
+    *
+    * Cuts are every month-end inside the span PLUS the span's last
+    * observed day (the "as of now" snapshot — without it a panel
+    * whose data ends mid-month reports nothing). The cut instant is
+    * the last microsecond of the cut day. Versions match cuts by
+    * interval containment; an open version (NULL valid_to) covers
+    * every later cut.
+    *
+    * Scale shape: the cut list is calendar metadata (≤ span months,
+    * bounds from one ts-only pruned pass over events — version starts
+    * can't see the span's quiet tail); cuts broadcast against
+    * version-grain rows (fan-out ≤ covered months per version); the
+    * census lands at (snapshot, tier) grain. */
+  def monthEndCensus(events: DataFrame,
+      thresholds: Seq[Long] = TierThresholds): DataFrame = {
+    val hist = tierHistory(events, thresholds).persist()
+    val cuts = events
+      .filter(col("ts").isNotNull)
+      .agg(expr("min(unix_micros(ts)) div 86400000000").as("mnd"),
+        expr("max(unix_micros(ts)) div 86400000000").as("mxd"))
+      .select(col("mxd"), explode(expr("sequence(mnd, mxd)")).as("daynum"))
+      .withColumn("d", expr("date_add('1970-01-01', CAST(daynum AS INT))"))
+      .filter(expr("last_day(d) = d") || col("daynum") === col("mxd"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("snapshot_day"),
+        ((col("daynum") + 1L) * 86400000000L - 1L).as("cut_us"))
+    hist
+      .join(broadcast(cuts),
+        col("valid_from_us") <= col("cut_us") &&
+          (col("valid_to_us").isNull || col("valid_to_us") >= col("cut_us")))
+      .groupBy(col("snapshot_day"), col("tier"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("snapshot_day").asc, col("tier").asc)
+  }
+
   /** Point-in-time revenue by tier: every purchase read against the
     * tier version in force at its timestamp. Columns: tier,
     * n_purchases, n_users, revenue_cents. */

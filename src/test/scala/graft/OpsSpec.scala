@@ -2277,6 +2277,68 @@ class OpsSpec extends SparkSpec {
       (3, "<REST>", 1L, 1L, 250000L, 1000000L)))
   }
 
+  test("scd2 monthEndCensus: month-end cuts + the end-of-span snapshot") {
+    val s2 = spark
+    import s2.implicits._
+    def e(id: Long, u: Long, t: String, typ: String) =
+      (id, Timestamp.valueOf(t), u, typ, 1.0, "{}")
+    // user 1 opens tier 0 on Jan 30, crosses to tier 1 on Feb 1;
+    // user 2 stays tier 0 throughout. Span ends Feb 2 (not a
+    // month-end) -> cuts at Jan 31 AND Feb 2.
+    val evs = Seq(
+      e(0, 1, "2024-01-30 10:00:00", "view"),
+      e(1, 1, "2024-01-30 11:00:00", "purchase"),
+      e(2, 1, "2024-01-31 10:00:00", "purchase"),
+      e(3, 1, "2024-02-01 10:00:00", "purchase"), // crosses 3
+      e(4, 2, "2024-01-30 09:00:00", "view"),
+      e(5, 2, "2024-02-02 09:00:00", "view")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Scd.monthEndCensus(evs, Seq(3L, 10L, 30L)).collect()
+      .map(r => (r.getAs[String]("snapshot_day"), r.getAs[Int]("tier")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(got == Map(
+      ("2024-01-31", 0) -> 2L,  // both users tier 0 at Jan 31 23:59
+      ("2024-02-02", 0) -> 1L,  // user 2 still tier 0
+      ("2024-02-02", 1) -> 1L)) // user 1 crossed Feb 1
+  }
+
+  test("joinCardinalityAudit: System-R estimate and true size on a hand histogram") {
+    val s2 = spark
+    import s2.implicits._
+    val left = Seq(1L, 1L, 1L, 2L).toDF("k1")
+    val right = Seq(1L, 2L, 2L, 3L).toDF("k2")
+    val r = Profile.joinCardinalityAudit(left, right, "k1", "k2")
+      .collect().head
+    // actual = 3*1 + 1*2 = 5; predicted = 4*4 DIV max(2,3) = 5
+    assert((r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+      r.getAs[Long]("ndv_left"), r.getAs[Long]("ndv_right"),
+      r.getAs[Long]("actual_rows"), r.getAs[Long]("predicted_rows"),
+      r.getAs[Long]("q_error_milli"), r.getAs[Int]("underestimated")) ==
+      ((4L, 4L, 2L, 3L, 5L, 5L, 1000L, 0)))
+  }
+
+  test("runsTest: oscillating series rejects, monotone series has one run and null verdict") {
+    val s2 = spark
+    import s2.implicits._
+    val osc = (0 until 8).map { i =>
+      (f"2024-01-${i + 1}%02d", if (i % 2 == 0) 1.0 else 3.0)
+    }.toDF("o_orderdate", "o_totalprice")
+    val r = Retention.runsTest(osc).collect().head
+    // 7 alternating moves: 4 up, 3 down, 7 runs; E = 1+24/7;
+    // verdict: 10^4·18²·6 = 19.44e6 > 38416·24·17 = 15.67e6 -> reject
+    assert((r.getAs[Long]("n_moves"), r.getAs[Long]("n_up"),
+      r.getAs[Long]("n_down"), r.getAs[Long]("n_runs"),
+      r.getAs[Long]("expected_runs_milli"), r.getAs[Int]("reject_05")) ==
+      ((7L, 4L, 3L, 7L, 4428L, 1)))
+    val mono = (0 until 8).map { i =>
+      (f"2024-01-${i + 1}%02d", (i + 1).toDouble)
+    }.toDF("o_orderdate", "o_totalprice")
+    val m = Retention.runsTest(mono).collect().head
+    assert((m.getAs[Long]("n_moves"), m.getAs[Long]("n_down"),
+      m.getAs[Long]("n_runs")) == ((7L, 0L, 1L)))
+    assert(m.isNullAt(m.fieldIndex("reject_05")), "one-sided series has Var 0")
+  }
+
   test("ksTest: exact cross-multiplied D and squared-bound verdict match a JVM recompute") {
     val s2 = spark
     import s2.implicits._

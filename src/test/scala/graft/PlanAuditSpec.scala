@@ -1926,6 +1926,28 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned: $readSchema")
   }
 
+  test("q305 scd2 census: cached history; one ts-only bounds scan; cuts broadcast") {
+    val p = plan("q305_scd2_census")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q306 join cardinality: key-grain sums, never a row join; pruned scans") {
+    val p = plan("q306_join_cardinality")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    val schemas = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(schemas.forall(s => !s.contains("props") && !s.contains("o_comment")),
+      s"scan not pruned: $schemas")
+  }
+
+  test("q307 runs test: cached day panel; sign walk at calendar grain") {
+    val p = plan("q307_runs_test")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q300 label prop: rides the checkpointed co-vis artifact; no cartesian, no live fact scan") {
     val p = plan("q300_label_prop")
     assert(!p.contains("CartesianProduct") &&
