@@ -558,6 +558,10 @@ object ScaleProbe {
     t("join cardinality")(graft.ops.Profile.joinCardinalityAudit(
       events, orders, "user_id", "o_custkey"))
     t("runs test")(graft.ops.Retention.runsTest(orders))
+    // FIXED probe set under amplification (q229 lesson)
+    t("knn label acc")(graft.ops.Similarity.knnLabelAccuracy(
+      emb, col("vec_id") % (50L * mult) === 0))
+    t("tier migration")(graft.ops.Retention.spendTierMigration(orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

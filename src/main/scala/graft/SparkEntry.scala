@@ -334,7 +334,9 @@ object SparkEntry {
     "q304_path_trigrams" -> (Queries.pathTrigrams _),
     "q305_scd2_census" -> (Queries.scd2Census _),
     "q306_join_cardinality" -> (Queries.joinCardinality _),
-    "q307_runs_test" -> (Queries.runsTest _)
+    "q307_runs_test" -> (Queries.runsTest _),
+    "q308_knn_label_acc" -> (Queries.knnLabelAccuracy _),
+    "q309_tier_migration" -> (Queries.spendTierMigration _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -861,6 +863,20 @@ object Queries {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
     Similarity.hardNegatives(Tables(spark, dir, "embeddings"), knnQueryPred,
       quant0 = Some(sharedAnnIndex(spark, dir)))
+
+  /** Leave-one-out kNN label accuracy per class (embedding-quality
+    * probe over the q25 probe set, majority of top-10 neighbors). */
+  def knnLabelAccuracy(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelAccuracy(Tables(spark, dir, "embeddings"),
+      knnQueryPred, quant0 = Some(sharedAnnIndex(spark, dir)))
+
+  val MigrationBins = 4
+
+  /** Month-over-month spend-quartile migration matrix (to_tier 0 =
+    * churned next month). */
+  def spendTierMigration(spark: SparkSession, dir: String): DataFrame =
+    Retention.spendTierMigration(Tables(spark, dir, "orders"),
+      MigrationBins)
 
   /** BPE inference (the q70 merges applied): vocabulary re-segmented
     * by the learned rules. The merge list is collected driver-side —
@@ -11818,7 +11834,93 @@ object Oracles {
          |                 > 38416 * CAST(m2 AS HUGEINT) * (m2 - n_moves)
          |                 AS INT)
          |       END AS reject_05
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+
+    // q72's labeled scoring chain without the label-inequality filter;
+    // majority vote (votes desc, label asc) then a per-class rollup
+    "q308_knn_label_acc" ->
+      s"""WITH $embQuantCte,
+         |lab AS (
+         |  SELECT n.vec_id, e.label, n.q, n.n2
+         |  FROM n JOIN embeddings e ON e.vec_id = n.vec_id),
+         |queries AS (
+         |  SELECT vec_id AS query_id, label AS q_label, q AS q_q, n2 AS q_n2
+         |  FROM lab WHERE vec_id % ${Queries.KnnQueryMod} = 0),
+         |scored AS (
+         |  SELECT lab.vec_id AS neighbor_id, lab.label, queries.query_id,
+         |         queries.q_label,
+         |         CAST(list_sum(list_transform(range(1, len(lab.q) + 1),
+         |              i -> lab.q[i] * queries.q_q[i])) AS BIGINT) AS dot,
+         |         lab.n2, queries.q_n2
+         |  FROM lab, queries WHERE lab.vec_id != queries.query_id),
+         |c AS (
+         |  SELECT query_id, q_label, neighbor_id, label,
+         |         CASE WHEN n2 = 0 OR q_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * dot /
+         |                (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE))))
+         |                AS BIGINT)
+         |         END AS cos_bp
+         |  FROM scored),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |  FROM c),
+         |votes AS (
+         |  SELECT query_id, q_label, label, CAST(COUNT(*) AS BIGINT) AS votes
+         |  FROM ranked WHERE rank <= 10 GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT query_id, q_label, label,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY votes DESC, label ASC) AS vr
+         |  FROM votes)
+         |SELECT q_label AS label, CAST(COUNT(*) AS BIGINT) AS n_probes,
+         |       CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_correct,
+         |       CAST(FLOOR(10000.0 *
+         |         SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+         |         / COUNT(*)) AS BIGINT) AS acc_bp
+         |FROM pred WHERE vr = 1
+         |GROUP BY 1 ORDER BY label""".stripMargin,
+
+    // per-month equi-depth tiers at VALUE grain (q203 rule); the
+    // migration join runs at (user, month) grain; to_tier 0 = churned
+    "q309_tier_migration" -> {
+      val nb = Queries.MigrationBins
+      s"""WITH um AS (
+         |  SELECT o_custkey AS user_id,
+         |         (EXTRACT(year FROM CAST(o_orderdate AS DATE)) - 1970) * 12
+         |           + EXTRACT(month FROM CAST(o_orderdate AS DATE)) - 1 AS mon,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+         |vals AS (
+         |  SELECT mon, cents,
+         |         CAST((SUM(cnt) OVER (PARTITION BY mon ORDER BY cents) - 1)
+         |           * $nb // (SUM(cnt) OVER (PARTITION BY mon)) + 1 AS BIGINT)
+         |           AS tier
+         |  FROM (SELECT mon, cents, COUNT(*) AS cnt
+         |        FROM um GROUP BY 1, 2)),
+         |binned AS (
+         |  SELECT um.user_id, um.mon, vals.tier
+         |  FROM um JOIN vals USING (mon, cents)),
+         |mx AS (SELECT MAX(mon) AS mxm FROM binned),
+         |nxt AS (SELECT user_id, mon - 1 AS mon, tier AS to_tier
+         |        FROM binned),
+         |fr AS (
+         |  SELECT b.user_id, b.mon, b.tier AS from_tier
+         |  FROM binned b, mx WHERE b.mon < mx.mxm),
+         |j AS (
+         |  SELECT fr.from_tier, COALESCE(nxt.to_tier, 0) AS to_tier
+         |  FROM fr LEFT JOIN nxt USING (user_id, mon)),
+         |g AS (
+         |  SELECT from_tier, to_tier, CAST(COUNT(*) AS BIGINT) AS n_users
+         |  FROM j GROUP BY 1, 2)
+         |SELECT from_tier, to_tier, n_users,
+         |       CAST(FLOOR(10000.0 * n_users /
+         |         SUM(n_users) OVER (PARTITION BY from_tier)) AS BIGINT)
+         |         AS share_bp
+         |FROM g ORDER BY from_tier, to_tier""".stripMargin
+    }
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

@@ -1640,6 +1640,65 @@ object Retention {
       .orderBy(col("lag_days").asc)
   }
 
+  /** Month-over-month spend-tier migration matrix — the customer-base
+    * FLOW read none of the stock metrics ([[rfm]] segments, [[ltvCurve]],
+    * [[cohortRetention]]) provide: of last month's tier-k spenders,
+    * where did they land this month (which tier, or gone)? The table
+    * behind "are we upgrading or just churning-and-replacing".
+    *
+    * Tiers are per-month equi-depth bins over user spend
+    * ([[Percentiles.equiDepthBins]]' exact last-rank rule at VALUE
+    * grain — tied spends land whole in one bin, windows never see
+    * users). to_tier 0 = absent next month (churned). Month pairs are
+    * strictly consecutive calendar months; the span's last month has
+    * no observation window and is excluded as a from-month.
+    *
+    * Columns: from_tier, to_tier, n_users, share_bp (share within the
+    * from-tier row mass).
+    *
+    * Scale shape: one fact pass to (user, month) grain; bin
+    * assignment is a month-partitioned window over DISTINCT spend
+    * values (the q77 trick); the migration join is (user, month+1) ↔
+    * (user, month) at user-month grain; the matrix is ≤(nBins+1)²
+    * rows. */
+  def spendTierMigration(orders: DataFrame, nBins: Int = 4): DataFrame = {
+    require(nBins >= 2 && nBins <= 10, "nBins in [2,10]")
+    val um = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(col("o_custkey").as("user_id"),
+        ((year(to_date(col("o_orderdate"))) - 1970) * 12 +
+          month(to_date(col("o_orderdate"))) - 1).cast("long").as("mon"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+      .persist()
+    val wm = Window.partitionBy(col("mon"))
+    val vals = um.groupBy(col("mon"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wm.orderBy(col("cents").asc)))
+      .withColumn("n", sum(col("cnt")).over(wm))
+      .withColumn("tier", expr(s"(cum - 1) * $nBins div n + 1"))
+      .select(col("mon"), col("cents"), col("tier"))
+    val binned = um.join(vals, Seq("mon", "cents"))
+      .select(col("user_id"), col("mon"), col("tier"))
+    val maxMon = binned.agg(max(col("mon")).as("mxm"))
+    val next = binned.select(col("user_id"),
+      (col("mon") - 1L).as("mon"), col("tier").as("to_tier"))
+    val wFrom = Window.partitionBy(col("from_tier"))
+    binned
+      .crossJoin(broadcast(maxMon))
+      .filter(col("mon") < col("mxm"))
+      .select(col("user_id"), col("mon"), col("tier").as("from_tier"))
+      .join(next, Seq("user_id", "mon"), "left")
+      .select(col("from_tier"),
+        coalesce(col("to_tier"), lit(0L)).as("to_tier"))
+      .groupBy(col("from_tier"), col("to_tier"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("share_bp",
+        floor(lit(10000.0) * col("n_users") /
+          sum(col("n_users")).over(wFrom)).cast("long"))
+      .orderBy(col("from_tier").asc, col("to_tier").asc)
+  }
+
   /** Wald–Wolfowitz runs test on daily revenue MOVES — the
     * randomness read beside [[autocorrelation]]: that op measures
     * LINEAR lag correlation; the runs test catches non-linear

@@ -123,6 +123,53 @@ object Similarity {
         col("cos_bp"), col("rank").cast("int").as("rank"))
   }
 
+  /** Leave-one-out kNN label accuracy — the embedding-quality probe
+    * (the poor man's linear probe: if k nearest neighbors can't
+    * predict a vector's own label, no downstream head will): for each
+    * probe vector, the majority label among its top-k cosine
+    * neighbors (self excluded; vote ties → smaller label, rank ties →
+    * smaller id — fully deterministic) scored against the vector's
+    * own label, rolled up per true label. Per-class rows expose the
+    * confusion structure a single global number hides (one collapsed
+    * class can sit inside a healthy-looking average).
+    *
+    * Columns: label, n_probes, n_correct, acc_bp.
+    *
+    * Scale shape: q25's broadcast-probe scan (probes are a capped set
+    * by contract — the q229 lesson; corpus floats never shuffle),
+    * WindowGroupLimit top-k, then everything at (probe, label) and
+    * label grain. Swap the crossJoin for the IVF-bucketed probe at
+    * billion-vector scale exactly as q32 does. */
+  def knnLabelAccuracy(emb: DataFrame, queryPred: Column, k: Int = 10,
+      quant0: Option[DataFrame] = None): DataFrame = {
+    val q = corpusOf(emb, quant0)
+    val queries = q.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("q").as("q_q"), col("n2").as("q_n2"))
+    val scored = q
+      .select(col("vec_id").as("neighbor_id"), col("label"), col("q"),
+        col("n2"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_bp", cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("q_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .withColumn("correct", (col("label") === col("q_label")).cast("long"))
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("correct")).as("n_correct"))
+      .withColumn("acc_bp",
+        floor(lit(10000.0) * col("n_correct") / col("n_probes")).cast("long"))
+      .orderBy(col("label").asc)
+  }
+
   /** Sign-pattern LSH bucket over the leading `SignBits` dimensions. */
   def withSignBucket(emb: DataFrame): DataFrame =
     emb.withColumn("bucket", expr(

@@ -2277,6 +2277,49 @@ class OpsSpec extends SparkSpec {
       (3, "<REST>", 1L, 1L, 250000L, 1000000L)))
   }
 
+  test("knnLabelAccuracy: clustered labels score perfectly; a mislabeled point dents its class") {
+    val s2 = spark
+    import s2.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0f), 1), (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0.95f, 0.05f), 1),
+      (4L, Seq(0f, 1.0f), 2), (5L, Seq(0.1f, 0.9f), 2),
+      (6L, Seq(0.05f, 0.95f), 2),
+      (7L, Seq(0f, 0.99f), 1) // sits in cluster 2, labeled 1
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity
+      .knnLabelAccuracy(emb, col("vec_id") >= 1L, k = 2)
+      .collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_probes"), r.getAs[Long]("n_correct"),
+          r.getAs[Long]("acc_bp")))).toMap
+    // label 1: probes 1,2,3 vote label-1; probe 7's neighbors are
+    // cluster 2 -> 3/4. label 2: probes 4,5,6 — probe 7 is labeled 1
+    // but COSINE-closest to them; top-2 by (cos desc, id asc) still
+    // yields a label-2 majority or a 1-1 tie broken to the SMALLER
+    // label... ties: each of 4,5,6 sees 7 plus one cluster mate ->
+    // 1 vote each -> min label 1 wins -> all three WRONG.
+    assert(got(1) == ((4L, 3L, 7500L)))
+    assert(got(2)._1 == 3L)
+  }
+
+  test("spendTierMigration: hand months pin upgrades, downgrades, and churn") {
+    val s2 = spark
+    import s2.implicits._
+    val orders = Seq(
+      (1L, "2024-01-05", 1.0), (2L, "2024-01-06", 2.0),
+      (3L, "2024-01-07", 3.0), (4L, "2024-01-08", 4.0),
+      (1L, "2024-02-05", 4.0), (2L, "2024-02-06", 1.0)
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Retention.spendTierMigration(orders, 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // Jan tiers by spend rank: u1=1, u2=2, u3=3, u4=4. Feb: u2 (100c)
+    // tier 1, u1 (400c) tier 3; u3/u4 churn (to 0).
+    assert(got == Set(
+      (1L, 3L, 1L, 10000L), (2L, 1L, 1L, 10000L),
+      (3L, 0L, 1L, 10000L), (4L, 0L, 1L, 10000L)))
+  }
+
   test("scd2 monthEndCensus: month-end cuts + the end-of-span snapshot") {
     val s2 = spark
     import s2.implicits._

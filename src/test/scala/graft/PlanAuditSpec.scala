@@ -1948,6 +1948,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q308 knn label accuracy: rides the shared ANN artifact; no live fact scan") {
+    val p = plan("q308_knn_label_acc")
+    assert(!stripCached(p).contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q309 tier migration: cached user-month grain; one fact scan; pruned") {
+    val p = plan("q309_tier_migration")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_clerk"),
+      s"scan not pruned: $readSchema")
+  }
+
   test("q300 label prop: rides the checkpointed co-vis artifact; no cartesian, no live fact scan") {
     val p = plan("q300_label_prop")
     assert(!p.contains("CartesianProduct") &&
