@@ -562,6 +562,7 @@ object ScaleProbe {
     t("knn label acc")(graft.ops.Similarity.knnLabelAccuracy(
       emb, col("vec_id") % (50L * mult) === 0))
     t("tier migration")(graft.ops.Retention.spendTierMigration(orders))
+    t("price index")(graft.ops.AreaTopProducts.priceIndex(lineitem))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

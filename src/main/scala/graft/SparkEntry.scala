@@ -336,7 +336,8 @@ object SparkEntry {
     "q306_join_cardinality" -> (Queries.joinCardinality _),
     "q307_runs_test" -> (Queries.runsTest _),
     "q308_knn_label_acc" -> (Queries.knnLabelAccuracy _),
-    "q309_tier_migration" -> (Queries.spendTierMigration _)
+    "q309_tier_migration" -> (Queries.spendTierMigration _),
+    "q310_price_index" -> (Queries.priceIndex _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -877,6 +878,11 @@ object Queries {
   def spendTierMigration(spark: SparkSession, dir: String): DataFrame =
     Retention.spendTierMigration(Tables(spark, dir, "orders"),
       MigrationBins)
+
+  /** Monthly Laspeyres/Paasche/Fisher price indices over the matched
+    * part basket (mix-shift-free price movement). */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.priceIndex(Tables(spark, dir, "lineitem"))
 
   /** BPE inference (the q70 merges applied): vocabulary re-segmented
     * by the learned rules. The merge list is collected driver-side —
@@ -11920,7 +11926,52 @@ object Oracles {
          |         SUM(n_users) OVER (PARTITION BY from_tier)) AS BIGINT)
          |         AS share_bp
          |FROM g ORDER BY from_tier, to_tier""".stripMargin
-    }
+    },
+
+    // matched base basket; per-part rationals floor once via //;
+    // HUGEINT sums; Fisher = floor(sqrt(L*P)) — IEEE sqrt exact
+    "q310_price_index" ->
+      s"""WITH pm AS (
+         |  SELECT l_partkey,
+         |         (EXTRACT(year FROM CAST(l_shipdate AS DATE)) - 1970) * 12
+         |           + EXTRACT(month FROM CAST(l_shipdate AS DATE)) - 1 AS mon,
+         |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS ext_cents,
+         |         CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT))
+         |           AS BIGINT) AS qty_centi
+         |  FROM lineitem
+         |  WHERE l_shipdate IS NOT NULL AND l_quantity > 0
+         |  GROUP BY 1, 2),
+         |base AS (
+         |  SELECT l_partkey, ext_cents AS ext0, qty_centi AS qty0
+         |  FROM pm WHERE mon = (SELECT MIN(mon) FROM pm)),
+         |j AS (
+         |  SELECT pm.mon,
+         |         (pm.ext_cents * base.qty0) // pm.qty_centi AS lasp_num,
+         |         base.ext0,
+         |         pm.ext_cents,
+         |         (base.ext0 * pm.qty_centi) // base.qty0 AS paas_den
+         |  FROM pm JOIN base USING (l_partkey)),
+         |g AS (
+         |  SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_matched_parts,
+         |         SUM(CAST(lasp_num AS HUGEINT)) AS ln,
+         |         SUM(CAST(ext0 AS HUGEINT)) AS ld,
+         |         SUM(CAST(ext_cents AS HUGEINT)) AS pn,
+         |         SUM(CAST(paas_den AS HUGEINT)) AS pd
+         |  FROM j GROUP BY 1)
+         |SELECT concat(CAST(1970 + mon // 12 AS VARCHAR), '-',
+         |         lpad(CAST(mon % 12 + 1 AS VARCHAR), 2, '0')) AS month,
+         |       n_matched_parts,
+         |       CAST((10000 * ln) // ld AS BIGINT) AS laspeyres_bp,
+         |       CASE WHEN pd = 0 THEN NULL
+         |            ELSE CAST((10000 * pn) // pd AS BIGINT)
+         |       END AS paasche_bp,
+         |       CASE WHEN pd = 0 THEN NULL
+         |            ELSE CAST(FLOOR(sqrt(CAST(
+         |              ((10000 * ln) // ld) * ((10000 * pn) // pd)
+         |              AS DOUBLE))) AS BIGINT)
+         |       END AS fisher_bp
+         |FROM g ORDER BY month""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

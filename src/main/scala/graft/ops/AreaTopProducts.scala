@@ -974,4 +974,67 @@ object AreaTopProducts {
       .agg(count(lit(1)).as("n_part_years"))
       .orderBy(col("s_name").asc)
   }
+
+  /** Monthly price-index panel — Laspeyres, Paasche, and Fisher over
+    * the matched part basket (ILO CPI manual shapes): did prices move,
+    * separated from MIX shifts, which a raw revenue-per-unit trend
+    * conflates (buying cheaper parts looks like deflation). Base
+    * month = the span's first; per (part, month) the unit value is
+    * Σext/Σqty; Laspeyres holds the BASE basket (Σ p_t·q₀ / Σ p₀·q₀),
+    * Paasche the CURRENT one, Fisher = √(L·P) (the ideal index —
+    * IEEE sqrt is correctly rounded, so cross-engine exact; same rule
+    * as the cosine ops). Only base-matched parts contribute (the
+    * standard matched-model rule); per-part rationals floor once via
+    * truncating div — pinned identical both engines. The base month's
+    * own row reads exactly 10000 by construction (div exactness —
+    * a self-test the spec pins).
+    *
+    * Columns: month, n_matched_parts, laspeyres_bp, paasche_bp,
+    * fisher_bp.
+    *
+    * Scale shape: one fact pass to (part, month) grain (persisted —
+    * base and panel both read it; caller-owns-cache); the basket join
+    * is part-catalog-sized; the report is month-grain. DECIMAL(38,0)
+    * sums past 2^63. */
+  def priceIndex(lineitem: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pm = lineitem
+      .filter(col("l_shipdate").isNotNull && col("l_quantity") > 0.0)
+      .groupBy(col("l_partkey"),
+        ((year(to_date(col("l_shipdate"))) - 1970) * 12 +
+          month(to_date(col("l_shipdate"))) - 1).cast("long").as("mon"))
+      .agg(sum(floor(col("l_extendedprice") * lit(100.0)).cast("long"))
+        .as("ext_cents"),
+        sum(floor(col("l_quantity") * lit(100.0)).cast("long"))
+          .as("qty_centi"))
+      .persist()
+    val baseMon = pm.agg(min(col("mon")).as("mn"))
+    val base = pm.crossJoin(broadcast(baseMon))
+      .filter(col("mon") === col("mn"))
+      .select(col("l_partkey"), col("ext_cents").as("ext0"),
+        col("qty_centi").as("qty0"))
+    pm.join(base, Seq("l_partkey"))
+      .withColumn("lasp_num", expr("(ext_cents * qty0) div qty_centi"))
+      .withColumn("paas_den", expr("(ext0 * qty_centi) div qty0"))
+      .groupBy(col("mon"))
+      .agg(count(lit(1)).as("n_matched_parts"),
+        sum(col("lasp_num").cast(dec)).as("ln"),
+        sum(col("ext0").cast(dec)).as("ld"),
+        sum(col("ext_cents").cast(dec)).as("pn"),
+        sum(col("paas_den").cast(dec)).as("pd"))
+      .withColumn("laspeyres_bp", expr(
+        s"(CAST(10000 AS $dec) * ln) DIV ld"))
+      .withColumn("paasche_bp", expr(
+        s"CASE WHEN pd = 0 THEN NULL ELSE (CAST(10000 AS $dec) * pn) DIV pd END"))
+      .withColumn("fisher_bp",
+        when(col("paasche_bp").isNull, lit(null).cast("long"))
+          .otherwise(floor(sqrt((col("laspeyres_bp") *
+            col("paasche_bp")).cast("double"))).cast("long")))
+      .select(
+        expr("concat(CAST(1970 + mon div 12 AS STRING), '-', " +
+          "lpad(CAST(mon % 12 + 1 AS STRING), 2, '0'))").as("month"),
+        col("n_matched_parts"), col("laspeyres_bp"), col("paasche_bp"),
+        col("fisher_bp"))
+      .orderBy(col("month").asc)
+  }
 }

@@ -2277,6 +2277,27 @@ class OpsSpec extends SparkSpec {
       (3, "<REST>", 1L, 1L, 250000L, 1000000L)))
   }
 
+  test("priceIndex: base month reads 10000 exactly; matched-basket rule; doubled price") {
+    val s2 = spark
+    import s2.implicits._
+    val li = Seq(
+      // Jan: part1 unit 10.00 x10, part2 unit 20.00 x10
+      (1L, "1995-01-10", 100.0, 10.0),
+      (2L, "1995-01-11", 200.0, 10.0),
+      // Feb: part1 price DOUBLES, part2 flat, part3 unmatched (excluded)
+      (1L, "1995-02-10", 200.0, 10.0),
+      (2L, "1995-02-11", 200.0, 10.0),
+      (3L, "1995-02-12", 999.0, 1.0)
+    ).toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+    val got = AreaTopProducts.priceIndex(li).collect()
+      .map(r => r.getAs[String]("month") ->
+        ((r.getAs[Long]("n_matched_parts"), r.getAs[Long]("laspeyres_bp"),
+          r.getAs[Long]("paasche_bp"), r.getAs[Long]("fisher_bp")))).toMap
+    assert(got("1995-01") == ((2L, 10000L, 10000L, 10000L)))
+    // L = (20000+20000)/(10000+20000) = 13333bp; same basket -> P = L
+    assert(got("1995-02") == ((2L, 13333L, 13333L, 13333L)))
+  }
+
   test("knnLabelAccuracy: clustered labels score perfectly; a mislabeled point dents its class") {
     val s2 = spark
     import s2.implicits._

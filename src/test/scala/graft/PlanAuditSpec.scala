@@ -1964,6 +1964,15 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned: $readSchema")
   }
 
+  test("q310 price index: cached part-month grain; one pruned fact scan") {
+    val p = plan("q310_price_index")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"scan not pruned: $readSchema")
+  }
+
   test("q300 label prop: rides the checkpointed co-vis artifact; no cartesian, no live fact scan") {
     val p = plan("q300_label_prop")
     assert(!p.contains("CartesianProduct") &&
