@@ -563,6 +563,7 @@ object ScaleProbe {
       emb, col("vec_id") % (50L * mult) === 0))
     t("tier migration")(graft.ops.Retention.spendTierMigration(orders))
     t("price index")(graft.ops.AreaTopProducts.priceIndex(lineitem))
+    t("variance decomp")(graft.ops.Retention.varianceDecomposition(orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -337,7 +337,8 @@ object SparkEntry {
     "q307_runs_test" -> (Queries.runsTest _),
     "q308_knn_label_acc" -> (Queries.knnLabelAccuracy _),
     "q309_tier_migration" -> (Queries.spendTierMigration _),
-    "q310_price_index" -> (Queries.priceIndex _)
+    "q310_price_index" -> (Queries.priceIndex _),
+    "q312_variance_decomp" -> (Queries.varianceDecomposition _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -883,6 +884,13 @@ object Queries {
     * part basket (mix-shift-free price movement). */
   def priceIndex(spark: SparkSession, dir: String): DataFrame =
     AreaTopProducts.priceIndex(Tables(spark, dir, "lineitem"))
+
+
+  /** STL-lite variance decomposition of daily revenue: trend (dyadic
+    * EWMA) / day-of-week / remainder shares in bp. */
+  def varianceDecomposition(spark: SparkSession, dir: String): DataFrame =
+    Retention.varianceDecomposition(Tables(spark, dir, "orders"),
+      EwmaWindowDays)
 
   /** BPE inference (the q70 merges applied): vocabulary re-segmented
     * by the learned rules. The merge list is collected driver-side —
@@ -11971,7 +11979,71 @@ object Oracles {
          |              ((10000 * ln) // ld) * ((10000 * pn) // pd)
          |              AS DOUBLE))) AS BIGINT)
          |       END AS fisher_bp
-         |FROM g ORDER BY month""".stripMargin
+         |FROM g ORDER BY month""".stripMargin,
+
+    // q287's kernel for the trend; dow means of the DETRENDED series
+    // (negative-safe // both engines); HUGEINT variance sums
+    "q312_variance_decomp" -> {
+      val w = Queries.EwmaWindowDays
+      val denom = (1L << w) - 1L
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |sp AS (
+         |  SELECT unnest(generate_series((SELECT MIN(daynum) FROM d),
+         |           (SELECT MAX(daynum) FROM d))) AS daynum),
+         |dense AS (
+         |  SELECT sp.daynum, COALESCE(d.cents, 0) AS cents
+         |  FROM sp LEFT JOIN d USING (daynum)),
+         |tr AS (
+         |  SELECT a.daynum,
+         |         CAST(SUM(b.cents * (CAST(1 AS BIGINT) <<
+         |           CAST(${w - 1} - (a.daynum - b.daynum) AS INT)))
+         |           // $denom AS BIGINT) AS trend
+         |  FROM dense a JOIN dense b
+         |    ON b.daynum BETWEEN a.daynum - ${w - 1} AND a.daynum
+         |  GROUP BY 1),
+         |det AS (
+         |  SELECT dense.daynum, dense.cents,
+         |         dense.cents - tr.trend AS det,
+         |         dense.daynum % 7 AS dow
+         |  FROM dense JOIN tr USING (daynum)),
+         |sea AS (
+         |  SELECT *,
+         |         CAST(CAST(SUM(det) OVER (PARTITION BY dow) AS BIGINT)
+         |           // COUNT(*) OVER (PARTITION BY dow) AS BIGINT) AS seas,
+         |         CAST(CAST(SUM(cents) OVER () AS BIGINT)
+         |           // COUNT(*) OVER () AS BIGINT) AS m_tot,
+         |         CAST(CAST(SUM(det) OVER () AS BIGINT)
+         |           // COUNT(*) OVER () AS BIGINT) AS m_det
+         |  FROM det),
+         |rm AS (
+         |  SELECT *, det - seas AS rem,
+         |         CAST(CAST(SUM(det - seas) OVER () AS BIGINT)
+         |           // COUNT(*) OVER () AS BIGINT) AS m_rem
+         |  FROM sea),
+         |t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         |         SUM(CAST(cents - m_tot AS HUGEINT) * (cents - m_tot))
+         |           AS v_tot,
+         |         SUM(CAST(det - m_det AS HUGEINT) * (det - m_det)) AS v_det,
+         |         SUM(CAST(rem - m_rem AS HUGEINT) * (rem - m_rem)) AS v_rem
+         |  FROM rm)
+         |SELECT n_days,
+         |       CASE WHEN v_tot = 0 THEN NULL
+         |            ELSE CAST((10000 * (v_tot - v_det)) // v_tot AS BIGINT)
+         |       END AS trend_share_bp,
+         |       CASE WHEN v_tot = 0 THEN NULL
+         |            ELSE CAST((10000 * (v_det - v_rem)) // v_tot AS BIGINT)
+         |       END AS seasonal_share_bp,
+         |       CASE WHEN v_tot = 0 THEN NULL
+         |            ELSE CAST((10000 * v_rem) // v_tot AS BIGINT)
+         |       END AS remainder_share_bp
+         |FROM t""".stripMargin
+    }
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

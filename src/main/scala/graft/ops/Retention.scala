@@ -1640,6 +1640,93 @@ object Retention {
       .orderBy(col("lag_days").asc)
   }
 
+  /** STL-lite variance decomposition of daily revenue — how much of
+    * the series' variance the TREND layer (q272's dyadic EWMA) and
+    * the additive DAY-OF-WEEK layer each explain, and what's left as
+    * noise: the one-row summary that tells a forecasting effort where
+    * the ceiling is (a remainder share of 9000 bp says no weekly
+    * model will ever look good — q293's bake-off loses before it
+    * starts). Classical decomposition order: detrend first, then fit
+    * the seasonal on the detrended series (Cleveland's STL staging,
+    * with the house integer kernels in place of loess).
+    *
+    * Exactness: trend = the q272 truncated dyadic kernel on the dense
+    * spine; seasonal(dow) = truncated mean of the detrended values
+    * per day-of-week (negative-safe: DIV truncates toward zero in
+    * both engines); variances are Σ(x−mean)² around truncated means
+    * in DECIMAL(38,0)/HUGEINT; shares by truncating DIV. Shares sum
+    * to ~10⁴ less floor dust; the trend share can read negative in a
+    * short warm-up-dominated span (the kernel's zero-init bias adds
+    * variance) — that is a finding, not an error.
+    *
+    * One row: n_days, trend_share_bp, seasonal_share_bp,
+    * remainder_share_bp.
+    *
+    * Scale shape: one fact pass to the persisted day panel; the ×W
+    * kernel fan-out, dow means, and variance sums all live at
+    * calendar-day grain. */
+  def varianceDecomposition(orders: DataFrame,
+      windowDays: Int = 16): DataFrame = {
+    require(windowDays >= 2 && windowDays <= 32, "windowDays in [2,32]")
+    val w = windowDays.toLong
+    val denom = (1L << windowDays) - 1L
+    val dec = "decimal(38,0)"
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+      .persist()
+    val spine = day
+      .agg(min(col("daynum")).as("mn"), max(col("daynum")).as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("daynum"))
+    val dense = spine.join(day, Seq("daynum"), "left")
+      .select(col("daynum"), coalesce(col("cents"), lit(0L)).as("cents"))
+      .persist()
+    val trend = dense
+      .select(col("daynum").as("src"), col("cents").as("v"),
+        explode(sequence(col("daynum"), col("daynum") + lit(w - 1L)))
+          .as("daynum"))
+      .withColumn("wv", col("v") * expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(${w - 1L} - (daynum - src) AS INT))"))
+      .groupBy(col("daynum"))
+      .agg(expr(s"CAST(sum(wv) DIV $denom AS BIGINT)").as("trend"))
+    val det = dense.join(trend, Seq("daynum"))
+      .select(col("daynum"), col("cents"),
+        (col("cents") - col("trend")).as("det"))
+      .withColumn("dow", pmod(col("daynum"), lit(7L)))
+    det
+      .withColumn("seas", expr(
+        "sum(det) OVER (PARTITION BY dow) DIV count(1) OVER (PARTITION BY dow)"))
+      .withColumn("rem", col("det") - col("seas"))
+      .withColumn("m_tot", expr("sum(cents) OVER () DIV count(1) OVER ()"))
+      .withColumn("m_det", expr("sum(det) OVER () DIV count(1) OVER ()"))
+      .withColumn("m_rem", expr("sum(rem) OVER () DIV count(1) OVER ()"))
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("cents") - col("m_tot")).cast(dec) *
+          (col("cents") - col("m_tot"))).as("v_tot"),
+        sum((col("det") - col("m_det")).cast(dec) *
+          (col("det") - col("m_det"))).as("v_det"),
+        sum((col("rem") - col("m_rem")).cast(dec) *
+          (col("rem") - col("m_rem"))).as("v_rem"))
+      .select(col("n_days"),
+        when(col("v_tot") === expr(s"CAST(0 AS $dec)"),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            s"(CAST(10000 AS $dec) * (v_tot - v_det)) DIV v_tot"))
+          .as("trend_share_bp"),
+        when(col("v_tot") === expr(s"CAST(0 AS $dec)"),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            s"(CAST(10000 AS $dec) * (v_det - v_rem)) DIV v_tot"))
+          .as("seasonal_share_bp"),
+        when(col("v_tot") === expr(s"CAST(0 AS $dec)"),
+          lit(null).cast("long"))
+          .otherwise(expr(s"(CAST(10000 AS $dec) * v_rem) DIV v_tot"))
+          .as("remainder_share_bp"))
+  }
+
   /** Month-over-month spend-tier migration matrix — the customer-base
     * FLOW read none of the stock metrics ([[rfm]] segments, [[ltvCurve]],
     * [[cohortRetention]]) provide: of last month's tier-k spenders,

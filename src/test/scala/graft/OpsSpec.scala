@@ -2277,6 +2277,49 @@ class OpsSpec extends SparkSpec {
       (3, "<REST>", 1L, 1L, 250000L, 1000000L)))
   }
 
+  test("varianceDecomposition matches a BigInt recompute; constant series is null") {
+    val s2 = spark
+    import s2.implicits._
+    val wd = 4
+    val days = 0 until 28
+    // quarter-dollar grid: cents/100.0 is binary-exact, so the house
+    // floor(x*100) convention reproduces cents(i) bit-for-bit
+    val cents = days.map(i => 25L * (4 + (i % 7) * 2 + i / 7))
+    val orders = days.map(i =>
+      (f"2024-01-${i + 1}%02d", cents(i) / 100.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = Retention.varianceDecomposition(orders, wd).collect().head
+    // JVM twin
+    val w = wd
+    val denom = (1L << w) - 1L
+    val trend = days.map { t =>
+      val lo = math.max(0, t - (w - 1))
+      (lo to t).map(s => BigInt(cents(s)) << (w - 1 - (t - s))).sum / denom
+    }
+    val det = days.map(t => BigInt(cents(t)) - trend(t))
+    def tmean(xs: Seq[BigInt]) = xs.sum / xs.size // BigInt / truncates
+    val seas = (0 until 7).map { d =>
+      val g = days.filter(i => ((i + 19723) % 7) == d).map(det(_))
+      // daynum for 2024-01-01 is 19723; dow = daynum % 7
+      d -> (if (g.isEmpty) BigInt(0) else tmean(g))
+    }.toMap
+    val rem = days.map(i => det(i) - seas(((i + 19723) % 7)))
+    def varOf(xs: Seq[BigInt]) = { val m = tmean(xs); xs.map(x => (x - m) * (x - m)).sum }
+    val (vt, vd, vr) = (varOf(cents.map(BigInt(_))), varOf(det), varOf(rem))
+    assert(got.getAs[Long]("n_days") == 28L)
+    assert(got.getAs[Long]("trend_share_bp") ==
+      ((BigInt(10000) * (vt - vd)) / vt).toLong)
+    assert(got.getAs[Long]("seasonal_share_bp") ==
+      ((BigInt(10000) * (vd - vr)) / vt).toLong)
+    assert(got.getAs[Long]("remainder_share_bp") ==
+      ((BigInt(10000) * vr) / vt).toLong)
+    // constant revenue: zero total variance -> null shares
+    val flat = days.map(i => (f"2024-01-${i + 1}%02d", 2.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val f = Retention.varianceDecomposition(flat, wd).collect().head
+    assert(f.isNullAt(f.fieldIndex("trend_share_bp")))
+  }
+
   test("priceIndex: base month reads 10000 exactly; matched-basket rule; doubled price") {
     val s2 = spark
     import s2.implicits._
