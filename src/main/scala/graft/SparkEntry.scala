@@ -338,7 +338,7 @@ object SparkEntry {
     "q308_knn_label_acc" -> (Queries.knnLabelAccuracy _),
     "q309_tier_migration" -> (Queries.spendTierMigration _),
     "q310_price_index" -> (Queries.priceIndex _),
-    "q312_variance_decomp" -> (Queries.varianceDecomposition _)
+    "q311_variance_decomp" -> (Queries.varianceDecomposition _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -11983,7 +11983,7 @@ object Oracles {
 
     // q287's kernel for the trend; dow means of the DETRENDED series
     // (negative-safe // both engines); HUGEINT variance sums
-    "q312_variance_decomp" -> {
+    "q311_variance_decomp" -> {
       val w = Queries.EwmaWindowDays
       val denom = (1L << w) - 1L
       s"""WITH d AS (

@@ -1969,8 +1969,8 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned: $readSchema")
   }
 
-  test("q312 variance decomposition: cached day panel; calendar-grain layers") {
-    val p = plan("q312_variance_decomp")
+  test("q311 variance decomposition: cached day panel; calendar-grain layers") {
+    val p = plan("q311_variance_decomp")
     assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
