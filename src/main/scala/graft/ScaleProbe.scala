@@ -564,6 +564,10 @@ object ScaleProbe {
     t("tier migration")(graft.ops.Retention.spendTierMigration(orders))
     t("price index")(graft.ops.AreaTopProducts.priceIndex(lineitem))
     t("variance decomp")(graft.ops.Retention.varianceDecomposition(orders))
+    t("bloom semi")(graft.ops.Joins.bloomSemiAudit(lineitem,
+      orders.filter(col("o_orderpriority") === "1-URGENT"),
+      "l_orderkey", "o_orderkey"))
+    t("cross correlation")(graft.ops.Retention.crossCorrelation(orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

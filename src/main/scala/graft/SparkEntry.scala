@@ -338,7 +338,9 @@ object SparkEntry {
     "q308_knn_label_acc" -> (Queries.knnLabelAccuracy _),
     "q309_tier_migration" -> (Queries.spendTierMigration _),
     "q310_price_index" -> (Queries.priceIndex _),
-    "q311_variance_decomp" -> (Queries.varianceDecomposition _)
+    "q311_variance_decomp" -> (Queries.varianceDecomposition _),
+    "q312_bloom_semi" -> (Queries.bloomSemiAudit _),
+    "q313_cross_correlation" -> (Queries.crossCorrelation _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -891,6 +893,21 @@ object Queries {
   def varianceDecomposition(spark: SparkSession, dir: String): DataFrame =
     Retention.varianceDecomposition(Tables(spark, dir, "orders"),
       EwmaWindowDays)
+
+  /** Bloom runtime-filter audit: lineitem rows passed by a broadcast
+    * bitmap bloom of URGENT order keys vs the exact semi-join. */
+  def bloomSemiAudit(spark: SparkSession, dir: String): DataFrame =
+    Joins.bloomSemiAudit(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+      "l_orderkey", "o_orderkey")
+
+  val XcorrLags = Seq(-7, -1, 0, 1, 7)
+
+  /** Daily order-volume vs avg-basket cross-correlation at lead-lag
+    * offsets (the q301 machinery across two series). */
+  def crossCorrelation(spark: SparkSession, dir: String): DataFrame =
+    Retention.crossCorrelation(Tables(spark, dir, "orders"), XcorrLags)
 
   /** BPE inference (the q70 merges applied): vocabulary re-segmented
     * by the learned rules. The merge list is collected driver-side —
@@ -12043,6 +12060,113 @@ object Oracles {
          |            ELSE CAST((10000 * v_rem) // v_tot AS BIGINT)
          |       END AS remainder_share_bp
          |FROM t""".stripMargin
+    },
+
+    // bloom membership = both 20-bit md5 hashes present in the build
+    // side's bit SET (semantically identical to the Spark bitmap);
+    // q279's nibble-parse hash convention
+    "q312_bloom_semi" -> {
+      val m = 131072L
+      val nib = (pos: String) =>
+        s"(instr('0123456789abcdef', substr(d, $pos, 1)) - 1)"
+      def h20(start: Int) =
+        s"""((${nib(s"$start")} * 65536 + ${nib(s"${start + 1}")} * 4096
+           |  + ${nib(s"${start + 2}")} * 256 + ${nib(s"${start + 3}")} * 16
+           |  + ${nib(s"${start + 4}")}) % $m)""".stripMargin
+      s"""WITH bk AS (
+         |  SELECT DISTINCT o_orderkey AS k FROM orders
+         |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey IS NOT NULL),
+         |hb AS (SELECT k, md5(CAST(k AS VARCHAR)) AS d FROM bk),
+         |bits AS (
+         |  SELECT DISTINCT bit FROM (
+         |    SELECT ${h20(1)} AS bit FROM hb
+         |    UNION ALL
+         |    SELECT ${h20(6)} FROM hb)),
+         |f AS (
+         |  SELECT l_orderkey AS fk, md5(CAST(l_orderkey AS VARCHAR)) AS d
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |t AS (SELECT fk, ${h20(1)} AS h1, ${h20(6)} AS h2 FROM f),
+         |pass AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+         |         CAST(SUM(CASE WHEN h1 IN (SELECT bit FROM bits)
+         |                        AND h2 IN (SELECT bit FROM bits)
+         |                   THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass
+         |  FROM t),
+         |ex AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM f WHERE fk IN (SELECT k FROM bk)),
+         |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_build_keys FROM bk)
+         |SELECT n_fact, n_build_keys, n_bloom_pass, n_exact,
+         |       n_bloom_pass - n_exact AS false_pos_rows,
+         |       CASE WHEN n_fact = n_exact THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 * (n_bloom_pass - n_exact)
+         |              / (n_fact - n_exact)) AS BIGINT)
+         |       END AS fp_rate_bp,
+         |       CAST(FLOOR(10000.0 * n_exact / n_fact) AS BIGINT)
+         |         AS exact_selectivity_bp
+         |FROM pass, ex, nk""".stripMargin
+    },
+
+    // deviations from truncated means; HUGEINT sums; the cosBp-style
+    // 10^4*N/(sqrt(Dx)*sqrt(Dy)) floor — IEEE sqrt, identical engines
+    "q313_cross_correlation" -> {
+      val lags = Queries.XcorrLags
+      val leads = lags.filter(_ != 0).map { l =>
+        if (l > 0) s"lead(dy, $l) OVER (ORDER BY daynum) AS y$l"
+        else s"lead(dx, ${-l}) OVER (ORDER BY daynum) AS x${-l}"
+      }.mkString(",\n|         ")
+      def ab(l: Int): (String, String) =
+        if (l == 0) ("dx", "dy")
+        else if (l > 0) ("dx", s"y$l") else (s"x${-l}", "dy")
+      val sums = lags.map { l =>
+        val (a, b) = ab(l)
+        s"""SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL
+           |             THEN CAST($a AS HUGEINT) * $b ELSE 0 END) AS nn$l,
+           |         CAST(SUM(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL
+           |             THEN 1 ELSE 0 END) AS BIGINT) AS cc$l"""
+          .stripMargin.replace("nn-", "nnm").replace("cc-", "ccm")
+      }.mkString(",\n         ")
+      val rows = lags.map { l =>
+        val (nn, cc) = (s"nn$l".replace("nn-", "nnm"),
+          s"cc$l".replace("cc-", "ccm"))
+        s"""SELECT CAST($l AS BIGINT) AS lag_days, $cc AS n_pairs,
+           |       CASE WHEN vx <= 0 OR vy <= 0 THEN NULL
+           |            ELSE CAST(FLOOR(10000.0 * CAST($nn AS DOUBLE) /
+           |              (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))))
+           |              AS BIGINT)
+           |       END AS r_bp
+           |FROM t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(COUNT(*) AS BIGINT) AS x,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |sp AS (
+         |  SELECT unnest(generate_series((SELECT MIN(daynum) FROM d),
+         |           (SELECT MAX(daynum) FROM d))) AS daynum),
+         |base AS (
+         |  SELECT sp.daynum, COALESCE(d.x, 0) AS x,
+         |         CASE WHEN d.x IS NULL OR d.x = 0 THEN 0
+         |              ELSE d.cents // d.x END AS y
+         |  FROM sp LEFT JOIN d USING (daynum)),
+         |m AS (SELECT CAST(SUM(x) AS BIGINT) // COUNT(*) AS mx,
+         |             CAST(SUM(y) AS BIGINT) // COUNT(*) AS my FROM base),
+         |dev AS (
+         |  SELECT daynum, x - m.mx AS dx, y - m.my AS dy FROM base, m),
+         |w AS (
+         |  SELECT daynum, dx, dy,
+         |         $leads
+         |  FROM dev),
+         |t AS (
+         |  SELECT SUM(CAST(dx AS HUGEINT) * dx) AS vx,
+         |         SUM(CAST(dy AS HUGEINT) * dy) AS vy,
+         |         $sums
+         |  FROM w)
+         |$rows
+         |ORDER BY lag_days""".stripMargin
     }
   )
 

@@ -29,6 +29,82 @@ object Joins {
   def leftFillZero(universe: DataFrame, counts: DataFrame, on: Seq[String],
       fillCols: Seq[String]): DataFrame =
     universe.join(counts, on, "left").na.fill(0L, fillCols)
+
+  /** Bloom runtime-filter audit — the row-level sibling of q279's
+    * per-FILE bloom pruning, and the shape behind every engine's
+    * runtime filter / DPP: instead of shuffling the fact table into a
+    * semi-join, broadcast a `mBits`-bit bloom of the build side's key
+    * set and drop fact rows map-side; the (tiny) false-positive tail
+    * rides into the real join, which stays correct. This op measures
+    * what that buys ON THIS DATA: fact rows passed by the bloom vs
+    * the exact semi-join, the false-positive rate over the true
+    * negatives, and the selectivity — the numbers that justify (or
+    * kill) the filter before anyone flips the conf.
+    *
+    * The bloom is a REAL broadcast bitmap, not a bit-row join: the
+    * build side's 2 md5 20-bit hashes (q279's convention — no false
+    * negatives by construction) land in a (word, bits) aggregate
+    * (m/64 longs), collect into ONE array row, broadcast, and the
+    * fact pass tests both bits with shifts — a codegen'd map stage,
+    * zero fact shuffles for the bloom path. The exact semi-join runs
+    * beside it as the truth.
+    *
+    * One row: n_fact, n_build_keys, n_bloom_pass, n_exact,
+    * false_pos_rows, fp_rate_bp (over true negatives),
+    * exact_selectivity_bp.
+    *
+    * Scale shape: build side collapses to distinct keys then to
+    * ≤m/64 bitmap words (metadata); the fact side is ONE map pass
+    * plus the exact semi (the thing being audited — at 100 TB you'd
+    * sample the fact side for the audit and trust the bloom path). */
+  def bloomSemiAudit(fact: DataFrame, build: DataFrame,
+      factKey: String, buildKey: String,
+      mBits: Long = 131072L): DataFrame = {
+    require(mBits >= 64L && mBits <= (1L << 20) && mBits % 64 == 0,
+      "mBits in [64, 2^20], multiple of 64")
+    def h(start: Int, column: String) = expr(
+      s"CAST(conv(substring(md5(CAST($column AS STRING)), $start, 5)," +
+        s" 16, 10) AS BIGINT) % ${mBits}L")
+    val keys = build.filter(col(buildKey).isNotNull)
+      .select(col(buildKey).as("k")).distinct()
+      .persist()
+    val words = keys
+      .select(explode(array(h(1, "k"), h(6, "k"))).as("bit"))
+      .select(expr("bit div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("word"))
+    // dense m/64-long bitmap (absent words are zero) as ONE array row
+    val bitmap = words
+      .agg(sort_array(collect_list(struct(col("w"), col("word")))).as("a"))
+      .select(expr(
+        s"""transform(sequence(0L, ${mBits / 64 - 1}L), i ->
+           |  coalesce(element_at(map_from_arrays(
+           |    transform(a, x -> x.w), transform(a, x -> x.word)), i), 0L))"""
+          .stripMargin).as("bm"))
+    val f = fact.filter(col(factKey).isNotNull)
+      .select(col(factKey).as("fk"))
+    val tested = f.crossJoin(broadcast(bitmap))
+      .withColumn("h1", h(1, "fk")).withColumn("h2", h(6, "fk"))
+      .withColumn("pass", (
+        expr("(bm[CAST(h1 div 64 AS INT)] >> CAST(h1 % 64 AS INT)) & 1") === 1L &&
+        expr("(bm[CAST(h2 div 64 AS INT)] >> CAST(h2 % 64 AS INT)) & 1") === 1L
+      ).cast("long"))
+    val bloomSide = tested.agg(count(lit(1)).as("n_fact"),
+      sum(col("pass")).as("n_bloom_pass"))
+    val exactSide = f.join(keys, col("fk") === col("k"), "left_semi")
+      .agg(count(lit(1)).as("n_exact"))
+    val nKeys = keys.agg(count(lit(1)).as("n_build_keys"))
+    bloomSide.crossJoin(broadcast(exactSide)).crossJoin(broadcast(nKeys))
+      .select(col("n_fact"), col("n_build_keys"), col("n_bloom_pass"),
+        col("n_exact"),
+        (col("n_bloom_pass") - col("n_exact")).as("false_pos_rows"),
+        when(col("n_fact") === col("n_exact"), lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) *
+            (col("n_bloom_pass") - col("n_exact")) /
+            (col("n_fact") - col("n_exact"))).cast("long")).as("fp_rate_bp"),
+        floor(lit(10000.0) * col("n_exact") / col("n_fact")).cast("long")
+          .as("exact_selectivity_bp"))
+  }
 }
 
 /** U1: period-over-period delta via the reference's +1/−1 union trick

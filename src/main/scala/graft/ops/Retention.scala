@@ -1786,6 +1786,81 @@ object Retention {
       .orderBy(col("from_tier").asc, col("to_tier").asc)
   }
 
+  /** Volume↔basket cross-correlation at lags — the LEAD-LAG detector
+    * [[autocorrelation]] can't provide (that op correlates a series
+    * with itself): daily ORDER COUNT x against daily AVERAGE ORDER
+    * VALUE y, at lags −7/−1/0/+1/+7. r(0) answers "do busy days have
+    * smaller baskets" (the capacity/demand-mix read); an asymmetric
+    * r(+ℓ) vs r(−ℓ) says one series LEADS the other — the signal a
+    * promotion planner wants before believing any causal story.
+    *
+    * Exactness: deviations from TRUNCATED global means; cross-product
+    * and variance sums in DECIMAL(38,0)/HUGEINT; the final ratio is
+    * the cosBp convention — 10⁴·N / (√Dx·√Dy) with IEEE sqrt
+    * (correctly rounded, identical both engines) and one floor. Dark
+    * spine days carry x = 0, y = 0 — a real no-business reading, not
+    * a gap.
+    *
+    * Columns: lag_days, n_pairs, r_bp.
+    *
+    * Scale shape: one fact pass to the day panel; leads for every lag
+    * ride ONE single-partition calendar window; the report is
+    * |lags| rows. */
+  def crossCorrelation(orders: DataFrame,
+      lags: Seq[Int] = Seq(-7, -1, 0, 1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags == lags.sorted && lags.distinct == lags,
+      "lags ascending, distinct")
+    val dec = "decimal(38,0)"
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(count(lit(1)).as("x"),
+        sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+          .as("cents"))
+      .persist()
+    val spine = day
+      .agg(min(col("daynum")).as("mn"), max(col("daynum")).as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("daynum"))
+    val wDay = Window.orderBy(col("daynum"))
+    val base = spine.join(day, Seq("daynum"), "left")
+      .select(col("daynum"), coalesce(col("x"), lit(0L)).as("x"),
+        when(col("x").isNull || col("x") === 0L, 0L)
+          .otherwise(expr("cents div x")).as("y"))
+      .withColumn("dx",
+        col("x") - expr("sum(x) OVER () DIV count(1) OVER ()"))
+      .withColumn("dy",
+        col("y") - expr("sum(y) OVER () DIV count(1) OVER ()"))
+    val withLeads = lags.filter(_ != 0).foldLeft(base) { (d, l) =>
+      if (l > 0) d.withColumn(s"__y$l", lead(col("dy"), l).over(wDay))
+      else d.withColumn(s"__x${-l}", lead(col("dx"), -l).over(wDay))
+    }
+    def pair(l: Int): (Column, Column) = l match {
+      case 0 => (col("dx") * lit(1L), col("dy") * lit(1L))
+      case p if p > 0 => (col("dx"), col(s"__y$p"))
+      case n => (col(s"__x${-n}"), col("dy"))
+    }
+    val aggs =
+      Seq(sum(col("dx").cast(dec) * col("dx")).as("vx"),
+        sum(col("dy").cast(dec) * col("dy")).as("vy")) ++
+      lags.flatMap { l =>
+        val (a, b) = pair(l)
+        Seq(
+          sum(when(a.isNotNull && b.isNotNull, a.cast(dec) * b)
+            .otherwise(lit(0L).cast(dec))).as(s"__n$l"),
+          sum((a.isNotNull && b.isNotNull).cast("long")).as(s"__c$l"))
+      }
+    val tot = withLeads.agg(aggs.head, aggs.tail: _*)
+    tot.select(explode(array(lags.map(l =>
+        struct(lit(l.toLong).as("lag_days"), col(s"__c$l").as("n_pairs"),
+          when(col("vx") <= 0 || col("vy") <= 0, lit(null).cast("long"))
+            .otherwise(floor(lit(10000.0) * col(s"__n$l").cast("double") /
+              (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))))
+              .cast("long")).as("r_bp"))): _*)).as("r"))
+      .select(col("r.lag_days"), col("r.n_pairs"), col("r.r_bp"))
+      .orderBy(col("lag_days").asc)
+  }
+
   /** Wald–Wolfowitz runs test on daily revenue MOVES — the
     * randomness read beside [[autocorrelation]]: that op measures
     * LINEAR lag correlation; the runs test catches non-linear

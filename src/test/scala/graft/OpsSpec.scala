@@ -2277,6 +2277,67 @@ class OpsSpec extends SparkSpec {
       (3, "<REST>", 1L, 1L, 250000L, 1000000L)))
   }
 
+  test("bloomSemiAudit: JVM bloom twin; no false negatives by construction") {
+    val s2 = spark
+    import s2.implicits._
+    val build = (1L to 40L).filter(_ % 4 == 0).toDF("bk")
+    val fact = (1L to 200L).map(i => i % 50L).toDF("fk")
+    val r = graft.ops.Joins.bloomSemiAudit(fact, build, "fk", "bk",
+      mBits = 256L).collect().head
+    // JVM twin: same 2x 20-bit md5 hashes mod 256
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(d: String, start: Int) =
+      java.lang.Long.parseLong(d.substring(start - 1, start + 4), 16) % 256L
+    val bits = (1L to 40L).filter(_ % 4 == 0).flatMap { k =>
+      val d = md5hex(k.toString); Seq(h(d, 1), h(d, 6))
+    }.toSet
+    val facts = (1L to 200L).map(_ % 50L)
+    val pass = facts.count { k =>
+      val d = md5hex(k.toString); bits(h(d, 1)) && bits(h(d, 6))
+    }
+    val exact = facts.count(k => k % 4 == 0 && k >= 4 && k <= 40)
+    assert(r.getAs[Long]("n_fact") == 200L)
+    assert(r.getAs[Long]("n_build_keys") == 10L)
+    assert(r.getAs[Long]("n_bloom_pass") == pass.toLong)
+    assert(r.getAs[Long]("n_exact") == exact.toLong)
+    assert(r.getAs[Long]("n_bloom_pass") >= r.getAs[Long]("n_exact"),
+      "a bloom can never reject a member")
+  }
+
+  test("crossCorrelation matches a JVM twin on a lagged engineered series") {
+    val s2 = spark
+    import s2.implicits._
+    // y lags x by one day: y_t = 100*x_{t-1} cents (integer-dollar
+    // prices keep floor(v*100) exact); x alternates with a kick
+    val n = 30
+    val xs = (0 until n).map(t => 1L + (t % 2) + (if (t % 11 == 0) 2 else 0))
+    val ys = (0 until n).map(t => if (t == 0) 300L else 100L * xs(t - 1))
+    val orders = (0 until n).flatMap { t =>
+      (0 until xs(t).toInt).map(_ =>
+        (f"2024-01-${t + 1}%02d", ys(t) / 100.0))
+    }.toDF("o_orderdate", "o_totalprice")
+    val lags = Seq(-1, 0, 1)
+    val got = Retention.crossCorrelation(orders, lags)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // JVM twin
+    val mx = xs.sum / n; val my = ys.sum / n
+    val dx = xs.map(_ - mx); val dy = ys.map(_ - my)
+    val vx = dx.map(d => BigInt(d) * d).sum
+    val vy = dy.map(d => BigInt(d) * d).sum
+    lags.foreach { l =>
+      val pairs = if (l >= 0) (0 until n - l).map(t => (dx(t), dy(t + l)))
+        else (0 until n + l).map(t => (dx(t - l), dy(t)))
+      val nn = pairs.map { case (a, b) => BigInt(a) * b }.sum
+      val r = math.floor(10000.0 * nn.toDouble /
+        (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))).toLong
+      assert(got(l.toLong) == ((pairs.size.toLong, Some(r))), s"lag $l")
+    }
+    // the planted structure: x leads y, so r(+1) must dominate r(0)
+    assert(got(1L)._2.get > got(0L)._2.get)
+  }
+
   test("varianceDecomposition matches a BigInt recompute; constant series is null") {
     val s2 = spark
     import s2.implicits._

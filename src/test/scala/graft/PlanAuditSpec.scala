@@ -1969,6 +1969,25 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned: $readSchema")
   }
 
+  test("q312 bloom semi: bitmap broadcast map pass; cached build keys; pruned scans") {
+    val p = plan("q312_bloom_semi")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // fact scanned twice (bloom pass + exact truth), orders once via
+    // the cached key set
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 2, p)
+    val schemas = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(schemas.forall(s => s.split(",").length <= 2),
+      s"scan reads more than key+filter: $schemas")
+  }
+
+  test("q313 cross correlation: cached day panel; one calendar window for all lags") {
+    val p = plan("q313_cross_correlation")
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Window".r.findAllIn(stripCached(p)).length <= 2, p)
+  }
+
   test("q311 variance decomposition: cached day panel; calendar-grain layers") {
     val p = plan("q311_variance_decomp")
     assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
