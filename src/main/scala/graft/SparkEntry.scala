@@ -340,7 +340,8 @@ object SparkEntry {
     "q310_price_index" -> (Queries.priceIndex _),
     "q311_variance_decomp" -> (Queries.varianceDecomposition _),
     "q312_bloom_semi" -> (Queries.bloomSemiAudit _),
-    "q313_cross_correlation" -> (Queries.crossCorrelation _)
+    "q313_cross_correlation" -> (Queries.crossCorrelation _),
+    "q314_shapley_attribution" -> (Queries.shapleyAttribution _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -908,6 +909,13 @@ object Queries {
     * offsets (the q301 machinery across two series). */
   def crossCorrelation(spark: SparkSession, dir: String): DataFrame =
     Retention.crossCorrelation(Tables(spark, dir, "orders"), XcorrLags)
+
+  /** Exact Shapley-value attribution over the q292 channel domain:
+    * coalition game on pre-conversion touch sets, credits ×|Ch|!
+    * exact, direct conversions outside the game. */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame =
+    Market.shapleyAttribution(Tables(spark, dir, "events"),
+      AttributionChannels, AbsorbTarget)
 
   /** BPE inference (the q70 merges applied): vocabulary re-segmented
     * by the learned rules. The merge list is collected driver-side —
@@ -12167,6 +12175,76 @@ object Oracles {
          |  FROM w)
          |$rows
          |ORDER BY lag_days""".stripMargin
+    },
+
+    // exact coalition game at mask grain: the 2^C subset-sum and the
+    // C·2^C Shapley marginals are literal-range CTEs; ×C!-scaled
+    // integer credits, one terminal IEEE bp division
+    "q314_shapley_attribution" -> {
+      val chs = Queries.AttributionChannels.distinct.sorted
+      val c = chs.size
+      def fct(n: Int): Long = (1 to n).foldLeft(1L)((a, x) => a * x)
+      val bitCase = chs.zipWithIndex.map { case (ch, i) =>
+        s"WHEN '$ch' THEN ${1L << i}" }.mkString(" ")
+      val chanVals = chs.zipWithIndex.map { case (ch, i) =>
+        s"('$ch', CAST(${1L << i} AS BIGINT))" }.mkString(", ")
+      val wCase = (0 until c).map { k =>
+        s"WHEN $k THEN ${fct(k) * fct(c - 1 - k)}" }.mkString(" ")
+      s"""$sessionCte,
+         |r AS (
+         |  SELECT user_id, session_seq, event_type,
+         |         row_number() OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS rn
+         |  FROM sz),
+         |cv AS (
+         |  SELECT *, min(CASE WHEN event_type = '${Queries.AbsorbTarget}'
+         |           THEN rn END)
+         |           OVER (PARTITION BY user_id, session_seq) AS conv_rn
+         |  FROM r),
+         |sm AS (
+         |  SELECT user_id, session_seq,
+         |         COALESCE(bit_or(CASE WHEN rn < conv_rn THEN
+         |           (CASE event_type $bitCase END) END), 0) AS mask
+         |  FROM cv WHERE conv_rn IS NOT NULL GROUP BY 1, 2),
+         |mc AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_conv
+         |       FROM sm GROUP BY 1),
+         |ss AS (SELECT CAST(s AS BIGINT) AS s
+         |       FROM range(0, ${1L << c}) t(s)),
+         |v AS (
+         |  SELECT s, CAST(COALESCE(SUM(CASE WHEN (s & mask) = mask
+         |           AND mask <> 0 THEN n_conv END), 0) AS BIGINT) AS v
+         |  FROM ss LEFT JOIN mc ON TRUE GROUP BY 1),
+         |chn AS (SELECT * FROM (VALUES $chanVals) AS t(channel, bit)),
+         |ph AS (
+         |  SELECT chn.channel,
+         |         CAST(SUM((CASE bit_count(ss.s) $wCase END)
+         |           * (v2.v - v1.v)) AS BIGINT) AS phi_scaled
+         |  FROM chn JOIN ss ON (ss.s & chn.bit) = 0
+         |  JOIN v v1 ON v1.s = ss.s
+         |  JOIN v v2 ON v2.s = (ss.s | chn.bit)
+         |  GROUP BY 1),
+         |tc AS (
+         |  SELECT chn.channel,
+         |         CAST(COALESCE(SUM(CASE WHEN (mc.mask & chn.bit) <> 0
+         |           THEN mc.n_conv END), 0) AS BIGINT) AS touched_convs
+         |  FROM chn LEFT JOIN mc ON TRUE GROUP BY 1),
+         |rows0 AS (
+         |  SELECT ph.channel, tc.touched_convs, ph.phi_scaled
+         |  FROM ph JOIN tc USING (channel)
+         |  UNION ALL
+         |  SELECT 'direct',
+         |         CAST(COALESCE((SELECT n_conv FROM mc WHERE mask = 0), 0)
+         |           AS BIGINT),
+         |         CAST(${fct(c)} *
+         |           COALESCE((SELECT n_conv FROM mc WHERE mask = 0), 0)
+         |           AS BIGINT))
+         |SELECT channel, touched_convs, phi_scaled,
+         |       CASE WHEN SUM(phi_scaled) OVER () > 0
+         |            THEN CAST(FLOOR(10000.0 * phi_scaled /
+         |              SUM(phi_scaled) OVER ()) AS BIGINT)
+         |       END AS credit_bp
+         |FROM rows0
+         |ORDER BY phi_scaled DESC, channel""".stripMargin
     }
   )
 

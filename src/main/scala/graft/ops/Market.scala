@@ -978,4 +978,119 @@ object Market {
         col("mean_delay_milli"))
       .orderBy(col("skyline_rank").asc)
   }
+
+  /** Exact Shapley-value conversion attribution (Shapley '53 applied
+    * to touch sets — the cooperative-game model that q292's Markov
+    * removal effect approximates from one direction and q294's fixed
+    * U-shape hard-codes): credit for channel c is its average
+    * marginal contribution over ALL orderings of the channel
+    * coalition,
+    *   φ_c = Σ_{S ⊆ Ch\{c}} |S|!·(|Ch|−1−|S|)!/|Ch|! · (v(S∪c)−v(S)),
+    * with the characteristic function v(S) = number of converting
+    * sessions whose pre-conversion touch set is contained in S
+    * (the standard data-driven coalition game on conversion counts).
+    * Touches strictly BEFORE the session's first `target` event count
+    * (the q124 backward-looking rule); a conversion with no prior
+    * touch is `direct` — outside the game, credited its own
+    * conversions so the efficiency identity closes over the whole
+    * report: Σ φ_scaled = |Ch|!·(total conversions).
+    *
+    * All arithmetic exact: credits are kept ×|Ch|!-scaled (integer),
+    * the single terminal bp division is two exactly-computed longs.
+    *
+    * Scale shape: ONE sessionize shuffle (row_number + the
+    * conversion-rank window + the session bit_or all subset-cluster
+    * on hash(user_id)); the game itself runs at MASK grain — the
+    * fact stream collapses to ≤2^|Ch| rows before any coalition
+    * work, and the 2^|Ch|×2^|Ch| subset-sum / |Ch|·2^|Ch| marginal
+    * joins are broadcast metadata (|Ch| ≤ 16 by contract), constant
+    * in data volume. No driver collect; channels are a DECLARED
+    * domain (the q292 convention).
+    *
+    * Columns: channel (channels ∪ 'direct'), touched_convs
+    * (conversions whose touch set contains the channel; = own
+    * conversions for direct), phi_scaled (×|Ch|! exact credit),
+    * credit_bp (share of total credit). */
+  def shapleyAttribution(events: DataFrame, channels: Seq[String],
+      target: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chs = channels.distinct.sorted
+    require(chs.nonEmpty && chs.size <= 16 && !chs.contains(target),
+      "1..16 channels excluding the target")
+    val c = chs.size
+    def fct(n: Int): Long = (1 to n).foldLeft(1L)((a, x) => a * x)
+    val cFact = fct(c)
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+    val ordered = bySession.orderBy(col("ts"), col("event_id"))
+    val bitOf = chs.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (ch, i)) =>
+        when(col("event_type") === ch, lit(1L << i)).otherwise(acc)
+    }
+    // mask grain: one fact pass, ≤2^c rows out
+    val maskCounts = Sessionize.assignSessions(events)
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("conv_rn",
+        min(when(col("event_type") === target, col("rn"))).over(bySession))
+      .filter(col("conv_rn").isNotNull)
+      .withColumn("bit", when(col("rn") < col("conv_rn"), bitOf))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(coalesce(bit_or(col("bit")), lit(0L)).as("mask"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_conv"))
+      .localCheckpoint(false)
+
+    // v(S) = Σ_{∅≠m⊆S} conv(m) — the subset-sum (zeta transform) at
+    // coalition grain: 2^c × ≤2^c broadcast pairs, pure metadata
+    val subsets = spark.range(1L << c).select(col("id").as("s"))
+    val v = subsets
+      .join(broadcast(maskCounts),
+        (col("s").bitwiseAND(col("mask")) === col("mask")) &&
+          col("mask") =!= 0L, "left")
+      .groupBy(col("s"))
+      .agg(coalesce(sum(col("n_conv")), lit(0L)).as("v"))
+      .localCheckpoint(false)
+
+    val chanDf = chs.zipWithIndex
+      .map { case (ch, i) => (ch, 1L << i) }.toDF("channel", "bit")
+    val weightOf = (0 until c).foldLeft(lit(null).cast("long")) {
+      case (acc, k) =>
+        when(bit_count(col("s")) === k,
+          lit(fct(k) * fct(c - 1 - k))).otherwise(acc)
+    }
+    val phi = chanDf
+      .crossJoin(subsets) // c·2^c literal rows — broadcast metadata
+      .filter(col("s").bitwiseAND(col("bit")) === 0L)
+      .join(broadcast(v.select(col("s").as("s1"), col("v").as("v_s"))),
+        col("s1") === col("s"))
+      .join(broadcast(v.select(col("s").as("s2"), col("v").as("v_sc"))),
+        col("s2") === col("s").bitwiseOR(col("bit")))
+      .withColumn("w", weightOf)
+      .groupBy(col("channel"), col("bit"))
+      .agg(sum(col("w") * (col("v_sc") - col("v_s"))).as("phi_scaled"))
+    val touched = chanDf
+      .crossJoin(broadcast(maskCounts))
+      .groupBy(col("channel"))
+      .agg(coalesce(sum(when(col("mask").bitwiseAND(col("bit")) =!= 0L,
+        col("n_conv"))), lit(0L)).as("touched_convs"))
+    val direct = Seq("direct").toDF("channel")
+      .join(broadcast(maskCounts.filter(col("mask") === 0L)), lit(true),
+        "left")
+      .select(col("channel"),
+        coalesce(col("n_conv"), lit(0L)).as("touched_convs"),
+        (coalesce(col("n_conv"), lit(0L)) * lit(cFact)).as("phi_scaled"))
+    val rows = phi.join(touched, Seq("channel"))
+      .select(col("channel"), col("touched_convs"), col("phi_scaled"))
+      .unionByName(direct)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    rows
+      .withColumn("credit_bp",
+        when(sum(col("phi_scaled")).over(wAll) > 0L,
+          floor(lit(10000.0) * col("phi_scaled") /
+            sum(col("phi_scaled")).over(wAll)).cast("long")))
+      .orderBy(col("phi_scaled").desc, col("channel").asc)
+  }
 }

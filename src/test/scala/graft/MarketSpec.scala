@@ -279,4 +279,51 @@ class MarketSpec extends SparkSpec {
     assert(all.length == 5) // {123},{124},{134},{234},{129}
     assert(all.head == ((1L, 2L, 3L, 2L))) // support-desc head
   }
+
+  test("shapleyAttribution hand game: symmetric channels, direct outside, efficiency") {
+    // C=2 game (click bit0, view bit1); 4 converting sessions:
+    //   u1 click->purchase   (mask {c})
+    //   u2 view->purchase    (mask {v})
+    //   u3 click,view->purchase (mask {c,v})
+    //   u4 purchase alone    (direct)
+    // plus noise the game must ignore: u5 never converts; u6's touch
+    // comes AFTER the purchase (backward-looking rule → direct)
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "purchase", 1),
+      ev(2, 2, "2024-01-01 00:00:00", "view", 1),
+      ev(3, 2, "2024-01-01 00:01:00", "purchase", 1),
+      ev(4, 3, "2024-01-01 00:00:00", "click", 1),
+      ev(5, 3, "2024-01-01 00:01:00", "view", 1),
+      ev(6, 3, "2024-01-01 00:02:00", "purchase", 1),
+      ev(7, 4, "2024-01-01 00:00:00", "purchase", 1),
+      ev(8, 5, "2024-01-01 00:00:00", "click", 1),
+      ev(9, 6, "2024-01-01 00:00:00", "purchase", 1),
+      ev(10, 6, "2024-01-01 00:01:00", "view", 1)))
+    val got = Market.shapleyAttribution(df, Seq("click", "view"))
+      .select("channel", "touched_convs", "phi_scaled", "credit_bp")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    // v(∅)=0 v({c})=1 v({v})=1 v({c,v})=3; φ_c·2! = 1·1 + 1·2 = 3 each;
+    // direct = 2 convs (u4, u6) ×2! = 4; Σφ = 10 = 2!·5 convs ✓
+    assert(got == Seq(
+      ("direct", 2L, 4L, Some(4000L)),
+      ("click", 2L, 3L, Some(3000L)),
+      ("view", 2L, 3L, Some(3000L))))
+  }
+
+  test("shapleyAttribution efficiency identity and full-channel run on sf0.001") {
+    val events = graft.tables.Tables(spark, sf, "events")
+    val chs = Seq("click", "error", "signup", "view")
+    val rows = Market.shapleyAttribution(events, chs)
+      .select("channel", "phi_scaled", "credit_bp")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(rows.map(_._1).toSet == (chs :+ "direct").toSet)
+    val fact4 = 24L
+    val total = rows.map(_._2).sum
+    assert(total > 0L && total % fact4 == 0L,
+      s"Σφ must be C!·conversions, got $total")
+    // credit shares: floored bp sum within rows of 10000
+    val credits = rows.flatMap(_._3)
+    assert(credits.sum <= 10000L && credits.sum > 10000L - rows.size)
+  }
 }

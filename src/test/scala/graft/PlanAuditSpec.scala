@@ -2012,4 +2012,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!stripCached(p).contains("Scan parquet"), p)
     assert(p.contains("Scan ExistingRDD"), p)
   }
+
+  test("q314 shapley: one fact shuffle to mask grain; coalition game is metadata; props pruned") {
+    val p = plan("q314_shapley_attribution")
+    // the fact stream collapses at (user, session) then mask grain
+    // BEFORE the localCheckpoint; the live plan shows the game side:
+    // no cartesian product, no parquet re-scan of events
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    val schemas = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(schemas.forall(s =>
+      !s.contains("props") && !s.contains("value")),
+      s"scan not pruned: $schemas")
+  }
 }
