@@ -341,7 +341,8 @@ object SparkEntry {
     "q311_variance_decomp" -> (Queries.varianceDecomposition _),
     "q312_bloom_semi" -> (Queries.bloomSemiAudit _),
     "q313_cross_correlation" -> (Queries.crossCorrelation _),
-    "q314_shapley_attribution" -> (Queries.shapleyAttribution _)
+    "q314_shapley_attribution" -> (Queries.shapleyAttribution _),
+    "q315_association_screen" -> (Queries.associationScreen _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -916,6 +917,31 @@ object Queries {
   def shapleyAttribution(spark: SparkSession, dir: String): DataFrame =
     Market.shapleyAttribution(Tables(spark, dir, "events"),
       AttributionChannels, AbsorbTarget)
+
+  /** Cramér's-V association screen over the declared categorical
+    * pairs — one R×C contingency read per table, ranked by V. The
+    * event pair uses day-of-week; its NUMBERING differs per engine
+    * (Spark 1=Sun..7, DuckDB 0=Sun..6) but χ²/V are label-invariant,
+    * so the twin is exact anyway. */
+  def associationScreen(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Seq(
+      Profile.cramersV(Tables(spark, dir, "customer"),
+        col("c_mktsegment"), col("c_nationkey"),
+        "c_mktsegment", "c_nationkey"),
+      Profile.cramersV(Tables(spark, dir, "events")
+        .filter(col("ts").isNotNull),
+        col("event_type"), dayofweek(col("ts")).cast("long"),
+        "event_type", "event_dow"),
+      Profile.cramersV(Tables(spark, dir, "lineitem"),
+        col("l_returnflag"), col("l_linestatus"),
+        "l_returnflag", "l_linestatus"),
+      Profile.cramersV(Tables(spark, dir, "orders"),
+        col("o_orderpriority"), col("o_orderstatus"),
+        "o_orderpriority", "o_orderstatus"),
+      Profile.cramersV(Tables(spark, dir, "part"),
+        col("p_brand"), col("p_type"), "p_brand", "p_type"))
+    pairs.reduce(_ unionByName _).orderBy(col("feature_a").asc)
+  }
 
   /** BPE inference (the q70 merges applied): vocabulary re-segmented
     * by the learned rules. The merge list is collected driver-side —
@@ -12245,6 +12271,64 @@ object Oracles {
          |       END AS credit_bp
          |FROM rows0
          |ORDER BY phi_scaled DESC, channel""".stripMargin
+    },
+
+    // R×C χ² with per-cell MICRO-floored terms (exact integer sum —
+    // no order-dependent float accumulation); V via one IEEE div +
+    // sqrt. dow numbering differs per engine but χ² is label-invariant
+    "q315_association_screen" -> {
+      def pair(table: String, a: String, b: String,
+          la: String, lb: String, where: String): String = {
+        val cellsQ =
+          s"""SELECT $a AS __a, $b AS __b, CAST(COUNT(*) AS BIGINT) AS o
+             |          FROM $table
+             |          WHERE $a IS NOT NULL AND $b IS NOT NULL $where
+             |          GROUP BY 1, 2""".stripMargin
+        s"""SELECT '$la' AS feature_a, '$lb' AS feature_b,
+           |       COALESCE(n, 0) AS n, COALESCE(r_levels, 0) AS r_levels,
+           |       COALESCE(c_levels, 0) AS c_levels,
+           |       CAST((greatest(COALESCE(r_levels, 0), 1) - 1)
+           |         * (greatest(COALESCE(c_levels, 0), 1) - 1) AS BIGINT)
+           |         AS dof,
+           |       CAST(COALESCE(chi2_micro // 1000, 0) AS BIGINT)
+           |         AS chi2_milli,
+           |       CASE WHEN COALESCE(n, 0) > 0
+           |              AND least(r_levels, c_levels) > 1
+           |            THEN CAST(FLOOR(10000.0 * sqrt(
+           |              CAST(chi2_micro AS DOUBLE) /
+           |              CAST(1000000 * n * (least(r_levels, c_levels) - 1)
+           |                AS DOUBLE))) AS BIGINT)
+           |       END AS v_bp
+           |FROM (
+           |  SELECT MAX(n) AS n,
+           |         CAST(COUNT(DISTINCT __a) AS BIGINT) AS r_levels,
+           |         CAST(COUNT(DISTINCT __b) AS BIGINT) AS c_levels,
+           |         SUM((1000000::HUGEINT * d * d)
+           |           // (CAST(n AS HUGEINT) * r * cc)) AS chi2_micro
+           |  FROM (
+           |    -- full R×C grid: zero cells still contribute R·C/N
+           |    SELECT am.__a, bm.__b, am.r, bm.cc, nn.n,
+           |           COALESCE(c0.o, 0) * nn.n - am.r * bm.cc AS d
+           |    FROM (SELECT __a, CAST(SUM(o) AS BIGINT) AS r
+           |          FROM ($cellsQ) t GROUP BY 1) am
+           |    CROSS JOIN (SELECT __b, CAST(SUM(o) AS BIGINT) AS cc
+           |          FROM ($cellsQ) t GROUP BY 1) bm
+           |    CROSS JOIN (SELECT CAST(SUM(o) AS BIGINT) AS n
+           |          FROM ($cellsQ) t) nn
+           |    LEFT JOIN ($cellsQ) c0
+           |      ON c0.__a = am.__a AND c0.__b = bm.__b) mm) s""".stripMargin
+      }
+      Seq(
+        pair("customer", "c_mktsegment", "c_nationkey",
+          "c_mktsegment", "c_nationkey", ""),
+        pair("events", "event_type", "CAST(dayofweek(ts) AS BIGINT)",
+          "event_type", "event_dow", "AND ts IS NOT NULL"),
+        pair("lineitem", "l_returnflag", "l_linestatus",
+          "l_returnflag", "l_linestatus", ""),
+        pair("orders", "o_orderpriority", "o_orderstatus",
+          "o_orderpriority", "o_orderstatus", ""),
+        pair("part", "p_brand", "p_type", "p_brand", "p_type", ""))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY feature_a")
     }
   )
 

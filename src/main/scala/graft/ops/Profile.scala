@@ -758,4 +758,76 @@ object Profile {
         (col("predicted_rows") < col("actual_rows").cast("long"))
           .cast("int").as("underestimated"))
   }
+
+  /** Pearson χ² + Cramér's V for one R×C categorical pair — the
+    * general-contingency complement of q274's 2×2 closed form and the
+    * standard feature-association screen (rank candidate features /
+    * detect redundant ones before training): V = √(χ²/(N·(k−1))),
+    * k = min(R, C), 0 ≤ V ≤ 1.
+    *
+    * Cross-engine arithmetic: per cell the χ² term
+    * (O−E)²/E = (O·N−R·C)²/(N·R·C) is floored at MICRO precision with
+    * one integral decimal(38,0) division, then summed exactly — the
+    * floor bias is ≤ #cells·1e-6 and both engines agree bit-for-bit
+    * (no per-cell float accumulation, whose order is
+    * parallelism-dependent). The terminal V is
+    * ⌊10⁴·√(χ²_micro/(10⁶·N·(k−1)))⌋ — one IEEE division + one IEEE
+    * sqrt of exactly-computed integers (the cosBp rule).
+    *
+    * The sum runs over the FULL R×C level grid, not just observed
+    * cells: a zero cell still contributes (R·C)²/(N·R·C) = R·C/N —
+    * dropping the absent cells understates χ² (a perfect-association
+    * 2×2 would read half its true value). The grid is built by
+    * crossing the two margin frames — level grain, bounded metadata.
+    *
+    * Scale shape: ONE pruned scan of the input collapses to CELL
+    * grain (≤ R·C rows, persisted — caller owns the cache per the
+    * package convention); margins, the grid, and the report are all
+    * level-grain metadata. The multi-distinct level count plans as
+    * one Expand over grid grain, not the fact.
+    *
+    * Columns: feature_a, feature_b (declared labels), n, r_levels,
+    * c_levels, dof, chi2_milli, v_bp (NULL when degenerate). */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column,
+      labelA: String, labelB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
+      .agg(count(lit(1)).as("o"))
+      .persist()
+    val aM = cells.groupBy(col("__a")).agg(sum(col("o")).as("r"))
+    val bM = cells.groupBy(col("__b")).agg(sum(col("o")).as("cc"))
+    val nRow = cells.agg(sum(col("o")).as("n"))
+    val grid = aM.crossJoin(broadcast(bM)).crossJoin(broadcast(nRow))
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("d",
+        coalesce(col("o"), lit(0L)) * col("n") - col("r") * col("cc"))
+    grid.agg(
+        max(col("n")).as("n"),
+        countDistinct(col("__a")).as("r_levels"),
+        countDistinct(col("__b")).as("c_levels"),
+        sum(expr(
+          s"""(CAST(1000000 AS $dec) * CAST(d AS $dec) * CAST(d AS $dec))
+             |DIV (CAST(n AS $dec) * CAST(r AS $dec) * CAST(cc AS $dec))"""
+            .stripMargin)).as("__chi2_micro"))
+      .select(
+        lit(labelA).as("feature_a"), lit(labelB).as("feature_b"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("r_levels"), lit(0L)).as("r_levels"),
+        coalesce(col("c_levels"), lit(0L)).as("c_levels"),
+        (greatest(col("r_levels"), lit(1L)) - 1L)
+          .multiply(greatest(col("c_levels"), lit(1L)) - 1L)
+          .cast("long").as("dof"),
+        coalesce(expr(s"CAST(__chi2_micro DIV 1000 AS BIGINT)"), lit(0L))
+          .as("chi2_milli"),
+        when(col("n") > 0L &&
+          least(col("r_levels"), col("c_levels")) > 1L,
+          floor(lit(10000.0) *
+            sqrt(col("__chi2_micro").cast("double") /
+              (lit(1000000L) * col("n") *
+                (least(col("r_levels"), col("c_levels")) - 1L))
+                .cast("double"))).cast("long"))
+          .as("v_bp"))
+  }
 }

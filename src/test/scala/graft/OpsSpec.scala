@@ -2723,4 +2723,58 @@ class OpsSpec extends SparkSpec {
       0 -> ((4L, 2L, 600L)),
       1 -> ((4L, 2L, 2400L))))
   }
+
+  test("cramersV: perfect association reads 10000bp; independence reads 0; zero cells counted") {
+    val s2 = spark
+    import s2.implicits._
+    // perfect 2x2: a==b on 10 rows → χ² = N = 10, V = 1. Half the
+    // grid is ZERO cells — dropping them would read χ² = 5, V ≈ 0.707
+    val perfect = (1 to 5).map(_ => ("x", "x")) ++
+      (1 to 5).map(_ => ("y", "y"))
+    val p = graft.ops.Profile.cramersV(perfect.toDF("a", "b"),
+      col("a"), col("b"), "a", "b").collect().head
+    assert(p.getAs[Long]("n") == 10L)
+    assert(p.getAs[Long]("dof") == 1L)
+    assert(p.getAs[Long]("chi2_milli") == 10000L)
+    assert(p.getAs[Long]("v_bp") == 10000L)
+    // exact independence: every (a, b) combo equally filled → χ² = 0
+    val indep = for { a <- Seq("x", "y"); b <- Seq("u", "v", "w");
+      _ <- 1 to 2 } yield (a, b)
+    val i = graft.ops.Profile.cramersV(indep.toDF("a", "b"),
+      col("a"), col("b"), "a", "b").collect().head
+    assert(i.getAs[Long]("n") == 12L)
+    assert(i.getAs[Long]("r_levels") == 2L &&
+      i.getAs[Long]("c_levels") == 3L && i.getAs[Long]("dof") == 2L)
+    assert(i.getAs[Long]("chi2_milli") == 0L)
+    assert(i.getAs[Long]("v_bp") == 0L)
+    // degenerate: single-level column → dof 0, V undefined (null)
+    val d = graft.ops.Profile.cramersV(
+      Seq(("x", "u"), ("x", "v")).toDF("a", "b"),
+      col("a"), col("b"), "a", "b").collect().head
+    assert(d.getAs[Long]("dof") == 0L)
+    assert(d.isNullAt(d.fieldIndex("v_bp")))
+  }
+
+  test("cramersV matches a BigInt JVM recompute on a skewed 3x2 table") {
+    val s2 = spark
+    import s2.implicits._
+    val counts = Map(("a", "u") -> 7, ("a", "v") -> 1, ("b", "u") -> 2,
+      ("b", "v") -> 6, ("c", "u") -> 3) // ("c","v") is a zero cell
+    val rows = counts.toSeq.flatMap { case ((a, b), k) =>
+      Seq.fill(k)((a, b)) }
+    val got = graft.ops.Profile.cramersV(rows.toDF("a", "b"),
+      col("a"), col("b"), "a", "b").collect().head
+    val n = counts.values.sum.toLong
+    val as = Seq("a", "b", "c"); val bs = Seq("u", "v")
+    def r(a: String) = bs.map(b => counts.getOrElse((a, b), 0)).sum.toLong
+    def c(b: String) = as.map(a => counts.getOrElse((a, b), 0)).sum.toLong
+    val chiMicro = (for { a <- as; b <- bs } yield {
+      val d = BigInt(counts.getOrElse((a, b), 0).toLong * n - r(a) * c(b))
+      (BigInt(1000000) * d * d) / (BigInt(n) * r(a) * c(b))
+    }).sum
+    assert(got.getAs[Long]("chi2_milli") == (chiMicro / 1000).toLong)
+    val vExp = math.floor(10000.0 * math.sqrt(
+      chiMicro.toDouble / (1000000.0 * n * 1))).toLong
+    assert(got.getAs[Long]("v_bp") == vExp)
+  }
 }

@@ -2026,4 +2026,14 @@ class PlanAuditSpec extends SparkSpec {
       !s.contains("props") && !s.contains("value")),
       s"scan not pruned: $schemas")
   }
+
+  test("q315 association screen: five pruned scans; level-grain grid is broadcast metadata") {
+    val p = plan("q315_association_screen")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 5, p)
+    val schemas = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(schemas.forall(s => s.split(",").length <= 2),
+      s"a contingency scan reads more than its two columns: $schemas")
+  }
 }
