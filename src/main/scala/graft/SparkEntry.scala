@@ -342,7 +342,8 @@ object SparkEntry {
     "q312_bloom_semi" -> (Queries.bloomSemiAudit _),
     "q313_cross_correlation" -> (Queries.crossCorrelation _),
     "q314_shapley_attribution" -> (Queries.shapleyAttribution _),
-    "q315_association_screen" -> (Queries.associationScreen _)
+    "q315_association_screen" -> (Queries.associationScreen _),
+    "q316_fuzzy_name_match" -> (Queries.fuzzyNameMatch _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -942,6 +943,15 @@ object Queries {
         col("p_brand"), col("p_type"), "p_brand", "p_type"))
     pairs.reduce(_ unionByName _).orderBy(col("feature_a").asc)
   }
+
+  val FuzzyMaxDist = 3
+  val FuzzyTopK = 50
+
+  /** Blocked-Levenshtein fuzzy duplicate detection over part names:
+    * shared-token blocking at name-domain grain, dist ≤ 3 head. */
+  def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyNameMatch(Tables(spark, dir, "part"), "p_name",
+      "p_partkey", FuzzyMaxDist, k = FuzzyTopK)
 
   /** BPE inference (the q70 merges applied): vocabulary re-segmented
     * by the learned rules. The merge list is collected driver-side —
@@ -12329,7 +12339,45 @@ object Oracles {
           "o_orderpriority", "o_orderstatus", ""),
         pair("part", "p_brand", "p_type", "p_brand", "p_type", ""))
         .mkString("", "\nUNION ALL\n", "\nORDER BY feature_a")
-    }
+    },
+
+    // name-domain grain + shared-token blocking; DuckDB's levenshtein
+    // is the same unit-cost edit distance as Spark's builtin
+    "q316_fuzzy_name_match" ->
+      s"""WITH names AS (
+         |  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+         |tk AS (
+         |  SELECT name, tok
+         |  FROM (SELECT name,
+         |          unnest(list_distinct(string_split(name, ' '))) AS tok
+         |        FROM names) t
+         |  WHERE length(tok) > 0),
+         |tk2 AS (
+         |  SELECT name, tok
+         |  FROM (SELECT name, tok,
+         |          row_number() OVER (PARTITION BY tok ORDER BY name) AS rk
+         |        FROM tk) t
+         |  WHERE rk <= 1000),
+         |pr AS (
+         |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+         |  FROM tk2 a JOIN tk2 b
+         |    ON a.tok = b.tok AND a.name < b.name),
+         |d AS (
+         |  SELECT name_a, name_b,
+         |         CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+         |  FROM pr WHERE levenshtein(name_a, name_b) <= ${Queries.FuzzyMaxDist})
+         |SELECT d.name_a, d.name_b, d.dist,
+         |       na.n_rows AS rows_a, nb.n_rows AS rows_b,
+         |       CAST(FLOOR(10000.0 *
+         |         (greatest(length(d.name_a), length(d.name_b)) - d.dist) /
+         |         greatest(length(d.name_a), length(d.name_b))) AS BIGINT)
+         |         AS sim_bp
+         |FROM d
+         |JOIN names na ON na.name = d.name_a
+         |JOIN names nb ON nb.name = d.name_b
+         |ORDER BY d.dist, d.name_a, d.name_b
+         |LIMIT ${Queries.FuzzyTopK}""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

@@ -917,4 +917,62 @@ object Dedup {
         (col("n_events") - col("n_dups")).as("n_kept"))
       .orderBy(col("event_type").asc)
   }
+
+  /** Blocked edit-distance fuzzy matching over a name column — the
+    * catalog-hygiene / record-linkage read (find "red widgit" next to
+    * "red widget") that the set-similarity family (MinHash/n-gram
+    * Jaccard) misses for SHORT strings, where a single typo is a
+    * large Jaccard move but a distance-1 edit. Uses the codegen'd
+    * built-in `levenshtein` (unit-cost insert/delete/substitute —
+    * identical semantics in DuckDB's `levenshtein`).
+    *
+    * Scale shape: the match runs at name-DOMAIN grain — rows collapse
+    * to (name, rep_id, n_rows) first, so fact volume only changes the
+    * counts, never the pair space (the distinct-text-grain rule the
+    * dedup family uses throughout). Candidate generation is standard
+    * shared-token blocking: names pair only within a token block,
+    * never all-pairs; each block is capped at `blockCap`
+    * lexicographically-smallest names (DETERMINISTIC, the
+    * coVisitation cap rule) so a stop-token can't quadratically
+    * explode — pairs ≤ Σ_tok C(min(block, cap), 2). The head is
+    * TakeOrdered on the total key (dist, name_a, name_b).
+    *
+    * Columns: name_a, name_b, dist, rows_a, rows_b, sim_bp
+    * (10⁴·(maxlen−dist)/maxlen floored). */
+  def fuzzyNameMatch(df: DataFrame, nameCol: String, idCol: String,
+      maxDist: Int = 3, blockCap: Int = 1000, k: Int = 50): DataFrame = {
+    val names = df.filter(col(nameCol).isNotNull)
+      .groupBy(col(nameCol).as("name"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_rows"))
+      .persist()
+    val toks = names
+      .select(col("name"),
+        explode(array_distinct(split(col("name"), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("tok")).orderBy(col("name"))))
+      .filter(col("rk") <= blockCap)
+      .select(col("name"), col("tok"))
+    val pairs = toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+    pairs
+      .join(names.select(col("name").as("name_a"),
+        col("n_rows").as("rows_a")), Seq("name_a"))
+      .join(names.select(col("name").as("name_b"),
+        col("n_rows").as("rows_b")), Seq("name_b"))
+      .withColumn("__ml",
+        greatest(length(col("name_a")), length(col("name_b"))).cast("long"))
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("rows_a"), col("rows_b"),
+        floor(lit(10000.0) * (col("__ml") - col("dist")) / col("__ml"))
+          .cast("long").as("sim_bp"))
+      .orderBy(col("dist").asc, col("name_a").asc, col("name_b").asc)
+      .limit(k)
+  }
 }

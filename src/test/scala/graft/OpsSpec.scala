@@ -2777,4 +2777,39 @@ class OpsSpec extends SparkSpec {
       chiMicro.toDouble / (1000000.0 * n * 1))).toLong
     assert(got.getAs[Long]("v_bp") == vExp)
   }
+
+  test("fuzzyNameMatch: shared-token blocking, edit threshold, name-domain row counts") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (1L, "red widget"), (2L, "red widget"), // dup name → n_rows 2
+      (3L, "red widgit"),                     // 1 edit off
+      (4L, "blue bolt"), (5L, "glue bolt"),   // 1 edit via 'bolt' block
+      (6L, "red bolt"),                       // shares blocks, all >3 edits
+      (7L, "green gear"))                     // no close neighbor
+      .toDF("p_partkey", "p_name")
+    val got = graft.ops.Dedup
+      .fuzzyNameMatch(df, "p_name", "p_partkey", maxDist = 3)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // (red bolt, red widget) shares 'red' but dist 5; (blue bolt,
+    // red bolt) shares 'bolt' but dist 4 — both excluded
+    assert(got == Seq(
+      ("blue bolt", "glue bolt", 1L, 1L, 1L, 8888L),
+      ("red widget", "red widgit", 1L, 2L, 1L, 9000L)))
+  }
+
+  test("fuzzyNameMatch blockCap deterministically bounds each token block") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "red widget"), (2L, "red widgit"), (3L, "red bolt"))
+      .toDF("p_partkey", "p_name")
+    // cap 1: every block keeps only its lexicographically-smallest
+    // name → no block holds two names → no pairs at all
+    val capped = graft.ops.Dedup
+      .fuzzyNameMatch(df, "p_name", "p_partkey", maxDist = 3, blockCap = 1)
+    assert(capped.count() == 0L)
+    val uncapped = graft.ops.Dedup
+      .fuzzyNameMatch(df, "p_name", "p_partkey", maxDist = 3)
+    assert(uncapped.count() == 1L) // (red widget, red widgit)
+  }
 }

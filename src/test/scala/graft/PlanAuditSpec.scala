@@ -2036,4 +2036,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(schemas.forall(s => s.split(",").length <= 2),
       s"a contingency scan reads more than its two columns: $schemas")
   }
+
+  test("q316 fuzzy name match: name-domain grain rides one cached scan; TakeOrdered head") {
+    val p = plan("q316_fuzzy_name_match")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val schemas = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(schemas.forall(s => s.split(",").length <= 2),
+      s"scan reads more than name+id: $schemas")
+  }
 }
