@@ -343,7 +343,8 @@ object SparkEntry {
     "q313_cross_correlation" -> (Queries.crossCorrelation _),
     "q314_shapley_attribution" -> (Queries.shapleyAttribution _),
     "q315_association_screen" -> (Queries.associationScreen _),
-    "q316_fuzzy_name_match" -> (Queries.fuzzyNameMatch _)
+    "q316_fuzzy_name_match" -> (Queries.fuzzyNameMatch _),
+    "q317_haar_energy" -> (Queries.haarEnergy _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -952,6 +953,13 @@ object Queries {
   def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame =
     Dedup.fuzzyNameMatch(Tables(spark, dir, "part"), "p_name",
       "p_partkey", FuzzyMaxDist, k = FuzzyTopK)
+
+  val HaarLevels = 6
+
+  /** Haar wavelet energy spectrum of daily revenue: which dyadic
+    * time scale (2..64 days) carries the variance. */
+  def haarEnergy(spark: SparkSession, dir: String): DataFrame =
+    Retention.haarEnergy(Tables(spark, dir, "orders"), HaarLevels)
 
   /** BPE inference (the q70 merges applied): vocabulary re-segmented
     * by the learned rules. The merge list is collected driver-side —
@@ -12377,7 +12385,44 @@ object Oracles {
          |JOIN names na ON na.name = d.name_a
          |JOIN names nb ON nb.name = d.name_b
          |ORDER BY d.dist, d.name_a, d.name_b
-         |LIMIT ${Queries.FuzzyTopK}""".stripMargin
+         |LIMIT ${Queries.FuzzyTopK}""".stripMargin,
+
+    // unnormalized Haar details as exact block sums of cents; HUGEINT
+    // energies; absent days are true zeros (no spine needed)
+    "q317_haar_energy" ->
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |o AS (
+         |  SELECT daynum - (SELECT MIN(daynum) FROM d) AS off, cents
+         |  FROM d),
+         |l AS (
+         |  SELECT lv.level, o.off >> lv.level AS blk,
+         |         CASE WHEN ((o.off >> (lv.level - 1)) & 1) = 0
+         |              THEN o.cents ELSE -o.cents END AS sc
+         |  FROM o CROSS JOIN (
+         |    SELECT unnest(generate_series(1, ${Queries.HaarLevels}))
+         |      AS level) lv),
+         |b AS (
+         |  SELECT level, blk, CAST(SUM(sc) AS BIGINT) AS dd
+         |  FROM l GROUP BY 1, 2),
+         |e AS (
+         |  SELECT level, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |         SUM(CAST(dd AS HUGEINT) * dd) AS e
+         |  FROM b GROUP BY 1)
+         |SELECT CAST(level AS BIGINT) AS level,
+         |       CAST(1::BIGINT << level AS BIGINT) AS scale_days,
+         |       n_blocks,
+         |       CASE WHEN (SELECT SUM(e) FROM e) > 0
+         |            THEN CAST((10000::HUGEINT * e)
+         |              // (SELECT SUM(e) FROM e) AS BIGINT)
+         |       END AS share_bp,
+         |       CAST(FLOOR(sqrt(CAST(e AS DOUBLE) / n_blocks)) AS BIGINT)
+         |         AS rms_cents
+         |FROM e ORDER BY level""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

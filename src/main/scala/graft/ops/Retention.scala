@@ -2138,4 +2138,66 @@ object Retention {
         col("dau")) ++ windows.map(w => col(s"wau$w")) ++ verdicts: _*)
       .orderBy(col("report_date").asc)
   }
+
+  /** Haar wavelet energy spectrum of daily revenue (Haar 1910; the
+    * multi-resolution decomposition behind every wavelet variance
+    * analysis): at level j the detail coefficient of a 2^j-day block
+    * is (first-half sum − second-half sum); the per-level energy
+    * Σd² says at WHICH TIME SCALE revenue varies — a weekly rhythm
+    * loads levels 2-3, a monthly drift levels 4-5. Complements q301
+    * (autocorrelation asks "is there a period?", this asks "how much
+    * variance lives at each scale") and q311 (which fixes trend/dow
+    * layers in advance; the spectrum assumes nothing).
+    *
+    * Kept integer: coefficients are UNNORMALIZED block sums of exact
+    * cents (missing days are true zeros — absent rows add nothing to
+    * a block sum, so no dense spine is needed), energies are
+    * decimal(38,0) sums of exact squares; the published share_bp is
+    * one integral division and rms_cents one IEEE divide+sqrt of
+    * exactly-computed values (the cosBp rule). Dyadic alignment is
+    * anchored at the span's first day.
+    *
+    * Scale shape: one fact pass to the calendar-grain day panel; the
+    * ×maxLevel fan-out, block aggregation, and the level report are
+    * all calendar metadata. The only single-partition window is the
+    * level-grain total.
+    *
+    * Columns: level, scale_days (2^level), n_blocks (observed),
+    * share_bp (energy share across levels; NULL for a constant-zero
+    * spectrum), rms_cents (per-block root-mean-square amplitude). */
+  def haarEnergy(orders: DataFrame, maxLevel: Int = 6): DataFrame = {
+    require(maxLevel >= 1 && maxLevel <= 20, "maxLevel in [1,20]")
+    val dec = "decimal(38,0)"
+    val day = orders.filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val levels = day
+      .withColumn("off", col("daynum") - min(col("daynum")).over(wAll))
+      .select(col("off"), col("cents"),
+        explode(sequence(lit(1), lit(maxLevel))).as("level"))
+      .groupBy(col("level"), expr("shiftright(off, level)").as("blk"))
+      .agg(sum(expr(
+        "CASE WHEN (shiftright(off, level - 1) & 1) = 0" +
+          " THEN cents ELSE -cents END")).as("d"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr(s"CAST(d AS $dec) * CAST(d AS $dec)")).as("e"))
+    levels
+      .withColumn("total", sum(col("e")).over(wAll))
+      .select(
+        col("level").cast("long").as("level"),
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), level) AS BIGINT)")
+          .as("scale_days"),
+        col("n_blocks"),
+        when(col("total") > 0,
+          expr(s"CAST((CAST(10000 AS $dec) * e) DIV total AS BIGINT)"))
+          .as("share_bp"),
+        floor(sqrt(col("e").cast("double") / col("n_blocks").cast("double")))
+          .cast("long").as("rms_cents"))
+      .orderBy(col("level").asc)
+  }
 }

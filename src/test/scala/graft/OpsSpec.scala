@@ -2798,6 +2798,36 @@ class OpsSpec extends SparkSpec {
       ("red widget", "red widgit", 1L, 2L, 1L, 9000L)))
   }
 
+  test("haarEnergy: period-2 series loads level 1 only; absent days are zeros") {
+    val s2 = spark
+    import s2.implicits._
+    // $1 on days 0,2,4,6 of an 8-day span; odd days ABSENT (true 0s):
+    // level-1 blocks are all [100, 0] → d=100, e=4·100²; levels 2-3
+    // see balanced halves → d=0
+    val orders = Seq("2024-01-01", "2024-01-03", "2024-01-05", "2024-01-07")
+      .map((_, 1.0)).toDF("o_orderdate", "o_totalprice")
+    val got = graft.ops.Retention.haarEnergy(orders, 3)
+      .as[(Long, Long, Long, Option[Long], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 4L, Some(10000L), 100L),
+      (2L, 4L, 2L, Some(0L), 0L),
+      (3L, 8L, 1L, Some(0L), 0L)))
+  }
+
+  test("haarEnergy second-half sign and share arithmetic on a 2-day step") {
+    val s2 = spark
+    import s2.implicits._
+    // day0 $1, day1 $3: level1 d = 100-300 = -200 (e 40000);
+    // level2 both days in the first half → d = +400 (e 160000)
+    val orders = Seq(("2024-01-01", 1.0), ("2024-01-02", 3.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = graft.ops.Retention.haarEnergy(orders, 2)
+      .as[(Long, Long, Long, Option[Long], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, Some(2000L), 200L),
+      (2L, 4L, 1L, Some(8000L), 400L)))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

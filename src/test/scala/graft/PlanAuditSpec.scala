@@ -2047,4 +2047,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(schemas.forall(s => s.split(",").length <= 2),
       s"scan reads more than name+id: $schemas")
   }
+
+  test("q317 haar energy: one pruned fact pass to the day panel; dyadic fan-out is calendar-grain") {
+    val p = plan("q317_haar_energy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r
+      .findFirstMatchIn(p).get.group(1)
+    assert(readSchema.split(",").length <= 2 &&
+      readSchema.contains("o_orderdate"),
+      s"scan not pruned to date+price: $readSchema")
+  }
 }
