@@ -344,7 +344,8 @@ object SparkEntry {
     "q314_shapley_attribution" -> (Queries.shapleyAttribution _),
     "q315_association_screen" -> (Queries.associationScreen _),
     "q316_fuzzy_name_match" -> (Queries.fuzzyNameMatch _),
-    "q317_haar_energy" -> (Queries.haarEnergy _)
+    "q317_haar_energy" -> (Queries.haarEnergy _),
+    "q318_croston_demand" -> (Queries.crostonDemand _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -960,6 +961,15 @@ object Queries {
     * time scale (2..64 days) carries the variance. */
   def haarEnergy(spark: SparkSession, dir: String): DataFrame =
     Retention.haarEnergy(Tables(spark, dir, "orders"), HaarLevels)
+
+  val CrostonWindowPow = 8
+  val CrostonMinDemands = 4
+
+  /** Croston intermittent-demand forecast per slow-moving part:
+    * size/interval dyadic smoothing over demand occurrences. */
+  def crostonDemand(spark: SparkSession, dir: String): DataFrame =
+    Market.crostonDemand(Tables(spark, dir, "lineitem"),
+      CrostonWindowPow, CrostonMinDemands)
 
   /** BPE inference (the q70 merges applied): vocabulary re-segmented
     * by the learned rules. The merge list is collected driver-side —
@@ -12422,7 +12432,50 @@ object Oracles {
          |       END AS share_bp,
          |       CAST(FLOOR(sqrt(CAST(e AS DOUBLE) / n_blocks)) AS BIGINT)
          |         AS rms_cents
-         |FROM e ORDER BY level""".stripMargin
+         |FROM e ORDER BY level""".stripMargin,
+
+    // dyadic size/interval smoothing over occurrence index; the
+    // kernel scale cancels in the 1000*zw/xw forecast ratio
+    "q318_croston_demand" -> {
+      val w = Queries.CrostonWindowPow
+      val denom = (1L << w) - 1L
+      s"""WITH pd AS (
+         |  SELECT l_partkey AS partkey,
+         |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units
+         |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2),
+         |sp AS (SELECT MAX(daynum) - MIN(daynum) + 1 AS span FROM pd),
+         |w AS (
+         |  SELECT partkey, daynum, units,
+         |         CAST(COUNT(*) OVER (PARTITION BY partkey) AS BIGINT) AS n,
+         |         CAST(row_number() OVER (PARTITION BY partkey
+         |           ORDER BY daynum) AS BIGINT) AS idx,
+         |         daynum - lag(daynum) OVER (PARTITION BY partkey
+         |           ORDER BY daynum) AS gap,
+         |         MIN(daynum) OVER (PARTITION BY partkey) AS d0,
+         |         MAX(daynum) OVER (PARTITION BY partkey) AS d1
+         |  FROM pd),
+         |g AS (
+         |  SELECT partkey, MAX(n) AS n, MAX(d1) - MAX(d0) AS spread,
+         |         CAST(SUM(units) AS BIGINT) AS tot_units,
+         |         CAST(SUM(CASE WHEN n - idx < $w THEN
+         |             units * (1::BIGINT << (${w - 1} - CAST(n - idx AS INT)))
+         |           ELSE 0 END) AS BIGINT) AS zw,
+         |         CAST(SUM(CASE WHEN n - idx < $w AND gap IS NOT NULL THEN
+         |             gap * (1::BIGINT << (${w - 1} - CAST(n - idx AS INT)))
+         |           ELSE 0 END) AS BIGINT) AS xw
+         |  FROM w GROUP BY 1)
+         |SELECT partkey, n AS n_demands, spread + 1 AS demand_span_days,
+         |       (1000 * spread) // (n - 1) AS adi_milli,
+         |       (1000 * tot_units) // n AS mean_units_milli,
+         |       (1000 * zw) // $denom AS z_hat_milli,
+         |       (1000 * xw) // $denom AS x_hat_milli,
+         |       CASE WHEN xw > 0 THEN (1000 * zw) // xw END AS croston_milli
+         |FROM g, sp
+         |WHERE n >= ${Queries.CrostonMinDemands} AND n * 5 <= sp.span
+         |ORDER BY partkey""".stripMargin
+    }
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

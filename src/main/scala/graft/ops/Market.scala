@@ -979,6 +979,79 @@ object Market {
       .orderBy(col("skyline_rank").asc)
   }
 
+  /** Croston's method for intermittent demand (Croston 1972) — the
+    * standard forecast for slow-moving SKUs, where ordinary smoothing
+    * of the daily series collapses toward zero on the long dark
+    * stretches: smooth the nonzero demand SIZES and the inter-demand
+    * INTERVALS separately over occurrence index, forecast
+    * units/day = ẑ/x̂. Operates on parts whose demand is actually
+    * intermittent: ≥ `minDemands` demand days and ≤ 20% of the global
+    * span covered (the same global-span rule as q278 burstiness).
+    *
+    * Smoothing reuses the q272 dyadic kernel (weights 2^(W−1−lag)
+    * over the last W occurrences, integer shifts — no libm, no float
+    * state): ẑ and x̂ are ×(2^W−1)-scaled weighted sums, published in
+    * milli by integral division; the forecast ratio 1000·zw/xw is
+    * exact because the shared kernel scale cancels. The interval
+    * window holds the gaps attached to the last W occurrences (the
+    * first occurrence carries none).
+    *
+    * Scale shape: one fact pass collapses to (part, day) grain; ALL
+    * windows (count, row_number, lag, min/max) subset-cluster on the
+    * single hash(partkey) shuffle, and the report is part-dimension
+    * grain. The global span is a broadcast 1-row scalar.
+    *
+    * Columns: partkey, n_demands, demand_span_days, adi_milli (mean
+    * inter-demand interval), mean_units_milli, z_hat_milli,
+    * x_hat_milli, croston_milli (units/day; NULL if no gaps in
+    * window). */
+  def crostonDemand(lineitem: DataFrame, windowPow: Int = 8,
+      minDemands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowPow >= 2 && windowPow <= 32, "windowPow in [2,32]")
+    val w = windowPow
+    val denom = (1L << w) - 1L
+    val pd = lineitem
+      .filter(col("l_shipdate").isNotNull)
+      .groupBy(col("l_partkey").as("partkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .cast("long").as("daynum"))
+      .agg(sum(col("l_quantity").cast("long")).as("units"))
+      .persist() // (part, day) grain; feeds both the span scalar and
+                 // the occurrence windows — caller owns the cache
+    val span = pd.agg(
+      (max(col("daynum")) - min(col("daynum")) + 1L).as("span"))
+    val byPart = Window.partitionBy(col("partkey"))
+    val ordered = byPart.orderBy(col("daynum").asc)
+    val g = pd
+      .withColumn("n", count(lit(1)).over(byPart))
+      .withColumn("idx", row_number().over(ordered))
+      .withColumn("gap", col("daynum") - lag(col("daynum"), 1).over(ordered))
+      .withColumn("d0", min(col("daynum")).over(byPart))
+      .withColumn("d1", max(col("daynum")).over(byPart))
+      .groupBy(col("partkey"))
+      .agg(max(col("n")).as("n"),
+        (max(col("d1")) - max(col("d0"))).as("spread"),
+        sum(col("units")).as("tot_units"),
+        sum(expr(s"CASE WHEN n - idx < $w THEN" +
+          s" units * shiftleft(CAST(1 AS BIGINT), ${w - 1} - (n - idx))" +
+          " ELSE 0 END")).as("zw"),
+        sum(expr(s"CASE WHEN n - idx < $w AND gap IS NOT NULL THEN" +
+          s" gap * shiftleft(CAST(1 AS BIGINT), ${w - 1} - (n - idx))" +
+          " ELSE 0 END")).as("xw"))
+    g.crossJoin(broadcast(span))
+      .filter(col("n") >= minDemands && col("n") * 5L <= col("span"))
+      .select(col("partkey"), col("n").as("n_demands"),
+        (col("spread") + 1L).as("demand_span_days"),
+        expr("(1000 * spread) DIV (n - 1)").as("adi_milli"),
+        expr("(1000 * tot_units) DIV n").as("mean_units_milli"),
+        expr(s"(1000 * zw) DIV $denom").as("z_hat_milli"),
+        expr(s"(1000 * xw) DIV $denom").as("x_hat_milli"),
+        when(col("xw") > 0L, expr("(1000 * zw) DIV xw"))
+          .as("croston_milli"))
+      .orderBy(col("partkey").asc)
+  }
+
   /** Exact Shapley-value conversion attribution (Shapley '53 applied
     * to touch sets — the cooperative-game model that q292's Markov
     * removal effect approximates from one direction and q294's fixed

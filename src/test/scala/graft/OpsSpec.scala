@@ -2828,6 +2828,29 @@ class OpsSpec extends SparkSpec {
       (2L, 4L, 1L, Some(8000L), 400L)))
   }
 
+  test("crostonDemand: W=2 hand walk, intermittency gates, same-day lines merge") {
+    val s2 = spark
+    import s2.implicits._
+    val li = Seq(
+      // part 1: demand days 0/10/16/30 (two lines merge on day 0)
+      (1L, "1970-01-01", 2.0), (1L, "1970-01-01", 3.0),
+      (1L, "1970-01-11", 3.0), (1L, "1970-01-17", 2.0),
+      (1L, "1970-01-31", 4.0),
+      // part 2: only 2 demand days → under minDemands
+      (2L, "1970-01-01", 1.0), (2L, "1970-01-06", 1.0)) ++
+      // part 3: 10 consecutive days → 10·5 > span 31, not intermittent
+      (0 until 10).map(i => (3L, f"1970-01-${i + 1}%02d", 1.0))
+    val df = li.toDF("l_partkey", "l_shipdate", "l_quantity")
+    val got = graft.ops.Market
+      .crostonDemand(df, windowPow = 2, minDemands = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    // W=2 weights (2,1), denom 3: zw = 4·2 + 2·1 = 10,
+    // xw = 14·2 + 6·1 = 34 → ẑ 3333, x̂ 11333, forecast 1000·10/34=294
+    assert(got == Seq((1L, 4L, 31L, 10000L, 3500L, 3333L, 11333L,
+      Some(294L))))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

@@ -2058,4 +2058,12 @@ class PlanAuditSpec extends SparkSpec {
       readSchema.contains("o_orderdate"),
       s"scan not pruned to date+price: $readSchema")
   }
+
+  test("q318 croston: cached (part,day) grain; one partkey shuffle carries every window") {
+    val p = plan("q318_croston_demand")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert("Exchange hashpartitioning\\(partkey".r
+      .findAllIn(stripCached(p)).length <= 1, p)
+  }
 }
