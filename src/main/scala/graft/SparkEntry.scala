@@ -345,7 +345,8 @@ object SparkEntry {
     "q315_association_screen" -> (Queries.associationScreen _),
     "q316_fuzzy_name_match" -> (Queries.fuzzyNameMatch _),
     "q317_haar_energy" -> (Queries.haarEnergy _),
-    "q318_croston_demand" -> (Queries.crostonDemand _)
+    "q318_croston_demand" -> (Queries.crostonDemand _),
+    "q319_fd_audit" -> (Queries.fdAudit _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -970,6 +971,25 @@ object Queries {
   def crostonDemand(spark: SparkSession, dir: String): DataFrame =
     Market.crostonDemand(Tables(spark, dir, "lineitem"),
       CrostonWindowPow, CrostonMinDemands)
+
+  /** Declared FD candidates: (table, lhs, rhs) — a mix of FDs the
+    * star schema guarantees (canaries that must read holds=1) and
+    * plausible-but-false dependencies the audit must refute. */
+  val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("events", "user_id", "event_type"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("part", "p_name", "p_brand"))
+
+  /** g3-error functional-dependency audit over the declared
+    * candidate list. */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame =
+    FdCandidates.map { case (t, l, r) =>
+      Profile.fdAudit(Tables(spark, dir, t), l, r, t)
+    }.reduce(_ unionByName _)
+      .orderBy(col("tbl").asc, col("lhs").asc, col("rhs").asc)
 
   /** BPE inference (the q70 merges applied): vocabulary re-segmented
     * by the learned rules. The merge list is collected driver-side —
@@ -12475,6 +12495,38 @@ object Oracles {
          |FROM g, sp
          |WHERE n >= ${Queries.CrostonMinDemands} AND n * 5 <= sp.span
          |ORDER BY partkey""".stripMargin
+    },
+
+    // g3 error per declared FD candidate: rows-to-delete fraction via
+    // sum-of-per-key-max; all integral, one terminal DIV per row
+    "q319_fd_audit" -> {
+      def cand(t: String, l: String, r: String): String =
+        s"""SELECT '$t' AS tbl, '$l' AS lhs, '$r' AS rhs,
+           |       CAST(COALESCE(SUM(tot), 0) AS BIGINT) AS n_rows,
+           |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |       CAST(COALESCE(SUM(CASE WHEN rhs_n > 1 THEN 1 ELSE 0
+           |         END), 0) AS BIGINT) AS violating_groups,
+           |       CASE WHEN COALESCE(SUM(tot), 0) > 0
+           |            THEN (10000 * CAST(SUM(tot) - SUM(keep) AS BIGINT))
+           |              // CAST(SUM(tot) AS BIGINT)
+           |       END AS g3_bp,
+           |       CAST(CASE WHEN COALESCE(SUM(tot), 0) > 0
+           |              AND COALESCE(SUM(CASE WHEN rhs_n > 1 THEN 1
+           |                ELSE 0 END), 0) = 0
+           |            THEN 1 ELSE 0 END AS INT) AS holds
+           |FROM (
+           |  SELECT __l, CAST(SUM(o) AS BIGINT) AS tot,
+           |         CAST(MAX(o) AS BIGINT) AS keep,
+           |         CAST(COUNT(*) AS BIGINT) AS rhs_n
+           |  FROM (SELECT $l AS __l, $r AS __r,
+           |          CAST(COUNT(*) AS BIGINT) AS o
+           |        FROM $t
+           |        WHERE $l IS NOT NULL AND $r IS NOT NULL
+           |        GROUP BY 1, 2) c
+           |  GROUP BY 1) g""".stripMargin
+      Queries.FdCandidates
+        .map { case (t, l, r) => cand(t, l, r) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, lhs, rhs")
     }
   )
 

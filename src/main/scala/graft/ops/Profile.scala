@@ -759,6 +759,48 @@ object Profile {
           .cast("int").as("underestimated"))
   }
 
+  /** Functional-dependency audit for one declared candidate A→B —
+    * the profiling primitive behind FD-discovery tools (TANE / HyFD
+    * lineage): does column A determine column B, and if not, how far
+    * off is the data? Scored with the standard g3 error (Kivinen &
+    * Mannila '95): the minimum fraction of rows to delete so the FD
+    * holds, = (N − Σ_A max_b count(A,b))/N. An exact-key FD reads
+    * g3 = 0 / holds = 1; a violated one reports both the violating
+    * group count (how many keys are inconsistent) and g3 (how much
+    * data disagrees) — the two reads diverge under skew, which is why
+    * both are published.
+    *
+    * Scale shape: one pruned scan collapses to (A, B) cell grain,
+    * then A grain, then a 1-row report — the same two-hash-aggregate
+    * ladder as the contingency screen; nothing wider than the cell
+    * frame ever shuffles. All arithmetic integral (one terminal DIV).
+    *
+    * Columns: tbl, lhs, rhs, n_rows, n_groups, violating_groups,
+    * g3_bp (NULL on empty input), holds. */
+  def fdAudit(df: DataFrame, lhs: String, rhs: String,
+      table: String): DataFrame = {
+    val cells = df.filter(col(lhs).isNotNull && col(rhs).isNotNull)
+      .groupBy(col(lhs).cast("string").as("__l"),
+        col(rhs).cast("string").as("__r"))
+      .agg(count(lit(1)).as("o"))
+    val grp = cells.groupBy(col("__l"))
+      .agg(sum(col("o")).as("tot"), max(col("o")).as("keep"),
+        count(lit(1)).as("rhs_n"))
+    grp.agg(
+        coalesce(sum(col("tot")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("rhs_n") > 1L, 1L).otherwise(0L)), lit(0L))
+          .as("violating_groups"),
+        coalesce(sum(col("keep")), lit(0L)).as("__keep"))
+      .select(lit(table).as("tbl"), lit(lhs).as("lhs"),
+        lit(rhs).as("rhs"), col("n_rows"), col("n_groups"),
+        col("violating_groups"),
+        when(col("n_rows") > 0L,
+          expr("(10000 * (n_rows - __keep)) DIV n_rows")).as("g3_bp"),
+        when(col("n_rows") > 0L && col("violating_groups") === 0L, 1)
+          .otherwise(0).as("holds"))
+  }
+
   /** Pearson χ² + Cramér's V for one R×C categorical pair — the
     * general-contingency complement of q274's 2×2 closed form and the
     * standard feature-association screen (rank candidate features /

@@ -2851,6 +2851,30 @@ class OpsSpec extends SparkSpec {
       Some(294L))))
   }
 
+  test("fdAudit: g3 counts minimum rows to delete; canary FD holds; nulls dropped") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("a")), (Some(1L), Some("b")),
+      (Some(2L), Some("c")), (Some(2L), Some("c")), (Some(3L), Some("d")),
+      (None, Some("x")), (Some(4L), None)) // null on either side ignored
+      .toDF("k", "v")
+    val r = graft.ops.Profile.fdAudit(df, "k", "v", "t").collect().head
+    // key 1 is the only violator: keep max(2,1)=2 of its 3 rows →
+    // delete 1 of 6 rows total → g3 = 1666bp
+    assert((r.getString(0), r.getString(1), r.getString(2)) ==
+      (("t", "k", "v")))
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("violating_groups") == 1L)
+    assert(r.getAs[Long]("g3_bp") == 1666L)
+    assert(r.getAs[Int]("holds") == 0)
+    val ok = graft.ops.Profile.fdAudit(
+      Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("k", "v"), "k", "v", "t")
+      .collect().head
+    assert(ok.getAs[Long]("g3_bp") == 0L && ok.getAs[Int]("holds") == 1)
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

@@ -2066,4 +2066,14 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(partkey".r
       .findAllIn(stripCached(p)).length <= 1, p)
   }
+
+  test("q319 fd audit: six pruned two-column scans; cell→key→report aggregate ladder") {
+    val p = plan("q319_fd_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 6, p)
+    val schemas = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(schemas.forall(s => s.split(",").length <= 2),
+      s"an FD scan reads more than its two columns: $schemas")
+  }
 }
