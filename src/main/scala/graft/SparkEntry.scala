@@ -346,7 +346,8 @@ object SparkEntry {
     "q316_fuzzy_name_match" -> (Queries.fuzzyNameMatch _),
     "q317_haar_energy" -> (Queries.haarEnergy _),
     "q318_croston_demand" -> (Queries.crostonDemand _),
-    "q319_fd_audit" -> (Queries.fdAudit _)
+    "q319_fd_audit" -> (Queries.fdAudit _),
+    "q320_revenue_retention" -> (Queries.revenueRetention _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -982,6 +983,11 @@ object Queries {
     ("nation", "n_nationkey", "n_regionkey"),
     ("orders", "o_custkey", "o_orderpriority"),
     ("part", "p_name", "p_brand"))
+
+  /** Monthly NDR/GRR dollar-retention panel with the
+    * expansion/contraction/churn/new decomposition. */
+  def revenueRetention(spark: SparkSession, dir: String): DataFrame =
+    Retention.revenueRetention(Tables(spark, dir, "orders"))
 
   /** g3-error functional-dependency audit over the declared
     * candidate list. */
@@ -12527,7 +12533,66 @@ object Oracles {
       Queries.FdCandidates
         .map { case (t, l, r) => cand(t, l, r) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, lhs, rhs")
-    }
+    },
+
+    // arithmetic month alignment (m = 12y+mo-1); full-outer self
+    // alignment at (cust, month) grain; integral bp divisions
+    "q320_revenue_retention" ->
+      s"""WITH cm AS (
+         |  SELECT o_custkey AS cust,
+         |         CAST(12 * year(o_orderdate) + month(o_orderdate) - 1
+         |           AS BIGINT) AS m,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders
+         |  WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+         |  GROUP BY 1, 2),
+         |b AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM cm),
+         |j AS (
+         |  SELECT COALESCE(p.cust, c.cust) AS cust,
+         |         COALESCE(p.m, c.m) AS m,
+         |         p.prev_cents, c.cur_cents
+         |  FROM (SELECT cust, m + 1 AS m, cents AS prev_cents FROM cm) p
+         |  FULL OUTER JOIN
+         |       (SELECT cust, m, cents AS cur_cents FROM cm) c
+         |    ON p.cust = c.cust AND p.m = c.m),
+         |g AS (
+         |  SELECT m,
+         |    CAST(SUM(CASE WHEN prev_cents IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS base_customers,
+         |    CAST(COALESCE(SUM(prev_cents), 0) AS BIGINT)
+         |      AS base_prev_cents,
+         |    CAST(COALESCE(SUM(CASE WHEN prev_cents IS NOT NULL
+         |      THEN COALESCE(cur_cents, 0) END), 0) AS BIGINT)
+         |      AS retained_cents,
+         |    CAST(COALESCE(SUM(CASE WHEN prev_cents IS NOT NULL
+         |      AND cur_cents IS NOT NULL
+         |      THEN greatest(cur_cents - prev_cents, 0) END), 0) AS BIGINT)
+         |      AS expansion_cents,
+         |    CAST(COALESCE(SUM(CASE WHEN prev_cents IS NOT NULL
+         |      AND cur_cents IS NOT NULL
+         |      THEN greatest(prev_cents - cur_cents, 0) END), 0) AS BIGINT)
+         |      AS contraction_cents,
+         |    CAST(COALESCE(SUM(CASE WHEN cur_cents IS NULL
+         |      THEN prev_cents END), 0) AS BIGINT) AS churned_cents,
+         |    CAST(COALESCE(SUM(CASE WHEN prev_cents IS NULL
+         |      THEN cur_cents END), 0) AS BIGINT) AS new_cents
+         |  FROM j GROUP BY 1)
+         |SELECT printf('%04d-%02d', CAST(m // 12 AS INT),
+         |         CAST(m % 12 + 1 AS INT)) AS month,
+         |       base_customers, base_prev_cents, retained_cents,
+         |       expansion_cents, contraction_cents, churned_cents,
+         |       new_cents,
+         |       CASE WHEN base_prev_cents > 0 THEN
+         |         (10000 * retained_cents) // base_prev_cents
+         |       END AS ndr_bp,
+         |       CASE WHEN base_prev_cents > 0 THEN
+         |         (10000 * (retained_cents - expansion_cents))
+         |           // base_prev_cents
+         |       END AS grr_bp
+         |FROM g, b
+         |WHERE m > b.m0 AND m <= b.m1
+         |ORDER BY month""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

@@ -2139,6 +2139,81 @@ object Retention {
       .orderBy(col("report_date").asc)
   }
 
+  /** Monthly revenue-retention panel — NDR/GRR with the full
+    * expansion / contraction / churn / new decomposition (the SaaS
+    * "dollar retention" table; [[growthAccounting]] is its USER-count
+    * sibling, this is the CENTS flow): for month m the base is every
+    * customer with revenue in m−1; NDR = base's month-m revenue over
+    * its month-(m−1) revenue, GRR caps each customer at their prior
+    * spend (expansion excluded). Identities, exact by construction:
+    * retained = grr_num + expansion, base_prev = grr_num +
+    * contraction + churned.
+    *
+    * All cents exact; the two bp ratios are integral divisions.
+    * Month alignment is arithmetic (m = 12·year + month − 1), so a
+    * customer skipping a month churns and re-enters as new — the
+    * standard monthly-logo convention. Reported months are
+    * (first observed, last observed] — the phantom month after the
+    * span's end (where everyone would "churn") is excluded.
+    *
+    * Scale shape: one fact pass to the persisted (customer, month)
+    * grain (caller owns the cache); the self-alignment full-outer
+    * join re-shuffles only that grain on (cust, m), and the report is
+    * month grain. Columns: month, base_customers, base_prev_cents,
+    * retained_cents, expansion_cents, contraction_cents,
+    * churned_cents, new_cents, ndr_bp, grr_bp. */
+  def revenueRetention(orders: DataFrame): DataFrame = {
+    val cm = orders
+      .filter(col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+      .persist()
+    val bounds = cm.agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+    val prev = cm.select(col("cust"), (col("m") + 1L).as("m"),
+      col("cents").as("prev_cents"))
+    val cur = cm.select(col("cust"), col("m"),
+      col("cents").as("cur_cents"))
+    prev.join(cur, Seq("cust", "m"), "full_outer")
+      .groupBy(col("m"))
+      .agg(
+        sum(when(col("prev_cents").isNotNull, 1L).otherwise(0L))
+          .as("base_customers"),
+        coalesce(sum(col("prev_cents")), lit(0L)).as("base_prev_cents"),
+        coalesce(sum(when(col("prev_cents").isNotNull,
+          coalesce(col("cur_cents"), lit(0L)))), lit(0L))
+          .as("retained_cents"),
+        coalesce(sum(when(
+          col("prev_cents").isNotNull && col("cur_cents").isNotNull,
+          greatest(col("cur_cents") - col("prev_cents"), lit(0L)))),
+          lit(0L)).as("expansion_cents"),
+        coalesce(sum(when(
+          col("prev_cents").isNotNull && col("cur_cents").isNotNull,
+          greatest(col("prev_cents") - col("cur_cents"), lit(0L)))),
+          lit(0L)).as("contraction_cents"),
+        coalesce(sum(when(col("cur_cents").isNull, col("prev_cents"))),
+          lit(0L)).as("churned_cents"),
+        coalesce(sum(when(col("prev_cents").isNull, col("cur_cents"))),
+          lit(0L)).as("new_cents"))
+      .join(broadcast(bounds), lit(true))
+      .filter(col("m") > col("m0") && col("m") <= col("m1"))
+      .select(
+        expr("format_string('%04d-%02d', CAST(m DIV 12 AS INT)," +
+          " CAST(m % 12 + 1 AS INT))").as("month"),
+        col("base_customers"), col("base_prev_cents"),
+        col("retained_cents"), col("expansion_cents"),
+        col("contraction_cents"), col("churned_cents"), col("new_cents"),
+        when(col("base_prev_cents") > 0L,
+          expr("(10000 * retained_cents) DIV base_prev_cents"))
+          .as("ndr_bp"),
+        when(col("base_prev_cents") > 0L,
+          expr("(10000 * (retained_cents - expansion_cents))" +
+            " DIV base_prev_cents")).as("grr_bp"))
+      .orderBy(col("month").asc)
+  }
+
   /** Haar wavelet energy spectrum of daily revenue (Haar 1910; the
     * multi-resolution decomposition behind every wavelet variance
     * analysis): at level j the detail coefficient of a 2^j-day block

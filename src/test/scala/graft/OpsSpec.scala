@@ -2875,6 +2875,35 @@ class OpsSpec extends SparkSpec {
     assert(ok.getAs[Long]("g3_bp") == 0L && ok.getAs[Int]("holds") == 1)
   }
 
+  test("revenueRetention: expansion/contraction/churn/new hand panel incl. a dark month") {
+    val s2 = spark
+    import s2.implicits._
+    val orders = Seq(
+      (1L, "2024-01-10", 1.0), (1L, "2024-02-05", 2.0), // expands +100c
+      (2L, "2024-01-15", 3.0), (2L, "2024-02-20", 1.0), // contracts -200c
+      (3L, "2024-01-20", 2.0),                          // churns in Feb
+      (4L, "2024-02-25", 5.0),                          // new in Feb
+      (1L, "2024-04-02", 1.0))                          // re-enters as NEW
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.ops.Retention.revenueRetention(orders)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long,
+        Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      // Feb: base {1,2,3} 600c → retained 300c, ndr 5000, grr 3333
+      ("2024-02", 3L, 600L, 300L, 100L, 200L, 200L, 500L,
+        Some(5000L), Some(3333L)),
+      // Mar: everyone from Feb goes dark → all 800c churns
+      ("2024-03", 3L, 800L, 0L, 0L, 0L, 800L, 0L, Some(0L), Some(0L)),
+      // Apr: no Mar base → ratios undefined; c1 re-enters as new
+      ("2024-04", 0L, 0L, 0L, 0L, 0L, 0L, 100L, None, None)))
+    // decomposition identity on every row: base = grr_num + contraction
+    // + churned, retained = grr_num + expansion
+    got.foreach { r =>
+      val grrNum = r._4 - r._5
+      assert(r._3 == grrNum + r._6 + r._7, s"base identity on ${r._1}")
+    }
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

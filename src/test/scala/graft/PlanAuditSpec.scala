@@ -2076,4 +2076,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(schemas.forall(s => s.split(",").length <= 2),
       s"an FD scan reads more than its two columns: $schemas")
   }
+
+  test("q320 revenue retention: one cached fact pass; alignment join at (cust, month) grain") {
+    val p = plan("q320_revenue_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r
+      .findFirstMatchIn(p).get.group(1)
+    assert(readSchema.split(",").length <= 3,
+      s"scan not pruned to cust+date+price: $readSchema")
+  }
 }
