@@ -347,7 +347,8 @@ object SparkEntry {
     "q317_haar_energy" -> (Queries.haarEnergy _),
     "q318_croston_demand" -> (Queries.crostonDemand _),
     "q319_fd_audit" -> (Queries.fdAudit _),
-    "q320_revenue_retention" -> (Queries.revenueRetention _)
+    "q320_revenue_retention" -> (Queries.revenueRetention _),
+    "q321_deseasonalized_cusum" -> (Queries.deseasonalizedCusum _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -988,6 +989,12 @@ object Queries {
     * expansion/contraction/churn/new decomposition. */
   def revenueRetention(spark: SparkSession, dir: String): DataFrame =
     Retention.revenueRetention(Tables(spark, dir, "orders"))
+
+  /** CUSUM on the q311 seasonally-adjusted remainder: level-shift
+    * detection with trend and weekly rhythm removed. */
+  def deseasonalizedCusum(spark: SparkSession, dir: String): DataFrame =
+    Retention.deseasonalizedCusum(Tables(spark, dir, "orders"),
+      EwmaWindowDays, CusumSlackBp, CusumHMeanDays)
 
   /** g3-error functional-dependency audit over the declared
     * candidate list. */
@@ -12592,7 +12599,87 @@ object Oracles {
          |       END AS grr_bp
          |FROM g, b
          |WHERE m > b.m0 AND m <= b.m1
-         |ORDER BY month""".stripMargin
+         |ORDER BY month""".stripMargin,
+
+    // q311's STL layers (dyadic kernel + dow means) feeding q212's
+    // running-min CUSUM walk, target 0, HUGEINT-scaled recursion
+    "q321_deseasonalized_cusum" -> {
+      val w = Queries.EwmaWindowDays
+      val denom = (1L << w) - 1L
+      val sl = Queries.CusumSlackBp
+      val h = Queries.CusumHMeanDays
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |sp AS (
+         |  SELECT unnest(generate_series((SELECT MIN(daynum) FROM d),
+         |           (SELECT MAX(daynum) FROM d))) AS daynum),
+         |dense AS (
+         |  SELECT sp.daynum, COALESCE(d.cents, 0) AS cents
+         |  FROM sp LEFT JOIN d USING (daynum)),
+         |tr AS (
+         |  SELECT a.daynum,
+         |         CAST(SUM(b.cents * (CAST(1 AS BIGINT) <<
+         |           CAST(${w - 1} - (a.daynum - b.daynum) AS INT)))
+         |           // $denom AS BIGINT) AS trend
+         |  FROM dense a JOIN dense b
+         |    ON b.daynum BETWEEN a.daynum - ${w - 1} AND a.daynum
+         |  GROUP BY 1),
+         |det AS (
+         |  SELECT dense.daynum, dense.cents,
+         |         dense.cents - tr.trend AS det,
+         |         dense.daynum % 7 AS dow
+         |  FROM dense JOIN tr USING (daynum)),
+         |rm AS (
+         |  SELECT daynum, cents,
+         |         det - CAST(CAST(SUM(det) OVER (PARTITION BY dow)
+         |           AS BIGINT) // COUNT(*) OVER (PARTITION BY dow)
+         |           AS BIGINT) AS rem
+         |  FROM det),
+         |st AS (SELECT COUNT(*) AS n, SUM(CAST(cents AS HUGEINT)) AS s
+         |       FROM rm),
+         |dv AS (
+         |  SELECT rm.daynum, rm.cents, rm.rem, st.s,
+         |         CAST(10000 AS HUGEINT) * st.n * rm.rem
+         |           - CAST($sl AS HUGEINT) * st.s AS devp,
+         |         CAST(-10000 AS HUGEINT) * st.n * rm.rem
+         |           - CAST($sl AS HUGEINT) * st.s AS devn
+         |  FROM rm, st),
+         |cw AS (
+         |  SELECT *,
+         |         SUM(devp) OVER (ORDER BY daynum
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         |         SUM(devn) OVER (ORDER BY daynum
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+         |  FROM dv),
+         |cs AS (
+         |  SELECT *,
+         |         cp - LEAST(CAST(0 AS HUGEINT), MIN(cp) OVER (ORDER BY daynum
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |           AS cusum_p,
+         |         cn - LEAST(CAST(0 AS HUGEINT), MIN(cn) OVER (ORDER BY daynum
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |           AS cusum_n
+         |  FROM cw)
+         |SELECT strftime(DATE '1970-01-01' + CAST(daynum AS INT),
+         |         '%Y-%m-%d') AS day,
+         |       cents, rem AS rem_cents,
+         |       CASE WHEN s > 0 THEN
+         |         CAST(FLOOR(CAST(cusum_p AS DOUBLE) / CAST(s AS DOUBLE))
+         |           AS BIGINT) END AS pos_bp,
+         |       CASE WHEN s > 0 THEN
+         |         CAST(FLOOR(CAST(cusum_n AS DOUBLE) / CAST(s AS DOUBLE))
+         |           AS BIGINT) END AS neg_bp,
+         |       CAST(CASE WHEN cusum_p > CAST(${10000L * h} AS HUGEINT) * s
+         |         THEN 1 ELSE 0 END AS BIGINT) AS pos_alarm,
+         |       CAST(CASE WHEN cusum_n > CAST(${10000L * h} AS HUGEINT) * s
+         |         THEN 1 ELSE 0 END AS BIGINT) AS neg_alarm
+         |FROM cs
+         |ORDER BY day""".stripMargin
+    }
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

@@ -1664,13 +1664,17 @@ object Retention {
     *
     * Scale shape: one fact pass to the persisted day panel; the ×W
     * kernel fan-out, dow means, and variance sums all live at
-    * calendar-day grain. */
-  def varianceDecomposition(orders: DataFrame,
+    * calendar-day grain.
+    *
+    * [[stlRemainder]] is the shared layer builder (dense spine →
+    * dyadic trend → dow seasonal → remainder) that both this
+    * decomposition and [[deseasonalizedCusum]] consume; it returns
+    * the day-grain frame (daynum, cents, det, dow, seas, rem). */
+  private[ops] def stlRemainder(orders: DataFrame,
       windowDays: Int = 16): DataFrame = {
     require(windowDays >= 2 && windowDays <= 32, "windowDays in [2,32]")
     val w = windowDays.toLong
     val denom = (1L << windowDays) - 1L
-    val dec = "decimal(38,0)"
     val day = orders
       .filter(col("o_orderdate").isNotNull)
       .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
@@ -1692,14 +1696,19 @@ object Retention {
         s"shiftleft(CAST(1 AS BIGINT), CAST(${w - 1L} - (daynum - src) AS INT))"))
       .groupBy(col("daynum"))
       .agg(expr(s"CAST(sum(wv) DIV $denom AS BIGINT)").as("trend"))
-    val det = dense.join(trend, Seq("daynum"))
+    dense.join(trend, Seq("daynum"))
       .select(col("daynum"), col("cents"),
         (col("cents") - col("trend")).as("det"))
       .withColumn("dow", pmod(col("daynum"), lit(7L)))
-    det
       .withColumn("seas", expr(
         "sum(det) OVER (PARTITION BY dow) DIV count(1) OVER (PARTITION BY dow)"))
       .withColumn("rem", col("det") - col("seas"))
+  }
+
+  def varianceDecomposition(orders: DataFrame,
+      windowDays: Int = 16): DataFrame = {
+    val dec = "decimal(38,0)"
+    stlRemainder(orders, windowDays)
       .withColumn("m_tot", expr("sum(cents) OVER () DIV count(1) OVER ()"))
       .withColumn("m_det", expr("sum(det) OVER () DIV count(1) OVER ()"))
       .withColumn("m_rem", expr("sum(rem) OVER () DIV count(1) OVER ()"))
@@ -1725,6 +1734,69 @@ object Retention {
           lit(null).cast("long"))
           .otherwise(expr(s"(CAST(10000 AS $dec) * v_rem) DIV v_tot"))
           .as("remainder_share_bp"))
+  }
+
+  /** CUSUM change detection on the SEASONALLY-ADJUSTED remainder —
+    * the composition of [[cusumRevenue]] (q212) and the q311 STL
+    * layers: a genuine level shift hides inside the raw CUSUM when
+    * the weekly rhythm dominates (every weekend swings the plain
+    * statistic by a full season), so the change detector should run
+    * on the series with trend and day-of-week effects removed. Page's
+    * one-sided sums with the q212 running-min formulation, target 0
+    * (the remainder is near-zero-mean by construction), slack and
+    * alarm threshold expressed in the same units as q212: slack k =
+    * slackBp of the span's MEAN DAILY revenue per day, threshold =
+    * hMeanDays days of mean revenue.
+    *
+    * Exactness: remainders are exact integers from the STL layers;
+    * the walk is kept ×(10⁴·n)-scaled in decimal(38,0) so no division
+    * happens inside the recursion; published bp values divide two
+    * exactly-computed numbers once (IEEE, both engines identical).
+    *
+    * Scale shape: identical to q212 — day-grain frame, one ordered
+    * window walk over calendar metadata; the STL layers add the q311
+    * ×W kernel fan-out, still calendar-grain.
+    *
+    * Columns: day, cents, rem_cents, pos_bp, neg_bp, pos_alarm,
+    * neg_alarm. */
+  def deseasonalizedCusum(orders: DataFrame, windowDays: Int = 16,
+      slackBp: Long = 2000L, hMeanDays: Long = 3L): DataFrame = {
+    require(slackBp >= 0L && slackBp < 10000L, "slackBp in [0, 10000)")
+    require(hMeanDays >= 1L, "hMeanDays must be >= 1")
+    val dec = "decimal(38,0)"
+    val rem = stlRemainder(orders, windowDays)
+      .select(col("daynum"), col("cents"), col("rem"))
+    val stats = rem.agg(count(lit(1)).as("n"),
+      sum(col("cents").cast(dec)).as("s"))
+    val byDay = Window.orderBy(col("daynum").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rem.crossJoin(broadcast(stats))
+      .withColumn("devp", expr(
+        s"CAST(10000L AS $dec) * n * rem - CAST(${slackBp}L AS $dec) * s"))
+      .withColumn("devn", expr(
+        s"CAST(-10000L AS $dec) * n * rem - CAST(${slackBp}L AS $dec) * s"))
+      .withColumn("cp", sum(col("devp")).over(byDay))
+      .withColumn("cn", sum(col("devn")).over(byDay))
+      .withColumn("cusum_p",
+        col("cp") - least(lit(0L).cast(dec), min(col("cp")).over(byDay)))
+      .withColumn("cusum_n",
+        col("cn") - least(lit(0L).cast(dec), min(col("cn")).over(byDay)))
+      .withColumn("thresh", expr(s"CAST(${10000L * hMeanDays}L AS $dec) * s"))
+      .select(
+        date_format(expr("date_add('1970-01-01', CAST(daynum AS INT))"),
+          "yyyy-MM-dd").as("day"),
+        col("cents"), col("rem").as("rem_cents"),
+        when(col("s") > 0,
+          floor(col("cusum_p").cast("double") / col("s").cast("double"))
+            .cast("long")).as("pos_bp"),
+        when(col("s") > 0,
+          floor(col("cusum_n").cast("double") / col("s").cast("double"))
+            .cast("long")).as("neg_bp"),
+        when(col("cusum_p") > col("thresh"), 1L).otherwise(0L)
+          .as("pos_alarm"),
+        when(col("cusum_n") > col("thresh"), 1L).otherwise(0L)
+          .as("neg_alarm"))
+      .orderBy(col("day").asc)
   }
 
   /** Month-over-month spend-tier migration matrix — the customer-base

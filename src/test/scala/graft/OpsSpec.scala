@@ -2904,6 +2904,77 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("deseasonalizedCusum matches a BigInt JVM twin of the STL+CUSUM chain") {
+    val s2 = spark
+    import s2.implicits._
+    val wd = 4; val sl = 2000L; val h = 3L
+    val days = 0 until 28
+    // quarter-dollar grid (exact under floor(v*100)) with a weekly
+    // rhythm and a level shift in the back half
+    val cents = days.map(i =>
+      25L * (40 + (i % 7) * 8 + (if (i >= 14) 20 else 0)))
+    val orders = days.map(i => (f"2024-01-${i + 1}%02d", cents(i) / 100.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = graft.ops.Retention
+      .deseasonalizedCusum(orders, wd, sl, h)
+      .as[(String, Long, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().toSeq
+    // twin: dyadic trend → dow means → remainder → running-min walk
+    val denom = (1L << wd) - 1L
+    val trend = days.map { t =>
+      val lo = math.max(0, t - (wd - 1))
+      ((lo to t).map(s => BigInt(cents(s)) << (wd - 1 - (t - s))).sum /
+        denom).toLong
+    }
+    val det = days.map(t => cents(t) - trend(t))
+    val dowMean = (0 until 7).map { d =>
+      val xs = days.filter(_ % 7 == d).map(det)
+      d -> xs.sum / xs.size // Scala / truncates toward zero, like DIV
+    }.toMap
+    val rem = days.map(t => det(t) - dowMean(t % 7))
+    val n = days.size.toLong
+    val sTot = BigInt(cents.sum)
+    var cp = BigInt(0); var cn = BigInt(0)
+    var minCp = BigInt(0); var minCn = BigInt(0)
+    val thresh = BigInt(10000L * h) * sTot
+    days.foreach { t =>
+      cp += BigInt(10000L) * n * rem(t) - BigInt(sl) * sTot
+      cn += BigInt(-10000L) * n * rem(t) - BigInt(sl) * sTot
+      // the running min INCLUDES the current row (q212 convention)
+      minCp = minCp.min(cp); minCn = minCn.min(cn)
+      val cusumP = cp - minCp.min(0)
+      val cusumN = cn - minCn.min(0)
+      val row = got(t)
+      assert(row._2 == cents(t) && row._3 == rem(t), s"day $t layers")
+      assert(row._4.get ==
+        math.floor(cusumP.toDouble / sTot.toDouble).toLong, s"day $t pos")
+      assert(row._5.get ==
+        math.floor(cusumN.toDouble / sTot.toDouble).toLong, s"day $t neg")
+      assert(row._6 == (if (cusumP > thresh) 1L else 0L), s"day $t alarm")
+    }
+  }
+
+  test("deseasonalizedCusum: a pure weekly rhythm barely moves it while raw CUSUM swings") {
+    val s2 = spark
+    import s2.implicits._
+    // 8 weeks of a loud 7-day cycle, no level change at all
+    val days = 0 until 56
+    val orders = days.map(i =>
+      (f"2024-01-01", 0.0)).zipWithIndex.map { case (_, i) =>
+      (java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString,
+        if (i % 7 == 6) 50.0 else 10.0)
+    }.toDF("o_orderdate", "o_totalprice")
+    val deseas = graft.ops.Retention
+      .deseasonalizedCusum(orders, 4, 2000L, 3L)
+      .select("pos_bp", "neg_bp").as[(Long, Long)].collect()
+    val raw = graft.ops.Retention.cusumRevenue(orders, 2000L, 3L)
+      .select("pos_bp", "neg_bp").as[(Long, Long)].collect()
+    val dMax = deseas.map(r => math.max(r._1, r._2)).max
+    val rMax = raw.map(r => math.max(r._1, r._2)).max
+    assert(dMax < rMax,
+      s"seasonal swing should dominate the raw walk: deseas $dMax vs raw $rMax")
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

@@ -2086,4 +2086,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(readSchema.split(",").length <= 3,
       s"scan not pruned to cust+date+price: $readSchema")
   }
+
+  test("q321 deseasonalized cusum: cached day panel; calendar-grain layers and walk") {
+    val p = plan("q321_deseasonalized_cusum")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r
+      .findFirstMatchIn(p).get.group(1)
+    assert(readSchema.split(",").length <= 2 &&
+      readSchema.contains("o_orderdate"),
+      s"scan not pruned to date+price: $readSchema")
+  }
 }
