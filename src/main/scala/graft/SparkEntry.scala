@@ -348,7 +348,8 @@ object SparkEntry {
     "q318_croston_demand" -> (Queries.crostonDemand _),
     "q319_fd_audit" -> (Queries.fdAudit _),
     "q320_revenue_retention" -> (Queries.revenueRetention _),
-    "q321_deseasonalized_cusum" -> (Queries.deseasonalizedCusum _)
+    "q321_deseasonalized_cusum" -> (Queries.deseasonalizedCusum _),
+    "q322_hub_knockout" -> (Queries.hubKnockout _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -1991,6 +1992,14 @@ object Queries {
     * the same CC machinery as the near-dup clusters). */
   def coVisComponents(spark: SparkSession, dir: String): DataFrame =
     Graph.componentSizes(sharedCoVisPairs(spark, dir), PageRankMinSupport)
+
+  val KnockoutKs = Seq(0, 1, 2, 5, 10)
+
+  /** Hub-knockout robustness: giant-component census after removing
+    * the top-k degree hubs from the shared co-vis graph. */
+  def hubKnockout(spark: SparkSession, dir: String): DataFrame =
+    Graph.hubKnockout(sharedCoVisPairs(spark, dir), KnockoutKs,
+      PageRankMinSupport)
 
   val TripleMaxItems = 16
   val TripleMinSupport = 5L
@@ -12679,6 +12688,55 @@ object Oracles {
          |         THEN 1 ELSE 0 END AS BIGINT) AS neg_alarm
          |FROM cs
          |ORDER BY day""".stripMargin
+    },
+
+    // per-k rank filter + the q201 recursive-CC pattern; hub rank is
+    // (degree desc, id asc) — deterministic, no sampling
+    "q322_hub_knockout" -> {
+      val cap = Queries.CoVisitMaxItems
+      val ms = Queries.PageRankMinSupport
+      val cte = sessionCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      val perK = Queries.KnockoutKs.sorted.map { k =>
+        s"""ek$k AS (
+           |  SELECT e.src, e.dst FROM edg e
+           |  JOIN rnk ra ON ra.item = e.src
+           |  JOIN rnk rb ON rb.item = e.dst
+           |  WHERE ra.rnk > $k AND rb.rnk > $k),
+           |n$k AS (SELECT DISTINCT src AS item FROM ek$k),
+           |reach$k(node, lbl) AS (
+           |  SELECT item, item FROM n$k
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach$k r JOIN ek$k e
+           |    ON e.src = r.node),
+           |comp$k AS (SELECT node, MIN(lbl) AS component FROM reach$k
+           |           GROUP BY 1),
+           |csz$k AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_items
+           |          FROM comp$k GROUP BY 1),
+           |row$k AS (
+           |  SELECT CAST($k AS BIGINT) AS k_removed,
+           |         CAST(COALESCE(SUM(n_items), 0) AS BIGINT) AS n_nodes,
+           |         CAST((SELECT COUNT(*) FROM ek$k) // 2 AS BIGINT)
+           |           AS n_edges,
+           |         CAST(COUNT(*) AS BIGINT) AS n_components,
+           |         CAST(COALESCE(MAX(n_items), 0) AS BIGINT)
+           |           AS giant_items,
+           |         CASE WHEN COALESCE(SUM(n_items), 0) > 0
+           |              THEN CAST((10000 * MAX(n_items))
+           |                // SUM(n_items) AS BIGINT)
+           |         END AS giant_share_bp
+           |  FROM csz$k)""".stripMargin
+      }.mkString(",\n")
+      val rows = Queries.KnockoutKs.sorted
+        .map(k => s"SELECT * FROM row$k").mkString("\nUNION ALL\n")
+      s"""$cte,
+         |${coVisEdgesCte(cap, ms)},
+         |rnk AS (
+         |  SELECT src AS item,
+         |         ROW_NUMBER() OVER (ORDER BY deg DESC, src) AS rnk
+         |  FROM deg),
+         |$perK
+         |$rows
+         |ORDER BY k_removed""".stripMargin
     }
   )
 

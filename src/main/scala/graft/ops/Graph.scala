@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PageRank (Brin & Page 1998) over an edge list, as a fixed number
@@ -624,5 +625,64 @@ object Graph {
         col("min_core_deg"),
         (col("n_core_vertices") === 0L ||
           col("min_core_deg") >= k.toLong).cast("int").as("converged"))
+  }
+
+  /** Hub-knockout robustness census (Albert–Jeong–Barabási 2000's
+    * "attack" experiment): remove the top-k highest-degree nodes and
+    * measure what is left of the giant component — the
+    * single-point-of-failure read for a co-visit/recommendation
+    * graph, where a catalog built around three hub items falls apart
+    * the day one is delisted. Complements [[kcore]] (which peels by
+    * LOCAL degree floor; this deletes GLOBAL hubs) and q201's intact
+    * component census (the k=0 row reproduces it).
+    *
+    * Deterministic: hubs ranked (degree desc, id asc); removal is a
+    * rank filter, never a sampled set. Per k the remaining edge set
+    * re-runs the q42 star-forest CC — components at catalog grain.
+    * Nodes are edge ENDPOINTS throughout, so a knockout that isolates
+    * a node also removes it from the census (the house co-vis node
+    * convention).
+    *
+    * Scale shape: the symmetric edge list and the degree-rank table
+    * are built once (checkpointed, catalog-bounded); each k is a rank
+    * filter + CC over metadata-grain frames — the fact stream is
+    * touched only by the pair build the caller passes in (the shared
+    * co-vis artifact in the registered query).
+    *
+    * Columns: k_removed, n_nodes, n_edges, n_components, giant_items,
+    * giant_share_bp (NULL when the graph is empty). */
+  def hubKnockout(pairs: DataFrame, ks: Seq[Int], minWeight: Long = 1L,
+      weightCol: String = "pair_sessions"): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0) && ks.distinct.size == ks.size,
+      "ks distinct, non-negative")
+    val e = symmetric(pairs, minWeight, weightCol)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(false)
+    val rk = e.groupBy(col("src").as("item"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("deg").desc, col("item").asc)))
+      .select(col("item"), col("rnk"))
+      .localCheckpoint(false)
+    ks.sorted.map { k =>
+      val keep = rk.filter(col("rnk") > k)
+      val ek = e
+        .join(keep.select(col("item").as("src")), Seq("src"))
+        .join(keep.select(col("item").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+      val eCnt = ek.agg(expr("count(1) DIV 2").as("n_edges"))
+      Clustering.connectedComponents(ek, "src", "dst")
+        .groupBy(col("component")).agg(count(lit(1)).as("n_items"))
+        .agg(coalesce(sum(col("n_items")), lit(0L)).as("n_nodes"),
+          count(lit(1)).as("n_components"),
+          coalesce(max(col("n_items")), lit(0L)).as("giant_items"))
+        .crossJoin(broadcast(eCnt))
+        .select(lit(k.toLong).as("k_removed"), col("n_nodes"),
+          col("n_edges"), col("n_components"), col("giant_items"),
+          when(col("n_nodes") > 0L,
+            expr("(10000 * giant_items) DIV n_nodes"))
+            .as("giant_share_bp"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("k_removed").asc)
   }
 }

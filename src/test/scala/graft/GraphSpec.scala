@@ -212,4 +212,22 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L), (10L, 1L)))
   }
+
+  test("hubKnockout: removing the star hub frees the side pair; deterministic hub rank") {
+    val s2 = spark
+    import s2.implicits._
+    // star 1-{2,3,4} plus an independent pair 5-6
+    val pairs = Seq((1L, 2L, 3L), (1L, 3L, 3L), (1L, 4L, 3L),
+      (5L, 6L, 3L)).toDF("item_a", "item_b", "pair_sessions")
+    val got = Graph.hubKnockout(pairs, Seq(0, 1, 2), minWeight = 1L)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      // intact: giant is the 4-node star (6666bp of 6 nodes)
+      (0L, 6L, 4L, 2L, 4L, Some(6666L)),
+      // hub 1 (deg 3) removed: its leaves isolate and drop; 5-6 stays
+      (1L, 2L, 1L, 1L, 2L, Some(10000L)),
+      // next hub by (deg desc, id asc) is leaf 2 — already isolated,
+      // so the census is unchanged
+      (2L, 2L, 1L, 1L, 2L, Some(10000L))))
+  }
 }

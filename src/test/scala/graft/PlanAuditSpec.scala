@@ -2097,4 +2097,13 @@ class PlanAuditSpec extends SparkSpec {
       readSchema.contains("o_orderdate"),
       s"scan not pruned to date+price: $readSchema")
   }
+
+  test("q322 hub knockout: rides the checkpointed co-vis artifact; no live fact scan") {
+    val p = plan("q322_hub_knockout")
+    assert(!p.contains("CartesianProduct"), p)
+    // pair build lives in the Shared artifact — the query plan reads
+    // checkpointed RDDs, never re-scans events parquet
+    assert(!stripCached(p).contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
 }
