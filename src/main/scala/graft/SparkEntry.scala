@@ -349,7 +349,8 @@ object SparkEntry {
     "q319_fd_audit" -> (Queries.fdAudit _),
     "q320_revenue_retention" -> (Queries.revenueRetention _),
     "q321_deseasonalized_cusum" -> (Queries.deseasonalizedCusum _),
-    "q322_hub_knockout" -> (Queries.hubKnockout _)
+    "q322_hub_knockout" -> (Queries.hubKnockout _),
+    "q323_newsvendor_stock" -> (Queries.newsvendorStock _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2000,6 +2001,14 @@ object Queries {
   def hubKnockout(spark: SparkSession, dir: String): DataFrame =
     Graph.hubKnockout(sharedCoVisPairs(spark, dir), KnockoutKs,
       PageRankMinSupport)
+
+  val NewsvendorServiceBp = 9500L
+
+  /** Newsvendor service-level weekly stock per part: implicit-zero
+    * nearest-rank quantile (no part×week spine) + safety margin. */
+  def newsvendorStock(spark: SparkSession, dir: String): DataFrame =
+    Market.newsvendorStock(Tables(spark, dir, "lineitem"),
+      NewsvendorServiceBp)
 
   val TripleMaxItems = 16
   val TripleMinSupport = 5L
@@ -12737,6 +12746,41 @@ object Oracles {
          |$perK
          |$rows
          |ORDER BY k_removed""".stripMargin
+    },
+
+    // implicit-zero nearest-rank quantile: rank r over ALL T weeks
+    // answered by arithmetic over nonzero rows only (no spine)
+    "q323_newsvendor_stock" -> {
+      val p = Queries.NewsvendorServiceBp
+      s"""WITH pw AS (
+         |  SELECT l_partkey AS partkey,
+         |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) // 7 AS wk,
+         |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units
+         |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2),
+         |sp AS (SELECT MAX(wk) - MIN(wk) + 1 AS t FROM pw),
+         |st AS (
+         |  SELECT partkey, CAST(COUNT(*) AS BIGINT) AS nz,
+         |         CAST(SUM(units) AS BIGINT) AS tot
+         |  FROM pw GROUP BY 1),
+         |rk AS (
+         |  SELECT partkey, units,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY partkey
+         |           ORDER BY units, wk) AS BIGINT) AS rn
+         |  FROM pw),
+         |qq AS (
+         |  SELECT st.partkey, st.nz, st.tot, sp.t,
+         |         (sp.t * $p + 9999) // 10000 - (sp.t - st.nz) AS j
+         |  FROM st, sp)
+         |SELECT qq.partkey, qq.t AS t_weeks, qq.nz AS nz_weeks,
+         |       qq.tot AS total_units,
+         |       (1000 * qq.tot) // qq.t AS mean_weekly_milli,
+         |       CAST(COALESCE(rk.units, 0) AS BIGINT) AS q_units,
+         |       1000 * CAST(COALESCE(rk.units, 0) AS BIGINT)
+         |         - (1000 * qq.tot) // qq.t AS safety_milli
+         |FROM qq LEFT JOIN rk
+         |  ON rk.partkey = qq.partkey AND rk.rn = qq.j
+         |ORDER BY qq.partkey""".stripMargin
     }
   )
 

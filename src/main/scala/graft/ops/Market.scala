@@ -1052,6 +1052,63 @@ object Market {
       .orderBy(col("partkey").asc)
   }
 
+  /** Newsvendor service-level stock per part: the order-up-to
+    * quantity covering `serviceBp` of WEEKLY demand (the classic
+    * critical-fractile read with the fractile declared, plus the
+    * safety margin over mean demand). The essential scale trick is
+    * the implicit-zero quantile: most part-weeks have NO demand, and
+    * a dense part×week spine is exactly the cross-join a 100 TB plan
+    * must avoid — instead the nearest-rank position r over ALL T
+    * weeks is answered by arithmetic: if r ≤ T − nz the quantile is
+    * 0 (it falls in the dark weeks), else it is the (r−(T−nz))-th
+    * smallest NONZERO week. Only observed (part, week) rows ever
+    * shuffle.
+    *
+    * All integer: rank = ceil(T·p/10⁴) by the house (+9999) DIV
+    * rule; means in milli-units by integral division.
+    *
+    * Scale shape: one fact pass to the persisted (part, week) grain
+    * (caller owns the cache); the rank window and the per-part stats
+    * subset-cluster on one hash(partkey) shuffle; the week-span is a
+    * broadcast 1-row scalar; report at part-dimension grain.
+    *
+    * Columns: partkey, t_weeks, nz_weeks, total_units,
+    * mean_weekly_milli, q_units (the service-level weekly demand),
+    * safety_milli (1000·q_units − mean). */
+  def newsvendorStock(lineitem: DataFrame,
+      serviceBp: Long = 9500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(serviceBp >= 1L && serviceBp <= 10000L,
+      "serviceBp in [1,10000]")
+    val pw = lineitem
+      .filter(col("l_shipdate").isNotNull)
+      .groupBy(col("l_partkey").as("partkey"),
+        expr("CAST(datediff(to_date(l_shipdate), '1970-01-01')" +
+          " AS BIGINT) DIV 7").as("wk"))
+      .agg(sum(col("l_quantity").cast("long")).as("units"))
+      .persist()
+    val span = pw.agg((max(col("wk")) - min(col("wk")) + 1L).as("t"))
+    val stats = pw.groupBy(col("partkey"))
+      .agg(count(lit(1)).as("nz"), sum(col("units")).as("tot"))
+    val ranked = pw.withColumn("rn", row_number().over(
+      Window.partitionBy(col("partkey"))
+        .orderBy(col("units").asc, col("wk").asc)))
+      .select(col("partkey"), col("units"), col("rn"))
+    val qq = stats.crossJoin(broadcast(span))
+      .withColumn("r", expr(s"(t * $serviceBp + 9999) DIV 10000"))
+      .withColumn("j", col("r") - (col("t") - col("nz")))
+    qq.join(ranked,
+        qq("partkey") === ranked("partkey") && ranked("rn") === qq("j"),
+        "left")
+      .select(qq("partkey"), col("t").as("t_weeks"),
+        col("nz").as("nz_weeks"), col("tot").as("total_units"),
+        expr("(1000 * tot) DIV t").as("mean_weekly_milli"),
+        coalesce(col("units"), lit(0L)).as("q_units"),
+        (lit(1000L) * coalesce(col("units"), lit(0L)) -
+          expr("(1000 * tot) DIV t")).as("safety_milli"))
+      .orderBy(col("partkey").asc)
+  }
+
   /** Exact Shapley-value conversion attribution (Shapley '53 applied
     * to touch sets — the cooperative-game model that q292's Markov
     * removal effect approximates from one direction and q294's fixed

@@ -2975,6 +2975,31 @@ class OpsSpec extends SparkSpec {
       s"seasonal swing should dominate the raw walk: deseas $dMax vs raw $rMax")
   }
 
+  test("newsvendorStock: implicit-zero quantile arithmetic and service-level sweep") {
+    val s2 = spark
+    import s2.implicits._
+    // weeks 0 and 9 have demand, weeks 1-8 are dark → T=10, nz=2;
+    // part 1's week-0 demand arrives as two merged lines (4+6)
+    val li = Seq(
+      (1L, "1970-01-01", 4.0), (1L, "1970-01-02", 6.0),
+      (1L, "1970-03-05", 20.0),
+      (2L, "1970-01-01", 5.0), (2L, "1970-03-05", 5.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val hi = graft.ops.Market.newsvendorStock(li, 9500L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // p95 over 10 weeks → rank 10 → 2nd smallest nonzero
+    assert(hi == Seq(
+      (1L, 10L, 2L, 30L, 3000L, 20L, 17000L),
+      (2L, 10L, 2L, 10L, 1000L, 5L, 4000L)))
+    // p50 rank 5 falls in the 8 dark weeks → quantile 0, negative
+    // safety (median demand is below the mean for a spiky series)
+    val med = graft.ops.Market.newsvendorStock(li, 5000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(med == Seq(
+      (1L, 10L, 2L, 30L, 3000L, 0L, -3000L),
+      (2L, 10L, 2L, 10L, 1000L, 0L, -1000L)))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

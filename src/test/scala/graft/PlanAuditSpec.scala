@@ -2106,4 +2106,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!stripCached(p).contains("Scan parquet"), p)
     assert(p.contains("Scan ExistingRDD"), p)
   }
+
+  test("q323 newsvendor: cached (part,week) grain; no dense spine, no cartesian") {
+    val p = plan("q323_newsvendor_stock")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert("Exchange hashpartitioning\\(partkey".r
+      .findAllIn(stripCached(p)).length <= 2, p)
+  }
 }
