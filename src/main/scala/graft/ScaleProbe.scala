@@ -568,6 +568,27 @@ object ScaleProbe {
       orders.filter(col("o_orderpriority") === "1-URGENT"),
       "l_orderkey", "o_orderkey"))
     t("cross correlation")(graft.ops.Retention.crossCorrelation(orders))
+    t("shapley attribution")(graft.ops.Market.shapleyAttribution(events,
+      Seq("click", "error", "signup", "view")))
+    t("association screen")(graft.ops.Profile.cramersV(events,
+      col("event_type"), dayofweek(col("ts")).cast("long"),
+      "event_type", "event_dow"))
+    // part is a DIMENSION (not amplified): the match runs at
+    // name-domain grain, so fact growth can't touch it — the probe
+    // pins that the time is flat across multipliers
+    t("fuzzy name match")(graft.ops.Dedup.fuzzyNameMatch(
+      graft.tables.Tables(spark, dir, "part"), "p_name", "p_partkey"))
+    t("haar energy")(graft.ops.Retention.haarEnergy(orders))
+    t("croston demand")(graft.ops.Market.crostonDemand(lineitem))
+    t("fd audit")(graft.ops.Profile.fdAudit(lineitem,
+      "l_partkey", "l_suppkey", "lineitem"))
+    t("revenue retention")(graft.ops.Retention.revenueRetention(orders))
+    t("deseasonalized cusum")(
+      graft.ops.Retention.deseasonalizedCusum(orders))
+    t("hub knockout")(graft.ops.Graph.hubKnockout(
+      graft.ops.Market.coVisitPairs(events), Seq(0, 1, 2, 5, 10),
+      minWeight = 2L))
+    t("newsvendor stock")(graft.ops.Market.newsvendorStock(lineitem))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

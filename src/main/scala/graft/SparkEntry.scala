@@ -350,7 +350,8 @@ object SparkEntry {
     "q320_revenue_retention" -> (Queries.revenueRetention _),
     "q321_deseasonalized_cusum" -> (Queries.deseasonalizedCusum _),
     "q322_hub_knockout" -> (Queries.hubKnockout _),
-    "q323_newsvendor_stock" -> (Queries.newsvendorStock _)
+    "q323_newsvendor_stock" -> (Queries.newsvendorStock _),
+    "q324_join_order_audit" -> (Queries.joinOrderAudit _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2009,6 +2010,21 @@ object Queries {
   def newsvendorStock(spark: SparkSession, dir: String): DataFrame =
     Market.newsvendorStock(Tables(spark, dir, "lineitem"),
       NewsvendorServiceBp)
+
+  /** Declared filters for the join-order audit: a selective order
+    * priority against a selective size band — the regime where the
+    * first-join choice actually matters. */
+  val JoinOrderOrdersPred = "o_orderpriority = '1-URGENT'"
+  val JoinOrderPartPred = "p_size <= 10"
+
+  /** Join-order planner audit: System-R intermediate estimates vs
+    * true key-grain sizes, and whether the estimate picks the truly
+    * smaller first join. */
+  def joinOrderAudit(spark: SparkSession, dir: String): DataFrame =
+    Profile.joinOrderAudit(
+      Tables(spark, dir, "orders").filter(expr(JoinOrderOrdersPred)),
+      Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "part").filter(expr(JoinOrderPartPred)))
 
   val TripleMaxItems = 16
   val TripleMinSupport = 5L
@@ -12781,6 +12797,71 @@ object Oracles {
          |FROM qq LEFT JOIN rk
          |  ON rk.partkey = qq.partkey AND rk.rn = qq.j
          |ORDER BY qq.partkey""".stripMargin
+    },
+
+    // true sizes at key grain (fact rows counted, never paired);
+    // System-R chain estimates; pick flags via window mins
+    "q324_join_order_audit" -> {
+      def qe(est: String, tru: String): String =
+        s"""CASE WHEN least($est, CAST($tru AS HUGEINT)) = 0 THEN NULL
+           |  ELSE CAST((1000 * greatest($est, CAST($tru AS HUGEINT)))
+           |    // least($est, CAST($tru AS HUGEINT)) AS BIGINT) END"""
+          .stripMargin
+      s"""WITH lp AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lineitem
+         |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+         |  GROUP BY 1, 2),
+         |okk AS (SELECT o_orderkey AS k FROM orders
+         |        WHERE ${Queries.JoinOrderOrdersPred}),
+         |pkk AS (SELECT p_partkey AS k FROM part
+         |        WHERE ${Queries.JoinOrderPartPred}),
+         |ls AS (SELECT CAST(SUM(c) AS BIGINT) AS n_l,
+         |         CAST(COUNT(DISTINCT ok) AS BIGINT) AS ndv_ok,
+         |         CAST(COUNT(DISTINCT pk) AS BIGINT) AS ndv_pk FROM lp),
+         |os AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_o FROM okk),
+         |ps AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_p FROM pkk),
+         |tol AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS true_ol
+         |        FROM lp JOIN okk ON lp.ok = okk.k),
+         |tlp AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS true_lp
+         |        FROM lp JOIN pkk ON lp.pk = pkk.k),
+         |t3 AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS true_final
+         |       FROM lp JOIN okk ON lp.ok = okk.k
+         |       JOIN pkk ON lp.pk = pkk.k),
+         |b AS (
+         |  SELECT *,
+         |    (CAST(n_o AS HUGEINT) * n_l) // greatest(n_o, ndv_ok)
+         |      AS est_ol,
+         |    (CAST(n_l AS HUGEINT) * n_p) // greatest(ndv_pk, n_p)
+         |      AS est_lp
+         |  FROM ls, os, ps, tol, tlp, t3),
+         |b2 AS (
+         |  SELECT *,
+         |    (est_ol * n_p) // greatest(ndv_pk, n_p) AS est_f1,
+         |    (est_lp * n_o) // greatest(ndv_ok, n_o) AS est_f2
+         |  FROM b),
+         |rows0 AS (
+         |  SELECT 'orders_first' AS plan,
+         |         CAST(est_ol AS BIGINT) AS est_intermediate,
+         |         true_ol AS true_intermediate,
+         |         ${qe("est_ol", "true_ol")} AS q_error_milli,
+         |         CAST(est_f1 AS BIGINT) AS est_final, true_final
+         |  FROM b2
+         |  UNION ALL
+         |  SELECT 'part_first', CAST(est_lp AS BIGINT), true_lp,
+         |         ${qe("est_lp", "true_lp")},
+         |         CAST(est_f2 AS BIGINT), true_final
+         |  FROM b2)
+         |SELECT plan, est_intermediate, true_intermediate,
+         |       q_error_milli, est_final, true_final,
+         |       CAST(CASE WHEN est_intermediate =
+         |         MIN(est_intermediate) OVER () THEN 1 ELSE 0 END AS INT)
+         |         AS cbo_pick,
+         |       CAST(CASE WHEN true_intermediate =
+         |         MIN(true_intermediate) OVER () THEN 1 ELSE 0 END AS INT)
+         |         AS oracle_pick
+         |FROM rows0 ORDER BY plan""".stripMargin
     }
   )
 

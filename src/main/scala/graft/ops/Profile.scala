@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the data-quality report a pipeline publishes
@@ -757,6 +758,100 @@ object Profile {
           .as("q_error_milli"),
         (col("predicted_rows") < col("actual_rows").cast("long"))
           .cast("int").as("underestimated"))
+  }
+
+  /** Join-ORDER planner audit — q306's q-error question asked where
+    * it actually bites: given the star chain σ(orders) ⋈ lineitem ⋈
+    * σ(part), the optimizer's real decision is WHICH two-way join to
+    * run first, made by comparing System-R intermediate estimates
+    * |A|·|B|/max(ndv). This audit computes, per candidate order, the
+    * ESTIMATED and the TRUE intermediate size (true sizes at key
+    * grain — fact rows counted, never paired: Σ c_filtered(k)·c_l(k),
+    * and the 3-way via the (orderkey, partkey) pair grain), the
+    * Moerkotte q-error, and whether the estimate-ranked choice
+    * matches the truth-ranked one — `cbo_pick` vs `oracle_pick` per
+    * row; the audit passes when they land on the same plan.
+    *
+    * Estimator conventions (textbook System-R): filtered dimension
+    * keys are primary (ndv = row count); the intermediate inherits
+    * the fact's ndv on the NEXT join key; all arithmetic integral
+    * DIV over decimal(38,0).
+    *
+    * Scale shape: both fact collapses are key-grain aggregates off
+    * one persisted pair-grain frame; dimensions collapse to key sets;
+    * every "join" here is key-grain against broadcast-bounded sides.
+    * Output: 2 rows (plan ∈ orders_first, part_first).
+    *
+    * Columns: plan, est_intermediate, true_intermediate,
+    * q_error_milli, est_final, true_final, cbo_pick, oracle_pick. */
+  def joinOrderAudit(orders: DataFrame, lineitem: DataFrame,
+      part: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    // pair-grain fact collapse feeds both key grains and the 3-way
+    val lp = lineitem
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val lOk = lp.groupBy(col("ok")).agg(sum(col("c")).as("cl"))
+    val lPk = lp.groupBy(col("pk")).agg(sum(col("c")).as("cl"))
+    val oKeys = orders.select(col("o_orderkey").as("ok")).localCheckpoint(false)
+    val pKeys = part.select(col("p_partkey").as("pk")).localCheckpoint(false)
+    val lStats = lp.agg(sum(col("c")).as("n_l"),
+      countDistinct(col("ok")).as("ndv_ok"),
+      countDistinct(col("pk")).as("ndv_pk"))
+    val oStats = oKeys.agg(count(lit(1)).as("n_o"))
+    val pStats = pKeys.agg(count(lit(1)).as("n_p"))
+    val trueOL = lOk.join(oKeys, Seq("ok"))
+      .agg(coalesce(sum(col("cl")), lit(0L)).as("true_ol"))
+    val trueLP = lPk.join(pKeys, Seq("pk"))
+      .agg(coalesce(sum(col("cl")), lit(0L)).as("true_lp"))
+    val true3 = lp.join(oKeys, Seq("ok")).join(pKeys, Seq("pk"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("true_final"))
+    val base = trueOL.crossJoin(broadcast(trueLP))
+      .crossJoin(broadcast(true3))
+      .crossJoin(broadcast(lStats)).crossJoin(broadcast(oStats))
+      .crossJoin(broadcast(pStats))
+      // System-R: filtered dims are key-unique (ndv = n); the
+      // intermediate keeps the fact's ndv on the other key
+      .withColumn("est_ol", expr(
+        s"(CAST(n_o AS $dec) * n_l) DIV greatest(n_o, ndv_ok)"))
+      .withColumn("est_lp", expr(
+        s"(CAST(n_l AS $dec) * n_p) DIV greatest(ndv_pk, n_p)"))
+      .withColumn("est_f1", expr(
+        s"(CAST(est_ol AS $dec) * n_p) DIV greatest(ndv_pk, n_p)"))
+      .withColumn("est_f2", expr(
+        s"(CAST(est_lp AS $dec) * n_o) DIV greatest(ndv_ok, n_o)"))
+    def qerr(est: String, tru: String) = expr(
+      s"""CASE WHEN least(CAST($est AS $dec), CAST($tru AS $dec)) = 0
+         | THEN NULL
+         | ELSE CAST((1000 * greatest(CAST($est AS $dec),
+         |   CAST($tru AS $dec))) DIV least(CAST($est AS $dec),
+         |   CAST($tru AS $dec)) AS BIGINT) END""".stripMargin)
+    base
+      .select(explode(array(
+        struct(lit("orders_first").as("plan"),
+          col("est_ol").cast("long").as("est_intermediate"),
+          col("true_ol").as("true_intermediate"),
+          qerr("est_ol", "true_ol").as("q_error_milli"),
+          col("est_f1").cast("long").as("est_final"),
+          col("true_final").as("true_final")),
+        struct(lit("part_first").as("plan"),
+          col("est_lp").cast("long").as("est_intermediate"),
+          col("true_lp").as("true_intermediate"),
+          qerr("est_lp", "true_lp").as("q_error_milli"),
+          col("est_f2").cast("long").as("est_final"),
+          col("true_final").as("true_final")))).as("r"))
+      .select(col("r.*"))
+      .withColumn("cbo_pick",
+        (col("est_intermediate") === min(col("est_intermediate")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))).cast("int"))
+      .withColumn("oracle_pick",
+        (col("true_intermediate") === min(col("true_intermediate")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))).cast("int"))
+      .orderBy(col("plan").asc)
   }
 
   /** Functional-dependency audit for one declared candidate A→B —

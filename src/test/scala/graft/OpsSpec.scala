@@ -3000,6 +3000,26 @@ class OpsSpec extends SparkSpec {
       (2L, 10L, 2L, 10L, 1000L, 0L, -1000L)))
   }
 
+  test("joinOrderAudit: engineered skew makes System-R pick the wrong first join") {
+    val s2 = spark
+    import s2.implicits._
+    // fact: ok=1 rare (1 row), pk=10 hot (5 rows); uniform-ndv
+    // estimates can't see the skew
+    val li = Seq((1L, 11L), (2L, 10L), (2L, 10L), (2L, 10L), (2L, 10L),
+      (2L, 10L), (2L, 11L), (2L, 11L), (2L, 12L), (2L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+    val orders = Seq(1L).toDF("o_orderkey")
+    val part = Seq(10L).toDF("p_partkey")
+    val got = graft.ops.Profile.joinOrderAudit(orders, li, part)
+      .as[(String, Long, Long, Option[Long], Long, Long, Int, Int)]
+      .collect().toSeq
+    // est_ol = 1·10/max(1,2)=5 vs true 1; est_lp = 10·1/max(3,1)=3 vs
+    // true 5 → the estimator ranks part_first, the truth orders_first
+    assert(got == Seq(
+      ("orders_first", 5L, 1L, Some(5000L), 1L, 0L, 0, 1),
+      ("part_first", 3L, 5L, Some(1666L), 1L, 0L, 1, 0)))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

@@ -2107,6 +2107,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("q324 join order audit: key-grain sums off one cached pair frame; no fact pairing") {
+    val p = plan("q324_join_order_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 3, p)
+    val schemas = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(schemas.forall(s => s.split(",").length <= 2),
+      s"a scan reads more than its keys+filter: $schemas")
+  }
+
   test("q323 newsvendor: cached (part,week) grain; no dense spine, no cartesian") {
     val p = plan("q323_newsvendor_stock")
     assert(!p.contains("CartesianProduct"), p)
