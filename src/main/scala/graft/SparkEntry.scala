@@ -351,7 +351,8 @@ object SparkEntry {
     "q321_deseasonalized_cusum" -> (Queries.deseasonalizedCusum _),
     "q322_hub_knockout" -> (Queries.hubKnockout _),
     "q323_newsvendor_stock" -> (Queries.newsvendorStock _),
-    "q324_join_order_audit" -> (Queries.joinOrderAudit _)
+    "q324_join_order_audit" -> (Queries.joinOrderAudit _),
+    "q325_latency_sla_trend" -> (Queries.latencySlaTrend _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2025,6 +2026,12 @@ object Queries {
       Tables(spark, dir, "orders").filter(expr(JoinOrderOrdersPred)),
       Tables(spark, dir, "lineitem"),
       Tables(spark, dir, "part").filter(expr(JoinOrderPartPred)))
+
+  /** Monthly p50/p90 fulfillment-latency panel + Theil–Sen trend of
+    * the monthly p90 (milli-days/month). */
+  def latencySlaTrend(spark: SparkSession, dir: String): DataFrame =
+    AreaTopProducts.latencySlaTrend(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"))
 
   val TripleMaxItems = 16
   val TripleMinSupport = 5L
@@ -12862,7 +12869,54 @@ object Oracles {
          |         MIN(true_intermediate) OVER () THEN 1 ELSE 0 END AS INT)
          |         AS oracle_pick
          |FROM rows0 ORDER BY plan""".stripMargin
-    }
+    },
+
+    // value-grain nearest-rank per month; pairwise-median slope of
+    // the monthly p90 by the q207 two-middles rule
+    "q325_latency_sla_trend" ->
+      s"""WITH lat AS (
+         |  SELECT CAST(12 * year(o.o_orderdate) + month(o.o_orderdate) - 1
+         |           AS BIGINT) AS m,
+         |         CAST(CAST(l.l_shipdate AS DATE)
+         |           - CAST(o.o_orderdate AS DATE) AS BIGINT) AS lv,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+         |  GROUP BY 1, 2),
+         |cw AS (
+         |  SELECT m, lv, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY m ORDER BY lv
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY m) AS BIGINT) AS n
+         |  FROM lat),
+         |panel AS (
+         |  SELECT m, MIN(n) AS n_lines,
+         |         MIN(CASE WHEN cum >= (n * 5000 + 9999) // 10000
+         |           THEN lv END) AS p50_days,
+         |         MIN(CASE WHEN cum >= (n * 9000 + 9999) // 10000
+         |           THEN lv END) AS p90_days
+         |  FROM cw GROUP BY 1),
+         |sl AS (
+         |  SELECT (1000 * (b.p90_days - a.p90_days)) // (b.m - a.m) AS s
+         |  FROM panel a JOIN panel b ON b.m > a.m),
+         |sc AS (
+         |  SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM sl GROUP BY 1),
+         |scw AS (
+         |  SELECT s,
+         |         CAST(SUM(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+         |           AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+         |  FROM sc),
+         |md AS (
+         |  SELECT CAST(FLOOR((MIN(CASE WHEN cum >= (n + 1) // 2 THEN s END)
+         |           + MIN(CASE WHEN cum >= (n + 2) // 2 THEN s END)) / 2.0)
+         |           AS BIGINT) AS slope_milli_per_month
+         |  FROM scw)
+         |SELECT printf('%04d-%02d', CAST(m // 12 AS INT),
+         |         CAST(m % 12 + 1 AS INT)) AS month,
+         |       n_lines, p50_days, p90_days, slope_milli_per_month
+         |FROM panel, md
+         |ORDER BY month""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

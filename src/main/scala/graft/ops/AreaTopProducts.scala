@@ -1037,4 +1037,70 @@ object AreaTopProducts {
         col("fisher_bp"))
       .orderBy(col("month").asc)
   }
+
+  /** Monthly fulfillment-latency SLA panel with a Theil–Sen trend on
+    * the tail: per order-month the exact nearest-rank p50/p90 of
+    * ship−order days, plus the robust slope of the MONTHLY P90 series
+    * (milli-days per month) carried on every row — the "is our tail
+    * latency drifting" read that [[fulfillmentLatency]]'s whole-span
+    * percentiles can't see (a slow SLA decay averages away), and the
+    * q207 pairwise-median machinery applied to an OPERATIONS series.
+    *
+    * All integral: ranks by the (+9999) DIV rule over value-grain
+    * cumulative counts (windows never see raw lines); pairwise slopes
+    * (1000·Δp90) DIV Δmonth exact; the median slope mirrors q207's
+    * two-middles /2.0 floor.
+    *
+    * Scale shape: ONE fact join (lineitem⋈orders on orderkey)
+    * collapses to (month, latency-day) value grain; the per-month
+    * windows, the month panel, the C(months,2) slope set, and the
+    * 1-row median are all calendar metadata. The slope crossJoin is
+    * a broadcast 1-row frame.
+    *
+    * Columns: month, n_lines, p50_days, p90_days,
+    * slope_milli_per_month (NULL with <2 months). */
+  def latencySlaTrend(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lat = lineitem
+      .filter(col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.filter(col("o_orderdate").isNotNull)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lat"))
+      .groupBy(col("m"), col("lat")).agg(count(lit(1)).as("cnt"))
+    val wm = Window.partitionBy(col("m"))
+    val panel = lat
+      .withColumn("cum", sum(col("cnt")).over(wm.orderBy(col("lat").asc)))
+      .withColumn("n", sum(col("cnt")).over(wm))
+      .groupBy(col("m"))
+      .agg(min(col("n")).as("n_lines"),
+        min(when(col("cum") >= expr("(n * 5000 + 9999) DIV 10000"),
+          col("lat"))).as("p50_days"),
+        min(when(col("cum") >= expr("(n * 9000 + 9999) DIV 10000"),
+          col("lat"))).as("p90_days"))
+      .localCheckpoint(false) // month grain; feeds panel + both pair sides
+    val slopes = panel.as("a")
+      .join(broadcast(panel.as("b")), col("b.m") > col("a.m"))
+      .select(expr("(1000 * (b.p90_days - a.p90_days)) DIV (b.m - a.m)")
+        .as("s"))
+    val whole = Window.partitionBy()
+    val slope = slopes.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(whole.orderBy(col("s").asc)))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .agg(floor((min(when(col("cum") >= expr("(n + 1) div 2"), col("s"))) +
+        min(when(col("cum") >= expr("(n + 2) div 2"), col("s"))))
+        / lit(2.0)).cast("long").as("slope_milli_per_month"))
+    panel.crossJoin(broadcast(slope))
+      .select(
+        expr("format_string('%04d-%02d', CAST(m DIV 12 AS INT)," +
+          " CAST(m % 12 + 1 AS INT))").as("month"),
+        col("n_lines"), col("p50_days"), col("p90_days"),
+        col("slope_milli_per_month"))
+      .orderBy(col("month").asc)
+  }
 }

@@ -3020,6 +3020,27 @@ class OpsSpec extends SparkSpec {
       ("part_first", 3L, 5L, Some(1666L), 1L, 0L, 1, 0)))
   }
 
+  test("latencySlaTrend: monthly nearest-rank tail + pairwise-median slope") {
+    val s2 = spark
+    import s2.implicits._
+    val orders = Seq(
+      (1L, "2024-01-05"), (2L, "2024-01-10"), (3L, "2024-01-15"),
+      (4L, "2024-02-05"), (5L, "2024-02-10"), (6L, "2024-02-12"))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, "2024-01-06"), (2L, "2024-01-12"), (3L, "2024-01-25"),
+      (4L, "2024-02-07"), (5L, "2024-02-13"), (6L, "2024-03-03"))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = graft.ops.AreaTopProducts.latencySlaTrend(li, orders)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    // Jan latencies {1,2,10}: p50 rank 2 → 2, p90 rank 3 → 10;
+    // Feb {2,3,20}: p50 3, p90 20; one month pair → slope
+    // (1000·(20−10))/1 = 10000 milli-days/month on every row
+    assert(got == Seq(
+      ("2024-01", 3L, 2L, 10L, Some(10000L)),
+      ("2024-02", 3L, 3L, 20L, Some(10000L))))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

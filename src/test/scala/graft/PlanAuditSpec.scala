@@ -2117,6 +2117,16 @@ class PlanAuditSpec extends SparkSpec {
       s"a scan reads more than its keys+filter: $schemas")
   }
 
+  test("q325 latency sla trend: one fact join to value grain; slope set is month metadata") {
+    val p = plan("q325_latency_sla_trend")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 2, p)
+    val schemas = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(schemas.forall(s => s.split(",").length <= 2),
+      s"a scan reads more than key+date: $schemas")
+  }
+
   test("q323 newsvendor: cached (part,week) grain; no dense spine, no cartesian") {
     val p = plan("q323_newsvendor_stock")
     assert(!p.contains("CartesianProduct"), p)
