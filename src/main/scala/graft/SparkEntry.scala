@@ -352,7 +352,8 @@ object SparkEntry {
     "q322_hub_knockout" -> (Queries.hubKnockout _),
     "q323_newsvendor_stock" -> (Queries.newsvendorStock _),
     "q324_join_order_audit" -> (Queries.joinOrderAudit _),
-    "q325_latency_sla_trend" -> (Queries.latencySlaTrend _)
+    "q325_latency_sla_trend" -> (Queries.latencySlaTrend _),
+    "q326_separability_auc" -> (Queries.separabilityAuc _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2032,6 +2033,14 @@ object Queries {
   def latencySlaTrend(spark: SparkSession, dir: String): DataFrame =
     AreaTopProducts.latencySlaTrend(Tables(spark, dir, "lineitem"),
       Tables(spark, dir, "orders"))
+
+  val SepSampleMod = 5L
+
+  /** Threshold-free embedding separability: exact midrank AUC of
+    * pairwise cosine as a same-label classifier (capped sample). */
+  def separabilityAuc(spark: SparkSession, dir: String): DataFrame =
+    Similarity.separabilityAuc(Tables(spark, dir, "embeddings"),
+      SepSampleMod, quant0 = Some(sharedAnnIndex(spark, dir)))
 
   val TripleMaxItems = 16
   val TripleMinSupport = 5L
@@ -12916,7 +12925,66 @@ object Oracles {
          |         CAST(m % 12 + 1 AS INT)) AS month,
          |       n_lines, p50_days, p90_days, slope_milli_per_month
          |FROM panel, md
-         |ORDER BY month""".stripMargin
+         |ORDER BY month""".stripMargin,
+
+    // pairwise cosine over the capped sample, collapsed to value
+    // grain; q269's midrank AUC arithmetic (rank2 = 2x midrank)
+    "q326_separability_auc" ->
+      s"""WITH $embQuantCte,
+         |lab AS (
+         |  SELECT n.vec_id, e.label, n.q, n.n2
+         |  FROM n JOIN embeddings e ON e.vec_id = n.vec_id
+         |  WHERE n.vec_id % ${Queries.SepSampleMod} = 0),
+         |pr AS (
+         |  SELECT CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+         |           i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+         |         a.n2 AS na, b.n2 AS nb,
+         |         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS pos
+         |  FROM lab a JOIN lab b ON a.vec_id < b.vec_id),
+         |c AS (
+         |  SELECT CASE WHEN na = 0 OR nb = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 * dot /
+         |                (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+         |                AS BIGINT)
+         |         END AS cos_bp, pos
+         |  FROM pr),
+         |vals AS (
+         |  SELECT cos_bp, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |         CAST(SUM(pos) AS BIGINT) AS cnt_pos
+         |  FROM c GROUP BY 1),
+         |cw AS (
+         |  SELECT *,
+         |         CAST(SUM(cnt) OVER (ORDER BY cos_bp
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM vals),
+         |t AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+         |         CAST(SUM(cnt_pos) AS BIGINT) AS n_same,
+         |         CAST(SUM(cnt_pos * (2 * (cum - cnt) + cnt + 1))
+         |           AS BIGINT) AS r_pos2,
+         |         CAST(SUM(cos_bp * cnt_pos) AS BIGINT) AS sum_same,
+         |         CAST(SUM(cos_bp * (cnt - cnt_pos)) AS BIGINT) AS sum_diff
+         |  FROM cw)
+         |SELECT n_pairs, n_same, n_pairs - n_same AS n_diff,
+         |       CASE WHEN n_same = 0 OR n_same = n_pairs THEN NULL
+         |            ELSE CAST(FLOOR(10000.0 *
+         |              (r_pos2 - n_same * (n_same + 1)) /
+         |              (2.0 * n_same * (n_pairs - n_same))) AS BIGINT)
+         |       END AS auc_bp,
+         |       CASE WHEN n_same > 0 THEN
+         |         CAST(FLOOR(CAST(sum_same AS DOUBLE) / n_same) AS BIGINT)
+         |       END AS mean_same_bp,
+         |       CASE WHEN n_pairs - n_same > 0 THEN
+         |         CAST(FLOOR(CAST(sum_diff AS DOUBLE) / (n_pairs - n_same))
+         |           AS BIGINT)
+         |       END AS mean_diff_bp,
+         |       CASE WHEN n_same > 0 THEN
+         |         CAST(FLOOR(CAST(sum_same AS DOUBLE) / n_same) AS BIGINT)
+         |       END - CASE WHEN n_pairs - n_same > 0 THEN
+         |         CAST(FLOOR(CAST(sum_diff AS DOUBLE) / (n_pairs - n_same))
+         |           AS BIGINT)
+         |       END AS margin_bp
+         |FROM t""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

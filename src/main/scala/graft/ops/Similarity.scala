@@ -170,6 +170,68 @@ object Similarity {
       .orderBy(col("label").asc)
   }
 
+  /** Embedding separability AUC — the threshold-free twin of
+    * [[knnLabelAccuracy]]: over a deterministic vector sample, score
+    * every pair's cosine and compute the exact midrank ROC-AUC of
+    * "cosine predicts same-label" (the q269 Mann–Whitney/AUC
+    * arithmetic at cos-VALUE grain). kNN accuracy says whether a
+    * vote wins at one k; this says how separable same- vs
+    * cross-label geometry is at EVERY threshold — the number that
+    * moves when an embedding collapses, long before top-k accuracy
+    * notices. Mean same/cross cosines and their margin ride along.
+    *
+    * Sample is the house capped-probe rule (vec_id % mod = 0 — the
+    * q229/q308 convention): the pair space is C(sample, 2), never
+    * corpus². Scale shape: sample² pairs via a broadcast self-cross,
+    * collapsed to cos-VALUE grain before any window; the AUC walk
+    * and the 1-row report are value-grain metadata.
+    *
+    * Columns: n_pairs, n_same, n_diff, auc_bp (NULL when one class
+    * is empty), mean_same_bp, mean_diff_bp, margin_bp. */
+  def separabilityAuc(emb: DataFrame, sampleMod: Long = 5L,
+      quant0: Option[DataFrame] = None): DataFrame = {
+    require(sampleMod >= 1L, "sampleMod must be >= 1")
+    val s = corpusOf(emb, quant0)
+      .filter(col("vec_id") % sampleMod === 0L)
+      .select(col("vec_id"), col("label"), col("q"), col("n2"))
+    val a = s.select(col("vec_id").as("id_a"), col("label").as("la"),
+      col("q").as("qa"), col("n2").as("na"))
+    val b = s.select(col("vec_id").as("id_b"), col("label").as("lb"),
+      col("q").as("qb"), col("n2").as("nb"))
+    val vals = a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_bp", cosBp(dotExpr("qa", "qb"), col("na"), col("nb")))
+      .withColumn("pos", (col("la") === col("lb")).cast("long"))
+      .groupBy(col("cos_bp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("cnt_pos"))
+    val wv = Window.orderBy(col("cos_bp"))
+    vals
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .withColumn("rank2",
+        lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+      .agg(sum(col("cnt")).as("n_pairs"), sum(col("cnt_pos")).as("n_same"),
+        sum(col("cnt_pos") * col("rank2")).as("r_pos2"),
+        sum(col("cos_bp") * col("cnt_pos")).as("__sum_same"),
+        sum(col("cos_bp") * (col("cnt") - col("cnt_pos")))
+          .as("__sum_diff"))
+      .select(col("n_pairs"), col("n_same"),
+        (col("n_pairs") - col("n_same")).as("n_diff"),
+        when(col("n_same") === 0L || col("n_same") === col("n_pairs"),
+          lit(null).cast("long"))
+          .otherwise(floor(lit(10000.0) *
+            (col("r_pos2") - col("n_same") * (col("n_same") + 1L)) /
+            (lit(2.0) * col("n_same") * (col("n_pairs") - col("n_same"))))
+            .cast("long")).as("auc_bp"),
+        when(col("n_same") > 0L,
+          floor(col("__sum_same").cast("double") / col("n_same"))
+            .cast("long")).as("mean_same_bp"),
+        when(col("n_pairs") - col("n_same") > 0L,
+          floor(col("__sum_diff").cast("double") /
+            (col("n_pairs") - col("n_same"))).cast("long"))
+          .as("mean_diff_bp"))
+      .withColumn("margin_bp", col("mean_same_bp") - col("mean_diff_bp"))
+  }
+
   /** Sign-pattern LSH bucket over the leading `SignBits` dimensions. */
   def withSignBucket(emb: DataFrame): DataFrame =
     emb.withColumn("bucket", expr(

@@ -3041,6 +3041,30 @@ class OpsSpec extends SparkSpec {
       ("2024-02", 3L, 3L, 20L, Some(10000L))))
   }
 
+  test("separabilityAuc: orthogonal clusters read 10000bp; single class is undefined") {
+    val s2 = spark
+    import s2.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ops.Similarity.separabilityAuc(emb, sampleMod = 1L)
+      .collect().head
+    // 2 same-label pairs at cos 10000, 4 cross pairs at cos 0
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("n_same") == 2L && r.getAs[Long]("n_diff") == 4L)
+    assert(r.getAs[Long]("auc_bp") == 10000L)
+    assert(r.getAs[Long]("mean_same_bp") == 10000L)
+    assert(r.getAs[Long]("mean_diff_bp") == 0L)
+    assert(r.getAs[Long]("margin_bp") == 10000L)
+    val one = graft.ops.Similarity.separabilityAuc(
+      Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0))
+        .toDF("vec_id", "embedding", "label"), sampleMod = 1L)
+      .collect().head
+    assert(one.isNullAt(one.fieldIndex("auc_bp")))
+    assert(one.isNullAt(one.fieldIndex("mean_diff_bp")))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

@@ -2127,6 +2127,15 @@ class PlanAuditSpec extends SparkSpec {
       s"a scan reads more than key+date: $schemas")
   }
 
+  test("q326 separability auc: rides the checkpointed ANN index; value-grain AUC walk") {
+    val p = plan("q326_separability_auc")
+    assert(!p.contains("CartesianProduct"), p)
+    // the quantized corpus lives in the Shared artifact — only the
+    // labels join may touch parquet
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("q323 newsvendor: cached (part,week) grain; no dense spine, no cartesian") {
     val p = plan("q323_newsvendor_stock")
     assert(!p.contains("CartesianProduct"), p)
