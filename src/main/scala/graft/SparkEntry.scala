@@ -353,7 +353,8 @@ object SparkEntry {
     "q323_newsvendor_stock" -> (Queries.newsvendorStock _),
     "q324_join_order_audit" -> (Queries.joinOrderAudit _),
     "q325_latency_sla_trend" -> (Queries.latencySlaTrend _),
-    "q326_separability_auc" -> (Queries.separabilityAuc _)
+    "q326_separability_auc" -> (Queries.separabilityAuc _),
+    "q327_post_stratified_lift" -> (Queries.postStratifiedLift _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2041,6 +2042,14 @@ object Queries {
   def separabilityAuc(spark: SparkSession, dir: String): DataFrame =
     Similarity.separabilityAuc(Tables(spark, dir, "embeddings"),
       SepSampleMod, quant0 = Some(sharedAnnIndex(spark, dir)))
+
+  val PostStrata = 4
+
+  /** Post-stratified A/B lift on user spend, stratified by activity
+    * quartile — the stratification sibling of q151's CUPED. */
+  def postStratifiedLift(spark: SparkSession, dir: String): DataFrame =
+    Experiment.postStratifiedLift(Tables(spark, dir, "events"),
+      nStrata = PostStrata)
 
   val TripleMaxItems = 16
   val TripleMinSupport = 5L
@@ -12984,7 +12993,91 @@ object Oracles {
          |         CAST(FLOOR(CAST(sum_diff AS DOUBLE) / (n_pairs - n_same))
          |           AS BIGINT)
          |       END AS margin_bp
-         |FROM t""".stripMargin
+         |FROM t""".stripMargin,
+
+    // equi-depth activity strata at VALUE grain; per-stratum milli
+    // means by integral DIV; covered-strata weighted recombination
+    "q327_post_stratified_lift" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      val ns = Queries.PostStrata
+      s"""WITH u0 AS (
+         |  SELECT user_id,
+         |         CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1
+         |           ELSE 0 END) AS BIGINT) AS act,
+         |         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |           AND value IS NOT NULL
+         |           THEN CAST(FLOOR(value * 100.0) AS BIGINT) END), 0)
+         |           AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |u AS (
+         |  SELECT act, y,
+         |         CASE WHEN CAST($draw32 AS BIGINT) % 100 < 50
+         |              THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT act, y, md5(CAST(user_id AS VARCHAR)) AS draw
+         |        FROM u0)),
+         |sv AS (
+         |  SELECT act, (cum - 1) * $ns // n + 1 AS stratum
+         |  FROM (
+         |    SELECT act,
+         |           CAST(SUM(cnt) OVER (ORDER BY act
+         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |           CAST(SUM(cnt) OVER () AS BIGINT) AS n
+         |    FROM (SELECT act, CAST(COUNT(*) AS BIGINT) AS cnt
+         |          FROM u GROUP BY 1) v)),
+         |cells AS (
+         |  SELECT sv.stratum,
+         |         CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_a,
+         |         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_b,
+         |         CAST(COALESCE(SUM(CASE WHEN arm = 'A' THEN y END), 0)
+         |           AS BIGINT) AS sy_a,
+         |         CAST(COALESCE(SUM(CASE WHEN arm = 'B' THEN y END), 0)
+         |           AS BIGINT) AS sy_b
+         |  FROM u JOIN sv USING (act) GROUP BY 1
+         |  UNION ALL
+         |  SELECT 0,
+         |         CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+         |           AS BIGINT),
+         |         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+         |           AS BIGINT),
+         |         CAST(COALESCE(SUM(CASE WHEN arm = 'A' THEN y END), 0)
+         |           AS BIGINT),
+         |         CAST(COALESCE(SUM(CASE WHEN arm = 'B' THEN y END), 0)
+         |           AS BIGINT)
+         |  FROM u),
+         |c2 AS (
+         |  SELECT *,
+         |         CASE WHEN n_a > 0 THEN (1000 * sy_a) // n_a END
+         |           AS mean_a_milli,
+         |         CASE WHEN n_b > 0 THEN (1000 * sy_b) // n_b END
+         |           AS mean_b_milli,
+         |         (CASE WHEN n_a > 0 THEN (1000 * sy_a) // n_a END)
+         |           - (CASE WHEN n_b > 0 THEN (1000 * sy_b) // n_b END)
+         |           AS diff_milli
+         |  FROM cells),
+         |rec AS (
+         |  SELECT CASE WHEN COALESCE(SUM(n_a + n_b), 0) > 0
+         |           THEN CAST(SUM((n_a + n_b) * diff_milli) AS BIGINT)
+         |             // CAST(SUM(n_a + n_b) AS BIGINT)
+         |         END AS ps
+         |  FROM c2 WHERE stratum > 0 AND n_a > 0 AND n_b > 0),
+         |nt AS (SELECT CAST(SUM(n_a + n_b) AS BIGINT) AS n_all
+         |       FROM c2 WHERE stratum > 0)
+         |SELECT c2.stratum, c2.n_a, c2.n_b, c2.mean_a_milli,
+         |       c2.mean_b_milli, c2.diff_milli,
+         |       CASE WHEN nt.n_all > 0 THEN
+         |         (10000 * (c2.n_a + c2.n_b)) // nt.n_all
+         |       END AS weight_bp,
+         |       CASE WHEN c2.stratum = 0 THEN rec.ps END
+         |         AS post_strat_diff_milli
+         |FROM c2, rec, nt
+         |ORDER BY c2.stratum""".stripMargin
+    }
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

@@ -137,6 +137,84 @@ object Experiment {
         col("adj_mean_cents"), col("theta_bp"))
   }
 
+  /** Post-stratified lift — the classic variance-reduction
+    * alternative to [[cupedLift]] (stratify instead of regress): user
+    * spend compared between arms WITHIN activity strata, then the
+    * per-stratum differences recombined with population weights. Where
+    * CUPED needs a linear pre-metric relationship, stratification only
+    * needs the covariate to be prognostic — and the per-stratum rows
+    * themselves are the heterogeneity read ("the lift lives in the
+    * low-activity tier").
+    *
+    * Strata are equi-depth bins of the user's NON-metric event count
+    * at VALUE grain (the q203 last-rank rule — tied activity lands
+    * whole in one bin). Strata missing an arm are excluded from the
+    * recombination and the weights renormalize over covered strata
+    * (standard off-support handling). Arithmetic: per-stratum milli
+    * means by integral DIV (exact, deterministic; floor dust ≤1 milli
+    * per stratum is the q315 micro-floor trade), the weighted
+    * recombination an exact integer sum with one terminal DIV.
+    *
+    * Scale shape: one fact pass to user grain (persisted); the
+    * stratum map is value-grain broadcast metadata; cells, the
+    * recombination, and the report are ≤nStrata+1 rows.
+    *
+    * Columns: stratum (0 = ALL), n_a, n_b, mean_a_milli,
+    * mean_b_milli, diff_milli (naive on the ALL row), weight_bp,
+    * post_strat_diff_milli (ALL row only). */
+  def postStratifiedLift(events: DataFrame, splitPct: Int = 50,
+      metricType: String = "purchase", nStrata: Int = 4): DataFrame = {
+    require(nStrata >= 2, "nStrata must be >= 2")
+    val cents = floor(col("value") * lit(100.0)).cast("long")
+    val isMetric = col("event_type") === metricType && col("value").isNotNull
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") =!= metricType, 1L).otherwise(0L))
+        .as("act"),
+        coalesce(sum(when(isMetric, cents)), lit(0L)).as("y"))
+      .withColumn("arm", armCol("user_id", splitPct))
+      .persist()
+    val strata = users.groupBy(col("act")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("act").asc)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      .select(col("act"), expr(s"(cum - 1L) * ${nStrata}L div n + 1L")
+        .as("stratum"))
+    def cellAggs(df: DataFrame, key: Column) = df
+      .groupBy(key.as("stratum"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        coalesce(sum(when(col("arm") === "A", col("y"))), lit(0L))
+          .as("sy_a"),
+        coalesce(sum(when(col("arm") === "B", col("y"))), lit(0L))
+          .as("sy_b"))
+      .withColumn("mean_a_milli",
+        when(col("n_a") > 0L, expr("(1000 * sy_a) DIV n_a")))
+      .withColumn("mean_b_milli",
+        when(col("n_b") > 0L, expr("(1000 * sy_b) DIV n_b")))
+      .withColumn("diff_milli", col("mean_a_milli") - col("mean_b_milli"))
+    val cells = cellAggs(users.join(broadcast(strata), Seq("act")),
+      col("stratum")).localCheckpoint(false)
+    val nTot = cells.agg(sum(col("n_a") + col("n_b")).as("n_all"))
+    val recomb = cells
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .agg(sum(col("n_a") + col("n_b")).as("ncov"),
+        sum((col("n_a") + col("n_b")) * col("diff_milli")).as("wsum"))
+      .select(when(col("ncov") > 0L, expr("wsum DIV ncov"))
+        .as("post_strat_diff_milli"))
+    val allRow = cellAggs(users, lit(0L))
+      .crossJoin(broadcast(recomb))
+    val stratumRows = cells
+      .withColumn("post_strat_diff_milli", lit(null).cast("long"))
+    stratumRows.unionByName(allRow)
+      .crossJoin(broadcast(nTot))
+      .select(col("stratum"), col("n_a"), col("n_b"),
+        col("mean_a_milli"), col("mean_b_milli"), col("diff_milli"),
+        when(col("n_all") > 0L,
+          expr("(10000 * (n_a + n_b)) DIV n_all")).as("weight_bp"),
+        col("post_strat_diff_milli"))
+      .orderBy(col("stratum").asc)
+  }
+
   /** Winsorized lift — per-arm means of the user metric CAPPED at its
     * pooled exact `pBp` quantile (nearest-rank, the house lower
     * quantile): the robust revenue readout every experiment platform

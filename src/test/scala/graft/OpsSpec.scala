@@ -3065,6 +3065,49 @@ class OpsSpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("mean_diff_bp")))
   }
 
+  test("postStratifiedLift: exact arithmetic with derived arms; self-consistent recombination") {
+    val s2 = spark
+    import s2.implicits._
+    def armOf(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(h, 16) % 100 < 50) "A" else "B"
+    }
+    val ids = (1L to 30L)
+    // single stratum (all activity 0): A users spend $1, B users $3
+    val rows = ids.map { u =>
+      val v = if (armOf(u) == "A") 1.0 else 3.0
+      (u * 10, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u,
+        "purchase", v, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val nA = ids.count(armOf(_) == "A").toLong
+    val nB = ids.size - nA
+    val got = graft.ops.Experiment.postStratifiedLift(df, nStrata = 2)
+      .collect().map(r => r.getAs[Long]("stratum") -> r).toMap
+    val all = got(0L)
+    assert(all.getAs[Long]("n_a") == nA && all.getAs[Long]("n_b") == nB)
+    // mean milli-cents: A 100c → 100000, B 300c → 300000
+    assert(all.getAs[Long]("mean_a_milli") == 100000L)
+    assert(all.getAs[Long]("mean_b_milli") == 300000L)
+    assert(all.getAs[Long]("diff_milli") == -200000L)
+    // one fully-covered stratum → recombination equals the naive diff
+    assert(all.getAs[Long]("post_strat_diff_milli") == -200000L)
+    assert(all.getAs[Long]("weight_bp") == 10000L)
+    // stratum rows: weights sum to 10000 less floor dust; the
+    // recombination re-derives from the published rows
+    val strata = got.view.filterKeys(_ > 0L).values.toSeq
+    val covered = strata.filter(r =>
+      r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    val ps = covered.map(r =>
+      (r.getAs[Long]("n_a") + r.getAs[Long]("n_b")) *
+        r.getAs[Long]("diff_milli")).sum /
+      covered.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum
+    assert(ps == all.getAs[Long]("post_strat_diff_milli"))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

@@ -2136,6 +2136,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("q327 post stratified lift: one fact pass to user grain; strata are value-grain metadata") {
+    val p = plan("q327_post_stratified_lift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    val schemas = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(schemas.forall(s =>
+      !s.contains("props") && !s.contains("ts")),
+      s"scan not pruned: $schemas")
+  }
+
   test("q323 newsvendor: cached (part,week) grain; no dense spine, no cartesian") {
     val p = plan("q323_newsvendor_stock")
     assert(!p.contains("CartesianProduct"), p)
