@@ -354,7 +354,8 @@ object SparkEntry {
     "q324_join_order_audit" -> (Queries.joinOrderAudit _),
     "q325_latency_sla_trend" -> (Queries.latencySlaTrend _),
     "q326_separability_auc" -> (Queries.separabilityAuc _),
-    "q327_post_stratified_lift" -> (Queries.postStratifiedLift _)
+    "q327_post_stratified_lift" -> (Queries.postStratifiedLift _),
+    "q328_did_event_study" -> (Queries.didEventStudy _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2050,6 +2051,16 @@ object Queries {
   def postStratifiedLift(spark: SparkSession, dir: String): DataFrame =
     Experiment.postStratifiedLift(Tables(spark, dir, "events"),
       nStrata = PostStrata)
+
+  val DidWindowMonths = 6
+
+  /** Event-study DiD: per-month treated−control gaps around the q282
+    * rollout, normalized to rel −1 (pre rows = parallel-trends
+    * diagnostic). */
+  def didEventStudy(spark: SparkSession, dir: String): DataFrame =
+    Experiment.didEventStudy(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "nation"),
+      Tables(spark, dir, "region"), maxWindow = DidWindowMonths)
 
   val TripleMaxItems = 16
   val TripleMinSupport = 5L
@@ -13077,6 +13088,55 @@ object Oracles {
          |         AS post_strat_diff_milli
          |FROM c2, rec, nt
          |ORDER BY c2.stratum""".stripMargin
+    },
+
+    // (group, relative-month) grain; gaps normalized to rel -1; the
+    // q282 region dim chain; arithmetic month alignment
+    "q328_did_event_study" -> {
+      val w = Queries.DidWindowMonths
+      val cutM = 12L * 1998 + 1 - 1
+      s"""WITH dim AS (
+         |  SELECT c.c_custkey,
+         |         CASE WHEN r.r_name = 'ASIA' THEN 'TREAT'
+         |              ELSE 'CTRL' END AS grp
+         |  FROM customer c
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE r.r_name IN ('ASIA', 'AMERICA')),
+         |cells AS (
+         |  SELECT CAST(12 * year(o.o_orderdate) + month(o.o_orderdate) - 1
+         |           - $cutM AS BIGINT) AS rel,
+         |         CAST(SUM(CASE WHEN grp = 'TREAT' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_treat,
+         |         CAST(SUM(CASE WHEN grp = 'CTRL' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_ctrl,
+         |         CAST(COALESCE(SUM(CASE WHEN grp = 'TREAT'
+         |           THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+         |           END), 0) AS BIGINT) AS ct,
+         |         CAST(COALESCE(SUM(CASE WHEN grp = 'CTRL'
+         |           THEN CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)
+         |           END), 0) AS BIGINT) AS cc
+         |  FROM orders o JOIN dim ON o.o_custkey = dim.c_custkey
+         |  WHERE o.o_orderdate IS NOT NULL
+         |  GROUP BY 1
+         |  HAVING CAST(12 * year(o.o_orderdate) + month(o.o_orderdate) - 1
+         |           - $cutM AS BIGINT) BETWEEN -$w AND ${w - 1}),
+         |g AS (
+         |  SELECT rel, n_treat, n_ctrl,
+         |         CASE WHEN n_treat > 0 THEN ct // n_treat END
+         |           AS mean_treat_cents,
+         |         CASE WHEN n_ctrl > 0 THEN cc // n_ctrl END
+         |           AS mean_ctrl_cents,
+         |         (CASE WHEN n_treat > 0 THEN ct // n_treat END)
+         |           - (CASE WHEN n_ctrl > 0 THEN cc // n_ctrl END)
+         |           AS gap_cents
+         |  FROM cells),
+         |b AS (SELECT gap_cents AS base FROM g WHERE rel = -1)
+         |SELECT g.rel AS rel_month, g.n_treat, g.n_ctrl,
+         |       g.mean_treat_cents, g.mean_ctrl_cents, g.gap_cents,
+         |       g.gap_cents - b.base AS effect_cents
+         |FROM g LEFT JOIN b ON TRUE
+         |ORDER BY rel_month""".stripMargin
     }
   )
 

@@ -640,4 +640,78 @@ object Experiment {
         col("did_cents"))
       .orderBy(col("grp").asc)
   }
+
+  /** Event-study (dynamic) difference-in-differences — the modern
+    * panel read [[diffInDiff]]'s single 2×2 collapses away: per month
+    * RELATIVE to the rollout, the treated−control gap normalized to
+    * the month just before treatment (rel −1, the canonical
+    * reference). The pre-period effect rows ARE the parallel-trends
+    * diagnostic — q282 can only caveat the assumption, this table
+    * shows it — and the post rows expose ramp-up or fade-out a
+    * single post average hides.
+    *
+    * Exactness: monthly means by integral DIV on exact cents;
+    * effect(r) = gap(r) − gap(−1) over those floored means (the
+    * q327 micro-floor trade); arithmetic month alignment (the q320
+    * rule). Missing arm or missing reference month → NULLs, never a
+    * silent zero.
+    *
+    * Scale shape: one fact pass (orders ⋈ broadcast region-filtered
+    * customer dim) to (group, month) grain; the relative-month
+    * window, the reference row, and the report are calendar
+    * metadata.
+    *
+    * Columns: rel_month ∈ [−maxWindow, maxWindow−1], n_treat,
+    * n_ctrl, mean_treat_cents, mean_ctrl_cents, gap_cents,
+    * effect_cents (NULL at rel −1's own row it is 0 by
+    * construction). */
+  def didEventStudy(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame, treated: String = "ASIA",
+      control: String = "AMERICA", cutoff: String = "1998-01-01",
+      maxWindow: Int = 6): DataFrame = {
+    require(maxWindow >= 2, "maxWindow must be >= 2")
+    val cutM = {
+      val d = java.time.LocalDate.parse(cutoff)
+      12L * d.getYear + d.getMonthValue - 1L
+    }
+    val dim = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin(treated, control))
+      .select(col("c_custkey"),
+        when(col("r_name") === treated, lit("TREAT"))
+          .otherwise(lit("CTRL")).as("grp"))
+    val cells = orders
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .withColumn("rel", col("m") - lit(cutM))
+      .filter(col("rel") >= -maxWindow.toLong &&
+        col("rel") < maxWindow.toLong)
+      .groupBy(col("rel"))
+      .agg(
+        sum(when(col("grp") === "TREAT", 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("grp") === "CTRL", 1L).otherwise(0L)).as("n_ctrl"),
+        coalesce(sum(when(col("grp") === "TREAT", col("cents"))), lit(0L))
+          .as("__ct"),
+        coalesce(sum(when(col("grp") === "CTRL", col("cents"))), lit(0L))
+          .as("__cc"))
+      .withColumn("mean_treat_cents",
+        when(col("n_treat") > 0L, expr("__ct DIV n_treat")))
+      .withColumn("mean_ctrl_cents",
+        when(col("n_ctrl") > 0L, expr("__cc DIV n_ctrl")))
+      .withColumn("gap_cents",
+        col("mean_treat_cents") - col("mean_ctrl_cents"))
+      .localCheckpoint(false) // ≤2·maxWindow rows; cuts the fact lineage
+    val base = cells.filter(col("rel") === -1L)
+      .select(col("gap_cents").as("__base"))
+    cells.join(broadcast(base), lit(true), "left")
+      .select(col("rel").as("rel_month"), col("n_treat"), col("n_ctrl"),
+        col("mean_treat_cents"), col("mean_ctrl_cents"), col("gap_cents"),
+        (col("gap_cents") - col("__base")).as("effect_cents"))
+      .orderBy(col("rel_month").asc)
+  }
 }

@@ -3108,6 +3108,35 @@ class OpsSpec extends SparkSpec {
     assert(ps == all.getAs[Long]("post_strat_diff_milli"))
   }
 
+  test("didEventStudy: hand panel with reference normalization and missing-arm nulls") {
+    val s2 = spark
+    import s2.implicits._
+    val region = Seq((1, "ASIA"), (2, "AMERICA"), (3, "EUROPE"))
+      .toDF("r_regionkey", "r_name")
+    val nation = Seq((1, 1), (2, 2), (3, 3))
+      .toDF("n_nationkey", "n_regionkey")
+    val customer = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2), (5L, 3))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (1L, "2024-01-10", 10.0), (3L, "2024-01-12", 8.0),   // rel -2
+      (1L, "2024-02-10", 12.0), (3L, "2024-02-12", 9.0),   // rel -1
+      (1L, "2024-03-05", 20.0), (2L, "2024-03-06", 18.0),  // rel 0
+      (3L, "2024-03-07", 10.0),
+      (1L, "2024-04-02", 22.0),                            // rel 1, no ctrl
+      (1L, "2023-10-01", 99.0),                            // outside window
+      (5L, "2024-03-08", 50.0))                            // EUROPE: excluded
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.ops.Experiment.didEventStudy(orders, customer,
+      nation, region, cutoff = "2024-03-01", maxWindow = 2)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (-2L, 1L, 1L, Some(1000L), Some(800L), Some(200L), Some(-100L)),
+      (-1L, 1L, 1L, Some(1200L), Some(900L), Some(300L), Some(0L)),
+      (0L, 2L, 1L, Some(1900L), Some(1000L), Some(900L), Some(600L)),
+      (1L, 1L, 0L, Some(2200L), None, None, None)))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

@@ -2147,6 +2147,17 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned: $schemas")
   }
 
+  test("q328 did event study: rel-month grain is checkpointed; reference join is metadata") {
+    val p = plan("q328_did_event_study")
+    // the (group, rel-month) build lives behind the localCheckpoint
+    // (the q314 pin situation); the visible plan is the ≤2W-row
+    // reference normalization — nothing heavier may appear
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!stripCached(p).contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q323 newsvendor: cached (part,week) grain; no dense spine, no cartesian") {
     val p = plan("q323_newsvendor_stock")
     assert(!p.contains("CartesianProduct"), p)
