@@ -355,7 +355,8 @@ object SparkEntry {
     "q325_latency_sla_trend" -> (Queries.latencySlaTrend _),
     "q326_separability_auc" -> (Queries.separabilityAuc _),
     "q327_post_stratified_lift" -> (Queries.postStratifiedLift _),
-    "q328_did_event_study" -> (Queries.didEventStudy _)
+    "q328_did_event_study" -> (Queries.didEventStudy _),
+    "q329_abc_xyz" -> (Queries.abcXyz _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2053,6 +2054,11 @@ object Queries {
       nStrata = PostStrata)
 
   val DidWindowMonths = 6
+
+  /** ABC–XYZ census: revenue-Pareto class × weekly-demand
+    * variability class over the part catalog. */
+  def abcXyz(spark: SparkSession, dir: String): DataFrame =
+    Market.abcXyz(Tables(spark, dir, "lineitem"))
 
   /** Event-study DiD: per-month treated−control gaps around the q282
     * rollout, normalized to rel −1 (pre rows = parallel-trends
@@ -13137,7 +13143,55 @@ object Oracles {
          |       g.gap_cents - b.base AS effect_cents
          |FROM g LEFT JOIN b ON TRUE
          |ORDER BY rel_month""".stripMargin
-    }
+    },
+
+    // ABC by cumulative revenue share at the part; XYZ by exact
+    // implicit-zero weekly CV^2 (the q323 arithmetic, no spine)
+    "q329_abc_xyz" ->
+      s"""WITH pw AS (
+         |  SELECT l_partkey AS partkey,
+         |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) // 7 AS wk,
+         |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units,
+         |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2),
+         |sp AS (SELECT MAX(wk) - MIN(wk) + 1 AS t FROM pw),
+         |pt AS (
+         |  SELECT partkey, CAST(SUM(cents) AS BIGINT) AS rev,
+         |         CAST(SUM(units) AS BIGINT) AS tot,
+         |         SUM(CAST(units AS HUGEINT) * units) AS s2
+         |  FROM pw GROUP BY 1),
+         |cls AS (
+         |  SELECT partkey, rev,
+         |         CASE WHEN tot > 0 THEN CAST((10000::HUGEINT *
+         |             (CAST(sp.t AS HUGEINT) * s2
+         |               - CAST(tot AS HUGEINT) * tot))
+         |           // (CAST(tot AS HUGEINT) * tot) AS BIGINT)
+         |         END AS cv2_bp,
+         |         CAST(SUM(rev) OVER (ORDER BY rev DESC, partkey
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |         CAST(SUM(rev) OVER () AS BIGINT) AS totrev
+         |  FROM pt, sp),
+         |lab AS (
+         |  SELECT rev, cv2_bp,
+         |         CASE WHEN (cum - rev) * 10000 < 8000 * totrev THEN 'A'
+         |              WHEN (cum - rev) * 10000 < 9500 * totrev THEN 'B'
+         |              ELSE 'C' END AS abc_class,
+         |         CASE WHEN cv2_bp <= 2500 THEN 'X'
+         |              WHEN cv2_bp <= 10000 THEN 'Y'
+         |              ELSE 'Z' END AS xyz_class
+         |  FROM cls)
+         |SELECT abc_class, xyz_class,
+         |       CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+         |       (10000 * CAST(SUM(rev) AS BIGINT))
+         |         // CAST(SUM(SUM(rev)) OVER () AS BIGINT)
+         |         AS revenue_share_bp,
+         |       CAST(SUM(cv2_bp) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         |         AS avg_cv2_bp
+         |FROM lab GROUP BY 1, 2
+         |ORDER BY abc_class, xyz_class""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

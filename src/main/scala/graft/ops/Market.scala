@@ -1109,6 +1109,79 @@ object Market {
       .orderBy(col("partkey").asc)
   }
 
+  /** ABC–XYZ inventory classification — the planner's two-axis part
+    * taxonomy: ABC by cumulative revenue share (the Pareto cut q268
+    * reports globally, applied as a per-part class) crossed with XYZ
+    * by weekly-demand variability (squared coefficient of variation
+    * over ALL span weeks — dark weeks are true zeros via the q323
+    * implicit-zero arithmetic: CV² = (T·Σu² − (Σu)²)/(Σu)², no
+    * spine). A-X parts get tight replenishment, C-Z parts get
+    * make-to-order — the census says how much of the catalog and
+    * revenue sits in each regime.
+    *
+    * Boundary rules, deterministic: ABC by the PRIOR cumulative share
+    * (revenue desc, partkey tie-break) — the part that crosses a
+    * threshold still belongs to the class it completes, so the top
+    * part is always A even at 90% share; XYZ thresholds on exact
+    * CV²_bp. All arithmetic integral (decimal(38,0) cross terms).
+    *
+    * Scale shape: one fact pass to the persisted (part, week) grain;
+    * part-grain stats, the ABC rank window (part-dimension bounded —
+    * the skyline single-partition regime), and the ≤9-row census are
+    * dimension metadata.
+    *
+    * Columns: abc_class, xyz_class, n_parts, revenue_cents,
+    * revenue_share_bp, avg_cv2_bp. */
+  def abcXyz(lineitem: DataFrame, aShareBp: Long = 8000L,
+      bShareBp: Long = 9500L, xCv2Bp: Long = 2500L,
+      yCv2Bp: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(aShareBp < bShareBp && bShareBp <= 10000L, "A < B <= 10000")
+    require(xCv2Bp < yCv2Bp, "X < Y")
+    val dec = "decimal(38,0)"
+    val pw = lineitem
+      .filter(col("l_shipdate").isNotNull)
+      .groupBy(col("l_partkey").as("partkey"),
+        expr("CAST(datediff(to_date(l_shipdate), '1970-01-01')" +
+          " AS BIGINT) DIV 7").as("wk"))
+      .agg(sum(col("l_quantity").cast("long")).as("units"),
+        sum(floor(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("cents"))
+      .persist()
+    val span = pw.agg((max(col("wk")) - min(col("wk")) + 1L).as("t"))
+    val wAbc = Window.orderBy(col("rev").desc, col("partkey").asc)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val parts = pw.groupBy(col("partkey"))
+      .agg(sum(col("cents")).as("rev"), sum(col("units")).as("tot"),
+        sum(expr(s"CAST(units AS $dec) * units")).as("s2"))
+      .crossJoin(broadcast(span))
+      .withColumn("cv2_bp", when(col("tot") > 0L, expr(
+        s"""CAST((CAST(10000 AS $dec) *
+           |  (CAST(t AS $dec) * s2 - CAST(tot AS $dec) * tot))
+           |DIV (CAST(tot AS $dec) * tot) AS BIGINT)""".stripMargin)))
+      .withColumn("cum", sum(col("rev")).over(wAbc))
+      .withColumn("totrev", sum(col("rev")).over(wAll))
+      .withColumn("abc_class",
+        when((col("cum") - col("rev")) * 10000L <
+          lit(aShareBp) * col("totrev"), "A")
+          .when((col("cum") - col("rev")) * 10000L <
+            lit(bShareBp) * col("totrev"), "B")
+          .otherwise(lit("C")))
+      .withColumn("xyz_class",
+        when(col("cv2_bp") <= xCv2Bp, "X")
+          .when(col("cv2_bp") <= yCv2Bp, "Y").otherwise(lit("Z")))
+    parts.groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"),
+        sum(col("cv2_bp")).as("__cv2"))
+      .withColumn("revenue_share_bp", expr(
+        "(10000 * revenue_cents) DIV sum(revenue_cents) OVER ()"))
+      .withColumn("avg_cv2_bp", expr("__cv2 DIV n_parts"))
+      .select(col("abc_class"), col("xyz_class"), col("n_parts"),
+        col("revenue_cents"), col("revenue_share_bp"), col("avg_cv2_bp"))
+      .orderBy(col("abc_class").asc, col("xyz_class").asc)
+  }
+
   /** Exact Shapley-value conversion attribution (Shapley '53 applied
     * to touch sets — the cooperative-game model that q292's Markov
     * removal effect approximates from one direction and q294's fixed

@@ -3137,6 +3137,28 @@ class OpsSpec extends SparkSpec {
       (1L, 1L, 0L, Some(2200L), None, None, None)))
   }
 
+  test("abcXyz: engineered catalog hits all three classes on both axes") {
+    val s2 = spark
+    import s2.implicits._
+    def wk(i: Int) = f"1970-01-${1 + 7 * i}%02d" // weeks 0..3
+    val li =
+      // p1: steady 10 units every week (CV² 0 → X), 90% of revenue (A)
+      (0 to 3).map(i => (1L, wk(i), 10.0, 100.0)) ++
+      // p2: alternating 2/0 (CV² = 10000bp → Y), mid revenue (B)
+      Seq((2L, wk(0), 2.0, 20.0), (2L, wk(2), 2.0, 20.0)) ++
+      // p3: one spike week (CV² = 30000bp → Z), tail revenue (C)
+      Seq((3L, wk(0), 8.0, 5.0))
+    val df = li.toDF("l_partkey", "l_shipdate", "l_quantity",
+      "l_extendedprice")
+    val got = graft.ops.Market.abcXyz(df)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // totrev 44500c; prior-cum rule keeps the 90%-share top part in A
+    assert(got == Seq(
+      ("A", "X", 1L, 40000L, 8988L, 0L),
+      ("B", "Y", 1L, 4000L, 898L, 10000L),
+      ("C", "Z", 1L, 500L, 112L, 30000L)))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

@@ -2158,6 +2158,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q329 abc xyz: cached (part,week) grain; dimension-bounded rank window; 9-cell census") {
+    val p = plan("q329_abc_xyz")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r
+      .findFirstMatchIn(p).get.group(1)
+    assert(readSchema.split(",").length <= 4,
+      s"scan not pruned: $readSchema")
+  }
+
   test("q323 newsvendor: cached (part,week) grain; no dense spine, no cartesian") {
     val p = plan("q323_newsvendor_stock")
     assert(!p.contains("CartesianProduct"), p)
