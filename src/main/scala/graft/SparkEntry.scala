@@ -356,7 +356,8 @@ object SparkEntry {
     "q326_separability_auc" -> (Queries.separabilityAuc _),
     "q327_post_stratified_lift" -> (Queries.postStratifiedLift _),
     "q328_did_event_study" -> (Queries.didEventStudy _),
-    "q329_abc_xyz" -> (Queries.abcXyz _)
+    "q329_abc_xyz" -> (Queries.abcXyz _),
+    "q330_source_transfer" -> (Queries.sourceTransferMatrix _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2059,6 +2060,11 @@ object Queries {
     * variability class over the part catalog. */
   def abcXyz(spark: SparkSession, dir: String): DataFrame =
     Market.abcXyz(Tables(spark, dir, "lineitem"))
+
+  /** Cross-source bigram-LM transfer matrix: eval bits/token under
+    * each train source's model — the domain-mixture read. */
+  def sourceTransferMatrix(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceTransferMatrix(Tables(spark, dir, "documents"))
 
   /** Event-study DiD: per-month treated−control gaps around the q282
     * rollout, normalized to rel −1 (pre rows = parallel-trends
@@ -13191,7 +13197,59 @@ object Oracles {
          |       CAST(SUM(cv2_bp) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
          |         AS avg_cv2_bp
          |FROM lab GROUP BY 1, 2
-         |ORDER BY abc_class, xyz_class""".stripMargin
+         |ORDER BY abc_class, xyz_class""".stripMargin,
+
+    // per-train add-1 bigram models over the q86 double-unnest build;
+    // unseen contexts fall back through the add-1 mass (coalesce 0)
+    "q330_source_transfer" ->
+      s"""WITH live AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS t
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL
+         |    AND len(string_split(text, ' ')) >= 2),
+         |tok AS (
+         |  SELECT doc_id, source, unnest(t) AS token,
+         |         unnest(range(1, len(t) + 1)) AS pos
+         |  FROM live),
+         |srcbi AS (
+         |  SELECT a.source, a.token AS w1, b.token AS w2,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2, 3),
+         |c2 AS (SELECT source AS train, w1, w2, cnt AS c2 FROM srcbi),
+         |c1 AS (SELECT train, w1, CAST(SUM(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT source AS train,
+         |         CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+         |  FROM (SELECT source, unnest(t) AS token FROM live) tt
+         |  GROUP BY 1),
+         |trains AS (SELECT DISTINCT source AS train FROM srcbi),
+         |sc AS (
+         |  SELECT tr.train, e.source AS eval_source, e.cnt,
+         |         CAST(${flog2rSql("COALESCE(c1.c1, 0) + vocab.v",
+                 "COALESCE(c2.c2, 0) + 1")} AS BIGINT) AS bits
+         |  FROM srcbi e
+         |  CROSS JOIN trains tr
+         |  LEFT JOIN c2 ON c2.train = tr.train
+         |    AND c2.w1 = e.w1 AND c2.w2 = e.w2
+         |  LEFT JOIN c1 ON c1.train = tr.train AND c1.w1 = e.w1
+         |  JOIN vocab ON vocab.train = tr.train),
+         |mtx AS (
+         |  SELECT train AS train_source, eval_source,
+         |         CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         |         CAST((1000 * CAST(SUM(cnt * bits) AS BIGINT))
+         |           // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS bpt_milli
+         |  FROM sc GROUP BY 1, 2),
+         |slf AS (
+         |  SELECT eval_source, bpt_milli AS self_bpt_milli
+         |  FROM mtx WHERE train_source = eval_source)
+         |SELECT m.train_source, m.eval_source, m.n_bigrams, m.bpt_milli,
+         |       s.self_bpt_milli,
+         |       m.bpt_milli - s.self_bpt_milli AS transfer_gap_milli
+         |FROM mtx m JOIN slf s ON s.eval_source = m.eval_source
+         |ORDER BY m.train_source, m.eval_source""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

@@ -845,6 +845,72 @@ object TextAnalysis {
       .orderBy(col("source").asc)
   }
 
+  /** Cross-source LM transfer matrix — [[bigramPerplexity]] asked
+    * per-source "how surprising is this source under the CORPUS
+    * model"; this asks the domain-mixture question behind every
+    * pre-training data decision: for each (train, eval) source pair,
+    * the mean add-1 bigram bits/token of eval docs scored under a
+    * model fit ONLY on the train source. Low off-diagonal cells mark
+    * interchangeable sources (dedup/merge candidates); a high
+    * transfer gap marks a domain whose removal the rest of the mix
+    * cannot cover. Diagonal = self-fit baseline; transfer_gap =
+    * cell − eval's own diagonal.
+    *
+    * Same libm-free arithmetic as q285: bits = ⌊log₂((c1+V)/(c2+1))⌋
+    * via the bitlen identity, per-train vocabulary V, unseen bigrams
+    * falling back through the add-1 mass (c1/c2 coalesce to 0 — a
+    * completely unseen context costs ~log₂V bits, as it should).
+    *
+    * Scale shape: the corpus tokenizes ONCE into a persisted
+    * (source, bigram) frame that serves as both every train model
+    * and every eval mass; the ×|sources| fan-out runs at that
+    * bounded grain, models join on bigram keys, vocab is
+    * source-grain broadcast, and the output is the |S|² matrix.
+    *
+    * Columns: train_source, eval_source, n_bigrams, bpt_milli,
+    * self_bpt_milli, transfer_gap_milli. */
+  def sourceTransferMatrix(docs: DataFrame): DataFrame = {
+    val live = docs.filter(col("text").isNotNull && col("source").isNotNull)
+      .withColumn("__t", expr(TokensExpr))
+      .filter(size(col("__t")) >= 2)
+    val srcBi = live
+      .select(col("source"), explode(expr(
+        """zip_with(slice(__t, 1, size(__t) - 1),
+          |         slice(__t, 2, size(__t) - 1),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("b"))
+      .groupBy(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist() // train models AND eval masses both read it
+    val c2 = srcBi.select(col("source").as("train"), col("w1"),
+      col("w2"), col("cnt").as("c2"))
+    val c1 = c2.groupBy(col("train"), col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = live
+      .select(col("source").as("train"), explode(col("__t")).as("tok"))
+      .groupBy(col("train")).agg(countDistinct(col("tok")).as("v"))
+    val trains = srcBi.select(col("source").as("train")).distinct()
+    val scored = srcBi.withColumnRenamed("source", "eval_source")
+      .crossJoin(broadcast(trains))
+      .join(c2, Seq("train", "w1", "w2"), "left")
+      .join(c1, Seq("train", "w1"), "left")
+      .join(broadcast(vocab), Seq("train"))
+      .withColumn("bits", TrainingPrep.flog2Ratio(
+        coalesce(col("c1"), lit(0L)) + col("v"),
+        coalesce(col("c2"), lit(0L)) + lit(1L)).cast("long"))
+      .groupBy(col("train").as("train_source"), col("eval_source"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("bits")).as("__sb"))
+      .withColumn("bpt_milli", expr("(1000 * __sb) DIV n_bigrams"))
+      .persist() // matrix grain; the diagonal joins back onto it
+    val self = scored
+      .filter(col("train_source") === col("eval_source"))
+      .select(col("eval_source"), col("bpt_milli").as("self_bpt_milli"))
+    scored.join(broadcast(self), Seq("eval_source"))
+      .select(col("train_source"), col("eval_source"), col("n_bigrams"),
+        col("bpt_milli"), col("self_bpt_milli"),
+        (col("bpt_milli") - col("self_bpt_milli")).as("transfer_gap_milli"))
+      .orderBy(col("train_source").asc, col("eval_source").asc)
+  }
+
   /** Per-source readability panel — a Flesch-reading-ease proxy in
     * exact integer milli-units (Flesch '48: 206.835 − 1.015·w/s −
     * 84.6·syll/w), the classic complexity prior a curriculum or

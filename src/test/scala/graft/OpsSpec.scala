@@ -3159,6 +3159,24 @@ class OpsSpec extends SparkSpec {
       ("C", "Z", 1L, 500L, 112L, 30000L)))
   }
 
+  test("sourceTransferMatrix: disjoint-vocabulary sources cost the add-1 fallback") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "a b a b", "en", "srcA", 7L),
+      (2L, "x y x y", "en", "srcB", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TextAnalysis.sourceTransferMatrix(docs)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // self-fit: every bigram seen → ⌊log2((c1+2)/(c2+1))⌋ = 0 bits;
+    // cross: unseen context costs ⌊log2((0+V)/(0+1))⌋ = 1 bit at V=2
+    assert(got == Seq(
+      ("srcA", "srcA", 3L, 0L, 0L, 0L),
+      ("srcA", "srcB", 3L, 1000L, 0L, 1000L),
+      ("srcB", "srcA", 3L, 1000L, 0L, 1000L),
+      ("srcB", "srcB", 3L, 0L, 0L, 0L)))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

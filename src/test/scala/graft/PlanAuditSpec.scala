@@ -2168,6 +2168,13 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned: $readSchema")
   }
 
+  test("q330 source transfer: corpus tokenizes once into the cached bigram frame") {
+    val p = plan("q330_source_transfer")
+    assert(!p.contains("CartesianProduct"), p)
+    // srcBi is persisted: at most the vocab branch re-reads parquet
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+  }
+
   test("q323 newsvendor: cached (part,week) grain; no dense spine, no cartesian") {
     val p = plan("q323_newsvendor_stock")
     assert(!p.contains("CartesianProduct"), p)
