@@ -589,6 +589,23 @@ object ScaleProbe {
       graft.ops.Market.coVisitPairs(events), Seq(0, 1, 2, 5, 10),
       minWeight = 2L))
     t("newsvendor stock")(graft.ops.Market.newsvendorStock(lineitem))
+    t("join order audit")(graft.ops.Profile.joinOrderAudit(
+      orders.filter(col("o_orderpriority") === "1-URGENT"), lineitem,
+      graft.tables.Tables(spark, dir, "part").filter(col("p_size") <= 10)))
+    t("latency sla trend")(
+      graft.ops.AreaTopProducts.latencySlaTrend(lineitem, orders))
+    // the capped sample is a FIXED probe set (q229 rule): the modulus
+    // scales with the multiplier so the pair space stays constant
+    t("separability auc")(graft.ops.Similarity.separabilityAuc(
+      emb, sampleMod = 5L * mult))
+    t("post stratified lift")(
+      graft.ops.Experiment.postStratifiedLift(events))
+    t("did event study")(graft.ops.Experiment.didEventStudy(orders,
+      graft.tables.Tables(spark, dir, "customer"),
+      graft.tables.Tables(spark, dir, "nation"),
+      graft.tables.Tables(spark, dir, "region")))
+    t("abc xyz")(graft.ops.Market.abcXyz(lineitem))
+    t("source transfer")(graft.ops.TextAnalysis.sourceTransferMatrix(docs))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -357,7 +357,8 @@ object SparkEntry {
     "q327_post_stratified_lift" -> (Queries.postStratifiedLift _),
     "q328_did_event_study" -> (Queries.didEventStudy _),
     "q329_abc_xyz" -> (Queries.abcXyz _),
-    "q330_source_transfer" -> (Queries.sourceTransferMatrix _)
+    "q330_source_transfer" -> (Queries.sourceTransferMatrix _),
+    "q331_silhouette" -> (Queries.silhouette _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2065,6 +2066,12 @@ object Queries {
     * each train source's model — the domain-mixture read. */
   def sourceTransferMatrix(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.sourceTransferMatrix(Tables(spark, dir, "documents"))
+
+  /** Simplified (centroid) silhouette of the q52 k-means fit:
+    * per-cluster cohesion/separation + misassignment count. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame =
+    KMeans.silhouette(Tables(spark, dir, "embeddings"),
+      KmeansK, KmeansIters)
 
   /** Event-study DiD: per-month treated−control gaps around the q282
     * rollout, normalized to rel −1 (pre rows = parallel-trends
@@ -13249,7 +13256,45 @@ object Oracles {
          |       s.self_bpt_milli,
          |       m.bpt_milli - s.self_bpt_milli AS transfer_gap_milli
          |FROM mtx m JOIN slf s ON s.eval_source = m.eval_source
-         |ORDER BY m.train_source, m.eval_source""".stripMargin
+         |ORDER BY m.train_source, m.eval_source""".stripMargin,
+
+    // q52's unrolled fit (a2/c2n) + nearest-other-centroid distances;
+    // s = (√b−√a)/max(√a,√b) — a fixed IEEE chain on exact integers
+    "q331_silhouette" ->
+      s"""WITH $kmeansCtes,
+         |sd AS (
+         |  SELECT a.vec_id, a.cluster, a.dist,
+         |         MIN(a.n2 + c.c_n2 - 2 * CAST(list_sum(list_transform(
+         |           range(1, len(a.q) + 1), i -> a.q[i] * c.centroid[i]))
+         |           AS BIGINT)) AS b2
+         |  FROM a2 a JOIN c2n c ON c.cluster <> a.cluster
+         |  GROUP BY 1, 2, 3),
+         |sv AS (
+         |  SELECT cluster,
+         |         CASE WHEN greatest(dist, b2) = 0 THEN 0
+         |              ELSE CAST(FLOOR(1000.0 *
+         |                (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(dist AS DOUBLE)))
+         |                / greatest(sqrt(CAST(dist AS DOUBLE)),
+         |                           sqrt(CAST(b2 AS DOUBLE)))) AS BIGINT)
+         |         END AS s_milli
+         |  FROM sd),
+         |rows0 AS (
+         |  SELECT CAST(cluster AS BIGINT) AS cluster,
+         |         CAST(COUNT(*) AS BIGINT) AS n_points,
+         |         CAST(SUM(s_milli) AS BIGINT) AS s,
+         |         CAST(SUM(CASE WHEN s_milli < 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_negative
+         |  FROM sv GROUP BY 1
+         |  UNION ALL
+         |  SELECT -1, CAST(COUNT(*) AS BIGINT),
+         |         CAST(SUM(s_milli) AS BIGINT),
+         |         CAST(SUM(CASE WHEN s_milli < 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT)
+         |  FROM sv)
+         |SELECT cluster, n_points, s // n_points AS mean_silhouette_milli,
+         |       n_negative
+         |FROM rows0
+         |ORDER BY cluster""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

@@ -101,4 +101,77 @@ object KMeans {
         (col("packed") % 256L).as("cluster"),
         expr("packed div 256").as("dist")) // div: integral — `/` is double
         // division and rounds past 2^53, silently corrupting distances
+
+  /** Simplified silhouette per cluster (Rousseeuw's s with centroid
+    * distances in place of mean pairwise ones — the O(n·k) variant
+    * every large-scale eval uses; the exact O(n²) silhouette is the
+    * pair blowup this library never ships): per point
+    * s = (b − a)/max(a, b) with a = distance to OWN centroid and
+    * b = distance to the NEAREST OTHER centroid, in milli. The
+    * fit-quality read the q52 assignment itself can't give — inertia
+    * always improves with k, silhouette peaks where the clustering is
+    * honest; n_negative counts points sitting closer to a foreign
+    * centroid (misassignments under floor-mean centroid drift).
+    *
+    * Determinism: a², b² are exact integers (the fit's packed-argmin
+    * distances and the same n2 + c_n2 − 2·dot identity); the terminal
+    * s is a fixed chain of IEEE ops (sqrt, sub, div, mul, floor) on
+    * those integers — bit-identical cross-engine (the cosBp rule).
+    * Both-zero distances define s = 0.
+    *
+    * Scale shape: the k-centroid frame broadcasts to the corpus
+    * (one n×(k−1) codegen map, no corpus shuffle — the assign()
+    * shape); per-cluster and overall rows are k+1 metadata rows.
+    *
+    * Columns: cluster (−1 = overall), n_points,
+    * mean_silhouette_milli, n_negative. */
+  def silhouette(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 2 && k <= 256, "silhouette needs k in [2, 256]")
+    require(iters >= 1, "iters must be >= 1")
+    // replicate the fit chain keeping the FINAL round's centroids:
+    // a and b must be measured against the same centroid set the
+    // assignment minimized over (centroids(final assignment) would be
+    // one Lloyd step ahead — b < a becomes possible and the
+    // misassignment count turns meaningless)
+    // one corpus scan: the quantized frame serves every Lloyd round
+    // and the distance map (caller owns the cache); per-round
+    // centroids are k-row metadata, checkpointed so each round's
+    // lineage doesn't re-derive the whole chain
+    val quant = Similarity.quantized(emb)
+      .select(col("vec_id"), col("q"), col("n2"))
+      .persist()
+    val init = quant.withColumn("cluster", col("vec_id") % k)
+    val (assigned, cents) = (1 to iters)
+      .foldLeft((init, Option.empty[DataFrame])) { case ((a, _), _) =>
+        val c = centroids(a).localCheckpoint(false)
+        (assign(quant, c), Some(c))
+      }
+    val sv = assigned
+      .crossJoin(broadcast(cents.get.select(col("cluster").as("oc"),
+        col("centroid"), col("c_n2"))))
+      .filter(col("oc") =!= col("cluster"))
+      .withColumn("d2", col("n2") + col("c_n2") - lit(2L) *
+        graft.expressions.DotProductLong.dot(col("q"), col("centroid")))
+      .groupBy(col("vec_id"), col("cluster"), col("dist"))
+      .agg(min(col("d2")).as("b2"))
+      .withColumn("s_milli", when(
+        greatest(col("dist"), col("b2")) === 0L, lit(0L))
+        .otherwise(floor(lit(1000.0) *
+          (sqrt(col("b2").cast("double")) - sqrt(col("dist").cast("double"))) /
+          greatest(sqrt(col("dist").cast("double")),
+            sqrt(col("b2").cast("double")))).cast("long")))
+    val perCluster = sv.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("s_milli")).as("__s"),
+        sum(when(col("s_milli") < 0L, 1L).otherwise(0L)).as("n_negative"))
+      .localCheckpoint(false) // k rows; the overall row derives from it
+    val overall = perCluster.groupBy(lit(-1L).as("cluster"))
+      .agg(sum(col("n_points")).as("n_points"), sum(col("__s")).as("__s"),
+        sum(col("n_negative")).as("n_negative"))
+    perCluster.unionByName(overall)
+      .select(col("cluster"), col("n_points"),
+        expr("__s DIV n_points").as("mean_silhouette_milli"),
+        col("n_negative"))
+      .orderBy(col("cluster").asc)
+  }
 }

@@ -3177,6 +3177,31 @@ class OpsSpec extends SparkSpec {
       ("srcB", "srcB", 3L, 0L, 0L, 0L)))
   }
 
+  test("silhouette: identical-point clusters read 1000 milli; b>=a by construction") {
+    val s2 = spark
+    import s2.implicits._
+    // ids 2,4 → init cluster 0 (x-axis pair); ids 1,3 → cluster 1
+    // (y-axis pair): the init is already the honest clustering, every
+    // point sits ON its centroid → s = 1 everywhere
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f), 0), (3L, Array(0.0f, 1.0f), 0),
+      (2L, Array(1.0f, 0.0f), 1), (4L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.KMeans.silhouette(emb, k = 2, iters = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (-1L, 4L, 1000L, 0L), (0L, 2L, 1000L, 0L), (1L, 2L, 1000L, 0L)))
+    // structural: against the SAME round's centroids the own distance
+    // is the argmin, so negatives are impossible
+    val real = graft.ops.KMeans.silhouette(
+      (1L to 40L).map(i =>
+        (i, Array((i % 7).toFloat, (i % 3).toFloat), 0))
+        .toDF("vec_id", "embedding", "label"), k = 4, iters = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(real.forall(_._4 == 0L), "b < a should be impossible")
+    assert(real.forall(r => r._3 >= -1000L && r._3 <= 1000L))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

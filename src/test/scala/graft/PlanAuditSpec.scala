@@ -2175,6 +2175,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
   }
 
+  test("q331 silhouette: per-cluster grain is checkpointed; overall row derives from it") {
+    val p = plan("q331_silhouette")
+    // the fit + distance map live behind the k-row checkpoint (the
+    // cached quantized corpus scans once at build time); the visible
+    // plan is metadata
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!stripCached(p).contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q323 newsvendor: cached (part,week) grain; no dense spine, no cartesian") {
     val p = plan("q323_newsvendor_stock")
     assert(!p.contains("CartesianProduct"), p)
