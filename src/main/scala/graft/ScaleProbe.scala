@@ -606,6 +606,7 @@ object ScaleProbe {
       graft.tables.Tables(spark, dir, "region")))
     t("abc xyz")(graft.ops.Market.abcXyz(lineitem))
     t("source transfer")(graft.ops.TextAnalysis.sourceTransferMatrix(docs))
+    t("silhouette")(graft.ops.KMeans.silhouette(emb))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's
