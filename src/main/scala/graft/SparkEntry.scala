@@ -358,7 +358,8 @@ object SparkEntry {
     "q328_did_event_study" -> (Queries.didEventStudy _),
     "q329_abc_xyz" -> (Queries.abcXyz _),
     "q330_source_transfer" -> (Queries.sourceTransferMatrix _),
-    "q331_silhouette" -> (Queries.silhouette _)
+    "q331_silhouette" -> (Queries.silhouette _),
+    "q332_props_key_drift" -> (Queries.propsKeyDrift _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2072,6 +2073,11 @@ object Queries {
   def silhouette(spark: SparkSession, dir: String): DataFrame =
     KMeans.silhouette(Tables(spark, dir, "embeddings"),
       KmeansK, KmeansIters)
+
+  /** Props key drift across the q109 split date: presence-rate
+    * before/after per key + new/dropped verdicts. */
+  def propsKeyDrift(spark: SparkSession, dir: String): DataFrame =
+    Profile.propsKeyDrift(Tables(spark, dir, "events"), DriftSplitDate)
 
   /** Event-study DiD: per-month treated−control gaps around the q282
     * rollout, normalized to rel −1 (pre rows = parallel-trends
@@ -13294,7 +13300,46 @@ object Oracles {
          |SELECT cluster, n_points, s // n_points AS mean_silhouette_milli,
          |       n_negative
          |FROM rows0
-         |ORDER BY cluster""".stripMargin
+         |ORDER BY cluster""".stripMargin,
+
+    // side totals count EVERY row (the q138 invalid-JSON accounting);
+    // key set from json_keys; integral rate arithmetic
+    "q332_props_key_drift" ->
+      s"""WITH e AS (
+         |  SELECT CASE WHEN CAST(ts AS DATE)
+         |           < DATE '${Queries.DriftSplitDate}'
+         |         THEN 'ref' ELSE 'cur' END AS side, props
+         |  FROM events WHERE ts IS NOT NULL),
+         |tot AS (
+         |  SELECT CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS ref_total,
+         |         CAST(SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS cur_total
+         |  FROM e),
+         |k AS (
+         |  SELECT side, unnest(json_keys(props)) AS key
+         |  FROM e WHERE props IS NOT NULL),
+         |g AS (
+         |  SELECT key,
+         |         CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS ref_n,
+         |         CAST(SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS cur_n
+         |  FROM k GROUP BY 1)
+         |SELECT g.key, g.ref_n, g.cur_n,
+         |       CASE WHEN ref_total > 0
+         |            THEN (10000 * ref_n) // ref_total END AS ref_bp,
+         |       CASE WHEN cur_total > 0
+         |            THEN (10000 * cur_n) // cur_total END AS cur_bp,
+         |       (CASE WHEN cur_total > 0
+         |             THEN (10000 * cur_n) // cur_total END)
+         |         - (CASE WHEN ref_total > 0
+         |              THEN (10000 * ref_n) // ref_total END) AS delta_bp,
+         |       CASE WHEN ref_n = 0 AND cur_n > 0 THEN 'new'
+         |            WHEN ref_n > 0 AND cur_n = 0 THEN 'dropped'
+         |            ELSE 'present' END AS status
+         |FROM g, tot
+         |ORDER BY g.key""".stripMargin
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

@@ -760,6 +760,74 @@ object Profile {
           .cast("int").as("underestimated"))
   }
 
+  /** Props key DRIFT — the data-contract monitor [[propsSchema]]'s
+    * onboarding profile becomes once a producer is live: per JSON
+    * key, its presence rate BEFORE vs AFTER the split date, the rate
+    * delta, and a status verdict (`new` = a producer started
+    * emitting a field nobody declared, `dropped` = a field consumers
+    * may still read went dark, `present` otherwise). Catches the
+    * schema changes upstream teams ship without telling anyone —
+    * q109 watches value DISTRIBUTIONS drift, this watches the
+    * key set itself.
+    *
+    * The q138 accounting rule carries over: invalid-JSON rows
+    * contribute no keys but stay in their side's denominator (a
+    * producer replacing JSON with garbage shows as every key's rate
+    * collapsing, not as a silently shrinking denominator). Side
+    * totals ride the same sentinel-row trick.
+    *
+    * Scale shape: one pruned scan explodes to (side, key) grain —
+    * key-vocabulary bounded — and the report is key-grain. All
+    * arithmetic integral.
+    *
+    * Columns: key, ref_n, cur_n, ref_bp, cur_bp, delta_bp, status. */
+  def propsKeyDrift(df: DataFrame, splitDate: String,
+      jsonCol: String = "props"): DataFrame = {
+    val parsed = from_json(col(jsonCol),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    val sentinel = struct(lit(true).as("s"),
+      lit(null).cast("string").as("key"))
+    val entries = transform(
+      map_entries(coalesce(parsed, map())),
+      e => struct(lit(false).as("s"), e.getField("key").as("key")))
+    val grain = df
+      .filter(col("ts").isNotNull)
+      .select(
+        when(to_date(col("ts")) < lit(splitDate).cast("date"), lit("ref"))
+          .otherwise(lit("cur")).as("side"),
+        explode(concat(array(sentinel), entries)).as("e"))
+      .select(col("side"), col("e.s").as("s"), col("e.key").as("key"))
+      .groupBy(col("side"), col("s"), col("key"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    grain
+      .withColumn("ref_total", coalesce(max(when(
+        col("s") && col("side") === "ref", col("n"))).over(wAll), lit(0L)))
+      .withColumn("cur_total", coalesce(max(when(
+        col("s") && col("side") === "cur", col("n"))).over(wAll), lit(0L)))
+      .filter(!col("s"))
+      .groupBy(col("key"), col("ref_total"), col("cur_total"))
+      .agg(sum(when(col("side") === "ref", col("n")).otherwise(0L))
+        .as("ref_n"),
+        sum(when(col("side") === "cur", col("n")).otherwise(0L))
+          .as("cur_n"))
+      .select(col("key"), col("ref_n"), col("cur_n"),
+        when(col("ref_total") > 0L, expr("(10000 * ref_n) DIV ref_total"))
+          .as("ref_bp"),
+        when(col("cur_total") > 0L, expr("(10000 * cur_n) DIV cur_total"))
+          .as("cur_bp"),
+        (when(col("cur_total") > 0L, expr("(10000 * cur_n) DIV cur_total"))
+          - when(col("ref_total") > 0L,
+            expr("(10000 * ref_n) DIV ref_total"))).as("delta_bp"),
+        when(col("ref_n") === 0L && col("cur_n") > 0L, "new")
+          .when(col("ref_n") > 0L && col("cur_n") === 0L, "dropped")
+          .otherwise(lit("present")).as("status"))
+      .orderBy(col("key").asc)
+  }
+
   /** Join-ORDER planner audit — q306's q-error question asked where
     * it actually bites: given the star chain σ(orders) ⋈ lineitem ⋈
     * σ(part), the optimizer's real decision is WHICH two-way join to

@@ -3202,6 +3202,27 @@ class OpsSpec extends SparkSpec {
     assert(real.forall(r => r._3 >= -1000L && r._3 <= 1000L))
   }
 
+  test("propsKeyDrift: new/dropped verdicts; invalid JSON stays in the denominator") {
+    val s2 = spark
+    import s2.implicits._
+    def ev(id: Long, t: String, props: String) =
+      (id, java.sql.Timestamp.valueOf(t), 1L, "click", 1.0, props)
+    val df = Seq(
+      ev(1, "2024-01-10 00:00:00", """{"a": 1, "b": 2}"""),
+      ev(2, "2024-01-11 00:00:00", """{"a": 3}"""),
+      ev(3, "2024-01-12 00:00:00", "notjson"), // counts in ref total only
+      ev(4, "2024-01-20 00:00:00", """{"a": 1, "c": 9}"""),
+      ev(5, "2024-01-21 00:00:00", """{"c": 4}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.Profile.propsKeyDrift(df, "2024-01-16")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long],
+        String)].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, 1L, Some(6666L), Some(5000L), Some(-1666L), "present"),
+      ("b", 1L, 0L, Some(3333L), Some(0L), Some(-3333L), "dropped"),
+      ("c", 0L, 2L, Some(0L), Some(10000L), Some(10000L), "new")))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

@@ -1883,13 +1883,16 @@ class PlanAuditSpec extends SparkSpec {
   test("q299 transition entropy: one sessionize shuffle; type-grain walk; join-free") {
     val p = plan("q299_transition_entropy")
     assert(!p.contains("Join"), p)
-    // count on the UNSTRIPPED plan: when another query in the session
-    // has materialized the structurally-identical transition-counts
-    // frame (Market.transitions persists it), Spark substitutes the
-    // InMemoryRelation and the sessionize exchange moves INSIDE the
-    // cached lineage — still exactly one, just relocated
+    // the pin is about RUNTIME work, so count LIVE exchanges only
+    // (stripCached): when another query has materialized the
+    // transition-counts frame, Spark substitutes the InMemoryRelation
+    // and the sessionize exchange becomes historical lineage TEXT —
+    // with nested caches it can even appear under several plan_ids
+    // (found by the full suite at 332 queries — the q299 cache
+    // lesson, third edition). Served-from-cache (0 live exchanges)
+    // is strictly cheaper than the pinned single shuffle.
     assert("Exchange hashpartitioning\\(user_id".r
-      .findAllIn(p).length == 1, p)
+      .findAllIn(stripCached(p)).length <= 1, p)
     val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
     assert(!readSchema.contains("props") && !readSchema.contains("value"),
       s"scan not pruned: $readSchema")
@@ -2184,6 +2187,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!stripCached(p).contains("Scan parquet"), p)
     assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q332 props key drift: one pruned scan to (side, key) grain") {
+    val p = plan("q332_props_key_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r
+      .findFirstMatchIn(p).get.group(1)
+    assert(readSchema.split(",").length <= 2 &&
+      readSchema.contains("props"),
+      s"scan not pruned to ts+props: $readSchema")
   }
 
   test("q323 newsvendor: cached (part,week) grain; no dense spine, no cartesian") {
