@@ -607,6 +607,8 @@ object ScaleProbe {
     t("abc xyz")(graft.ops.Market.abcXyz(lineitem))
     t("source transfer")(graft.ops.TextAnalysis.sourceTransferMatrix(docs))
     t("silhouette")(graft.ops.KMeans.silhouette(emb))
+    t("props key drift")(
+      graft.ops.Profile.propsKeyDrift(events, "2024-01-16"))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's
