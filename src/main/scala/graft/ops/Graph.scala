@@ -644,10 +644,16 @@ object Graph {
     * convention).
     *
     * Scale shape: the symmetric edge list and the degree-rank table
-    * are built once (checkpointed, catalog-bounded); each k is a rank
-    * filter + CC over metadata-grain frames — the fact stream is
-    * touched only by the pair build the caller passes in (the shared
-    * co-vis artifact in the registered query).
+    * are built once (checkpointed, catalog-bounded), and ALL knockout
+    * levels run through ONE connected-components execution — each
+    * level's surviving nodes are packed into a composite id
+    * (node·|ks| + level index), so the union of the per-level edge
+    * sets is a single disjoint graph and the star-forest rounds are
+    * paid once, not per k (the per-k variant spent 5× the CC
+    * checkpoint-round overhead — the q292 constant — and was the
+    * bench's most expensive query). The fact stream is touched only
+    * by the pair build the caller passes in (the shared co-vis
+    * artifact in the registered query).
     *
     * Columns: k_removed, n_nodes, n_edges, n_components, giant_items,
     * giant_share_bp (NULL when the graph is empty). */
@@ -655,6 +661,8 @@ object Graph {
       weightCol: String = "pair_sessions"): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 0) && ks.distinct.size == ks.size,
       "ks distinct, non-negative")
+    val kSorted = ks.sorted
+    val nk = kSorted.size
     val e = symmetric(pairs, minWeight, weightCol)
       .select(col("src"), col("dst"))
       .localCheckpoint(false)
@@ -664,25 +672,43 @@ object Graph {
         Window.orderBy(col("deg").desc, col("item").asc)))
       .select(col("item"), col("rnk"))
       .localCheckpoint(false)
-    ks.sorted.map { k =>
+    // one disjoint union of every level's surviving edges, node ids
+    // packed as node·nk + level (levels never collide)
+    val tagged = kSorted.zipWithIndex.map { case (k, i) =>
       val keep = rk.filter(col("rnk") > k)
-      val ek = e
-        .join(keep.select(col("item").as("src")), Seq("src"))
+      e.join(keep.select(col("item").as("src")), Seq("src"))
         .join(keep.select(col("item").as("dst")), Seq("dst"))
-        .select(col("src"), col("dst"))
-      val eCnt = ek.agg(expr("count(1) DIV 2").as("n_edges"))
-      Clustering.connectedComponents(ek, "src", "dst")
-        .groupBy(col("component")).agg(count(lit(1)).as("n_items"))
-        .agg(coalesce(sum(col("n_items")), lit(0L)).as("n_nodes"),
-          count(lit(1)).as("n_components"),
-          coalesce(max(col("n_items")), lit(0L)).as("giant_items"))
-        .crossJoin(broadcast(eCnt))
-        .select(lit(k.toLong).as("k_removed"), col("n_nodes"),
-          col("n_edges"), col("n_components"), col("giant_items"),
-          when(col("n_nodes") > 0L,
-            expr("(10000 * giant_items) DIV n_nodes"))
-            .as("giant_share_bp"))
+        .select(lit(i.toLong).as("ki"),
+          (col("src") * nk + i).as("psrc"),
+          (col("dst") * nk + i).as("pdst"))
     }.reduce(_ unionByName _)
+      .localCheckpoint(false) // edge counts + the single CC run
+    val eCnt = tagged.groupBy(col("ki"))
+      .agg(expr("count(1) DIV 2").as("n_edges"))
+    val census = Clustering.connectedComponents(tagged, "psrc", "pdst")
+      .withColumn("ki", pmod(col("component"), lit(nk.toLong)))
+      .groupBy(col("ki"), col("component"))
+      .agg(count(lit(1)).as("n_items"))
+      .groupBy(col("ki"))
+      .agg(sum(col("n_items")).as("n_nodes"),
+        count(lit(1)).as("n_components"),
+        max(col("n_items")).as("giant_items"))
+    // a level whose graph emptied entirely must still report its row
+    val levels = kSorted.zipWithIndex
+      .map { case (k, i) => (i.toLong, k.toLong) }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    levels.toDF("ki", "k_removed")
+      .join(census, Seq("ki"), "left")
+      .join(eCnt, Seq("ki"), "left")
+      .select(col("k_removed"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_components"), lit(0L)).as("n_components"),
+        coalesce(col("giant_items"), lit(0L)).as("giant_items"),
+        when(coalesce(col("n_nodes"), lit(0L)) > 0L,
+          expr("(10000 * giant_items) DIV n_nodes"))
+          .as("giant_share_bp"))
       .orderBy(col("k_removed").asc)
   }
 }
