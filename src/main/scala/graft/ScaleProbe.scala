@@ -609,6 +609,8 @@ object ScaleProbe {
     t("silhouette")(graft.ops.KMeans.silhouette(emb))
     t("props key drift")(
       graft.ops.Profile.propsKeyDrift(events, "2024-01-16"))
+    t("revenue cohort triangle")(
+      graft.ops.Retention.revenueCohortTriangle(orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -359,7 +359,8 @@ object SparkEntry {
     "q329_abc_xyz" -> (Queries.abcXyz _),
     "q330_source_transfer" -> (Queries.sourceTransferMatrix _),
     "q331_silhouette" -> (Queries.silhouette _),
-    "q332_props_key_drift" -> (Queries.propsKeyDrift _)
+    "q332_props_key_drift" -> (Queries.propsKeyDrift _),
+    "q333_revenue_cohort_triangle" -> (Queries.revenueCohortTriangle _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2078,6 +2079,14 @@ object Queries {
     * before/after per key + new/dropped verdicts. */
   def propsKeyDrift(spark: SparkSession, dir: String): DataFrame =
     Profile.propsKeyDrift(Tables(spark, dir, "events"), DriftSplitDate)
+
+  val TriangleMaxAge = 6
+
+  /** Revenue cohort triangle: per-capita revenue by first-order
+    * cohort × months-of-age, benchmarked to each cohort's age 0. */
+  def revenueCohortTriangle(spark: SparkSession, dir: String): DataFrame =
+    Retention.revenueCohortTriangle(Tables(spark, dir, "orders"),
+      TriangleMaxAge)
 
   /** Event-study DiD: per-month treated−control gaps around the q282
     * rollout, normalized to rel −1 (pre rows = parallel-trends
@@ -13339,7 +13348,49 @@ object Oracles {
          |            WHEN ref_n > 0 AND cur_n = 0 THEN 'dropped'
          |            ELSE 'present' END AS status
          |FROM g, tot
-         |ORDER BY g.key""".stripMargin
+         |ORDER BY g.key""".stripMargin,
+
+    // cohort = min-month window on the one custkey clustering; whole-
+    // cohort per-capita denominators; age-0 self-benchmark
+    "q333_revenue_cohort_triangle" -> {
+      val maxAge = Queries.TriangleMaxAge
+      s"""WITH om AS (
+         |  SELECT o_custkey AS cust,
+         |         CAST(12 * year(o_orderdate) + month(o_orderdate) - 1
+         |           AS BIGINT) AS m,
+         |         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+         |  FROM orders
+         |  WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL),
+         |w AS (
+         |  SELECT cust, m, cents,
+         |         MIN(m) OVER (PARTITION BY cust) AS m0
+         |  FROM om),
+         |coh AS (
+         |  SELECT m0, CAST(COUNT(DISTINCT cust) AS BIGINT)
+         |           AS cohort_users
+         |  FROM w GROUP BY 1),
+         |cells AS (
+         |  SELECT m0, m - m0 AS age,
+         |         CAST(COUNT(DISTINCT cust) AS BIGINT) AS active_users,
+         |         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+         |  FROM w WHERE m - m0 <= $maxAge GROUP BY 1, 2),
+         |cc AS (
+         |  SELECT cells.*, coh.cohort_users,
+         |         (1000 * revenue_cents) // cohort_users
+         |           AS rev_per_user_milli
+         |  FROM cells JOIN coh USING (m0)),
+         |a0 AS (
+         |  SELECT m0, rev_per_user_milli AS rpu0 FROM cc WHERE age = 0)
+         |SELECT printf('%04d-%02d', CAST(cc.m0 // 12 AS INT),
+         |         CAST(cc.m0 % 12 + 1 AS INT)) AS cohort_month,
+         |       cc.age AS age_months, cc.cohort_users, cc.active_users,
+         |       cc.revenue_cents, cc.rev_per_user_milli,
+         |       CASE WHEN a0.rpu0 > 0 THEN
+         |         (10000 * cc.rev_per_user_milli) // a0.rpu0
+         |       END AS vs_age0_bp
+         |FROM cc JOIN a0 ON a0.m0 = cc.m0
+         |ORDER BY cohort_month, age_months""".stripMargin
+    }
   )
 
   /** SCD tier of a cumulative purchase count (SQL twin of

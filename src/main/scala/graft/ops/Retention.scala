@@ -2286,6 +2286,66 @@ object Retention {
       .orderBy(col("month").asc)
   }
 
+  /** Revenue cohort triangle — the cohort-ALIGNED companion of
+    * [[revenueRetention]] (which reads calendar months: a great
+    * January hides a decaying product when acquisition is growing):
+    * customers grouped by first-order month, per-capita revenue
+    * tracked by months-since-first-order, each age benchmarked
+    * against the cohort's own age 0. Reading DOWN a column compares
+    * cohort quality at equal age; reading ACROSS a row is the decay
+    * curve — the table LTV models are fit on ([[ltvCurve]] is the
+    * day-grain event twin; this is the money triangle).
+    *
+    * Per-capita denominators are the WHOLE cohort (inactive users
+    * dilute — the standard triangle convention, so a row never rises
+    * from churn); all arithmetic integral; arithmetic month alignment
+    * (the q320 rule). Ages clipped at `maxAgeMonths`; a cohort too
+    * young for an age simply has no row (the triangle's hypotenuse).
+    *
+    * Scale shape: ONE fact shuffle — the cohort month is a min
+    * window over the same hash(custkey) clustering the per-order
+    * rows already carry; the triangle, cohort sizes, and the age-0
+    * benchmark are month²-grain metadata.
+    *
+    * Columns: cohort_month, age_months, cohort_users, active_users,
+    * revenue_cents, rev_per_user_milli, vs_age0_bp. */
+  def revenueCohortTriangle(orders: DataFrame,
+      maxAgeMonths: Int = 6): DataFrame = {
+    require(maxAgeMonths >= 1, "maxAgeMonths must be >= 1")
+    val byCust = Window.partitionBy(col("cust"))
+    val om = orders
+      .filter(col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
+      .select(col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      .withColumn("m0", min(col("m")).over(byCust))
+      .withColumn("age", col("m") - col("m0"))
+      .localCheckpoint(false) // triangle cells + cohort sizes
+    val cohorts = om.groupBy(col("m0"))
+      .agg(countDistinct(col("cust")).as("cohort_users"))
+    val cells = om.filter(col("age") <= maxAgeMonths.toLong)
+      .groupBy(col("m0"), col("age"))
+      .agg(countDistinct(col("cust")).as("active_users"),
+        sum(col("cents")).as("revenue_cents"))
+      .join(broadcast(cohorts), Seq("m0"))
+      .withColumn("rev_per_user_milli",
+        expr("(1000 * revenue_cents) DIV cohort_users"))
+    val age0 = cells.filter(col("age") === 0L)
+      .select(col("m0"), col("rev_per_user_milli").as("__rpu0"))
+    cells.join(broadcast(age0), Seq("m0"))
+      .select(
+        expr("format_string('%04d-%02d', CAST(m0 DIV 12 AS INT)," +
+          " CAST(m0 % 12 + 1 AS INT))").as("cohort_month"),
+        col("age").as("age_months"), col("cohort_users"),
+        col("active_users"), col("revenue_cents"),
+        col("rev_per_user_milli"),
+        when(col("__rpu0") > 0L,
+          expr("(10000 * rev_per_user_milli) DIV __rpu0"))
+          .as("vs_age0_bp"))
+      .orderBy(col("cohort_month").asc, col("age_months").asc)
+  }
+
   /** Haar wavelet energy spectrum of daily revenue (Haar 1910; the
     * multi-resolution decomposition behind every wavelet variance
     * analysis): at level j the detail coefficient of a 2^j-day block

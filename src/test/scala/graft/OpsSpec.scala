@@ -3223,6 +3223,27 @@ class OpsSpec extends SparkSpec {
       ("c", 0L, 2L, Some(0L), Some(10000L), Some(10000L), "new")))
   }
 
+  test("revenueCohortTriangle: whole-cohort per-capita, age-0 benchmark, age clipping") {
+    val s2 = spark
+    import s2.implicits._
+    val orders = Seq(
+      (1L, "2024-01-10", 2.0), (1L, "2024-02-05", 1.0), // cohort Jan
+      (2L, "2024-01-15", 4.0), (2L, "2024-04-02", 9.0), // age 3: clipped
+      (3L, "2024-02-20", 3.0), (3L, "2024-04-21", 3.0)) // cohort Feb
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.ops.Retention
+      .revenueCohortTriangle(orders, maxAgeMonths = 2)
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      // Jan cohort (2 users): age 0 600c → 300000 milli pc; age 1 only
+      // c1 active but the DENOMINATOR stays 2 (inactives dilute)
+      ("2024-01", 0L, 2L, 2L, 600L, 300000L, Some(10000L)),
+      ("2024-01", 1L, 2L, 1L, 100L, 50000L, Some(1666L)),
+      ("2024-02", 0L, 1L, 1L, 300L, 300000L, Some(10000L)),
+      ("2024-02", 2L, 1L, 1L, 300L, 300000L, Some(10000L))))
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

@@ -2200,6 +2200,13 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned to ts+props: $readSchema")
   }
 
+  test("q333 revenue cohort triangle: checkpointed order-month grain; month^2 metadata after") {
+    val p = plan("q333_revenue_cohort_triangle")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!stripCached(p).contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("q323 newsvendor: cached (part,week) grain; no dense spine, no cartesian") {
     val p = plan("q323_newsvendor_stock")
     assert(!p.contains("CartesianProduct"), p)
