@@ -12500,7 +12500,9 @@ object Oracles {
     // is the same unit-cost edit distance as Spark's builtin
     "q316_fuzzy_name_match" ->
       s"""WITH names AS (
-         |  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  SELECT p_name AS name,
+         |         CAST(MIN(p_partkey) AS BIGINT) AS rep_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_rows
          |  FROM part WHERE p_name IS NOT NULL GROUP BY 1),
          |tk AS (
          |  SELECT name, tok
@@ -12522,7 +12524,8 @@ object Oracles {
          |  SELECT name_a, name_b,
          |         CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
          |  FROM pr WHERE levenshtein(name_a, name_b) <= ${Queries.FuzzyMaxDist})
-         |SELECT d.name_a, d.name_b, d.dist,
+         |SELECT d.name_a, d.name_b,
+         |       na.rep_id AS rep_a, nb.rep_id AS rep_b, d.dist,
          |       na.n_rows AS rows_a, nb.n_rows AS rows_b,
          |       CAST(FLOOR(10000.0 *
          |         (greatest(length(d.name_a), length(d.name_b)) - d.dist) /
@@ -12695,11 +12698,13 @@ object Oracles {
          |       expansion_cents, contraction_cents, churned_cents,
          |       new_cents,
          |       CASE WHEN base_prev_cents > 0 THEN
-         |         (10000 * retained_cents) // base_prev_cents
+         |         CAST((10000 * CAST(retained_cents AS HUGEINT))
+         |           // base_prev_cents AS BIGINT)
          |       END AS ndr_bp,
          |       CASE WHEN base_prev_cents > 0 THEN
-         |         (10000 * (retained_cents - expansion_cents))
-         |           // base_prev_cents
+         |         CAST((10000 * (CAST(retained_cents AS HUGEINT)
+         |             - expansion_cents))
+         |           // base_prev_cents AS BIGINT)
          |       END AS grr_bp
          |FROM g, b
          |WHERE m > b.m0 AND m <= b.m1
@@ -13203,8 +13208,10 @@ object Oracles {
          |  FROM pt, sp),
          |lab AS (
          |  SELECT rev, cv2_bp,
-         |         CASE WHEN (cum - rev) * 10000 < 8000 * totrev THEN 'A'
-         |              WHEN (cum - rev) * 10000 < 9500 * totrev THEN 'B'
+         |         CASE WHEN CAST(cum - rev AS HUGEINT) * 10000
+         |                < 8000 * CAST(totrev AS HUGEINT) THEN 'A'
+         |              WHEN CAST(cum - rev AS HUGEINT) * 10000
+         |                < 9500 * CAST(totrev AS HUGEINT) THEN 'B'
          |              ELSE 'C' END AS abc_class,
          |         CASE WHEN cv2_bp <= 2500 THEN 'X'
          |              WHEN cv2_bp <= 10000 THEN 'Y'
@@ -13213,8 +13220,8 @@ object Oracles {
          |SELECT abc_class, xyz_class,
          |       CAST(COUNT(*) AS BIGINT) AS n_parts,
          |       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
-         |       (10000 * CAST(SUM(rev) AS BIGINT))
-         |         // CAST(SUM(SUM(rev)) OVER () AS BIGINT)
+         |       CAST((10000 * CAST(SUM(rev) AS HUGEINT))
+         |         // CAST(SUM(SUM(rev)) OVER () AS HUGEINT) AS BIGINT)
          |         AS revenue_share_bp,
          |       CAST(SUM(cv2_bp) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
          |         AS avg_cv2_bp

@@ -937,8 +937,9 @@ object Dedup {
     * explode — pairs ≤ Σ_tok C(min(block, cap), 2). The head is
     * TakeOrdered on the total key (dist, name_a, name_b).
     *
-    * Columns: name_a, name_b, dist, rows_a, rows_b, sim_bp
-    * (10⁴·(maxlen−dist)/maxlen floored). */
+    * Columns: name_a, name_b, rep_a, rep_b (min `idCol` per name —
+    * the linkage handles a merge tool needs), dist, rows_a, rows_b,
+    * sim_bp (10⁴·(maxlen−dist)/maxlen floored). */
   def fuzzyNameMatch(df: DataFrame, nameCol: String, idCol: String,
       maxDist: Int = 3, blockCap: Int = 1000, k: Int = 50): DataFrame = {
     val names = df.filter(col(nameCol).isNotNull)
@@ -963,12 +964,15 @@ object Dedup {
       .filter(col("dist") <= maxDist)
     pairs
       .join(names.select(col("name").as("name_a"),
-        col("n_rows").as("rows_a")), Seq("name_a"))
+        col("rep_id").as("rep_a"), col("n_rows").as("rows_a")),
+        Seq("name_a"))
       .join(names.select(col("name").as("name_b"),
-        col("n_rows").as("rows_b")), Seq("name_b"))
+        col("rep_id").as("rep_b"), col("n_rows").as("rows_b")),
+        Seq("name_b"))
       .withColumn("__ml",
         greatest(length(col("name_a")), length(col("name_b"))).cast("long"))
-      .select(col("name_a"), col("name_b"), col("dist"),
+      .select(col("name_a"), col("name_b"),
+        col("rep_a"), col("rep_b"), col("dist"),
         col("rows_a"), col("rows_b"),
         floor(lit(10000.0) * (col("__ml") - col("dist")) / col("__ml"))
           .cast("long").as("sim_bp"))

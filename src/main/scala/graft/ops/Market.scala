@@ -1162,11 +1162,15 @@ object Market {
            |DIV (CAST(tot AS $dec) * tot) AS BIGINT)""".stripMargin)))
       .withColumn("cum", sum(col("rev")).over(wAbc))
       .withColumn("totrev", sum(col("rev")).over(wAll))
+      // boundary products in decimal(38,0): (cum-rev)*10⁴ and
+      // share·totrev wrap Long once total revenue cents exceeds
+      // ~9.2e14 (TPC-H SF≈40) — same overflow-proofing as the CV²
+      // cross terms above
       .withColumn("abc_class",
-        when((col("cum") - col("rev")) * 10000L <
-          lit(aShareBp) * col("totrev"), "A")
-          .when((col("cum") - col("rev")) * 10000L <
-            lit(bShareBp) * col("totrev"), "B")
+        when(expr(s"CAST(cum - rev AS $dec) * 10000") <
+          expr(s"$aShareBp * CAST(totrev AS $dec)"), "A")
+          .when(expr(s"CAST(cum - rev AS $dec) * 10000") <
+            expr(s"$bShareBp * CAST(totrev AS $dec)"), "B")
           .otherwise(lit("C")))
       .withColumn("xyz_class",
         when(col("cv2_bp") <= xCv2Bp, "X")
@@ -1175,7 +1179,8 @@ object Market {
       .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"),
         sum(col("cv2_bp")).as("__cv2"))
       .withColumn("revenue_share_bp", expr(
-        "(10000 * revenue_cents) DIV sum(revenue_cents) OVER ()"))
+        s"""CAST((10000 * CAST(revenue_cents AS $dec))
+           |DIV sum(revenue_cents) OVER () AS BIGINT)""".stripMargin))
       .withColumn("avg_cv2_bp", expr("__cv2 DIV n_parts"))
       .select(col("abc_class"), col("xyz_class"), col("n_parts"),
         col("revenue_cents"), col("revenue_share_bp"), col("avg_cv2_bp"))
@@ -1273,8 +1278,12 @@ object Market {
       .withColumn("w", weightOf)
       .groupBy(col("channel"), col("bit"))
       .agg(sum(col("w") * (col("v_sc") - col("v_s"))).as("phi_scaled"))
+    // LEFT join on TRUE (not crossJoin): with ZERO converting
+    // sessions maskCounts is empty and a cross join would erase every
+    // channel row — the report must still list all channels with
+    // zeros (the oracle's `chn LEFT JOIN mc ON TRUE` shape)
     val touched = chanDf
-      .crossJoin(broadcast(maskCounts))
+      .join(broadcast(maskCounts), lit(true), "left")
       .groupBy(col("channel"))
       .agg(coalesce(sum(when(col("mask").bitwiseAND(col("bit")) =!= 0L,
         col("n_conv"))), lit(0L)).as("touched_convs"))

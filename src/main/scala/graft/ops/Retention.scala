@@ -2277,12 +2277,17 @@ object Retention {
         col("base_customers"), col("base_prev_cents"),
         col("retained_cents"), col("expansion_cents"),
         col("contraction_cents"), col("churned_cents"), col("new_cents"),
+        // 10⁴·cents products in decimal(38,0): Long wraps once a
+        // month's retained cents exceeds ~9.2e14 (the abcXyz
+        // boundary-product rule)
         when(col("base_prev_cents") > 0L,
-          expr("(10000 * retained_cents) DIV base_prev_cents"))
+          expr("CAST((10000 * CAST(retained_cents AS decimal(38,0)))" +
+            " DIV base_prev_cents AS BIGINT)"))
           .as("ndr_bp"),
         when(col("base_prev_cents") > 0L,
-          expr("(10000 * (retained_cents - expansion_cents))" +
-            " DIV base_prev_cents")).as("grr_bp"))
+          expr("CAST((10000 * (CAST(retained_cents AS decimal(38,0))" +
+            " - expansion_cents))" +
+            " DIV base_prev_cents AS BIGINT)")).as("grr_bp"))
       .orderBy(col("month").asc)
   }
 

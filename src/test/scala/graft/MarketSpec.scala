@@ -311,6 +311,23 @@ class MarketSpec extends SparkSpec {
       ("view", 2L, 3L, Some(3000L))))
   }
 
+  test("shapleyAttribution with ZERO conversions still lists every channel") {
+    // regression: touched was a crossJoin against the (empty) mask
+    // frame, so the inner phi⋈touched dropped every channel and only
+    // 'direct' survived — the oracle's LEFT JOIN ON TRUE keeps them
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1),
+      ev(1, 2, "2024-01-01 00:00:00", "view", 1)))
+    val got = Market.shapleyAttribution(df, Seq("click", "view"))
+      .select("channel", "touched_convs", "phi_scaled", "credit_bp")
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+      .sortBy(_._1)
+    assert(got == Seq(
+      ("click", 0L, 0L, None),
+      ("direct", 0L, 0L, None),
+      ("view", 0L, 0L, None)))
+  }
+
   test("shapleyAttribution efficiency identity and full-channel run on sf0.001") {
     val events = graft.tables.Tables(spark, sf, "events")
     val chs = Seq("click", "error", "signup", "view")

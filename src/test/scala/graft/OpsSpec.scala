@@ -2790,12 +2790,14 @@ class OpsSpec extends SparkSpec {
       .toDF("p_partkey", "p_name")
     val got = graft.ops.Dedup
       .fuzzyNameMatch(df, "p_name", "p_partkey", maxDist = 3)
-      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
     // (red bolt, red widget) shares 'red' but dist 5; (blue bolt,
-    // red bolt) shares 'bolt' but dist 4 — both excluded
+    // red bolt) shares 'bolt' but dist 4 — both excluded. rep ids
+    // are the min idCol per name ("red widget" → 1 of {1,2})
     assert(got == Seq(
-      ("blue bolt", "glue bolt", 1L, 1L, 1L, 8888L),
-      ("red widget", "red widgit", 1L, 2L, 1L, 9000L)))
+      ("blue bolt", "glue bolt", 4L, 5L, 1L, 1L, 1L, 8888L),
+      ("red widget", "red widgit", 1L, 3L, 1L, 2L, 1L, 9000L)))
   }
 
   test("haarEnergy: period-2 series loads level 1 only; absent days are zeros") {
@@ -3157,6 +3159,30 @@ class OpsSpec extends SparkSpec {
       ("A", "X", 1L, 40000L, 8988L, 0L),
       ("B", "Y", 1L, 4000L, 898L, 10000L),
       ("C", "Z", 1L, 500L, 112L, 30000L)))
+  }
+
+  test("abcXyz ABC boundary survives Long-overflow revenue totals") {
+    val s2 = spark
+    import s2.implicits._
+    // three parts at 1e15/5e14/5e14 cents (2e15 total → the old
+    // (cum−rev)·10⁴ Long product wrapped at 9.2e14); doubles exact
+    // to 2^53 so cents are exact. Expected prior-cum classes:
+    // p1 prior 0 → A; p2 prior 50% → B? 0.5<0.8 → A... engineered:
+    // shares 50%/25%/25%, cuts A<80% B<95%: p1 prior 0 → A,
+    // p2 prior 50 → A, p3 prior 75 → A — so use 80/15/5 instead:
+    // p1 prior 0 → A, p2 prior 80 → B, p3 prior 95 → C
+    val li = Seq(
+      (1L, "1970-01-01", 1.0, 1.6e13),  // 1.6e15 cents, 80%
+      (2L, "1970-01-01", 1.0, 3.0e12),  // 3.0e14 cents, 15%
+      (3L, "1970-01-01", 1.0, 1.0e12))  // 1.0e14 cents,  5%
+      .toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    val got = graft.ops.Market.abcXyz(li)
+      .select("abc_class", "n_parts", "revenue_cents")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 1L, 1600000000000000L),
+      ("B", 1L, 300000000000000L),
+      ("C", 1L, 100000000000000L)))
   }
 
   test("sourceTransferMatrix: disjoint-vocabulary sources cost the add-1 fallback") {
