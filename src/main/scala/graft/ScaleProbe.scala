@@ -611,6 +611,18 @@ object ScaleProbe {
       graft.ops.Profile.propsKeyDrift(events, "2024-01-16"))
     t("revenue cohort triangle")(
       graft.ops.Retention.revenueCohortTriangle(orders))
+    t("changepoint")(graft.ops.Retention.changepoint(orders))
+    t("gap islands")(graft.ops.Retention.gapIslands(orders))
+    t("permutation test")(
+      graft.ops.Experiment.permutationTest(events, reps = 50))
+    t("mde power")(graft.ops.Experiment.mdePower(events))
+    t("ratio delta")(graft.ops.Experiment.ratioDelta(events))
+    t("ktruss")(graft.ops.Graph.ktruss(
+      graft.ops.Market.coVisitPairs(events), k = 4, iters = 3,
+      minWeight = 1L))
+    // FIXED probe set under amplification (q229 rule)
+    t("source value knn")(graft.ops.Similarity.sourceValueKnn(
+      emb, docs, k = 10, probeMod = 5L * mult))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

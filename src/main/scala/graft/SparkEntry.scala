@@ -360,7 +360,14 @@ object SparkEntry {
     "q330_source_transfer" -> (Queries.sourceTransferMatrix _),
     "q331_silhouette" -> (Queries.silhouette _),
     "q332_props_key_drift" -> (Queries.propsKeyDrift _),
-    "q333_revenue_cohort_triangle" -> (Queries.revenueCohortTriangle _)
+    "q333_revenue_cohort_triangle" -> (Queries.revenueCohortTriangle _),
+    "q334_changepoint" -> (Queries.changepoint _),
+    "q335_permutation_test" -> (Queries.permutationTest _),
+    "q336_mde_power" -> (Queries.mdePower _),
+    "q337_ratio_delta" -> (Queries.ratioDelta _),
+    "q338_ktruss" -> (Queries.ktruss _),
+    "q339_source_value_knn" -> (Queries.sourceValueKnn _),
+    "q340_gap_islands" -> (Queries.gapIslands _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2747,6 +2754,55 @@ object Queries {
     * sample. */
   def lshPlanner(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshPlanner(Tables(spark, dir, "documents"), LshPlannerTauBp)
+
+  /** Binary-segmentation single change point on daily revenue over
+    * the dense day spine (exact integer between-segment SS argmax). */
+  def changepoint(spark: SparkSession, dir: String): DataFrame =
+    Retention.changepoint(Tables(spark, dir, "orders"))
+
+  /** Calendar gap islands: each missing-day run in the order log
+    * with bounds, length, and the revenue of the day before. */
+  def gapIslands(spark: SparkSession, dir: String): DataFrame =
+    Retention.gapIslands(Tables(spark, dir, "orders"))
+
+  val PermutationReps = 200
+
+  /** Deterministic md5-keyed re-randomization test on the arm mean
+    * difference of per-user event counts (add-one p-value). */
+  def permutationTest(spark: SparkSession, dir: String): DataFrame =
+    Experiment.permutationTest(Tables(spark, dir, "events"),
+      reps = PermutationReps)
+
+  /** MDE/power calculator: smallest detectable mean shift at
+    * α=0.05 / 80% power from exact per-arm moments. */
+  def mdePower(spark: SparkSession, dir: String): DataFrame =
+    Experiment.mdePower(Tables(spark, dir, "events"))
+
+  /** Delta-method CI for the revenue-per-event ratio metric per
+    * arm (Deng et al. ratio-metric variance, exact cross-moments). */
+  def ratioDelta(spark: SparkSession, dir: String): DataFrame =
+    Experiment.ratioDelta(Tables(spark, dir, "events"))
+
+  val KtrussK = 4
+  val KtrussIters = 3
+
+  /** k-truss peel trajectory over the shared co-vis pair artifact
+    * (bounded sweep budget, the q277 convention). minWeight 1 — the
+    * truss demands triangle support, so the weight pre-filter the
+    * vertex ops need would leave nothing to peel. */
+  def ktruss(spark: SparkSession, dir: String): DataFrame =
+    Graph.ktruss(sharedCoVisPairs(spark, dir), KtrussK, KtrussIters,
+      minWeight = 1L)
+
+  val SourceValueK = 10
+  val SourceValueProbeMod = 5L
+
+  /** Leave-one-source-out kNN valuation over the shared ANN corpus:
+    * accuracy cost of removing each source from the neighbor pool. */
+  def sourceValueKnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sourceValueKnn(Tables(spark, dir, "embeddings"),
+      Tables(spark, dir, "documents"), SourceValueK, SourceValueProbeMod,
+      quant0 = Some(sharedAnnIndex(spark, dir)))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -13397,8 +13453,400 @@ object Oracles {
          |       END AS vs_age0_bp
          |FROM cc JOIN a0 ON a0.m0 = cc.m0
          |ORDER BY cohort_month, age_months""".stripMargin
-    }
+    },
+
+    // dense-spine binseg: A = n·S_τ − τ·S in HUGEINT, argmax on
+    // ⌊A²/B⌋ (earliest-day ties), sign·⌊|A|/B⌋ delta (the nonneg-DIV
+    // cross-engine rule), q204-style isqrt for the score
+    "q334_changepoint" -> {
+      val isq = isqrtDuck("b")
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |sp AS (SELECT MIN(daynum) AS mn, MAX(daynum) AS mx FROM d),
+         |dn AS (
+         |  SELECT t.dd AS daynum, COALESCE(d.cents, 0) AS cents
+         |  FROM (SELECT unnest(generate_series(mn, mx)) AS dd FROM sp) t
+         |  LEFT JOIN d ON d.daynum = t.dd),
+         |w AS (
+         |  SELECT daynum,
+         |         row_number() OVER (ORDER BY daynum) AS tau,
+         |         SUM(cents) OVER (ORDER BY daynum
+         |           ROWS UNBOUNDED PRECEDING) AS s_tau,
+         |         COUNT(*) OVER () AS n, SUM(cents) OVER () AS s
+         |  FROM dn),
+         |g AS (
+         |  SELECT daynum, tau, s_tau, n, s,
+         |         CAST(n AS HUGEINT) * s_tau - CAST(tau AS HUGEINT) * s AS a,
+         |         CAST(tau * (n - tau) AS BIGINT) AS b
+         |  FROM w WHERE tau < n),
+         |q AS (SELECT *, (a * a) // b AS qq FROM g),
+         |pick AS (
+         |  SELECT * FROM q
+         |  QUALIFY row_number() OVER (ORDER BY qq DESC, daynum ASC) = 1)
+         |SELECT strftime(DATE '1970-01-01' + INTERVAL (daynum) DAY,
+         |         '%Y-%m-%d') AS split_day,
+         |       CAST(n AS BIGINT) AS n_days,
+         |       CAST(tau AS BIGINT) AS n_before,
+         |       CAST(n - tau AS BIGINT) AS n_after,
+         |       CAST(s_tau // tau AS BIGINT) AS mean_before_cents,
+         |       CAST((s - s_tau) // (n - tau) AS BIGINT) AS mean_after_cents,
+         |       CAST((CASE WHEN a < 0 THEN -1 ELSE 1 END)
+         |         * (abs(a) // b) AS BIGINT) AS delta_cents,
+         |       CAST(abs(a) // $isq AS BIGINT) AS score_cents
+         |FROM pick""".stripMargin
+    },
+
+    // md5(user:rep) re-draws (the q289 replicate-key convention);
+    // |t| magnitudes via nonneg HUGEINT DIVs; add-one p
+    "q335_permutation_test" -> {
+      val reps = Queries.PermutationReps
+      val nib = (c: String, i: Int) =>
+        s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1)"
+      def draw32(c: String) = (1 to 8)
+        .map(i => s"${nib(c, i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH u AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM events GROUP BY 1),
+         |au AS (
+         |  SELECT m, CAST(${draw32("md5(CAST(user_id AS VARCHAR))")}
+         |           AS BIGINT) % 100 < 50 AS in_a
+         |  FROM u),
+         |obs AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_a,
+         |         CAST(SUM(CASE WHEN in_a THEN m ELSE 0 END) AS BIGINT)
+         |           AS s_a,
+         |         CAST(SUM(m) AS BIGINT) AS s
+         |  FROM au),
+         |obs2 AS (
+         |  SELECT n, n_a, s_a, s,
+         |         CASE WHEN n_a = 0 OR n = n_a THEN NULL ELSE
+         |           CAST((CASE WHEN CAST(s_a AS HUGEINT) * (n - n_a)
+         |                   < CAST(s - s_a AS HUGEINT) * n_a
+         |                 THEN -1 ELSE 1 END)
+         |             * ((1000000 * abs(CAST(s_a AS HUGEINT) * (n - n_a)
+         |                 - CAST(s - s_a AS HUGEINT) * n_a))
+         |               // (CAST(n_a AS HUGEINT) * (n - n_a))) AS BIGINT)
+         |         END AS t_obs_micro
+         |  FROM obs),
+         |pr AS (
+         |  SELECT rep,
+         |         CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS na,
+         |         CAST(SUM(CASE WHEN in_a THEN m ELSE 0 END) AS BIGINT)
+         |           AS sa,
+         |         CAST(SUM(m) AS BIGINT) AS sr
+         |  FROM (
+         |    SELECT u.m, r.rep,
+         |           CAST(${draw32("md5(CAST(user_id AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR))")}
+         |             AS BIGINT) % 100 < 50 AS in_a
+         |    FROM u CROSS JOIN
+         |      (SELECT unnest(generate_series(1, $reps)) AS rep) r)
+         |  GROUP BY 1),
+         |pt AS (
+         |  SELECT rep,
+         |         CASE WHEN na = 0 OR n = na THEN NULL ELSE
+         |           CAST((1000000 * abs(CAST(sa AS HUGEINT) * (n - na)
+         |               - CAST(sr - sa AS HUGEINT) * na))
+         |             // (CAST(na AS HUGEINT) * (n - na)) AS BIGINT)
+         |         END AS t_abs_micro
+         |  FROM pr)
+         |SELECT o.n AS n_users, o.n_a, o.n - o.n_a AS n_b,
+         |       o.t_obs_micro,
+         |       CAST(COUNT(*) AS BIGINT) AS reps,
+         |       CAST(SUM(CASE WHEN COALESCE(pt.t_abs_micro, 0)
+         |           >= abs(COALESCE(o.t_obs_micro, 0)) THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_extreme,
+         |       (1000 * (1 + CAST(SUM(CASE WHEN COALESCE(pt.t_abs_micro, 0)
+         |           >= abs(COALESCE(o.t_obs_micro, 0)) THEN 1 ELSE 0 END)
+         |         AS BIGINT))) // (CAST(COUNT(*) AS BIGINT) + 1) AS p_milli
+         |FROM pt, obs2 o
+         |GROUP BY 1, 2, 3, 4""".stripMargin
+    },
+
+    // exact-moment MDE ladder: HUGEINT variances DIV'd to milli,
+    // pico SE sum, one q204 isqrt, fixed z milli 1960+842
+    "q336_mde_power" -> {
+      val z = 1960L + 842L
+      val isq = isqrtDuck("se2_pico")
+      s"""WITH u AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM events GROUP BY 1),
+         |au AS (
+         |  SELECT m, CASE WHEN CAST(${(1 to 8).map(i =>
+           s"(instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+           .mkString(" + ")} AS BIGINT) % 100 < 50
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM u),
+         |mo AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(SUM(CASE WHEN arm = 'A' THEN m ELSE 0 END) AS BIGINT)
+         |      AS s_a,
+         |    CAST(SUM(CASE WHEN arm = 'B' THEN m ELSE 0 END) AS BIGINT)
+         |      AS s_b,
+         |    SUM(CASE WHEN arm = 'A' THEN CAST(m AS HUGEINT) * m
+         |        ELSE 0 END) AS q_a,
+         |    SUM(CASE WHEN arm = 'B' THEN CAST(m AS HUGEINT) * m
+         |        ELSE 0 END) AS q_b
+         |  FROM au),
+         |v AS (
+         |  SELECT n_a, n_b, s_a, s_b,
+         |    CASE WHEN n_a > 0 THEN (1000 * s_a) // n_a END AS mean_a_milli,
+         |    CASE WHEN n_b > 0 THEN (1000 * s_b) // n_b END AS mean_b_milli,
+         |    CASE WHEN n_a > 1 THEN CAST((1000 *
+         |        (n_a * q_a - CAST(s_a AS HUGEINT) * s_a))
+         |      // (CAST(n_a AS HUGEINT) * (n_a - 1)) AS BIGINT)
+         |    END AS var_a_milli,
+         |    CASE WHEN n_b > 1 THEN CAST((1000 *
+         |        (n_b * q_b - CAST(s_b AS HUGEINT) * s_b))
+         |      // (CAST(n_b AS HUGEINT) * (n_b - 1)) AS BIGINT)
+         |    END AS var_b_milli
+         |  FROM mo),
+         |se AS (
+         |  SELECT *, CASE WHEN n_a > 1 AND n_b > 1 THEN
+         |      (1000000000 * var_a_milli) // n_a
+         |        + (1000000000 * var_b_milli) // n_b
+         |    END AS se2_pico
+         |  FROM v),
+         |md AS (
+         |  SELECT *, CASE WHEN se2_pico IS NOT NULL THEN
+         |      ($z * $isq) // 1000 END AS mde_abs_micro
+         |  FROM se)
+         |SELECT n_a, n_b, mean_a_milli, mean_b_milli, var_a_milli,
+         |       var_b_milli, mde_abs_micro,
+         |       CASE WHEN mde_abs_micro IS NOT NULL AND s_a + s_b > 0 THEN
+         |         CAST((10000 * CAST(mde_abs_micro AS HUGEINT) * (n_a + n_b))
+         |           // (1000000 * (CAST(s_a AS HUGEINT) + s_b)) AS BIGINT)
+         |       END AS mde_rel_bp
+         |FROM md""".stripMargin
+    },
+
+    // Deng et al. delta-method ladder: HUGEINT cross-moments, milli
+    // ratio, micro-scaled variance numerator, q204 isqrt, z=1960
+    "q337_ratio_delta" -> {
+      val isq = isqrtDuck("vb")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |           THEN CAST(FLOOR(value * 100.0) AS BIGINT) END), 0)
+         |           AS BIGINT) AS r,
+         |         CAST(COUNT(*) AS BIGINT) AS s
+         |  FROM events GROUP BY 1),
+         |au AS (
+         |  SELECT r, s, CASE WHEN CAST(${(1 to 8).map(i =>
+           s"(instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+           .mkString(" + ")} AS BIGINT) % 100 < 50
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM u),
+         |mo AS (
+         |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |         CAST(SUM(r) AS BIGINT) AS sum_cents,
+         |         CAST(SUM(s) AS BIGINT) AS sum_events,
+         |         SUM(CAST(r AS HUGEINT) * r) AS qrr,
+         |         SUM(CAST(r AS HUGEINT) * s) AS qrs,
+         |         SUM(CAST(s AS HUGEINT) * s) AS qss
+         |  FROM au GROUP BY 1),
+         |rr AS (
+         |  SELECT *, CASE WHEN sum_events > 0
+         |    THEN (1000 * sum_cents) // sum_events END AS ratio_milli
+         |  FROM mo),
+         |vn AS (
+         |  SELECT *, CASE WHEN ratio_milli IS NOT NULL THEN
+         |      1000000 * (n_users * qrr
+         |          - CAST(sum_cents AS HUGEINT) * sum_cents)
+         |        - 2000 * ratio_milli * (n_users * qrs
+         |          - CAST(sum_cents AS HUGEINT) * sum_events)
+         |        + CAST(ratio_milli AS HUGEINT) * ratio_milli
+         |          * (n_users * qss
+         |            - CAST(sum_events AS HUGEINT) * sum_events)
+         |    END AS vnum
+         |  FROM rr),
+         |sb AS (
+         |  SELECT *, CASE WHEN n_users > 1 AND vnum IS NOT NULL THEN
+         |      CAST(greatest(vnum, 0::HUGEINT) // (n_users - 1) AS BIGINT)
+         |    END AS vb
+         |  FROM vn),
+         |se AS (
+         |  SELECT *, CASE WHEN vb IS NOT NULL THEN
+         |      $isq // sum_events END AS se_milli
+         |  FROM sb)
+         |SELECT arm, n_users, sum_cents, sum_events, ratio_milli,
+         |       se_milli,
+         |       ratio_milli - (1960 * se_milli) // 1000 AS ci_lo_milli,
+         |       ratio_milli + (1960 * se_milli) // 1000 AS ci_hi_milli
+         |FROM se ORDER BY arm""".stripMargin
+    },
+
+    // bounded truss peel (q277's unroll at EDGE grain): per round a
+    // wedge-join support count, zero-support edges kept via left
+    // join. Round CTEs are MATERIALIZED — each round references its
+    // predecessor several times, and DuckDB's default inlining
+    // re-evaluates the whole sessionize chain exponentially (>2 min
+    // naive, <1 s materialized — same rows either way)
+    "q338_ktruss" -> {
+      val k = Queries.KtrussK
+      val iters = Queries.KtrussIters
+      def roundCtes(i: Int): String = {
+        val prev = if (i == 0) "u0" else s"u$i"
+        s"""sy$i AS MATERIALIZED (
+           |  SELECT src AS a, dst AS b FROM $prev
+           |  UNION ALL SELECT dst, src FROM $prev),
+           |sp$i AS MATERIALIZED (
+           |  SELECT u.src, u.dst, CAST(COUNT(*) AS BIGINT) AS sup
+           |  FROM $prev u
+           |  JOIN sy$i w1 ON w1.a = u.src
+           |  JOIN sy$i w2 ON w2.a = u.dst AND w2.b = w1.b
+           |  GROUP BY 1, 2),
+           |ws$i AS MATERIALIZED (
+           |  SELECT u.src, u.dst, COALESCE(sp$i.sup, 0) AS support
+           |  FROM $prev u LEFT JOIN sp$i
+           |    ON sp$i.src = u.src AND sp$i.dst = u.dst),
+           |r$i AS (
+           |  SELECT CAST($i AS BIGINT) AS round,
+           |         CAST(COUNT(*) AS BIGINT) AS n_edges,
+           |         CAST((SELECT COUNT(*) FROM (
+           |             SELECT src AS v FROM ws$i
+           |             UNION SELECT dst FROM ws$i)) AS BIGINT)
+           |           AS n_vertices,
+           |         MIN(support) AS min_support,
+           |         ${if (i == iters)
+               s"CAST(COUNT(*) = 0 OR MIN(support) >= ${k - 2} AS INT)"
+             else "CAST(NULL AS INT)"} AS converged
+           |  FROM ws$i)${if (i < iters)
+             s""",
+             |u${i + 1} AS MATERIALIZED (
+             |  SELECT src, dst FROM ws$i WHERE support >= ${k - 2})"""
+               .stripMargin
+           else ""}""".stripMargin
+      }
+      s"""$sessionCte,
+         |${coVisEdgesCte(Queries.CoVisitMaxItems, 1L)},
+         |u0 AS MATERIALIZED (
+         |  SELECT src, dst FROM edg WHERE src < dst),
+         |${(0 to iters).map(roundCtes).mkString(",\n")}
+         |SELECT * FROM (
+         |  ${(0 to iters).map(i => s"SELECT * FROM r$i").mkString("\n  UNION ALL ")})
+         |ORDER BY round""".stripMargin
+    },
+
+    // one scored pass (q308's quantized cosine), per-source top-k
+    // candidates, then the 20 exclusion panels + the __all__ panel
+    // re-rank candidates only
+    "q339_source_value_knn" -> {
+      val k = Queries.SourceValueK
+      val pm = Queries.SourceValueProbeMod
+      s"""WITH $embQuantCte,
+         |lab AS (
+         |  SELECT n.vec_id, e.label, d.source, n.q, n.n2
+         |  FROM n JOIN embeddings e ON e.vec_id = n.vec_id
+         |  JOIN documents d ON d.doc_id = n.vec_id
+         |  WHERE d.source IS NOT NULL),
+         |queries AS (
+         |  SELECT vec_id AS query_id, label AS q_label, q AS q_q,
+         |         n2 AS q_n2
+         |  FROM lab WHERE vec_id % $pm = 0),
+         |scored AS (
+         |  SELECT lab.vec_id AS neighbor_id, lab.label, lab.source,
+         |         queries.query_id, queries.q_label,
+         |         CASE WHEN lab.n2 = 0 OR queries.q_n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 *
+         |                CAST(list_sum(list_transform(
+         |                  range(1, len(lab.q) + 1),
+         |                  i -> lab.q[i] * queries.q_q[i])) AS BIGINT) /
+         |                (sqrt(CAST(lab.n2 AS DOUBLE)) *
+         |                 sqrt(CAST(queries.q_n2 AS DOUBLE))))
+         |                AS BIGINT)
+         |         END AS cos_bp
+         |  FROM lab, queries WHERE lab.vec_id != queries.query_id),
+         |cand AS (
+         |  SELECT query_id, q_label, neighbor_id, label, source, cos_bp
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY query_id, source
+         |          ORDER BY cos_bp DESC, neighbor_id ASC) AS srk
+         |        FROM scored)
+         |  WHERE srk <= $k),
+         |srcs AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |  FROM lab GROUP BY 1),
+         |panels AS (
+         |  SELECT s.source AS excl, c.*
+         |  FROM cand c JOIN srcs s ON c.source <> s.source
+         |  UNION ALL
+         |  SELECT '__all__', c.* FROM cand c),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY excl, query_id
+         |    ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |  FROM panels),
+         |votes AS (
+         |  SELECT excl, query_id, q_label, label,
+         |         CAST(COUNT(*) AS BIGINT) AS votes
+         |  FROM ranked WHERE rank <= $k GROUP BY 1, 2, 3, 4),
+         |pred AS (
+         |  SELECT excl, query_id, q_label, label,
+         |         row_number() OVER (PARTITION BY excl, query_id
+         |           ORDER BY votes DESC, label ASC) AS vr
+         |  FROM votes),
+         |acc AS (
+         |  SELECT excl,
+         |         CAST(FLOOR(10000.0 *
+         |           SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+         |           / COUNT(*)) AS BIGINT) AS acc_bp
+         |  FROM pred WHERE vr = 1 GROUP BY 1)
+         |SELECT srcs.source, srcs.n_vectors,
+         |       f.acc_bp AS acc_full_bp,
+         |       w.acc_bp AS acc_without_bp,
+         |       f.acc_bp - w.acc_bp AS value_bp
+         |FROM srcs
+         |LEFT JOIN acc w ON w.excl = srcs.source
+         |CROSS JOIN (SELECT acc_bp FROM acc WHERE excl = '__all__') f
+         |ORDER BY srcs.source""".stripMargin
+    },
+
+    // observed-day lead walk: a step > 1 opens [daynum+1, next−1]
+    "q340_gap_islands" ->
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |g AS (
+         |  SELECT daynum, cents,
+         |         lead(daynum) OVER (ORDER BY daynum) AS nxt
+         |  FROM d)
+         |SELECT strftime(DATE '1970-01-01' + INTERVAL (daynum + 1) DAY,
+         |         '%Y-%m-%d') AS gap_start,
+         |       strftime(DATE '1970-01-01' + INTERVAL (nxt - 1) DAY,
+         |         '%Y-%m-%d') AS gap_end,
+         |       CAST(nxt - daynum - 1 AS BIGINT) AS gap_days,
+         |       cents AS prev_day_cents
+         |FROM g
+         |WHERE nxt IS NOT NULL AND nxt - daynum > 1
+         |ORDER BY gap_start""".stripMargin
   )
+
+  /** Exact ⌊√x⌋ (DuckDB dialect): IEEE seed + ±2 correction — the
+    * q204 convention as a reusable snippet. */
+  private def isqrtDuck(x: String): String = {
+    val y0 = s"CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT)"
+    s"""(CASE
+       |  WHEN ($y0 + 2) * ($y0 + 2) <= $x THEN $y0 + 2
+       |  WHEN ($y0 + 1) * ($y0 + 1) <= $x THEN $y0 + 1
+       |  WHEN $y0 * $y0 <= $x THEN $y0
+       |  ELSE $y0 - 1
+       |END)""".stripMargin
+  }
 
   /** SCD tier of a cumulative purchase count (SQL twin of
     * Scd.tierOf over [[graft.ops.Scd.TierThresholds]]). */

@@ -714,4 +714,230 @@ object Experiment {
         (col("gap_cents") - col("__base")).as("effect_cents"))
       .orderBy(col("rel_month").asc)
   }
+
+  /** Deterministic re-randomization (permutation) test on the arm
+    * mean difference of per-user event counts — the
+    * assumption-free inference tool next to [[mannWhitney]] (rank
+    * location) and [[ksTest]] (distribution shape): re-draw the arm
+    * assignment `reps` times from an md5 stream keyed (user, rep) —
+    * the q289 bootstrap convention, so every engine and every run
+    * sees the SAME `reps` pseudo-experiments — and count how often a
+    * re-randomized |mean diff| reaches the observed one.
+    * p = (1+n_extreme)/(reps+1), the add-one permutation p-value
+    * (Phipson & Smyth 2010; never exactly 0).
+    *
+    * All comparisons exact-integer: |mean diff| is a floored micro
+    * magnitude via one decimal(38,0) cross-multiplied DIV per
+    * pseudo-experiment (nonnegative numerator — the cross-engine
+    * DIV rule; the observed stat carries its sign separately) and
+    * floor ties count as extreme, so the verdict is deterministic.
+    *
+    * Scale shape: ONE user-grain collapse (the fact shuffle), then
+    * the replicate explode runs at user×reps grain but map-side
+    * partial aggregation collapses it to `reps` rows before the
+    * (tiny) replicate shuffle; the p-value is a ≤reps-row fold.
+    * Output is 1 row.
+    *
+    * Columns: n_users, n_a, n_b, t_obs_micro, reps, n_extreme,
+    * p_milli. */
+  def permutationTest(events: DataFrame, splitPct: Int = 50,
+      reps: Int = 200): DataFrame = {
+    require(splitPct >= 1 && splitPct <= 99, "splitPct in [1,99]")
+    require(reps >= 1 && reps <= 10000, "reps in [1,10000]")
+    val dec = "decimal(38,0)"
+    val users = events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("m"))
+      .withColumn("arm", armCol("user_id", splitPct))
+      .persist() // observed stats + the replicate explode (caller owns)
+    // |mean diff| in micro units: the DIV runs on a NONNEGATIVE
+    // numerator (Spark DIV truncates toward zero, DuckDB // floors —
+    // they only agree on nonnegatives, the house rule), the sign is
+    // re-applied outside
+    def tMicro(nC: String, naC: String, saC: String, sC: String) =
+      expr(s"""CAST((1000000 * abs(CAST($saC AS $dec) * ($nC - $naC)
+        | - ($sC - $saC) * $naC)) DIV (CAST($naC AS $dec) * ($nC - $naC))
+        |AS BIGINT)""".stripMargin)
+    def tSign(nC: String, naC: String, saC: String, sC: String) =
+      expr(s"""CASE WHEN CAST($saC AS $dec) * ($nC - $naC)
+        | < ($sC - $saC) * $naC THEN -1 ELSE 1 END""".stripMargin)
+    val obs = users.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("m")).otherwise(0L)).as("s_a"),
+        sum(col("m")).as("s"))
+      .select(col("n"), col("n_a"), col("s_a"), col("s"),
+        when(col("n_a") === 0L || col("n") === col("n_a"),
+          lit(null).cast("long"))
+          .otherwise(tSign("n", "n_a", "s_a", "s") *
+            tMicro("n", "n_a", "s_a", "s")).as("t_obs_micro"))
+    val perms = users
+      .select(col("m"),
+        explode(expr(s"sequence(1, $reps)")).as("rep"),
+        col("user_id"))
+      .withColumn("in_a",
+        expr(s"""CAST(conv(substring(md5(CAST(user_id AS STRING) || ':' ||
+          |CAST(rep AS STRING)), 1, 8), 16, 10) AS BIGINT)
+          |% 100""".stripMargin) < splitPct)
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("in_a"), col("m")).otherwise(0L)).as("sa"),
+        sum(col("m")).as("sr"))
+      .select(col("rep"),
+        when(col("na") === 0L || col("n") === col("na"),
+          lit(null).cast("long"))
+          .otherwise(tMicro("n", "na", "sa", "sr")).as("t_abs_micro"))
+    perms.crossJoin(broadcast(obs))
+      .agg(max(col("n")).as("n_users"), max(col("n_a")).as("n_a"),
+        max(col("n") - col("n_a")).as("n_b"),
+        max(col("t_obs_micro")).as("t_obs_micro"),
+        count(lit(1)).as("reps"),
+        sum((coalesce(col("t_abs_micro"), lit(0L)) >=
+          abs(coalesce(col("t_obs_micro"), lit(0L)))).cast("long"))
+          .as("n_extreme"))
+      .withColumn("p_milli",
+        expr("(1000 * (1 + n_extreme)) DIV (reps + 1)"))
+  }
+
+  /** Minimum-detectable-effect / power calculator from exact moments
+    * — the experiment-DESIGN twin of [[abLift]]'s readout: given the
+    * live arm split and the per-user metric's empirical variance,
+    * the smallest true mean shift a z-test at α=0.05 (two-sided)
+    * would detect with 80% power,
+    *   MDE = (z_{α/2}+z_β)·√(s²_A/n_A + s²_B/n_B),
+    * z constants fixed in milli (1960, 842 — published normal
+    * quantiles, not libm calls). Every experiment platform shows
+    * this number next to the enrollment curve; a metric whose MDE
+    * exceeds any plausible effect is not worth the traffic.
+    *
+    * Exact integer ladder (identical in the oracle): sample
+    * variances via n·Σx²−(Σx)² in decimal(38,0) DIV'd to micro
+    * units, the SE via pico-scaled sums and one exact ⌊√⌋, the
+    * relative MDE against the POOLED mean in bp.
+    *
+    * Scale shape: one user-grain pass collapsing straight to a
+    * 1-row moment set; everything after is scalar arithmetic.
+    *
+    * Columns: n_a, n_b, mean_a_milli, mean_b_milli, var_a_milli,
+    * var_b_milli, mde_abs_micro, mde_rel_bp. */
+  def mdePower(events: DataFrame, splitPct: Int = 50): DataFrame = {
+    require(splitPct >= 1 && splitPct <= 99, "splitPct in [1,99]")
+    val dec = "decimal(38,0)"
+    val zSumMilli = 1960L + 842L
+    events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("m"))
+      .withColumn("arm", armCol("user_id", splitPct))
+      .agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "A", col("m")).otherwise(0L)).as("s_a"),
+        sum(when(col("arm") === "B", col("m")).otherwise(0L)).as("s_b"),
+        sum(when(col("arm") === "A",
+          expr(s"CAST(m AS $dec) * m")).otherwise(lit(0L).cast(dec)))
+          .as("q_a"),
+        sum(when(col("arm") === "B",
+          expr(s"CAST(m AS $dec) * m")).otherwise(lit(0L).cast(dec)))
+          .as("q_b"))
+      .withColumn("mean_a_milli",
+        when(col("n_a") > 0L, expr("(1000 * s_a) DIV n_a")))
+      .withColumn("mean_b_milli",
+        when(col("n_b") > 0L, expr("(1000 * s_b) DIV n_b")))
+      .withColumn("var_a_milli", when(col("n_a") > 1L, expr(
+        s"""CAST((1000 * (n_a * q_a - CAST(s_a AS $dec) * s_a))
+           |DIV (CAST(n_a AS $dec) * (n_a - 1)) AS BIGINT)""".stripMargin)))
+      .withColumn("var_b_milli", when(col("n_b") > 1L, expr(
+        s"""CAST((1000 * (n_b * q_b - CAST(s_b AS $dec) * s_b))
+           |DIV (CAST(n_b AS $dec) * (n_b - 1)) AS BIGINT)""".stripMargin)))
+      .withColumn("__se2_pico",
+        when(col("n_a") > 1L && col("n_b") > 1L,
+          expr("(1000000000 * var_a_milli) DIV n_a" +
+            " + (1000000000 * var_b_milli) DIV n_b")))
+      .withColumn("mde_abs_micro",
+        when(col("__se2_pico").isNotNull,
+          expr(s"($zSumMilli * ${isqrtSql("__se2_pico")}) DIV 1000")))
+      .withColumn("mde_rel_bp",
+        when(col("mde_abs_micro").isNotNull && col("s_a") + col("s_b") > 0L,
+          expr(s"""CAST((10000 * CAST(mde_abs_micro AS $dec)
+            | * (n_a + n_b)) DIV (1000000 * (CAST(s_a AS $dec) + s_b))
+            |AS BIGINT)""".stripMargin)))
+      .select(col("n_a"), col("n_b"), col("mean_a_milli"),
+        col("mean_b_milli"), col("var_a_milli"), col("var_b_milli"),
+        col("mde_abs_micro"), col("mde_rel_bp"))
+  }
+
+  /** Exact ⌊√x⌋ as a SQL snippet (BIGINT; IEEE seed + ±2 correction
+    * — the q204 convention, usable inside expr chains). */
+  private[graft] def isqrtSql(x: String): String =
+    s"""(CASE
+       |  WHEN (CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 2)
+       |     * (CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 2) <= $x
+       |  THEN CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 2
+       |  WHEN (CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 1)
+       |     * (CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 1) <= $x
+       |  THEN CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 1
+       |  WHEN CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT)
+       |     * CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) <= $x
+       |  THEN CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT)
+       |  ELSE CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) - 1
+       |END)""".stripMargin
+
+  /** Delta-method confidence interval for a RATIO metric — revenue
+    * cents per event, the Σr/Σs shape (Deng, Knoblich & Lu 2011/
+    * 2018's ratio-metric variance) where per-user revenue and
+    * per-user activity are correlated, so the naive per-user-average
+    * SE is wrong in both directions. Per arm:
+    *   R = Σr/Σs,  Var(R) ≈ (S_rr − 2R·S_rs + R²·S_ss) / ((n−1)·Σs²)
+    * with S_xy = n·Σxy − Σx·Σy (exact decimal(38,0) cross-moments;
+    * R enters in milli so every product is integral). The 95% CI is
+    * R ∓ 1.96·SE with the same fixed z-milli as [[mdePower]].
+    *
+    * Scale shape: one user-grain pass to (r, s) per user, one
+    * arm-grain moment collapse, scalar ladder after; 2 rows out.
+    *
+    * Columns: arm, n_users, sum_cents, sum_events, ratio_milli,
+    * se_milli, ci_lo_milli, ci_hi_milli. */
+  def ratioDelta(events: DataFrame, splitPct: Int = 50,
+      convType: String = "purchase"): DataFrame = {
+    require(splitPct >= 1 && splitPct <= 99, "splitPct in [1,99]")
+    val dec = "decimal(38,0)"
+    events
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === convType,
+          floor(col("value") * lit(100.0)).cast("long"))), lit(0L))
+          .as("r"),
+        count(lit(1)).as("s"))
+      .withColumn("arm", armCol("user_id", splitPct))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r")).as("sum_cents"),
+        sum(col("s")).as("sum_events"),
+        sum(expr(s"CAST(r AS $dec) * r")).as("qrr"),
+        sum(expr(s"CAST(r AS $dec) * s")).as("qrs"),
+        sum(expr(s"CAST(s AS $dec) * s")).as("qss"))
+      .withColumn("ratio_milli",
+        when(col("sum_events") > 0L,
+          expr("(1000 * sum_cents) DIV sum_events")))
+      // micro-scaled delta-method numerator: 10⁶·S_rr − 2·10³·R·S_rs
+      // + R²·S_ss, R in milli (exact integral products)
+      .withColumn("__vnum", when(col("ratio_milli").isNotNull, expr(
+        s"""1000000 * (n_users * qrr - CAST(sum_cents AS $dec) * sum_cents)
+           | - 2000 * ratio_milli *
+           |   (n_users * qrs - CAST(sum_cents AS $dec) * sum_events)
+           | + CAST(ratio_milli AS $dec) * ratio_milli *
+           |   (n_users * qss - CAST(sum_events AS $dec) * sum_events)"""
+          .stripMargin)))
+      .withColumn("se_milli",
+        when(col("n_users") > 1L && col("__vnum").isNotNull,
+          expr(s"""${isqrtSql(
+            s"CAST(GREATEST(__vnum, CAST(0 AS $dec)) DIV (n_users - 1) AS BIGINT)")}
+            | DIV sum_events""".stripMargin)))
+      .withColumn("ci_lo_milli",
+        col("ratio_milli") - expr("(1960 * se_milli) DIV 1000"))
+      .withColumn("ci_hi_milli",
+        col("ratio_milli") + expr("(1960 * se_milli) DIV 1000"))
+      .select(col("arm"), col("n_users"), col("sum_cents"),
+        col("sum_events"), col("ratio_milli"), col("se_milli"),
+        col("ci_lo_milli"), col("ci_hi_milli"))
+      .orderBy(col("arm").asc)
+  }
 }

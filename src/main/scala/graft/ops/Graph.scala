@@ -711,4 +711,107 @@ object Graph {
           .as("giant_share_bp"))
       .orderBy(col("k_removed").asc)
   }
+
+  /** k-truss census — the EDGE-grain sibling of [[kcore]] (Cohen
+    * 2008): repeatedly drop every edge supported by fewer than k−2
+    * triangles, keeping only ties embedded in locally dense cliques.
+    * Where k-core keeps a node with k loosely-related neighbors, the
+    * truss demands the neighbors know EACH OTHER — the community-core
+    * read for a co-visit graph (a hub spoke survives the 3-core but
+    * no 4-truss). Bounded peel budget like the q277/q300 convention:
+    * exactly `iters` support sweeps on both engines, `converged`
+    * reports whether the last sweep was already a no-op.
+    *
+    * Per-round trajectory is the output — the peel curve IS the
+    * cohesion read (a graph that sheds 90% of edges in sweep 1 has
+    * no truss backbone): one row per round 0..iters with surviving
+    * edge/vertex counts, plus min support and convergence on the
+    * final round's rows.
+    *
+    * Scale shape: support is one DEGREE-ORIENTED wedge join per
+    * sweep (the triangleStats O(m^1.5) bound — never Σdeg² raw
+    * wedges, which a hub item makes quadratic), each triangle
+    * exploded back onto its three edges; everything runs at
+    * catalog grain, never fact rows; each round is pinned by a lazy
+    * localCheckpoint (the kcore 3^iters lineage rule).
+    *
+    * Columns: round, n_edges, n_vertices, min_support (of the
+    * round's surviving edges; NULL when empty), converged (final
+    * round only, else NULL). */
+  def ktruss(pairs: DataFrame, k: Int = 4, iters: Int = 3,
+      minWeight: Long = 1L,
+      weightCol: String = "pair_sessions"): DataFrame = {
+    require(k >= 3, "k >= 3 (k-2 triangle support)")
+    require(iters >= 1 && iters <= 6, "iters in [1,6]")
+    // per-edge support via the triangleStats compact-forward
+    // orientation (Latapy 2008): edges oriented low→high (deg, id),
+    // wedges only from O(√m) out-neighborhoods, each triangle found
+    // once at its lowest-rank corner and exploded back onto its 3
+    // (id-normalized) edges. A zero-triangle edge gets NO support
+    // row, so every census/peel left-joins and coalesces to 0.
+    def supportOf(u: DataFrame): DataFrame = {
+      val deg = u.select(col("src").as("v"))
+        .union(u.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      // catalog-bounded node table (the triangleStats broadcast rule)
+      val da = broadcast(deg.select(col("v").as("src"),
+        col("deg").as("dsrc")))
+      val db = broadcast(deg.select(col("v").as("dst"),
+        col("deg").as("ddst")))
+      val oriented = u.join(da, "src").join(db, "dst")
+        .select(when(col("dsrc") < col("ddst") ||
+            (col("dsrc") === col("ddst") && col("src") < col("dst")),
+          struct(col("src").as("os"), col("dst").as("od"),
+            col("ddst").as("dd")))
+          .otherwise(struct(col("dst").as("os"), col("src").as("od"),
+            col("dsrc").as("dd"))).as("o"))
+        .select(col("o.os"), col("o.od"), col("o.dd"))
+      val tri = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.os") === col("e2.os") &&
+            (col("e1.dd") < col("e2.dd") ||
+              (col("e1.dd") === col("e2.dd") &&
+                col("e1.od") < col("e2.od"))))
+        .select(col("e1.os").as("u0"), col("e1.od").as("v0"),
+          col("e2.od").as("w0"))
+        .join(oriented.select(col("os").as("v0"), col("od").as("w0")),
+          Seq("v0", "w0"))
+      tri.select(explode(array(
+          struct(least(col("u0"), col("v0")).as("src"),
+            greatest(col("u0"), col("v0")).as("dst")),
+          struct(least(col("u0"), col("w0")).as("src"),
+            greatest(col("u0"), col("w0")).as("dst")),
+          struct(least(col("v0"), col("w0")).as("src"),
+            greatest(col("v0"), col("w0")).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+    }
+    var und = pairs.filter(col(weightCol) >= minWeight)
+      .select(col("item_a").as("src"), col("item_b").as("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    var rows: DataFrame = null
+    for (i <- 0 to iters) {
+      val withSup = und.join(supportOf(und), Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+          coalesce(col("support"), lit(0L)).as("support"))
+        .localCheckpoint(false)
+      val verts = withSup.select(col("src").as("v"))
+        .union(withSup.select(col("dst").as("v"))).distinct()
+      val r = withSup
+        .agg(count(lit(1)).as("n_edges"), min(col("support")).as("ms"))
+        .crossJoin(broadcast(verts.agg(count(lit(1)).as("n_vertices"))))
+        .select(lit(i.toLong).as("round"), col("n_edges"),
+          col("n_vertices"),
+          col("ms").as("min_support"),
+          if (i == iters)
+            (coalesce(col("ms"), lit(Long.MaxValue)) >= (k - 2).toLong ||
+              col("n_edges") === 0L).cast("int").as("converged")
+          else lit(null).cast("int").as("converged"))
+      rows = if (rows == null) r else rows.unionByName(r)
+      if (i < iters)
+        und = withSup.filter(col("support") >= (k - 2).toLong)
+          .select(col("src"), col("dst"))
+    }
+    rows.orderBy(col("round").asc)
+  }
 }

@@ -2412,4 +2412,121 @@ object Retention {
           .cast("long").as("rms_cents"))
       .orderBy(col("level").asc)
   }
+
+  /** Single change-point detection on daily revenue — binary
+    * segmentation's first (and decisive) split (Scott & Knott 1974
+    * / the AMOC case of Killick's PELT family): the day τ maximizing
+    * the between-segment sum of squares
+    *   G(τ) = (n·S_τ − τ·S)² / (τ·(n−τ))
+    * over the DENSE day spine (dark days are true zeros — a revenue
+    * halt IS the change the op must see, the q254/q317 convention).
+    * CUSUM (q212) walks drift against a known target; this finds
+    * the single most likely LEVEL-SHIFT day with no target at all —
+    * the "something changed on the 14th" read.
+    *
+    * Exact arithmetic: A = n·S_τ − τ·S per prefix (decimal(38,0)),
+    * argmax on ⌊A²/B⌋ with the earliest-day tie-break (floor ties
+    * break identically on both engines); the segment-mean delta is
+    * EXACTLY A/B, reported as a floored cents DIV. A² needs
+    * decimal(38,0): past ~8×10¹⁸ total cents·days, pre-scale the
+    * series to dollars (the argmax is scale-invariant).
+    *
+    * Scale shape: one fact pass to day grain; prefix sums and the
+    * argmax run on the day spine (single-partition window over
+    * calendar metadata, the q257 regime). Output is 1 row.
+    *
+    * Columns: split_day (last day of the left segment), n_days,
+    * n_before, n_after, mean_before_cents, mean_after_cents,
+    * delta_cents (sign·⌊|A|/B⌋ — the exact segment-mean shift),
+    * score_cents (⌊|A|/⌊√B⌋⌋ — the CUSUM-scaled shift magnitude). */
+  def changepoint(orders: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+    val spine = day
+      .agg(min(col("daynum")).as("mn"), max(col("daynum")).as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("daynum"))
+    val wDay = Window.orderBy(col("daynum"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPick = Window.orderBy(col("__q").desc, col("daynum").asc)
+    spine.join(day, Seq("daynum"), "left")
+      .select(col("daynum"), coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("tau", row_number().over(Window.orderBy(col("daynum")))
+        .cast("long"))
+      .withColumn("s_tau", sum(col("cents")).over(wDay))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("cents")).over(wAll))
+      .filter(col("tau") < col("n")) // τ = n has no right segment
+      .withColumn("__a",
+        expr(s"n * CAST(s_tau AS $dec) - CAST(tau AS $dec) * s"))
+      .withColumn("__b", expr("tau * (n - tau)"))
+      // exact ⌊A²/B⌋ STAYS decimal: G routinely exceeds Long (e.g.
+      // 6×10¹⁹ at sf0.01), and DIV's BIGINT result would null the
+      // true argmax out of the ranking. (x − x % B) / B is an exact
+      // integral quotient, so the half-up decimal cast is lossless.
+      .withColumn("__a2", expr("__a * __a"))
+      .withColumn("__q",
+        expr(s"CAST((__a2 - __a2 % __b) / __b AS $dec)"))
+      .withColumn("__rk", row_number().over(wPick))
+      .filter(col("__rk") === 1)
+      .select(
+        date_format(expr("date_add('1970-01-01', CAST(daynum AS INT))"),
+          "yyyy-MM-dd").as("split_day"),
+        col("n").as("n_days"),
+        col("tau").as("n_before"),
+        (col("n") - col("tau")).as("n_after"),
+        expr("s_tau DIV tau").as("mean_before_cents"),
+        expr("(s - s_tau) DIV (n - tau)").as("mean_after_cents"),
+        // sign·⌊|A|/B⌋: keep the DIV nonnegative (Spark truncates
+        // toward zero, DuckDB floors — they agree only there)
+        expr(s"""CAST((CASE WHEN __a < 0 THEN -1 ELSE 1 END)
+          | * (abs(__a) DIV __b) AS BIGINT)""".stripMargin)
+          .as("delta_cents"),
+        expr(s"CAST(abs(__a) DIV ${Experiment.isqrtSql("__b")} AS BIGINT)")
+          .as("score_cents"))
+  }
+
+  /** Calendar gap islands — the gaps-and-islands read of the order
+    * log (which CONSECUTIVE day runs are missing entirely, not just
+    * how many days — q254 counts zero-sales days; this names each
+    * outage with its bounds and length, the shape an incident
+    * retro needs). A 1-day blip and a 5-day pipeline failure are
+    * different facts even when q254's count is the same.
+    *
+    * lead(daynum) over the OBSERVED day set: a step > 1 opens a gap
+    * [daynum+1, next−1]. No spine needed — the gap rows are the
+    * complement arithmetic (the q323 implicit-zero rule).
+    *
+    * Scale shape: one fact pass to day grain, one single-partition
+    * lead over calendar metadata; output is gap-count rows.
+    *
+    * Columns: gap_start, gap_end (dates), gap_days, prev_day_cents
+    * (revenue on the last day before the gap — was the outage
+    * preceded by a drain or a spike). */
+  def gapIslands(orders: DataFrame): DataFrame = {
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy(col("daynum"))
+    day
+      .withColumn("nxt", lead(col("daynum"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") - col("daynum") > 1L)
+      .select(
+        date_format(expr("date_add('1970-01-01', CAST(daynum + 1 AS INT))"),
+          "yyyy-MM-dd").as("gap_start"),
+        date_format(expr("date_add('1970-01-01', CAST(nxt - 1 AS INT))"),
+          "yyyy-MM-dd").as("gap_end"),
+        (col("nxt") - col("daynum") - 1L).as("gap_days"),
+        col("cents").as("prev_day_cents"))
+      .orderBy(col("gap_start").asc)
+  }
 }

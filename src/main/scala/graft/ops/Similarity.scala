@@ -890,4 +890,94 @@ object Similarity {
         when(col("var_explained_bp").isNull, lit(null).cast("long"))
           .otherwise(expr("(1000 * var_explained_bp) DIV isotropy_bp")))
   }
+
+  /** Leave-one-source-out kNN valuation — the data-VALUATION read
+    * (the cheap, deterministic cousin of Shapley data values,
+    * Ghorbani & Zou 2019): for each corpus source, re-run the q308
+    * kNN label vote with that source's vectors REMOVED from the
+    * neighbor pool and report the accuracy it costs. A source whose
+    * removal leaves accuracy flat contributes volume, not signal; a
+    * negative value (accuracy RISES without it) is the label-noise
+    * source the curation pipeline should quarantine first.
+    *
+    * Votes, probes, ties all follow [[knnLabelAccuracy]] exactly
+    * (md5-free `% probeMod` probe cap, cos desc / id asc rank,
+    * votes desc / label asc). The full-pool accuracy rides along so
+    * every row is self-contained.
+    *
+    * Scale shape: cosines are scored ONCE (capped probes × corpus,
+    * probes broadcast); the per-source re-rank never rescores — the
+    * top-k of "all but source s" can only draw from the per-source
+    * top-k candidate set (≤ sources·k rows per probe, proven by a
+    * pigeonhole: dropping one source leaves every other source's
+    * per-source rank intact), so the 20 exclusion panels re-rank a
+    * candidate frame that is probe×sources×k METADATA, not the
+    * score frame (the q243 one-persisted-frame rule).
+    *
+    * Columns: source, n_vectors, acc_full_bp, acc_without_bp,
+    * value_bp (full − without; positive = the source helps). */
+  def sourceValueKnn(emb: DataFrame, docs: DataFrame, k: Int = 10,
+      probeMod: Long = 5L, quant0: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(probeMod >= 1L, "probeMod >= 1")
+    val src = docs.filter(col("source").isNotNull)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val q = corpusOf(emb, quant0).join(src, Seq("vec_id"))
+    val queries = q.filter(col("vec_id") % probeMod === 0L)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("q").as("q_q"), col("n2").as("q_n2"))
+    // per-source top-k candidates per probe: the only rows any
+    // exclusion panel can surface
+    val wSrc = Window.partitionBy(col("query_id"), col("source"))
+      .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+    val cand = q
+      .select(col("vec_id").as("neighbor_id"), col("label"),
+        col("source"), col("q"), col("n2"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_bp",
+        cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))
+      .withColumn("srk", row_number().over(wSrc))
+      .filter(col("srk") <= k)
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("label"), col("source"), col("cos_bp"))
+      .localCheckpoint(false) // probe×sources×k rows; one scoring pass
+    def accuracyOf(panel: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("excl"), col("query_id"))
+        .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+      val wv = Window.partitionBy(col("excl"), col("query_id"))
+        .orderBy(col("votes").desc, col("label").asc)
+      panel
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .groupBy(col("excl"), col("query_id"), col("q_label"),
+          col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .withColumn("correct", (col("label") === col("q_label"))
+          .cast("long"))
+        .groupBy(col("excl"))
+        .agg(count(lit(1)).as("n_probes"), sum(col("correct"))
+          .as("n_correct"))
+        .withColumn("acc_bp", floor(lit(10000.0) * col("n_correct") /
+          col("n_probes")).cast("long"))
+        .select(col("excl"), col("acc_bp"))
+    }
+    val sources = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .localCheckpoint(false) // source-domain metadata, read 3×
+    val without = accuracyOf(
+      cand.join(broadcast(sources.select(col("source").as("excl"))),
+        col("source") =!= col("excl")))
+    val full = accuracyOf(cand.withColumn("excl", lit("__all__")))
+    sources
+      .join(without.select(col("excl").as("source"),
+        col("acc_bp").as("acc_without_bp")), Seq("source"), "left")
+      .crossJoin(broadcast(full.select(col("acc_bp").as("acc_full_bp"))))
+      .select(col("source"), col("n_vectors"), col("acc_full_bp"),
+        col("acc_without_bp"))
+      .withColumn("value_bp", col("acc_full_bp") - col("acc_without_bp"))
+      .orderBy(col("source").asc)
+  }
 }

@@ -213,6 +213,35 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (10L, 1L)))
   }
 
+  test("ktruss: K4 survives the 4-truss, a pendant triangle and bridge peel off") {
+    // K4 {1,2,3,4} (every edge support 2) + triangle {7,8,9}
+    // (support 1) + bridge 4–7 (support 0)
+    val pairs = pairsDf(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (2L, 3L, 1L),
+      (2L, 4L, 1L), (3L, 4L, 1L),
+      (7L, 8L, 1L), (7L, 9L, 1L), (8L, 9L, 1L),
+      (4L, 7L, 1L))
+    val got = Graph.ktruss(pairs, k = 4, iters = 2)
+      .as[(Long, Long, Long, Option[Long], Option[Int])].collect().toSeq
+    assert(got == Seq(
+      (0L, 10L, 7L, Some(0L), None),
+      (1L, 6L, 4L, Some(2L), None),
+      (2L, 6L, 4L, Some(2L), Some(1))))
+  }
+
+  test("ktruss: an exhausted sweep budget reports converged = 0") {
+    // triangle strip 1-2-3-4-5: sweep 1 leaves (2,3),(3,4) with
+    // support 0 — a second sweep would peel them, but iters = 1
+    val pairs = pairsDf(
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L), (2L, 4L, 1L),
+      (3L, 4L, 1L), (3L, 5L, 1L), (4L, 5L, 1L))
+    val got = Graph.ktruss(pairs, k = 4, iters = 1)
+      .as[(Long, Long, Long, Option[Long], Option[Int])].collect().toSeq
+    assert(got == Seq(
+      (0L, 7L, 5L, Some(1L), None),
+      (1L, 2L, 3L, Some(0L), Some(0))))
+  }
+
   test("hubKnockout: removing the star hub frees the side pair; deterministic hub rank") {
     val s2 = spark
     import s2.implicits._

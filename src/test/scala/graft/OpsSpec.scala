@@ -3185,6 +3185,190 @@ class OpsSpec extends SparkSpec {
       ("C", 1L, 100000000000000L)))
   }
 
+  test("changepoint finds an engineered level shift with exact segment math") {
+    val s2 = spark
+    import s2.implicits._
+    // $1/day for 4 days then $5/day for 4: τ=4 maximizes
+    // (n·S_τ−τ·S)²/B (A=−6400, B=16 → q=2 560 000; τ=2 gives 853k)
+    val orders = ((1 to 4).map(d => (f"2024-01-$d%02d", 1.0)) ++
+      (5 to 8).map(d => (f"2024-01-$d%02d", 5.0)))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = graft.ops.Retention.changepoint(orders)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("2024-01-04", 8L, 4L, 4L, 100L, 500L, -400L, 1600L)))
+  }
+
+  test("changepoint sees dark days as zeros on the dense spine") {
+    val s2 = spark
+    import s2.implicits._
+    // revenue every day 1–4, then NOTHING 5–8: the halt is the shift
+    val orders = (1 to 4).map(d => (f"2024-01-$d%02d", 4.0))
+      .toDF("o_orderdate", "o_totalprice") union
+      Seq(("2024-01-08", 0.01)).toDF("o_orderdate", "o_totalprice")
+    // days 1..8 dense; cents 400×4 then 0,0,0,1
+    // τ=4: A = 8·1600 − 4·1601 = 6396, B=16, q≈2 556 800 — max
+    val got = graft.ops.Retention.changepoint(orders)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.head._1 == "2024-01-04")
+    assert(got.head._7 == 399L) // ⌊6396/16⌋ mean-shift cents
+  }
+
+  test("gapIslands names each missing-day run with bounds and prior revenue") {
+    val s2 = spark
+    import s2.implicits._
+    val orders = Seq(
+      ("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-05", 3.0),
+      ("2024-01-06", 4.0), ("2024-01-10", 5.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = graft.ops.Retention.gapIslands(orders)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-03", "2024-01-04", 2L, 200L),
+      ("2024-01-07", "2024-01-09", 3L, 400L)))
+    // contiguous log → no gap rows
+    val dense = Seq(("2024-01-01", 1.0), ("2024-01-02", 1.0))
+      .toDF("o_orderdate", "o_totalprice")
+    assert(graft.ops.Retention.gapIslands(dense).count() == 0L)
+  }
+
+  test("permutationTest: add-one p, replicate budget, and an independently computed t_obs") {
+    val events = graft.tables.Tables(spark, sf, "events")
+    val reps = 20
+    val row = graft.ops.Experiment.permutationTest(events, reps = reps)
+      .collect().head
+    assert(row.getAs[Long]("reps") == reps.toLong)
+    val nExtreme = row.getAs[Long]("n_extreme")
+    assert(nExtreme >= 0L && nExtreme <= reps.toLong)
+    assert(row.getAs[Long]("p_milli") ==
+      (1000L * (1L + nExtreme)) / (reps + 1L))
+    // independent t_obs: same arm draw, plain aggregation, BigInt math
+    val s2 = spark
+    import s2.implicits._
+    val users = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("arm", graft.ops.Experiment.armCol("user_id", 50))
+      .groupBy(col("arm")).agg(sum(col("m")).as("s"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map { case (a, s, n) => a -> ((s, n)) }.toMap
+    val (sa, na) = users("A"); val (sb, nb) = users("B")
+    val num = BigInt(sa) * nb - BigInt(sb) * na
+    val tExp = (num.signum: Int) *
+      ((BigInt(1000000) * num.abs) / (BigInt(na) * nb))
+    assert(BigInt(row.getAs[Long]("t_obs_micro")) == tExp)
+  }
+
+  test("permutationTest degenerate single-user input: p = 1000, null t") {
+    val s2 = spark
+    import s2.implicits._
+    val events = Seq((1L, "click"), (1L, "view"))
+      .toDF("user_id", "event_type")
+    val row = graft.ops.Experiment.permutationTest(events, reps = 5)
+      .collect().head
+    // one user → one empty arm everywhere → t null, every replicate
+    // ties the observed 0 magnitude → p = 1000 (never 0, never crash)
+    assert(row.isNullAt(row.fieldIndex("t_obs_micro")))
+    assert(row.getAs[Long]("p_milli") == 1000L)
+  }
+
+  test("mdePower reproduces a BigInt reimplementation of the moment ladder") {
+    val events = graft.tables.Tables(spark, sf, "events")
+    val row = graft.ops.Experiment.mdePower(events).collect().head
+    val s2 = spark
+    import s2.implicits._
+    val mo = events.groupBy(col("user_id")).agg(count(lit(1)).as("m"))
+      .withColumn("arm", graft.ops.Experiment.armCol("user_id", 50))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+        sum(col("m") * col("m")).as("q"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (naL, saL, qaL) = mo("A"); val (nbL, sbL, qbL) = mo("B")
+    def varMilli(n: Long, s: Long, q: Long): BigInt =
+      (BigInt(1000) * (BigInt(n) * q - BigInt(s) * s)) /
+        (BigInt(n) * (n - 1))
+    val va = varMilli(naL, saL, qaL); val vb = varMilli(nbL, sbL, qbL)
+    assert(BigInt(row.getAs[Long]("var_a_milli")) == va)
+    assert(BigInt(row.getAs[Long]("var_b_milli")) == vb)
+    val se2 = (BigInt(1000000000) * va) / naL +
+      (BigInt(1000000000) * vb) / nbL
+    def isqrt(x: BigInt): BigInt = {
+      var y = BigInt(math.sqrt(x.toDouble).toLong)
+      while (y * y > x) y -= 1
+      while ((y + 1) * (y + 1) <= x) y += 1
+      y
+    }
+    val mde = (BigInt(2802) * isqrt(se2)) / 1000
+    assert(BigInt(row.getAs[Long]("mde_abs_micro")) == mde)
+    val rel = (BigInt(10000) * mde * (naL + nbL)) /
+      (BigInt(1000000) * (saL + sbL))
+    assert(BigInt(row.getAs[Long]("mde_rel_bp")) == rel)
+  }
+
+  test("ratioDelta reproduces a BigInt reimplementation of the delta-method ladder") {
+    val events = graft.tables.Tables(spark, sf, "events")
+    val rows = graft.ops.Experiment.ratioDelta(events).collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    val s2 = spark
+    import s2.implicits._
+    val mo = events.groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+        floor(col("value") * lit(100.0)).cast("long"))), lit(0L)).as("r"),
+        count(lit(1)).as("s"))
+      .withColumn("arm", graft.ops.Experiment.armCol("user_id", 50))
+      .select(col("r"), col("s"), col("arm"))
+      .as[(Long, Long, String)].collect()
+    for (arm <- Seq("A", "B")) {
+      val g = mo.filter(_._3 == arm)
+      val n = g.length.toLong
+      val sr = g.map(_._1).sum; val ss = g.map(_._2).sum
+      val qrr = g.map(x => BigInt(x._1) * x._1).sum
+      val qrs = g.map(x => BigInt(x._1) * x._2).sum
+      val qss = g.map(x => BigInt(x._2) * x._2).sum
+      val ratio = (BigInt(1000) * sr) / ss
+      val vnum = BigInt(1000000) * (n * qrr - BigInt(sr) * sr) -
+        BigInt(2000) * ratio * (n * qrs - BigInt(sr) * ss) +
+        ratio * ratio * (n * qss - BigInt(ss) * ss)
+      val vb = vnum.max(BigInt(0)) / (n - 1)
+      def isqrt(x: BigInt): BigInt = {
+        var y = BigInt(math.sqrt(x.toDouble).toLong)
+        while (y * y > x) y -= 1
+        while ((y + 1) * (y + 1) <= x) y += 1
+        y
+      }
+      val se = isqrt(vb) / ss
+      val row = rows(arm)
+      assert(BigInt(row.getAs[Long]("ratio_milli")) == ratio,
+        s"$arm ratio")
+      assert(BigInt(row.getAs[Long]("se_milli")) == se, s"$arm se")
+      assert(row.getAs[Long]("ci_lo_milli") ==
+        row.getAs[Long]("ratio_milli") - 1960L * se.toLong / 1000L)
+    }
+  }
+
+  test("sourceValueKnn: removing the signal source zeroes accuracy; the noise source costs nothing") {
+    val s2 = spark
+    import s2.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0f), 0),  // the probe (0 % 5 == 0), srcA
+      (1L, Seq(1.0f, 0f), 0), (2L, Seq(1.0f, 0f), 0),   // srcA signal
+      (3L, Seq(0f, 1.0f), 1), (4L, Seq(0f, 1.0f), 1))   // srcB noise
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq((0L, "srcA"), (1L, "srcA"), (2L, "srcA"),
+      (3L, "srcB"), (4L, "srcB")).toDF("doc_id", "source")
+    val got = graft.ops.Similarity
+      .sourceValueKnn(emb, docs, k = 2, probeMod = 5L)
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      // full pool: ids 1,2 (cos 10000) outvote — correct
+      ("srcA", 3L, Some(10000L), Some(0L), Some(10000L)),
+      ("srcB", 2L, Some(10000L), Some(10000L), Some(0L))))
+  }
+
   test("sourceTransferMatrix: disjoint-vocabulary sources cost the add-1 fallback") {
     val s2 = spark
     import s2.implicits._
