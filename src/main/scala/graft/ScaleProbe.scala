@@ -623,6 +623,12 @@ object ScaleProbe {
     // FIXED probe set under amplification (q229 rule)
     t("source value knn")(graft.ops.Similarity.sourceValueKnn(
       emb, docs, k = 10, probeMod = 5L * mult))
+    // FIXED sample (q326 rule): the pair space must not grow
+    t("hubness")(graft.ops.Similarity.hubness(
+      emb, k = 10, sampleMod = 5L * mult))
+    t("spearman daily")(graft.ops.Retention.spearmanDaily(orders))
+    t("wilson ci")(graft.ops.Experiment.wilsonCi(events))
+    t("smd balance")(graft.ops.TrainingPrep.smdBalance(docs))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -367,7 +367,11 @@ object SparkEntry {
     "q337_ratio_delta" -> (Queries.ratioDelta _),
     "q338_ktruss" -> (Queries.ktruss _),
     "q339_source_value_knn" -> (Queries.sourceValueKnn _),
-    "q340_gap_islands" -> (Queries.gapIslands _)
+    "q340_gap_islands" -> (Queries.gapIslands _),
+    "q341_hubness" -> (Queries.hubness _),
+    "q342_spearman_daily" -> (Queries.spearmanDaily _),
+    "q343_wilson_ci" -> (Queries.wilsonCi _),
+    "q344_smd_balance" -> (Queries.smdBalance _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2803,6 +2807,31 @@ object Queries {
     Similarity.sourceValueKnn(Tables(spark, dir, "embeddings"),
       Tables(spark, dir, "documents"), SourceValueK, SourceValueProbeMod,
       quant0 = Some(sharedAnnIndex(spark, dir)))
+
+  val HubnessK = 10
+  val HubnessSampleMod = 5L
+
+  /** k-occurrence hubness census over the shared ANN corpus sample:
+    * max/antihub/hub counts + exact-ladder skewness. */
+  def hubness(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hubness(Tables(spark, dir, "embeddings"), HubnessK,
+      HubnessSampleMod, quant0 = Some(sharedAnnIndex(spark, dir)))
+
+  /** Spearman midrank correlation between daily order count and
+    * daily revenue (the q219 Kendall's rank-linear companion). */
+  def spearmanDaily(spark: SparkSession, dir: String): DataFrame =
+    Retention.spearmanDaily(Tables(spark, dir, "orders"))
+
+  /** Wilson score interval for per-arm conversion (micro units,
+    * exact shared floors). */
+  def wilsonCi(spark: SparkSession, dir: String): DataFrame =
+    Experiment.wilsonCi(Tables(spark, dir, "events"))
+
+  /** Split covariate-balance SMD table over the q63 Lehmer splits
+    * (n_chars + token count, |SMD|<0.1 pass flag). */
+  def smdBalance(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.smdBalance(Tables(spark, dir, "documents"),
+      SplitTrainBp, SplitValBp)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -13833,8 +13862,228 @@ object Oracles {
          |       cents AS prev_day_cents
          |FROM g
          |WHERE nxt IS NOT NULL AND nxt - daynum > 1
-         |ORDER BY gap_start""".stripMargin
+         |ORDER BY gap_start""".stripMargin,
+
+    // sample² k-occurrence counts (antihubs kept via left join), then
+    // the n-scaled central-moment skew ladder in HUGEINT with the
+    // same ⌊√⌋ composition as the Spark side
+    "q341_hubness" -> {
+      val k = Queries.HubnessK
+      val sm = Queries.HubnessSampleMod
+      s"""WITH $embQuantCte,
+         |s AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % $sm = 0),
+         |scored AS (
+         |  SELECT a.vec_id AS neighbor_id, b.vec_id AS query_id,
+         |         CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0
+         |              ELSE CAST(FLOOR(10000.0 *
+         |                CAST(list_sum(list_transform(
+         |                  range(1, len(a.q) + 1),
+         |                  i -> a.q[i] * b.q[i])) AS BIGINT) /
+         |                (sqrt(CAST(a.n2 AS DOUBLE)) *
+         |                 sqrt(CAST(b.n2 AS DOUBLE)))) AS BIGINT)
+         |         END AS cos_bp
+         |  FROM s a, s b WHERE a.vec_id != b.vec_id),
+         |occ AS (
+         |  SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_bp DESC, neighbor_id ASC) AS rank
+         |        FROM scored)
+         |  WHERE rank <= $k GROUP BY 1),
+         |cts AS (
+         |  SELECT COALESCE(occ.c, 0) AS c
+         |  FROM s LEFT JOIN occ ON occ.neighbor_id = s.vec_id),
+         |mo AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(c) AS BIGINT) AS sc,
+         |         CAST(MAX(c) AS BIGINT) AS max_occ,
+         |         CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_antihubs,
+         |         CAST(SUM(CASE WHEN c > ${2 * k} THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_hubs,
+         |         SUM(CAST(c AS HUGEINT) * c) AS s2,
+         |         SUM(CAST(c AS HUGEINT) * c * c) AS s3
+         |  FROM cts),
+         |d AS (
+         |  SELECT *,
+         |         CAST(n AS HUGEINT) * n * s2
+         |           - CAST(n AS HUGEINT) * sc * sc AS d2,
+         |         CAST(n AS HUGEINT) * n * n * s3
+         |           - 3 * CAST(n AS HUGEINT) * n * s2 * sc
+         |           + 2 * CAST(n AS HUGEINT) * sc * sc * sc AS d3
+         |  FROM mo)
+         |SELECT n AS n_sample, CAST($k AS BIGINT) AS k, max_occ,
+         |       n_antihubs, n_hubs,
+         |       CASE WHEN d2 > 0 THEN CAST(
+         |         (CASE WHEN d3 < 0 THEN -1 ELSE 1 END) *
+         |         ((1000 * abs(d3) * ${isqrtHuge("CAST(n AS HUGEINT)")})
+         |          // (d2 * ${isqrtHuge("d2")})) AS BIGINT)
+         |       END AS skew_milli
+         |FROM d""".stripMargin
+    },
+
+    // q260 doubled midranks per series, exact HUGEINT Pearson-on-
+    // ranks with one isqrt of the cross product, sign outside
+    "q342_spearman_daily" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |         CAST(COUNT(*) AS BIGINT) AS x,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS y
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |rx AS (
+         |  SELECT x, 2 * (cum - cnt) + cnt + 1 AS rx, cnt AS cntx
+         |  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |          SUM(COUNT(*)) OVER (ORDER BY x
+         |            ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM daily GROUP BY 1)),
+         |ry AS (
+         |  SELECT y, 2 * (cum - cnt) + cnt + 1 AS ry, cnt AS cnty
+         |  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |          SUM(COUNT(*)) OVER (ORDER BY y
+         |            ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM daily GROUP BY 1)),
+         |rk AS (
+         |  SELECT daily.d, rx.rx, ry.ry, rx.cntx, ry.cnty
+         |  FROM daily JOIN rx USING (x) JOIN ry USING (y)),
+         |mo AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(rx) AS BIGINT) AS sx,
+         |         CAST(SUM(ry) AS BIGINT) AS sy,
+         |         SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+         |         SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+         |         SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+         |         CAST(COUNT(DISTINCT CASE WHEN cntx > 1 THEN rx END)
+         |           AS BIGINT) AS tie_groups_x,
+         |         CAST(COUNT(DISTINCT CASE WHEN cnty > 1 THEN ry END)
+         |           AS BIGINT) AS tie_groups_y
+         |  FROM rk),
+         |dd AS (
+         |  SELECT *, n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         |         n * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+         |         n * syy - CAST(sy AS HUGEINT) * sy AS dy
+         |  FROM mo)
+         |SELECT n AS n_days,
+         |       CASE WHEN dx > 0 AND dy > 0 THEN CAST(
+         |         (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+         |         ((1000 * abs(num)) // ${isqrtHuge("dx * dy")})
+         |         AS BIGINT)
+         |       END AS rho_milli,
+         |       tie_groups_x, tie_groups_y
+         |FROM dd""".stripMargin,
+
+    // exact micro Wilson ladder: shared inner DIV + isqrt floors,
+    // z=1960 milli / c=z²=3 841 600 micro, lower bound floored at 0
+    "q343_wilson_ci" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(draw, $i, 1)) - 1)"
+      val draw32 = (1 to 8)
+        .map(i => s"${nib(i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1
+         |           ELSE 0 END) AS BIGINT) AS conv
+         |  FROM events GROUP BY 1),
+         |a AS (
+         |  SELECT conv, CASE WHEN CAST($draw32 AS BIGINT) % 100 < 50
+         |           THEN 'A' ELSE 'B' END AS arm
+         |  FROM (SELECT user_id, conv,
+         |          md5(CAST(user_id AS VARCHAR)) AS draw FROM u)),
+         |g AS (
+         |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |         CAST(SUM(conv) AS BIGINT) AS x
+         |  FROM a GROUP BY 1),
+         |r AS (
+         |  SELECT *, ${isqrtHuge(
+           "(4000000 * CAST(x AS HUGEINT) * (n_users - x)) // n_users" +
+             " + 3841600")} AS root,
+         |         2 * (1000000 * CAST(n_users AS HUGEINT) + 3841600)
+         |           AS den
+         |  FROM g)
+         |SELECT arm, n_users, x AS n_converted,
+         |       (1000000 * x) // n_users AS p_micro,
+         |       CAST((1000000 * greatest(2000000 * CAST(x AS HUGEINT)
+         |           + 3841600 - 1960 * root, 0::HUGEINT))
+         |         // den AS BIGINT) AS wilson_lo_micro,
+         |       CAST((1000000 * (2000000 * CAST(x AS HUGEINT)
+         |           + 3841600 + 1960 * root))
+         |         // den AS BIGINT) AS wilson_hi_micro
+         |FROM r ORDER BY arm""".stripMargin
+    },
+
+    // q63 Lehmer splits, per split×feature HUGEINT moments, the
+    // Austin |SMD|<0.1 milli ladder with shared floors
+    "q344_smd_balance" -> {
+      val t = Queries.SplitTrainBp; val v = Queries.SplitValBp
+      s"""WITH s AS (
+         |  SELECT CASE
+         |      WHEN (((doc_id % 1000003 + 1000003) % 1000003)
+         |        * 48271 + 12345) % 10000 < $t THEN 'train'
+         |      WHEN (((doc_id % 1000003 + 1000003) % 1000003)
+         |        * 48271 + 12345) % 10000 < ${t + v} THEN 'val'
+         |      ELSE 'test' END AS split,
+         |    COALESCE(n_chars, CAST(length(text) AS BIGINT)) AS n_chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (
+         |  SELECT split, 'n_chars' AS feature, n_chars AS f FROM s
+         |  UNION ALL
+         |  SELECT split, 'n_tokens', n_tokens FROM s),
+         |mo AS (
+         |  SELECT split, feature, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(f) AS BIGINT) AS sm,
+         |         SUM(CAST(f AS HUGEINT) * f) AS q
+         |  FROM f GROUP BY 1, 2),
+         |pr AS (SELECT * FROM (VALUES ('train', 'val'),
+         |         ('train', 'test'), ('val', 'test'))
+         |       AS t(split_a, split_b)),
+         |j AS (
+         |  SELECT pr.split_a, pr.split_b, a.feature,
+         |         a.n AS n_a, b.n AS n_b,
+         |         (1000 * a.sm) // a.n AS mean_a_milli,
+         |         (1000 * b.sm) // b.n AS mean_b_milli,
+         |         CASE WHEN a.n > 1 THEN CAST((1000 *
+         |             (a.n * a.q - CAST(a.sm AS HUGEINT) * a.sm))
+         |           // (CAST(a.n AS HUGEINT) * (a.n - 1)) AS BIGINT)
+         |         END AS va,
+         |         CASE WHEN b.n > 1 THEN CAST((1000 *
+         |             (b.n * b.q - CAST(b.sm AS HUGEINT) * b.sm))
+         |           // (CAST(b.n AS HUGEINT) * (b.n - 1)) AS BIGINT)
+         |         END AS vb
+         |  FROM pr
+         |  JOIN mo a ON a.split = pr.split_a
+         |  JOIN mo b ON b.split = pr.split_b AND b.feature = a.feature),
+         |sg AS (
+         |  SELECT *, CASE WHEN va IS NOT NULL AND vb IS NOT NULL
+         |           AND va + vb > 0
+         |         THEN ${isqrtHuge("(1000 * (CAST(va AS HUGEINT) + vb)) // 2")}
+         |         END AS sig
+         |  FROM j)
+         |SELECT split_a, split_b, feature, n_a, n_b,
+         |       CAST(mean_a_milli AS BIGINT) AS mean_a_milli,
+         |       CAST(mean_b_milli AS BIGINT) AS mean_b_milli,
+         |       CASE WHEN sig > 0 THEN
+         |         CAST((1000 * abs(mean_a_milli - mean_b_milli)) // sig
+         |           AS BIGINT) END AS smd_milli,
+         |       CASE WHEN sig > 0 THEN
+         |         CAST((1000 * abs(mean_a_milli - mean_b_milli)) // sig
+         |           < 100 AS INT) END AS balanced
+         |FROM sg
+         |ORDER BY split_a, split_b, feature""".stripMargin
+    }
   )
+
+  /** Exact ⌊√x⌋ for HUGEINT expressions (DuckDB) — the isqrtDuck
+    * twin with decimal-width compares. */
+  private def isqrtHuge(x: String): String = {
+    val y0 = s"CAST(FLOOR(SQRT(CAST(($x) AS DOUBLE))) AS BIGINT)"
+    s"""(CASE
+       |  WHEN CAST($y0 + 2 AS HUGEINT) * ($y0 + 2) <= ($x) THEN $y0 + 2
+       |  WHEN CAST($y0 + 1 AS HUGEINT) * ($y0 + 1) <= ($x) THEN $y0 + 1
+       |  WHEN CAST($y0 AS HUGEINT) * $y0 <= ($x) THEN $y0
+       |  ELSE $y0 - 1
+       |END)""".stripMargin
+  }
 
   /** Exact ⌊√x⌋ (DuckDB dialect): IEEE seed + ±2 correction — the
     * q204 convention as a reusable snippet. */

@@ -881,6 +881,69 @@ object Experiment {
        |  ELSE CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) - 1
        |END)""".stripMargin
 
+  /** Exact ⌊√x⌋ for DECIMAL(38,0) expressions (SQL snippet): IEEE
+    * seed + ±2 correction with the squared candidates compared in
+    * decimal — the [[isqrtSql]] twin for inputs past 2^62. Result
+    * BIGINT (valid while x ≲ 10^37, i.e. the root fits a long). */
+  private[graft] def isqrtDecSql(x: String): String = {
+    val dec = "decimal(38,0)"
+    val y0 = s"CAST(FLOOR(SQRT(CAST(($x) AS DOUBLE))) AS BIGINT)"
+    s"""(CASE
+       |  WHEN CAST($y0 + 2 AS $dec) * ($y0 + 2) <= ($x) THEN $y0 + 2
+       |  WHEN CAST($y0 + 1 AS $dec) * ($y0 + 1) <= ($x) THEN $y0 + 1
+       |  WHEN CAST($y0 AS $dec) * $y0 <= ($x) THEN $y0
+       |  ELSE $y0 - 1
+       |END)""".stripMargin
+  }
+
+  /** Wilson score interval for per-arm conversion — the
+    * small-x-safe CI (Wilson 1927; the interval recommendation in
+    * Brown, Cai & DasGupta 2001) the naive Wald ±z√(p̂q̂/n) gets
+    * wrong near 0/1: bounds never leave [0,1] and never collapse to
+    * a point at x=0. Computed exactly in micro units,
+    *   bound = (2·10⁶x + c ± z·⌊√((4·10⁶·x(n−x)) DIV n + c)⌋)
+    *           / (2(10⁶n + c)),  z=1960 milli, c=z²=3 841 600,
+    * every floor shared by the oracle so the bounds are
+    * deterministic (at x=0 the lower bound is exactly 0 because
+    * isqrt(c) = 1960 exactly).
+    *
+    * Scale shape: one user-grain pass to (arm, n, x); the ladder is
+    * scalar arithmetic on ≤2 rows.
+    *
+    * Columns: arm, n_users, n_converted, p_micro, wilson_lo_micro,
+    * wilson_hi_micro. */
+  def wilsonCi(events: DataFrame, splitPct: Int = 50,
+      convType: String = "purchase"): DataFrame = {
+    require(splitPct >= 1 && splitPct <= 99, "splitPct in [1,99]")
+    val dec = "decimal(38,0)"
+    events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", armCol("user_id", splitPct))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted"))
+      .withColumn("p_micro",
+        expr("(1000000 * n_converted) DIV n_users"))
+      .withColumn("__root", expr(s"""${isqrtDecSql(
+        s"""(4000000 * CAST(n_converted AS $dec) *
+           | (n_users - n_converted)) DIV n_users + 3841600"""
+          .stripMargin)}""".stripMargin))
+      .withColumn("__den",
+        expr(s"2 * (1000000 * CAST(n_users AS $dec) + 3841600)"))
+      .withColumn("wilson_lo_micro", expr(s"""CAST(
+        |(1000000 * greatest(2000000 * CAST(n_converted AS $dec)
+        |   + 3841600 - 1960 * __root, CAST(0 AS $dec)))
+        |DIV __den AS BIGINT)""".stripMargin))
+      .withColumn("wilson_hi_micro", expr(s"""CAST(
+        |(1000000 * (2000000 * CAST(n_converted AS $dec)
+        |   + 3841600 + 1960 * __root))
+        |DIV __den AS BIGINT)""".stripMargin))
+      .select(col("arm"), col("n_users"), col("n_converted"),
+        col("p_micro"), col("wilson_lo_micro"), col("wilson_hi_micro"))
+      .orderBy(col("arm").asc)
+  }
+
   /** Delta-method confidence interval for a RATIO metric — revenue
     * cents per event, the Σr/Σs shape (Deng, Knoblich & Lu 2011/
     * 2018's ratio-metric variance) where per-user revenue and

@@ -2413,6 +2413,70 @@ object Retention {
       .orderBy(col("level").asc)
   }
 
+  /** Spearman rank correlation between daily order count and daily
+    * revenue — the MIDRANK companion of [[kendallDaily]] (q219's
+    * concordance walk): ρ is the Pearson correlation of the two
+    * series' ranks, robust to outlier days and sensitive to any
+    * monotone coupling, computed EXACTLY on the q260 doubled
+    * midranks (ties by construction, no float ranks):
+    *   ρ = (N·Σxy − Σx·Σy) / √((N·Σx² − (Σx)²)(N·Σy² − (Σy)²))
+    * with every moment decimal(38,0) and the denominator one exact
+    * ⌊√⌋ of the cross product — sign carried separately (the
+    * nonneg-DIV rule). Kendall answers "how often do the two move
+    * together"; Spearman answers "how linear is the rank coupling" —
+    * the pair disagreeing is itself a signal (a few huge days).
+    *
+    * Scale shape: one fact pass to day grain, two value-grain rank
+    * walks (the q77 histogram trick — windows see distinct values,
+    * never days), one 1-row moment fold.
+    *
+    * Columns: n_days, rho_milli, tie_groups_x, tie_groups_y (values
+    * shared by >1 day — how much midranking actually happened). */
+  def spearmanDaily(orders: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"),
+        sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("y"))
+      .persist() // feeds both rank walks + the join (caller owns)
+    def rank2Of(valueCol: String): DataFrame = {
+      val wv = Window.orderBy(col(valueCol))
+      daily.groupBy(col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wv))
+        .select(col(valueCol),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+            .as(s"r$valueCol"),
+          col("cnt").as(s"cnt$valueCol"))
+    }
+    val ranked = daily
+      .join(rank2Of("x"), Seq("x"))
+      .join(rank2Of("y"), Seq("y"))
+    val ties = ranked.agg(
+      countDistinct(when(col("cntx") > 1L, col("x"))).as("tie_groups_x"),
+      countDistinct(when(col("cnty") > 1L, col("y"))).as("tie_groups_y"))
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(expr(s"CAST(rx AS $dec) * rx")).as("sxx"),
+        sum(expr(s"CAST(ry AS $dec) * ry")).as("syy"),
+        sum(expr(s"CAST(rx AS $dec) * ry")).as("sxy"))
+      .withColumn("__num",
+        expr(s"n * sxy - CAST(sx AS $dec) * sy"))
+      .withColumn("__dx", expr(s"n * sxx - CAST(sx AS $dec) * sx"))
+      .withColumn("__dy", expr(s"n * syy - CAST(sy AS $dec) * sy"))
+      .withColumn("rho_milli",
+        when(col("__dx") > 0 && col("__dy") > 0, expr(s"""CAST(
+          |(CASE WHEN __num < 0 THEN -1 ELSE 1 END) *
+          |((1000 * abs(__num))
+          | DIV ${graft.ops.Experiment.isqrtDecSql("__dx * __dy")})
+          |AS BIGINT)""".stripMargin)))
+      .crossJoin(broadcast(ties))
+      .select(col("n").as("n_days"), col("rho_milli"),
+        col("tie_groups_x"), col("tie_groups_y"))
+  }
+
   /** Single change-point detection on daily revenue — binary
     * segmentation's first (and decisive) split (Scott & Knott 1974
     * / the AMOC case of Killick's PELT family): the day τ maximizing

@@ -891,6 +891,81 @@ object Similarity {
           .otherwise(expr("(1000 * var_explained_bp) DIV isotropy_bp")))
   }
 
+  /** k-occurrence hubness census — the high-dimensional ANN
+    * pathology meter (Radovanović, Nanopoulos & Ivanović 2010): in
+    * high dimensions a few "hub" points appear in EVERYONE's k-NN
+    * list while antihubs appear in nobody's, silently skewing kNN
+    * votes, retrieval diversity, and graph-based ANN indexes. Over
+    * the deterministic vector sample (the q326 `% sampleMod` rule),
+    * count N_k(v) = how many sample points list v in their top-k,
+    * then report the distribution's shape: max occurrence, antihub
+    * count (N_k = 0), hub count (N_k > 2k — the published rule of
+    * thumb), and the exact-ladder skewness
+    *   skew = Σd³·√n / (Σd²)^{3/2},  d_i = n·N_k(i) − Σ N_k
+    * (the n-scaled deviations keep every moment integral; both
+    * engines evaluate the same ⌊√⌋-composed ladder, so the milli
+    * verdict is deterministic). Healthy data skews mildly positive;
+    * skew >> 1 says the metric space is collapsing.
+    *
+    * Scale shape: the pair space is sample², never corpus² (the
+    * separabilityAuc precedent); counts, moments, and the 1-row
+    * report are sample-grain metadata. Moment ladder stays in
+    * decimal(38,0) while sample ≲ 2×10⁵ (Σd³ ≤ n⁷).
+    *
+    * Columns: n_sample, k, max_occ, n_antihubs, n_hubs,
+    * skew_milli. */
+  def hubness(emb: DataFrame, k: Int = 10, sampleMod: Long = 5L,
+      quant0: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(sampleMod >= 1L, "sampleMod >= 1")
+    val dec = "decimal(38,0)"
+    val s = corpusOf(emb, quant0)
+      .filter(col("vec_id") % sampleMod === 0L)
+      .select(col("vec_id"), col("q"), col("n2"))
+      .persist() // both cross sides + the antihub join (caller owns)
+    val queries = s.select(col("vec_id").as("query_id"),
+      col("q").as("q_q"), col("n2").as("q_n2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_bp").desc, col("neighbor_id").asc)
+    val occ = s
+      .select(col("vec_id").as("neighbor_id"), col("q"), col("n2"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_bp",
+        cosBp(dotExpr("q", "q_q"), col("n2"), col("q_n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("c"))
+    val counts = s.select(col("vec_id").as("neighbor_id"))
+      .join(occ, Seq("neighbor_id"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("c"))
+    counts
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        max(col("c")).as("max_occ"),
+        sum((col("c") === 0L).cast("long")).as("n_antihubs"),
+        sum((col("c") > 2L * k).cast("long")).as("n_hubs"),
+        sum(expr(s"CAST(c AS $dec) * c")).as("__s2"),
+        sum(expr(s"CAST(c AS $dec) * c * c")).as("__s3"))
+      // central moments of d = n·c − Σc from raw power sums:
+      // Σd² = n²Σc² − n(Σc)²; Σd³ = n³Σc³ − 3n²Σc²·Σc + 2n(Σc)³
+      .withColumn("__d2", expr(s"""CAST(n AS $dec) * n * __s2
+        | - CAST(n AS $dec) * sc * sc""".stripMargin))
+      .withColumn("__d3", expr(s"""CAST(n AS $dec) * n * n * __s3
+        | - 3 * CAST(n AS $dec) * n * __s2 * sc
+        | + 2 * CAST(n AS $dec) * sc * sc * sc""".stripMargin))
+      .withColumn("skew_milli",
+        when(col("__d2") > 0, expr(s"""CAST(
+          |  (CASE WHEN __d3 < 0 THEN -1 ELSE 1 END) *
+          |  ((1000 * abs(__d3) * ${Experiment.isqrtDecSql("CAST(n AS " +
+               dec + ")")})
+          |   DIV (__d2 * ${Experiment.isqrtDecSql("__d2")}))
+          |AS BIGINT)""".stripMargin)))
+      .select(col("n").as("n_sample"), lit(k.toLong).as("k"),
+        col("max_occ"), col("n_antihubs"), col("n_hubs"),
+        col("skew_milli"))
+  }
+
   /** Leave-one-source-out kNN valuation — the data-VALUATION read
     * (the cheap, deterministic cousin of Shapley data values,
     * Ghorbani & Zou 2019): for each corpus source, re-run the q308

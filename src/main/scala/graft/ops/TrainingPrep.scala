@@ -1011,4 +1011,79 @@ object TrainingPrep {
         col("sample_ppm"), col("cum_ppm"))
       .orderBy(col("rank").asc)
   }
+
+  /** Split covariate-balance audit — the standardized-mean-difference
+    * table (the |SMD| < 0.1 rule from the matching literature,
+    * Austin 2009, applied to train/val/test): the q63 Lehmer split
+    * is provably id-random, but the RESULT still needs auditing —
+    * a val set that drew longer documents than train biases every
+    * early-stopping decision. Per ordered split pair and per doc
+    * feature (n_chars, whitespace token count):
+    *   SMD = |μ_a − μ_b| / √((s²_a + s²_b)/2)
+    * as an exact milli ladder (decimal cross-moments, one ⌊√⌋ of the
+    * micro pooled variance), with a pass flag at `thresholdMilli`.
+    *
+    * Scale shape: one corpus pass collapses to split×feature moment
+    * rows (≤ 6); the ladder is scalar arithmetic on metadata.
+    *
+    * Columns: split_a, split_b, feature, n_a, n_b, mean_a_milli,
+    * mean_b_milli, smd_milli (NULL when a pooled variance is 0),
+    * balanced (smd < threshold; NULL with smd). */
+  def smdBalance(docs: DataFrame, trainBp: Long = 9800L,
+      valBp: Long = 100L, thresholdMilli: Long = 100L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = docs.filter(col("text").isNotNull)
+      .withColumn("split", splitCol(col("doc_id"), trainBp, valBp))
+      .select(col("split"),
+        explode(array(
+          struct(lit("n_chars").as("feature"),
+            coalesce(col("n_chars"),
+              length(col("text")).cast("long")).as("f")),
+          struct(lit("n_tokens").as("feature"),
+            size(org.apache.spark.sql.functions.split(col("text"), " "))
+              .cast("long").as("f"))))
+          .as("e"))
+      .select(col("split"), col("e.feature"), col("e.f"))
+    val mo = feats.groupBy(col("split"), col("feature"))
+      .agg(count(lit(1)).as("n"), sum(col("f")).as("s"),
+        sum(expr(s"CAST(f AS $dec) * f")).as("q"))
+      .localCheckpoint(false) // ≤6 rows; both pair sides
+    val pairs = Seq(("train", "val"), ("train", "test"), ("val", "test"))
+      .toDF("split_a", "split_b")
+    pairs
+      .join(mo.select(col("split").as("split_a"), col("feature"),
+        col("n").as("n_a"), col("s").as("sa"), col("q").as("qa")),
+        Seq("split_a"))
+      .join(mo.select(col("split").as("split_b"),
+        col("feature").as("feature"),
+        col("n").as("n_b"), col("s").as("sb"), col("q").as("qb")),
+        Seq("split_b", "feature"))
+      .withColumn("mean_a_milli", expr("(1000 * sa) DIV n_a"))
+      .withColumn("mean_b_milli", expr("(1000 * sb) DIV n_b"))
+      .withColumn("__va", when(col("n_a") > 1L, expr(
+        s"""CAST((1000 * (n_a * qa - CAST(sa AS $dec) * sa))
+           |DIV (CAST(n_a AS $dec) * (n_a - 1)) AS BIGINT)"""
+          .stripMargin)))
+      .withColumn("__vb", when(col("n_b") > 1L, expr(
+        s"""CAST((1000 * (n_b * qb - CAST(sb AS $dec) * sb))
+           |DIV (CAST(n_b AS $dec) * (n_b - 1)) AS BIGINT)"""
+          .stripMargin)))
+      .withColumn("__sig", when(
+        col("__va").isNotNull && col("__vb").isNotNull &&
+          col("__va") + col("__vb") > 0L,
+        expr(graft.ops.Experiment.isqrtSql(
+          "(1000 * (__va + __vb)) DIV 2"))))
+      .withColumn("smd_milli", when(col("__sig") > 0L, expr(
+        "(1000 * abs(mean_a_milli - mean_b_milli)) DIV __sig")))
+      .withColumn("balanced",
+        when(col("smd_milli").isNotNull,
+          (col("smd_milli") < thresholdMilli).cast("int")))
+      .select(col("split_a"), col("split_b"), col("feature"),
+        col("n_a"), col("n_b"), col("mean_a_milli"),
+        col("mean_b_milli"), col("smd_milli"), col("balanced"))
+      .orderBy(col("split_a").asc, col("split_b").asc,
+        col("feature").asc)
+  }
 }

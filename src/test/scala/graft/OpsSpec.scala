@@ -3369,6 +3369,108 @@ class OpsSpec extends SparkSpec {
       ("srcB", 2L, Some(10000L), Some(10000L), Some(0L))))
   }
 
+  test("hubness: engineered hub pair, antihubs counted, symmetric devs zero the skew") {
+    val s2 = spark
+    import s2.implicits._
+    // sample = ids ≡0 mod 5; ids 0 and 5 are each other's (and the
+    // others') nearest at k=1; 10 and 15 never surface → antihubs
+    val emb = Seq(
+      (0L, Seq(1.0f, 0f), 0), (5L, Seq(1.0f, 0.1f), 0),
+      (10L, Seq(1.0f, -0.1f), 0), (15L, Seq(0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.hubness(emb, k = 1, sampleMod = 5L)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    // c = {0:2 (5,10 vote it), 5:2 (0 tie→smaller id, 15), 10:0, 15:0}
+    // d = 4c−4 = {4,4,−4,−4} → Σd³=0 → skew exactly 0
+    assert(got == Seq((4L, 1L, 2L, 2L, 0L, Some(0L))))
+  }
+
+  test("spearmanDaily: hand midranks with an x-tie give rho 900") {
+    val s2 = spark
+    import s2.implicits._
+    // x (orders/day) = {1,1,2}, y (cents) = {100,200,300}:
+    // rx2={3,3,6}, ry2={2,4,6} → num=18, dx=18, dy=24,
+    // isqrt(432)=20 → rho = ⌊1000·18/20⌋ = 900
+    val orders = Seq(
+      ("2024-01-01", 1.0),
+      ("2024-01-02", 2.0),
+      ("2024-01-03", 1.0), ("2024-01-03", 2.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = graft.ops.Retention.spearmanDaily(orders)
+      .as[(Long, Option[Long], Long, Long)].collect().toSeq
+    assert(got == Seq((3L, Some(900L), 1L, 0L)))
+  }
+
+  test("wilsonCi: x=0 lower bound is exactly 0; sf0.001 matches a BigInt ladder") {
+    val s2 = spark
+    import s2.implicits._
+    val lone = Seq((1L, "click")).toDF("user_id", "event_type")
+    val row0 = graft.ops.Experiment.wilsonCi(lone).collect().head
+    assert(row0.getAs[Long]("wilson_lo_micro") == 0L)
+    assert(row0.getAs[Long]("wilson_hi_micro") ==
+      ((BigInt(1000000) * 7683200) / 9683200).toLong)
+    val events = graft.tables.Tables(spark, sf, "events")
+    val rows = graft.ops.Experiment.wilsonCi(events).collect()
+    assert(rows.map(_.getAs[String]("arm")).toSeq == Seq("A", "B"))
+    for (r <- rows) {
+      val n = BigInt(r.getAs[Long]("n_users"))
+      val x = BigInt(r.getAs[Long]("n_converted"))
+      def isqrt(v: BigInt): BigInt = {
+        var y = BigInt(math.sqrt(v.toDouble).toLong)
+        while (y * y > v) y -= 1
+        while ((y + 1) * (y + 1) <= v) y += 1
+        y
+      }
+      val root = isqrt((BigInt(4000000) * x * (n - x)) / n + 3841600)
+      val den = 2 * (BigInt(1000000) * n + 3841600)
+      val lo = (BigInt(1000000) *
+        (BigInt(2000000) * x + 3841600 - 1960 * root).max(0)) / den
+      val hi = (BigInt(1000000) *
+        (BigInt(2000000) * x + 3841600 + 1960 * root)) / den
+      assert(BigInt(r.getAs[Long]("wilson_lo_micro")) == lo)
+      assert(BigInt(r.getAs[Long]("wilson_hi_micro")) == hi)
+      assert(lo <= (BigInt(1000000) * x) / n && (x == 0 || lo > 0))
+    }
+  }
+
+  test("smdBalance matches a BigInt reimplementation of the Austin ladder") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val got = graft.ops.TrainingPrep.smdBalance(docs, 9000L, 500L)
+      .collect()
+    assert(got.length == 6)
+    // independent ladder for one row: (train, val, n_chars)
+    val mo = docs.filter(col("text").isNotNull)
+      .withColumn("split",
+        graft.ops.TrainingPrep.splitCol(col("doc_id"), 9000L, 500L))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+        sum(col("n_chars") * col("n_chars")).as("q"))
+      .collect().map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("q"))))
+      .toMap
+    def varMilli(t: (Long, Long, Long)): BigInt =
+      (BigInt(1000) * (BigInt(t._1) * t._3 - BigInt(t._2) * t._2)) /
+        (BigInt(t._1) * (t._1 - 1))
+    def meanMilli(t: (Long, Long, Long)): BigInt =
+      (BigInt(1000) * t._2) / t._1
+    def isqrt(v: BigInt): BigInt = {
+      var y = BigInt(math.sqrt(v.toDouble).toLong)
+      while (y * y > v) y -= 1
+      while ((y + 1) * (y + 1) <= v) y += 1
+      y
+    }
+    val sig = isqrt(
+      (BigInt(1000) * (varMilli(mo("train")) + varMilli(mo("val")))) / 2)
+    val smd = (BigInt(1000) *
+      (meanMilli(mo("train")) - meanMilli(mo("val"))).abs) / sig
+    val row = got.find(r => r.getAs[String]("split_a") == "train" &&
+      r.getAs[String]("split_b") == "val" &&
+      r.getAs[String]("feature") == "n_chars").get
+    assert(BigInt(row.getAs[Long]("smd_milli")) == smd)
+  }
+
   test("sourceTransferMatrix: disjoint-vocabulary sources cost the add-1 fallback") {
     val s2 = spark
     import s2.implicits._
