@@ -629,6 +629,13 @@ object ScaleProbe {
     t("spearman daily")(graft.ops.Retention.spearmanDaily(orders))
     t("wilson ci")(graft.ops.Experiment.wilsonCi(events))
     t("smd balance")(graft.ops.TrainingPrep.smdBalance(docs))
+    t("gini trend")(graft.ops.Profile.giniTrend(orders))
+    t("price endings")(graft.ops.Integrity.priceEndings(lineitem))
+    // part is a DIMENSION (q316 rule): pairs + CC run at name grain
+    t("entity rollup")(graft.ops.Dedup.entityRollup(
+      graft.tables.Tables(spark, dir, "part"), lineitem))
+    t("channel retention")(graft.ops.Retention.channelRetention(events))
+    t("abc migration")(graft.ops.Market.abcMigration(lineitem))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -371,7 +371,12 @@ object SparkEntry {
     "q341_hubness" -> (Queries.hubness _),
     "q342_spearman_daily" -> (Queries.spearmanDaily _),
     "q343_wilson_ci" -> (Queries.wilsonCi _),
-    "q344_smd_balance" -> (Queries.smdBalance _)
+    "q344_smd_balance" -> (Queries.smdBalance _),
+    "q345_gini_trend" -> (Queries.giniTrend _),
+    "q346_price_endings" -> (Queries.priceEndings _),
+    "q347_entity_rollup" -> (Queries.entityRollup _),
+    "q348_channel_retention" -> (Queries.channelRetention _),
+    "q349_abc_migration" -> (Queries.abcMigration _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2832,6 +2837,32 @@ object Queries {
   def smdBalance(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.smdBalance(Tables(spark, dir, "documents"),
       SplitTrainBp, SplitValBp)
+
+  /** Monthly customer-revenue Gini + top-decile share (q176's
+    * inequality read unrolled over calendar months). */
+  def giniTrend(spark: SparkSession, dir: String): DataFrame =
+    Profile.giniTrend(Tables(spark, dir, "orders"))
+
+  /** Cent-ending census of line prices (top-8 + rest rollup,
+    * uniform-expectation excess). */
+  def priceEndings(spark: SparkSession, dir: String): DataFrame =
+    Integrity.priceEndings(Tables(spark, dir, "lineitem"))
+
+  /** Fuzzy-pair entity resolution closed into entities + the
+    * revenue rollup per merged entity (top-20). */
+  def entityRollup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.entityRollup(Tables(spark, dir, "part"),
+      Tables(spark, dir, "lineitem"), FuzzyMaxDist)
+
+  /** Retention at 7/14 days by acquisition channel (type of each
+    * user's first event). */
+  def channelRetention(spark: SparkSession, dir: String): DataFrame =
+    Retention.channelRetention(Tables(spark, dir, "events"))
+
+  /** ABC class transition matrix between ship-date halves (entries
+    * and exits as 'absent'). */
+  def abcMigration(spark: SparkSession, dir: String): DataFrame =
+    Market.abcMigration(Tables(spark, dir, "lineitem"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -14009,6 +14040,209 @@ object Oracles {
          |           + 3841600 + 1960 * root))
          |         // den AS BIGINT) AS wilson_hi_micro
          |FROM r ORDER BY arm""".stripMargin
+    },
+
+    // per-month exact Gini ladder at customer grain (ties commute in
+    // Σi·cᵢ, so the rank tie-break can't move the sum) + top-decile
+    // share with k = max(1, n//10)
+    "q345_gini_trend" ->
+      s"""WITH cm AS (
+         |  SELECT (EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 12
+         |           + EXTRACT(month FROM CAST(o_orderdate AS DATE)) - 1)
+         |           AS m,
+         |         o_custkey AS cust,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders
+         |  WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT m, cents,
+         |         row_number() OVER (PARTITION BY m
+         |           ORDER BY cents ASC, cust ASC) AS i,
+         |         row_number() OVER (PARTITION BY m
+         |           ORDER BY cents DESC, cust DESC) AS rd,
+         |         greatest(1, COUNT(*) OVER (PARTITION BY m) // 10)
+         |           AS k10
+         |  FROM cm),
+         |g AS (
+         |  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         |         CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+         |         SUM(CAST(i AS HUGEINT) * cents) AS s1,
+         |         CAST(SUM(CASE WHEN rd <= k10 THEN cents ELSE 0 END)
+         |           AS BIGINT) AS top
+         |  FROM rk GROUP BY 1)
+         |SELECT printf('%04d-%02d', CAST(m // 12 AS INT),
+         |         CAST(m % 12 + 1 AS INT)) AS month,
+         |       n_customers, revenue_cents,
+         |       CASE WHEN revenue_cents > 0 THEN
+         |         CAST((10000 * (2 * s1
+         |             - (CAST(n_customers AS HUGEINT) + 1) * revenue_cents))
+         |           // (CAST(n_customers AS HUGEINT) * revenue_cents)
+         |           AS BIGINT) END AS gini_bp,
+         |       CASE WHEN revenue_cents > 0 THEN
+         |         (10000 * top) // revenue_cents END AS top_decile_bp
+         |FROM g ORDER BY month""".stripMargin,
+
+    // ≤100-row ending histogram; head by (count desc, ending asc),
+    // rest rollup keeps shares closed; expectation 100bp per ending
+    "q346_price_endings" ->
+      s"""WITH h AS (
+         |  SELECT ((CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) % 100)
+         |          + 100) % 100 AS e,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         |lab AS (
+         |  SELECT CASE WHEN row_number() OVER (ORDER BY n DESC, e ASC)
+         |           <= 8 THEN printf('%02d', e) ELSE 'rest' END AS ending,
+         |         n
+         |  FROM h),
+         |g AS (
+         |  SELECT ending, CAST(SUM(n) AS BIGINT) AS n_prices,
+         |         CAST(COUNT(*) AS BIGINT) AS ne
+         |  FROM lab GROUP BY 1)
+         |SELECT ending, n_prices,
+         |       CAST((10000 * n_prices)
+         |         // (SELECT SUM(n_prices) FROM g) AS BIGINT) AS share_bp,
+         |       100 * ne AS expected_bp,
+         |       CAST((10000 * n_prices)
+         |           // (SELECT SUM(n_prices) FROM g)
+         |         - 100 * ne AS BIGINT) AS excess_bp
+         |FROM g ORDER BY n_prices DESC, ending""".stripMargin,
+
+    // q316's pair chain at rep grain (no LIMIT) → recursive min-label
+    // reach CC (the q201 pattern, symmetric edges) → singleton-keeping
+    // entity map → part/fact rollup; head (revenue desc, id asc)
+    "q347_entity_rollup" ->
+      s"""WITH RECURSIVE names AS MATERIALIZED (
+         |  SELECT p_name AS name,
+         |         CAST(MIN(p_partkey) AS BIGINT) AS rep_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+         |tk AS (
+         |  SELECT name, tok
+         |  FROM (SELECT name,
+         |          unnest(list_distinct(string_split(name, ' '))) AS tok
+         |        FROM names) t
+         |  WHERE length(tok) > 0),
+         |tk2 AS MATERIALIZED (
+         |  SELECT name, tok
+         |  FROM (SELECT name, tok,
+         |          row_number() OVER (PARTITION BY tok ORDER BY name) AS rk
+         |        FROM tk) t
+         |  WHERE rk <= 1000),
+         |pr AS MATERIALIZED (
+         |  SELECT na.rep_id AS rep_a, nb.rep_id AS rep_b
+         |  FROM (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+         |        FROM tk2 a JOIN tk2 b
+         |          ON a.tok = b.tok AND a.name < b.name) p
+         |  JOIN names na ON na.name = p.name_a
+         |  JOIN names nb ON nb.name = p.name_b
+         |  WHERE levenshtein(p.name_a, p.name_b) <= ${Queries.FuzzyMaxDist}),
+         |edg AS MATERIALIZED (
+         |  SELECT rep_a AS src, rep_b AS dst FROM pr
+         |  UNION SELECT rep_b, rep_a FROM pr),
+         |nd AS (SELECT DISTINCT src AS nodev FROM edg),
+         |reach(nodev, lbl) AS (
+         |  SELECT nodev, nodev FROM nd
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edg e ON e.src = r.nodev),
+         |comp AS (SELECT nodev, MIN(lbl) AS component
+         |         FROM reach GROUP BY 1),
+         |ent AS MATERIALIZED (
+         |  SELECT names.name, names.rep_id,
+         |         COALESCE(comp.component, names.rep_id) AS entity_id
+         |  FROM names LEFT JOIN comp ON comp.nodev = names.rep_id),
+         |pm AS (
+         |  SELECT part.p_partkey, ent.entity_id
+         |  FROM part JOIN ent ON ent.name = part.p_name),
+         |fact AS (
+         |  SELECT pm.entity_id,
+         |         CAST(COUNT(DISTINCT li.p) AS BIGINT) AS n_parts,
+         |         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |         CAST(SUM(li.cents) AS BIGINT) AS revenue_cents
+         |  FROM (SELECT l_partkey AS p,
+         |          CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents
+         |        FROM lineitem) li
+         |  JOIN pm ON pm.p_partkey = li.p
+         |  GROUP BY 1)
+         |SELECT ent.entity_id AS entity_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_names,
+         |       COALESCE(MAX(fact.n_parts), 0) AS n_parts,
+         |       COALESCE(MAX(fact.n_lines), 0) AS n_lines,
+         |       COALESCE(MAX(fact.revenue_cents), 0) AS revenue_cents
+         |FROM ent LEFT JOIN fact ON fact.entity_id = ent.entity_id
+         |GROUP BY ent.entity_id
+         |ORDER BY revenue_cents DESC, ent.entity_id ASC
+         |LIMIT 20""".stripMargin,
+
+    // first event by the total (ts, id) order via one rn window;
+    // horizons in exact micros
+    "q348_channel_retention" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |f AS (
+         |  SELECT user_id, event_type AS channel, ts_us AS first_us
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |          ORDER BY ts_us, event_id) AS rn FROM e)
+         |  WHERE rn = 1),
+         |u AS (
+         |  SELECT f.channel,
+         |         CAST(MAX(CASE WHEN e.ts_us >= f.first_us
+         |           + ${7L * 86400000000L} THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS r7,
+         |         CAST(MAX(CASE WHEN e.ts_us >= f.first_us
+         |           + ${14L * 86400000000L} THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS r14
+         |  FROM e JOIN f USING (user_id)
+         |  GROUP BY e.user_id, f.channel)
+         |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |       CAST(SUM(r7) AS BIGINT) AS retained_7d,
+         |       CAST(SUM(r14) AS BIGINT) AS retained_14d,
+         |       (10000 * CAST(SUM(r7) AS BIGINT)) // COUNT(*)
+         |         AS retention_7d_bp,
+         |       (10000 * CAST(SUM(r14) AS BIGINT)) // COUNT(*)
+         |         AS retention_14d_bp
+         |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // the q329 prior-cum boundary per ship-date half (midpoint
+    // inclusive left), FULL OUTER with 'absent' for entries/exits
+    "q349_abc_migration" -> {
+      def cls(half: String) =
+        s"""SELECT partkey, rev,
+           |       CASE WHEN CAST(cum - rev AS HUGEINT) * 10000
+           |              < 8000 * CAST(totrev AS HUGEINT) THEN 'A'
+           |            WHEN CAST(cum - rev AS HUGEINT) * 10000
+           |              < 9500 * CAST(totrev AS HUGEINT) THEN 'B'
+           |            ELSE 'C' END AS cls
+           |FROM (
+           |  SELECT partkey, rev,
+           |         CAST(SUM(rev) OVER (ORDER BY rev DESC, partkey
+           |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |         CAST(SUM(rev) OVER () AS BIGINT) AS totrev
+           |  FROM hp WHERE half = $half)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT l_partkey AS partkey,
+         |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS d,
+         |         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents
+         |  FROM lineitem WHERE l_shipdate IS NOT NULL),
+         |md AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM base),
+         |hp AS MATERIALIZED (
+         |  SELECT CASE WHEN d <= md.mid THEN 0 ELSE 1 END AS half,
+         |         partkey, CAST(SUM(cents) AS BIGINT) AS rev
+         |  FROM base, md GROUP BY 1, 2),
+         |c0 AS (${cls("0")}),
+         |c1 AS (${cls("1")})
+         |SELECT COALESCE(c0.cls, 'absent') AS abc_from,
+         |       COALESCE(c1.cls, 'absent') AS abc_to,
+         |       CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |       CAST(SUM(COALESCE(c1.rev, 0)) AS BIGINT)
+         |         AS revenue_to_cents
+         |FROM c0 FULL OUTER JOIN c1 USING (partkey)
+         |GROUP BY 1, 2
+         |ORDER BY abc_from, abc_to""".stripMargin
     },
 
     // q63 Lehmer splits, per split×feature HUGEINT moments, the

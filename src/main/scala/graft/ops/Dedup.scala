@@ -940,12 +940,21 @@ object Dedup {
     * Columns: name_a, name_b, rep_a, rep_b (min `idCol` per name —
     * the linkage handles a merge tool needs), dist, rows_a, rows_b,
     * sim_bp (10⁴·(maxlen−dist)/maxlen floored). */
-  def fuzzyNameMatch(df: DataFrame, nameCol: String, idCol: String,
-      maxDist: Int = 3, blockCap: Int = 1000, k: Int = 50): DataFrame = {
-    val names = df.filter(col(nameCol).isNotNull)
+  /** The name-domain frame [[fuzzyNameMatch]] and [[entityRollup]]
+    * share: (name, rep_id = min idCol, n_rows). Lazy — callers own
+    * any persist. */
+  private[graft] def nameDomain(df: DataFrame, nameCol: String,
+      idCol: String): DataFrame =
+    df.filter(col(nameCol).isNotNull)
       .groupBy(col(nameCol).as("name"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_rows"))
-      .persist()
+
+  /** Shared-token-blocked candidate pairs under `maxDist` edits over
+    * a `names` frame from [[nameDomain]] — ALL surviving pairs
+    * (name_a < name_b, dist); the top-k head is [[fuzzyNameMatch]]'s
+    * concern, the full set feeds [[entityRollup]]'s clustering. */
+  private[graft] def fuzzyNamePairs(names: DataFrame, maxDist: Int,
+      blockCap: Int): DataFrame = {
     val toks = names
       .select(col("name"),
         explode(array_distinct(split(col("name"), " "))).as("tok"))
@@ -954,7 +963,7 @@ object Dedup {
         Window.partitionBy(col("tok")).orderBy(col("name"))))
       .filter(col("rk") <= blockCap)
       .select(col("name"), col("tok"))
-    val pairs = toks.as("a")
+    toks.as("a")
       .join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
@@ -962,6 +971,12 @@ object Dedup {
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= maxDist)
+  }
+
+  def fuzzyNameMatch(df: DataFrame, nameCol: String, idCol: String,
+      maxDist: Int = 3, blockCap: Int = 1000, k: Int = 50): DataFrame = {
+    val names = nameDomain(df, nameCol, idCol).persist()
+    val pairs = fuzzyNamePairs(names, maxDist, blockCap)
     pairs
       .join(names.select(col("name").as("name_a"),
         col("rep_id").as("rep_a"), col("n_rows").as("rows_a")),
@@ -977,6 +992,67 @@ object Dedup {
         floor(lit(10000.0) * (col("__ml") - col("dist")) / col("__ml"))
           .cast("long").as("sim_bp"))
       .orderBy(col("dist").asc, col("name_a").asc, col("name_b").asc)
+      .limit(k)
+  }
+
+  /** End-to-end entity resolution — [[fuzzyNameMatch]]'s pairs
+    * CLOSED into entities (the record-linkage pipeline a catalog
+    * team actually ships): connected components over the fuzzy-pair
+    * graph at name grain (transitivity is the point — "red widgit"
+    * ~ "red widget" ~ "red  widgett" is ONE product), every
+    * singleton name its own entity, then the business rollup that
+    * makes the clusters actionable: how many names/parts/fact rows
+    * and how much revenue each merged entity really owns. The top
+    * entity table is what a merge tool reviews.
+    *
+    * Deterministic: entity id = min rep_id in the component (the
+    * q42 star-forest convention via Clustering.connectedComponents);
+    * head ranked (revenue desc, entity id asc).
+    *
+    * Scale shape: the pair space is the q316 blocked candidate set
+    * (never all-pairs); CC runs at NAME-domain grain; the revenue
+    * rollup is one fact aggregation at partkey grain joined through
+    * the (dimension-sized, broadcast) part→entity map.
+    *
+    * Columns: entity_id, n_names, n_parts, n_lines, revenue_cents.
+    */
+  def entityRollup(part: DataFrame, lineitem: DataFrame,
+      maxDist: Int = 3, blockCap: Int = 1000, k: Int = 20): DataFrame = {
+    val names = nameDomain(part, "p_name", "p_partkey").persist()
+    val pairs = fuzzyNamePairs(names, maxDist, blockCap)
+      .join(names.select(col("name").as("name_a"),
+        col("rep_id").as("rep_a")), Seq("name_a"))
+      .join(names.select(col("name").as("name_b"),
+        col("rep_id").as("rep_b")), Seq("name_b"))
+      .select(col("rep_a"), col("rep_b"))
+    val comp = Clustering.connectedComponents(pairs, "rep_a", "rep_b")
+    // singletons keep their own rep as entity id
+    val entityOf = names
+      .join(comp.select(col("node").as("rep_id"), col("component")),
+        Seq("rep_id"), "left")
+      .select(col("name"), col("rep_id"), col("n_rows"),
+        coalesce(col("component"), col("rep_id")).as("entity_id"))
+    val partMap = part.filter(col("p_name").isNotNull)
+      .select(col("p_partkey"), col("p_name").as("name"))
+      .join(entityOf.select(col("name"), col("entity_id")), Seq("name"))
+      .select(col("p_partkey"), col("entity_id"))
+    val fact = lineitem
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("cents"))
+      .join(broadcast(partMap), Seq("p_partkey"))
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("n_lines")).as("n_lines"),
+        sum(col("cents")).as("revenue_cents"))
+    entityOf.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_names"))
+      .join(fact, Seq("entity_id"), "left")
+      .select(col("entity_id"), col("n_names"),
+        coalesce(col("n_parts"), lit(0L)).as("n_parts"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("entity_id").asc)
       .limit(k)
   }
 }

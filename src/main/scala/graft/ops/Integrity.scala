@@ -416,4 +416,50 @@ object Integrity {
           col("max_cents")).cast("long"))
       .orderBy(col("spread_bp").desc, col("l_partkey").asc)
       .limit(k)
+
+  /** Price-ending census — the rounding-artifact forensic next to
+    * [[benfordAudit]]'s first-digit screen: the distribution of the
+    * CENT ending (price mod 1 dollar). Human-set prices pile on
+    * .00/.99/.50 (psychological points); machine-generated or
+    * synthetic prices are near-uniform over the 100 endings — a
+    * sudden spike at one ending is a currency-conversion or
+    * double-rounding bug surfacing in the fact stream.
+    *
+    * Top `k` endings by count (count desc, ending asc) plus one
+    * `rest` rollup so the shares close over the whole table;
+    * excess_bp = share − 100bp (the uniform expectation per ending,
+    * scaled by the rest row's ending count).
+    *
+    * Scale shape: one scan to a ≤100-row ending histogram
+    * (map-side combined); the head pick and shares are metadata.
+    *
+    * Columns: ending ('00'…'99' or 'rest'), n_prices, share_bp,
+    * expected_bp, excess_bp. */
+  def priceEndings(lineitem: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 100, "k in [1,100]")
+    val hist = lineitem
+      .filter(col("l_extendedprice").isNotNull)
+      .groupBy(pmod(floor(col("l_extendedprice") * lit(100.0))
+        .cast("long"), lit(100L)).as("e"))
+      .agg(count(lit(1)).as("n_prices"))
+    val wPick = Window.orderBy(col("n_prices").desc, col("e").asc)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("rk", row_number().over(wPick))
+      .withColumn("ending",
+        when(col("rk") <= k, format_string("%02d", col("e")))
+          .otherwise(lit("rest")))
+      .groupBy(col("ending"))
+      .agg(sum(col("n_prices")).as("n_prices"),
+        count(lit(1)).as("__n_endings"))
+      .withColumn("__tot", sum(col("n_prices")).over(wAll))
+      .withColumn("share_bp", expr("(10000 * n_prices) DIV __tot"))
+      .withColumn("expected_bp", lit(100L) * col("__n_endings"))
+      .withColumn("excess_bp", col("share_bp") - col("expected_bp"))
+      .select(col("ending"), col("n_prices"), col("share_bp"),
+        col("expected_bp"), col("excess_bp"))
+      .orderBy(col("n_prices").desc, col("ending").asc)
+  }
 }

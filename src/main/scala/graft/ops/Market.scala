@@ -1187,6 +1187,72 @@ object Market {
       .orderBy(col("abc_class").asc, col("xyz_class").asc)
   }
 
+  /** ABC class migration between the two halves of the ship-date
+    * span — [[abcXyz]]'s taxonomy made LONGITUDINAL: which parts
+    * climbed into A, which A-parts decayed to C, which left the
+    * catalog entirely. A static ABC census sizes the replenishment
+    * tiers; the transition matrix says how STABLE those tiers are —
+    * churn here means the planner's tight-control set is stale the
+    * month it ships ('absent' rows are entries/exits).
+    *
+    * Same boundary arithmetic as q329 (PRIOR cumulative share in
+    * decimal(38,0), revenue desc / partkey tie-break), applied per
+    * half; midpoint = ⌊(min+max)/2⌋ ship day, first half inclusive.
+    *
+    * Scale shape: one fact pass to (half, part) grain; the two rank
+    * windows run at part-dimension grain (the q329 skyline regime);
+    * the matrix is ≤16 rows.
+    *
+    * Columns: abc_from, abc_to ('A'/'B'/'C'/'absent'), n_parts,
+    * revenue_to_cents (second-half revenue carried by the cell). */
+  def abcMigration(lineitem: DataFrame, aShareBp: Long = 8000L,
+      bShareBp: Long = 9500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(aShareBp < bShareBp && bShareBp <= 10000L, "A < B <= 10000")
+    val dec = "decimal(38,0)"
+    val base = lineitem
+      .filter(col("l_shipdate").isNotNull)
+      .select(col("l_partkey").as("partkey"),
+        expr("CAST(datediff(to_date(l_shipdate), '1970-01-01')" +
+          " AS BIGINT)").as("d"),
+        floor(col("l_extendedprice") * lit(100.0)).cast("long")
+          .as("cents"))
+    val mid = base.agg(
+      expr("CAST((min(d) + max(d)) DIV 2 AS BIGINT)").as("mid"))
+    val halves = base.crossJoin(broadcast(mid))
+      .groupBy(when(col("d") <= col("mid"), lit(0L)).otherwise(1L)
+        .as("half"), col("partkey"))
+      .agg(sum(col("cents")).as("rev"))
+      .localCheckpoint(false) // both class builds read it
+    def classesOf(half: Long): DataFrame = {
+      val wAbc = Window.orderBy(col("rev").desc, col("partkey").asc)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      halves.filter(col("half") === half)
+        .withColumn("cum", sum(col("rev")).over(wAbc))
+        .withColumn("totrev", sum(col("rev")).over(wAll))
+        .select(col("partkey"), col("rev"),
+          when(expr(s"CAST(cum - rev AS $dec) * 10000") <
+            expr(s"$aShareBp * CAST(totrev AS $dec)"), "A")
+            .when(expr(s"CAST(cum - rev AS $dec) * 10000") <
+              expr(s"$bShareBp * CAST(totrev AS $dec)"), "B")
+            .otherwise(lit("C")).as("cls"))
+    }
+    classesOf(0L)
+      .select(col("partkey"), col("cls").as("abc_from"))
+      .join(classesOf(1L).select(col("partkey"),
+        col("cls").as("abc_to"), col("rev").as("rev_to")),
+        Seq("partkey"), "full_outer")
+      .select(
+        coalesce(col("abc_from"), lit("absent")).as("abc_from"),
+        coalesce(col("abc_to"), lit("absent")).as("abc_to"),
+        coalesce(col("rev_to"), lit(0L)).as("rev_to"))
+      .groupBy(col("abc_from"), col("abc_to"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_to")).as("revenue_to_cents"))
+      .orderBy(col("abc_from").asc, col("abc_to").asc)
+  }
+
   /** Exact Shapley-value conversion attribution (Shapley '53 applied
     * to touch sets — the cooperative-game model that q292's Markov
     * removal effect approximates from one direction and q294's fixed

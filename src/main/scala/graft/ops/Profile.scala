@@ -1035,4 +1035,65 @@ object Profile {
                 .cast("double"))).cast("long"))
           .as("v_bp"))
   }
+
+  /** Monthly revenue-concentration trend — [[engagementInequality]]
+    * unrolled over time: the exact Gini of customer revenue and the
+    * top-decile share, one row per calendar month. A static Gini
+    * says "concentrated"; the TREND says "concentrating" — the
+    * platform-risk read (rising Gini = a whale problem forming)
+    * that a single pooled number hides entirely.
+    *
+    * Exact integer ladder per month: customers ranked (cents asc,
+    * custkey asc — ties commute in Σi·cᵢ so the id tie-break cannot
+    * change the sum), Gini_bp = ⌊10⁴·(2·Σi·cᵢ − (n+1)·Σcᵢ) /
+    * (n·Σcᵢ)⌋ in decimal(38,0); the top decile is the k =
+    * max(1, n div 10) largest customers' share.
+    *
+    * Scale shape: one fact pass to (month, customer) grain, two
+    * month-partitioned windows (months parallelize; a month's
+    * customer set is the partition), month-grain output.
+    *
+    * Columns: month, n_customers, revenue_cents, gini_bp,
+    * top_decile_bp. */
+  def giniTrend(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val cm = orders
+      .filter(col("o_orderdate").isNotNull && col("o_custkey").isNotNull)
+      .groupBy(
+        expr("(year(o_orderdate) * 12 + month(o_orderdate) - 1)")
+          .cast("long").as("m"),
+        col("o_custkey").as("cust"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+    val wAsc = Window.partitionBy(col("m"))
+      .orderBy(col("cents").asc, col("cust").asc)
+    val wDesc = Window.partitionBy(col("m"))
+      .orderBy(col("cents").desc, col("cust").desc)
+    val wM = Window.partitionBy(col("m"))
+    cm
+      .withColumn("i", row_number().over(wAsc).cast("long"))
+      .withColumn("rd", row_number().over(wDesc).cast("long"))
+      .withColumn("k10",
+        greatest(lit(1L), (count(lit(1)).over(wM) / 10).cast("long")))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("revenue_cents"),
+        sum(expr(s"CAST(i AS $dec) * cents")).as("__s1"),
+        sum(when(col("rd") <= col("k10"), col("cents")).otherwise(0L))
+          .as("__top"))
+      .withColumn("gini_bp", when(col("revenue_cents") > 0L, expr(
+        s"""CAST((10000 * (2 * __s1
+           |  - (CAST(n_customers AS $dec) + 1) * revenue_cents))
+           |DIV (CAST(n_customers AS $dec) * revenue_cents) AS BIGINT)"""
+          .stripMargin)))
+      .withColumn("top_decile_bp", when(col("revenue_cents") > 0L,
+        expr("(10000 * __top) DIV revenue_cents")))
+      .withColumn("month", expr(
+        "format_string('%04d-%02d', CAST(m DIV 12 AS INT)," +
+          " CAST(m % 12 + 1 AS INT))"))
+      .select(col("month"), col("n_customers"), col("revenue_cents"),
+        col("gini_bp"), col("top_decile_bp"))
+      .orderBy(col("month").asc)
+  }
 }

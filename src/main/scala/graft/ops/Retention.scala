@@ -2477,6 +2477,53 @@ object Retention {
         col("tie_groups_x"), col("tie_groups_y"))
   }
 
+  /** Retention by acquisition channel — the cross of q124's
+    * first-touch attribution with q75's retention read: users
+    * cohorted by the TYPE OF THEIR FIRST EVENT (the acquisition
+    * door they walked in through), then 7- and 14-day comeback
+    * rates per door. Channels with high volume and low comeback are
+    * the "buys traffic, not users" signal that neither report shows
+    * alone.
+    *
+    * First event per user by the total (ts, event_id) order (one
+    * struct-min — no second pass); retained at horizon h = any
+    * event at first_ts + h days or later (exact micros arithmetic).
+    *
+    * Scale shape: one user-grain shuffle (the struct-min and the
+    * horizon flags ride it), then a channel-grain collapse — output
+    * is event-type-domain rows.
+    *
+    * Columns: channel, n_users, retained_7d, retained_14d,
+    * retention_7d_bp, retention_14d_bp. */
+  def channelRetention(events: DataFrame): DataFrame = {
+    val day7 = 7L * 86400000000L
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      // struct-min = argmin by the total (ts, id) order; the window
+      // and the user aggregate share one hash partitioning
+      .withColumn("first",
+        min(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .over(w))
+      .withColumn("channel", col("first.event_type"))
+      .withColumn("first_us", col("first.ts_us"))
+      .groupBy(col("user_id"), col("channel"), col("first_us"))
+      .agg(
+        max((col("ts_us") >= col("first_us") + day7).cast("long"))
+          .as("r7"),
+        max((col("ts_us") >= col("first_us") + 2L * day7).cast("long"))
+          .as("r14"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_users"), sum(col("r7")).as("retained_7d"),
+        sum(col("r14")).as("retained_14d"))
+      .withColumn("retention_7d_bp",
+        expr("(10000 * retained_7d) DIV n_users"))
+      .withColumn("retention_14d_bp",
+        expr("(10000 * retained_14d) DIV n_users"))
+      .orderBy(col("channel").asc)
+  }
+
   /** Single change-point detection on daily revenue — binary
     * segmentation's first (and decisive) split (Scott & Knott 1974
     * / the AMOC case of Killick's PELT family): the day τ maximizing

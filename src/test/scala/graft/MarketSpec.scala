@@ -311,6 +311,25 @@ class MarketSpec extends SparkSpec {
       ("view", 2L, 3L, Some(3000L))))
   }
 
+  test("abcMigration: prior-cum classes per half, absent rows for exits") {
+    val s2 = spark
+    import s2.implicits._
+    // days 0 and 10 → mid 5. Half 0: 8000/1500/500c → A/B/C.
+    // Half 1: p1 gone (absent), p2 9000c → A, p3 500c → prior
+    // 9000bp < 9500 → B
+    val li = Seq(
+      (1L, "1970-01-01", 80.0), (2L, "1970-01-01", 15.0),
+      (3L, "1970-01-01", 5.0),
+      (2L, "1970-01-11", 90.0), (3L, "1970-01-11", 5.0))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice")
+    val got = Market.abcMigration(li)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", "absent", 1L, 0L),
+      ("B", "A", 1L, 9000L),
+      ("C", "B", 1L, 500L)))
+  }
+
   test("shapleyAttribution with ZERO conversions still lists every channel") {
     // regression: touched was a crossJoin against the (empty) mask
     // frame, so the inner phi⋈touched dropped every channel and only

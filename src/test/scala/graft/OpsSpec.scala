@@ -3471,6 +3471,64 @@ class OpsSpec extends SparkSpec {
     assert(BigInt(row.getAs[Long]("smd_milli")) == smd)
   }
 
+  test("giniTrend: two-customer month pins the exact ladder") {
+    val s2 = spark
+    import s2.implicits._
+    // cents {100, 300}: Σi·cᵢ = 700 → gini = 10⁴·(1400−1200)/800 =
+    // 2500; k10 = max(1, 2 div 10) = 1 → top decile = 300/400
+    val orders = Seq(
+      (1L, "2024-01-05", 1.0), (2L, "2024-01-20", 3.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.ops.Profile.giniTrend(orders)
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(("2024-01", 2L, 400L, Some(2500L), Some(7500L))))
+  }
+
+  test("priceEndings: engineered endings, closed shares, uniform excess") {
+    val s2 = spark
+    import s2.implicits._
+    val li = Seq(1.99, 5.99, 9.99, 2.00, 7.00, 3.50)
+      .map(Tuple1(_)).toDF("l_extendedprice")
+    val got = graft.ops.Integrity.priceEndings(li)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("99", 3L, 5000L, 100L, 4900L),
+      ("00", 2L, 3333L, 100L, 3233L),
+      ("50", 1L, 1666L, 100L, 1566L)))
+  }
+
+  test("entityRollup: fuzzy pair merges names, singleton survives, revenue ranks") {
+    val s2 = spark
+    import s2.implicits._
+    val part = Seq((1L, "red widget"), (2L, "red widgit"),
+      (3L, "blue bolt")).toDF("p_partkey", "p_name")
+    val li = Seq((1L, 1.0), (2L, 2.0), (3L, 5.0))
+      .toDF("l_partkey", "l_extendedprice")
+    val got = graft.ops.Dedup.entityRollup(part, li)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (3L, 1L, 1L, 1L, 500L),   // the singleton bolt
+      (1L, 2L, 2L, 2L, 300L)))  // widget+widgit merged under rep 1
+  }
+
+  test("channelRetention: first-event door, 7/14-day horizons") {
+    val s2 = spark
+    import s2.implicits._
+    def ev(id: Long, u: Long, day: Int, t: String) =
+      (id, u, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), t)
+    val events = Seq(
+      ev(1, 1, 1, "click"), ev(2, 1, 9, "view"),   // r7 only
+      ev(3, 2, 1, "view"),                          // never returns
+      ev(4, 3, 1, "click"), ev(5, 3, 16, "purchase")) // r7 + r14
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Retention.channelRetention(events)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 2L, 2L, 1L, 10000L, 5000L),
+      ("view", 1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("sourceTransferMatrix: disjoint-vocabulary sources cost the add-1 fallback") {
     val s2 = spark
     import s2.implicits._
