@@ -2214,4 +2214,71 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(partkey".r
       .findAllIn(stripCached(p)).length <= 2, p)
   }
+
+  test("q334 changepoint: one pruned scan; the argmax runs on the day spine") {
+    val p = plan("q334_changepoint")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)".r
+      .findFirstMatchIn(p).get.group(1)
+    assert(readSchema.split(",").length <= 2,
+      s"scan not pruned to date+price: $readSchema")
+  }
+
+  test("q335 permutation test: ONE fact shuffle to user grain; replicates map-side combine") {
+    // the replicate explode must collapse to reps rows via partial
+    // aggregation — the rep shuffle moves reps-grain rows, and the
+    // user collapse is the only fact-sized exchange
+    val p = plan("q335_permutation_test")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("partial_sum|partial_count|Partial".r
+      .findAllIn(p).nonEmpty, p)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length <= 1, p)
+  }
+
+  test("q338 ktruss: degree-oriented wedges — no cartesian, node tables broadcast") {
+    val p = plan("q338_ktruss")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q339 source value knn: probes broadcast; panels re-rank candidates, never rescore") {
+    val p = plan("q339_source_value_knn")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one live nested-loop (the probe broadcast cross); the
+    // 21 exclusion panels ride the checkpointed candidate frame
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("DotProductLong|dot".r.findAllIn(stripCached(p)).isEmpty ||
+      "BroadcastNestedLoopJoin".r.findAllIn(stripCached(p)).length <= 1, p)
+  }
+
+  test("q341 hubness: sample^2 stays behind one broadcast cross; moments are 1-row") {
+    val p = plan("q341_hubness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r
+      .findAllIn(stripCached(p)).length <= 1, p)
+  }
+
+  test("q345 gini trend: one fact shuffle to (month, customer); windows reuse it") {
+    val p = plan("q345_gini_trend")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
+  }
+
+  test("q347 entity rollup: part->entity map broadcast onto the partkey-grain fact") {
+    val p = plan("q347_entity_rollup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the fact side aggregates at partkey grain BEFORE the map join
+    assert("Exchange hashpartitioning\\(l_partkey".r
+      .findAllIn(stripCached(p)).length <= 1, p)
+  }
+
+  test("q348 channel retention: window and user aggregate share one user shuffle") {
+    val p = plan("q348_channel_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length <= 1, p)
+  }
 }
