@@ -636,6 +636,10 @@ object ScaleProbe {
       graft.tables.Tables(spark, dir, "part"), lineitem))
     t("channel retention")(graft.ops.Retention.channelRetention(events))
     t("abc migration")(graft.ops.Market.abcMigration(lineitem))
+    t("stationary mix")(graft.ops.Market.stationaryMix(events))
+    t("dsir ess")(graft.ops.TrainingPrep.dsirEss(docs,
+      docs.filter(col("source") === "src0")))
+    t("psi drift")(graft.ops.Profile.psiDrift(orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -376,7 +376,10 @@ object SparkEntry {
     "q346_price_endings" -> (Queries.priceEndings _),
     "q347_entity_rollup" -> (Queries.entityRollup _),
     "q348_channel_retention" -> (Queries.channelRetention _),
-    "q349_abc_migration" -> (Queries.abcMigration _)
+    "q349_abc_migration" -> (Queries.abcMigration _),
+    "q350_stationary_mix" -> (Queries.stationaryMix _),
+    "q351_dsir_ess" -> (Queries.dsirEss _),
+    "q352_psi_drift" -> (Queries.psiDrift _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2804,7 +2807,10 @@ object Queries {
       minWeight = 1L)
 
   val SourceValueK = 10
-  val SourceValueProbeMod = 5L
+  // mod 10, not the sample family's 5: every probe is scored against
+  // the WHOLE corpus here (the q229 capped-probe rule — the panel
+  // accuracy needs ~500 probes, not 1000, and scoring is the cost)
+  val SourceValueProbeMod = 10L
 
   /** Leave-one-source-out kNN valuation over the shared ANN corpus:
     * accuracy cost of removing each source from the neighbor pool. */
@@ -2863,6 +2869,28 @@ object Queries {
     * and exits as 'absent'). */
   def abcMigration(spark: SparkSession, dir: String): DataFrame =
     Market.abcMigration(Tables(spark, dir, "lineitem"))
+
+  val StationaryIters = 20
+
+  /** Stationary event mix of the q91 transition chain (bounded
+    * power iteration in exact ppm) vs the empirical mix. */
+  def stationaryMix(spark: SparkSession, dir: String): DataFrame =
+    Market.stationaryMix(Tables(spark, dir, "events"), StationaryIters)
+
+  val EssClampBits = 30
+
+  /** Kish effective sample size of the q114 DSIR weights, per
+    * source + ALL rollup (clamped 2^(s−smax) integer weights). */
+  def dsirEss(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    TrainingPrep.dsirEss(docs,
+      docs.filter(col("source") === DsirTargetSource), EssClampBits)
+  }
+
+  /** PSI of order value between date halves over reference-decile
+    * bins (per-bin micro terms; q109's TVD sibling). */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    Profile.psiDrift(Tables(spark, dir, "orders"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -14244,6 +14272,183 @@ object Oracles {
          |GROUP BY 1, 2
          |ORDER BY abc_from, abc_to""".stripMargin
     },
+
+    // q91's matrix + 20 unrolled π·P rounds in exact ppm, floor
+    // deficit to MIN(type) each round (the renormalize-out-dangling
+    // hack); MATERIALIZED everywhere (the q338 inlining lesson)
+    "q350_stationary_mix" -> {
+      val iters = Queries.StationaryIters
+      def norm(tag: String, src: String) =
+        s"""${tag}a AS (
+           |  SELECT t, CASE WHEN (SELECT SUM(raw) FROM $src) > 0
+           |      THEN (1000000 * raw) // (SELECT SUM(raw) FROM $src)
+           |      ELSE 0 END AS base
+           |  FROM $src),
+           |$tag AS MATERIALIZED (
+           |  SELECT t, CAST(base + CASE WHEN t = (SELECT MIN(t) FROM ty)
+           |      THEN 1000000 - (SELECT SUM(base) FROM ${tag}a)
+           |      ELSE 0 END AS BIGINT) AS pi
+           |  FROM ${tag}a)""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""r$i AS (
+           |  SELECT ty.t, COALESCE(s.raw, 0) AS raw
+           |  FROM ty LEFT JOIN (
+           |    SELECT m.next_type AS t,
+           |           CAST(SUM((CAST(p.pi AS HUGEINT) * m.c) // m.rs)
+           |             AS BIGINT) AS raw
+           |    FROM n${i - 1} p JOIN mat m ON m.prev_type = p.t
+           |    GROUP BY 1) s USING (t)),
+           |${norm(s"n$i", s"r$i")}""".stripMargin
+      }.mkString(",\n")
+      s"""$sessionCte,
+         |st AS (
+         |  SELECT user_id, session_seq, event_type,
+         |         lag(event_type) OVER (PARTITION BY user_id, session_seq
+         |           ORDER BY ts_us, event_id) AS prev_type
+         |  FROM sz),
+         |tr AS MATERIALIZED (
+         |  SELECT prev_type, event_type AS next_type,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM st WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |mat AS MATERIALIZED (
+         |  SELECT tr.prev_type, tr.next_type, tr.c, tot.rs
+         |  FROM tr JOIN (SELECT prev_type,
+         |      CAST(SUM(c) AS BIGINT) AS rs FROM tr GROUP BY 1) tot
+         |    USING (prev_type)),
+         |ty AS MATERIALIZED (
+         |  SELECT DISTINCT t FROM (
+         |    SELECT prev_type AS t FROM tr
+         |    UNION ALL SELECT next_type FROM tr)),
+         |p0 AS (SELECT t, CAST(1 AS BIGINT) AS raw FROM ty),
+         |${norm("n0", "p0")},
+         |$rounds,
+         |er AS (
+         |  SELECT ty.t, COALESCE(s.raw, 0) AS raw
+         |  FROM ty LEFT JOIN (
+         |    SELECT next_type AS t, CAST(SUM(c) AS BIGINT) AS raw
+         |    FROM tr GROUP BY 1) s USING (t)),
+         |${norm("ne", "er")}
+         |SELECT n$iters.t AS event_type,
+         |       n$iters.pi AS stationary_ppm,
+         |       ne.pi AS empirical_ppm,
+         |       n$iters.pi - ne.pi AS delta_ppm
+         |FROM n$iters JOIN ne USING (t)
+         |ORDER BY event_type""".stripMargin
+    },
+
+    // the q114 score chain verbatim + the Kish ESS rollup: clamped
+    // 2^(s−smax) integer weights, HUGEINT moments, ROLLUP 'ALL' row
+    "q351_dsir_ess" -> {
+      val nib = (i: Int) =>
+        s"(instr('0123456789abcdef', substr(md5(f), $i, 1)) - 1)"
+      val bucket =
+        s"(${nib(5)} * 4096 + ${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)})"
+      val bkts = graft.ops.TextAnalysis.ClassifierBuckets
+      val cb = Queries.EssClampBits
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, lang, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (
+         |  SELECT doc_id, source, lang, u.f AS f
+         |  FROM tok, UNNEST(list_concat(t,
+         |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS u(f)),
+         |fb AS (SELECT doc_id, source, lang, $bucket AS bucket FROM f),
+         |tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_cnt FROM fb
+         |       WHERE source = '${Queries.DsirTargetSource}' GROUP BY 1),
+         |rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_cnt FROM fb GROUP BY 1),
+         |tt AS (SELECT CAST(COALESCE(SUM(t_cnt), 0) AS BIGINT) AS t_tot FROM tc),
+         |rt AS (SELECT CAST(COALESCE(SUM(r_cnt), 0) AS BIGINT) AS r_tot FROM rc),
+         |w0 AS (
+         |  SELECT bucket,
+         |         COALESCE(t_cnt, 0) + 1 AS ta, t_tot + $bkts AS tb,
+         |         r_cnt + 1 AS ra, r_tot + $bkts AS rb
+         |  FROM rc LEFT JOIN tc USING (bucket), tt, rt),
+         |w AS (
+         |  SELECT bucket,
+         |         ${flog2rSql("ta", "tb")} - ${flog2rSql("ra", "rb")} AS weight
+         |  FROM w0),
+         |ds AS MATERIALIZED (
+         |  SELECT fb.source, CAST(SUM(weight) AS BIGINT) AS s
+         |  FROM fb JOIN w USING (bucket)
+         |  GROUP BY fb.doc_id, fb.source),
+         |sm AS (SELECT MAX(s) AS smax FROM ds),
+         |wt AS (
+         |  SELECT source,
+         |         CASE WHEN s - smax >= -$cb
+         |           THEN (CAST(1 AS BIGINT) << CAST($cb + s - smax AS INT))
+         |           ELSE 0 END AS w
+         |  FROM ds, sm)
+         |SELECT COALESCE(source, 'ALL') AS source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CASE WHEN SUM(CAST(w AS HUGEINT) * w) > 0 THEN
+         |         CAST((CAST(SUM(w) AS HUGEINT) * CAST(SUM(w) AS HUGEINT))
+         |           // SUM(CAST(w AS HUGEINT) * w) AS BIGINT)
+         |       END AS ess_docs,
+         |       CASE WHEN SUM(CAST(w AS HUGEINT) * w) > 0 THEN
+         |         (10000 * CAST((CAST(SUM(w) AS HUGEINT)
+         |             * CAST(SUM(w) AS HUGEINT))
+         |           // SUM(CAST(w AS HUGEINT) * w) AS BIGINT))
+         |           // CAST(COUNT(*) AS BIGINT)
+         |       END AS ess_share_bp
+         |FROM wt
+         |GROUP BY ROLLUP(source)
+         |ORDER BY source""".stripMargin
+    },
+
+    // reference-decile PSI: q203 edge walk on the ref half, range
+    // assignment of the cur half, add-1 ppm shares, per-bin micro
+    // ln terms floored BEFORE any total (the doubles rule)
+    "q352_psi_drift" ->
+      s"""WITH base AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS d,
+         |         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+         |  FROM orders
+         |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         |md AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM base),
+         |sides AS MATERIALIZED (
+         |  SELECT CASE WHEN d <= md.mid THEN 'ref' ELSE 'cur' END AS side,
+         |         cents, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM base, md GROUP BY 1, 2),
+         |rv AS (
+         |  SELECT cents, cnt,
+         |         SUM(cnt) OVER (ORDER BY cents
+         |           ROWS UNBOUNDED PRECEDING) AS cum,
+         |         SUM(cnt) OVER () AS n
+         |  FROM sides WHERE side = 'ref'),
+         |rb AS (
+         |  SELECT (cum - 1) * 10 // n + 1 AS bin,
+         |         MAX(cents) AS hi, CAST(SUM(cnt) AS BIGINT) AS ref_n
+         |  FROM rv GROUP BY 1),
+         |edges AS MATERIALIZED (
+         |  SELECT bin, lag(hi) OVER (ORDER BY bin) AS lo, hi, ref_n,
+         |         MAX(bin) OVER () AS maxb
+         |  FROM rb),
+         |cn AS (
+         |  SELECT e.bin, CAST(SUM(s.cnt) AS BIGINT) AS cur_n
+         |  FROM (SELECT cents, cnt FROM sides WHERE side = 'cur') s
+         |  JOIN edges e ON (e.lo IS NULL OR s.cents > e.lo)
+         |    AND (s.cents <= e.hi OR e.bin = e.maxb)
+         |  GROUP BY 1),
+         |j AS (
+         |  SELECT edges.bin, edges.lo AS lo_cents, edges.hi AS hi_cents,
+         |         edges.ref_n, COALESCE(cn.cur_n, 0) AS cur_n
+         |  FROM edges LEFT JOIN cn USING (bin)),
+         |p AS (
+         |  SELECT *,
+         |         (1000000 * (ref_n + 1)) // (SELECT SUM(ref_n + 1) FROM j)
+         |           AS ref_ppm,
+         |         (1000000 * (cur_n + 1)) // (SELECT SUM(cur_n + 1) FROM j)
+         |           AS cur_ppm
+         |  FROM j)
+         |SELECT CAST(bin AS BIGINT) AS bin, lo_cents, hi_cents,
+         |       ref_n, cur_n,
+         |       CAST(ref_ppm AS BIGINT) AS ref_ppm,
+         |       CAST(cur_ppm AS BIGINT) AS cur_ppm,
+         |       CAST(FLOOR((ref_ppm - cur_ppm) *
+         |         ln(CAST(ref_ppm AS DOUBLE) / cur_ppm)) AS BIGINT)
+         |         AS term_micro
+         |FROM p ORDER BY bin""".stripMargin,
 
     // q63 Lehmer splits, per split×feature HUGEINT moments, the
     // Austin |SMD|<0.1 milli ladder with shared floors

@@ -1187,6 +1187,89 @@ object Market {
       .orderBy(col("abc_class").asc, col("xyz_class").asc)
   }
 
+  /** Stationary distribution of the session transition chain — the
+    * long-run event mix the q91 matrix implies, vs the mix actually
+    * observed. If the chain ran forever, what share of steps would
+    * be purchases? A stationary purchase share far below the
+    * empirical one means the observed mix is propped up by session
+    * STARTS (users arrive hot and cool down) — a funnel-health read
+    * neither the matrix nor the histogram gives alone.
+    *
+    * Bounded power iteration (the q277/q300 sweep-budget rule):
+    * exactly `iters` rounds of π·P in integer ppm, each round
+    * re-normalized to 10⁶ with the floor deficit assigned to the
+    * lexicographically-first type (deterministic; also the standard
+    * renormalize-out-dangling-mass hack for types that never appear
+    * as a predecessor). All arithmetic exact; both engines run the
+    * identical unrolled ladder.
+    *
+    * Scale shape: ONE sessionize shuffle into the type²-grain
+    * matrix; the iteration runs on a ≤|types|-row frame against the
+    * broadcast matrix — metadata, constant in data volume.
+    *
+    * Columns: event_type, stationary_ppm, empirical_ppm (share of
+    * transition TARGETS), delta_ppm. */
+  def stationaryMix(events: DataFrame, iters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1 && iters <= 50, "iters in [1,50]")
+    val steps = Sessionize.assignSessions(events)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // matrix + totals + type domain
+    val totals = steps.groupBy(col("prev_type"))
+      .agg(sum(col("c")).as("rs"))
+    val mat = steps.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("c"), col("rs"))
+    val types = steps.select(col("prev_type").as("t"))
+      .union(steps.select(col("next_type")))
+      .distinct()
+      .localCheckpoint(false)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wFirst = Window.orderBy(col("t").asc)
+    def normalize(raw: DataFrame): DataFrame =
+      // floor-normalize to 1e6; deficit to the first type
+      raw
+        .withColumn("__tot", sum(col("raw")).over(wAll))
+        .withColumn("base",
+          when(col("__tot") > 0L, expr("(1000000 * raw) DIV __tot"))
+            .otherwise(lit(0L)))
+        .withColumn("__s", sum(col("base")).over(wAll))
+        .withColumn("__rk", row_number().over(wFirst))
+        .select(col("t"),
+          (col("base") + when(col("__rk") === 1,
+            lit(1000000L) - col("__s")).otherwise(0L)).as("pi"))
+    var pi = normalize(types.withColumn("raw", lit(1L)))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val raw = pi.select(col("t").as("prev_type"), col("pi"))
+        .join(broadcast(mat), Seq("prev_type"))
+        .groupBy(col("next_type").as("t"))
+        .agg(sum(expr(
+          "CAST((CAST(pi AS decimal(38,0)) * c) DIV rs AS BIGINT)"))
+          .as("raw"))
+      // types that drop out of the support still need a row (raw 0)
+      pi = normalize(types.join(raw, Seq("t"), "left")
+          .select(col("t"), coalesce(col("raw"), lit(0L)).as("raw")))
+        .localCheckpoint(false)
+    }
+    val emp = steps.groupBy(col("next_type").as("t"))
+      .agg(sum(col("c")).as("n"))
+    val empN = normalize(types.join(emp, Seq("t"), "left")
+      .select(col("t"), coalesce(col("n"), lit(0L)).as("raw")))
+      .select(col("t"), col("pi").as("empirical_ppm"))
+    pi.select(col("t"), col("pi").as("stationary_ppm"))
+      .join(empN, Seq("t"))
+      .select(col("t").as("event_type"), col("stationary_ppm"),
+        col("empirical_ppm"),
+        (col("stationary_ppm") - col("empirical_ppm")).as("delta_ppm"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** ABC class migration between the two halves of the ship-date
     * span — [[abcXyz]]'s taxonomy made LONGITUDINAL: which parts
     * climbed into A, which A-parts decayed to C, which left the

@@ -1036,6 +1036,94 @@ object Profile {
           .as("v_bp"))
   }
 
+  /** Population stability index of order value between the two
+    * halves of the order-date span — the scorecard-industry drift
+    * number (the banking-model monitoring standard; >0.25 = "rebuild
+    * the model"), with bins that are REFERENCE-half equi-depth
+    * deciles, so the metric is scale-free and every reference bin
+    * starts near 10%. q109's value drift uses fixed-width buckets
+    * and TVD (robust, bounded); PSI's log term amplifies tail bins
+    * that TVD underweights — the pair disagreeing localizes WHERE
+    * the distribution moved.
+    *
+    * Ladder: reference decile edges at VALUE grain (the q203
+    * equi-depth walk), both halves counted per bin with add-1
+    * smoothing, shares in floored ppm, per-bin term
+    * ⌊10⁶·(p−q)·ln(p/q)⌋ — the only doubles, each floored per bin
+    * BEFORE the (integer) total, textually mirrored in the oracle
+    * (the engagementInequality doubles rule).
+    *
+    * Scale shape: one fact pass to (half, cents-value) grain, the
+    * decile walk at value grain, the bin assignment a ≤10-row
+    * broadcast range join, ≤10 rows out.
+    *
+    * Columns: bin, lo_cents, hi_cents (NULL = open), ref_n, cur_n,
+    * ref_ppm, cur_ppm, term_micro. */
+  def psiDrift(orders: DataFrame, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && bins <= 100, "bins in [2,100]")
+    val base = orders
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .select(
+        expr("CAST(datediff(to_date(o_orderdate), '1970-01-01')" +
+          " AS BIGINT)").as("d"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+    val mid = base.agg(
+      expr("CAST((min(d) + max(d)) DIV 2 AS BIGINT)").as("mid"))
+    val sides = base.crossJoin(broadcast(mid))
+      .select(when(col("d") <= col("mid"), lit("ref")).otherwise("cur")
+        .as("side"), col("cents"))
+      .groupBy(col("side"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // edge walk + two bin counts
+    // reference equi-depth edges at value grain (q203): bin of a
+    // reference row at cum position p is (p-1)*bins DIV n + 1
+    val wv = Window.orderBy(col("cents"))
+    val refBins = sides.filter(col("side") === "ref")
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .withColumn("n", sum(col("cnt")).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("bin",
+        expr(s"(cum - 1) * $bins DIV n + 1"))
+      .groupBy(col("bin"))
+      .agg(min(col("cents")).as("__lo0"), max(col("cents")).as("hi"),
+        sum(col("cnt")).as("ref_n"))
+    // contiguous edges: bin b covers (hi_{b-1}, hi_b]; first lo open
+    val edges = refBins
+      .withColumn("lo", lag(col("hi"), 1).over(Window.orderBy(col("bin"))))
+      .select(col("bin"), col("lo"), col("hi"), col("ref_n"))
+      .localCheckpoint(false)
+    val curN = sides.filter(col("side") === "cur")
+      .join(broadcast(edges.select(col("bin"), col("lo"), col("hi"),
+        max(col("bin")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("maxb"))),
+        (col("lo").isNull || col("cents") > col("lo")) &&
+          (col("cents") <= col("hi") || col("bin") === col("maxb")))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("cur_n"))
+    edges.join(curN, Seq("bin"), "left")
+      .select(col("bin"), col("lo").as("lo_cents"),
+        col("hi").as("hi_cents"), col("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .withColumn("__rt", sum(col("ref_n") + 1L).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__ct", sum(col("cur_n") + 1L).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("ref_ppm", expr("(1000000 * (ref_n + 1)) DIV __rt"))
+      .withColumn("cur_ppm", expr("(1000000 * (cur_n + 1)) DIV __ct"))
+      .withColumn("term_micro",
+        floor((col("ref_ppm") - col("cur_ppm")).cast("double") *
+          log(col("ref_ppm").cast("double") /
+            col("cur_ppm").cast("double"))).cast("long"))
+      .select(col("bin"), col("lo_cents"), col("hi_cents"),
+        col("ref_n"), col("cur_n"), col("ref_ppm"), col("cur_ppm"),
+        col("term_micro"))
+      .orderBy(col("bin").asc)
+  }
+
   /** Monthly revenue-concentration trend — [[engagementInequality]]
     * unrolled over time: the exact Gini of customer revenue and the
     * top-decile share, one row per calendar month. A static Gini

@@ -1012,6 +1012,51 @@ object TrainingPrep {
       .orderBy(col("rank").asc)
   }
 
+  /** Effective sample size of the DSIR importance weights — Kish's
+    * ESS = (Σw)²/Σw² applied to q114's log₂ scores, the degeneracy
+    * meter every importance-reweighting pipeline needs: DSIR can
+    * rank 10⁹ documents, but if a handful of docs carry nearly all
+    * the weight, the reweighted corpus is EFFECTIVELY that handful
+    * (Owen, Monte Carlo theory, ch. 9). Reported per source and
+    * overall ('ALL' rollup) — a source whose ESS share collapses is
+    * being cherry-picked by the target distribution.
+    *
+    * Weights are 2^(score − max score) clamped at 2^-`clampBits`
+    * (integer: w = 1 << (clampBits + s − smax), 0 below the clamp —
+    * a weight 2⁻³⁰ of the max moves neither sum), so the whole
+    * ladder is exact; ESS = (Σw)² DIV Σw² in decimal(38,0).
+    *
+    * Scale shape: rides the q114 score build (one feature pass);
+    * the global max is a 1-row broadcast; moments collapse per
+    * source. Columns: source, n_docs, ess_docs, ess_share_bp. */
+  def dsirEss(raw: DataFrame, target: DataFrame,
+      clampBits: Int = 30): DataFrame = {
+    require(clampBits >= 1 && clampBits <= 60, "clampBits in [1,60]")
+    val dec = "decimal(38,0)"
+    val scored = dsirScore(raw, target)
+      .select(col("source"), col("dsir_score"))
+      .localCheckpoint(false) // max + moments
+    val smax = scored.agg(max(col("dsir_score")).as("smax"))
+    scored.crossJoin(broadcast(smax))
+      .withColumn("w", when(
+        col("dsir_score") - col("smax") >= -clampBits.toLong,
+        expr(s"shiftleft(CAST(1 AS BIGINT)," +
+          s" CAST($clampBits + dsir_score - smax AS INT))"))
+        .otherwise(0L))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+        sum(expr(s"CAST(w AS $dec) * w")).as("sww"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"),
+        when(col("sww") > 0, expr(
+          s"CAST((CAST(sw AS $dec) * sw) DIV sww AS BIGINT)"))
+          .as("ess_docs"))
+      .withColumn("ess_share_bp",
+        when(col("ess_docs").isNotNull,
+          expr("(10000 * ess_docs) DIV n_docs")))
+      .orderBy(col("source").asc)
+  }
+
   /** Split covariate-balance audit — the standardized-mean-difference
     * table (the |SMD| < 0.1 rule from the matching literature,
     * Austin 2009, applied to train/val/test): the q63 Lehmer split

@@ -311,6 +311,39 @@ class MarketSpec extends SparkSpec {
       ("view", 2L, 3L, Some(3000L))))
   }
 
+  test("stationaryMix: a sink type absorbs all long-run mass; ppm closes to 1e6") {
+    // one session: click → view → view → view. Matrix: click→view
+    // (rs 1), view→view (rs 2, prob 1). The chain drains into view;
+    // empirical targets are also all-view → delta 0 everywhere.
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "view", 1),
+      ev(2, 1, "2024-01-01 00:02:00", "view", 1),
+      ev(3, 1, "2024-01-01 00:03:00", "view", 1)))
+    val got = Market.stationaryMix(df, iters = 5)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 0L, 0L, 0L),
+      ("view", 1000000L, 1000000L, 0L)))
+  }
+
+  test("stationaryMix: a symmetric 2-cycle stays uniform; shares close each round") {
+    // click ↔ view alternating: P is the swap matrix, uniform is
+    // stationary; floors + the first-type deficit keep Σ = 1e6
+    val df = toEvents(Seq(
+      ev(0, 1, "2024-01-01 00:00:00", "click", 1),
+      ev(1, 1, "2024-01-01 00:01:00", "view", 1),
+      ev(2, 1, "2024-01-01 00:02:00", "click", 1),
+      ev(3, 1, "2024-01-01 00:03:00", "view", 1),
+      ev(4, 1, "2024-01-01 00:04:00", "click", 1)))
+    val got = Market.stationaryMix(df, iters = 4)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).sum == 1000000L)
+    assert(got == Seq(
+      ("click", 500000L, 500000L, 0L),
+      ("view", 500000L, 500000L, 0L)))
+  }
+
   test("abcMigration: prior-cum classes per half, absent rows for exits") {
     val s2 = spark
     import s2.implicits._

@@ -3529,6 +3529,63 @@ class OpsSpec extends SparkSpec {
       ("view", 1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("dsirEss matches a BigInt Kish ladder on sf0.001; uniform weights give ESS = n") {
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val target = docs.filter(col("source") === "src0")
+    val rows = graft.ops.TrainingPrep.dsirEss(docs, target)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // independent ladder from the raw scores
+    val scores = graft.ops.TrainingPrep.dsirScore(docs, target)
+      .select(col("source"), col("dsir_score"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val smax = scores.map(_._2).max
+    def w(s: Long): BigInt =
+      if (s - smax >= -30L) BigInt(1) << (30 + s - smax).toInt else BigInt(0)
+    val all = scores.map(x => w(x._2))
+    val essAll = (all.sum * all.sum) / all.map(x => x * x).sum
+    assert(BigInt(rows("ALL").getAs[Long]("ess_docs")) == essAll)
+    assert(rows("ALL").getAs[Long]("n_docs") == scores.length.toLong)
+    // per-source row reproduces the same ladder on the slice
+    val s0 = scores.filter(_._1 == "src0").map(x => w(x._2))
+    val ess0 = (s0.sum * s0.sum) / s0.map(x => x * x).sum
+    assert(BigInt(rows("src0").getAs[Long]("ess_docs")) == ess0)
+    // degenerate sanity: identical scores → ESS = n exactly
+    val s2 = spark
+    import s2.implicits._
+    val flat = Seq((1L, "a b", "en", "s1", 3L), (2L, "a b", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fr = graft.ops.TrainingPrep.dsirEss(flat, flat)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(fr("ALL").getAs[Long]("ess_docs") == 2L)
+    assert(fr("ALL").getAs[Long]("ess_share_bp") == 10000L)
+  }
+
+  test("psiDrift: identical halves zero every term; ref deciles bound the cur assignment") {
+    val s2 = spark
+    import s2.implicits._
+    // day 0 (ref) and day 10 (cur) carry the SAME value histogram:
+    // 5×$1 + 5×$2 → two value-grain bins (5, 10), all terms 0
+    val orders = (
+      (1 to 5).map(_ => ("1970-01-01", 1.0)) ++
+      (1 to 5).map(_ => ("1970-01-01", 2.0)) ++
+      (1 to 5).map(_ => ("1970-01-11", 1.0)) ++
+      (1 to 5).map(_ => ("1970-01-11", 2.0))
+    ).toDF("o_orderdate", "o_totalprice")
+    val got = graft.ops.Profile.psiDrift(orders)
+      .as[(Long, Option[Long], Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (5L, None, 100L, 5L, 5L, 500000L, 500000L, 0L),
+      (10L, Some(100L), 200L, 5L, 5L, 500000L, 500000L, 0L)))
+    // a cur value past the last ref edge lands in the top bin
+    val shifted = orders union
+      Seq(("1970-01-11", 9.0)).toDF("o_orderdate", "o_totalprice")
+    val top = graft.ops.Profile.psiDrift(shifted)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cur_n"))
+      .toMap
+    assert(top(10L) == 6L)
+  }
+
   test("sourceTransferMatrix: disjoint-vocabulary sources cost the add-1 fallback") {
     val s2 = spark
     import s2.implicits._
