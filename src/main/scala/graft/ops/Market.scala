@@ -1204,70 +1204,68 @@ object Market {
     * identical unrolled ladder.
     *
     * Scale shape: ONE sessionize shuffle into the type²-grain
-    * matrix; the iteration runs on a ≤|types|-row frame against the
-    * broadcast matrix — metadata, constant in data volume.
+    * matrix; the matrix (≤|types|² cells — MODEL-ARTIFACT-sized
+    * metadata, the BPE-merges collect class) then comes to the
+    * driver and the ladder runs in [[stationaryWalk]] — iterating a
+    * 36-cell fixpoint as 20 cluster jobs cost 10.7 s of pure stage
+    * overhead at sf0.1; as driver arithmetic it is free, and the
+    * SAME function serves the streaming twin, so batch≡stream
+    * parity is by construction.
     *
     * Columns: event_type, stationary_ppm, empirical_ppm (share of
     * transition TARGETS), delta_ppm. */
   def stationaryMix(events: DataFrame, iters: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(iters >= 1 && iters <= 50, "iters in [1,50]")
-    val steps = Sessionize.assignSessions(events)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val matrix = Sessionize.assignSessions(events)
       .withColumn("prev_type", lag(col("event_type"), 1).over(
         Window.partitionBy(col("user_id"), col("session_seq"))
           .orderBy(col("ts"), col("event_id"))))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // matrix + totals + type domain
-    val totals = steps.groupBy(col("prev_type"))
-      .agg(sum(col("c")).as("rs"))
-    val mat = steps.join(broadcast(totals), Seq("prev_type"))
-      .select(col("prev_type"), col("next_type"), col("c"), col("rs"))
-    val types = steps.select(col("prev_type").as("t"))
-      .union(steps.select(col("next_type")))
-      .distinct()
-      .localCheckpoint(false)
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val wFirst = Window.orderBy(col("t").asc)
-    def normalize(raw: DataFrame): DataFrame =
-      // floor-normalize to 1e6; deficit to the first type
-      raw
-        .withColumn("__tot", sum(col("raw")).over(wAll))
-        .withColumn("base",
-          when(col("__tot") > 0L, expr("(1000000 * raw) DIV __tot"))
-            .otherwise(lit(0L)))
-        .withColumn("__s", sum(col("base")).over(wAll))
-        .withColumn("__rk", row_number().over(wFirst))
-        .select(col("t"),
-          (col("base") + when(col("__rk") === 1,
-            lit(1000000L) - col("__s")).otherwise(0L)).as("pi"))
-    var pi = normalize(types.withColumn("raw", lit(1L)))
-      .localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      val raw = pi.select(col("t").as("prev_type"), col("pi"))
-        .join(broadcast(mat), Seq("prev_type"))
-        .groupBy(col("next_type").as("t"))
-        .agg(sum(expr(
-          "CAST((CAST(pi AS decimal(38,0)) * c) DIV rs AS BIGINT)"))
-          .as("raw"))
-      // types that drop out of the support still need a row (raw 0)
-      pi = normalize(types.join(raw, Seq("t"), "left")
-          .select(col("t"), coalesce(col("raw"), lit(0L)).as("raw")))
-        .localCheckpoint(false)
-    }
-    val emp = steps.groupBy(col("next_type").as("t"))
-      .agg(sum(col("c")).as("n"))
-    val empN = normalize(types.join(emp, Seq("t"), "left")
-      .select(col("t"), coalesce(col("n"), lit(0L)).as("raw")))
-      .select(col("t"), col("pi").as("empirical_ppm"))
-    pi.select(col("t"), col("pi").as("stationary_ppm"))
-      .join(empN, Seq("t"))
-      .select(col("t").as("event_type"), col("stationary_ppm"),
-        col("empirical_ppm"),
-        (col("stationary_ppm") - col("empirical_ppm")).as("delta_ppm"))
+      .as[(String, String, Long)].collect() // sanctioned: type² cells
+      .map { case (p, n, c) => ((p, n), c) }.toMap
+    stationaryWalk(matrix, iters)
+      .toDF("event_type", "stationary_ppm", "empirical_ppm", "delta_ppm")
       .orderBy(col("event_type").asc)
+  }
+
+  /** The q350 integer ladder over a ((prev, next) → count) matrix —
+    * shared verbatim by [[stationaryMix]] and
+    * `streaming.StationaryStream`. Floors per (i,j) term (the
+    * decimal-DIV convention), 10⁶ re-normalization each round with
+    * the deficit on the lexicographically-first type. Returns
+    * (type, stationary_ppm, empirical_ppm, delta_ppm), type-sorted.
+    */
+  def stationaryWalk(matrix: Map[(String, String), Long],
+      iters: Int = 20): Seq[(String, Long, Long, Long)] = {
+    if (matrix.isEmpty) return Nil
+    val types = (matrix.keys.map(_._1) ++ matrix.keys.map(_._2))
+      .toSeq.distinct.sorted
+    val rs = matrix.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    def normalize(raw: Map[String, Long]): Map[String, Long] = {
+      val tot = raw.values.sum
+      val base = types.map { t =>
+        t -> (if (tot > 0) 1000000L * raw.getOrElse(t, 0L) / tot else 0L)
+      }.toMap
+      val deficit = 1000000L - base.values.sum
+      base + (types.head -> (base(types.head) + deficit))
+    }
+    var pi = normalize(types.map(_ -> 1L).toMap)
+    for (_ <- 1 to iters) {
+      val raw = types.map { j =>
+        j -> matrix.collect { case ((p, n), c) if n == j =>
+          (BigInt(pi(p)) * c / rs(p)).toLong // the oracle's HUGEINT DIV
+        }.sum
+      }.toMap
+      pi = normalize(raw)
+    }
+    val emp = normalize(matrix.groupBy(_._1._2)
+      .map { case (n, m) => n -> m.values.sum })
+    types.map(t => (t, pi(t), emp(t), pi(t) - emp(t)))
   }
 
   /** ABC class migration between the two halves of the ship-date

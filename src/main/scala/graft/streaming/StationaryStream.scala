@@ -41,36 +41,12 @@ object StationaryStream {
   val MatrixTable = "st_matrix"
   val MixTable = "st_mix"
 
-  /** The q350 ladder over a ((prev, next) → count) matrix. Returns
-    * (type, stationary_ppm, empirical_ppm, delta_ppm), type-sorted.
-    */
+  /** The q350 ladder — literally `Market.stationaryWalk` (ONE
+    * implementation serves batch and stream, so parity is by
+    * construction, not by twin-maintenance). */
   def stationaryWalk(matrix: Map[(String, String), Long],
-      iters: Int = 20): Seq[(String, Long, Long, Long)] = {
-    if (matrix.isEmpty) return Nil
-    val types = (matrix.keys.map(_._1) ++ matrix.keys.map(_._2))
-      .toSeq.distinct.sorted
-    val rs = matrix.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
-    def normalize(raw: Map[String, Long]): Map[String, Long] = {
-      val tot = raw.values.sum
-      val base = types.map { t =>
-        t -> (if (tot > 0) 1000000L * raw.getOrElse(t, 0L) / tot else 0L)
-      }.toMap
-      val deficit = 1000000L - base.values.sum
-      base + (types.head -> (base(types.head) + deficit))
-    }
-    var pi = normalize(types.map(_ -> 1L).toMap)
-    for (_ <- 1 to iters) {
-      val raw = types.map { j =>
-        j -> matrix.collect { case ((p, n), c) if n == j =>
-          (BigInt(pi(p)) * c / rs(p)).toLong // the batch decimal DIV
-        }.sum
-      }.toMap
-      pi = normalize(raw)
-    }
-    val emp = normalize(matrix.groupBy(_._1._2)
-      .map { case (n, m) => n -> m.values.sum })
-    types.map(t => (t, pi(t), emp(t), pi(t) - emp(t)))
-  }
+      iters: Int = 20): Seq[(String, Long, Long, Long)] =
+    graft.ops.Market.stationaryWalk(matrix, iters)
 
   private val AppliedMarker = "graft_applied_batch"
 
