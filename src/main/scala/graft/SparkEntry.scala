@@ -1366,12 +1366,19 @@ object Queries {
     * against. */
   val DsirTargetSource = "src0"
 
+  /** The q114 doc-grain score frame as a session artifact (Shared
+    * contract): the hashed-ngram feature build is the expensive 90%
+    * of both q114 and q351 — build once, serve both. */
+  private def sharedDsirScores(spark: SparkSession, dir: String): DataFrame =
+    Shared.memo(spark, s"dsir_scores:$dir") {
+      val docs = Tables(spark, dir, "documents")
+      TrainingPrep.dsirScore(docs,
+        docs.filter(col("source") === DsirTargetSource))
+    }
+
   /** DSIR importance score of every document vs the target seed. */
-  def dsirScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    TrainingPrep.dsirScore(docs,
-      docs.filter(col("source") === DsirTargetSource))
-  }
+  def dsirScore(spark: SparkSession, dir: String): DataFrame =
+    sharedDsirScores(spark, dir)
 
   // ≈ half the sf0.01 corpus tokens — the boundary class is exercised
   // there; smaller fixtures select everything (reason = full only).
@@ -2884,7 +2891,8 @@ object Queries {
   def dsirEss(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     TrainingPrep.dsirEss(docs,
-      docs.filter(col("source") === DsirTargetSource), EssClampBits)
+      docs.filter(col("source") === DsirTargetSource), EssClampBits,
+      scores0 = Some(sharedDsirScores(spark, dir)))
   }
 
   /** PSI of order value between date halves over reference-decile

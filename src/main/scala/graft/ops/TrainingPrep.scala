@@ -1026,14 +1026,16 @@ object TrainingPrep {
     * a weight 2⁻³⁰ of the max moves neither sum), so the whole
     * ladder is exact; ESS = (Σw)² DIV Σw² in decimal(38,0).
     *
-    * Scale shape: rides the q114 score build (one feature pass);
-    * the global max is a 1-row broadcast; moments collapse per
-    * source. Columns: source, n_docs, ess_docs, ess_share_bp. */
+    * Scale shape: rides the q114 score build (one feature pass —
+    * or the shared session artifact via `scores0`, the quant0-seam
+    * convention); the global max is a 1-row broadcast; moments
+    * collapse per source. Columns: source, n_docs, ess_docs,
+    * ess_share_bp. */
   def dsirEss(raw: DataFrame, target: DataFrame,
-      clampBits: Int = 30): DataFrame = {
+      clampBits: Int = 30, scores0: Option[DataFrame] = None): DataFrame = {
     require(clampBits >= 1 && clampBits <= 60, "clampBits in [1,60]")
     val dec = "decimal(38,0)"
-    val scored = dsirScore(raw, target)
+    val scored = scores0.getOrElse(dsirScore(raw, target))
       .select(col("source"), col("dsir_score"))
       .localCheckpoint(false) // max + moments
     val smax = scored.agg(max(col("dsir_score")).as("smax"))
