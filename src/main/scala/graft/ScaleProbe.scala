@@ -640,6 +640,10 @@ object ScaleProbe {
     t("dsir ess")(graft.ops.TrainingPrep.dsirEss(docs,
       docs.filter(col("source") === "src0")))
     t("psi drift")(graft.ops.Profile.psiDrift(orders))
+    // FIXED eval probe set (q229 rule)
+    t("semantic decontamination")(
+      graft.ops.Contamination.semanticDecontamination(
+        emb, docs, evalMod = 10L * mult))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

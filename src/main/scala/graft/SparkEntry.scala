@@ -379,7 +379,8 @@ object SparkEntry {
     "q349_abc_migration" -> (Queries.abcMigration _),
     "q350_stationary_mix" -> (Queries.stationaryMix _),
     "q351_dsir_ess" -> (Queries.dsirEss _),
-    "q352_psi_drift" -> (Queries.psiDrift _)
+    "q352_psi_drift" -> (Queries.psiDrift _),
+    "q353_semantic_decontamination" -> (Queries.semanticDecontamination _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2899,6 +2900,17 @@ object Queries {
     * bins (per-bin micro terms; q109's TVD sibling). */
   def psiDrift(spark: SparkSession, dir: String): DataFrame =
     Profile.psiDrift(Tables(spark, dir, "orders"))
+
+  val SemDecontEvalMod = 10L
+  val SemDecontTauBp = 9000L
+
+  /** Embedding-space decontamination per source (the semantic tier
+    * above q55 exact / q101 MinHash), on the shared ANN artifact. */
+  def semanticDecontamination(spark: SparkSession, dir: String): DataFrame =
+    Contamination.semanticDecontamination(
+      Tables(spark, dir, "embeddings"), Tables(spark, dir, "documents"),
+      SemDecontEvalMod, SemDecontTauBp,
+      quant0 = Some(sharedAnnIndex(spark, dir)))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -14457,6 +14469,41 @@ object Oracles {
          |         ln(CAST(ref_ppm AS DOUBLE) / cur_ppm)) AS BIGINT)
          |         AS term_micro
          |FROM p ORDER BY bin""".stripMargin,
+
+    // eval probes (id mod) against the quantized corpus, per-doc max
+    // cosine, source census; -10001 sentinel keeps missing-embedding
+    // docs counted but never contaminated
+    "q353_semantic_decontamination" -> {
+      val em = Queries.SemDecontEvalMod
+      val tau = Queries.SemDecontTauBp
+      s"""WITH $embQuantCte,
+         |probes AS (
+         |  SELECT vec_id AS eval_id, q AS q_q, n2 AS q_n2
+         |  FROM n WHERE vec_id % $em = 0),
+         |worst AS (
+         |  SELECT c.vec_id, MAX(CASE WHEN c.n2 = 0 OR p.q_n2 = 0 THEN 0
+         |           ELSE CAST(FLOOR(10000.0 *
+         |             CAST(list_sum(list_transform(
+         |               range(1, len(c.q) + 1),
+         |               i -> c.q[i] * p.q_q[i])) AS BIGINT) /
+         |             (sqrt(CAST(c.n2 AS DOUBLE)) *
+         |              sqrt(CAST(p.q_n2 AS DOUBLE)))) AS BIGINT)
+         |         END) AS max_cos
+         |  FROM (SELECT vec_id, q, n2 FROM n WHERE vec_id % $em <> 0) c
+         |  CROSS JOIN probes p
+         |  GROUP BY 1)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN COALESCE(w.max_cos, -10001) >= $tau
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |       (10000 * CAST(SUM(CASE WHEN COALESCE(w.max_cos, -10001)
+         |           >= $tau THEN 1 ELSE 0 END) AS BIGINT))
+         |         // CAST(COUNT(*) AS BIGINT) AS rate_bp,
+         |       MAX(w.max_cos) AS max_cos_bp
+         |FROM documents d
+         |LEFT JOIN worst w ON w.vec_id = d.doc_id
+         |WHERE d.source IS NOT NULL AND d.doc_id % $em <> 0
+         |GROUP BY 1 ORDER BY d.source""".stripMargin
+    },
 
     // q63 Lehmer splits, per split×feature HUGEINT moments, the
     // Austin |SMD|<0.1 milli ladder with shared floors

@@ -193,4 +193,55 @@ object Contamination {
       .filter(!exists(col("__gh"), mightContain))
       .drop("__gh")
   }
+
+  /** Embedding-space decontamination census — the SEMANTIC tier of
+    * the ladder ([[flagged]] = exact n-grams, [[fuzzyFlagged]] =
+    * MinHash lexical near-dups, this = meaning): a training doc
+    * whose EMBEDDING sits within `tauBp` cosine of a benchmark doc
+    * leaks the answer even after paraphrase, which neither lexical
+    * tier can see. Benchmark set = the deterministic id sample (the
+    * q308 probe convention — stands in for a held-out eval suite);
+    * per SOURCE: how many of its docs are semantically contaminated
+    * and how close the worst one sits.
+    *
+    * Scale shape: benchmark probes broadcast against one corpus
+    * scan of the shared ANN artifact (integer cosine, the house
+    * quantized dot); per-doc max collapses on the scoring pass;
+    * source-grain output. At 100 TB the probe side is the eval
+    * suite — thousands of rows — so the scoring pass is one linear
+    * scan, never corpus².
+    *
+    * Columns: source, n_docs (non-benchmark docs), n_contaminated,
+    * rate_bp, max_cos_bp. */
+  def semanticDecontamination(emb: DataFrame, docs: DataFrame,
+      evalMod: Long = 10L, tauBp: Long = 9000L,
+      quant0: Option[DataFrame] = None): DataFrame = {
+    require(evalMod >= 1L, "evalMod >= 1")
+    // standalone path: quantized WITHOUT the sign bucket (cosine
+    // needs no LSH, and the bucket hard-fails sub-SignBits vectors)
+    val q = quant0.getOrElse(Similarity.quantized(emb)
+      .select(col("vec_id"), col("q"), col("n2")))
+    val probes = q.filter(col("vec_id") % evalMod === 0L)
+      .select(col("vec_id").as("eval_id"), col("q").as("q_q"),
+        col("n2").as("q_n2"))
+    val worst = q.filter(col("vec_id") % evalMod =!= 0L)
+      .select(col("vec_id"), col("q"), col("n2"))
+      .crossJoin(broadcast(probes))
+      .withColumn("cos_bp", Similarity.cosBp(
+        Similarity.dotExpr("q", "q_q"), col("n2"), col("q_n2")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos_bp")).as("max_cos"))
+    docs.filter(col("source").isNotNull && col("doc_id") % evalMod =!= 0L)
+      .select(col("doc_id").as("vec_id"), col("source"))
+      .join(worst, Seq("vec_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((coalesce(col("max_cos"), lit(-10001L)) >= tauBp)
+          .cast("long")).as("n_contaminated"),
+        max(col("max_cos")).as("max_cos_bp"))
+      .withColumn("rate_bp", expr("(10000 * n_contaminated) DIV n_docs"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        col("rate_bp"), col("max_cos_bp"))
+      .orderBy(col("source").asc)
+  }
 }

@@ -3586,6 +3586,27 @@ class OpsSpec extends SparkSpec {
     assert(top(10L) == 6L)
   }
 
+  test("semanticDecontamination: a paraphrase-close vector flags, an orthogonal one passes") {
+    val s2 = spark
+    import s2.implicits._
+    // eval probe = id 0 (mod 10); id 1 sits at cos 10000 (leak),
+    // id 2 orthogonal (clean); id 3 close-but-under-τ at ~0.7
+    val emb = Seq(
+      (0L, Seq(1.0f, 0f), 0),
+      (1L, Seq(2.0f, 0f), 0),
+      (2L, Seq(0f, 1.0f), 1),
+      (3L, Seq(1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq((0L, "srcE"), (1L, "srcA"), (2L, "srcB"), (3L, "srcB"))
+      .toDF("doc_id", "source")
+    val got = graft.ops.Contamination
+      .semanticDecontamination(emb, docs, evalMod = 10L, tauBp = 9000L)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("srcA", 1L, 1L, 10000L, Some(10000L)),
+      ("srcB", 2L, 0L, 0L, Some(7071L))))
+  }
+
   test("sourceTransferMatrix: disjoint-vocabulary sources cost the add-1 fallback") {
     val s2 = spark
     import s2.implicits._
