@@ -402,13 +402,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!stripCached(p).contains("Exchange SinglePartition"), p)
   }
 
-  test("q114 dsir: bucket-grain weight table broadcast into the feature stream; one doc-grain shuffle") {
-    val p = plan("q114_dsir_score")
-    assert(!p.contains("SortMergeJoin"), p)
+  test("q114 dsir: BUILD broadcasts the bucket-grain weights, one doc shuffle; query reads the shared artifact") {
+    // q114 is the dsir_scores Shared.memo artifact since round 9, so
+    // the structural pins live on the BUILD, explained directly (the
+    // q200 split), and the served plan is the checkpoint scan.
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val p = graft.ops.TrainingPrep.dsirScore(docs,
+      docs.filter(org.apache.spark.sql.functions.col("source") === "src0"))
+      .queryExecution.executedPlan.toString
+    val live = stripCached(p)
+    assert(!live.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     // the scoring side shuffles exactly once — the (doc, source, lang)
     // re-aggregate; everything else lives at ≤65536-bucket grain
-    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(live).length == 1, p)
+    val served = plan("q114_dsir_score")
+    assert(served.contains("Scan ExistingRDD"),
+      s"q114 not serving the checkpointed score artifact:\n$served")
+    assert(!stripCached(served).contains("Scan parquet"),
+      s"q114 re-scanned the corpus instead of the artifact:\n$served")
   }
 
   test("q115 budget select: class table broadcast back; the corpus is never globally sorted") {
