@@ -644,6 +644,8 @@ object ScaleProbe {
     t("semantic decontamination")(
       graft.ops.Contamination.semanticDecontamination(
         emb, docs, evalMod = 10L * mult))
+    t("james stein")(graft.ops.Profile.jamesSteinMeans(docs))
+    t("revenue drawdown")(graft.ops.Retention.revenueDrawdown(orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

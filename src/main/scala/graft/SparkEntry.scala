@@ -380,7 +380,9 @@ object SparkEntry {
     "q350_stationary_mix" -> (Queries.stationaryMix _),
     "q351_dsir_ess" -> (Queries.dsirEss _),
     "q352_psi_drift" -> (Queries.psiDrift _),
-    "q353_semantic_decontamination" -> (Queries.semanticDecontamination _)
+    "q353_semantic_decontamination" -> (Queries.semanticDecontamination _),
+    "q354_james_stein" -> (Queries.jamesSteinMeans _),
+    "q355_revenue_drawdown" -> (Queries.revenueDrawdown _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2911,6 +2913,16 @@ object Queries {
       Tables(spark, dir, "embeddings"), Tables(spark, dir, "documents"),
       SemDecontEvalMod, SemDecontTauBp,
       quant0 = Some(sharedAnnIndex(spark, dir)))
+
+  /** James–Stein shrunk per-source mean doc length + league-table
+    * movement (the winner's-curse correction). */
+  def jamesSteinMeans(spark: SparkSession, dir: String): DataFrame =
+    Profile.jamesSteinMeans(Tables(spark, dir, "documents"))
+
+  /** Max drawdown of the detrended cumulative revenue walk (peak /
+    * trough days, depth in cents, recovery flag). */
+  def revenueDrawdown(spark: SparkSession, dir: String): DataFrame =
+    Retention.revenueDrawdown(Tables(spark, dir, "orders"))
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -14504,6 +14516,126 @@ object Oracles {
          |WHERE d.source IS NOT NULL AND d.doc_id % $em <> 0
          |GROUP BY 1 ORDER BY d.source""".stripMargin
     },
+
+    // method-of-moments EB ladder mirrored step for step: pooled
+    // within-variance, between-variance of raw means, τ², per-source
+    // B in bp, sign-split shrink move (nonneg-DIV rule)
+    "q354_james_stein" ->
+      s"""WITH mo AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(n_chars) AS BIGINT) AS s,
+         |         SUM(CAST(n_chars AS HUGEINT) * n_chars) AS q
+         |  FROM documents
+         |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+         |  GROUP BY 1),
+         |g AS (
+         |  SELECT *,
+         |         CAST(COUNT(*) OVER () AS BIGINT) AS k,
+         |         CAST(SUM(n) OVER () AS BIGINT) AS gn,
+         |         CAST(SUM(s) OVER () AS BIGINT) AS gs,
+         |         (1000 * s) // n AS raw_mean_milli,
+         |         CASE WHEN n > 1 THEN CAST(
+         |             (1000000 * (n * q - CAST(s AS HUGEINT) * s))
+         |           // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END
+         |           AS vw_milli
+         |  FROM mo),
+         |g2 AS (
+         |  SELECT *, (1000 * gs) // gn AS grand_milli,
+         |         CAST(SUM(CAST(vw_milli AS HUGEINT) * (n - 1)) OVER ()
+         |           // greatest(SUM(n - 1) OVER (), 1) AS BIGINT)
+         |           AS pool_vw
+         |  FROM g),
+         |g3 AS (
+         |  SELECT *, raw_mean_milli - grand_milli AS dev,
+         |         pool_vw // n AS se2
+         |  FROM g2),
+         |g4 AS (
+         |  SELECT *,
+         |         CAST(SUM(CAST(dev AS HUGEINT) * dev) OVER ()
+         |           // greatest(k - 1, 1) AS BIGINT) AS between_v,
+         |         CAST(SUM(se2) OVER () // k AS BIGINT) AS mean_se2
+         |  FROM g3),
+         |g5 AS (
+         |  SELECT *, greatest(between_v - mean_se2, 0) AS tau2
+         |  FROM g4),
+         |g6 AS (
+         |  SELECT *,
+         |         CASE WHEN se2 + tau2 > 0
+         |           THEN (10000 * se2) // (se2 + tau2) ELSE 0 END
+         |           AS shrink_bp
+         |  FROM g5),
+         |g7 AS (
+         |  SELECT *,
+         |         raw_mean_milli - (CASE WHEN dev < 0 THEN -1 ELSE 1 END)
+         |           * CAST((shrink_bp * CAST(abs(dev) AS HUGEINT))
+         |             // 10000 AS BIGINT) AS shrunk_mean_milli
+         |  FROM g6),
+         |g8 AS (
+         |  SELECT *,
+         |         row_number() OVER (ORDER BY raw_mean_milli DESC,
+         |           source ASC) AS rank_raw,
+         |         row_number() OVER (ORDER BY shrunk_mean_milli DESC,
+         |           source ASC) AS rank_shrunk
+         |  FROM g7)
+         |SELECT source, n AS n_docs,
+         |       CAST(raw_mean_milli AS BIGINT) AS raw_mean_milli,
+         |       CAST(shrunk_mean_milli AS BIGINT) AS shrunk_mean_milli,
+         |       CAST(shrink_bp AS BIGINT) AS shrink_bp,
+         |       CAST(rank_raw AS BIGINT) AS rank_raw,
+         |       CAST(rank_shrunk AS BIGINT) AS rank_shrunk,
+         |       CAST(abs(rank_raw - rank_shrunk) AS BIGINT) AS rank_moved
+         |FROM g8 ORDER BY source""".stripMargin,
+
+    // the q334 A-trick on the cumulative walk: D_t = n·C_t − t·S,
+    // prefix-max peak, deepest (dd, earliest day) trough, peak-day
+    // lookup + recovery probe on the same materialized walk
+    "q355_revenue_drawdown" ->
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |sp AS (SELECT MIN(daynum) AS mn, MAX(daynum) AS mx FROM d),
+         |dn AS (
+         |  SELECT t.dd AS daynum, COALESCE(d.cents, 0) AS cents
+         |  FROM (SELECT unnest(generate_series(mn, mx)) AS dd FROM sp) t
+         |  LEFT JOIN d ON d.daynum = t.dd),
+         |w AS MATERIALIZED (
+         |  SELECT daynum,
+         |         row_number() OVER (ORDER BY daynum) AS t,
+         |         SUM(cents) OVER (ORDER BY daynum
+         |           ROWS UNBOUNDED PRECEDING) AS c,
+         |         COUNT(*) OVER () AS n, SUM(cents) OVER () AS s
+         |  FROM dn),
+         |wk AS MATERIALIZED (
+         |  SELECT daynum, n,
+         |         CAST(n AS HUGEINT) * c - CAST(t AS HUGEINT) * s AS dv
+         |  FROM w),
+         |pk AS (
+         |  SELECT *, MAX(dv) OVER (ORDER BY daynum
+         |           ROWS UNBOUNDED PRECEDING) AS peak
+         |  FROM wk),
+         |tr AS (
+         |  SELECT * FROM (SELECT *, peak - dv AS ddm FROM pk)
+         |  QUALIFY row_number() OVER (ORDER BY ddm DESC, daynum ASC) = 1)
+         |SELECT
+         |  strftime(DATE '1970-01-01' + INTERVAL ((
+         |    SELECT MIN(pk2.daynum) FROM pk pk2, tr
+         |    WHERE pk2.dv = tr.peak AND pk2.daynum <= tr.daynum)) DAY,
+         |    '%Y-%m-%d') AS peak_day,
+         |  strftime(DATE '1970-01-01' + INTERVAL (tr.daynum) DAY,
+         |    '%Y-%m-%d') AS trough_day,
+         |  CAST(tr.ddm // tr.n AS BIGINT) AS drawdown_cents,
+         |  CAST(tr.daynum - (
+         |    SELECT MIN(pk2.daynum) FROM pk pk2, tr
+         |    WHERE pk2.dv = tr.peak AND pk2.daynum <= tr.daynum)
+         |    AS BIGINT) AS dd_days,
+         |  CAST(COALESCE((
+         |    SELECT MAX(wk2.dv) FROM wk wk2, tr
+         |    WHERE wk2.daynum >= tr.daynum) >= tr.peak, FALSE)
+         |    AS INT) AS recovered
+         |FROM tr""".stripMargin,
 
     // q63 Lehmer splits, per split×feature HUGEINT moments, the
     // Austin |SMD|<0.1 milli ladder with shared floors

@@ -745,10 +745,15 @@ object Experiment {
     require(splitPct >= 1 && splitPct <= 99, "splitPct in [1,99]")
     require(reps >= 1 && reps <= 10000, "reps in [1,10000]")
     val dec = "decimal(38,0)"
+    // localCheckpoint, NOT persist: a cached copy of this user-grain
+    // frame is structurally identical to q260/q295's subtree, and
+    // CacheManager would substitute it into THEIR plans (the q299
+    // cross-query cache-substitution lesson) — the checkpoint serves
+    // the same two readers without entering the cache registry
     val users = events
       .groupBy(col("user_id")).agg(count(lit(1)).as("m"))
       .withColumn("arm", armCol("user_id", splitPct))
-      .persist() // observed stats + the replicate explode (caller owns)
+      .localCheckpoint(false)
     // |mean diff| in micro units: the DIV runs on a NONNEGATIVE
     // numerator (Spark DIV truncates toward zero, DuckDB // floors —
     // they only agree on nonnegatives, the house rule), the sign is

@@ -1124,6 +1124,87 @@ object Profile {
       .orderBy(col("bin").asc)
   }
 
+  /** James–Stein shrunk per-source means — the empirical-Bayes
+    * correction (Stein 1961; Efron & Morris 1975's batting-average
+    * form) for the winner's-curse every per-source league table
+    * suffers: a small source's raw mean doc length is mostly noise,
+    * and ranking by raw means systematically crowns small-n flukes.
+    * Each source's mean shrinks toward the grand mean by
+    *   B_i = σ²_w/n_i / (σ²_w/n_i + τ²),  τ² = max(0, between-var −
+    *   mean within-SE²),
+    * the standard method-of-moments EB estimator: noisy means shrink
+    * hard, well-measured ones barely move.
+    *
+    * Exact milli/bp ladder (decimal cross-moments, the mdePower
+    * variance shape; B in bp via one DIV — both engines floor
+    * identically). A `rank_moved` column counts how far the source
+    * moved between the raw and shrunk league tables — the
+    * winner's-curse receipt.
+    *
+    * Scale shape: one corpus pass to source-grain moments, the
+    * ladder at source grain (≤ sources rows), two rank windows over
+    * that grain. Columns: source, n_docs, raw_mean_milli,
+    * shrunk_mean_milli, shrink_bp (B_i — 10000 = collapsed to the
+    * grand mean), rank_raw, rank_shrunk, rank_moved. */
+  def jamesSteinMeans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val mo = docs
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+        sum(expr(s"CAST(n_chars AS $dec) * n_chars")).as("q"))
+      .localCheckpoint(false) // grand moments + the ladder
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = mo
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("gn", sum(col("n")).over(wAll))
+      .withColumn("gs", sum(col("s")).over(wAll))
+      .withColumn("raw_mean_milli", expr("(1000 * s) DIV n"))
+      .withColumn("grand_milli", expr("(1000 * gs) DIV gn"))
+      // within-source variance (milli² scale), pooled across sources
+      .withColumn("__vw_milli", when(col("n") > 1L, expr(
+        s"""CAST((1000000 * (n * q - CAST(s AS $dec) * s))
+           |DIV (CAST(n AS $dec) * (n - 1)) AS BIGINT)""".stripMargin)))
+      .withColumn("__pool_vw", expr(
+        s"""CAST(sum(CAST(__vw_milli AS $dec) * (n - 1)) OVER ()
+           |DIV greatest(sum(n - 1) OVER (), 1) AS BIGINT)"""
+          .stripMargin))
+      // between-source variance of raw means (milli²)
+      .withColumn("__dev", col("raw_mean_milli") - col("grand_milli"))
+      .withColumn("__between", expr(
+        s"""CAST(sum(CAST(__dev AS $dec) * __dev) OVER ()
+           |DIV greatest(k - 1, 1) AS BIGINT)""".stripMargin))
+      // τ² = max(0, between − mean within-SE²); SE²_i = vw/n_i
+      .withColumn("__mean_se2",
+        expr("sum(__pool_vw DIV n) OVER () DIV k"))
+      .withColumn("__tau2",
+        greatest(col("__between") - col("__mean_se2"), lit(0L)))
+      // B_i in bp: SE²_i / (SE²_i + τ²)
+      .withColumn("__se2", expr("__pool_vw DIV n"))
+      .withColumn("shrink_bp",
+        when(col("__se2") + col("__tau2") > 0L,
+          expr("(10000 * __se2) DIV (__se2 + __tau2)"))
+          .otherwise(lit(0L)))
+      .withColumn("shrunk_mean_milli",
+        col("raw_mean_milli") -
+          expr(s"""CAST((CASE WHEN __dev < 0 THEN -1 ELSE 1 END)
+            | * ((shrink_bp * abs(CAST(__dev AS $dec))) DIV 10000)
+            |AS BIGINT)""".stripMargin))
+    val wRaw = Window.orderBy(col("raw_mean_milli").desc,
+      col("source").asc)
+    val wShr = Window.orderBy(col("shrunk_mean_milli").desc,
+      col("source").asc)
+    g.withColumn("rank_raw", row_number().over(wRaw).cast("long"))
+      .withColumn("rank_shrunk", row_number().over(wShr).cast("long"))
+      .select(col("source"), col("n").as("n_docs"),
+        col("raw_mean_milli"), col("shrunk_mean_milli"),
+        col("shrink_bp"), col("rank_raw"), col("rank_shrunk"),
+        abs(col("rank_raw") - col("rank_shrunk")).as("rank_moved"))
+      .orderBy(col("source").asc)
+  }
+
   /** Monthly revenue-concentration trend — [[engagementInequality]]
     * unrolled over time: the exact Gini of customer revenue and the
     * top-decile share, one row per calendar month. A static Gini

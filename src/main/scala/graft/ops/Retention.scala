@@ -2439,7 +2439,9 @@ object Retention {
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("x"),
         sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("y"))
-      .persist() // feeds both rank walks + the join (caller owns)
+      // localCheckpoint: structurally q219's daily frame — keep it
+      // out of the cache registry (the q299 substitution rule)
+      .localCheckpoint(false)
     def rank2Of(valueCol: String): DataFrame = {
       val wv = Window.orderBy(col(valueCol))
       daily.groupBy(col(valueCol))
@@ -2601,6 +2603,83 @@ object Retention {
           .as("delta_cents"),
         expr(s"CAST(abs(__a) DIV ${Experiment.isqrtSql("__b")} AS BIGINT)")
           .as("score_cents"))
+  }
+
+  /** Maximum drawdown of the cumulative revenue DEVIATION walk —
+    * the finance-desk read of a revenue series (peak-to-trough of
+    * D_t = Σ_{s≤t}(y_s − ȳ), the detrended cumulative sum): the
+    * deepest sustained under-performance stretch against the
+    * period's own run rate, with its exact bounds. CUSUM (q212)
+    * walks the same deviations against a drift target and resets;
+    * the drawdown keeps the whole walk and reports its worst
+    * peak→trough excursion — "we spent March–May digging out of
+    * February" as one row.
+    *
+    * Exact integers: D_t in n-scaled units (n·C_t − t·S, the q334
+    * A-trick — no mean division, no floats), the running peak a
+    * prefix-max window, ties broken earliest on both engines.
+    * Dark days are true zeros via the dense spine.
+    *
+    * Scale shape: one fact pass to day grain; the walk is three
+    * windows over the calendar spine (metadata). Output is 1 row.
+    *
+    * Columns: peak_day, trough_day, drawdown_cents (⌊max(peak−D)/n⌋
+    * back in cents), dd_days (peak→trough span), recovered (walk
+    * returned to the peak level by period end). */
+  def revenueDrawdown(orders: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val day = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+    val spine = day
+      .agg(min(col("daynum")).as("mn"), max(col("daynum")).as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("daynum"))
+    val wCum = Window.orderBy(col("daynum"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val walk = spine.join(day, Seq("daynum"), "left")
+      .select(col("daynum"), coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("t", row_number().over(Window.orderBy(col("daynum")))
+        .cast("long"))
+      .withColumn("c", sum(col("cents")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("cents")).over(wAll))
+      // D_t scaled by n: n·C_t − t·S (exact, no mean division)
+      .withColumn("d", expr(s"n * CAST(c AS $dec) - CAST(t AS $dec) * s"))
+      .withColumn("peak", max(col("d")).over(wCum))
+      .withColumn("dd", col("peak") - col("d"))
+    val walkCk = walk
+      .select(col("daynum"), col("n"), col("d"), col("peak"), col("dd"))
+      .localCheckpoint(false) // trough pick + peak-day + recovery
+    val trough = walkCk
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("dd").desc, col("daynum").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("daynum").as("__td"), col("n"), col("peak"),
+        col("dd"))
+    // peak day = earliest day attaining the trough's peak level;
+    // recovered = the walk touches that level again at/after trough
+    val around = walkCk.select(col("daynum").as("pd"), col("d"))
+      .crossJoin(broadcast(trough))
+      .agg(
+        min(when(col("d") === col("peak") && col("pd") <= col("__td"),
+          col("pd"))).as("peak_daynum"),
+        max(when(col("pd") >= col("__td"), col("d"))).as("__after_max"))
+    trough.crossJoin(broadcast(around))
+      .select(
+        date_format(expr(
+          "date_add('1970-01-01', CAST(peak_daynum AS INT))"),
+          "yyyy-MM-dd").as("peak_day"),
+        date_format(expr("date_add('1970-01-01', CAST(__td AS INT))"),
+          "yyyy-MM-dd").as("trough_day"),
+        expr("CAST(dd DIV n AS BIGINT)").as("drawdown_cents"),
+        (col("__td") - col("peak_daynum")).as("dd_days"),
+        coalesce(col("__after_max") >= col("peak"), lit(false))
+          .cast("int").as("recovered"))
   }
 
   /** Calendar gap islands — the gaps-and-islands read of the order

@@ -919,10 +919,14 @@ object Similarity {
     require(k >= 1, "k >= 1")
     require(sampleMod >= 1L, "sampleMod >= 1")
     val dec = "decimal(38,0)"
+    // localCheckpoint, not persist: a cached copy of this sample
+    // frame is structurally q326's subtree at the default mod, and
+    // CacheManager would substitute it into that plan (the q299
+    // cross-query cache-substitution rule)
     val s = corpusOf(emb, quant0)
       .filter(col("vec_id") % sampleMod === 0L)
       .select(col("vec_id"), col("q"), col("n2"))
-      .persist() // both cross sides + the antihub join (caller owns)
+      .localCheckpoint(false)
     val queries = s.select(col("vec_id").as("query_id"),
       col("q").as("q_q"), col("n2").as("q_n2"))
     val w = Window.partitionBy(col("query_id"))

@@ -3607,6 +3607,66 @@ class OpsSpec extends SparkSpec {
       ("srcB", 2L, 0L, 0L, Some(7071L))))
   }
 
+  test("jamesSteinMeans matches a BigInt EB ladder; shrink pulls toward the grand mean") {
+    val docs = graft.tables.Tables(spark, sf, "documents")
+    val got = graft.ops.Profile.jamesSteinMeans(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s2 = spark
+    import s2.implicits._
+    val mo = docs.filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+        sum(col("n_chars") * col("n_chars")).as("q"))
+      .as[(String, Long, Long, Long)].collect()
+    val k = mo.length
+    val gn = mo.map(_._2).sum; val gs = mo.map(_._3).sum
+    val grand = BigInt(1000) * gs / gn
+    def raw(t: (String, Long, Long, Long)) = BigInt(1000) * t._3 / t._2
+    def vw(t: (String, Long, Long, Long)): Option[BigInt] =
+      if (t._2 > 1)
+        Some((BigInt(1000000) * (BigInt(t._2) * t._4 - BigInt(t._3) * t._3)) /
+          (BigInt(t._2) * (t._2 - 1)))
+      else None
+    val pool = mo.flatMap(t => vw(t).map(_ * (t._2 - 1))).sum /
+      mo.map(t => BigInt(t._2 - 1)).sum.max(1)
+    val between = mo.map(t => (raw(t) - grand) * (raw(t) - grand)).sum /
+      BigInt(k - 1).max(1)
+    val meanSe2 = mo.map(t => pool / t._2).sum / k
+    val tau2 = (between - meanSe2).max(0)
+    for (t <- mo) {
+      val se2 = pool / t._2
+      val b = if (se2 + tau2 > 0) BigInt(10000) * se2 / (se2 + tau2)
+        else BigInt(0)
+      val dev = raw(t) - grand
+      val shrunk = raw(t) - dev.signum * (b * dev.abs / 10000)
+      val row = got(t._1)
+      assert(BigInt(row.getAs[Long]("shrink_bp")) == b, s"${t._1} B")
+      assert(BigInt(row.getAs[Long]("shrunk_mean_milli")) == shrunk,
+        s"${t._1} shrunk")
+      // shrinkage never crosses the grand mean
+      assert((shrunk - grand).signum * dev.signum >= 0, s"${t._1} cross")
+    }
+  }
+
+  test("revenueDrawdown: engineered dip pins peak/trough/depth; recovery flag flips") {
+    val s2 = spark
+    import s2.implicits._
+    // cents 300,100,100,300,300 → D(n·scale) peaks at day 1 (400),
+    // troughs day 3 (−800): dd 1200/n = 240¢, never recovers
+    val dip = Seq(("2024-01-01", 3.0), ("2024-01-02", 1.0),
+      ("2024-01-03", 1.0), ("2024-01-04", 3.0), ("2024-01-05", 3.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = graft.ops.Retention.revenueDrawdown(dip)
+      .as[(String, String, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(("2024-01-01", "2024-01-03", 240L, 2L, 0)))
+    // 300,100,500: the walk returns to its peak level → recovered 1
+    val rec = Seq(("2024-01-01", 3.0), ("2024-01-02", 1.0),
+      ("2024-01-03", 5.0)).toDF("o_orderdate", "o_totalprice")
+    val got2 = graft.ops.Retention.revenueDrawdown(rec)
+      .as[(String, String, Long, Long, Int)].collect().toSeq
+    assert(got2 == Seq(("2024-01-01", "2024-01-02", 200L, 1L, 1)))
+  }
+
   test("sourceTransferMatrix: disjoint-vocabulary sources cost the add-1 fallback") {
     val s2 = spark
     import s2.implicits._
