@@ -13755,7 +13755,7 @@ object Oracles {
     // Deng et al. delta-method ladder: HUGEINT cross-moments, milli
     // ratio, micro-scaled variance numerator, q204 isqrt, z=1960
     "q337_ratio_delta" -> {
-      val isq = isqrtDuck("vb")
+      val isq = isqrtHuge("vb")
       s"""WITH u AS (
          |  SELECT user_id,
          |         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
@@ -13794,7 +13794,7 @@ object Oracles {
          |  FROM rr),
          |sb AS (
          |  SELECT *, CASE WHEN n_users > 1 AND vnum IS NOT NULL THEN
-         |      CAST(greatest(vnum, 0::HUGEINT) // (n_users - 1) AS BIGINT)
+         |      greatest(vnum, 0::HUGEINT) // (n_users - 1)
          |    END AS vb
          |  FROM vn),
          |se AS (
@@ -14141,7 +14141,8 @@ object Oracles {
          |           // (CAST(n_customers AS HUGEINT) * revenue_cents)
          |           AS BIGINT) END AS gini_bp,
          |       CASE WHEN revenue_cents > 0 THEN
-         |         (10000 * top) // revenue_cents END AS top_decile_bp
+         |         CAST((10000 * CAST(top AS HUGEINT)) // revenue_cents
+         |           AS BIGINT) END AS top_decile_bp
          |FROM g ORDER BY month""".stripMargin,
 
     // ≤100-row ending histogram; head by (count desc, ending asc),
@@ -14468,10 +14469,10 @@ object Oracles {
          |  FROM edges LEFT JOIN cn USING (bin)),
          |p AS (
          |  SELECT *,
-         |         (1000000 * (ref_n + 1)) // (SELECT SUM(ref_n + 1) FROM j)
-         |           AS ref_ppm,
-         |         (1000000 * (cur_n + 1)) // (SELECT SUM(cur_n + 1) FROM j)
-         |           AS cur_ppm
+         |         greatest((1000000 * (ref_n + 1))
+         |           // (SELECT SUM(ref_n + 1) FROM j), 1) AS ref_ppm,
+         |         greatest((1000000 * (cur_n + 1))
+         |           // (SELECT SUM(cur_n + 1) FROM j), 1) AS cur_ppm
          |  FROM j)
          |SELECT CAST(bin AS BIGINT) AS bin, lo_cents, hi_cents,
          |       ref_n, cur_n,

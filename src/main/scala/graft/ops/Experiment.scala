@@ -758,13 +758,17 @@ object Experiment {
     // numerator (Spark DIV truncates toward zero, DuckDB // floors —
     // they only agree on nonnegatives, the house rule), the sign is
     // re-applied outside
+    // BOTH cross-products in decimal(38,0): (s−s_a)·n_a is a
+    // Long×Long product that wraps silently past 2^63 where the
+    // oracle's HUGEINT stays exact (round-9 advice — the same
+    // boundary-product class as abcXyz/revenueRetention)
     def tMicro(nC: String, naC: String, saC: String, sC: String) =
       expr(s"""CAST((1000000 * abs(CAST($saC AS $dec) * ($nC - $naC)
-        | - ($sC - $saC) * $naC)) DIV (CAST($naC AS $dec) * ($nC - $naC))
+        | - CAST($sC - $saC AS $dec) * $naC)) DIV (CAST($naC AS $dec) * ($nC - $naC))
         |AS BIGINT)""".stripMargin)
     def tSign(nC: String, naC: String, saC: String, sC: String) =
       expr(s"""CASE WHEN CAST($saC AS $dec) * ($nC - $naC)
-        | < ($sC - $saC) * $naC THEN -1 ELSE 1 END""".stripMargin)
+        | < CAST($sC - $saC AS $dec) * $naC THEN -1 ELSE 1 END""".stripMargin)
     val obs = users.agg(
         count(lit(1)).as("n"),
         sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
@@ -802,6 +806,10 @@ object Experiment {
           .as("n_extreme"))
       .withColumn("p_milli",
         expr("(1000 * (1 + n_extreme)) DIV (reps + 1)"))
+      // empty-input parity: the oracle's GROUP-BY-free CTE chain
+      // yields 0 rows on an empty events table, while a global agg
+      // here would emit one degenerate (reps=0) row — drop it
+      .filter(col("reps") > 0L)
   }
 
   /** Minimum-detectable-effect / power calculator from exact moments
@@ -994,11 +1002,17 @@ object Experiment {
            | + CAST(ratio_milli AS $dec) * ratio_milli *
            |   (n_users * qss - CAST(sum_events AS $dec) * sum_events)"""
           .stripMargin)))
-      .withColumn("se_milli",
+      // the radicand is ~1e6·n·Var(r_cents) and exceeds 2^63 at
+      // modest scale (≈1e5 users with σ≈$100/user) — keep it in
+      // decimal(38,0) and take the root with isqrtDecSql, the same
+      // >2^62 pattern wilsonCi uses (round-9 advice; a BIGINT cast
+      // here NULLs silently where the oracle's HUGEINT cast errors)
+      .withColumn("__rad",
         when(col("n_users") > 1L && col("__vnum").isNotNull,
-          expr(s"""${isqrtSql(
-            s"CAST(GREATEST(__vnum, CAST(0 AS $dec)) DIV (n_users - 1) AS BIGINT)")}
-            | DIV sum_events""".stripMargin)))
+          expr(s"GREATEST(__vnum, CAST(0 AS $dec)) DIV (n_users - 1)")))
+      .withColumn("se_milli",
+        when(col("__rad").isNotNull,
+          expr(s"${isqrtDecSql("__rad")} DIV sum_events")))
       .withColumn("ci_lo_milli",
         col("ratio_milli") - expr("(1960 * se_milli) DIV 1000"))
       .withColumn("ci_hi_milli",

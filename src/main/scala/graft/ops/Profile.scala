@@ -1112,8 +1112,15 @@ object Profile {
       .withColumn("__ct", sum(col("cur_n") + 1L).over(
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-      .withColumn("ref_ppm", expr("(1000000 * (ref_n + 1)) DIV __rt"))
-      .withColumn("cur_ppm", expr("(1000000 * (cur_n + 1)) DIV __ct"))
+      // clamp both shares to ≥1 ppm: once a half exceeds ~1e6 rows a
+      // drained bin's add-1-smoothed share floors to 0 and ln(p/q)
+      // diverges (+Inf casts to Long.MaxValue here, errors in
+      // DuckDB) — the greatest(·,1) floor keeps the log term finite
+      // and identical on both engines (round-9 advice)
+      .withColumn("ref_ppm",
+        expr("greatest((1000000 * (ref_n + 1)) DIV __rt, 1)"))
+      .withColumn("cur_ppm",
+        expr("greatest((1000000 * (cur_n + 1)) DIV __ct, 1)"))
       .withColumn("term_micro",
         floor((col("ref_ppm") - col("cur_ppm")).cast("double") *
           log(col("ref_ppm").cast("double") /
@@ -1256,8 +1263,13 @@ object Profile {
            |  - (CAST(n_customers AS $dec) + 1) * revenue_cents))
            |DIV (CAST(n_customers AS $dec) * revenue_cents) AS BIGINT)"""
           .stripMargin)))
+      // 10000·__top in decimal(38,0): past ~9.2e14 cents in one
+      // month's top decile the Long×Long product wraps where the
+      // oracle's HUGEINT errors — the same boundary-product rule as
+      // gini_bp above (round-9 advice)
       .withColumn("top_decile_bp", when(col("revenue_cents") > 0L,
-        expr("(10000 * __top) DIV revenue_cents")))
+        expr(s"CAST((10000 * CAST(__top AS $dec))" +
+          " DIV revenue_cents AS BIGINT)")))
       .withColumn("month", expr(
         "format_string('%04d-%02d', CAST(m DIV 12 AS INT)," +
           " CAST(m % 12 + 1 AS INT))"))

@@ -3274,6 +3274,17 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[Long]("p_milli") == 1000L)
   }
 
+  test("permutationTest empty input: 0 rows, matching the oracle's empty GROUP BY") {
+    val s2 = spark
+    import s2.implicits._
+    val events = Seq.empty[(Long, String)].toDF("user_id", "event_type")
+    // the q335 oracle's CTE chain emits 0 rows on an empty events
+    // table; a bare global agg here would emit one degenerate row —
+    // the reps > 0 guard keeps the engines row-count identical
+    assert(graft.ops.Experiment.permutationTest(events, reps = 5)
+      .collect().isEmpty)
+  }
+
   test("mdePower reproduces a BigInt reimplementation of the moment ladder") {
     val events = graft.tables.Tables(spark, sf, "events")
     val row = graft.ops.Experiment.mdePower(events).collect().head
