@@ -866,68 +866,111 @@ object Market {
     * driver-side distinct-collect); unknown names simply produce a
     * no-op removal row.
     *
-    * Scale shape: ONE sessionize shuffle builds the lag frame; the
-    * chain, start counts, and every one of the (1+|channels|)×K
-    * walk rounds live at event-type(²) grain — bounded-domain
-    * metadata, lineage-truncated per round. */
+    * Scale shape: ONE sessionize shuffle builds the lag frame, which
+    * collapses in the SAME job to (prev, next)-type grain (session
+    * starts ride along as NULL-prev rows) — ≤|types|²+|types| cells,
+    * MODEL-ARTIFACT-sized metadata, the stationaryMix collect class.
+    * The (1+|channels|)×K removal-walk rounds then run as driver
+    * arithmetic in [[markovRemovalLadder]]: iterating bounded-domain
+    * frames as cluster jobs cost 10.7 s of pure stage overhead at
+    * sf0.1 in q350 before the same move, and the shared ladder
+    * serves any streaming twin so batch≡stream parity is by
+    * construction. */
   def markovAttribution(events: DataFrame, channels: Seq[String],
       target: String = "purchase", steps: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(channels.nonEmpty && !channels.contains(target),
       "channels must be non-empty and exclude the target")
+    val spark = events.sparkSession
+    import spark.implicits._
     val bySession = Window
       .partitionBy(col("user_id"), col("session_seq"))
       .orderBy(col("ts"), col("event_id"))
-    val lagged = Sessionize.assignSessions(events)
+    // ONE job: lag pass + type²-grain collapse; NULL prev = session
+    // start (kept by groupBy), split driver-side
+    val cells = Sessionize.assignSessions(events)
       .withColumn("prev_type", lag(col("event_type"), 1).over(bySession))
-      .select(col("event_type"), col("prev_type"))
-      .persist()
-    val tr = lagged.filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
-      .agg(count(lit(1)).as("transitions"))
-    val totals = tr.groupBy("prev_type")
-      .agg(sum("transitions").as("from_total"))
-    val m = tr.join(broadcast(totals), Seq("prev_type"))
-      .select(col("prev_type"), col("next_type"),
-        expr("transitions * 10000L div from_total").as("prob_bp"))
-      .localCheckpoint(false)
-    val starts = lagged.filter(col("prev_type").isNull)
-      .groupBy(col("event_type").as("start_type"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
-    // 1-row start-weighted reach of a chain; `excluded` starts score 0
-    def pOf(chain: DataFrame, excluded: Option[String]): DataFrame = {
-      val base = starts
-        .join(broadcast(reachFrom(chain, target, steps)),
-          Seq("start_type"), "left")
-        .withColumn("a",
-          when(col("start_type") === target, lit(10000L))
-            .otherwise(coalesce(col("a_bp"), lit(0L))))
-      val cut = excluded.fold(base)(c =>
-        base.withColumn("a",
-          when(col("start_type") === c, lit(0L)).otherwise(col("a"))))
-      cut.agg(expr("sum(n * a) DIV sum(n)").as("p_bp"))
-    }
-    val pFull = pOf(m, None).select(col("p_bp").as("p_full_bp"))
-    val rows = channels.map { c =>
-      pOf(m.filter(col("prev_type") =!= c && col("next_type") =!= c),
-        Some(c))
-        .select(lit(c).as("channel"), col("p_bp").as("p_removed_bp"))
-    }.reduce(_ unionByName _)
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    rows.crossJoin(broadcast(pFull))
-      .withColumn("removal_bp",
-        when(col("p_full_bp") > 0L,
-          floor(lit(10000.0) * (col("p_full_bp") - col("p_removed_bp")) /
-            col("p_full_bp")).cast("long")))
-      .withColumn("credit_bp",
-        when(sum(col("removal_bp")).over(wAll) > 0L,
-          floor(lit(10000.0) * col("removal_bp") /
-            sum(col("removal_bp")).over(wAll)).cast("long")))
-      .select(col("channel"), col("p_full_bp"), col("p_removed_bp"),
-        col("removal_bp"), col("credit_bp"))
+      .agg(count(lit(1)).as("c"))
+      .as[(Option[String], String, Long)].collect() // sanctioned: type² cells
+    val matrix = cells.collect { case (Some(p), n, c) => (p, n) -> c }.toMap
+    val starts = cells.collect { case (None, n, c) => n -> c }.toMap
+    val out = markovRemovalLadder(matrix, starts, channels, target, steps)
+      .map { case (ch, pf, pr, rm, cr) =>
+        (ch, pf.map(Long.box).orNull, pr.map(Long.box).orNull,
+          rm.map(Long.box).orNull, cr.map(Long.box).orNull)
+      }
+    spark.createDataFrame(out).toDF("channel", "p_full_bp",
+        "p_removed_bp", "removal_bp", "credit_bp")
       .orderBy(col("removal_bp").desc, col("channel").asc)
+  }
+
+  /** The q292 integer ladder over a collected ((prev, next) → count)
+    * matrix + (start type → count) weights — [[markovAttribution]]'s
+    * walk as pure driver arithmetic, shareable with a streaming twin
+    * (the [[stationaryWalk]] convention). Edge probabilities floor to
+    * bp off the FULL matrix's row totals; a removal world deletes
+    * every edge touching the channel WITHOUT renormalizing (per
+    * Anderl 2014 — stranded paths simply never absorb); per-round
+    * per-term floors match the unrolled oracle CTEs exactly.
+    * Returns one (channel, p_full_bp, p_removed_bp, removal_bp,
+    * credit_bp) row per channel; None mirrors the SQL NULLs on
+    * empty input / zero-reach edges. */
+  private[graft] def markovRemovalLadder(
+      matrix: Map[(String, String), Long], starts: Map[String, Long],
+      channels: Seq[String], target: String, steps: Int)
+      : Seq[(String, Option[Long], Option[Long], Option[Long],
+             Option[Long])] = {
+    // prob_bp off the full matrix (removal keeps original edge probs)
+    val fromTotal = matrix.groupBy(_._1._1)
+      .map { case (p, m) => p -> m.values.sum }
+    val prob = matrix.map { case ((p, n), c) =>
+      (p, n) -> 10000L * c / fromTotal(p) }
+    // K-step absorption toward target over the (optionally cut) edge
+    // set: a(x) = 0 for types with no surviving outgoing edge — the
+    // same zero the cluster walk's left-join coalesce produced
+    def reach(excluded: Option[String]): Map[String, Long] = {
+      val edges = prob.filter { case ((p, n), _) =>
+        excluded.forall(c => p != c && n != c) }
+      val a1 = edges.keys.map(_._1).toSeq.distinct
+        .map(p => p -> edges.getOrElse((p, target), 0L)).toMap
+      (2 to steps).foldLeft(a1) { (a, _) =>
+        a1.map { case (p, direct) =>
+          val hop = edges.collect {
+            case ((`p`, x), bp) if x != target =>
+              bp * a.getOrElse(x, 0L) / 10000L
+          }.sum
+          p -> (direct + hop)
+        }
+      }
+    }
+    // start-weighted reach; a start AT the target is reached in both
+    // worlds, a start at the removed channel contributes zero
+    def pOf(a: Map[String, Long], excluded: Option[String]): Option[Long] = {
+      val tot = starts.values.sum
+      if (tot == 0L) None
+      else Some(starts.map { case (s, n) =>
+        val v = if (excluded.contains(s)) 0L
+          else if (s == target) 10000L
+          else a.getOrElse(s, 0L)
+        n * v
+      }.sum / tot)
+    }
+    val pFull = pOf(reach(None), None)
+    val rows = channels.map(c => c -> pOf(reach(Some(c)), Some(c)))
+    val removals = rows.map { case (_, pRem) =>
+      for (pf <- pFull if pf > 0L; pr <- pRem)
+        yield math.floor(10000.0 * (pf - pr) / pf).toLong
+    }
+    val sumRem = removals.flatten match {
+      case Nil => None
+      case xs  => Some(xs.sum)
+    }
+    rows.zip(removals).map { case ((c, pRem), rm) =>
+      val credit = for (s <- sumRem if s > 0L; r <- rm)
+        yield math.floor(10000.0 * r / s).toLong
+      (c, pFull, pRem, rm, credit)
+    }
   }
 
   /** Supplier Pareto frontier (skyline) on mean unit cost vs mean
