@@ -43,13 +43,18 @@ object Bench {
   val StdoutBudget = 1850
 
   def stdoutLine(total: String, queriesJson: String, ioTotal: String,
-      sfDir: String): (String, Option[String]) = {
+      sfDir: String, load: String = "[0,0]"): (String, Option[String]) = {
+    // `load` = [loadavg-1m at start, at end] — both IN the artifact
+    // so a polluted run is self-evident from the stdout tail alone
+    // (round 9 only had loadavg_end, on stderr)
     val full =
       s"""{"metric":"steady_total","value":$total,"unit":"sec",""" +
-        s""""queries":$queriesJson,"io_total":$ioTotal,"sf":"$sfDir"}"""
+        s""""queries":$queriesJson,"io_total":$ioTotal,""" +
+        s""""load":$load,"sf":"$sfDir"}"""
     if (full.length <= StdoutBudget) (full, None)
     else (s"""{"metric":"steady_total","value":$total,"unit":"sec",""" +
-      s""""queries_in_stderr":true,"io_total":$ioTotal,"sf":"$sfDir"}""",
+      s""""queries_in_stderr":true,"io_total":$ioTotal,""" +
+      s""""load":$load,"sf":"$sfDir"}""",
       Some(queriesJson))
   }
 
@@ -81,6 +86,13 @@ object Bench {
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
     catch { case _: Throwable => "n/a" }
+
+  /** First (1-minute) loadavg field as a bare number for the JSON
+    * line; "0" when /proc is unreadable. */
+  private def load1m(): String = loadavg().split(' ').head match {
+    case s if s.matches("\\d+(\\.\\d+)?") => s
+    case _ => "0"
+  }
 
   private[graft] val HistoryPath = java.nio.file.Paths.get("target/bench_history.json")
 
@@ -153,6 +165,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     System.err.println(s"[bench] loadavg_start=${loadavg()}")
+    val loadStart = load1m()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -266,12 +279,14 @@ object Bench {
     val steadyTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     System.err.println(s"[bench] cold_total=${f(coldTotal)} steady_total=${f(steadyTotal)}")
+    val loadJson = s"[$loadStart,${load1m()}]"
     val (line, overflowMap) =
-      Bench.stdoutLine(f(steadyTotal), steady, ioTotal, sfDir)
+      Bench.stdoutLine(f(steadyTotal), steady, ioTotal, sfDir, loadJson)
     overflowMap.foreach(m => System.err.println(s"[bench] queries=$m"))
     writeMirror(
       s"""{"metric":"steady_total","value":${f(steadyTotal)},"unit":"sec",""" +
-        s""""queries":$steady,"io_total":$ioTotal,"sf":"$sfDir"}""")
+        s""""queries":$steady,"io_total":$ioTotal,""" +
+        s""""load":$loadJson,"sf":"$sfDir"}""")
     // full runs only: an SPARK_GRAFT_ONLY subset would otherwise
     // shrink the history section and blind the next full run's
     // cross-run trigger for every query outside the subset

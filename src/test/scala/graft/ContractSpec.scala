@@ -40,9 +40,10 @@ class ContractSpec extends AnyFunSuite {
     // adversarial digits: the fallback must engage and still fit
     val worst = ids.map(n => s""""$n":999.99""").mkString("{", ",", "}")
     val (wLine, wOverflow) = Bench.stdoutLine("99999.999", worst,
-      "[10000000,104857600]", "/root/testdata/sf0.1")
+      "[10000000,104857600]", "/root/testdata/sf0.1", "[999.99,999.99]")
     assert(wLine.length <= 1850, s"fallback line still too long: ${wLine.length}B")
     assert(wLine.contains("\"value\":99999.999"), wLine)
+    assert(wLine.contains("\"load\":[999.99,999.99]"), wLine)
     // realistic digits: past ~160 queries even a compact map exceeds
     // the tail budget — the fallback MUST engage (aggregate line stays
     // parseable, full map reaches the driver via the stderr tail)

@@ -41,7 +41,11 @@ class SharedSpec extends SparkSpec {
     // answer bit-for-bit, proving correctness does not depend on
     // WHICH build produced the blocks (the executor-loss recovery
     // guarantee; perf is the artifact's job, correctness is this one)
-    val names = Seq("q200_zorder_cells", "q42_neardup_clusters")
+    // q321/q307 additionally exercise the layered calendar artifacts
+    // (day_revenue → day_revenue_dense → stl_remainder): the rebuild
+    // must regenerate the whole chain, not serve a half-dead layer
+    val names = Seq("q200_zorder_cells", "q42_neardup_clusters",
+      "q321_deseasonalized_cusum", "q307_runs_test")
     def run(n: String): Seq[String] =
       SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq
     val before = names.map(n => n -> run(n)).toMap
