@@ -142,6 +142,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minuteTrend watermark edge: beyond-horizon late row dropped, in-horizon late row re-upserts, batch parity on survivors") {
+    val s = spark
+    import s.implicits._
+    val store = "trend-watermark"
+    InMemoryStore.clear(store)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[String]
+    val q = AdClickStream.trendQuery(mem.toDF(), InMemoryProvider(store), ckpt)
+    try {
+      // batch 1: minutes 0 and 1
+      mem.addData(line(T0, "E", "M", 1, 9), line(T0 + 30000, "E", "M", 2, 9),
+        line(T0 + 65000, "E", "M", 3, 9))
+      q.processAllAvailable()
+      // batch 2: minute 5 → watermark (2 min delay) advances to
+      // minute 3; the minute-0/1 windows evict from state
+      mem.addData(line(T0 + 300000, "E", "M", 4, 9))
+      q.processAllAvailable()
+      // batch 3: a late row for minute 0 crosses the watermark and
+      // must be DROPPED (its store bucket stays at the batch-1
+      // total); a late row for minute 4 is within the horizon and
+      // must re-upsert
+      mem.addData(line(T0 + 40000, "E", "M", 5, 9),
+        line(T0 + 250000, "E", "M", 6, 9))
+      q.processAllAvailable()
+      val st = new InMemoryStore(store)
+      val got = st.scan("ad_click_trend").toMap
+      assert(got == Map(
+        List("202601010000", "9") -> 2L, // NOT 3: late row dropped
+        List("202601010001", "9") -> 1L,
+        List("202601010004", "9") -> 1L,
+        List("202601010005", "9") -> 1L))
+      // q16 batch-twin parity on the SURVIVING rows: the store must
+      // equal AdAnalytics.clickTrend over exactly the rows the
+      // watermark admitted (all but the dropped minute-0 straggler)
+      val survivors = Seq(
+        line(T0, "E", "M", 1, 9), line(T0 + 30000, "E", "M", 2, 9),
+        line(T0 + 65000, "E", "M", 3, 9), line(T0 + 300000, "E", "M", 4, 9),
+        line(T0 + 250000, "E", "M", 6, 9)).toDF("value")
+      val twin = AdAnalytics.clickTrend(
+        AdAnalytics.parseAdLog(survivors), windowMinutes = 60)
+        .collect()
+        .map(r => List(r.getString(0), r.getLong(1).toString) -> r.getLong(2))
+        .toMap
+      assert(twin == got, "stream store diverged from the batch twin")
+    } finally q.stop()
+  }
+
   test("batch/stream parity: AdAnalytics on the same rows matches the store") {
     val s = spark
     import s.implicits._
