@@ -646,6 +646,11 @@ object ScaleProbe {
         emb, docs, evalMod = 10L * mult))
     t("james stein")(graft.ops.Profile.jamesSteinMeans(docs))
     t("revenue drawdown")(graft.ops.Retention.revenueDrawdown(orders))
+    t("kaplan meier")(graft.ops.Retention.kaplanMeier(events))
+    t("audience union sketch")(
+      graft.ops.Market.audienceUnionChecked(events))
+    t("priority sample")(graft.ops.TrainingPrep.prioritySample(docs))
+    t("good turing")(graft.ops.TextAnalysis.goodTuring(docs))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -382,7 +382,11 @@ object SparkEntry {
     "q352_psi_drift" -> (Queries.psiDrift _),
     "q353_semantic_decontamination" -> (Queries.semanticDecontamination _),
     "q354_james_stein" -> (Queries.jamesSteinMeans _),
-    "q355_revenue_drawdown" -> (Queries.revenueDrawdown _)
+    "q355_revenue_drawdown" -> (Queries.revenueDrawdown _),
+    "q356_kaplan_meier" -> (Queries.kaplanMeier _),
+    "q357_audience_union_sketch" -> (Queries.audienceUnionChecked _),
+    "q358_priority_sample" -> (Queries.prioritySample _),
+    "q359_good_turing" -> (Queries.goodTuring _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2923,6 +2927,32 @@ object Queries {
     * trough days, depth in cents, recovery flag). */
   def revenueDrawdown(spark: SparkSession, dir: String): DataFrame =
     Retention.revenueDrawdown(Tables(spark, dir, "orders"))
+
+  /** Kaplan–Meier survival of user lifetime, right-censored at the
+    * corpus' final observed day (driver product ladder). */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame =
+    Retention.kaplanMeier(Tables(spark, dir, "events"))
+
+  /** Exact audience set algebra per event-type pair + HLL union
+    * bound verdict (the q37 gate machinery). */
+  def audienceUnionChecked(spark: SparkSession, dir: String): DataFrame =
+    Market.audienceUnionChecked(Tables(spark, dir, "events"))
+
+  val PrioritySampleK = 100
+
+  /** Duffield–Lund–Thorup priority sample of documents weighted by
+    * n_chars, with Horvitz–Thompson weights. */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.prioritySample(Tables(spark, dir, "documents"),
+      PrioritySampleK)
+
+  val GoodTuringHeadR = 10
+
+  /** Good–Turing frequency-of-frequencies + unseen-mass estimate
+    * over the documents token stream. */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.goodTuring(Tables(spark, dir, "documents"),
+      GoodTuringHeadR)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -14637,6 +14667,142 @@ object Oracles {
          |    WHERE wk2.daynum >= tr.daynum) >= tr.peak, FALSE)
          |    AS INT) AS recovered
          |FROM tr""".stripMargin,
+
+    // user-grain lifetimes, censor at the corpus max day, then the
+    // sequential floored product as a recursive CTE over the ordered
+    // lifetime table (bounded by the observation span)
+    "q356_kaplan_meier" ->
+      s"""WITH RECURSIVE cns AS (
+         |  SELECT MAX(CAST(ts AS DATE)) AS censor_d
+         |  FROM events WHERE ts IS NOT NULL),
+         |u AS (
+         |  SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+         |         MAX(CAST(ts AS DATE)) AS l
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |  GROUP BY 1),
+         |lt AS (
+         |  SELECT CAST(date_diff('day', u.f, u.l) AS BIGINT) AS t,
+         |         CAST(SUM(CASE WHEN u.l = cns.censor_d THEN 0 ELSE 1 END)
+         |           AS BIGINT) AS d,
+         |         CAST(SUM(CASE WHEN u.l = cns.censor_d THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS c
+         |  FROM u, cns GROUP BY 1),
+         |ord AS MATERIALIZED (
+         |  SELECT t, d, c,
+         |         CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+         |         CAST(SUM(d + c) OVER () AS BIGINT)
+         |           - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |             0) AS BIGINT) AS n_risk
+         |  FROM lt),
+         |rec AS (
+         |  SELECT i, t, d, c, n_risk,
+         |         CAST(CASE WHEN d > 0
+         |           THEN (1000000 * (n_risk - d)) // n_risk
+         |           ELSE 1000000 END AS BIGINT) AS s
+         |  FROM ord WHERE i = 1
+         |  UNION ALL
+         |  SELECT o.i, o.t, o.d, o.c, o.n_risk,
+         |         CAST(CASE WHEN o.d > 0
+         |           THEN (rec.s * (o.n_risk - o.d)) // o.n_risk
+         |           ELSE rec.s END AS BIGINT)
+         |  FROM ord o JOIN rec ON o.i = rec.i + 1)
+         |SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
+         |       s AS survival_ppm
+         |FROM rec WHERE d > 0 ORDER BY t_days""".stripMargin,
+
+    // one user×type dedup feeds every pair; inclusion–exclusion
+    // intersection; the sketch verdict is the q37 literal-1 gate
+    "q357_audience_union_sketch" ->
+      s"""WITH ut AS MATERIALIZED (
+         |  SELECT DISTINCT user_id, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         |ty AS (SELECT DISTINCT event_type FROM ut),
+         |pairs AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM ty a, ty b WHERE a.event_type < b.event_type)
+         |SELECT p.type_a, p.type_b,
+         |       CAST(COUNT(DISTINCT CASE WHEN u.event_type = p.type_a
+         |         THEN u.user_id END) AS BIGINT) AS n_a,
+         |       CAST(COUNT(DISTINCT CASE WHEN u.event_type = p.type_b
+         |         THEN u.user_id END) AS BIGINT) AS n_b,
+         |       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_union,
+         |       CAST(COUNT(DISTINCT CASE WHEN u.event_type = p.type_a
+         |           THEN u.user_id END)
+         |         + COUNT(DISTINCT CASE WHEN u.event_type = p.type_b
+         |           THEN u.user_id END)
+         |         - COUNT(DISTINCT u.user_id) AS BIGINT) AS n_inter,
+         |       CAST(1 AS INT) AS union_sketch_ok
+         |FROM pairs p JOIN ut u
+         |  ON u.event_type IN (p.type_a, p.type_b)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 40-bit md5 hex decode (the q335 instr idiom, 10 nibbles),
+    // q = w·2^40 // h in HUGEINT, τ = the (k+1)-th priority (0 when
+    // the corpus fits), HT weight = greatest(w, τ)
+    "q358_priority_sample" -> {
+      val k = Queries.PrioritySampleK
+      val hex = (1 to 10).map(i =>
+        s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (10 - i))}")
+        .mkString(" + ")
+      s"""WITH sc AS (
+         |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+         |         CAST($hex AS BIGINT) + 1 AS h
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+         |    AND n_chars > 0),
+         |pr AS (
+         |  SELECT doc_id, source, weight,
+         |         CAST((CAST(weight AS HUGEINT) * 1099511627776) // h
+         |           AS BIGINT) AS priority
+         |  FROM sc),
+         |rk AS MATERIALIZED (
+         |  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC)
+         |    AS rk
+         |  FROM pr),
+         |tau AS (
+         |  SELECT CAST(COALESCE(MAX(CASE WHEN rk = ${k + 1}
+         |    THEN priority END), 0) AS BIGINT) AS tau
+         |  FROM rk)
+         |SELECT doc_id, source, weight, priority,
+         |       greatest(weight, tau.tau) AS ht_weight
+         |FROM rk, tau WHERE rk <= $k
+         |ORDER BY priority DESC, doc_id""".stripMargin
+    },
+
+    // token freq → freq-of-freqs; unseen row = N1/N; Turing r* per
+    // head class — all integer floors shared with the Spark side
+    "q359_good_turing" -> {
+      val h = Queries.GoodTuringHeadR
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS r
+         |       FROM tok GROUP BY 1),
+         |ff AS MATERIALIZED (
+         |  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types
+         |  FROM tf GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(r * n_types) AS BIGINT) AS n FROM ff),
+         |head AS (
+         |  SELECT f.r, f.n_types,
+         |         CAST((1000000 * f.r * f.n_types) // nt.n AS BIGINT)
+         |           AS mass_ppm,
+         |         CAST(CASE WHEN f2.n_types IS NOT NULL THEN
+         |             (1000 * (f.r + 1) * f2.n_types) // f.n_types END
+         |           AS BIGINT) AS smoothed_r_milli
+         |  FROM (SELECT * FROM ff ORDER BY r LIMIT $h) f
+         |  LEFT JOIN ff f2 ON f2.r = f.r + 1 CROSS JOIN nt),
+         |n1 AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_types END), 0)
+         |    AS BIGINT) AS n1 FROM ff),
+         |unseen AS (
+         |  SELECT CAST(0 AS BIGINT) AS r, CAST(NULL AS BIGINT) AS n_types,
+         |         CAST((1000000 * n1.n1) // nt.n AS BIGINT) AS mass_ppm,
+         |         CAST(NULL AS BIGINT) AS smoothed_r_milli
+         |  FROM nt, n1)
+         |SELECT * FROM unseen UNION ALL SELECT * FROM head
+         |ORDER BY r""".stripMargin
+    },
 
     // q63 Lehmer splits, per split×feature HUGEINT moments, the
     // Austin |SMD|<0.1 milli ladder with shared floors

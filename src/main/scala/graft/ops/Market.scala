@@ -430,6 +430,54 @@ object Market {
       .orderBy(col("absorb_bp").desc, col("start_type").asc)
   }
 
+  /** Sketched audience set-algebra with an exact gate (the q37
+    * bound-verdict machinery, completing the approx-swap seam ladder
+    * for AUDIENCE counts): per event-type PAIR, the exact distinct
+    * reach of each side, of the union, the inclusion–exclusion
+    * intersection, and a verdict that the HLL union estimate sits
+    * within `maxErrBp` of the exact union. At 100 TB this is the
+    * production shape — HLL registers for A, B, and A∪B merge
+    * map-side with fixed state, while the exact path pays a
+    * distinct-Expand — and the gate is how the sketch stays honest
+    * at test SF. Deterministic output (oracle: exact values +
+    * literal 1): a drifting sketch flips union_sketch_ok and fails
+    * the hash. Columns: type_a, type_b, n_a, n_b, n_union, n_inter,
+    * union_sketch_ok; pairs ordered (type_a < type_b).
+    *
+    * Scale shape: ONE user×type dedup shuffle feeds every pair (the
+    * frame is reused, not re-scanned); each pair's counts are plain
+    * aggregates of it. Pair domain = event types (≤5²) — metadata. */
+  def audienceUnionChecked(events: DataFrame, rsd: Double = 0.015,
+      maxErrBp: Long = 500L): DataFrame = {
+    val ut = events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val types = ut.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b")) // ≤ |types|² rows
+    val sided = ut.join(broadcast(pairs),
+        col("event_type") === col("type_a") ||
+          col("event_type") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count_distinct(when(col("event_type") === col("type_a"),
+          col("user_id"))).as("n_a"),
+        count_distinct(when(col("event_type") === col("type_b"),
+          col("user_id"))).as("n_b"),
+        count_distinct(col("user_id")).as("n_union"),
+        approx_count_distinct(col("user_id"), rsd).as("__sk_union"))
+    sided
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_union"), (col("n_a") + col("n_b") - col("n_union"))
+          .as("n_inter"),
+        (abs(col("__sk_union") - col("n_union")) * lit(10000L) <=
+          col("n_union") * lit(maxErrBp)).cast("int")
+          .as("union_sketch_ok"))
+      .orderBy(col("type_a").asc, col("type_b").asc)
+  }
+
   /** Audience-overlap matrix for the TOP items: exact user-set
     * Jaccard between every pair of the `topK` most-viewed items —
     * "do these two products share an audience" (merchandising reads

@@ -884,6 +884,59 @@ object Retention {
       .orderBy(col("offset_days").asc)
   }
 
+  /** Kaplan–Meier product-limit survival of user LIFETIME (Kaplan &
+    * Meier 1958) — the censoring-aware churn curve next to
+    * [[conversionHazard]]'s discrete hazard: lifetime = days between
+    * a user's first and last event; users whose last activity falls
+    * on the corpus' final observed day are RIGHT-CENSORED (still
+    * alive — treating them as churned is the classic retention
+    * overestimate this estimator exists to fix). One row per event
+    * time t with d>0: n_risk, n_events, n_censored (censorings AT t
+    * leave the risk set after t — the standard convention), and
+    *   S(t) = Π_{t'≤t} (n_{t'} − d_{t'}) / n_{t'}
+    * in ppm with a per-step floor — the sequential floored product is
+    * the defined cross-engine semantics (DuckDB runs the identical
+    * recursion in its recursive CTE).
+    *
+    * Scale shape: ONE fact shuffle to user grain (min/max day), a
+    * lifetime-grain aggregate (≤ observation-span rows — calendar
+    * metadata), and the product ladder on the driver over the
+    * collected lifetime table (the [[Market.stationaryWalk]] class:
+    * iterating a bounded-domain recursion as cluster jobs would be
+    * pure stage overhead). Columns: t_days, n_risk, n_events,
+    * n_censored, survival_ppm. */
+  def kaplanMeier(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val censor = events.filter(col("ts").isNotNull)
+      .agg(max(to_date(col("ts"))).as("censor_d"))
+    val lt = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("f"), max(to_date(col("ts"))).as("l"))
+      .crossJoin(broadcast(censor))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+        (col("l") === col("censor_d")).as("cens"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("cens"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("c"))
+      .as[(Long, Long, Long)].collect() // sanctioned: ≤ span-days rows
+      .sortBy(_._1)
+    val total = lt.map(r => r._2 + r._3).sum
+    var atRisk = total
+    var s = 1000000L
+    val rows = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+    lt.foreach { case (t, d, c) =>
+      if (d > 0L) {
+        s = s * (atRisk - d) / atRisk // per-step floor, both engines
+        rows += ((t, atRisk, d, c, s))
+      }
+      atRisk -= d + c
+    }
+    rows.result().toDF("t_days", "n_risk", "n_events", "n_censored",
+      "survival_ppm").orderBy(col("t_days").asc)
+  }
+
   /** Distribution drift per event type: total-variation distance
     * between the `value` distribution before and after `splitDate` —
     * the data-drift monitor run between a reference window and the

@@ -238,6 +238,53 @@ object TextAnalysis {
       .orderBy(col("rank").asc)
   }
 
+  /** Good–Turing frequency-of-frequencies table with the unseen-mass
+    * estimate (Good 1953; the Gale & Sampson 1995 presentation) —
+    * the "how much vocabulary have we NOT seen yet" read a corpus
+    * owner checks before declaring a source exhausted: the
+    * probability that the next token is a NEVER-SEEN type is
+    * estimated by N₁/N (singleton share), and the Turing-smoothed
+    * count for frequency r is r* = (r+1)·N_{r+1}/N_r. One row per
+    * frequency class r ∈ [1, headR] plus the r=0 unseen row:
+    * n_types (N_r), mass_ppm (floor(10⁶·r·N_r/N); r=0 carries the
+    * N₁/N unseen estimate), and smoothed_r_milli
+    * (floor(1000·(r+1)·N_{r+1}/N_r); NULL where N_{r+1}=0 or r=0) —
+    * all exact integer, no libm.
+    *
+    * Scale shape: one tokenize pass to token grain (map-side
+    * combined — the vocabulary shuffle, same as [[vocabTop]]), one
+    * frequency-class aggregate (≤ max-frequency rows, metadata), a
+    * ≤headR+1-row report. */
+  def goodTuring(docs: DataFrame, headR: Int = 10): DataFrame = {
+    require(headR >= 1, "headR >= 1")
+    val freqs = withTokens(docs)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_types"))
+      .persist() // class-grain: ≤ max token frequency rows
+    val nTotal = freqs.agg(sum(col("r") * col("n_types")).as("n"))
+    val next = freqs.select(col("r").as("__rn"), col("n_types").as("__nn"))
+    // the headR SMALLEST observed classes (a fixed r ≤ headR band is
+    // empty on a saturated vocabulary where every type repeats)
+    val head = freqs.orderBy(col("r").asc).limit(headR)
+      .join(next, col("__rn") === col("r") + 1L, "left")
+      .crossJoin(broadcast(nTotal))
+      .select(col("r"), col("n_types"),
+        expr("(1000000 * r * n_types) DIV n").as("mass_ppm"),
+        expr("CASE WHEN __nn IS NOT NULL THEN" +
+          " (1000 * (r + 1) * __nn) DIV n_types END")
+          .as("smoothed_r_milli"))
+    // always emitted: N₁ = 0 means the estimated unseen mass IS 0 —
+    // a saturated source's exhaustion verdict, not a missing row
+    val n1 = freqs.agg(coalesce(
+      sum(when(col("r") === 1L, col("n_types"))), lit(0L)).as("n1"))
+    val unseen = nTotal.crossJoin(broadcast(n1))
+      .select(lit(0L).as("r"), lit(null).cast("long").as("n_types"),
+        expr("(1000000 * n1) DIV n").as("mass_ppm"),
+        lit(null).cast("long").as("smoothed_r_milli"))
+    unseen.unionByName(head).orderBy(col("r").asc)
+  }
+
   /** Distinctive vocabulary per language: the top-k tokens by term
     * frequency among tokens that are NOT ubiquitous — document
     * frequency ≤ `maxDfBp` basis points of that language's corpus

@@ -369,6 +369,57 @@ object TrainingPrep {
       .select(col("doc_id"), col("source"), col("n_src"), col("keep"))
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007) — weighted
+    * sampling WITHOUT replacement with unbiased subset-sum
+    * estimation: the principled "keep k documents but let big ones
+    * count more" draw a token-budgeted pipeline wants where
+    * [[ppsSample]]'s systematic stride keeps rates, not a fixed k.
+    * Each doc gets priority q = ⌊w·2⁴⁰ / h⌋ where h is its 40-bit
+    * md5 draw + 1 (the house layout-independent randomness; h/2⁴⁰
+    * plays the uniform u so q = w/u exactly as published) and w =
+    * n_chars. The k highest priorities are the sample; with τ = the
+    * (k+1)-th priority, each kept doc's Horvitz–Thompson weight is
+    * max(w, τ) — Σ over the sample estimates Σw over the corpus
+    * unbiasedly (the DLT theorem), which a spec twin checks against
+    * the exact total within tolerance.
+    *
+    * All integer: the DIV runs in decimal(38,0) (w·2⁴⁰ ≤ 10⁶·2⁴⁰
+    * overflows nothing there), priorities and τ are BIGINT, ties
+    * break doc_id-asc.
+    *
+    * Scale shape: one map pass computes priorities; the sample is a
+    * TakeOrdered(k+1) head — no shuffle of the corpus, no window.
+    * Columns: doc_id, source, weight, priority, ht_weight. */
+  def prioritySample(docs: DataFrame, k: Int = 100): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val dec = "decimal(38,0)"
+    val scored = docs
+      .filter(col("doc_id").isNotNull && col("n_chars").isNotNull &&
+        col("n_chars") > 0L)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("weight"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10)" +
+          " AS BIGINT) + 1"))
+      .withColumn("priority", expr(
+        s"CAST((CAST(weight AS $dec) * 1099511627776) DIV h AS BIGINT)"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(k + 1) // TakeOrderedAndProject: the k sample + τ carrier
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("priority").desc, col("doc_id").asc)))
+      .persist()
+    // τ = the (k+1)-th priority; 0 when the corpus fits in k (every
+    // doc kept, HT weight = its own weight — the DLT small-n case)
+    val tau = scored.agg(coalesce(
+      max(when(col("__rk") === k + 1, col("priority"))), lit(0L)).as("tau"))
+    scored
+      .filter(col("__rk") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("source"), col("weight"), col("priority"),
+        greatest(col("weight"), col("tau")).as("ht_weight"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+  }
+
   /** Curriculum quantile buckets: assign each document a difficulty
     * bucket 0..`buckets`-1 by corpus-wide quality rank (here the
     * type-token ratio from `TextAnalysis.textQuality`, descending —

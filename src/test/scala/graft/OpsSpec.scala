@@ -3763,6 +3763,61 @@ class OpsSpec extends SparkSpec {
       ("2024-02", 2L, 1L, 1L, 300L, 300000L, Some(10000L))))
   }
 
+  test("kaplanMeier: hand-unrolled product ladder with right-censoring") {
+    val s2 = spark
+    import s2.implicits._
+    def e(id: Long, u: Long, day: Int) =
+      (id, u, Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00"), "view")
+    // lifetimes: u1=2 (event), u2=4 (event), u3=9 but last day = the
+    // corpus max day 10 → CENSORED, u4=0 (event), u5=10 censored
+    val events = Seq(
+      e(1, 1, 0), e(2, 1, 2),
+      e(3, 2, 0), e(4, 2, 4),
+      e(5, 3, 1), e(6, 3, 10),
+      e(7, 4, 3),
+      e(8, 5, 0), e(9, 5, 10)
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Retention.kaplanMeier(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // S steps only at event times, per-step floor:
+    // t=0: 5 at risk, 1 event → 800000; t=2: 4 → 600000; t=4: 3 →
+    // 400000; the two censored lifetimes never cut survival
+    assert(got == Seq(
+      (0L, 5L, 1L, 0L, 800000L),
+      (2L, 4L, 1L, 0L, 600000L),
+      (4L, 3L, 1L, 0L, 400000L)))
+  }
+
+  test("audienceUnionChecked: inclusion-exclusion per type pair; sketch verdict holds") {
+    val s2 = spark
+    import s2.implicits._
+    val events = Seq(
+      (1L, "click"), (2L, "click"), (3L, "click"),
+      (2L, "purchase"), (3L, "purchase"), (4L, "purchase"),
+      (1L, "view"))
+      .toDF("user_id", "event_type")
+    val got = graft.ops.Market.audienceUnionChecked(events)
+      .as[(String, String, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      ("click", "purchase", 3L, 3L, 4L, 2L, 1),
+      ("click", "view", 3L, 1L, 3L, 1L, 1),
+      ("purchase", "view", 3L, 1L, 4L, 0L, 1)))
+  }
+
+  test("goodTuring: freq-of-freqs, Turing r*, and the N1/N unseen row") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "b d"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.goodTuring(docs)
+      .as[(Long, Option[Long], Long, Option[Long])].collect().toSeq
+    // a:2 b:2 c:1 d:1 → N=6, N1=2, N2=2
+    assert(got == Seq(
+      (0L, None, 333333L, None),                  // unseen = N1/N
+      (1L, Some(2L), 333333L, Some(2000L)),       // r*=2·N2/N1=2.000
+      (2L, Some(2L), 666666L, None)))             // no N3 → null r*
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._

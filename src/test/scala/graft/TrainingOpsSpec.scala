@@ -1099,4 +1099,36 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows(Similarity.labelOutliers(emb, 2, index)) ==
       rows(Similarity.labelOutliers(emb, 2)))
   }
+
+  test("prioritySample: JVM twin of the integer priorities, τ, and HT weights") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (1L to 30L).map(i => (i, s"src${i % 3}", 100L * i))
+      .toDF("doc_id", "source", "n_chars")
+    val k = 5
+    val got = graft.ops.TrainingPrep.prioritySample(docs, k)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // independent reimplementation: 40-bit md5 nibbles + 1, q = w·2^40/h
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(10)
+      java.lang.Long.parseLong(hex, 16) + 1L
+    }
+    val twin = (1L to 30L).map { i =>
+      val w = 100L * i
+      (i, s"src${i % 3}", w,
+        (BigInt(w) * BigInt(1099511627776L) / h(i)).toLong)
+    }.sortBy { case (id, _, _, q) => (-q, id) }
+    val tau = twin(k)._4
+    val expect = twin.take(k).map { case (id, src, w, q) =>
+      (id, src, w, q, math.max(w, tau)) }
+    assert(got == expect)
+    // small-n case: corpus fits in k → τ = 0, HT weight = own weight
+    val tiny = Seq((1L, "s", 50L), (2L, "s", 70L))
+      .toDF("doc_id", "source", "n_chars")
+    val all = graft.ops.TrainingPrep.prioritySample(tiny, k)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(all.size == 2 && all.forall(r => r._5 == r._3))
+  }
 }
