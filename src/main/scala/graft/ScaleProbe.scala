@@ -651,6 +651,9 @@ object ScaleProbe {
       graft.ops.Market.audienceUnionChecked(events))
     t("priority sample")(graft.ops.TrainingPrep.prioritySample(docs))
     t("good turing")(graft.ops.TextAnalysis.goodTuring(docs))
+    t("quantile treatment")(graft.ops.Experiment.quantileTreatment(events))
+    t("fdr screen")(
+      graft.ops.Experiment.fdrScreen(events, reps = 100))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

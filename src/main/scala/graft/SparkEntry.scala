@@ -386,7 +386,9 @@ object SparkEntry {
     "q356_kaplan_meier" -> (Queries.kaplanMeier _),
     "q357_audience_union_sketch" -> (Queries.audienceUnionChecked _),
     "q358_priority_sample" -> (Queries.prioritySample _),
-    "q359_good_turing" -> (Queries.goodTuring _)
+    "q359_good_turing" -> (Queries.goodTuring _),
+    "q360_quantile_treatment" -> (Queries.quantileTreatment _),
+    "q361_fdr_screen" -> (Queries.fdrScreen _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2953,6 +2955,21 @@ object Queries {
   def goodTuring(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.goodTuring(Tables(spark, dir, "documents"),
       GoodTuringHeadR)
+
+  val QteLevelsBp = Seq(2500L, 5000L, 7500L, 9000L)
+
+  /** Per-arm nearest-rank quantiles of the per-user event count +
+    * quantile treatment effects. */
+  def quantileTreatment(spark: SparkSession, dir: String): DataFrame =
+    Experiment.quantileTreatment(Tables(spark, dir, "events"),
+      levelsBp = QteLevelsBp)
+
+  val FdrReps = 100
+
+  /** Benjamini–Hochberg step-up over per-event-type permutation
+    * tests (shared md5(user:rep) pseudo-assignments). */
+  def fdrScreen(spark: SparkSession, dir: String): DataFrame =
+    Experiment.fdrScreen(Tables(spark, dir, "events"), reps = FdrReps)
 }
 
 /** DuckDB oracle SQL, one per SQL-expressible query. Shares bucket
@@ -14802,6 +14819,118 @@ object Oracles {
          |  FROM nt, n1)
          |SELECT * FROM unseen UNION ALL SELECT * FROM head
          |ORDER BY r""".stripMargin
+    },
+
+    // per-arm nearest-rank at ceil(p·n/1e4), user_id tie-break —
+    // every output an observed value (no interpolation)
+    "q360_quantile_treatment" -> {
+      val lv = Queries.QteLevelsBp.mkString(", ")
+      s"""WITH u AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM events GROUP BY 1),
+         |au AS (
+         |  SELECT user_id, m, CASE WHEN CAST(${(1 to 8).map(i =>
+           s"(instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+           .mkString(" + ")} AS BIGINT) % 100 < 50
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM u),
+         |rk AS (
+         |  SELECT arm, m,
+         |         CAST(row_number() OVER (PARTITION BY arm
+         |           ORDER BY m ASC, user_id ASC) AS BIGINT) AS rn,
+         |         CAST(COUNT(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+         |  FROM au),
+         |px AS (
+         |  SELECT CAST(p.p_bp AS BIGINT) AS p_bp, rk.arm, rk.m
+         |  FROM rk JOIN (SELECT unnest([$lv]) AS p_bp) p
+         |    ON rk.rn = (p.p_bp * rk.n + 9999) // 10000)
+         |SELECT p_bp,
+         |       MAX(CASE WHEN arm = 'A' THEN m END) AS q_a,
+         |       MAX(CASE WHEN arm = 'B' THEN m END) AS q_b,
+         |       MAX(CASE WHEN arm = 'B' THEN m END)
+         |         - MAX(CASE WHEN arm = 'A' THEN m END) AS qte
+         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // the q335 replicate machinery with an event_type dimension,
+    // then the BH step-up as exact integer comparisons
+    "q361_fdr_screen" -> {
+      val reps = Queries.FdrReps
+      val nib = (c: String, i: Int) =>
+        s"(instr('0123456789abcdef', substr($c, $i, 1)) - 1)"
+      def draw32(c: String) = (1 to 8)
+        .map(i => s"${nib(c, i)} * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""WITH ut AS MATERIALIZED (
+         |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS m,
+         |         CAST(${draw32("md5(CAST(user_id AS VARCHAR))")}
+         |           AS BIGINT) % 100 < 50 AS in_a
+         |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         |obs AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_a,
+         |         CAST(SUM(CASE WHEN in_a THEN m ELSE 0 END) AS BIGINT)
+         |           AS s_a,
+         |         CAST(SUM(m) AS BIGINT) AS s
+         |  FROM ut GROUP BY 1),
+         |obs2 AS (
+         |  SELECT event_type, n,
+         |         CASE WHEN n_a = 0 OR n = n_a THEN NULL ELSE
+         |           CAST((1000000 * abs(CAST(s_a AS HUGEINT) * (n - n_a)
+         |               - CAST(s - s_a AS HUGEINT) * n_a))
+         |             // (CAST(n_a AS HUGEINT) * (n - n_a)) AS BIGINT)
+         |         END AS t_obs_micro
+         |  FROM obs),
+         |pr AS (
+         |  SELECT event_type, rep,
+         |         CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS na,
+         |         CAST(SUM(CASE WHEN in_a THEN m ELSE 0 END) AS BIGINT)
+         |           AS sa,
+         |         CAST(SUM(m) AS BIGINT) AS sr
+         |  FROM (
+         |    SELECT ut.event_type, ut.m, r.rep,
+         |           CAST(${draw32("md5(CAST(user_id AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR))")}
+         |             AS BIGINT) % 100 < 50 AS in_a
+         |    FROM ut CROSS JOIN
+         |      (SELECT unnest(generate_series(1, $reps)) AS rep) r)
+         |  GROUP BY 1, 2),
+         |pt AS (
+         |  SELECT event_type,
+         |         CASE WHEN na = 0 OR n = na THEN NULL ELSE
+         |           CAST((1000000 * abs(CAST(sa AS HUGEINT) * (n - na)
+         |               - CAST(sr - sa AS HUGEINT) * na))
+         |             // (CAST(na AS HUGEINT) * (n - na)) AS BIGINT)
+         |         END AS t_abs_micro
+         |  FROM pr),
+         |pv AS (
+         |  SELECT pt.event_type, MAX(o.n) AS n_users,
+         |         CAST(COUNT(*) AS BIGINT) AS reps,
+         |         CAST(SUM(CASE WHEN COALESCE(pt.t_abs_micro, 0)
+         |             >= abs(COALESCE(o.t_obs_micro, 0)) THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_extreme
+         |  FROM pt JOIN obs2 o ON o.event_type = pt.event_type
+         |  GROUP BY 1),
+         |pm AS (
+         |  SELECT event_type, n_users,
+         |         (1000 * (1 + n_extreme)) // (reps + 1) AS p_milli
+         |  FROM pv),
+         |bh AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY p_milli ASC,
+         |           event_type ASC) AS BIGINT) AS p_rank,
+         |         CAST(COUNT(*) OVER () AS BIGINT) AS m_tests
+         |  FROM pm),
+         |st AS (
+         |  SELECT *, (50 * p_rank) // m_tests AS bh_threshold_milli,
+         |         MAX(CASE WHEN p_milli * m_tests <= 50 * p_rank
+         |           THEN p_rank END) OVER () AS istar
+         |  FROM bh)
+         |SELECT event_type, n_users, p_milli, p_rank,
+         |       bh_threshold_milli,
+         |       CAST(p_rank <= COALESCE(istar, 0) AS INT) AS reject
+         |FROM st ORDER BY p_rank""".stripMargin
     },
 
     // q63 Lehmer splits, per split×feature HUGEINT moments, the

@@ -1022,4 +1022,129 @@ object Experiment {
         col("ci_lo_milli"), col("ci_hi_milli"))
       .orderBy(col("arm").asc)
   }
+
+  /** Quantile treatment effects — the DISTRIBUTIONAL readout next to
+    * [[abLift]]'s mean (Koenker & Bassett's quantile lens on an A/B
+    * split): at each requested level, the per-arm nearest-rank
+    * quantile of the per-user event count and their difference. A
+    * mean lift driven entirely by the p90 tail and one spread evenly
+    * across the distribution are DIFFERENT products; the mean can't
+    * tell them apart, the QTE row set can. Nearest-rank = value at
+    * rank ⌈p·n/10⁴⌉ (exact integer ceil, per-arm user_id tie-break)
+    * so every output is an observed value — no interpolation, no
+    * floats, identical in the oracle.
+    *
+    * Scale shape: one user-grain collapse (the fact shuffle), one
+    * per-arm rank window over user-grain rows, a ≤2·|levels| pick.
+    * Columns: p_bp, q_a, q_b, qte. */
+  def quantileTreatment(events: DataFrame, splitPct: Int = 50,
+      levelsBp: Seq[Long] = Seq(2500L, 5000L, 7500L, 9000L)): DataFrame = {
+    require(splitPct >= 1 && splitPct <= 99, "splitPct in [1,99]")
+    require(levelsBp.nonEmpty && levelsBp == levelsBp.sorted &&
+      levelsBp.forall(p => p > 0L && p <= 10000L), "levels in (0,1] bp, asc")
+    import org.apache.spark.sql.expressions.Window
+    val wArm = Window.partitionBy(col("arm"))
+      .orderBy(col("m").asc, col("user_id").asc)
+    val ranked = events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("m"))
+      .withColumn("arm", armCol("user_id", splitPct))
+      .withColumn("rn", row_number().over(wArm).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("arm")))
+        .cast("long"))
+    ranked
+      .select(col("arm"), col("m"), col("rn"), col("n"),
+        explode(array(levelsBp.map(lit): _*)).as("p_bp"))
+      .filter(col("rn") === expr("(p_bp * n + 9999) DIV 10000"))
+      .groupBy(col("p_bp"))
+      .agg(max(when(col("arm") === "A", col("m"))).as("q_a"),
+        max(when(col("arm") === "B", col("m"))).as("q_b"))
+      .withColumn("qte", col("q_b") - col("q_a"))
+      .orderBy(col("p_bp").asc)
+  }
+
+  /** Benjamini–Hochberg FDR screen over a FAMILY of per-event-type
+    * permutation tests (Benjamini & Hochberg 1995) — the
+    * multiple-testing guard every metrics dashboard needs: run the
+    * [[permutationTest]] arm-difference test once per event type
+    * (population per test = users with ≥1 event of that type; the
+    * md5(user:rep) pseudo-assignments are SHARED across the family,
+    * the standard reuse) and apply the step-up rule at
+    * `alphaMilli`/1000: reject every type ranked ≤ i* where
+    * i* = max{i : pᵢ·m ≤ α·i}, all comparisons exact integer —
+    * no float α·i/m quotient anywhere.
+    *
+    * Scale shape: ONE (user, type)-grain collapse (the fact
+    * shuffle); the ×reps explode map-side-combines to (type, reps)
+    * grain before its (tiny) shuffle; the BH walk is a ≤|types|-row
+    * window. Columns: event_type, n_users, p_milli, p_rank,
+    * bh_threshold_milli, reject. */
+  def fdrScreen(events: DataFrame, splitPct: Int = 50, reps: Int = 100,
+      alphaMilli: Long = 50L): DataFrame = {
+    require(splitPct >= 1 && splitPct <= 99, "splitPct in [1,99]")
+    require(reps >= 1 && reps <= 10000, "reps in [1,10000]")
+    require(alphaMilli >= 1 && alphaMilli < 1000, "alphaMilli in [1,1000)")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val ut = events
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("arm", armCol("user_id", splitPct))
+      .localCheckpoint(false) // feeds obs + the ×reps explode
+    def tMicro(nC: String, naC: String, saC: String, sC: String) =
+      expr(s"""CAST((1000000 * abs(CAST($saC AS $dec) * ($nC - $naC)
+        | - CAST($sC - $saC AS $dec) * $naC))
+        | DIV (CAST($naC AS $dec) * ($nC - $naC)) AS BIGINT)"""
+        .stripMargin)
+    val obs = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("m")).otherwise(0L)).as("s_a"),
+        sum(col("m")).as("s"))
+      .select(col("event_type"), col("n"),
+        when(col("n_a") === 0L || col("n") === col("n_a"),
+          lit(null).cast("long"))
+          .otherwise(tMicro("n", "n_a", "s_a", "s")).as("t_obs_micro"))
+    val perms = ut
+      .select(col("event_type"), col("m"), col("user_id"),
+        explode(expr(s"sequence(1, $reps)")).as("rep"))
+      .withColumn("in_a",
+        expr(s"""CAST(conv(substring(md5(CAST(user_id AS STRING) || ':' ||
+          |CAST(rep AS STRING)), 1, 8), 16, 10) AS BIGINT)
+          |% 100""".stripMargin) < splitPct)
+      .groupBy(col("event_type"), col("rep"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("in_a"), col("m")).otherwise(0L)).as("sa"),
+        sum(col("m")).as("sr"))
+      .select(col("event_type"),
+        when(col("na") === 0L || col("n") === col("na"),
+          lit(null).cast("long"))
+          .otherwise(tMicro("n", "na", "sa", "sr")).as("t_abs_micro"))
+    val pvals = perms
+      .join(broadcast(obs), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_users"), count(lit(1)).as("reps"),
+        sum((coalesce(col("t_abs_micro"), lit(0L)) >=
+          abs(coalesce(col("t_obs_micro"), lit(0L)))).cast("long"))
+          .as("n_extreme"))
+      .withColumn("p_milli",
+        expr("(1000 * (1 + n_extreme)) DIV (reps + 1)"))
+    val wP = Window.orderBy(col("p_milli").asc, col("event_type").asc)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    pvals // ≤|types| rows from here on — single-partition metadata
+      .withColumn("p_rank", row_number().over(wP).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("bh_threshold_milli",
+        expr(s"($alphaMilli * p_rank) DIV __m"))
+      .withColumn("__istar", max(when(
+        col("p_milli") * col("__m") <= lit(alphaMilli) * col("p_rank"),
+        col("p_rank"))).over(wAll))
+      .select(col("event_type"), col("n_users"), col("p_milli"),
+        col("p_rank"), col("bh_threshold_milli"),
+        (col("p_rank") <= coalesce(col("__istar"), lit(0L)))
+          .cast("int").as("reject"))
+      .orderBy(col("p_rank").asc)
+  }
 }

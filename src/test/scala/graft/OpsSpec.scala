@@ -3818,6 +3818,52 @@ class OpsSpec extends SparkSpec {
       (2L, Some(2L), 666666L, None)))             // no N3 → null r*
   }
 
+  test("quantileTreatment: JVM twin of the per-arm nearest-rank picks") {
+    val s2 = spark
+    import s2.implicits._
+    val events = graft.tables.Tables(spark, sf, "events")
+    val got = graft.ops.Experiment.quantileTreatment(events)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // independent twin: per-user counts, md5 arm, sort, ceil-rank pick
+    val users = events.groupBy(col("user_id")).agg(count(lit(1)).as("m"))
+      .withColumn("arm", graft.ops.Experiment.armCol("user_id", 50))
+      .as[(Long, Long, String)].collect()
+    def q(arm: String, pBp: Long): Long = {
+      val ms = users.filter(_._3 == arm).sortBy(u => (u._2, u._1)).map(_._2)
+      ms((((pBp * ms.length + 9999) / 10000) - 1).toInt)
+    }
+    val expect = Seq(2500L, 5000L, 7500L, 9000L)
+      .map(p => (p, q("A", p), q("B", p), q("B", p) - q("A", p)))
+    assert(got == expect)
+  }
+
+  test("fdrScreen: per-type p matches permutationTest; BH step-up twin") {
+    val s2 = spark
+    import s2.implicits._
+    val events = graft.tables.Tables(spark, sf, "events")
+    val reps = 20 // small replicate budget: this pins plumbing, not power
+    val got = graft.ops.Experiment.fdrScreen(events, reps = reps)
+      .as[(String, Long, Long, Long, Long, Int)].collect().toSeq
+    // (a) each family member's p equals the standalone permutation
+    // test on that type's events (same population, same md5 draws)
+    got.foreach { case (t, _, p, _, _, _) =>
+      val solo = graft.ops.Experiment
+        .permutationTest(events.filter(col("event_type") === t), reps = reps)
+        .select(col("p_milli")).as[Long].collect().head
+      assert(solo == p, s"family p for $t diverged from the solo test")
+    }
+    // (b) the BH step-up reimplemented over the returned p values
+    val m = got.size
+    val sorted = got.sortBy(r => (r._3, r._1))
+    val iStar = sorted.zipWithIndex
+      .filter { case (r, i) => r._3 * m <= 50L * (i + 1) }
+      .map(_._2 + 1).lastOption.getOrElse(0)
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      assert(r._4 == i + 1L)
+      assert((r._6 == 1) == (i + 1 <= iStar), s"reject flag wrong at rank ${i + 1}")
+    }
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._
