@@ -37,14 +37,19 @@ object Retention {
     * fixture frames hash to distinct keys, so tests never share. */
   private[graft] def dayRevenuePanel(orders: DataFrame): DataFrame =
     Shared.memo(orders.sparkSession,
-      s"day_revenue:${orders.queryExecution.analyzed.semanticHash()}") {
-      orders
-        .filter(col("o_orderdate").isNotNull)
-        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
-          .cast("long").as("daynum"))
-        .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
-          .as("cents"))
-    }
+      s"day_revenue:${orders.queryExecution.analyzed.semanticHash()}")(
+      dayRevenuePanelBuild(orders))
+
+  /** The raw panel build — exposed separately so PlanAuditSpec can
+    * pin the BUILD's scan/shuffle shape directly (the q200/q114
+    * artifact-split convention). */
+  private[graft] def dayRevenuePanelBuild(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("daynum"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("cents"))
 
   /** [[dayRevenuePanel]] densified onto the full calendar spine
     * (dark days = true zero revenue — the q287 spine convention);

@@ -1652,14 +1652,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 3, p)
   }
 
-  test("q272 ewma revenue: one fact scan to day grain; day-grain fan-out, no NLJ") {
-    val p = plan("q272_ewma_revenue")
-    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 2,
-      s"fact scanned more than twice:\n$p")
+  test("day revenue panel BUILD: one pruned orders scan, one day shuffle") {
+    // the shared artifact every calendar op rides (round 10); the
+    // scan pins live HERE, and each family query pins that it reads
+    // the artifact instead of re-scanning (the q200/q114 split)
+    val p = graft.ops.Retention
+      .dayRevenuePanelBuild(graft.tables.Tables(spark, sf, "orders"))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
+    assert(shuffles(p) == 1, p)
     val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
     assert(readSchema.contains("o_orderdate") &&
       readSchema.contains("o_totalprice") && !readSchema.contains("o_comment"),
       s"scan not pruned: $readSchema")
+  }
+
+  test("q272 ewma revenue: rides the shared day panel; day-grain fan-out, no NLJ") {
+    val p = plan("q272_ewma_revenue")
+    assert(!stripCached(p).contains("Scan parquet"),
+      s"q272 re-scanned orders instead of the day-panel artifact:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
     // the forward fan-out is a sequence explode at day grain — never
     // a nested-loop range join
     assert(!p.contains("CartesianProduct") &&
@@ -2063,15 +2075,12 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads more than name+id: $schemas")
   }
 
-  test("q317 haar energy: one pruned fact pass to the day panel; dyadic fan-out is calendar-grain") {
+  test("q317 haar energy: rides the shared day panel; dyadic fan-out is calendar-grain") {
     val p = plan("q317_haar_energy")
     assert(!p.contains("CartesianProduct"), p)
-    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
-    val readSchema = "ReadSchema: struct<([^>]*)".r
-      .findFirstMatchIn(p).get.group(1)
-    assert(readSchema.split(",").length <= 2 &&
-      readSchema.contains("o_orderdate"),
-      s"scan not pruned to date+price: $readSchema")
+    assert(!stripCached(p).contains("Scan parquet"),
+      s"q317 re-scanned orders instead of the day-panel artifact:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
   }
 
   test("q318 croston: cached (part,day) grain; one partkey shuffle carries every window") {
@@ -2102,15 +2111,12 @@ class PlanAuditSpec extends SparkSpec {
       s"scan not pruned to cust+date+price: $readSchema")
   }
 
-  test("q321 deseasonalized cusum: cached day panel; calendar-grain layers and walk") {
+  test("q321 deseasonalized cusum: rides the shared STL artifact; calendar-grain walk") {
     val p = plan("q321_deseasonalized_cusum")
     assert(!p.contains("CartesianProduct"), p)
-    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
-    val readSchema = "ReadSchema: struct<([^>]*)".r
-      .findFirstMatchIn(p).get.group(1)
-    assert(readSchema.split(",").length <= 2 &&
-      readSchema.contains("o_orderdate"),
-      s"scan not pruned to date+price: $readSchema")
+    assert(!stripCached(p).contains("Scan parquet"),
+      s"q321 re-scanned orders instead of the stl_remainder artifact:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
   }
 
   test("q322 hub knockout: rides the checkpointed co-vis artifact; no live fact scan") {
@@ -2227,14 +2233,12 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(stripCached(p)).length <= 2, p)
   }
 
-  test("q334 changepoint: one pruned scan; the argmax runs on the day spine") {
+  test("q334 changepoint: rides the shared day panel; the argmax runs on the day spine") {
     val p = plan("q334_changepoint")
     assert(!p.contains("CartesianProduct"), p)
-    assert("Scan parquet".r.findAllIn(stripCached(p)).length <= 1, p)
-    val readSchema = "ReadSchema: struct<([^>]*)".r
-      .findFirstMatchIn(p).get.group(1)
-    assert(readSchema.split(",").length <= 2,
-      s"scan not pruned to date+price: $readSchema")
+    assert(!stripCached(p).contains("Scan parquet"),
+      s"q334 re-scanned orders instead of the day-panel artifact:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
   }
 
   test("q335 permutation test: ONE fact shuffle to user grain; replicates map-side combine") {
@@ -2291,6 +2295,42 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q348_channel_retention")
     assert(!p.contains("CartesianProduct"), p)
     assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length <= 1, p)
+  }
+
+  test("q356 kaplan meier: the collected walk leaves only a local-table scan") {
+    // the user collapse + lifetime aggregate run BEFORE the driver
+    // ladder; the published frame is a parallelized local table —
+    // zero exchanges, zero fact scans in the live plan
+    val p = plan("q356_kaplan_meier")
+    assert(shuffles(p) == 0, p)
+    assert(!stripCached(p).contains("Scan parquet"), p)
+  }
+
+  test("q358 priority sample: TakeOrdered head, no shuffle of the corpus") {
+    val p = plan("q358_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only exchanges tolerated are the ≤(k+1)-row head's own
+    // single-partition window + the 1-row τ broadcast — never a
+    // corpus-sized hash exchange
+    assert("Exchange hashpartitioning".r
+      .findAllIn(stripCached(p)).isEmpty, p)
+  }
+
+  test("q360 quantile treatment: ONE fact shuffle to user grain; arm windows reuse it") {
+    val p = plan("q360_quantile_treatment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning\\(user_id".r
+      .findAllIn(stripCached(p)).length <= 1, p)
+  }
+
+  test("q361 fdr screen: replicates map-side combine to (type, rep) grain") {
+    val p = plan("q361_fdr_screen")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("partial_sum|partial_count|Partial".r.findAllIn(p).nonEmpty, p)
+    // one fact collapse to (type, user); the ×reps explode shuffles
+    // only (type, rep)-grain partials
+    assert("Exchange hashpartitioning\\(event_type#\\d+, user_id".r
       .findAllIn(stripCached(p)).length <= 1, p)
   }
 }
