@@ -654,6 +654,7 @@ object ScaleProbe {
     t("quantile treatment")(graft.ops.Experiment.quantileTreatment(events))
     t("fdr screen")(
       graft.ops.Experiment.fdrScreen(events, reps = 100))
+    t("span corruption")(graft.ops.TrainingPrep.spanCorruption(docs))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

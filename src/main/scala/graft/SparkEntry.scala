@@ -388,7 +388,8 @@ object SparkEntry {
     "q358_priority_sample" -> (Queries.prioritySample _),
     "q359_good_turing" -> (Queries.goodTuring _),
     "q360_quantile_treatment" -> (Queries.quantileTreatment _),
-    "q361_fdr_screen" -> (Queries.fdrScreen _)
+    "q361_fdr_screen" -> (Queries.fdrScreen _),
+    "q362_span_corruption" -> (Queries.spanCorruption _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2955,6 +2956,14 @@ object Queries {
   def goodTuring(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.goodTuring(Tables(spark, dir, "documents"),
       GoodTuringHeadR)
+
+  val SpanStartBp = 500L
+  val SpanMax = 5
+
+  /** T5 span-corruption length accounting per document. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.spanCorruption(Tables(spark, dir, "documents"),
+      SpanStartBp, SpanMax)
 
   val QteLevelsBp = Seq(2500L, 5000L, 7500L, 9000L)
 
@@ -14931,6 +14940,52 @@ object Oracles {
          |       bh_threshold_milli,
          |       CAST(p_rank <= COALESCE(istar, 0) AS INT) AS reject
          |FROM st ORDER BY p_rank""".stripMargin
+    },
+
+    // md5(doc:pos) draws open spans (len = draw % maxSpan + 1); the
+    // mask is an OR over maxSpan lags, spans merge as mask runs
+    "q362_span_corruption" -> {
+      val sb = Queries.SpanStartBp
+      val ms = Queries.SpanMax
+      val draw = (1 to 8).map(i =>
+        s"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      val maskedOr = (0 until ms).map(k =>
+        s"(COALESCE(lag(start, $k, 0) OVER w, 0) = 1 AND " +
+          s"COALESCE(lag(len, $k, 0) OVER w, 0) > $k)")
+        .mkString(" OR ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos
+         |  FROM (SELECT doc_id, text FROM documents
+         |        WHERE text IS NOT NULL AND doc_id IS NOT NULL) d,
+         |       unnest(range(1, len(string_split(text, ' ')) + 1)) AS g(i)),
+         |dr AS (
+         |  SELECT doc_id, pos, CAST($draw AS BIGINT) AS draw
+         |  FROM toks),
+         |st AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN draw % 10000 < $sb THEN 1 ELSE 0 END AS start,
+         |         CASE WHEN draw % 10000 < $sb
+         |           THEN draw % $ms + 1 ELSE 0 END AS len
+         |  FROM dr),
+         |mk AS (
+         |  SELECT doc_id, pos,
+         |         CAST($maskedOr AS BIGINT) AS m
+         |  FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |rs AS (
+         |  SELECT doc_id, m,
+         |         CASE WHEN m = 1 AND COALESCE(lag(m, 1, 0)
+         |             OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+         |           THEN 1 ELSE 0 END AS run_start
+         |  FROM mk)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(m) AS BIGINT) AS n_masked,
+         |       CAST(SUM(run_start) AS BIGINT) AS n_spans,
+         |       CAST(COUNT(*) - SUM(m) + SUM(run_start) AS BIGINT)
+         |         AS input_len,
+         |       CAST(SUM(m) + SUM(run_start) + 1 AS BIGINT) AS target_len,
+         |       CAST((10000 * SUM(m)) // COUNT(*) AS BIGINT) AS corrupt_bp
+         |FROM rs GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
 
     // q63 Lehmer splits, per split×feature HUGEINT moments, the

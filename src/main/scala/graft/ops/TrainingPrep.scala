@@ -140,6 +140,67 @@ object TrainingPrep {
         col("col").as("chunk_text"))
   }
 
+  /** T5-style span-corruption ACCOUNTING (Raffel et al. 2020 §3.1.4)
+    * — the objective-planning pass a seq2seq pretraining pipeline
+    * runs before committing a corpus: with a deterministic md5 draw
+    * per (doc, token position), positions open a corruption span
+    * with probability `startBp`/10⁴ and each span covers 1 +
+    * (draw % maxSpan) tokens (overlapping spans merge — the run is
+    * one sentinel). Per doc: token count, masked count, merged span
+    * count, and the encoder/decoder sequence lengths the objective
+    * produces — input = kept tokens + one sentinel per span,
+    * target = masked tokens + one sentinel per span + EOS — plus
+    * the realized corruption rate in bp. Length accounting is what
+    * sizes batches and packing (q56); the materialized masked text
+    * is a trivial projection of the same mask.
+    *
+    * The mask is WINDOW-exact, not sequential: a position is masked
+    * iff some start within the previous `maxSpan` positions still
+    * covers it — an OR over `maxSpan` lags, identical in both
+    * engines; span count = mask-run starts (masked ∧ ¬masked₋₁).
+    *
+    * Scale shape: one token-grain explode with all windows on the
+    * SAME (doc)-partitioned ordering (one shuffle), collapsing to a
+    * doc-grain report. Columns: doc_id, n_tokens, n_masked,
+    * n_spans, input_len, target_len, corrupt_bp. */
+  def spanCorruption(docs: DataFrame, startBp: Long = 500L,
+      maxSpan: Int = 5): DataFrame = {
+    require(startBp >= 1 && startBp <= 10000, "startBp in [1,10000]")
+    require(maxSpan >= 1 && maxSpan <= 16, "maxSpan in [1,16]")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs
+      .filter(col("text").isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), posexplode(expr(TextAnalysis.TokensExpr)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("draw", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING) || ':' ||" +
+          " CAST(pos AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("start", (col("draw") % 10000L < startBp).cast("int"))
+      .withColumn("len",
+        when(col("start") === 1, col("draw") % maxSpan + 1L)
+          .otherwise(0L))
+    val masked = (0 until maxSpan).map { k =>
+      coalesce(lag(col("start"), k).over(byDoc), lit(0)) === 1 &&
+        coalesce(lag(col("len"), k).over(byDoc), lit(0L)) > k.toLong
+    }.reduce(_ || _)
+    toks
+      .withColumn("m", masked.cast("long"))
+      .withColumn("run_start",
+        (col("m") === 1L &&
+          coalesce(lag(col("m"), 1).over(byDoc), lit(0L)) === 0L)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("m")).as("n_masked"),
+        sum(col("run_start")).as("n_spans"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_spans"),
+        (col("n_tokens") - col("n_masked") + col("n_spans"))
+          .as("input_len"),
+        (col("n_masked") + col("n_spans") + lit(1L)).as("target_len"),
+        expr("(10000 * n_masked) DIV n_tokens").as("corrupt_bp"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Per-source epoch replication (data-mixture weighting): each
     * document appears `weights(source)` times (default 1), tagged
     * with its epoch ordinal — the explode-side of "upsample the

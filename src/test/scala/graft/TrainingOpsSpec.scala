@@ -1100,6 +1100,35 @@ class TrainingOpsSpec extends SparkSpec {
       rows(Similarity.labelOutliers(emb, 2)))
   }
 
+  test("spanCorruption: JVM twin of the md5 span mask and length accounting") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (1L to 40L)
+      .map(i => (i, (0 until 30).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TrainingPrep.spanCorruption(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    def md5hex8(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(8), 16)
+    }
+    val expect = (1L to 40L).map { d =>
+      val n = 30
+      val draws = (0 until n).map(p => md5hex8(s"$d:$p"))
+      val start = draws.map(dr => dr % 10000 < 500)
+      val len = draws.zip(start).map { case (dr, st) =>
+        if (st) dr % 5 + 1 else 0L }
+      val masked = (0 until n).map(i => (0 until 5).exists(k =>
+        i - k >= 0 && start(i - k) && len(i - k) > k))
+      val nm = masked.count(identity).toLong
+      val ns = (0 until n).count(i =>
+        masked(i) && (i == 0 || !masked(i - 1))).toLong
+      (d, n.toLong, nm, ns, n - nm + ns, nm + ns + 1L, 10000L * nm / n)
+    }
+    assert(got == expect)
+  }
+
   test("prioritySample: JVM twin of the integer priorities, τ, and HT weights") {
     val s2 = spark
     import s2.implicits._
