@@ -926,20 +926,31 @@ object Retention {
       .agg(sum(when(col("cens"), 0L).otherwise(1L)).as("d"),
         sum(when(col("cens"), 1L).otherwise(0L)).as("c"))
       .as[(Long, Long, Long)].collect() // sanctioned: ≤ span-days rows
-      .sortBy(_._1)
-    val total = lt.map(r => r._2 + r._3).sum
+    kmLadder(lt.toSeq)
+      .toDF("t_days", "n_risk", "n_events", "n_censored",
+        "survival_ppm").orderBy(col("t_days").asc)
+  }
+
+  /** The q356 product-limit ladder over (lifetime, events, censored)
+    * rows — shared verbatim by [[kaplanMeier]] and
+    * `streaming.KmStream` (parity by construction, the
+    * stationaryWalk convention). Per-step floored ppm product;
+    * rows emitted at event times only. */
+  private[graft] def kmLadder(lt: Seq[(Long, Long, Long)])
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val sorted = lt.sortBy(_._1)
+    val total = sorted.map(r => r._2 + r._3).sum
     var atRisk = total
     var s = 1000000L
     val rows = Seq.newBuilder[(Long, Long, Long, Long, Long)]
-    lt.foreach { case (t, d, c) =>
+    sorted.foreach { case (t, d, c) =>
       if (d > 0L) {
         s = s * (atRisk - d) / atRisk // per-step floor, both engines
         rows += ((t, atRisk, d, c, s))
       }
       atRisk -= d + c
     }
-    rows.result().toDF("t_days", "n_risk", "n_events", "n_censored",
-      "survival_ppm").orderBy(col("t_days").asc)
+    rows.result()
   }
 
   /** Distribution drift per event type: total-variation distance
