@@ -655,6 +655,7 @@ object ScaleProbe {
     t("fdr screen")(
       graft.ops.Experiment.fdrScreen(events, reps = 100))
     t("span corruption")(graft.ops.TrainingPrep.spanCorruption(docs))
+    t("mann kendall")(graft.ops.Retention.mannKendall(orders))
 
     // J3/J4 empirical probe (the SURVEY "AQE handles skew" design
     // disposition, exercised at scale rather than only on SkewSpec's

@@ -389,7 +389,8 @@ object SparkEntry {
     "q359_good_turing" -> (Queries.goodTuring _),
     "q360_quantile_treatment" -> (Queries.quantileTreatment _),
     "q361_fdr_screen" -> (Queries.fdrScreen _),
-    "q362_span_corruption" -> (Queries.spanCorruption _)
+    "q362_span_corruption" -> (Queries.spanCorruption _),
+    "q363_mann_kendall" -> (Queries.mannKendall _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -2964,6 +2965,11 @@ object Queries {
   def spanCorruption(spark: SparkSession, dir: String): DataFrame =
     TrainingPrep.spanCorruption(Tables(spark, dir, "documents"),
       SpanStartBp, SpanMax)
+
+  /** Mann–Kendall monotone-trend test over the dense daily revenue
+    * spine (tie-corrected, continuity-corrected, exact-integer). */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame =
+    Retention.mannKendall(Tables(spark, dir, "orders"))
 
   val QteLevelsBp = Seq(2500L, 5000L, 7500L, 9000L)
 
@@ -14987,6 +14993,45 @@ object Oracles {
          |       CAST((10000 * SUM(m)) // COUNT(*) AS BIGINT) AS corrupt_bp
          |FROM rs GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
+
+    // dense spine self-join (calendar² metadata), tie-corrected 18·Var,
+    // squared continuity-corrected verdict in HUGEINT — no sqrt
+    "q363_mann_kendall" ->
+      s"""WITH d AS (
+         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+         |           AS BIGINT) AS daynum,
+         |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |sp AS (SELECT MIN(daynum) AS mn, MAX(daynum) AS mx FROM d),
+         |dn AS MATERIALIZED (
+         |  SELECT t.dd AS daynum, COALESCE(d.cents, 0) AS cents
+         |  FROM (SELECT unnest(generate_series(mn, mx)) AS dd FROM sp) t
+         |  LEFT JOIN d ON d.daynum = t.dd),
+         |s AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN b.cents > a.cents THEN 1
+         |      WHEN b.cents < a.cents THEN -1 ELSE 0 END), 0) AS BIGINT)
+         |    AS s_stat
+         |  FROM dn a JOIN dn b ON b.daynum > a.daynum),
+         |tc AS (
+         |  SELECT CAST(SUM(t) AS BIGINT) AS n_days,
+         |         COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
+         |           0::HUGEINT) AS tie_corr
+         |  FROM (SELECT cents, CAST(COUNT(*) AS BIGINT) AS t
+         |        FROM dn GROUP BY 1)),
+         |v AS (
+         |  SELECT n_days, s.s_stat,
+         |         CAST(n_days AS HUGEINT) * (n_days - 1) * (2 * n_days + 5)
+         |           - tie_corr AS var18,
+         |         CASE WHEN s.s_stat = 0 THEN 0::HUGEINT
+         |           ELSE 180000 * CAST(abs(s.s_stat) - 1 AS HUGEINT)
+         |             * (abs(s.s_stat) - 1) END AS zs
+         |  FROM tc, s)
+         |SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+         |       CAST(zs AS BIGINT) AS z_milli_sq_scaled,
+         |       CAST(s_stat <> 0 AND zs > 38416 * var18 AS INT)
+         |         AS reject_05
+         |FROM v""".stripMargin,
 
     // q63 Lehmer splits, per split×feature HUGEINT moments, the
     // Austin |SMD|<0.1 milli ladder with shared floors

@@ -741,6 +741,60 @@ object Retention {
             .cast("long")).as("tau_bp"))
   }
 
+  /** Mann–Kendall trend test on daily revenue (Mann 1945; Kendall
+    * 1975) — the nonparametric IS-there-a-trend verdict next to
+    * [[theilSenTrend]]'s slope (that op says HOW steep, this one
+    * says whether the monotone drift is distinguishable from noise
+    * at all) and [[kendallDaily]]'s two-series correlation. Over the
+    * dense day spine: S = Σ_{i<j} sign(cents_j − cents_i), the
+    * tie-corrected 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)
+    * (Kendall's correction over tied revenue groups), and the α=0.05
+    * two-sided verdict via the continuity-corrected normal
+    * approximation compared SQUARED and integer:
+    *   reject ⇔ S ≠ 0 ∧ 10⁴·18·(|S|−1)² > 38416·Var18
+    * (z² = (|S|−1)²/Var(S) > 1.96², every term decimal(38,0) — no
+    * sqrt, no libm, identical floors in the oracle).
+    *
+    * Scale shape: rides the shared [[denseRevenuePanel]] artifact;
+    * the pair frame is calendar² METADATA (a broadcast self-join of
+    * day-grain rows — bounded by the observation span, not the fact
+    * volume); the tie census is a value-grain aggregate of the same
+    * panel. One row: n_days, s_stat, var18, z_milli_sq_scaled
+    * (10⁴·18·(|S|−1)², the left side of the verdict), reject_05. */
+  def mannKendall(orders: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val dense = denseRevenuePanel(orders)
+    val pairs = dense.as("a")
+      .join(broadcast(dense.as("b")),
+        col("b.daynum") > col("a.daynum"))
+      .select(signum((col("b.cents") - col("a.cents")).cast("double"))
+        .cast("long").as("s"))
+      .agg(coalesce(sum(col("s")), lit(0L)).as("s_stat"))
+    val ties = dense
+      .groupBy(col("cents")).agg(count(lit(1)).as("t"))
+      .agg(count(lit(1)).as("__groups"),
+        sum(col("t")).as("n_days"),
+        coalesce(sum(expr(
+          s"CAST(t AS $dec) * (t - 1) * (2 * t + 5)")),
+          expr(s"CAST(0 AS $dec)")).as("__tie_corr"))
+    pairs.crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_stat"),
+        expr(s"""CAST(CAST(n_days AS $dec) * (n_days - 1)
+          | * (2 * n_days + 5) - __tie_corr AS $dec)""".stripMargin)
+          .as("var18"))
+      .withColumn("z_milli_sq_scaled", expr(
+        s"""CASE WHEN s_stat = 0 THEN CAST(0 AS $dec)
+           |ELSE 180000 * CAST(abs(s_stat) - 1 AS $dec)
+           |  * (abs(s_stat) - 1) END""".stripMargin))
+      .select(col("n_days"), col("s_stat"),
+        expr("CAST(var18 AS BIGINT)").as("var18"),
+        expr("CAST(z_milli_sq_scaled AS BIGINT)")
+          .as("z_milli_sq_scaled"),
+        expr(s"""CAST(s_stat <> 0 AND z_milli_sq_scaled
+          | > 38416 * CAST(var18 AS $dec) AS INT)""".stripMargin)
+          .as("reject_05"))
+  }
+
   /** User lifecycle census as of an explicit `anchor` (the RfmAnchor
     * rule — wall-clock "today" is unreproducible): every observed
     * user lands in exactly ONE stage by tenure and recency —

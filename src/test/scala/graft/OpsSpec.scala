@@ -3864,6 +3864,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("mannKendall: monotone series rejects, flat series zeroes S and Var") {
+    val s2 = spark
+    import s2.implicits._
+    graft.ops.Shared.invalidate(spark)
+    def orders(cents: Seq[Long]) = cents.zipWithIndex.map { case (c, i) =>
+      (java.time.LocalDate.ofEpochDay(19700L + i).toString, c / 100.0)
+    }.toDF("o_orderdate", "o_totalprice")
+    // strictly increasing 5 days: S = C(5,2) = 10, no ties →
+    // var18 = 5·4·15 = 300; zs = 180000·(10−1)² = 14 580 000
+    // > 38416·300 = 11 524 800 → reject (z = 9/√16.67 = 2.20)
+    val up = graft.ops.Retention.mannKendall(
+      orders(Seq(10000L, 20000L, 30000L, 40000L, 50000L)))
+      .as[(Long, Long, Long, Long, Int)].collect().head
+    assert(up == ((5L, 10L, 300L, 14580000L, 1)))
+    graft.ops.Shared.invalidate(spark)
+    // flat series: S = 0; the single 5-tie group cancels Var exactly
+    val flat = graft.ops.Retention.mannKendall(
+      orders(Seq(10000L, 10000L, 10000L, 10000L, 10000L)))
+      .as[(Long, Long, Long, Long, Int)].collect().head
+    assert(flat == ((5L, 0L, 0L, 0L, 0)))
+    graft.ops.Shared.invalidate(spark)
+  }
+
   test("fuzzyNameMatch blockCap deterministically bounds each token block") {
     val s2 = spark
     import s2.implicits._
