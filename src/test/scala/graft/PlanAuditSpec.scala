@@ -2324,6 +2324,18 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(stripCached(p)).length <= 1, p)
   }
 
+  test("q363 mann kendall: rides the shared day panel; pair join is a day-grain broadcast") {
+    val p = plan("q363_mann_kendall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!stripCached(p).contains("Scan parquet"),
+      s"q363 re-scanned orders instead of the day-panel artifact:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
+    // the calendar² pair frame forms behind a broadcast of the
+    // day-grain panel, never a shuffle of it
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q361 fdr screen: replicates map-side combine to (type, rep) grain") {
     val p = plan("q361_fdr_screen")
     assert(!p.contains("CartesianProduct"), p)
