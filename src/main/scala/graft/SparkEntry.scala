@@ -971,25 +971,26 @@ object Queries {
     * event pair uses day-of-week; its NUMBERING differs per engine
     * (Spark 1=Sun..7, DuckDB 0=Sun..6) but χ²/V are label-invariant,
     * so the twin is exact anyway. */
-  def associationScreen(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Seq(
-      Profile.cramersV(Tables(spark, dir, "customer"),
+  def associationScreen(spark: SparkSession, dir: String): DataFrame =
+    // all 5 contingency reads through ONE shared ladder (per-pair
+    // subtrees spent ~6 AQE stage materializations each on
+    // contingency-grain metadata; the scans stay per-table)
+    Profile.cramersVMany(Seq(
+      (Tables(spark, dir, "customer"),
         col("c_mktsegment"), col("c_nationkey"),
         "c_mktsegment", "c_nationkey"),
-      Profile.cramersV(Tables(spark, dir, "events")
-        .filter(col("ts").isNotNull),
+      (Tables(spark, dir, "events").filter(col("ts").isNotNull),
         col("event_type"), dayofweek(col("ts")).cast("long"),
         "event_type", "event_dow"),
-      Profile.cramersV(Tables(spark, dir, "lineitem"),
+      (Tables(spark, dir, "lineitem"),
         col("l_returnflag"), col("l_linestatus"),
         "l_returnflag", "l_linestatus"),
-      Profile.cramersV(Tables(spark, dir, "orders"),
+      (Tables(spark, dir, "orders"),
         col("o_orderpriority"), col("o_orderstatus"),
         "o_orderpriority", "o_orderstatus"),
-      Profile.cramersV(Tables(spark, dir, "part"),
-        col("p_brand"), col("p_type"), "p_brand", "p_type"))
-    pairs.reduce(_ unionByName _).orderBy(col("feature_a").asc)
-  }
+      (Tables(spark, dir, "part"),
+        col("p_brand"), col("p_type"), "p_brand", "p_type")))
+      .orderBy(col("feature_a").asc)
 
   val FuzzyMaxDist = 3
   val FuzzyTopK = 50

@@ -951,26 +951,53 @@ object Dedup {
 
   /** Shared-token-blocked candidate pairs under `maxDist` edits over
     * a `names` frame from [[nameDomain]] — ALL surviving pairs
-    * (name_a < name_b, dist); the top-k head is [[fuzzyNameMatch]]'s
-    * concern, the full set feeds [[entityRollup]]'s clustering. */
+    * (name_a < name_b, dist, and their rep ids so callers never
+    * re-join the name domain); the top-k head is [[fuzzyNameMatch]]'s
+    * concern, the full set feeds [[entityRollup]]'s clustering.
+    *
+    * The candidate join and its dedup run at REP grain: rep_id (the
+    * min source id per name) is a unique 8 B key for a name, so the
+    * blocking join + distinct move 16 B key pairs instead of two
+    * full name strings, and the names come back through one
+    * broadcast join against the (name-domain-sized) frame before a
+    * single thresholded levenshtein per SURVIVING candidate — the
+    * banded O(len·maxDist) form, not the O(len²) full DP. Pair set
+    * and distances are identical to the by-name construction: a
+    * (tok, name) row's blockCap survival is order-independent, and
+    * rep< vs name< only changes which side of the symmetric pair is
+    * generated, which the least/greatest name projection
+    * re-canonicalizes. */
   private[graft] def fuzzyNamePairs(names: DataFrame, maxDist: Int,
       blockCap: Int): DataFrame = {
     val toks = names
-      .select(col("name"),
+      .select(col("name"), col("rep_id"),
         explode(array_distinct(split(col("name"), " "))).as("tok"))
       .filter(length(col("tok")) > 0)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("tok")).orderBy(col("name"))))
       .filter(col("rk") <= blockCap)
-      .select(col("name"), col("tok"))
-    toks.as("a")
+      .select(col("rep_id"), col("tok"))
+    val cand = toks.as("a")
       .join(toks.as("b"),
-        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
-      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+        col("a.tok") === col("b.tok") && col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("rep_lo"), col("b.rep_id").as("rep_hi"))
       .distinct()
+    val nm = names.select(col("rep_id"), col("name"))
+    cand
+      .join(broadcast(nm.select(col("rep_id").as("rep_lo"),
+        col("name").as("__nl"))), Seq("rep_lo"))
+      .join(broadcast(nm.select(col("rep_id").as("rep_hi"),
+        col("name").as("__nh"))), Seq("rep_hi"))
+      .select(
+        least(col("__nl"), col("__nh")).as("name_a"),
+        greatest(col("__nl"), col("__nh")).as("name_b"),
+        when(col("__nl") < col("__nh"), col("rep_lo"))
+          .otherwise(col("rep_hi")).as("rep_a"),
+        when(col("__nl") < col("__nh"), col("rep_hi"))
+          .otherwise(col("rep_lo")).as("rep_b"))
       .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist").between(0L, maxDist.toLong))
   }
 
   def fuzzyNameMatch(df: DataFrame, nameCol: String, idCol: String,
@@ -978,12 +1005,10 @@ object Dedup {
     val names = nameDomain(df, nameCol, idCol).persist()
     val pairs = fuzzyNamePairs(names, maxDist, blockCap)
     pairs
-      .join(names.select(col("name").as("name_a"),
-        col("rep_id").as("rep_a"), col("n_rows").as("rows_a")),
-        Seq("name_a"))
-      .join(names.select(col("name").as("name_b"),
-        col("rep_id").as("rep_b"), col("n_rows").as("rows_b")),
-        Seq("name_b"))
+      .join(broadcast(names.select(col("rep_id").as("rep_a"),
+        col("n_rows").as("rows_a"))), Seq("rep_a"))
+      .join(broadcast(names.select(col("rep_id").as("rep_b"),
+        col("n_rows").as("rows_b"))), Seq("rep_b"))
       .withColumn("__ml",
         greatest(length(col("name_a")), length(col("name_b"))).cast("long"))
       .select(col("name_a"), col("name_b"),
@@ -1020,10 +1045,6 @@ object Dedup {
       maxDist: Int = 3, blockCap: Int = 1000, k: Int = 20): DataFrame = {
     val names = nameDomain(part, "p_name", "p_partkey").persist()
     val pairs = fuzzyNamePairs(names, maxDist, blockCap)
-      .join(names.select(col("name").as("name_a"),
-        col("rep_id").as("rep_a")), Seq("name_a"))
-      .join(names.select(col("name").as("name_b"),
-        col("rep_id").as("rep_b")), Seq("name_b"))
       .select(col("rep_a"), col("rep_b"))
     val comp = Clustering.connectedComponents(pairs, "rep_a", "rep_b")
     // singletons keep their own rep as entity id

@@ -210,18 +210,77 @@ object Layout {
   def layoutCompare(df: DataFrame, colA: String, colB: String,
       gridBits: Int = 16, cellBits: Int = 6, probes: Int = 16,
       zcells0: Option[DataFrame] = None): DataFrame = {
-    val z = pruningAudit(df, colA, colB, gridBits, cellBits, probes,
-        cells0 = zcells0)
+    // Two pruningAudit calls each paid their own fact passes (the
+    // linear cell build + one `sel` row pass PER audit = 4 scans
+    // beyond the shared Z cells). Both audits share every row-grain
+    // ingredient: the (a, b) projection, the global bounds (any
+    // full cell partition yields the same min/max/total), the probe
+    // frame, and the per-probe selected-row counts — only the
+    // cell-grain overlap test differs by layout. Build each ONCE
+    // (guide §2.4): one persisted fact pass total, and the audit
+    // ladder runs at cell/probe grain for both layouts.
+    val rows = df.select(col(colA).cast("long").as("a"),
+        col(colB).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .persist()
+    val zc = zcells0.getOrElse(
+      zorderCells(rows, "a", "b", gridBits, cellBits).persist())
+    val glob = zc.agg(
+      min(col("min_a")).as("lo_a"), max(col("max_a")).as("hi_a"),
+      min(col("min_b")).as("lo_b"), max(col("max_b")).as("hi_b"),
+      sum(col("n_rows")).as("total_rows"))
+    val c = 1L << cellBits
+    // the single-column-sort cell model over the SAME persisted rows
+    // and zc-derived bounds (linearCells standalone would rescan df
+    // twice); only occupancy and the a-span matter to the audit
+    val lc = rows.crossJoin(broadcast(glob))
+      .select(col("a"), col("b"),
+        expr(s"((a - lo_a) * ${c}L) div (hi_a - lo_a + 1L)").as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      .persist()
+    val spark = df.sparkSession
+    val p = probes.toLong
+    def probeFor(d: String) = spark.range(p).toDF("probe")
+      .crossJoin(broadcast(glob))
+      .select(lit(d).as("dim"), col("probe"),
+        expr(s"lo_$d + (probe * (hi_$d - lo_$d + 1L) + ${p - 1}L) div ${p}L")
+          .as("c_lo"),
+        expr(s"lo_$d + ((probe + 1L) * (hi_$d - lo_$d + 1L) + ${p - 1}L)" +
+          s" div ${p}L - 1L").as("c_hi"),
+        col("total_rows"))
+    val probeFrame = probeFor("a").unionAll(probeFor("b"))
+      .filter(col("c_hi") >= col("c_lo"))
+    def scanOf(cells: DataFrame, out: String) = probeFrame
+      .join(cells,
+        (col("dim") === "a" && col("min_a") <= col("c_hi") &&
+          col("max_a") >= col("c_lo")) ||
+        (col("dim") === "b" && col("min_b") <= col("c_hi") &&
+          col("max_b") >= col("c_lo")))
+      .groupBy(col("dim"), col("probe"))
+      .agg(sum(col("n_rows")).as(out))
+    def probeOf(d: String) =
+      expr(s"(($d - lo_$d) * ${p}L) div (hi_$d - lo_$d + 1L)")
+    val sel = rows.crossJoin(broadcast(glob))
+      .select(explode(array(
+        struct(lit("a").as("dim"), probeOf("a").as("probe")),
+        struct(lit("b").as("dim"), probeOf("b").as("probe")))).as("d"))
+      .select(col("d.dim").as("dim"), col("d.probe").as("probe"))
+      .groupBy(col("dim"), col("probe"))
+      .agg(count(lit(1)).as("select_rows"))
+    probeFrame
+      .join(scanOf(zc, "z_scan_rows"), Seq("dim", "probe"), "left")
+      .join(scanOf(lc, "sort_scan_rows"), Seq("dim", "probe"), "left")
+      .join(sel, Seq("dim", "probe"), "left")
       .select(col("dim"), col("probe"),
-        col("scan_bp").as("z_scan_bp"), col("select_bp"))
-    // persisted like the default-path cell frame (caller-owns-cache
-    // convention): the audit reads it for bounds AND the overlap join
-    val lin = pruningAudit(df, colA, colB, gridBits, cellBits, probes,
-        cells0 = Some(linearCells(df, colA, colB, cellBits).persist()))
-      .select(col("dim"), col("probe"), col("scan_bp").as("sort_scan_bp"))
-    z.join(lin, Seq("dim", "probe"))
-      .select(col("dim"), col("probe"), col("select_bp"),
-        col("z_scan_bp"), col("sort_scan_bp"))
+        floor(lit(10000.0) * coalesce(col("select_rows"), lit(0L)) /
+          col("total_rows")).cast("long").as("select_bp"),
+        floor(lit(10000.0) * coalesce(col("z_scan_rows"), lit(0L)) /
+          col("total_rows")).cast("long").as("z_scan_bp"),
+        floor(lit(10000.0) * coalesce(col("sort_scan_rows"), lit(0L)) /
+          col("total_rows")).cast("long").as("sort_scan_bp"))
       .orderBy(col("dim").asc, col("probe").asc)
   }
 
@@ -268,10 +327,6 @@ object Layout {
     val cellStats = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("b")).as("min_b"), max(col("b")).as("max_b"))
-    val bloomBits = assigned
-      .select(col("cell"), explode(array(h(1, "b"), h(6, "b"))).as("bit"))
-      .distinct()
-    val cellValues = assigned.select(col("cell"), col("b")).distinct()
     // probe draw rides the SAME persisted pass (one fact scan total)
     val probeVals = assigned.select(col("b")).distinct()
       .orderBy(expr("md5(CAST(b AS STRING))"), col("b")).limit(probes)
@@ -286,19 +341,38 @@ object Layout {
         sum(when(col("min_b") <= col("probe_b") &&
           col("max_b") >= col("probe_b"), col("n_rows")).otherwise(0L))
           .as("zone_rows"))
-    val bloom = bloomBits.join(broadcast(probeVals),
-        col("bit") === col("pb1") || col("bit") === col("pb2"))
+    // The audit never needs the cell×bit bloom SET (≈2·N rows through
+    // an explode+distinct shuffle — it was this query's whole shuffle
+    // volume); only membership of the ≤2·probes broadcast probe bits
+    // matters. Filter each fact row's two bits against that broadcast
+    // set first — survivors are ~(2·probes/mBits)·N rows — and count
+    // DISTINCT matched bits per (probe, cell) afterwards, which is
+    // exactly what the old count-over-deduped-bits computed
+    // (guide §2.3: shuffle the decision metadata, not the set).
+    // the probe table exploded to (probe, bit) rows makes this a
+    // broadcast HASH join on `bit` (the pb1/pb2 OR-form was a
+    // nested-loop over every row-bit × every probe)
+    val probeBits = probeVals
+      .select(col("probe_b"), col("nb"),
+        explode(array(col("pb1"), col("pb2"))).as("bit"))
+      .distinct()
+    val bloom = assigned
+      .select(col("cell"), explode(array(h(1, "b"), h(6, "b"))).as("bit"))
+      .join(broadcast(probeBits), Seq("bit"))
       .groupBy(col("probe_b"), col("cell"), col("nb"))
-      .agg(count(lit(1)).as("__matched"))
+      .agg(countDistinct(col("bit")).as("__matched"))
       .filter(col("__matched") === col("nb"))
       .join(cellStats, Seq("cell"))
       .groupBy(col("probe_b"))
       .agg(count(lit(1)).as("bloom_cells"),
         sum(col("n_rows")).as("bloom_rows"))
-    val exact = cellValues.join(broadcast(probeVals),
+    // exact membership likewise: broadcast-semi against the probe
+    // values, then count distinct containing cells — the former
+    // distinct (cell, value) set frame never exists
+    val exact = assigned.join(broadcast(probeVals),
         col("b") === col("probe_b"))
       .groupBy(col("probe_b"))
-      .agg(count(lit(1)).as("exact_cells"))
+      .agg(countDistinct(col("cell")).as("exact_cells"))
     zone
       .join(bloom, Seq("probe_b"), "left")
       .join(exact, Seq("probe_b"), "left")

@@ -994,21 +994,55 @@ object Profile {
     * Columns: feature_a, feature_b (declared labels), n, r_levels,
     * c_levels, dof, chi2_milli, v_bp (NULL when degenerate). */
   def cramersV(df: DataFrame, aCol: Column, bCol: Column,
-      labelA: String, labelB: String): DataFrame = {
+      labelA: String, labelB: String): DataFrame =
+    cramersVMany(Seq((df, aCol, bCol, labelA, labelB)))
+
+  /** N Cramér's-V contingency reads through ONE aggregation tree.
+    *
+    * The single-pair [[cramersV]] pays ~6 query stages (cells
+    * exchange, two margin aggregates, two broadcasts, the grid join,
+    * the final aggregate); a screen over N declared pairs as N
+    * independent subtrees pays N× that in stage/AQE-materialization
+    * overhead while every post-cells frame is contingency-grain
+    * METADATA (R·C cells). Here each pair collapses to its cell
+    * grain in its own scan (that part is irreducible — different
+    * source tables), the tagged cell frames union into one persisted
+    * frame, and the margins / grid / χ² ladder runs ONCE keyed by
+    * (feature_a, feature_b) — same integer arithmetic per pair,
+    * identical output, ~4 shared stages instead of ~6·N.
+    *
+    * Zero cells still contribute: the grid is the aM×bM product per
+    * pair, left-joined against observed cells (r·cc > 0 for every
+    * margin row by construction, so the DIV is always defined). */
+  def cramersVMany(
+      pairs: Seq[(DataFrame, Column, Column, String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "at least one pair")
+    require(pairs.map(p => (p._4, p._5)).distinct.size == pairs.size,
+      "pair labels must be distinct (they key the shared ladder)")
     val dec = "decimal(38,0)"
-    val cells = df
-      .filter(aCol.isNotNull && bCol.isNotNull)
-      .groupBy(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
-      .agg(count(lit(1)).as("o"))
-      .persist()
-    val aM = cells.groupBy(col("__a")).agg(sum(col("o")).as("r"))
-    val bM = cells.groupBy(col("__b")).agg(sum(col("o")).as("cc"))
-    val nRow = cells.agg(sum(col("o")).as("n"))
-    val grid = aM.crossJoin(broadcast(bM)).crossJoin(broadcast(nRow))
-      .join(cells, Seq("__a", "__b"), "left")
+    val keys = Seq("feature_a", "feature_b")
+    val cells = pairs.map { case (df, aCol, bCol, labelA, labelB) =>
+      df.filter(aCol.isNotNull && bCol.isNotNull)
+        .groupBy(aCol.cast("string").as("__a"),
+          bCol.cast("string").as("__b"))
+        .agg(count(lit(1)).as("o"))
+        .select(lit(labelA).as("feature_a"), lit(labelB).as("feature_b"),
+          col("__a"), col("__b"), col("o"))
+    }.reduce(_ unionByName _).persist()
+    val aM = cells.groupBy(col("feature_a"), col("feature_b"), col("__a"))
+      .agg(sum(col("o")).as("r"))
+    val bM = cells.groupBy(col("feature_a"), col("feature_b"), col("__b"))
+      .agg(sum(col("o")).as("cc"))
+    val nRow = cells.groupBy(col("feature_a"), col("feature_b"))
+      .agg(sum(col("o")).as("n"))
+    val grid = aM
+      .join(broadcast(bM), keys)
+      .join(broadcast(nRow), keys)
+      .join(cells, keys ++ Seq("__a", "__b"), "left")
       .withColumn("d",
         coalesce(col("o"), lit(0L)) * col("n") - col("r") * col("cc"))
-    grid.agg(
+    val agg = grid.groupBy(col("feature_a"), col("feature_b"))
+      .agg(
         max(col("n")).as("n"),
         countDistinct(col("__a")).as("r_levels"),
         countDistinct(col("__b")).as("c_levels"),
@@ -1016,17 +1050,26 @@ object Profile {
           s"""(CAST(1000000 AS $dec) * CAST(d AS $dec) * CAST(d AS $dec))
              |DIV (CAST(n AS $dec) * CAST(r AS $dec) * CAST(cc AS $dec))"""
             .stripMargin)).as("__chi2_micro"))
+    // label spine: a pair over an EMPTY input must still report its
+    // (n=0, levels=0, dof=0, chi2=0, v_bp=NULL) row — the grouped agg
+    // alone would drop it (the single-pair global agg never did)
+    val spark = pairs.head._1.sparkSession
+    val spine = pairs.map { case (_, _, _, labelA, labelB) =>
+      spark.range(1).select(lit(labelA).as("feature_a"),
+        lit(labelB).as("feature_b"))
+    }.reduce(_ unionByName _)
+    spine.join(agg, keys, "left")
       .select(
-        lit(labelA).as("feature_a"), lit(labelB).as("feature_b"),
+        col("feature_a"), col("feature_b"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("r_levels"), lit(0L)).as("r_levels"),
         coalesce(col("c_levels"), lit(0L)).as("c_levels"),
-        (greatest(col("r_levels"), lit(1L)) - 1L)
-          .multiply(greatest(col("c_levels"), lit(1L)) - 1L)
+        (greatest(coalesce(col("r_levels"), lit(0L)), lit(1L)) - 1L)
+          .multiply(greatest(coalesce(col("c_levels"), lit(0L)), lit(1L)) - 1L)
           .cast("long").as("dof"),
         coalesce(expr(s"CAST(__chi2_micro DIV 1000 AS BIGINT)"), lit(0L))
           .as("chi2_milli"),
-        when(col("n") > 0L &&
+        when(coalesce(col("n"), lit(0L)) > 0L &&
           least(col("r_levels"), col("c_levels")) > 1L,
           floor(lit(10000.0) *
             sqrt(col("__chi2_micro").cast("double") /

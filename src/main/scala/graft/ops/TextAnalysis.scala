@@ -861,7 +861,12 @@ object TextAnalysis {
     val c2 = docBi.groupBy(col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val vocab = live.select(explode(col("__t")).as("tok"))
+    // V from the persisted bigram frame, not a second tokenize pass:
+    // in a ≥2-token doc every token is some bigram's w1 or w2, so
+    // distinct(w1 ∪ w2) IS the live vocabulary — no re-scan, no
+    // token-grain explode (guide §2.4: remove the extra pass)
+    val vocab = docBi.select(col("w1").as("tok"))
+      .union(docBi.select(col("w2").as("tok")))
       .agg(countDistinct(col("tok")).as("v"))
     val perDoc = docBi
       .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -931,8 +936,11 @@ object TextAnalysis {
     val c2 = srcBi.select(col("source").as("train"), col("w1"),
       col("w2"), col("cnt").as("c2"))
     val c1 = c2.groupBy(col("train"), col("w1")).agg(sum(col("c2")).as("c1"))
-    val vocab = live
-      .select(col("source").as("train"), explode(col("__t")).as("tok"))
+    // per-train V from the persisted bigram frame (the q285 rule):
+    // every token of a ≥2-token doc appears as some w1 or w2, so the
+    // per-source distinct(w1 ∪ w2) is the per-source vocabulary
+    val vocab = srcBi.select(col("source").as("train"), col("w1").as("tok"))
+      .union(srcBi.select(col("source").as("train"), col("w2").as("tok")))
       .groupBy(col("train")).agg(countDistinct(col("tok")).as("v"))
     val trains = srcBi.select(col("source").as("train")).distinct()
     val scored = srcBi.withColumnRenamed("source", "eval_source")
