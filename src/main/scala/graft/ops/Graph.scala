@@ -749,7 +749,7 @@ object Graph {
     // once at its lowest-rank corner and exploded back onto its 3
     // (id-normalized) edges. A zero-triangle edge gets NO support
     // row, so every census/peel left-joins and coalesces to 0.
-    def supportOf(u: DataFrame): DataFrame = {
+    def supportOf(u: DataFrame): (DataFrame, DataFrame) = {
       val deg = u.select(col("src").as("v"))
         .union(u.select(col("dst").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -775,7 +775,7 @@ object Graph {
           col("e2.od").as("w0"))
         .join(oriented.select(col("os").as("v0"), col("od").as("w0")),
           Seq("v0", "w0"))
-      tri.select(explode(array(
+      (tri.select(explode(array(
           struct(least(col("u0"), col("v0")).as("src"),
             greatest(col("u0"), col("v0")).as("dst")),
           struct(least(col("u0"), col("w0")).as("src"),
@@ -783,7 +783,8 @@ object Graph {
           struct(least(col("v0"), col("w0")).as("src"),
             greatest(col("v0"), col("w0")).as("dst")))).as("e"))
         .select(col("e.src"), col("e.dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("support")),
+        deg)
     }
     var und = pairs.filter(col(weightCol) >= minWeight)
       .select(col("item_a").as("src"), col("item_b").as("dst"))
@@ -791,15 +792,18 @@ object Graph {
       .localCheckpoint(false)
     var rows: DataFrame = null
     for (i <- 0 to iters) {
-      val withSup = und.join(supportOf(und), Seq("src", "dst"), "left")
+      val (sup, deg) = supportOf(und)
+      val withSup = und.join(sup, Seq("src", "dst"), "left")
         .select(col("src"), col("dst"),
           coalesce(col("support"), lit(0L)).as("support"))
         .localCheckpoint(false)
-      val verts = withSup.select(col("src").as("v"))
-        .union(withSup.select(col("dst").as("v"))).distinct()
+      // n_vertices = |deg| — the degree table supportOf already built
+      // over this round's edge set IS the distinct endpoint census; a
+      // second union+distinct over withSup (same endpoints: the left
+      // join preserves und's edge set) would re-derive it
       val r = withSup
         .agg(count(lit(1)).as("n_edges"), min(col("support")).as("ms"))
-        .crossJoin(broadcast(verts.agg(count(lit(1)).as("n_vertices"))))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_vertices"))))
         .select(lit(i.toLong).as("round"), col("n_edges"),
           col("n_vertices"),
           col("ms").as("min_support"),

@@ -81,8 +81,13 @@ object Joins {
            |  coalesce(element_at(map_from_arrays(
            |    transform(a, x -> x.w), transform(a, x -> x.word)), i), 0L))"""
           .stripMargin).as("bm"))
+    // both the bloom map pass and the exact semi read the projected
+    // fact keys — persist so the fact parquet is scanned once, not
+    // twice (the audit is the one consumer that inherently needs two
+    // full passes over the keys; the SCAN doesn't have to repeat)
     val f = fact.filter(col(factKey).isNotNull)
       .select(col(factKey).as("fk"))
+      .persist()
     val tested = f.crossJoin(broadcast(bitmap))
       .withColumn("h1", h(1, "fk")).withColumn("h2", h(6, "fk"))
       .withColumn("pass", (
