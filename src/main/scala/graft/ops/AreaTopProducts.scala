@@ -427,6 +427,9 @@ object AreaTopProducts {
           lit(100.0)).cast("long").as("rev_cents"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("rev_cents")).as("total_cents"))
+      // supplier-grain; checkpointed so the scalar max and the
+      // equality filter share ONE fact scan instead of two
+      .localCheckpoint(false)
     val maxRev = rev.agg(max(col("total_cents")).as("__max_cents"))
     rev.crossJoin(broadcast(maxRev))
       .filter(col("total_cents") === col("__max_cents"))

@@ -750,9 +750,13 @@ object Graph {
     // (id-normalized) edges. A zero-triangle edge gets NO support
     // row, so every census/peel left-joins and coalesces to 0.
     def supportOf(u: DataFrame): (DataFrame, DataFrame) = {
+      // checkpointed: THREE consumers per round (the two orientation
+      // broadcasts and the census count) would otherwise re-run the
+      // endpoint aggregation from the edge checkpoint each time
       val deg = u.select(col("src").as("v"))
         .union(u.select(col("dst").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
       // catalog-bounded node table (the triangleStats broadcast rule)
       val da = broadcast(deg.select(col("v").as("src"),
         col("deg").as("dsrc")))
@@ -766,6 +770,10 @@ object Graph {
           .otherwise(struct(col("dst").as("os"), col("src").as("od"),
             col("dsrc").as("dd"))).as("o"))
         .select(col("o.os"), col("o.od"), col("o.dd"))
+        // checkpointed: the wedge self-join reads it twice and the
+        // triangle-closing semi once — materialize the orientation
+        // once per round instead of re-running both broadcast joins
+        .localCheckpoint(false)
       val tri = oriented.as("e1").join(oriented.as("e2"),
           col("e1.os") === col("e2.os") &&
             (col("e1.dd") < col("e2.dd") ||
