@@ -412,9 +412,10 @@ object AreaTopProducts {
 
   /** Quarter's top supplier(s) (TPC-H Q15 shape): every supplier tied
     * at the window's maximum revenue — the "view + scalar max +
-    * equality join" exercise. The max is a 1-row broadcast back into
-    * the supplier-grain revenue table (never a global sort to pick
-    * the head, which would also silently drop ties).
+    * equality join" exercise. The scalar max rides the supplier-grain
+    * revenue table as an unbounded window (dimension metadata — one
+    * fact scan, no second pass, no checkpoint; never a global sort to
+    * pick the head, which would also silently drop ties).
     *
     * Columns: s_suppkey, s_name, total_cents. */
   def topSupplier(lineitem: DataFrame, supplier: DataFrame,
@@ -427,11 +428,9 @@ object AreaTopProducts {
           lit(100.0)).cast("long").as("rev_cents"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("rev_cents")).as("total_cents"))
-      // supplier-grain; checkpointed so the scalar max and the
-      // equality filter share ONE fact scan instead of two
-      .localCheckpoint(false)
-    val maxRev = rev.agg(max(col("total_cents")).as("__max_cents"))
-    rev.crossJoin(broadcast(maxRev))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    rev.withColumn("__max_cents", max(col("total_cents")).over(wAll))
       .filter(col("total_cents") === col("__max_cents"))
       .join(supplier.select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
@@ -450,23 +449,22 @@ object AreaTopProducts {
     * double average whose last ulp could flip a boundary row between
     * engines.
     *
-    * Scale shape: one part-grain aggregate off the fact (map-side
-    * combined), joined back to the fact on the SAME key — the
-    * aggregate inherits the join partitioning, so the pair costs one
-    * fact shuffle; the report is one row. One row: n_items,
-    * revenue_cents. */
+    * Scale shape: ONE fact pass — the part-grain quantity aggregate
+    * is an unordered window over l_partkey on the same rows it gates
+    * (a fine-grained data key: partitions stay task-sized at any
+    * scale), so the correlated aggregate costs one shuffle of one
+    * scan, not the two scans + aggregate-join the textbook plan pays;
+    * the report is one row. One row: n_items, revenue_cents. */
   def smallQuantityRevenue(lineitem: DataFrame, numer: Long = 1L,
       denom: Long = 5L): DataFrame = {
     require(numer >= 1L && denom >= 1L, "fraction must be positive")
-    val pq = lineitem
-      .groupBy(col("l_partkey"))
-      .agg(sum(col("l_quantity").cast("long")).as("__sum_qty"),
-        count(lit(1)).as("__cnt"))
+    val wPart = Window.partitionBy(col("l_partkey"))
     lineitem
       .select(col("l_partkey"), col("l_quantity").cast("long").as("__qty"),
         floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
           lit(100.0)).cast("long").as("rev_cents"))
-      .join(pq, Seq("l_partkey"))
+      .withColumn("__sum_qty", sum(col("__qty")).over(wPart))
+      .withColumn("__cnt", count(lit(1)).over(wPart))
       .filter(lit(denom) * col("__qty") * col("__cnt") <
         lit(numer) * col("__sum_qty"))
       .agg(count(lit(1)).as("n_items"),

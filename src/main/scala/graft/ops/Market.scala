@@ -1090,7 +1090,9 @@ object Market {
     * Scale shape: one fact pass collapses to (part, day) grain; ALL
     * windows (count, row_number, lag, min/max) subset-cluster on the
     * single hash(partkey) shuffle, and the report is part-dimension
-    * grain. The global span is a broadcast 1-row scalar.
+    * grain. The global span rides the part-grain frame as an
+    * unbounded window (dimension metadata — no second panel pass, no
+    * persisted panel).
     *
     * Columns: partkey, n_demands, demand_span_days, adi_milli (mean
     * inter-demand interval), mean_units_milli, z_hat_milli,
@@ -1108,10 +1110,6 @@ object Market {
         datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
           .cast("long").as("daynum"))
       .agg(sum(col("l_quantity").cast("long")).as("units"))
-      .persist() // (part, day) grain; feeds both the span scalar and
-                 // the occurrence windows — caller owns the cache
-    val span = pd.agg(
-      (max(col("daynum")) - min(col("daynum")) + 1L).as("span"))
     val byPart = Window.partitionBy(col("partkey"))
     val ordered = byPart.orderBy(col("daynum").asc)
     val g = pd
@@ -1123,6 +1121,7 @@ object Market {
       .groupBy(col("partkey"))
       .agg(max(col("n")).as("n"),
         (max(col("d1")) - max(col("d0"))).as("spread"),
+        max(col("d1")).as("__d1"), max(col("d0")).as("__d0"),
         sum(col("units")).as("tot_units"),
         sum(expr(s"CASE WHEN n - idx < $w THEN" +
           s" units * shiftleft(CAST(1 AS BIGINT), ${w - 1} - (n - idx))" +
@@ -1130,7 +1129,15 @@ object Market {
         sum(expr(s"CASE WHEN n - idx < $w AND gap IS NOT NULL THEN" +
           s" gap * shiftleft(CAST(1 AS BIGINT), ${w - 1} - (n - idx))" +
           " ELSE 0 END")).as("xw"))
-    g.crossJoin(broadcast(span))
+    // the global day-span scalar rides the PART-GRAIN frame as an
+    // unbounded window (dimension metadata) — max over parts of each
+    // part's max day = max over all (part, day) rows, so this equals
+    // the old separate pass over the persisted panel, without the
+    // persist job, the scalar job, or the crossJoin
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("span",
+        max(col("__d1")).over(wAll) - min(col("__d0")).over(wAll) + 1L)
       .filter(col("n") >= minDemands && col("n") * 5L <= col("span"))
       .select(col("partkey"), col("n").as("n_demands"),
         (col("spread") + 1L).as("demand_span_days"),
@@ -1160,8 +1167,9 @@ object Market {
     *
     * Scale shape: one fact pass to the persisted (part, week) grain
     * (caller owns the cache); the rank window and the per-part stats
-    * subset-cluster on one hash(partkey) shuffle; the week-span is a
-    * broadcast 1-row scalar; report at part-dimension grain.
+    * subset-cluster on one hash(partkey) shuffle; the week-span rides
+    * the part-grain stats frame as an unbounded window (dimension
+    * metadata); report at part-dimension grain.
     *
     * Columns: partkey, t_weeks, nz_weeks, total_units,
     * mean_weekly_milli, q_units (the service-level weekly demand),
@@ -1178,14 +1186,23 @@ object Market {
           " AS BIGINT) DIV 7").as("wk"))
       .agg(sum(col("l_quantity").cast("long")).as("units"))
       .persist()
-    val span = pw.agg((max(col("wk")) - min(col("wk")) + 1L).as("t"))
     val stats = pw.groupBy(col("partkey"))
-      .agg(count(lit(1)).as("nz"), sum(col("units")).as("tot"))
+      .agg(count(lit(1)).as("nz"), sum(col("units")).as("tot"),
+        min(col("wk")).as("__w0"), max(col("wk")).as("__w1"))
     val ranked = pw.withColumn("rn", row_number().over(
       Window.partitionBy(col("partkey"))
         .orderBy(col("units").asc, col("wk").asc)))
       .select(col("partkey"), col("units"), col("rn"))
-    val qq = stats.crossJoin(broadcast(span))
+    // the global week-span scalar rides the PART-GRAIN stats frame as
+    // an unbounded window (dimension metadata) — min/max over parts of
+    // per-part week bounds = min/max over all (part, week) rows, so
+    // this equals the old separate panel pass without the scalar job
+    // or the crossJoin
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val qq = stats
+      .withColumn("t",
+        max(col("__w1")).over(wAll) - min(col("__w0")).over(wAll) + 1L)
       .withColumn("r", expr(s"(t * $serviceBp + 9999) DIV 10000"))
       .withColumn("j", col("r") - (col("t") - col("nz")))
     qq.join(ranked,

@@ -1014,12 +1014,14 @@ class PlanAuditSpec extends SparkSpec {
       s"scalar max planned as cartesian:\n$p")
   }
 
-  test("q180 small qty revenue: part-average join reuses the aggregate's l_partkey partitioning") {
+  test("q180 small qty revenue: part-average window rides ONE l_partkey shuffle of ONE pruned scan") {
     val p = plan("q180_small_qty_revenue")
-    // the fact side and the part-grain aggregate hash-shuffle on the
-    // SAME key; nothing else may shuffle before the 1-row report
+    // the correlated part aggregate is an unordered window over the
+    // same rows it gates: exactly one fact scan, exactly one
+    // hash(l_partkey) exchange, then the 1-row report
     assert("Exchange hashpartitioning\\(l_partkey".r
-      .findAllIn(stripCached(p)).length <= 2, p)
+      .findAllIn(stripCached(p)).length == 1, p)
+    assert("Scan parquet".r.findAllIn(stripCached(p)).length == 1, p)
     assert(!p.contains("CartesianProduct"), p)
     val readSchema = "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(p).get.group(1)
     assert(!readSchema.contains("l_orderkey"), s"scan not pruned: $readSchema")
