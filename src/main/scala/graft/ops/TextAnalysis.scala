@@ -834,13 +834,14 @@ object TextAnalysis {
     * of the corpus mean.
     *
     * Scale shape: bigrams collapse to (doc, bigram, count) grain
-    * map-side BEFORE any join; the model tables derive from those
-    * partials (c₂ = one more aggregate, c₁ = an aggregate OF c₂ —
-    * the fact stream is never re-scanned), and scoring is two
-    * bigram-keyed shuffle joins (model tables are vocab²-bounded,
-    * too big to broadcast by design) + one doc-grain aggregate.
-    * Vocab size V is a broadcast 1-row scalar, as is the corpus
-    * mean the flag compares against. */
+    * map-side BEFORE any join; the model table derives from those
+    * partials (c₂ = one more aggregate, c₁ = a w1-grain join ONTO c₂ at
+    * model grain — the fact stream is never re-scanned and the
+    * scoring frame never re-shuffles by w1), and scoring is ONE
+    * bigram-keyed shuffle join (the model is vocab²-bounded, too big
+    * to broadcast by design) + one doc-grain aggregate. Vocab size V
+    * is a broadcast 1-row scalar off the model frame, as is the
+    * corpus mean the flag compares against. */
   def bigramPerplexity(docs: DataFrame, flagRatioPct: Long = 105L): DataFrame = {
     val live = docs.filter(col("text").isNotNull)
       .withColumn("__t", expr(TokensExpr))
@@ -860,16 +861,22 @@ object TextAnalysis {
       .persist()
     val c2 = docBi.groupBy(col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("c2"))
+    // c1 attaches to the MODEL frame at vocab²-bounded grain instead
+    // of a second join that would re-shuffle the whole doc×bigram
+    // scoring frame by w1 — the model pays one small join (c1 is
+    // broadcast-class next to c2), the big frame pays none (guide
+    // §2.3: shuffle the lightweight proxy, not the payload)
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    // V from the persisted bigram frame, not a second tokenize pass:
-    // in a ≥2-token doc every token is some bigram's w1 or w2, so
-    // distinct(w1 ∪ w2) IS the live vocabulary — no re-scan, no
-    // token-grain explode (guide §2.4: remove the extra pass)
-    val vocab = docBi.select(col("w1").as("tok"))
-      .union(docBi.select(col("w2").as("tok")))
+    val model = c2.join(c1, Seq("w1"))
+    // V from the model frame, not a second tokenize pass: in a
+    // ≥2-token doc every token is some bigram's w1 or w2, and c2's
+    // key domain equals docBi's, so distinct(w1 ∪ w2) over the
+    // SMALLER c2 frame IS the live vocabulary (guide §2.4)
+    val vocab = c2.select(col("w1").as("tok"))
+      .union(c2.select(col("w2").as("tok")))
       .agg(countDistinct(col("tok")).as("v"))
     val perDoc = docBi
-      .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .join(model, Seq("w1", "w2"))
       .crossJoin(broadcast(vocab))
       .withColumn("bits", TrainingPrep.flog2Ratio(
         col("c1") + col("v"), col("c2") + lit(1L)).cast("long"))
