@@ -43,17 +43,28 @@ object Bench {
   val StdoutBudget = 1850
 
   def stdoutLine(total: String, queriesJson: String, ioTotal: String,
-      sfDir: String, load: String = "[0,0]"): (String, Option[String]) = {
+      sfDir: String, load: String = "[0,0]", topJson: String = "{}",
+      artifactsSec: String = "0"): (String, Option[String]) = {
     // `load` = [loadavg-1m at start, at end] — both IN the artifact
     // so a polluted run is self-evident from the stdout tail alone
-    // (round 9 only had loadavg_end, on stderr)
+    // (round 9 only had loadavg_end, on stderr).
+    // `top` (r10-verdict item: PERF's per-query view went blind once
+    // 363 queries overflowed the tail budget) = the 20 slowest
+    // queries' steady seconds — a stable cross-round adjudication
+    // signal that always fits the budget even when the full map rides
+    // the stderr fallback. `artifacts_sec` = Σ one-time Shared.memo
+    // builds, the cost steady_total deliberately amortizes away (see
+    // Shared.scala DISCLOSURE) — reported so the exclusion is
+    // quantified instead of invisible.
     val full =
       s"""{"metric":"steady_total","value":$total,"unit":"sec",""" +
         s""""queries":$queriesJson,"io_total":$ioTotal,""" +
+        s""""artifacts_sec":$artifactsSec,""" +
         s""""load":$load,"sf":"$sfDir"}"""
     if (full.length <= StdoutBudget) (full, None)
     else (s"""{"metric":"steady_total","value":$total,"unit":"sec",""" +
-      s""""queries_in_stderr":true,"io_total":$ioTotal,""" +
+      s""""queries_in_stderr":true,"top":$topJson,""" +
+      s""""io_total":$ioTotal,"artifacts_sec":$artifactsSec,""" +
       s""""load":$load,"sf":"$sfDir"}""",
       Some(queriesJson))
   }
@@ -260,8 +271,22 @@ object Bench {
     // prefix (1 B × queries) decides whether the line fits the
     // harness's 2000 B captured tail.
     val qid = (k: String) => k.takeWhile(_ != '_').stripPrefix("q")
-    val steady = results.map { case (k, _, w, _, _, _) => s"\"" + qid(k) + "\":" + f2(w) }
+    // fixed NUMERIC id order: the harness tail-captures the last ~2000
+    // chars, so a deterministic order makes the visible window the
+    // same queries every round (r10-verdict item 3 — the judge
+    // re-parses this region for round-over-round comparison)
+    val byId = results.sortBy { case (k, _, _, _, _, _) =>
+      qid(k).toIntOption.getOrElse(Int.MaxValue) }
+    val steady = byId.map { case (k, _, w, _, _, _) => s"\"" + qid(k) + "\":" + f2(w) }
       .mkString("{", ",", "}")
+    // the 20 slowest (steady desc, id asc): the stdout line's
+    // always-fits per-query signal when the full map overflows
+    val top = results.sortBy { case (k, _, w, _, _, _) => (-w, qid(k)) }
+      .take(20)
+      .map { case (k, _, w, _, _, _) => s"\"" + qid(k) + "\":" + f2(w) }
+      .mkString("{", ",", "}")
+    val artifactsSec =
+      f(graft.ops.Shared.buildSeconds(spark).values.sum)
     // Budget (measured from BENCH_r04): the harness keeps the LAST
     // 2000 chars of stdout, and sbt appends a ~75-char "[success]"
     // line after ours — so the whole JSON line must fit in ~1900
@@ -280,12 +305,12 @@ object Bench {
     val coldTotal = results.map(_._2).sum
     System.err.println(s"[bench] cold_total=${f(coldTotal)} steady_total=${f(steadyTotal)}")
     val loadJson = s"[$loadStart,${load1m()}]"
-    val (line, overflowMap) =
-      Bench.stdoutLine(f(steadyTotal), steady, ioTotal, sfDir, loadJson)
-    overflowMap.foreach(m => System.err.println(s"[bench] queries=$m"))
+    val (line, overflowMap) = Bench.stdoutLine(f(steadyTotal), steady,
+      ioTotal, sfDir, loadJson, top, artifactsSec)
     writeMirror(
       s"""{"metric":"steady_total","value":${f(steadyTotal)},"unit":"sec",""" +
         s""""queries":$steady,"io_total":$ioTotal,""" +
+        s""""artifacts_sec":$artifactsSec,""" +
         s""""load":$loadJson,"sf":"$sfDir"}""")
     // full runs only: an SPARK_GRAFT_ONLY subset would otherwise
     // shrink the history section and blind the next full run's
@@ -293,6 +318,10 @@ object Bench {
     if (only.isEmpty)
       writeHistory(sfDir, results.map(r => (r._1, r._3, r._4, r._6)))
     System.err.println(s"[bench] loadavg_end=${loadavg()}")
+    // the full map is the LAST stderr line (deterministic numeric
+    // order, see `byId`): the tail capture always windows the same
+    // final region, immediately before the stdout JSON line
+    overflowMap.foreach(m => System.err.println(s"[bench] queries=$m"))
     println(line)
     spark.stop()
   }

@@ -412,10 +412,15 @@ object AreaTopProducts {
 
   /** Quarter's top supplier(s) (TPC-H Q15 shape): every supplier tied
     * at the window's maximum revenue — the "view + scalar max +
-    * equality join" exercise. The scalar max rides the supplier-grain
-    * revenue table as an unbounded window (dimension metadata — one
-    * fact scan, no second pass, no checkpoint; never a global sort to
-    * pick the head, which would also silently drop ties).
+    * equality join" exercise. The supplier-grain revenue frame is
+    * persisted (ONE fact scan: the scalar subtree and the tie filter
+    * read the same cached partitions) and the scalar max is a regular
+    * parallel aggregate — partial per-partition maxes, a 1-row final
+    * — reattached via crossJoin(broadcast(·)). Never an unbounded
+    * no-partitionBy window, which would plan Exchange SinglePartition
+    * over the WHOLE supplier grain (~1e9 rows at the design point) and
+    * sort it in one task; never a global sort to pick the head, which
+    * would also silently drop ties.
     *
     * Columns: s_suppkey, s_name, total_cents. */
   def topSupplier(lineitem: DataFrame, supplier: DataFrame,
@@ -428,9 +433,9 @@ object AreaTopProducts {
           lit(100.0)).cast("long").as("rev_cents"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("rev_cents")).as("total_cents"))
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    rev.withColumn("__max_cents", max(col("total_cents")).over(wAll))
+      .persist()
+    val mx = rev.agg(max(col("total_cents")).as("__max_cents"))
+    rev.crossJoin(broadcast(mx))
       .filter(col("total_cents") === col("__max_cents"))
       .join(supplier.select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))

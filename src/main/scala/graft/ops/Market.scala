@@ -1090,9 +1090,11 @@ object Market {
     * Scale shape: one fact pass collapses to (part, day) grain; ALL
     * windows (count, row_number, lag, min/max) subset-cluster on the
     * single hash(partkey) shuffle, and the report is part-dimension
-    * grain. The global span rides the part-grain frame as an
-    * unbounded window (dimension metadata — no second panel pass, no
-    * persisted panel).
+    * grain. The global span scalar is a parallel aggregate over the
+    * PERSISTED part-grain frame (partial min/max per partition, 1-row
+    * final) reattached by crossJoin(broadcast(·)) — still no second
+    * panel pass, and never a no-partitionBy window, which would plan
+    * Exchange SinglePartition over the whole part grain.
     *
     * Columns: partkey, n_demands, demand_span_days, adi_milli (mean
     * inter-demand interval), mean_units_milli, z_hat_milli,
@@ -1129,15 +1131,15 @@ object Market {
         sum(expr(s"CASE WHEN n - idx < $w AND gap IS NOT NULL THEN" +
           s" gap * shiftleft(CAST(1 AS BIGINT), ${w - 1} - (n - idx))" +
           " ELSE 0 END")).as("xw"))
-    // the global day-span scalar rides the PART-GRAIN frame as an
-    // unbounded window (dimension metadata) — max over parts of each
-    // part's max day = max over all (part, day) rows, so this equals
-    // the old separate pass over the persisted panel, without the
-    // persist job, the scalar job, or the crossJoin
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    g.withColumn("span",
-        max(col("__d1")).over(wAll) - min(col("__d0")).over(wAll) + 1L)
+      .persist()
+    // the global day-span scalar: max over parts of each part's max
+    // day = max over all (part, day) rows, so a parallel agg over the
+    // persisted part-grain frame equals the old separate panel pass —
+    // one fact scan total (the broadcast subtree materializes the
+    // cache the main side then reads), and no single-partition window
+    val span = g.agg(
+      (max(col("__d1")) - min(col("__d0")) + 1L).as("span"))
+    g.crossJoin(broadcast(span))
       .filter(col("n") >= minDemands && col("n") * 5L <= col("span"))
       .select(col("partkey"), col("n").as("n_demands"),
         (col("spread") + 1L).as("demand_span_days"),
@@ -1167,9 +1169,11 @@ object Market {
     *
     * Scale shape: one fact pass to the persisted (part, week) grain
     * (caller owns the cache); the rank window and the per-part stats
-    * subset-cluster on one hash(partkey) shuffle; the week-span rides
-    * the part-grain stats frame as an unbounded window (dimension
-    * metadata); report at part-dimension grain.
+    * subset-cluster on one hash(partkey) shuffle; the week-span is a
+    * parallel scalar aggregate straight off the cached (part, week)
+    * frame, reattached by crossJoin(broadcast(·)) — never a
+    * no-partitionBy window (Exchange SinglePartition over the whole
+    * part grain); report at part-dimension grain.
     *
     * Columns: partkey, t_weeks, nz_weeks, total_units,
     * mean_weekly_milli, q_units (the service-level weekly demand),
@@ -1187,22 +1191,19 @@ object Market {
       .agg(sum(col("l_quantity").cast("long")).as("units"))
       .persist()
     val stats = pw.groupBy(col("partkey"))
-      .agg(count(lit(1)).as("nz"), sum(col("units")).as("tot"),
-        min(col("wk")).as("__w0"), max(col("wk")).as("__w1"))
+      .agg(count(lit(1)).as("nz"), sum(col("units")).as("tot"))
     val ranked = pw.withColumn("rn", row_number().over(
       Window.partitionBy(col("partkey"))
         .orderBy(col("units").asc, col("wk").asc)))
       .select(col("partkey"), col("units"), col("rn"))
-    // the global week-span scalar rides the PART-GRAIN stats frame as
-    // an unbounded window (dimension metadata) — min/max over parts of
-    // per-part week bounds = min/max over all (part, week) rows, so
-    // this equals the old separate panel pass without the scalar job
-    // or the crossJoin
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
+    // the global week-span scalar is a parallel aggregate straight
+    // off the cached (part, week) frame (min/max over all rows = the
+    // panel bounds) reattached by crossJoin(broadcast(·)) — no second
+    // fact pass (pw is persisted) and no single-partition window
+    val span = pw.agg(
+      (max(col("wk")) - min(col("wk")) + 1L).as("t"))
     val qq = stats
-      .withColumn("t",
-        max(col("__w1")).over(wAll) - min(col("__w0")).over(wAll) + 1L)
+      .crossJoin(broadcast(span))
       .withColumn("r", expr(s"(t * $serviceBp + 9999) DIV 10000"))
       .withColumn("j", col("r") - (col("t") - col("nz")))
     qq.join(ranked,

@@ -36,18 +36,51 @@ object Shared {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
+  /** Wall seconds each artifact's one-time materialization cost, per
+    * session — the r10-verdict honesty item: steady_total excludes
+    * these builds by design (they land in the first consumer's cold
+    * pass), so Bench reports their total as a visible
+    * `"artifacts_sec"` line item instead of leaving the exclusion
+    * invisible. */
+  private val builds =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Double]]()
+
   /** The memoized, lineage-truncated artifact for `key`; `build` runs
     * at most once per (session, key). Weakly keyed on the session so
     * a stopped session's entries (whose checkpoint blocks died with
-    * its executors) can never be served to a new one. */
+    * its executors) can never be served to a new one.
+    *
+    * The checkpoint is EAGER so the build cost is measurable at the
+    * one place it happens (still inside the first consumer's cold
+    * construction — the same pass that paid it when the checkpoint
+    * was lazy) and so every later reader, including broadcast
+    * subtrees that cannot deduplicate unfired lazy lineage (the q352
+    * anatomy), sees materialized blocks. */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     synchronized {
       val m = cache.computeIfAbsent(spark,
         _ => scala.collection.concurrent.TrieMap.empty)
-      m.getOrElseUpdate(key, build.localCheckpoint(false))
+      m.getOrElseUpdate(key, {
+        val t0 = System.nanoTime()
+        val df = build.localCheckpoint(true)
+        val secs = (System.nanoTime() - t0) / 1e9
+        builds.computeIfAbsent(spark,
+          _ => scala.collection.concurrent.TrieMap.empty).put(key, secs)
+        System.err.println(f"[bench] artifact $key build=$secs%.3f")
+        df
+      })
+    }
+
+  /** Per-key one-time build seconds recorded for `spark`'s artifacts
+    * (empty until the first consumer materializes one). */
+  def buildSeconds(spark: SparkSession): Map[String, Double] =
+    synchronized {
+      val m = builds.get(spark)
+      if (m == null) Map.empty else m.toMap
     }
 
   /** Drop a session's artifacts (tests that mutate fixture data). */
   def invalidate(spark: SparkSession): Unit =
-    synchronized { cache.remove(spark): Unit }
+    synchronized { cache.remove(spark); builds.remove(spark): Unit }
 }

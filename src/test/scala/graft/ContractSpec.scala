@@ -37,13 +37,21 @@ class ContractSpec extends AnyFunSuite {
     // falls back to stderr and the line keeps the aggregate fields.
     val ids = SparkEntry.queries.keys.toSeq
       .map(_.takeWhile(_ != '_').stripPrefix("q"))
-    // adversarial digits: the fallback must engage and still fit
+    // adversarial digits: the fallback must engage and still fit,
+    // WITH a worst-case top-20 map and artifacts_sec on the line
     val worst = ids.map(n => s""""$n":999.99""").mkString("{", ",", "}")
+    val worstTop = ids.take(20).map(n => s""""$n":999.99""")
+      .mkString("{", ",", "}")
     val (wLine, wOverflow) = Bench.stdoutLine("99999.999", worst,
-      "[10000000,104857600]", "/root/testdata/sf0.1", "[999.99,999.99]")
+      "[10000000,104857600]", "/root/testdata/sf0.1", "[999.99,999.99]",
+      worstTop, "9999.999")
     assert(wLine.length <= 1850, s"fallback line still too long: ${wLine.length}B")
     assert(wLine.contains("\"value\":99999.999"), wLine)
     assert(wLine.contains("\"load\":[999.99,999.99]"), wLine)
+    // r10-verdict item 3/6: the fallback keeps a per-query signal
+    // (top-20 slowest) and the amortized artifact-build total visible
+    assert(wLine.contains("\"top\":{"), wLine)
+    assert(wLine.contains("\"artifacts_sec\":9999.999"), wLine)
     // realistic digits: past ~160 queries even a compact map exceeds
     // the tail budget — the fallback MUST engage (aggregate line stays
     // parseable, full map reaches the driver via the stderr tail)

@@ -25,7 +25,20 @@ object TestSpark {
 }
 
 abstract class SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = TestSpark.spark
+  lazy val spark: SparkSession = {
+    val s = TestSpark.spark
+    // Pin the active session on THIS suite's thread. sbt runs suites
+    // on pooled threads; getActiveSession is a thread-local set only
+    // on the thread that first built the shared session, so a suite
+    // scheduled on a different thread planned datasets with a NULL
+    // active session — localCheckpoint's plan construction then hit
+    // [INTERNAL_ERROR] NPE in SparkPlan.session (the r10 driver's
+    // flaky labelProp determinism failure, GraphSpec:207). Eagerness
+    // of the checkpoint can't fix that (the plan is built at
+    // construction either way); the thread-local is the root cause.
+    SparkSession.setActiveSession(s)
+    s
+  }
   def sf: String = TestSpark.sf0001
 }
 
