@@ -643,17 +643,27 @@ object Graph {
     * a node also removes it from the census (the house co-vis node
     * convention).
     *
-    * Scale shape: the symmetric edge list and the degree-rank table
-    * are built once (checkpointed, catalog-bounded), and ALL knockout
-    * levels run through ONE connected-components execution — each
-    * level's surviving nodes are packed into a composite id
+    * Scale shape: the symmetric edge list is built once
+    * (checkpointed, catalog-bounded), and ALL knockout levels run
+    * through ONE connected-components execution — each level's
+    * surviving nodes are packed into a composite id
     * (node·|ks| + level index), so the union of the per-level edge
     * sets is a single disjoint graph and the star-forest rounds are
     * paid once, not per k (the per-k variant spent 5× the CC
     * checkpoint-round overhead — the q292 constant — and was the
-    * bench's most expensive query). The fact stream is touched only
-    * by the pair build the caller passes in (the shared co-vis
-    * artifact in the registered query).
+    * bench's most expensive query). Only the TOP max(ks) hubs are
+    * ever ranked — TakeOrderedAndProject(max ks) off the degree
+    * aggregate, never a global row_number sort of the whole node
+    * table (that planned Exchange SinglePartition over the catalog) —
+    * and each level filters by a broadcast ANTI join against its ≤k
+    * hub rows (a query constant, broadcastable at ANY scale) instead
+    * of an inner join against the catalog-sized survivor set. The
+    * hub table is eagerly checkpointed: 2·|ks| broadcast builds read
+    * materialized blocks instead of each re-running the degree
+    * aggregate (unfired lazy lineage is invisible to broadcast reuse
+    * — the q352 anatomy). The fact stream is touched only by the
+    * pair build the caller passes in (the shared co-vis artifact in
+    * the registered query).
     *
     * Columns: k_removed, n_nodes, n_edges, n_components, giant_items,
     * giant_share_bp (NULL when the graph is empty). */
@@ -666,18 +676,32 @@ object Graph {
     val e = symmetric(pairs, minWeight, weightCol)
       .select(col("src"), col("dst"))
       .localCheckpoint(false)
-    val rk = e.groupBy(col("src").as("item"))
+    // only the top max(ks) hubs need ranks (every filter is
+    // `rnk <= k`, k ≤ max): TakeOrderedAndProject keeps the head
+    // selection parallel, and the row_number runs over ≤ max(ks) rows
+    // (a query constant — a bounded single partition, never the whole
+    // node table). Eager checkpoint: all 2·|ks| broadcast anti-join
+    // builds below read these blocks.
+    val maxK = kSorted.last
+    val hubs = e.groupBy(col("src").as("item"))
       .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("item").asc)
+      .limit(maxK)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("deg").desc, col("item").asc)))
       .select(col("item"), col("rnk"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // one disjoint union of every level's surviving edges, node ids
-    // packed as node·nk + level (levels never collide)
+    // packed as node·nk + level (levels never collide). Removing the
+    // ≤k hubs is a broadcast ANTI join against k rows — identical to
+    // the old inner join against the (catalog-sized) rank>k survivor
+    // set, but the broadcast side is a query constant at any scale.
     val tagged = kSorted.zipWithIndex.map { case (k, i) =>
-      val keep = rk.filter(col("rnk") > k)
-      e.join(keep.select(col("item").as("src")), Seq("src"))
-        .join(keep.select(col("item").as("dst")), Seq("dst"))
+      val out = hubs.filter(col("rnk") <= k)
+      e.join(broadcast(out.select(col("item").as("src"))),
+          Seq("src"), "left_anti")
+        .join(broadcast(out.select(col("item").as("dst"))),
+          Seq("dst"), "left_anti")
         .select(lit(i.toLong).as("ki"),
           (col("src") * nk + i).as("psrc"),
           (col("dst") * nk + i).as("pdst"))
@@ -750,13 +774,16 @@ object Graph {
     // (id-normalized) edges. A zero-triangle edge gets NO support
     // row, so every census/peel left-joins and coalesces to 0.
     def supportOf(u: DataFrame): (DataFrame, DataFrame) = {
-      // checkpointed: THREE consumers per round (the two orientation
-      // broadcasts and the census count) would otherwise re-run the
-      // endpoint aggregation from the edge checkpoint each time
+      // EAGERLY checkpointed: THREE consumers per round, and two of
+      // them are BROADCAST builds (da/db) — broadcast subtrees cannot
+      // deduplicate an unfired lazy checkpoint's lineage (the q352
+      // anatomy), so a lazy checkpoint here still ran the endpoint
+      // aggregation once per broadcast; eager materializes the tiny
+      // node table once and all three consumers read blocks
       val deg = u.select(col("src").as("v"))
         .union(u.select(col("dst").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       // catalog-bounded node table (the triangleStats broadcast rule)
       val da = broadcast(deg.select(col("v").as("src"),
         col("deg").as("dsrc")))

@@ -859,8 +859,15 @@ object TextAnalysis {
         col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
       .persist()
+    // c2 is read FOUR ways (the model join, c1's aggregate, and both
+    // branches of the vocabulary union) and column pruning makes the
+    // four subtrees non-identical, so exchange reuse cannot collapse
+    // them — without the persist the (w1,w2) aggregation over the
+    // docBi cache ran four times (r11 plan audit: 4 separate
+    // hash(w1,w2) exchanges). vocab²-bounded metadata: cache it once.
     val c2 = docBi.groupBy(col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("c2"))
+      .persist()
     // c1 attaches to the MODEL frame at vocab²-bounded grain instead
     // of a second join that would re-shuffle the whole doc×bigram
     // scoring frame by w1 — the model pays one small join (c1 is
