@@ -1047,7 +1047,11 @@ object Dedup {
     val pairs = fuzzyNamePairs(names, maxDist, blockCap)
       .select(col("rep_a"), col("rep_b"))
     val comp = Clustering.connectedComponents(pairs, "rep_a", "rep_b")
-    // singletons keep their own rep as entity id
+    // singletons keep their own rep as entity id. NOT persisted: an
+    // r11 persist experiment measured no io change (rows/shuffle flat
+    // — the two consumers' label-join subtrees already share via
+    // exchange reuse) and +0.2 s of cache-build overhead; reverted,
+    // the q352 wash-→-revert rule.
     val entityOf = names
       .join(comp.select(col("node").as("rep_id"), col("component")),
         Seq("rep_id"), "left")

@@ -498,8 +498,14 @@ object Market {
       .filter(col("item").isNotNull && col("user_id").isNotNull)
       .select(col("item"), col("user_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eagerly checkpointed: `top` is consumed by THREE broadcast
+    // builds (the reach filter + both name-count reattachments), and
+    // broadcast subtrees cannot reuse un-materialized lineage (the
+    // q352 anatomy) — lazy, each build re-ran the reach aggregate
+    // over the iu cache. topK rows, materialized once.
     val top = iu.groupBy(col("item")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("item").asc).limit(topK)
+      .localCheckpoint(true)
     val ui = iu.join(broadcast(top), Seq("item"))
     val shared = ui.as("a")
       .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&

@@ -1379,10 +1379,14 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one user-grain shuffle:\n$p")
   }
 
-  test("q233 audience overlap: top-item dim broadcast; TakeOrdered picks the dim") {
+  test("q233 audience overlap: top-item dim broadcast from its checkpoint; no cartesian") {
     val p = plan("q233_audience_overlap")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("TakeOrderedAndProject"), s"top-k dim not pushed:\n$p")
+    // the top-item dim is eagerly checkpointed (its TakeOrdered build
+    // runs once, not once per broadcast — r11), so the visible plan
+    // reads it as ExistingRDD and broadcasts it into the reach filter
+    // and both name-count reattachments
+    assert(p.contains("Scan ExistingRDD"), s"top-k dim checkpoint missing:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
       s"top-item dim not broadcast:\n$p")
   }
