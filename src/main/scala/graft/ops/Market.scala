@@ -88,8 +88,13 @@ object Market {
     val pairs = pairsFromBaskets(baskets)
     // Item-grain session counts from the SAME capped baskets (so
     // confidences are internally consistent with the pair counts).
+    // Eagerly checkpointed: consumed by TWO broadcast builds, and
+    // broadcast subtrees cannot reuse un-materialized lineage (the
+    // q233/q352 anatomy) — lazy, each build re-ran the explode+count
+    // over the whole baskets cache. Item-grain metadata, built once.
     val itemN = baskets.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     pairs
       .join(broadcast(itemN.withColumnRenamed("item", "item_a")
         .withColumnRenamed("n", "sessions_a")), Seq("item_a"))
@@ -552,8 +557,11 @@ object Market {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = pairsFromBaskets(baskets)
       .filter(col("pair_sessions") >= minPair)
+    // eagerly checkpointed — two broadcast consumers, the q233/q352
+    // anatomy (see coVisitation)
     val itemN = baskets.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val total = baskets.agg(count(lit(1)).as("total_sessions"))
     pairs
       .join(broadcast(itemN.withColumnRenamed("item", "item_a")
